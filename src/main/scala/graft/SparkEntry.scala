@@ -12,7 +12,8 @@ import graft.{queries => qp}
 object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (qp.Relational.queries, qp.Relational.oracleSql)
+      (qp.Relational.queries, qp.Relational.oracleSql),
+      (qp.Vector.queries, qp.Vector.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

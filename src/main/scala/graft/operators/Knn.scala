@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Flat (brute-force) K-nearest-neighbor search.
+  *
+  * Spark-native shape of the reference's flat KNN plan
+  * (`rust/lance/src/dataset/scanner.rs:3336-3412`): distance column via a
+  * codegen'd expression fused into the scan stage, then global top-k via
+  * `ORDER BY _distance LIMIT k`, which Spark executes as
+  * `TakeOrderedAndProject` — per-partition top-k heaps merged on the driver.
+  * No shuffle of the full table: at 100 TB this moves only `k` rows per
+  * partition, which is the correct distributed plan for brute-force search.
+  *
+  * Metrics: "l2" (euclidean), "cosine" (1 - cos sim), "dot" (ranked by
+  * negative inner product, as the reference does for dot —
+  * `rust/lance-linalg/src/distance.rs`).
+  */
+object Knn {
+  val DistanceCol = "_distance"
+
+  def distanceExpr(metric: String, vec: Column, query: Column): Column = metric match {
+    case "l2" => l2Distance(vec, query)
+    case "cosine" => cosineDistance(vec, query)
+    case "dot" => negate(dotProduct(vec, query)) // rank: larger dot = nearer
+    case m => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  /** Append a `_distance` column (does not sort — composable with prefilters). */
+  def withDistance(df: DataFrame, vecCol: String, query: Array[Float],
+                   metric: String = "l2", outCol: String = DistanceCol): DataFrame =
+    df.withColumn(outCol, distanceExpr(metric, col(vecCol), vectorLit(query)))
+
+  /** Full flat search: distance + global top-k.
+    *
+    * @param tieBreakers deterministic ordering for equal distances (the
+    *   reference sorts by `(_distance, _rowid)` — `scanner.rs:3385-3406`)
+    */
+  def flatSearch(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
+                 metric: String = "l2", tieBreakers: Seq[Column] = Nil): DataFrame =
+    withDistance(df, vecCol, query, metric)
+      .orderBy(col(DistanceCol) +: tieBreakers: _*)
+      .limit(k)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+
+/** Vector search coverage (SURVEY §2.5): flat KNN over l2/cosine/dot and an
+  * embedding-cosine near-duplicate self-join. Oracles use DuckDB's
+  * list_distance / list_cosine_similarity / list_inner_product, both sides
+  * computing in float64.
+  */
+object Vector {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Query vector = embedding of vec_id 0 (driver-side query parameter, as in
+    * the reference's `Query` struct — `rust/lance-index/src/vector.rs:72-116`). */
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_l2" -> { (s, d) =>
+      val q = queryVec(s, d)
+      Knn.flatSearch(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0L),
+          "embedding", q, 10, "l2", tieBreakers = Seq(col("vec_id")))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    "q_knn_cosine" -> { (s, d) =>
+      val q = queryVec(s, d)
+      Knn.flatSearch(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0L),
+          "embedding", q, 10, "cosine", tieBreakers = Seq(col("vec_id")))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    "q_knn_dot" -> { (s, d) =>
+      val q = queryVec(s, d)
+      Knn.flatSearch(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0L),
+          "embedding", q, 10, "dot", tieBreakers = Seq(col("vec_id")))
+        .select(col("vec_id"), round(-col(Knn.DistanceCol), 4).as("ip"))
+    },
+
+    // Distance-bounded search (reference `distance_range`, scanner.rs:1087).
+    "q_knn_range" -> { (s, d) =>
+      val q = queryVec(s, d)
+      Knn.withDistance(Tables.embeddings(s, d), "embedding", q, "l2")
+        .filter(col(Knn.DistanceCol) > lit(0.0) && col(Knn.DistanceCol) < lit(1.2))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    },
+
+    // Per-label norm stats: distance expr inside an aggregation pipeline.
+    "q_vector_norms" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      e.withColumn("nrm", sqrt(dotProduct(col("embedding"), col("embedding"))))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+        .orderBy(col("label"))
+    },
+
+    // Embedding-cosine near-duplicate pairs, label-blocked self-join
+    // (brute-force baseline of the LSH-bucketed scale path; blocking keeps
+    // the pair count linear-ish and mirrors how the LSH variant buckets).
+    "q_embed_near_dup" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"), col("embedding"))
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"), col("embedding").as("a_vec"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("embedding").as("b_vec"))
+      a.join(b, col("a_label") === col("b_label") && col("a_id") < col("b_id"))
+        .withColumn("sim", lit(1.0) - cosineDistance(col("a_vec"), col("b_vec")))
+        .filter(col("sim") > 0.8)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_knn_l2" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_knn_dot" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS ip
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_knn_range" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) > 0.0
+        |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) < 1.2
+        |ORDER BY dist, e.vec_id""".stripMargin,
+    "q_vector_norms" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_embed_near_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.8
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}
