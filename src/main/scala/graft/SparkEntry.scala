@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (qp.Relational.queries, qp.Relational.oracleSql),
-      (qp.Vector.queries, qp.Vector.oracleSql)
+      (qp.Vector.queries, qp.Vector.oracleSql),
+      (qp.Text.queries, qp.Text.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

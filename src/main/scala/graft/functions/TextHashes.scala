@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-sketch expressions for the dedup / fingerprinting pipeline
+  * (capability target: the training-data dedup family the reference's
+  * ecosystem is used for; minhash/simhash are the standard scale path).
+  *
+  * All hashing is xxhash64 over UTF-8 bytes with per-permutation seeds —
+  * deterministic across partitions, executors and runs, which is what makes
+  * the LSH band-join reproducible at cluster scale.
+  *
+  * These are eval-mode expressions (CodegenFallback): the O(n·k) inner loop
+  * dominates, not the dispatch. Each is a single pass over the shingle array.
+  */
+private[graft] object XxHashUtil {
+  @inline def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+}
+
+abstract class StringArrayExpression extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+}
+
+/** Classic k-permutation MinHash signature: sig[i] = min over shingles of
+  * xxh64(shingle, seed=i). Returns array<long> of length k.
+  */
+case class MinHashSignature(child: Expression, k: Int) extends StringArrayExpression {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      var i = 0
+      while (i < k) {
+        val h = XxHashUtil.hash(s, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over the shingle array: per-bit vote of xxh64(shingle). */
+case class SimHash64(child: Expression) extends StringArrayExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = XxHashUtil.hash(arr.getUTF8String(j), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Document fingerprint: min xxh64 over the shingle array (MinHash k=1) —
+  * a compact rolling-window content id for change detection. */
+case class Fingerprint64(child: Expression) extends StringArrayExpression {
+  override def prettyName: String = "fingerprint64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var min = Long.MaxValue
+    var j = 0
+    while (j < n) {
+      val h = XxHashUtil.hash(arr.getUTF8String(j), 0L)
+      if (h < min) min = h
+      j += 1
+    }
+    min
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def x(col: Column): Expression = ColumnBridge.expression(col)
+
+  def minhashSignature(shingles: Column, k: Int = 128): Column = c(MinHashSignature(x(shingles), k))
+  def simhash64(shingles: Column): Column = c(SimHash64(x(shingles)))
+  def fingerprint64(shingles: Column): Column = c(Fingerprint64(x(shingles)))
+}

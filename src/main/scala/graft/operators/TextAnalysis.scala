@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale corpus pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristic.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * primitives (split/transform/array ops) so the whole pipeline stays inside
+  * whole-stage codegen — no UDFs. Formulas are chosen to be expressible in
+  * ANSI SQL so the DuckDB oracle can replicate them exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles over a token array (n consecutive tokens joined by
+    * a space). Empty when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(typedLit(Array.empty[String]))
+
+  /** Distinct word-n-gram set (the unit for jaccard similarity). */
+  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(tokens(text), n))
+
+  /** Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(toks: Column): Column =
+    size(array_intersect_count(toks)).cast("double") / size(toks).cast("double")
+
+  // count of stopword occurrences (with repeats) — filter keeps duplicates
+  private def array_intersect_count(toks: Column): Column =
+    filter(toks, t => t.isin(Stopwords: _*))
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Mean token length. */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+
+  /** Composite quality score in [0,1]: rewards moderate length, low
+    * punctuation, presence of stopwords (fluent-text signal). Deterministic,
+    * SQL-replicable.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(toks) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    (lenScore + stopScore + punctScore) / 3.0
+  }
+
+  /** Per-language marker-word lists for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "zh" -> Seq.empty // handled by CJK char presence
+  )
+
+  /** Language-ID heuristic: argmax of marker-token hit counts, CJK override
+    * for zh; ties resolved in LangMarkers order; no hits → "und".
+    * The same decision tree is expressible in SQL (nested CASE).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(markers: Seq[String]): Column =
+      if (markers.isEmpty) lit(0) else size(filter(toks, t => t.isin(markers: _*)))
+    val scores = LangMarkers.filter(_._2.nonEmpty).map { case (l, m) => (l, score(m)) }
+    val hasCjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (l, s)) =>
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(hasCjk, lit("zh")).otherwise(best._1)
+  }
+}

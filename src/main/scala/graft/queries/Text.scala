@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.functions.TextHashFunctions._
+
+/** Text-analysis + dedup coverage over the `documents` table: token stats,
+  * quality scoring, language ID, exact dedup, word-trigram jaccard,
+  * MinHash-LSH near-dup (exact-verified, so the DuckDB brute-force oracle
+  * matches), SimHash and fingerprinting (hash-engine-specific → rows-only
+  * gate entries, no oracle).
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sh", TA.shingleSet(col("text"), 3))
+
+  val queries: Map[String, Q] = Map(
+    "q_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    "q_text_quality" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("q", TA.qualityScore(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    },
+
+    "q_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pred", TA.langId(col("text")))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    },
+
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_total"),
+          min(col("doc_id")).as("min_keeper"))
+    },
+
+    "q_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(docsWithShingles(s, d), "doc_id", "sh", "source", 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    "q_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashNearDupPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SimHash near-dup — sketch values are engine-specific, so the gate
+    // records a rows-only check (no oracle entry).
+    "q_simhash_dedup" -> { (s, d) =>
+      Dedup.simhashNearDupPairs(docsWithShingles(s, d), "doc_id", "sh", 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Content fingerprints per source — rows-only (hash-engine-specific).
+    "q_fingerprint" -> { (s, d) =>
+      docsWithShingles(s, d)
+        .select(col("doc_id"), fingerprint64(col("sh")).as("fp"))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("bucket"))
+    },
+
+    "q_contains_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(array_contains(TA.tokens(col("text")), "vector") &&
+          array_contains(TA.tokens(col("text")), "index"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val stop7 = TA.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | sum(len(string_split(text,' '))) AS total_tokens,
+        | round(avg(len(string_split(text,' '))),4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH q AS (
+         |  SELECT source,
+         |    (least(len(string_split(text,' '))/100.0, 1.0)
+         |     + least((len(list_filter(string_split(text,' '), t -> t IN ($stop7)))*1.0
+         |              / len(string_split(text,' '))) * 5.0, 1.0)
+         |     + 1.0 - least(((length(text) - length(regexp_replace(text,'[^A-Za-z0-9 ]','','g')))*1.0
+         |              / length(text)) * 4.0, 1.0)) / 3.0 AS quality
+         |  FROM documents)
+         |SELECT source, count(*) AS n, round(avg(quality),4) AS avg_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','los','una','y','es'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','une','et','est'))) AS s_fr,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS cjk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN cjk THEN 'zh'
+        |       WHEN s_en=0 AND s_de=0 AND s_es=0 AND s_fr=0 THEN 'und'
+        |       WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr THEN 'en'
+        |       WHEN s_de>=s_es AND s_de>=s_fr THEN 'de'
+        |       WHEN s_es>=s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred,
+        |  count(*) AS n
+        |FROM s GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_unique, sum(n_copies) AS n_total, min(keeper) AS min_keeper
+        |FROM (SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        |      FROM documents GROUP BY text)""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(toks[i:i+2],' ')
+        |                   for i in generate_series(1, len(toks)-2)]) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh,b.sh))*1.0
+        |        / len(list_distinct(list_concat(a.sh,b.sh))),4) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))*1.0
+        |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2],' ')
+        |                   for i in generate_series(1, len(toks)-2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh,b.sh))*1.0
+        |        / len(list_distinct(list_concat(a.sh,b.sh))),4) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))*1.0
+        |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_contains_tokens" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text,' '), 'vector')
+        |  AND list_contains(string_split(text,' '), 'index')
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.functions.TextHashFunctions._
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat", "a"), // near-dup of 1
+    (3L, "completely different content about spark engines here", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog", "b")  // exact dup of 1
+  ).toDF("doc_id", "text", "src")
+
+  test("shingleSet produces distinct word trigrams") {
+    val sh = docs.filter($"doc_id" === 1L)
+      .select(TA.shingleSet($"text", 3)).as[Seq[String]].head()
+    assert(sh.contains("the quick brown"))
+    assert(sh.size == 7) // 9 tokens -> 7 trigrams, all distinct
+  }
+
+  test("shingleSet on short text is empty, not an error") {
+    val sh = Seq((1L, "one two")).toDF("id", "text")
+      .select(TA.shingleSet($"text", 3)).as[Seq[String]].head()
+    assert(sh.isEmpty)
+  }
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keeper = min id
+  }
+
+  test("minhash LSH finds the near-dup pair and not the distinct doc") {
+    val withSh = docs.withColumn("sh", TA.shingleSet($"text", 3))
+    val pairs = Dedup.minhashNearDupPairs(withSh, "doc_id", "sh", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // jaccard(1,2) = 6/8 = 0.75
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical docs is identical; near-dups within distance") {
+    val withSh = docs.withColumn("sh", TA.shingleSet($"text", 3))
+    val sims = withSh.select($"doc_id", simhash64($"sh")).as[(Long, Long)]
+      .collect().toMap
+    assert(sims(1L) == sims(4L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 10)
+  }
+
+  test("jaccard formula") {
+    val j = docs.filter($"doc_id".isin(1L, 2L))
+      .agg(collect_list(TA.shingleSet($"text", 3)))
+      .as[Seq[Seq[String]]].head()
+    val (a, b) = (j(0).toSet, j(1).toSet)
+    val expected = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    assert(math.abs(expected - 0.75) < 1e-9)
+  }
+
+  test("langId picks marker language, first-max tie-break") {
+    val out = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "le chat et les chiens est une"),
+      (3L, "xyzzy plugh")
+    ).toDF("id", "text")
+      .select($"id", TA.langId($"text")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "und")
+  }
+
+  test("quality score is in [0,1] and higher for fluent text") {
+    val out = Seq(
+      (1L, ("the cat sat on the mat and looked at the dog " * 10).trim),
+      (2L, "@@@@ #### !!!! %%%% ^^^^")
+    ).toDF("id", "text")
+      .select($"id", TA.qualityScore($"text")).as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.8)
+    assert(out(2L) < 0.5)
+    out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint64 deterministic and content-sensitive") {
+    val withSh = docs.withColumn("sh", TA.shingleSet($"text", 3))
+    val fps = withSh.select($"doc_id", fingerprint64($"sh")).as[(Long, Long)]
+      .collect().toMap
+    assert(fps(1L) == fps(4L))
+    assert(fps(1L) != fps(3L))
+  }
+}
