@@ -14,7 +14,8 @@ object SparkEntry {
     Seq(
       (qp.Relational.queries, qp.Relational.oracleSql),
       (qp.Vector.queries, qp.Vector.oracleSql),
-      (qp.Text.queries, qp.Text.oracleSql)
+      (qp.Text.queries, qp.Text.oracleSql),
+      (qp.Format.queries, qp.Format.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

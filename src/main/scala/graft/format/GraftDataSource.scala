@@ -1,0 +1,60 @@
+package graft.format
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` registration.
+  *
+  * The read path returns the snapshot relation (parquet over the fragment
+  * FileIndex). Tables carrying deletion vectors require the anti-join plan
+  * that a V1 BaseRelation cannot express — those reads must go through
+  * [[GraftTable.read]] (the primary API, like the reference's Python
+  * `LanceDataset`); this source fails fast rather than return deleted rows.
+  */
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' (load(path)) is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = tablePath(parameters)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val m = GraftTable.loadManifest(spark, path, version)
+    if (m.dvFiles.nonEmpty) throw new IllegalStateException(
+      "graft: this snapshot has deletion vectors; read it with GraftTable.read(...)")
+    val t = new org.apache.hadoop.fs.Path(path)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = new GraftFileIndex(spark, t, m),
+      partitionSchema = new StructType(),
+      dataSchema = m.schema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = tablePath(parameters)
+    val graftMode = mode match {
+      case SaveMode.Append => "append"
+      case SaveMode.Overwrite => "overwrite"
+      case SaveMode.ErrorIfExists =>
+        if (GraftTable.latestVersion(sqlContext.sparkSession, path).isDefined)
+          throw new IllegalStateException(s"graft table already exists at $path")
+        else "append"
+      case SaveMode.Ignore =>
+        if (GraftTable.latestVersion(sqlContext.sparkSession, path).isDefined) return createRelation(sqlContext, parameters)
+        else "append"
+    }
+    GraftTable.write(data, path, graftMode)
+    createRelation(sqlContext, parameters)
+  }
+}

@@ -1,0 +1,425 @@
+package graft.format
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.StructType
+
+/** The graft table format: versioned, fragment-based, ACID-committed columnar
+  * tables on any Hadoop-compatible filesystem.
+  *
+  * Capability mirror of the reference's dataset layer
+  * (`rust/lance/src/dataset.rs`): append/overwrite/delete/update/merge-insert
+  * mutations, deletion vectors, time travel, compaction, schema evolution —
+  * re-expressed Spark-first:
+  *
+  *  - fragments = parquet files named `frag-<id>.parquet`; the scan derives
+  *    the stable row address `_rowaddr = fragId << 32 | row_index` from
+  *    Spark's `_metadata` columns — no per-row storage cost (reference
+  *    address scheme: `rust/lance-table/src/rowids.rs:55`).
+  *  - reads go through [[GraftFileIndex]] + Spark's parquet FileFormat, so
+  *    predicate pushdown / column pruning / row-group skipping are inherited.
+  *  - deletion vectors are parquet sidecars of deleted addresses, applied as
+  *    a (broadcast) left-anti join — Delta-style DVs, fully distributed
+  *    (reference `fragment.rs:185-208`, `write/delete.rs:254`).
+  *  - commits are optimistic CAS: manifest `v{N}.json` created with
+  *    overwrite=false; losers re-read, re-apply, retry (reference commit
+  *    conflict loop, `rust/lance/src/dataset/transaction.rs`).
+  *  - executors write fragment data; ONLY metadata operations happen on the
+  *    driver (footer reads at commit, manifest IO) — the 100 TB shape.
+  */
+object GraftTable {
+  val RowAddrCol = "_rowaddr"
+  private val FragRe = "frag-(\\d+)\\.parquet$"
+
+  // ---------------------------------------------------------------- metadata
+
+  private def fs(spark: SparkSession, path: Path): FileSystem =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(t: Path) = new Path(t, "_manifests")
+  private def manifestPath(t: Path, v: Long) = new Path(manifestDir(t), f"$v%020d.json")
+
+  def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    if (!f.exists(manifestDir(t))) Seq.empty
+    else f.listStatus(manifestDir(t)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  def latestVersion(spark: SparkSession, tablePath: String): Option[Long] =
+    versions(spark, tablePath).lastOption
+
+  def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None): GraftManifest = {
+    val t = new Path(tablePath)
+    val v = version.orElse(latestVersion(spark, tablePath))
+      .getOrElse(throw new IllegalArgumentException(s"no graft table at $tablePath"))
+    val f = fs(spark, t)
+    val in = f.open(manifestPath(t, v))
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    GraftManifest.fromJson(new String(bytes, "UTF-8"))
+  }
+
+  /** Per-table intra-JVM commit locks. The cross-driver CAS is the
+    * filesystem's atomic create-if-absent (HDFS) / conditional put (object
+    * stores); the local-FS implementation of create(overwrite=false) is
+    * check-then-act, so same-JVM racers (local mode, tests) are serialized
+    * here. */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomic create-if-absent commit. Returns false on version conflict. */
+  private def tryCommit(spark: SparkSession, tablePath: String, m: GraftManifest): Boolean = {
+    val lock = commitLocks.computeIfAbsent(tablePath, _ => new Object)
+    lock.synchronized {
+      val t = new Path(tablePath)
+      val f = fs(spark, t)
+      f.mkdirs(manifestDir(t))
+      val p = manifestPath(t, m.version)
+      if (f.exists(p)) return false
+      // write complete content to a temp file, then rename into place:
+      // readers never observe a partially written manifest (rename is atomic
+      // on POSIX/HDFS; HDFS rename additionally fails if the dest exists,
+      // which is the cross-process CAS).
+      val tmpP = new Path(manifestDir(t), s".tmp-${m.version}-${UUID.randomUUID().toString.take(8)}")
+      try {
+        val out = f.create(tmpP, /*overwrite=*/ true)
+        try out.write(GraftManifest.toJson(m).getBytes("UTF-8")) finally out.close()
+        if (f.rename(tmpP, p)) true
+        else { f.delete(tmpP, false); false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if f.exists(p) => false
+      }
+    }
+  }
+
+  /** Commit loop: re-reads the latest manifest and re-applies `op` until the
+    * CAS succeeds (reference's conflict-retry commit). */
+  private def commitLoop(spark: SparkSession, tablePath: String,
+                         op: Option[GraftManifest] => GraftManifest,
+                         maxRetries: Int = 20): GraftManifest = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, tablePath).map(v => loadManifest(spark, tablePath, Some(v)))
+      val next = op(base)
+      if (tryCommit(spark, tablePath, next)) return next
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commit conflict after $maxRetries retries at $tablePath")
+  }
+
+  // ------------------------------------------------------------- data files
+
+  private def parquetRowCount(conf: Configuration, status: org.apache.hadoop.fs.FileStatus): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Write `df`'s rows as new fragment files under a unique txn directory and
+    * return their metadata. Executors write data; the driver only reads
+    * footers. Fragment ids are assigned by `assignIds` at commit time.
+    */
+  private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame): Seq[Path] = {
+    val txn = s"data/txn-${UUID.randomUUID().toString.take(8)}"
+    val stagingDir = new Path(new Path(tablePath), txn)
+    df.write.mode(SaveMode.Overwrite).parquet(stagingDir.toString)
+    val f = fs(spark, stagingDir)
+    f.listStatus(stagingDir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath)
+  }
+
+  /** Rename staged part files to `frag-<id>.parquet` and build metadata.
+    * Returns the renamed paths so a commit-conflict retry can re-rename with
+    * fresh ids (ids may collide with a concurrently committed append). */
+  private def assignIds(spark: SparkSession, staged: Seq[Path], firstId: Long,
+                        version: Long): (Seq[FragmentMeta], Seq[Path]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val out = staged.zipWithIndex.map { case (p, i) =>
+      val id = firstId + i
+      val f = p.getFileSystem(conf)
+      val dest = new Path(p.getParent, s"frag-$id.parquet")
+      if (p.getName != dest.getName && !f.rename(p, dest)) {
+        throw new IllegalStateException(s"rename $p -> $dest failed")
+      }
+      val st = f.getFileStatus(dest)
+      (FragmentMeta(id, relativize(spark, dest), parquetRowCount(conf, st), st.getLen, version), dest)
+    }
+    (out.map(_._1), out.map(_._2))
+  }
+
+  private def relativize(spark: SparkSession, p: Path): String = {
+    // table-relative: keep from "data/" onwards
+    val s = p.toString
+    val i = s.indexOf("/data/")
+    if (i >= 0) s.substring(i + 1)
+    else {
+      val j = s.indexOf("/deletes/")
+      if (j >= 0) s.substring(j + 1) else p.getName
+    }
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Create / append / overwrite (reference `WriteMode`, `write.rs:115-122`). */
+  def write(df: DataFrame, tablePath: String, mode: String = "append"): GraftManifest = {
+    val spark = df.sparkSession
+    var staged = stageFragments(spark, tablePath, df)
+    def assign(firstId: Long, version: Long): Seq[FragmentMeta] = {
+      val (frags, paths) = assignIds(spark, staged, firstId, version)
+      staged = paths
+      frags
+    }
+    commitLoop(spark, tablePath, {
+      case None =>
+        GraftManifest(1L, "create", df.schema.json, assign(0L, 1L), Nil, 0L, Map.empty, 0L)
+      case Some(base) => mode.toLowerCase match {
+        case "append" =>
+          base.copy(version = base.version + 1, operation = "append",
+            fragments = base.fragments ++ assign(base.maxFragmentId + 1, base.version + 1),
+            parent = base.version)
+        case "overwrite" =>
+          GraftManifest(base.version + 1, "overwrite", df.schema.json,
+            assign(base.maxFragmentId + 1, base.version + 1), Nil, 0L, base.config, base.version)
+        case "errorifexists" | "error" =>
+          throw new IllegalStateException(s"graft table already exists at $tablePath")
+        case m => throw new IllegalArgumentException(s"unknown write mode: $m")
+      }
+    })
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Snapshot read. Inherits parquet pushdown/pruning via GraftFileIndex;
+    * `_rowaddr` is derived from metadata columns; deletion vectors are
+    * subtracted with a left-anti join (broadcast when small — Spark sees the
+    * DV parquet size).
+    */
+  def read(spark: SparkSession, tablePath: String, version: Option[Long] = None,
+           withRowAddr: Boolean = false): DataFrame = {
+    val m = loadManifest(spark, tablePath, version)
+    val t = new Path(tablePath)
+    val index = new GraftFileIndex(spark, t, m)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = m.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    val base = ColumnBridge.ofRows(spark, LogicalRelation(relation, isStreaming = false))
+
+    val addr = shiftleft(regexp_extract(col("_metadata.file_name"), FragRe, 1).cast("long"), 32)
+      .plus(col("_metadata.row_index"))
+
+    val needAddr = withRowAddr || m.dvFiles.nonEmpty
+    val withAddr = if (needAddr) base.withColumn(RowAddrCol, addr) else base
+    val live =
+      if (m.dvFiles.isEmpty) withAddr
+      else {
+        val dv = spark.read.parquet(m.dvFiles.map(p => new Path(t, p).toString): _*)
+          .select(col("addr").as(RowAddrCol)).distinct()
+        withAddr.join(dv, Seq(RowAddrCol), "left_anti")
+      }
+    if (withRowAddr) live else live.drop(RowAddrCol)
+  }
+
+  /** COUNT(*) metadata fast path — no data IO (reference
+    * `count_rows`, `scanner.rs:1496-1554`). */
+  def countRows(spark: SparkSession, tablePath: String, version: Option[Long] = None): Long =
+    loadManifest(spark, tablePath, version).liveRows
+
+  // -------------------------------------------------------------- mutations
+
+  /** Stage a deletion-vector file from a DataFrame of `_rowaddr`s; returns
+    * (relative path, row count), or None when nothing matched. */
+  private def stageDv(spark: SparkSession, tablePath: String, addrs: DataFrame): Option[(String, Long)] = {
+    val txn = s"deletes/dv-${UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(new Path(tablePath), txn)
+    addrs.select(col(RowAddrCol).as("addr")).write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, dir)
+    val n = f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => parquetRowCount(conf, s)).sum
+    if (n == 0) { f.delete(dir, true); None } else Some((txn, n))
+  }
+
+  /** Delete by SQL predicate → deletion vectors, no data rewrite. The
+    * `true` predicate drops all fragments (reference `delete.rs:254`). */
+  def delete(spark: SparkSession, tablePath: String, predicate: String): GraftManifest = {
+    if (predicate.trim.equalsIgnoreCase("true")) {
+      return commitLoop(spark, tablePath, {
+        case Some(base) => base.copy(version = base.version + 1, operation = "delete",
+          fragments = Nil, dvFiles = Nil, numDeleted = 0L, parent = base.version)
+        case None => throw new IllegalArgumentException(s"no table at $tablePath")
+      })
+    }
+    val matches = read(spark, tablePath, None, withRowAddr = true)
+      .filter(expr(predicate)).select(RowAddrCol)
+    stageDv(spark, tablePath, matches) match {
+      case None => loadManifest(spark, tablePath) // no-op delete
+      case Some((dvPath, n)) =>
+        commitLoop(spark, tablePath, {
+          case Some(base) => base.copy(version = base.version + 1, operation = "delete",
+            dvFiles = base.dvFiles :+ dvPath, numDeleted = base.numDeleted + n,
+            parent = base.version)
+          case None => throw new IllegalArgumentException(s"no table at $tablePath")
+        })
+    }
+  }
+
+  /** UPDATE set-exprs on rows matching `where`: rewrites matching rows into
+    * new fragments + DVs the old copies, in ONE commit (reference
+    * `write/update.rs:58-140`). */
+  def update(spark: SparkSession, tablePath: String, set: Map[String, String],
+             where: Option[String] = None): GraftManifest = {
+    val m0 = loadManifest(spark, tablePath)
+    val cols = m0.schema.fieldNames.toSeq
+    val snap = read(spark, tablePath, None, withRowAddr = true)
+    val matches = where.map(w => snap.filter(expr(w))).getOrElse(snap)
+      .persist()
+    try {
+      val updated = set.foldLeft(matches) { case (d, (c, e)) =>
+        d.withColumn(c, expr(e).cast(m0.schema(c).dataType))
+      }.select(cols.map(col): _*)
+      var staged = stageFragments(spark, tablePath, updated)
+      val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
+      commitLoop(spark, tablePath, {
+        case Some(base) =>
+          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+          staged = paths
+          base.copy(version = base.version + 1, operation = "update",
+            fragments = base.fragments ++ frags,
+            dvFiles = base.dvFiles ++ dvOpt.map(_._1),
+            numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
+            parent = base.version)
+        case None => throw new IllegalArgumentException(s"no table at $tablePath")
+      })
+    } finally matches.unpersist()
+  }
+
+  /** MERGE INTO (reference `write/merge_insert.rs:204-299`):
+    * full-outer join target vs source on key columns, classify, then apply
+    * all actions in ONE commit: updates/inserts as new fragments, matched/
+    * not-matched-by-source rows as DVs.
+    */
+  def mergeInsert(spark: SparkSession, tablePath: String, source: DataFrame,
+                  on: Seq[String],
+                  whenMatchedUpdateAll: Boolean = true,
+                  matchedCondition: Option[String] = None,
+                  whenNotMatchedInsertAll: Boolean = true,
+                  whenNotMatchedBySourceDelete: Boolean = false,
+                  deleteCondition: Option[String] = None): GraftManifest = {
+    val m0 = loadManifest(spark, tablePath)
+    val cols = m0.schema.fieldNames.toSeq
+    val target = read(spark, tablePath, None, withRowAddr = true)
+    // prefix source columns to disambiguate
+    val src = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq: _*)
+      .withColumn("__s_exists", lit(true))
+    val joinCond = on.map(k => target(k) === src(s"__s_$k")).reduce(_ && _)
+    val joined = target.join(src, joinCond, "full_outer").persist()
+    try {
+      val isMatched = col(RowAddrCol).isNotNull && col("__s_exists").isNotNull
+      val srcRow = cols.map(c => col(s"__s_$c").as(c))
+
+      // ambiguous-match detection (reference errors on >1 source match)
+      if (whenMatchedUpdateAll) {
+        val dup = joined.filter(isMatched).groupBy(col(RowAddrCol))
+          .count().filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "merge_insert: a target row matches multiple source rows")
+      }
+
+      val matchedCondCol = matchedCondition.map(expr).getOrElse(lit(true))
+      val updates = if (whenMatchedUpdateAll)
+        joined.filter(isMatched && matchedCondCol) else joined.limit(0)
+      val inserts = if (whenNotMatchedInsertAll)
+        joined.filter(col(RowAddrCol).isNull && col("__s_exists").isNotNull) else joined.limit(0)
+      val delCondCol = deleteCondition.map(expr).getOrElse(lit(true))
+      val deletes = if (whenNotMatchedBySourceDelete)
+        joined.filter(col(RowAddrCol).isNotNull && col("__s_exists").isNull && delCondCol)
+      else joined.limit(0)
+
+      val newRows = updates.select(srcRow: _*).unionByName(inserts.select(srcRow: _*))
+      var staged = stageFragments(spark, tablePath, newRows)
+      val dvOpt = stageDv(spark, tablePath,
+        updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
+      commitLoop(spark, tablePath, {
+        case Some(base) =>
+          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+          staged = paths
+          base.copy(version = base.version + 1, operation = "merge_insert",
+            fragments = base.fragments ++ frags,
+            dvFiles = base.dvFiles ++ dvOpt.map(_._1),
+            numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
+            parent = base.version)
+        case None => throw new IllegalArgumentException(s"no table at $tablePath")
+      })
+    } finally joined.unpersist()
+  }
+
+  /** Full compaction: rewrite all live rows into ~targetRows fragments,
+    * materializing deletions (reference `optimize.rs:120-146`; partial /
+    * per-fragment-group compaction is the round-2 refinement). */
+  def compact(spark: SparkSession, tablePath: String,
+              targetRows: Long = 1L << 20): GraftManifest = {
+    val live = read(spark, tablePath)
+    val total = loadManifest(spark, tablePath).liveRows
+    val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+    var staged = stageFragments(spark, tablePath, live.repartition(nOut))
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+        staged = paths
+        base.copy(version = base.version + 1, operation = "rewrite",
+          fragments = frags, dvFiles = Nil, numDeleted = 0L, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+
+  // ------------------------------------------------------- schema evolution
+
+  /** Add columns from SQL expressions (reference `add_columns`,
+    * `schema_evolution.rs:58-71`; this round rewrites fragments — the
+    * supplemental-file no-rewrite path lands with the DSv2 scan). */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 exprs: Seq[(String, String)]): GraftManifest = {
+    val df = exprs.foldLeft(read(spark, tablePath)) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e))
+    }
+    write(df, tablePath, "overwrite")
+  }
+
+  /** Metadata-only column drop: the parquet scan prunes to the manifest
+    * schema, so data files need no rewrite (reference `drop_columns`,
+    * metadata-only thanks to field ids). */
+  def dropColumns(spark: SparkSession, tablePath: String, names: Seq[String]): GraftManifest =
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val keep = StructType(base.schema.fields.filterNot(f => names.contains(f.name)))
+        base.copy(version = base.version + 1, operation = "project",
+          schemaJson = keep.json, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+
+  /** Restore an old version as a new commit (reference `restore`). */
+  def restore(spark: SparkSession, tablePath: String, version: Long): GraftManifest = {
+    val old = loadManifest(spark, tablePath, Some(version))
+    commitLoop(spark, tablePath, {
+      case Some(base) => old.copy(version = base.version + 1, operation = "restore",
+        parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+}

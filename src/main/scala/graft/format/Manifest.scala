@@ -1,0 +1,45 @@
+package graft.format
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Table-format metadata, one manifest per committed version.
+  *
+  * Capability mirror of the reference's manifest
+  * (`rust/lance-table/src/format/manifest.rs:35-104`): schema, fragment list,
+  * deletion files, version lineage — serialized as JSON under `_manifests/`.
+  * Fragment data files are plain parquet; a fragment is the unit of
+  * parallelism (one fragment ⇄ one Spark scan split group, reference
+  * `fragment.rs:276-303`).
+  */
+case class FragmentMeta(
+    id: Long,
+    path: String, // relative to table root
+    rows: Long,
+    sizeBytes: Long,
+    addedVersion: Long)
+
+case class GraftManifest(
+    version: Long,
+    operation: String,
+    schemaJson: String,
+    fragments: Seq[FragmentMeta],
+    /** Deletion-vector files (relative paths; parquet with a single `addr`
+      * long column = fragId<<32 | position — reference `fragment.rs:185-208`,
+      * address scheme `rowids.rs`). Cumulative for the snapshot. */
+    dvFiles: Seq[String],
+    numDeleted: Long,
+    config: Map[String, String],
+    parent: Long) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def maxFragmentId: Long = if (fragments.isEmpty) -1L else fragments.map(_.id).max
+  def liveRows: Long = fragments.map(_.rows).sum - numDeleted
+}
+
+object GraftManifest {
+  implicit private val formats: Formats = DefaultFormats
+
+  def toJson(m: GraftManifest): String = Serialization.writePretty(m)
+  def fromJson(s: String): GraftManifest = JsonMethods.parse(s).extract[GraftManifest]
+}

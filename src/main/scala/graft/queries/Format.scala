@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.format.GraftTable
+
+/** Correctness-gate coverage for the graft table format: each query builds a
+  * fresh graft table from the sf parquet inputs, applies mutations, and
+  * returns an aggregate the DuckDB oracle reproduces directly from the
+  * parquet inputs. This routes the whole format lifecycle — write, read,
+  * DV-delete, update, merge_insert, compaction, time travel — through the
+  * driver's hash-compare.
+  */
+object Format {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def freshDir(spark: SparkSession, name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  val queries: Map[String, Q] = Map(
+    // write → format("graft") read → TPC-H Q1-shaped agg
+    "q_format_roundtrip" -> { (s, d) =>
+      val t = freshDir(s, "roundtrip")
+      GraftTable.write(Tables.lineitem(s, d), t, "overwrite")
+      s.read.format("graft").load(t)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // DV delete: no rewrite, reads must subtract deleted rows
+    "q_format_delete" -> { (s, d) =>
+      val t = freshDir(s, "delete")
+      GraftTable.write(Tables.orders(s, d), t, "overwrite")
+      GraftTable.delete(s, t, "o_orderstatus = 'F' AND o_totalprice > 200000")
+      GraftTable.read(s, t)
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // UPDATE with expression + predicate
+    "q_format_update" -> { (s, d) =>
+      val t = freshDir(s, "update")
+      GraftTable.write(Tables.customer(s, d), t, "overwrite")
+      GraftTable.update(s, t, Map("c_acctbal" -> "c_acctbal + 100.0"),
+        Some("c_mktsegment = 'BUILDING'"))
+      GraftTable.read(s, t)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // MERGE INTO: matched-update-all + not-matched-insert-all
+    "q_format_merge" -> { (s, d) =>
+      val t = freshDir(s, "merge")
+      val c = Tables.customer(s, d)
+      GraftTable.write(c.filter(col("c_custkey") <= 600), t, "overwrite")
+      val source = c.filter(col("c_custkey").between(301, 900))
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+      GraftTable.mergeInsert(s, t, source, Seq("c_custkey"),
+        whenMatchedUpdateAll = true, whenNotMatchedInsertAll = true)
+      GraftTable.read(s, t)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // time travel: version 1 vs latest after an append
+    "q_format_timetravel" -> { (s, d) =>
+      val t = freshDir(s, "timetravel")
+      val o = Tables.orders(s, d)
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      GraftTable.write(o.filter(col("o_orderdate") < cutoff), t, "overwrite")
+      GraftTable.write(o.filter(col("o_orderdate") >= cutoff), t, "append")
+      val v1 = GraftTable.read(s, t, Some(1L)).agg(count(lit(1)).as("v1_count"))
+      val latest = GraftTable.read(s, t).agg(count(lit(1)).as("latest_count"))
+      v1.crossJoin(latest)
+    },
+
+    // delete + full compaction (DVs materialized, fragments rewritten)
+    "q_format_compact" -> { (s, d) =>
+      val t = freshDir(s, "compact")
+      GraftTable.write(Tables.orders(s, d).repartition(6), t, "overwrite")
+      GraftTable.delete(s, t, "o_orderstatus = 'P'")
+      GraftTable.compact(s, t)
+      GraftTable.read(s, t)
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_format_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_format_delete" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000)""".stripMargin,
+    "q_format_update" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |               THEN c_acctbal + 100.0 ELSE c_acctbal END),2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_format_merge" ->
+      """SELECT seg AS c_mktsegment, count(*) AS n, round(sum(bal),2) AS total_bal
+        |FROM (
+        |  SELECT coalesce(s.c_mktsegment, t.c_mktsegment) AS seg,
+        |         coalesce(s.bal2, t.c_acctbal) AS bal
+        |  FROM (SELECT * FROM customer WHERE c_custkey <= 600) t
+        |  FULL OUTER JOIN (SELECT c_custkey, c_mktsegment, c_acctbal*2 AS bal2
+        |                   FROM customer WHERE c_custkey BETWEEN 301 AND 900) s
+        |    ON t.c_custkey = s.c_custkey)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_format_timetravel" ->
+      """SELECT (SELECT count(*) FROM orders
+        |        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS v1_count,
+        |       (SELECT count(*) FROM orders) AS latest_count""".stripMargin,
+    "q_format_compact" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
+        |WHERE o_orderstatus <> 'P'""".stripMargin
+  )
+}

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+
+class GraftTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_tbl_").toString + "/t"
+
+  private def people = Seq(
+    (1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0),
+    (4L, "dave", 40.0), (5L, "erin", 50.0)
+  ).toDF("id", "name", "score")
+
+  test("create / read roundtrip preserves data and schema") {
+    val t = tmp()
+    GraftTable.write(people, t, "append")
+    val back = GraftTable.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("append adds fragments; versions advance; time travel works") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.write(people.filter($"id" <= 2), t, "append")
+    assert(GraftTable.versions(spark, t) == Seq(1L, 2L))
+    assert(GraftTable.read(spark, t).count() == 7)
+    assert(GraftTable.read(spark, t, Some(1L)).count() == 5)
+    assert(GraftTable.countRows(spark, t) == 7)
+    assert(GraftTable.countRows(spark, t, Some(1L)) == 5)
+  }
+
+  test("overwrite replaces content") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.write(people.filter($"id" === 1L), t, "overwrite")
+    assert(GraftTable.read(spark, t).count() == 1)
+    assert(GraftTable.read(spark, t, Some(1L)).count() == 5) // old version intact
+  }
+
+  test("_rowaddr is stable and unique; fragid encodes in high bits") {
+    val t = tmp()
+    GraftTable.write(people.repartition(2), t)
+    val addrs = GraftTable.read(spark, t, withRowAddr = true)
+      .select("_rowaddr").as[Long].collect()
+    assert(addrs.distinct.length == 5)
+    assert(addrs.map(_ >>> 32).distinct.length == 2) // two fragments
+  }
+
+  test("delete by predicate uses DVs, no fragment rewrite") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    val before = GraftTable.loadManifest(spark, t).fragments.map(_.path).toSet
+    GraftTable.delete(spark, t, "score >= 30.0")
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.map(_.path).toSet == before) // same files
+    assert(m.numDeleted == 3)
+    assert(GraftTable.countRows(spark, t) == 2)
+    val left = GraftTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(left == Set(1L, 2L))
+    // time travel still sees everything
+    assert(GraftTable.read(spark, t, Some(1L)).count() == 5)
+  }
+
+  test("delete true drops all fragments") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.delete(spark, t, "true")
+    assert(GraftTable.read(spark, t).count() == 0)
+    assert(GraftTable.countRows(spark, t) == 0)
+  }
+
+  test("update rewrites matching rows in one commit") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.update(spark, t, Map("score" -> "score * 10"), Some("id <= 2"))
+    val out = GraftTable.read(spark, t).orderBy("id")
+      .select("score").as[Double].collect().toSeq
+    assert(out == Seq(100.0, 200.0, 30.0, 40.0, 50.0))
+    assert(GraftTable.read(spark, t).count() == 5)
+  }
+
+  test("merge_insert: update-all + insert-all + not-matched-by-source-delete") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    val source = Seq(
+      (1L, "alice2", 11.0), // matched -> update
+      (6L, "frank", 60.0)   // not matched -> insert
+    ).toDF("id", "name", "score")
+    GraftTable.mergeInsert(spark, t, source, Seq("id"),
+      whenMatchedUpdateAll = true, whenNotMatchedInsertAll = true,
+      whenNotMatchedBySourceDelete = true, deleteCondition = Some("score > 45.0"))
+    val out = GraftTable.read(spark, t).orderBy("id")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    // erin (50.0 > 45) deleted; alice updated; frank inserted
+    assert(out == Seq((1L, "alice2"), (2L, "bob"), (3L, "carol"), (4L, "dave"), (6L, "frank")))
+  }
+
+  test("merge_insert rejects ambiguous source matches") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    val dupSource = Seq((1L, "x", 0.0), (1L, "y", 1.0)).toDF("id", "name", "score")
+    assertThrows[IllegalStateException] {
+      GraftTable.mergeInsert(spark, t, dupSource, Seq("id"))
+    }
+  }
+
+  test("compact materializes deletions and resets DVs") {
+    val t = tmp()
+    GraftTable.write(people.repartition(4), t)
+    GraftTable.delete(spark, t, "id = 3")
+    GraftTable.compact(spark, t, targetRows = 1000)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.length == 1)
+    assert(m.dvFiles.isEmpty && m.numDeleted == 0)
+    assert(GraftTable.read(spark, t).count() == 4)
+    // addresses changed but content preserved
+    assert(GraftTable.read(spark, t).select("id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("add_columns + metadata-only drop_columns") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.addColumns(spark, t, Seq("double_score" -> "score * 2"))
+    assert(GraftTable.read(spark, t).schema.fieldNames.contains("double_score"))
+    GraftTable.dropColumns(spark, t, Seq("name"))
+    val back = GraftTable.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "score", "double_score"))
+    assert(back.count() == 5)
+  }
+
+  test("restore rolls back to an old version as a new commit") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.delete(spark, t, "id <= 4")
+    assert(GraftTable.read(spark, t).count() == 1)
+    GraftTable.restore(spark, t, 1L)
+    assert(GraftTable.read(spark, t).count() == 5)
+    assert(GraftTable.versions(spark, t).length == 3)
+  }
+
+  test("format(\"graft\") read/write API") {
+    val t = tmp()
+    people.write.format("graft").mode("overwrite").save(t)
+    people.filter($"id" === 1L).write.format("graft").mode("append").save(t)
+    val df = spark.read.format("graft").load(t)
+    assert(df.count() == 6)
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(t)
+    assert(v1.count() == 5)
+  }
+
+  test("format(\"graft\") refuses DV snapshots (directs to GraftTable.read)") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.delete(spark, t, "id = 1")
+    assertThrows[IllegalStateException] {
+      spark.read.format("graft").load(t).count()
+    }
+  }
+
+  test("filter pushdown reaches parquet scan through graft read") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    val plan = GraftTable.read(spark, t).filter($"id" > 3).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThan(id,3)]"), plan)
+  }
+
+  test("concurrent appends both land (CAS retry)") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = (1 to 4).map { i =>
+      Future { GraftTable.write(people.filter($"id" === i.toLong), t, "append") }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(GraftTable.read(spark, t).count() == 9)
+    assert(GraftTable.versions(spark, t).length == 5)
+    // all fragment ids unique
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.map(_.id).distinct.length == m.fragments.length)
+  }
+}
