@@ -15,7 +15,8 @@ object SparkEntry {
       (qp.Relational.queries, qp.Relational.oracleSql),
       (qp.Vector.queries, qp.Vector.oracleSql),
       (qp.Text.queries, qp.Text.oracleSql),
-      (qp.Format.queries, qp.Format.oracleSql)
+      (qp.Format.queries, qp.Format.oracleSql),
+      (qp.FtsQueries.queries, qp.FtsQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Fts
+
+/** FTS coverage: build a real inverted index over `documents`, then run
+  * Match / Phrase / Boolean BM25 queries against it. The DuckDB oracle
+  * recomputes the identical BM25 formula (k1=1.2, b=0.75, idf =
+  * ln(1+(N-df+0.5)/(df+0.5))) from first principles with the same regex
+  * tokenizer — scores must hash-match after round(4).
+  */
+object FtsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def indexFor(s: SparkSession, d: String, name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/fts_$name"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    Fts.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+    dir
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_fts_match" -> { (s, d) =>
+      val idx = indexFor(s, d, "match")
+      Fts.matchQuery(s, idx, Seq("spark", "vector"), 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    "q_fts_phrase" -> { (s, d) =>
+      val idx = indexFor(s, d, "phrase")
+      Fts.phraseQuery(s, idx, Seq("hash", "join")).orderBy(col("doc_id"))
+    },
+
+    "q_fts_boolean" -> { (s, d) =>
+      val idx = indexFor(s, d, "boolean")
+      Fts.booleanQuery(s, idx,
+          must = Seq("table"), should = Seq("vector"), mustNot = Seq("slow"), k = 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    }
+  )
+
+  private val tokCte =
+    """toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |docs AS (SELECT doc_id, len(tk)*1.0 AS dl FROM toks),
+      |meta AS (SELECT count(*)*1.0 AS n, avg(dl) AS avgdl FROM docs),
+      |tf AS (SELECT doc_id, t AS token, count(*)*1.0 AS tf
+      |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t),
+      |st AS (SELECT token, count(*)*1.0 AS df FROM tf GROUP BY token)""".stripMargin
+
+  private def bm25Select(termsIn: String, extra: String) =
+    s"""WITH $tokCte
+       |SELECT f.doc_id,
+       |  round(sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+       |        * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))),4) AS _score
+       |FROM tf f JOIN st s ON f.token = s.token
+       | JOIN docs d ON f.doc_id = d.doc_id CROSS JOIN meta m
+       |WHERE f.token IN ($termsIn) $extra
+       |GROUP BY f.doc_id
+       |ORDER BY sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+       |        * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))) DESC, f.doc_id
+       |LIMIT 20""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fts_match" -> bm25Select("'spark','vector'", ""),
+    "q_fts_phrase" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE len(list_filter(tk, (t,i) -> t = 'hash' AND i < len(tk) AND tk[i+1] = 'join')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_fts_boolean" -> bm25Select("'table','vector'",
+      """AND f.doc_id IN (SELECT doc_id FROM tf WHERE token = 'table')
+        |AND f.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'slow')""".stripMargin)
+  )
+}

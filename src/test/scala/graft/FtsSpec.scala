@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Fts
+
+class FtsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the lazy dog sleeps"),
+    (3L, "quick quick quick fox runs"),
+    (4L, "a brown dog and a brown fox"),
+    (5L, "nothing relevant here")
+  ).toDF("doc_id", "text")
+
+  private def buildTmpIndex(): String = {
+    val dir = Files.createTempDirectory("fts_idx_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir)
+    dir
+  }
+
+  test("match query ranks higher tf first; indexed == flat") {
+    val idx = buildTmpIndex()
+    val indexed = Fts.matchQuery(spark, idx, Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val flat = Fts.matchFlat(corpus, "doc_id", "text", Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed.map(_._1) == flat.map(_._1))
+    indexed.zip(flat).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    assert(indexed.head._1 == 3L) // tf(quick)=3 dominates
+    assert(!indexed.map(_._1).contains(5L))
+  }
+
+  test("phrase query requires adjacency") {
+    val idx = buildTmpIndex()
+    val got = Fts.phraseQuery(spark, idx, Seq("quick", "brown")).as[Long].collect().toSet
+    assert(got == Set(1L)) // only doc 1 has "quick brown" adjacent
+    val rev = Fts.phraseQuery(spark, idx, Seq("brown", "fox")).as[Long].collect().toSet
+    assert(rev == Set(1L, 4L))
+  }
+
+  test("three-term phrase") {
+    val idx = buildTmpIndex()
+    val got = Fts.phraseQuery(spark, idx, Seq("the", "quick", "brown")).as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("boolean: must + should + mustNot") {
+    val idx = buildTmpIndex()
+    // must contain fox, boost brown, exclude lazy
+    val got = Fts.booleanQuery(spark, idx, Seq("fox"), Seq("brown"), Seq("lazy"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val ids = got.map(_._1).toSet
+    assert(ids == Set(1L, 3L, 4L)) // 2 and 5 lack fox (must); 2 also excluded by lazy
+    // results sorted by score descending
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("tokenizer lowercases and splits punctuation") {
+    val toks = Seq((1L, "Hello, World! FOO-bar 42"))
+      .toDF("id", "t")
+      .select(Fts.tokenize($"t")).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "foo", "bar", "42"))
+  }
+}
