@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Knn
+import graft.operators.{IvfIndex, Knn}
 
 /** Vector search coverage (SURVEY §2.5): flat KNN over l2/cosine/dot and an
   * embedding-cosine near-duplicate self-join. Oracles use DuckDB's
@@ -52,6 +52,32 @@ object Vector {
         .filter(col(Knn.DistanceCol) > lit(0.0) && col(Knn.DistanceCol) < lit(1.2))
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
+    },
+
+    // IVF-indexed ANN with nprobes = nlist: must EXACTLY equal flat search,
+    // which makes the whole build+probe+search machinery oracle-checkable.
+    "q_ann_ivf_exact" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_exact"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding", idx, nlist = 8)
+      IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Approximate probe (nprobes=2 of 8) — rows-only gate entry; quality is
+    // asserted by the recall spec instead.
+    "q_ann_ivf_probe" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_probe"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding", idx, nlist = 8)
+      IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 2)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
     // Per-label norm stats: distance expr inside an aggregation pipeline.
@@ -109,6 +135,13 @@ object Vector {
         |WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) > 0.0
         |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) < 1.2
         |ORDER BY dist, e.vec_id""".stripMargin,
+    "q_ann_ivf_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
     "q_vector_norms" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),4) AS avg_norm

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IvfIndex, Knn}
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def embeddings = Tables.embeddings(spark, sf)
+
+  private def queryVec(id: Long): Array[Float] =
+    embeddings.filter($"vec_id" === id).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  private def buildIdx(nlist: Int): String = {
+    val dir = Files.createTempDirectory("ivf_").toString
+    IvfIndex.build(embeddings, "vec_id", "embedding", dir, nlist)
+    dir
+  }
+
+  test("nprobes = nlist equals flat search exactly") {
+    val idx = buildIdx(8)
+    val q = queryVec(0L)
+    val ivf = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "l2",
+      tieBreakers = Seq($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    assert(ivf == flat)
+  }
+
+  test("partition assignment covers all rows exactly once") {
+    val idx = buildIdx(8)
+    val vecs = spark.read.parquet(s"$idx/vectors")
+    assert(vecs.count() == 500)
+    assert(vecs.select("vec_id").distinct().count() == 500)
+    val pids = vecs.select(IvfIndex.PidCol).distinct()
+      .as[Int].collect().toSet
+    assert(pids.subsetOf((0 until 8).toSet) && pids.nonEmpty)
+  }
+
+  test("recall@10 with nprobes=4/8 over 20 queries is reasonable") {
+    val idx = buildIdx(8)
+    val recalls = (0L until 20L).map { qid =>
+      val q = queryVec(qid)
+      val truth = Knn.flatSearch(embeddings, "embedding", q, 10, "l2",
+        tieBreakers = Seq($"vec_id")).select("vec_id").as[Long].collect().toSet
+      val approx = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, 4)
+        .select("vec_id").as[Long].collect().toSet
+      truth.intersect(approx).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"mean recall@10 nprobes=4/8: $mean%.3f")
+    assert(mean >= 0.5, s"recall too low: $mean")
+  }
+
+  test("probing fewer partitions reads less data (partition pruning)") {
+    val idx = buildIdx(8)
+    val q = queryVec(0L)
+    val plan = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, 2)
+      .queryExecution.executedPlan.toString
+    // partition filter on __ivf_pid must appear as a partition-level filter
+    assert(plan.contains("PartitionFilters") && plan.contains(IvfIndex.PidCol), plan)
+  }
+
+  test("deterministic build: same centroids across runs") {
+    val m1 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
+    val m2 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+}
