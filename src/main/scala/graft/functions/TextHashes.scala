@@ -23,6 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] object XxHashUtil {
   @inline def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** splitmix64 finalizer — deterministic coefficient generator. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
 }
 
 abstract class StringArrayExpression extends UnaryExpression with CodegenFallback {
@@ -34,22 +42,31 @@ abstract class StringArrayExpression extends UnaryExpression with CodegenFallbac
   }
 }
 
-/** Classic k-permutation MinHash signature: sig[i] = min over shingles of
-  * xxh64(shingle, seed=i). Returns array<long> of length k.
+/** k-permutation MinHash signature via universal hashing: each shingle is
+  * xxh64'd ONCE, then the k permutations are affine transforms
+  * h_i(x) = a_i·x + b_i (odd a_i), the standard single-hash MinHash family.
+  * O(n + n·k cheap mults) instead of O(n·k) full hashes — the difference
+  * between 320M and 2.5M xxh64 calls on a 5k-doc corpus.
   */
 case class MinHashSignature(child: Expression, k: Int) extends StringArrayExpression {
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // deterministic per-permutation coefficients (splitmix64 of the index)
+  private lazy val coefA: Array[Long] = Array.tabulate(k)(i => XxHashUtil.mix(i * 2 + 1) | 1L)
+  private lazy val coefB: Array[Long] = Array.tabulate(k)(i => XxHashUtil.mix(i * 2 + 2))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
+    val (as, bs) = (coefA, coefB)
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
+      val base = XxHashUtil.hash(arr.getUTF8String(j), 0L)
       var i = 0
       while (i < k) {
-        val h = XxHashUtil.hash(s, i.toLong)
+        val h = base * as(i) + bs(i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }

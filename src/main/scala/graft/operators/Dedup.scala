@@ -32,16 +32,19 @@ object Dedup {
     * Output: (a_id, b_id) distinct, a_id < b_id.
     */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
-                        numPerms: Int = 128, bandRows: Int = 2): DataFrame = {
+                        numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
     val numBands = numPerms / bandRows
     val sig = df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig"))
     // (band, bucketHash(bandSlice)) per doc; slice = sig[band*r .. band*r+r)
+    // cached: both sides of the bucket self-join read this subtree, and the
+    // signature computation is the expensive part — compute once.
     val banded = sig.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))).as("bucket"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .persist()
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
     l.join(r, Seq("band", "bucket"))
@@ -54,10 +57,11 @@ object Dedup {
     * banding, then true jaccard over the shingle sets ≥ threshold.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
-                          threshold: Double, numPerms: Int = 128, bandRows: Int = 2): DataFrame = {
+                          threshold: Double, numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
     val cands = minhashCandidates(df, idCol, shingleCol, numPerms, bandRows)
-    val a = df.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
-    val b = df.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
+    val sets = df.select(col(idCol), col(shingleCol)).persist()
+    val a = sets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
+    val b = sets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
     cands.join(a, "a_id").join(b, "b_id")
       .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
@@ -66,34 +70,64 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: block on 16-bit chunks (hamming ≤ 3 over
     * 64 bits ⇒ at least one of 4 chunks identical), verify hamming ≤ maxDist.
+    *
+    * Pairing runs over DISTINCT sketches, then expands back to doc pairs —
+    * near-identical corpora collapse many docs onto one sketch, which is
+    * exactly when naive chunk-bucket joins explode quadratically.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
                           maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), simhash64(col(shingleCol)).as("sim"))
-    val chunked = sh.select(col(idCol), col("sim"),
+    val sh = df.select(col(idCol), simhash64(col(shingleCol)).as("sim")).persist()
+    val sketches = sh.select(col("sim")).distinct()
+    val chunked = sketches.select(col("sim"),
       explode(array((0 until 4).map(c => struct(
         lit(c).as("chunk"),
         shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
         .as("ck"))
-      .select(col(idCol), col("sim"), col("ck.chunk"), col("ck.key"))
-    val l = chunked.select(col("chunk"), col("key"), col(idCol).as("a_id"), col("sim").as("a_sim"))
-    val r = chunked.select(col("chunk"), col("key"), col(idCol).as("b_id"), col("sim").as("b_sim"))
-    l.join(r, Seq("chunk", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("sim"), col("ck.chunk"), col("ck.key"))
+      .persist()
+    val l = chunked.select(col("chunk"), col("key"), col("sim").as("a_sim"))
+    val r = chunked.select(col("chunk"), col("key"), col("sim").as("b_sim"))
+    // sketch pairs (incl. identical-sketch pairs via a_sim = b_sim on docs)
+    val sketchPairs = l.join(r, Seq("chunk", "key"))
+      .filter(col("a_sim") <= col("b_sim"))
+      .select(col("a_sim"), col("b_sim"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
+    // symmetrize before expansion: doc id order is independent of sketch order
+    val sym = sketchPairs.union(
+      sketchPairs.filter(col("a_sim") =!= col("b_sim"))
+        .select(col("b_sim").as("a_sim"), col("a_sim").as("b_sim"), col("hamming")))
+    val da = sh.select(col("sim").as("a_sim"), col(idCol).as("a_id"))
+    val db = sh.select(col("sim").as("b_sim"), col(idCol).as("b_id"))
+    sym.join(da, "a_sim").join(db, "b_sim")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
   }
 
   /** Brute-force n-gram jaccard near-dup pairs within a blocking key
-    * (correctness baseline; LSH is the scale path). */
+    * (correctness baseline; LSH is the scale path).
+    *
+    * Two result-preserving optimizations:
+    *  - length prefilter: jaccard(A,B) ≥ t ⇒ |A| ≥ t·|B| and |B| ≥ t·|A|,
+    *    so size-mismatched pairs are pruned before the set intersection;
+    *  - shingles are xxh64'd to longs once per doc, so the per-pair
+    *    intersect/union compares 8-byte values, not strings (jaccard is
+    *    hash-collision-exact w.h.p. 1 - n²/2⁶⁴).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, shingleCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
+    val hashed = df.select(col(blockCol).as("blk"), col(idCol),
+      array_distinct(transform(col(shingleCol), s => xxhash64(s))).as("hs"))
+      .persist()
+    val a = hashed.select(col("blk"), col(idCol).as("a_id"), col("hs").as("a_sh"))
+    val b = hashed.select(col("blk"), col(idCol).as("b_id"), col("hs").as("b_sh"))
     a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") &&
+        size(col("a_sh")) >= lit(threshold) * size(col("b_sh")) &&
+        size(col("b_sh")) >= lit(threshold) * size(col("a_sh")))
       .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))

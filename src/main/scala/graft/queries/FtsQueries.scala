@@ -15,14 +15,18 @@ import graft.operators.Fts
 object FtsQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def indexFor(s: SparkSession, d: String, name: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/fts_$name"
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
-    Fts.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
-    dir
-  }
+  // one shared index per sfDir per JVM — match/phrase/boolean reuse it
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexFor(s: SparkSession, d: String, name: String): String =
+    built.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/fts_${d.hashCode.toHexString}"
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      Fts.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      dir
+    })
 
   val queries: Map[String, Q] = Map(
     "q_fts_match" -> { (s, d) =>

@@ -20,6 +20,19 @@ object Vector {
     Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  // one shared IVF index per sfDir per JVM
+  private val builtIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexFor(s: SparkSession, d: String): String =
+    builtIvf.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding", dir, nlist = 8)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
     "q_knn_l2" -> { (s, d) =>
       val q = queryVec(s, d)
@@ -58,11 +71,7 @@ object Vector {
     // which makes the whole build+probe+search machinery oracle-checkable.
     "q_ann_ivf_exact" -> { (s, d) =>
       val q = queryVec(s, d)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_exact"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding", idx, nlist = 8)
+      val idx = ivfIndexFor(s, d)
       IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
@@ -71,11 +80,7 @@ object Vector {
     // asserted by the recall spec instead.
     "q_ann_ivf_probe" -> { (s, d) =>
       val q = queryVec(s, d)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_probe"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding", idx, nlist = 8)
+      val idx = ivfIndexFor(s, d)
       IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 2)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
