@@ -23,19 +23,29 @@ class GraftFileIndex(
     tablePath: Path,
     manifest: GraftManifest) extends FileIndex {
 
-  private val statuses: Seq[FileStatus] = manifest.fragments.map { f =>
+  private def status(f: FragmentMeta): FileStatus =
     new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
       new Path(tablePath, f.path))
-  }
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // zonemap pruning: drop fragments whose min/max/nullCount stats prove the
+    // pushed predicates can't match (reference ZONEMAP semantics; the
+    // manifest is the zone map, so this is zero extra IO).
+    val kept = manifest.fragments.filter { f =>
+      dataFilters.forall(e => FragmentStats.mayMatch(f.stats, f.rows, e))
+    }
+    prunedTo = kept.length
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+  }
+
+  /** observability: fragments surviving the last listFiles pruning */
+  @volatile var prunedTo: Int = manifest.fragments.length
 
   override def inputFiles: Array[String] =
-    statuses.map(_.getPath.toString).toArray
+    manifest.fragments.map(f => new Path(tablePath, f.path).toString).toArray
 
   override def refresh(): Unit = ()
 

@@ -125,6 +125,14 @@ object GraftTable {
     try r.getRecordCount finally r.close()
   }
 
+  /** Footer read → (rows, per-column zone stats). One driver IO per fragment
+    * at commit time; stats ride in the manifest and fund plan-time pruning. */
+  private def parquetFooterInfo(conf: Configuration,
+                                status: org.apache.hadoop.fs.FileStatus): (Long, Map[String, ColumnStat]) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+    try (r.getRecordCount, FragmentStats.fromFooter(r.getFooter)) finally r.close()
+  }
+
   /** Write `df`'s rows as new fragment files under a unique txn directory and
     * return their metadata. Executors write data; the driver only reads
     * footers. Fragment ids are assigned by `assignIds` at commit time.
@@ -154,7 +162,8 @@ object GraftTable {
         throw new IllegalStateException(s"rename $p -> $dest failed")
       }
       val st = f.getFileStatus(dest)
-      (FragmentMeta(id, relativize(spark, dest), parquetRowCount(conf, st), st.getLen, version), dest)
+      val (rows, stats) = parquetFooterInfo(conf, st)
+      (FragmentMeta(id, relativize(spark, dest), rows, st.getLen, version, stats), dest)
     }
     (out.map(_._1), out.map(_._2))
   }
@@ -173,7 +182,8 @@ object GraftTable {
   // ------------------------------------------------------------------ write
 
   /** Create / append / overwrite (reference `WriteMode`, `write.rs:115-122`). */
-  def write(df: DataFrame, tablePath: String, mode: String = "append"): GraftManifest = {
+  def write(df: DataFrame, tablePath: String, mode: String = "append",
+            configUpdates: Map[String, String] = Map.empty): GraftManifest = {
     val spark = df.sparkSession
     var staged = stageFragments(spark, tablePath, df)
     def assign(firstId: Long, version: Long): Seq[FragmentMeta] = {
@@ -183,21 +193,32 @@ object GraftTable {
     }
     commitLoop(spark, tablePath, {
       case None =>
-        GraftManifest(1L, "create", df.schema.json, assign(0L, 1L), Nil, 0L, Map.empty, 0L)
+        GraftManifest(1L, "create", df.schema.json, assign(0L, 1L), Nil, 0L, configUpdates, 0L)
       case Some(base) => mode.toLowerCase match {
         case "append" =>
           base.copy(version = base.version + 1, operation = "append",
             fragments = base.fragments ++ assign(base.maxFragmentId + 1, base.version + 1),
-            parent = base.version)
+            config = base.config ++ configUpdates, parent = base.version)
         case "overwrite" =>
           GraftManifest(base.version + 1, "overwrite", df.schema.json,
-            assign(base.maxFragmentId + 1, base.version + 1), Nil, 0L, base.config, base.version)
+            assign(base.maxFragmentId + 1, base.version + 1), Nil, 0L,
+            base.config ++ configUpdates, base.version)
         case "errorifexists" | "error" =>
           throw new IllegalStateException(s"graft table already exists at $tablePath")
         case m => throw new IllegalArgumentException(s"unknown write mode: $m")
       }
     })
   }
+
+  /** Metadata-only config merge as its own commit (reference `UpdateConfig`
+    * operation, `transaction.rs`). */
+  def updateConfig(spark: SparkSession, tablePath: String,
+                   updates: Map[String, String]): GraftManifest =
+    commitLoop(spark, tablePath, {
+      case Some(base) => base.copy(version = base.version + 1, operation = "update_config",
+        config = base.config ++ updates, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
 
   // ------------------------------------------------------------------- read
 
@@ -207,8 +228,16 @@ object GraftTable {
     * DV parquet size).
     */
   def read(spark: SparkSession, tablePath: String, version: Option[Long] = None,
-           withRowAddr: Boolean = false): DataFrame = {
-    val m = loadManifest(spark, tablePath, version)
+           withRowAddr: Boolean = false): DataFrame =
+    readManifest(spark, tablePath, loadManifest(spark, tablePath, version), withRowAddr)
+
+  /** Read a fragment subset of a snapshot (CDC / take-style access). */
+  def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
+                    frags: Seq[FragmentMeta]): DataFrame =
+    readManifest(spark, tablePath, m.copy(fragments = frags), withRowAddr = false)
+
+  private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
+                           withRowAddr: Boolean): DataFrame = {
     val t = new Path(tablePath)
     val index = new GraftFileIndex(spark, t, m)
     val relation = HadoopFsRelation(
@@ -239,6 +268,40 @@ object GraftTable {
     * `count_rows`, `scanner.rs:1496-1554`). */
   def countRows(spark: SparkSession, tablePath: String, version: Option[Long] = None): Long =
     loadManifest(spark, tablePath, version).liveRows
+
+  /** Random access by row address (reference `Dataset::take`,
+    * `rust/lance/src/dataset/take.rs:103`): the scan touches ONLY the
+    * fragments named by the addresses (manifest-level pruning — at 100 TB a
+    * 100-row take reads ≤100 fragments no matter the table size), then
+    * row-index filtering inside them. Output carries `_rowaddr`; join order
+    * back on it if request order matters. */
+  def take(spark: SparkSession, tablePath: String, addrs: Seq[Long],
+           version: Option[Long] = None): DataFrame = {
+    val m = loadManifest(spark, tablePath, version)
+    val want = addrs.map(a => a >>> 32).toSet
+    val pruned = m.copy(fragments = m.fragments.filter(f => want.contains(f.id)))
+    val t = new Path(tablePath)
+    val index = new GraftFileIndex(spark, t, pruned)
+    val relation = HadoopFsRelation(
+      location = index, partitionSchema = new StructType(), dataSchema = m.schema,
+      bucketSpec = None, fileFormat = new ParquetFileFormat, options = Map.empty)(spark)
+    val base = ColumnBridge.ofRows(spark, LogicalRelation(relation, isStreaming = false))
+    val addr = shiftleft(regexp_extract(col("_metadata.file_name"), FragRe, 1).cast("long"), 32)
+      .plus(col("_metadata.row_index"))
+    base.withColumn(RowAddrCol, addr)
+      .filter(col(RowAddrCol).isin(addrs: _*))
+  }
+
+  /** Deterministic hash sample of live rows (reference samplers,
+    * `python/python/lance/sampler.py`): stable under partitioning because it
+    * keys on `_rowaddr`, not on row position. */
+  def sampleHash(spark: SparkSession, tablePath: String, fraction: Double,
+                 version: Option[Long] = None): DataFrame = {
+    require(fraction > 0 && fraction <= 1.0)
+    val buckets = 1000000L
+    read(spark, tablePath, version, withRowAddr = true)
+      .filter(pmod(xxhash64(col(RowAddrCol)), lit(buckets)) < lit((fraction * buckets).toLong))
+  }
 
   // -------------------------------------------------------------- mutations
 

@@ -13,12 +13,19 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * parallelism (one fragment ⇄ one Spark scan split group, reference
   * `fragment.rs:276-303`).
   */
+/** Per-fragment, per-column zone statistics (reference ZONEMAP,
+  * `rust/lance-index/src/scalar/zonemap.rs`): min/max serialized as strings,
+  * interpreted through the schema's type; nullCount enables IsNull/IsNotNull
+  * pruning. `kind` ∈ long | double | string. */
+case class ColumnStat(kind: String, min: String, max: String, nullCount: Long)
+
 case class FragmentMeta(
     id: Long,
     path: String, // relative to table root
     rows: Long,
     sizeBytes: Long,
-    addedVersion: Long)
+    addedVersion: Long,
+    stats: Map[String, ColumnStat] = Map.empty)
 
 case class GraftManifest(
     version: Long,

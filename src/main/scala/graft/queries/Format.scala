@@ -84,6 +84,28 @@ object Format {
       v1.crossJoin(latest)
     },
 
+    // random access: take by row addresses (fragment-pruned read)
+    "q_format_take" -> { (s, d) =>
+      val t = freshDir(s, "take")
+      GraftTable.write(Tables.documents(s, d), t, "overwrite")
+      val addrs = GraftTable.read(s, t, withRowAddr = true)
+        .filter(col("doc_id").isin(5L, 100L, 250L, 400L))
+        .select(GraftTable.RowAddrCol).collect().map(_.getLong(0)).toSeq
+      GraftTable.take(s, t, addrs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // zonemap pruning e2e: range-partitioned fragments, range predicate -
+    // only matching fragments are scanned (stats pruning), result exact
+    "q_format_zonemap" -> { (s, d) =>
+      val t = freshDir(s, "zonemap")
+      GraftTable.write(Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), t, "overwrite")
+      GraftTable.read(s, t)
+        .filter(col("o_orderkey").between(1000, 2000))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
     // delete + full compaction (DVs materialized, fragments rewritten)
     "q_format_compact" -> { (s, d) =>
       val t = freshDir(s, "compact")
@@ -125,6 +147,12 @@ object Format {
         |       (SELECT count(*) FROM orders) AS latest_count""".stripMargin,
     "q_format_compact" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
-        |WHERE o_orderstatus <> 'P'""".stripMargin
+        |WHERE o_orderstatus <> 'P'""".stripMargin,
+    "q_format_take" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
+    "q_format_zonemap" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin
   )
 }

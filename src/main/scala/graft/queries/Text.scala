@@ -81,6 +81,19 @@ object Text {
         .orderBy(col("bucket"))
     },
 
+    // Multimodal pipeline plumbing over binary payloads (decode kernels are
+    // deterministic stubs — see Multimodal scaladoc) — rows-only gate entry.
+    "q_multimodal_decode" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+        .as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.decodeImages(media).toDF()
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("width")).as("total_w"))
+        .orderBy(col("bucket"))
+    },
+
     "q_contains_tokens" -> { (s, d) =>
       Tables.documents(s, d)
         .filter(array_contains(TA.tokens(col("text")), "vector") &&

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import graft.format.GraftTable
+
+/** Structured Streaming integration for graft tables (SURVEY §2.10).
+  *
+  * The reference has no streaming engine; its incremental story is
+  * version-per-commit + `delta.rs` version diffs. The Spark-native mapping:
+  *
+  *  - **sink**: one micro-batch = one `append` commit ([[foreachBatchSink]]),
+  *    idempotent under Spark's batch replay because the last committed
+  *    batchId per query is recorded in the manifest config and replays are
+  *    skipped — the same recipe Delta's idempotent sinks use.
+  *  - **source**: [[readChanges]] reads the rows a version range appended
+  *    (fragments carry `addedVersion`), i.e. the reference's
+  *    `dataset.delta` capability.
+  *
+  * Watermarks, windows and stateful operators then compose upstream of the
+  * sink for free — a superset of the reference at no extra cost.
+  */
+object GraftStreaming {
+
+  private def batchKey(queryId: String) = s"streaming.$queryId.lastBatchId"
+
+  /** Use as `stream.writeStream.foreachBatch(GraftStreaming.foreachBatchSink(path)).start()`. */
+  def foreachBatchSink(tablePath: String, queryId: String = "default"):
+      (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val last = GraftTable.latestVersion(spark, tablePath)
+      .map(_ => GraftTable.loadManifest(spark, tablePath))
+      .flatMap(_.config.get(batchKey(queryId)).map(_.toLong))
+    if (last.forall(_ < batchId)) {
+      // batch data + batch id land in ONE commit — atomic exactly-once
+      GraftTable.write(batch.toDF(), tablePath, "append",
+        configUpdates = Map(batchKey(queryId) -> batchId.toString))
+    } // else: replayed batch, already committed — skip
+  }
+
+  /** Rows appended in versions (fromVersion, toVersion]. */
+  def readChanges(spark: SparkSession, tablePath: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val m = GraftTable.loadManifest(spark, tablePath, Some(toVersion))
+    val newFrags = m.fragments.filter(f => f.addedVersion > fromVersion && f.addedVersion <= toVersion)
+    GraftTable.readFragments(spark, tablePath, m, newFrags)
+  }
+}

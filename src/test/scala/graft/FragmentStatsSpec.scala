@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.{FragmentStats, GraftFileIndex, GraftTable}
+
+class FragmentStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_zs_").toString + "/t"
+
+  /** table with 4 range-disjoint fragments on id: [0,25),[25,50),[50,75),[75,100) */
+  private def rangedTable(): String = {
+    val t = tmp()
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("name", concat(lit("row-"), col("id")))
+      .withColumn("val", col("id").cast("double") * 1.5)
+      .repartitionByRange(4, col("id"))
+    GraftTable.write(df, t, "overwrite")
+    t
+  }
+
+  test("manifest carries per-fragment min/max/nullCount stats") {
+    val t = rangedTable()
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.length == 4)
+    m.fragments.foreach { f =>
+      assert(f.stats.contains("id") && f.stats.contains("name") && f.stats.contains("val"))
+      assert(f.stats("id").kind == "long")
+      assert(f.stats("val").kind == "double")
+      assert(f.stats("name").kind == "string")
+      assert(f.stats("id").nullCount == 0)
+    }
+    // fragments are range-disjoint on id
+    val ranges = m.fragments.map(f => (f.stats("id").min.toLong, f.stats("id").max.toLong)).sorted
+    assert(ranges.sliding(2).forall { case Seq((_, aMax), (bMin, _)) => aMax < bMin; case _ => true })
+  }
+
+  test("listFiles prunes fragments by pushed range predicate") {
+    val t = rangedTable()
+    val m = GraftTable.loadManifest(spark, t)
+    val index = new GraftFileIndex(spark, new Path(t), m)
+    val idAttr = AttributeReference("id", LongType)()
+    // id = 80 -> exactly one fragment
+    val eq = EqualTo(idAttr, Literal(80L))
+    assert(index.listFiles(Nil, Seq(eq)).head.files.length == 1)
+    // id < 30 -> two fragments
+    val lt = LessThan(idAttr, Literal(30L))
+    assert(index.listFiles(Nil, Seq(lt)).head.files.length == 2)
+    // id >= 999 -> none
+    val none = GreaterThanOrEqual(idAttr, Literal(999L))
+    assert(index.listFiles(Nil, Seq(none)).head.files.isEmpty)
+    // string predicate on name
+    val nameAttr = AttributeReference("name", StringType)()
+    val sEq = EqualTo(nameAttr, Literal.create("row-99", StringType))
+    assert(index.listFiles(Nil, Seq(sEq)).head.files.length < 4)
+    // unknown column / unsupported expr -> keep all
+    assert(index.listFiles(Nil, Seq(Literal(true))).head.files.length == 4)
+  }
+
+  test("e2e: pruned query returns correct rows") {
+    val t = rangedTable()
+    val out = GraftTable.read(spark, t).filter($"id" >= 90)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == (90L until 100L))
+  }
+
+  test("take reads only addressed fragments and returns addressed rows") {
+    val t = rangedTable()
+    val all = GraftTable.read(spark, t, withRowAddr = true)
+      .select("_rowaddr", "id").as[(Long, Long)].collect().toMap
+    val wanted = all.filter { case (_, id) => Seq(3L, 42L, 97L).contains(id) }.keys.toSeq
+    val got = GraftTable.take(spark, t, wanted)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 42L, 97L))
+  }
+
+  test("sampleHash is deterministic and approximately sized") {
+    val t = rangedTable()
+    val s1 = GraftTable.sampleHash(spark, t, 0.3).select("id").as[Long].collect().toSet
+    val s2 = GraftTable.sampleHash(spark, t, 0.3).select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < 100)
+  }
+
+  test("mayMatch conservative on nulls") {
+    import graft.format.ColumnStat
+    val stats = Map("x" -> ColumnStat("long", "1", "10", 5))
+    val x = AttributeReference("x", LongType)()
+    assert(FragmentStats.mayMatch(stats, 20, IsNull(x)))
+    assert(FragmentStats.mayMatch(stats, 20, IsNotNull(x)))
+    assert(!FragmentStats.mayMatch(Map("x" -> ColumnStat("long", "1", "10", 20)), 20, IsNotNull(x)))
+    assert(!FragmentStats.mayMatch(stats, 20, EqualTo(x, Literal(11L))))
+    assert(FragmentStats.mayMatch(stats, 20, EqualTo(x, Literal(10L))))
+  }
+}
