@@ -476,6 +476,79 @@ object GraftTable {
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
 
+  // ------------------------------------------------------- tags & cleanup
+
+  /** Named version refs (reference tags, Python `dataset.py:539-645`). */
+  def tag(spark: SparkSession, tablePath: String, name: String, version: Long): Unit = {
+    require(versions(spark, tablePath).contains(version), s"no version $version")
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    f.mkdirs(new Path(t, "_tags"))
+    val out = f.create(new Path(t, s"_tags/$name.json"), true)
+    try out.write(s"""{"version": $version}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  def tags(spark: SparkSession, tablePath: String): Map[String, Long] = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    val dir = new Path(t, "_tags")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json")).map { s =>
+      val in = f.open(s.getPath)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val v = "\\d+".r.findFirstIn(txt).get.toLong
+      s.getPath.getName.stripSuffix(".json") -> v
+    }.toMap
+  }
+
+  def readTag(spark: SparkSession, tablePath: String, name: String): DataFrame =
+    read(spark, tablePath, Some(tags(spark, tablePath).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name"))))
+
+  /** GC: drop manifests older than the last `keepLast` versions and delete
+    * data/DV files no remaining manifest references (reference
+    * `cleanup_old_versions`, `cleanup.rs`). Tagged versions are always kept.
+    */
+  def cleanupOldVersions(spark: SparkSession, tablePath: String, keepLast: Int): Unit = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    val vs = versions(spark, tablePath)
+    val tagged = tags(spark, tablePath).values.toSet
+    val keep = (vs.takeRight(keepLast).toSet ++ tagged)
+    val drop = vs.filterNot(keep)
+    if (drop.isEmpty) return
+    // referenced files across surviving manifests
+    val referenced = keep.toSeq.flatMap { v =>
+      val m = loadManifest(spark, tablePath, Some(v))
+      m.fragments.map(_.path) ++ m.dvFiles
+    }.toSet
+    drop.foreach(v => f.delete(manifestPath(t, v), false))
+    // delete unreferenced fragment files / DV dirs
+    def sweep(sub: String, isReferenced: String => Boolean): Unit = {
+      val dir = new Path(t, sub)
+      if (f.exists(dir)) f.listStatus(dir).foreach { txn =>
+        if (txn.isDirectory) {
+          f.listStatus(txn.getPath).foreach { file =>
+            val rel = relativize(spark, file.getPath)
+            if (file.getPath.getName.endsWith(".parquet") && !isReferenced(rel)) {
+              f.delete(file.getPath, false)
+            }
+          }
+          if (f.listStatus(txn.getPath).forall(!_.getPath.getName.endsWith(".parquet"))) {
+            f.delete(txn.getPath, true) // only non-data leftovers (_SUCCESS, crc)
+          }
+        }
+      }
+    }
+    sweep("data", referenced.contains)
+    // DV "files" are directories: referenced by their dir-relative path
+    val dvDir = new Path(t, "deletes")
+    if (f.exists(dvDir)) f.listStatus(dvDir).foreach { d =>
+      val rel = s"deletes/${d.getPath.getName}"
+      if (!referenced.contains(rel)) f.delete(d.getPath, true)
+    }
+  }
+
   /** Restore an old version as a new commit (reference `restore`). */
   def restore(spark: SparkSession, tablePath: String, version: Long): GraftManifest = {
     val old = loadManifest(spark, tablePath, Some(version))

@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.format.GraftTable
+
+/** Scalar indices over graft tables: value → row-address masks
+  * (SURVEY §2.7; reference `rust/lance-index/src/scalar/`).
+  *
+  *  - **BTREE** (`btree.rs`): the index dataset is (value, _rowaddr) parquet
+  *    written SORTED by value, so Equals/Range/IsIn lookups reduce to
+  *    row-group-stat pruning inside the index files — a binary-searchable
+  *    layout expressed with plain parquet machinery. Low-cardinality BITMAP
+  *    (`bitmap.rs`) is subsumed: sorted runs of equal values ARE the bitmap.
+  *  - **NGRAM** (`ngram.rs`): character-trigram → _rowaddr postings
+  *    accelerating `col LIKE '%needle%'`: candidate = rows containing ALL
+  *    trigrams of the needle, then exact `contains` verification — exact
+  *    results, index-bounded cost.
+  *
+  * Lookups return row-address DataFrames (the reference's row-id masks);
+  * apply with a left-semi join against `read(withRowAddr=true)`, or
+  * `GraftTable.take` for point lookups. The Catalyst rule that rewrites
+  * eligible filters automatically is the round-2 step — the index data
+  * path below is what it will call into.
+  */
+object ScalarIndex {
+  private val A = GraftTable.RowAddrCol
+
+  // ------------------------------------------------------------------ btree
+
+  /** Build a BTREE index for `column` of the graft table at `tablePath`. */
+  def buildBtree(spark: SparkSession, tablePath: String, column: String,
+                 indexPath: String): Unit = {
+    GraftTable.read(spark, tablePath, withRowAddr = true)
+      .select(col(column).as("v"), col(A))
+      .repartitionByRange(8, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/btree_$column")
+  }
+
+  /** Row addresses where `column` satisfies the predicate over the index's
+    * `v` column (Equals: v === x; Range: v.between(lo,hi); IsIn: v.isin(..)).
+    * The predicate lands in PushedFilters of the sorted index scan. */
+  def lookupBtree(spark: SparkSession, indexPath: String, column: String,
+                  predicate: Column => Column): DataFrame =
+    spark.read.parquet(s"$indexPath/btree_$column")
+      .filter(predicate(col("v")))
+      .select(col(A))
+
+  // ------------------------------------------------------------------ ngram
+
+  private def trigrams(c: Column): Column =
+    when(length(c) >= 3,
+      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))))
+      .otherwise(typedLit(Array.empty[String]))
+
+  /** Build a character-trigram index for a string column. */
+  def buildNgram(spark: SparkSession, tablePath: String, column: String,
+                 indexPath: String): Unit = {
+    GraftTable.read(spark, tablePath, withRowAddr = true)
+      .select(col(A), explode(trigrams(lower(col(column)))).as("gram"))
+      .write.mode(SaveMode.Overwrite).partitionBy("gram").parquet(s"$indexPath/ngram_$column")
+  }
+
+  /** Candidate row addresses whose column contains `needle` (exact after
+    * verification — candidates contain ALL the needle's trigrams). Needles
+    * shorter than 3 chars fall back to full-scan semantics (None). */
+  def lookupNgramCandidates(spark: SparkSession, indexPath: String, column: String,
+                            needle: String): Option[DataFrame] = {
+    val grams = needle.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
+    if (grams.isEmpty) None
+    else Some(
+      spark.read.parquet(s"$indexPath/ngram_$column")
+        .filter(col("gram").isin(grams: _*))
+        .groupBy(col(A))
+        .agg(countDistinct(col("gram")).as("ng"))
+        .filter(col("ng") === grams.length)
+        .select(col(A)))
+  }
+
+  /** Exact `col LIKE '%needle%'` via the ngram index: candidate mask
+    * semi-join + exact contains verification on the masked rows only. */
+  def containsViaNgram(spark: SparkSession, tablePath: String, indexPath: String,
+                       column: String, needle: String): DataFrame = {
+    val base = GraftTable.read(spark, tablePath, withRowAddr = true)
+    lookupNgramCandidates(spark, indexPath, column, needle) match {
+      case None => base.filter(lower(col(column)).contains(needle.toLowerCase)).drop(A)
+      case Some(cands) =>
+        base.join(cands, Seq(A), "left_semi")
+          .filter(lower(col(column)).contains(needle.toLowerCase))
+          .drop(A)
+    }
+  }
+}

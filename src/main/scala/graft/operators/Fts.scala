@@ -132,6 +132,39 @@ object Fts {
     matched.select(col("doc_id")).distinct()
   }
 
+  /** Boost query (reference `BoostQueryExec`, `fts.rs:729`): score =
+    * positive_score − negativeBoost · negative_score. */
+  def boostQuery(spark: SparkSession, indexPath: String,
+                 positive: Seq[String], negative: Seq[String],
+                 negativeBoost: Double, k: Int): DataFrame = {
+    val p = paths(indexPath)
+    val pos = scored(spark, p, positive)
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("pos_score"))
+    val neg = scored(spark, p, negative)
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("neg_score"))
+    pos.join(neg, Seq("doc_id"), "left_outer")
+      .withColumn("_score",
+        col("pos_score") - lit(negativeBoost) * coalesce(col("neg_score"), lit(0.0)))
+      .select(col("doc_id"), col("_score"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** MultiMatch (reference `MultiMatchQuery`, `query.rs:463`): the same
+    * terms over several indexed fields, per-field boosts, max-combined. */
+  def multiMatch(spark: SparkSession, fieldIndexPaths: Seq[(String, Double)],
+                 terms: Seq[String], k: Int): DataFrame = {
+    val perField = fieldIndexPaths.map { case (idxPath, boost) =>
+      scored(spark, paths(idxPath), terms)
+        .groupBy(col("doc_id")).agg((sum(col("term_score")) * boost).as("fscore"))
+    }
+    perField.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(max(col("fscore")).as("_score"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Boolean query (reference `BooleanQueryExec`): every `must` term
     * required, `should` terms add score, any `mustNot` term excludes. */
   def booleanQuery(spark: SparkSession, indexPath: String,

@@ -43,4 +43,31 @@ object Knn {
     withDistance(df, vecCol, query, metric)
       .orderBy(col(DistanceCol) +: tieBreakers: _*)
       .limit(k)
+
+  /** Multivector (late-interaction / XTR-style) search (reference
+    * `MultivectorScoringExec`, `io/exec/knn.rs:1133`; `multivec_ann`
+    * `scanner.rs:3471-3552`): per-query-vector top-(k·overfetch) candidate
+    * search, then per-row score aggregation (sum of per-query similarities),
+    * then global top-k. One scan per query vector, candidate sets bounded by
+    * overfetch — never a full cross join.
+    *
+    * Score per (row, queryVec) = 1 - cosineDistance (similarity); missing
+    * (row, qv) pairs contribute 0, as in XTR.
+    */
+  def multivectorSearch(df: DataFrame, idCol: String, vecCol: String,
+                        queries: Seq[Array[Float]], k: Int,
+                        overfetch: Int = 10): DataFrame = {
+    require(queries.nonEmpty)
+    val perVec = queries.zipWithIndex.map { case (q, qi) =>
+      withDistance(df, vecCol, q, "cosine")
+        .orderBy(col(DistanceCol), col(idCol))
+        .limit(k * overfetch)
+        .select(col(idCol), (lit(1.0) - col(DistanceCol)).as("sim"), lit(qi).as("qi"))
+    }
+    perVec.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("sim")).as("_score"))
+      .orderBy(col("_score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -106,6 +106,19 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // scalar (btree) index: value -> row-addr mask -> semi-join application
+    "q_scalar_index" -> { (s, d) =>
+      val t = freshDir(s, "scalar_index")
+      GraftTable.write(Tables.orders(s, d), t, "overwrite")
+      graft.index.ScalarIndex.buildBtree(s, t, "o_custkey", s"$t/_indices")
+      val mask = graft.index.ScalarIndex.lookupBtree(s, s"$t/_indices", "o_custkey",
+        _.between(100L, 110L))
+      GraftTable.read(s, t, withRowAddr = true)
+        .join(mask, Seq(GraftTable.RowAddrCol), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // delete + full compaction (DVs materialized, fragments rewritten)
     "q_format_compact" -> { (s, d) =>
       val t = freshDir(s, "compact")
@@ -153,6 +166,9 @@ object Format {
         |WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
     "q_format_zonemap" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
-        |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin
+        |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "q_scalar_index" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin
   )
 }

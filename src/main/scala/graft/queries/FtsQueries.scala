@@ -45,6 +45,13 @@ object FtsQueries {
       Fts.booleanQuery(s, idx,
           must = Seq("table"), should = Seq("vector"), mustNot = Seq("slow"), k = 20)
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    "q_fts_boost" -> { (s, d) =>
+      val idx = indexFor(s, d, "boost")
+      Fts.boostQuery(s, idx,
+          positive = Seq("spark"), negative = Seq("slow"), negativeBoost = 0.5, k = 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     }
   )
 
@@ -82,6 +89,20 @@ object FtsQueries {
         |ORDER BY doc_id""".stripMargin,
     "q_fts_boolean" -> bm25Select("'table','vector'",
       """AND f.doc_id IN (SELECT doc_id FROM tf WHERE token = 'table')
-        |AND f.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'slow')""".stripMargin)
+        |AND f.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'slow')""".stripMargin),
+    "q_fts_boost" ->
+      s"""WITH $tokCte,
+         |scores AS (
+         |  SELECT f.doc_id, f.token,
+         |    ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+         |      * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl)) AS ts
+         |  FROM tf f JOIN st s ON f.token = s.token
+         |   JOIN docs d ON f.doc_id = d.doc_id CROSS JOIN meta m),
+         |pos AS (SELECT doc_id, sum(ts) AS p FROM scores WHERE token IN ('spark') GROUP BY doc_id),
+         |neg AS (SELECT doc_id, sum(ts) AS ng FROM scores WHERE token IN ('slow') GROUP BY doc_id)
+         |SELECT pos.doc_id, round(pos.p - 0.5 * coalesce(neg.ng, 0),4) AS _score
+         |FROM pos LEFT JOIN neg ON pos.doc_id = neg.doc_id
+         |ORDER BY pos.p - 0.5 * coalesce(neg.ng, 0) DESC, pos.doc_id
+         |LIMIT 20""".stripMargin
   )
 }

@@ -85,6 +85,20 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // Multivector (late-interaction) search: two query vectors, per-row
+    // summed cosine similarity. overfetch covers the sf0.01 corpus, so the
+    // oracle (full sum over both queries) matches exactly.
+    "q_multivector" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q0 = queryVec(s, d)
+      val q1 = e.filter(col("vec_id") === 1L).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      graft.operators.Knn.multivectorSearch(
+          e.filter(col("vec_id") > 1L), "vec_id", "embedding",
+          Seq(q0, q1), k = 10, overfetch = 50)
+        .select(col("vec_id"), round(col("_score"), 4).as("_score"))
+    },
+
     // Per-label norm stats: distance expr inside an aggregation pipeline.
     "q_vector_norms" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -146,6 +160,16 @@ object Vector {
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
         |FROM embeddings e, q
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_multivector" ->
+      """WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |     q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q0.qv AS DOUBLE[]))
+        |      + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q1.qv AS DOUBLE[])),4) AS _score
+        |FROM embeddings e, q0, q1 WHERE e.vec_id > 1
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q0.qv AS DOUBLE[]))
+        |      + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q1.qv AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
     "q_vector_norms" ->
       """SELECT label, count(*) AS n,

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+import graft.index.ScalarIndex
+
+class ScalarIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def setup(): (String, String) = {
+    val base = Files.createTempDirectory("graft_si_").toString
+    val t = s"$base/t"
+    val idx = s"$base/idx"
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("category", concat(lit("cat-"), pmod(col("id"), lit(7))))
+      .withColumn("payload", concat(lit("payload text number "), col("id")))
+    GraftTable.write(df, t, "overwrite")
+    (t, idx)
+  }
+
+  test("btree lookup: equals / range / isin masks match full-scan truth") {
+    val (t, idx) = setup()
+    ScalarIndex.buildBtree(spark, t, "id", idx)
+    val base = GraftTable.read(spark, t, withRowAddr = true)
+
+    def truth(c: org.apache.spark.sql.Column): Set[Long] =
+      base.filter(c).select("_rowaddr").as[Long].collect().toSet
+
+    val eq = ScalarIndex.lookupBtree(spark, idx, "id", _ === 42L)
+      .as[Long].collect().toSet
+    assert(eq == truth($"id" === 42L) && eq.size == 1)
+
+    val range = ScalarIndex.lookupBtree(spark, idx, "id", _.between(50, 60))
+      .as[Long].collect().toSet
+    assert(range == truth($"id".between(50, 60)) && range.size == 11)
+
+    val isin = ScalarIndex.lookupBtree(spark, idx, "id", _.isin(1L, 5L, 199L))
+      .as[Long].collect().toSet
+    assert(isin == truth($"id".isin(1L, 5L, 199L)))
+  }
+
+  test("btree mask applied via semi-join returns the right rows") {
+    val (t, idx) = setup()
+    ScalarIndex.buildBtree(spark, t, "category", idx)
+    val mask = ScalarIndex.lookupBtree(spark, idx, "category", _ === "cat-3")
+    val rows = GraftTable.read(spark, t, withRowAddr = true)
+      .join(mask, Seq("_rowaddr"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(rows == (0L until 200L).filter(_ % 7 == 3).toSet)
+  }
+
+  test("ngram index accelerates contains with exact results") {
+    val (t, idx) = setup()
+    ScalarIndex.buildNgram(spark, t, "payload", idx)
+    val got = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "number 13")
+      .select("id").as[Long].collect().toSet
+    val truth = GraftTable.read(spark, t)
+      .filter(lower($"payload").contains("number 13"))
+      .select("id").as[Long].collect().toSet
+    assert(got == truth && got.contains(13L) && got.contains(130L))
+  }
+
+  test("ngram short-needle falls back to full scan semantics") {
+    val (t, idx) = setup()
+    ScalarIndex.buildNgram(spark, t, "payload", idx)
+    val got = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "13")
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(13L) && got.contains(131L) && got.contains(113L))
+  }
+
+  test("btree index scan pushes the lookup predicate to parquet") {
+    val (t, idx) = setup()
+    ScalarIndex.buildBtree(spark, t, "id", idx)
+    val plan = ScalarIndex.lookupBtree(spark, idx, "id", _ === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), EqualTo(v,42)]"), plan)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+import graft.operators.{Fts, Knn}
+import org.apache.spark.sql.functions._
+
+class TagsCleanupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_tc_").toString + "/t"
+  private def people = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+
+  test("tags name versions; readTag time-travels") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.write(Seq((4L, "d")).toDF("id", "v"), t, "append")
+    GraftTable.tag(spark, t, "v1-release", 1L)
+    assert(GraftTable.tags(spark, t) == Map("v1-release" -> 1L))
+    assert(GraftTable.readTag(spark, t, "v1-release").count() == 3)
+    assertThrows[IllegalArgumentException](GraftTable.tag(spark, t, "bad", 99L))
+  }
+
+  test("cleanupOldVersions drops old manifests + unreferenced files, keeps tagged") {
+    val t = tmp()
+    GraftTable.write(people, t)                                     // v1
+    GraftTable.write(people, t, "overwrite")                        // v2 (v1 files orphaned)
+    GraftTable.write(Seq((9L, "z")).toDF("id", "v"), t, "append")   // v3
+    GraftTable.tag(spark, t, "keep-me", 2L)
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 1)
+    // v1 manifest gone, v2 kept via tag, v3 kept as latest
+    assert(GraftTable.versions(spark, t) == Seq(2L, 3L))
+    // current + tagged reads still work (their files survived the sweep)
+    assert(GraftTable.read(spark, t).count() == 4)
+    assert(GraftTable.readTag(spark, t, "keep-me").count() == 3)
+  }
+
+  test("multivector search ranks by summed similarity") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.7f))
+    ).toDF("id", "vec")
+    val out = Knn.multivectorSearch(df, "id", "vec",
+      Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f)), k = 3, overfetch = 10)
+      .select("id").as[Long].collect()
+    assert(out.head == 3L) // equidistant from both queries -> highest sum
+  }
+
+  test("fts boost demotes docs containing the negative terms") {
+    val dir = Files.createTempDirectory("fts_boost_").toString
+    val corpus = Seq(
+      (1L, "spark spark fast"), (2L, "spark slow slow"), (3L, "other stuff")
+    ).toDF("doc_id", "text")
+    Fts.buildIndex(corpus, "doc_id", "text", dir)
+    val out = Fts.boostQuery(spark, dir, Seq("spark"), Seq("slow"), 1.0, 5)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq.take(2) == Seq(1L, 2L))
+  }
+}
