@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** IVF_PQ: product quantization inside IVF partitions.
+  *
+  * Capability mirror of the reference's PQ family
+  * (`rust/lance-index/src/vector/pq/`, ~2,616 LoC; search pattern
+  * `ANNIvfSubIndexExec`, `io/exec/knn.rs:579`; refine `scanner.rs:1194`):
+  *
+  *  - **train**: per-subspace k-means codebooks on a driver-side sample
+  *    (deterministic Lloyd's, same recipe as [[IvfIndex.train]]).
+  *  - **encode**: one distributed pass, [[PqEncode]] → `m` one-byte codes
+  *    per vector; stored next to `__ivf_pid` in the partitioned index
+  *    dataset. A 64-dim float vector (256 B) becomes 8 B — the IO ratio
+  *    that makes the ADC pass cheap at 100 TB.
+  *  - **search** (two column-pruned passes over only the probed partitions):
+  *    pass 1 reads (id, codes) and ranks by ADC — asymmetric distance
+  *    computed against a per-query lookup table ([[PqAdc]]) — keeping
+  *    k·refineFactor candidates; pass 2 re-reads (id, vector) for the
+  *    candidates only (semi join) and re-ranks by exact distance
+  *    (the reference's `refine_factor` step).
+  *
+  * Recall is governed by (nprobes, m, refineFactor) exactly as in the
+  * reference's SIFT table (BASELINE.md); quality is asserted by the recall
+  * spec, not by the hash gate (PQ is lossy by design).
+  */
+object PqIndex {
+  val CodeCol = "__pq_codes"
+
+  /** codebooks(sub)(code) = centroid (dsub floats) */
+  case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+
+    /** Per-query ADC lookup table: table(sub)(code) = l2² between the query
+      * sub-vector and that code's centroid. */
+    def adcTable(query: Array[Float]): Array[Array[Float]] =
+      Array.tabulate(m) { s =>
+        val off = s * dsub
+        Array.tabulate(k) { c =>
+          var acc = 0.0f
+          var i = 0
+          val cent = codebooks(s)(c)
+          while (i < dsub) {
+            val d = query(off + i) - cent(i)
+            acc += d * d
+            i += 1
+          }
+          acc
+        }
+      }
+  }
+
+  /** Deterministic per-subspace Lloyd's (init = first-k sample sub-vectors). */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+            maxIter: Int = 10, sampleSize: Int = 50000): PqModel = {
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty training set")
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val books = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(subs, math.min(k, subs.length), maxIter)
+    }
+    PqModel(books)
+  }
+
+  private def lloyd(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    var cents = xs.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](xs(0).length))
+      val counts = new Array[Long](k)
+      xs.foreach { v =>
+        val c = nearest(cents, v)
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else sums(i).map(x => (x / counts(i)).toFloat)
+      }.toArray
+    }
+    cents
+  }
+
+  private def nearest(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i).toDouble - cents(c)(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build an IVF_PQ index: IVF partition assignment (coarse) + PQ codes
+    * (fine), one distributed pass, partitioned parquet layout. */
+  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int, m: Int = 8, k: Int = 256): (IvfIndex.Model, PqModel) = {
+    val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
+    val pq = train(df, idCol, vecCol, m, k)
+    val assigned = df
+      .withColumn(IvfIndex.PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      .withColumn(CodeCol,
+        ColumnBridge.column(PqEncode(ColumnBridge.expression(col(vecCol)), pq)))
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+    val spark = df.sparkSession
+    spark.createDataFrame(ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("pid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+    val pqRows = for {
+      s <- pq.codebooks.indices
+      c <- pq.codebooks(s).indices
+    } yield (s, c, pq.codebooks(s)(c).toSeq)
+    spark.createDataFrame(pqRows).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/pq")
+    (ivf, pq)
+  }
+
+  def loadPq(spark: SparkSession, indexPath: String): PqModel = {
+    val rows = spark.read.parquet(s"$indexPath/pq").orderBy("sub", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Float]](m, k)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    PqModel(books.map(_.toArray))
+  }
+
+  /** ANN search: ADC candidate pass + exact-refine pass, both restricted to
+    * the probed partitions and column-pruned. */
+  def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+             query: Array[Float], kNeighbors: Int, nprobes: Int,
+             refineFactor: Int = 10): DataFrame = {
+    val ivf = IvfIndex.loadModel(spark, indexPath)
+    val pq = loadPq(spark, indexPath)
+    val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
+    val part = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col(IvfIndex.PidCol).isin(probes: _*))
+    val table = pq.adcTable(query)
+    // pass 1: (id, codes) only — ADC ranking
+    val cands = part.select(col(idCol), col(CodeCol))
+      .withColumn("_adc", ColumnBridge.column(PqAdc(ColumnBridge.expression(col(CodeCol)), table)))
+      .orderBy(col("_adc"), col(idCol))
+      .limit(kNeighbors * refineFactor)
+      .select(col(idCol))
+    // pass 2: exact distances for the candidates only
+    Knn.flatSearch(
+      part.join(cands, Seq(idCol), "left_semi"),
+      vecCol, query, kNeighbors, "l2", tieBreakers = Seq(col(idCol)))
+      .drop(IvfIndex.PidCol, CodeCol)
+  }
+}
+
+/** vector → m PQ code bytes (nearest sub-centroid per subspace). */
+case class PqEncode(child: Expression, model: PqIndex.PqModel)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode requires array<float>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dsub = model.dsub
+    val out = new Array[Byte](model.m)
+    var s = 0
+    while (s < model.m) {
+      val books = model.codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < books.length) {
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = arr.getFloat(s * dsub + i).toDouble - books(c)(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ codes + per-query ADC table → approximate l2² distance. */
+case class PqAdc(child: Expression, table: Array[Array[Float]])
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"pq_adc requires binary codes")
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    var acc = 0.0
+    var s = 0
+    val n = math.min(codes.length, table.length)
+    while (s < n) {
+      acc += table(s)(codes(s) & 0xff)
+      s += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

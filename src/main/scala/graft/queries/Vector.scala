@@ -20,8 +20,20 @@ object Vector {
     Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
-  // one shared IVF index per sfDir per JVM
+  // one shared IVF / IVF_PQ index per sfDir per JVM
   private val builtIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqIndexFor(s: SparkSession, d: String): String =
+    builtPq.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivfpq_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.PqIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir, nlist = 8, m = 8, k = 16)
+      dir
+    })
 
   private def ivfIndexFor(s: SparkSession, d: String): String =
     builtIvf.computeIfAbsent(d, { _ =>
@@ -82,6 +94,25 @@ object Vector {
       val q = queryVec(s, d)
       val idx = ivfIndexFor(s, d)
       IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 2)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // IVF_PQ with full probes + refine covering the corpus == flat search
+    // (gates the train/encode/ADC/refine machinery exactly).
+    "q_ann_ivfpq_exact" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = pqIndexFor(s, d)
+      graft.operators.PqIndex.search(s, idx, "vec_id", "embedding", q,
+          kNeighbors = 10, nprobes = 8, refineFactor = 100)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // realistic lossy config — rows-only; quality gated by PqSpec recall
+    "q_ann_ivfpq_probe" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = pqIndexFor(s, d)
+      graft.operators.PqIndex.search(s, idx, "vec_id", "embedding", q,
+          kNeighbors = 10, nprobes = 2, refineFactor = 5)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
@@ -155,6 +186,13 @@ object Vector {
         |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) < 1.2
         |ORDER BY dist, e.vec_id""".stripMargin,
     "q_ann_ivf_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_ivfpq_exact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Knn, PqIndex}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embeddings = Tables.embeddings(spark, sf)
+
+  private def queryVec(id: Long): Array[Float] =
+    embeddings.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0).toArray
+
+  private def buildIdx(): String = {
+    val dir = Files.createTempDirectory("pq_").toString
+    // 64-dim vectors, m=8 subspaces of 8 dims, 16 codes each (tiny corpus)
+    PqIndex.build(embeddings, "vec_id", "embedding", dir, nlist = 8, m = 8, k = 16)
+    dir
+  }
+
+  test("pq codes are m bytes; encode is deterministic") {
+    val idx = buildIdx()
+    val codes = spark.read.parquet(s"$idx/vectors")
+      .select(PqIndex.CodeCol).as[Array[Byte]].collect()
+    assert(codes.forall(_.length == 8))
+    assert(codes.length == 500)
+  }
+
+  test("adc distance approximates true distance (rank correlation)") {
+    val idx = buildIdx()
+    val q = queryVec(0L)
+    // full probe + huge refine -> exact result must equal flat search
+    val full = PqIndex.search(spark, idx, "vec_id", "embedding", q, 10, nprobes = 8,
+      refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == flat)
+  }
+
+  test("recall@10 with modest refine over 15 queries") {
+    val idx = buildIdx()
+    val recalls = (0L until 15L).map { qid =>
+      val q = queryVec(qid)
+      val truth = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+        .select("vec_id").as[Long].collect().toSet
+      val approx = PqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+        nprobes = 4, refineFactor = 5)
+        .select("vec_id").as[Long].collect().toSet
+      truth.intersect(approx).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF_PQ mean recall@10 (nprobes=4/8, refine=5): $mean%.3f")
+    assert(mean >= 0.5, s"recall too low: $mean")
+  }
+
+  test("candidate pass reads only id+codes columns") {
+    val idx = buildIdx()
+    val q = queryVec(0L)
+    // the ADC stage must not materialize the embedding column
+    val plan = spark.read.parquet(s"$idx/vectors")
+      .select($"vec_id", col(PqIndex.CodeCol))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,__pq_codes:binary>"), plan)
+  }
+}
