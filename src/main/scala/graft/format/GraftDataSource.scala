@@ -27,8 +27,11 @@ class GraftDataSource extends RelationProvider
     val path = tablePath(parameters)
     val version = parameters.get("versionAsOf").map(_.toLong)
     val m = GraftTable.loadManifest(spark, path, version)
-    if (m.dvFiles.nonEmpty) throw new IllegalStateException(
-      "graft: this snapshot has deletion vectors; read it with GraftTable.read(...)")
+    val dvRuleInstalled = spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[GraftDvRule])
+    if (m.dvFiles.nonEmpty && !dvRuleInstalled) throw new IllegalStateException(
+      "graft: this snapshot has deletion vectors; install GraftExtensions " +
+        "(spark.sql.extensions=graft.format.GraftExtensions) or read it with GraftTable.read(...)")
     val t = new org.apache.hadoop.fs.Path(path)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = new GraftFileIndex(spark, t, m),

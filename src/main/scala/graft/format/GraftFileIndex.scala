@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftFileIndex(
     spark: SparkSession,
-    tablePath: Path,
-    manifest: GraftManifest) extends FileIndex {
+    val tablePath: Path,
+    val manifest: GraftManifest,
+    /** true once the DV anti-join has been planned around this index
+      * (prevents the extension rule from rewriting its own output). */
+    val dvApplied: Boolean = false) extends FileIndex {
 
   private def status(f: FragmentMeta): FileStatus =
     new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,

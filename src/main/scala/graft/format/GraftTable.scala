@@ -239,7 +239,9 @@ object GraftTable {
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
                            withRowAddr: Boolean): DataFrame = {
     val t = new Path(tablePath)
-    val index = new GraftFileIndex(spark, t, m)
+    // dvApplied: this path applies DVs itself — the extension rule must not
+    // wrap a second (idempotent but wasteful) anti-join around it
+    val index = new GraftFileIndex(spark, t, m, dvApplied = true)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),

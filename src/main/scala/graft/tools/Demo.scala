@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.format.{GraftExtensions, GraftTable}
+
+/** End-to-end demo of the graft format through the public surface:
+  * write → delete (DVs) → format("graft") read + SQL with the extensions
+  * installed → time travel. `runMain graft.tools.Demo`
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val t = java.nio.file.Files.createTempDirectory("graft_demo_").toString + "/events"
+    Seq((1L, "click", 2.0), (2L, "view", 1.0), (3L, "click", 5.0),
+        (4L, "purchase", 9.0), (5L, "view", 3.0))
+      .toDF("id", "kind", "value")
+      .write.format("graft").save(t)
+    GraftTable.delete(spark, t, "kind = 'view'")
+
+    spark.read.format("graft").load(t).createOrReplaceTempView("events")
+    println("== after DV delete, via format(\"graft\") + SQL ==")
+    spark.sql("SELECT kind, count(*) n, sum(value) total FROM events GROUP BY kind ORDER BY kind")
+      .show()
+    println("== time travel to v1 ==")
+    spark.read.format("graft").option("versionAsOf", "1").load(t)
+      .groupBy("kind").count().orderBy("kind").show()
+    spark.stop()
+  }
+}
