@@ -24,7 +24,10 @@ class GraftFileIndex(
     val manifest: GraftManifest,
     /** true once the DV anti-join has been planned around this index
       * (prevents the extension rule from rewriting its own output). */
-    val dvApplied: Boolean = false) extends FileIndex {
+    val dvApplied: Boolean = false,
+    /** true once a scalar-index mask semi-join has been planned around this
+      * index (prevents the index rule from re-rewriting). */
+    val maskApplied: Boolean = false) extends FileIndex {
 
   private def status(f: FragmentMeta): FileStatus =
     new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,

@@ -28,14 +28,39 @@ object ScalarIndex {
 
   // ------------------------------------------------------------------ btree
 
-  /** Build a BTREE index for `column` of the graft table at `tablePath`. */
+  /** Build a BTREE index for `column` of the graft table at `tablePath`.
+    * The index records the table version it covers; the auto-rewrite rule
+    * only uses an index whose version matches the snapshot being read
+    * (all-or-nothing coverage — the reference's `fragment_bitmap` refinement
+    * is round-2). */
   def buildBtree(spark: SparkSession, tablePath: String, column: String,
                  indexPath: String): Unit = {
+    val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(col(column).as("v"), col(A))
       .repartitionByRange(8, col("v"))
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/btree_$column")
+    writeVersionMarker(spark, s"$indexPath/btree_$column", version)
+  }
+
+  private[graft] def writeVersionMarker(spark: SparkSession, dir: String, version: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Table version an index covers, if the marker exists. */
+  def indexedVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      scala.util.Try(s.trim.toLong).toOption
+    }
   }
 
   /** Row addresses where `column` satisfies the predicate over the index's

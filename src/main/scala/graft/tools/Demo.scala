@@ -33,6 +33,18 @@ object Demo {
     println("== time travel to v1 ==")
     spark.read.format("graft").option("versionAsOf", "1").load(t)
       .groupBy("kind").count().orderBy("kind").show()
+
+    // scalar-index auto-rewrite: fresh btree on a clean table
+    val t2 = java.nio.file.Files.createTempDirectory("graft_demo_").toString + "/ids"
+    spark.range(0, 1000).toDF("id").write.format("graft").save(t2)
+    graft.index.ScalarIndex.buildBtree(spark, t2, "id", s"$t2/_indices")
+    val q = spark.read.format("graft").load(t2).filter($"id".between(10, 15))
+    println("== index-rewritten plan (expect LeftSemi mask join) ==")
+    println(q.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Relation") || l.contains("Filter"))
+      .mkString("\n"))
+    println("== result ==")
+    q.orderBy("id").show()
     spark.stop()
   }
 }
