@@ -294,6 +294,37 @@ object GraftTable {
       .filter(col(RowAddrCol).isin(addrs: _*))
   }
 
+  /** Late-materialized read (reference `MaterializationStyle`,
+    * `scanner.rs:176-220`; SURVEY "hard part #1"): evaluate the predicate
+    * over ONLY the narrow columns (phase 1 — column-pruned scan), then fetch
+    * full rows for the matches with a scan restricted to the fragments the
+    * matches live in (phase 2 — manifest-level pruning, like `take`).
+    *
+    * At 100 TB with wide multimodal columns this is the difference between
+    * scanning terabytes of blobs and scanning only the narrow predicate
+    * columns plus the blobs of matching fragments. With clustered matches
+    * (the common case after range-partitioned writes), phase 2 touches a
+    * handful of fragments.
+    */
+  def readLate(spark: SparkSession, tablePath: String, predicate: String,
+               predicateCols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val m = loadManifest(spark, tablePath, version)
+    // phase 1: narrow scan -> matching addresses
+    val matches = readManifest(spark, tablePath, m, withRowAddr = true)
+      .select((predicateCols.map(col) :+ col(RowAddrCol)): _*)
+      .filter(expr(predicate))
+      .select(col(RowAddrCol))
+      .persist()
+    // fragments containing matches (small driver-side set, <= fragment count)
+    val fragIds = matches.select(shiftrightunsigned(col(RowAddrCol), 32).as("f"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val pruned = m.copy(fragments = m.fragments.filter(f => fragIds.contains(f.id)))
+    // phase 2: full-width scan of ONLY the touched fragments, addr semi-join
+    readManifest(spark, tablePath, pruned, withRowAddr = true)
+      .join(matches, Seq(RowAddrCol), "left_semi")
+      .drop(RowAddrCol)
+  }
+
   /** Deterministic hash sample of live rows (reference samplers,
     * `python/python/lance/sampler.py`): stable under partitioning because it
     * keys on `_rowaddr`, not on row position. */

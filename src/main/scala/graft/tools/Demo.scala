@@ -45,6 +45,18 @@ object Demo {
       .mkString("\n"))
     println("== result ==")
     q.orderBy("id").show()
+
+    // late materialization: filter on the narrow column, fetch wide rows
+    val t3 = java.nio.file.Files.createTempDirectory("graft_demo_").toString + "/docs"
+    spark.range(0, 1000).toDF("id")
+      .withColumn("wide_payload", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x" * 500), $"id"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft").save(t3)
+    val late = GraftTable.readLate(spark, t3, "id BETWEEN 900 AND 905", Seq("id"))
+    println("== readLate result (wide col fetched only for 1 of 4 fragments) ==")
+    late.select($"id", org.apache.spark.sql.functions.length($"wide_payload").as("payload_len"))
+      .orderBy("id").show()
     spark.stop()
   }
 }

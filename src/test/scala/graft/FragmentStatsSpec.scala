@@ -89,6 +89,21 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(s1.nonEmpty && s1.size < 100)
   }
 
+  test("readLate: narrow-phase filter + fragment-pruned wide fetch is exact") {
+    val t = rangedTable()
+    val late = GraftTable.readLate(spark, t, "id >= 90", Seq("id"))
+      .select("id", "name", "val").collect().sortBy(_.getLong(0))
+    val direct = GraftTable.read(spark, t).filter($"id" >= 90)
+      .select("id", "name", "val").collect().sortBy(_.getLong(0))
+    assert(late.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    assert(late.length == 10)
+    // matches live in exactly 1 of 4 fragments -> phase 2 manifest pruned to 1
+    val m = GraftTable.loadManifest(spark, t)
+    val touched = m.fragments.filter(f =>
+      f.stats("id").max.toLong >= 90).map(_.id)
+    assert(touched.length == 1)
+  }
+
   test("mayMatch conservative on nulls") {
     import graft.format.ColumnStat
     val stats = Map("x" -> ColumnStat("long", "1", "10", 5))
