@@ -37,6 +37,36 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark + tumbling window aggregation streams into a graft table") {
+    val t = tmp()
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val windowed = mem.toDF().toDF("ts", "kind", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"kind")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("win_start"), $"kind", $"n", $"total")
+    val q = windowed.writeStream
+      .outputMode("append")
+      .foreachBatch(GraftStreaming.foreachBatchSink(t, "winq"))
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(7), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the earlier windows
+      mem.addData((ts(40), "click", 9.0))
+      q.processAllAvailable()
+      val out = GraftTable.read(spark, t)
+        .select("win_start", "kind", "n", "total").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 10:05:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("readChanges returns only rows appended in the version range") {
     val t = tmp()
     GraftTable.write(Seq((1L, "x")).toDF("id", "v"), t)
