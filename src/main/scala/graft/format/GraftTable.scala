@@ -336,6 +336,41 @@ object GraftTable {
       .filter(pmod(xxhash64(col(RowAddrCol)), lit(buckets)) < lit((fraction * buckets).toLong))
   }
 
+  /** Table/column statistics from manifest metadata only — no data IO
+    * (reference dataset statistics, `rust/lance/src/dataset/statistics.rs`).
+    * One row per column: global min/max/nullCount folded across fragments.
+    */
+  def describe(spark: SparkSession, tablePath: String,
+               version: Option[Long] = None): DataFrame = {
+    val m = loadManifest(spark, tablePath, version)
+    val cols = m.schema.fieldNames.toSeq
+    val rows = cols.map { c =>
+      val stats = m.fragments.flatMap(_.stats.get(c))
+      val (mn, mx) = if (stats.isEmpty) (null, null) else {
+        val kind = stats.head.kind
+        def pick(vals: Seq[String], takeMax: Boolean): String = kind match {
+          case "long" => val l = vals.map(_.toLong); (if (takeMax) l.max else l.min).toString
+          case "double" => val d = vals.map(_.toDouble); (if (takeMax) d.max else d.min).toString
+          case _ => if (takeMax) vals.max else vals.min
+        }
+        (pick(stats.map(_.min), takeMax = false), pick(stats.map(_.max), takeMax = true))
+      }
+      (c, m.schema(c).dataType.simpleString, m.fragments.map(_.rows).sum,
+        if (stats.isEmpty) null else java.lang.Long.valueOf(stats.map(_.nullCount).sum),
+        mn, mx)
+    }
+    spark.createDataFrame(rows)
+      .toDF("column", "type", "rows", "null_count", "min", "max")
+  }
+
+  /** Lazy blob access (reference `take_blobs`, `blob.rs:42-168`): fetch ONLY
+    * the blob column (plus id) for the addressed rows — combines the take
+    * fragment pruning with column pruning so payload IO is bounded by the
+    * request, not the table. */
+  def takeBlobs(spark: SparkSession, tablePath: String, addrs: Seq[Long],
+                blobCol: String): DataFrame =
+    take(spark, tablePath, addrs).select(col(RowAddrCol), col(blobCol))
+
   // -------------------------------------------------------------- mutations
 
   /** Stage a deletion-vector file from a DataFrame of `_rowaddr`s; returns

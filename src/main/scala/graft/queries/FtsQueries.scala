@@ -52,8 +52,32 @@ object FtsQueries {
       Fts.boostQuery(s, idx,
           positive = Seq("spark"), negative = Seq("slow"), negativeBoost = 0.5, k = 20)
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // MultiMatch across two indexed fields: full text (boost 1) and a
+    // derived "title" field = first 10 tokens (boost 2), max-combined.
+    "q_fts_multimatch" -> { (s, d) =>
+      val fullIdx = indexFor(s, d, "mm_full")
+      val titleIdx = titleIndexFor(s, d)
+      Fts.multiMatch(s, Seq((titleIdx, 2.0), (fullIdx, 1.0)),
+          terms = Seq("spark", "vector"), k = 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     }
   )
+
+  private val builtTitle = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def titleIndexFor(s: SparkSession, d: String): String =
+    builtTitle.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/fts_title_${d.hashCode.toHexString}"
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val withTitle = Tables.documents(s, d)
+        .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 10)))
+      Fts.buildIndex(withTitle, "doc_id", "title", dir)
+      dir
+    })
 
   private val tokCte =
     """toks AS (SELECT doc_id,
@@ -90,6 +114,33 @@ object FtsQueries {
     "q_fts_boolean" -> bm25Select("'table','vector'",
       """AND f.doc_id IN (SELECT doc_id FROM tf WHERE token = 'table')
         |AND f.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'slow')""".stripMargin),
+    "q_fts_multimatch" ->
+      """WITH fdocs AS (SELECT doc_id, text, array_to_string((string_split(text,' '))[1:10],' ') AS title FROM documents),
+        |ftoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk FROM fdocs),
+        |fdl AS (SELECT doc_id, len(tk)*1.0 AS dl FROM ftoks),
+        |fmeta AS (SELECT count(*)*1.0 AS n, avg(dl) AS avgdl FROM fdl),
+        |ftf AS (SELECT doc_id, t AS token, count(*)*1.0 AS tf
+        |        FROM (SELECT doc_id, unnest(tk) AS t FROM ftoks) GROUP BY doc_id, t),
+        |fst AS (SELECT token, count(*)*1.0 AS df FROM ftf GROUP BY token),
+        |fscore AS (SELECT f.doc_id, sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+        |             * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))) * 1.0 AS sc
+        |           FROM ftf f JOIN fst s ON f.token=s.token
+        |            JOIN fdl d ON f.doc_id=d.doc_id CROSS JOIN fmeta m
+        |           WHERE f.token IN ('spark','vector') GROUP BY f.doc_id),
+        |ttoks AS (SELECT doc_id, list_filter(string_split_regex(lower(title),'[^a-z0-9]+'), t -> t <> '') AS tk FROM fdocs),
+        |tdl AS (SELECT doc_id, len(tk)*1.0 AS dl FROM ttoks),
+        |tmeta AS (SELECT count(*)*1.0 AS n, avg(dl) AS avgdl FROM tdl),
+        |ttf AS (SELECT doc_id, t AS token, count(*)*1.0 AS tf
+        |        FROM (SELECT doc_id, unnest(tk) AS t FROM ttoks) GROUP BY doc_id, t),
+        |tst AS (SELECT token, count(*)*1.0 AS df FROM ttf GROUP BY token),
+        |tscore AS (SELECT f.doc_id, sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+        |             * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))) * 2.0 AS sc
+        |           FROM ttf f JOIN tst s ON f.token=s.token
+        |            JOIN tdl d ON f.doc_id=d.doc_id CROSS JOIN tmeta m
+        |           WHERE f.token IN ('spark','vector') GROUP BY f.doc_id)
+        |SELECT doc_id, round(max(sc),4) AS _score
+        |FROM (SELECT * FROM tscore UNION ALL SELECT * FROM fscore)
+        |GROUP BY doc_id ORDER BY max(sc) DESC, doc_id LIMIT 20""".stripMargin,
     "q_fts_boost" ->
       s"""WITH $tokCte,
          |scores AS (

@@ -57,6 +57,9 @@ object Demo {
     println("== readLate result (wide col fetched only for 1 of 4 fragments) ==")
     late.select($"id", org.apache.spark.sql.functions.length($"wide_payload").as("payload_len"))
       .orderBy("id").show()
+
+    println("== describe (metadata-only table statistics) ==")
+    GraftTable.describe(spark, t3).show(false)
     spark.stop()
   }
 }

@@ -104,6 +104,25 @@ class FragmentStatsSpec extends AnyFunSuite {
     assert(touched.length == 1)
   }
 
+  test("describe folds fragment stats into table-level column stats, no data IO") {
+    val t = rangedTable()
+    val d = GraftTable.describe(spark, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d("id").getLong(2) == 100) // rows
+    assert(d("id").getString(4) == "0" && d("id").getString(5) == "99") // min/max
+    assert(d("id").getLong(3) == 0) // nulls
+    assert(d("val").getString(5).toDouble == 148.5)
+  }
+
+  test("takeBlobs fetches only the payload column for addressed rows") {
+    val t = rangedTable()
+    val addrs = GraftTable.read(spark, t, withRowAddr = true)
+      .filter($"id".isin(7L, 93L)).select("_rowaddr").as[Long].collect().toSeq
+    val blobs = GraftTable.takeBlobs(spark, t, addrs, "name")
+    assert(blobs.columns.toSeq == Seq("_rowaddr", "name"))
+    assert(blobs.select("name").as[String].collect().toSet == Set("row-7", "row-93"))
+  }
+
   test("mayMatch conservative on nulls") {
     import graft.format.ColumnStat
     val stats = Map("x" -> ColumnStat("long", "1", "10", 5))
