@@ -120,6 +120,45 @@ object IvfIndex {
     Knn.flatSearch(candidates, vecCol, query, k, metric,
       tieBreakers = Seq(col(idCol))).drop(PidCol)
   }
+
+  /** Build over a graft table snapshot, recording the covered version —
+    * the input to [[searchCombined]]'s fresh-data handling. */
+  def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
+                    vecCol: String, indexPath: String, nlist: Int): Model = {
+    val version = graft.format.GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val model = build(graft.format.GraftTable.read(spark, tablePath),
+      idCol, vecCol, indexPath, nlist)
+    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, version)
+    model
+  }
+
+  /** `knn_combined` (reference `scanner.rs:2946-3030`): ANN over the
+    * fragments the index covers, UNION flat KNN over fragments appended
+    * since the index was built, then merged global top-k — correct results
+    * on fresh data without waiting for an index rebuild. The flat side
+    * scans only the new fragments (fragment metadata carries
+    * `addedVersion`, the role of the reference's `fragment_bitmap`).
+    */
+  def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
+                     idCol: String, vecCol: String, query: Array[Float],
+                     k: Int, nprobes: Int): DataFrame = {
+    import graft.format.GraftTable
+    val indexedVersion = graft.index.ScalarIndex.indexedVersion(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath has no version marker — build with buildForTable"))
+    val indexed = search(spark, indexPath, idCol, vecCol, query, k, nprobes)
+      .select(col(idCol), col(Knn.DistanceCol))
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = m.fragments.filter(_.addedVersion > indexedVersion)
+    if (freshFrags.isEmpty) return indexed
+    val fresh = Knn.flatSearch(
+        GraftTable.readFragments(spark, tablePath, m, freshFrags),
+        vecCol, query, k, "l2", tieBreakers = Seq(col(idCol)))
+      .select(col(idCol), col(Knn.DistanceCol))
+    indexed.unionByName(fresh)
+      .orderBy(col(Knn.DistanceCol), col(idCol))
+      .limit(k)
+  }
 }
 
 /** Nearest-centroid assignment: argmin over the embedded centroid table.

@@ -68,6 +68,26 @@ class IvfSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains(IvfIndex.PidCol), plan)
   }
 
+  test("knn_combined: fresh fragments are searched flat and merged") {
+    import graft.format.GraftTable
+    import java.nio.file.Files
+    val t = Files.createTempDirectory("ivf_comb_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_comb_idx_").toString
+    // index covers the first 400 vectors; 100 appended AFTER the build
+    GraftTable.write(embeddings.filter($"vec_id" < 400), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append")
+
+    val q = queryVec(0L)
+    val combined = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(combined == flat) // nprobes=nlist ⇒ combined == exact flat over ALL data
+    // and the true top-10 includes post-index vectors (else the test is vacuous)
+    assert(flat.exists(_ >= 400L), s"pick a query whose neighbors span the split: $flat")
+  }
+
   test("deterministic build: same centroids across runs") {
     val m1 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
     val m2 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
