@@ -208,9 +208,11 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** PQ codes + per-query ADC table → approximate l2² distance. */
+/** PQ codes + per-query ADC table → approximate l2² distance. Codegen'd —
+  * this is the hot loop of the ANN candidate pass; the lookup table is a
+  * per-query constant shipped as a codegen reference object. */
 case class PqAdc(child: Expression, table: Array[Array[Float]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
@@ -227,6 +229,22 @@ case class PqAdc(child: Expression, table: Array[Array[Float]])
       s += 1
     }
     acc
+  }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tableRef = ctx.addReferenceObj("adcTable", table, "float[][]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($codes.length, $tableRef.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $tableRef[$i][$codes[$i] & 0xff];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
