@@ -532,6 +532,24 @@ object GraftTable {
     write(df, tablePath, "overwrite")
   }
 
+  /** Add columns computed by a batch UDF (reference `NewColumnTransform::
+    * BatchUDF`, `schema_evolution.rs:62`; Python `udf.py`): `fn` maps each
+    * existing row to the values of the new columns, executed per partition
+    * with iterator-in/iterator-out shape (one UDF init per partition, the
+    * `mapInPandas` analogue for Scala). */
+  def addColumnsUdf(spark: SparkSession, tablePath: String,
+                    newCols: StructType,
+                    fn: org.apache.spark.sql.Row => Seq[Any]): GraftManifest = {
+    val df = read(spark, tablePath)
+    val combined = StructType(df.schema.fields ++ newCols.fields)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(combined)
+    val out = df.mapPartitions { it =>
+      it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq ++ fn(r)))
+    }
+    write(out.toDF(), tablePath, "overwrite")
+  }
+
   /** Metadata-only column drop: the parquet scan prunes to the manifest
     * schema, so data files need no rewrite (reference `drop_columns`,
     * metadata-only thanks to field ids). */

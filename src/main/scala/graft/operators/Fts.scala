@@ -30,6 +30,26 @@ object Fts {
 
   case class Index(postings: String, termstats: String, docstats: String, meta: String)
 
+  /** `contains_tokens(col, 'a b c')` — true iff every query token appears in
+    * the tokenized column (reference `contains_tokens` UDF,
+    * `rust/lance-datafusion/src/udf.rs:16-29`). Registered for SQL via
+    * [[registerSql]]; composed from codegen'd builtins.
+    */
+  def containsTokens(c: Column, query: String): Column = {
+    val toks = tokenize(lit(query))
+    forall(toks, t => array_contains(tokenize(c), t))
+  }
+
+  /** Register `contains_tokens` into the session's SQL function registry. */
+  def registerSql(spark: SparkSession): Unit = {
+    spark.udf.register("contains_tokens",
+      (text: String, query: String) => {
+        val qt = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val tt = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+        qt.forall(tt.contains)
+      })
+  }
+
   private def paths(indexPath: String) = Index(
     s"$indexPath/postings", s"$indexPath/termstats",
     s"$indexPath/docstats", s"$indexPath/meta")

@@ -60,6 +60,19 @@ class FtsSpec extends AnyFunSuite {
     assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("containsTokens column + SQL registration agree") {
+    val df = corpus
+    val viaCol = df.filter(Fts.containsTokens($"text", "quick fox"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaCol == Set(1L, 3L))
+    Fts.registerSql(spark)
+    df.createOrReplaceTempView("fts_corpus")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM fts_corpus WHERE contains_tokens(text, 'quick fox')")
+      .as[Long].collect().toSet
+    assert(viaSql == viaCol)
+  }
+
   test("tokenizer lowercases and splits punctuation") {
     val toks = Seq((1L, "Hello, World! FOO-bar 42"))
       .toDF("id", "t")

@@ -136,6 +136,20 @@ class GraftTableSpec extends AnyFunSuite {
     assert(back.count() == 5)
   }
 
+  test("addColumnsUdf computes new columns per partition") {
+    import org.apache.spark.sql.types._
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.addColumnsUdf(spark, t,
+      StructType(Seq(StructField("name_len", IntegerType), StructField("tier", StringType))),
+      r => Seq(r.getString(1).length, if (r.getDouble(2) >= 30.0) "high" else "low"))
+    val out = GraftTable.read(spark, t).orderBy("id")
+      .select("name", "name_len", "tier").collect()
+    assert(out.head.getInt(1) == 5)  // "alice".length
+    assert(out.head.getString(2) == "low")
+    assert(out.last.getString(2) == "high")
+  }
+
   test("restore rolls back to an old version as a new commit") {
     val t = tmp()
     GraftTable.write(people, t)
