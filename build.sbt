@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach OUR stdout verbatim: the bench driver
+// parses the single JSON line Bench prints, and sbt's default logger
+// prefixes every forked-process line with [info]/[error], which breaks
+// that parse. StdoutOutput passes the child's stdout/stderr straight
+// through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

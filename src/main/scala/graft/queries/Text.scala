@@ -108,7 +108,7 @@ object Text {
   val oracleSql: Map[String, String] = Map(
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | sum(len(string_split(text,' '))) AS total_tokens,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
         | round(avg(len(string_split(text,' '))),4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_quality" ->
@@ -141,7 +141,7 @@ object Text {
         |  count(*) AS n
         |FROM s GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT count(*) AS n_unique, sum(n_copies) AS n_total, min(keeper) AS min_keeper
+      """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_total, min(keeper) AS min_keeper
         |FROM (SELECT min(doc_id) AS keeper, count(*) AS n_copies
         |      FROM documents GROUP BY text)""".stripMargin,
     "q_ngram_jaccard" ->
