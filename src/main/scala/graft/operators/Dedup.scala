@@ -107,27 +107,44 @@ object Dedup {
       .distinct()
   }
 
-  /** Brute-force n-gram jaccard near-dup pairs within a blocking key
-    * (correctness baseline; LSH is the scale path).
+  /** Exact n-gram jaccard near-dup pairs within a blocking key, via
+    * prefix-filtered set-similarity join (AllPairs/PPJoin).
     *
-    * Two result-preserving optimizations:
-    *  - length prefilter: jaccard(A,B) ≥ t ⇒ |A| ≥ t·|B| and |B| ≥ t·|A|,
-    *    so size-mismatched pairs are pruned before the set intersection;
-    *  - shingles are xxh64'd to longs once per doc, so the per-pair
-    *    intersect/union compares 8-byte values, not strings (jaccard is
-    *    hash-collision-exact w.h.p. 1 - n²/2⁶⁴).
+    * Result-identical to the all-pairs baseline, but never materializes the
+    * quadratic pair space:
+    *  - shingles are xxh64'd to longs and sorted — a global total order;
+    *  - prefix filtering principle (PPJoin): jaccard(A,B) ≥ t ⇒ the first
+    *    ⌊(1-t)·|A|⌋+1 elements of A and first ⌊(1-t)·|B|⌋+1 of B share a
+    *    token. Candidates come from an inverted-index self-join on prefix
+    *    tokens only — the shuffle is keyed by (block, token), fan-in bounded
+    *    by prefix-token collision rate, never all-pairs;
+    *  - length prefilter at candidate time (jaccard ≥ t ⇒ t·|B| ≤ |A|);
+    *  - candidates then exact-verified with true jaccard over the full sets
+    *    (hash-collision-exact w.h.p. 1 - n²/2⁶⁴).
+    * At 100 TB the same plan holds: one shuffle on prefix tokens, one
+    * candidate-keyed verify join — no per-block quadratic stage.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, shingleCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     val hashed = df.select(col(blockCol).as("blk"), col(idCol),
-      array_distinct(transform(col(shingleCol), s => xxhash64(s))).as("hs"))
+      array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s)))).as("hs"))
+      .withColumn("sz", size(col("hs")))
       .persist()
+    // PPJoin prefix: first |X| - ⌈t·|X|⌉ + 1 = ⌊(1-t)·|X|⌋ + 1 tokens
+    val pfxLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val pfx = hashed.select(col("blk"), col(idCol), col("sz"),
+      explode(slice(col("hs"), lit(1), pfxLen)).as("tok"))
+    val aTok = pfx.select(col("blk"), col("tok"), col(idCol).as("a_id"), col("sz").as("a_sz"))
+    val bTok = pfx.select(col("blk"), col("tok"), col(idCol).as("b_id"), col("sz").as("b_sz"))
+    val cands = aTok.join(bTok, Seq("blk", "tok"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_sz") >= lit(threshold) * col("b_sz") &&
+        col("b_sz") >= lit(threshold) * col("a_sz"))
+      .select(col("blk"), col("a_id"), col("b_id"))
+      .distinct()
     val a = hashed.select(col("blk"), col(idCol).as("a_id"), col("hs").as("a_sh"))
     val b = hashed.select(col("blk"), col(idCol).as("b_id"), col("hs").as("b_sh"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id") &&
-        size(col("a_sh")) >= lit(threshold) * size(col("b_sh")) &&
-        size(col("b_sh")) >= lit(threshold) * size(col("a_sh")))
+    cands.join(a, Seq("blk", "a_id")).join(b, Seq("blk", "b_id"))
       .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))

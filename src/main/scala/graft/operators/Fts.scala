@@ -54,26 +54,43 @@ object Fts {
     s"$indexPath/postings", s"$indexPath/termstats",
     s"$indexPath/docstats", s"$indexPath/meta")
 
-  /** Distributed inverted-index build (reference `inverted/builder.rs`). */
+  /** Distributed inverted-index build (reference `inverted/builder.rs`).
+    *
+    * One tokenization pass: the tokenized corpus is cached, postings are
+    * cached pre-write so termstats derives from the in-memory aggregate
+    * instead of re-reading parquet, and postings are range-partitioned by
+    * token so term-predicate queries prune files (the batch analogue of the
+    * reference's token-sorted posting lists). termstats is token-range
+    * partitioned too (query-time term filter prunes, then broadcasts);
+    * docstats is per-doc — normal partitioning, joined on doc_id; only the
+    * single-row meta coalesces.
+    */
   def buildIndex(df: DataFrame, idCol: String, textCol: String, indexPath: String): Index = {
     val p = paths(indexPath)
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(tokenize(col(textCol))).as(Seq("pos", "token")))
-    val postings = toks.groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).cast("double").as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-    postings.write.mode(SaveMode.Overwrite).parquet(p.postings)
-
-    val spark = df.sparkSession
-    val post = spark.read.parquet(p.postings)
-    post.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(p.termstats)
-
-    val docstats = df.select(col(idCol).as("doc_id"),
-      size(tokenize(col(textCol))).cast("double").as("dl"))
-    docstats.write.mode(SaveMode.Overwrite).parquet(p.docstats)
-    docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .write.mode(SaveMode.Overwrite).parquet(p.meta)
+    val tokenized = df.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("tk"))
+      .persist()
+    try {
+      val toks = tokenized.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "token")))
+      val postings = toks.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .persist()
+      try {
+        postings.repartitionByRange(col("token"))
+          .write.mode(SaveMode.Overwrite).parquet(p.postings)
+        postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+          .repartitionByRange(col("token"))
+          .write.mode(SaveMode.Overwrite).parquet(p.termstats)
+      } finally postings.unpersist()
+      val docstats = tokenized.select(col("doc_id"),
+        size(col("tk")).cast("double").as("dl")).persist()
+      try {
+        docstats.write.mode(SaveMode.Overwrite).parquet(p.docstats)
+        docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
+      } finally docstats.unpersist()
+    } finally tokenized.unpersist()
     p
   }
 
