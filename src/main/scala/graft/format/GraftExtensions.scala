@@ -51,7 +51,8 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
-        if !gfi.maskApplied && gfi.manifest.dvFiles.isEmpty =>
+        if !gfi.maskApplied && gfi.manifest.dvFiles.isEmpty &&
+          gfi.manifest.columnFiles.isEmpty =>
       findSargable(cond, gfi) match {
         case None => f
         case Some((colName, pred)) => rewrite(f, lr, gfi, colName, pred)
@@ -124,11 +125,16 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   }
 }
 
+/** Snapshot-semantics rule for `format("graft")` relations: applies the DV
+  * anti-join AND the supplemental-column merge (no-rewrite add_columns) that
+  * [[GraftTable.read]] builds, so plain DataFrame/SQL reads see exactly the
+  * committed snapshot. */
 class GraftDvRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case lr @ LogicalRelation(
         HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _)
-        if gfi.manifest.dvFiles.nonEmpty && !gfi.dvApplied =>
+        if (gfi.manifest.dvFiles.nonEmpty || gfi.manifest.columnFiles.nonEmpty) &&
+          !gfi.dvApplied =>
       rewrite(lr, gfi)
   }
 
@@ -146,11 +152,16 @@ class GraftDvRule(session: SparkSession) extends Rule[LogicalPlan] {
     val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
       "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
       .plus(col("_metadata.row_index"))
-    val dv = session.read
-      .parquet(m.dvFiles.map(p => new org.apache.hadoop.fs.Path(gfi.tablePath, p).toString): _*)
-      .select(col("addr").as(GraftTable.RowAddrCol)).distinct()
-    val joined = base.withColumn(GraftTable.RowAddrCol, addr)
-      .join(dv, Seq(GraftTable.RowAddrCol), "left_anti")
+    val withAddr = base.withColumn(GraftTable.RowAddrCol, addr)
+    val live =
+      if (m.dvFiles.isEmpty) withAddr
+      else {
+        val dv = session.read
+          .parquet(m.dvFiles.map(p => new org.apache.hadoop.fs.Path(gfi.tablePath, p).toString): _*)
+          .select(col("addr").as(GraftTable.RowAddrCol)).distinct()
+        withAddr.join(dv, Seq(GraftTable.RowAddrCol), "left_anti")
+      }
+    val joined = GraftTable.mergeColumnFiles(session, gfi.tablePath, m, live)
       .drop(GraftTable.RowAddrCol)
     val analyzed = joined.queryExecution.analyzed
     // restore the original relation's attribute ids for the parents

@@ -254,7 +254,7 @@ object GraftTable {
     val addr = shiftleft(regexp_extract(col("_metadata.file_name"), FragRe, 1).cast("long"), 32)
       .plus(col("_metadata.row_index"))
 
-    val needAddr = withRowAddr || m.dvFiles.nonEmpty
+    val needAddr = withRowAddr || m.dvFiles.nonEmpty || m.columnFiles.nonEmpty
     val withAddr = if (needAddr) base.withColumn(RowAddrCol, addr) else base
     val live =
       if (m.dvFiles.isEmpty) withAddr
@@ -263,8 +263,29 @@ object GraftTable {
           .select(col("addr").as(RowAddrCol)).distinct()
         withAddr.join(dv, Seq(RowAddrCol), "left_anti")
       }
-    if (withRowAddr) live else live.drop(RowAddrCol)
+    val merged = mergeColumnFiles(spark, t, m, live)
+    if (withRowAddr) merged else merged.drop(RowAddrCol)
   }
+
+  /** Merge supplemental column datasets (no-rewrite add_columns) into a scan
+    * that already carries `_rowaddr`. Old fragments read the added columns as
+    * nulls from parquet (absent in their files) and take the supplemental
+    * value; fragments written after the add_columns commit carry real values
+    * and their addrs never appear in the supplemental dataset (fragment ids
+    * only grow), so `coalesce(base, supplemental)` is exact. Equi-join on
+    * addr: broadcast when the column file is small, shuffled sort-merge
+    * otherwise — either way IO is the supplemental columns only. */
+  private[format] def mergeColumnFiles(spark: SparkSession, t: Path, m: GraftManifest,
+                                       scan: DataFrame): DataFrame =
+    m.columnFiles.foldLeft(scan) { case (d, cf) =>
+      val supp = spark.read.parquet(new Path(t, cf.path).toString)
+        .select(col("addr").as("__cf_addr") +:
+          cf.columns.map(c => col(c).as(s"__cf_$c")): _*)
+      val joined = d.join(supp, d(RowAddrCol) === supp("__cf_addr"), "left_outer")
+      cf.columns.foldLeft(joined) { (dd, c) =>
+        dd.withColumn(c, coalesce(dd(c), dd(s"__cf_$c")))
+      }.drop("__cf_addr" +: cf.columns.map(c => s"__cf_$c"): _*)
+    }
 
   /** COUNT(*) metadata fast path — no data IO (reference
     * `count_rows`, `scanner.rs:1496-1554`). */
@@ -282,15 +303,9 @@ object GraftTable {
     val m = loadManifest(spark, tablePath, version)
     val want = addrs.map(a => a >>> 32).toSet
     val pruned = m.copy(fragments = m.fragments.filter(f => want.contains(f.id)))
-    val t = new Path(tablePath)
-    val index = new GraftFileIndex(spark, t, pruned)
-    val relation = HadoopFsRelation(
-      location = index, partitionSchema = new StructType(), dataSchema = m.schema,
-      bucketSpec = None, fileFormat = new ParquetFileFormat, options = Map.empty)(spark)
-    val base = ColumnBridge.ofRows(spark, LogicalRelation(relation, isStreaming = false))
-    val addr = shiftleft(regexp_extract(col("_metadata.file_name"), FragRe, 1).cast("long"), 32)
-      .plus(col("_metadata.row_index"))
-    base.withColumn(RowAddrCol, addr)
+    // full snapshot semantics (DV subtraction + supplemental columns) over
+    // only the addressed fragments
+    readManifest(spark, tablePath, pruned, withRowAddr = true)
       .filter(col(RowAddrCol).isin(addrs: _*))
   }
 
@@ -500,9 +515,69 @@ object GraftTable {
     } finally joined.unpersist()
   }
 
+  /** Partial compaction (reference `compact_files`, `optimize.rs:120-146`):
+    * candidate fragments are those below half the target row count (small-file
+    * bins) or with a deleted fraction ≥ `materializeDeletions` (default 10%,
+    * the reference default). ONLY candidates are rewritten — their live rows
+    * re-binned into ~targetRows fragments; untouched fragments keep their
+    * files, ids, and stats, so at 100 TB compaction IO is proportional to the
+    * debt, not the table. DV entries covering untouched fragments are carried
+    * forward into one rewritten DV file; entries covering rewritten fragments
+    * are materialized (dropped with the old files).
+    *
+    * Commits optimistically like every mutation, but a concurrent commit
+    * between planning and commit aborts (the reference's Rewrite conflict
+    * semantics) — retrying against a moved base could resurrect rows.
+    */
+  def compactFiles(spark: SparkSession, tablePath: String,
+                   targetRows: Long = 1L << 20,
+                   materializeDeletions: Double = 0.1): GraftManifest = {
+    val m = loadManifest(spark, tablePath)
+    val t = new Path(tablePath)
+    val dvPaths = m.dvFiles.map(p => new Path(t, p).toString)
+    val delByFrag: Map[Long, Long] =
+      if (m.dvFiles.isEmpty) Map.empty
+      else spark.read.parquet(dvPaths: _*)
+        .select(shiftrightunsigned(col("addr"), 32).as("f")).groupBy(col("f")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cand = m.fragments.filter { f =>
+      f.rows < targetRows / 2 ||
+        (f.rows > 0 && delByFrag.getOrElse(f.id, 0L).toDouble / f.rows >= materializeDeletions)
+    }
+    val candDeleted = cand.map(f => delByFrag.getOrElse(f.id, 0L)).sum
+    if (cand.size < 2 && candDeleted == 0) return m // no debt to pay
+    val keep = m.fragments.filterNot(f => cand.exists(_.id == f.id))
+    val keepIds = keep.map(_.id).toSet
+    // live rows of candidate fragments only (DVs applied by readManifest)
+    val live = readManifest(spark, tablePath, m.copy(fragments = cand), withRowAddr = false)
+    val liveCount = cand.map(_.rows).sum - candDeleted
+    val nOut = math.max(1, math.ceil(liveCount.toDouble / targetRows).toInt)
+    var staged = stageFragments(spark, tablePath, live.repartition(nOut))
+    // DV entries for untouched fragments survive the rewrite
+    val dvCarry: Option[(String, Long)] =
+      if (m.dvFiles.isEmpty || m.numDeleted == candDeleted) None
+      else stageDv(spark, tablePath,
+        spark.read.parquet(dvPaths: _*)
+          .filter(shiftrightunsigned(col("addr"), 32).isin(keepIds.toSeq: _*))
+          .select(col("addr").as(RowAddrCol)))
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        if (base.version != m.version) throw new IllegalStateException(
+          s"compaction conflict: table moved from v${m.version} to v${base.version}")
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+        staged = paths
+        base.copy(version = base.version + 1, operation = "rewrite",
+          fragments = keep ++ frags,
+          dvFiles = dvCarry.map(_._1).toSeq,
+          numDeleted = dvCarry.map(_._2).getOrElse(0L),
+          parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+
   /** Full compaction: rewrite all live rows into ~targetRows fragments,
-    * materializing deletions (reference `optimize.rs:120-146`; partial /
-    * per-fragment-group compaction is the round-2 refinement). */
+    * materializing deletions (reference `optimize.rs:120-146`). See
+    * [[compactFiles]] for the debt-proportional partial path. */
   def compact(spark: SparkSession, tablePath: String,
               targetRows: Long = 1L << 20): GraftManifest = {
     val live = read(spark, tablePath)
@@ -514,22 +589,62 @@ object GraftTable {
         val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
         staged = paths
         base.copy(version = base.version + 1, operation = "rewrite",
-          fragments = frags, dvFiles = Nil, numDeleted = 0L, parent = base.version)
+          fragments = frags, dvFiles = Nil, numDeleted = 0L,
+          columnFiles = Nil, // supplemental values materialized by the rewrite
+          parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
   }
 
   // ------------------------------------------------------- schema evolution
 
-  /** Add columns from SQL expressions (reference `add_columns`,
-    * `schema_evolution.rs:58-71`; this round rewrites fragments — the
-    * supplemental-file no-rewrite path lands with the DSv2 scan). */
+  /** Add columns from SQL expressions by full rewrite (reference
+    * `add_columns`, `schema_evolution.rs:58-71`). Prefer [[addColumnsFiles]]
+    * — the no-rewrite path — unless the table is small or a rewrite is
+    * wanted anyway. */
   def addColumns(spark: SparkSession, tablePath: String,
                  exprs: Seq[(String, String)]): GraftManifest = {
     val df = exprs.foldLeft(read(spark, tablePath)) { case (d, (n, e)) =>
       d.withColumn(n, expr(e))
     }
     write(df, tablePath, "overwrite")
+  }
+
+  /** Add columns WITHOUT rewriting data files (reference: new DataFiles
+    * appended to existing fragments, `fragment.rs:27-50` — "a fragment holds
+    * ≥1 data file so columns can be added without rewriting").
+    *
+    * Writes ONE supplemental parquet dataset `(addr, newCols…)` computed from
+    * the current snapshot, and commits a schema + columnFiles metadata
+    * change. Existing fragment files are untouched — at 100 TB adding a
+    * column costs IO proportional to the NEW column, not the table. Reads
+    * merge it back by addr equi-join (see [[mergeColumnFiles]]); rows
+    * appended after this commit carry the columns in their own fragment
+    * files. Aborts on concurrent commits (the computed values are tied to
+    * this snapshot's addresses). */
+  def addColumnsFiles(spark: SparkSession, tablePath: String,
+                      exprs: Seq[(String, String)]): GraftManifest = {
+    val m0 = loadManifest(spark, tablePath)
+    val dup = exprs.map(_._1).filter(m0.schema.fieldNames.contains)
+    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    val snap = read(spark, tablePath, None, withRowAddr = true)
+    val proj = snap.select(col(RowAddrCol).as("addr") +:
+      exprs.map { case (n, e) => expr(e).as(n) }: _*)
+    val rel = s"columns/colf-${UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(new Path(tablePath), rel)
+    proj.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val written = spark.read.parquet(dir.toString).schema
+    val newFields = exprs.map { case (n, _) => written(n) }
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        if (base.version != m0.version) throw new IllegalStateException(
+          s"add_columns conflict: table moved from v${m0.version} to v${base.version}")
+        base.copy(version = base.version + 1, operation = "merge",
+          schemaJson = StructType(base.schema.fields ++ newFields).json,
+          columnFiles = base.columnFiles :+ ColumnFileMeta(rel, exprs.map(_._1)),
+          parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
   }
 
   /** Add columns computed by a batch UDF (reference `NewColumnTransform::
@@ -557,8 +672,11 @@ object GraftTable {
     commitLoop(spark, tablePath, {
       case Some(base) =>
         val keep = StructType(base.schema.fields.filterNot(f => names.contains(f.name)))
+        val cf = base.columnFiles
+          .map(c => c.copy(columns = c.columns.filterNot(names.contains)))
+          .filter(_.columns.nonEmpty)
         base.copy(version = base.version + 1, operation = "project",
-          schemaJson = keep.json, parent = base.version)
+          schemaJson = keep.json, columnFiles = cf, parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
 

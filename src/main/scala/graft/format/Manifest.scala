@@ -27,6 +27,14 @@ case class FragmentMeta(
     addedVersion: Long,
     stats: Map[String, ColumnStat] = Map.empty)
 
+/** Supplemental column dataset from a no-rewrite `add_columns` commit
+  * (reference: a fragment holds ≥1 DataFile so columns can be added without
+  * rewriting, `fragment.rs:27-50`; `schema_evolution.rs:58-71`). Parquet
+  * keyed by `addr` (= `_rowaddr`) carrying ONLY the added columns; reads
+  * merge it back with an addr equi-join — the Spark-native analogue of the
+  * reference's positional column-file zip. */
+case class ColumnFileMeta(path: String, columns: Seq[String])
+
 case class GraftManifest(
     version: Long,
     operation: String,
@@ -38,7 +46,10 @@ case class GraftManifest(
     dvFiles: Seq[String],
     numDeleted: Long,
     config: Map[String, String],
-    parent: Long) {
+    parent: Long,
+    /** Supplemental column datasets (no-rewrite schema evolution). Missing in
+      * round-1 manifests → defaults to empty. */
+    columnFiles: Seq[ColumnFileMeta] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def maxFragmentId: Long = if (fragments.isEmpty) -1L else fragments.map(_.id).max
   def liveRows: Long = fragments.map(_.rows).sum - numDeleted

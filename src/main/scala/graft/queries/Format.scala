@@ -127,6 +127,31 @@ object Format {
       GraftTable.compact(s, t)
       GraftTable.read(s, t)
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // partial compaction: mixed fragment sizes + DV debt; only indebted
+    // fragments rewritten (compact_files semantics)
+    "q_format_compact_partial" -> { (s, d) =>
+      val t = freshDir(s, "compact_partial")
+      val o = Tables.orders(s, d)
+      GraftTable.write(o.filter(col("o_orderkey") <= 30000).repartition(2), t, "overwrite")
+      GraftTable.write(o.filter(col("o_orderkey") > 30000).coalesce(1), t, "append")
+      GraftTable.delete(s, t, "o_orderstatus = 'P'")
+      GraftTable.compactFiles(s, t, targetRows = 20000, materializeDeletions = 0.01)
+      GraftTable.read(s, t)
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
+    // no-rewrite add_columns: supplemental column file merged on read
+    "q_format_add_columns" -> { (s, d) =>
+      val t = freshDir(s, "add_columns")
+      GraftTable.write(Tables.customer(s, d), t, "overwrite")
+      GraftTable.addColumnsFiles(s, t,
+        Seq("bal_bucket" -> "CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+      GraftTable.read(s, t)
+        .groupBy(col("bal_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("bal_bucket"))
     }
   )
 
@@ -161,6 +186,13 @@ object Format {
     "q_format_compact" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderstatus <> 'P'""".stripMargin,
+    "q_format_compact_partial" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
+        |WHERE o_orderstatus <> 'P'""".stripMargin,
+    "q_format_add_columns" ->
+      """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        | count(*) AS n, round(sum(c_acctbal),2) AS total
+        |FROM customer GROUP BY bal_bucket ORDER BY bal_bucket""".stripMargin,
     "q_format_take" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
