@@ -29,9 +29,11 @@ class GraftDataSource extends RelationProvider
     val m = GraftTable.loadManifest(spark, path, version)
     val dvRuleInstalled = spark.sessionState.analyzer.extendedResolutionRules
       .exists(_.isInstanceOf[GraftDvRule])
-    if (m.dvFiles.nonEmpty && !dvRuleInstalled) throw new IllegalStateException(
-      "graft: this snapshot has deletion vectors; install GraftExtensions " +
-        "(spark.sql.extensions=graft.format.GraftExtensions) or read it with GraftTable.read(...)")
+    if ((m.dvFiles.nonEmpty || m.columnFiles.nonEmpty) && !dvRuleInstalled)
+      throw new IllegalStateException(
+        "graft: this snapshot has deletion vectors or supplemental column " +
+          "files; install GraftExtensions " +
+          "(spark.sql.extensions=graft.format.GraftExtensions) or read it with GraftTable.read(...)")
     val t = new org.apache.hadoop.fs.Path(path)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = new GraftFileIndex(spark, t, m),

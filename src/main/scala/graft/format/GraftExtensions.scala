@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.StructType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => new GraftDvRule(session))
-    e.injectResolutionRule(session => new GraftScalarIndexRule(session))
+    // optimizer (not resolution) rule: after predicate pushdown the filter
+    // sits directly on the relation in EVERY read path (GraftTable.read,
+    // format("graft"), SQL views) — including DV snapshots, where the
+    // anti-join plan wraps the relation at load() time, before any filter
+    // exists for a resolution rule to see.
+    e.injectOptimizerRule(session => new GraftScalarIndexRule(session))
+    e.injectOptimizerRule(session => new GraftAddrPruneRule(session))
   }
 }
 
@@ -33,15 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * `apply_scalar_indices`, `lance-index/src/scalar/expression.rs:1549`):
   *
   * `Filter(cond, graftRelation)` where some conjunct of `cond` is sargable
-  * on a column with a FRESH btree index (`<table>/_indices/btree_<col>`,
-  * indexed version == snapshot version) becomes
+  * on a column with a USABLE btree index (`<table>/_indices/btree_<col>`)
+  * becomes
   *
   * `Filter(cond, SemiJoin(relation+addr, indexLookup(conjunct)))`
   *
   * i.e. the index produces a row-address mask (the reference's
   * `IndexExprResult` exact mask); the ORIGINAL filter stays on top as the
   * refine step, so the rewrite is correctness-preserving by construction.
-  * A stale or absent index leaves the plan untouched.
+  *
+  * Usable = the fragments the index covers (those of the indexed version)
+  * all still exist in the snapshot. Fragments appended SINCE the build scan
+  * flat and union in — the reference's `fragment_bitmap` partial coverage —
+  * with the refine filter supplying exactness. A stale (compacted-away) or
+  * absent index leaves the plan untouched.
+  *
+  * Runs in the OPTIMIZER, after predicate pushdown has planted the filter
+  * directly on the relation; the rewrite is a pure mask semi-join (plus the
+  * flat-fresh union), so it composes under whatever DV anti-join /
+  * supplemental-column merge the analyzer-time plans already built above it
+  * — the mask may name deleted addresses, but the outer anti-join removes
+  * them. `_metadata` is threaded through when the surrounding plan consumes
+  * it (the DV plan derives `_rowaddr` from it above this node).
   */
 class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -51,20 +70,35 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
-        if !gfi.maskApplied && gfi.manifest.dvFiles.isEmpty &&
-          gfi.manifest.columnFiles.isEmpty =>
+        if !gfi.maskApplied =>
       findSargable(cond, gfi) match {
         case None => f
         case Some((colName, pred)) => rewrite(f, lr, gfi, colName, pred)
       }
   }
 
-  /** first conjunct that is sargable on exactly one indexed+fresh column */
+  /** first conjunct that is sargable on exactly one indexed+usable column */
   private def findSargable(cond: Expression, gfi: GraftFileIndex): Option[(String, Expression)] = {
     splitConjunctivePredicates(cond).collectFirst {
       case p if p.references.size == 1 && sargableShape(p) &&
-        indexFresh(gfi, p.references.head.name) =>
+        coveredFragmentIds(gfi, p.references.head.name).isDefined =>
         (p.references.head.name, p)
+    }
+  }
+
+  /** Fragment ids the index for `colName` covers, when the index is usable
+    * for this snapshot: indexed version ≤ snapshot version and every indexed
+    * fragment still present (fragments are immutable, so id-presence ⟹
+    * content unchanged). None = missing/stale index. */
+  private def coveredFragmentIds(gfi: GraftFileIndex, colName: String): Option[Set[Long]] = {
+    val m = gfi.manifest
+    graft.index.ScalarIndex.indexedVersion(session, indexDir(gfi, colName)).flatMap { vi =>
+      val current = m.fragments.map(_.id).toSet
+      if (vi == m.version) Some(current)
+      else if (vi > m.version) None // index from the future of this snapshot (time travel)
+      else scala.util.Try(GraftTable.loadManifest(session, gfi.tablePath.toString, Some(vi)))
+        .toOption.map(_.fragments.map(_.id).toSet)
+        .filter(_.subsetOf(current))
     }
   }
 
@@ -95,28 +129,44 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   private def rewrite(f: Filter, lr: LogicalRelation, gfi: GraftFileIndex,
                       colName: String, pred: Expression): LogicalPlan = {
     val m = gfi.manifest
+    val covered = coveredFragmentIds(gfi, colName).getOrElse(return f)
     // mask: index rows satisfying pred (attr substituted by index's v col)
     val idx = session.read.parquet(indexDir(gfi, colName))
     val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
     val predOnV = pred.transform { case _: AttributeReference => vAttr }
+    val joinKey = "__graft_mask_addr"
     val mask = ColumnBridge.ofRows(session,
         Filter(predOnV, idx.queryExecution.analyzed))
-      .select(col(GraftTable.RowAddrCol))
-    // base relation (maskApplied) with derived addr, semi-joined to the mask
-    val relation = HadoopFsRelation(
-      location = new GraftFileIndex(session, gfi.tablePath, m,
-        dvApplied = true, maskApplied = true),
-      partitionSchema = new StructType(), dataSchema = m.schema,
-      bucketSpec = None, fileFormat = new ParquetFileFormat,
-      options = Map.empty)(session)
-    val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
-    val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
-      "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
-      .plus(col("_metadata.row_index"))
-    val masked = base.withColumn(GraftTable.RowAddrCol, addr)
-      .join(mask, Seq(GraftTable.RowAddrCol), "left_semi")
-      .drop(GraftTable.RowAddrCol)
-    val analyzed = masked.queryExecution.analyzed
+      .select(col(GraftTable.RowAddrCol).as(joinKey))
+
+    // the replacement must reproduce lr's exact output surface (the DV plan
+    // above may consume `_metadata` to derive `_rowaddr`)
+    val outNames = lr.output.map(_.name)
+
+    // fragment-subset scan carrying lr's columns + a local mask-join key
+    def scan(frags: Seq[FragmentMeta]): org.apache.spark.sql.DataFrame = {
+      val relation = HadoopFsRelation(
+        location = new GraftFileIndex(session, gfi.tablePath, m.copy(fragments = frags),
+          dvApplied = gfi.dvApplied, maskApplied = true),
+        partitionSchema = new StructType(), dataSchema = m.schema,
+        bucketSpec = None, fileFormat = new ParquetFileFormat,
+        options = Map.empty)(session)
+      val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
+      val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
+        "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
+        .plus(col("_metadata.row_index"))
+      base.select(outNames.map(col) :+ addr.as(joinKey): _*)
+    }
+
+    // covered fragments: mask semi-join; fragments appended since the index
+    // build: flat scan (refine filter on top keeps exactness)
+    val coveredScan = scan(m.fragments.filter(fr => covered.contains(fr.id)))
+      .join(mask, Seq(joinKey), "left_semi")
+    val freshFrags = m.fragments.filterNot(fr => covered.contains(fr.id))
+    val combined =
+      if (freshFrags.isEmpty) coveredScan
+      else coveredScan.unionByName(scan(freshFrags))
+    val analyzed = combined.drop(joinKey).queryExecution.analyzed
     val out: Seq[NamedExpression] = lr.output.zip(analyzed.output).map {
       case (orig, fresh) => Alias(fresh, orig.name)(exprId = orig.exprId)
     }
@@ -129,6 +179,81 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   * anti-join AND the supplemental-column merge (no-rewrite add_columns) that
   * [[GraftTable.read]] builds, so plain DataFrame/SQL reads see exactly the
   * committed snapshot. */
+/** `_rowaddr` point-lookup rewrite (reference `Dataset::take` pushdown,
+  * `take.rs:103`): after predicate pushdown, a filter pinning the derived
+  * row-address expression (`fragId << 32 | row_index`) to literals sits
+  * directly on the graft relation. This rule decodes the fragment ids from
+  * the literal addresses and swaps the relation's [[GraftFileIndex]] for one
+  * pruned to exactly those fragments — a k-address lookup scans ≤k fragments
+  * no matter the table size, with zero plan-shape surgery (the filter stays
+  * and selects rows within the fragments).
+  *
+  * The match is STRUCTURAL on the address expression (shiftleft ∘
+  * regexp_extract(file_name) + row_index) — an arbitrary user expression
+  * never triggers pruning, so the rewrite cannot change results.
+  */
+class GraftAddrPruneRule(session: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        lr @ LogicalRelation(rel @ HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
+        if !gfi.addrPruned =>
+      wantedFragIds(cond) match {
+        case Some(ids) =>
+          val pruned = gfi.manifest.copy(
+            fragments = gfi.manifest.fragments.filter(fr => ids.contains(fr.id)))
+          val idx = new GraftFileIndex(session, gfi.tablePath, pruned,
+            dvApplied = gfi.dvApplied, maskApplied = gfi.maskApplied, addrPruned = true)
+          Filter(cond, lr.copy(relation = rel.copy(location = idx)(session)))
+        case None => f
+      }
+  }
+
+  /** Fragment ids addressed by some conjunct `addrExpr = lit` / `addrExpr IN
+    * (lits)`; None when no conjunct pins the address expression. */
+  private def wantedFragIds(cond: Expression): Option[Set[Long]] = {
+    splitConjunctivePredicates(cond).iterator.map {
+      case EqualTo(AddrExpr(), Literal(v: Long, _)) => Some(Set(v >>> 32))
+      case EqualTo(Literal(v: Long, _), AddrExpr()) => Some(Set(v >>> 32))
+      case In(AddrExpr(), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map(_.asInstanceOf[Literal].value.asInstanceOf[Long] >>> 32).toSet)
+      case InSet(AddrExpr(), vs) =>
+        Some(vs.map(_.asInstanceOf[Long] >>> 32).toSet)
+      case _ => None
+    }.collectFirst { case Some(ids) => ids }
+  }
+
+  /** Structural matcher for the derived row-address expression. */
+  private object AddrExpr {
+    def unapply(e: Expression): Boolean = e match {
+      case Add(l, r, _) => (isShiftedFragId(l) && isRowIndex(r)) ||
+        (isShiftedFragId(r) && isRowIndex(l))
+      case _ => false
+    }
+    private def isShiftedFragId(e: Expression): Boolean = e match {
+      case ShiftLeft(c, Literal(32, _)) => c match {
+        case Cast(re: RegExpExtract, _, _, _) => isFragRegex(re)
+        case re: RegExpExtract => isFragRegex(re)
+        case _ => false
+      }
+      case _ => false
+    }
+    private def isFragRegex(re: RegExpExtract): Boolean = re.regexp match {
+      case Literal(s, _) => s != null && s.toString.contains("frag-(\\d+)")
+      case _ => false
+    }
+    private def isRowIndex(e: Expression): Boolean = e match {
+      case g: GetStructField => g.name.contains("row_index") ||
+        g.childSchema(g.ordinal).name == "row_index"
+      case a: AttributeReference => a.name == "row_index" || a.name == "_metadata.row_index"
+      case _ => false
+    }
+  }
+}
+
 class GraftDvRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case lr @ LogicalRelation(

@@ -27,7 +27,10 @@ class GraftFileIndex(
     val dvApplied: Boolean = false,
     /** true once a scalar-index mask semi-join has been planned around this
       * index (prevents the index rule from re-rewriting). */
-    val maskApplied: Boolean = false) extends FileIndex {
+    val maskApplied: Boolean = false,
+    /** true once the `_rowaddr` point-lookup rule has pruned this index's
+      * fragment list (prevents re-pruning loops). */
+    val addrPruned: Boolean = false) extends FileIndex {
 
   private def status(f: FragmentMeta): FileStatus =
     new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,

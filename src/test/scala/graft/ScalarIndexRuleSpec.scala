@@ -42,14 +42,82 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (100L to 110L))
   }
 
-  test("stale index (table changed after build): rule does not apply") {
+  test("append after build: partial coverage — mask over indexed fragments, flat union over fresh") {
     val t = freshIndexed()
     GraftTable.write(TestSpark.spark.range(500, 600).toDF("id")
       .withColumn("grp", pmod(col("id"), lit(10))), t, "append")
-    val q = GraftTable.read(extSpark, t).filter(col("id") >= 550)
+    val q = GraftTable.read(extSpark, t).filter(col("id") >= 450)
     val plan = q.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("LeftSemi"), plan) // no mask — stale
-    assert(q.count() == 50) // and the appended rows are NOT lost
+    assert(plan.contains("LeftSemi"), plan) // indexed fragments still masked
+    assert(plan.contains("Union"), plan)    // fresh fragments scanned flat
+    assert(q.count() == 150) // 450..499 via index + 500..599 via flat branch
+  }
+
+  test("compacted away: index is stale, rule does not apply, result exact") {
+    val t = freshIndexed()
+    GraftTable.delete(TestSpark.spark, t, "id < 250")
+    GraftTable.compact(TestSpark.spark, t) // indexed fragments replaced
+    val q = GraftTable.read(extSpark, t).filter(col("id").between(300, 310))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftSemi"), plan)
+    assert(q.count() == 11)
+  }
+
+  test("DV snapshot: mask semi-join composes with the DV anti-join") {
+    val t = freshIndexed()
+    GraftTable.delete(TestSpark.spark, t, "id = 105")
+    val q = extSpark.read.format("graft").load(t).filter(col("id").between(100, 110))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((100L to 110L).filterNot(_ == 105L)))
+  }
+
+  test("supplemental-column snapshot: index rewrite keeps merged values") {
+    val t = freshIndexed()
+    GraftTable.addColumnsFiles(TestSpark.spark, t, Seq("id2" -> "id * 2"))
+    // index built at v1 covers all fragments (add_columns adds none)
+    val q = extSpark.read.format("graft").load(t).filter(col("id").between(10, 12))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(q.select("id2").collect().map(_.getLong(0)).sorted.toSeq == Seq(20L, 22L, 24L))
+  }
+
+  test("_rowaddr point lookup prunes the scan to addressed fragments") {
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    GraftTable.write(TestSpark.spark.range(0, 1000).toDF("id").repartition(8), t, "overwrite")
+    val addrs = GraftTable.read(extSpark, t, withRowAddr = true)
+      .filter(col("id").isin(3L, 700L)).select("_rowaddr")
+      .collect().map(_.getLong(0)).toSeq
+    val q = GraftTable.read(extSpark, t, withRowAddr = true)
+      .filter(col("_rowaddr").isin(addrs: _*))
+    val gfis = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            g: graft.format.GraftFileIndex, _, _, _, _, _), _, _, _, _) => g
+    }
+    assert(gfis.exists(g => g.addrPruned &&
+      g.manifest.fragments.length == addrs.map(_ >>> 32).distinct.length),
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 700L))
+  }
+
+  test("_rowaddr equality lookup prunes to one fragment") {
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    GraftTable.write(TestSpark.spark.range(0, 1000).toDF("id").repartition(8), t, "overwrite")
+    val addr = GraftTable.read(extSpark, t, withRowAddr = true)
+      .filter(col("id") === 42L).select("_rowaddr").collect().head.getLong(0)
+    val q = GraftTable.read(extSpark, t, withRowAddr = true)
+      .filter(col("_rowaddr") === addr)
+    val gfis = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            g: graft.format.GraftFileIndex, _, _, _, _, _), _, _, _, _) => g
+    }
+    assert(gfis.exists(g => g.addrPruned && g.manifest.fragments.length == 1),
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 
   test("non-sargable filter untouched") {
