@@ -45,27 +45,39 @@ object GraftTable {
   private def fs(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def manifestDir(t: Path) = new Path(t, "_manifests")
-  private def manifestPath(t: Path, v: Long) = new Path(manifestDir(t), f"$v%020d.json")
+  /** Manifest lineage dir for a ref: main = `_manifests`, branch `b` =
+    * `_branches/b/_manifests`. Branches share the table's data/DV files
+    * (fragment paths are table-root-relative); only metadata diverges —
+    * reference branches, Python `dataset.py:539-645`. */
+  private def manifestDir(t: Path, branch: Option[String] = None): Path = branch match {
+    case None => new Path(t, "_manifests")
+    case Some(b) => new Path(t, s"_branches/$b/_manifests")
+  }
+  private def manifestPath(t: Path, v: Long, branch: Option[String] = None) =
+    new Path(manifestDir(t, branch), f"$v%020d.json")
 
-  def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
+  def versions(spark: SparkSession, tablePath: String,
+               branch: Option[String] = None): Seq[Long] = {
     val t = new Path(tablePath)
     val f = fs(spark, t)
-    if (!f.exists(manifestDir(t))) Seq.empty
-    else f.listStatus(manifestDir(t)).toSeq
+    if (!f.exists(manifestDir(t, branch))) Seq.empty
+    else f.listStatus(manifestDir(t, branch)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong).sorted
   }
 
-  def latestVersion(spark: SparkSession, tablePath: String): Option[Long] =
-    versions(spark, tablePath).lastOption
+  def latestVersion(spark: SparkSession, tablePath: String,
+                    branch: Option[String] = None): Option[Long] =
+    versions(spark, tablePath, branch).lastOption
 
-  def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None): GraftManifest = {
+  def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None,
+                   branch: Option[String] = None): GraftManifest = {
     val t = new Path(tablePath)
-    val v = version.orElse(latestVersion(spark, tablePath))
-      .getOrElse(throw new IllegalArgumentException(s"no graft table at $tablePath"))
+    val v = version.orElse(latestVersion(spark, tablePath, branch))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no graft ${branch.map(b => s"branch $b").getOrElse("table")} at $tablePath"))
     val f = fs(spark, t)
-    val in = f.open(manifestPath(t, v))
+    val in = f.open(manifestPath(t, v, branch))
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     GraftManifest.fromJson(new String(bytes, "UTF-8"))
   }
@@ -78,19 +90,20 @@ object GraftTable {
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomic create-if-absent commit. Returns false on version conflict. */
-  private def tryCommit(spark: SparkSession, tablePath: String, m: GraftManifest): Boolean = {
-    val lock = commitLocks.computeIfAbsent(tablePath, _ => new Object)
+  private def tryCommit(spark: SparkSession, tablePath: String, m: GraftManifest,
+                        branch: Option[String] = None): Boolean = {
+    val lock = commitLocks.computeIfAbsent(s"$tablePath#${branch.getOrElse("")}", _ => new Object)
     lock.synchronized {
       val t = new Path(tablePath)
       val f = fs(spark, t)
-      f.mkdirs(manifestDir(t))
-      val p = manifestPath(t, m.version)
+      f.mkdirs(manifestDir(t, branch))
+      val p = manifestPath(t, m.version, branch)
       if (f.exists(p)) return false
       // write complete content to a temp file, then rename into place:
       // readers never observe a partially written manifest (rename is atomic
       // on POSIX/HDFS; HDFS rename additionally fails if the dest exists,
       // which is the cross-process CAS).
-      val tmpP = new Path(manifestDir(t), s".tmp-${m.version}-${UUID.randomUUID().toString.take(8)}")
+      val tmpP = new Path(manifestDir(t, branch), s".tmp-${m.version}-${UUID.randomUUID().toString.take(8)}")
       try {
         val out = f.create(tmpP, /*overwrite=*/ true)
         try out.write(GraftManifest.toJson(m).getBytes("UTF-8")) finally out.close()
@@ -107,12 +120,14 @@ object GraftTable {
     * CAS succeeds (reference's conflict-retry commit). */
   private def commitLoop(spark: SparkSession, tablePath: String,
                          op: Option[GraftManifest] => GraftManifest,
-                         maxRetries: Int = 20): GraftManifest = {
+                         maxRetries: Int = 20,
+                         branch: Option[String] = None): GraftManifest = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val base = latestVersion(spark, tablePath).map(v => loadManifest(spark, tablePath, Some(v)))
+      val base = latestVersion(spark, tablePath, branch)
+        .map(v => loadManifest(spark, tablePath, Some(v), branch))
       val next = op(base)
-      if (tryCommit(spark, tablePath, next)) return next
+      if (tryCommit(spark, tablePath, next, branch)) return next
       attempt += 1
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries at $tablePath")
@@ -137,10 +152,25 @@ object GraftTable {
     * return their metadata. Executors write data; the driver only reads
     * footers. Fragment ids are assigned by `assignIds` at commit time.
     */
+  /** Fragment writes force TIMESTAMP_MICROS (not Spark's INT96 default):
+    * INT96 columns carry no footer statistics, which would silently no-op
+    * zonemap pruning on every timestamp column. Scoped set + restore. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame): Seq[Path] = {
     val txn = s"data/txn-${UUID.randomUUID().toString.take(8)}"
     val stagingDir = new Path(new Path(tablePath), txn)
-    df.write.mode(SaveMode.Overwrite).parquet(stagingDir.toString)
+    withMicrosTimestamps(spark) {
+      df.write.mode(SaveMode.Overwrite).parquet(stagingDir.toString)
+    }
     val f = fs(spark, stagingDir)
     f.listStatus(stagingDir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
@@ -233,8 +263,8 @@ object GraftTable {
 
   /** Read a fragment subset of a snapshot (CDC / take-style access). */
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
-                    frags: Seq[FragmentMeta]): DataFrame =
-    readManifest(spark, tablePath, m.copy(fragments = frags), withRowAddr = false)
+                    frags: Seq[FragmentMeta], withRowAddr: Boolean = false): DataFrame =
+    readManifest(spark, tablePath, m.copy(fragments = frags), withRowAddr = withRowAddr)
 
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
                            withRowAddr: Boolean): DataFrame = {
@@ -680,6 +710,59 @@ object GraftTable {
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
 
+  // ---------------------------------------------------------------- branches
+
+  /** Create branch `name` from `fromVersion` (default: latest) of main
+    * (reference `create_branch`, Python `dataset.py:539-645`). The branch
+    * starts as a copy of the source manifest at the SAME version number;
+    * later branch commits increment independently of main. Data files are
+    * shared — branching is metadata-only, O(1) IO. */
+  def createBranch(spark: SparkSession, tablePath: String, name: String,
+                   fromVersion: Option[Long] = None): GraftManifest = {
+    require(name.nonEmpty && !name.contains("/"), s"bad branch name: $name")
+    require(!branches(spark, tablePath).contains(name), s"branch $name already exists")
+    val src = loadManifest(spark, tablePath, fromVersion)
+    val m = src.copy(operation = "create_branch", parent = src.version)
+    if (!tryCommit(spark, tablePath, m, Some(name)))
+      throw new IllegalStateException(s"branch $name already exists")
+    m
+  }
+
+  def branches(spark: SparkSession, tablePath: String): Seq[String] = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    val dir = new Path(t, "_branches")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Snapshot read of a branch head (or a specific branch version). */
+  def readBranch(spark: SparkSession, tablePath: String, name: String,
+                 version: Option[Long] = None): DataFrame =
+    readManifest(spark, tablePath,
+      loadManifest(spark, tablePath, version, Some(name)), withRowAddr = false)
+
+  /** Append to a branch: fragments land in the shared data dir; only the
+    * branch lineage references them. */
+  def writeBranch(df: DataFrame, tablePath: String, name: String): GraftManifest = {
+    val spark = df.sparkSession
+    var staged = stageFragments(spark, tablePath, df)
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+        staged = paths
+        base.copy(version = base.version + 1, operation = "append",
+          fragments = base.fragments ++ frags, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no branch $name at $tablePath")
+    }, branch = Some(name))
+  }
+
+  /** Delete a branch ref (metadata only; shared data files stay). */
+  def dropBranch(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val t = new Path(tablePath)
+    fs(spark, t).delete(new Path(t, s"_branches/$name"), true)
+  }
+
   // ------------------------------------------------------- tags & cleanup
 
   /** Named version refs (reference tags, Python `dataset.py:539-645`). */
@@ -721,10 +804,15 @@ object GraftTable {
     val keep = (vs.takeRight(keepLast).toSet ++ tagged)
     val drop = vs.filterNot(keep)
     if (drop.isEmpty) return
-    // referenced files across surviving manifests
-    val referenced = keep.toSeq.flatMap { v =>
-      val m = loadManifest(spark, tablePath, Some(v))
-      m.fragments.map(_.path) ++ m.dvFiles
+    // referenced files across surviving manifests — including EVERY branch
+    // version (branches share the data dir; dropping a branch's files would
+    // corrupt it)
+    val referenced = (keep.toSeq.map(v => loadManifest(spark, tablePath, Some(v))) ++
+      branches(spark, tablePath).flatMap { b =>
+        versions(spark, tablePath, Some(b))
+          .map(v => loadManifest(spark, tablePath, Some(v), Some(b)))
+      }).flatMap { m =>
+      m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
     }.toSet
     drop.foreach(v => f.delete(manifestPath(t, v), false))
     // delete unreferenced fragment files / DV dirs
@@ -745,11 +833,14 @@ object GraftTable {
       }
     }
     sweep("data", referenced.contains)
-    // DV "files" are directories: referenced by their dir-relative path
-    val dvDir = new Path(t, "deletes")
-    if (f.exists(dvDir)) f.listStatus(dvDir).foreach { d =>
-      val rel = s"deletes/${d.getPath.getName}"
-      if (!referenced.contains(rel)) f.delete(d.getPath, true)
+    // DV / supplemental-column "files" are directories: referenced by their
+    // dir-relative path
+    for (sub <- Seq("deletes", "columns")) {
+      val dir = new Path(t, sub)
+      if (f.exists(dir)) f.listStatus(dir).foreach { d =>
+        val rel = s"$sub/${d.getPath.getName}"
+        if (!referenced.contains(rel)) f.delete(d.getPath, true)
+      }
     }
   }
 

@@ -94,6 +94,57 @@ object Fts {
     p
   }
 
+  /** Incremental index maintenance (reference `optimize_indices` /
+    * inverted-index delta merge, `rust/lance-index/src/scalar/inverted/
+    * builder.rs`): tokenize ONLY the new documents, append their postings
+    * and docstats, then recompute the global statistics (termstats, meta)
+    * from aggregate scans of the merged datasets — the indexed corpus is
+    * never retokenized or rewritten. Query code is unchanged: postings for
+    * a term may now span multiple files, which the term-pushdown scan
+    * already handles. At 100 TB, maintenance cost is O(delta) + one
+    * aggregate over postings keys. */
+  def optimizeIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                    indexPath: String): Index = {
+    val p = paths(indexPath)
+    val tokenized = newDocs.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("tk"))
+      .persist()
+    try {
+      val toks = tokenized.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "token")))
+      toks.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .write.mode(SaveMode.Append).parquet(p.postings)
+      tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+        .write.mode(SaveMode.Append).parquet(p.docstats)
+    } finally tokenized.unpersist()
+    val spark = newDocs.sparkSession
+    // global stats from the merged datasets (aggregate-only IO)
+    val termstats = spark.read.parquet(p.postings)
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      .repartitionByRange(col("token"))
+    val tmpTs = s"${p.termstats}__tmp"
+    termstats.write.mode(SaveMode.Overwrite).parquet(tmpTs)
+    replaceDir(spark, tmpTs, p.termstats)
+    val docstats = spark.read.parquet(p.docstats)
+    val tmpMeta = s"${p.meta}__tmp"
+    docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpMeta)
+    replaceDir(spark, tmpMeta, p.meta)
+    p
+  }
+
+  /** Directory swap: write fresh, then delete+rename — concurrent queries
+    * see either the old stats or the new ones, never a half-written dir. */
+  private def replaceDir(spark: SparkSession, src: String, dest: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new org.apache.hadoop.fs.Path(dest)
+    val s = new org.apache.hadoop.fs.Path(src)
+    val fs = d.getFileSystem(conf)
+    fs.delete(d, true)
+    if (!fs.rename(s, d)) throw new IllegalStateException(s"rename $src -> $dest failed")
+  }
+
   /** idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — reference scorer. */
   private def idf(n: Double): Column =
     log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))

@@ -122,14 +122,47 @@ object IvfIndex {
   }
 
   /** Build over a graft table snapshot, recording the covered version —
-    * the input to [[searchCombined]]'s fresh-data handling. */
+    * the input to [[searchCombined]]'s fresh-data handling and
+    * [[optimizeForTable]]'s delta append. The index rows carry `_rowaddr`
+    * so post-build deletions can be subtracted at query time. */
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int): Model = {
     val version = graft.format.GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
-    val model = build(graft.format.GraftTable.read(spark, tablePath),
+    val model = build(
+      graft.format.GraftTable.read(spark, tablePath, withRowAddr = true),
       idCol, vecCol, indexPath, nlist)
     graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, version)
     model
+  }
+
+  /** Incremental index maintenance (reference `optimize_indices`,
+    * `rust/lance/src/dataset/index.rs`): assign ONLY the fragments appended
+    * since the build to the EXISTING centroids and append them into the
+    * partitioned index dataset — no retrain, no rewrite of indexed rows.
+    * Returns the number of newly indexed rows. At 100 TB, maintenance IO is
+    * O(delta); centroid quality drifts only as far as the data distribution
+    * does (the reference makes the same trade — retrain is a rebuild). */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, indexPath: String): Long = {
+    import graft.format.GraftTable
+    val vi = graft.index.ScalarIndex.indexedVersion(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath has no version marker — build with buildForTable"))
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = m.fragments.filter(_.addedVersion > vi)
+    if (freshFrags.isEmpty) {
+      graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, m.version)
+      return 0L
+    }
+    val model = loadModel(spark, indexPath)
+    val fresh = GraftTable.readFragments(spark, tablePath, m, freshFrags,
+      withRowAddr = true)
+    val assigned = fresh.withColumn(PidCol,
+      ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids)))
+    assigned.write.mode(SaveMode.Append).partitionBy(PidCol)
+      .parquet(s"$indexPath/vectors")
+    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, m.version)
+    freshFrags.map(_.rows).sum
   }
 
   /** `knn_combined` (reference `scanner.rs:2946-3030`): ANN over the
@@ -146,9 +179,26 @@ object IvfIndex {
     val indexedVersion = graft.index.ScalarIndex.indexedVersion(spark, indexPath)
       .getOrElse(throw new IllegalStateException(
         s"$indexPath has no version marker — build with buildForTable"))
-    val indexed = search(spark, indexPath, idCol, vecCol, query, k, nprobes)
-      .select(col(idCol), col(Knn.DistanceCol))
     val m = GraftTable.loadManifest(spark, tablePath)
+    // rows deleted AFTER the build are still in the index dataset: overfetch
+    // by the table's deleted count (bounded, usually small pre-compaction),
+    // subtract by the stored _rowaddr, re-cut to k (reference prefilter
+    // semantics, `scanner.rs` prefilter + `knn.rs`)
+    val addrCol = graft.format.GraftTable.RowAddrCol
+    val overfetch = k + math.min(m.numDeleted, Int.MaxValue.toLong - k).toInt
+    val raw = search(spark, indexPath, idCol, vecCol, query, overfetch, nprobes)
+    val indexed0 =
+      if (m.dvFiles.isEmpty || !raw.columns.contains(addrCol)) raw
+      else {
+        val t = new org.apache.hadoop.fs.Path(tablePath)
+        val dv = spark.read.parquet(
+            m.dvFiles.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
+          .select(col("addr").as(addrCol)).distinct()
+        raw.join(dv, Seq(addrCol), "left_anti")
+      }
+    val indexed = indexed0
+      .orderBy(col(Knn.DistanceCol), col(idCol)).limit(k)
+      .select(col(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filter(_.addedVersion > indexedVersion)
     if (freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.format.{FragmentStats, GraftFileIndex, GraftTable}
 
@@ -121,6 +121,28 @@ class FragmentStatsSpec extends AnyFunSuite {
     val blobs = GraftTable.takeBlobs(spark, t, addrs, "name")
     assert(blobs.columns.toSeq == Seq("_rowaddr", "name"))
     assert(blobs.select("name").as[String].collect().toSet == Set("row-7", "row-93"))
+  }
+
+  test("timestamp columns get footer stats (MICROS write) and prune fragments") {
+    val t = Files.createTempDirectory("graft_ts_").toString + "/t"
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600)"))
+    GraftTable.write(df.repartitionByRange(4, col("ts")), t, "overwrite")
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.forall(_.stats.contains("ts")),
+      s"timestamp stats missing: ${m.fragments.head.stats.keys}")
+    assert(m.fragments.forall(_.stats("ts").kind == "long"))
+    val index = new GraftFileIndex(spark, new Path(t), m)
+    val tsAttr = AttributeReference("ts", TimestampType)()
+    // literal in micros: 2024-01-01 12:00:00 UTC
+    val cutoff = java.time.Instant.parse("2024-01-01T12:00:00Z").getEpochSecond * 1000000L
+    val lt = LessThan(tsAttr, Literal(cutoff, TimestampType))
+    val kept = index.listFiles(Nil, Seq(lt)).head.files.length
+    assert(kept < 4 && kept >= 1, s"expected pruning, kept $kept/4")
+    // e2e exactness
+    val n = GraftTable.read(spark, t)
+      .filter(col("ts") < expr("timestamp'2024-01-01 12:00:00'")).count()
+    assert(n == 12)
   }
 
   test("mayMatch conservative on nulls") {

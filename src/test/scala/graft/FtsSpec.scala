@@ -79,4 +79,22 @@ class FtsSpec extends AnyFunSuite {
       .select(Fts.tokenize($"t")).as[Seq[String]].head()
     assert(toks == Seq("hello", "world", "foo", "bar", "42"))
   }
+
+  test("optimizeIndex: incremental build equals full rebuild exactly") {
+    val half1 = corpus.filter($"doc_id" <= 3)
+    val half2 = corpus.filter($"doc_id" > 3)
+    val incDir = Files.createTempDirectory("fts_inc_").toString
+    Fts.buildIndex(half1, "doc_id", "text", incDir)
+    Fts.optimizeIndex(half2, "doc_id", "text", incDir)
+    val fullDir = buildTmpIndex()
+    for (terms <- Seq(Seq("quick", "fox"), Seq("brown"), Seq("dog", "sleeps"))) {
+      val inc = Fts.matchQuery(spark, incDir, terms, 5).as[(Long, Double)].collect().toSeq
+      val full = Fts.matchQuery(spark, fullDir, terms, 5).as[(Long, Double)].collect().toSeq
+      assert(inc.map(_._1) == full.map(_._1), s"doc order for $terms")
+      inc.zip(full).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    }
+    // phrase positions survive the delta append
+    assert(Fts.phraseQuery(spark, incDir, Seq("brown", "fox")).as[Long].collect().toSet ==
+      Fts.phraseQuery(spark, fullDir, Seq("brown", "fox")).as[Long].collect().toSet)
+  }
 }

@@ -93,4 +93,46 @@ class IvfSpec extends AnyFunSuite {
     val m2 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
     assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
   }
+
+  test("optimizeForTable indexes appended fragments; search == flat afterwards") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_opt_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_opt_idx_").toString
+    GraftTable.write(embeddings.filter($"vec_id" < 400), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append")
+    val n = IvfIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx)
+    assert(n == 100)
+    // after optimize the marker moved: searchCombined has no flat branch,
+    // and the pure index search over all partitions equals flat search
+    val q = queryVec(0L)
+    val viaIdx = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIdx == flat)
+    // idempotent: nothing new to index
+    assert(IvfIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 0L)
+  }
+
+  test("searchCombined subtracts rows deleted after the index build") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_del_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_del_idx_").toString
+    GraftTable.write(embeddings, t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    val q = queryVec(0L)
+    val top = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val victim = top.head // delete the best hit (vec_id 0 itself)
+    GraftTable.delete(spark, t, s"vec_id = $victim")
+    val after = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!after.contains(victim), s"deleted $victim still returned: $after")
+    assert(after.size == 10)
+    val flat = Knn.flatSearch(
+        GraftTable.read(spark, t), "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(after == flat) // nprobes=nlist + DV subtraction == exact over live rows
+  }
 }

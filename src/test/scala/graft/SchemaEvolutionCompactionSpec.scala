@@ -121,6 +121,40 @@ class SchemaEvolutionCompactionSpec extends AnyFunSuite {
     assert(!ids.contains(15000L) && !ids.contains(4999L) && ids.contains(5000L))
   }
 
+  test("branches: create, append, read — isolated from main, shared data") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.createBranch(spark, t, "dev")
+    assert(GraftTable.branches(spark, t) == Seq("dev"))
+    // branch append does not affect main
+    GraftTable.writeBranch(Seq((10L, "zoe", 99.0)).toDF("id", "name", "score"), t, "dev")
+    assert(GraftTable.read(spark, t).count() == 5)
+    assert(GraftTable.readBranch(spark, t, "dev").count() == 6)
+    // main append does not affect the branch
+    GraftTable.write(Seq((11L, "yan", 1.0)).toDF("id", "name", "score"), t, "append")
+    assert(GraftTable.read(spark, t).count() == 6)
+    assert(GraftTable.readBranch(spark, t, "dev").count() == 6)
+    assert(GraftTable.readBranch(spark, t, "dev")
+      .filter(col("id") === 10L).count() == 1)
+    // branch time travel: the branch's first version is the fork point
+    val forkV = GraftTable.versions(spark, t, Some("dev")).head
+    assert(GraftTable.readBranch(spark, t, "dev", Some(forkV)).count() == 5)
+    // cleanup keeps branch-referenced files
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 1)
+    assert(GraftTable.readBranch(spark, t, "dev").count() == 6)
+    GraftTable.dropBranch(spark, t, "dev")
+    assert(GraftTable.branches(spark, t).isEmpty)
+  }
+
+  test("createBranch from an old version forks history") {
+    val t = tmp()
+    GraftTable.write(people, t)                       // v1
+    GraftTable.write(people.limit(2), t, "append")    // v2
+    GraftTable.createBranch(spark, t, "hotfix", fromVersion = Some(1L))
+    assert(GraftTable.readBranch(spark, t, "hotfix").count() == 5)
+    assert(GraftTable.read(spark, t).count() == 7)
+  }
+
   test("compactFiles no-op when there is no debt") {
     val t = tmp()
     GraftTable.write(spark.range(0, 5000).toDF("id").repartition(1), t)
