@@ -1,0 +1,240 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** HNSW sub-index: per-IVF-partition navigable small-world graphs.
+  *
+  * Capability mirror of the reference's IVF_HNSW family
+  * (`rust/lance-index/src/vector/hnsw/builder.rs`, `mod.rs`): the corpus is
+  * coarse-partitioned by IVF centroids, and each partition holds an HNSW
+  * graph used as the sub-index at query time (instead of IVF_FLAT's full
+  * partition scan or IVF_PQ's ADC pass).
+  *
+  * Spark-first shape:
+  *  - **build**: one shuffle keyed by partition id; `mapPartitions` builds
+  *    each graph IN PARALLEL across executors (a partition's vectors fit an
+  *    executor — the same bound the reference's per-partition sub-index
+  *    assumes); graphs serialize as plain parquet adjacency rows
+  *    `partitionBy(pid)`, so probing is directory pruning.
+  *  - **search**: rank centroids on the driver, shuffle ONLY the probed
+  *    partitions' graphs to tasks, greedy multi-layer descent + layer-0
+  *    beam (ef) per partition, then global top-k. Query cost is
+  *    O(nprobes · ef · M), independent of corpus size.
+  *
+  * Determinism: level assignment hashes the row id (xxh64 → uniform), and
+  * neighbor lists break distance ties by id, so a rebuild is bit-identical.
+  * Recall is the standard HNSW trade (spec-checked ≥0.9@10 on test data);
+  * exactness gates go through IVF_FLAT, which shares the coarse layout.
+  */
+object HnswIndex {
+  val PidCol = "__ivf_pid"
+
+  /** mL = 1/ln(M): standard HNSW level normalizer. */
+  private def levelOf(id: Long, m: Int): Int = {
+    // xxh-style avalanche of the id → uniform(0,1) → geometric level
+    var h = id * -7046029254386353131L
+    h ^= h >>> 32; h *= -4417276706812531889L; h ^= h >>> 29
+    val u = ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    val mL = 1.0 / math.log(m.toDouble)
+    math.min((-math.log(u) * mL).toInt, 16)
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  private case class Node(id: Long, vec: Array[Float], level: Int,
+                          nbrs: Array[mutable.ArrayBuffer[Long]])
+
+  /** In-memory HNSW insert-all (efConstruction beam, closest-M selection). */
+  private def buildGraph(vecs: Seq[(Long, Array[Float])], m: Int,
+                         efConstruction: Int): Seq[Node] = {
+    val nodes = mutable.LinkedHashMap.empty[Long, Node]
+    var entry: Option[Node] = None
+    val mMax0 = 2 * m
+    def searchLayer(q: Array[Float], eps: Seq[Node], ef: Int, lvl: Int): Seq[Node] = {
+      val visited = mutable.Set.empty[Long]
+      implicit val byDist: Ordering[(Double, Node)] =
+        Ordering.by((t: (Double, Node)) => (t._1, t._2.id))
+      val cand = mutable.PriorityQueue.empty[(Double, Node)](byDist.reverse) // min-heap
+      val best = mutable.PriorityQueue.empty[(Double, Node)]                 // max-heap
+      eps.foreach { e =>
+        if (visited.add(e.id)) { val d = l2sq(q, e.vec); cand.enqueue((d, e)); best.enqueue((d, e)) }
+      }
+      while (best.size > ef) best.dequeue()
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (best.nonEmpty && dc > best.head._1 && best.size >= ef) { cand.clear() }
+        else if (c.level >= lvl) {
+          c.nbrs(lvl).foreach { nid =>
+            if (visited.add(nid)) {
+              val nn = nodes(nid)
+              val d = l2sq(q, nn.vec)
+              if (best.size < ef || d < best.head._1) {
+                cand.enqueue((d, nn)); best.enqueue((d, nn))
+                while (best.size > ef) best.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val drained: Seq[(Double, Node)] = best.dequeueAll
+      drained.reverse.map(_._2)
+    }
+    // deterministic insert order: by id
+    vecs.sortBy(_._1).foreach { case (id, v) =>
+      val lvl = levelOf(id, m)
+      val node = Node(id, v, lvl, Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Long]))
+      entry match {
+        case None => entry = Some(node)
+        case Some(ep0) =>
+          var eps: Seq[Node] = Seq(ep0)
+          var l = ep0.level
+          while (l > lvl) { eps = Seq(searchLayer(v, eps, 1, l).head); l -= 1 }
+          while (l >= 0) {
+            val cands = searchLayer(v, eps, efConstruction, l)
+            val maxM = if (l == 0) mMax0 else m
+            val chosen = cands.sortBy(c => (l2sq(v, c.vec), c.id)).take(maxM)
+            chosen.foreach { c =>
+              node.nbrs(l) += c.id
+              c.nbrs(l) += id
+              if (c.nbrs(l).length > maxM) {
+                // shrink: keep the closest maxM (ties by id)
+                val kept = c.nbrs(l).map(x => (l2sq(c.vec, nodes.getOrElse(x, node).vec), x))
+                  .sortBy { case (d, x) => (d, x) }.take(maxM).map(_._2)
+                c.nbrs(l).clear(); c.nbrs(l) ++= kept
+              }
+            }
+            eps = cands
+            l -= 1
+          }
+          if (lvl > ep0.level) entry = Some(node)
+      }
+      nodes(id) = node
+    }
+    nodes.values.toSeq
+  }
+
+  private val graphSchema = StructType(Seq(
+    StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
+    StructField("level", IntegerType),
+    StructField("nbrs", ArrayType(ArrayType(LongType))),
+    StructField(PidCol, IntegerType)))
+
+  /** Build IVF_HNSW: coarse-assign with the IVF model, then one graph per
+    * partition, built concurrently via mapPartitions. */
+  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int, m: Int = 16, efConstruction: Int = 64): IvfIndex.Model = {
+    val spark = df.sparkSession
+    val model = IvfIndex.train(df, idCol, vecCol, nlist)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn(PidCol, ColumnBridge.column(
+        IvfAssign(ColumnBridge.expression(col("vec")), model.centroids)))
+      .repartition(col(PidCol))
+    val mLocal = m; val efLocal = efConstruction
+    val graphRows = assigned.queryExecution.toRdd.mapPartitions { it =>
+      // one IVF partition per task post-repartition (hash on pid); group by
+      // pid anyway for safety under AQE partition coalescing
+      val byPid = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Array[Float])]]
+      it.foreach { ir =>
+        val id = ir.getLong(0)
+        val vecData = ir.getArray(1)
+        val n = vecData.numElements()
+        val v = new Array[Float](n)
+        var i = 0; while (i < n) { v(i) = vecData.getFloat(i); i += 1 }
+        byPid.getOrElseUpdate(ir.getInt(2), mutable.ArrayBuffer.empty) += ((id, v))
+      }
+      byPid.iterator.flatMap { case (pid, vecs) =>
+        buildGraph(vecs.toSeq, mLocal, efLocal).map { nd =>
+          Row(nd.id, nd.vec.toSeq, nd.level, nd.nbrs.map(_.toSeq).toSeq, pid)
+        }
+      }
+    }
+    spark.createDataFrame(graphRows, graphSchema)
+      .write.mode(SaveMode.Overwrite).partitionBy(PidCol).parquet(s"$indexPath/graph")
+    val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    spark.createDataFrame(cents.toSeq).toDF("pid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+    model
+  }
+
+  /** ANN search: greedy HNSW per probed partition, global top-k. */
+  def search(spark: SparkSession, indexPath: String, query: Array[Float],
+             k: Int, nprobes: Int, ef: Int = 64): DataFrame = {
+    import spark.implicits._
+    val model = IvfIndex.loadModel(spark, s"$indexPath")
+    val probes = model.rank(query).take(math.min(nprobes, model.nlist))
+    val efq = math.max(ef, k)
+    val rows = spark.read.parquet(s"$indexPath/graph")
+      .filter(col(PidCol).isin(probes: _*))
+      .select(col("id"), col("vec"), col("level"), col("nbrs"), col(PidCol).as("pid"))
+      .repartition(col("pid"))
+    val hits = rows.as[(Long, Seq[Float], Int, Seq[Seq[Long]], Int)]
+      .mapPartitions { it =>
+        val byPid = mutable.Map.empty[Int,
+          mutable.Map[Long, (Array[Float], Int, Array[Array[Long]])]]
+        it.foreach { case (id, vec, level, nbrs, pid) =>
+          byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
+            (vec.toArray, level, nbrs.map(_.toArray).toArray)
+        }
+        byPid.iterator.flatMap { case (_, g) =>
+          searchGraph(g, query, k, efq).map { case (id, d) => (id, math.sqrt(d)) }
+        }
+      }.toDF("id", Knn.DistanceCol)
+    hits.orderBy(col(Knn.DistanceCol), col("id")).limit(k)
+  }
+
+  /** Greedy descent + layer-0 beam over one deserialized partition graph. */
+  private def searchGraph(g: mutable.Map[Long, (Array[Float], Int, Array[Array[Long]])],
+                          q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    if (g.isEmpty) return Nil
+    // entry = max level, ties → min id (matches build's entry maintenance)
+    var (epId, (epVec, epLvl, _)) = g.maxBy { case (id, (_, lvl, _)) => (lvl, -id) }
+    var epDist = l2sq(q, epVec)
+    var l = epLvl
+    while (l > 0) { // greedy single-path descent above layer 0
+      var improved = true
+      while (improved) {
+        improved = false
+        val (_, lvl, nbrs) = g(epId)
+        if (lvl >= l) nbrs(l).foreach { nid =>
+          g.get(nid).foreach { case (nv, _, _) =>
+            val d = l2sq(q, nv)
+            if (d < epDist) { epDist = d; epId = nid; improved = true }
+          }
+        }
+      }
+      l -= 1
+    }
+    // layer-0 beam search of width ef
+    val visited = mutable.Set(epId)
+    implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val cand = mutable.PriorityQueue.empty[(Double, Long)](ord.reverse)
+    val best = mutable.PriorityQueue.empty[(Double, Long)](ord)
+    cand.enqueue((epDist, epId)); best.enqueue((epDist, epId))
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (dc > best.head._1 && best.size >= ef) cand.clear()
+      else g(c)._3.headOption.foreach { nbrs0 =>
+        nbrs0.foreach { nid =>
+          if (visited.add(nid)) g.get(nid).foreach { case (nv, _, _) =>
+            val d = l2sq(q, nv)
+            if (best.size < ef || d < best.head._1) {
+              cand.enqueue((d, nid)); best.enqueue((d, nid))
+              while (best.size > ef) best.dequeue()
+            }
+          }
+        }
+      }
+    }
+    val drained: Seq[(Double, Long)] = best.dequeueAll
+    drained.reverse.take(k).map { case (d, id) => (id, d) }
+  }
+}

@@ -35,6 +35,20 @@ object Vector {
       dir
     })
 
+  private val builtHnsw = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hnswIndexFor(s: SparkSession, d: String): String =
+    builtHnsw.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/hnsw_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.HnswIndex.build(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64)
+      dir
+    })
+
   private def ivfIndexFor(s: SparkSession, d: String): String =
     builtIvf.computeIfAbsent(d, { _ =>
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_${d.hashCode.toHexString}"
@@ -86,6 +100,15 @@ object Vector {
       val idx = ivfIndexFor(s, d)
       IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // IVF_HNSW: per-partition navigable-small-world sub-index — rows-only
+    // gate entry (graph search is approximate); HnswSpec gates recall ≥ 0.9.
+    "q_ann_hnsw" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = hnswIndexFor(s, d)
+      graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4, ef = 64)
+        .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
     // Approximate probe (nprobes=2 of 8) — rows-only gate entry; quality is

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{HnswIndex, Knn}
+
+class HnswSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embeddings = Tables.embeddings(spark, sf)
+
+  private def queryVec(id: Long): Array[Float] =
+    embeddings.filter($"vec_id" === id).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  private lazy val idx: String = {
+    val dir = Files.createTempDirectory("hnsw_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64)
+    dir
+  }
+
+  test("graph covers every vector exactly once, layered") {
+    val g = spark.read.parquet(s"$idx/graph")
+    assert(g.count() == 500)
+    assert(g.select("id").distinct().count() == 500)
+    assert(g.filter(col("level") > 0).count() > 0, "multi-layer graph expected")
+    // every node has layer-0 neighbors (connected locally)
+    assert(g.filter(size(element_at(col("nbrs"), 1)) === 0).count() == 0)
+  }
+
+  test("recall@10 vs flat search is high at full probe") {
+    val hits = (0 until 20).map { qi =>
+      val q = queryVec(qi.toLong * 7 % 500)
+      val approx = HnswIndex.search(spark, idx, q, k = 10, nprobes = 4, ef = 64)
+        .select("id").as[Long].collect().toSet
+      val exact = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+        .select("vec_id").as[Long].collect().toSet
+      (approx intersect exact).size.toDouble / exact.size
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("probing fewer partitions still returns k ordered results") {
+    val q = queryVec(3L)
+    val r = HnswIndex.search(spark, idx, q, k = 10, nprobes = 1, ef = 32)
+      .as[(Long, Double)].collect().toSeq
+    assert(r.size == 10)
+    assert(r.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("deterministic rebuild: identical graphs") {
+    val d2 = Files.createTempDirectory("hnsw2_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", d2, nlist = 4, m = 16, efConstruction = 64)
+    val a = spark.read.parquet(s"$idx/graph")
+      .select("id", "level", "nbrs").orderBy("id").collect().toSeq
+    val b = spark.read.parquet(s"$d2/graph")
+      .select("id", "level", "nbrs").orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
