@@ -20,8 +20,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer caches
-    Tables.lineitem(spark, sfDir).filter("l_quantity > 0").count()
+    // warmup: JVM + whole-stage-codegen paths (scan/filter/agg/join/sort) +
+    // parquet footer caches, so per-query numbers measure operators, not JIT
+    {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sfDir)
+      li.filter("l_quantity > 0").count()
+      li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")), avg(col("l_extendedprice")))
+        .orderBy(col("l_returnflag")).collect()
+      li.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count().collect()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

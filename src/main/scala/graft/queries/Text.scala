@@ -94,6 +94,47 @@ object Text {
         .orderBy(col("bucket"))
     },
 
+    // Training-shard packing: assign documents to shards by cumulative token
+    // budget in doc_id order — two-phase distributed cumsum (per-bucket
+    // partitioned window + tiny bucket-offset broadcast join), NEVER a
+    // global single-partition window; the same plan holds at 100 TB.
+    "q_pack_shards" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+        .withColumn("bucket", floor(col("doc_id") / lit(100L)))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBk = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = docs.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("bk_tokens"))
+        .withColumn("bk_offset", sum(col("bk_tokens")).over(wBk) - col("bk_tokens"))
+        .select(col("bucket"), col("bk_offset"))
+      docs
+        .withColumn("cum_in_bucket", sum(col("n_tokens")).over(wIn))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("prior", col("bk_offset") + col("cum_in_bucket") - col("n_tokens"))
+        .withColumn("shard", floor(col("prior") / lit(10000L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("shard_tokens"))
+        .orderBy(col("shard"))
+    },
+
+    // PII scrubbing: count and redact email/phone-shaped tokens (the
+    // regex-sanitize pass every corpus pipeline runs before training).
+    "q_pii_scrub" -> { (s, d) =>
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      Tables.documents(s, d)
+        .withColumn("n_emails",
+          size(split(col("text"), emailRe)) - 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_emails").cast("long")).as("total_emails"),
+          sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("docs_scrubbed"))
+        .orderBy(col("source"))
+    },
+
     "q_contains_tokens" -> { (s, d) =>
       Tables.documents(s, d)
         .filter(array_contains(TA.tokens(col("text")), "vector") &&
@@ -170,6 +211,23 @@ object Text {
         |WHERE len(list_intersect(a.sh,b.sh))*1.0
         |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_pack_shards" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+        |      FROM t)
+        |SELECT CAST(floor(prior / 10000) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT) AS total_emails,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_scrubbed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_contains_tokens" ->
       """SELECT doc_id, lang FROM documents
         |WHERE list_contains(string_split(text,' '), 'vector')
