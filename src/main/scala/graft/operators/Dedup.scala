@@ -55,11 +55,14 @@ object Dedup {
 
   /** MinHash LSH near-duplicate pairs, exact-verified: candidates from
     * banding, then true jaccard over the shingle sets ≥ threshold.
+    * The (id, shingles) projection is persisted ONCE and feeds both the
+    * signature computation and the verify join — the shingle extraction
+    * subtree (the expensive part) is evaluated a single time.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
                           threshold: Double, numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
-    val cands = minhashCandidates(df, idCol, shingleCol, numPerms, bandRows)
     val sets = df.select(col(idCol), col(shingleCol)).persist()
+    val cands = minhashCandidates(sets, idCol, shingleCol, numPerms, bandRows)
     val a = sets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
     val b = sets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
     cands.join(a, "a_id").join(b, "b_id")

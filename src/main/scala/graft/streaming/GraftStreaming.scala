@@ -44,4 +44,29 @@ object GraftStreaming {
     val newFrags = m.fragments.filter(f => f.addedVersion > fromVersion && f.addedVersion <= toVersion)
     GraftTable.readFragments(spark, tablePath, m, newFrags)
   }
+
+  /** Streaming exact-dedup with custom state (`flatMapGroupsWithState`): the
+    * first row per key passes, every later duplicate — within a batch or
+    * across batches — is dropped. Keys are content digests (e.g.
+    * `xxhash64(text)`), so state per key is one boolean; at scale, state is
+    * hash-partitioned by key across executors and checkpointed by Spark.
+    * This is the streaming leg of the dedup family in `operators/Dedup` —
+    * dedup-at-ingest before rows ever reach the table. */
+  def dedupStream[K, V](ds: Dataset[V], key: V => K)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // key already emitted in a past batch
+          else {
+            state.update(true)
+            rows.take(1) // first occurrence within this batch
+          }
+      }
+  }
 }

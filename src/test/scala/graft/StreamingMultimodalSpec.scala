@@ -37,6 +37,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicates within and across micro-batches") {
+    val t = tmp()
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = GraftStreaming.dedupStream[String, (Long, String)](
+      mem.toDS(), (r: (Long, String)) => r._2)
+    val q = deduped.toDF("id", "text")
+      .writeStream
+      .foreachBatch(GraftStreaming.foreachBatchSink(t, "qdd"))
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((4L, "beta"), (5L, "gamma")) // cross-batch dup
+      q.processAllAvailable()
+      val rows = GraftTable.read(spark, t).orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows.map(_._2) == Seq("alpha", "beta", "gamma"))
+      assert(rows.map(_._1) == Seq(1L, 2L, 5L)) // first occurrence kept
+    } finally q.stop()
+  }
+
   test("watermark + tumbling window aggregation streams into a graft table") {
     val t = tmp()
     implicit val sc = spark.sqlContext
