@@ -60,6 +60,39 @@ object Demo {
 
     println("== describe (metadata-only table statistics) ==")
     GraftTable.describe(spark, t3).show(false)
+
+    // round 2: no-rewrite schema evolution + branches + partial compaction
+    println("== addColumnsFiles: new column, fragment files untouched ==")
+    GraftTable.addColumnsFiles(spark, t, Seq("value_sq" -> "value * value"))
+    spark.read.format("graft").load(t).orderBy("id").show()
+
+    println("== branches: dev fork appends without touching main ==")
+    GraftTable.createBranch(spark, t, "dev")
+    GraftTable.writeBranch(Seq((99L, "test", 0.0, 0.0))
+      .toDF("id", "kind", "value", "value_sq"), t, "dev")
+    println(s"main rows: ${GraftTable.read(spark, t).count()}  " +
+      s"dev rows: ${GraftTable.readBranch(spark, t, "dev").count()}")
+
+    println("== _rowaddr point lookup: plan prunes to addressed fragments ==")
+    val addr = GraftTable.read(spark, t3, withRowAddr = true)
+      .filter($"id" === 500L).select("_rowaddr").head().getLong(0)
+    val pt = GraftTable.read(spark, t3, withRowAddr = true).filter($"_rowaddr" === addr)
+    val prunedFrags = pt.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            g: graft.format.GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.addrPruned => g.manifest.fragments.length
+    }
+    println(s"fragments scanned: ${prunedFrags.headOption.getOrElse(-1)} of 4")
+    pt.select("id").show()
+
+    println("== partial compaction: only indebted fragments rewritten ==")
+    GraftTable.delete(spark, t3, "id < 250") // fragment 0 fully deleted
+    val before = GraftTable.loadManifest(spark, t3).fragments.map(_.id).toSet
+    GraftTable.compactFiles(spark, t3, targetRows = 500)
+    val after = GraftTable.loadManifest(spark, t3).fragments.map(_.id).toSet
+    println(s"kept fragment ids: ${(before intersect after).toSeq.sorted.mkString(",")}; " +
+      s"rows: ${GraftTable.countRows(spark, t3)}")
     spark.stop()
   }
 }
