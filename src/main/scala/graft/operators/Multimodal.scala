@@ -89,4 +89,31 @@ object Multimodal {
   def withPayloadMeta(df: DataFrame, contentCol: String): DataFrame =
     df.withColumn("byte_size", length(col(contentCol)))
       .withColumn("content_hash", xxhash64(col(contentCol)))
+
+  case class ResizedImage(id: Long, width: Int, height: Int, channels: Int,
+                          payload: Array[Byte])
+
+  /** STUB resize: output payload is a deterministic stride-sample of the
+    * input sized exactly targetW·targetH·3 (a real implementation does a
+    * bilinear resample after decode). The Spark contract is real: bounded
+    * per-row output size — the property that keeps executor memory flat
+    * when a resize stage runs over terabytes of mixed-size originals. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    val outLen = targetW * targetH * 3
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = r.content
+        val out = new Array[Byte](outLen)
+        if (in.nonEmpty) {
+          var i = 0
+          while (i < outLen) {
+            out(i) = in(((i.toLong * in.length) / outLen).toInt) // ??? real: bilinear resample
+            i += 1
+          }
+        }
+        ResizedImage(r.id, targetW, targetH, 3, out)
+      }
+    }
+  }
 }

@@ -135,6 +135,50 @@ object PqIndex {
     (ivf, pq)
   }
 
+  /** Build over a graft table snapshot, recording the covered version —
+    * enables [[optimizeForTable]]'s delta append. Index rows carry
+    * `_rowaddr` (read withRowAddr) like [[IvfIndex.buildForTable]]. */
+  def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
+                    vecCol: String, indexPath: String, nlist: Int,
+                    m: Int = 8, k: Int = 256): (IvfIndex.Model, PqModel) = {
+    val version = graft.format.GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true),
+      idCol, vecCol, indexPath, nlist, m, k)
+    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, version)
+    out
+  }
+
+  /** Incremental maintenance (reference `optimize_indices`): assign + PQ-
+    * encode ONLY the fragments appended since the build with the EXISTING
+    * centroids/codebooks and append them to the partitioned index dataset.
+    * O(delta) IO; codebook drift is the same trade the reference makes. */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, indexPath: String): Long = {
+    import graft.format.GraftTable
+    val vi = graft.index.ScalarIndex.indexedVersion(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath has no version marker — build with buildForTable"))
+    val mft = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = mft.fragments.filter(_.addedVersion > vi)
+    if (freshFrags.isEmpty) {
+      graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, mft.version)
+      return 0L
+    }
+    val ivf = IvfIndex.loadModel(spark, indexPath)
+    val pq = loadPq(spark, indexPath)
+    val fresh = GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+      withRowAddr = true)
+    fresh
+      .withColumn(IvfIndex.PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      .withColumn(CodeCol,
+        ColumnBridge.column(PqEncode(ColumnBridge.expression(col(vecCol)), pq)))
+      .write.mode(SaveMode.Append)
+      .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, mft.version)
+    freshFrags.map(_.rows).sum
+  }
+
   def loadPq(spark: SparkSession, indexPath: String): PqModel = {
     val rows = spark.read.parquet(s"$indexPath/pq").orderBy("sub", "code").collect()
     val m = rows.map(_.getInt(0)).max + 1

@@ -68,4 +68,23 @@ class PqSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,__pq_codes:binary>"), plan)
   }
+
+  test("optimizeForTable PQ-encodes appended fragments; exact config == flat") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("pq_opt_").toString + "/t"
+    val idx = Files.createTempDirectory("pq_opt_idx_").toString
+    GraftTable.write(embeddings.filter($"vec_id" < 400), t, "overwrite")
+    PqIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8, m = 8, k = 16)
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append")
+    assert(PqIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 100L)
+    val qv = queryVec(0L)
+    // full probes + refine covering the corpus == flat over ALL 500 vectors
+    val viaIdx = PqIndex.search(spark, idx, "vec_id", "embedding", qv,
+        kNeighbors = 10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", qv, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIdx == flat)
+    assert(PqIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 0L)
+  }
 }

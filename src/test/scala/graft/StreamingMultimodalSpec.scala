@@ -123,6 +123,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(frames(0).payload.head == 0.toByte && frames(3).payload.head == 75.toByte)
   }
 
+  test("multimodal: resize emits fixed-size payloads regardless of input size") {
+    import graft.operators.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.tabulate(10000)(_.toByte)),
+      Multimodal.MediaRow(2L, Array.tabulate(37)(_.toByte)),
+      Multimodal.MediaRow(3L, Array.empty[Byte])
+    ).toDS()
+    val out = Multimodal.resizeImages(media, 8, 8).collect().sortBy(_.id)
+    assert(out.forall(r => r.payload.length == 8 * 8 * 3 && r.width == 8 && r.height == 8))
+    // deterministic
+    val again = Multimodal.resizeImages(media, 8, 8).collect().sortBy(_.id)
+    assert(out.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("multimodal: payload meta + embedding feature flows into Knn") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array[Byte](1, 2, 3)),
