@@ -51,6 +51,31 @@ object ScalarIndex {
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Incremental maintenance (reference `optimize_indices` for scalar
+    * indices): index ONLY the fragments appended since the build and append
+    * their (v, addr) rows; the marker moves to the current version, so the
+    * auto-rewrite rule's coverage check sees a fully fresh index again
+    * (before this, appends were handled by the rule's flat-union partial
+    * coverage). Appended files are value-sorted within themselves —
+    * pushdown still prunes per file/row-group. O(delta) IO. */
+  def optimizeBtree(spark: SparkSession, tablePath: String, column: String,
+                    indexPath: String): Long = {
+    val dir = s"$indexPath/btree_$column"
+    val vi = indexedVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no version marker — build first"))
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = m.fragments.filter(_.addedVersion > vi)
+    if (freshFrags.nonEmpty) {
+      GraftTable.readFragments(spark, tablePath, m, freshFrags, withRowAddr = true)
+        .select(col(column).as("v"), col(A))
+        .repartitionByRange(2, col("v"))
+        .sortWithinPartitions(col("v"))
+        .write.mode(SaveMode.Append).parquet(dir)
+    }
+    writeVersionMarker(spark, dir, m.version)
+    freshFrags.map(_.rows).sum
+  }
+
   /** Table version an index covers, if the marker exists. */
   def indexedVersion(spark: SparkSession, dir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")

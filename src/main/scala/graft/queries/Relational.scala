@@ -198,6 +198,23 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    "q_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont; percentile_approx is the approximate variant).
+    "q_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Correlated-style subquery via join: customers spending above nation avg.
     "q_subquery_agg" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -340,6 +357,16 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS rev
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95),4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_subquery_agg" ->
       """SELECT count(*) AS n_rich FROM customer c
         |JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg

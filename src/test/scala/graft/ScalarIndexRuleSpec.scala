@@ -53,6 +53,19 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q.count() == 150) // 450..499 via index + 500..599 via flat branch
   }
 
+  test("optimizeBtree re-freshens: append then optimize — full mask, no flat union") {
+    val t = freshIndexed()
+    GraftTable.write(TestSpark.spark.range(500, 600).toDF("id")
+      .withColumn("grp", pmod(col("id"), lit(10))), t, "append")
+    assert(ScalarIndex.optimizeBtree(TestSpark.spark, t, "id", s"$t/_indices") == 100L)
+    val q = GraftTable.read(extSpark, t).filter(col("id") >= 450)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("Union"), plan) // delta indexed — no flat branch
+    assert(q.count() == 150)
+    assert(ScalarIndex.optimizeBtree(TestSpark.spark, t, "id", s"$t/_indices") == 0L)
+  }
+
   test("compacted away: index is stale, rule does not apply, result exact") {
     val t = freshIndexed()
     GraftTable.delete(TestSpark.spark, t, "id < 250")
