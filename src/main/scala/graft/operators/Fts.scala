@@ -58,14 +58,17 @@ object Fts {
     *
     * One tokenization pass: the tokenized corpus is cached, postings are
     * cached pre-write so termstats derives from the in-memory aggregate
-    * instead of re-reading parquet, and postings are range-partitioned by
-    * token so term-predicate queries prune files (the batch analogue of the
-    * reference's token-sorted posting lists). termstats is token-range
-    * partitioned too (query-time term filter prunes, then broadcasts);
+    * instead of re-reading parquet, and postings are hash-partitioned by
+    * token and token-sorted within files — every posting of a term lives in
+    * ONE file, and sorted row groups give stats-based skipping inside it
+    * (the batch analogue of the reference's token-sorted posting lists;
+    * hash+sort beats range partitioning here because it needs no sampling
+    * pass over the corpus). `numPostingFiles` scales with corpus size.
     * docstats is per-doc — normal partitioning, joined on doc_id; only the
     * single-row meta coalesces.
     */
-  def buildIndex(df: DataFrame, idCol: String, textCol: String, indexPath: String): Index = {
+  def buildIndex(df: DataFrame, idCol: String, textCol: String, indexPath: String,
+                 numPostingFiles: Int = 8): Index = {
     val p = paths(indexPath)
     val tokenized = df.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("tk"))
       .persist()
@@ -77,10 +80,12 @@ object Fts {
           sort_array(collect_list(col("pos"))).as("positions"))
         .persist()
       try {
-        postings.repartitionByRange(col("token"))
+        postings.repartition(numPostingFiles, col("token"))
+          .sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Overwrite).parquet(p.postings)
         postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-          .repartitionByRange(col("token"))
+          .repartition(math.max(1, numPostingFiles / 4), col("token"))
+          .sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Overwrite).parquet(p.termstats)
       } finally postings.unpersist()
       val docstats = tokenized.select(col("doc_id"),
@@ -122,7 +127,7 @@ object Fts {
     // global stats from the merged datasets (aggregate-only IO)
     val termstats = spark.read.parquet(p.postings)
       .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-      .repartitionByRange(col("token"))
+      .repartition(2, col("token")).sortWithinPartitions(col("token"))
     val tmpTs = s"${p.termstats}__tmp"
     termstats.write.mode(SaveMode.Overwrite).parquet(tmpTs)
     replaceDir(spark, tmpTs, p.termstats)
