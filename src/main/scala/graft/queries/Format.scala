@@ -142,6 +142,29 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // branches: fork at v1, append only to the branch, read the branch
+    "q_format_branch" -> { (s, d) =>
+      val t = freshDir(s, "branch")
+      val o = Tables.orders(s, d)
+      GraftTable.write(o.filter(col("o_orderkey") <= 30000), t, "overwrite")
+      GraftTable.createBranch(s, t, "dev")
+      GraftTable.writeBranch(o.filter(col("o_orderkey") > 30000), t, "dev")
+      val main = GraftTable.read(s, t).agg(count(lit(1)).as("main_n"))
+      val dev = GraftTable.readBranch(s, t, "dev")
+        .agg(count(lit(1)).as("dev_n"),
+          round(sum(col("o_totalprice")), 2).as("dev_total"))
+      main.crossJoin(dev)
+    },
+
+    // late materialization: narrow-column predicate phase + fragment-pruned
+    // wide fetch — result must equal a plain filtered read
+    "q_format_read_late" -> { (s, d) =>
+      val t = freshDir(s, "read_late")
+      GraftTable.write(Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), t, "overwrite")
+      GraftTable.readLate(s, t, "o_orderkey BETWEEN 5000 AND 6000", Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
     // no-rewrite add_columns: supplemental column file merged on read
     "q_format_add_columns" -> { (s, d) =>
       val t = freshDir(s, "add_columns")
@@ -189,6 +212,13 @@ object Format {
     "q_format_compact_partial" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderstatus <> 'P'""".stripMargin,
+    "q_format_branch" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_orderkey <= 30000) AS main_n,
+        |       (SELECT count(*) FROM orders) AS dev_n,
+        |       (SELECT round(sum(o_totalprice),2) FROM orders) AS dev_total""".stripMargin,
+    "q_format_read_late" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
+        |WHERE o_orderkey BETWEEN 5000 AND 6000""".stripMargin,
     "q_format_add_columns" ->
       """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
         | count(*) AS n, round(sum(c_acctbal),2) AS total
