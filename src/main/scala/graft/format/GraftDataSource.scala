@@ -26,7 +26,8 @@ class GraftDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = tablePath(parameters)
     val version = parameters.get("versionAsOf").map(_.toLong)
-    val m = GraftTable.loadManifest(spark, path, version)
+    val branch = parameters.get("branch")
+    val m = GraftTable.loadManifest(spark, path, version, branch)
     val dvRuleInstalled = spark.sessionState.analyzer.extendedResolutionRules
       .exists(_.isInstanceOf[GraftDvRule])
     if ((m.dvFiles.nonEmpty || m.columnFiles.nonEmpty) && !dvRuleInstalled)

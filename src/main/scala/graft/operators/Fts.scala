@@ -159,11 +159,12 @@ object Fts {
     idf(n) * (col("tf") * (K1 + 1)) /
       (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl)))
 
-  private def scored(spark: SparkSession, index: Index, terms: Seq[String]): DataFrame = {
+  private def scored(spark: SparkSession, index: Index, terms: Seq[String],
+                     postings: Option[DataFrame] = None): DataFrame = {
     val meta = spark.read.parquet(index.meta).head()
     val n = meta.getLong(0).toDouble
     val avgdl = meta.getDouble(1)
-    spark.read.parquet(index.postings)
+    postings.getOrElse(spark.read.parquet(index.postings))
       .filter(col("token").isin(terms: _*))
       .join(broadcast(spark.read.parquet(index.termstats)
         .filter(col("token").isin(terms: _*))), "token")
@@ -264,8 +265,13 @@ object Fts {
                    must: Seq[String], should: Seq[String], mustNot: Seq[String],
                    k: Int): DataFrame = {
     val p = paths(indexPath)
+    // ONE term-pruned postings read feeds scoring, must-intersection and
+    // mustNot-exclusion (cached: all three branches reuse it)
+    val involved = (must ++ should ++ mustNot).distinct
     val post = spark.read.parquet(p.postings)
-    val base = scored(spark, p, must ++ should)
+      .filter(col("token").isin(involved: _*))
+      .persist()
+    val base = scored(spark, p, must ++ should, postings = Some(post))
     val mustDocs = must.map(t => post.filter(col("token") === t).select(col("doc_id")))
       .reduceOption(_.intersect(_))
     val notDocs = if (mustNot.isEmpty) None

@@ -139,6 +139,8 @@ class SchemaEvolutionCompactionSpec extends AnyFunSuite {
     // branch time travel: the branch's first version is the fork point
     val forkV = GraftTable.versions(spark, t, Some("dev")).head
     assert(GraftTable.readBranch(spark, t, "dev", Some(forkV)).count() == 5)
+    // format("graft") branch read option
+    assert(spark.read.format("graft").option("branch", "dev").load(t).count() == 6)
     // cleanup keeps branch-referenced files
     GraftTable.cleanupOldVersions(spark, t, keepLast = 1)
     assert(GraftTable.readBranch(spark, t, "dev").count() == 6)
