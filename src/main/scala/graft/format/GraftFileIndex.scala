@@ -13,10 +13,9 @@ import org.apache.spark.sql.types.StructType
   * plan time, which is what keeps planning O(1) IO at 100k-fragment scale
   * (the manifest is the listing, as in the reference's fragment list).
   *
-  * Round-2 hook: `listFiles` receives `dataFilters`; fragment-level min/max
-  * stats in the manifest will prune fragments here (zonemap-equivalent,
-  * reference `scalar/zonemap.rs`), on top of parquet row-group pruning that
-  * already happens per task.
+  * `listFiles` prunes fragments with the manifest's per-fragment min/max/
+  * nullCount stats (zonemap-equivalent, reference `scalar/zonemap.rs`), on
+  * top of parquet row-group pruning that happens per task.
   */
 class GraftFileIndex(
     spark: SparkSession,

@@ -19,9 +19,8 @@ import graft.format.GraftTable
   *
   * Lookups return row-address DataFrames (the reference's row-id masks);
   * apply with a left-semi join against `read(withRowAddr=true)`, or
-  * `GraftTable.take` for point lookups. The Catalyst rule that rewrites
-  * eligible filters automatically is the round-2 step — the index data
-  * path below is what it will call into.
+  * `GraftTable.take` for point lookups. [[graft.format.GraftScalarIndexRule]]
+  * rewrites eligible filters into this data path automatically.
   */
 object ScalarIndex {
   private val A = GraftTable.RowAddrCol
@@ -30,9 +29,9 @@ object ScalarIndex {
 
   /** Build a BTREE index for `column` of the graft table at `tablePath`.
     * The index records the table version it covers; the auto-rewrite rule
-    * only uses an index whose version matches the snapshot being read
-    * (all-or-nothing coverage — the reference's `fragment_bitmap` refinement
-    * is round-2). */
+    * derives fragment coverage from that version's manifest (the reference's
+    * `fragment_bitmap` role), scanning later fragments flat — and
+    * [[optimizeBtree]] re-freshens coverage incrementally. */
   def buildBtree(spark: SparkSession, tablePath: String, column: String,
                  indexPath: String): Unit = {
     val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)

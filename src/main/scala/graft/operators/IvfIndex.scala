@@ -31,8 +31,9 @@ import org.apache.spark.sql.types._
   *    the data — the 100 TB path. With nprobes = nlist the result is
   *    EXACTLY flat search (gate-checkable against the brute-force oracle).
   *
-  * PQ sub-quantization within partitions is the planned round-2 refinement
-  * (`vector/pq/`); IVF_FLAT is complete and correct without it.
+  * [[PqIndex]] adds PQ sub-quantization within partitions (`vector/pq/`)
+  * and [[HnswIndex]] adds per-partition graph sub-indexes (`vector/hnsw/`);
+  * all three share this coarse IVF layout.
   */
 object IvfIndex {
   val PidCol = "__ivf_pid"
