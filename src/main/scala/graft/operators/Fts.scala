@@ -206,9 +206,13 @@ object Fts {
       .limit(k)
   }
 
-  /** Phrase query: consecutive positions across all terms (reference
-    * `PhraseQueryExec`, slop=0). Returns matching doc_ids. */
-  def phraseQuery(spark: SparkSession, indexPath: String, terms: Seq[String]): DataFrame = {
+  /** Phrase query with slop (reference `PhraseQuery`, `query.rs`): terms
+    * must appear in order, each within `1 + slop` positions of its
+    * predecessor (slop=0 ⇒ strictly consecutive). Per-adjacent-gap slop —
+    * the iterative position-join pattern; each term adds one broadcast-size
+    * postings join, never a corpus scan. Returns matching doc_ids. */
+  def phraseQuery(spark: SparkSession, indexPath: String, terms: Seq[String],
+                  slop: Int = 0): DataFrame = {
     require(terms.nonEmpty)
     val p = paths(indexPath)
     val post = spark.read.parquet(p.postings)
@@ -217,11 +221,17 @@ object Fts {
     val matched = terms.tail.zipWithIndex.foldLeft(first) { case (acc, (t, i)) =>
       val next = post.filter(col("token") === t)
         .select(col("doc_id"), col("positions").as(s"p$i"))
-      acc.join(next, "doc_id")
-        .withColumn("valid",
-          array_intersect(transform(col("valid"), x => x + 1), col(s"p$i")))
-        .filter(size(col("valid")) > 0)
-        .drop(s"p$i")
+      val stepped =
+        if (slop == 0)
+          acc.join(next, "doc_id")
+            .withColumn("valid",
+              array_intersect(transform(col("valid"), x => x + 1), col(s"p$i")))
+        else
+          acc.join(next, "doc_id")
+            .withColumn("valid",
+              filter(col(s"p$i"), x =>
+                exists(col("valid"), v => x - v >= 1 && x - v <= lit(1 + slop))))
+      stepped.filter(size(col("valid")) > 0).drop(s"p$i")
     }
     matched.select(col("doc_id")).distinct()
   }

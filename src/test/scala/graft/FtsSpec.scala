@@ -80,6 +80,19 @@ class FtsSpec extends AnyFunSuite {
     assert(toks == Seq("hello", "world", "foo", "bar", "42"))
   }
 
+  test("phrase slop allows bounded gaps, keeps order") {
+    val idx = buildTmpIndex()
+    // "quick brown" with one word between: doc 1 is "the quick brown fox" —
+    // "quick fox" are 2 apart there; slop=1 matches, slop=0 does not
+    assert(Fts.phraseQuery(spark, idx, Seq("quick", "fox"), slop = 0)
+      .as[Long].collect().toSet == Set(3L)) // "quick fox" adjacent only in doc 3
+    assert(Fts.phraseQuery(spark, idx, Seq("quick", "fox"), slop = 1)
+      .as[Long].collect().toSet == Set(1L, 3L)) // gap of 1 admits doc 1
+    // order still enforced: "fox quick" never matches doc 1
+    assert(Fts.phraseQuery(spark, idx, Seq("fox", "quick"), slop = 1)
+      .as[Long].collect().toSet == Set.empty[Long])
+  }
+
   test("optimizeIndex: incremental build equals full rebuild exactly") {
     val half1 = corpus.filter($"doc_id" <= 3)
     val half2 = corpus.filter($"doc_id" > 3)
