@@ -18,6 +18,10 @@ run / fork := true
 // through unprefixed.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the bench JSON must also be the LAST stdout line: sbt's
+// "[success] Total time ..." epilogue otherwise lands after it and breaks
+// a last-line JSON parse.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,14 +39,23 @@ object Bench {
         .groupBy(col("o_orderstatus")).count().collect()
     }
 
+    // one-time index builds first, timed as their own build_* entries —
+    // queries that reuse the cached index then measure query cost only
+    val buildResults = (queries.Vector.builds ++ queries.FtsQueries.builds)
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = (buildResults ++ results).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = (buildResults ++ results).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

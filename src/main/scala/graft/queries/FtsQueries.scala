@@ -28,6 +28,13 @@ object FtsQueries {
       dir
     })
 
+  /** One-time index builds, timed separately by Bench (see
+    * [[graft.queries.Vector.builds]]). */
+  val builds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "build_fts" -> ((s, d) => { indexFor(s, d, "bench"); () }),
+    "build_fts_title" -> ((s, d) => { titleIndexFor(s, d); () })
+  )
+
   val queries: Map[String, Q] = Map(
     "q_fts_match" -> { (s, d) =>
       val idx = indexFor(s, d, "match")
