@@ -37,10 +37,15 @@ object Knn {
     *
     * @param tieBreakers deterministic ordering for equal distances (the
     *   reference sorts by `(_distance, _rowid)` — `scanner.rs:3385-3406`)
+    * @param prefilter predicate applied BEFORE the top-k cut (reference
+    *   prefiltered search, `scanner.rs:2254-2278` + `prefilter.rs`): the
+    *   result is the true top-k of the filtered set — exactly k rows when k
+    *   match — never a post-filtered, possibly short, top-k.
     */
   def flatSearch(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
-                 metric: String = "l2", tieBreakers: Seq[Column] = Nil): DataFrame =
-    withDistance(df, vecCol, query, metric)
+                 metric: String = "l2", tieBreakers: Seq[Column] = Nil,
+                 prefilter: Option[Column] = None): DataFrame =
+    withDistance(prefilter.map(df.filter).getOrElse(df), vecCol, query, metric)
       .orderBy(col(DistanceCol) +: tieBreakers: _*)
       .limit(k)
 

@@ -141,41 +141,57 @@ object PqIndex {
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 8, k: Int = 256): (IvfIndex.Model, PqModel) = {
-    val version = graft.format.GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true),
       idCol, vecCol, indexPath, nlist, m, k)
-    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, version)
+    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
+      mft.fragments.map(_.id))
     out
   }
 
   /** Incremental maintenance (reference `optimize_indices`): assign + PQ-
-    * encode ONLY the fragments appended since the build with the EXISTING
-    * centroids/codebooks and append them to the partitioned index dataset.
-    * O(delta) IO; codebook drift is the same trade the reference makes. */
+    * encode ONLY the fragments the index does not cover yet with the
+    * EXISTING centroids/codebooks — O(delta) IO; codebook drift is the same
+    * trade the reference makes. Like [[IvfIndex.optimizeForTable]], a
+    * compaction that removed covered fragments triggers a filtered rewrite
+    * (drop dead-fragment rows, no retrain) instead of appending duplicates. */
   def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
                        vecCol: String, indexPath: String): Long = {
     import graft.format.GraftTable
-    val vi = graft.index.ScalarIndex.indexedVersion(spark, indexPath)
-      .getOrElse(throw new IllegalStateException(
-        s"$indexPath has no version marker — build with buildForTable"))
     val mft = GraftTable.loadManifest(spark, tablePath)
-    val freshFrags = mft.fragments.filter(_.addedVersion > vi)
-    if (freshFrags.isEmpty) {
-      graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, mft.version)
-      return 0L
-    }
+    val covered = IvfIndex.coveredFragmentIds(spark, indexPath, mft)
+    val liveIds = mft.fragments.map(_.id).toSet
+    val staleIds = covered.diff(liveIds)
+    val freshFrags = mft.fragments.filterNot(f => covered.contains(f.id))
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
-    val fresh = GraftTable.readFragments(spark, tablePath, mft, freshFrags,
-      withRowAddr = true)
-    fresh
+    val encode = (df: DataFrame) => df
       .withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn(CodeCol,
         ColumnBridge.column(PqEncode(ColumnBridge.expression(col(vecCol)), pq)))
-      .write.mode(SaveMode.Append)
-      .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
-    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, mft.version)
+    if (staleIds.isEmpty) {
+      if (freshFrags.nonEmpty) {
+        encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+            withRowAddr = true))
+          .write.mode(SaveMode.Append)
+          .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+      }
+    } else {
+      val keep = IvfIndex.liveFragmentFilter(spark,
+        spark.read.parquet(s"$indexPath/vectors"), covered.intersect(liveIds))
+      val freshEncoded =
+        if (freshFrags.isEmpty) None
+        else Some(encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+          withRowAddr = true)))
+      freshEncoded.map(keep.unionByName(_, allowMissingColumns = true))
+        .getOrElse(keep)
+        .write.mode(SaveMode.Overwrite).partitionBy(IvfIndex.PidCol)
+        .parquet(s"$indexPath/vectors__fresh")
+      IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
+    }
+    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
+      (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
     freshFrags.map(_.rows).sum
   }
 
@@ -189,15 +205,23 @@ object PqIndex {
   }
 
   /** ANN search: ADC candidate pass + exact-refine pass, both restricted to
-    * the probed partitions and column-pruned. */
+    * the probed partitions and column-pruned.
+    *
+    * @param prefilter predicate over the index dataset's columns, applied to
+    *   the candidates BEFORE the ADC ranking (reference prefiltered ANN,
+    *   `prefilter.rs`): both passes and the final top-k see only matching
+    *   rows, so the result is the true top-k of the filtered set.
+    */
   def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
              query: Array[Float], kNeighbors: Int, nprobes: Int,
-             refineFactor: Int = 10): DataFrame = {
+             refineFactor: Int = 10,
+             prefilter: Option[Column] = None): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
-    val part = spark.read.parquet(s"$indexPath/vectors")
+    val part0 = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(IvfIndex.PidCol).isin(probes: _*))
+    val part = prefilter.map(part0.filter).getOrElse(part0)
     val table = pq.adcTable(query)
     // pass 1: (id, codes) only — ADC ranking
     val cands = part.select(col(idCol), col(CodeCol))

@@ -49,6 +49,14 @@ object Vector {
       dir
     })
 
+  private def freshDir(s: SparkSession, name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
   private def ivfIndexFor(s: SparkSession, d: String): String =
     builtIvf.computeIfAbsent(d, { _ =>
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivf_${d.hashCode.toHexString}"
@@ -118,6 +126,37 @@ object Vector {
       val idx = hnswIndexFor(s, d)
       graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4, ef = 64)
         .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Prefiltered ANN (reference prefilter.rs + scanner.rs:2254-2278): the
+    // predicate is applied BEFORE the top-k cut, so exactly k rows of the
+    // filtered set come back. nprobes = nlist ⇒ oracle-exact.
+    "q_ann_prefilter" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = ivfIndexFor(s, d)
+      IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 8,
+          prefilter = Some(col("label") === 3 && col("vec_id") =!= 0L))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Compaction-safety end-to-end (VERDICT r2 #1): build IVF over a graft
+    // table → DV-delete a slab → partial compaction rewrites the indebted
+    // fragments (materializing the DVs, retiring their fragment ids) →
+    // searchCombined must drop dead-fragment index rows and flat-search the
+    // rewritten fragments. nprobes = nlist ⇒ exact over live rows.
+    "q_ann_after_compact" -> { (s, d) =>
+      import graft.format.GraftTable
+      val t = freshDir(s, "ann_after_compact")
+      val idx = freshDir(s, "ann_after_compact_idx")
+      val e = Tables.embeddings(s, d)
+      val q = queryVec(s, d)
+      val cut = math.floor(e.count() / 8.0).toLong
+      GraftTable.write(e.repartitionByRange(4, col("vec_id")), t, "overwrite")
+      IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
+      GraftTable.delete(s, t, s"vec_id < $cut")
+      GraftTable.compactFiles(s, t, targetRows = 250, materializeDeletions = 0.1)
+      IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
     // Approximate probe (nprobes=2 of 8) — rows-only gate entry; quality is
@@ -229,6 +268,21 @@ object Vector {
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
         |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_prefilter" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q WHERE e.label = 3 AND e.vec_id <> 0
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_after_compact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |     c AS (SELECT CAST(floor(count(*) / 8.0) AS BIGINT) AS cut FROM embeddings)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q, c WHERE e.vec_id >= c.cut
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_multivector" ->

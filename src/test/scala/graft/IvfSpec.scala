@@ -115,6 +115,64 @@ class IvfSpec extends AnyFunSuite {
     assert(IvfIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 0L)
   }
 
+  test("prefilter applies before the top-k cut: exactly k filtered rows") {
+    val idx = buildIdx(8)
+    val q = queryVec(0L)
+    val pre = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, 8,
+        prefilter = Some($"label" === 3))
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings.filter($"label" === 3), "embedding", q,
+        10, "l2", tieBreakers = Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pre == flat)
+    assert(pre.size == 10) // k matches exist → exactly k returned
+  }
+
+  test("searchCombined after delete+compaction: no duplicates, no resurrected rows") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_cmp_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_cmp_idx_").toString
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    // delete a slab concentrated in the first range fragment, then partial
+    // compaction: the DV is materialized, the indebted fragment id retired
+    GraftTable.delete(spark, t, "vec_id < 62")
+    GraftTable.compactFiles(spark, t, targetRows = 250, materializeDeletions = 0.1)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.dvFiles.isEmpty && m.numDeleted == 0L, "DV should be materialized")
+    val q = queryVec(0L)
+    val got = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.distinct == got, s"duplicate ids in top-k: $got")
+    assert(got.forall(_ >= 62L), s"deleted rows resurfaced: $got")
+    val flat = Knn.flatSearch(GraftTable.read(spark, t), "embedding", q, 10, "l2",
+      Seq($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    assert(got == flat)
+  }
+
+  test("optimizeForTable after compaction drops dead-fragment rows from the index") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_cmpo_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_cmpo_idx_").toString
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    GraftTable.delete(spark, t, "vec_id < 62")
+    GraftTable.compactFiles(spark, t, targetRows = 250, materializeDeletions = 0.1)
+    IvfIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx)
+    val vecs = spark.read.parquet(s"$idx/vectors")
+    // index must hold each live row exactly once, no deleted rows
+    assert(vecs.count() == GraftTable.countRows(spark, t))
+    assert(vecs.select("vec_id").distinct().count() == vecs.count())
+    assert(vecs.filter($"vec_id" < 62).count() == 0)
+    // and a pure index search over all partitions equals flat over live rows
+    val q = queryVec(0L)
+    val viaIdx = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(GraftTable.read(spark, t), "embedding", q, 10, "l2",
+      Seq($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    assert(viaIdx == flat)
+  }
+
   test("searchCombined subtracts rows deleted after the index build") {
     import graft.format.GraftTable
     val t = Files.createTempDirectory("ivf_del_").toString + "/t"
