@@ -53,39 +53,57 @@ object IvfIndex {
     acc
   }
 
-  /** Deterministic Lloyd's: init = vectors of the `nlist` smallest ids in
-    * the sample; fixed iteration count; ties to the lowest partition id. */
+  /** Fixed-point scale for distributed k-means mean updates: float inputs
+    * scale exactly (power of two) into longs, whose sum is associative —
+    * the reduction is bit-identical on any partitioning/cluster size,
+    * unlike a floating-point `avg`. */
+  private[operators] val MeanScale = 1L << 24
+
+  /** Deterministic, unbiased, DISTRIBUTED Lloyd's (VERDICT r2 #4; the
+    * reference trains on a sample too — `dataset.py:2517` — but shuffles
+    * it; `orderBy(id).limit(n)` was an ingestion-order prefix, biased
+    * whenever ingestion correlates with content):
+    *
+    *  - sample = the `sampleSize` rows with the smallest `xxhash64(id)` — a
+    *    deterministic uniform sample, executed as a distributed TakeOrdered
+    *    (per-partition top-N heaps); the sample itself stays cached on
+    *    executors and is never collected.
+    *  - each iteration assigns the sample with [[IvfAssign]] (distributed)
+    *    and recomputes per-centroid means from fixed-point long sums; only
+    *    the O(nlist·dim) statistics reach the driver.
+    *  - init = vectors of the `nlist` hash-smallest ids; empty clusters
+    *    keep their previous centroid; ties go to the lowest pid.
+    *
+    * At reference scale (35 M × 768-d, nlist 2048) driver work is ~1.5 M
+    * aggregate rows per iteration instead of ~10^12 distance ops. */
   def train(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
             maxIter: Int = 10, sampleSize: Int = 100000): Model = {
-    val sample = df.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(sampleSize)
-      .collect()
-      .map(r => r.getSeq[Float](1).toArray)
-    require(sample.length >= nlist, s"need >= $nlist vectors to train, got ${sample.length}")
-    var centroids = sample.take(nlist).map(_.clone())
-    for (_ <- 0 until maxIter) {
-      val sums = Array.fill(nlist)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](nlist)
-      sample.foreach { v =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var i = 0
-        while (i < nlist) {
-          val d = l2sq(centroids(i), v)
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
+    val hashOrder = Seq(xxhash64(col("__id")), col("__id"))
+    val sample = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(hashOrder: _*).limit(sampleSize)
+      .persist()
+    try {
+      val init = sample.orderBy(hashOrder: _*).limit(nlist).collect()
+      require(init.length >= nlist, s"need >= $nlist vectors to train, got ${init.length}")
+      var centroids = init.map(_.getSeq[Float](1).toArray)
+      for (_ <- 0 until maxIter) {
+        val stats = sample
+          .withColumn("__pid", ColumnBridge.column(
+            IvfAssign(ColumnBridge.expression(col("__v")), centroids)))
+          .select(col("__pid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy(col("__pid"), col("__pos"))
+          .agg(sum(round(col("__x") * MeanScale).cast("long")).as("__s"),
+            count(lit(1)).as("__n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        stats.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            (r.getLong(2).toDouble / (r.getLong(3).toDouble * MeanScale)).toFloat
         }
-        counts(best) += 1
-        val s = sums(best)
-        var j = 0
-        while (j < v.length) { s(j) += v(j); j += 1 }
+        centroids = next
       }
-      centroids = centroids.indices.map { i =>
-        if (counts(i) == 0) centroids(i)
-        else sums(i).map(x => (x / counts(i)).toFloat)
-      }.toArray
-    }
-    Model(centroids)
+      Model(centroids)
+    } finally sample.unpersist()
   }
 
   /** Build the index dataset: assign pids, write partitioned parquet +
