@@ -154,23 +154,23 @@ object GraftTable {
     */
   /** Fragment writes force TIMESTAMP_MICROS (not Spark's INT96 default):
     * INT96 columns carry no footer statistics, which would silently no-op
-    * zonemap pruning on every timestamp column. Scoped set + restore. */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    * zonemap pruning on every timestamp column. The parquet writer only
+    * honors the SESSION conf for this (no per-write option exists), so the
+    * write runs through a cloned session carrying the override — the
+    * caller's session conf is never mutated, and concurrent graft writes on
+    * one session cannot interleave a set/restore (ADVICE r2). Cloning
+    * shares the SparkContext and cached data; only session state is copied. */
+  private def writeMicros(spark: SparkSession, df: DataFrame, dest: String): Unit = {
+    val writer = ColumnBridge.cloneSession(spark)
+    writer.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ColumnBridge.ofRows(writer, df.queryExecution.logical)
+      .write.mode(SaveMode.Overwrite).parquet(dest)
   }
 
   private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame): Seq[Path] = {
     val txn = s"data/txn-${UUID.randomUUID().toString.take(8)}"
     val stagingDir = new Path(new Path(tablePath), txn)
-    withMicrosTimestamps(spark) {
-      df.write.mode(SaveMode.Overwrite).parquet(stagingDir.toString)
-    }
+    writeMicros(spark, df, stagingDir.toString)
     val f = fs(spark, stagingDir)
     f.listStatus(stagingDir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
@@ -354,12 +354,15 @@ object GraftTable {
   def readLate(spark: SparkSession, tablePath: String, predicate: String,
                predicateCols: Seq[String], version: Option[Long] = None): DataFrame = {
     val m = loadManifest(spark, tablePath, version)
-    // phase 1: narrow scan -> matching addresses
+    // phase 1: narrow scan -> matching addresses. localCheckpoint, not
+    // persist: the result below is returned lazily, so a persist could never
+    // be paired with an unpersist — the eager checkpoint materializes the
+    // (small) address list once and is auto-reclaimed with the plan.
     val matches = readManifest(spark, tablePath, m, withRowAddr = true)
       .select((predicateCols.map(col) :+ col(RowAddrCol)): _*)
       .filter(expr(predicate))
       .select(col(RowAddrCol))
-      .persist()
+      .localCheckpoint()
     // fragments containing matches (small driver-side set, <= fragment count)
     val fragIds = matches.select(shiftrightunsigned(col(RowAddrCol), 32).as("f"))
       .distinct().collect().map(_.getLong(0)).toSet

@@ -36,15 +36,18 @@ object Dedup {
     val numBands = numPerms / bandRows
     val sig = df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig"))
     // (band, bucketHash(bandSlice)) per doc; slice = sig[band*r .. band*r+r)
-    // cached: both sides of the bucket self-join read this subtree, and the
-    // signature computation is the expensive part — compute once.
+    // localCheckpoint (NOT persist): both sides of the bucket self-join read
+    // this subtree and the signature computation is the expensive part, but a
+    // bare persist leaks storage for the session lifetime on a lazily
+    // returned result — the eager checkpoint materializes once and its
+    // blocks are reclaimed automatically when the plan is dropped.
     val banded = sig.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))).as("bucket"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-      .persist()
+      .localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
     l.join(r, Seq("band", "bucket"))
@@ -55,13 +58,14 @@ object Dedup {
 
   /** MinHash LSH near-duplicate pairs, exact-verified: candidates from
     * banding, then true jaccard over the shingle sets ≥ threshold.
-    * The (id, shingles) projection is persisted ONCE and feeds both the
-    * signature computation and the verify join — the shingle extraction
-    * subtree (the expensive part) is evaluated a single time.
+    * The (id, shingles) projection is materialized ONCE (localCheckpoint —
+    * leak-free, see [[minhashCandidates]]) and feeds both the signature
+    * computation and the verify join — the shingle extraction subtree (the
+    * expensive part) is evaluated a single time.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
                           threshold: Double, numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
-    val sets = df.select(col(idCol), col(shingleCol)).persist()
+    val sets = df.select(col(idCol), col(shingleCol)).localCheckpoint()
     val cands = minhashCandidates(sets, idCol, shingleCol, numPerms, bandRows)
     val a = sets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
     val b = sets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
@@ -80,7 +84,7 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
                           maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), simhash64(col(shingleCol)).as("sim")).persist()
+    val sh = df.select(col(idCol), simhash64(col(shingleCol)).as("sim")).localCheckpoint()
     val sketches = sh.select(col("sim")).distinct()
     val chunked = sketches.select(col("sim"),
       explode(array((0 until 4).map(c => struct(
@@ -88,7 +92,7 @@ object Dedup {
         shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
         .as("ck"))
       .select(col("sim"), col("ck.chunk"), col("ck.key"))
-      .persist()
+      .localCheckpoint()
     val l = chunked.select(col("chunk"), col("key"), col("sim").as("a_sim"))
     val r = chunked.select(col("chunk"), col("key"), col("sim").as("b_sim"))
     // sketch pairs (incl. identical-sketch pairs via a_sim = b_sim on docs)
@@ -132,7 +136,7 @@ object Dedup {
     val hashed = df.select(col(blockCol).as("blk"), col(idCol),
       array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s)))).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .persist()
+      .localCheckpoint()
     // PPJoin prefix: first |X| - ⌈t·|X|⌉ + 1 = ⌊(1-t)·|X|⌋ + 1 tokens
     val pfxLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
     val pfx = hashed.select(col("blk"), col(idCol), col("sz"),

@@ -139,15 +139,22 @@ object Fts {
     p
   }
 
-  /** Directory swap: write fresh, then delete+rename — concurrent queries
-    * see either the old stats or the new ones, never a half-written dir. */
+  /** Directory swap via rename-aside (dest → dest__old, src → dest, delete
+    * dest__old): a concurrent query sees the old stats or the new ones; the
+    * unavailable window is two renames, not a full recursive delete — the
+    * earlier delete-then-rename order left a path-not-found window as long
+    * as the delete. */
   private def replaceDir(spark: SparkSession, src: String, dest: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val d = new org.apache.hadoop.fs.Path(dest)
     val s = new org.apache.hadoop.fs.Path(src)
     val fs = d.getFileSystem(conf)
-    fs.delete(d, true)
+    val old = new org.apache.hadoop.fs.Path(dest + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(d) && !fs.rename(d, old))
+      throw new IllegalStateException(s"rename $dest aside failed")
     if (!fs.rename(s, d)) throw new IllegalStateException(s"rename $src -> $dest failed")
+    fs.delete(old, true)
   }
 
   /** idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — reference scorer. */
@@ -276,11 +283,15 @@ object Fts {
                    k: Int): DataFrame = {
     val p = paths(indexPath)
     // ONE term-pruned postings read feeds scoring, must-intersection and
-    // mustNot-exclusion (cached: all three branches reuse it)
+    // mustNot-exclusion. localCheckpoint, not persist: the result is
+    // returned lazily so a persist here could never be unpersisted — the
+    // eager checkpoint materializes the (term-pruned, small) postings once
+    // and its blocks are reclaimed with the plan instead of leaking for the
+    // session lifetime.
     val involved = (must ++ should ++ mustNot).distinct
     val post = spark.read.parquet(p.postings)
       .filter(col("token").isin(involved: _*))
-      .persist()
+      .localCheckpoint()
     val base = scored(spark, p, must ++ should, postings = Some(post))
     val mustDocs = must.map(t => post.filter(col("token") === t).select(col("doc_id")))
       .reduceOption(_.intersect(_))

@@ -165,6 +165,27 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // Deterministic addr-keyed sampler (reference samplers, `sampler.py`),
+    // routed through GraftTable.sampleHash end-to-end. The oracle cannot
+    // replay xxhash64(_rowaddr), so the gate checks the partition invariant
+    // instead: sample ∪ complement (computed as two INDEPENDENT evaluations
+    // of the sampler predicate, anti-joined on _rowaddr) must reproduce the
+    // full table's count/sum exactly, and the sample must be non-degenerate.
+    // Nondeterminism or duplication in the sampler breaks the invariant.
+    "q_sample_hash" -> { (s, d) =>
+      val t = freshDir(s, "sample_hash")
+      GraftTable.write(Tables.orders(s, d), t, "overwrite")
+      val samp = GraftTable.sampleHash(s, t, 0.25)
+      val comp = GraftTable.read(s, t, withRowAddr = true)
+        .join(samp.select(col(GraftTable.RowAddrCol)), Seq(GraftTable.RowAddrCol), "left_anti")
+      val sAgg = samp.agg(count(lit(1)).as("ns"), sum(col("o_totalprice")).as("ss"))
+      val cAgg = comp.agg(count(lit(1)).as("nc"), sum(col("o_totalprice")).as("sc"))
+      sAgg.crossJoin(cAgg).select(
+        (col("ns") + col("nc")).as("n"),
+        round(col("ss") + col("sc"), 2).as("total"),
+        (col("ns") >= 1 && col("nc") >= 1).as("sample_ok"))
+    },
+
     // no-rewrite add_columns: supplemental column file merged on read
     "q_format_add_columns" -> { (s, d) =>
       val t = freshDir(s, "add_columns")
@@ -219,6 +240,10 @@ object Format {
     "q_format_read_late" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 5000 AND 6000""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total,
+        | true AS sample_ok
+        |FROM orders""".stripMargin,
     "q_format_add_columns" ->
       """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
         | count(*) AS n, round(sum(c_acctbal),2) AS total

@@ -248,15 +248,6 @@ object Relational {
         .filter(col("doc_id").isin(3L, 17L, 42L, 99L, 123L, 250L, 499L))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
-    },
-
-    // TABLESAMPLE-equivalent deterministic sample: hash-based (seeded rand is
-    // engine-specific; hash sampling is portable + distributed-stable).
-    "q_sample_hash" -> { (s, d) =>
-      Tables.orders(s, d)
-        .filter(pmod(col("o_orderkey") * 2654435761L, lit(100)) < 5)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -383,9 +374,6 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_take_by_id" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id IN (3,17,42,99,123,250,499) ORDER BY doc_id""".stripMargin,
-    "q_sample_hash" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE (o_orderkey * 2654435761) % 100 < 5 ORDER BY o_orderkey""".stripMargin
+        |WHERE doc_id IN (3,17,42,99,123,250,499) ORDER BY doc_id""".stripMargin
   )
 }

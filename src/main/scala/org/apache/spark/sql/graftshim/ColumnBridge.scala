@@ -13,6 +13,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Clone a session (shared SparkContext + cache, copied conf) —
+    * `SparkSession.cloneSession` is private[sql]. Used to scope per-write
+    * SQL-conf overrides without mutating the caller's session. */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Build a DataFrame from a logical plan (Dataset.ofRows is private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
