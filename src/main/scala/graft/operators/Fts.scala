@@ -2,6 +2,100 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Tokenizer configuration (reference `InvertedIndexParams` / tokenizer
+  * builder, `rust/lance-index/src/scalar/inverted/tokenizer.rs:36-108`):
+  * base tokenizer + optional filters, applied in the reference's order —
+  * lowercase → ascii folding → length cutoff → stop words → stemming.
+  * The default config reproduces [[Fts.tokenize]] exactly. Stored as JSON
+  * next to the index so every query path tokenizes its terms identically.
+  *
+  * @param baseTokenizer "simple" (split on non-alphanumeric), "whitespace",
+  *   "raw" (whole string one token), or "ngram" (char n-grams of the text,
+  *   `ngramMin`..`ngramMax`, optionally only prefixes — tantivy
+  *   NgramTokenizer semantics)
+  */
+case class FtsConfig(
+    baseTokenizer: String = "simple",
+    lowerCase: Boolean = true,
+    asciiFolding: Boolean = false,
+    maxTokenLength: Option[Int] = None,
+    stopWords: Seq[String] = Nil,
+    stemming: Boolean = false,
+    ngramMin: Int = 3,
+    ngramMax: Int = 3,
+    ngramPrefixOnly: Boolean = false)
+
+/** One tokenization implementation shared by the distributed build path
+  * ([[TokenizeWith]]) and driver-side query-term processing — the two sides
+  * can never drift. */
+object FtsTokenizer {
+  private val AsciiFoldSrc = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+  private val AsciiFoldDst = "aaaaaaceeeeiiiinooooouuuuyy"
+
+  private def fold(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val j = AsciiFoldSrc.indexOf(c.toInt)
+      out.append(if (j >= 0) AsciiFoldDst.charAt(j) else c)
+      i += 1
+    }
+    out.toString
+  }
+
+  def tokens(text: String, cfg: FtsConfig): Seq[String] = {
+    if (text == null) return Nil
+    var t = if (cfg.lowerCase) text.toLowerCase(java.util.Locale.ROOT) else text
+    if (cfg.asciiFolding) t = fold(t)
+    val base: Seq[String] = cfg.baseTokenizer match {
+      case "raw" => if (t.isEmpty) Nil else Seq(t)
+      case "whitespace" => t.split("\\s+").toSeq.filter(_.nonEmpty)
+      case "ngram" =>
+        val grams = scala.collection.mutable.ArrayBuffer.empty[String]
+        val starts = if (cfg.ngramPrefixOnly) Seq(0) else 0 until t.length
+        for (s <- starts; n <- cfg.ngramMin to cfg.ngramMax if s + n <= t.length)
+          grams += t.substring(s, s + n)
+        grams.toSeq
+      case _ => t.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    }
+    var out = base
+    cfg.maxTokenLength.foreach(max => out = out.filter(_.length <= max))
+    if (cfg.stopWords.nonEmpty) {
+      val stop = cfg.stopWords.toSet
+      out = out.filterNot(stop)
+    }
+    if (cfg.stemming) out = out.map(graft.functions.PorterStemmer.stem)
+    out
+  }
+}
+
+/** text → array<string> tokens under an [[FtsConfig]] — the distributed
+  * form of [[FtsTokenizer.tokens]] for configured index builds (the default
+  * config uses the codegen'd builtin pipeline in [[Fts.tokenize]] instead). */
+case class TokenizeWith(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                        cfg: FtsConfig)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_with"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tokenize_with requires string, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any = {
+    val toks = FtsTokenizer.tokens(input.toString, cfg)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): TokenizeWith = copy(child = c)
+}
 
 /** Full-text search: distributed inverted-index build + BM25 ranking.
   *
@@ -54,6 +148,45 @@ object Fts {
     s"$indexPath/postings", s"$indexPath/termstats",
     s"$indexPath/docstats", s"$indexPath/meta")
 
+  /** Column-level tokenizer under a config: the default config keeps the
+    * fully codegen'd builtin pipeline; configured builds run the shared
+    * Scala tokenizer as an expression. */
+  def tokenizeWith(c: Column, cfg: FtsConfig): Column =
+    if (cfg == FtsConfig()) tokenize(c)
+    else ColumnBridge.column(TokenizeWith(ColumnBridge.expression(c), cfg))
+
+  implicit private val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def writeConfig(spark: SparkSession, indexPath: String, cfg: FtsConfig): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_tokenizer.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(org.json4s.jackson.Serialization.write(cfg).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Tokenizer config an index was built with (default for legacy indexes). */
+  def loadConfig(spark: SparkSession, indexPath: String): FtsConfig = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_tokenizer.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) FtsConfig()
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      org.json4s.jackson.JsonMethods.parse(s).extract[FtsConfig]
+    }
+  }
+
+  /** Query terms pass through the index's own tokenizer pipeline (stemming,
+    * stop words, folding), exactly as the reference analyzes query text with
+    * the index's tokenizer — a stemmed index answers `vectors` and `vector`
+    * identically, and a stop word as a query term matches nothing. */
+  private def queryTerms(spark: SparkSession, indexPath: String,
+                         terms: Seq[String]): Seq[String] = {
+    val cfg = loadConfig(spark, indexPath)
+    terms.flatMap(FtsTokenizer.tokens(_, cfg))
+  }
+
   /** Distributed inverted-index build (reference `inverted/builder.rs`).
     *
     * One tokenization pass: the tokenized corpus is cached, postings are
@@ -68,9 +201,10 @@ object Fts {
     * single-row meta coalesces.
     */
   def buildIndex(df: DataFrame, idCol: String, textCol: String, indexPath: String,
-                 numPostingFiles: Int = 8): Index = {
+                 numPostingFiles: Int = 8, config: FtsConfig = FtsConfig()): Index = {
     val p = paths(indexPath)
-    val tokenized = df.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("tk"))
+    writeConfig(df.sparkSession, indexPath, config)
+    val tokenized = df.select(col(idCol).as("doc_id"), tokenizeWith(col(textCol), config).as("tk"))
       .persist()
     try {
       val toks = tokenized.select(col("doc_id"),
@@ -111,7 +245,10 @@ object Fts {
   def optimizeIndex(newDocs: DataFrame, idCol: String, textCol: String,
                     indexPath: String): Index = {
     val p = paths(indexPath)
-    val tokenized = newDocs.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("tk"))
+    // delta docs MUST tokenize under the index's stored config
+    val cfg = loadConfig(newDocs.sparkSession, indexPath)
+    val tokenized = newDocs.select(col(idCol).as("doc_id"),
+        tokenizeWith(col(textCol), cfg).as("tk"))
       .persist()
     try {
       val toks = tokenized.select(col("doc_id"),
@@ -180,13 +317,41 @@ object Fts {
   }
 
   /** Match query: BM25 top-k over any of the terms (OR semantics, like the
-    * reference MatchQuery). Ties broken by doc_id. */
+    * reference MatchQuery). Terms run through the index's tokenizer config.
+    * Ties broken by doc_id. */
   def matchQuery(spark: SparkSession, indexPath: String, terms: Seq[String], k: Int): DataFrame =
-    scored(spark, paths(indexPath), terms)
+    matchTokens(spark, indexPath, queryTerms(spark, indexPath, terms), k)
+
+  /** Match over already-analyzed index-space tokens (no re-tokenization —
+    * [[fuzzyQuery]]'s expansions are already dictionary tokens). */
+  private def matchTokens(spark: SparkSession, indexPath: String,
+                          tokens: Seq[String], k: Int): DataFrame =
+    scored(spark, paths(indexPath), tokens)
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("_score"))
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
+
+  /** Fuzzy match (reference MatchQuery `fuzziness` / `prefix_length`,
+    * `rust/lance-index/src/scalar/inverted/query.rs:16,47,286`): each term
+    * expands against the termstats DICTIONARY — tokens sharing the first
+    * `prefixLength` chars and within `fuzziness` edit distance — then the
+    * expanded token set runs the normal BM25 scored path. The dictionary
+    * scan is prefix-pruned (`startsWith` pushes down on the token-sorted
+    * termstats files); the expansion set that reaches the driver is tiny.
+    * `fuzziness = 0` degenerates to exact match. */
+  def fuzzyQuery(spark: SparkSession, indexPath: String, terms: Seq[String],
+                 fuzziness: Int, prefixLength: Int, k: Int): DataFrame = {
+    val qs = queryTerms(spark, indexPath, terms)
+    val dict = spark.read.parquet(paths(indexPath).termstats)
+    val expanded = qs.flatMap { t =>
+      val prefix = t.take(prefixLength)
+      val pruned = if (prefix.isEmpty) dict else dict.filter(col("token").startsWith(prefix))
+      pruned.filter(levenshtein(col("token"), lit(t)) <= fuzziness)
+        .select(col("token")).collect().map(_.getString(0)).toSeq
+    }.distinct
+    matchTokens(spark, indexPath, expanded, k)
+  }
 
   /** Flat (index-free) match: same scores computed straight from the corpus —
     * the fallback path for unindexed fragments (reference
@@ -218,8 +383,9 @@ object Fts {
     * predecessor (slop=0 ⇒ strictly consecutive). Per-adjacent-gap slop —
     * the iterative position-join pattern; each term adds one broadcast-size
     * postings join, never a corpus scan. Returns matching doc_ids. */
-  def phraseQuery(spark: SparkSession, indexPath: String, terms: Seq[String],
+  def phraseQuery(spark: SparkSession, indexPath: String, rawTerms: Seq[String],
                   slop: Int = 0): DataFrame = {
+    val terms = queryTerms(spark, indexPath, rawTerms)
     require(terms.nonEmpty)
     val p = paths(indexPath)
     val post = spark.read.parquet(p.postings)
@@ -249,9 +415,11 @@ object Fts {
                  positive: Seq[String], negative: Seq[String],
                  negativeBoost: Double, k: Int): DataFrame = {
     val p = paths(indexPath)
-    val pos = scored(spark, p, positive)
+    val posTerms = queryTerms(spark, indexPath, positive)
+    val negTerms = queryTerms(spark, indexPath, negative)
+    val pos = scored(spark, p, posTerms)
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("pos_score"))
-    val neg = scored(spark, p, negative)
+    val neg = scored(spark, p, negTerms)
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("neg_score"))
     pos.join(neg, Seq("doc_id"), "left_outer")
       .withColumn("_score",
@@ -266,7 +434,8 @@ object Fts {
   def multiMatch(spark: SparkSession, fieldIndexPaths: Seq[(String, Double)],
                  terms: Seq[String], k: Int): DataFrame = {
     val perField = fieldIndexPaths.map { case (idxPath, boost) =>
-      scored(spark, paths(idxPath), terms)
+      // each field analyzes the terms with ITS OWN tokenizer config
+      scored(spark, paths(idxPath), queryTerms(spark, idxPath, terms))
         .groupBy(col("doc_id")).agg((sum(col("term_score")) * boost).as("fscore"))
     }
     perField.reduce(_.unionByName(_))
@@ -282,21 +451,24 @@ object Fts {
                    must: Seq[String], should: Seq[String], mustNot: Seq[String],
                    k: Int): DataFrame = {
     val p = paths(indexPath)
+    val mustT = queryTerms(spark, indexPath, must)
+    val shouldT = queryTerms(spark, indexPath, should)
+    val mustNotT = queryTerms(spark, indexPath, mustNot)
     // ONE term-pruned postings read feeds scoring, must-intersection and
     // mustNot-exclusion. localCheckpoint, not persist: the result is
     // returned lazily so a persist here could never be unpersisted — the
     // eager checkpoint materializes the (term-pruned, small) postings once
     // and its blocks are reclaimed with the plan instead of leaking for the
     // session lifetime.
-    val involved = (must ++ should ++ mustNot).distinct
+    val involved = (mustT ++ shouldT ++ mustNotT).distinct
     val post = spark.read.parquet(p.postings)
       .filter(col("token").isin(involved: _*))
       .localCheckpoint()
-    val base = scored(spark, p, must ++ should, postings = Some(post))
-    val mustDocs = must.map(t => post.filter(col("token") === t).select(col("doc_id")))
+    val base = scored(spark, p, mustT ++ shouldT, postings = Some(post))
+    val mustDocs = mustT.map(t => post.filter(col("token") === t).select(col("doc_id")))
       .reduceOption(_.intersect(_))
-    val notDocs = if (mustNot.isEmpty) None
-      else Some(post.filter(col("token").isin(mustNot: _*)).select(col("doc_id")).distinct())
+    val notDocs = if (mustNotT.isEmpty) None
+      else Some(post.filter(col("token").isin(mustNotT: _*)).select(col("doc_id")).distinct())
     val filtered0 = mustDocs.map(md => base.join(md, Seq("doc_id"), "left_semi")).getOrElse(base)
     val filtered = notDocs.map(nd => filtered0.join(nd, Seq("doc_id"), "left_anti")).getOrElse(filtered0)
     filtered.groupBy(col("doc_id"))

@@ -32,8 +32,33 @@ object FtsQueries {
     * [[graft.queries.Vector.builds]]). */
   val builds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "build_fts" -> ((s, d) => { indexFor(s, d, "bench"); () }),
-    "build_fts_title" -> ((s, d) => { titleIndexFor(s, d); () })
+    "build_fts_title" -> ((s, d) => { titleIndexFor(s, d); () }),
+    "build_fts_stemmed" -> ((s, d) => { stemmedIndexFor(s, d); () }),
+    "build_fts_stopword" -> ((s, d) => { stopwordIndexFor(s, d); () })
   )
+
+  private val builtStemmed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtStopword = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def configuredIndexFor(s: SparkSession, d: String, tag: String,
+                                 cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                                 cfg: graft.operators.FtsConfig): String =
+    cache.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/fts_${tag}_${d.hashCode.toHexString}"
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      Fts.buildIndex(Tables.documents(s, d), "doc_id", "text", dir, config = cfg)
+      dir
+    })
+
+  private def stemmedIndexFor(s: SparkSession, d: String): String =
+    configuredIndexFor(s, d, "stem", builtStemmed,
+      graft.operators.FtsConfig(stemming = true))
+
+  private def stopwordIndexFor(s: SparkSession, d: String): String =
+    configuredIndexFor(s, d, "stop", builtStopword,
+      graft.operators.FtsConfig(stopWords = Seq("the", "a")))
 
   val queries: Map[String, Q] = Map(
     "q_fts_match" -> { (s, d) =>
@@ -58,6 +83,36 @@ object FtsQueries {
       val idx = indexFor(s, d, "boost")
       Fts.boostQuery(s, idx,
           positive = Seq("spark"), negative = Seq("slow"), negativeBoost = 0.5, k = 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // Fuzzy match (reference MatchQuery fuzziness/prefix_length): the
+    // misspelled term expands against the term dictionary (prefix-pruned,
+    // edit distance <= 1) and scores through the normal BM25 path — the
+    // oracle replays the expansion with levenshtein().
+    "q_fts_fuzzy" -> { (s, d) =>
+      val idx = indexFor(s, d, "fuzzy")
+      Fts.fuzzyQuery(s, idx, Seq("vectr"), fuzziness = 1, prefixLength = 4, k = 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // Stop-word tokenizer config: 'the'/'a' are dropped at build, changing
+    // dl/avgdl/df — the oracle recomputes BM25 with the same filtered
+    // tokenizer, so the whole config plumbing is hash-gated.
+    "q_fts_stopword" -> { (s, d) =>
+      val idx = stopwordIndexFor(s, d)
+      Fts.matchQuery(s, idx, Seq("table", "vector"), 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // Porter-stemmed index: 'tables' analyzes to 'tabl' and matches the
+    // stemmed corpus. The oracle replays the stem as a closed-vocabulary
+    // CASE mapping (DuckDB's stem() lives in a non-loadable extension);
+    // stemmer correctness itself is spec-gated on Porter's published
+    // examples (FtsSpec).
+    "q_fts_stemmed" -> { (s, d) =>
+      val idx = stemmedIndexFor(s, d)
+      Fts.matchQuery(s, idx, Seq("tables"), 20)
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },
 
@@ -86,18 +141,23 @@ object FtsQueries {
       dir
     })
 
-  private val tokCte =
-    """toks AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk
-      |  FROM documents),
-      |docs AS (SELECT doc_id, len(tk)*1.0 AS dl FROM toks),
-      |meta AS (SELECT count(*)*1.0 AS n, avg(dl) AS avgdl FROM docs),
-      |tf AS (SELECT doc_id, t AS token, count(*)*1.0 AS tf
-      |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t),
-      |st AS (SELECT token, count(*)*1.0 AS df FROM tf GROUP BY token)""".stripMargin
+  private val defaultTokExpr =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '')"
 
-  private def bm25Select(termsIn: String, extra: String) =
-    s"""WITH $tokCte
+  private def tokCteWith(tokExpr: String) =
+    s"""toks AS (SELECT doc_id,
+       |  $tokExpr AS tk
+       |  FROM documents),
+       |docs AS (SELECT doc_id, len(tk)*1.0 AS dl FROM toks),
+       |meta AS (SELECT count(*)*1.0 AS n, avg(dl) AS avgdl FROM docs),
+       |tf AS (SELECT doc_id, t AS token, count(*)*1.0 AS tf
+       |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t),
+       |st AS (SELECT token, count(*)*1.0 AS df FROM tf GROUP BY token)""".stripMargin
+
+  private val tokCte = tokCteWith(defaultTokExpr)
+
+  private def bm25SelectWith(tokExpr: String, termsIn: String, extra: String) =
+    s"""WITH ${tokCteWith(tokExpr)}
        |SELECT f.doc_id,
        |  round(sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
        |        * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))),4) AS _score
@@ -109,8 +169,26 @@ object FtsQueries {
        |        * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))) DESC, f.doc_id
        |LIMIT 20""".stripMargin
 
+  private def bm25Select(termsIn: String, extra: String) =
+    bm25SelectWith(defaultTokExpr, termsIn, extra)
+
+  /** Closed-vocabulary Porter mapping for the synthetic corpus (the only
+    * tokens the stemmer rewrites; see q_fts_stemmed comment). */
+  private val stemCase =
+    """CASE t WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+      | WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+      | WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE t END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_fts_match" -> bm25Select("'spark','vector'", ""),
+    "q_fts_fuzzy" -> bm25Select(
+      "SELECT token FROM st WHERE token LIKE 'vect%' AND levenshtein(token, 'vectr') <= 1", ""),
+    "q_fts_stopword" -> bm25SelectWith(
+      "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '' AND t NOT IN ('the','a'))",
+      "'table','vector'", ""),
+    "q_fts_stemmed" -> bm25SelectWith(
+      s"list_transform($defaultTokExpr, t -> $stemCase)",
+      "'tabl'", ""),
     "q_fts_phrase" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk
