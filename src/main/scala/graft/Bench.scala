@@ -40,23 +40,31 @@ object Bench {
     }
 
     // one-time index builds first, timed as their own build_* entries —
-    // queries that reuse the cached index then measure query cost only
+    // queries that reuse the cached index then measure query cost only. A
+    // failed build/query records a -1 sentinel (never a normal-looking
+    // duration) and bumps the error count, so a query silently rebuilding a
+    // failed index inside its own timing is visible in the artifact.
+    var errors = 0
     val buildResults = (queries.Vector.builds ++ queries.FtsQueries.builds)
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir); true } catch { case _: Throwable => errors += 1; false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => errors += 1; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = (buildResults ++ results).map { case (k, v) => "\"" + k + "\":" + v }
+    // seconds rounded to 3 decimals: keeps the single JSON line well under
+    // the driver's ~2 KB stdout-tail parse window (full-precision doubles
+    // overflowed it in r2/r3 and the artifact recorded "parsed": null)
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = (buildResults ++ results).map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = (buildResults ++ results).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = (buildResults ++ results).map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

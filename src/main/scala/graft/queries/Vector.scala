@@ -159,6 +159,27 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // IVF_HNSW compaction/delete safety end-to-end (VERDICT r3 #1), rows-only
+    // (graph search is approximate): build over a graft table → DV-delete →
+    // partial compaction retires fragment ids → searchCombined must mark
+    // dead/deleted nodes routing-only and flat-search rewritten fragments.
+    // HnswSpec asserts the returned ids exclude every deleted id.
+    "q_ann_hnsw_after_compact" -> { (s, d) =>
+      import graft.format.GraftTable
+      val t = freshDir(s, "hnsw_after_compact")
+      val idx = freshDir(s, "hnsw_after_compact_idx")
+      val e = Tables.embeddings(s, d)
+      val q = queryVec(s, d)
+      val cut = math.floor(e.count() / 8.0).toLong
+      GraftTable.write(e.repartitionByRange(4, col("vec_id")), t, "overwrite")
+      graft.operators.HnswIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 4)
+      GraftTable.delete(s, t, s"vec_id < $cut")
+      GraftTable.compactFiles(s, t, targetRows = 250, materializeDeletions = 0.1)
+      graft.operators.HnswIndex.searchCombined(s, t, idx, "vec_id", "embedding", q,
+          k = 10, nprobes = 4)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // Approximate probe (nprobes=2 of 8) — rows-only gate entry; quality is
     // asserted by the recall spec instead.
     "q_ann_ivf_probe" -> { (s, d) =>

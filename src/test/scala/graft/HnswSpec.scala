@@ -54,6 +54,38 @@ class HnswSpec extends AnyFunSuite {
     assert(r.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("table-backed search never returns deleted or compacted-away rows") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_tbl_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_tblidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4)
+    GraftTable.delete(spark, t, "vec_id < 100")
+    val q = queryVec(7L * 3 % 500)
+
+    // DV-only state: deleted nodes must be routing-only
+    val afterDelete = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding",
+        q, k = 10, nprobes = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(afterDelete.size == 10)
+    assert(afterDelete.forall(_ >= 100),
+      s"deleted ids surfaced after delete: ${afterDelete.filter(_ < 100)}")
+
+    // compaction materializes DVs and retires fragment ids: dead-fragment
+    // nodes must not duplicate the flat side's rewritten fragments
+    GraftTable.compactFiles(spark, t, targetRows = 200, materializeDeletions = 0.1)
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r.size == 10)
+    assert(r.distinct.size == 10, "compaction produced duplicate hits")
+    assert(r.forall(_ >= 100), s"deleted ids surfaced after compact: ${r.filter(_ < 100)}")
+    val exact = Knn.flatSearch(embeddings.filter($"vec_id" >= 100), "embedding",
+        q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert((r.toSet intersect exact).size >= 8, s"recall too low: $r vs $exact")
+  }
+
   test("deterministic rebuild: identical graphs") {
     val d2 = Files.createTempDirectory("hnsw2_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
