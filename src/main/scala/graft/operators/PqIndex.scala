@@ -175,7 +175,11 @@ object PqIndex {
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn(CodeCol,
         ColumnBridge.column(PqEncode(ColumnBridge.expression(col(vecCol)), pq)))
-    if (staleIds.isEmpty) {
+    // legacy (version-marker-only) indexes can't name dead fragments, so
+    // always prove the dataset clean via the filtered rewrite before
+    // recording a coverage marker (same reasoning as IvfIndex.optimizeForTable)
+    val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
+    if (staleIds.isEmpty && !legacy) {
       if (freshFrags.nonEmpty) {
         encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
             withRowAddr = true))

@@ -159,6 +159,31 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // Prefiltered cosine ANN over a LIVE table (VERDICT r3 #5): post-build
+    // append (fresh fragment → flat leg) AND delete (DV → indexed leg), with
+    // metric + prefilter threaded through searchCombined's both legs.
+    // nprobes = nlist ⇒ exact over the filtered live set.
+    "q_ann_prefilter_combined" -> { (s, d) =>
+      import graft.format.GraftTable
+      val t = freshDir(s, "ann_prefilter_combined")
+      val idx = freshDir(s, "ann_prefilter_combined_idx")
+      val e = Tables.embeddings(s, d)
+      val q = queryVec(s, d)
+      val n = e.count()
+      val appendCut = math.floor(n * 7.0 / 8.0).toLong
+      val delLo = math.floor(n / 4.0).toLong
+      val delHi = math.floor(n * 3.0 / 8.0).toLong
+      GraftTable.write(e.filter(col("vec_id") < appendCut)
+        .repartitionByRange(4, col("vec_id")), t, "overwrite")
+      IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
+      GraftTable.write(e.filter(col("vec_id") >= appendCut), t, "append")
+      GraftTable.delete(s, t, s"vec_id >= $delLo AND vec_id < $delHi")
+      IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10,
+          nprobes = 8, metric = "cosine",
+          prefilter = Some(col("label") === 3 && col("vec_id") =!= 0L))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // IVF_HNSW compaction/delete safety end-to-end (VERDICT r3 #1), rows-only
     // (graph search is approximate): build over a graft table → DV-delete →
     // partial compaction retires fragment ids → searchCombined must mark
@@ -297,6 +322,16 @@ object Vector {
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
         |FROM embeddings e, q WHERE e.label = 3 AND e.vec_id <> 0
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_prefilter_combined" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |     c AS (SELECT CAST(floor(count(*) / 4.0) AS BIGINT) AS dlo,
+        |                  CAST(floor(count(*) * 3.0 / 8.0) AS BIGINT) AS dhi FROM embeddings)
+        |SELECT e.vec_id,
+        |  round(1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q, c
+        |WHERE e.label = 3 AND e.vec_id <> 0 AND NOT (e.vec_id >= c.dlo AND e.vec_id < c.dhi)
+        |ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_after_compact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -173,6 +173,30 @@ class IvfSpec extends AnyFunSuite {
     assert(viaIdx == flat)
   }
 
+  test("searchCombined threads metric + prefilter through both legs") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_pfc_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_pfc_idx_").toString
+    // covered: [0, 400); fresh append: [400, 500); DV-delete: [125, 187)
+    GraftTable.write(embeddings.filter($"vec_id" < 400)
+      .repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append")
+    GraftTable.delete(spark, t, "vec_id >= 125 AND vec_id < 187")
+    val q = queryVec(0L)
+    val got = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q,
+        10, 8, metric = "cosine",
+        prefilter = Some($"label" === 3 && $"vec_id" =!= 0L))
+      .select("vec_id").as[Long].collect().toSeq
+    val expected = Knn.flatSearch(
+        embeddings.filter($"label" === 3 && $"vec_id" =!= 0L &&
+          !($"vec_id" >= 125 && $"vec_id" < 187)),
+        "embedding", q, 10, "cosine", tieBreakers = Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+    assert(got.size == 10)
+  }
+
   test("searchCombined subtracts rows deleted after the index build") {
     import graft.format.GraftTable
     val t = Files.createTempDirectory("ivf_del_").toString + "/t"
