@@ -107,11 +107,21 @@ object FtsQueries {
 
     // Porter-stemmed index: 'tables' analyzes to 'tabl' and matches the
     // stemmed corpus. The oracle replays the stem as a closed-vocabulary
-    // CASE mapping (DuckDB's stem() lives in a non-loadable extension);
-    // stemmer correctness itself is spec-gated on Porter's published
-    // examples (FtsSpec).
+    // CASE mapping (DuckDB's stem() lives in a non-loadable extension), so
+    // the gate first PROVES the mapping complete: every corpus token the
+    // stemmer rewrites must be in the CASE — a corpus vocabulary change
+    // fails loudly here instead of silently skewing df/tf on one side only
+    // (ADVICE r3). Stemmer correctness beyond this vocabulary is spec-gated
+    // on Porter's published sample vocabulary (FtsSpec).
     "q_fts_stemmed" -> { (s, d) =>
       val idx = stemmedIndexFor(s, d)
+      val mapped = Set("customer", "key", "merge", "query", "table", "value")
+      val changed = Tables.documents(s, d)
+        .select(explode(Fts.tokenize(col("text"))).as("t")).distinct()
+        .collect().iterator.map(_.getString(0))
+        .filter(t => graft.functions.PorterStemmer.stem(t) != t).toSet
+      require(changed.subsetOf(mapped),
+        s"stemCase oracle mapping is stale for this corpus; unmapped rewritten tokens: ${changed.diff(mapped)}")
       Fts.matchQuery(s, idx, Seq("tables"), 20)
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },

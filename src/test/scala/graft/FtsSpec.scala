@@ -93,6 +93,110 @@ class FtsSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set.empty[Long])
   }
 
+  test("Porter stemmer matches the published sample vocabulary") {
+    import graft.functions.PorterStemmer.stem
+    // the algorithm's public demonstration vocabulary (Porter 1980 §"the
+    // algorithm" examples + the author's sample input/output pairs)
+    val fixture = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "matting" -> "mat", "mating" -> "mate", "meeting" -> "meet",
+      "milling" -> "mill", "messing" -> "mess", "meetings" -> "meet",
+      "relational" -> "relat", "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "sky" -> "sky", "happy" -> "happi",
+      "plastered" -> "plaster", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "failing" -> "fail", "filing" -> "file",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "adoption" -> "adopt", "adjustment" -> "adjust",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal")
+    val bad = fixture.filter { case (in, want) => stem(in) != want }
+      .map { case (in, want) => s"$in -> ${stem(in)} (want $want)" }
+    assert(bad.isEmpty, s"stemmer deviates on: ${bad.mkString(", ")}")
+  }
+
+  test("fuzzy expansion: fuzziness 0/1/2, prefixLength 0 and pruning") {
+    val idx = buildTmpIndex()
+    // fuzziness 0 degenerates to exact match
+    val exact = Fts.matchQuery(spark, idx, Seq("quick"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val f0 = Fts.fuzzyQuery(spark, idx, Seq("quick"), fuzziness = 0,
+      prefixLength = 0, k = 5).as[(Long, Double)].collect().toSeq
+    assert(f0 == exact)
+    // misspelling within distance 1, no prefix pruning (full dictionary scan)
+    val f1 = Fts.fuzzyQuery(spark, idx, Seq("quik"), fuzziness = 1,
+      prefixLength = 0, k = 5).as[(Long, Double)].collect().toSeq
+    assert(f1 == exact)
+    // distance-2 misspelling ("qck" → two insertions) needs fuzziness 2
+    assert(Fts.fuzzyQuery(spark, idx, Seq("qck"), fuzziness = 1,
+      prefixLength = 1, k = 5).as[(Long, Double)].collect().isEmpty)
+    val f2 = Fts.fuzzyQuery(spark, idx, Seq("qck"), fuzziness = 2,
+      prefixLength = 1, k = 5).as[(Long, Double)].collect().toSeq
+    assert(f2 == exact)
+    // prefix pruning excludes candidates that differ in the first chars
+    assert(Fts.fuzzyQuery(spark, idx, Seq("buick"), fuzziness = 1,
+      prefixLength = 1, k = 5).as[(Long, Double)].collect().isEmpty)
+    assert(Fts.fuzzyQuery(spark, idx, Seq("buick"), fuzziness = 1,
+      prefixLength = 0, k = 5).as[(Long, Double)].collect().toSeq == exact)
+  }
+
+  test("stop words change dl/avgdl/df, stopped query terms match nothing") {
+    import graft.operators.FtsConfig
+    val cfg = FtsConfig(stopWords = Seq("the", "a"))
+    val dir = Files.createTempDirectory("fts_stop_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir, config = cfg)
+    // 'the' is dropped at build AND at query analysis: no hits
+    assert(Fts.matchQuery(spark, dir, Seq("the"), 5).collect().isEmpty)
+    // doc lengths shrink (docs 1,2,4 contain the/a), so 'fox' scores differ
+    // from the unstopped index but equal the config-aware flat path
+    val plain = buildTmpIndex()
+    val stopped = Fts.matchQuery(spark, dir, Seq("fox"), 5)
+      .as[(Long, Double)].collect().toMap
+    val unstopped = Fts.matchQuery(spark, plain, Seq("fox"), 5)
+      .as[(Long, Double)].collect().toMap
+    assert(stopped.keySet == unstopped.keySet)
+    assert(stopped != unstopped, "stop-word dl/df change must alter BM25 scores")
+    // docstats reflect the filtered token stream: doc 4 has 7 tokens, 2 are 'a'
+    val dl4 = spark.read.parquet(s"$dir/docstats")
+      .filter($"doc_id" === 4L).head().getDouble(1)
+    assert(dl4 == 5.0, s"dl(doc 4) = $dl4, want 5.0 after dropping two 'a'")
+  }
+
+  test("matchFlat honors the index tokenizer config") {
+    import graft.operators.FtsConfig
+    val cfg = FtsConfig(stopWords = Seq("the", "a"), stemming = true)
+    val dir = Files.createTempDirectory("fts_cfg_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir, config = cfg)
+    // 'sleeps' stems to 'sleep' on both sides; flat leg must agree exactly
+    val indexed = Fts.matchQuery(spark, dir, Seq("sleeps", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val flat = Fts.matchFlat(corpus, "doc_id", "text", Seq("sleeps", "fox"), 5,
+      config = cfg).as[(Long, Double)].collect().toSeq
+    assert(indexed.map(_._1) == flat.map(_._1))
+    indexed.zip(flat).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    // the default-config flat path would diverge (different dl and tokens)
+    val wrongCfg = Fts.matchFlat(corpus, "doc_id", "text", Seq("sleeps", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(wrongCfg.map(_._2) != flat.map(_._2))
+  }
+
+  test("FtsConfig JSON round-trip via the index sidecar") {
+    import graft.operators.FtsConfig
+    val cfg = FtsConfig(baseTokenizer = "ngram", lowerCase = true,
+      asciiFolding = true, maxTokenLength = Some(12),
+      stopWords = Seq("der", "die"), stemming = true,
+      ngramMin = 2, ngramMax = 4, ngramPrefixOnly = true)
+    val dir = Files.createTempDirectory("fts_rt_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir, config = cfg)
+    assert(Fts.loadConfig(spark, dir) == cfg)
+    // an index dir without a sidecar loads the default config
+    val legacy = Files.createTempDirectory("fts_leg_").toString
+    assert(Fts.loadConfig(spark, legacy) == FtsConfig())
+  }
+
   test("optimizeIndex: incremental build equals full rebuild exactly") {
     val half1 = corpus.filter($"doc_id" <= 3)
     val half2 = corpus.filter($"doc_id" > 3)
