@@ -38,6 +38,11 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftTable {
   val RowAddrCol = "_rowaddr"
+  /** Stable row id (reference `rust/lance-table/src/rowids.rs:55`): assigned
+    * once at ingest from the manifest's `nextRowId` high-water mark, and —
+    * unlike `_rowaddr` — preserved through compaction rewrites (see
+    * [[Manifest]] `FragmentMeta.rowIdStart`/`rowIdStored`). */
+  val RowIdCol = "_rowid"
   private val FragRe = "frag-(\\d+)\\.parquet$"
 
   // ---------------------------------------------------------------- metadata
@@ -180,10 +185,17 @@ object GraftTable {
 
   /** Rename staged part files to `frag-<id>.parquet` and build metadata.
     * Returns the renamed paths so a commit-conflict retry can re-rename with
-    * fresh ids (ids may collide with a concurrently committed append). */
+    * fresh ids (ids may collide with a concurrently committed append).
+    *
+    * Row-id assignment: `rowIdBase >= 0` hands each fragment a contiguous id
+    * range starting at the running total (derived `_rowid`, no storage);
+    * `storedRowIds` marks fragments whose files carry a physical `_rowid`
+    * column (compaction rewrites). */
   private def assignIds(spark: SparkSession, staged: Seq[Path], firstId: Long,
-                        version: Long): (Seq[FragmentMeta], Seq[Path]) = {
+                        version: Long, rowIdBase: Long = -1L,
+                        storedRowIds: Boolean = false): (Seq[FragmentMeta], Seq[Path]) = {
     val conf = spark.sessionState.newHadoopConf()
+    var nextRid = rowIdBase
     val out = staged.zipWithIndex.map { case (p, i) =>
       val id = firstId + i
       val f = p.getFileSystem(conf)
@@ -193,7 +205,9 @@ object GraftTable {
       }
       val st = f.getFileStatus(dest)
       val (rows, stats) = parquetFooterInfo(conf, st)
-      (FragmentMeta(id, relativize(spark, dest), rows, st.getLen, version, stats), dest)
+      val start = if (rowIdBase >= 0) { val s = nextRid; nextRid += rows; s } else -1L
+      (FragmentMeta(id, relativize(spark, dest), rows, st.getLen, version, stats,
+        rowIdStart = start, rowIdStored = storedRowIds), dest)
     }
     (out.map(_._1), out.map(_._2))
   }
@@ -216,23 +230,30 @@ object GraftTable {
             configUpdates: Map[String, String] = Map.empty): GraftManifest = {
     val spark = df.sparkSession
     var staged = stageFragments(spark, tablePath, df)
-    def assign(firstId: Long, version: Long): Seq[FragmentMeta] = {
-      val (frags, paths) = assignIds(spark, staged, firstId, version)
+    def assign(firstId: Long, version: Long, rowIdBase: Long): Seq[FragmentMeta] = {
+      val (frags, paths) = assignIds(spark, staged, firstId, version, rowIdBase)
       staged = paths
       frags
     }
     commitLoop(spark, tablePath, {
       case None =>
-        GraftManifest(1L, "create", df.schema.json, assign(0L, 1L), Nil, 0L, configUpdates, 0L)
+        val frags = assign(0L, 1L, 0L)
+        GraftManifest(1L, "create", df.schema.json, frags, Nil, 0L, configUpdates, 0L,
+          nextRowId = frags.map(_.rows).sum)
       case Some(base) => mode.toLowerCase match {
         case "append" =>
+          val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
           base.copy(version = base.version + 1, operation = "append",
-            fragments = base.fragments ++ assign(base.maxFragmentId + 1, base.version + 1),
-            config = base.config ++ configUpdates, parent = base.version)
+            fragments = base.fragments ++ frags,
+            config = base.config ++ configUpdates, parent = base.version,
+            nextRowId = base.nextRowId + frags.map(_.rows).sum)
         case "overwrite" =>
+          // ids keep growing across overwrites (the high-water mark is never
+          // reset) so a row id can never be observed for two different rows
+          val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
           GraftManifest(base.version + 1, "overwrite", df.schema.json,
-            assign(base.maxFragmentId + 1, base.version + 1), Nil, 0L,
-            base.config ++ configUpdates, base.version)
+            frags, Nil, 0L, base.config ++ configUpdates, base.version,
+            nextRowId = base.nextRowId + frags.map(_.rows).sum)
         case "errorifexists" | "error" =>
           throw new IllegalStateException(s"graft table already exists at $tablePath")
         case m => throw new IllegalArgumentException(s"unknown write mode: $m")
@@ -258,34 +279,68 @@ object GraftTable {
     * DV parquet size).
     */
   def read(spark: SparkSession, tablePath: String, version: Option[Long] = None,
-           withRowAddr: Boolean = false): DataFrame =
-    readManifest(spark, tablePath, loadManifest(spark, tablePath, version), withRowAddr)
+           withRowAddr: Boolean = false, withRowId: Boolean = false): DataFrame =
+    readManifest(spark, tablePath, loadManifest(spark, tablePath, version),
+      withRowAddr, withRowId)
 
   /** Read a fragment subset of a snapshot (CDC / take-style access). */
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
-                    frags: Seq[FragmentMeta], withRowAddr: Boolean = false): DataFrame =
-    readManifest(spark, tablePath, m.copy(fragments = frags), withRowAddr = withRowAddr)
+                    frags: Seq[FragmentMeta], withRowAddr: Boolean = false,
+                    withRowId: Boolean = false): DataFrame =
+    readManifest(spark, tablePath, m.copy(fragments = frags),
+      withRowAddr = withRowAddr, withRowId = withRowId)
 
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
-                           withRowAddr: Boolean): DataFrame = {
+                           withRowAddr: Boolean, withRowId: Boolean = false): DataFrame = {
     val t = new Path(tablePath)
+    if (withRowId) require(m.hasRowIds,
+      s"table at $tablePath predates stable row ids (rewrite to assign them)")
+    // fragments that persist `_rowid` physically (compaction rewrites) expose
+    // it through the scan schema; parquet yields null for fragments without
+    // the column, and those derive it from their contiguous range instead
+    val hasStored = withRowId && m.fragments.exists(_.rowIdStored)
+    val dataSchema =
+      if (hasStored) StructType(m.schema.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      else m.schema
     // dvApplied: this path applies DVs itself — the extension rule must not
     // wrap a second (idempotent but wasteful) anti-join around it
     val index = new GraftFileIndex(spark, t, m, dvApplied = true)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
-      dataSchema = m.schema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val base = ColumnBridge.ofRows(spark, LogicalRelation(relation, isStreaming = false))
 
-    val addr = shiftleft(regexp_extract(col("_metadata.file_name"), FragRe, 1).cast("long"), 32)
-      .plus(col("_metadata.row_index"))
+    val fragIdCol = regexp_extract(col("_metadata.file_name"), FragRe, 1).cast("long")
+    val addr = shiftleft(fragIdCol, 32).plus(col("_metadata.row_index"))
 
+    // metadata-derived columns must be materialized ON the scan relation —
+    // `_metadata` does not resolve across a join boundary
     val needAddr = withRowAddr || m.dvFiles.nonEmpty || m.columnFiles.nonEmpty
-    val withAddr = if (needAddr) base.withColumn(RowAddrCol, addr) else base
+    val base1 = if (needAddr || withRowId) base.withColumn(RowAddrCol, addr) else base
+    val withAddr = if (!withRowId) base1 else {
+      val stored = if (hasStored) col(RowIdCol) else lit(null).cast("long")
+      val ranged = m.fragments.filter(f => !f.rowIdStored && f.rowIdStart >= 0)
+      if (ranged.isEmpty) base1.withColumn(RowIdCol, stored)
+      else {
+        // fragment-id → range-start lookup via a broadcast of manifest
+        // metadata (fragment-count-sized, never row-sized); fragment id and
+        // row index recover from the already-materialized address
+        val meta = spark.createDataFrame(ranged.map(f => (f.id, f.rowIdStart)))
+          .toDF("__rid_frag", "__rid_start")
+        base1.join(broadcast(meta),
+            shiftrightunsigned(col(RowAddrCol), 32) === col("__rid_frag"), "left_outer")
+          .withColumn(RowIdCol,
+            coalesce(stored,
+              col("__rid_start") + (col(RowAddrCol).bitwiseAND(lit(0xFFFFFFFFL)))))
+          .drop("__rid_frag", "__rid_start")
+      }
+    }
     val live =
       if (m.dvFiles.isEmpty) withAddr
       else {
@@ -294,7 +349,8 @@ object GraftTable {
         withAddr.join(dv, Seq(RowAddrCol), "left_anti")
       }
     val merged = mergeColumnFiles(spark, t, m, live)
-    if (withRowAddr) merged else merged.drop(RowAddrCol)
+    val out = if (withRowAddr) merged else merged.drop(RowAddrCol)
+    out
   }
 
   /** Merge supplemental column datasets (no-rewrite add_columns) into a scan
@@ -337,6 +393,30 @@ object GraftTable {
     // only the addressed fragments
     readManifest(spark, tablePath, pruned, withRowAddr = true)
       .filter(col(RowAddrCol).isin(addrs: _*))
+  }
+
+  /** Random access by STABLE row id (reference id-to-address resolution,
+    * `rust/lance-table/src/rowids.rs`): fragment pruning uses the manifest's
+    * contiguous ranges for freshly written fragments and the `_rowid` footer
+    * min/max for compaction-rewritten ones — like [[take]], a k-row lookup
+    * reads O(k) fragments no matter the table size. Unlike addresses, the
+    * ids keep resolving after compaction moves the rows. */
+  def takeRows(spark: SparkSession, tablePath: String, rowIds: Seq[Long],
+               version: Option[Long] = None): DataFrame = {
+    val m = loadManifest(spark, tablePath, version)
+    require(m.hasRowIds, s"table at $tablePath predates stable row ids")
+    val pruned = m.copy(fragments = m.fragments.filter { f =>
+      if (!f.rowIdStored)
+        rowIds.exists(id => id >= f.rowIdStart && id < f.rowIdStart + f.rows)
+      else f.stats.get(RowIdCol) match {
+        case Some(st) if st.kind == "long" && st.min != null && st.max != null =>
+          val mn = st.min.toLong; val mx = st.max.toLong
+          rowIds.exists(id => id >= mn && id <= mx)
+        case _ => true // no stats: cannot prune this fragment
+      }
+    })
+    readManifest(spark, tablePath, pruned, withRowAddr = false, withRowId = true)
+      .filter(col(RowIdCol).isin(rowIds: _*))
   }
 
   /** Late-materialized read (reference `MaterializationStyle`,
@@ -476,13 +556,15 @@ object GraftTable {
       val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
       commitLoop(spark, tablePath, {
         case Some(base) =>
-          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+            base.version + 1, base.nextRowId)
           staged = paths
           base.copy(version = base.version + 1, operation = "update",
             fragments = base.fragments ++ frags,
             dvFiles = base.dvFiles ++ dvOpt.map(_._1),
             numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
-            parent = base.version)
+            parent = base.version,
+            nextRowId = base.nextRowId + frags.map(_.rows).sum)
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally matches.unpersist()
@@ -536,13 +618,15 @@ object GraftTable {
         updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
       commitLoop(spark, tablePath, {
         case Some(base) =>
-          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+            base.version + 1, base.nextRowId)
           staged = paths
           base.copy(version = base.version + 1, operation = "merge_insert",
             fragments = base.fragments ++ frags,
             dvFiles = base.dvFiles ++ dvOpt.map(_._1),
             numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
-            parent = base.version)
+            parent = base.version,
+            nextRowId = base.nextRowId + frags.map(_.rows).sum)
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally joined.unpersist()
@@ -581,8 +665,13 @@ object GraftTable {
     if (cand.size < 2 && candDeleted == 0) return m // no debt to pay
     val keep = m.fragments.filterNot(f => cand.exists(_.id == f.id))
     val keepIds = keep.map(_.id).toSet
-    // live rows of candidate fragments only (DVs applied by readManifest)
-    val live = readManifest(spark, tablePath, m.copy(fragments = cand), withRowAddr = false)
+    // live rows of candidate fragments only (DVs applied by readManifest).
+    // Rewritten rows keep their STABLE ids: `_rowid` rides along and is
+    // persisted as a physical column in the new fragment files (reference
+    // move-stable row ids — addresses change, ids don't).
+    val carryIds = m.hasRowIds && m.fragments.nonEmpty
+    val live = readManifest(spark, tablePath, m.copy(fragments = cand),
+      withRowAddr = false, withRowId = carryIds)
     val liveCount = cand.map(_.rows).sum - candDeleted
     val nOut = math.max(1, math.ceil(liveCount.toDouble / targetRows).toInt)
     var staged = stageFragments(spark, tablePath, live.repartition(nOut))
@@ -597,7 +686,8 @@ object GraftTable {
       case Some(base) =>
         if (base.version != m.version) throw new IllegalStateException(
           s"compaction conflict: table moved from v${m.version} to v${base.version}")
-        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+          base.version + 1, storedRowIds = carryIds)
         staged = paths
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keep ++ frags,
@@ -613,13 +703,17 @@ object GraftTable {
     * [[compactFiles]] for the debt-proportional partial path. */
   def compact(spark: SparkSession, tablePath: String,
               targetRows: Long = 1L << 20): GraftManifest = {
-    val live = read(spark, tablePath)
-    val total = loadManifest(spark, tablePath).liveRows
+    val m = loadManifest(spark, tablePath)
+    val carryIds = m.hasRowIds && m.fragments.nonEmpty
+    val live = readManifest(spark, tablePath, m, withRowAddr = false,
+      withRowId = carryIds)
+    val total = m.liveRows
     val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     var staged = stageFragments(spark, tablePath, live.repartition(nOut))
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+          base.version + 1, storedRowIds = carryIds)
         staged = paths
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = frags, dvFiles = Nil, numDeleted = 0L,
@@ -752,10 +846,12 @@ object GraftTable {
     var staged = stageFragments(spark, tablePath, df)
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, base.version + 1)
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+          base.version + 1, base.nextRowId)
         staged = paths
         base.copy(version = base.version + 1, operation = "append",
-          fragments = base.fragments ++ frags, parent = base.version)
+          fragments = base.fragments ++ frags, parent = base.version,
+          nextRowId = base.nextRowId + frags.map(_.rows).sum)
       case None => throw new IllegalArgumentException(s"no branch $name at $tablePath")
     }, branch = Some(name))
   }

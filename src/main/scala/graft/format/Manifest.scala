@@ -25,7 +25,22 @@ case class FragmentMeta(
     rows: Long,
     sizeBytes: Long,
     addedVersion: Long,
-    stats: Map[String, ColumnStat] = Map.empty)
+    stats: Map[String, ColumnStat] = Map.empty,
+    /** Stable-row-id sequence (reference `RowIdSequence`,
+      * `rust/lance-table/src/rowids.rs:55`, segments `rowids/segment.rs:35`).
+      * Freshly written fragments hold a CONTIGUOUS id range
+      * `[rowIdStart, rowIdStart + rows)` — the manifest's `nextRowId`
+      * high-water mark at commit — so `_rowid` derives from the scan's
+      * row_index with zero per-row storage (the reference's "range" segment
+      * encoding). Compaction rewrites scramble row order, so rewritten
+      * fragments persist `_rowid` as a physical parquet column instead
+      * (`rowIdStored`, the "general" segment encoding); footer min/max stats
+      * of that column keep take-by-id pruning manifest-level.
+      * `rowIdStart = -1 && !rowIdStored` marks a pre-rowid legacy fragment. */
+    rowIdStart: Long = -1L,
+    rowIdStored: Boolean = false) {
+  def hasRowIds: Boolean = rowIdStored || rowIdStart >= 0L
+}
 
 /** Supplemental column dataset from a no-rewrite `add_columns` commit
   * (reference: a fragment holds ≥1 DataFile so columns can be added without
@@ -49,10 +64,15 @@ case class GraftManifest(
     parent: Long,
     /** Supplemental column datasets (no-rewrite schema evolution). Missing in
       * round-1 manifests → defaults to empty. */
-    columnFiles: Seq[ColumnFileMeta] = Nil) {
+    columnFiles: Seq[ColumnFileMeta] = Nil,
+    /** Stable-row-id high-water mark (reference manifest `next_row_id`):
+      * every id ever assigned is < nextRowId, so ids are never reused even
+      * across overwrites. 0 on legacy manifests. */
+    nextRowId: Long = 0L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def maxFragmentId: Long = if (fragments.isEmpty) -1L else fragments.map(_.id).max
   def liveRows: Long = fragments.map(_.rows).sum - numDeleted
+  def hasRowIds: Boolean = fragments.forall(_.hasRowIds)
 }
 
 object GraftManifest {

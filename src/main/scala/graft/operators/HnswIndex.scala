@@ -197,7 +197,8 @@ object HnswIndex {
                     m: Int = 16, efConstruction: Int = 64): IvfIndex.Model = {
     val mf = graft.format.GraftTable.loadManifest(spark, tablePath)
     val model = build(
-      graft.format.GraftTable.read(spark, tablePath, withRowAddr = true),
+      graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
+        withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, efConstruction)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, mf.version,
       mf.fragments.map(_.id))
@@ -308,7 +309,8 @@ object HnswIndex {
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(
-        GraftTable.readFragments(spark, tablePath, m, freshFrags),
+        GraftTable.readFragments(spark, tablePath, m, freshFrags,
+          withRowId = idCol == GraftTable.RowIdCol),
         vecCol, query, k, "l2", tieBreakers = Seq(col(idCol)))
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)

@@ -162,7 +162,8 @@ object IvfIndex {
                     vecCol: String, indexPath: String, nlist: Int): Model = {
     val m = graft.format.GraftTable.loadManifest(spark, tablePath)
     val model = build(
-      graft.format.GraftTable.read(spark, tablePath, withRowAddr = true),
+      graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
+        withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, m.version,
       m.fragments.map(_.id))
@@ -244,10 +245,11 @@ object IvfIndex {
     // legacy indexes: it proves the dataset clean before writeCoverage
     // records it as such.
     val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
+    val needRid = idCol == GraftTable.RowIdCol
     if (staleIds.isEmpty && !legacy) {
       if (freshFrags.nonEmpty) {
         assignPid(GraftTable.readFragments(spark, tablePath, m, freshFrags,
-            withRowAddr = true))
+            withRowAddr = true, withRowId = needRid))
           .write.mode(SaveMode.Append).partitionBy(PidCol)
           .parquet(s"$indexPath/vectors")
       }
@@ -260,7 +262,7 @@ object IvfIndex {
       val freshAssigned =
         if (freshFrags.isEmpty) None
         else Some(assignPid(GraftTable.readFragments(spark, tablePath, m, freshFrags,
-          withRowAddr = true)))
+          withRowAddr = true, withRowId = needRid)))
       val merged = freshAssigned.map(keep.unionByName(_, allowMissingColumns = true))
         .getOrElse(keep)
       merged.write.mode(SaveMode.Overwrite).partitionBy(PidCol)
@@ -317,7 +319,8 @@ object IvfIndex {
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(
-        GraftTable.readFragments(spark, tablePath, m, freshFrags),
+        GraftTable.readFragments(spark, tablePath, m, freshFrags,
+          withRowId = idCol == GraftTable.RowIdCol),
         vecCol, query, k, metric, tieBreakers = Seq(col(idCol)),
         prefilter = prefilter)
       .select(col(idCol), col(Knn.DistanceCol))

@@ -147,7 +147,8 @@ object PqIndex {
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 8, k: Int = 256): (IvfIndex.Model, PqModel) = {
     val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
-    val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true),
+    val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
+        withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, k)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
       mft.fragments.map(_.id))
@@ -179,10 +180,11 @@ object PqIndex {
     // always prove the dataset clean via the filtered rewrite before
     // recording a coverage marker (same reasoning as IvfIndex.optimizeForTable)
     val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
+    val needRid = idCol == GraftTable.RowIdCol
     if (staleIds.isEmpty && !legacy) {
       if (freshFrags.nonEmpty) {
         encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
-            withRowAddr = true))
+            withRowAddr = true, withRowId = needRid))
           .write.mode(SaveMode.Append)
           .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
       }
@@ -192,7 +194,7 @@ object PqIndex {
       val freshEncoded =
         if (freshFrags.isEmpty) None
         else Some(encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
-          withRowAddr = true)))
+          withRowAddr = true, withRowId = needRid)))
       freshEncoded.map(keep.unionByName(_, allowMissingColumns = true))
         .getOrElse(keep)
         .write.mode(SaveMode.Overwrite).partitionBy(IvfIndex.PidCol)

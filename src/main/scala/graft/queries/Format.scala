@@ -25,6 +25,27 @@ object Format {
   }
 
   val queries: Map[String, Q] = Map(
+    // Stable row ids (reference rowids.rs; VERDICT r3 #4): ids assigned at
+    // ingest survive DV-delete AND a compaction that rewrites every
+    // fragment; take-by-id then resolves the same surviving rows. The
+    // range-partitioned sorted write makes assignment deterministic —
+    // _rowid == rank by c_custkey — which DuckDB replays as row_number()-1.
+    "q_format_rowid_stable" -> { (s, d) =>
+      val t = freshDir(s, "rowid_stable")
+      val c = Tables.customer(s, d)
+      GraftTable.write(c.repartitionByRange(4, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"), t, "overwrite")
+      val n = GraftTable.countRows(s, t)
+      val ids = (0L until n by 97L).toSeq
+      GraftTable.delete(s, t, "c_custkey % 5 = 2")
+      GraftTable.compactFiles(s, t, targetRows = math.max(n / 3, 1L),
+        materializeDeletions = 0.05)
+      GraftTable.takeRows(s, t, ids)
+        .select(col(GraftTable.RowIdCol).as("rid"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .orderBy(col("rid"))
+    },
+
     // write → format("graft") read → TPC-H Q1-shaped agg
     "q_format_roundtrip" -> { (s, d) =>
       val t = freshDir(s, "roundtrip")
@@ -200,6 +221,13 @@ object Format {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_format_rowid_stable" ->
+      """WITH r AS (SELECT c_custkey, c_acctbal,
+        |             row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        |           FROM customer)
+        |SELECT rid, c_custkey, round(c_acctbal,2) AS bal
+        |FROM r WHERE rid % 97 = 0 AND NOT (c_custkey % 5 = 2)
+        |ORDER BY rid""".stripMargin,
     "q_format_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | count(*) AS n

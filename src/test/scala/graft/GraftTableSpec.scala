@@ -203,4 +203,58 @@ class GraftTableSpec extends AnyFunSuite {
     val m = GraftTable.loadManifest(spark, t)
     assert(m.fragments.map(_.id).distinct.length == m.fragments.length)
   }
+
+  test("stable row ids: contiguous at ingest, appends advance the high-water mark") {
+    val t = tmp()
+    GraftTable.write(people.repartition(1), t)
+    val ids1 = GraftTable.read(spark, t, withRowId = true)
+      .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(ids1.values.toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+    GraftTable.write(people.filter($"id" <= 2).repartition(1), t, "append")
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.nextRowId == 7L)
+    val ids2 = GraftTable.read(spark, t, withRowId = true)
+      .select(GraftTable.RowIdCol).as[Long].collect().toSeq.sorted
+    assert(ids2 == (0L until 7L)) // appended rows got 5 and 6
+  }
+
+  test("stable row ids survive delete + compaction; takeRows resolves them") {
+    val t = tmp()
+    GraftTable.write(people.repartitionByRange(2, $"id").sortWithinPartitions("id"), t)
+    val before = GraftTable.read(spark, t, withRowId = true)
+      .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(before == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    GraftTable.delete(spark, t, "id = 2")
+    GraftTable.compactFiles(spark, t, targetRows = 4, materializeDeletions = 0.1)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.dvFiles.isEmpty && m.fragments.exists(_.rowIdStored),
+      "compaction should materialize DVs and store row ids physically")
+    val after = GraftTable.read(spark, t, withRowId = true)
+      .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(after == before - 2L, s"ids moved: $after vs $before")
+    // take by id: deleted id 1 (row id=2) resolves to nothing, others exact
+    val got = GraftTable.takeRows(spark, t, Seq(0L, 1L, 4L))
+      .select(GraftTable.RowIdCol, "id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 4L -> 5L), s"takeRows returned $got")
+    // a second compaction round-trips the STORED ids unchanged
+    GraftTable.write(people.filter($"id" === 5L).repartition(1), t, "append")
+    GraftTable.compactFiles(spark, t, targetRows = 100, materializeDeletions = 0.0)
+    val again = GraftTable.read(spark, t, withRowId = true)
+      .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again(1L) == Set(0L) && again(3L) == Set(2L) && again(4L) == Set(3L))
+    assert(again(5L) == Set(4L, 5L)) // original + appended copy, distinct ids
+  }
+
+  test("update assigns fresh row ids to rewritten rows, never reuses old ones") {
+    val t = tmp()
+    GraftTable.write(people.repartition(1), t)
+    GraftTable.update(spark, t, Map("score" -> "score * 2"), Some("id = 3"))
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.nextRowId == 6L)
+    val ids = GraftTable.read(spark, t, withRowId = true)
+      .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(ids(3L) == 5L, "updated row is a new row version with a fresh id")
+    assert(ids.values.toSeq.distinct.length == 5)
+  }
 }

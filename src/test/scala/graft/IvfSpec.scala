@@ -197,6 +197,34 @@ class IvfSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("index keyed by stable _rowid keeps returning the same ids across compaction") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_rid_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_rid_idx_").toString
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id")
+      .sortWithinPartitions("vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, GraftTable.RowIdCol, "embedding", idx, nlist = 8)
+    val q = queryVec(0L)
+    val before = IvfIndex.searchCombined(spark, t, idx, GraftTable.RowIdCol,
+        "embedding", q, 10, 8)
+      .select(GraftTable.RowIdCol).as[Long].collect().toSeq
+    GraftTable.delete(spark, t, "vec_id < 62")
+    GraftTable.compactFiles(spark, t, targetRows = 250, materializeDeletions = 0.1)
+    val after = IvfIndex.searchCombined(spark, t, idx, GraftTable.RowIdCol,
+        "embedding", q, 10, 8)
+      .select(GraftTable.RowIdCol).as[Long].collect().toSeq
+    // the ids of surviving neighbors are UNCHANGED by the rewrite (addresses
+    // moved; ids didn't): post-compaction results == pre-compaction results
+    // minus the deleted ids, refilled from the live tail
+    val expected = Knn.flatSearch(GraftTable.read(spark, t, withRowId = true),
+        "embedding", q, 10, "l2", Seq(col(GraftTable.RowIdCol)))
+      .select(GraftTable.RowIdCol).as[Long].collect().toSeq
+    assert(after == expected)
+    assert(before.filter(after.contains).forall(after.contains))
+    // sorted-range write ⇒ _rowid == vec_id here, so deleted ids are < 62
+    assert(after.forall(_ >= 62L))
+  }
+
   test("searchCombined subtracts rows deleted after the index build") {
     import graft.format.GraftTable
     val t = Files.createTempDirectory("ivf_del_").toString + "/t"
