@@ -67,32 +67,91 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
+  private val JoinKey = "__graft_mask_addr"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
         if !gfi.maskApplied =>
-      findSargable(cond, gfi) match {
+      findBtree(cond, gfi).orElse(findLabelList(cond, gfi)) match {
         case None => f
-        case Some((colName, pred)) => rewrite(f, lr, gfi, colName, pred)
+        case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
       }
   }
 
-  /** first conjunct that is sargable on exactly one indexed+usable column */
-  private def findSargable(cond: Expression, gfi: GraftFileIndex): Option[(String, Expression)] = {
-    splitConjunctivePredicates(cond).collectFirst {
-      case p if p.references.size == 1 && sargableShape(p) &&
-        coveredFragmentIds(gfi, p.references.head.name).isDefined =>
-        (p.references.head.name, p)
-    }
+  /** first conjunct sargable on one column with a usable BTREE index →
+    * (covered fragment ids, address mask) */
+  private def findBtree(cond: Expression, gfi: GraftFileIndex)
+      : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
+    splitConjunctivePredicates(cond).iterator.flatMap { p =>
+      if (p.references.size == 1 && sargableShape(p)) {
+        val colName = p.references.head.name
+        coveredFragmentIds(gfi, indexDir(gfi, colName)).map { covered =>
+          val idx = session.read.parquet(indexDir(gfi, colName))
+          val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
+          val predOnV = p.transform { case _: AttributeReference => vAttr }
+          val mask = ColumnBridge.ofRows(session,
+              Filter(predOnV, idx.queryExecution.analyzed))
+            .select(col(GraftTable.RowAddrCol).as(JoinKey))
+          (covered, mask)
+        }
+      } else None
+    }.nextOption()
+
+  /** first `array_contains(col, lit)` / `arrays_overlap(col, lit-array)`
+    * conjunct with a usable LABEL_LIST index (reference `label_list.rs`,
+    * parser `expression.rs:439`) → postings-intersection/union mask */
+  private def findLabelList(cond: Expression, gfi: GraftFileIndex)
+      : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
+    splitConjunctivePredicates(cond).iterator.flatMap { p =>
+      labelShape(p).flatMap { case (colName, labels, requireAll) =>
+        coveredFragmentIds(gfi, labelDir(gfi, colName)).map { covered =>
+          val want = labels.distinct
+          val post = session.read.parquet(labelDir(gfi, colName))
+            .filter(col("label").isin(want: _*))
+          // dedup via groupBy/agg, NOT .distinct(): this plan is injected by
+          // an optimizer rule AFTER ReplaceDeduplicateWithAggregate has run,
+          // so a Deduplicate node would survive to planning and fail there
+          val mask =
+            if (!requireAll || want.size <= 1)
+              post.groupBy(col(GraftTable.RowAddrCol))
+                .agg(count(lit(1)).as("__nl"))
+                .select(col(GraftTable.RowAddrCol))
+            else post.groupBy(col(GraftTable.RowAddrCol))
+              .agg(countDistinct(col("label")).as("__nl"))
+              .filter(col("__nl") === want.size)
+              .select(col(GraftTable.RowAddrCol))
+          (covered, mask.select(col(GraftTable.RowAddrCol).as(JoinKey)))
+        }
+      }
+    }.nextOption()
+
+  /** `array_contains(attr, lit)` ⇒ all-of([lit]); `arrays_overlap(attr,
+    * lit-array)` ⇒ any-of(elements). */
+  private def labelShape(e: Expression): Option[(String, Seq[Any], Boolean)] = e match {
+    case ArrayContains(a: AttributeReference, v) if v.foldable =>
+      Some((a.name, Seq(toScala(v)), true))
+    case ArraysOverlap(a: AttributeReference, v) if v.foldable =>
+      Some((a.name, arrayToScala(v), false))
+    case ArraysOverlap(v, a: AttributeReference) if v.foldable =>
+      Some((a.name, arrayToScala(v), false))
+    case _ => None
   }
 
-  /** Fragment ids the index for `colName` covers, when the index is usable
+  private def toScala(v: Expression): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v.eval(), v.dataType)
+
+  private def arrayToScala(v: Expression): Seq[Any] =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v.eval(), v.dataType)
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq
+
+  /** Fragment ids the index at `dir` covers, when the index is usable
     * for this snapshot: indexed version ≤ snapshot version and every indexed
     * fragment still present (fragments are immutable, so id-presence ⟹
     * content unchanged). None = missing/stale index. */
-  private def coveredFragmentIds(gfi: GraftFileIndex, colName: String): Option[Set[Long]] = {
+  private def coveredFragmentIds(gfi: GraftFileIndex, dir: String): Option[Set[Long]] = {
     val m = gfi.manifest
-    graft.index.ScalarIndex.indexedVersion(session, indexDir(gfi, colName)).flatMap { vi =>
+    graft.index.ScalarIndex.indexedVersion(session, dir).flatMap { vi =>
       val current = m.fragments.map(_.id).toSet
       if (vi == m.version) Some(current)
       else if (vi > m.version) None // index from the future of this snapshot (time travel)
@@ -122,22 +181,14 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   private def indexDir(gfi: GraftFileIndex, colName: String): String =
     s"${gfi.tablePath}/_indices/btree_$colName"
 
-  private def indexFresh(gfi: GraftFileIndex, colName: String): Boolean =
-    graft.index.ScalarIndex.indexedVersion(session, indexDir(gfi, colName))
-      .contains(gfi.manifest.version)
+  private def labelDir(gfi: GraftFileIndex, colName: String): String =
+    s"${gfi.tablePath}/_indices/labellist_$colName"
 
   private def rewrite(f: Filter, lr: LogicalRelation, gfi: GraftFileIndex,
-                      colName: String, pred: Expression): LogicalPlan = {
+                      covered: Set[Long],
+                      mask: org.apache.spark.sql.DataFrame): LogicalPlan = {
     val m = gfi.manifest
-    val covered = coveredFragmentIds(gfi, colName).getOrElse(return f)
-    // mask: index rows satisfying pred (attr substituted by index's v col)
-    val idx = session.read.parquet(indexDir(gfi, colName))
-    val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
-    val predOnV = pred.transform { case _: AttributeReference => vAttr }
-    val joinKey = "__graft_mask_addr"
-    val mask = ColumnBridge.ofRows(session,
-        Filter(predOnV, idx.queryExecution.analyzed))
-      .select(col(GraftTable.RowAddrCol).as(joinKey))
+    val joinKey = JoinKey
 
     // the replacement must reproduce lr's exact output surface (the DV plan
     // above may consume `_metadata` to derive `_rowaddr`)

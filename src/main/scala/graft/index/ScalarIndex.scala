@@ -161,6 +161,63 @@ object ScalarIndex {
         .select(col(A)))
   }
 
+  // ------------------------------------------------------------- label list
+
+  /** LABEL_LIST index (reference `rust/lance-index/src/scalar/label_list.rs`,
+    * parser `scalar/expression.rs:439`): postings `(label, _rowaddr)` over an
+    * array-valued column, parquet `partitionBy(label)` so a label lookup IS
+    * directory pruning. `array_contains`/has-all = intersection of the
+    * wanted labels' postings (count == #labels); `arrays_overlap`/has-any =
+    * union distinct. Query cost is O(matching postings), never O(corpus) —
+    * tag-filtered scans at 100 TB touch only the wanted label directories. */
+  def buildLabelList(spark: SparkSession, tablePath: String, column: String,
+                     indexPath: String): Unit = {
+    val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val dir = s"$indexPath/labellist_$column"
+    GraftTable.read(spark, tablePath, withRowAddr = true)
+      .select(col(A), explode(col(column)).as("label"))
+      .write.mode(SaveMode.Overwrite).partitionBy("label").parquet(dir)
+    writeVersionMarker(spark, dir, version)
+  }
+
+  /** Index ONLY fragments appended since the build (O(delta) IO), like
+    * [[optimizeBtree]]. */
+  def optimizeLabelList(spark: SparkSession, tablePath: String, column: String,
+                        indexPath: String): Long = {
+    val dir = s"$indexPath/labellist_$column"
+    val vi = indexedVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no version marker — build first"))
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = m.fragments.filter(_.addedVersion > vi)
+    if (freshFrags.nonEmpty) {
+      GraftTable.readFragments(spark, tablePath, m, freshFrags, withRowAddr = true)
+        .select(col(A), explode(col(column)).as("label"))
+        .write.mode(SaveMode.Append).partitionBy("label").parquet(dir)
+    }
+    writeVersionMarker(spark, dir, m.version)
+    freshFrags.map(_.rows).sum
+  }
+
+  /** Addresses whose array column contains EVERY given label
+    * (`array_contains` conjunctions / has-all). */
+  def lookupLabelsAll(spark: SparkSession, indexPath: String, column: String,
+                      labels: Seq[Any]): DataFrame = {
+    val want = labels.distinct
+    val post = spark.read.parquet(s"$indexPath/labellist_$column")
+      .filter(col("label").isin(want: _*))
+    if (want.size <= 1) post.select(col(A)).distinct()
+    else post.groupBy(col(A)).agg(countDistinct(col("label")).as("__nl"))
+      .filter(col("__nl") === want.size).select(col(A))
+  }
+
+  /** Addresses whose array column contains ANY given label
+    * (`arrays_overlap` / has-any). */
+  def lookupLabelsAny(spark: SparkSession, indexPath: String, column: String,
+                      labels: Seq[Any]): DataFrame =
+    spark.read.parquet(s"$indexPath/labellist_$column")
+      .filter(col("label").isin(labels.distinct: _*))
+      .select(col(A)).distinct()
+
   /** Exact `col LIKE '%needle%'` via the ngram index: candidate mask
     * semi-join + exact contains verification on the masked rows only. */
   def containsViaNgram(spark: SparkSession, tablePath: String, indexPath: String,

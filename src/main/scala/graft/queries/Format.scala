@@ -140,6 +140,25 @@ object Format {
         .orderBy(col("o_orderkey"))
     },
 
+    // LABEL_LIST index (reference label_list.rs): tag postings partitioned
+    // by label; has-ALL lookup = postings intersection, applied as an
+    // address-mask semi-join. Tags derive deterministically from the text so
+    // DuckDB replays them with list_filter + list_contains.
+    "q_label_list" -> { (s, d) =>
+      val t = freshDir(s, "label_list")
+      val vocab = Seq("spark", "vector", "table", "index", "hash")
+      val tags = filter(typedlit(vocab), x => contains(lower(col("text")), x))
+      GraftTable.write(Tables.documents(s, d).withColumn("tags", tags), t, "overwrite")
+      graft.index.ScalarIndex.buildLabelList(s, t, "tags", s"$t/_indices")
+      val mask = graft.index.ScalarIndex.lookupLabelsAll(s, s"$t/_indices", "tags",
+        Seq("vector", "table"))
+      GraftTable.read(s, t, withRowAddr = true)
+        .join(mask, Seq(GraftTable.RowAddrCol), "left_semi")
+        .select(col("doc_id"), col("n_chars"),
+          concat_ws(",", col("tags")).as("tags_csv"))
+        .orderBy(col("doc_id"))
+    },
+
     // delete + full compaction (DVs materialized, fragments rewritten)
     "q_format_compact" -> { (s, d) =>
       val t = freshDir(s, "compact")
@@ -221,6 +240,14 @@ object Format {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_label_list" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  list_filter(['spark','vector','table','index','hash'],
+        |              t -> contains(lower(text), t)) AS tags
+        |  FROM documents)
+        |SELECT doc_id, n_chars, array_to_string(tags, ',') AS tags_csv
+        |FROM d WHERE list_contains(tags, 'vector') AND list_contains(tags, 'table')
+        |ORDER BY doc_id""".stripMargin,
     "q_format_rowid_stable" ->
       """WITH r AS (SELECT c_custkey, c_acctbal,
         |             row_number() OVER (ORDER BY c_custkey) - 1 AS rid

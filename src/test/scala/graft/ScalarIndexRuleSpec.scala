@@ -133,6 +133,43 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 
+  test("label-list rule: array_contains conjunction rewritten to mask semi-join") {
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    val df = TestSpark.spark.range(0, 300).toDF("id")
+      .withColumn("tags", filter(
+        typedlit(Seq("even", "div3")),
+        x => (x === "even" && pmod(col("id"), lit(2)) === 0) ||
+             (x === "div3" && pmod(col("id"), lit(3)) === 0)))
+    GraftTable.write(df, t, "overwrite")
+    ScalarIndex.buildLabelList(TestSpark.spark, t, "tags", s"$t/_indices")
+    val q = GraftTable.read(extSpark, t)
+      .filter(array_contains(col("tags"), "even") && array_contains(col("tags"), "div3"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(q.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 300L).filter(_ % 6 == 0).toSet)
+  }
+
+  test("label-list rule: arrays_overlap any-of semantics, stale after compaction") {
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    val df = TestSpark.spark.range(0, 300).toDF("id")
+      .withColumn("tags", when(pmod(col("id"), lit(3)) === 0, typedlit(Seq("a", "b")))
+        .otherwise(typedlit(Seq("c"))))
+    GraftTable.write(df, t, "overwrite")
+    ScalarIndex.buildLabelList(TestSpark.spark, t, "tags", s"$t/_indices")
+    val q = GraftTable.read(extSpark, t)
+      .filter(arrays_overlap(col("tags"), typedlit(Seq("a", "zzz"))))
+    assert(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q.count() == 100)
+    // compaction rewrites fragments → index stale → rule must not apply
+    GraftTable.delete(TestSpark.spark, t, "id < 30")
+    GraftTable.compact(TestSpark.spark, t)
+    val q2 = GraftTable.read(extSpark, t)
+      .filter(arrays_overlap(col("tags"), typedlit(Seq("a", "zzz"))))
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q2.count() == 90)
+  }
+
   test("non-sargable filter untouched") {
     val t = freshIndexed()
     val q = GraftTable.read(extSpark, t).filter(col("id") + col("grp") > 100)

@@ -72,6 +72,60 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(got.contains(13L) && got.contains(131L) && got.contains(113L))
   }
 
+  test("label-list lookup: has-all intersection / has-any union match truth") {
+    val (t, idx) = setup()
+    // tags: multiples of 2 → "even", of 3 → "div3", of 5 → "div5"
+    val tagged = GraftTable.read(spark, t).drop("category", "payload")
+    GraftTable.write(
+      tagged.withColumn("tags", filter(
+        typedlit(Seq("even", "div3", "div5")),
+        x => (x === "even" && pmod($"id", lit(2)) === 0) ||
+             (x === "div3" && pmod($"id", lit(3)) === 0) ||
+             (x === "div5" && pmod($"id", lit(5)) === 0))),
+      s"$t-tags", "overwrite")
+    ScalarIndex.buildLabelList(spark, s"$t-tags", "tags", idx)
+    val base = GraftTable.read(spark, s"$t-tags", withRowAddr = true)
+
+    val all = ScalarIndex.lookupLabelsAll(spark, idx, "tags", Seq("even", "div3"))
+    val gotAll = base.join(all.toDF("_rowaddr"), Seq("_rowaddr"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(gotAll == (0L until 200L).filter(i => i % 6 == 0).toSet)
+
+    val any = ScalarIndex.lookupLabelsAny(spark, idx, "tags", Seq("div3", "div5"))
+    val gotAny = base.join(any.toDF("_rowaddr"), Seq("_rowaddr"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(gotAny == (0L until 200L).filter(i => i % 3 == 0 || i % 5 == 0).toSet)
+  }
+
+  test("label-list optimize indexes only appended fragments") {
+    val (t, idx) = setup()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("id")
+      .withColumn("tags", when(pmod($"id", lit(2)) === 0, typedlit(Seq("even")))
+        .otherwise(typedlit(Seq("odd"))))
+    GraftTable.write(mk(0, 100), s"$t-inc", "overwrite")
+    ScalarIndex.buildLabelList(spark, s"$t-inc", "tags", idx)
+    GraftTable.write(mk(100, 150), s"$t-inc", "append")
+    assert(ScalarIndex.optimizeLabelList(spark, s"$t-inc", "tags", idx) == 50L)
+    assert(ScalarIndex.optimizeLabelList(spark, s"$t-inc", "tags", idx) == 0L)
+    val mask = ScalarIndex.lookupLabelsAll(spark, idx, "tags", Seq("even"))
+    val got = GraftTable.read(spark, s"$t-inc", withRowAddr = true)
+      .join(mask.toDF("_rowaddr"), Seq("_rowaddr"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 150L).filter(_ % 2 == 0).toSet)
+  }
+
+  test("label-list lookup prunes to the wanted label partitions") {
+    val (t, idx) = setup()
+    GraftTable.write(spark.range(0, 100).toDF("id")
+      .withColumn("tags", when(pmod($"id", lit(2)) === 0, typedlit(Seq("even")))
+        .otherwise(typedlit(Seq("odd")))), s"$t-pp", "overwrite")
+    ScalarIndex.buildLabelList(spark, s"$t-pp", "tags", idx)
+    val plan = ScalarIndex.lookupLabelsAny(spark, idx, "tags", Seq("even"))
+      .queryExecution.executedPlan.toString
+    // partitionBy(label) → the label filter becomes a partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("even"), plan)
+  }
+
   test("btree index scan pushes the lookup predicate to parquet") {
     val (t, idx) = setup()
     ScalarIndex.buildBtree(spark, t, "id", idx)
