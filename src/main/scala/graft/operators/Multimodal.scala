@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -9,11 +13,11 @@ import org.apache.spark.sql.functions._
   * the reference's blob columns (`rust/lance/src/dataset/blob.rs:42-168`)
   * and of pandas-UDF decode stages.
   *
-  * The DECODE KERNELS ARE STUBS — image/audio codecs are not in this
-  * environment. Every stub is deterministic (derived from the payload
-  * bytes) and clearly marked, so the surrounding Spark plumbing — schema,
-  * batch iteration, partitioning, feature vectors — is real and tested, and
-  * swapping in a real codec changes exactly one function body.
+  * Image decode/encode/resize are REAL (stdlib `javax.imageio`: PNG, JPEG,
+  * BMP, GIF). Undecodable payloads are dropped row-wise — the standard
+  * corrupt-sample policy in a training pipeline; nothing throws mid-job.
+  * Video frame sampling remains a byte-range fan-out (no video codec on the
+  * JVM stdlib) — documented at the function.
   */
 object Multimodal {
 
@@ -22,51 +26,72 @@ object Multimodal {
                           features: Array[Float])
   case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
 
-  /** STUB image decode: width/height/channels derived deterministically from
-    * the payload (a real implementation calls an image codec here; the
-    * iterator-in/iterator-out shape is what `mapInPandas`/`mapPartitions`
-    * needs at scale — one codec init per PARTITION, not per row). */
+  /** Real image decode via ImageIO, one codec pass per row inside a
+    * per-partition iterator (the `mapInPandas`/`mapPartitions` shape — no
+    * driver involvement, memory bounded by one decoded image at a time).
+    * Features are 4×4 grid mean-luminance pooling over the decoded pixels —
+    * a real, content-sensitive embedding in [0,1] that flows into
+    * Knn/IvfIndex unchanged. Corrupt/non-image payloads are dropped. */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec" init happens here (stubbed)
-      rows.map { r =>
-        val n = r.content.length
-        // ??? real codec: ImageIO/libjpeg decode of r.content
-        val width = 64 + (byteHash(r.content, 1) % 64).toInt
-        val height = 64 + (byteHash(r.content, 2) % 64).toInt
-        DecodedImage(r.id, width, height, 3, featureStub(r.content, 16))
+      rows.flatMap { r =>
+        decodeOne(r.content).map { img =>
+          DecodedImage(r.id, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, gridFeatures(img, 4))
+        }
       }
     }
   }
 
-  /** STUB feature extraction: deterministic float vector from byte content
-    * (real impl: a vision/audio encoder). Shape and dtype are the real
-    * contract: Array[Float] embeddings flow into Knn/IvfIndex unchanged. */
-  def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < dim) {
-      out(i) = ((byteHash(bytes, i + 3) % 2000L) - 1000L) / 1000.0f
-      i += 1
+  /** Decode one payload; None if the bytes are not a supported image. */
+  def decodeOne(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** grid×grid mean-luminance pooling (Rec.601 weights), row-major. */
+  def gridFeatures(img: BufferedImage, grid: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(grid - 1, x * grid / w)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = gy * grid + gx
+        sums(c) += lum / 255.0; counts(c) += 1
+        x += 1
+      }
+      y += 1
     }
-    out
+    Array.tabulate(grid * grid)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
   }
 
-  private def byteHash(bytes: Array[Byte], seed: Int): Long = {
-    var h = 0x9e3779b97f4a7c15L * (seed + 1)
-    var i = 0
-    val step = math.max(1, bytes.length / 64) // sample long payloads
-    while (i < bytes.length) {
-      h = (h ^ bytes(i)) * 0x100000001b3L
-      i += step
+  /** Deterministic PNG encode — fixture/ingest helper (PNG is lossless, so
+    * fill colors round-trip exactly through [[decodeImages]]). */
+  def encodePng(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgbAt(x, y) & 0xffffff); x += 1 }
+      y += 1
     }
-    h & Long.MaxValue
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling from a video-like binary payload: REAL byte plumbing
-    * (fixed-stride ranges), stubbed only in that frames are byte slices
-    * rather than codec-decoded pictures. Explodes one row per frame —
+    * (fixed-stride ranges); frames are byte slices, not codec-decoded
+    * pictures (no JVM-stdlib video codec). Explodes one row per frame —
     * the fan-out shape a frame-level pipeline needs. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
@@ -93,27 +118,53 @@ object Multimodal {
   case class ResizedImage(id: Long, width: Int, height: Int, channels: Int,
                           payload: Array[Byte])
 
-  /** STUB resize: output payload is a deterministic stride-sample of the
-    * input sized exactly targetW·targetH·3 (a real implementation does a
-    * bilinear resample after decode). The Spark contract is real: bounded
-    * per-row output size — the property that keeps executor memory flat
-    * when a resize stage runs over terabytes of mixed-size originals. */
+  /** Real resize: decode, bilinear resample to targetW×targetH, emit raw
+    * 3-channel RGB bytes (row-major, R,G,B per pixel). Bounded per-row
+    * output size — the property that keeps executor memory flat when a
+    * resize stage runs over terabytes of mixed-size originals. Undecodable
+    * payloads are dropped. */
   def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
-    val outLen = targetW * targetH * 3
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val in = r.content
-        val out = new Array[Byte](outLen)
-        if (in.nonEmpty) {
-          var i = 0
-          while (i < outLen) {
-            out(i) = in(((i.toLong * in.length) / outLen).toInt) // ??? real: bilinear resample
-            i += 1
-          }
+      rows.flatMap { r =>
+        decodeOne(r.content).map { img =>
+          ResizedImage(r.id, targetW, targetH, 3, bilinearRgb(img, targetW, targetH))
         }
-        ResizedImage(r.id, targetW, targetH, 3, out)
       }
     }
+  }
+
+  /** Bilinear resample to (tw, th), raw RGB byte output. */
+  def bilinearRgb(img: BufferedImage, tw: Int, th: Int): Array[Byte] = {
+    val sw = img.getWidth; val sh = img.getHeight
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      // map output pixel center to source coordinates
+      val sy = if (th == 1) 0.0 else ty.toDouble * (sh - 1) / (th - 1)
+      val y0 = sy.toInt; val y1 = math.min(sh - 1, y0 + 1); val fy = sy - y0
+      var tx = 0
+      while (tx < tw) {
+        val sx = if (tw == 1) 0.0 else tx.toDouble * (sw - 1) / (tw - 1)
+        val x0 = sx.toInt; val x1 = math.min(sw - 1, x0 + 1); val fx = sx - x0
+        val p00 = img.getRGB(x0, y0); val p01 = img.getRGB(x1, y0)
+        val p10 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+        val o = (ty * tw + tx) * 3
+        var c = 0
+        while (c < 3) {
+          val sh8 = 16 - 8 * c
+          val v =
+            ((p00 >> sh8) & 0xff) * (1 - fx) * (1 - fy) +
+            ((p01 >> sh8) & 0xff) * fx * (1 - fy) +
+            ((p10 >> sh8) & 0xff) * (1 - fx) * fy +
+            ((p11 >> sh8) & 0xff) * fx * fy
+          out(o + c) = math.round(v).toInt.min(255).max(0).toByte
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
   }
 }

@@ -81,16 +81,27 @@ object Text {
         .orderBy(col("bucket"))
     },
 
-    // Multimodal pipeline plumbing over binary payloads (decode kernels are
-    // deterministic stubs — see Multimodal scaladoc) — rows-only gate entry.
+    // Multimodal decode — REAL codec end-to-end: executor-side PNG encode of
+    // per-doc deterministic fixtures (dims + gray level derived from doc_id),
+    // ImageIO decode, grid-feature extraction. The oracle replays the same
+    // arithmetic without a codec, so a decode bug (wrong dims, wrong pixels,
+    // dropped rows) hash-mismatches.
     "q_multimodal_decode" -> { (s, d) =>
       import s.implicits._
-      val media = Tables.documents(s, d)
-        .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
-        .as[graft.operators.Multimodal.MediaRow]
-      graft.operators.Multimodal.decodeImages(media).toDF()
+      import graft.operators.Multimodal
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 16 + (id % 13).toInt
+          val c = (id % 256).toInt
+          Multimodal.MediaRow(id,
+            Multimodal.encodePng(w, h, (_, _) => (c << 16) | (c << 8) | c))
+        }
+      Multimodal.decodeImages(media).toDF()
+        .withColumn("gray", round(element_at(col("features"), 1) * 255).cast("long"))
         .groupBy((col("id") % 5).as("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("width")).as("total_w"))
+        .agg(count(lit(1)).as("n"), sum(col("width")).as("total_w"),
+          sum(col("height")).as("total_h"), sum(col("gray")).as("total_gray"))
         .orderBy(col("bucket"))
     },
 
@@ -147,6 +158,14 @@ object Text {
   private val stop7 = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // replays the q_multimodal_decode fixture arithmetic codec-free: the
+    // Spark side must round-trip the exact dims/gray through PNG encode+decode
+    "q_multimodal_decode" ->
+      """SELECT doc_id % 5 AS bucket, count(*) AS n,
+        | CAST(sum(16 + doc_id % 17) AS BIGINT) AS total_w,
+        | CAST(sum(16 + doc_id % 13) AS BIGINT) AS total_h,
+        | CAST(sum(doc_id % 256) AS BIGINT) AS total_gray
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,

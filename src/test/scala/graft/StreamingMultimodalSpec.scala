@@ -103,16 +103,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(one == Set(4L))
   }
 
-  test("multimodal: decode stub is deterministic, batch-shaped, distributed") {
+  test("multimodal: real PNG decode round-trips dimensions + pixel features") {
+    // gray 80 fixture and a half-black/half-white fixture (PNG is lossless)
+    val gray = Multimodal.encodePng(20, 10, (_, _) => 0x505050)
+    val split = Multimodal.encodePng(16, 16, (x, _) => if (x < 8) 0x000000 else 0xffffff)
     val media = Seq(
-      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4, 5)),
-      Multimodal.MediaRow(2L, Array[Byte](9, 9, 9))
+      Multimodal.MediaRow(1L, gray),
+      Multimodal.MediaRow(2L, split),
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3, 4, 5)) // not an image → dropped
     ).toDS().repartition(2)
-    val out1 = Multimodal.decodeImages(media).collect().sortBy(_.id)
-    val out2 = Multimodal.decodeImages(media).collect().sortBy(_.id)
-    assert(out1.map(_.width).toSeq == out2.map(_.width).toSeq) // deterministic
-    assert(out1.forall(d => d.features.length == 16))
-    assert(out1(0).features.toSeq != out1(1).features.toSeq) // content-sensitive
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L)) // corrupt payload dropped
+    assert(out(0).width == 20 && out(0).height == 10 && out(0).channels == 3)
+    // constant-gray image: every grid cell's mean luminance is exactly 80/255
+    assert(out(0).features.length == 16)
+    assert(out(0).features.forall(f => math.abs(f - 80f / 255f) < 1e-4))
+    // left half black, right half white: col-0/1 cells 0.0, col-2/3 cells 1.0
+    val f2 = out(1).features
+    for (row <- 0 until 4) {
+      assert(math.abs(f2(row * 4)) < 1e-4 && math.abs(f2(row * 4 + 1)) < 1e-4)
+      assert(math.abs(f2(row * 4 + 2) - 1f) < 1e-4 && math.abs(f2(row * 4 + 3) - 1f) < 1e-4)
+    }
+    val again = Multimodal.decodeImages(media).collect().sortBy(_.id)
+    assert(out.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
   test("multimodal: frame sampling fans out byte ranges") {
@@ -123,25 +136,36 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(frames(0).payload.head == 0.toByte && frames(3).payload.head == 75.toByte)
   }
 
-  test("multimodal: resize emits fixed-size payloads regardless of input size") {
+  test("multimodal: bilinear resize emits fixed-size RGB with exact colors") {
     import graft.operators.Multimodal
     val media = Seq(
-      Multimodal.MediaRow(1L, Array.tabulate(10000)(_.toByte)),
-      Multimodal.MediaRow(2L, Array.tabulate(37)(_.toByte)),
-      Multimodal.MediaRow(3L, Array.empty[Byte])
+      Multimodal.MediaRow(1L, Multimodal.encodePng(64, 32, (_, _) => 0x204060)),
+      Multimodal.MediaRow(2L, Multimodal.encodePng(5, 5, (_, _) => 0x204060)),
+      Multimodal.MediaRow(3L, Array.empty[Byte]) // undecodable → dropped
     ).toDS()
     val out = Multimodal.resizeImages(media, 8, 8).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
     assert(out.forall(r => r.payload.length == 8 * 8 * 3 && r.width == 8 && r.height == 8))
-    // deterministic
-    val again = Multimodal.resizeImages(media, 8, 8).collect().sortBy(_.id)
-    assert(out.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+    // constant-color source → every resampled pixel is exactly the source color
+    for (r <- out; p <- 0 until 64) {
+      assert(r.payload(p * 3) == 0x20.toByte && r.payload(p * 3 + 1) == 0x40.toByte &&
+        r.payload(p * 3 + 2) == 0x60.toByte)
+    }
+    // gradient: downsample of a horizontal ramp stays monotonically increasing
+    val ramp = Seq(Multimodal.MediaRow(9L,
+      Multimodal.encodePng(256, 4, (x, _) => x << 16))).toDS()
+    val rr = Multimodal.resizeImages(ramp, 8, 2).collect().head
+    val reds = (0 until 8).map(x => rr.payload(x * 3) & 0xff)
+    assert(reds == reds.sorted && reds.head < reds.last, reds)
   }
 
   test("multimodal: payload meta + embedding feature flows into Knn") {
+    val imgA = Multimodal.encodePng(8, 8, (_, _) => 0x101010)
+    val imgB = Multimodal.encodePng(8, 8, (_, _) => 0xe0e0e0)
     val media = Seq(
-      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3)),
-      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3)),
-      Multimodal.MediaRow(3L, Array[Byte](7, 7, 7))
+      Multimodal.MediaRow(1L, imgA),
+      Multimodal.MediaRow(2L, imgA),
+      Multimodal.MediaRow(3L, imgB)
     ).toDS()
     val meta = Multimodal.withPayloadMeta(media.toDF(), "content")
     val hashes = meta.select("content_hash").as[Long].collect()
