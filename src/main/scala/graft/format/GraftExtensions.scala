@@ -73,7 +73,8 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     case f @ Filter(cond,
         lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
         if !gfi.maskApplied =>
-      findBtree(cond, gfi).orElse(findLabelList(cond, gfi)) match {
+      findBtree(cond, gfi).orElse(findLabelList(cond, gfi))
+        .orElse(findJson(cond, gfi)) match {
         case None => f
         case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
       }
@@ -125,6 +126,57 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
         }
       }
     }.nextOption()
+
+  /** first conjunct sargable around a single `get_json_object(col, 'path')`
+    * subtree with a usable JSON path index (reference `scalar/json.rs`):
+    * the subtree is substituted by the index's pre-extracted `v` column —
+    * the per-query JSON parse over the corpus disappears entirely. */
+  private def findJson(cond: Expression, gfi: GraftFileIndex)
+      : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
+    splitConjunctivePredicates(cond).iterator.flatMap { p =>
+      jsonTarget(p).flatMap { case (g, colName, path) =>
+        val dir = s"${gfi.tablePath}/_indices/" +
+          graft.index.ScalarIndex.jsonDirName(colName, path)
+        coveredFragmentIds(gfi, dir).map { covered =>
+          val idx = session.read.parquet(dir)
+          val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
+          val predOnV = p.transform { case x if x.semanticEquals(g) => vAttr }
+          val mask = ColumnBridge.ofRows(session,
+              Filter(predOnV, idx.queryExecution.analyzed))
+            .select(col(GraftTable.RowAddrCol).as(JoinKey))
+          (covered, mask)
+        }
+      }
+    }.nextOption()
+
+  /** p must be a comparison/In between one `get_json_object(attr, lit-path)`
+    * subtree and foldable values → (subtree, column name, path). */
+  private def jsonTarget(p: Expression): Option[(Expression, String, String)] = {
+    val subtrees = p.collect {
+      case g @ GetJsonObject(a: AttributeReference, pa) if pa.foldable &&
+          toScala(pa) != null =>
+        (g: Expression, a.name, toScala(pa).toString)
+    }
+    subtrees.distinct match {
+      case Seq((g, c, path)) if jsonSargable(p, g) => Some((g, c, path))
+      case _ => None
+    }
+  }
+
+  private def jsonSargable(e: Expression, g: Expression): Boolean = {
+    def isGSide(x: Expression): Boolean = x.semanticEquals(g) || (x match {
+      case c: Cast => isGSide(c.child)
+      case _ => false
+    })
+    e match {
+      case And(l, r) => jsonSargable(l, g) && jsonSargable(r, g)
+      case Or(l, r) => jsonSargable(l, g) && jsonSargable(r, g)
+      case b: BinaryComparison =>
+        (isGSide(b.left) && b.right.foldable) || (isGSide(b.right) && b.left.foldable)
+      case In(x, vs) if isGSide(x) => vs.forall(_.foldable)
+      case _ => false
+    }
+  }
 
   /** `array_contains(attr, lit)` ⇒ all-of([lit]); `arrays_overlap(attr,
     * lit-array)` ⇒ any-of(elements). */

@@ -161,6 +161,60 @@ object ScalarIndex {
         .select(col(A)))
   }
 
+  // ------------------------------------------------------------------- json
+
+  /** JSON path index (reference `rust/lance-index/src/scalar/json.rs`): a
+    * BTREE over the STRING value extracted at `path` from JSON column
+    * `column` — same sorted `(v, _rowaddr)` layout as [[buildBtree]], so
+    * equality/range/IN on the extracted path reduce to row-group-stat
+    * pruning inside the index files. The expensive JSON parse runs ONCE at
+    * build time over each fragment instead of per query over the corpus. */
+  def buildJson(spark: SparkSession, tablePath: String, column: String,
+                path: String, indexPath: String): Unit = {
+    val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val dir = s"$indexPath/${jsonDirName(column, path)}"
+    GraftTable.read(spark, tablePath, withRowAddr = true)
+      .select(get_json_object(col(column), path).as("v"), col(A))
+      .repartitionByRange(8, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    writeVersionMarker(spark, dir, version)
+  }
+
+  /** Incremental JSON-index maintenance: parse + append ONLY fragments added
+    * since the build, like [[optimizeBtree]]. O(delta) IO. */
+  def optimizeJson(spark: SparkSession, tablePath: String, column: String,
+                   path: String, indexPath: String): Long = {
+    val dir = s"$indexPath/${jsonDirName(column, path)}"
+    val vi = indexedVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no version marker — build first"))
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = m.fragments.filter(_.addedVersion > vi)
+    if (freshFrags.nonEmpty) {
+      GraftTable.readFragments(spark, tablePath, m, freshFrags, withRowAddr = true)
+        .select(get_json_object(col(column), path).as("v"), col(A))
+        .repartitionByRange(2, col("v"))
+        .sortWithinPartitions(col("v"))
+        .write.mode(SaveMode.Append).parquet(dir)
+    }
+    writeVersionMarker(spark, dir, m.version)
+    freshFrags.map(_.rows).sum
+  }
+
+  /** Row addresses whose extracted JSON value satisfies the predicate;
+    * the predicate lands in PushedFilters of the sorted index scan. */
+  def lookupJson(spark: SparkSession, indexPath: String, column: String,
+                 path: String, predicate: Column => Column): DataFrame =
+    spark.read.parquet(s"$indexPath/${jsonDirName(column, path)}")
+      .filter(predicate(col("v")))
+      .select(col(A))
+
+  /** Deterministic dir slug for (column, path) — `$.user.id` on `props`
+    * → `json_props_user_id`. */
+  private[graft] def jsonDirName(column: String, path: String): String =
+    s"json_${column}_" + path.replaceAll("[^A-Za-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
   // ------------------------------------------------------------- label list
 
   /** LABEL_LIST index (reference `rust/lance-index/src/scalar/label_list.rs`,

@@ -140,6 +140,24 @@ object Format {
         .orderBy(col("o_orderkey"))
     },
 
+    // JSON path index (reference scalar/json.rs): btree over the value
+    // extracted at $.k build-time — the per-query JSON parse of the corpus
+    // disappears; the lookup is row-group-pruned in the index files.
+    "q_json_index" -> { (s, d) =>
+      val t = freshDir(s, "json_index")
+      GraftTable.write(Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("props")),
+        t, "overwrite")
+      graft.index.ScalarIndex.buildJson(s, t, "props", "$.k", s"$t/_indices")
+      val mask = graft.index.ScalarIndex.lookupJson(s, s"$t/_indices", "props", "$.k",
+        _.isin("42", "7", "123"))
+      GraftTable.read(s, t, withRowAddr = true)
+        .join(mask, Seq(GraftTable.RowAddrCol), "left_semi")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+
     // LABEL_LIST index (reference label_list.rs): tag postings partitioned
     // by label; has-ALL lookup = postings intersection, applied as an
     // address-mask semi-join. Tags derive deterministically from the text so
@@ -240,6 +258,12 @@ object Format {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_json_index" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IN ('42', '7', '123')
+        |ORDER BY event_id""".stripMargin,
     "q_label_list" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |  list_filter(['spark','vector','table','index','hash'],

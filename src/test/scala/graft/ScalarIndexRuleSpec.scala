@@ -170,6 +170,29 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q2.count() == 90)
   }
 
+  test("json rule: get_json_object filter rewritten to mask semi-join, exact") {
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    val df = TestSpark.spark.range(0, 400).toDF("id")
+      .withColumn("props", concat(lit("""{"k": """), col("id") % 40, lit("}")))
+    GraftTable.write(df, t, "overwrite")
+    ScalarIndex.buildJson(TestSpark.spark, t, "props", "$.k", s"$t/_indices")
+    val q = GraftTable.read(extSpark, t)
+      .filter(get_json_object(col("props"), "$.k") === "13")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(q.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 400L).filter(_ % 40 == 13).toSet)
+    // appended fragments scan flat (partial coverage) but stay exact
+    GraftTable.write(TestSpark.spark.range(400, 450).toDF("id")
+      .withColumn("props", concat(lit("""{"k": """), col("id") % 40, lit("}"))),
+      t, "append")
+    val q2 = GraftTable.read(extSpark, t)
+      .filter(get_json_object(col("props"), "$.k") === "13")
+    val plan2 = q2.queryExecution.optimizedPlan.toString
+    assert(plan2.contains("LeftSemi") && plan2.contains("Union"), plan2)
+    assert(q2.count() == (0L until 450L).count(_ % 40 == 13))
+  }
+
   test("non-sargable filter untouched") {
     val t = freshIndexed()
     val q = GraftTable.read(extSpark, t).filter(col("id") + col("grp") > 100)

@@ -114,6 +114,35 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(got == (0L until 150L).filter(_ % 2 == 0).toSet)
   }
 
+  test("json path index: lookup matches full-scan extraction, incremental optimize") {
+    val (t, idx) = setup()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("id")
+      .withColumn("props", concat(lit("""{"k": """), col("id") % 50,
+        lit(""", "tag": "t"""), col("id") % 3, lit("\"}")))
+    GraftTable.write(mk(0, 200), s"$t-json", "overwrite")
+    ScalarIndex.buildJson(spark, s"$t-json", "props", "$.k", idx)
+    val base = GraftTable.read(spark, s"$t-json", withRowAddr = true)
+
+    val mask = ScalarIndex.lookupJson(spark, idx, "props", "$.k", _ === "17")
+    val got = base.join(mask.toDF("_rowaddr"), Seq("_rowaddr"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 200L).filter(_ % 50 == 17).toSet)
+
+    // nested second path on the same column coexists (separate dir)
+    ScalarIndex.buildJson(spark, s"$t-json", "props", "$.tag", idx)
+    val m2 = ScalarIndex.lookupJson(spark, idx, "props", "$.tag", _ === "t2")
+    assert(base.join(m2.toDF("_rowaddr"), Seq("_rowaddr"), "left_semi").count() ==
+      (0L until 200L).count(_ % 3 == 2))
+
+    GraftTable.write(mk(200, 260), s"$t-json", "append")
+    assert(ScalarIndex.optimizeJson(spark, s"$t-json", "props", "$.k", idx) == 60L)
+    val mask2 = ScalarIndex.lookupJson(spark, idx, "props", "$.k", _ === "17")
+    val got2 = GraftTable.read(spark, s"$t-json", withRowAddr = true)
+      .join(mask2.toDF("_rowaddr"), Seq("_rowaddr"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(got2 == (0L until 260L).filter(_ % 50 == 17).toSet)
+  }
+
   test("label-list lookup prunes to the wanted label partitions") {
     val (t, idx) = setup()
     GraftTable.write(spark.range(0, 100).toDF("id")
