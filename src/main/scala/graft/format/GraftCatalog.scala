@@ -1,0 +1,338 @@
+package graft.format
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 catalog for graft tables — the pure-SQL surface (SURVEY
+  * §2.11; reference: Lance namespace/catalog integrations and the Spark
+  * connector's `CREATE TABLE ... USING lance` path):
+  *
+  * {{{
+  *   spark.sql.catalog.graft            = graft.format.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse  = /data/graft
+  *
+  *   CREATE TABLE graft.db.t (id BIGINT, v STRING) USING graft
+  *   INSERT INTO graft.db.t VALUES ...
+  *   SELECT * FROM graft.db.t VERSION AS OF 3        -- or a tag/branch name
+  *   DELETE FROM graft.db.t WHERE id = 4
+  *   UPDATE graft.db.t SET v = 'x' WHERE id = 1      -- via GraftSqlRule
+  *   MERGE INTO graft.db.t USING s ON ...            -- via GraftSqlRule
+  *   ALTER TABLE graft.db.t RENAME COLUMN v TO w     -- metadata-only
+  * }}}
+  *
+  * A table named `graft.ns1.ns2.t` lives at `<warehouse>/ns1/ns2/t`.
+  *
+  * Reads: with [[GraftExtensions]] installed (the documented configuration),
+  * [[GraftSqlRule]] replaces the v2 relation with the native
+  * `GraftTable.read` plan — full parquet vectorized scan, pushdown, zonemap
+  * pruning, scalar-index rewrites, DV anti-join. Without extensions a
+  * correctness-preserving V1 row-based fallback scan serves the read.
+  * Writes ride the V1 write fallback onto [[GraftTable.write]]'s
+  * CAS-committed fragment appends — executors write data either way.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[format] def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  private def isTable(p: Path): Boolean = fs(p).exists(new Path(p, "_manifests"))
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable).map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(new Path(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!isTable(new Path(path))) throw new NoSuchTableException(ident)
+    new GraftSqlTable(path, ident.toString, GraftTable.loadManifest(spark, path))
+  }
+
+  /** `VERSION AS OF x` — numeric version, tag name, or branch name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTable(new Path(path))) throw new NoSuchTableException(ident)
+    val m = version.toLongOption match {
+      case Some(v) => GraftTable.loadManifest(spark, path, Some(v))
+      case None =>
+        GraftTable.tags(spark, path).get(version) match {
+          case Some(v) => GraftTable.loadManifest(spark, path, Some(v))
+          case None if GraftTable.branches(spark, path).contains(version) =>
+            GraftTable.loadManifest(spark, path, None, Some(version))
+          case None => throw new IllegalArgumentException(
+            s"$ident has no version, tag, or branch '$version'")
+        }
+    }
+    new GraftSqlTable(path, ident.toString, m, pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): latest version whose commit
+    * time (manifest mtime) is ≤ t. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(new Path(path))) throw new NoSuchTableException(ident)
+    val v = GraftTable.versionAsOfTimestamp(spark, path, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ident has no version at or before timestamp $timestampMicros"))
+    new GraftSqlTable(path, ident.toString,
+      GraftTable.loadManifest(spark, path, Some(v)), pinned = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables do not take PARTITIONED BY — fragments are the unit of parallelism")
+    val path = tablePath(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val config = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT)
+    GraftTable.createEmpty(spark, path, schema, config)
+    new GraftSqlTable(path, ident.toString, GraftTable.loadManifest(spark, path))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(new Path(path))) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "graft: nested ADD COLUMN unsupported")
+        GraftTable.addColumnsFiles(spark, path, Seq(
+          a.fieldNames().head -> s"CAST(NULL AS ${a.dataType().sql})"))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "graft: nested RENAME COLUMN unsupported")
+        GraftTable.alterColumns(spark, path,
+          renames = Map(r.fieldNames().head -> r.newName()))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1, "graft: nested ALTER TYPE unsupported")
+        GraftTable.alterColumns(spark, path,
+          casts = Map(u.fieldNames().head -> u.newDataType().sql))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "graft: nested DROP COLUMN unsupported")
+        GraftTable.dropColumns(spark, path, Seq(d.fieldNames().head))
+      case p: TableChange.SetProperty =>
+        GraftTable.updateConfig(spark, path, Map(p.property() -> p.value()))
+      case other => throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    isTable(p) && fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(tablePath(oldIdent))
+    val to = new Path(tablePath(newIdent))
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (fs(to).exists(to)) throw new TableAlreadyExistsException(newIdent)
+    fs(from).mkdirs(to.getParent)
+    if (!fs(from).rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => Array(p.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = new Path((warehouse +: namespace).mkString("/"))
+      fs(p).exists(p) && !isTable(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    fs(p).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft: ALTER NAMESPACE unsupported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(p)
+    if (!f.exists(p)) false
+    else {
+      if (!cascade && f.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(p, true)
+    }
+  }
+}
+
+/** A graft table as seen by the DSv2 catalog: pinned to the manifest loaded
+  * at resolution time (snapshot isolation per statement, and the carrier for
+  * `VERSION/TIMESTAMP AS OF`). */
+class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest,
+                    val pinned: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = ident
+  override def schema(): StructType = manifest.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** Snapshot read for this table's pinned manifest. */
+  private[format] def snapshot(spark: SparkSession): DataFrame =
+    GraftTable.readFragments(spark, path, manifest, manifest.fragments)
+
+  /** Correctness fallback scan (V1, row-based) for sessions WITHOUT
+    * GraftExtensions; with extensions, [[GraftSqlRule]] replaces the whole
+    * relation with the native plan and this builder is never executed. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType =
+        StructType(manifest.schema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.nonEmpty) required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+              val df = snapshot(context.sparkSession)
+              df.select(req.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              require(!pinned, s"cannot write to time-traveled table $ident")
+              GraftTable.write(data, path, if (overwrite) "overwrite" else "append")
+            }
+          }
+      }
+    }
+
+  // `DELETE FROM t WHERE ...` → DV commit, no data rewrite
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftSqlTable.filterToSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!pinned, s"cannot delete from time-traveled table $ident")
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(GraftSqlTable.filterToSql).map(p => s"($p)").mkString(" AND ")
+    GraftTable.delete(SparkSession.active, path, pred)
+  }
+}
+
+object GraftSqlTable {
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some(n.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: java.sql.Date => Some(s"DATE'$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'$t'")
+    case _ => None
+  }
+
+  private def q(attr: String): String = s"`${attr.replace("`", "``")}`"
+
+  /** Translate a V1 source Filter to graft predicate SQL (None = can't). */
+  private[format] def filterToSql(f: Filter): Option[String] = f match {
+    case sources.EqualTo(a, v) => lit(v).map(l => s"${q(a)} = $l")
+    case sources.EqualNullSafe(a, v) => lit(v).map(l => s"${q(a)} <=> $l")
+    case sources.GreaterThan(a, v) => lit(v).map(l => s"${q(a)} > $l")
+    case sources.GreaterThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} >= $l")
+    case sources.LessThan(a, v) => lit(v).map(l => s"${q(a)} < $l")
+    case sources.LessThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} <= $l")
+    case sources.In(a, vs) =>
+      val ls = vs.toSeq.map(lit)
+      if (ls.forall(_.isDefined) && ls.nonEmpty)
+        Some(s"${q(a)} IN (${ls.flatten.mkString(", ")})")
+      else None
+    case sources.IsNull(a) => Some(s"${q(a)} IS NULL")
+    case sources.IsNotNull(a) => Some(s"${q(a)} IS NOT NULL")
+    case sources.StringStartsWith(a, v) => lit(v).map(l => s"startswith(${q(a)}, $l)")
+    case sources.StringEndsWith(a, v) => lit(v).map(l => s"endswith(${q(a)}, $l)")
+    case sources.StringContains(a, v) => lit(v).map(l => s"contains(${q(a)}, $l)")
+    case sources.And(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls AND $rs)"
+    case sources.Or(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls OR $rs)"
+    case sources.Not(c) => filterToSql(c).map(s => s"(NOT $s)")
+    case sources.AlwaysTrue() => Some("true")
+    case sources.AlwaysFalse() => Some("false")
+    case _ => None
+  }
+}

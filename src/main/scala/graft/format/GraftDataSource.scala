@@ -30,10 +30,10 @@ class GraftDataSource extends RelationProvider
     val m = GraftTable.loadManifest(spark, path, version, branch)
     val dvRuleInstalled = spark.sessionState.analyzer.extendedResolutionRules
       .exists(_.isInstanceOf[GraftDvRule])
-    if ((m.dvFiles.nonEmpty || m.columnFiles.nonEmpty) && !dvRuleInstalled)
+    if ((m.dvFiles.nonEmpty || m.columnFiles.nonEmpty || m.renames.nonEmpty) && !dvRuleInstalled)
       throw new IllegalStateException(
-        "graft: this snapshot has deletion vectors or supplemental column " +
-          "files; install GraftExtensions " +
+        "graft: this snapshot has deletion vectors, supplemental column " +
+          "files, or renamed columns; install GraftExtensions " +
           "(spark.sql.extensions=graft.format.GraftExtensions) or read it with GraftTable.read(...)")
     val t = new org.apache.hadoop.fs.Path(path)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(

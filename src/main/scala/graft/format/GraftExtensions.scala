@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.StructType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => new GraftDvRule(session))
+    e.injectResolutionRule(session => new GraftSqlRule(session))
     // optimizer (not resolution) rule: after predicate pushdown the filter
     // sits directly on the relation in EVERY read path (GraftTable.read,
     // format("graft"), SQL views) — including DV snapshots, where the
@@ -87,14 +88,15 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     splitConjunctivePredicates(cond).iterator.flatMap { p =>
       if (p.references.size == 1 && sargableShape(p)) {
         val colName = p.references.head.name
-        coveredFragmentIds(gfi, indexDir(gfi, colName)).map { covered =>
-          val idx = session.read.parquet(indexDir(gfi, colName))
-          val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
-          val predOnV = p.transform { case _: AttributeReference => vAttr }
-          val mask = ColumnBridge.ofRows(session,
-              Filter(predOnV, idx.queryExecution.analyzed))
-            .select(col(GraftTable.RowAddrCol).as(JoinKey))
-          (covered, mask)
+        firstUsable(gfi, candidateNames(gfi, colName).map(indexDir(gfi, _))).map {
+          case (dir, covered) =>
+            val idx = session.read.parquet(dir)
+            val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
+            val predOnV = p.transform { case _: AttributeReference => vAttr }
+            val mask = ColumnBridge.ofRows(session,
+                Filter(predOnV, idx.queryExecution.analyzed))
+              .select(col(GraftTable.RowAddrCol).as(JoinKey))
+            (covered, mask)
         }
       } else None
     }.nextOption()
@@ -106,9 +108,10 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
       : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
     splitConjunctivePredicates(cond).iterator.flatMap { p =>
       labelShape(p).flatMap { case (colName, labels, requireAll) =>
-        coveredFragmentIds(gfi, labelDir(gfi, colName)).map { covered =>
+        firstUsable(gfi, candidateNames(gfi, colName).map(labelDir(gfi, _))).map {
+          case (dir, covered) =>
           val want = labels.distinct
-          val post = session.read.parquet(labelDir(gfi, colName))
+          val post = session.read.parquet(dir)
             .filter(col("label").isin(want: _*))
           // dedup via groupBy/agg, NOT .distinct(): this plan is injected by
           // an optimizer rule AFTER ReplaceDeduplicateWithAggregate has run,
@@ -135,9 +138,9 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
       : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
     splitConjunctivePredicates(cond).iterator.flatMap { p =>
       jsonTarget(p).flatMap { case (g, colName, path) =>
-        val dir = s"${gfi.tablePath}/_indices/" +
-          graft.index.ScalarIndex.jsonDirName(colName, path)
-        coveredFragmentIds(gfi, dir).map { covered =>
+        val dirs = candidateNames(gfi, colName).map(n =>
+          s"${gfi.tablePath}/_indices/" + graft.index.ScalarIndex.jsonDirName(n, path))
+        firstUsable(gfi, dirs).map { case (dir, covered) =>
           val idx = session.read.parquet(dir)
           val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
           val predOnV = p.transform { case x if x.semanticEquals(g) => vAttr }
@@ -197,6 +200,17 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v.eval(), v.dataType)
       .asInstanceOf[scala.collection.Seq[Any]].toSeq
 
+  /** At the relation level a column carries its PHYSICAL (on-file) name;
+    * index dirs are keyed by the name given at BUILD time — physical for
+    * pre-rename builds, logical for post-rename builds. Try both. */
+  private def candidateNames(gfi: GraftFileIndex, physName: String): Seq[String] =
+    Seq(physName, gfi.manifest.logicalName(physName)).distinct
+
+  /** First usable index among candidate dirs → (dir, covered fragment ids). */
+  private def firstUsable(gfi: GraftFileIndex, dirs: Seq[String])
+      : Option[(String, Set[Long])] =
+    dirs.iterator.flatMap(d => coveredFragmentIds(gfi, d).map(c => (d, c))).nextOption()
+
   /** Fragment ids the index at `dir` covers, when the index is usable
     * for this snapshot: indexed version ≤ snapshot version and every indexed
     * fragment still present (fragments are immutable, so id-presence ⟹
@@ -246,12 +260,14 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     // above may consume `_metadata` to derive `_rowaddr`)
     val outNames = lr.output.map(_.name)
 
-    // fragment-subset scan carrying lr's columns + a local mask-join key
+    // fragment-subset scan carrying lr's columns + a local mask-join key.
+    // This node sits at the RELATION level — below any rename projection —
+    // so it must carry the physical (on-file) schema, matching lr's output.
     def scan(frags: Seq[FragmentMeta]): org.apache.spark.sql.DataFrame = {
       val relation = HadoopFsRelation(
         location = new GraftFileIndex(session, gfi.tablePath, m.copy(fragments = frags),
           dvApplied = gfi.dvApplied, maskApplied = true),
-        partitionSchema = new StructType(), dataSchema = m.schema,
+        partitionSchema = new StructType(), dataSchema = m.physicalSchema,
         bucketSpec = None, fileFormat = new ParquetFileFormat,
         options = Map.empty)(session)
       val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
@@ -361,41 +377,168 @@ class GraftDvRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case lr @ LogicalRelation(
         HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _)
-        if (gfi.manifest.dvFiles.nonEmpty || gfi.manifest.columnFiles.nonEmpty) &&
-          !gfi.dvApplied =>
+        if (gfi.manifest.dvFiles.nonEmpty || gfi.manifest.columnFiles.nonEmpty ||
+          gfi.manifest.renames.nonEmpty) && !gfi.dvApplied =>
       rewrite(lr, gfi)
   }
 
   private def rewrite(lr: LogicalRelation, gfi: GraftFileIndex): LogicalPlan = {
+    // the full snapshot plan (physical→logical rename projection, DV
+    // anti-join, supplemental-column merge) is what GraftTable.read builds;
+    // its relation is marked dvApplied so this rule does not re-trigger
     val m = gfi.manifest
-    // fresh relation over the same snapshot, marked dvApplied
-    val relation = HadoopFsRelation(
-      location = new GraftFileIndex(session, gfi.tablePath, m, dvApplied = true),
-      partitionSchema = new StructType(),
-      dataSchema = m.schema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(session)
-    val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
-    val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
-      "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
-      .plus(col("_metadata.row_index"))
-    val withAddr = base.withColumn(GraftTable.RowAddrCol, addr)
-    val live =
-      if (m.dvFiles.isEmpty) withAddr
-      else {
-        val dv = session.read
-          .parquet(m.dvFiles.map(p => new org.apache.hadoop.fs.Path(gfi.tablePath, p).toString): _*)
-          .select(col("addr").as(GraftTable.RowAddrCol)).distinct()
-        withAddr.join(dv, Seq(GraftTable.RowAddrCol), "left_anti")
-      }
-    val joined = GraftTable.mergeColumnFiles(session, gfi.tablePath, m, live)
-      .drop(GraftTable.RowAddrCol)
-    val analyzed = joined.queryExecution.analyzed
+    val snapshot = GraftTable.readFragments(session, gfi.tablePath.toString, m, m.fragments)
+    val analyzed = snapshot.queryExecution.analyzed
     // restore the original relation's attribute ids for the parents
     val out: Seq[NamedExpression] = lr.output.zip(analyzed.output).map {
       case (orig, fresh) => Alias(fresh, orig.name)(exprId = orig.exprId)
     }
     Project(out, analyzed)
+  }
+}
+
+/** SQL-surface rule for [[GraftCatalog]] relations (analysis-time):
+  *
+  *  1. **Row-level DML** — `DELETE FROM` / `UPDATE` / `MERGE INTO` over a
+  *     graft catalog table become eager commands driving the native
+  *     mutations ([[GraftTable.delete]]/[[GraftTable.update]]/
+  *     [[GraftTable.mergeInsert]]) — one CAS commit each, DV-based, no
+  *     row-level-operation plumbing needed. Runs top-down BEFORE the read
+  *     rewrite so the DML target is still a v2 relation when matched.
+  *  2. **Reads** — remaining `DataSourceV2Relation(GraftSqlTable)` nodes are
+  *     replaced by the native snapshot plan (vectorized parquet scan,
+  *     pushdown, zonemap + scalar-index pruning, DV anti-join), preserving
+  *     the relation's output attribute ids. Write commands hold their target
+  *     as a field (not a child), so INSERT targets are untouched.
+  */
+class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val afterDml = plan.transformDown {
+      case d @ DeleteFromTable(target, condition) if d.resolved =>
+        graftTable(target) match {
+          case Some(t) =>
+            GraftDeleteCommand(t.path, exprSql(condition))
+          case None => d
+        }
+      case u: UpdateTable if u.resolved && graftTable(u.table).isDefined =>
+        val t = graftTable(u.table).get
+        val set = u.assignments.map(a => attrName(a.key) -> exprSql(a.value)).toMap
+        GraftUpdateCommand(t.path, set, u.condition.map(exprSql))
+      case m: MergeIntoTable if m.resolved && graftTable(m.targetTable).isDefined =>
+        toMergeCommand(m)
+    }
+    afterDml.transformUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+        val t = r.table.asInstanceOf[GraftSqlTable]
+        val analyzed = t.snapshot(session).queryExecution.analyzed
+        val out: Seq[NamedExpression] = r.output.zip(analyzed.output).map {
+          case (orig, fresh) => Alias(fresh, orig.name)(exprId = orig.exprId)
+        }
+        Project(out, analyzed)
+    }
+  }
+
+  private def graftTable(plan: LogicalPlan): Option[GraftSqlTable] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+        r.table.asInstanceOf[GraftSqlTable]
+    }
+
+  /** SQL text of a RESOLVED expression, with attribute qualifiers stripped so
+    * it re-parses against the bare snapshot DataFrame. */
+  private def exprSql(e: Expression): String =
+    e.transform { case a: AttributeReference => a.withQualifier(Nil) }.sql
+
+  private def attrName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft: UPDATE of nested field ${other.sql} unsupported")
+  }
+
+  /** MERGE mapped to the reference's merge_insert semantics
+    * (`merge_insert.rs:204-299`): WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED THEN INSERT * / WHEN NOT MATCHED BY SOURCE [AND cond]
+    * THEN DELETE, on an equi-join key set. */
+  private def toMergeCommand(m: MergeIntoTable): LogicalPlan = {
+    val t = graftTable(m.targetTable).get
+    val targetIds = m.targetTable.outputSet
+    val sourceIds = m.sourceTable.outputSet
+
+    def onCols(c: Expression): Seq[String] = c match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => onCols(l) ++ onCols(r)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            ((targetIds.contains(a) && sourceIds.contains(b)) ||
+             (targetIds.contains(b) && sourceIds.contains(a))) => Seq(a.name)
+      case other => throw new UnsupportedOperationException(
+        "graft MERGE needs an equi-join ON over same-named columns; got: " + other.sql)
+    }
+    val on = onCols(m.mergeCondition)
+
+    val updateAll = m.matchedActions match {
+      case Seq() => false
+      case Seq(UpdateStarAction(None)) => true
+      case other => throw new UnsupportedOperationException(
+        "graft MERGE supports WHEN MATCHED THEN UPDATE SET * (unconditional); got: " + other)
+    }
+    val insertAll = m.notMatchedActions match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case other => throw new UnsupportedOperationException(
+        "graft MERGE supports WHEN NOT MATCHED THEN INSERT * (unconditional); got: " + other)
+    }
+    val (deleteNotMatchedBySource, deleteCond) = m.notMatchedBySourceActions match {
+      case Seq() => (false, None)
+      case Seq(DeleteAction(cond)) => (true, cond.map(exprSql))
+      case other => throw new UnsupportedOperationException(
+        "graft MERGE supports WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE; got: " + other)
+    }
+    GraftMergeCommand(t.path, m.sourceTable, on, updateAll, insertAll,
+      deleteNotMatchedBySource, deleteCond)
+  }
+}
+
+/** `DELETE FROM <graft table> WHERE cond` — DV commit, no rewrite. */
+case class GraftDeleteCommand(path: String, condition: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftTable.delete(sparkSession, path, condition)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft table> SET ... WHERE cond` — rewrite-matching + DV in one
+  * commit. */
+case class GraftUpdateCommand(path: String, set: Map[String, String],
+                              condition: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftTable.update(sparkSession, path, set, condition)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft table>` — full-outer-join classify + one commit. The
+  * captured source plan re-enters analysis at run time, so graft sources are
+  * themselves rewritten to native reads. */
+case class GraftMergeCommand(path: String,
+                             source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                             on: Seq[String], updateAll: Boolean, insertAll: Boolean,
+                             deleteNotMatchedBySource: Boolean, deleteCondition: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(source)
+  override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftTable.mergeInsert(sparkSession, path,
+      ColumnBridge.ofRows(sparkSession, source), on,
+      whenMatchedUpdateAll = updateAll,
+      whenNotMatchedInsertAll = insertAll,
+      whenNotMatchedBySourceDelete = deleteNotMatchedBySource,
+      deleteCondition = deleteCondition)
+    Seq.empty
   }
 }

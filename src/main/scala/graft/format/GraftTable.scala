@@ -75,6 +75,21 @@ object GraftTable {
                     branch: Option[String] = None): Option[Long] =
     versions(spark, tablePath, branch).lastOption
 
+  /** Latest version whose commit time (manifest file mtime) ≤ `tsMillis` —
+    * the `TIMESTAMP AS OF` resolution (reference `checkout_version` by
+    * timestamp). One manifest-dir listing; no data IO. */
+  def versionAsOfTimestamp(spark: SparkSession, tablePath: String,
+                           tsMillis: Long): Option[Long] = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    val dir = manifestDir(t)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json") && s.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripSuffix(".json").toLong)
+      .maxOption
+  }
+
   def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None,
                    branch: Option[String] = None): GraftManifest = {
     val t = new Path(tablePath)
@@ -172,6 +187,25 @@ object GraftTable {
       .write.mode(SaveMode.Overwrite).parquet(dest)
   }
 
+  /** Rename a logical-named DataFrame to the manifest's PHYSICAL column
+    * names before staging fragment files — new fragments must match what the
+    * table's other files store (renames are metadata-only; see
+    * [[GraftManifest.physicalName]]). One atomic projection (swap-safe). */
+  private def toPhysical(df: DataFrame, m: GraftManifest): DataFrame = {
+    val logToPhys = m.renames.toMap
+    if (logToPhys.isEmpty) df
+    else df.select(df.columns.toSeq.map(c => col(c).as(logToPhys.getOrElse(c, c))): _*)
+  }
+
+  /** Strip graft-internal field metadata (rename mapping) from a schema about
+    * to be committed for files written under their logical names. */
+  private def cleanSchema(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains(GraftManifest.PhysicalKey))
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)
+      else f
+    })
+
   private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame): Seq[Path] = {
     val txn = s"data/txn-${UUID.randomUUID().toString.take(8)}"
     val stagingDir = new Path(new Path(tablePath), txn)
@@ -229,7 +263,17 @@ object GraftTable {
   def write(df: DataFrame, tablePath: String, mode: String = "append",
             configUpdates: Map[String, String] = Map.empty): GraftManifest = {
     val spark = df.sparkSession
-    var staged = stageFragments(spark, tablePath, df)
+    // appends must write the table's PHYSICAL column names (rename mapping of
+    // the latest manifest); create/overwrite define a fresh logical schema
+    val stagedRenames = latestVersion(spark, tablePath)
+      .map(v => loadManifest(spark, tablePath, Some(v)))
+      .filter(_ => mode.equalsIgnoreCase("append"))
+      .map(_.renames).getOrElse(Nil)
+    val cleanJson = cleanSchema(df.schema).json
+    var staged = stageFragments(spark, tablePath,
+      if (stagedRenames.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(stagedRenames.toMap.getOrElse(c, c))): _*))
     def assign(firstId: Long, version: Long, rowIdBase: Long): Seq[FragmentMeta] = {
       val (frags, paths) = assignIds(spark, staged, firstId, version, rowIdBase)
       staged = paths
@@ -238,10 +282,12 @@ object GraftTable {
     commitLoop(spark, tablePath, {
       case None =>
         val frags = assign(0L, 1L, 0L)
-        GraftManifest(1L, "create", df.schema.json, frags, Nil, 0L, configUpdates, 0L,
+        GraftManifest(1L, "create", cleanJson, frags, Nil, 0L, configUpdates, 0L,
           nextRowId = frags.map(_.rows).sum)
       case Some(base) => mode.toLowerCase match {
         case "append" =>
+          if (base.renames != stagedRenames) throw new IllegalStateException(
+            "append conflict: columns were renamed concurrently — retry the write")
           val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
           base.copy(version = base.version + 1, operation = "append",
             fragments = base.fragments ++ frags,
@@ -251,7 +297,7 @@ object GraftTable {
           // ids keep growing across overwrites (the high-water mark is never
           // reset) so a row id can never be observed for two different rows
           val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
-          GraftManifest(base.version + 1, "overwrite", df.schema.json,
+          GraftManifest(base.version + 1, "overwrite", cleanJson,
             frags, Nil, 0L, base.config ++ configUpdates, base.version,
             nextRowId = base.nextRowId + frags.map(_.rows).sum)
         case "errorifexists" | "error" =>
@@ -259,6 +305,18 @@ object GraftTable {
         case m => throw new IllegalArgumentException(s"unknown write mode: $m")
       }
     })
+  }
+
+  /** Create an EMPTY table from a schema — one metadata-only commit, no data
+    * files (the DDL path: `CREATE TABLE ... USING graft`). Appends then fill
+    * it; reads of version 1 return zero rows of the declared schema. */
+  def createEmpty(spark: SparkSession, tablePath: String, schema: StructType,
+                  config: Map[String, String] = Map.empty): GraftManifest = {
+    val m = GraftManifest(1L, "create", cleanSchema(schema).json, Nil, Nil, 0L,
+      config, 0L, nextRowId = 0L)
+    if (!tryCommit(spark, tablePath, m))
+      throw new IllegalStateException(s"graft table already exists at $tablePath")
+    m
   }
 
   /** Metadata-only config merge as its own commit (reference `UpdateConfig`
@@ -299,11 +357,15 @@ object GraftTable {
     // it through the scan schema; parquet yields null for fragments without
     // the column, and those derive it from their contiguous range instead
     val hasStored = withRowId && m.fragments.exists(_.rowIdStored)
+    // fragment parquet carries PHYSICAL column names (renames are
+    // metadata-only, like the reference's field-id indirection); the scan
+    // reads physical and a projection below restores logical names
+    val physSchema = m.physicalSchema
     val dataSchema =
-      if (hasStored) StructType(m.schema.fields :+
+      if (hasStored) StructType(physSchema.fields :+
         org.apache.spark.sql.types.StructField(RowIdCol,
           org.apache.spark.sql.types.LongType, nullable = true))
-      else m.schema
+      else physSchema
     // dvApplied: this path applies DVs itself — the extension rule must not
     // wrap a second (idempotent but wasteful) anti-join around it
     val index = new GraftFileIndex(spark, t, m, dvApplied = true)
@@ -341,12 +403,20 @@ object GraftTable {
           .drop("__rid_frag", "__rid_start")
       }
     }
+    // restore logical names in ONE projection (atomic — swap-renames can't
+    // collide); pushdown substitutes back through the aliases, so filters on
+    // renamed columns still reach the parquet scan + zonemaps
+    val physToLogical = m.renames.map(_.swap).toMap
+    val renamed =
+      if (physToLogical.isEmpty) withAddr
+      else withAddr.select(withAddr.columns.toSeq
+        .map(c => col(c).as(physToLogical.getOrElse(c, c))): _*)
     val live =
-      if (m.dvFiles.isEmpty) withAddr
+      if (m.dvFiles.isEmpty) renamed
       else {
         val dv = spark.read.parquet(m.dvFiles.map(p => new Path(t, p).toString): _*)
           .select(col("addr").as(RowAddrCol)).distinct()
-        withAddr.join(dv, Seq(RowAddrCol), "left_anti")
+        renamed.join(dv, Seq(RowAddrCol), "left_anti")
       }
     val merged = mergeColumnFiles(spark, t, m, live)
     val out = if (withRowAddr) merged else merged.drop(RowAddrCol)
@@ -364,12 +434,15 @@ object GraftTable {
   private[format] def mergeColumnFiles(spark: SparkSession, t: Path, m: GraftManifest,
                                        scan: DataFrame): DataFrame =
     m.columnFiles.foldLeft(scan) { case (d, cf) =>
+      // cf.columns are the names INSIDE the supplemental file (= physical);
+      // the merge target is whatever logical name they map to today
       val supp = spark.read.parquet(new Path(t, cf.path).toString)
         .select(col("addr").as("__cf_addr") +:
           cf.columns.map(c => col(c).as(s"__cf_$c")): _*)
       val joined = d.join(supp, d(RowAddrCol) === supp("__cf_addr"), "left_outer")
       cf.columns.foldLeft(joined) { (dd, c) =>
-        dd.withColumn(c, coalesce(dd(c), dd(s"__cf_$c")))
+        val lc = m.logicalName(c)
+        dd.withColumn(lc, coalesce(dd(lc), dd(s"__cf_$c")))
       }.drop("__cf_addr" +: cf.columns.map(c => s"__cf_$c"): _*)
     }
 
@@ -473,7 +546,8 @@ object GraftTable {
     val m = loadManifest(spark, tablePath, version)
     val cols = m.schema.fieldNames.toSeq
     val rows = cols.map { c =>
-      val stats = m.fragments.flatMap(_.stats.get(c))
+      val phys = m.physicalName(m.schema(c))
+      val stats = m.fragments.flatMap(_.stats.get(phys))
       val (mn, mx) = if (stats.isEmpty) (null, null) else {
         val kind = stats.head.kind
         def pick(vals: Seq[String], takeMax: Boolean): String = kind match {
@@ -552,7 +626,7 @@ object GraftTable {
       val updated = set.foldLeft(matches) { case (d, (c, e)) =>
         d.withColumn(c, expr(e).cast(m0.schema(c).dataType))
       }.select(cols.map(col): _*)
-      var staged = stageFragments(spark, tablePath, updated)
+      var staged = stageFragments(spark, tablePath, toPhysical(updated, m0))
       val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
       commitLoop(spark, tablePath, {
         case Some(base) =>
@@ -613,7 +687,7 @@ object GraftTable {
       else joined.limit(0)
 
       val newRows = updates.select(srcRow: _*).unionByName(inserts.select(srcRow: _*))
-      var staged = stageFragments(spark, tablePath, newRows)
+      var staged = stageFragments(spark, tablePath, toPhysical(newRows, m0))
       val dvOpt = stageDv(spark, tablePath,
         updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
       commitLoop(spark, tablePath, {
@@ -674,7 +748,7 @@ object GraftTable {
       withRowAddr = false, withRowId = carryIds)
     val liveCount = cand.map(_.rows).sum - candDeleted
     val nOut = math.max(1, math.ceil(liveCount.toDouble / targetRows).toInt)
-    var staged = stageFragments(spark, tablePath, live.repartition(nOut))
+    var staged = stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
     // DV entries for untouched fragments survive the rewrite
     val dvCarry: Option[(String, Long)] =
       if (m.dvFiles.isEmpty || m.numDeleted == candDeleted) None
@@ -709,7 +783,7 @@ object GraftTable {
       withRowId = carryIds)
     val total = m.liveRows
     val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
-    var staged = stageFragments(spark, tablePath, live.repartition(nOut))
+    var staged = stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
     commitLoop(spark, tablePath, {
       case Some(base) =>
         val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
@@ -792,6 +866,84 @@ object GraftTable {
     write(out.toDF(), tablePath, "overwrite")
   }
 
+  /** ALTER COLUMNS (reference `alter_columns`,
+    * `rust/lance/src/dataset/schema_evolution.rs:451`):
+    *
+    *  - **rename** is METADATA-ONLY and keeps existing indices valid: data
+    *    files keep their on-file (physical) names — the manifest records the
+    *    mapping as `graft.physical` field metadata and reads project
+    *    physical → logical (the Spark-side analogue of the reference's
+    *    field-id indirection). Index directories are keyed by the physical
+    *    name, so a pre-rename BTREE/LABEL_LIST/vector index keeps serving
+    *    the renamed column. O(1) IO at any table size.
+    *  - **cast** rewrites the data (as the reference does — the column's
+    *    bytes change), preserving stable row ids through the rewrite and
+    *    materializing DVs/supplemental columns; fragment-keyed index
+    *    coverage is invalidated naturally (new fragment ids), so index
+    *    consumers fall back to flat paths until rebuilt.
+    */
+  def alterColumns(spark: SparkSession, tablePath: String,
+                   renames: Map[String, String] = Map.empty,
+                   casts: Map[String, String] = Map.empty): GraftManifest = {
+    var m = loadManifest(spark, tablePath)
+    if (renames.nonEmpty) {
+      m = commitLoop(spark, tablePath, {
+        case Some(base) =>
+          val names = base.schema.fieldNames.toSet
+          renames.foreach { case (from, to) =>
+            require(names.contains(from), s"no column $from")
+            require(!names.contains(to) || renames.get(to).isDefined,
+              s"column $to already exists")
+          }
+          val fields = base.schema.fields.map { f =>
+            renames.get(f.name) match {
+              case None => f
+              case Some(to) =>
+                val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(GraftManifest.PhysicalKey, base.physicalName(f))
+                org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, mb.build())
+            }
+          }
+          require(fields.map(_.name).distinct.length == fields.length,
+            s"rename collision: ${renames.mkString(",")}")
+          base.copy(version = base.version + 1, operation = "alter",
+            schemaJson = StructType(fields).json, parent = base.version)
+        case None => throw new IllegalArgumentException(s"no table at $tablePath")
+      })
+    }
+    if (casts.nonEmpty) {
+      casts.keys.foreach(c => require(m.schema.fieldNames.contains(c), s"no column $c"))
+      val carryIds = m.hasRowIds && m.fragments.nonEmpty
+      val live = readManifest(spark, tablePath, m, withRowAddr = false,
+        withRowId = carryIds)
+      val cast = casts.foldLeft(live) { case (d, (c, ty)) => d.withColumn(c, col(c).cast(ty)) }
+      var staged = stageFragments(spark, tablePath, cast)
+      m = commitLoop(spark, tablePath, {
+        case Some(base) =>
+          if (base.version != m.version) throw new IllegalStateException(
+            s"alter conflict: table moved from v${m.version} to v${base.version}")
+          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+            base.version + 1, storedRowIds = carryIds)
+          staged = paths
+          // rewrite materializes logical names — rename metadata drops out
+          val newSchema = StructType(cleanSchema(base.schema).fields.map { f =>
+            casts.get(f.name) match {
+              case None => f
+              case Some(ty) => org.apache.spark.sql.types.StructField(
+                f.name, org.apache.spark.sql.types.DataType.fromDDL(ty), f.nullable)
+            }
+          })
+          base.copy(version = base.version + 1, operation = "alter",
+            schemaJson = newSchema.json, fragments = frags,
+            dvFiles = Nil, numDeleted = 0L, columnFiles = Nil,
+            parent = base.version)
+        case None => throw new IllegalArgumentException(s"no table at $tablePath")
+      })
+    }
+    m
+  }
+
   /** Metadata-only column drop: the parquet scan prunes to the manifest
     * schema, so data files need no rewrite (reference `drop_columns`,
     * metadata-only thanks to field ids). */
@@ -843,7 +995,8 @@ object GraftTable {
     * branch lineage references them. */
   def writeBranch(df: DataFrame, tablePath: String, name: String): GraftManifest = {
     val spark = df.sparkSession
-    var staged = stageFragments(spark, tablePath, df)
+    val bm = loadManifest(spark, tablePath, None, Some(name))
+    var staged = stageFragments(spark, tablePath, toPhysical(df, bm))
     commitLoop(spark, tablePath, {
       case Some(base) =>
         val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,

@@ -73,9 +73,39 @@ case class GraftManifest(
   def maxFragmentId: Long = if (fragments.isEmpty) -1L else fragments.map(_.id).max
   def liveRows: Long = fragments.map(_.rows).sum - numDeleted
   def hasRowIds: Boolean = fragments.forall(_.hasRowIds)
+
+  /** Physical (on-file) name of a schema field: `alter_columns` renames are
+    * metadata-only (reference `schema_evolution.rs:451` — field ids keep data
+    * files valid across renames), recorded as `graft.physical` field metadata;
+    * fragment parquet files always carry physical names. */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(GraftManifest.PhysicalKey))
+      f.metadata.getString(GraftManifest.PhysicalKey)
+    else f.name
+
+  /** logical-name → physical-name pairs for fields that were renamed. */
+  def renames: Seq[(String, String)] =
+    schema.fields.toSeq.collect {
+      case f if physicalName(f) != f.name => (f.name, physicalName(f))
+    }
+
+  /** Schema with on-file (physical) names — what fragment parquet actually
+    * stores; rename metadata stripped. */
+  def physicalSchema: StructType =
+    StructType(schema.fields.map { f =>
+      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)
+    })
+
+  /** Logical name currently mapped to physical name `p` (identity if never
+    * renamed). */
+  def logicalName(p: String): String =
+    schema.fields.find(f => physicalName(f) == p).map(_.name).getOrElse(p)
 }
 
 object GraftManifest {
+  /** StructField-metadata key recording a renamed column's on-file name. */
+  val PhysicalKey = "graft.physical"
+
   implicit private val formats: Formats = DefaultFormats
 
   def toJson(m: GraftManifest): String = Serialization.writePretty(m)

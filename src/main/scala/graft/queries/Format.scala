@@ -244,6 +244,27 @@ object Format {
         (col("ns") >= 1 && col("nc") >= 1).as("sample_ok"))
     },
 
+    // alter_columns (reference schema_evolution.rs:451): metadata-only
+    // rename (files keep physical names; appends + deletes compose through
+    // the mapping), then a cast rewrite that materializes the new schema.
+    "q_alter_columns" -> { (s, d) =>
+      val t = freshDir(s, "alter_columns")
+      val c = Tables.customer(s, d)
+      GraftTable.write(c.filter(col("c_custkey") <= 900), t, "overwrite")
+      GraftTable.alterColumns(s, t,
+        renames = Map("c_acctbal" -> "balance", "c_mktsegment" -> "segment"))
+      GraftTable.write(c.filter(col("c_custkey") > 900)
+        .withColumnRenamed("c_acctbal", "balance")
+        .withColumnRenamed("c_mktsegment", "segment"), t, "append")
+      GraftTable.delete(s, t, "balance < 0")
+      GraftTable.alterColumns(s, t, casts = Map("c_nationkey" -> "int"))
+      GraftTable.read(s, t)
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("balance")), 2).as("total_bal"),
+          max(col("c_nationkey")).as("max_nk"))
+        .orderBy(col("segment"))
+    },
+
     // no-rewrite add_columns: supplemental column file merged on read
     "q_format_add_columns" -> { (s, d) =>
       val t = freshDir(s, "add_columns")
@@ -323,6 +344,12 @@ object Format {
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total,
         | true AS sample_ok
         |FROM orders""".stripMargin,
+    "q_alter_columns" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        | round(sum(c_acctbal),2) AS total_bal,
+        | max(CAST(c_nationkey AS INTEGER)) AS max_nk
+        |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "q_format_add_columns" ->
       """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
         | count(*) AS n, round(sum(c_acctbal),2) AS total
