@@ -3,9 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
-  * A warmup query first absorbs JVM/Spark/codegen startup so per-query
-  * numbers measure the operators, not session bring-up.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * Two lessons from four rounds of broken artifacts (VERDICT r4 #1/#2):
+  *
+  *  1. The driver parses only a ~2 KB stdout tail, so the printed line
+  *     carries `total`/`errors` plus a HEADLINE subset of per-query times
+  *     (guaranteed < 1.5 KB); the full per-query map is written to
+  *     `BENCH_FULL.json` in the working directory (`queries_file` on the
+  *     line points at it).
+  *
+  *  2. Run order + cleanup isolate timings: index builds first (their own
+  *     `build_*` entries), then READ-ONLY queries, then the mutating gate
+  *     queries (each writes temp tables / builds throwaway indexes) LAST,
+  *     with cache-clearing + a GC between gates so their session debris
+  *     (shuffle files, pinned blocks, broadcasts awaiting ContextCleaner)
+  *     cannot pollute unrelated timings — r4 measured a 4.4× aggregate
+  *     regression on unchanged queries from exactly this leakage.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,32 +53,67 @@ object Bench {
         .groupBy(col("o_orderstatus")).count().collect()
     }
 
-    // one-time index builds first, timed as their own build_* entries —
-    // queries that reuse the cached index then measure query cost only. A
-    // failed build/query records a -1 sentinel (never a normal-looking
-    // duration) and bumps the error count, so a query silently rebuilding a
-    // failed index inside its own timing is visible in the artifact.
     var errors = 0
-    val buildResults = (queries.Vector.builds ++ queries.FtsQueries.builds)
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir); true } catch { case _: Throwable => errors += 1; false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, fn: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => errors += 1; false }
+      // a failed run records a -1 sentinel (never a normal-looking
+      // duration) and bumps the error count
+      val ok = try { fn(); true } catch { case _: Throwable => errors += 1; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // seconds rounded to 3 decimals: keeps the single JSON line well under
-    // the driver's ~2 KB stdout-tail parse window (full-precision doubles
-    // overflowed it in r2/r3 and the artifact recorded "parsed": null)
+    // nudge ContextCleaner: shuffle files / broadcasts are reaped on JVM GC,
+    // which a mostly-idle driver loop may never trigger on its own
+    def lightClean(): Unit = System.gc()
+    def deepClean(): Unit = {
+      spark.catalog.clearCache()
+      graft.operators.HnswIndex.unpersistAll()
+      System.gc()
+    }
+
+    // one-time index builds, timed as their own build_* entries — queries
+    // that reuse the cached index then measure query cost only
+    val buildResults = (queries.Vector.builds ++ queries.FtsQueries.builds)
+      .map { case (name, fn) =>
+        val r = timed(name, () => fn(spark, sfDir)); lightClean(); r
+      }
+
+    val mutating = queries.Format.mutating ++ queries.Vector.mutating
+    val (gates, pure) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => mutating.contains(n) }
+    val pureResults = pure.map { case (name, fn) =>
+      timed(name, () => { fn(spark, sfDir).count(); () })
+    }
+    val gateResults = gates.map { case (name, fn) =>
+      val r = timed(name, () => { fn(spark, sfDir).count(); () })
+      deepClean(); r
+    }
+
+    val all = buildResults ++ pureResults ++ gateResults
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = (buildResults ++ results).map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = (buildResults ++ results).map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+
+    // full per-query map → file (committed with the round; the printed line
+    // must stay under the driver's stdout-tail parse window)
+    val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":${jsonMap(all)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val headlineNames = Seq(
+      "build_fts", "build_fts_stopword", "build_hnsw", "build_ivf",
+      "q1_agg", "q3_join_topk", "q_ngram_jaccard", "q_minhash_lsh",
+      "q_simhash_dedup", "q_fts_match", "q_fts_boost", "q_ann_ivf_exact",
+      "q_ann_hnsw", "q_scalar_index", "q_format_roundtrip",
+      "q_multimodal_decode")
+    val byName = all.toMap
+    val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":${jsonMap(headline)},"queries_file":"$fullPath","sf":"$sfDir"}"""
+    assert(line.length < 1500, s"bench line ${line.length}B exceeds driver tail window")
+    println(line)
     spark.stop()
   }
 }

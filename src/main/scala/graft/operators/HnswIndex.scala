@@ -208,25 +208,68 @@ object HnswIndex {
   /** Per-JVM cache of each index's graph rows, already shuffled into
     * complete-per-pid partitions and persisted — the per-query reshuffle
     * VERDICT r3 flagged happens once per index, not once per search. On a
-    * cluster the persist is MEMORY_AND_DISK across executors; entries are
-    * invalidated (and unpersisted) by rebuilds. */
-  private val graphCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * cluster the persist is MEMORY_AND_DISK across executors.
+    *
+    * Bounded (VERDICT r4 #6): an access-ordered LRU of at most
+    * [[CacheCapacity]] indexes — eviction unpersists, so a batch session
+    * touching many indexes cannot pin unbounded storage and squeeze
+    * execution memory. Entries are also invalidated by rebuilds
+    * ([[invalidateCache]]) or explicitly ([[unpersist]]/[[unpersistAll]]). */
+  val CacheCapacity = 4
+  private val graphCache =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > CacheCapacity
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
+    }
 
-  private def invalidateCache(indexPath: String): Unit = {
+  private def invalidateCache(indexPath: String): Unit = graphCache.synchronized {
     val old = graphCache.remove(indexPath)
     if (old != null) old.unpersist(blocking = false)
   }
 
+  /** Drop one index's cached graph and release its storage. */
+  def unpersist(indexPath: String): Unit = invalidateCache(indexPath)
+
+  /** Release every cached graph (bench/gate hygiene between suites). */
+  def unpersistAll(): Unit = graphCache.synchronized {
+    val it = graphCache.values().iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
+  /** Paths currently cached, most-recently-used last (spec hook). */
+  def cachedPaths(): Seq[String] = graphCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    graphCache.keySet().asScala.toSeq
+  }
+
+  /** Materialize the partitioned+persisted graph for an index — lets a
+    * build step book the one-time shuffle/persist cost instead of the
+    * first search (VERDICT r4 #10). */
+  def warm(spark: SparkSession, indexPath: String): Unit =
+    partitionedGraph(spark, indexPath)
+
   private def partitionedGraph(spark: SparkSession, indexPath: String): DataFrame =
-    graphCache.computeIfAbsent(indexPath, { _ =>
-      val df = spark.read.parquet(s"$indexPath/graph")
-        .select(col("id"), col("vec"), col("level"), col("nbrs"),
-          col(AddrCol), col(PidCol).as("pid"))
-        .repartition(col("pid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize once so every query reuses the shuffle
+    graphCache.synchronized {
+      val hit = graphCache.get(indexPath)
+      // self-healing: an external spark.catalog.clearCache() may have
+      // unpersisted the frame under us — re-pin and re-materialize
+      val df = if (hit != null &&
+          hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE) hit
+      else {
+        val fresh = spark.read.parquet(s"$indexPath/graph")
+          .select(col("id"), col("vec"), col("level"), col("nbrs"),
+            col(AddrCol), col(PidCol).as("pid"))
+          .repartition(col("pid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fresh.count() // materialize once so every query reuses the shuffle
+        graphCache.put(indexPath, fresh)
+        fresh
+      }
       df
-    })
+    }
 
   /** ANN search: greedy HNSW per probed partition, global top-k.
     *

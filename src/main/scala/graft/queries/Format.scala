@@ -24,6 +24,11 @@ object Format {
     dir
   }
 
+  /** Every Format gate writes a fresh graft table — Bench schedules the
+    * whole pack after the read-only queries with cleanup in between
+    * (VERDICT r4 What's-wrong #2). Derived after `queries` is initialized. */
+  def mutating: Set[String] = queries.keySet
+
   val queries: Map[String, Q] = Map(
     // Stable row ids (reference rowids.rs; VERDICT r3 #4): ids assigned at
     // ingest survive DV-delete AND a compaction that rewrites every

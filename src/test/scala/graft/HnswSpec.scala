@@ -86,6 +86,30 @@ class HnswSpec extends AnyFunSuite {
     assert((r.toSet intersect exact).size >= 8, s"recall too low: $r vs $exact")
   }
 
+  test("graph cache is LRU-bounded: eviction releases storage") {
+    HnswIndex.unpersistAll()
+    // CacheCapacity+1 tiny indexes; touching them in order must evict the
+    // first and leave at most CacheCapacity persisted
+    val dirs = (0 to HnswIndex.CacheCapacity).map { i =>
+      val d = Files.createTempDirectory(s"hnsw_lru_$i").toString
+      HnswIndex.build(embeddings.filter($"vec_id" < 64).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", d, nlist = 2, m = 8, efConstruction = 16)
+      d
+    }
+    dirs.foreach(d => HnswIndex.warm(spark, d))
+    val cached = HnswIndex.cachedPaths()
+    assert(cached.size == HnswIndex.CacheCapacity,
+      s"expected ${HnswIndex.CacheCapacity} cached, got ${cached.size}")
+    assert(!cached.contains(dirs.head), "LRU head survived eviction")
+    // evicted entries must have released their blocks
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted <= HnswIndex.CacheCapacity + 1,
+      s"$persisted RDDs still persisted after eviction")
+    // explicit release drops everything
+    HnswIndex.unpersistAll()
+    assert(HnswIndex.cachedPaths().isEmpty)
+  }
+
   test("deterministic rebuild: identical graphs") {
     val d2 = Files.createTempDirectory("hnsw2_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
