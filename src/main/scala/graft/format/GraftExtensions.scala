@@ -431,7 +431,19 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if m.resolved && graftTable(m.targetTable).isDefined =>
         toMergeCommand(m)
     }
-    afterDml.transformUp {
+    // While a row-level DML node is still present (typically: not yet
+    // resolved, so transformDown above could not convert it), do NOT rewrite
+    // reads — replacing the DML target's relation mid-resolution would leave
+    // Spark's own DML analysis without a table to resolve against. The rule
+    // runs to fixed point, so reads are rewritten on a later pass once the
+    // DML is converted; any relation never rewritten stays correct through
+    // the V1 fallback scan.
+    val pendingDml = afterDml.exists {
+      case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => true
+      case _ => false
+    }
+    if (pendingDml) afterDml
+    else afterDml.transformUp {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
         val t = r.table.asInstanceOf[GraftSqlTable]
         val analyzed = t.snapshot(session).queryExecution.analyzed
@@ -479,15 +491,29 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val on = onCols(m.mergeCondition)
 
+    // the analyzer expands `SET *` / `INSERT *` into explicit same-named
+    // column-to-column assignments before this rule runs; accept both the
+    // unexpanded star action and its expansion
+    def starAssignments(assigns: Seq[Assignment]): Boolean =
+      assigns.nonEmpty && assigns.forall { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name.equalsIgnoreCase(v.name) &&
+              targetIds.contains(k) && sourceIds.contains(v)
+          case _ => false
+        }
+      }
     val updateAll = m.matchedActions match {
       case Seq() => false
       case Seq(UpdateStarAction(None)) => true
+      case Seq(u: UpdateAction) if u.condition.isEmpty && starAssignments(u.assignments) => true
       case other => throw new UnsupportedOperationException(
         "graft MERGE supports WHEN MATCHED THEN UPDATE SET * (unconditional); got: " + other)
     }
     val insertAll = m.notMatchedActions match {
       case Seq() => false
       case Seq(InsertStarAction(None)) => true
+      case Seq(i: InsertAction) if i.condition.isEmpty && starAssignments(i.assignments) => true
       case other => throw new UnsupportedOperationException(
         "graft MERGE supports WHEN NOT MATCHED THEN INSERT * (unconditional); got: " + other)
     }

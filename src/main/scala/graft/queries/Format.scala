@@ -280,8 +280,62 @@ object Format {
         .groupBy(col("bal_bucket"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
         .orderBy(col("bal_bucket"))
+    },
+
+    // Pure-SQL lifecycle through the DSv2 catalog (SURVEY §2.11; reference
+    // Spark connector `CREATE TABLE ... USING lance`): CREATE / INSERT /
+    // DELETE / UPDATE / MERGE INTO / ALTER TABLE, every statement via
+    // spark.sql only, replayed relationally by the DuckDB oracle.
+    "q_sql_ddl" -> { (s, d) =>
+      val x = sqlSession(s)
+      x.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+      x.sql("DROP TABLE IF EXISTS gsql.db.c")
+      Tables.customer(x, d).createOrReplaceTempView("sqlddl_customer")
+      x.sql("""CREATE TABLE gsql.db.c
+              |(c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+              |USING graft""".stripMargin)
+      x.sql("""INSERT INTO gsql.db.c
+              |SELECT c_custkey, c_mktsegment, c_acctbal FROM sqlddl_customer
+              |WHERE c_custkey <= 1000""".stripMargin)
+      x.sql("DELETE FROM gsql.db.c WHERE c_acctbal < 0")
+      x.sql("UPDATE gsql.db.c SET c_acctbal = c_acctbal + 100 WHERE c_mktsegment = 'BUILDING'")
+      x.sql("""MERGE INTO gsql.db.c AS t
+              |USING (SELECT c_custkey, c_mktsegment, c_acctbal FROM sqlddl_customer
+              |       WHERE c_custkey BETWEEN 901 AND 1200) AS sr
+              |ON t.c_custkey = sr.c_custkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      x.sql("ALTER TABLE gsql.db.c RENAME COLUMN c_acctbal TO bal")
+      x.sql("ALTER TABLE gsql.db.c ADD COLUMN note STRING")
+      x.sql("ALTER TABLE gsql.db.c DROP COLUMN note")
+      x.sql("""SELECT c_mktsegment AS segment, count(*) AS n,
+              |       round(sum(bal), 2) AS total
+              |FROM gsql.db.c GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
     }
   )
+
+  /** Child session (shared context) with GraftExtensions + the `gsql`
+    * catalog installed — Verify/Bench build their sessions without
+    * extensions, and the SQL DML rules (UPDATE/MERGE interception) are
+    * extension-injected. Cached for the JVM lifetime. */
+  @volatile private var sqlSess: SparkSession = _
+  private def sqlSession(s: SparkSession): SparkSession = synchronized {
+    if (sqlSess == null) {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_gate/sqlddl_wh"
+      val prevA = SparkSession.getActiveSession
+      val prevD = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      sqlSess = SparkSession.builder()
+        .config("spark.sql.catalog.gsql", "graft.format.GraftCatalog")
+        .config("spark.sql.catalog.gsql.warehouse", wh)
+        .withExtensions(new graft.format.GraftExtensions)
+        .getOrCreate()
+      prevD.foreach(SparkSession.setDefaultSession)
+      prevA.foreach(SparkSession.setActiveSession)
+    }
+    sqlSess
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_json_index" ->
@@ -367,6 +421,26 @@ object Format {
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "q_scalar_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin
+        |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin,
+    "q_sql_ddl" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey <= 1000
+        |), live AS (
+        |  SELECT * FROM base WHERE NOT (c_acctbal < 0)
+        |), upd AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100
+        |              ELSE c_acctbal END AS bal
+        |  FROM live
+        |), src AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal FROM customer
+        |  WHERE c_custkey BETWEEN 901 AND 1200
+        |), merged AS (
+        |  SELECT * FROM upd WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT c_mktsegment AS segment, count(*) AS n, round(sum(bal), 2) AS total
+        |FROM merged GROUP BY c_mktsegment ORDER BY segment""".stripMargin
   )
 }

@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.{GraftExtensions, GraftTable}
+
+/** The pure-SQL surface (VERDICT r4 task #2): every operation in this spec
+  * goes through `spark.sql(...)` only — CREATE TABLE / INSERT / SELECT,
+  * `VERSION AS OF` (number, tag, branch), `TIMESTAMP AS OF`, DELETE /
+  * UPDATE / MERGE INTO, ALTER TABLE ADD/RENAME/DROP COLUMN — plus the
+  * no-extensions V1 fallback read. Reference: the Lance Spark connector's
+  * `CREATE TABLE ... USING lance` catalog path.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private val warehouse = Files.createTempDirectory("graft_cat_wh_").toString
+
+  /** Session with GraftExtensions AND the graft catalog installed. */
+  private lazy val s: SparkSession = {
+    TestSpark.spark // ensure a context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sess = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-catalog-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.g", "graft.format.GraftCatalog")
+      .config("spark.sql.catalog.g.warehouse", warehouse)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    sess
+  }
+
+  /** Same catalog, NO extensions: reads must fall back to the V1 scan. */
+  private lazy val plain: SparkSession = {
+    s // force init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sess = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-catalog-plain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.g", "graft.format.GraftCatalog")
+      .config("spark.sql.catalog.g.warehouse", warehouse)
+      .getOrCreate()
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    sess
+  }
+
+  private var n = 0
+  private def freshName(): String = { n += 1; s"t$n" }
+
+  private def ids(sess: SparkSession, sql: String): Set[Long] =
+    sess.sql(sql).collect().map(_.getLong(0)).toSet
+
+  test("CREATE TABLE / INSERT INTO / SELECT round trip") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 3)
+    assert(ids(s, s"SELECT id FROM g.db.$t WHERE v >= 'b'") == Set(2L, 3L))
+    // second INSERT appends a new version
+    s.sql(s"INSERT INTO g.db.$t VALUES (4, 'd')")
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 4)
+    // INSERT OVERWRITE truncates
+    s.sql(s"INSERT OVERWRITE g.db.$t VALUES (9, 'z')")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(9L))
+  }
+
+  test("SHOW TABLES / DROP TABLE / table existence") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
+    val listed = s.sql("SHOW TABLES IN g.db").collect().map(_.getString(1)).toSet
+    assert(listed.contains(t))
+    s.sql(s"DROP TABLE g.db.$t")
+    val after = s.sql("SHOW TABLES IN g.db").collect().map(_.getString(1)).toSet
+    assert(!after.contains(t))
+  }
+
+  test("VERSION AS OF: number, tag, and branch") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1, 'a')") // version 2
+    s.sql(s"INSERT INTO g.db.$t VALUES (2, 'b')") // version 3
+    val path = s"$warehouse/db/$t"
+    val v2 = GraftTable.loadManifest(s, path).version - 1
+    // numeric version
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF $v2") == Set(1L))
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+    // tag
+    GraftTable.tag(s, path, "first", v2)
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'first'") == Set(1L))
+    // branch: created at v2, diverges with its own append
+    GraftTable.createBranch(s, path, "exp", Some(v2))
+    import s.implicits._
+    GraftTable.writeBranch(Seq((7L, "x")).toDF("id", "v"), path, "exp")
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'exp'") == Set(1L, 7L))
+    // main lineage untouched by the branch append
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+    // unknown ref fails
+    intercept[Exception] { s.sql(s"SELECT * FROM g.db.$t VERSION AS OF 'nope'").collect() }
+  }
+
+  test("TIMESTAMP AS OF resolves the version at that commit time") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1)")
+    Thread.sleep(1100) // commit timestamps have second-ish granularity margins
+    val between = Instant.now()
+    Thread.sleep(1100)
+    s.sql(s"INSERT INTO g.db.$t VALUES (2)")
+    val tsLit = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(ZoneOffset.UTC).format(between)
+    assert(ids(s, s"SELECT id FROM g.db.$t TIMESTAMP AS OF '$tsLit'") == Set(1L))
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+  }
+
+  test("DELETE FROM commits a deletion vector, no rewrite") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e')")
+    s.sql(s"DELETE FROM g.db.$t WHERE id IN (2, 4)")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 5L))
+    val m = GraftTable.loadManifest(s, s"$warehouse/db/$t")
+    assert(m.operation == "delete" && m.dvFiles.nonEmpty)
+    // writing-side fragments untouched (DV, not rewrite)
+    assert(m.fragments.map(_.rows).sum == 5)
+  }
+
+  test("UPDATE rewrites matching rows in one commit") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c')")
+    s.sql(s"UPDATE g.db.$t SET v = concat(v, '!') WHERE id >= 2")
+    val got = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "b!", 3L -> "c!"))
+  }
+
+  test("MERGE INTO: update-all + insert-all + not-matched-by-source delete") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c')")
+    import s.implicits._
+    Seq((2L, "B"), (4L, "D")).toDF("id", "v").createOrReplaceTempView("src")
+    s.sql(
+      s"""MERGE INTO g.db.$t AS tg USING src AS sr ON tg.id = sr.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tg.id = 3 THEN DELETE
+         |""".stripMargin)
+    val got = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "B", 4L -> "D"))
+  }
+
+  test("ALTER TABLE ADD / RENAME / DROP COLUMN, then read back") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b')")
+    s.sql(s"ALTER TABLE g.db.$t ADD COLUMN w DOUBLE")
+    assert(s.sql(s"SELECT w FROM g.db.$t").collect().forall(_.isNullAt(0)))
+    s.sql(s"ALTER TABLE g.db.$t RENAME COLUMN v TO label")
+    val got = s.sql(s"SELECT id, label FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "b"))
+    s.sql(s"ALTER TABLE g.db.$t DROP COLUMN w")
+    assert(!s.sql(s"SELECT * FROM g.db.$t").columns.contains("w"))
+    // data still intact after the metadata churn
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+  }
+
+  test("no-extensions session: V1 fallback read is DV- and rename-correct") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    s.sql(s"DELETE FROM g.db.$t WHERE id = 2")
+    s.sql(s"ALTER TABLE g.db.$t RENAME COLUMN v TO w")
+    // the plain session has no GraftSqlRule/GraftDvRule: the read must go
+    // through GraftSqlTable's V1 fallback scan and still honor DVs + rename
+    assert(ids(plain, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 4L))
+    val got = plain.sql(s"SELECT w FROM g.db.$t WHERE id = 3").head().getString(0)
+    assert(got == "c")
+    // write path through the plain session also lands CAS commits
+    plain.sql(s"INSERT INTO g.db.$t VALUES (5, 'e')")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 4L, 5L))
+  }
+
+}
