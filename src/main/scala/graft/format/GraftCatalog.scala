@@ -128,30 +128,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(path, ident.toString, GraftTable.loadManifest(spark, path))
   }
 
+  /** Changes are validated upfront and BATCHED per kind — one commit per
+    * kind (adds, renames+casts via one `alterColumns` call, drops, props) —
+    * so a multi-change ALTER cannot fail half-applied within a kind
+    * (ADVICE r4: per-change commits left the table half-altered when a
+    * later change failed). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!isTable(new Path(path))) throw new NoSuchTableException(ident)
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1, "graft: nested ADD COLUMN unsupported")
-        GraftTable.addColumnsFiles(spark, path, Seq(
-          a.fieldNames().head -> s"CAST(NULL AS ${a.dataType().sql})"))
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1, "graft: nested RENAME COLUMN unsupported")
-        GraftTable.alterColumns(spark, path,
-          renames = Map(r.fieldNames().head -> r.newName()))
-      case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1, "graft: nested ALTER TYPE unsupported")
-        GraftTable.alterColumns(spark, path,
-          casts = Map(u.fieldNames().head -> u.newDataType().sql))
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1, "graft: nested DROP COLUMN unsupported")
-        GraftTable.dropColumns(spark, path, Seq(d.fieldNames().head))
-      case p: TableChange.SetProperty =>
-        GraftTable.updateConfig(spark, path, Map(p.property() -> p.value()))
-      case other => throw new UnsupportedOperationException(
-        s"graft: unsupported ALTER TABLE change $other")
+    // validate all changes before committing anything
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames().length == 1, "graft: nested ADD COLUMN unsupported")
+      a.fieldNames().head -> s"CAST(NULL AS ${a.dataType().sql})"
     }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames().length == 1, "graft: nested RENAME COLUMN unsupported")
+      r.fieldNames().head -> r.newName()
+    }
+    val casts = changes.collect { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames().length == 1, "graft: nested ALTER TYPE unsupported")
+      u.fieldNames().head -> u.newDataType().sql
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1, "graft: nested DROP COLUMN unsupported")
+      d.fieldNames().head
+    }
+    val props = changes.collect { case p: TableChange.SetProperty =>
+      p.property() -> p.value()
+    }
+    val handled = adds.size + renames.size + casts.size + drops.size + props.size
+    require(handled == changes.size, "graft: unsupported ALTER TABLE change in " +
+      changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.SetProperty]).mkString(", "))
+    if (adds.nonEmpty) GraftTable.addColumnsFiles(spark, path, adds)
+    if (renames.nonEmpty || casts.nonEmpty)
+      GraftTable.alterColumns(spark, path, renames.toMap, casts.toMap)
+    if (drops.nonEmpty) GraftTable.dropColumns(spark, path, drops)
+    if (props.nonEmpty) GraftTable.updateConfig(spark, path, props.toMap)
     loadTable(ident)
   }
 

