@@ -76,9 +76,75 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
         if !gfi.maskApplied =>
       findBtree(cond, gfi).orElse(findLabelList(cond, gfi))
         .orElse(findJson(cond, gfi)) match {
-        case None => f
         case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
+        case None => findBloom(cond, gfi) match {
+          case Some(keepFrags) => rewriteFragmentPrune(f, lr, gfi, keepFrags)
+          case None => f
+        }
       }
+  }
+
+  /** Equality/IN conjunct on a column with a usable BLOOMFILTER index
+    * (reference `scalar/bloomfilter.rs`): per-fragment blooms give an
+    * *at-most* fragment set — fragments whose bloom rejects every probe
+    * value definitively lack it; the refine filter on top covers false
+    * positives. Fragments appended since the build are kept (scanned flat).
+    * Returns None when nothing would be pruned. Restricted to integral and
+    * string columns, where build-side cast-to-string and probe-side literal
+    * rendering agree exactly. */
+  private def findBloom(cond: Expression, gfi: GraftFileIndex): Option[Seq[FragmentMeta]] =
+    splitConjunctivePredicates(cond).iterator.flatMap { p =>
+      bloomShape(p).flatMap { case (colName, values) =>
+        val dirs = candidateNames(gfi, colName)
+          .map(n => s"${gfi.tablePath}/_indices/" + graft.index.BloomIndex.dirName(n))
+        firstUsable(gfi, colName, dirs).flatMap { case (dir, covered) =>
+          val cands = GraftScalarIndexRule.cachedBloom(dir, values.map(String.valueOf)) {
+            graft.index.BloomIndex.candidateFragments(session, dir, values)
+          }
+          val keep = gfi.manifest.fragments.filter(fr =>
+            !covered.contains(fr.id) || cands.contains(fr.id))
+          if (keep.length < gfi.manifest.fragments.length) Some(keep) else None
+        }
+      }
+    }.nextOption()
+
+  /** `col = lit` / `col IN (lits)` on an integral or string column. */
+  private def bloomShape(p: Expression): Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.types._
+    def ok(a: AttributeReference): Boolean = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    p match {
+      case EqualTo(a: AttributeReference, v) if ok(a) && v.foldable && v.eval() != null =>
+        Some((a.name, Seq(toScala(v))))
+      case EqualTo(v, a: AttributeReference) if ok(a) && v.foldable && v.eval() != null =>
+        Some((a.name, Seq(toScala(v))))
+      case In(a: AttributeReference, vs) if ok(a) && vs.nonEmpty &&
+          vs.forall(v => v.foldable && v.eval() != null) =>
+        Some((a.name, vs.map(toScala)))
+      case _ => None
+    }
+  }
+
+  /** Swap the relation for one scanning only `keep` fragments, original
+    * filter on top (the refine step). `maskApplied` stops re-probing. */
+  private def rewriteFragmentPrune(f: Filter, lr: LogicalRelation, gfi: GraftFileIndex,
+                                   keep: Seq[FragmentMeta]): LogicalPlan = {
+    val m = gfi.manifest
+    val relation = HadoopFsRelation(
+      location = new GraftFileIndex(session, gfi.tablePath, m.copy(fragments = keep),
+        dvApplied = gfi.dvApplied, maskApplied = true),
+      partitionSchema = new StructType(), dataSchema = m.physicalSchema,
+      bucketSpec = None, fileFormat = new ParquetFileFormat,
+      options = Map.empty)(session)
+    val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
+      .select(lr.output.map(a => col(a.name)): _*)
+    val analyzed = base.queryExecution.analyzed
+    val out: Seq[NamedExpression] = lr.output.zip(analyzed.output).map {
+      case (orig, fresh) => Alias(fresh, orig.name)(exprId = orig.exprId)
+    }
+    Filter(f.condition, Project(out, analyzed))
   }
 
   /** first conjunct sargable on one column with a usable BTREE index →
@@ -346,6 +412,27 @@ object GraftScalarIndexRule {
     else {
       val v = compute
       cache.put(key, v)
+      v
+    }
+  }
+
+  /** Bloom candidate-fragment sets are probe-value-dependent: cache per
+    * (epoch, dir, values) so re-running the same query does not re-run the
+    * one-row-per-fragment membership job at plan time. */
+  private val bloomCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Set[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Set[Long]]): Boolean =
+        size > Cap
+    })
+
+  private[format] def cachedBloom(dir: String, values: Seq[String])(
+      compute: => Set[Long]): Set[Long] = {
+    val key = s"${epoch.get()}|$dir|${values.sorted.mkString("")}"
+    val hit = bloomCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute
+      bloomCache.put(key, v)
       v
     }
   }

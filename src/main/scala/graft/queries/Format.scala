@@ -282,6 +282,32 @@ object Format {
         .orderBy(col("bal_bucket"))
     },
 
+    // BLOOMFILTER index (reference scalar/bloomfilter.rs): per-fragment
+    // blooms over a high-cardinality key; the optimizer rule prunes the scan
+    // to bloom-positive fragments (at-most mask) with the original filter as
+    // refine. The gate asserts the pruned plan was actually taken, then
+    // hash-matches the rows.
+    "q_bloom_filter" -> { (s, d) =>
+      val x = sqlSession(s) // extension session: the rule is extension-injected
+      val t = freshDir(x, "bloom_filter")
+      GraftTable.write(Tables.orders(x, d).repartition(8, col("o_custkey")),
+        t, "overwrite")
+      graft.index.BloomIndex.build(x, t, "o_orderkey", s"$t/_indices")
+      val q = GraftTable.read(x, t)
+        .filter(col("o_orderkey").isin(101L, 997L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+      val pruned = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+              g: graft.format.GraftFileIndex, _, _, _, _, _), _, _, _, _)
+            if g.maskApplied => g.manifest.fragments.length
+      }
+      require(pruned.exists(_ < 8), s"bloom index path not taken: $pruned")
+      q
+    },
+
     // Pure-SQL lifecycle through the DSv2 catalog (SURVEY §2.11; reference
     // Spark connector `CREATE TABLE ... USING lance`): CREATE / INSERT /
     // DELETE / UPDATE / MERGE INTO / ALTER TABLE, every statement via
@@ -422,6 +448,9 @@ object Format {
     "q_scalar_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin,
+    "q_bloom_filter" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey IN (101, 997) ORDER BY o_orderkey""".stripMargin,
     "q_sql_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
