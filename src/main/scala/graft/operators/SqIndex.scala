@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** IVF_SQ: int8 scalar quantization inside IVF partitions — the memory /
+  * recall middle ground between IVF_FLAT and IVF_PQ (reference
+  * `rust/lance-index/src/vector/sq.rs` + `vector/sq/`; `IndexType::IvfSq`,
+  * `lib.rs:98-130`).
+  *
+  *  - **train**: per-dimension [lo, hi] bounds from ONE distributed
+  *    min/max aggregation (deterministic — no sampling or iteration).
+  *  - **encode**: each float dimension → one byte
+  *    `round((v - lo) / (hi - lo) * 255)`; a 64-dim vector (256 B)
+  *    becomes 64 B. 4× IO reduction with far better fidelity than PQ's
+  *    32× — exactly the reference's positioning.
+  *  - **search**: same two column-pruned passes as [[PqIndex.search]]:
+  *    pass 1 ranks (id, codes) by asymmetric distance ([[SqAdc]],
+  *    codegen'd — query stays float, codes decode on the fly), keeping
+  *    k·refineFactor candidates; pass 2 re-reads the float vectors for
+  *    candidates only and re-ranks exactly.
+  *
+  * Layout, coverage markers, and incremental maintenance mirror
+  * [[PqIndex]] — one partitioned parquet dataset under `vectors/`,
+  * bounds under `sq/`.
+  */
+object SqIndex {
+  val CodeCol = "__sq_codes"
+
+  /** Per-dimension quantization bounds. `step(i) = (hi-lo)/255`; dimensions
+    * with hi == lo encode to 0 and decode to lo exactly. */
+  case class SqModel(lo: Array[Float], hi: Array[Float]) {
+    def d: Int = lo.length
+    def steps: Array[Float] = Array.tabulate(d) { i =>
+      val s = (hi(i) - lo(i)) / 255.0f
+      if (s > 0f) s else 0f
+    }
+  }
+
+  /** ONE distributed per-dimension min/max pass (reference sq.rs trains
+    * bounds over the data; plain min/max keeps it deterministic). */
+  def train(df: DataFrame, vecCol: String): SqModel = {
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .collect()
+    require(rows.nonEmpty, "empty training set")
+    val d = rows.map(_.getInt(0)).max + 1
+    val lo = new Array[Float](d)
+    val hi = new Array[Float](d)
+    rows.foreach { r => lo(r.getInt(0)) = r.getFloat(1); hi(r.getInt(0)) = r.getFloat(2) }
+    SqModel(lo, hi)
+  }
+
+  /** IVF assignment (coarse) + SQ codes (fine), one distributed pass,
+    * partitioned parquet layout shared with IVF/PQ. */
+  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int): (IvfIndex.Model, SqModel) = {
+    val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
+    val sq = train(df, vecCol)
+    df.withColumn(IvfIndex.PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      .withColumn(CodeCol,
+        ColumnBridge.column(SqEncode(ColumnBridge.expression(col(vecCol)), sq)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+    val spark = df.sparkSession
+    spark.createDataFrame(ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("pid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+    spark.createDataFrame(sq.lo.indices.map(i => (i, sq.lo(i), sq.hi(i))))
+      .toDF("pos", "lo", "hi")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/sq")
+    (ivf, sq)
+  }
+
+  /** Build over a graft table snapshot with a coverage marker, like
+    * [[PqIndex.buildForTable]]. */
+  def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
+                    vecCol: String, indexPath: String, nlist: Int): (IvfIndex.Model, SqModel) = {
+    val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
+    val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
+        withRowId = idCol == graft.format.GraftTable.RowIdCol),
+      idCol, vecCol, indexPath, nlist)
+    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
+      mft.fragments.map(_.id))
+    out
+  }
+
+  /** Incremental maintenance: encode ONLY uncovered fragments with the
+    * EXISTING centroids/bounds (O(delta) IO; bounds drift is the same trade
+    * the reference makes); a compaction that removed covered fragments
+    * triggers the filtered rewrite, exactly like [[PqIndex.optimizeForTable]]. */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, indexPath: String): Long = {
+    import graft.format.GraftTable
+    val mft = GraftTable.loadManifest(spark, tablePath)
+    val covered = IvfIndex.coveredFragmentIds(spark, indexPath, mft)
+    val liveIds = mft.fragments.map(_.id).toSet
+    val staleIds = covered.diff(liveIds)
+    val freshFrags = mft.fragments.filterNot(f => covered.contains(f.id))
+    val ivf = IvfIndex.loadModel(spark, indexPath)
+    val sq = loadSq(spark, indexPath)
+    val encode = (df: DataFrame) => df
+      .withColumn(IvfIndex.PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      .withColumn(CodeCol,
+        ColumnBridge.column(SqEncode(ColumnBridge.expression(col(vecCol)), sq)))
+    val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
+    val needRid = idCol == GraftTable.RowIdCol
+    if (staleIds.isEmpty && !legacy) {
+      if (freshFrags.nonEmpty) {
+        encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+            withRowAddr = true, withRowId = needRid))
+          .write.mode(SaveMode.Append)
+          .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+      }
+    } else {
+      val keep = IvfIndex.liveFragmentFilter(spark,
+        spark.read.parquet(s"$indexPath/vectors"), covered.intersect(liveIds))
+      val freshEncoded =
+        if (freshFrags.isEmpty) None
+        else Some(encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+          withRowAddr = true, withRowId = needRid)))
+      freshEncoded.map(keep.unionByName(_, allowMissingColumns = true))
+        .getOrElse(keep)
+        .write.mode(SaveMode.Overwrite).partitionBy(IvfIndex.PidCol)
+        .parquet(s"$indexPath/vectors__fresh")
+      IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
+    }
+    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
+      (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
+    freshFrags.map(_.rows).sum
+  }
+
+  def loadSq(spark: SparkSession, indexPath: String): SqModel = {
+    val rows = spark.read.parquet(s"$indexPath/sq").orderBy("pos").collect()
+    val d = rows.map(_.getInt(0)).max + 1
+    val lo = new Array[Float](d)
+    val hi = new Array[Float](d)
+    rows.foreach { r => lo(r.getInt(0)) = r.getFloat(1); hi(r.getInt(0)) = r.getFloat(2) }
+    SqModel(lo, hi)
+  }
+
+  /** ANN search: SQ asymmetric candidate pass + exact refine pass, both
+    * restricted to the probed partitions and column-pruned; `prefilter` is
+    * applied before ranking (reference prefiltered ANN). */
+  def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+             query: Array[Float], kNeighbors: Int, nprobes: Int,
+             refineFactor: Int = 10,
+             prefilter: Option[Column] = None): DataFrame = {
+    val ivf = IvfIndex.loadModel(spark, indexPath)
+    val sq = loadSq(spark, indexPath)
+    val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
+    val part0 = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col(IvfIndex.PidCol).isin(probes: _*))
+    val part = prefilter.map(part0.filter).getOrElse(part0)
+    // pass 1: (id, codes) only — asymmetric SQ ranking
+    val cands = part.select(col(idCol), col(CodeCol))
+      .withColumn("_sqd", ColumnBridge.column(
+        SqAdc(ColumnBridge.expression(col(CodeCol)), query, sq.lo, sq.steps)))
+      .orderBy(col("_sqd"), col(idCol))
+      .limit(kNeighbors * refineFactor)
+      .select(col(idCol))
+    // pass 2: exact distances for the candidates only
+    Knn.flatSearch(
+      part.join(cands, Seq(idCol), "left_semi"),
+      vecCol, query, kNeighbors, "l2", tieBreakers = Seq(col(idCol)))
+      .drop(IvfIndex.PidCol, CodeCol)
+  }
+}
+
+/** vector → d scalar-quantized bytes. */
+case class SqEncode(child: Expression, model: SqIndex.SqModel)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sq_encode requires array<float>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = math.min(arr.numElements(), model.d)
+    val lo = model.lo
+    val hi = model.hi
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val range = hi(i) - lo(i)
+      val q =
+        if (range <= 0f) 0
+        else math.round((arr.getFloat(i) - lo(i)) / range * 255.0f)
+      out(i) = math.max(0, math.min(255, q)).toByte
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SQ codes → asymmetric l2² against the float query (codes decode on the
+  * fly: `lo + byte*step`). Codegen'd — the hot loop of the candidate pass;
+  * query/bounds ship as codegen reference objects. */
+case class SqAdc(child: Expression, query: Array[Float], lo: Array[Float], step: Array[Float])
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_adc"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("sq_adc requires binary codes")
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    var acc = 0.0
+    var i = 0
+    val n = math.min(codes.length, query.length)
+    while (i < n) {
+      val v = lo(i) + (codes(i) & 0xff) * step(i)
+      val d = query(i) - v
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val qRef = ctx.addReferenceObj("sqQuery", query, "float[]")
+    val loRef = ctx.addReferenceObj("sqLo", lo, "float[]")
+    val stepRef = ctx.addReferenceObj("sqStep", step, "float[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val dv = ctx.freshName("dv")
+      s"""
+         |int $n = java.lang.Math.min($codes.length, $qRef.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = $qRef[$i] - ($loRef[$i] + ($codes[$i] & 0xff) * $stepRef[$i]);
+         |  $acc += $dv * $dv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -35,6 +35,19 @@ object Vector {
       dir
     })
 
+  private val builtSq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sqIndexFor(s: SparkSession, d: String): String =
+    builtSq.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivfsq_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.SqIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir, nlist = 8)
+      dir
+    })
+
   private val builtHnsw = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def hnswIndexFor(s: SparkSession, d: String): String =
@@ -73,6 +86,7 @@ object Vector {
   val builds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "build_ivf" -> ((s, d) => { ivfIndexFor(s, d); () }),
     "build_ivfpq" -> ((s, d) => { pqIndexFor(s, d); () }),
+    "build_ivfsq" -> ((s, d) => { sqIndexFor(s, d); () }),
     // warm() books the graph shuffle+persist here so q_ann_hnsw measures
     // query cost, not one-time cache materialization (VERDICT r4 #10)
     "build_hnsw" -> ((s, d) => {
@@ -234,6 +248,25 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // IVF_SQ (reference vector/sq.rs): int8 scalar quantization; full
+    // probes + large refine == flat, so the oracle matches exactly
+    "q_ann_ivfsq_exact" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = sqIndexFor(s, d)
+      graft.operators.SqIndex.search(s, idx, "vec_id", "embedding", q,
+          kNeighbors = 10, nprobes = 8, refineFactor = 100)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // realistic lossy config — rows-only; quality gated by SqSpec recall
+    "q_ann_ivfsq_probe" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = sqIndexFor(s, d)
+      graft.operators.SqIndex.search(s, idx, "vec_id", "embedding", q,
+          kNeighbors = 10, nprobes = 2, refineFactor = 5)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // realistic lossy config — rows-only; quality gated by PqSpec recall
     "q_ann_ivfpq_probe" -> { (s, d) =>
       val q = queryVec(s, d)
@@ -313,6 +346,13 @@ object Vector {
         |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) < 1.2
         |ORDER BY dist, e.vec_id""".stripMargin,
     "q_ann_ivf_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_ivfsq_exact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
