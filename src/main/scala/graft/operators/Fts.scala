@@ -12,9 +12,12 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   * next to the index so every query path tokenizes its terms identically.
   *
   * @param baseTokenizer "simple" (split on non-alphanumeric), "whitespace",
-  *   "raw" (whole string one token), or "ngram" (char n-grams of the text,
-  *   `ngramMin`..`ngramMax`, optionally only prefixes — tantivy
-  *   NgramTokenizer semantics)
+  *   "raw" (whole string one token), "cjk" (overlapping ideograph bigrams
+  *   for Han/kana/hangul runs + word tokens for Latin runs — Lucene
+  *   CJKAnalyzer semantics, the dictionary-free stand-in for the
+  *   reference's Jieba/Lindera tokenizers, `tokenizer.rs:9-16`), or
+  *   "ngram" (char n-grams of the text, `ngramMin`..`ngramMax`, optionally
+  *   only prefixes — tantivy NgramTokenizer semantics)
   */
 case class FtsConfig(
     baseTokenizer: String = "simple",
@@ -46,6 +49,55 @@ object FtsTokenizer {
     out.toString
   }
 
+  /** CJK codepoint (Han ideographs, kana, hangul) — the scripts the `cjk`
+    * base tokenizer bigrams. */
+  private def isCjk(cp: Int): Boolean = {
+    // script-COMMON marks that continue a CJK run: 々 iteration mark,
+    // ー prolonged sound mark, ヽヾ iteration marks
+    if (cp == 0x3005 || cp == 0x30FC || cp == 0x30FD || cp == 0x30FE) return true
+    val s = Character.UnicodeScript.of(cp)
+    s == Character.UnicodeScript.HAN || s == Character.UnicodeScript.HIRAGANA ||
+      s == Character.UnicodeScript.KATAKANA || s == Character.UnicodeScript.HANGUL
+  }
+
+  /** CJK bigram tokenization (the reference plugs Jieba/Lindera in at this
+    * point, `inverted/tokenizer.rs:9-16`; the dictionary-free JVM standard —
+    * Lucene CJKAnalyzer semantics — is overlapping ideograph bigrams):
+    * CJK runs emit overlapping 2-char grams (a lone CJK char emits itself);
+    * non-CJK letter/digit runs emit word tokens as `simple` does. Query
+    * terms pass through the same function, so a query phrase segments
+    * exactly like the indexed text. */
+  private def cjkTokens(t: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val latin = new StringBuilder
+    var prevCjk = -1 // previous CJK codepoint in the current run
+    var runLen = 0
+    def flushLatin(): Unit = if (latin.nonEmpty) { out += latin.toString; latin.clear() }
+    def endCjkRun(): Unit = {
+      if (runLen == 1) out += new String(Character.toChars(prevCjk))
+      prevCjk = -1; runLen = 0
+    }
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (isCjk(cp)) {
+        flushLatin()
+        if (prevCjk >= 0)
+          out += new String(Character.toChars(prevCjk)) + new String(Character.toChars(cp))
+        prevCjk = cp
+        runLen += 1
+      } else {
+        endCjkRun()
+        if (Character.isLetterOrDigit(cp)) latin.appendAll(Character.toChars(cp))
+        else flushLatin()
+      }
+      i += Character.charCount(cp)
+    }
+    endCjkRun()
+    flushLatin()
+    out.toSeq
+  }
+
   def tokens(text: String, cfg: FtsConfig): Seq[String] = {
     if (text == null) return Nil
     var t = if (cfg.lowerCase) text.toLowerCase(java.util.Locale.ROOT) else text
@@ -53,6 +105,7 @@ object FtsTokenizer {
     val base: Seq[String] = cfg.baseTokenizer match {
       case "raw" => if (t.isEmpty) Nil else Seq(t)
       case "whitespace" => t.split("\\s+").toSeq.filter(_.nonEmpty)
+      case "cjk" => cjkTokens(t)
       case "ngram" =>
         val grams = scala.collection.mutable.ArrayBuffer.empty[String]
         val starts = if (cfg.ngramPrefixOnly) Seq(0) else 0 until t.length
@@ -181,7 +234,8 @@ object Fts {
     * a substring loop — still uses the per-row Scala [[TokenizeWith]]. */
   def tokenizeWith(c: Column, cfg: FtsConfig): Column = {
     if (cfg == FtsConfig()) return tokenize(c)
-    if (cfg.baseTokenizer == "ngram")
+    // substring/codepoint loops the builtins can't express — per-row Scala
+    if (cfg.baseTokenizer == "ngram" || cfg.baseTokenizer == "cjk")
       return ColumnBridge.column(TokenizeWith(ColumnBridge.expression(c), cfg))
     var t = if (cfg.lowerCase) lower(c) else c
     if (cfg.asciiFolding)

@@ -183,6 +183,48 @@ class FtsSpec extends AnyFunSuite {
     assert(wrongCfg.map(_._2) != flat.map(_._2))
   }
 
+  test("cjk tokenizer: ideograph bigrams, lone-char unigrams, mixed Latin runs") {
+    import graft.operators.{FtsConfig, FtsTokenizer}
+    val cfg = FtsConfig(baseTokenizer = "cjk")
+    // overlapping bigrams over a Han run
+    assert(FtsTokenizer.tokens("武田信玄", cfg) == Seq("武田", "田信", "信玄"))
+    // lone CJK char between non-CJK emits a unigram; Latin runs word-split
+    assert(FtsTokenizer.tokens("我 like 寿司", cfg) == Seq("我", "like", "寿司"))
+    // punctuation breaks runs; kana and han both bigram
+    assert(FtsTokenizer.tokens("データ分析", cfg) == Seq("デー", "ータ", "タ分", "分析"))
+    assert(FtsTokenizer.tokens("Spark入門!", cfg) == Seq("spark", "入門"))
+    assert(FtsTokenizer.tokens("", cfg) == Nil)
+  }
+
+  test("cjk index: query terms analyzed identically to the indexed corpus") {
+    import graft.operators.FtsConfig
+    val cjkCorpus = Seq(
+      (1L, "武田信玄は戦国大名です"),
+      (2L, "徳川家康も戦国大名"),
+      (3L, "Spark 入門ガイド"),
+      (4L, "completely latin document")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("fts_cjk_").toString
+    val cfg = FtsConfig(baseTokenizer = "cjk")
+    Fts.buildIndex(cjkCorpus, "doc_id", "text", dir, config = cfg)
+    // a sub-phrase of doc 1 segments into the same bigrams at query time
+    val got = Fts.matchQuery(spark, dir, Seq("信玄"), 4).as[(Long, Double)].collect()
+    assert(got.head._1 == 1L)
+    // "戦国大名" bigrams hit docs 1 and 2; doc 2 is shorter → BM25 ranks it first
+    val sengoku = Fts.matchQuery(spark, dir, Seq("戦国大名"), 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(sengoku == Set(1L, 2L))
+    // Latin terms still match through the same config
+    val latin = Fts.matchQuery(spark, dir, Seq("spark"), 4).as[(Long, Double)].collect()
+    assert(latin.map(_._1).toSeq == Seq(3L))
+    // indexed == flat under the same config (the config-aware exactness gate)
+    val idxRes = Fts.matchQuery(spark, dir, Seq("大名"), 4).as[(Long, Double)].collect().toSeq
+    val flatRes = Fts.matchFlat(cjkCorpus, "doc_id", "text", Seq("大名"), 4, config = cfg)
+      .as[(Long, Double)].collect().toSeq
+    assert(idxRes.map(_._1) == flatRes.map(_._1))
+    idxRes.zip(flatRes).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("FtsConfig JSON round-trip via the index sidecar") {
     import graft.operators.FtsConfig
     val cfg = FtsConfig(baseTokenizer = "ngram", lowerCase = true,
