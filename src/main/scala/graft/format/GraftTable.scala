@@ -1148,6 +1148,39 @@ object GraftTable {
     }
   }
 
+  /** Shallow clone (reference `shallow_clone`, `rust/lance/src/dataset.rs:1951`):
+    * a NEW table at `destPath` whose version-1 manifest references the
+    * SOURCE's data/DV/supplemental files by absolute qualified path —
+    * metadata-only, O(1) IO at any table size, data files shared. Branches
+    * cover same-path forking; clone covers forking to a DIFFERENT path.
+    *
+    * Later mutations of the clone land under `destPath` (fragment ids keep
+    * growing from the source's high-water marks, so derived `frag-<id>`
+    * file names never collide with shared source files).
+    * `cleanupOldVersions` on the clone sweeps only `destPath` — shared
+    * source files are out of reach by construction. Cleaning or deleting
+    * the SOURCE can drop files a clone still references — the reference's
+    * shallow-clone carries the same caveat. */
+  def shallowClone(spark: SparkSession, srcPath: String, destPath: String,
+                   version: Option[Long] = None): GraftManifest = {
+    val srcT = new Path(srcPath)
+    val f = fs(spark, srcT)
+    val qSrc = f.makeQualified(srcT)
+    val src = loadManifest(spark, srcPath, version)
+    def abs(rel: String): String = {
+      val p = new Path(rel)
+      (if (p.isAbsolute) f.makeQualified(p) else new Path(qSrc, rel)).toString
+    }
+    val m = src.copy(
+      version = 1L, operation = "shallow_clone", parent = 0L,
+      fragments = src.fragments.map(fr => fr.copy(path = abs(fr.path))),
+      dvFiles = src.dvFiles.map(abs),
+      columnFiles = src.columnFiles.map(cf => cf.copy(path = abs(cf.path))))
+    if (!tryCommit(spark, destPath, m))
+      throw new IllegalStateException(s"graft table already exists at $destPath")
+    m
+  }
+
   /** Restore an old version as a new commit (reference `restore`). */
   def restore(spark: SparkSession, tablePath: String, version: Long): GraftManifest = {
     val old = loadManifest(spark, tablePath, Some(version))

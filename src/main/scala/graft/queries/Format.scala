@@ -282,6 +282,21 @@ object Format {
         .orderBy(col("bal_bucket"))
     },
 
+    // Shallow clone (reference shallow_clone, dataset.rs:1951): metadata-only
+    // fork to a DIFFERENT path sharing the source's data files; mutations of
+    // the clone never touch the source.
+    "q_shallow_clone" -> { (s, d) =>
+      val src = freshDir(s, "clone_src")
+      val dest = freshDir(s, "clone_dest")
+      GraftTable.write(Tables.orders(s, d), src, "overwrite")
+      GraftTable.shallowClone(s, src, dest)
+      GraftTable.delete(s, dest, "o_orderstatus = 'F'")
+      GraftTable.read(s, dest)
+        .agg(count(lit(1)).as("clone_n"),
+          round(sum(col("o_totalprice")), 2).as("clone_total"))
+        .crossJoin(GraftTable.read(s, src).agg(count(lit(1)).as("src_n")))
+    },
+
     // BLOOMFILTER index (reference scalar/bloomfilter.rs): per-fragment
     // blooms over a high-cardinality key; the optimizer rule prunes the scan
     // to bloom-positive fragments (at-most mask) with the original filter as
@@ -451,6 +466,11 @@ object Format {
     "q_bloom_filter" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey IN (101, 997) ORDER BY o_orderkey""".stripMargin,
+    "q_shallow_clone" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_orderstatus <> 'F') AS clone_n,
+        |       (SELECT round(sum(o_totalprice), 2) FROM orders
+        |        WHERE o_orderstatus <> 'F') AS clone_total,
+        |       (SELECT count(*) FROM orders) AS src_n""".stripMargin,
     "q_sql_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
