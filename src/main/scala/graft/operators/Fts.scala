@@ -319,6 +319,16 @@ object Fts {
           .repartition(math.max(1, numPostingFiles / 4), col("token"))
           .sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Overwrite).parquet(p.termstats)
+        // block-max stats for WAND pruning (reference inverted/wand.rs):
+        // per (token, doc-id block) the tf/dl extremes that bound any
+        // BM25 contribution inside the block, for ANY future avgdl
+        val dl = tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+        postings.join(dl, "doc_id")
+          .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+          .repartition(math.max(1, numPostingFiles / 4), col("token"))
+          .sortWithinPartitions(col("token"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
       } finally postings.unpersist()
       val docstats = tokenized.select(col("doc_id"),
         size(col("tk")).cast("double").as("dl")).persist()
@@ -351,12 +361,21 @@ object Fts {
     try {
       val toks = tokenized.select(col("doc_id"),
         posexplode(col("tk")).as(Seq("pos", "token")))
-      toks.groupBy(col("token"), col("doc_id"))
+      val deltaPost = toks.groupBy(col("token"), col("doc_id"))
         .agg(count(lit(1)).cast("double").as("tf"),
           sort_array(collect_list(col("pos"))).as("positions"))
-        .write.mode(SaveMode.Append).parquet(p.postings)
-      tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
-        .write.mode(SaveMode.Append).parquet(p.docstats)
+        .persist()
+      try {
+        deltaPost.write.mode(SaveMode.Append).parquet(p.postings)
+        val deltaDl = tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+        deltaDl.write.mode(SaveMode.Append).parquet(p.docstats)
+        // delta block-max stats append; duplicate (token, block) entries
+        // merge at query time (max/min are idempotent under re-aggregation)
+        deltaPost.join(deltaDl, "doc_id")
+          .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+          .write.mode(SaveMode.Append).parquet(s"$indexPath/blockstats")
+      } finally deltaPost.unpersist()
     } finally tokenized.unpersist()
     val spark = newDocs.sparkSession
     // global stats from the merged datasets (aggregate-only IO)
@@ -429,6 +448,81 @@ object Fts {
       .agg(sum(col("term_score")).as("_score"))
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
+
+  /** Doc-id block a posting belongs to for block-max WAND stats. */
+  val WandBlockSize = 1024L
+  private def wandBlock(docId: Column): Column =
+    floor(docId / lit(WandBlockSize.toDouble)).cast("long")
+
+  /** Blocks pruned by the last [[matchQueryWand]] call (observability for
+    * specs/benchmarks; not part of the result contract). */
+  private[graft] val lastWandPruned = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Block-max WAND match (reference `inverted/wand.rs`, 981 LoC): EXACTLY
+    * the same top-k as [[matchQuery]], skipping the scoring of doc-id blocks
+    * that provably cannot reach it. Batch shape of the classic algorithm:
+    *
+    *  1. per-block upper bound: `ub(t, block) = idf(t) · (max_tf·(k1+1)) /
+    *     (max_tf + k1·(1−b+b·min_dl/avgdl))` from the build-time blockstats
+    *     — monotone in (max_tf, −min_dl), so it bounds every contribution
+    *     in the block under the CURRENT avgdl; `ubsum(block) = Σ_t ub`.
+    *  2. θ seeding: exactly score the `seedBlocks` highest-ubsum blocks;
+    *     θ = the kth best seed score (a lower bound on the final kth).
+    *  3. prune: blocks with `ubsum < θ` cannot hold a top-k doc (any doc's
+    *     score ≤ its block's ubsum < θ ≤ final kth). Score the surviving
+    *     blocks' postings exactly; take top-k.
+    *
+    * Exactness holds under ties: a doc scoring exactly θ keeps its block
+    * alive (`>= θ`), so doc-id tie-breaks see every contender. Only block
+    * ids and the tiny seed top-k reach the driver — the ubsum aggregation
+    * and the surviving-block semi-join stay distributed. Falls back to
+    * [[matchQuery]] when the index predates blockstats or seeds are thin. */
+  def matchQueryWand(spark: SparkSession, indexPath: String, terms: Seq[String],
+                     k: Int, seedBlocks: Int = 2): DataFrame = {
+    val p = paths(indexPath)
+    val qs = queryTerms(spark, indexPath, terms).distinct
+    val bsPath = new org.apache.hadoop.fs.Path(s"$indexPath/blockstats")
+    val hasBs = bsPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(bsPath)
+    lastWandPruned.set(0L)
+    if (qs.isEmpty || !hasBs) return matchTokens(spark, indexPath, qs, k)
+    val meta = spark.read.parquet(p.meta).head()
+    val n = meta.getLong(0).toDouble
+    val avgdl = meta.getDouble(1)
+    import spark.implicits._
+    val idfDf = spark.read.parquet(p.termstats).filter(col("token").isin(qs: _*))
+      .withColumn("__idf", idf(n)).select(col("token"), col("__idf"))
+    val blockUb = spark.read.parquet(s"$indexPath/blockstats")
+      .filter(col("token").isin(qs: _*))
+      .groupBy(col("token"), col("block"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+      .join(broadcast(idfDf), "token")
+      .withColumn("__ub", col("__idf") * (col("max_tf") * (K1 + 1)) /
+        (col("max_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("min_dl") / lit(avgdl))))
+      .groupBy(col("block")).agg(sum(col("__ub")).as("__ubsum"))
+      .persist()
+    try {
+      val seeds = blockUb.orderBy(col("__ubsum").desc, col("block")).limit(seedBlocks)
+        .select("block").as[Long].collect()
+      if (seeds.isEmpty) return matchTokens(spark, indexPath, qs, k)
+      def postingsIn(blockPred: Column => Column): DataFrame =
+        spark.read.parquet(p.postings).filter(col("token").isin(qs: _*))
+          .filter(blockPred(wandBlock(col("doc_id"))))
+      val seedTop = scored(spark, p, qs, Some(postingsIn(_.isin(seeds: _*))))
+        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("_score"))
+        .orderBy(col("_score").desc, col("doc_id")).limit(k)
+        .collect()
+      if (seedTop.length < k) return matchTokens(spark, indexPath, qs, k)
+      val theta = seedTop.last.getDouble(1)
+      val surviving = blockUb.filter(col("__ubsum") >= theta).select(col("block"))
+      lastWandPruned.set(blockUb.count() - surviving.count())
+      val pruned = spark.read.parquet(p.postings).filter(col("token").isin(qs: _*))
+        .join(surviving, wandBlock(col("doc_id")) === surviving("block"), "left_semi")
+      scored(spark, p, qs, Some(pruned))
+        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("_score"))
+        .orderBy(col("_score").desc, col("doc_id"))
+        .limit(k)
+    } finally blockUb.unpersist()
+  }
 
   /** Fuzzy match (reference MatchQuery `fuzziness` / `prefix_length`,
     * `rust/lance-index/src/scalar/inverted/query.rs:16,47,286`): each term

@@ -67,6 +67,13 @@ object FtsQueries {
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },
 
+    // block-max WAND: identical top-k to q_fts_match via the pruned path
+    "q_fts_wand" -> { (s, d) =>
+      val idx = indexFor(s, d, "wand")
+      Fts.matchQueryWand(s, idx, Seq("spark", "vector"), 20, seedBlocks = 4)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
     "q_fts_phrase" -> { (s, d) =>
       val idx = indexFor(s, d, "phrase")
       Fts.phraseQuery(s, idx, Seq("hash", "join")).orderBy(col("doc_id"))
@@ -191,6 +198,7 @@ object FtsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_fts_match" -> bm25Select("'spark','vector'", ""),
+    "q_fts_wand" -> bm25Select("'spark','vector'", ""),
     "q_fts_fuzzy" -> bm25Select(
       "SELECT token FROM st WHERE token LIKE 'vect%' AND levenshtein(token, 'vectr') <= 1", ""),
     "q_fts_stopword" -> bm25SelectWith(

@@ -225,6 +225,43 @@ class FtsSpec extends AnyFunSuite {
     idxRes.zip(flatRes).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("block-max WAND equals matchQuery exactly and prunes weak blocks") {
+    // one doc per 1024-block: 5 strong docs (high tf, short dl), 195 weak
+    val docs = (0 until 200).map { i =>
+      val id = i * graft.operators.Fts.WandBlockSize
+      val text =
+        if (i < 5) ("quick " * 10) + "fox"
+        else "quick " + ("filler words with no relevance whatsoever to anything " * 8)
+      (id, text)
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("fts_wand_").toString
+    Fts.buildIndex(docs, "doc_id", "text", dir)
+    val exact = Fts.matchQuery(spark, dir, Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val wand = Fts.matchQueryWand(spark, dir, Seq("quick", "fox"), 5, seedBlocks = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(wand == exact)
+    assert(Fts.lastWandPruned.get() > 100,
+      s"expected most weak blocks pruned, got ${Fts.lastWandPruned.get()}")
+    // thin corpus (single block): falls back / stays exact
+    val idx2 = buildTmpIndex()
+    val e2 = Fts.matchQuery(spark, idx2, Seq("quick", "fox"), 5).as[(Long, Double)].collect().toSeq
+    val w2 = Fts.matchQueryWand(spark, idx2, Seq("quick", "fox"), 5).as[(Long, Double)].collect().toSeq
+    assert(w2 == e2)
+  }
+
+  test("WAND blockstats survive incremental optimize") {
+    val docs1 = (0 until 50).map(i => (i * 1024L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs2 = (50 until 100).map(i => (i * 1024L, "alpha delta")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("fts_wand_inc_").toString
+    Fts.buildIndex(docs1, "doc_id", "text", dir)
+    Fts.optimizeIndex(docs2, "doc_id", "text", dir)
+    val exact = Fts.matchQuery(spark, dir, Seq("alpha", "delta"), 10).as[(Long, Double)].collect().toSeq
+    val wand = Fts.matchQueryWand(spark, dir, Seq("alpha", "delta"), 10, seedBlocks = 12)
+      .as[(Long, Double)].collect().toSeq
+    assert(wand == exact)
+  }
+
   test("FtsConfig JSON round-trip via the index sidecar") {
     import graft.operators.FtsConfig
     val cfg = FtsConfig(baseTokenizer = "ngram", lowerCase = true,
