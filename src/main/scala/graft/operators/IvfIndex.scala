@@ -290,7 +290,23 @@ object IvfIndex {
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, metric: String = "l2",
-                     prefilter: Option[Column] = None): DataFrame = {
+                     prefilter: Option[Column] = None): DataFrame =
+    combined(spark, tablePath, indexPath, idCol, vecCol, query, k, metric, prefilter)(
+      transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
+        metric = metric, prefilter = prefilter, candidateTransform = transform))
+
+  /** Shared combined-search skeleton for EVERY index family (IVF_FLAT here;
+    * [[PqIndex.searchCombined]] / [[SqIndex.searchCombined]] reuse it;
+    * [[HnswIndex.searchCombined]] mirrors it with graph-specific routing):
+    * builds the DV/liveness candidate transform, runs the family's indexed
+    * search with it, and unions a flat search over fragments the index does
+    * not cover. `runIndexed` receives the transform and must apply it to
+    * its candidate set BEFORE any top-k cut. */
+  private[operators] def combined(spark: SparkSession, tablePath: String,
+                                  indexPath: String, idCol: String, vecCol: String,
+                                  query: Array[Float], k: Int, metric: String,
+                                  prefilter: Option[Column])(
+      runIndexed: (DataFrame => DataFrame) => DataFrame): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = coveredFragmentIds(spark, indexPath, m)
@@ -313,9 +329,7 @@ object IvfIndex {
         else liveFragmentFilter(spark, cand, coveredLive)
       dv.map(d => live.join(d, Seq(addrCol), "left_anti")).getOrElse(live)
     }
-    val indexed = search(spark, indexPath, idCol, vecCol, query, k, nprobes,
-        metric = metric, prefilter = prefilter, candidateTransform = transform)
-      .select(col(idCol), col(Knn.DistanceCol))
+    val indexed = runIndexed(transform).select(col(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(

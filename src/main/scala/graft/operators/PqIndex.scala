@@ -226,13 +226,16 @@ object PqIndex {
   def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
              query: Array[Float], kNeighbors: Int, nprobes: Int,
              refineFactor: Int = 10,
-             prefilter: Option[Column] = None): DataFrame = {
+             prefilter: Option[Column] = None,
+             candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
     val part0 = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(IvfIndex.PidCol).isin(probes: _*))
-    val part = prefilter.map(part0.filter).getOrElse(part0)
+    // transform (DV/liveness) BEFORE the ADC ranking so dead rows cannot
+    // occupy candidate slots
+    val part = candidateTransform(prefilter.map(part0.filter).getOrElse(part0))
     val table = pq.adcTable(query)
     // pass 1: (id, codes) only — ADC ranking
     val cands = part.select(col(idCol), col(CodeCol))
@@ -246,6 +249,18 @@ object PqIndex {
       vecCol, query, kNeighbors, "l2", tieBreakers = Seq(col(idCol)))
       .drop(IvfIndex.PidCol, CodeCol)
   }
+
+  /** Delete/compaction-safe combined search (same contract as
+    * [[IvfIndex.searchCombined]]): DV and fragment liveness applied to the
+    * probed candidates before ADC ranking, fresh fragments flat-searched
+    * and unioned. l2 only (ADC is an l2² table). */
+  def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
+                     idCol: String, vecCol: String, query: Array[Float],
+                     k: Int, nprobes: Int, refineFactor: Int = 10,
+                     prefilter: Option[Column] = None): DataFrame =
+    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k, "l2", prefilter)(
+      transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
+        refineFactor, prefilter, candidateTransform = transform))
 }
 
 /** (subspace id, sub-vector) → nearest code in that subspace's codebook.

@@ -154,13 +154,16 @@ object SqIndex {
   def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
              query: Array[Float], kNeighbors: Int, nprobes: Int,
              refineFactor: Int = 10,
-             prefilter: Option[Column] = None): DataFrame = {
+             prefilter: Option[Column] = None,
+             candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val sq = loadSq(spark, indexPath)
     val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
     val part0 = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(IvfIndex.PidCol).isin(probes: _*))
-    val part = prefilter.map(part0.filter).getOrElse(part0)
+    // transform (DV/liveness) BEFORE ranking so dead rows cannot occupy
+    // candidate slots
+    val part = candidateTransform(prefilter.map(part0.filter).getOrElse(part0))
     // pass 1: (id, codes) only — asymmetric SQ ranking
     val cands = part.select(col(idCol), col(CodeCol))
       .withColumn("_sqd", ColumnBridge.column(
@@ -174,6 +177,18 @@ object SqIndex {
       vecCol, query, kNeighbors, "l2", tieBreakers = Seq(col(idCol)))
       .drop(IvfIndex.PidCol, CodeCol)
   }
+
+  /** Delete/compaction-safe combined search (same contract as
+    * [[IvfIndex.searchCombined]]): DV and fragment liveness applied to the
+    * probed candidates before ranking, fresh fragments flat-searched and
+    * unioned. l2 only (the asymmetric distance is l2²). */
+  def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
+                     idCol: String, vecCol: String, query: Array[Float],
+                     k: Int, nprobes: Int, refineFactor: Int = 10,
+                     prefilter: Option[Column] = None): DataFrame =
+    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k, "l2", prefilter)(
+      transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
+        refineFactor, prefilter, candidateTransform = transform))
 }
 
 /** vector → d scalar-quantized bytes. */

@@ -87,4 +87,23 @@ class PqSpec extends AnyFunSuite {
     assert(viaIdx == flat)
     assert(PqIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 0L)
   }
+
+  test("searchCombined: deletes + fresh appends == flat over the live set") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("pq_comb_").toString + "/t"
+    val idx = s"$t/_indices/ivfpq_embedding"
+    GraftTable.write(embeddings.filter($"vec_id" < 400).repartition(4), t, "overwrite")
+    PqIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8, m = 8, k = 16)
+    GraftTable.delete(spark, t, "vec_id % 7 = 0") // indexed rows now DV-dead
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append") // uncovered
+    val qv = queryVec(0L)
+    val got = PqIndex.searchCombined(spark, t, idx, "vec_id", "embedding", qv,
+        k = 10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(GraftTable.read(spark, t), "embedding", qv, 10, "l2",
+        Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == flat)
+    assert(got.filter(_ < 400).forall(_ % 7 != 0)) // deleted indexed rows stay dead
+  }
 }

@@ -106,4 +106,22 @@ class SqSpec extends AnyFunSuite {
       .distinct().as[Long].collect().toSet
     assert(fragsInIdx.subsetOf(live), s"index holds dead fragments: ${fragsInIdx.diff(live)}")
   }
+
+  test("searchCombined: deletes + fresh appends == flat over the live set") {
+    val t = Files.createTempDirectory("sq_comb_").toString + "/t"
+    val idx = s"$t/_indices/ivfsq_embedding"
+    GraftTable.write(embeddings.filter($"vec_id" < 400).repartition(4), t, "overwrite")
+    SqIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    GraftTable.delete(spark, t, "vec_id % 7 = 0") // indexed rows now DV-dead
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append") // uncovered
+    val qv = queryVec(0L)
+    val got = SqIndex.searchCombined(spark, t, idx, "vec_id", "embedding", qv,
+        k = 10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(GraftTable.read(spark, t), "embedding", qv, 10, "l2",
+        Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == flat)
+    assert(got.filter(_ < 400).forall(_ % 7 != 0)) // deleted indexed rows stay dead
+  }
 }
