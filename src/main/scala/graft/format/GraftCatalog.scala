@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -43,7 +44,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Writes ride the V1 write fallback onto [[GraftTable.write]]'s
   * CAS-committed fragment appends — executors write data either way.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -186,6 +187,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
 
+  // ------------------------------------------------------------ procedures
+
+  /** Maintenance surface as SQL procedures (the Spark-side analogue of the
+    * reference's Python maintenance API — `optimize.compact_files`,
+    * `cleanup_old_versions`, tags, `restore`):
+    *
+    * {{{
+    *   CALL g.system.compact(table => 'db.t', target_rows => 100000)
+    *   CALL g.system.cleanup(table => 'db.t', keep_last => 3)
+    *   CALL g.system.tag(table => 'db.t', name => 'v-prod', version => 7)
+    *   CALL g.system.restore(table => 'db.t', version => 5)
+    *   CALL g.system.optimize_scalar_index(table => 'db.t', `column` => 'id')
+    * }}}
+    *
+    * Each returns a single summary row (version/rows), so `CALL` results
+    * are inspectable from SQL. */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    val name = (ident.namespace() :+ ident.name()).mkString(".").toLowerCase
+    def pathOf(table: String): String = s"$warehouse/${table.replace('.', '/')}"
+    name match {
+      case "system.compact" => GraftProcedures.compact(pathOf)
+      case "system.cleanup" => GraftProcedures.cleanup(pathOf)
+      case "system.tag" => GraftProcedures.tag(pathOf)
+      case "system.restore" => GraftProcedures.restore(pathOf)
+      case "system.optimize_scalar_index" => GraftProcedures.optimizeScalarIndex(pathOf)
+      case other => throw new IllegalArgumentException(
+        s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
+          "system.tag, system.restore, system.optimize_scalar_index)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index")
+      .map(Identifier.of(Array("system"), _))
+
   // ------------------------------------------------------------ namespaces
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -307,6 +343,95 @@ class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest
       else filters.flatMap(GraftSqlTable.filterToSql).map(p => s"($p)").mkString(" AND ")
     GraftTable.delete(SparkSession.active, path, pred)
   }
+}
+
+/** Bound implementations of the `g.system.*` maintenance procedures. Each
+  * returns one summary row through a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * so `CALL` is inspectable from SQL. */
+private[format] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{DataTypes => DT, StructField}
+
+  private def spark = SparkSession.active
+
+  private def proc(procName: String, params: Array[ProcedureParameter],
+                   out: StructType)(run: InternalRow => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft maintenance procedure $procName"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val row = InternalRow.fromSeq(run(input))
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = out
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
+      }
+    }
+
+  private def p(n: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, t).build()
+  private def pd(n: String, t: org.apache.spark.sql.types.DataType, d: String) =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+
+  def compact(pathOf: String => String): UnboundProcedure =
+    proc("compact",
+      Array(p("table", DT.StringType), pd("target_rows", DT.LongType, "1048576"),
+        pd("materialize_deletions", DT.DoubleType, "0.1")),
+      StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.compactFiles(spark, path, in.getLong(1), in.getDouble(2))
+      Seq(m.version, m.liveRows)
+    }
+
+  def cleanup(pathOf: String => String): UnboundProcedure =
+    proc("cleanup",
+      Array(p("table", DT.StringType), pd("keep_last", DT.LongType, "3")),
+      StructType(Seq(StructField("latest_version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      GraftTable.cleanupOldVersions(spark, path, in.getLong(1).toInt)
+      Seq(GraftTable.loadManifest(spark, path).version)
+    }
+
+  def tag(pathOf: String => String): UnboundProcedure =
+    proc("tag",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        pd("version", DT.LongType, "-1")),
+      StructType(Seq(StructField("tagged_version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val v = in.getLong(2) match {
+        case -1L => GraftTable.loadManifest(spark, path).version
+        case x => x
+      }
+      GraftTable.tag(spark, path, in.getUTF8String(1).toString, v)
+      Seq(v)
+    }
+
+  def restore(pathOf: String => String): UnboundProcedure =
+    proc("restore",
+      Array(p("table", DT.StringType), p("version", DT.LongType)),
+      StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.restore(spark, path, in.getLong(1))
+      Seq(m.version, m.liveRows)
+    }
+
+  def optimizeScalarIndex(pathOf: String => String): UnboundProcedure =
+    proc("optimize_scalar_index",
+      Array(p("table", DT.StringType), p("column", DT.StringType)),
+      StructType(Seq(StructField("rows_indexed", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      Seq(graft.index.ScalarIndex.optimizeBtree(spark, path,
+        in.getUTF8String(1).toString, s"$path/_indices"))
+    }
 }
 
 object GraftSqlTable {
