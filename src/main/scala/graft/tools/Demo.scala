@@ -93,6 +93,30 @@ object Demo {
     val after = GraftTable.loadManifest(spark, t3).fragments.map(_.id).toSet
     println(s"kept fragment ids: ${(before intersect after).toSeq.sorted.mkString(",")}; " +
       s"rows: ${GraftTable.countRows(spark, t3)}")
+
+    println("== pure-SQL surface: CREATE / INSERT / UPDATE / MERGE / time travel ==")
+    val wh = java.nio.file.Files.createTempDirectory("graft_demo_wh_").toString
+    spark.conf.set("spark.sql.catalog.demo", "graft.format.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.demo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE demo.db")
+    spark.sql("CREATE TABLE demo.db.users (id BIGINT, name STRING) USING graft")
+    spark.sql("INSERT INTO demo.db.users VALUES (1, 'ada'), (2, 'bob'), (3, 'eve')")
+    spark.sql("UPDATE demo.db.users SET name = upper(name) WHERE id = 2")
+    Seq((3L, "EVE"), (4L, "dan")).toDF("id", "name").createOrReplaceTempView("updates")
+    spark.sql("""MERGE INTO demo.db.users t USING updates u ON t.id = u.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("DELETE FROM demo.db.users WHERE id = 1")
+    spark.sql("SELECT * FROM demo.db.users ORDER BY id").show()
+    println("-- VERSION AS OF 2 (first insert) --")
+    spark.sql("SELECT * FROM demo.db.users VERSION AS OF 2 ORDER BY id").show()
+
+    println("== shallow clone: fork to a new path, mutate without touching source ==")
+    val cl = java.nio.file.Files.createTempDirectory("graft_demo_").toString + "/clone"
+    GraftTable.shallowClone(spark, t3, cl)
+    GraftTable.delete(spark, cl, "id >= 600")
+    println(s"source rows: ${GraftTable.countRows(spark, t3)}  " +
+      s"clone rows: ${GraftTable.countRows(spark, cl)}")
     spark.stop()
   }
 }

@@ -128,6 +128,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
   }
 
+  test("TIMESTAMP AS OF survives file-mtime skew (commit ts is in the manifest)") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1)")
+    Thread.sleep(1100)
+    val between = Instant.now()
+    Thread.sleep(1100)
+    s.sql(s"INSERT INTO g.db.$t VALUES (2)")
+    // simulate a table copy/rsync: clobber every manifest's mtime to NOW —
+    // mtime-based resolution would now pick the LATEST version for any
+    // past timestamp request
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/$t/_manifests")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(dir).foreach(st => fs.setTimes(st.getPath, System.currentTimeMillis(), -1))
+    val tsLit = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(ZoneOffset.UTC).format(between)
+    assert(ids(s, s"SELECT id FROM g.db.$t TIMESTAMP AS OF '$tsLit'") == Set(1L))
+  }
+
   test("DELETE FROM commits a deletion vector, no rewrite") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
@@ -181,6 +200,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!s.sql(s"SELECT * FROM g.db.$t").columns.contains("w"))
     // data still intact after the metadata churn
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+  }
+
+  test("CALL maintenance procedures: compact, tag, restore, cleanup") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft") // v1
+    s.sql(s"INSERT INTO g.db.$t VALUES (1), (2), (3)")     // v2
+    s.sql(s"INSERT INTO g.db.$t VALUES (4), (5)")          // v3
+    s.sql(s"DELETE FROM g.db.$t WHERE id = 2")             // v4
+    val c = s.sql(s"CALL g.system.compact(table => 'db.$t', target_rows => 2)")
+      .head() // v5: materializes the delete
+    assert(c.getLong(1) == 4, s"live rows after compact: $c")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 4L, 5L))
+    // tag without explicit version tags the latest, readable via VERSION AS OF
+    s.sql(s"CALL g.system.tag(table => 'db.$t', name => 'stable')")
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'stable'") == Set(1L, 3L, 4L, 5L))
+    // restore the pre-append snapshot as a new commit (v6)
+    val r = s.sql(s"CALL g.system.restore(table => 'db.$t', version => 2)").head()
+    assert(r.getLong(1) == 3)
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L, 3L))
+    // cleanup keeps the last versions + the tag; restored data stays readable
+    s.sql(s"CALL g.system.cleanup(table => 'db.$t', keep_last => 2)")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L, 3L))
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'stable'") == Set(1L, 3L, 4L, 5L))
+    // unknown procedure errors clearly
+    val e = intercept[Exception] { s.sql(s"CALL g.system.nope(table => 'db.$t')") }
+    assert(e.getMessage.contains("nope") || e.getMessage.contains("PROCEDURE"))
   }
 
   test("no-extensions session: V1 fallback read is DV- and rename-correct") {
