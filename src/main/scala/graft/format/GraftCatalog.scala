@@ -286,6 +286,15 @@ class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Table config + snapshot facts for `SHOW TBLPROPERTIES` / DESCRIBE. */
+  override def properties(): util.Map[String, String] =
+    (manifest.config ++ Map(
+      "graft.version" -> manifest.version.toString,
+      "graft.operation" -> manifest.operation,
+      "graft.fragments" -> manifest.fragments.size.toString,
+      "graft.rows" -> manifest.liveRows.toString,
+      "graft.deleted" -> manifest.numDeleted.toString)).asJava
+
   /** Snapshot read for this table's pinned manifest. */
   private[format] def snapshot(spark: SparkSession): DataFrame =
     GraftTable.readFragments(spark, path, manifest, manifest.fragments)

@@ -514,7 +514,10 @@ object Fts {
       if (seedTop.length < k) return matchTokens(spark, indexPath, qs, k)
       val theta = seedTop.last.getDouble(1)
       val surviving = blockUb.filter(col("__ubsum") >= theta).select(col("block"))
-      lastWandPruned.set(blockUb.count() - surviving.count())
+      // one aggregation job for the observability counter, not two counts
+      val st = blockUb.agg(count(lit(1)).as("n"),
+        sum(when(col("__ubsum") >= theta, 1L).otherwise(0L)).as("s")).head()
+      lastWandPruned.set(st.getLong(0) - st.getLong(1))
       val pruned = spark.read.parquet(p.postings).filter(col("token").isin(qs: _*))
         .join(surviving, wandBlock(col("doc_id")) === surviving("block"), "left_semi")
       scored(spark, p, qs, Some(pruned))

@@ -262,6 +262,14 @@ class FtsSpec extends AnyFunSuite {
     assert(wand == exact)
   }
 
+  test("postings reads push the token predicate into the parquet scan") {
+    val idx = buildTmpIndex()
+    val plan = spark.read.parquet(s"$idx/postings")
+      .filter(org.apache.spark.sql.functions.col("token").isin("quick", "fox"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"), plan)
+  }
+
   test("FtsConfig JSON round-trip via the index sidecar") {
     import graft.operators.FtsConfig
     val cfg = FtsConfig(baseTokenizer = "ngram", lowerCase = true,

@@ -228,6 +228,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("PROCEDURE"))
   }
 
+  test("SHOW TBLPROPERTIES surfaces version and live-row facts") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1), (2), (3)")
+    s.sql(s"DELETE FROM g.db.$t WHERE id = 2")
+    val props = s.sql(s"SHOW TBLPROPERTIES g.db.$t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.version") == "3")
+    assert(props("graft.rows") == "2")
+    assert(props("graft.deleted") == "1")
+    assert(props("graft.operation") == "delete")
+  }
+
   test("no-extensions session: V1 fallback read is DV- and rename-correct") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
