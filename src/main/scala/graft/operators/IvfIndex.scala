@@ -295,6 +295,53 @@ object IvfIndex {
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         metric = metric, prefilter = prefilter, candidateTransform = transform))
 
+  // ------------------------------------------------- metric support (PQ/SQ)
+
+  /** Normalize a query vector to unit length (zero vectors pass through). */
+  private[operators] def normalize(v: Array[Float]): Array[Float] = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(acc)
+    if (n <= 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Under "cosine", replace the vector column with its unit-normalized form
+    * (builtin expressions — stays in codegen): on the unit sphere l2²
+    * ranking is cosine-rank-equivalent, which is how the quantized families
+    * serve cosine (reference sq/pq cosine route). "l2"/"dot" pass through. */
+  private[operators] def forMetric(df: DataFrame, vecCol: String, metric: String): DataFrame =
+    if (metric != "cosine") df
+    else {
+      val v = col(vecCol)
+      val norm = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double")))
+      df.withColumn(vecCol,
+        when(norm > 0.0d, transform(v, x => (x.cast("double") / norm).cast("float")))
+          .otherwise(v))
+    }
+
+  /** Per-index vector metadata sidecar (currently: the build metric), so
+    * search paths serve the metric the index was built for. Absent marker =
+    * legacy l2 index. */
+  private[operators] def writeVectorMeta(spark: SparkSession, indexPath: String,
+                                         metric: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"metric": "$metric"}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  private[operators] def readVectorMeta(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "l2"
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      "\"metric\"\\s*:\\s*\"(\\w+)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("l2")
+    }
+  }
+
   /** Shared combined-search skeleton for EVERY index family (IVF_FLAT here;
     * [[PqIndex.searchCombined]] / [[SqIndex.searchCombined]] reuse it;
     * [[HnswIndex.searchCombined]] mirrors it with graph-specific routing):

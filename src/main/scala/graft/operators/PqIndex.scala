@@ -115,11 +115,16 @@ object PqIndex {
   }
 
   /** Build an IVF_PQ index: IVF partition assignment (coarse) + PQ codes
-    * (fine), one distributed pass, partitioned parquet layout. */
-  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
-            nlist: Int, m: Int = 8, k: Int = 256): (IvfIndex.Model, PqModel) = {
+    * (fine), one distributed pass, partitioned parquet layout. `metric`
+    * "l2" (default) or "cosine" — cosine stores NORMALIZED vectors (see
+    * [[IvfIndex.forMetric]]). */
+  def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int, m: Int = 8, k: Int = 256,
+            metric: String = "l2"): (IvfIndex.Model, PqModel) = {
+    val df = IvfIndex.forMetric(df0, vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
     val pq = train(df, idCol, vecCol, m, k)
+    IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric)
     val assigned = df
       .withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
@@ -145,11 +150,12 @@ object PqIndex {
     * `_rowaddr` (read withRowAddr) like [[IvfIndex.buildForTable]]. */
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int,
-                    m: Int = 8, k: Int = 256): (IvfIndex.Model, PqModel) = {
+                    m: Int = 8, k: Int = 256,
+                    metric: String = "l2"): (IvfIndex.Model, PqModel) = {
     val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist, m, k)
+      idCol, vecCol, indexPath, nlist, m, k, metric)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
       mft.fragments.map(_.id))
     out
@@ -171,7 +177,8 @@ object PqIndex {
     val freshFrags = mft.fragments.filterNot(f => covered.contains(f.id))
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
-    val encode = (df: DataFrame) => df
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val encode = (df0: DataFrame) => IvfIndex.forMetric(df0, vecCol, metric)
       .withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn(CodeCol,
@@ -230,23 +237,26 @@ object PqIndex {
              candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
-    val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val q = if (metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = ivf.rank(q).take(math.min(nprobes, ivf.nlist))
     val part0 = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(IvfIndex.PidCol).isin(probes: _*))
     // transform (DV/liveness) BEFORE the ADC ranking so dead rows cannot
     // occupy candidate slots
     val part = candidateTransform(prefilter.map(part0.filter).getOrElse(part0))
-    val table = pq.adcTable(query)
+    val table = pq.adcTable(q)
     // pass 1: (id, codes) only — ADC ranking
     val cands = part.select(col(idCol), col(CodeCol))
       .withColumn("_adc", ColumnBridge.column(PqAdc(ColumnBridge.expression(col(CodeCol)), table)))
       .orderBy(col("_adc"), col(idCol))
       .limit(kNeighbors * refineFactor)
       .select(col(idCol))
-    // pass 2: exact distances for the candidates only
+    // pass 2: exact distances for the candidates only (stored vectors are
+    // normalized under cosine; cosine is magnitude-invariant)
     Knn.flatSearch(
       part.join(cands, Seq(idCol), "left_semi"),
-      vecCol, query, kNeighbors, "l2", tieBreakers = Seq(col(idCol)))
+      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)))
       .drop(IvfIndex.PidCol, CodeCol)
   }
 
@@ -258,7 +268,8 @@ object PqIndex {
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, refineFactor: Int = 10,
                      prefilter: Option[Column] = None): DataFrame =
-    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k, "l2", prefilter)(
+    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k,
+      IvfIndex.readVectorMeta(spark, indexPath), prefilter)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         refineFactor, prefilter, candidateTransform = transform))
 }

@@ -59,11 +59,18 @@ object SqIndex {
   }
 
   /** IVF assignment (coarse) + SQ codes (fine), one distributed pass,
-    * partitioned parquet layout shared with IVF/PQ. */
-  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
-            nlist: Int): (IvfIndex.Model, SqModel) = {
+    * partitioned parquet layout shared with IVF/PQ.
+    *
+    * `metric` "l2" (default) or "cosine": cosine stores NORMALIZED vectors
+    * (reference sq/pq cosine route) — on the unit sphere l2-squared ranking
+    * is cosine-rank-equivalent, and the refine pass computes true cosine
+    * (magnitude-invariant, so normalized == original). */
+  def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int, metric: String = "l2"): (IvfIndex.Model, SqModel) = {
+    val df = IvfIndex.forMetric(df0, vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
     val sq = train(df, vecCol)
+    IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric)
     df.withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn(CodeCol,
@@ -83,11 +90,12 @@ object SqIndex {
   /** Build over a graft table snapshot with a coverage marker, like
     * [[PqIndex.buildForTable]]. */
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
-                    vecCol: String, indexPath: String, nlist: Int): (IvfIndex.Model, SqModel) = {
+                    vecCol: String, indexPath: String, nlist: Int,
+                    metric: String = "l2"): (IvfIndex.Model, SqModel) = {
     val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist)
+      idCol, vecCol, indexPath, nlist, metric)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
       mft.fragments.map(_.id))
     out
@@ -107,7 +115,8 @@ object SqIndex {
     val freshFrags = mft.fragments.filterNot(f => covered.contains(f.id))
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val sq = loadSq(spark, indexPath)
-    val encode = (df: DataFrame) => df
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val encode = (df0: DataFrame) => IvfIndex.forMetric(df0, vecCol, metric)
       .withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn(CodeCol,
@@ -158,7 +167,9 @@ object SqIndex {
              candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val sq = loadSq(spark, indexPath)
-    val probes = ivf.rank(query).take(math.min(nprobes, ivf.nlist))
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val q = if (metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = ivf.rank(q).take(math.min(nprobes, ivf.nlist))
     val part0 = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(IvfIndex.PidCol).isin(probes: _*))
     // transform (DV/liveness) BEFORE ranking so dead rows cannot occupy
@@ -167,14 +178,15 @@ object SqIndex {
     // pass 1: (id, codes) only — asymmetric SQ ranking
     val cands = part.select(col(idCol), col(CodeCol))
       .withColumn("_sqd", ColumnBridge.column(
-        SqAdc(ColumnBridge.expression(col(CodeCol)), query, sq.lo, sq.steps)))
+        SqAdc(ColumnBridge.expression(col(CodeCol)), q, sq.lo, sq.steps)))
       .orderBy(col("_sqd"), col(idCol))
       .limit(kNeighbors * refineFactor)
       .select(col(idCol))
-    // pass 2: exact distances for the candidates only
+    // pass 2: exact distances for the candidates only (stored vectors are
+    // normalized under cosine; cosine is magnitude-invariant)
     Knn.flatSearch(
       part.join(cands, Seq(idCol), "left_semi"),
-      vecCol, query, kNeighbors, "l2", tieBreakers = Seq(col(idCol)))
+      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)))
       .drop(IvfIndex.PidCol, CodeCol)
   }
 
@@ -186,7 +198,8 @@ object SqIndex {
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, refineFactor: Int = 10,
                      prefilter: Option[Column] = None): DataFrame =
-    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k, "l2", prefilter)(
+    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k,
+      IvfIndex.readVectorMeta(spark, indexPath), prefilter)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         refineFactor, prefilter, candidateTransform = transform))
 }

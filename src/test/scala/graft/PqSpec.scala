@@ -88,6 +88,19 @@ class PqSpec extends AnyFunSuite {
     assert(PqIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 0L)
   }
 
+  test("cosine metric: full probes + refine == flat cosine search") {
+    val dir = Files.createTempDirectory("pq_cos_").toString
+    PqIndex.build(embeddings, "vec_id", "embedding", dir, nlist = 8, m = 8, k = 16,
+      metric = "cosine")
+    val q = queryVec(3L)
+    val got = PqIndex.search(spark, dir, "vec_id", "embedding", q, 10, nprobes = 8,
+        refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "cosine", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == flat)
+  }
+
   test("searchCombined: deletes + fresh appends == flat over the live set") {
     import graft.format.GraftTable
     val t = Files.createTempDirectory("pq_comb_").toString + "/t"

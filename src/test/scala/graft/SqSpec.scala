@@ -107,6 +107,18 @@ class SqSpec extends AnyFunSuite {
     assert(fragsInIdx.subsetOf(live), s"index holds dead fragments: ${fragsInIdx.diff(live)}")
   }
 
+  test("cosine metric: full probes + refine == flat cosine search") {
+    val dir = Files.createTempDirectory("sq_cos_").toString
+    SqIndex.build(embeddings, "vec_id", "embedding", dir, nlist = 8, metric = "cosine")
+    val q = queryVec(3L)
+    val got = SqIndex.search(spark, dir, "vec_id", "embedding", q, 10, nprobes = 8,
+        refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "cosine", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == flat)
+  }
+
   test("searchCombined: deletes + fresh appends == flat over the live set") {
     val t = Files.createTempDirectory("sq_comb_").toString + "/t"
     val idx = s"$t/_indices/ivfsq_embedding"
