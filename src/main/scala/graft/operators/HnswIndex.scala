@@ -146,10 +146,15 @@ object HnswIndex {
     * partition, built concurrently via mapPartitions. If `df` carries
     * `_rowaddr` (a table-backed build), each node records its address so
     * [[searchCombined]] can mark post-build deletions dead at query time. */
-  def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
-            nlist: Int, m: Int = 16, efConstruction: Int = 64): IvfIndex.Model = {
+  def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int, m: Int = 16, efConstruction: Int = 64,
+            metric: String = "l2"): IvfIndex.Model = {
+    // cosine: graph vectors are unit-normalized; internal l2 ranking is then
+    // cosine-rank-equivalent (see IvfIndex.forMetric)
+    val df = IvfIndex.forMetric(df0, vecCol, metric)
     val spark = df.sparkSession
     invalidateCache(indexPath)
+    IvfIndex.writeVectorMeta(spark, indexPath, metric)
     val model = IvfIndex.train(df, idCol, vecCol, nlist)
     val addrExpr = if (df.columns.contains(AddrCol)) col(AddrCol)
       else lit(null).cast(LongType)
@@ -194,12 +199,13 @@ object HnswIndex {
     * dead-node marking and fresh-fragment union. */
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int,
-                    m: Int = 16, efConstruction: Int = 64): IvfIndex.Model = {
+                    m: Int = 16, efConstruction: Int = 64,
+                    metric: String = "l2"): IvfIndex.Model = {
     val mf = graft.format.GraftTable.loadManifest(spark, tablePath)
     val model = build(
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist, m, efConstruction)
+      idCol, vecCol, indexPath, nlist, m, efConstruction, metric)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, mf.version,
       mf.fragments.map(_.id))
     model
@@ -283,7 +289,9 @@ object HnswIndex {
              markDead: Option[DataFrame => DataFrame] = None): DataFrame = {
     import spark.implicits._
     val model = IvfIndex.loadModel(spark, s"$indexPath")
-    val probes = model.rank(query).take(math.min(nprobes, model.nlist))
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val query2 = if (metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = model.rank(query2).take(math.min(nprobes, model.nlist))
     val efq = math.max(ef, k)
     val base = partitionedGraph(spark, indexPath)
       .filter(col("pid").isin(probes: _*))
@@ -300,7 +308,10 @@ object HnswIndex {
             (vec.toArray, level, nbrs.map(_.toArray).toArray, dead)
         }
         byPid.iterator.flatMap { case (_, g) =>
-          searchGraph(g, query, k, efq).map { case (id, d) => (id, math.sqrt(d)) }
+          // cosine output = l2sq/2 on unit vectors (= 1 - cos); l2 = sqrt
+          searchGraph(g, query2, k, efq).map { case (id, d) =>
+            (id, if (metric == "cosine") d / 2.0 else math.sqrt(d))
+          }
         }
       }.toDF("id", Knn.DistanceCol)
     hits.orderBy(col(Knn.DistanceCol), col("id")).limit(k)
@@ -354,7 +365,8 @@ object HnswIndex {
     val fresh = Knn.flatSearch(
         GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),
-        vecCol, query, k, "l2", tieBreakers = Seq(col(idCol)))
+        vecCol, query, k, IvfIndex.readVectorMeta(spark, indexPath),
+        tieBreakers = Seq(col(idCol)))
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

@@ -46,6 +46,30 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("cosine metric: high recall vs flat cosine, distances on the cosine scale") {
+    val dir = Files.createTempDirectory("hnsw_cos_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
+      metric = "cosine")
+    val hits = (0 until 10).map { qi =>
+      val q = queryVec(qi.toLong * 13 % 500)
+      val approx = HnswIndex.search(spark, dir, q, k = 10, nprobes = 4, ef = 128)
+        .select("id").as[Long].collect().toSet
+      val exact = Knn.flatSearch(embeddings, "embedding", q, 10, "cosine", Seq($"vec_id"))
+        .select("vec_id").as[Long].collect().toSet
+      (approx intersect exact).size.toDouble / exact.size
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.9, s"cosine recall@10 = $recall")
+    // output distances are cosine distances (1 - cos ∈ [0, 2]), and the
+    // self-query's nearest hit is itself at distance ~0
+    val q0 = queryVec(42L)
+    val top = HnswIndex.search(spark, dir, q0, k = 3, nprobes = 4, ef = 128)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 42L && top.head._2 < 1e-6, top.toSeq.toString)
+    assert(top.forall { case (_, d) => d >= 0.0 && d <= 2.0 + 1e-9 })
+  }
+
   test("probing fewer partitions still returns k ordered results") {
     val q = queryVec(3L)
     val r = HnswIndex.search(spark, idx, q, k = 10, nprobes = 1, ef = 32)
