@@ -1,19 +1,24 @@
 package graft.format
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-/** `spark.read.format("graft")` / `df.write.format("graft")` registration.
+/** `spark.read.format("graft")` / `df.write.format("graft")` registration,
+  * plus `spark.readStream.format("graft")` — a version-delta streaming
+  * source (one micro-batch = the rows appended by a range of commits).
   *
-  * The read path returns the snapshot relation (parquet over the fragment
-  * FileIndex). Tables carrying deletion vectors require the anti-join plan
-  * that a V1 BaseRelation cannot express — those reads must go through
-  * [[GraftTable.read]] (the primary API, like the reference's Python
-  * `LanceDataset`); this source fails fast rather than return deleted rows.
+  * The batch read path returns the snapshot relation (parquet over the
+  * fragment FileIndex). Tables carrying deletion vectors require the
+  * anti-join plan that a V1 BaseRelation cannot express — those reads must
+  * go through [[GraftTable.read]] (the primary API, like the reference's
+  * Python `LanceDataset`); this source fails fast rather than return
+  * deleted rows.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -63,4 +68,55 @@ class GraftDataSource extends RelationProvider
     GraftTable.write(data, path, graftMode)
     createRelation(sqlContext, parameters)
   }
+
+  // ------------------------------------------------------------- streaming
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val path = tablePath(parameters)
+    ("graft", schema.getOrElse(
+      GraftTable.loadManifest(sqlContext.sparkSession, path).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, tablePath(parameters),
+      parameters.get("startingVersion").map(_.toLong))
+}
+
+/** Version-delta streaming source (the readStream face of
+  * [[graft.streaming.GraftStreaming.readChanges]]): offsets are table
+  * versions; each micro-batch reads exactly the fragments whose
+  * `addedVersion` falls in `(start, end]` — append-only CDC, O(delta) IO
+  * per batch, no file listing beyond one manifest load. Deletes/updates
+  * mutate DVs, not fragments, so this stream carries inserts (the
+  * reference's `lance.dataset.diff`-style append feed).
+  *
+  * `startingVersion` option: emit changes after that version (default:
+  * everything from the start of history). */
+class GraftStreamSource(spark: SparkSession, path: String,
+                        startingVersion: Option[Long]) extends Source {
+
+  override def schema: StructType = GraftTable.loadManifest(spark, path).schema
+
+  override def getOffset: Option[LegacyOffset] =
+    GraftTable.latestVersion(spark, path)
+      .filter(v => v > startingVersion.getOrElse(0L))
+      .map(LongOffset(_))
+
+  private def versionOf(o: LegacyOffset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    val from = start.map(versionOf).orElse(startingVersion).getOrElse(0L)
+    val to = versionOf(end)
+    org.apache.spark.sql.graftshim.ColumnBridge.streamingFrom(
+      graft.streaming.GraftStreaming.readChanges(spark, path, from, to))
+  }
+
+  override def stop(): Unit = {}
 }

@@ -24,4 +24,13 @@ object ColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Streaming-flagged DataFrame over a batch plan's rows — what a V1
+    * streaming `Source.getBatch` must return (`internalCreateDataFrame` is
+    * private[sql]). The batch plan executes when the micro-batch runs. */
+  def streamingFrom(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

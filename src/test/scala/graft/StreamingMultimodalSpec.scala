@@ -15,6 +15,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft_st_").toString + "/t"
 
+  test("readStream.format(graft): version-delta source streams appended rows") {
+    val t = tmp()
+    GraftTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    val stream = spark.readStream.format("graft").load(t)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("graft_src_mem")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_mem").count() == 2)
+      // appended rows arrive as the next micro-batch; the DV-only delete
+      // commit below advances the version but adds no fragments, so it
+      // contributes zero rows (append-feed semantics)
+      GraftTable.write(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), t, "append")
+      GraftTable.delete(spark, t, "id = 1")
+      q.processAllAvailable()
+      val got = spark.table("graft_src_mem").select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // startingVersion skips the initial snapshot
+    val v1 = 1L
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", v1.toString).load(t)
+      .writeStream.format("memory").queryName("graft_src_mem2")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got2 = spark.table("graft_src_mem2").select("id").as[Long].collect().toSet
+      assert(got2 == Set(3L, 4L)) // only rows appended after version 1
+    } finally q2.stop()
+  }
+
   test("streaming sink: micro-batches become append commits, exactly once") {
     val t = tmp()
     implicit val sc = spark.sqlContext
