@@ -104,7 +104,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): latest version whose commit
-    * time (manifest mtime) is ≤ t. */
+    * time (the `commitTsMillis` stamped into each manifest at CAS-commit;
+    * file mtime only as a legacy fallback) is ≤ t. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = tablePath(ident)
     if (!isTable(new Path(path))) throw new NoSuchTableException(ident)

@@ -427,7 +427,11 @@ object GraftScalarIndexRule {
 
   private[format] def cachedBloom(dir: String, values: Seq[String])(
       compute: => Set[Long]): Set[Long] = {
-    val key = s"${epoch.get()}|$dir|${values.sorted.mkString("")}"
+    // Length-prefixed + separator-joined: an ambiguous encoding would let two
+    // distinct probe sets (e.g. IN ('ab','c') vs IN ('a','bc')) share a key and
+    // reuse each other's candidate-fragment mask — fragments wrongly pruned here
+    // are never scanned, so the refine filter cannot recover the missing rows.
+    val key = s"${epoch.get()}|$dir|${values.sorted.map(v => s"${v.length}:$v").mkString(" ")}"
     val hit = bloomCache.get(key)
     if (hit != null) hit
     else {
@@ -637,9 +641,12 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // the analyzer expands `SET *` / `INSERT *` into explicit same-named
     // column-to-column assignments before this rule runs; accept both the
-    // unexpanded star action and its expansion
-    def starAssignments(assigns: Seq[Assignment]): Boolean =
-      assigns.nonEmpty && assigns.forall { a =>
+    // unexpanded star action and its expansion. A star expansion covers
+    // EVERY target column — a partial same-named assignment list (e.g.
+    // `UPDATE SET t.a = s.a` on a multi-column table) must NOT be treated as
+    // star, or untouched target columns get overwritten from the source.
+    def starAssignments(assigns: Seq[Assignment]): Boolean = {
+      val sameNamed = assigns.nonEmpty && assigns.forall { a =>
         (a.key, a.value) match {
           case (k: AttributeReference, v: AttributeReference) =>
             k.name.equalsIgnoreCase(v.name) &&
@@ -647,6 +654,10 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         }
       }
+      val allCols = m.targetTable.output.map(_.name.toLowerCase).toSet
+      sameNamed &&
+        assigns.map(_.key.asInstanceOf[AttributeReference].name.toLowerCase).toSet == allCols
+    }
     val updateAll = m.matchedActions match {
       case Seq() => false
       case Seq(UpdateStarAction(None)) => true

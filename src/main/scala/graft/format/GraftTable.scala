@@ -94,20 +94,29 @@ object GraftTable {
       .map(s => (s.getPath.getName.stripSuffix(".json").toLong, s.getModificationTime))
       .sortBy(_._1)
     if (entries.isEmpty) return None
-    def tsOf(v: Long, mtime: Long): Long = {
+    val tsCache = scala.collection.mutable.Map.empty[Int, Long]
+    def tsOf(i: Int): Long = tsCache.getOrElseUpdate(i, {
+      val (v, mtime) = entries(i)
       val m = scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption
       m.map(_.commitTsMillis).filter(_ > 0L).getOrElse(mtime)
-    }
+    })
     var lo = 0
     var hi = entries.size - 1
     var ans: Option[Long] = None
     while (lo <= hi) {
       val mid = (lo + hi) / 2
-      val (v, mt) = entries(mid)
-      if (tsOf(v, mt) <= tsMillis) { ans = Some(v); lo = mid + 1 }
+      if (tsOf(mid) <= tsMillis) { ans = Some(entries(mid)._1); lo = mid + 1 }
       else hi = mid - 1
     }
-    ans
+    // Commits since r6 stamp max(now, parentTs + 1), so timestamps are
+    // monotone in version — but legacy histories (mtime fallback, skewed
+    // writer clocks) may not be. If any probed pair violates monotonicity,
+    // the binary search is untrustworthy: degrade to the linear max-scan.
+    val probed = tsCache.keys.toSeq.sorted
+    val monotone = probed.zip(probed.drop(1)).forall { case (a, b) => tsOf(a) <= tsOf(b) }
+    if (monotone) ans
+    else entries.indices.filter(i => tsOf(i) <= tsMillis).map(i => entries(i)._1)
+      .sorted.lastOption
   }
 
   def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None,
@@ -145,7 +154,14 @@ object GraftTable {
       // which is the cross-process CAS).
       val tmpP = new Path(manifestDir(t, branch), s".tmp-${m.version}-${UUID.randomUUID().toString.take(8)}")
       try {
-        val stamped = m.copy(commitTsMillis = System.currentTimeMillis())
+        // Commit timestamps must be MONOTONE in version — versionAsOfTimestamp
+        // binary-searches on them. Writer clocks can skew (and legacy manifests
+        // fall back to mtime), so stamp max(now, parentTs + 1) rather than
+        // trusting the local clock alone (ADVICE r5).
+        val parentTs = scala.util.Try(
+          loadManifest(spark, tablePath, Some(m.version - 1), branch).commitTsMillis)
+          .getOrElse(0L)
+        val stamped = m.copy(commitTsMillis = math.max(System.currentTimeMillis(), parentTs + 1))
         val out = f.create(tmpP, /*overwrite=*/ true)
         try out.write(GraftManifest.toJson(stamped).getBytes("UTF-8")) finally out.close()
         if (f.rename(tmpP, p)) true

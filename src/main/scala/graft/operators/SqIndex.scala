@@ -167,6 +167,8 @@ object SqIndex {
              candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val sq = loadSq(spark, indexPath)
+    require(query.length == sq.d,
+      s"sq search: query dimension ${query.length} != index dimension ${sq.d}")
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
     val q = if (metric == "cosine") IvfIndex.normalize(query) else query
     val probes = ivf.rank(q).take(math.min(nprobes, ivf.nlist))
@@ -193,7 +195,10 @@ object SqIndex {
   /** Delete/compaction-safe combined search (same contract as
     * [[IvfIndex.searchCombined]]): DV and fragment liveness applied to the
     * probed candidates before ranking, fresh fragments flat-searched and
-    * unioned. l2 only (the asymmetric distance is l2²). */
+    * unioned. Serves the index's stored metric: l2 directly (the asymmetric
+    * distance is l2²), cosine via normalized stored vectors — on the unit
+    * sphere l2² ranking is cosine-rank-equivalent, and the exact refine pass
+    * computes true cosine. */
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, refineFactor: Int = 10,
@@ -216,7 +221,12 @@ case class SqEncode(child: Expression, model: SqIndex.SqModel)
   }
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val d = math.min(arr.numElements(), model.d)
+    // fail fast: silently truncating a longer vector (or zero-padding a
+    // shorter one) would produce quietly wrong distances downstream
+    if (arr.numElements() != model.d)
+      throw new IllegalArgumentException(
+        s"sq_encode: vector dimension ${arr.numElements()} != trained dimension ${model.d}")
+    val d = model.d
     val lo = model.lo
     val hi = model.hi
     val out = new Array[Byte](d)
@@ -247,9 +257,12 @@ case class SqAdc(child: Expression, query: Array[Float], lo: Array[Float], step:
     else TypeCheckResult.TypeCheckFailure("sq_adc requires binary codes")
   override def nullSafeEval(input: Any): Any = {
     val codes = input.asInstanceOf[Array[Byte]]
+    if (codes.length != query.length)
+      throw new IllegalArgumentException(
+        s"sq_adc: code length ${codes.length} != query dimension ${query.length}")
     var acc = 0.0
     var i = 0
-    val n = math.min(codes.length, query.length)
+    val n = query.length
     while (i < n) {
       val v = lo(i) + (codes(i) & 0xff) * step(i)
       val d = query(i) - v
@@ -268,7 +281,11 @@ case class SqAdc(child: Expression, query: Array[Float], lo: Array[Float], step:
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val dv = ctx.freshName("dv")
       s"""
-         |int $n = java.lang.Math.min($codes.length, $qRef.length);
+         |if ($codes.length != $qRef.length) {
+         |  throw new IllegalArgumentException("sq_adc: code length " + $codes.length +
+         |    " != query dimension " + $qRef.length);
+         |}
+         |int $n = $qRef.length;
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $dv = $qRef[$i] - ($loRef[$i] + ($codes[$i] & 0xff) * $stepRef[$i]);

@@ -106,6 +106,32 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(qDeleted.count() == 0)
   }
 
+  test("plan-cache key is collision-free: IN ('ab','c') then IN ('a','bc') both exact") {
+    // Three fragments with disjoint string values: frag A holds only 'a',
+    // frag B holds 'ab' + 'c', frag C holds 'bc'. The probe sets
+    // ('ab','c') and ('a','bc') concatenate to the same string — an
+    // ambiguous cache key would hand the second query the first's
+    // candidate-fragment set {B}, pruning away the fragments that actually
+    // hold 'a' and 'bc' BEFORE the refine filter → silently missing rows.
+    val t = Files.createTempDirectory("graft_bloom_collide_").toString + "/t"
+    import TestSpark.spark.implicits._
+    def frag(vals: String*) =
+      GraftTable.write(vals.toDF("s").withColumn("pay", concat(lit("v-"), col("s")))
+        .coalesce(1), t, "append")
+    frag("a"); frag("ab", "c"); frag("bc")
+    BloomIndex.build(TestSpark.spark, t, "s", s"$t/_indices")
+
+    val first = GraftTable.read(extSpark, t).filter(col("s").isin("ab", "c"))
+    assert(prunedFragCount(first).exists(_ == 1), "first probe set should keep only frag B")
+    assert(first.select("s").collect().map(_.getString(0)).sorted.toSeq == Seq("ab", "c"))
+
+    // back-to-back second query with the colliding value set
+    val second = GraftTable.read(extSpark, t).filter(col("s").isin("a", "bc"))
+    assert(second.select("s").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "bc"),
+      "colliding cache key reused the other probe set's fragment mask — rows dropped")
+    assert(prunedFragCount(second).exists(_ == 2), "second probe set should keep frags A and C")
+  }
+
   test("DV snapshot: bloom pruning composes with the deletion-vector anti-join") {
     val t = freshBloomed()
     GraftTable.delete(TestSpark.spark, t, "id = 1234")

@@ -186,6 +186,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == Seq(1L -> "a", 2L -> "B", 4L -> "D"))
   }
 
+  test("MERGE INTO: partial same-named UPDATE SET is rejected, not silently star") {
+    // ADVICE r5 (high): `UPDATE SET tg.v = sr.v` on a 3-column table is a
+    // same-named attribute-to-attribute assignment list, but it does NOT
+    // cover every target column — treating it as SET * would overwrite the
+    // untouched `w` column from the source, silently corrupting data.
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING, w BIGINT) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a',10), (2,'b',20)")
+    import s.implicits._
+    Seq((2L, "B", 999L)).toDF("id", "v", "w").createOrReplaceTempView("src_partial")
+    val e = intercept[Exception] {
+      s.sql(
+        s"""MERGE INTO g.db.$t AS tg USING src_partial AS sr ON tg.id = sr.id
+           |WHEN MATCHED THEN UPDATE SET tg.v = sr.v
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("UPDATE SET *"), s"unexpected error: ${e.getMessage}")
+    // data untouched — in particular w was NOT overwritten from the source
+    val got = s.sql(s"SELECT id, v, w FROM g.db.$t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
   test("ALTER TABLE ADD / RENAME / DROP COLUMN, then read back") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
