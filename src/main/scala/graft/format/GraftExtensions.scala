@@ -285,24 +285,47 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     }.nextOption()
 
-  /** Fragment ids the index at `dir` covers, when the index is usable
-    * for this snapshot: indexed version ≤ snapshot version and every indexed
-    * fragment still present (fragments are immutable, so id-presence ⟹
-    * content unchanged). None = missing/stale index. Also returns the
-    * column identity the marker records (None on legacy markers).
+  /** Fragment ids the index at `dir` covers, when the index is usable for
+    * this snapshot. None = missing/stale index. Also returns the column
+    * identity recorded at build time (None on legacy markers).
     *
-    * Memoized per (epoch, table, snapshot version, dir): the optimizer must
-    * not do filesystem I/O per Filter per query — at 100× tables/queries
-    * that is driver-side metadata chatter in the planning path (VERDICT r4
-    * What's-wrong #5; the reference keeps index metadata IN the manifest).
-    * In-JVM index builds bump the epoch, so a fresh build is visible at the
-    * same table version. */
+    * Two regimes (reference: index metadata lives IN the manifest,
+    * `lance-table/src/format/index.rs`):
+    *
+    *  - **Manifest-authoritative** (any index build has committed metadata
+    *    into this lineage): inventory, coverage, and column identity come
+    *    from the manifest the scan already holds — zero filesystem probing
+    *    and zero extra manifest loads at plan time, and builds are visible
+    *    across sessions/processes the moment their commit lands. The only
+    *    I/O is ONE memoized marker read verifying the dir still holds the
+    *    entry's build (uuid): an old snapshot's entry pointing at a later
+    *    rebuild, or a cloned/restored manifest whose dirs did not travel,
+    *    vetoes cleanly instead of serving another build's rows.
+    *  - **Legacy** (pre-manifest tables): directory markers, memoized per
+    *    (epoch, table, snapshot version, dir); in-JVM builds bump the epoch
+    *    (cross-process same-version builds stay invisible — the manifest
+    *    path is the fix). */
   private def coveredFragmentIds(gfi: GraftFileIndex, dir: String)
       : Option[(Set[Long], Option[String])] = {
     val m = gfi.manifest
-    GraftScalarIndexRule.cached(gfi.tablePath.toString, m.version, dir) {
+    if (m.indicesAuthoritative) {
+      val name = dir.substring(dir.lastIndexOf('/') + 1)
+      m.indices.find(_.name == name).flatMap { e =>
+        val current = m.fragments.map(_.id).toSet
+        val ids = e.fragmentIds.toSet
+        if (!ids.subsetOf(current)) None // compacted away — dormant until optimize
+        else {
+          val markerUuid = GraftScalarIndexRule.cachedUuid(
+              gfi.tablePath.toString, m.version, dir) {
+            GraftScalarIndexRule.fsProbes.incrementAndGet()
+            graft.index.ScalarIndex.readMarkerUuid(session, dir)
+          }
+          if (markerUuid.contains(e.uuid)) Some((ids, Some(e.column))) else None
+        }
+      }
+    } else GraftScalarIndexRule.cached(gfi.tablePath.toString, m.version, dir) {
       GraftScalarIndexRule.fsProbes.incrementAndGet()
-      graft.index.ScalarIndex.readMarker(session, dir).flatMap { case (vi, idxCol) =>
+      graft.index.ScalarIndex.readMarker(session, dir).flatMap { case (vi, idxCol, _) =>
         val current = m.fragments.map(_.id).toSet
         val cov =
           if (vi == m.version) Some(current)
@@ -412,6 +435,27 @@ object GraftScalarIndexRule {
     else {
       val v = compute
       cache.put(key, v)
+      v
+    }
+  }
+
+  /** Marker-uuid verification for manifest-committed index entries: ONE
+    * filesystem read per (epoch, table, snapshot version, dir), then pure
+    * in-memory comparison against each entry's uuid. */
+  private val uuidCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[String]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Option[String]]): Boolean =
+        size > Cap
+    })
+
+  private[format] def cachedUuid(tablePath: String, version: Long, dir: String)(
+      compute: => Option[String]): Option[String] = {
+    val key = s"${epoch.get()}|$tablePath|$version|$dir"
+    val hit = uuidCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute
+      uuidCache.put(key, v)
       v
     }
   }

@@ -1191,11 +1191,39 @@ object GraftTable {
       version = 1L, operation = "shallow_clone", parent = 0L,
       fragments = src.fragments.map(fr => fr.copy(path = abs(fr.path))),
       dvFiles = src.dvFiles.map(abs),
-      columnFiles = src.columnFiles.map(cf => cf.copy(path = abs(cf.path))))
+      columnFiles = src.columnFiles.map(cf => cf.copy(path = abs(cf.path))),
+      // index dirs do not travel with a clone: drop the entries (the uuid
+      // guard would veto them anyway — this keeps the inventory honest)
+      indices = Nil)
     if (!tryCommit(spark, destPath, m))
       throw new IllegalStateException(s"graft table already exists at $destPath")
     m
   }
+
+  /** Commit (or replace) an index's metadata entry as its own table version
+    * (reference: index builds are transactions that commit `IndexMetadata`
+    * into the manifest, `format/index.rs`). From the first such commit the
+    * manifest is the authoritative index inventory for the lineage — the
+    * optimizer stops probing the filesystem for markers entirely. */
+  def commitIndex(spark: SparkSession, tablePath: String, meta: IndexMeta): GraftManifest =
+    commitLoop(spark, tablePath, {
+      case Some(base) => base.copy(version = base.version + 1,
+        operation = "create_index", parent = base.version,
+        config = base.config + (GraftManifest.IndicesCommittedKey -> "true"),
+        indices = base.indices.filterNot(_.name == meta.name) :+ meta)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+
+  /** Remove an index's manifest entry (DROP INDEX). The directory is left
+    * on disk for the caller to delete; without an entry it is invisible to
+    * the optimizer (the lineage stays authoritative). */
+  def dropIndexEntry(spark: SparkSession, tablePath: String, name: String): GraftManifest =
+    commitLoop(spark, tablePath, {
+      case Some(base) => base.copy(version = base.version + 1,
+        operation = "drop_index", parent = base.version,
+        indices = base.indices.filterNot(_.name == name))
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
 
   /** Restore an old version as a new commit (reference `restore`). */
   def restore(spark: SparkSession, tablePath: String, version: Long): GraftManifest = {

@@ -50,6 +50,37 @@ case class FragmentMeta(
   * reference's positional column-file zip. */
 case class ColumnFileMeta(path: String, columns: Seq[String])
 
+/** Index metadata committed INTO the manifest (reference
+  * `rust/lance-table/src/format/index.rs` — `IndexMetadata` with
+  * `fragment_bitmap`): the optimizer reads index inventory from the manifest
+  * it already holds, so planning needs no filesystem probing and builds are
+  * visible across sessions/processes the moment their commit lands.
+  *
+  *  - `name`: the index directory name under `<table>/_indices/`.
+  *  - `indexType`: BTREE | BLOOMFILTER | LABEL_LIST | JSON (informational;
+  *    the name encodes type + column).
+  *  - `column`: the indexed column's PHYSICAL (on-file) identity at build
+  *    time — the rule vetoes an entry whose identity differs from the
+  *    filtered column (rename-chain defense, ADVICE r4).
+  *  - `indexedVersion` / `fragmentIds`: the covered snapshot (the
+  *    reference's `fragment_bitmap`); usable iff fragmentIds ⊆ the reading
+  *    snapshot's live fragments.
+  *  - `uuid`: content identity of the build, also written into the dir's
+  *    marker (the reference names index dirs by UUID). A reader verifies
+  *    entry.uuid == marker.uuid ONCE (memoized) before first use: an old
+  *    manifest entry pointing at a dir that was later REBUILT (new uuid),
+  *    or a cloned manifest whose dirs did not travel, vetoes cleanly
+  *    instead of serving another build's rows. Incremental optimize APPENDS
+  *    under the same uuid — supersets are harmless (rows of fragments
+  *    outside the snapshot never survive the scan semi-join). */
+case class IndexMeta(
+    name: String,
+    indexType: String,
+    column: String,
+    indexedVersion: Long,
+    fragmentIds: Seq[Long],
+    uuid: String)
+
 case class GraftManifest(
     version: Long,
     operation: String,
@@ -73,8 +104,21 @@ case class GraftManifest(
       * carries its own timestamp). `TIMESTAMP AS OF` resolves from this, not
       * file mtimes — mtimes change on copy/rsync/migration. 0 on legacy
       * manifests (readers fall back to mtime). */
-    commitTsMillis: Long = 0L) {
+    commitTsMillis: Long = 0L,
+    /** Committed index inventory (see [[IndexMeta]]). Empty on legacy
+      * manifests and on tables whose indexes predate manifest commits —
+      * [[GraftManifest.indicesAuthoritative]] tells the two apart. */
+    indices: Seq[IndexMeta] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** True once any index build has committed metadata into this lineage:
+    * from then on the manifest is the single source of truth for index
+    * inventory (zero FS probing for ABSENT indexes too). False = legacy
+    * table — readers fall back to directory markers. The flag lives in
+    * `config` so it survives overwrite (which correctly clears `indices`:
+    * replaced data invalidates every index). */
+  def indicesAuthoritative: Boolean =
+    config.get(GraftManifest.IndicesCommittedKey).contains("true")
   def maxFragmentId: Long = if (fragments.isEmpty) -1L else fragments.map(_.id).max
   def liveRows: Long = fragments.map(_.rows).sum - numDeleted
   def hasRowIds: Boolean = fragments.forall(_.hasRowIds)
@@ -110,6 +154,9 @@ case class GraftManifest(
 object GraftManifest {
   /** StructField-metadata key recording a renamed column's on-file name. */
   val PhysicalKey = "graft.physical"
+
+  /** Config key: set to "true" by the first index-metadata commit. */
+  val IndicesCommittedKey = "graft.indices.committed"
 
   implicit private val formats: Formats = DefaultFormats
 

@@ -53,7 +53,6 @@ object BloomIndex {
   def build(spark: SparkSession, tablePath: String, column: String,
             indexPath: String, fpp: Double = 0.01): Unit = {
     val m = GraftTable.loadManifest(spark, tablePath)
-    val version = m.version
     val maxRows = math.max(1L, m.fragments.map(_.rows).maxOption.getOrElse(1L))
     val dir = s"$indexPath/${dirName(column)}"
     val rows = GraftTable.read(spark, tablePath, withRowAddr = true)
@@ -76,8 +75,9 @@ object BloomIndex {
       StructField("bloom", BinaryType, nullable = false)))
     spark.createDataFrame(rows, schema)
       .write.mode(SaveMode.Overwrite).parquet(dir)
-    ScalarIndex.writeVersionMarker(spark, dir, version,
-      Some(m.schema.fields.find(_.name == column).map(m.physicalName).getOrElse(column)))
+    ScalarIndex.finishBuild(spark, tablePath, indexPath, dirName(column), "BLOOMFILTER",
+      m.schema.fields.find(_.name == column).map(m.physicalName).getOrElse(column),
+      m, freshUuid = true)
   }
 
   /** Bloom fragments added since the build (O(delta) IO), moving the marker
@@ -110,8 +110,9 @@ object BloomIndex {
       spark.createDataFrame(rows, schema)
         .write.mode(SaveMode.Append).parquet(dir)
     }
-    ScalarIndex.writeVersionMarker(spark, dir, m.version,
-      Some(m.schema.fields.find(_.name == column).map(m.physicalName).getOrElse(column)))
+    ScalarIndex.finishBuild(spark, tablePath, indexPath, dirName(column), "BLOOMFILTER",
+      m.schema.fields.find(_.name == column).map(m.physicalName).getOrElse(column),
+      m, freshUuid = false)
     freshFrags.map(_.rows).sum
   }
 

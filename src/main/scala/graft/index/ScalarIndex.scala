@@ -34,43 +34,79 @@ object ScalarIndex {
     * [[optimizeBtree]] re-freshens coverage incrementally. */
   def buildBtree(spark: SparkSession, tablePath: String, column: String,
                  indexPath: String): Unit = {
-    val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val m = GraftTable.loadManifest(spark, tablePath)
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(col(column).as("v"), col(A))
       .repartitionByRange(8, col("v"))
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/btree_$column")
-    writeVersionMarker(spark, s"$indexPath/btree_$column", version,
-      Some(physicalOf(spark, tablePath, column)))
+    finishBuild(spark, tablePath, indexPath, s"btree_$column", "BTREE",
+      physicalOf(spark, tablePath, column), m, freshUuid = true)
   }
 
   /** Marker format: line 1 = covered table version; optional line 2 = the
-    * indexed column's PHYSICAL (on-file) name at build time. The column
-    * identity lets the auto-rewrite rule reject an index directory whose
-    * NAME matches the filtered column but whose rows came from a different
-    * column after rename chains reused the name (the Spark-side stand-in for
-    * the reference's field-id indirection, `format/index.rs`). */
+    * indexed column's PHYSICAL (on-file) name at build time; optional line 3
+    * = the build uuid (matches the manifest entry's — see
+    * [[graft.format.IndexMeta]]). The column identity lets the auto-rewrite
+    * rule reject an index directory whose NAME matches the filtered column
+    * but whose rows came from a different column after rename chains reused
+    * the name (the Spark-side stand-in for the reference's field-id
+    * indirection, `format/index.rs`). */
   private[graft] def writeVersionMarker(spark: SparkSession, dir: String, version: Long,
-                                        column: Option[String] = None): Unit = {
+                                        column: Option[String] = None,
+                                        uuid: Option[String] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    val body = version.toString + column.map("\n" + _).getOrElse("")
+    val body = version.toString +
+      (if (column.isDefined || uuid.isDefined) "\n" + column.getOrElse("") else "") +
+      uuid.map("\n" + _).getOrElse("")
     try out.write(body.getBytes("UTF-8")) finally out.close()
     graft.format.GraftScalarIndexRule.invalidateCache()
   }
 
-  /** (covered version, physical column identity if recorded). */
-  private[graft] def readMarker(spark: SparkSession, dir: String): Option[(Long, Option[String])] = {
+  /** (covered version, physical column identity if recorded, build uuid if
+    * recorded). */
+  private[graft] def readMarker(spark: SparkSession, dir: String)
+      : Option[(Long, Option[String], Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_VERSION")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-      val lines = s.trim.split("\n", 2)
+      val lines = s.trim.split("\n", 3)
       scala.util.Try(lines(0).trim.toLong).toOption
-        .map(v => (v, lines.lift(1).map(_.trim).filter(_.nonEmpty)))
+        .map(v => (v, lines.lift(1).map(_.trim).filter(_.nonEmpty),
+          lines.lift(2).map(_.trim).filter(_.nonEmpty)))
+    }
+  }
+
+  /** Build uuid recorded in the dir's marker (None = legacy / no marker). */
+  private[graft] def readMarkerUuid(spark: SparkSession, dir: String): Option[String] =
+    readMarker(spark, dir).flatMap(_._3)
+
+  /** Post-build bookkeeping shared by every scalar/bloom build & optimize:
+    * write the dir marker and — when the index lives under the table's own
+    * `_indices/` dir — commit the [[graft.format.IndexMeta]] entry (new uuid
+    * on a rebuild, the dir's existing uuid on an incremental optimize, since
+    * appends preserve content identity). `m` is the manifest whose fragments
+    * the index now covers. */
+  private[graft] def finishBuild(spark: SparkSession, tablePath: String,
+                                 indexPath: String, name: String, indexType: String,
+                                 physColumn: String, m: graft.format.GraftManifest,
+                                 freshUuid: Boolean): Unit = {
+    val dir = s"$indexPath/$name"
+    val uuid =
+      if (freshUuid) java.util.UUID.randomUUID().toString
+      else readMarkerUuid(spark, dir).getOrElse(java.util.UUID.randomUUID().toString)
+    writeVersionMarker(spark, dir, m.version, Some(physColumn), Some(uuid))
+    val tableLocal =
+      new org.apache.hadoop.fs.Path(s"$tablePath/_indices").toString ==
+        new org.apache.hadoop.fs.Path(indexPath).toString
+    if (tableLocal) {
+      GraftTable.commitIndex(spark, tablePath, graft.format.IndexMeta(
+        name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid))
     }
   }
 
@@ -102,7 +138,8 @@ object ScalarIndex {
         .sortWithinPartitions(col("v"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
-    writeVersionMarker(spark, dir, m.version, Some(physicalOf(spark, tablePath, column)))
+    finishBuild(spark, tablePath, indexPath, s"btree_$column", "BTREE",
+      physicalOf(spark, tablePath, column), m, freshUuid = false)
     freshFrags.map(_.rows).sum
   }
 
@@ -194,14 +231,15 @@ object ScalarIndex {
     * build time over each fragment instead of per query over the corpus. */
   def buildJson(spark: SparkSession, tablePath: String, column: String,
                 path: String, indexPath: String): Unit = {
-    val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val m = GraftTable.loadManifest(spark, tablePath)
     val dir = s"$indexPath/${jsonDirName(column, path)}"
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(get_json_object(col(column), path).as("v"), col(A))
       .repartitionByRange(8, col("v"))
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(dir)
-    writeVersionMarker(spark, dir, version, Some(physicalOf(spark, tablePath, column)))
+    finishBuild(spark, tablePath, indexPath, jsonDirName(column, path), "JSON",
+      physicalOf(spark, tablePath, column), m, freshUuid = true)
   }
 
   /** Incremental JSON-index maintenance: parse + append ONLY fragments added
@@ -220,7 +258,8 @@ object ScalarIndex {
         .sortWithinPartitions(col("v"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
-    writeVersionMarker(spark, dir, m.version, Some(physicalOf(spark, tablePath, column)))
+    finishBuild(spark, tablePath, indexPath, jsonDirName(column, path), "JSON",
+      physicalOf(spark, tablePath, column), m, freshUuid = false)
     freshFrags.map(_.rows).sum
   }
 
@@ -249,12 +288,13 @@ object ScalarIndex {
     * tag-filtered scans at 100 TB touch only the wanted label directories. */
   def buildLabelList(spark: SparkSession, tablePath: String, column: String,
                      indexPath: String): Unit = {
-    val version = GraftTable.latestVersion(spark, tablePath).getOrElse(0L)
+    val m = GraftTable.loadManifest(spark, tablePath)
     val dir = s"$indexPath/labellist_$column"
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(col(A), explode(col(column)).as("label"))
       .write.mode(SaveMode.Overwrite).partitionBy("label").parquet(dir)
-    writeVersionMarker(spark, dir, version, Some(physicalOf(spark, tablePath, column)))
+    finishBuild(spark, tablePath, indexPath, s"labellist_$column", "LABEL_LIST",
+      physicalOf(spark, tablePath, column), m, freshUuid = true)
   }
 
   /** Index ONLY fragments appended since the build (O(delta) IO), like
@@ -271,7 +311,8 @@ object ScalarIndex {
         .select(col(A), explode(col(column)).as("label"))
         .write.mode(SaveMode.Append).partitionBy("label").parquet(dir)
     }
-    writeVersionMarker(spark, dir, m.version, Some(physicalOf(spark, tablePath, column)))
+    finishBuild(spark, tablePath, indexPath, s"labellist_$column", "LABEL_LIST",
+      physicalOf(spark, tablePath, column), m, freshUuid = false)
     freshFrags.map(_.rows).sum
   }
 

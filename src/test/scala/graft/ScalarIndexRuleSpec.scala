@@ -226,21 +226,75 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q2.count() == 50)
   }
 
-  test("column identity: a marker naming a different column vetoes the index") {
+  test("column identity: an entry naming a different column vetoes the index") {
     // the rename chain that would reuse a physical name is rejected at the
     // source (see rename-shadow test below); this exercises the
-    // defense-in-depth veto for index dirs whose provenance does not match
+    // defense-in-depth veto for index provenance that does not match
     // (e.g. restored/copied table state)
     val t = freshIndexed()
-    val v = GraftTable.loadManifest(TestSpark.spark, t).version
-    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v, Some("grp"))
+    val m = GraftTable.loadManifest(TestSpark.spark, t)
+    val good = m.indices.find(_.name == "btree_id").get
+    // forge the manifest entry to claim the rows came from column `grp`
+    GraftTable.commitIndex(TestSpark.spark, t, good.copy(column = "grp"))
     val q = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
     assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
     assert(q.count() == 11) // flat scan stays exact
-    // legacy markers without a column identity are still accepted
-    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v, None)
+    // restoring the true identity re-enables the rewrite
+    GraftTable.commitIndex(TestSpark.spark, t, good)
     val q2 = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
     assert(q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("uuid guard: a dir rebuilt under a different build vetoes stale entries") {
+    val t = freshIndexed()
+    // tamper with the dir marker so its uuid no longer matches the entry —
+    // the shape of a dir that was overwritten by a LATER build while we hold
+    // an OLD manifest (time travel / restore / clone)
+    val v = GraftTable.loadManifest(TestSpark.spark, t).version
+    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v,
+      Some("id"), Some("not-the-committed-build"))
+    val q = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q.count() == 11)
+  }
+
+  test("legacy tables (no manifest entries): markers still drive the rewrite") {
+    // hand-roll an index the pre-manifest way: data + marker, no commit
+    val t = Files.createTempDirectory("graft_ir_").toString + "/t"
+    val df = TestSpark.spark.range(0, 500).toDF("id")
+      .withColumn("grp", pmod(col("id"), lit(10)))
+    GraftTable.write(df, t, "overwrite")
+    GraftTable.read(TestSpark.spark, t, withRowAddr = true)
+      .select(col("id").as("v"), col(GraftTable.RowAddrCol))
+      .write.parquet(s"$t/_indices/btree_id")
+    val v = GraftTable.loadManifest(TestSpark.spark, t).version
+    assert(!GraftTable.loadManifest(TestSpark.spark, t).indicesAuthoritative)
+    // legacy markers without a column identity are accepted
+    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v, None)
+    val q = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+    assert(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (100L to 110L))
+    // a marker naming a different column vetoes (legacy column check)
+    ScalarIndex.writeVersionMarker(TestSpark.spark, s"$t/_indices/btree_id", v, Some("grp"))
+    val q2 = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q2.count() == 11)
+  }
+
+  test("manifest authority: committed builds are visible with zero FS probes after first load") {
+    val t = freshIndexed()
+    assert(GraftTable.loadManifest(TestSpark.spark, t).indices.map(_.name) == Seq("btree_id"))
+    // simulate a fresh process: wipe every memoized probe
+    graft.format.GraftScalarIndexRule.invalidateCache()
+    def plan() = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+      .queryExecution.optimizedPlan.toString
+    val before = graft.format.GraftScalarIndexRule.fsProbes.get()
+    assert(plan().contains("LeftSemi")) // first load: ONE uuid verification
+    val afterFirst = graft.format.GraftScalarIndexRule.fsProbes.get()
+    assert(afterFirst - before <= 1, s"first load probed ${afterFirst - before}×")
+    (1 to 5).foreach(_ => assert(plan().contains("LeftSemi")))
+    assert(graft.format.GraftScalarIndexRule.fsProbes.get() == afterFirst,
+      "repeat queries must not touch the filesystem")
   }
 
   test("renames and adds that shadow another column's physical name are rejected") {
