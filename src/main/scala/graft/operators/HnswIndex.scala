@@ -140,22 +140,38 @@ object HnswIndex {
     StructField("level", IntegerType),
     StructField("nbrs", ArrayType(ArrayType(LongType))),
     StructField(AddrCol, LongType, nullable = true),
-    StructField(PidCol, IntegerType)))
+    StructField(PidCol, IntegerType),
+    StructField("codes", BinaryType, nullable = true)))
 
   /** Build IVF_HNSW: coarse-assign with the IVF model, then one graph per
     * partition, built concurrently via mapPartitions. If `df` carries
     * `_rowaddr` (a table-backed build), each node records its address so
-    * [[searchCombined]] can mark post-build deletions dead at query time. */
+    * [[searchCombined]] can mark post-build deletions dead at query time.
+    *
+    * `storage` = "flat" | "sq" (reference `IVF_HNSW_SQ`,
+    * `rust/lance-index/src/lib.rs:98-130`, `vector/hnsw/` over `sq/`
+    * storage): with "sq" each node ALSO persists int8 SQ codes, and the
+    * query-time graph cache/shuffle carries ONLY the codes (4× smaller than
+    * float vectors — the cost that dominates an in-memory graph at scale);
+    * the beam searches on asymmetric SQ distance and survivors are refined
+    * against the exact vectors, which stay on disk, column-pruned out of
+    * the cache. The graph TOPOLOGY is always built from full-precision
+    * vectors (they are present at build time — quantizing the build would
+    * only lose edges). */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 16, efConstruction: Int = 64,
-            metric: String = "l2"): IvfIndex.Model = {
+            metric: String = "l2", storage: String = "flat"): IvfIndex.Model = {
+    require(storage == "flat" || storage == "sq", s"unknown hnsw storage: $storage")
     // cosine: graph vectors are unit-normalized; internal l2 ranking is then
     // cosine-rank-equivalent (see IvfIndex.forMetric)
     val df = IvfIndex.forMetric(df0, vecCol, metric)
     val spark = df.sparkSession
     invalidateCache(indexPath)
-    IvfIndex.writeVectorMeta(spark, indexPath, metric)
+    IvfIndex.writeVectorMeta(spark, indexPath, metric, storage)
     val model = IvfIndex.train(df, idCol, vecCol, nlist)
+    val sqModel: Option[SqIndex.SqModel] =
+      if (storage == "sq") Some(SqIndex.train(df, vecCol)) else None
+    sqModel.foreach(SqIndex.writeSq(spark, indexPath, _))
     val addrExpr = if (df.columns.contains(AddrCol)) col(AddrCol)
       else lit(null).cast(LongType)
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -181,7 +197,8 @@ object HnswIndex {
         val addrOf = rows.iterator.map(r => r._1 -> r._3).toMap
         buildGraph(rows.map(r => (r._1, r._2)).toSeq, mLocal, efLocal).map { nd =>
           Row(nd.id, nd.vec.toSeq, nd.level, nd.nbrs.map(_.toSeq).toSeq,
-            addrOf(nd.id), pid)
+            addrOf(nd.id), pid,
+            sqModel.map(SqIndex.encodeVec(nd.vec, _)).orNull)
         }
       }
     }
@@ -200,12 +217,12 @@ object HnswIndex {
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 16, efConstruction: Int = 64,
-                    metric: String = "l2"): IvfIndex.Model = {
+                    metric: String = "l2", storage: String = "flat"): IvfIndex.Model = {
     val mf = graft.format.GraftTable.loadManifest(spark, tablePath)
     val model = build(
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist, m, efConstruction, metric)
+      idCol, vecCol, indexPath, nlist, m, efConstruction, metric, storage)
     graft.index.ScalarIndex.writeCoverage(spark, indexPath, mf.version,
       mf.fragments.map(_.id))
     model
@@ -251,6 +268,14 @@ object HnswIndex {
     graphCache.keySet().asScala.toSeq
   }
 
+  /** Spark type of the cached graph's node payload (spec hook): ArrayType of
+    * floats under flat storage, BinaryType (int8 SQ codes) under sq — proof
+    * the cache does NOT carry raw vectors for a quantized index. */
+  def cachedPayloadType(indexPath: String): Option[DataType] = graphCache.synchronized {
+    Option(graphCache.get(indexPath))
+      .map(df => df.schema(df.schema.fieldIndex("__payload")).dataType)
+  }
+
   /** Materialize the partitioned+persisted graph for an index — lets a
     * build step book the one-time shuffle/persist cost instead of the
     * first search (VERDICT r4 #10). */
@@ -265,8 +290,14 @@ object HnswIndex {
       val df = if (hit != null &&
           hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE) hit
       else {
+        // SQ storage: the cached/shuffled graph carries int8 codes, NOT the
+        // float vectors — parquet column pruning leaves `vec` on disk for
+        // the refine pass only (the whole point of quantized node storage)
+        val payload =
+          if (IvfIndex.readVectorStorage(spark, indexPath) == "sq") col("codes")
+          else col("vec")
         val fresh = spark.read.parquet(s"$indexPath/graph")
-          .select(col("id"), col("vec"), col("level"), col("nbrs"),
+          .select(col("id"), payload.as("__payload"), col("level"), col("nbrs"),
             col(AddrCol), col(PidCol).as("pid"))
           .repartition(col("pid"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -286,10 +317,12 @@ object HnswIndex {
     */
   def search(spark: SparkSession, indexPath: String, query: Array[Float],
              k: Int, nprobes: Int, ef: Int = 64,
-             markDead: Option[DataFrame => DataFrame] = None): DataFrame = {
+             markDead: Option[DataFrame => DataFrame] = None,
+             refineFactor: Int = 10): DataFrame = {
     import spark.implicits._
     val model = IvfIndex.loadModel(spark, s"$indexPath")
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val storage = IvfIndex.readVectorStorage(spark, indexPath)
     val query2 = if (metric == "cosine") IvfIndex.normalize(query) else query
     val probes = model.rank(query2).take(math.min(nprobes, model.nlist))
     val efq = math.max(ef, k)
@@ -297,24 +330,55 @@ object HnswIndex {
       .filter(col("pid").isin(probes: _*))
     val marked = markDead.map(f => f(base))
       .getOrElse(base.withColumn("__dead", lit(false)))
-      .select(col("id"), col("vec"), col("level"), col("nbrs"), col("pid"),
+      .select(col("id"), col("__payload"), col("level"), col("nbrs"), col("pid"),
         col("__dead"))
-    val hits = marked.as[(Long, Seq[Float], Int, Seq[Seq[Long]], Int, Boolean)]
-      .mapPartitions { it =>
-        val byPid = mutable.Map.empty[Int,
-          mutable.Map[Long, (Array[Float], Int, Array[Array[Long]], Boolean)]]
-        it.foreach { case (id, vec, level, nbrs, pid, dead) =>
-          byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
-            (vec.toArray, level, nbrs.map(_.toArray).toArray, dead)
-        }
-        byPid.iterator.flatMap { case (_, g) =>
-          // cosine output = l2sq/2 on unit vectors (= 1 - cos); l2 = sqrt
-          searchGraph(g, query2, k, efq).map { case (id, d) =>
-            (id, if (metric == "cosine") d / 2.0 else math.sqrt(d))
+    if (storage == "sq") {
+      // beam on asymmetric SQ distance over the code-only cached graph, then
+      // exact refine: survivors' float vectors are read from the graph
+      // parquet (column-pruned to id+vec, semi-joined to ≤ k·refineFactor
+      // candidate ids) and re-ranked exactly — same two-pass contract as
+      // [[SqIndex.search]], with the beam replacing the partition scan.
+      val sq = SqIndex.loadSq(spark, indexPath)
+      val lo = sq.lo; val step = sq.steps
+      val cands = marked.as[(Long, Array[Byte], Int, Seq[Seq[Long]], Int, Boolean)]
+        .mapPartitions { it =>
+          val byPid = mutable.Map.empty[Int,
+            mutable.Map[Long, (Array[Byte], Int, Array[Array[Long]], Boolean)]]
+          it.foreach { case (id, codes, level, nbrs, pid, dead) =>
+            byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
+              (codes, level, nbrs.map(_.toArray).toArray, dead)
           }
-        }
-      }.toDF("id", Knn.DistanceCol)
-    hits.orderBy(col(Knn.DistanceCol), col("id")).limit(k)
+          byPid.iterator.flatMap { case (_, g) =>
+            searchGraph[Array[Byte]](g, c => SqIndex.adc(query2, c, lo, step),
+              math.max(k * refineFactor, efq), efq)
+          }
+        }.toDF("id", "__adc")
+        .orderBy(col("__adc"), col("id"))
+        .limit(k * refineFactor)
+        .select(col("id"))
+      val exact = spark.read.parquet(s"$indexPath/graph")
+        .select(col("id"), col("vec"))
+        .join(cands, Seq("id"), "left_semi")
+      Knn.flatSearch(exact, "vec", query2, k, metric, tieBreakers = Seq(col("id")))
+        .select(col("id"), col(Knn.DistanceCol))
+    } else {
+      val hits = marked.as[(Long, Seq[Float], Int, Seq[Seq[Long]], Int, Boolean)]
+        .mapPartitions { it =>
+          val byPid = mutable.Map.empty[Int,
+            mutable.Map[Long, (Array[Float], Int, Array[Array[Long]], Boolean)]]
+          it.foreach { case (id, vec, level, nbrs, pid, dead) =>
+            byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
+              (vec.toArray, level, nbrs.map(_.toArray).toArray, dead)
+          }
+          byPid.iterator.flatMap { case (_, g) =>
+            // cosine output = l2sq/2 on unit vectors (= 1 - cos); l2 = sqrt
+            searchGraph[Array[Float]](g, v => l2sq(query2, v), k, efq).map { case (id, d) =>
+              (id, if (metric == "cosine") d / 2.0 else math.sqrt(d))
+            }
+          }
+        }.toDF("id", Knn.DistanceCol)
+      hits.orderBy(col(Knn.DistanceCol), col("id")).limit(k)
+    }
   }
 
   /** `knn_combined` over a live table: HNSW over covered fragments with
@@ -324,7 +388,8 @@ object HnswIndex {
     * `scanner.rs:2946-3030`. */
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
-                     k: Int, nprobes: Int, ef: Int = 64): DataFrame = {
+                     k: Int, nprobes: Int, ef: Int = 64,
+                     refineFactor: Int = 10): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
@@ -358,7 +423,7 @@ object HnswIndex {
       }
     }
     val indexed = search(spark, indexPath, query, k, nprobes, ef,
-        markDead = Some(markDead))
+        markDead = Some(markDead), refineFactor = refineFactor)
       .select(col("id").as(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (freshFrags.isEmpty) return indexed
@@ -375,14 +440,16 @@ object HnswIndex {
 
   /** Greedy descent + layer-0 beam over one deserialized partition graph.
     * Dead nodes (4th tuple slot) are traversed but never admitted to the
-    * result heap — standard filtered-HNSW semantics. */
-  private def searchGraph(
-      g: mutable.Map[Long, (Array[Float], Int, Array[Array[Long]], Boolean)],
-      q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    * result heap — standard filtered-HNSW semantics. Generic in the node
+    * payload: float vectors under flat storage (`dist` = l2²), int8 SQ
+    * codes under sq storage (`dist` = asymmetric ADC). */
+  private def searchGraph[A](
+      g: mutable.Map[Long, (A, Int, Array[Array[Long]], Boolean)],
+      dist: A => Double, k: Int, ef: Int): Seq[(Long, Double)] = {
     if (g.isEmpty) return Nil
     // entry = max level, ties → min id (matches build's entry maintenance)
     var (epId, (epVec, epLvl, _, _)) = g.maxBy { case (id, (_, lvl, _, _)) => (lvl, -id) }
-    var epDist = l2sq(q, epVec)
+    var epDist = dist(epVec)
     var l = epLvl
     while (l > 0) { // greedy single-path descent above layer 0
       var improved = true
@@ -391,7 +458,7 @@ object HnswIndex {
         val (_, lvl, nbrs, _) = g(epId)
         if (lvl >= l) nbrs(l).foreach { nid =>
           g.get(nid).foreach { case (nv, _, _, _) =>
-            val d = l2sq(q, nv)
+            val d = dist(nv)
             if (d < epDist) { epDist = d; epId = nid; improved = true }
           }
         }
@@ -413,7 +480,7 @@ object HnswIndex {
       else g(c)._3.headOption.foreach { nbrs0 =>
         nbrs0.foreach { nid =>
           if (visited.add(nid)) g.get(nid).foreach { case (nv, _, _, dead) =>
-            val d = l2sq(q, nv)
+            val d = dist(nv)
             if (best.size < ef || d < best.head._1) {
               cand.enqueue((d, nid))
               if (!dead) {

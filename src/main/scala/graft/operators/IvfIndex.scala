@@ -320,15 +320,29 @@ object IvfIndex {
           .otherwise(v))
     }
 
-  /** Per-index vector metadata sidecar (currently: the build metric), so
-    * search paths serve the metric the index was built for. Absent marker =
-    * legacy l2 index. */
+  /** Per-index vector metadata sidecar (build metric + node storage codec),
+    * so search paths serve what the index was built for. Absent marker =
+    * legacy l2/flat index. */
   private[operators] def writeVectorMeta(spark: SparkSession, indexPath: String,
-                                         metric: String): Unit = {
+                                         metric: String,
+                                         storage: String = "flat"): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(s"""{"metric": "$metric"}""".getBytes("UTF-8")) finally out.close()
+    try out.write(s"""{"metric": "$metric", "storage": "$storage"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Node storage codec the index was built with ("flat" | "sq"). */
+  private[operators] def readVectorStorage(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "flat"
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      "\"storage\"\\s*:\\s*\"(\\w+)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("flat")
+    }
   }
 
   private[operators] def readVectorMeta(spark: SparkSession, indexPath: String): String = {

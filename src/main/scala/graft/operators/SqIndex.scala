@@ -81,9 +81,7 @@ object SqIndex {
     spark.createDataFrame(ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
       .toDF("pid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
-    spark.createDataFrame(sq.lo.indices.map(i => (i, sq.lo(i), sq.hi(i))))
-      .toDF("pos", "lo", "hi")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/sq")
+    writeSq(spark, indexPath, sq)
     (ivf, sq)
   }
 
@@ -147,6 +145,46 @@ object SqIndex {
       (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
     freshFrags.map(_.rows).sum
   }
+
+  /** Plain-JVM encode (shared with the HNSW_SQ graph builder, which encodes
+    * inside mapPartitions rather than through a Catalyst expression). */
+  private[operators] def encodeVec(v: Array[Float], model: SqModel): Array[Byte] = {
+    if (v.length != model.d)
+      throw new IllegalArgumentException(
+        s"sq encode: vector dimension ${v.length} != trained dimension ${model.d}")
+    val lo = model.lo; val hi = model.hi
+    val out = new Array[Byte](model.d)
+    var i = 0
+    while (i < model.d) {
+      val range = hi(i) - lo(i)
+      val q = if (range <= 0f) 0 else math.round((v(i) - lo(i)) / range * 255.0f)
+      out(i) = math.max(0, math.min(255, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Plain-JVM asymmetric l2² (codes decode on the fly) — the beam-search
+    * hot loop of HNSW_SQ. */
+  private[operators] def adc(q: Array[Float], codes: Array[Byte],
+                             lo: Array[Float], step: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(codes.length, q.length)
+    while (i < n) {
+      val d = q(i) - (lo(i) + (codes(i) & 0xff) * step(i))
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Persist per-dimension bounds under `$indexPath/sq` (the layout
+    * [[loadSq]] reads — shared by IVF_SQ and IVF_HNSW_SQ). */
+  private[operators] def writeSq(spark: SparkSession, indexPath: String, sq: SqModel): Unit =
+    spark.createDataFrame(sq.lo.indices.map(i => (i, sq.lo(i), sq.hi(i))))
+      .toDF("pos", "lo", "hi")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/sq")
 
   def loadSq(spark: SparkSession, indexPath: String): SqModel = {
     val rows = spark.read.parquet(s"$indexPath/sq").orderBy("pos").collect()

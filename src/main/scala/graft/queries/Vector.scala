@@ -62,6 +62,21 @@ object Vector {
       dir
     })
 
+  private val builtHnswSq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hnswSqIndexFor(s: SparkSession, d: String): String =
+    builtHnswSq.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/hnswsq_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.HnswIndex.build(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
+        storage = "sq")
+      dir
+    })
+
   private def freshDir(s: SparkSession, name: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -90,7 +105,9 @@ object Vector {
     // warm() books the graph shuffle+persist here so q_ann_hnsw measures
     // query cost, not one-time cache materialization (VERDICT r4 #10)
     "build_hnsw" -> ((s, d) => {
-      graft.operators.HnswIndex.warm(s, hnswIndexFor(s, d)) })
+      graft.operators.HnswIndex.warm(s, hnswIndexFor(s, d)) }),
+    "build_hnsw_sq" -> ((s, d) => {
+      graft.operators.HnswIndex.warm(s, hnswSqIndexFor(s, d)) })
   )
 
   /** Queries that write/mutate temp tables and build throwaway indexes —
@@ -229,6 +246,20 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // IVF_HNSW_SQ (reference IVF_HNSW_SQ, lib.rs:98-130 — hnsw/ over sq/
+    // storage): the cached graph carries int8 codes only; beam on asymmetric
+    // SQ distance, exact refine on survivors. Full probes + exhaustive beam
+    // (ef = corpus size) + wide refine == flat search — the oracle-checked
+    // HNSW family (VERDICT r5 task #2; q_ann_hnsw stays rows-only).
+    "q_ann_hnsw_sq" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = hnswSqIndexFor(s, d)
+      val n = Tables.embeddings(s, d).count().toInt
+      graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4,
+          ef = n, refineFactor = 100)
+        .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // Approximate probe (nprobes=2 of 8) — rows-only gate entry; quality is
     // asserted by the recall spec instead.
     "q_ann_ivf_probe" -> { (s, d) =>
@@ -353,6 +384,13 @@ object Vector {
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_ivfsq_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_hnsw_sq" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist

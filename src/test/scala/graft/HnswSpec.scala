@@ -46,6 +46,40 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("sq storage: cache holds codes not vectors; refined recall ≥ the flat variant's") {
+    val dir = Files.createTempDirectory("hnsw_sq_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
+      storage = "sq")
+    HnswIndex.warm(spark, dir)
+    // the cached/shuffled graph must carry int8 codes, NOT float vectors —
+    // the entire point of quantized node storage at scale
+    assert(HnswIndex.cachedPayloadType(dir)
+      .contains(org.apache.spark.sql.types.BinaryType))
+    def recallOf(searcher: Array[Float] => Set[Long]): Double = {
+      val hits = (0 until 20).map { qi =>
+        val q = queryVec(qi.toLong * 7 % 500)
+        val exact = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+          .select("vec_id").as[Long].collect().toSet
+        (searcher(q) intersect exact).size.toDouble / exact.size
+      }
+      hits.sum / hits.length
+    }
+    val sqRecall = recallOf(q => HnswIndex.search(spark, dir, q, k = 10, nprobes = 4, ef = 64)
+      .select("id").as[Long].collect().toSet)
+    val flatRecall = recallOf(q => HnswIndex.search(spark, idx, q, k = 10, nprobes = 4, ef = 64)
+      .select("id").as[Long].collect().toSet)
+    assert(sqRecall >= flatRecall - 1e-9,
+      s"sq recall $sqRecall < flat recall $flatRecall")
+    assert(sqRecall >= 0.9, s"sq recall@10 = $sqRecall")
+    // distances come from the EXACT refine pass: the self-query's nearest
+    // hit is itself at distance ~0 despite the lossy beam
+    val q0 = queryVec(42L)
+    val top = HnswIndex.search(spark, dir, q0, k = 3, nprobes = 4, ef = 64)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 42L && top.head._2 < 1e-6, top.toSeq.toString)
+  }
+
   test("cosine metric: high recall vs flat cosine, distances on the cosine scale") {
     val dir = Files.createTempDirectory("hnsw_cos_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
