@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** IVF_RQ: 1-bit-per-dimension binary quantization inside IVF partitions —
+  * the 32×-compression end of the quantization spectrum (reference
+  * `rust/lance-index/src/vector/bq/`, `IndexType::IvfRq`, `lib.rs:98-130`;
+  * the construction is the public RaBitQ idea: sign-quantize the CENTROID
+  * RESIDUAL and correct the estimated distance with the stored residual
+  * norm).
+  *
+  *  - **encode** ([[RqEncode]]): residual `r = v - c(pid)`; code bit i =
+  *    `sign(r_i)` packed 8/byte, plus one float `‖r‖`. A 64-dim vector
+  *    (256 B) becomes 8 B + 4 B.
+  *  - **estimate** ([[RqAdc]], codegen'd): with the unit direction
+  *    approximation `r̂ = sign(r)/√d`,
+  *    `l2²(q, v) ≈ ‖q − c‖² + ‖r‖² − 2·‖r‖·⟨q − c, r̂⟩`, and the inner
+  *    product needs only one pass over the bits:
+  *    `⟨q − c, r̂⟩ = (2·T − S)/√d` where `S = Σ(q_i − c_i)` is precomputed
+  *    per probed partition and `T = Σ_{bit i set}(q_i − c_i)` per row.
+  *  - **search**: identical two-pass shape to [[SqIndex.search]] /
+  *    [[PqIndex.search]] — pass 1 ranks (id, codes, norm) by estimated
+  *    distance keeping k·refineFactor candidates, pass 2 re-reads the float
+  *    vectors for candidates only and re-ranks exactly. The estimator is
+  *    coarser than SQ/PQ (1 bit/dim), so exactness at the gate comes from
+  *    the refine pass; realistic-config quality is gated by the recall spec.
+  *
+  * Layout, coverage markers, incremental maintenance, and the combined
+  * (delete/compaction-safe) search all mirror [[SqIndex]]: one partitioned
+  * parquet dataset under `vectors/`, centroids under `centroids/`.
+  */
+object RqIndex {
+  val CodeCol = "__rq_codes"
+  val NormCol = "__rq_norm"
+
+  /** IVF assignment (coarse) + sign codes & residual norm (fine), one
+    * distributed pass, partitioned parquet layout shared with IVF/PQ/SQ.
+    * cosine: stores NORMALIZED vectors (rank-equivalence route shared with
+    * SQ/PQ; the refine pass computes true cosine). */
+  def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
+            nlist: Int, metric: String = "l2"): IvfIndex.Model = {
+    val df = IvfIndex.forMetric(df0, vecCol, metric)
+    val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
+    IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric)
+    df.withColumn(IvfIndex.PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      .withColumn("__rq", ColumnBridge.column(RqEncode(
+        ColumnBridge.expression(col(vecCol)),
+        ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids)))
+      .withColumn(CodeCol, col("__rq.codes"))
+      .withColumn(NormCol, col("__rq.rnorm"))
+      .drop("__rq")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+    val spark = df.sparkSession
+    spark.createDataFrame(ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("pid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+    ivf
+  }
+
+  /** Build over a graft table snapshot with a coverage marker, like
+    * [[SqIndex.buildForTable]]. */
+  def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
+                    vecCol: String, indexPath: String, nlist: Int,
+                    metric: String = "l2"): IvfIndex.Model = {
+    val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
+    val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
+        withRowId = idCol == graft.format.GraftTable.RowIdCol),
+      idCol, vecCol, indexPath, nlist, metric)
+    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
+      mft.fragments.map(_.id))
+    out
+  }
+
+  /** Incremental maintenance: encode ONLY uncovered fragments with the
+    * EXISTING centroids (O(delta) IO); a compaction that removed covered
+    * fragments triggers the filtered rewrite, exactly like
+    * [[SqIndex.optimizeForTable]]. */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, indexPath: String): Long = {
+    import graft.format.GraftTable
+    val mft = GraftTable.loadManifest(spark, tablePath)
+    val covered = IvfIndex.coveredFragmentIds(spark, indexPath, mft)
+    val liveIds = mft.fragments.map(_.id).toSet
+    val staleIds = covered.diff(liveIds)
+    val freshFrags = mft.fragments.filterNot(f => covered.contains(f.id))
+    val ivf = IvfIndex.loadModel(spark, indexPath)
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val encode = (df0: DataFrame) => IvfIndex.forMetric(df0, vecCol, metric)
+      .withColumn(IvfIndex.PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      .withColumn("__rq", ColumnBridge.column(RqEncode(
+        ColumnBridge.expression(col(vecCol)),
+        ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids)))
+      .withColumn(CodeCol, col("__rq.codes"))
+      .withColumn(NormCol, col("__rq.rnorm"))
+      .drop("__rq")
+    val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
+    val needRid = idCol == GraftTable.RowIdCol
+    if (staleIds.isEmpty && !legacy) {
+      if (freshFrags.nonEmpty) {
+        encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+            withRowAddr = true, withRowId = needRid))
+          .write.mode(SaveMode.Append)
+          .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+      }
+    } else {
+      val keep = IvfIndex.liveFragmentFilter(spark,
+        spark.read.parquet(s"$indexPath/vectors"), covered.intersect(liveIds))
+      val freshEncoded =
+        if (freshFrags.isEmpty) None
+        else Some(encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
+          withRowAddr = true, withRowId = needRid)))
+      freshEncoded.map(keep.unionByName(_, allowMissingColumns = true))
+        .getOrElse(keep)
+        .write.mode(SaveMode.Overwrite).partitionBy(IvfIndex.PidCol)
+        .parquet(s"$indexPath/vectors__fresh")
+      IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
+    }
+    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
+      (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
+    freshFrags.map(_.rows).sum
+  }
+
+  /** ANN search: binary asymmetric candidate pass + exact refine pass, both
+    * restricted to the probed partitions and column-pruned; `prefilter` is
+    * applied before ranking (reference prefiltered ANN). */
+  def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+             query: Array[Float], kNeighbors: Int, nprobes: Int,
+             refineFactor: Int = 10,
+             prefilter: Option[Column] = None,
+             candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
+    val ivf = IvfIndex.loadModel(spark, indexPath)
+    require(query.length == ivf.centroids.headOption.map(_.length).getOrElse(query.length),
+      s"rq search: query dimension ${query.length} != index dimension " +
+        s"${ivf.centroids.head.length}")
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val q = if (metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = ivf.rank(q).take(math.min(nprobes, ivf.nlist))
+    val part0 = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col(IvfIndex.PidCol).isin(probes: _*))
+    // transform (DV/liveness) BEFORE ranking so dead rows cannot occupy
+    // candidate slots
+    val part = candidateTransform(prefilter.map(part0.filter).getOrElse(part0))
+    // pass 1: (id, codes, norm) only — binary asymmetric ranking
+    val cands = part.select(col(idCol), col(CodeCol), col(NormCol),
+        col(IvfIndex.PidCol))
+      .withColumn("_rqd", ColumnBridge.column(RqAdc(
+        ColumnBridge.expression(col(CodeCol)),
+        ColumnBridge.expression(col(NormCol)),
+        ColumnBridge.expression(col(IvfIndex.PidCol)), q, ivf.centroids)))
+      .orderBy(col("_rqd"), col(idCol))
+      .limit(kNeighbors * refineFactor)
+      .select(col(idCol))
+    // pass 2: exact distances for the candidates only (stored vectors are
+    // normalized under cosine; cosine is magnitude-invariant)
+    Knn.flatSearch(
+      part.join(cands, Seq(idCol), "left_semi"),
+      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)))
+      .drop(IvfIndex.PidCol, CodeCol, NormCol)
+  }
+
+  /** Delete/compaction-safe combined search (same contract as
+    * [[IvfIndex.searchCombined]]): DV and fragment liveness applied to the
+    * probed candidates before ranking, fresh fragments flat-searched and
+    * unioned. Serves the index's stored metric: l2 directly, cosine via
+    * normalized stored vectors + exact-cosine refine. */
+  def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
+                     idCol: String, vecCol: String, query: Array[Float],
+                     k: Int, nprobes: Int, refineFactor: Int = 10,
+                     prefilter: Option[Column] = None): DataFrame =
+    IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k,
+      IvfIndex.readVectorMeta(spark, indexPath), prefilter)(
+      transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
+        refineFactor, prefilter, candidateTransform = transform))
+}
+
+/** (vector, pid) → struct(sign-bit codes packed 8/byte, residual norm).
+  * Build-time only — CodegenFallback is fine. */
+case class RqEncode(left: Expression, right: Expression,
+                    centroids: Array[Array[Float]])
+    extends BinaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("rnorm", FloatType, nullable = false)))
+  override def prettyName: String = "rq_encode"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"rq_encode requires (array<float>, int), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def nullSafeEval(vec: Any, pid: Any): Any = {
+    val arr = vec.asInstanceOf[ArrayData]
+    val c = centroids(pid.asInstanceOf[Int])
+    if (arr.numElements() != c.length)
+      throw new IllegalArgumentException(
+        s"rq_encode: vector dimension ${arr.numElements()} != centroid dimension ${c.length}")
+    val d = c.length
+    val codes = new Array[Byte]((d + 7) / 8)
+    var norm2 = 0.0
+    var i = 0
+    while (i < d) {
+      val r = arr.getFloat(i) - c(i)
+      norm2 += r.toDouble * r
+      if (r > 0f) codes(i >> 3) = (codes(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(codes, math.sqrt(norm2).toFloat)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** (codes, rnorm, pid) → estimated l2² against the float query. Codegen'd —
+  * the hot loop of the candidate pass; the per-partition query residuals
+  * `qc[pid] = q − c(pid)`, their sums `S[pid]`, and norms `‖q−c‖²[pid]` are
+  * precomputed once per query and ship as codegen reference objects. */
+case class RqAdc(first: Expression, second: Expression, third: Expression,
+                 query: Array[Float], centroids: Array[Array[Float]])
+    extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rq_adc"
+
+  // per-partition precomputation (driver-side, nlist × d floats)
+  @transient private lazy val qc: Array[Array[Float]] =
+    centroids.map(c => Array.tabulate(c.length)(i => query(i) - c(i)))
+  @transient private lazy val qcSum: Array[Double] = qc.map(_.foldLeft(0.0)(_ + _))
+  @transient private lazy val qcNorm2: Array[Double] =
+    qc.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+  @transient private lazy val invSqrtD: Double = 1.0 / math.sqrt(query.length.toDouble)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == FloatType &&
+        third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("rq_adc requires (binary, float, int)")
+
+  override def nullSafeEval(codesAny: Any, normAny: Any, pidAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[Array[Byte]]
+    val rnorm = normAny.asInstanceOf[Float].toDouble
+    val pid = pidAny.asInstanceOf[Int]
+    val qcp = qc(pid)
+    var t = 0.0
+    var i = 0
+    val d = qcp.length
+    while (i < d) {
+      if (((codes(i >> 3) >> (i & 7)) & 1) != 0) t += qcp(i)
+      i += 1
+    }
+    qcNorm2(pid) + rnorm * rnorm - 2.0 * rnorm * ((2.0 * t - qcSum(pid)) * invSqrtD)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val qcRef = ctx.addReferenceObj("rqQc", qc, "float[][]")
+    val sumRef = ctx.addReferenceObj("rqSum", qcSum, "double[]")
+    val n2Ref = ctx.addReferenceObj("rqNorm2", qcNorm2, "double[]")
+    val isd = invSqrtD
+    nullSafeCodeGen(ctx, ev, (codes, rnorm, pid) => {
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val qcp = ctx.freshName("qcp")
+      val rn = ctx.freshName("rn")
+      s"""
+         |float[] $qcp = $qcRef[$pid];
+         |int $d = $qcp.length;
+         |double $t = 0.0;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  if ((($codes[$i >> 3] >> ($i & 7)) & 1) != 0) $t += $qcp[$i];
+         |}
+         |double $rn = (double) $rnorm;
+         |${ev.value} = $n2Ref[$pid] + $rn * $rn
+         |  - 2.0 * $rn * ((2.0 * $t - $sumRef[$pid]) * $isd);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
