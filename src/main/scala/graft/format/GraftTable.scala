@@ -43,6 +43,9 @@ object GraftTable {
     * unlike `_rowaddr` — preserved through compaction rewrites (see
     * [[Manifest]] `FragmentMeta.rowIdStart`/`rowIdStored`). */
   val RowIdCol = "_rowid"
+  val RowOffsetCol = "_rowoffset"
+  val RowCreatedCol = "_row_created_at_version"
+  val RowLastUpdatedCol = "_row_last_updated_at_version"
   private val FragRe = "frag-(\\d+)\\.parquet$"
 
   // ---------------------------------------------------------------- metadata
@@ -374,9 +377,10 @@ object GraftTable {
     * DV parquet size).
     */
   def read(spark: SparkSession, tablePath: String, version: Option[Long] = None,
-           withRowAddr: Boolean = false, withRowId: Boolean = false): DataFrame =
+           withRowAddr: Boolean = false, withRowId: Boolean = false,
+           withRowVersions: Boolean = false): DataFrame =
     readManifest(spark, tablePath, loadManifest(spark, tablePath, version),
-      withRowAddr, withRowId)
+      withRowAddr, withRowId, withRowVersions)
 
   /** Read a fragment subset of a snapshot (CDC / take-style access). */
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
@@ -386,14 +390,19 @@ object GraftTable {
       withRowAddr = withRowAddr, withRowId = withRowId)
 
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
-                           withRowAddr: Boolean, withRowId: Boolean = false): DataFrame = {
+                           withRowAddr: Boolean, withRowId: Boolean = false,
+                           withRowVersions: Boolean = false): DataFrame = {
     val t = new Path(tablePath)
-    if (withRowId) require(m.hasRowIds,
+    // row-version columns derive creation from stable row ids when the
+    // table has them; the internal id is dropped again below unless the
+    // caller asked for it
+    val needRowId = withRowId || (withRowVersions && m.hasRowIds)
+    if (needRowId) require(m.hasRowIds,
       s"table at $tablePath predates stable row ids (rewrite to assign them)")
     // fragments that persist `_rowid` physically (compaction rewrites) expose
     // it through the scan schema; parquet yields null for fragments without
     // the column, and those derive it from their contiguous range instead
-    val hasStored = withRowId && m.fragments.exists(_.rowIdStored)
+    val hasStored = needRowId && m.fragments.exists(_.rowIdStored)
     // fragment parquet carries PHYSICAL column names (renames are
     // metadata-only, like the reference's field-id indirection); the scan
     // reads physical and a projection below restores logical names
@@ -420,9 +429,9 @@ object GraftTable {
 
     // metadata-derived columns must be materialized ON the scan relation —
     // `_metadata` does not resolve across a join boundary
-    val needAddr = withRowAddr || m.dvFiles.nonEmpty || m.columnFiles.nonEmpty
-    val base1 = if (needAddr || withRowId) base.withColumn(RowAddrCol, addr) else base
-    val withAddr = if (!withRowId) base1 else {
+    val needAddr = withRowAddr || withRowVersions || m.dvFiles.nonEmpty || m.columnFiles.nonEmpty
+    val base1 = if (needAddr || needRowId) base.withColumn(RowAddrCol, addr) else base
+    val withAddr = if (!needRowId) base1 else {
       val stored = if (hasStored) col(RowIdCol) else lit(null).cast("long")
       val ranged = m.fragments.filter(f => !f.rowIdStored && f.rowIdStart >= 0)
       if (ranged.isEmpty) base1.withColumn(RowIdCol, stored)
@@ -456,8 +465,65 @@ object GraftTable {
         renamed.join(dv, Seq(RowAddrCol), "left_anti")
       }
     val merged = mergeColumnFiles(spark, t, m, live)
-    val out = if (withRowAddr) merged else merged.drop(RowAddrCol)
+    val versioned = if (!withRowVersions) merged else addRowVersionColumns(spark, tablePath, m, merged)
+    val out0 = if (withRowAddr) versioned else versioned.drop(RowAddrCol)
+    val out = if (withRowId || !needRowId) out0 else out0.drop(RowIdCol)
     out
+  }
+
+  /** System columns `_rowoffset`, `_row_created_at_version`,
+    * `_row_last_updated_at_version` (reference `lance-core/src/lib.rs:19-27`,
+    * `AddRowOffsetExec` `io/exec/rowids.rs:346`) — all derived from manifest
+    * METADATA broadcast against the scan, zero extra data IO:
+    *
+    *  - `_rowoffset` = the row's position in the snapshot's physical scan
+    *    order (fragment-order cumulative start + row index).
+    *  - `_row_last_updated_at_version` = the fragment's addedVersion: this
+    *    format rewrites updated rows into new fragments, so the fragment's
+    *    commit IS the row's last write (a compaction rewrite also counts as
+    *    a touch, as in the reference's fragment-level metadata).
+    *  - `_row_created_at_version` = the version whose commit first assigned
+    *    the row's stable id: row ids are allocated monotonically
+    *    (`nextRowId` high-water), so creation resolves from the manifest
+    *    chain's id boundaries — and SURVIVES compaction, which preserves
+    *    ids while resetting addedVersion. Tables without row ids fall back
+    *    to the fragment's addedVersion. */
+  private def addRowVersionColumns(spark: SparkSession, tablePath: String,
+                                   m: GraftManifest, scan: DataFrame): DataFrame = {
+    val ordered = m.fragments
+    val starts = ordered.scanLeft(0L)((acc, f) => acc + f.rows).init
+    val fmeta = spark.createDataFrame(
+        ordered.zip(starts).map { case (f, s) => (f.id, s, f.addedVersion) })
+      .toDF("__fv_frag", "__fv_start", "__fv_added")
+    val withF = scan
+      .join(broadcast(fmeta),
+        shiftrightunsigned(col(RowAddrCol), 32) === col("__fv_frag"), "left_outer")
+      .withColumn(RowOffsetCol,
+        col("__fv_start") + col(RowAddrCol).bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn(RowLastUpdatedCol, col("__fv_added"))
+    val created =
+      if (!m.hasRowIds) withF.withColumn(RowCreatedCol, col("__fv_added"))
+      else {
+        // (id-range → creating version) intervals from the manifest chain:
+        // version-count-sized driver metadata, broadcast for a range lookup
+        val boundaries = versions(spark, tablePath).filter(_ <= m.version).sorted
+          .map(v => scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption)
+          .collect { case Some(mf) => (mf.version, mf.nextRowId) }
+        val intervals = boundaries.foldLeft((0L, List.empty[(Long, Long, Long)])) {
+          case ((lo, acc), (v, hi)) =>
+            if (hi > lo) (hi, (lo, hi, v) :: acc) else (lo, acc)
+        }._2.reverse
+        if (intervals.isEmpty) withF.withColumn(RowCreatedCol, col("__fv_added"))
+        else {
+          val bDf = spark.createDataFrame(intervals).toDF("__cb_lo", "__cb_hi", "__cb_v")
+          withF.join(broadcast(bDf),
+              col(RowIdCol) >= col("__cb_lo") && col(RowIdCol) < col("__cb_hi"),
+              "left_outer")
+            .withColumn(RowCreatedCol, coalesce(col("__cb_v"), col("__fv_added")))
+            .drop("__cb_lo", "__cb_hi", "__cb_v")
+        }
+      }
+    created.drop("__fv_frag", "__fv_start", "__fv_added")
   }
 
   /** Merge supplemental column datasets (no-rewrite add_columns) into a scan

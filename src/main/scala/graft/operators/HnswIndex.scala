@@ -389,7 +389,8 @@ object HnswIndex {
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, ef: Int = 64,
-                     refineFactor: Int = 10): DataFrame = {
+                     refineFactor: Int = 10,
+                     fastSearch: Boolean = false): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
@@ -426,7 +427,8 @@ object HnswIndex {
         markDead = Some(markDead), refineFactor = refineFactor)
       .select(col("id").as(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
-    if (freshFrags.isEmpty) return indexed
+    // fast_search (reference scanner.rs:1176-1193): indexed data only
+    if (fastSearch || freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(
         GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),

@@ -290,8 +290,10 @@ object IvfIndex {
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, metric: String = "l2",
-                     prefilter: Option[Column] = None): DataFrame =
-    combined(spark, tablePath, indexPath, idCol, vecCol, query, k, metric, prefilter)(
+                     prefilter: Option[Column] = None,
+                     fastSearch: Boolean = false): DataFrame =
+    combined(spark, tablePath, indexPath, idCol, vecCol, query, k, metric, prefilter,
+      fastSearch)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         metric = metric, prefilter = prefilter, candidateTransform = transform))
 
@@ -362,11 +364,18 @@ object IvfIndex {
     * builds the DV/liveness candidate transform, runs the family's indexed
     * search with it, and unions a flat search over fragments the index does
     * not cover. `runIndexed` receives the transform and must apply it to
-    * its candidate set BEFORE any top-k cut. */
+    * its candidate set BEFORE any top-k cut.
+    *
+    * `fastSearch` (reference `fast_search`, `scanner.rs:1176-1193`): skip
+    * the fresh-fragment flat leg entirely — results come from INDEXED data
+    * only, trading freshness for latency (the DV/liveness transform still
+    * applies, so deleted rows never resurface; identical results when
+    * coverage is complete). */
   private[operators] def combined(spark: SparkSession, tablePath: String,
                                   indexPath: String, idCol: String, vecCol: String,
                                   query: Array[Float], k: Int, metric: String,
-                                  prefilter: Option[Column])(
+                                  prefilter: Option[Column],
+                                  fastSearch: Boolean = false)(
       runIndexed: (DataFrame => DataFrame) => DataFrame): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
@@ -392,7 +401,7 @@ object IvfIndex {
     }
     val indexed = runIndexed(transform).select(col(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
-    if (freshFrags.isEmpty) return indexed
+    if (fastSearch || freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(
         GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),

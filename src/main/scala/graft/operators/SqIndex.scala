@@ -240,9 +240,10 @@ object SqIndex {
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, refineFactor: Int = 10,
-                     prefilter: Option[Column] = None): DataFrame =
+                     prefilter: Option[Column] = None,
+                     fastSearch: Boolean = false): DataFrame =
     IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k,
-      IvfIndex.readVectorMeta(spark, indexPath), prefilter)(
+      IvfIndex.readVectorMeta(spark, indexPath), prefilter, fastSearch)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         refineFactor, prefilter, candidateTransform = transform))
 }

@@ -51,6 +51,27 @@ object Format {
         .orderBy(col("rid"))
     },
 
+    // Row-version system columns (reference lance-core/src/lib.rs:19-27):
+    // create (v1) + append (v2) + DV-delete (v3) + full compaction (v4).
+    // Compaction rewrites every fragment (addedVersion=4 ⇒ last_updated=4)
+    // but PRESERVES stable row ids, so _row_created_at_version still
+    // resolves 1/2 from the manifest chain's id boundaries — exactly what
+    // the oracle predicts from the write split.
+    "q_row_versions" -> { (s, d) =>
+      val t = freshDir(s, "row_versions")
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val cut = c.count() / 2
+      GraftTable.write(c.filter(col("c_custkey") <= cut).coalesce(1), t, "overwrite")
+      GraftTable.write(c.filter(col("c_custkey") > cut).coalesce(1), t, "append")
+      GraftTable.delete(s, t, "c_custkey % 10 = 0")
+      GraftTable.compact(s, t)
+      GraftTable.read(s, t, withRowVersions = true)
+        .select(col("c_custkey"),
+          col(GraftTable.RowCreatedCol).as("created_v"),
+          col(GraftTable.RowLastUpdatedCol).as("updated_v"))
+        .orderBy(col("c_custkey"))
+    },
+
     // write → format("graft") read → TPC-H Q1-shaped agg
     "q_format_roundtrip" -> { (s, d) =>
       val t = freshDir(s, "roundtrip")
@@ -379,6 +400,14 @@ object Format {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_row_versions" ->
+      """WITH cut AS (SELECT count(*) / 2 AS k FROM customer)
+        |SELECT c_custkey,
+        |  CAST(CASE WHEN c_custkey <= cut.k THEN 1 ELSE 2 END AS BIGINT) AS created_v,
+        |  CAST(4 AS BIGINT) AS updated_v
+        |FROM customer, cut
+        |WHERE c_custkey % 10 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_json_index" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

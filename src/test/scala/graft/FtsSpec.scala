@@ -225,6 +225,38 @@ class FtsSpec extends AnyFunSuite {
     idxRes.zip(flatRes).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("cjk dictionary segmentation beats bigrams on phrase precision; config round-trips") {
+    import graft.operators.{Fts, FtsConfig, FtsTokenizer}
+    val dict = Seq("北京大学", "北京", "大学", "戦国大名")
+    val cfg = FtsConfig(baseTokenizer = "cjk", cjkDictionary = dict)
+    // forward maximum matching: longest dictionary word wins; unmatched
+    // stretches fall back to bigrams
+    assert(FtsTokenizer.tokens("北京大学", cfg) == Seq("北京大学"))
+    // の is hiragana (same CJK run): unmatched stretch bigram-falls-back
+    assert(FtsTokenizer.tokens("北京の大学", cfg) == Seq("北京", "の大", "大学"))
+    assert(FtsTokenizer.tokens("武田信玄", cfg) == Seq("武田", "田信", "信玄")) // no dict hit → bigrams
+    val corpus = Seq(
+      (1L, "北京大学は有名です"),      // contains the exact word
+      (2L, "北京の大学生活と東京大学") // 北京 and 大学 separately, not 北京大学
+    ).toDF("doc_id", "text")
+    val dirDict = Files.createTempDirectory("fts_cjk_dict_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dirDict, config = cfg)
+    // dictionary index: the phrase-word query matches ONLY doc 1
+    val viaDict = Fts.matchQuery(spark, dirDict, Seq("北京大学"), 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(viaDict == Set(1L), s"dictionary segmentation should be precise: $viaDict")
+    // bigram index: the same query bigram-matches doc 2 too (lower precision)
+    val dirBi = Files.createTempDirectory("fts_cjk_bi_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dirBi,
+      config = FtsConfig(baseTokenizer = "cjk"))
+    val viaBigram = Fts.matchQuery(spark, dirBi, Seq("北京大学"), 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(viaBigram == Set(1L, 2L), s"bigrams should over-match here: $viaBigram")
+    // the dictionary survives the config round-trip on disk
+    assert(Fts.loadConfig(spark, dirDict).cjkDictionary == dict)
+    assert(Fts.loadConfig(spark, dirBi).cjkDictionary == Nil)
+  }
+
   test("block-max WAND equals matchQuery exactly and prunes weak blocks") {
     // one doc per 1024-block: 5 strong docs (high tf, short dl), 195 weak
     val docs = (0 until 200).map { i =>
@@ -238,11 +270,21 @@ class FtsSpec extends AnyFunSuite {
     Fts.buildIndex(docs, "doc_id", "text", dir)
     val exact = Fts.matchQuery(spark, dir, Seq("quick", "fox"), 5)
       .as[(Long, Double)].collect().toSeq
-    val wand = Fts.matchQueryWand(spark, dir, Seq("quick", "fox"), 5, seedBlocks = 8)
+    // minPostings = 0 forces the WAND machinery on this small fixture (the
+    // production floor would take the exhaustive path); trackPruned opts
+    // into the observability counter
+    val wand = Fts.matchQueryWand(spark, dir, Seq("quick", "fox"), 5, seedBlocks = 8,
+        trackPruned = true, minPostings = 0L)
       .as[(Long, Double)].collect().toSeq
     assert(wand == exact)
     assert(Fts.lastWandPruned.get() > 100,
       s"expected most weak blocks pruned, got ${Fts.lastWandPruned.get()}")
+    // production floor: same query on the same index falls back to the
+    // exhaustive path (tiny corpus) and stays exact
+    val viaFloor = Fts.matchQueryWand(spark, dir, Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaFloor == exact)
+    assert(Fts.lastWandPruned.get() == 0L)
     // thin corpus (single block): falls back / stays exact
     val idx2 = buildTmpIndex()
     val e2 = Fts.matchQuery(spark, idx2, Seq("quick", "fox"), 5).as[(Long, Double)].collect().toSeq
@@ -257,7 +299,8 @@ class FtsSpec extends AnyFunSuite {
     Fts.buildIndex(docs1, "doc_id", "text", dir)
     Fts.optimizeIndex(docs2, "doc_id", "text", dir)
     val exact = Fts.matchQuery(spark, dir, Seq("alpha", "delta"), 10).as[(Long, Double)].collect().toSeq
-    val wand = Fts.matchQueryWand(spark, dir, Seq("alpha", "delta"), 10, seedBlocks = 12)
+    val wand = Fts.matchQueryWand(spark, dir, Seq("alpha", "delta"), 10, seedBlocks = 12,
+        minPostings = 0L)
       .as[(Long, Double)].collect().toSeq
     assert(wand == exact)
   }

@@ -257,4 +257,35 @@ class GraftTableSpec extends AnyFunSuite {
     assert(ids(3L) == 5L, "updated row is a new row version with a fresh id")
     assert(ids.values.toSeq.distinct.length == 5)
   }
+
+  test("row-version system columns: _rowoffset, created/updated versions") {
+    val t = tmp()
+    // v1: ids 1..3 · v2: ids 4..5 · v3: update id 3 · v4: compact
+    GraftTable.write(people.filter($"id" <= 3).repartition(1)
+      .sortWithinPartitions("id"), t)
+    GraftTable.write(people.filter($"id" > 3).repartition(1)
+      .sortWithinPartitions("id"), t, "append")
+    val fresh = GraftTable.read(spark, t, withRowVersions = true)
+      .select($"id", col(GraftTable.RowOffsetCol), col(GraftTable.RowCreatedCol),
+        col(GraftTable.RowLastUpdatedCol))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // offsets enumerate the snapshot scan order 0..n-1
+    assert(fresh.map(_._2).sorted == (0L until 5L))
+    assert(fresh.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+    assert(fresh.forall(r => r._3 == r._4), "never-touched rows: created == updated")
+    // update rewrites id 3 (new row version, v3); compact rewrites all (v4)
+    // but preserves ids, so created versions SURVIVE while updated moves
+    GraftTable.update(spark, t, Map("score" -> "score + 1"), Some("id = 3"))
+    GraftTable.compact(spark, t)
+    val after = GraftTable.read(spark, t, withRowVersions = true)
+      .select($"id", col(GraftTable.RowCreatedCol), col(GraftTable.RowLastUpdatedCol))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L),
+      s"created versions wrong: $after")
+    assert(after.forall(_._3 == 4L), s"compaction is the last touch: $after")
+    // versions never leak into a plain read
+    assert(!GraftTable.read(spark, t).columns.contains(GraftTable.RowOffsetCol))
+  }
 }

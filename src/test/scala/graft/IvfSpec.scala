@@ -88,6 +88,38 @@ class IvfSpec extends AnyFunSuite {
     assert(flat.exists(_ >= 400L), s"pick a query whose neighbors span the split: $flat")
   }
 
+  test("fast_search skips the fresh-fragment leg; identical when coverage is complete") {
+    import graft.format.GraftTable
+    import java.nio.file.Files
+    val t = Files.createTempDirectory("ivf_fast_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_fast_idx_").toString
+    GraftTable.write(embeddings.filter($"vec_id" < 400), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    GraftTable.write(embeddings.filter($"vec_id" >= 400), t, "append")
+    val q = queryVec(0L)
+    val fast = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8,
+      fastSearch = true)
+    // zero fresh-fragment work: the plan reads ONLY the index dataset — no
+    // union leg, no scan of the table's fragment files
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan)
+    assert(!plan.contains("frag-"), plan)
+    // results come from indexed (covered) data only == flat over vec_id<400
+    val got = fast.select("vec_id").as[Long].collect().toSeq
+    val flatCovered = Knn.flatSearch(embeddings.filter($"vec_id" < 400), "embedding",
+        q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == flatCovered)
+    // with complete coverage, fast_search is IDENTICAL to the normal path
+    assert(IvfIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx) == 100L)
+    val fast2 = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8,
+        fastSearch = true)
+      .select("vec_id").as[Long].collect().toSeq
+    val normal2 = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fast2 == normal2)
+  }
+
   test("deterministic build: same centroids across runs") {
     val m1 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
     val m2 = IvfIndex.train(embeddings, "vec_id", "embedding", 8)
