@@ -578,12 +578,22 @@ object Fts {
     val p = paths(indexPath)
     val qs = queryTerms(spark, indexPath, terms).distinct
     val bsPath = new org.apache.hadoop.fs.Path(s"$indexPath/blockstats")
-    val hasBs = bsPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(bsPath)
+    val fs = bsPath.getFileSystem(spark.sessionState.newHadoopConf())
     lastWandPruned.set(0L)
-    if (qs.isEmpty || !hasBs) return matchTokens(spark, indexPath, qs, k)
-    // postings-volume floor: Σ df over the query terms estimates the rows
-    // the exhaustive path would score; below the floor, take it directly.
-    // dfs are memoized per token set — one tiny job, reused for the idf map
+    if (qs.isEmpty || !fs.exists(bsPath)) return matchTokens(spark, indexPath, qs, k)
+    // two-tier postings-volume floor. Tier 1 is jobless: if the WHOLE
+    // postings dataset is smaller than the floor could ever be (~20 B/row
+    // compressed), no term subset can clear it — fall back at the cost of
+    // one FS metadata call, so opting into WAND on a small index matches
+    // matchQuery to the millisecond.
+    if (minPostings > 0L) {
+      val postingsBytes = scala.util.Try(
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p.postings)).getLength).getOrElse(0L)
+      if (postingsBytes < minPostings * 20L) return matchTokens(spark, indexPath, qs, k)
+    }
+    // tier 2: Σ df over the query terms estimates the rows the exhaustive
+    // path would score; below the floor, take it directly. dfs are memoized
+    // per token set — one tiny job, reused for the idf map
     val dfs = termDfs(spark, p, qs)
     if (dfs.values.sum < minPostings.toDouble) return matchTokens(spark, indexPath, qs, k)
     val (n, avgdl) = metaOf(spark, p)
