@@ -213,14 +213,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.tag" => GraftProcedures.tag(pathOf)
       case "system.restore" => GraftProcedures.restore(pathOf)
       case "system.optimize_scalar_index" => GraftProcedures.optimizeScalarIndex(pathOf)
+      case "system.create_index" => GraftProcedures.createIndex(pathOf)
+      case "system.drop_index" => GraftProcedures.dropIndex(pathOf)
+      case "system.indices" => GraftProcedures.indices(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
-          "system.tag, system.restore, system.optimize_scalar_index)")
+          "system.tag, system.restore, system.optimize_scalar_index, " +
+          "system.create_index, system.drop_index, system.indices)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index")
+    Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index",
+        "create_index", "drop_index", "indices")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -366,8 +371,14 @@ private[format] object GraftProcedures {
 
   private def spark = SparkSession.active
 
-  private def proc(procName: String, params: Array[ProcedureParameter],
-                   out: StructType)(run: InternalRow => Seq[Any]): UnboundProcedure =
+  /** UTF8String-coerce driver-side strings for InternalRow literals. */
+  private def cell(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => other
+  }
+
+  private def procRows(procName: String, params: Array[ProcedureParameter],
+                       out: StructType)(run: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft maintenance procedure $procName"
@@ -377,15 +388,19 @@ private[format] object GraftProcedures {
         override def parameters(): Array[ProcedureParameter] = params
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val row = InternalRow.fromSeq(run(input))
+          val out0 = run(input).map(r => InternalRow.fromSeq(r.map(cell))).toArray
           val scan: Scan = new LocalScan {
-            override def rows(): Array[InternalRow] = Array(row)
+            override def rows(): Array[InternalRow] = out0
             override def readSchema(): StructType = out
           }
           java.util.Collections.singletonList(scan).iterator()
         }
       }
     }
+
+  private def proc(procName: String, params: Array[ProcedureParameter],
+                   out: StructType)(run: InternalRow => Seq[Any]): UnboundProcedure =
+    procRows(procName, params, out)(in => Seq(run(in)))
 
   private def p(n: String, t: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, t).build()
@@ -441,6 +456,71 @@ private[format] object GraftProcedures {
       val path = pathOf(in.getUTF8String(0).toString)
       Seq(graft.index.ScalarIndex.optimizeBtree(spark, path,
         in.getUTF8String(1).toString, s"$path/_indices"))
+    }
+
+  /** `CALL g.system.create_index(table => 'db.t', `column` => 'id',
+    * index_type => 'BTREE'|'BLOOMFILTER'|'LABEL_LIST'|'NGRAM')` — builds
+    * under the table's own `_indices/` dir, so the build COMMITS its
+    * [[IndexMeta]] into the manifest and the optimizer wires it in
+    * automatically. */
+  def createIndex(pathOf: String => String): UnboundProcedure =
+    proc("create_index",
+      Array(p("table", DT.StringType), p("column", DT.StringType),
+        pd("index_type", DT.StringType, "'BTREE'")),
+      StructType(Seq(StructField("index_name", DT.StringType),
+        StructField("version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val column = in.getUTF8String(1).toString
+      val idxDir = s"$path/_indices"
+      val name = in.getUTF8String(2).toString.toUpperCase match {
+        case "BTREE" =>
+          graft.index.ScalarIndex.buildBtree(spark, path, column, idxDir)
+          s"btree_$column"
+        case "BLOOMFILTER" =>
+          graft.index.BloomIndex.build(spark, path, column, idxDir)
+          graft.index.BloomIndex.dirName(column)
+        case "LABEL_LIST" =>
+          graft.index.ScalarIndex.buildLabelList(spark, path, column, idxDir)
+          s"labellist_$column"
+        case "NGRAM" =>
+          graft.index.ScalarIndex.buildNgram(spark, path, column, idxDir)
+          s"ngram_$column"
+        case other => throw new IllegalArgumentException(
+          s"graft: unknown index_type $other (BTREE, BLOOMFILTER, LABEL_LIST, NGRAM)")
+      }
+      Seq(name, GraftTable.loadManifest(spark, path).version)
+    }
+
+  /** `CALL g.system.drop_index(table => 'db.t', name => 'btree_id')` —
+    * removes the manifest entry (its own commit) and deletes the dir. */
+  def dropIndex(pathOf: String => String): UnboundProcedure =
+    proc("drop_index",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val name = in.getUTF8String(1).toString
+      val m = GraftTable.dropIndexEntry(spark, path, name)
+      val dir = new Path(s"$path/_indices/$name")
+      val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (f.exists(dir)) f.delete(dir, true)
+      Seq(m.version)
+    }
+
+  /** `CALL g.system.indices(table => 'db.t')` — the manifest's committed
+    * index inventory, one row per index. */
+  def indices(pathOf: String => String): UnboundProcedure =
+    procRows("indices",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("name", DT.StringType),
+        StructField("index_type", DT.StringType),
+        StructField("column", DT.StringType),
+        StructField("indexed_version", DT.LongType),
+        StructField("fragments", DT.LongType),
+        StructField("uuid", DT.StringType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      GraftTable.loadManifest(spark, path).indices.sortBy(_.name).map(e =>
+        Seq(e.name, e.indexType, e.column, e.indexedVersion,
+          e.fragmentIds.length.toLong, e.uuid))
     }
 }
 

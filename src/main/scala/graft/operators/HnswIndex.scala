@@ -223,8 +223,8 @@ object HnswIndex {
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, efConstruction, metric, storage)
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mf.version,
-      mf.fragments.map(_.id))
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      if (storage == "sq") "IVF_HNSW_SQ" else "IVF_HNSW", vecCol, mf)
     model
   }
 

@@ -165,8 +165,8 @@ object IvfIndex {
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist)
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, m.version,
-      m.fragments.map(_.id))
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "IVF_FLAT", vecCol, m)
     model
   }
 
@@ -269,8 +269,8 @@ object IvfIndex {
         .parquet(s"$indexPath/vectors__fresh")
       swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, m.version,
-      (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "IVF_FLAT", vecCol, m)
     freshFrags.map(_.rows).sum
   }
 

@@ -156,8 +156,8 @@ object PqIndex {
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, k, metric)
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
-      mft.fragments.map(_.id))
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "IVF_PQ", vecCol, mft)
     out
   }
 
@@ -208,8 +208,8 @@ object PqIndex {
         .parquet(s"$indexPath/vectors__fresh")
       IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
-      (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "IVF_PQ", vecCol, mft)
     freshFrags.map(_.rows).sum
   }
 

@@ -75,8 +75,8 @@ object RqIndex {
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, metric)
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
-      mft.fragments.map(_.id))
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "IVF_RQ", vecCol, mft)
     out
   }
 
@@ -125,8 +125,8 @@ object RqIndex {
         .parquet(s"$indexPath/vectors__fresh")
       IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
-    graft.index.ScalarIndex.writeCoverage(spark, indexPath, mft.version,
-      (covered.intersect(liveIds) ++ freshFrags.map(_.id)).toSeq)
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "IVF_RQ", vecCol, mft)
     freshFrags.map(_.rows).sum
   }
 

@@ -251,6 +251,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("PROCEDURE"))
   }
 
+  test("CALL create_index / indices / drop_index: manifest-committed inventory via SQL") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, concat('row-', id) FROM range(0, 500)")
+    val created = s.sql(
+      s"CALL g.system.create_index(table => 'db.$t', `column` => 'id')").head()
+    assert(created.getString(0) == "btree_id")
+    // inventory lists the committed entry
+    val inv = s.sql(s"CALL g.system.indices(table => 'db.$t')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(inv == Seq(("btree_id", "BTREE", "id")), inv.toString)
+    // the optimizer wires the fresh index in for a plain SQL filter
+    val q = s.sql(s"SELECT v FROM g.db.$t WHERE id = 123")
+    assert(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.head().getString(0) == "row-123")
+    // a second family appears alongside
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'v', " +
+      "index_type => 'BLOOMFILTER')")
+    assert(s.sql(s"CALL g.system.indices(table => 'db.$t')").count() == 2)
+    // drop removes the entry; the rewrite disappears, results stay exact
+    s.sql(s"CALL g.system.drop_index(table => 'db.$t', name => 'btree_id')")
+    val inv2 = s.sql(s"CALL g.system.indices(table => 'db.$t')").collect()
+      .map(_.getString(0)).toSeq
+    assert(inv2 == Seq(graft.index.BloomIndex.dirName("v")))
+    val q2 = s.sql(s"SELECT v FROM g.db.$t WHERE id = 123")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q2.head().getString(0) == "row-123")
+  }
+
   test("SHOW TBLPROPERTIES surfaces version and live-row facts") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
