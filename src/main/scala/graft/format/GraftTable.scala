@@ -487,7 +487,13 @@ object GraftTable {
     *    (`nextRowId` high-water), so creation resolves from the manifest
     *    chain's id boundaries — and SURVIVES compaction, which preserves
     *    ids while resetting addedVersion. Tables without row ids fall back
-    *    to the fragment's addedVersion. */
+    *    to the fragment's addedVersion.
+    *
+    * Caveats (documented approximations): after `cleanupOldVersions` prunes
+    * old manifests, creation resolves to the OLDEST SURVIVING version whose
+    * high-water covers the id (later than truth for cleaned history); on a
+    * BRANCH manifest, boundaries come from the main lineage, so ids
+    * assigned after the fork carry main-lineage versions. */
   private def addRowVersionColumns(spark: SparkSession, tablePath: String,
                                    m: GraftManifest, scan: DataFrame): DataFrame = {
     val ordered = m.fragments
