@@ -394,6 +394,22 @@ object Fts {
     p
   }
 
+  /** Build over a graft table snapshot at the table-local index location
+    * (`<table>/_indices/fts_<column>`), committing the [[graft.format.IndexMeta]]
+    * entry so the FTS index shows in `CALL g.system.indices` and is visible
+    * cross-process — same inventory contract as the scalar and vector
+    * families. Returns the index paths. */
+  def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
+                    textCol: String, config: FtsConfig = FtsConfig()): Index = {
+    val m = graft.format.GraftTable.loadManifest(spark, tablePath)
+    val indexPath = s"$tablePath/_indices/fts_$textCol"
+    val out = buildIndex(graft.format.GraftTable.read(spark, tablePath),
+      idCol, textCol, indexPath, config = config)
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "FTS", textCol, m)
+    out
+  }
+
   /** Incremental index maintenance (reference `optimize_indices` /
     * inverted-index delta merge, `rust/lance-index/src/scalar/inverted/
     * builder.rs`): tokenize ONLY the new documents, append their postings

@@ -35,6 +35,20 @@ class FtsSpec extends AnyFunSuite {
     assert(!indexed.map(_._1).contains(5L))
   }
 
+  test("buildForTable commits the FTS index into the manifest inventory") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("fts_tbl_").toString + "/t"
+    GraftTable.write(corpus, t, "overwrite")
+    Fts.buildForTable(spark, t, "doc_id", "text")
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.indicesAuthoritative)
+    assert(m.indices.map(e => (e.name, e.indexType, e.column)) ==
+      Seq(("fts_text", "FTS", "text")))
+    val got = Fts.matchQuery(spark, s"$t/_indices/fts_text", Seq("quick"), 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("phrase query requires adjacency") {
     val idx = buildTmpIndex()
     val got = Fts.phraseQuery(spark, idx, Seq("quick", "brown")).as[Long].collect().toSet
