@@ -216,6 +216,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.create_index" => GraftProcedures.createIndex(pathOf)
       case "system.drop_index" => GraftProcedures.dropIndex(pathOf)
       case "system.indices" => GraftProcedures.indices(pathOf)
+      case "system.optimize_index" => GraftProcedures.optimizeIndexProc(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -225,7 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index",
-        "create_index", "drop_index", "indices")
+        "create_index", "drop_index", "indices", "optimize_index")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -456,6 +457,66 @@ private[format] object GraftProcedures {
       val path = pathOf(in.getUTF8String(0).toString)
       Seq(graft.index.ScalarIndex.optimizeBtree(spark, path,
         in.getUTF8String(1).toString, s"$path/_indices"))
+    }
+
+  /** `CALL g.system.optimize_index(table => 'db.t', name => 'btree_id')` —
+    * incremental maintenance dispatched from the manifest's committed
+    * entry: the index family, column, and build parameters all come from
+    * [[IndexMeta]], so the caller names the index and nothing else.
+    * Returns the rows newly indexed (a full-rebuild family reports the
+    * live row count). */
+  def optimizeIndexProc(pathOf: String => String): UnboundProcedure =
+    proc("optimize_index",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("rows_indexed", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val idxName = in.getUTF8String(1).toString
+      val m = GraftTable.loadManifest(spark, path)
+      val e = m.indices.find(_.name == idxName).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index '$idxName' in the manifest (known: ${m.indices.map(_.name).mkString(", ")})"))
+      val column = m.logicalName(e.column)
+      val idxDir = s"$path/_indices"
+      def idCol = e.params.getOrElse("idCol",
+        throw new IllegalArgumentException(s"index '$idxName' records no idCol"))
+      val n: Long = e.indexType match {
+        case "BTREE" => graft.index.ScalarIndex.optimizeBtree(spark, path, column, idxDir)
+        case "JSON" => graft.index.ScalarIndex.optimizeJson(spark, path, column,
+          e.params.getOrElse("path",
+            throw new IllegalArgumentException(s"index '$idxName' records no json path")),
+          idxDir)
+        case "LABEL_LIST" =>
+          graft.index.ScalarIndex.optimizeLabelList(spark, path, column, idxDir)
+        case "BLOOMFILTER" => graft.index.BloomIndex.optimize(spark, path, column, idxDir)
+        case "NGRAM" => // no delta structure — rebuild
+          graft.index.ScalarIndex.buildNgram(spark, path, column, idxDir); m.liveRows
+        case "IVF_FLAT" =>
+          graft.operators.IvfIndex.optimizeForTable(spark, path, idCol, column,
+            s"$idxDir/$idxName")
+        case "IVF_PQ" =>
+          graft.operators.PqIndex.optimizeForTable(spark, path, idCol, column,
+            s"$idxDir/$idxName")
+        case "IVF_SQ" =>
+          graft.operators.SqIndex.optimizeForTable(spark, path, idCol, column,
+            s"$idxDir/$idxName")
+        case "IVF_RQ" =>
+          graft.operators.RqIndex.optimizeForTable(spark, path, idCol, column,
+            s"$idxDir/$idxName")
+        case "IVF_HNSW" | "IVF_HNSW_SQ" => // graphs rebuild (no delta insert)
+          graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
+            s"$idxDir/$idxName",
+            nlist = e.params.getOrElse("nlist", "8").toInt,
+            m = e.params.getOrElse("m", "16").toInt,
+            efConstruction = e.params.getOrElse("efConstruction", "64").toInt,
+            metric = e.params.getOrElse("metric", "l2"),
+            storage = e.params.getOrElse("storage", "flat"))
+          m.liveRows
+        case "FTS" =>
+          graft.operators.Fts.optimizeForTable(spark, path, idCol, column)
+        case other => throw new IllegalArgumentException(
+          s"index '$idxName' has unknown type $other")
+      }
+      Seq(n)
     }
 
   /** `CALL g.system.create_index(table => 'db.t', `column` => 'id',

@@ -79,7 +79,13 @@ case class IndexMeta(
     column: String,
     indexedVersion: Long,
     fragmentIds: Seq[Long],
-    uuid: String)
+    uuid: String,
+    /** Family-specific build parameters needed to MAINTAIN the index
+      * without the caller restating them — e.g. `idCol` for vector
+      * families, `path` for JSON-path indexes — so
+      * `CALL g.system.optimize_index(table, name)` can dispatch from the
+      * manifest alone. */
+    params: Map[String, String] = Map.empty)
 
 case class GraftManifest(
     version: Long,

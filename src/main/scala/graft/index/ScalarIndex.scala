@@ -114,7 +114,8 @@ object ScalarIndex {
   private[graft] def finishBuild(spark: SparkSession, tablePath: String,
                                  indexPath: String, name: String, indexType: String,
                                  physColumn: String, m: graft.format.GraftManifest,
-                                 freshUuid: Boolean): Unit = {
+                                 freshUuid: Boolean,
+                                 params: Map[String, String] = Map.empty): Unit = {
     val dir = s"$indexPath/$name"
     val uuid =
       if (freshUuid) java.util.UUID.randomUUID().toString
@@ -125,7 +126,8 @@ object ScalarIndex {
         new org.apache.hadoop.fs.Path(indexPath).toString
     if (tableLocal) {
       GraftTable.commitIndex(spark, tablePath, graft.format.IndexMeta(
-        name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid))
+        name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid,
+        params))
     }
   }
 
@@ -188,7 +190,8 @@ object ScalarIndex {
   private[graft] def writeCoverageAndCommit(spark: SparkSession, tablePath: String,
                                             indexPath: String, indexType: String,
                                             column: String,
-                                            m: graft.format.GraftManifest): Unit = {
+                                            m: graft.format.GraftManifest,
+                                            params: Map[String, String] = Map.empty): Unit = {
     val physColumn = m.schema.fields.find(_.name == column)
       .map(m.physicalName).getOrElse(column)
     writeCoverage(spark, indexPath, m.version, m.fragments.map(_.id))
@@ -201,7 +204,8 @@ object ScalarIndex {
         .getOrElse(java.util.UUID.randomUUID().toString)
       writeVersionMarker(spark, indexPath, m.version, Some(physColumn), Some(uuid))
       GraftTable.commitIndex(spark, tablePath, graft.format.IndexMeta(
-        name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid))
+        name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid,
+        params))
     }
   }
 
@@ -284,7 +288,7 @@ object ScalarIndex {
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(dir)
     finishBuild(spark, tablePath, indexPath, jsonDirName(column, path), "JSON",
-      physicalOf(spark, tablePath, column), m, freshUuid = true)
+      physicalOf(spark, tablePath, column), m, freshUuid = true, Map("path" -> path))
   }
 
   /** Incremental JSON-index maintenance: parse + append ONLY fragments added
@@ -304,7 +308,7 @@ object ScalarIndex {
         .write.mode(SaveMode.Append).parquet(dir)
     }
     finishBuild(spark, tablePath, indexPath, jsonDirName(column, path), "JSON",
-      physicalOf(spark, tablePath, column), m, freshUuid = false)
+      physicalOf(spark, tablePath, column), m, freshUuid = false, Map("path" -> path))
     freshFrags.map(_.rows).sum
   }
 

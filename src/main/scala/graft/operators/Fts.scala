@@ -406,8 +406,43 @@ object Fts {
     val out = buildIndex(graft.format.GraftTable.read(spark, tablePath),
       idCol, textCol, indexPath, config = config)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "FTS", textCol, m)
+      "FTS", textCol, m, Map("idCol" -> idCol))
     out
+  }
+
+  /** Incremental FTS maintenance for a table-local index: tokenize ONLY the
+    * fragments the coverage marker does not include yet, append their
+    * postings/docstats/blockstats, recompute global stats, and move the
+    * coverage + manifest entry forward. O(delta) tokenization. Returns the
+    * number of newly indexed rows. */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       textCol: String): Long = {
+    import graft.format.GraftTable
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val indexPath = s"$tablePath/_indices/fts_$textCol"
+    val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
+      .map(_.fragmentIds.toSet)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath has no coverage marker — build with Fts.buildForTable"))
+    val staleIds = covered.diff(m.fragments.map(_.id).toSet)
+    if (staleIds.nonEmpty) {
+      // compaction retired covered fragments: postings carry doc ids (not
+      // addresses), so a filtered rewrite cannot identify their rows —
+      // rebuild (the reference's inverted index remaps via row ids; ours
+      // rebuilds, which is also O(corpus) but one pass)
+      val out = buildIndex(GraftTable.read(spark, tablePath), idCol, textCol, indexPath)
+      graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+        "FTS", textCol, m, Map("idCol" -> idCol))
+      return m.liveRows
+    }
+    val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
+    if (freshFrags.nonEmpty) {
+      optimizeIndex(GraftTable.readFragments(spark, tablePath, m, freshFrags),
+        idCol, textCol, indexPath)
+    }
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "FTS", textCol, m, Map("idCol" -> idCol))
+    freshFrags.map(_.rows).sum
   }
 
   /** Incremental index maintenance (reference `optimize_indices` /

@@ -224,7 +224,10 @@ object HnswIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, efConstruction, metric, storage)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      if (storage == "sq") "IVF_HNSW_SQ" else "IVF_HNSW", vecCol, mf)
+      if (storage == "sq") "IVF_HNSW_SQ" else "IVF_HNSW", vecCol, mf,
+      Map("idCol" -> idCol, "nlist" -> nlist.toString, "m" -> m.toString,
+        "efConstruction" -> efConstruction.toString, "metric" -> metric,
+        "storage" -> storage))
     model
   }
 

@@ -166,7 +166,7 @@ object IvfIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_FLAT", vecCol, m)
+      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol))
     model
   }
 
@@ -270,7 +270,7 @@ object IvfIndex {
       swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_FLAT", vecCol, m)
+      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
   }
 

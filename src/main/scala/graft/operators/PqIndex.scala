@@ -157,7 +157,7 @@ object PqIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, k, metric)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_PQ", vecCol, mft)
+      "IVF_PQ", vecCol, mft, Map("idCol" -> idCol))
     out
   }
 
@@ -209,7 +209,7 @@ object PqIndex {
       IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_PQ", vecCol, mft)
+      "IVF_PQ", vecCol, mft, Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
   }
 

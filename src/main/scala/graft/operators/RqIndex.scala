@@ -76,7 +76,7 @@ object RqIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, metric)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_RQ", vecCol, mft)
+      "IVF_RQ", vecCol, mft, Map("idCol" -> idCol))
     out
   }
 
@@ -126,7 +126,7 @@ object RqIndex {
       IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_RQ", vecCol, mft)
+      "IVF_RQ", vecCol, mft, Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
   }
 

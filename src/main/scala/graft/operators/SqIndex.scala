@@ -95,7 +95,7 @@ object SqIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, metric)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_SQ", vecCol, mft)
+      "IVF_SQ", vecCol, mft, Map("idCol" -> idCol))
     out
   }
 
@@ -142,7 +142,7 @@ object SqIndex {
       IvfIndex.swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_SQ", vecCol, mft)
+      "IVF_SQ", vecCol, mft, Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
   }
 

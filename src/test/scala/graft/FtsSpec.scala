@@ -49,6 +49,27 @@ class FtsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("optimizeForTable: O(delta) append; compaction forces a rebuild; both exact") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("fts_opt_").toString + "/t"
+    GraftTable.write(corpus, t, "overwrite")
+    Fts.buildForTable(spark, t, "doc_id", "text")
+    GraftTable.write(Seq((6L, "a sixth quick document")).toDF("doc_id", "text"), t, "append")
+    assert(Fts.optimizeForTable(spark, t, "doc_id", "text") == 1L)
+    assert(Fts.optimizeForTable(spark, t, "doc_id", "text") == 0L) // idempotent
+    val idx = s"$t/_indices/fts_text"
+    val got = Fts.matchQuery(spark, idx, Seq("quick"), 6)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got == Set(1L, 3L, 6L))
+    // compaction retires covered fragments -> rebuild path, still exact
+    GraftTable.delete(spark, t, "doc_id = 3")
+    GraftTable.compact(spark, t)
+    Fts.optimizeForTable(spark, t, "doc_id", "text")
+    val after = Fts.matchQuery(spark, idx, Seq("quick"), 6)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(after == Set(1L, 6L), s"deleted doc resurfaced or fresh lost: $after")
+  }
+
   test("phrase query requires adjacency") {
     val idx = buildTmpIndex()
     val got = Fts.phraseQuery(spark, idx, Seq("quick", "brown")).as[Long].collect().toSet

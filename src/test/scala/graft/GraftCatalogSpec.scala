@@ -281,6 +281,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(q2.head().getString(0) == "row-123")
   }
 
+  test("CALL optimize_index dispatches from the manifest entry") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, concat('row-', id) FROM range(0, 400)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'id')")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, concat('row-', id) FROM range(400, 500)")
+    // the caller names the index; family/column come from the manifest
+    val n = s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'btree_id')")
+      .head().getLong(0)
+    assert(n == 100L, s"expected the 100 appended rows indexed, got $n")
+    // full coverage again: the rewrite has no flat-union branch
+    val q = s.sql(s"SELECT v FROM g.db.$t WHERE id = 450")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi") && !plan.contains("Union"), plan)
+    assert(q.head().getString(0) == "row-450")
+    val e = intercept[Exception] {
+      s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'nope')")
+    }
+    assert(e.getMessage.contains("no index"), e.getMessage)
+  }
+
   test("SHOW TBLPROPERTIES surfaces version and live-row facts") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
