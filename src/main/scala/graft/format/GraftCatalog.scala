@@ -502,14 +502,16 @@ private[format] object GraftProcedures {
         case "IVF_RQ" =>
           graft.operators.RqIndex.optimizeForTable(spark, path, idCol, column,
             s"$idxDir/$idxName")
-        case "IVF_HNSW" | "IVF_HNSW_SQ" => // graphs rebuild (no delta insert)
+        case "IVF_HNSW" | "IVF_HNSW_SQ" | "IVF_HNSW_PQ" => // graphs rebuild (no delta insert)
           graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
             s"$idxDir/$idxName",
             nlist = e.params.getOrElse("nlist", "8").toInt,
             m = e.params.getOrElse("m", "16").toInt,
             efConstruction = e.params.getOrElse("efConstruction", "64").toInt,
             metric = e.params.getOrElse("metric", "l2"),
-            storage = e.params.getOrElse("storage", "flat"))
+            storage = e.params.getOrElse("storage", "flat"),
+            pqM = e.params.getOrElse("pqM", "8").toInt,
+            pqK = e.params.getOrElse("pqK", "256").toInt)
           m.liveRows
         case "FTS" =>
           graft.operators.Fts.optimizeForTable(spark, path, idCol, column)

@@ -148,20 +148,26 @@ object HnswIndex {
     * `_rowaddr` (a table-backed build), each node records its address so
     * [[searchCombined]] can mark post-build deletions dead at query time.
     *
-    * `storage` = "flat" | "sq" (reference `IVF_HNSW_SQ`,
-    * `rust/lance-index/src/lib.rs:98-130`, `vector/hnsw/` over `sq/`
-    * storage): with "sq" each node ALSO persists int8 SQ codes, and the
-    * query-time graph cache/shuffle carries ONLY the codes (4× smaller than
-    * float vectors — the cost that dominates an in-memory graph at scale);
-    * the beam searches on asymmetric SQ distance and survivors are refined
-    * against the exact vectors, which stay on disk, column-pruned out of
-    * the cache. The graph TOPOLOGY is always built from full-precision
-    * vectors (they are present at build time — quantizing the build would
-    * only lose edges). */
+    * `storage` = "flat" | "sq" | "pq" (reference `IVF_HNSW_SQ` /
+    * `IVF_HNSW_PQ`, `rust/lance-index/src/lib.rs:98-130`, `vector/hnsw/`
+    * over `sq/`/`pq/` storage): with a quantized storage each node ALSO
+    * persists compressed codes, and the query-time graph cache/shuffle
+    * carries ONLY the codes — int8 SQ (4× smaller than float vectors) or
+    * PQ codes (d/pqM× smaller, e.g. 32× at d=64, pqM=8) — the cost that
+    * dominates an in-memory graph at scale. The beam searches on the
+    * asymmetric (ADC) distance and survivors are refined against the exact
+    * vectors, which stay on disk, column-pruned out of the cache. The graph
+    * TOPOLOGY is always built from full-precision vectors (they are present
+    * at build time — quantizing the build would only lose edges).
+    *
+    * `pqM`/`pqK` apply to `storage = "pq"` only: subspace count (d % pqM
+    * == 0) and codes per subspace. */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 16, efConstruction: Int = 64,
-            metric: String = "l2", storage: String = "flat"): IvfIndex.Model = {
-    require(storage == "flat" || storage == "sq", s"unknown hnsw storage: $storage")
+            metric: String = "l2", storage: String = "flat",
+            pqM: Int = 8, pqK: Int = 256): IvfIndex.Model = {
+    require(Set("flat", "sq", "pq").contains(storage),
+      s"unknown hnsw storage: $storage")
     // cosine: graph vectors are unit-normalized; internal l2 ranking is then
     // cosine-rank-equivalent (see IvfIndex.forMetric)
     val df = IvfIndex.forMetric(df0, vecCol, metric)
@@ -169,9 +175,20 @@ object HnswIndex {
     invalidateCache(indexPath)
     IvfIndex.writeVectorMeta(spark, indexPath, metric, storage)
     val model = IvfIndex.train(df, idCol, vecCol, nlist)
-    val sqModel: Option[SqIndex.SqModel] =
-      if (storage == "sq") Some(SqIndex.train(df, vecCol)) else None
-    sqModel.foreach(SqIndex.writeSq(spark, indexPath, _))
+    // quantized node storage: train the codec on the (metric-adjusted)
+    // corpus, persist it beside the graph, and hand build an encoder —
+    // the graph rows carry codes from day one, never re-encoded at query
+    val encode: Option[Array[Float] => Array[Byte]] = storage match {
+      case "sq" =>
+        val sq = SqIndex.train(df, vecCol)
+        SqIndex.writeSq(spark, indexPath, sq)
+        Some(v => SqIndex.encodeVec(v, sq))
+      case "pq" =>
+        val pq = PqIndex.train(df, idCol, vecCol, pqM, pqK)
+        PqIndex.writePq(spark, indexPath, pq)
+        Some(v => PqIndex.encodeVec(v, pq))
+      case _ => None
+    }
     val addrExpr = if (df.columns.contains(AddrCol)) col(AddrCol)
       else lit(null).cast(LongType)
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -198,7 +215,7 @@ object HnswIndex {
         buildGraph(rows.map(r => (r._1, r._2)).toSeq, mLocal, efLocal).map { nd =>
           Row(nd.id, nd.vec.toSeq, nd.level, nd.nbrs.map(_.toSeq).toSeq,
             addrOf(nd.id), pid,
-            sqModel.map(SqIndex.encodeVec(nd.vec, _)).orNull)
+            encode.map(f => f(nd.vec)).orNull)
         }
       }
     }
@@ -217,17 +234,26 @@ object HnswIndex {
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 16, efConstruction: Int = 64,
-                    metric: String = "l2", storage: String = "flat"): IvfIndex.Model = {
+                    metric: String = "l2", storage: String = "flat",
+                    pqM: Int = 8, pqK: Int = 256): IvfIndex.Model = {
     val mf = graft.format.GraftTable.loadManifest(spark, tablePath)
     val model = build(
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist, m, efConstruction, metric, storage)
+      idCol, vecCol, indexPath, nlist, m, efConstruction, metric, storage,
+      pqM, pqK)
+    val indexType = storage match {
+      case "sq" => "IVF_HNSW_SQ"
+      case "pq" => "IVF_HNSW_PQ"
+      case _    => "IVF_HNSW"
+    }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      if (storage == "sq") "IVF_HNSW_SQ" else "IVF_HNSW", vecCol, mf,
+      indexType, vecCol, mf,
       Map("idCol" -> idCol, "nlist" -> nlist.toString, "m" -> m.toString,
         "efConstruction" -> efConstruction.toString, "metric" -> metric,
-        "storage" -> storage))
+        "storage" -> storage) ++
+        (if (storage == "pq") Map("pqM" -> pqM.toString, "pqK" -> pqK.toString)
+         else Map.empty))
     model
   }
 
@@ -272,8 +298,9 @@ object HnswIndex {
   }
 
   /** Spark type of the cached graph's node payload (spec hook): ArrayType of
-    * floats under flat storage, BinaryType (int8 SQ codes) under sq — proof
-    * the cache does NOT carry raw vectors for a quantized index. */
+    * floats under flat storage, BinaryType (int8 SQ / PQ codes) under a
+    * quantized storage — proof the cache does NOT carry raw vectors for a
+    * quantized index. */
   def cachedPayloadType(indexPath: String): Option[DataType] = graphCache.synchronized {
     Option(graphCache.get(indexPath))
       .map(df => df.schema(df.schema.fieldIndex("__payload")).dataType)
@@ -293,11 +320,12 @@ object HnswIndex {
       val df = if (hit != null &&
           hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE) hit
       else {
-        // SQ storage: the cached/shuffled graph carries int8 codes, NOT the
-        // float vectors — parquet column pruning leaves `vec` on disk for
-        // the refine pass only (the whole point of quantized node storage)
+        // quantized storage: the cached/shuffled graph carries codes, NOT
+        // the float vectors — parquet column pruning leaves `vec` on disk
+        // for the refine pass only (the whole point of quantized node
+        // storage)
         val payload =
-          if (IvfIndex.readVectorStorage(spark, indexPath) == "sq") col("codes")
+          if (IvfIndex.readVectorStorage(spark, indexPath) != "flat") col("codes")
           else col("vec")
         val fresh = spark.read.parquet(s"$indexPath/graph")
           .select(col("id"), payload.as("__payload"), col("level"), col("nbrs"),
@@ -335,14 +363,23 @@ object HnswIndex {
       .getOrElse(base.withColumn("__dead", lit(false)))
       .select(col("id"), col("__payload"), col("level"), col("nbrs"), col("pid"),
         col("__dead"))
-    if (storage == "sq") {
-      // beam on asymmetric SQ distance over the code-only cached graph, then
-      // exact refine: survivors' float vectors are read from the graph
-      // parquet (column-pruned to id+vec, semi-joined to ≤ k·refineFactor
-      // candidate ids) and re-ranked exactly — same two-pass contract as
-      // [[SqIndex.search]], with the beam replacing the partition scan.
-      val sq = SqIndex.loadSq(spark, indexPath)
-      val lo = sq.lo; val step = sq.steps
+    if (storage == "sq" || storage == "pq") {
+      // beam on the asymmetric (ADC) distance over the code-only cached
+      // graph, then exact refine: survivors' float vectors are read from
+      // the graph parquet (column-pruned to id+vec, semi-joined to
+      // ≤ k·refineFactor candidate ids) and re-ranked exactly — same
+      // two-pass contract as [[SqIndex.search]]/[[PqIndex.search]], with
+      // the beam replacing the partition scan.
+      val codeDist: Array[Byte] => Double =
+        if (storage == "sq") {
+          val sq = SqIndex.loadSq(spark, indexPath)
+          val lo = sq.lo; val step = sq.steps
+          c => SqIndex.adc(query2, c, lo, step)
+        } else {
+          // per-query lookup table (pqM × pqK floats) ships to tasks once
+          val table = PqIndex.loadPq(spark, indexPath).adcTable(query2)
+          c => PqIndex.adc(table, c)
+        }
       val cands = marked.as[(Long, Array[Byte], Int, Seq[Seq[Long]], Int, Boolean)]
         .mapPartitions { it =>
           val byPid = mutable.Map.empty[Int,
@@ -352,7 +389,7 @@ object HnswIndex {
               (codes, level, nbrs.map(_.toArray).toArray, dead)
           }
           byPid.iterator.flatMap { case (_, g) =>
-            searchGraph[Array[Byte]](g, c => SqIndex.adc(query2, c, lo, step),
+            searchGraph[Array[Byte]](g, codeDist,
               math.max(k * refineFactor, efq), efq)
           }
         }.toDF("id", "__adc")
@@ -446,8 +483,8 @@ object HnswIndex {
   /** Greedy descent + layer-0 beam over one deserialized partition graph.
     * Dead nodes (4th tuple slot) are traversed but never admitted to the
     * result heap — standard filtered-HNSW semantics. Generic in the node
-    * payload: float vectors under flat storage (`dist` = l2²), int8 SQ
-    * codes under sq storage (`dist` = asymmetric ADC). */
+    * payload: float vectors under flat storage (`dist` = l2²), int8 SQ /
+    * PQ codes under quantized storage (`dist` = asymmetric ADC). */
   private def searchGraph[A](
       g: mutable.Map[Long, (A, Int, Array[Array[Long]], Boolean)],
       dist: A => Double, k: Int, ef: Int): Seq[(Long, Double)] = {

@@ -136,12 +136,7 @@ object PqIndex {
     spark.createDataFrame(ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
       .toDF("pid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
-    val pqRows = for {
-      s <- pq.codebooks.indices
-      c <- pq.codebooks(s).indices
-    } yield (s, c, pq.codebooks(s)(c).toSeq)
-    spark.createDataFrame(pqRows).toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/pq")
+    writePq(spark, indexPath, pq)
     (ivf, pq)
   }
 
@@ -211,6 +206,55 @@ object PqIndex {
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       "IVF_PQ", vecCol, mft, Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
+  }
+
+  /** Encode one in-memory vector (nearest code per subspace). Plain-array
+    * twin of [[PqEncode]] for driver/executor-local callers — HNSW quantized
+    * node storage encodes graph nodes with this. */
+  private[operators] def encodeVec(v: Array[Float], model: PqModel): Array[Byte] = {
+    val dsub = model.dsub
+    val out = new Array[Byte](model.m)
+    var s = 0
+    while (s < model.m) {
+      val books = model.codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < books.length) {
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v(s * dsub + i).toDouble - books(c)(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC distance of one code array against a per-query lookup table —
+    * the scalar twin of the codegen'd [[PqAdc]]. */
+  private[operators] def adc(table: Array[Array[Float]], codes: Array[Byte]): Double = {
+    var acc = 0.0
+    var s = 0
+    val n = math.min(codes.length, table.length)
+    while (s < n) { acc += table(s)(codes(s) & 0xff); s += 1 }
+    acc
+  }
+
+  /** Persist codebooks under `indexPath/pq` ([[loadPq]]'s layout). */
+  private[operators] def writePq(spark: SparkSession, indexPath: String, pq: PqModel): Unit = {
+    val pqRows = for {
+      s <- pq.codebooks.indices
+      c <- pq.codebooks(s).indices
+    } yield (s, c, pq.codebooks(s)(c).toSeq)
+    spark.createDataFrame(pqRows).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/pq")
   }
 
   def loadPq(spark: SparkSession, indexPath: String): PqModel = {

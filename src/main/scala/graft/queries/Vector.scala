@@ -90,6 +90,21 @@ object Vector {
       dir
     })
 
+  private val builtHnswPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hnswPqIndexFor(s: SparkSession, d: String): String =
+    builtHnswPq.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/hnswpq_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.HnswIndex.build(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
+        storage = "pq", pqM = 8, pqK = 16)
+      dir
+    })
+
   private def freshDir(s: SparkSession, name: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -121,7 +136,9 @@ object Vector {
     "build_hnsw" -> ((s, d) => {
       graft.operators.HnswIndex.warm(s, hnswIndexFor(s, d)) }),
     "build_hnsw_sq" -> ((s, d) => {
-      graft.operators.HnswIndex.warm(s, hnswSqIndexFor(s, d)) })
+      graft.operators.HnswIndex.warm(s, hnswSqIndexFor(s, d)) }),
+    "build_hnsw_pq" -> ((s, d) => {
+      graft.operators.HnswIndex.warm(s, hnswPqIndexFor(s, d)) })
   )
 
   /** Queries that write/mutate temp tables and build throwaway indexes —
@@ -286,6 +303,19 @@ object Vector {
         .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // IVF_HNSW_PQ (reference IVF_HNSW_PQ, lib.rs:98-130 — hnsw/ over pq/
+    // storage): same quantized-node contract as q_ann_hnsw_sq but the graph
+    // carries pqM-byte PQ codes (d/pqM× smaller); beam on ADC table lookups,
+    // exact refine. Full probes + exhaustive beam + wide refine == flat.
+    "q_ann_hnsw_pq" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = hnswPqIndexFor(s, d)
+      val n = Tables.embeddings(s, d).count().toInt
+      graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4,
+          ef = n, refineFactor = 100)
+        .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // Approximate probe (nprobes=2 of 8) — rows-only gate entry; quality is
     // asserted by the recall spec instead.
     "q_ann_ivf_probe" -> { (s, d) =>
@@ -424,6 +454,13 @@ object Vector {
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_hnsw_sq" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_hnsw_pq" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist

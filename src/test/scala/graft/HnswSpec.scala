@@ -80,6 +80,45 @@ class HnswSpec extends AnyFunSuite {
     assert(top.head._1 == 42L && top.head._2 < 1e-6, top.toSeq.toString)
   }
 
+  test("pq storage: cache holds pqM-byte codes; exact config matches flat search") {
+    val dir = Files.createTempDirectory("hnsw_pq_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
+      storage = "pq", pqM = 8, pqK = 16)
+    HnswIndex.warm(spark, dir)
+    assert(HnswIndex.cachedPayloadType(dir)
+      .contains(org.apache.spark.sql.types.BinaryType))
+    // the persisted codes are pqM bytes — d/pqM× smaller than the d-byte SQ
+    // codes and 4·d/pqM× smaller than the float vectors
+    val d = embeddings.head().getSeq[Float](
+      embeddings.schema.fieldIndex("embedding")).length
+    val codeLens = spark.read.parquet(s"$dir/graph")
+      .select(length(col("codes"))).distinct().as[Int].collect().toSeq
+    assert(codeLens == Seq(8), s"expected 8-byte PQ codes, got $codeLens (d=$d)")
+    // exhaustive beam + refine == exact flat search (the gate contract)
+    val q = queryVec(123L)
+    val viaPq = HnswIndex.search(spark, dir, q, k = 10, nprobes = 4,
+        ef = 500, refineFactor = 100)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select($"vec_id", col(Knn.DistanceCol)).as[(Long, Double)].collect().toSeq
+    assert(viaPq.map(_._1) == exact.map(_._1), s"$viaPq vs $exact")
+    viaPq.zip(exact).foreach { case ((_, dp), (_, de)) =>
+      assert(math.abs(dp - de) < 1e-4, s"refined distance drift: $dp vs $de")
+    }
+    // realistic lossy config still recalls well (beam on 8-byte codes)
+    val hits = (0 until 20).map { qi =>
+      val qv = queryVec(qi.toLong * 7 % 500)
+      val approx = HnswIndex.search(spark, dir, qv, k = 10, nprobes = 4, ef = 64)
+        .select("id").as[Long].collect().toSet
+      val ex = Knn.flatSearch(embeddings, "embedding", qv, 10, "l2", Seq($"vec_id"))
+        .select("vec_id").as[Long].collect().toSet
+      (approx intersect ex).size.toDouble / ex.size
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.8, s"pq recall@10 = $recall")
+  }
+
   test("cosine metric: high recall vs flat cosine, distances on the cosine scale") {
     val dir = Files.createTempDirectory("hnsw_cos_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
