@@ -963,21 +963,67 @@ object GraftTable {
     val snap = read(spark, tablePath, None, withRowAddr = true)
     val proj = snap.select(col(RowAddrCol).as("addr") +:
       exprs.map { case (n, e) => expr(e).as(n) }: _*)
+    commitColumnFiles(spark, tablePath, m0, proj, exprs.map(_._1))
+  }
+
+  /** Write an `(addr, newCols…)` supplemental dataset and commit the schema
+    * + columnFiles change (shared tail of [[addColumnsFiles]] /
+    * [[mergeColumns]]). Aborts on concurrent commits — the computed values
+    * are tied to the snapshot's addresses. */
+  private def commitColumnFiles(spark: SparkSession, tablePath: String,
+                                m0: GraftManifest, proj: DataFrame,
+                                names: Seq[String]): GraftManifest = {
     val rel = s"columns/colf-${UUID.randomUUID().toString.take(8)}"
     val dir = new Path(new Path(tablePath), rel)
     proj.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val written = spark.read.parquet(dir.toString).schema
-    val newFields = exprs.map { case (n, _) => written(n) }
+    val newFields = names.map(written(_))
     commitLoop(spark, tablePath, {
       case Some(base) =>
         if (base.version != m0.version) throw new IllegalStateException(
           s"add_columns conflict: table moved from v${m0.version} to v${base.version}")
         base.copy(version = base.version + 1, operation = "merge",
           schemaJson = StructType(base.schema.fields ++ newFields).json,
-          columnFiles = base.columnFiles :+ ColumnFileMeta(rel, exprs.map(_._1)),
+          columnFiles = base.columnFiles :+ ColumnFileMeta(rel, names),
           parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
+  }
+
+  /** Merge another dataframe's columns into the table by key equi-join
+    * WITHOUT rewriting existing data (reference `Dataset::merge`, Python
+    * `dataset.py:1666-1723`): a left join where the table is the left side —
+    * table rows with no match carry nulls. The joined values land as a
+    * supplemental column-file dataset keyed by `_rowaddr`
+    * ([[addColumnsFiles]] layout), so at 100 TB the cost is a shuffle of
+    * `(addr, key)` pairs from the left side — two columns, the minimum join
+    * state — plus the new column data itself; existing fragment files are
+    * untouched, and Spark broadcast-joins automatically when `source` is
+    * small (or pass `broadcast(source)`).
+    *
+    * The right side's join keys must be unique: duplicate keys would fan out
+    * left rows and misalign the addr-keyed column file, so this fails fast
+    * rather than picking an arbitrary winner. */
+  def mergeColumns(spark: SparkSession, tablePath: String, source: DataFrame,
+                   leftOn: String, rightOn0: Option[String] = None): GraftManifest = {
+    val rightOn = rightOn0.getOrElse(leftOn)
+    val m0 = loadManifest(spark, tablePath)
+    require(m0.schema.fieldNames.contains(leftOn), s"no column $leftOn in table")
+    require(source.columns.contains(rightOn), s"no column $rightOn in source")
+    val newNames = source.columns.filterNot(_ == rightOn).toSeq
+    require(newNames.nonEmpty, "source has no columns beyond the join key")
+    val taken = (m0.schema.fieldNames ++ m0.physicalSchema.fieldNames).toSet
+    val dup = newNames.filter(taken.contains)
+    require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
+    require(source.groupBy(col(rightOn)).count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      s"duplicate join keys in source on $rightOn")
+    val snap = read(spark, tablePath, None, withRowAddr = true)
+      .select(col(RowAddrCol).as("addr"), col(leftOn).as("__mc_key"))
+    val right = source.withColumnRenamed(rightOn, "__mc_rkey")
+    val proj = snap.join(right, snap("__mc_key") === right("__mc_rkey"), "left_outer")
+      .select(col("addr") +: newNames.map(col): _*)
+    commitColumnFiles(spark, tablePath, m0, proj, newNames)
   }
 
   /** Add columns computed by a batch UDF (reference `NewColumnTransform::

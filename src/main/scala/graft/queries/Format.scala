@@ -303,6 +303,23 @@ object Format {
         .orderBy(col("bal_bucket"))
     },
 
+    // Column merge by key join (reference `Dataset::merge`,
+    // dataset.py:1666): a left join against another dataframe lands as a
+    // no-rewrite supplemental column file keyed by _rowaddr; table rows with
+    // no match read as null. nation is filtered so some customers go
+    // unmatched, exercising the null leg.
+    "q_merge_columns" -> { (s, d) =>
+      val t = freshDir(s, "merge_columns")
+      GraftTable.write(Tables.customer(s, d), t, "overwrite")
+      val nat = Tables.nation(s, d).filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name").as("nation_name"))
+      GraftTable.mergeColumns(s, t, nat, "c_nationkey", Some("n_nationkey"))
+      GraftTable.read(s, t)
+        .groupBy(coalesce(col("nation_name"), lit("(unmatched)")).as("nation_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("nation_name"))
+    },
+
     // Shallow clone (reference shallow_clone, dataset.rs:1951): metadata-only
     // fork to a DIFFERENT path sharing the source's data files; mutations of
     // the clone never touch the source.
@@ -483,6 +500,13 @@ object Format {
       """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
         | count(*) AS n, round(sum(c_acctbal),2) AS total
         |FROM customer GROUP BY bal_bucket ORDER BY bal_bucket""".stripMargin,
+    "q_merge_columns" ->
+      """SELECT coalesce(n.n_name, '(unmatched)') AS nation_name,
+        | count(*) AS n, round(sum(c.c_acctbal),2) AS total
+        |FROM customer c
+        |LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY nation_name ORDER BY nation_name""".stripMargin,
     "q_format_take" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,

@@ -51,6 +51,42 @@ class SchemaEvolutionCompactionSpec extends AnyFunSuite {
     assert(GraftTable.take(spark, t, Seq(addr)).select("score2").as[Double].head() == 60.0)
   }
 
+  test("mergeColumns: left-join column merge, unmatched rows null, no rewrite") {
+    val t = tmp()
+    GraftTable.write(people.repartition(2), t)
+    val before = GraftTable.loadManifest(spark, t).fragments.map(f => f.id -> f.path).toSet
+    // ids 4,5 have no match → null grade
+    val grades = Seq((1L, "A"), (2L, "B"), (3L, "C"), (99L, "Z"))
+      .toDF("pid", "grade")
+    GraftTable.mergeColumns(spark, t, grades, "id", Some("pid"))
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.map(f => f.id -> f.path).toSet == before, "fragments untouched")
+    assert(m.columnFiles.map(_.columns) == Seq(Seq("grade")))
+    val back = GraftTable.read(spark, t).orderBy("id")
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score", "grade"))
+    assert(back.select("grade").collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("A"), Some("B"), Some("C"), None, None))
+    // take resolves merged values too
+    val addr = GraftTable.read(spark, t, withRowAddr = true)
+      .filter($"id" === 2L).select("_rowaddr").as[Long].head()
+    assert(GraftTable.take(spark, t, Seq(addr)).select("grade").as[String].head() == "B")
+  }
+
+  test("mergeColumns fails fast: duplicate right keys, colliding names") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    val dup = Seq((1L, "A"), (1L, "B")).toDF("pid", "grade")
+    assertThrows[IllegalArgumentException] {
+      GraftTable.mergeColumns(spark, t, dup, "id", Some("pid"))
+    }
+    val collide = Seq((1L, "x")).toDF("pid", "name")
+    assertThrows[IllegalArgumentException] {
+      GraftTable.mergeColumns(spark, t, collide, "id", Some("pid"))
+    }
+    // nothing committed by the failed attempts
+    assert(GraftTable.loadManifest(spark, t).columnFiles.isEmpty)
+  }
+
   test("addColumnsFiles composes with delete + update; compact materializes") {
     val t = tmp()
     GraftTable.write(people, t)
