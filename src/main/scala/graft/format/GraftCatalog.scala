@@ -217,16 +217,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.drop_index" => GraftProcedures.dropIndex(pathOf)
       case "system.indices" => GraftProcedures.indices(pathOf)
       case "system.optimize_index" => GraftProcedures.optimizeIndexProc(pathOf)
+      case "system.stats" => GraftProcedures.stats(pathOf)
+      case "system.index_stats" => GraftProcedures.indexStats(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
-          "system.create_index, system.drop_index, system.indices)")
+          "system.create_index, system.drop_index, system.indices, " +
+          "system.stats, system.index_stats)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index",
-        "create_index", "drop_index", "indices", "optimize_index")
+        "create_index", "drop_index", "indices", "optimize_index",
+        "stats", "index_stats")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -571,6 +575,54 @@ private[format] object GraftProcedures {
 
   /** `CALL g.system.indices(table => 'db.t')` — the manifest's committed
     * index inventory, one row per index. */
+  /** `CALL g.system.stats(table => 'db.t')` — dataset statistics from the
+    * manifest alone, zero data IO at any table size (reference
+    * `dataset.stats.dataset_stats()`, `dataset.py:5046-5055`:
+    * num_deleted_rows / num_fragments / num_small_files). "Small" =
+    * fragments under `target_rows` — the same threshold `compact` takes, so
+    * `num_small_files > 0` directly answers "would compaction help". */
+  def stats(pathOf: String => String): UnboundProcedure =
+    proc("stats",
+      Array(p("table", DT.StringType), pd("target_rows", DT.LongType, "1048576")),
+      StructType(Seq(StructField("num_rows", DT.LongType),
+        StructField("num_deleted_rows", DT.LongType),
+        StructField("num_fragments", DT.LongType),
+        StructField("num_small_files", DT.LongType),
+        StructField("version", DT.LongType)))) { in =>
+      val m = GraftTable.loadManifest(spark, pathOf(in.getUTF8String(0).toString))
+      val target = in.getLong(1)
+      Seq(m.liveRows, m.numDeleted, m.fragments.length.toLong,
+        m.fragments.count(_.rows < target).toLong, m.version)
+    }
+
+  /** `CALL g.system.index_stats(table => 'db.t', name => 'btree_id')` —
+    * index freshness from the manifest entry vs the live fragment set
+    * (reference `index_statistics`, `dataset.py:649`: num_indexed_rows /
+    * num_unindexed_rows / fragment counts). An index is stale-but-usable
+    * while unindexed counts are nonzero (combined search flat-scans the
+    * fresh fragments); `optimize_index` brings them back to zero. */
+  def indexStats(pathOf: String => String): UnboundProcedure =
+    proc("index_stats",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("index_type", DT.StringType),
+        StructField("column", DT.StringType),
+        StructField("indexed_version", DT.LongType),
+        StructField("num_indexed_fragments", DT.LongType),
+        StructField("num_unindexed_fragments", DT.LongType),
+        StructField("num_indexed_rows", DT.LongType),
+        StructField("num_unindexed_rows", DT.LongType)))) { in =>
+      val m = GraftTable.loadManifest(spark, pathOf(in.getUTF8String(0).toString))
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      val covered = e.fragmentIds.toSet
+      val (idx, fresh) = m.fragments.partition(f => covered.contains(f.id))
+      Seq(e.indexType, e.column, e.indexedVersion,
+        idx.length.toLong, fresh.length.toLong,
+        idx.map(_.rows).sum, fresh.map(_.rows).sum)
+    }
+
   def indices(pathOf: String => String): UnboundProcedure =
     procRows("indices",
       Array(p("table", DT.StringType)),

@@ -302,6 +302,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no index"), e.getMessage)
   }
 
+  test("CALL stats / index_stats: manifest-only statistics") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, concat('row-', id) FROM range(0, 400)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'id')")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, concat('row-', id) FROM range(400, 500)")
+    s.sql(s"DELETE FROM g.db.$t WHERE id < 10")
+    // dataset stats: rows/deletes/fragments from the manifest, no data IO
+    val st = s.sql(s"CALL g.system.stats(table => 'db.$t')").head()
+    assert(st.getLong(0) == 490L, s"num_rows ${st.getLong(0)}")
+    assert(st.getLong(1) == 10L, s"num_deleted_rows ${st.getLong(1)}")
+    assert(st.getLong(2) >= 2L, s"num_fragments ${st.getLong(2)}")
+    // everything here is tiny, so every fragment is "small" at the default
+    // compaction threshold
+    assert(st.getLong(3) == st.getLong(2))
+    // index stats: the append after the build is visible as unindexed debt
+    val ix = s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'btree_id')")
+      .head()
+    assert(ix.getString(0) == "BTREE" && ix.getString(1) == "id")
+    assert(ix.getLong(5) == 400L, s"num_indexed_rows ${ix.getLong(5)}")
+    assert(ix.getLong(6) == 100L, s"num_unindexed_rows ${ix.getLong(6)}")
+    assert(ix.getLong(4) >= 1L)
+    // optimize clears the debt
+    s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'btree_id')")
+    val ix2 = s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'btree_id')")
+      .head()
+    assert(ix2.getLong(6) == 0L, s"debt after optimize: ${ix2.getLong(6)}")
+    // unknown index name fails with the known list
+    val err = intercept[Exception] {
+      s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'nope')").collect()
+    }
+    assert(err.getMessage.contains("no index nope") ||
+      Option(err.getCause).exists(_.getMessage.contains("no index nope")))
+  }
+
   test("SHOW TBLPROPERTIES surfaces version and live-row facts") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
