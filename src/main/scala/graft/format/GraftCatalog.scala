@@ -219,6 +219,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.optimize_index" => GraftProcedures.optimizeIndexProc(pathOf)
       case "system.stats" => GraftProcedures.stats(pathOf)
       case "system.index_stats" => GraftProcedures.indexStats(pathOf)
+      case "system.validate" => GraftProcedures.validateProc(pathOf)
+      case "system.history" => GraftProcedures.history(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -230,7 +232,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "optimize_index",
-        "stats", "index_stats")
+        "stats", "index_stats", "validate", "history")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -621,6 +623,39 @@ private[format] object GraftProcedures {
       Seq(e.indexType, e.column, e.indexedVersion,
         idx.length.toLong, fresh.length.toLong,
         idx.map(_.rows).sum, fresh.map(_.rows).sum)
+    }
+
+  /** `CALL g.system.history(table => 'db.t')` — the commit log from
+    * retained manifests (reference `get_transactions`): one row per
+    * version with its operation, commit time, parent, and row counts.
+    * Driver-side manifest reads only — the retained-version count is
+    * bounded by the cleanup policy, never by data size. */
+  def history(pathOf: String => String): UnboundProcedure =
+    procRows("history",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("version", DT.LongType),
+        StructField("operation", DT.StringType),
+        StructField("commit_ts_millis", DT.LongType),
+        StructField("parent", DT.LongType),
+        StructField("num_rows", DT.LongType),
+        StructField("num_deleted", DT.LongType),
+        StructField("num_fragments", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      GraftTable.versions(spark, path).map { v =>
+        val m = GraftTable.loadManifest(spark, path, Some(v))
+        Seq(m.version, m.operation, m.commitTsMillis, m.parent,
+          m.liveRows, m.numDeleted, m.fragments.length.toLong)
+      }
+    }
+
+  /** `CALL g.system.validate(table => 'db.t')` — integrity check
+    * ([[GraftTable.validate]]): one row per problem found, zero rows =
+    * valid. */
+  def validateProc(pathOf: String => String): UnboundProcedure =
+    procRows("validate",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("issue", DT.StringType)))) { in =>
+      GraftTable.validate(spark, pathOf(in.getUTF8String(0).toString)).map(Seq(_))
     }
 
   def indices(pathOf: String => String): UnboundProcedure =

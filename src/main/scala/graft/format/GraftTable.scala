@@ -555,6 +555,96 @@ object GraftTable {
       }.drop("__cf_addr" +: cf.columns.map(c => s"__cf_$c"): _*)
     }
 
+  /** Integrity check (reference `Dataset::validate`,
+    * `rust/lance/src/dataset.rs` validate — manifest/fragment invariant
+    * verification). Returns the problems found; empty = valid.
+    *
+    * Manifest invariants (duplicate ids, row-id high-water mark, schema
+    * name collisions, index-dir markers) check driver-side from metadata
+    * already in memory. Per-file checks — existence, size, footer row
+    * count — run ON THE EXECUTORS, one task per slice of the fragment
+    * list, reading footers only: a 100 TB table validates with no data-page
+    * IO and no driver loop over files. The DV cross-check is one Spark
+    * aggregation over the deletion sidecars (bounded by deleted-row count,
+    * not table size). */
+  def validate(spark: SparkSession, tablePath: String): Seq[String] = {
+    import spark.implicits._
+    val m = loadManifest(spark, tablePath)
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val ids = m.fragments.map(_.id)
+    val dupIds = ids.groupBy(identity).filter(_._2.length > 1).keys
+    if (dupIds.nonEmpty) issues += s"duplicate fragment ids: ${dupIds.mkString(",")}"
+    val phys = m.physicalSchema.fieldNames
+    val dupPhys = phys.groupBy(identity).filter(_._2.length > 1).keys
+    if (dupPhys.nonEmpty) issues += s"duplicate physical column names: ${dupPhys.mkString(",")}"
+    val assignedTop = m.fragments.filter(_.rowIdStart >= 0L).map(f => f.rowIdStart + f.rows)
+    if (assignedTop.nonEmpty && assignedTop.max > m.nextRowId)
+      issues += s"nextRowId ${m.nextRowId} below assigned row-id top ${assignedTop.max}"
+    if (m.numDeleted < 0L || m.numDeleted > m.fragments.map(_.rows).sum)
+      issues += s"numDeleted ${m.numDeleted} out of range"
+
+    // committed index entries: the directory and its marker must match the
+    // entry's build uuid (a rebuilt/missing dir would otherwise veto lazily
+    // at query time; validate surfaces it eagerly)
+    m.indices.foreach { e =>
+      val dir = s"$tablePath/_indices/${e.name}"
+      graft.index.ScalarIndex.readMarkerUuid(spark, dir) match {
+        case None => issues += s"index ${e.name}: directory or marker missing at $dir"
+        case Some(u) if u != e.uuid =>
+          issues += s"index ${e.name}: marker uuid $u != committed ${e.uuid}"
+        case _ =>
+      }
+    }
+
+    // supplemental datasets exist (driver-side: these are per-commit, few)
+    val rootConf = spark.sessionState.newHadoopConf()
+    (m.dvFiles.map(("dv", _)) ++ m.columnFiles.map(cf => ("column file", cf.path)))
+      .foreach { case (kind, rel) =>
+        val p = new Path(new Path(tablePath), rel)
+        if (!p.getFileSystem(rootConf).exists(p)) issues += s"missing $kind $rel"
+      }
+
+    // fragment files: executor-parallel existence + size + footer row count
+    val sconf = new org.apache.spark.util.SerializableConfiguration(rootConf)
+    val tp = tablePath
+    issues ++= m.fragments.map(f => (f.path, f.rows, f.sizeBytes)).toDS()
+      .repartition(math.max(1, math.min(m.fragments.length, 64)))
+      .mapPartitions { it =>
+        val c = sconf.value
+        it.flatMap { case (rel, rows, size) =>
+          val p = new Path(new Path(tp), rel)
+          val fs = p.getFileSystem(c)
+          if (!fs.exists(p)) Iterator(s"missing fragment file $rel")
+          else {
+            val st = fs.getFileStatus(p)
+            if (st.getLen != size)
+              Iterator(s"fragment $rel: size ${st.getLen} != manifest $size")
+            else {
+              val (actual, _) = parquetFooterInfo(c, st)
+              if (actual != rows)
+                Iterator(s"fragment $rel: footer rows $actual != manifest $rows")
+              else Iterator.empty
+            }
+          }
+        }
+      }.collect()
+
+    // DV cross-check: addresses pointing at live fragments must account for
+    // exactly numDeleted rows (liveRows' correctness rests on this)
+    if (m.dvFiles.nonEmpty && !issues.exists(_.startsWith("missing dv"))) {
+      val dvPaths = m.dvFiles.map(r => new Path(new Path(tablePath), r).toString)
+      val liveIds = ids.toSet
+      val liveDeletes = spark.read.parquet(dvPaths: _*)
+        .select(shiftrightunsigned(col("addr"), 32).as("frag"))
+        .filter(col("frag").isInCollection(liveIds))
+        .count()
+      if (liveDeletes != m.numDeleted)
+        issues += s"deletion vectors cover $liveDeletes live rows != manifest numDeleted ${m.numDeleted}"
+    }
+    issues.toSeq
+  }
+
   /** COUNT(*) metadata fast path — no data IO (reference
     * `count_rows`, `scanner.rs:1496-1554`). */
   def countRows(spark: SparkSession, tablePath: String, version: Option[Long] = None): Long =

@@ -329,6 +329,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     val ix2 = s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'btree_id')")
       .head()
     assert(ix2.getLong(6) == 0L, s"debt after optimize: ${ix2.getLong(6)}")
+    // the full lifecycle table validates clean through SQL
+    assert(s.sql(s"CALL g.system.validate(table => 'db.$t')").count() == 0)
+    // the commit log replays the lifecycle: create, 2 inserts, delete,
+    // then the optimize_index maintenance commit
+    val hist = s.sql(s"CALL g.system.history(table => 'db.$t')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.length >= 5, hist.mkString(","))
+    assert(hist.map(_._1).toSeq == hist.map(_._1).toSeq.sorted)
+    assert(hist.head._2 == "create")
+    assert(hist.count(_._2 == "append") == 2)
+    assert(hist.exists(_._2 == "delete"))
     // unknown index name fails with the known list
     val err = intercept[Exception] {
       s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'nope')").collect()
