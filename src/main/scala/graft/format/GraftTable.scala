@@ -378,9 +378,10 @@ object GraftTable {
     */
   def read(spark: SparkSession, tablePath: String, version: Option[Long] = None,
            withRowAddr: Boolean = false, withRowId: Boolean = false,
-           withRowVersions: Boolean = false): DataFrame =
+           withRowVersions: Boolean = false,
+           includeDeleted: Boolean = false): DataFrame =
     readManifest(spark, tablePath, loadManifest(spark, tablePath, version),
-      withRowAddr, withRowId, withRowVersions)
+      withRowAddr, withRowId, withRowVersions, includeDeleted)
 
   /** Read a fragment subset of a snapshot (CDC / take-style access). */
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
@@ -391,7 +392,8 @@ object GraftTable {
 
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
                            withRowAddr: Boolean, withRowId: Boolean = false,
-                           withRowVersions: Boolean = false): DataFrame = {
+                           withRowVersions: Boolean = false,
+                           includeDeleted: Boolean = false): DataFrame = {
     val t = new Path(tablePath)
     // row-version columns derive creation from stable row ids when the
     // table has them; the internal id is dropped again below unless the
@@ -462,7 +464,19 @@ object GraftTable {
       else {
         val dv = spark.read.parquet(m.dvFiles.map(p => new Path(t, p).toString): _*)
           .select(col("addr").as(RowAddrCol)).distinct()
-        renamed.join(dv, Seq(RowAddrCol), "left_anti")
+        if (!includeDeleted) renamed.join(dv, Seq(RowAddrCol), "left_anti")
+        else {
+          // reference `include_deleted_rows` (dataset.py:790-794): deleted
+          // rows come back with on-disk values and `_rowid` nulled — the
+          // marker that the row is dead
+          val j = renamed.join(dv.withColumn("__dv_hit", lit(true)),
+            Seq(RowAddrCol), "left_outer")
+          val masked =
+            if (needRowId) j.withColumn(RowIdCol,
+              when(col("__dv_hit"), lit(null).cast("long")).otherwise(col(RowIdCol)))
+            else j
+          masked.drop("__dv_hit")
+        }
       }
     val merged = mergeColumnFiles(spark, t, m, live)
     val versioned = if (!withRowVersions) merged else addRowVersionColumns(spark, tablePath, m, merged)

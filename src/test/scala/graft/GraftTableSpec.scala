@@ -69,6 +69,23 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, t, Some(1L)).count() == 5)
   }
 
+  test("includeDeleted: dead rows surface with on-disk values and null _rowid") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    GraftTable.delete(spark, t, "score >= 30.0")
+    assert(GraftTable.read(spark, t).count() == 2)
+    val all = GraftTable.read(spark, t, withRowId = true, includeDeleted = true)
+    assert(all.count() == 5)
+    val dead = all.filter(col(GraftTable.RowIdCol).isNull)
+      .select("id").as[Long].collect().toSet
+    assert(dead == Set(3L, 4L, 5L), dead.toString)
+    val live = all.filter(col(GraftTable.RowIdCol).isNotNull)
+      .select("id").as[Long].collect().toSet
+    assert(live == Set(1L, 2L))
+    // without row ids the flag-less variant still returns every row
+    assert(GraftTable.read(spark, t, includeDeleted = true).count() == 5)
+  }
+
   test("delete true drops all fragments") {
     val t = tmp()
     GraftTable.write(people, t)
