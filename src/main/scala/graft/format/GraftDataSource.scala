@@ -1,9 +1,10 @@
 package graft.format
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` registration,
@@ -18,7 +19,8 @@ import org.apache.spark.sql.types.StructType
   * deleted rows.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -84,6 +86,30 @@ class GraftDataSource extends RelationProvider
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, tablePath(parameters),
       parameters.get("startingVersion").map(_.toLong))
+
+  /** `df.writeStream.format("graft").option("path", dir)` — append-only
+    * exactly-once sink. Each micro-batch's rows and its batch id land in
+    * ONE CAS commit ([[graft.streaming.GraftStreaming.commitBatch]]), so a
+    * replayed batch after a restart is detected from the table's own
+    * config and skipped — the table IS the write-ahead record, no sink-side
+    * state. `queryId` option namespaces the high-water mark when several
+    * independent streams append to one table. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = tablePath(parameters)
+    val queryId = parameters.getOrElse("queryId", "default")
+    require(outputMode == OutputMode.Append(),
+      s"graft sink is append-only (got $outputMode): aggregate with a " +
+        "watermark so the stream emits appendable finalized rows")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit =
+        graft.streaming.GraftStreaming.commitBatch(path,
+          org.apache.spark.sql.graftshim.ColumnBridge.batchFrom(data),
+          batchId, queryId)
+      override def toString: String = s"GraftSink[$path]"
+    }
+  }
 }
 
 /** Version-delta streaming source (the readStream face of

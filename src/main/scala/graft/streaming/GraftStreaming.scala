@@ -23,18 +23,26 @@ object GraftStreaming {
 
   private def batchKey(queryId: String) = s"streaming.$queryId.lastBatchId"
 
-  /** Use as `stream.writeStream.foreachBatch(GraftStreaming.foreachBatchSink(path)).start()`. */
-  def foreachBatchSink(tablePath: String, queryId: String = "default"):
-      (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+  /** Exactly-once micro-batch commit, shared by [[foreachBatchSink]] and
+    * `writeStream.format("graft")` ([[graft.format.GraftDataSource]]'s
+    * sink): batch data + batch id land in ONE CAS commit, so a batch id at
+    * or below the recorded high-water mark is a replay and skips. */
+  def commitBatch(tablePath: String, batch: DataFrame, batchId: Long,
+                  queryId: String = "default"): Unit = {
     val spark = batch.sparkSession
     val last = GraftTable.latestVersion(spark, tablePath)
       .map(_ => GraftTable.loadManifest(spark, tablePath))
       .flatMap(_.config.get(batchKey(queryId)).map(_.toLong))
     if (last.forall(_ < batchId)) {
-      // batch data + batch id land in ONE commit — atomic exactly-once
-      GraftTable.write(batch.toDF(), tablePath, "append",
+      GraftTable.write(batch, tablePath, "append",
         configUpdates = Map(batchKey(queryId) -> batchId.toString))
     } // else: replayed batch, already committed — skip
+  }
+
+  /** Use as `stream.writeStream.foreachBatch(GraftStreaming.foreachBatchSink(path)).start()`. */
+  def foreachBatchSink(tablePath: String, queryId: String = "default"):
+      (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+    commitBatch(tablePath, batch.toDF(), batchId, queryId)
   }
 
   /** Rows appended in versions (fromVersion, toVersion]. */

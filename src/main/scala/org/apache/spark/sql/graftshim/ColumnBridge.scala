@@ -33,4 +33,14 @@ object ColumnBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Batch DataFrame over a streaming micro-batch's physical rows — the
+    * inverse of [[streamingFrom]], for a V1 `Sink.addBatch`: the incoming
+    * frame carries an incremental streaming plan that batch writers must
+    * not re-analyze, so the sink writes this wrapper instead. */
+  def batchFrom(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -49,6 +49,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("writeStream.format(graft): first-class sink, append-only, replay-proof") {
+    val t = tmp()
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft").option("path", t)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = GraftTable.read(spark, t)
+    assert(back.count() == 3)
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // each micro-batch committed atomically with its batch id high-water mark
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.config.get("streaming.default.lastBatchId").contains("1"), m.config.toString)
+    // a replayed batch id is a no-op (restart-after-commit crash semantics)
+    GraftStreaming.commitBatch(t, Seq((9L, "dup")).toDF("id", "v"), 1L)
+    assert(GraftTable.read(spark, t).count() == 3)
+    // and the next batch id appends normally
+    GraftStreaming.commitBatch(t, Seq((4L, "d")).toDF("id", "v"), 2L)
+    assert(GraftTable.read(spark, t).count() == 4)
+  }
+
   test("streaming sink: micro-batches become append commits, exactly once") {
     val t = tmp()
     implicit val sc = spark.sqlContext
