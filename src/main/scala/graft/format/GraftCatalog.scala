@@ -221,6 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.index_stats" => GraftProcedures.indexStats(pathOf)
       case "system.validate" => GraftProcedures.validateProc(pathOf)
       case "system.history" => GraftProcedures.history(pathOf)
+      case "system.prewarm_index" => GraftProcedures.prewarmIndex(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -232,7 +233,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "optimize_index",
-        "stats", "index_stats", "validate", "history")
+        "stats", "index_stats", "validate", "history", "prewarm_index")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -623,6 +624,35 @@ private[format] object GraftProcedures {
       Seq(e.indexType, e.column, e.indexedVersion,
         idx.length.toLong, fresh.length.toLong,
         idx.map(_.rows).sum, fresh.map(_.rows).sum)
+    }
+
+  /** `CALL g.system.prewarm_index(table => 'db.t', name => 'hnsw_vec')` —
+    * load an index's query-time in-memory structure ahead of the first
+    * query (reference `prewarm_index`, `dataset.py:2991`). Graph families
+    * (IVF_HNSW*) build + persist their partitioned graph cache — the cold
+    * cost their first search would otherwise pay. Other families have no
+    * resident structure on this engine (their reads are pushdown-pruned
+    * parquet scans served by the FS/OS cache), so prewarming them is a
+    * documented no-op — returning `warmed = false` rather than faking a
+    * persist the query path would never consult. */
+  def prewarmIndex(pathOf: String => String): UnboundProcedure =
+    proc("prewarm_index",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("index_type", DT.StringType),
+        StructField("warmed", DT.BooleanType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      val warmed = e.indexType match {
+        case t if t.startsWith("IVF_HNSW") =>
+          graft.operators.HnswIndex.warm(spark, s"$path/_indices/${e.name}")
+          true
+        case _ => false
+      }
+      Seq(e.indexType, warmed)
     }
 
   /** `CALL g.system.history(table => 'db.t')` — the commit log from

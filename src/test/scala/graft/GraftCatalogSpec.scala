@@ -348,6 +348,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("no index nope")))
   }
 
+  test("CALL prewarm_index: graph families warm their cache, others no-op") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "array(CAST(id AS FLOAT), CAST(id * 2 AS FLOAT)) FROM range(0, 300)")
+    val path = s"$warehouse/db/$t"
+    graft.operators.HnswIndex.buildForTable(s, path, "id", "vec",
+      s"$path/_indices/hnsw_vec", nlist = 2)
+    graft.operators.HnswIndex.unpersistAll() // cold start
+    val idxPath = s"$path/_indices/hnsw_vec"
+    assert(graft.operators.HnswIndex.cachedPayloadType(idxPath).isEmpty)
+    val r = s.sql(s"CALL g.system.prewarm_index(table => 'db.$t', name => 'hnsw_vec')")
+      .head()
+    assert(r.getString(0) == "IVF_HNSW" && r.getBoolean(1), r.toString)
+    assert(graft.operators.HnswIndex.cachedPayloadType(idxPath).isDefined)
+    // scalar families have no resident structure: documented no-op
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'id')")
+    val r2 = s.sql(s"CALL g.system.prewarm_index(table => 'db.$t', name => 'btree_id')")
+      .head()
+    assert(r2.getString(0) == "BTREE" && !r2.getBoolean(1), r2.toString)
+  }
+
   test("SHOW TBLPROPERTIES surfaces version and live-row facts") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
