@@ -183,6 +183,31 @@ class HnswSpec extends AnyFunSuite {
     assert((r.toSet intersect exact).size >= 8, s"recall too low: $r vs $exact")
   }
 
+  test("pq storage, table-backed: combined search survives deletes + fresh appends") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_pqtbl_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_pqtblidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4,
+      storage = "pq", pqM = 8, pqK = 16)
+    GraftTable.delete(spark, t, "vec_id < 100")
+    // rows appended after the build take the flat-union leg
+    val fresh = embeddings.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 10000L)
+    GraftTable.write(fresh, t, "append")
+    val q = queryVec(21L)
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r.size == 10 && r.distinct.size == 10, r.toString)
+    assert(r.forall(_ >= 100), s"deleted ids surfaced: ${r.filter(_ < 100)}")
+    // exhaustive beam + wide refine over ADC codes == exact over the live set
+    val live = embeddings.filter($"vec_id" >= 100).union(fresh)
+    val exact = Knn.flatSearch(live, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == exact, s"$r vs $exact")
+  }
+
   test("graph cache is LRU-bounded: eviction releases storage") {
     HnswIndex.unpersistAll()
     // CacheCapacity+1 tiny indexes; touching them in order must evict the
