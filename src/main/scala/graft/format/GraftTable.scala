@@ -1119,14 +1119,18 @@ object GraftTable {
     val taken = (m0.schema.fieldNames ++ m0.physicalSchema.fieldNames).toSet
     val dup = newNames.filter(taken.contains)
     require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
+    // "addr" is the column-file key and "__mc_*" are this join's internals —
+    // a source column with either name would misbind silently
+    val reserved = newNames.filter(n => n == "addr" || n.startsWith("__mc_"))
+    require(reserved.isEmpty, s"reserved column names in source: ${reserved.mkString(",")}")
     require(source.groupBy(col(rightOn)).count()
       .filter(col("count") > 1).limit(1).count() == 0,
       s"duplicate join keys in source on $rightOn")
     val snap = read(spark, tablePath, None, withRowAddr = true)
-      .select(col(RowAddrCol).as("addr"), col(leftOn).as("__mc_key"))
+      .select(col(RowAddrCol).as("__mc_addr"), col(leftOn).as("__mc_key"))
     val right = source.withColumnRenamed(rightOn, "__mc_rkey")
     val proj = snap.join(right, snap("__mc_key") === right("__mc_rkey"), "left_outer")
-      .select(col("addr") +: newNames.map(col): _*)
+      .select(col("__mc_addr").as("addr") +: newNames.map(col): _*)
     commitColumnFiles(spark, tablePath, m0, proj, newNames)
   }
 

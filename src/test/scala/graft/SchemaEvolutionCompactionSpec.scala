@@ -83,6 +83,12 @@ class SchemaEvolutionCompactionSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       GraftTable.mergeColumns(spark, t, collide, "id", Some("pid"))
     }
+    // "addr" is the column-file key: a source column named that would
+    // misbind into the supplemental dataset
+    val reserved = Seq((1L, 5L)).toDF("pid", "addr")
+    assertThrows[IllegalArgumentException] {
+      GraftTable.mergeColumns(spark, t, reserved, "id", Some("pid"))
+    }
     // nothing committed by the failed attempts
     assert(GraftTable.loadManifest(spark, t).columnFiles.isEmpty)
   }
