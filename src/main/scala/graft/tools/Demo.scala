@@ -111,6 +111,13 @@ object Demo {
     println("-- VERSION AS OF 2 (first insert) --")
     spark.sql("SELECT * FROM demo.db.users VERSION AS OF 2 ORDER BY id").show()
 
+    println("== maintenance procedures: stats / history / validate ==")
+    spark.sql("CALL demo.system.stats(table => 'db.users')").show(false)
+    spark.sql("CALL demo.system.history(table => 'db.users')")
+      .select("version", "operation", "num_rows", "num_deleted").show(false)
+    println(s"validate issues: " +
+      spark.sql("CALL demo.system.validate(table => 'db.users')").count())
+
     println("== shallow clone: fork to a new path, mutate without touching source ==")
     val cl = java.nio.file.Files.createTempDirectory("graft_demo_").toString + "/clone"
     GraftTable.shallowClone(spark, t3, cl)
