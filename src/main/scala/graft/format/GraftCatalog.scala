@@ -533,15 +533,32 @@ private[format] object GraftProcedures {
     * under the table's own `_indices/` dir, so the build COMMITS its
     * [[IndexMeta]] into the manifest and the optimizer wires it in
     * automatically. */
+  /** `CALL g.system.create_index(table, column, index_type, ...)` — every
+    * index family the engine ships, creatable from SQL (reference Python
+    * `create_index`/`create_scalar_index` cover both). Vector and FTS
+    * builds key rows by `id_col` (default the stable `_rowid`, so no
+    * caller-managed id column is needed) and commit their IndexMeta like
+    * the scalar families — `optimize_index` then maintains any of them
+    * from the manifest entry alone. */
   def createIndex(pathOf: String => String): UnboundProcedure =
     proc("create_index",
       Array(p("table", DT.StringType), p("column", DT.StringType),
-        pd("index_type", DT.StringType, "'BTREE'")),
+        pd("index_type", DT.StringType, "'BTREE'"),
+        pd("id_col", DT.StringType, s"'${GraftTable.RowIdCol}'"),
+        pd("nlist", DT.LongType, "8"),
+        pd("pq_m", DT.LongType, "8"),
+        pd("pq_k", DT.LongType, "256"),
+        pd("metric", DT.StringType, "'l2'")),
       StructType(Seq(StructField("index_name", DT.StringType),
         StructField("version", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val column = in.getUTF8String(1).toString
       val idxDir = s"$path/_indices"
+      val idCol = in.getUTF8String(3).toString
+      val nlist = in.getLong(4).toInt
+      val pqM = in.getLong(5).toInt
+      val pqK = in.getLong(6).toInt
+      val metric = in.getUTF8String(7).toString
       val name = in.getUTF8String(2).toString.toUpperCase match {
         case "BTREE" =>
           graft.index.ScalarIndex.buildBtree(spark, path, column, idxDir)
@@ -555,8 +572,39 @@ private[format] object GraftProcedures {
         case "NGRAM" =>
           graft.index.ScalarIndex.buildNgram(spark, path, column, idxDir)
           s"ngram_$column"
+        case "IVF_FLAT" =>
+          graft.operators.IvfIndex.buildForTable(spark, path, idCol, column,
+            s"$idxDir/ivf_$column", nlist)
+          s"ivf_$column"
+        case "IVF_PQ" =>
+          graft.operators.PqIndex.buildForTable(spark, path, idCol, column,
+            s"$idxDir/ivfpq_$column", nlist, pqM, pqK, metric)
+          s"ivfpq_$column"
+        case "IVF_SQ" =>
+          graft.operators.SqIndex.buildForTable(spark, path, idCol, column,
+            s"$idxDir/ivfsq_$column", nlist, metric)
+          s"ivfsq_$column"
+        case "IVF_RQ" =>
+          graft.operators.RqIndex.buildForTable(spark, path, idCol, column,
+            s"$idxDir/ivfrq_$column", nlist, metric)
+          s"ivfrq_$column"
+        case t @ ("IVF_HNSW" | "IVF_HNSW_SQ" | "IVF_HNSW_PQ") =>
+          val storage = t match {
+            case "IVF_HNSW_SQ" => "sq"
+            case "IVF_HNSW_PQ" => "pq"
+            case _ => "flat"
+          }
+          graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
+            s"$idxDir/hnsw_$column", nlist, metric = metric, storage = storage,
+            pqM = pqM, pqK = pqK)
+          s"hnsw_$column"
+        case "FTS" =>
+          graft.operators.Fts.buildForTable(spark, path, idCol, column)
+          s"fts_$column"
         case other => throw new IllegalArgumentException(
-          s"graft: unknown index_type $other (BTREE, BLOOMFILTER, LABEL_LIST, NGRAM)")
+          s"graft: unknown index_type $other (BTREE, BLOOMFILTER, LABEL_LIST, " +
+            "NGRAM, IVF_FLAT, IVF_PQ, IVF_SQ, IVF_RQ, IVF_HNSW, IVF_HNSW_SQ, " +
+            "IVF_HNSW_PQ, FTS)")
       }
       Seq(name, GraftTable.loadManifest(spark, path).version)
     }

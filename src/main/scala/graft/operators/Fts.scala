@@ -403,7 +403,8 @@ object Fts {
                     textCol: String, config: FtsConfig = FtsConfig()): Index = {
     val m = graft.format.GraftTable.loadManifest(spark, tablePath)
     val indexPath = s"$tablePath/_indices/fts_$textCol"
-    val out = buildIndex(graft.format.GraftTable.read(spark, tablePath),
+    val out = buildIndex(graft.format.GraftTable.read(spark, tablePath,
+        withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, textCol, indexPath, config = config)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       "FTS", textCol, m, Map("idCol" -> idCol))
@@ -430,14 +431,17 @@ object Fts {
       // addresses), so a filtered rewrite cannot identify their rows —
       // rebuild (the reference's inverted index remaps via row ids; ours
       // rebuilds, which is also O(corpus) but one pass)
-      val out = buildIndex(GraftTable.read(spark, tablePath), idCol, textCol, indexPath)
+      val out = buildIndex(GraftTable.read(spark, tablePath,
+          withRowId = idCol == GraftTable.RowIdCol),
+        idCol, textCol, indexPath)
       graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
         "FTS", textCol, m, Map("idCol" -> idCol))
       return m.liveRows
     }
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (freshFrags.nonEmpty) {
-      optimizeIndex(GraftTable.readFragments(spark, tablePath, m, freshFrags),
+      optimizeIndex(GraftTable.readFragments(spark, tablePath, m, freshFrags,
+          withRowId = idCol == GraftTable.RowIdCol),
         idCol, textCol, indexPath)
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,

@@ -348,6 +348,38 @@ class GraftCatalogSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("no index nope")))
   }
 
+  test("CALL create_index covers vector and FTS families end-to-end") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>, body STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "array(CAST(id % 13 AS FLOAT), CAST(id % 7 AS FLOAT)), " +
+      "concat('the quick document ', id) FROM range(0, 400)")
+    // vector family, keyed by the stable _rowid — no caller-managed id column
+    val created = s.sql(s"CALL g.system.create_index(table => 'db.$t', " +
+      "`column` => 'vec', index_type => 'IVF_HNSW_SQ', nlist => 2)").head()
+    assert(created.getString(0) == "hnsw_vec", created.toString)
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      "index_type => 'FTS')")
+    val inv = s.sql(s"CALL g.system.indices(table => 'db.$t')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(inv.get("hnsw_vec").contains("IVF_HNSW_SQ") &&
+      inv.get("fts_body").contains("FTS"), inv.toString)
+    // append creates visible debt; optimize_index clears it from the
+    // manifest entry alone
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "array(CAST(id % 13 AS FLOAT), CAST(id % 7 AS FLOAT)), " +
+      "concat('the quick document ', id) FROM range(400, 450)")
+    assert(s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'fts_body')")
+      .head().getLong(6) == 50L)
+    s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'fts_body')")
+    assert(s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'fts_body')")
+      .head().getLong(6) == 0L)
+    // the SQL-created graph index prewarms through its committed entry
+    val w = s.sql(s"CALL g.system.prewarm_index(table => 'db.$t', name => 'hnsw_vec')")
+      .head()
+    assert(w.getString(0) == "IVF_HNSW_SQ" && w.getBoolean(1), w.toString)
+  }
+
   test("CALL prewarm_index: graph families warm their cache, others no-op") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
