@@ -109,6 +109,87 @@ object Multimodal {
     }
   }
 
+  case class DecodedAudio(id: Long, sampleRate: Int, channels: Int,
+                          nSamples: Long, rms: Float, envelope: Array[Float])
+
+  /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM — JVM
+    * stdlib, no external codec), per-partition iterator like
+    * [[decodeImages]]. Non-16-bit/unsigned PCM converts through the
+    * stdlib's format conversion first. Features are channel-0 RMS level
+    * plus a `bins`-bin mean-|amplitude| envelope, all in [0,1] —
+    * content-sensitive values that flow into Knn/IvfIndex unchanged.
+    * Undecodable payloads drop row-wise (corrupt-sample policy). */
+  def decodeAudio(media: Dataset[MediaRow], bins: Int = 8): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        audioFeatures(r.content, bins).map { case (sr, ch, n, rms, env) =>
+          DecodedAudio(r.id, sr, ch, n, rms, env)
+        }
+      }
+    }
+  }
+
+  /** Decode one payload to (sampleRate, channels, nSamples, rms, envelope);
+    * None if the bytes are not supported audio. */
+  private[operators] def audioFeatures(bytes: Array[Byte], bins: Int)
+      : Option[(Int, Int, Long, Float, Array[Float])] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val f0 = src.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+          f0.getSampleRate, false)
+        val in = if (f0.matches(target)) src
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        val data = in.readAllBytes()
+        val ch = target.getChannels
+        val n = data.length / (2 * ch)
+        if (n == 0) None
+        else {
+          var sumsq = 0.0
+          val bsum = new Array[Double](bins)
+          val bcnt = new Array[Long](bins)
+          var i = 0
+          while (i < n) {
+            val o = i * 2 * ch // channel 0, little-endian
+            val v = (((data(o + 1) << 8) | (data(o) & 0xff)).toShort) / 32768.0
+            sumsq += v * v
+            val b = math.min(bins - 1, (i.toLong * bins / n).toInt)
+            bsum(b) += math.abs(v); bcnt(b) += 1
+            i += 1
+          }
+          Some((f0.getSampleRate.toInt, f0.getChannels, n.toLong,
+            math.sqrt(sumsq / n).toFloat,
+            Array.tabulate(bins)(b =>
+              if (bcnt(b) == 0) 0f else (bsum(b) / bcnt(b)).toFloat)))
+        }
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic 16-bit mono WAV encode — fixture/ingest helper (PCM is
+    * lossless, so samples round-trip exactly through [[decodeAudio]]). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Payload-level metadata without decoding: size, content hash —
     * real, codec-free, and what dedup-by-content uses at scale. */
   def withPayloadMeta(df: DataFrame, contentCol: String): DataFrame =

@@ -105,6 +105,27 @@ object Text {
         .orderBy(col("bucket"))
     },
 
+    // Real WAV decode (javax.sound.sampled) over deterministic PCM
+    // fixtures: constant-amplitude clips make rms/sample-count pure
+    // arithmetic, so the DuckDB oracle replays them codec-free — a decode
+    // bug (wrong sample count, wrong scaling, dropped rows) hash-mismatches.
+    "q_audio_features" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 200 + (id % 50).toInt
+          val amp = ((id % 100) * 300).toShort // ≤ 29 700 < Short.MaxValue
+          Multimodal.MediaRow(id, Multimodal.encodeWav(8000, Array.fill(n)(amp)))
+        }
+      Multimodal.decodeAudio(media, bins = 4).toDF()
+        .withColumn("level", round(col("rms") * 32768).cast("long"))
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("nSamples")).as("total_samples"),
+          sum(col("level")).as("total_level"))
+        .orderBy(col("bucket"))
+    },
+
     // Training-shard packing: assign documents to shards by cumulative token
     // budget in doc_id order — two-phase distributed cumsum (per-bucket
     // partitioned window + tiny bucket-offset broadcast join), NEVER a
@@ -165,6 +186,13 @@ object Text {
         | CAST(sum(16 + doc_id % 17) AS BIGINT) AS total_w,
         | CAST(sum(16 + doc_id % 13) AS BIGINT) AS total_h,
         | CAST(sum(doc_id % 256) AS BIGINT) AS total_gray
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays the q_audio_features fixture arithmetic codec-free: constant
+    // PCM amplitude a over n samples has rms exactly a/32768
+    "q_audio_features" ->
+      """SELECT doc_id % 5 AS bucket, count(*) AS n,
+        | CAST(sum(200 + doc_id % 50) AS BIGINT) AS total_samples,
+        | CAST(sum((doc_id % 100) * 300) AS BIGINT) AS total_level
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

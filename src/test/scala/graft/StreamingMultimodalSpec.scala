@@ -191,6 +191,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(out.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("multimodal: real WAV decode — rms, envelope, corrupt-row drop") {
+    // constant +9000 clip, a half-silent clip, and garbage bytes
+    val flat = Multimodal.encodeWav(8000, Array.fill(400)(9000.toShort))
+    val halves = Multimodal.encodeWav(16000,
+      Array.fill(200)(12000.toShort) ++ Array.fill(200)(0.toShort))
+    val media = Seq(
+      Multimodal.MediaRow(1L, flat),
+      Multimodal.MediaRow(2L, halves),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9, 9)) // not audio → dropped
+    ).toDS().repartition(2)
+    val out = Multimodal.decodeAudio(media, bins = 4).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
+    assert(out(0).sampleRate == 8000 && out(0).channels == 1 && out(0).nSamples == 400L)
+    // constant signal: rms and every envelope bin are exactly amp/32768
+    assert(math.abs(out(0).rms - 9000f / 32768f) < 1e-4, out(0).rms.toString)
+    assert(out(0).envelope.forall(e => math.abs(e - 9000f / 32768f) < 1e-4))
+    // half-silent: energy in the first two bins only
+    val env = out(1).envelope
+    assert(out(1).nSamples == 400L && out(1).sampleRate == 16000)
+    assert(math.abs(env(0) - 12000f / 32768f) < 1e-4 && math.abs(env(1) - 12000f / 32768f) < 1e-4)
+    assert(math.abs(env(2)) < 1e-4 && math.abs(env(3)) < 1e-4)
+    assert(math.abs(out(1).rms - 12000f / 32768f / math.sqrt(2).toFloat) < 1e-3)
+  }
+
   test("multimodal: frame sampling fans out byte ranges") {
     val media = Seq(Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray)).toDS()
     val frames = Multimodal.sampleFrames(media, 4).collect().sortBy(_.frameIdx)
