@@ -69,6 +69,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, t, Some(1L)).count() == 5)
   }
 
+  test("graft.write.compression config selects the fragment parquet codec") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def codecOf(t: String, frag: graft.format.FragmentMeta): String = {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(t), frag.path)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.toString
+      finally r.close()
+    }
+    val t = tmp()
+    GraftTable.write(people, t, "overwrite",
+      configUpdates = Map(GraftTable.CompressionKey -> "zstd"))
+    // the config lands with the CREATE commit, so the first append (and
+    // every later mutation) honors it
+    GraftTable.write(people.select($"id" + 100 as "id", $"name", $"score"), t, "append")
+    val m = GraftTable.loadManifest(spark, t)
+    val appended = m.fragments.filter(_.addedVersion == m.version)
+    assert(appended.nonEmpty && appended.forall(f => codecOf(t, f) == "ZSTD"),
+      m.fragments.map(f => f.path -> codecOf(t, f)).toString)
+    assert(GraftTable.read(spark, t).count() == 10) // zstd fragments read back
+    // a table without the config keeps Spark's default codec
+    val t2 = tmp()
+    GraftTable.write(people, t2)
+    val m2 = GraftTable.loadManifest(spark, t2)
+    assert(codecOf(t2, m2.fragments.head) != "ZSTD")
+  }
+
   test("includeDeleted: dead rows surface with on-disk values and null _rowid") {
     val t = tmp()
     GraftTable.write(people, t)
