@@ -74,6 +74,21 @@ object Multimodal {
       if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
   }
 
+  /** Deterministic JPEG encode — fixture helper for [[encodeAviMjpeg]]
+    * (lossy: decoded pixel values are approximate; dimensions are exact). */
+  def encodeJpeg(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgbAt(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic PNG encode — fixture/ingest helper (PNG is lossless, so
     * fill colors round-trip exactly through [[decodeImages]]). */
   def encodePng(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
@@ -89,9 +104,111 @@ object Multimodal {
     bos.toByteArray
   }
 
+  case class DecodedFrame(id: Long, frameIdx: Int, width: Int, height: Int,
+                          features: Array[Float])
+
+  /** REAL video frame decode for MJPEG-in-AVI (RIFF container walk +
+    * stdlib JPEG decode per frame — the one video codec family the JVM can
+    * handle without native libraries; anything else still goes through
+    * [[sampleFrames]]'s byte-range fan-out). One row per decoded frame
+    * with its true dimensions and the same 4×4 luminance features as
+    * [[decodeImages]]; non-AVI or frame-less payloads drop row-wise. */
+  def decodeVideoFrames(media: Dataset[MediaRow],
+                        maxFrames: Int = Int.MaxValue): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        mjpegFrames(r.content).take(maxFrames).zipWithIndex.flatMap {
+          case (jpeg, i) =>
+            decodeOne(jpeg).map(img => DecodedFrame(r.id, i, img.getWidth,
+              img.getHeight, gridFeatures(img, 4)))
+        }
+      }
+    }
+  }
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 > b.length) "" else new String(b, o, 4, "US-ASCII")
+
+  /** Walk a RIFF AVI's `movi` list and yield the compressed-frame chunks
+    * (`??dc`/`??db`). Tolerates truncated tails; returns empty for anything
+    * that is not a RIFF AVI. */
+  private[operators] def mjpegFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12 ||
+      fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return Iterator.empty
+    val out = Seq.newBuilder[Array[Byte]]
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = fourcc(bytes, o)
+      val size = le32(bytes, o + 4).toInt
+      val body = o + 8
+      if (size < 0 || body > bytes.length) { o = bytes.length } // truncated
+      else {
+        val end = math.min(bytes.length, body + size)
+        if (id == "LIST" && end - body >= 4 && fourcc(bytes, body) == "movi") {
+          var p = body + 4
+          while (p + 8 <= end) {
+            val cid = fourcc(bytes, p)
+            val csz = le32(bytes, p + 4).toInt
+            val cbody = p + 8
+            if (csz < 0 || cbody + csz > end) { p = end }
+            else {
+              if (cid.length == 4 && (cid.endsWith("dc") || cid.endsWith("db")) && csz > 0)
+                out += java.util.Arrays.copyOfRange(bytes, cbody, cbody + csz)
+              p = cbody + csz + (csz & 1) // chunks pad to even
+            }
+          }
+        }
+        o = body + size + (size & 1)
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Deterministic MJPEG-in-AVI encode — fixture/ingest helper: a
+    * well-formed RIFF (`hdrl` with avih + vids/MJPG stream headers, `movi`
+    * with one `00dc` chunk per JPEG). Frames are independently decodable
+    * JPEG payloads (e.g. from `ImageIO.write(img, "jpg", ...)`). */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                     fps: Int = 10): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = new ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      var s = body.length
+      (0 until 4).foreach { _ => out.write(s & 0xff); s >>= 8 }
+      out.write(body); if (pad == 1) out.write(0)
+      out.toByteArray
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ bodies.flatten)
+    def u32(vs: Long*): Array[Byte] = vs.flatMap { v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    }.toArray
+    val avih = chunk("avih", u32(1000000L / fps, 0, 0, 0x10, frames.length.toLong,
+      0, 1, 0, width.toLong, height.toLong, 0, 0, 0, 0))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++
+      // flags, prio+lang, initialFrames, scale=1, rate=fps, start,
+      // length=n, suggestedBuf, quality, sampleSize, rcFrame(2×u32)
+      u32(0, 0, 0, 1, fps.toLong, 0, frames.length.toLong, 0, 0, 0, 0, 0))
+    val strf = chunk("strf", u32(40, width.toLong, height.toLong,
+      1L | (24L << 16), 0x47504A4DL, // planes=1 bitcount=24, 'MJPG'
+      (width * height * 3).toLong, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    chunk("RIFF", riffBody)
+  }
+
   /** Frame sampling from a video-like binary payload: REAL byte plumbing
     * (fixed-stride ranges); frames are byte slices, not codec-decoded
-    * pictures (no JVM-stdlib video codec). Explodes one row per frame —
+    * pictures (codec-free fallback for containers [[decodeVideoFrames]]
+    * does not parse). Explodes one row per frame —
     * the fan-out shape a frame-level pipeline needs. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._

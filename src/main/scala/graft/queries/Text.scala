@@ -126,6 +126,32 @@ object Text {
         .orderBy(col("bucket"))
     },
 
+    // Real MJPEG-in-AVI frame decode: RIFF container walk + stdlib JPEG
+    // codec per frame. Frame COUNT and DIMENSIONS are exact through the
+    // lossy codec, so the oracle replays that arithmetic codec-free; pixel
+    // accuracy is specced separately with JPEG tolerance.
+    "q_video_frames" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = 2 + (id % 3).toInt
+          val w = 16 + (id % 9).toInt
+          val h = 16 + (id % 7).toInt
+          val g = (id % 256).toInt
+          val frames = (0 until nf).map(f =>
+            Multimodal.encodeJpeg(w, h, (_, _) => {
+              val v = (g + f * 40) % 256; (v << 16) | (v << 8) | v
+            }))
+          Multimodal.MediaRow(id, Multimodal.encodeAviMjpeg(frames, w, h))
+        }
+      Multimodal.decodeVideoFrames(media).toDF()
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("width")).as("total_w"),
+          sum(col("height")).as("total_h"))
+        .orderBy(col("bucket"))
+    },
+
     // Training-shard packing: assign documents to shards by cumulative token
     // budget in doc_id order — two-phase distributed cumsum (per-bucket
     // partitioned window + tiny bucket-offset broadcast join), NEVER a
@@ -186,6 +212,15 @@ object Text {
         | CAST(sum(16 + doc_id % 17) AS BIGINT) AS total_w,
         | CAST(sum(16 + doc_id % 13) AS BIGINT) AS total_h,
         | CAST(sum(doc_id % 256) AS BIGINT) AS total_gray
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays the q_video_frames fixture arithmetic codec-free: every frame
+    // of a doc's AVI shares the doc's (w, h); count/dims survive the lossy
+    // JPEG codec exactly
+    "q_video_frames" ->
+      """SELECT doc_id % 5 AS bucket,
+        | CAST(sum(2 + doc_id % 3) AS BIGINT) AS n_frames,
+        | CAST(sum((2 + doc_id % 3) * (16 + doc_id % 9)) AS BIGINT) AS total_w,
+        | CAST(sum((2 + doc_id % 3) * (16 + doc_id % 7)) AS BIGINT) AS total_h
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays the q_audio_features fixture arithmetic codec-free: constant
     // PCM amplitude a over n samples has rms exactly a/32768

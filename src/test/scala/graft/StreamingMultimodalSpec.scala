@@ -215,6 +215,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(math.abs(out(1).rms - 12000f / 32768f / math.sqrt(2).toFloat) < 1e-3)
   }
 
+  test("multimodal: real MJPEG-in-AVI decode — frames, dims, luminance, drops") {
+    // three uniform-gray frames at distinct levels
+    val levels = Seq(40, 128, 220)
+    val frames = levels.map(v =>
+      Multimodal.encodeJpeg(24, 18, (_, _) => (v << 16) | (v << 8) | v))
+    val avi = Multimodal.encodeAviMjpeg(frames, 24, 18)
+    val media = Seq(
+      Multimodal.MediaRow(1L, avi),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4)), // not RIFF → dropped
+      Multimodal.MediaRow(3L, java.util.Arrays.copyOf(avi, avi.length / 2)) // truncated
+    ).toDS().repartition(2)
+    val out = Multimodal.decodeVideoFrames(media).collect()
+      .sortBy(f => (f.id, f.frameIdx))
+    val full = out.filter(_.id == 1L)
+    assert(full.length == 3, out.map(f => (f.id, f.frameIdx)).toSeq.toString)
+    assert(full.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+    assert(full.forall(f => f.width == 24 && f.height == 18))
+    // uniform-gray frames survive the lossy codec within JPEG tolerance
+    full.zip(levels).foreach { case (f, v) =>
+      f.features.foreach(x => assert(math.abs(x - v / 255f) < 0.02,
+        s"level $v decoded to $x"))
+    }
+    assert(!out.exists(_.id == 2L)) // non-AVI dropped row-wise
+    // the truncated copy yields at most a prefix of frames, never garbage
+    val trunc = out.filter(_.id == 3L)
+    assert(trunc.length <= 3 && trunc.forall(f => f.width == 24 && f.height == 18))
+    // maxFrames caps the fan-out
+    assert(Multimodal.decodeVideoFrames(media, maxFrames = 1).collect()
+      .count(_.id == 1L) == 1)
+  }
+
   test("multimodal: frame sampling fans out byte ranges") {
     val media = Seq(Multimodal.MediaRow(1L, (0 until 100).map(_.toByte).toArray)).toDS()
     val frames = Multimodal.sampleFrames(media, 4).collect().sortBy(_.frameIdx)
