@@ -133,7 +133,11 @@ object Text {
     "q_video_frames" -> { (s, d) =>
       import s.implicits._
       import graft.operators.Multimodal
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // deterministic doc subset: the fixture ENCODE (3 JPEGs/doc) would
+      // otherwise dominate the measurement at bench scale — 2k docs
+      // exercises the full decode path at every sf
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 2000).as[Long]
         .map { id =>
           val nf = 2 + (id % 3).toInt
           val w = 16 + (id % 9).toInt
@@ -221,7 +225,7 @@ object Text {
         | CAST(sum(2 + doc_id % 3) AS BIGINT) AS n_frames,
         | CAST(sum((2 + doc_id % 3) * (16 + doc_id % 9)) AS BIGINT) AS total_w,
         | CAST(sum((2 + doc_id % 3) * (16 + doc_id % 7)) AS BIGINT) AS total_h
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents WHERE doc_id < 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays the q_audio_features fixture arithmetic codec-free: constant
     // PCM amplitude a over n samples has rms exactly a/32768
     "q_audio_features" ->
