@@ -1,0 +1,238 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Fts, IvfIndex, TextAnalysis => TA}
+
+/** Scaling-curve harness: replicate the sf0.1 inputs ×1/×8/×64 (docs,
+  * embeddings) and ×1/×4/×16 (lineitem/orders), run the heaviest operator
+  * families at each factor, and report wall time + fitted scaling exponent
+  * per operator.
+  *
+  * The point is 100 TB evidence: correctness gates prove the operators
+  * right at one size; this measures how their cost GROWS. An operator whose
+  * measured exponent between the two largest factors is ~1.0 scales
+  * linearly in input size (the best a full-data operator can do); >1.2
+  * would flag a super-linear stage (e.g. a candidate-pair explosion) that a
+  * 1000-executor cluster cannot buy back.
+  *
+  * Replication preserves the property each operator's cost depends on:
+  *  - near-dup corpora are WORD-SALTED per copy (`c3xWORD`) — token
+  *    universes are disjoint across copies, so duplicate DENSITY (pairs per
+  *    doc) stays constant as the corpus grows; plain replication would make
+  *    every doc an exact dup of f−1 others and quadratically explode the
+  *    true pair count, measuring the data change rather than the engine.
+  *  - FTS corpora replicate UNSALTED with shifted doc ids — per-token
+  *    postings lists grow linearly, the realistic "same language, more
+  *    documents" regime; match-time work grows with df(term).
+  *  - embeddings get a per-copy deterministic jitter so k-means does not
+  *    degenerate on 64 identical copies of every point.
+  *  - lineitem/orders shift their join keys per copy — join fan-out per key
+  *    stays constant (more keys, not hotter keys).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [outDir]
+  * Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_SHUFFLE (32), SCALE_REPS (2).
+  * Prints one `SCALE ...` line per (op, factor, rep) and a final JSON
+  * summary with per-op exponents.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/scaleprobe")
+    val reps = sys.env.getOrElse("SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.nio.file.{Files, Paths}
+
+    val docFactors = Seq(1, 8, 64)
+    val rowFactors = Seq(1, 4, 16)
+
+    // ---- replicated inputs (written once, read back for every timing) ----
+    def ensure(path: String)(write: => Unit): Unit =
+      if (!Files.exists(Paths.get(path, "_SUCCESS"))) write
+
+    def docsSalted(f: Int): String = {
+      val p = s"$outDir/docs_salted_x$f"
+      ensure(p) {
+        val base = Tables.documents(spark, sfDir)
+        (0 until f).map { i =>
+          val shifted = base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+          if (i == 0) shifted
+          else shifted.withColumn("text", regexp_replace(col("text"), "(\\w+)", s"c${i}x$$1"))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(4, f))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+      }
+      p
+    }
+    def docsPlain(f: Int): String = {
+      val p = s"$outDir/docs_plain_x$f"
+      ensure(p) {
+        val base = Tables.documents(spark, sfDir)
+        (0 until f).map { i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(4, f))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+      }
+      p
+    }
+    def embs(f: Int): String = {
+      val p = s"$outDir/embs_x$f"
+      ensure(p) {
+        val base = Tables.embeddings(spark, sfDir)
+        (0 until f).map { i =>
+          base.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+            .withColumn("embedding",
+              transform(col("embedding"), x => x + lit(i * 1e-4f) * pmod(col("vec_id"), lit(7)).cast("float")))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(4, f))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+      }
+      p
+    }
+    def rowTables(f: Int): (String, String) = {
+      val pl = s"$outDir/lineitem_x$f"; val po = s"$outDir/orders_x$f"
+      ensure(pl) {
+        val base = Tables.lineitem(spark, sfDir)
+        (0 until f).map { i =>
+          base.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(8, 2 * f))
+          .write.mode(SaveMode.Overwrite).parquet(pl)
+      }
+      ensure(po) {
+        val base = Tables.orders(spark, sfDir)
+        (0 until f).map { i =>
+          base.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(8, 2 * f))
+          .write.mode(SaveMode.Overwrite).parquet(po)
+      }
+      (pl, po)
+    }
+
+    def shingled(path: String): DataFrame =
+      spark.read.parquet(path).withColumn("sh", TA.shingleSet(col("text"), 3))
+
+    // ---- timing ----
+    case class Obs(op: String, factor: Int, rows: Long, sec: Double)
+    val results = collection.mutable.ArrayBuffer[Obs]()
+    def time(op: String, factor: Int)(body: => Long): Unit = {
+      var best = Double.MaxValue; var rows = 0L
+      for (r <- 1 to reps) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        rows = body
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE op=$op%-18s factor=$factor%-3d rep=$r rows=$rows%-10d sec=$s%.3f")
+        best = math.min(best, s)
+      }
+      results += Obs(op, factor, rows, best)
+    }
+
+    // warmup
+    Tables.lineitem(spark, sfDir).filter("l_quantity > 0").count()
+    Tables.documents(spark, sfDir).count()
+
+    // ---- relational family ----
+    for (f <- rowFactors) {
+      val (pl, po) = rowTables(f)
+      time("agg_lineitem", f) {
+        spark.read.parquet(pl)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")), avg(col("l_extendedprice")), count(lit(1)))
+          .collect().length.toLong
+      }
+      time("join_topk", f) {
+        val li = spark.read.parquet(pl); val o = spark.read.parquet(po)
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy(desc("rev"), col("o_orderkey")).limit(10)
+          .collect().length.toLong
+      }
+    }
+
+    // ---- near-dup family (salted: constant duplicate density) ----
+    for (f <- docFactors) {
+      val p = docsSalted(f)
+      time("minhash_lsh", f) {
+        Dedup.minhashNearDupPairs(shingled(p), "doc_id", "sh", 0.8).count()
+      }
+      time("simhash", f) {
+        Dedup.simhashNearDupPairs(shingled(p), "doc_id", "sh", 3).count()
+      }
+      time("ngram_jaccard", f) {
+        Dedup.ngramJaccardPairs(shingled(p), "doc_id", "sh", "source", 0.5).count()
+      }
+    }
+
+    // ---- FTS family (plain replication: postings grow linearly) ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      val idx = s"$outDir/fts_x$f"
+      time("fts_build", f) {
+        Fts.buildIndex(spark.read.parquet(p), "doc_id", "text", idx,
+          numPostingFiles = math.max(8, f))
+        spark.read.parquet(s"$idx/postings").count()
+      }
+      time("fts_match", f) {
+        Fts.matchQuery(spark, idx, Seq("data", "model", "training"), 10)
+          .collect().length.toLong
+      }
+    }
+
+    // ---- vector family ----
+    for (f <- docFactors) {
+      val p = embs(f)
+      val idx = s"$outDir/ivf_x$f"
+      time("ivf_build", f) {
+        IvfIndex.build(spark.read.parquet(p), "vec_id", "embedding", idx, nlist = 64)
+        spark.read.parquet(s"$idx/vectors").count()
+      }
+      val q = Array.tabulate(64)(i => (math.sin(i * 0.37) * 0.5).toFloat)
+      time("ivf_search", f) {
+        IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10, nprobes = 8)
+          .collect().length.toLong
+      }
+    }
+
+    // ---- graft-format write path ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      val tbl = s"$outDir/gtable_x$f"
+      time("graft_write", f) {
+        org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tbl),
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tbl), true)
+        graft.format.GraftTable.write(spark.read.parquet(p), tbl, "overwrite")
+        graft.format.GraftTable.countRows(spark, tbl)
+      }
+    }
+
+    // ---- summary: exponent fitted between the two LARGEST factors, where
+    // fixed job overhead is smallest relative to real work ----
+    val byOp = results.groupBy(_.op).toSeq.sortBy(_._1)
+    val summary = byOp.map { case (op, obs) =>
+      val s = obs.sortBy(_.factor)
+      val (a, b) = (s(s.length - 2), s.last)
+      val alpha = math.log(b.sec / a.sec) / math.log(b.factor.toDouble / a.factor)
+      val times = s.map(o => f""""x${o.factor}":${o.sec}%.3f""").mkString(",")
+      f""""$op":{$times,"alpha":$alpha%.2f}"""
+    }.mkString(",")
+    println(s"""SCALEPROBE_JSON {"sf":"$sfDir","reps":$reps,"ops":{$summary}}""")
+    spark.stop()
+  }
+}
