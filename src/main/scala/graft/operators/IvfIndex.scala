@@ -325,14 +325,29 @@ object IvfIndex {
   /** Per-index vector metadata sidecar (build metric + node storage codec),
     * so search paths serve what the index was built for. Absent marker =
     * legacy l2/flat index. */
-  private[operators] def writeVectorMeta(spark: SparkSession, indexPath: String,
+  private[graft] def writeVectorMeta(spark: SparkSession, indexPath: String,
                                          metric: String,
-                                         storage: String = "flat"): Unit = {
+                                         storage: String = "flat",
+                                         pqVariant: String = ""): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(s"""{"metric": "$metric", "storage": "$storage"}""".getBytes("UTF-8"))
+    val pqField = if (pqVariant.isEmpty) "" else s""", "pq": "$pqVariant""""
+    try out.write(s"""{"metric": "$metric", "storage": "$storage"$pqField}""".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** PQ code space the index was built with ("residual" | "raw"). Absent
+    * field (legacy / non-PQ indexes) reads as "raw". */
+  private[graft] def readPqVariant(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "raw"
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      "\"pq\"\\s*:\\s*\"(\\w+)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("raw")
+    }
   }
 
   /** Node storage codec the index was built with ("flat" | "sq"). */

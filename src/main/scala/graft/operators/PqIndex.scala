@@ -28,6 +28,18 @@ import org.apache.spark.sql.types._
   *    candidates only (semi join) and re-ranks by exact distance
   *    (the reference's `refine_factor` step).
   *
+  * **Residual quantization** (default, reference
+  * `rust/lance-index/src/vector/residual.rs`): codes are computed over
+  * `v − centroid(pid)` rather than the raw vector. Residuals within one IVF
+  * partition occupy a much smaller ball than the raw vectors, so the same
+  * (m, k) budget quantizes them with far less error — the standard reason
+  * IVF_PQ beats plain PQ at equal code size. At query time the ADC table is
+  * per-PROBED-PARTITION (`q − centroid(pid)`), nprobes·m·k floats on the
+  * driver — still metadata-sized. Raw-space encoding remains available
+  * (`residual = false`) and legacy indexes (no variant recorded) are served
+  * on the raw path; the variant is recorded in the index meta and honored
+  * by incremental maintenance.
+  *
   * Recall is governed by (nprobes, m, refineFactor) exactly as in the
   * reference's SIFT table (BASELINE.md); quality is asserted by the recall
   * spec, not by the hash gate (PQ is lossy by design).
@@ -117,19 +129,29 @@ object PqIndex {
   /** Build an IVF_PQ index: IVF partition assignment (coarse) + PQ codes
     * (fine), one distributed pass, partitioned parquet layout. `metric`
     * "l2" (default) or "cosine" — cosine stores NORMALIZED vectors (see
-    * [[IvfIndex.forMetric]]). */
+    * [[IvfIndex.forMetric]]). `residual = true` (default) trains and
+    * encodes over `v − centroid(pid)` (see object doc). */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 8, k: Int = 256,
-            metric: String = "l2"): (IvfIndex.Model, PqModel) = {
+            metric: String = "l2", residual: Boolean = true): (IvfIndex.Model, PqModel) = {
     val df = IvfIndex.forMetric(df0, vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
-    val pq = train(df, idCol, vecCol, m, k)
-    IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric)
-    val assigned = df
-      .withColumn(IvfIndex.PidCol,
-        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+    val withPid = df.withColumn(IvfIndex.PidCol,
+      ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+    // the column PQ quantizes: the residual (assignment already computed) or
+    // the raw vector
+    def pqSpace(base: DataFrame): Column =
+      if (residual) ColumnBridge.column(ResidualByPid(
+        ColumnBridge.expression(col(vecCol)),
+        ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids))
+      else col(vecCol)
+    val pq = train(withPid.withColumn("__pq_space", pqSpace(withPid)),
+      idCol, "__pq_space", m, k)
+    IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric,
+      pqVariant = if (residual) "residual" else "raw")
+    val assigned = withPid
       .withColumn(CodeCol,
-        ColumnBridge.column(PqEncode(ColumnBridge.expression(col(vecCol)), pq)))
+        ColumnBridge.column(PqEncode(ColumnBridge.expression(pqSpace(withPid)), pq)))
     assigned.write.mode(SaveMode.Overwrite)
       .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
     val spark = df.sparkSession
@@ -173,11 +195,20 @@ object PqIndex {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
-    val encode = (df0: DataFrame) => IvfIndex.forMetric(df0, vecCol, metric)
-      .withColumn(IvfIndex.PidCol,
-        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
-      .withColumn(CodeCol,
-        ColumnBridge.column(PqEncode(ColumnBridge.expression(col(vecCol)), pq)))
+    val variant = IvfIndex.readPqVariant(spark, indexPath)
+    val encode = (df0: DataFrame) => {
+      val withPid = IvfIndex.forMetric(df0, vecCol, metric)
+        .withColumn(IvfIndex.PidCol,
+          ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+      // fresh rows must encode in the SAME space the index was built in
+      val space =
+        if (variant == "residual") ColumnBridge.column(ResidualByPid(
+          ColumnBridge.expression(col(vecCol)),
+          ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids))
+        else col(vecCol)
+      withPid.withColumn(CodeCol,
+        ColumnBridge.column(PqEncode(ColumnBridge.expression(space), pq)))
+    }
     // legacy (version-marker-only) indexes can't name dead fragments, so
     // always prove the dataset clean via the filtered rewrite before
     // recording a coverage marker (same reasoning as IvfIndex.optimizeForTable)
@@ -282,6 +313,7 @@ object PqIndex {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val variant = IvfIndex.readPqVariant(spark, indexPath)
     val q = if (metric == "cosine") IvfIndex.normalize(query) else query
     val probes = ivf.rank(q).take(math.min(nprobes, ivf.nlist))
     val part0 = spark.read.parquet(s"$indexPath/vectors")
@@ -289,10 +321,22 @@ object PqIndex {
     // transform (DV/liveness) BEFORE the ADC ranking so dead rows cannot
     // occupy candidate slots
     val part = candidateTransform(prefilter.map(part0.filter).getOrElse(part0))
-    val table = pq.adcTable(q)
-    // pass 1: (id, codes) only — ADC ranking
-    val cands = part.select(col(idCol), col(CodeCol))
-      .withColumn("_adc", ColumnBridge.column(PqAdc(ColumnBridge.expression(col(CodeCol)), table)))
+    // pass 1: (id, codes) only — ADC ranking. Residual variant: one table
+    // per probed partition over q − centroid(pid) (nprobes·m·k floats).
+    val adcCol =
+      if (variant == "residual") {
+        val tables = new Array[Array[Array[Float]]](ivf.nlist)
+        probes.foreach { pid =>
+          val cent = ivf.centroids(pid)
+          val qr = Array.tabulate(q.length)(i => q(i) - cent(i))
+          tables(pid) = pq.adcTable(qr)
+        }
+        ColumnBridge.column(PqAdcByPid(ColumnBridge.expression(col(CodeCol)),
+          ColumnBridge.expression(col(IvfIndex.PidCol).cast("int")), tables))
+      } else
+        ColumnBridge.column(PqAdc(ColumnBridge.expression(col(CodeCol)), pq.adcTable(q)))
+    val cands = part.select(col(idCol), col(CodeCol), col(IvfIndex.PidCol))
+      .withColumn("_adc", adcCol)
       .orderBy(col("_adc"), col(idCol))
       .limit(kNeighbors * refineFactor)
       .select(col(idCol))
@@ -317,6 +361,93 @@ object PqIndex {
       IvfIndex.readVectorMeta(spark, indexPath), prefilter, fastSearch)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         refineFactor, prefilter, candidateTransform = transform))
+}
+
+/** (vector, ivf pid) → residual `v − centroid(pid)` as array<float>.
+  * Build-path kernel for residual PQ (reference `vector/residual.rs`):
+  * reuses the already-computed IVF assignment instead of re-ranking
+  * centroids. */
+case class ResidualByPid(left: Expression, right: Expression,
+                         centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "ivf_residual"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ivf_residual requires (array<float>, int), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def nullSafeEval(vecIn: Any, pidIn: Any): Any = {
+    val arr = vecIn.asInstanceOf[ArrayData]
+    val cent = centroids(pidIn.asInstanceOf[Int])
+    val n = arr.numElements()
+    require(n == cent.length,
+      s"ivf_residual: vector dim $n != trained dim ${cent.length}")
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getFloat(i) - cent(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** (PQ codes, ivf pid) → approximate l2² against the pid's OWN per-query
+  * ADC table (residual variant: the table for partition p is built from
+  * `q − centroid(p)`). `tables` is dense-indexed by pid with nulls for
+  * unprobed partitions — rows only reach this expression through the
+  * probe-pid filter, but a null table fails soft (+∞) rather than NPE.
+  * Codegen'd: same hot-loop shape as [[PqAdc]] plus one indexed load. */
+case class PqAdcByPid(left: Expression, right: Expression,
+                      tables: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_by_pid"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_by_pid requires (binary, int), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def nullSafeEval(codesIn: Any, pidIn: Any): Any = {
+    val codes = codesIn.asInstanceOf[Array[Byte]]
+    val pid = pidIn.asInstanceOf[Int]
+    val table = if (pid >= 0 && pid < tables.length) tables(pid) else null
+    if (table == null) Double.MaxValue
+    else {
+      var acc = 0.0
+      var s = 0
+      val n = math.min(codes.length, table.length)
+      while (s < n) { acc += table(s)(codes(s) & 0xff); s += 1 }
+      acc
+    }
+  }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tablesRef = ctx.addReferenceObj("adcTables", tables, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (codes, pid) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val t = ctx.freshName("t")
+      s"""
+         |float[][] $t = ($pid >= 0 && $pid < $tablesRef.length) ? $tablesRef[$pid] : null;
+         |double $acc;
+         |if ($t == null) {
+         |  $acc = Double.MAX_VALUE;
+         |} else {
+         |  $acc = 0.0;
+         |  int $n = java.lang.Math.min($codes.length, $t.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $t[$i][$codes[$i] & 0xff];
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** (subspace id, sub-vector) → nearest code in that subspace's codebook.

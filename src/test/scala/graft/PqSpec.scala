@@ -101,6 +101,51 @@ class PqSpec extends AnyFunSuite {
     assert(got == flat)
   }
 
+  test("residual variant is recorded, honored, and beats raw-space recall") {
+    // same data + params, the only difference is the code space
+    val rawIdx = Files.createTempDirectory("pq_raw_").toString
+    PqIndex.build(embeddings, "vec_id", "embedding", rawIdx, nlist = 8, m = 8, k = 16,
+      residual = false)
+    val resIdx = buildIdx() // default: residual
+    assert(graft.operators.IvfIndex.readPqVariant(spark, rawIdx) == "raw")
+    assert(graft.operators.IvfIndex.readPqVariant(spark, resIdx) == "residual")
+
+    def meanRecall(idx: String): Double = {
+      val recalls = (0L until 15L).map { qid =>
+        val q = queryVec(qid)
+        val truth = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+          .select("vec_id").as[Long].collect().toSet
+        val approx = PqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+          nprobes = 4, refineFactor = 5)
+          .select("vec_id").as[Long].collect().toSet
+        truth.intersect(approx).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.length
+    }
+    val raw = meanRecall(rawIdx)
+    val res = meanRecall(resIdx)
+    info(f"recall@10 raw-space: $raw%.3f residual-space: $res%.3f")
+    // residual codes quantize a tighter ball with the same (m, k) budget —
+    // the whole point of the variant; allow equality (both paths share the
+    // exact refine)
+    assert(res >= raw, f"residual recall $res%.3f below raw $raw%.3f")
+    // both remain exact under full probe + full refine
+    val q0 = queryVec(0L)
+    val flat = Knn.flatSearch(embeddings, "embedding", q0, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    for (idx <- Seq(rawIdx, resIdx)) {
+      val full = PqIndex.search(spark, idx, "vec_id", "embedding", q0, 10,
+        nprobes = 8, refineFactor = 100).select("vec_id").as[Long].collect().toSeq
+      assert(full == flat)
+    }
+  }
+
+  test("legacy meta without a pq field reads as raw") {
+    val dir = Files.createTempDirectory("pq_legacy_").toString
+    graft.operators.IvfIndex.writeVectorMeta(spark, dir, "l2")
+    assert(graft.operators.IvfIndex.readPqVariant(spark, dir) == "raw")
+  }
+
   test("searchCombined: deletes + fresh appends == flat over the live set") {
     import graft.format.GraftTable
     val t = Files.createTempDirectory("pq_comb_").toString + "/t"
