@@ -173,20 +173,38 @@ object HnswIndex {
     val df = IvfIndex.forMetric(df0, vecCol, metric)
     val spark = df.sparkSession
     invalidateCache(indexPath)
-    IvfIndex.writeVectorMeta(spark, indexPath, metric, storage)
+    IvfIndex.writeVectorMeta(spark, indexPath, metric, storage,
+      pqVariant = if (storage == "pq") "residual" else "")
     val model = IvfIndex.train(df, idCol, vecCol, nlist)
     // quantized node storage: train the codec on the (metric-adjusted)
     // corpus, persist it beside the graph, and hand build an encoder —
-    // the graph rows carry codes from day one, never re-encoded at query
-    val encode: Option[Array[Float] => Array[Byte]] = storage match {
+    // the graph rows carry codes from day one, never re-encoded at query.
+    // PQ nodes encode in RESIDUAL space (v − centroid(pid), reference
+    // `vector/residual.rs`): every graph is per-IVF-partition, so the
+    // partition centroid is a build-time constant per node — same win as
+    // [[PqIndex.build]] at zero extra query plumbing beyond a per-probed-
+    // partition ADC table.
+    val encode: Option[(Array[Float], Int) => Array[Byte]] = storage match {
       case "sq" =>
         val sq = SqIndex.train(df, vecCol)
         SqIndex.writeSq(spark, indexPath, sq)
-        Some(v => SqIndex.encodeVec(v, sq))
+        Some((v, _) => SqIndex.encodeVec(v, sq))
       case "pq" =>
-        val pq = PqIndex.train(df, idCol, vecCol, pqM, pqK)
+        val trainDf = df
+          .withColumn(PidCol, ColumnBridge.column(
+            IvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids)))
+        val spaceDf = trainDf.withColumn("__pq_space", ColumnBridge.column(ResidualByPid(
+          ColumnBridge.expression(col(vecCol)),
+          ColumnBridge.expression(col(PidCol)), model.centroids)))
+        val pq = PqIndex.train(spaceDf, idCol, "__pq_space", pqM, pqK)
         PqIndex.writePq(spark, indexPath, pq)
-        Some(v => PqIndex.encodeVec(v, pq))
+        val cents = model.centroids
+        Some((v, pid) => {
+          val c = cents(pid)
+          val r = new Array[Float](v.length)
+          var i = 0; while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+          PqIndex.encodeVec(r, pq)
+        })
       case _ => None
     }
     val addrExpr = if (df.columns.contains(AddrCol)) col(AddrCol)
@@ -215,7 +233,7 @@ object HnswIndex {
         buildGraph(rows.map(r => (r._1, r._2)).toSeq, mLocal, efLocal).map { nd =>
           Row(nd.id, nd.vec.toSeq, nd.level, nd.nbrs.map(_.toSeq).toSeq,
             addrOf(nd.id), pid,
-            encode.map(f => f(nd.vec)).orNull)
+            encode.map(f => f(nd.vec, pid)).orNull)
         }
       }
     }
@@ -370,15 +388,28 @@ object HnswIndex {
       // ≤ k·refineFactor candidate ids) and re-ranked exactly — same
       // two-pass contract as [[SqIndex.search]]/[[PqIndex.search]], with
       // the beam replacing the partition scan.
-      val codeDist: Array[Byte] => Double =
+      // distance closure per PARTITION: residual-PQ graphs rank against a
+      // per-probed-pid ADC table over q − centroid(pid) (nprobes·m·k
+      // floats shipped to tasks); sq / legacy raw-PQ use one global table
+      val codeDistFor: Int => Array[Byte] => Double =
         if (storage == "sq") {
           val sq = SqIndex.loadSq(spark, indexPath)
           val lo = sq.lo; val step = sq.steps
-          c => SqIndex.adc(query2, c, lo, step)
+          _ => c => SqIndex.adc(query2, c, lo, step)
+        } else if (IvfIndex.readPqVariant(spark, indexPath) == "residual") {
+          val pq = PqIndex.loadPq(spark, indexPath)
+          val tables: Map[Int, Array[Array[Float]]] = probes.map { p =>
+            val cent = model.centroids(p)
+            p -> pq.adcTable(Array.tabulate(query2.length)(i => query2(i) - cent(i)))
+          }.toMap
+          pid => tables.get(pid) match {
+            case Some(t) => c => PqIndex.adc(t, c)
+            case None    => _ => Double.MaxValue // unprobed pid cannot occur
+          }
         } else {
           // per-query lookup table (pqM × pqK floats) ships to tasks once
           val table = PqIndex.loadPq(spark, indexPath).adcTable(query2)
-          c => PqIndex.adc(table, c)
+          _ => c => PqIndex.adc(table, c)
         }
       val cands = marked.as[(Long, Array[Byte], Int, Seq[Seq[Long]], Int, Boolean)]
         .mapPartitions { it =>
@@ -388,8 +419,8 @@ object HnswIndex {
             byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
               (codes, level, nbrs.map(_.toArray).toArray, dead)
           }
-          byPid.iterator.flatMap { case (_, g) =>
-            searchGraph[Array[Byte]](g, codeDist,
+          byPid.iterator.flatMap { case (pid, g) =>
+            searchGraph[Array[Byte]](g, codeDistFor(pid),
               math.max(k * refineFactor, efq), efq)
           }
         }.toDF("id", "__adc")

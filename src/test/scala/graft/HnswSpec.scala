@@ -88,6 +88,8 @@ class HnswSpec extends AnyFunSuite {
     HnswIndex.warm(spark, dir)
     assert(HnswIndex.cachedPayloadType(dir)
       .contains(org.apache.spark.sql.types.BinaryType))
+    // node codes live in residual space (recorded; beams rank per-pid)
+    assert(graft.operators.IvfIndex.readPqVariant(spark, dir) == "residual")
     // the persisted codes are pqM bytes — d/pqM× smaller than the d-byte SQ
     // codes and 4·d/pqM× smaller than the float vectors
     val d = embeddings.head().getSeq[Float](
