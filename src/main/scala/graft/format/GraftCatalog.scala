@@ -209,6 +209,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     def pathOf(table: String): String = s"$warehouse/${table.replace('.', '/')}"
     name match {
       case "system.compact" => GraftProcedures.compact(pathOf)
+      case "system.cluster" => GraftProcedures.cluster(pathOf)
       case "system.cleanup" => GraftProcedures.cleanup(pathOf)
       case "system.tag" => GraftProcedures.tag(pathOf)
       case "system.restore" => GraftProcedures.restore(pathOf)
@@ -231,7 +232,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "cleanup", "tag", "restore", "optimize_scalar_index",
+    Array("compact", "cluster", "cleanup", "tag", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "optimize_index",
         "stats", "index_stats", "validate", "history", "prewarm_index")
       .map(Identifier.of(Array("system"), _))
@@ -422,6 +423,19 @@ private[format] object GraftProcedures {
       StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.compactFiles(spark, path, in.getLong(1), in.getDouble(2))
+      Seq(m.version, m.liveRows)
+    }
+
+  /** `CALL g.system.cluster(table => 'db.t', columns => 'lang,n_chars')` —
+    * range-cluster the layout so zonemaps prune ([[GraftTable.cluster]]). */
+  def cluster(pathOf: String => String): UnboundProcedure =
+    proc("cluster",
+      Array(p("table", DT.StringType), p("columns", DT.StringType),
+        pd("target_rows", DT.LongType, "1048576")),
+      StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val cols = in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val m = GraftTable.cluster(spark, path, cols, in.getLong(2))
       Seq(m.version, m.liveRows)
     }
 

@@ -1042,6 +1042,54 @@ object GraftTable {
     })
   }
 
+  /** Layout optimization: rewrite all live rows RANGE-CLUSTERED on `cols`
+    * — one range shuffle (sampled bounds) + in-fragment sort, committed as
+    * a single `rewrite` with the same contract as [[compact]] (rows and
+    * stable ids unchanged, deletions materialized, supplemental column
+    * files folded in).
+    *
+    * This is the Spark-native lever that makes fragment ZONEMAPS selective
+    * at scale: after clustering, each fragment covers a narrow value range
+    * of `cols`, so a filter on them prunes to the few overlapping fragments
+    * in `GraftFileIndex.listFiles` — the difference between scanning the
+    * whole table and one fragment's worth at 100 TB. (The reference has no
+    * equivalent operation; its zonemap index `scalar/zonemap.rs` prunes
+    * whatever layout ingestion produced. Clustering is what makes that
+    * pruning reliably effective, so it ships as a first-class maintenance
+    * op alongside [[compact]].)
+    */
+  def cluster(spark: SparkSession, tablePath: String, cols: Seq[String],
+              targetRows: Long = 1L << 20): GraftManifest = {
+    require(cols.nonEmpty, "cluster requires at least one column")
+    val m = loadManifest(spark, tablePath)
+    val logical = m.schema.fieldNames.toSet
+    val missing = cols.filterNot(logical.contains)
+    require(missing.isEmpty, s"cluster columns not in schema: ${missing.mkString(", ")}")
+    val carryIds = m.hasRowIds && m.fragments.nonEmpty
+    val live = readManifest(spark, tablePath, m, withRowAddr = false,
+      withRowId = carryIds)
+    val total = m.liveRows
+    val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+    // sort keys address PHYSICAL names (post-toPhysical frame)
+    val logicalToPhys = m.renames.toMap
+    val sortCols = cols.map(c => col(logicalToPhys.getOrElse(c, c)))
+    val arranged = toPhysical(live, m)
+      .repartitionByRange(nOut, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    var staged = stageFragments(spark, tablePath, arranged)
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+          base.version + 1, storedRowIds = carryIds)
+        staged = paths
+        base.copy(version = base.version + 1, operation = "rewrite",
+          fragments = frags, dvFiles = Nil, numDeleted = 0L,
+          columnFiles = Nil,
+          parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+
   // ------------------------------------------------------- schema evolution
 
   /** Add columns from SQL expressions by full rewrite (reference

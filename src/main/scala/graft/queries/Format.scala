@@ -153,6 +153,20 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // layout clustering (GraftTable.cluster): a deliberately scattered
+    // write, range-clustered on (lang, n_chars) so fragment zonemaps become
+    // selective; the scan result must equal the plain-parquet oracle —
+    // clustering changes LAYOUT, never content (ClusterSpec asserts the
+    // fragment pruning itself)
+    "q_cluster_layout" -> { (s, d) =>
+      val t = freshDir(s, "cluster_layout")
+      GraftTable.write(Tables.documents(s, d).repartition(8, col("doc_id")), t, "overwrite")
+      GraftTable.cluster(s, t, Seq("lang", "n_chars"), targetRows = 64)
+      GraftTable.read(s, t)
+        .filter(col("lang") === "de" && col("n_chars") > 100)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+    },
+
     // scalar (btree) index: value -> row-addr mask -> semi-join application
     "q_scalar_index" -> { (s, d) =>
       val t = freshDir(s, "scalar_index")
@@ -513,6 +527,9 @@ object Format {
     "q_format_zonemap" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "q_cluster_layout" ->
+      """SELECT count(*) AS n, sum(n_chars) AS total_chars FROM documents
+        |WHERE lang = 'de' AND n_chars > 100""".stripMargin,
     "q_scalar_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin,

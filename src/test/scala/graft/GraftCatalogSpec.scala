@@ -235,6 +235,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head() // v5: materializes the delete
     assert(c.getLong(1) == 4, s"live rows after compact: $c")
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 4L, 5L))
+    // layout clustering through SQL: content unchanged, one new version
+    val cl = s.sql(s"CALL g.system.cluster(table => 'db.$t', columns => 'id', target_rows => 2)")
+      .head()
+    assert(cl.getLong(1) == 4, s"live rows after cluster: $cl")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 4L, 5L))
     // tag without explicit version tags the latest, readable via VERSION AS OF
     s.sql(s"CALL g.system.tag(table => 'db.$t', name => 'stable')")
     assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'stable'") == Set(1L, 3L, 4L, 5L))
