@@ -223,6 +223,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.validate" => GraftProcedures.validateProc(pathOf)
       case "system.history" => GraftProcedures.history(pathOf)
       case "system.prewarm_index" => GraftProcedures.prewarmIndex(pathOf)
+      case "system.fts_search" => GraftProcedures.ftsSearch(pathOf)
+      case "system.knn_search" => GraftProcedures.knnSearch(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -234,7 +236,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "tag", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "optimize_index",
-        "stats", "index_stats", "validate", "history", "prewarm_index")
+        "stats", "index_stats", "validate", "history", "prewarm_index",
+        "fts_search", "knn_search")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -715,6 +718,78 @@ private[format] object GraftProcedures {
         case _ => false
       }
       Seq(e.indexType, warmed)
+    }
+
+  /** `CALL g.system.fts_search(table => 'db.t', name => 'fts_text',
+    * query => 'spark engine', k => 10)` — BM25 top-k from SQL, the
+    * Spark-side shape of the reference's FTS table function
+    * (`rust/lance/src/dataset/udtf.rs` FtsTableProvider): SQL-only users
+    * get full-text search without touching the Scala API. The result is
+    * top-k (k rows reach the driver — k-sized by construction, never
+    * corpus-sized); ids are whatever the index was keyed on (`_rowid` for
+    * `CALL create_index` defaults). */
+  def ftsSearch(pathOf: String => String): UnboundProcedure =
+    procRows("fts_search",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        p("query", DT.StringType), pd("k", DT.LongType, "10")),
+      StructType(Seq(StructField("id", DT.LongType), StructField("score", DT.DoubleType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      require(e.indexType == "FTS", s"index $nm is ${e.indexType}, not FTS")
+      val q = in.getUTF8String(2).toString
+      val k = in.getLong(3).toInt
+      // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
+      // Seq[Double] and silently widens the id
+      graft.operators.Fts.matchQuery(spark, s"$path/_indices/${e.name}", Seq(q), k)
+        .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+    }
+
+  /** `CALL g.system.knn_search(table => 'db.t', name => 'ivf_vec',
+    * query => array(0.1D, ...), k => 10, nprobes => 8)` — ANN top-k from
+    * SQL through the family's delete-safe combined search (fresh fragments
+    * unioned, DVs subtracted). Dispatches on the manifest-committed index
+    * type like `optimize_index`; k rows reach the driver. */
+  def knnSearch(pathOf: String => String): UnboundProcedure =
+    procRows("knn_search",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        p("query", DT.createArrayType(DT.DoubleType)),
+        pd("k", DT.LongType, "10"), pd("nprobes", DT.LongType, "8")),
+      StructType(Seq(StructField("id", DT.LongType), StructField("distance", DT.DoubleType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      val q = in.getArray(2).toDoubleArray().map(_.toFloat)
+      val k = in.getLong(3).toInt
+      val nprobes = in.getLong(4).toInt
+      val column = m.logicalName(e.column)
+      val idCol = e.params.getOrElse("idCol",
+        throw new IllegalArgumentException(s"index $nm records no idCol"))
+      val idxPath = s"$path/_indices/${e.name}"
+      import graft.operators._
+      val res = e.indexType match {
+        case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
+          column, q, k, nprobes, metric = IvfIndex.readVectorMeta(spark, idxPath))
+        case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
+          column, q, k, nprobes)
+        case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
+          column, q, k, nprobes)
+        case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
+          column, q, k, nprobes)
+        case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
+          path, idxPath, idCol, column, q, k, nprobes)
+        case other => throw new IllegalArgumentException(
+          s"index $nm ($other) is not a vector index")
+      }
+      res.select(org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.col(Knn.DistanceCol))
+        .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
     }
 
   /** `CALL g.system.history(table => 'db.t')` — the commit log from

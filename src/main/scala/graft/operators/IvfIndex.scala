@@ -362,7 +362,7 @@ object IvfIndex {
     }
   }
 
-  private[operators] def readVectorMeta(spark: SparkSession, indexPath: String): String = {
+  private[graft] def readVectorMeta(spark: SparkSession, indexPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) "l2"

@@ -385,6 +385,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(w.getString(0) == "IVF_HNSW_SQ" && w.getBoolean(1), w.toString)
   }
 
+  test("CALL fts_search / knn_search: both search families from pure SQL") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>, body STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "array(CAST(id % 13 AS FLOAT), CAST(id % 7 AS FLOAT)), " +
+      "CASE WHEN id = 42 THEN 'needle haystack needle' " +
+      "ELSE concat('plain document ', id) END FROM range(0, 300)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_FLAT', nlist => 2)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      "index_type => 'FTS')")
+    // FTS: the doc repeating the term twice must rank first; ids are _rowid
+    // (= insertion order here), so doc 42's row id is 42
+    val fts = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'needle', k => 5)").collect()
+    assert(fts.nonEmpty && fts.head.getLong(0) == 42L, fts.mkString(","))
+    // KNN: full probes on a 2-list index == exact; nearest to (1, 1) among
+    // vectors (id % 13, id % 7) is the id ≡ 1 (mod 91) family at distance 0
+    val knn = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      "name => 'ivf_vec', query => array(1.0D, 1.0D), k => 3, nprobes => 2)").collect()
+    assert(knn.length == 3, knn.mkString(","))
+    assert(knn.forall(_.getDouble(1) == 0.0), knn.mkString(",")) // 1, 92, 183
+    assert(knn.map(_.getLong(0)).toSet == Set(1L, 92L, 183L), knn.mkString(","))
+    // unknown index name fails fast, doesn't scan
+    val err = intercept[Exception] {
+      s.sql(s"CALL g.system.knn_search(table => 'db.$t', name => 'nope', " +
+        "query => array(1.0D), k => 1)").collect()
+    }
+    assert(err.getMessage.contains("nope") || err.getCause != null)
+  }
+
   test("CALL prewarm_index: graph families warm their cache, others no-op") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
