@@ -169,4 +169,64 @@ object Dedup {
       .filter(col("sim") >= minSim)
       .select(col("a_id"), col("b_id"), col("sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * k-means clustering + within-cluster cosine pruning — the standard
+    * recipe for stripping semantic (not just lexical) duplicates from a
+    * training corpus.
+    *
+    *  - cluster the embeddings (deterministic distributed Lloyd's —
+    *    [[IvfIndex.train]] — so the result is reproducible);
+    *  - within each cluster, a row is PRUNED when some ranked-ahead row of
+    *    the same cluster has cosine similarity ≥ `tau`. Rank follows the
+    *    paper: ASCENDING similarity to the cluster centroid (ties by id) —
+    *    the kept representative of a duplicate neighborhood is the one
+    *    farthest from the centroid, preserving diversity at the cluster
+    *    edge.
+    *
+    * Pruning is DOMINANCE-based — a row is removed when ANY ranked-ahead
+    * row is τ-similar, whether or not that row itself survives. Slightly
+    * more aggressive than a sequential keep-list sweep, and in exchange
+    * embarrassingly parallel (one pair-join, no ordered iteration) — the
+    * property that matters at corpus scale. Invariant either way: two KEPT
+    * rows of one cluster always have sim < `tau` (else the ranked-ahead one
+    * would have pruned the other).
+    *
+    * Scale shape: clustering is the [[IvfIndex.train]] sample + assign
+    * passes; the quadratic term is BLOCKED by cluster (the paper's own
+    * device) — one shuffle on cluster id, per-cluster pairs bounded by
+    * (n/k)², with k chosen so n/k is a few thousand. No stage is all-pairs
+    * over the corpus. Returns (id, cluster, centroid_sim, kept).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, tau: Double): DataFrame = {
+    val spark = df.sparkSession
+    val model = IvfIndex.train(df, idCol, vecCol, nClusters)
+    val cents = spark.createDataFrame(
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("__pid", "__cent")
+    val scored = df
+      .withColumn("__pid", org.apache.spark.sql.graftshim.ColumnBridge.column(
+        IvfAssign(org.apache.spark.sql.graftshim.ColumnBridge.expression(col(vecCol)),
+          model.centroids)))
+      .join(broadcast(cents), "__pid")
+      .withColumn("__csim", lit(1.0) - cosineDistance(col(vecCol), col("__cent")))
+      .select(col("__pid"), col(idCol), col(vecCol), col("__csim"))
+      .localCheckpoint() // one assignment pass feeds both join sides
+    val a = scored.select(col("__pid"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("__csim").as("a_r"))
+    val b = scored.select(col("__pid"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("__csim").as("b_r"))
+    val pruned = a.join(b, Seq("__pid"))
+      .filter(col("b_r") < col("a_r") ||
+        (col("b_r") === col("a_r") && col("b_id") < col("a_id"))) // b ranks ahead
+      .filter(lit(1.0) - cosineDistance(col("a_vec"), col("b_vec")) >= tau)
+      .select(col("a_id")).distinct()
+    scored
+      .join(pruned.withColumn("__pruned", lit(true)),
+        scored(idCol) === pruned("a_id"), "left_outer")
+      .select(col(idCol), col("__pid").as("cluster"),
+        col("__csim").as("centroid_sim"),
+        not(coalesce(col("__pruned"), lit(false))).as("kept"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfIndex, Knn}
+import graft.operators.{Dedup, IvfIndex, Knn}
 
 /** Vector search coverage (SURVEY §2.5): flat KNN over l2/cosine/dot and an
   * embedding-cosine near-duplicate self-join. Oracles use DuckDB's
@@ -399,6 +399,19 @@ object Vector {
         .filter(col("sim") > 0.8)
         .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SemDeDup (cluster-then-prune semantic dedup, Dedup.semanticDedup).
+    // k-means clustering is not SQL-expressible → rows-only gate by
+    // declared design (DedupSemanticSpec proves the invariants); output is
+    // the per-cluster keep/prune tally, deterministic by construction.
+    "q_semantic_dedup" -> { (s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          nClusters = 8, tau = 0.8)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("cluster"))
     }
   )
 
