@@ -749,15 +749,20 @@ private[format] object GraftProcedures {
     }
 
   /** `CALL g.system.knn_search(table => 'db.t', name => 'ivf_vec',
-    * query => array(0.1D, ...), k => 10, nprobes => 8)` — ANN top-k from
-    * SQL through the family's delete-safe combined search (fresh fragments
-    * unioned, DVs subtracted). Dispatches on the manifest-committed index
-    * type like `optimize_index`; k rows reach the driver. */
+    * query => array(0.1D, ...), k => 10, nprobes => 8,
+    * filter => 'label = 3')` — ANN top-k from SQL through the family's
+    * delete-safe combined search (fresh fragments unioned, DVs
+    * subtracted). Dispatches on the manifest-committed index type like
+    * `optimize_index`; k rows reach the driver. `filter` is the
+    * reference's prefiltered ANN from SQL: applied BEFORE the top-k cut,
+    * so the result is the true top-k of the matching rows (HNSW graphs
+    * reject it — their beam has no prefilter hook). */
   def knnSearch(pathOf: String => String): UnboundProcedure =
     procRows("knn_search",
       Array(p("table", DT.StringType), p("name", DT.StringType),
         p("query", DT.createArrayType(DT.DoubleType)),
-        pd("k", DT.LongType, "10"), pd("nprobes", DT.LongType, "8")),
+        pd("k", DT.LongType, "10"), pd("nprobes", DT.LongType, "8"),
+        pd("filter", DT.StringType, "''")),
       StructType(Seq(StructField("id", DT.LongType), StructField("distance", DT.DoubleType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.loadManifest(spark, path)
@@ -768,6 +773,9 @@ private[format] object GraftProcedures {
       val q = in.getArray(2).toDoubleArray().map(_.toFloat)
       val k = in.getLong(3).toInt
       val nprobes = in.getLong(4).toInt
+      val prefilter = Option(in.getUTF8String(5)).map(_.toString.trim)
+        .filter(_.nonEmpty)
+        .map(org.apache.spark.sql.functions.expr)
       val column = m.logicalName(e.column)
       val idCol = e.params.getOrElse("idCol",
         throw new IllegalArgumentException(s"index $nm records no idCol"))
@@ -775,15 +783,18 @@ private[format] object GraftProcedures {
       import graft.operators._
       val res = e.indexType match {
         case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, metric = IvfIndex.readVectorMeta(spark, idxPath))
+          column, q, k, nprobes, metric = IvfIndex.readVectorMeta(spark, idxPath),
+          prefilter = prefilter)
         case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes)
+          column, q, k, nprobes, prefilter = prefilter)
         case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes)
+          column, q, k, nprobes, prefilter = prefilter)
         case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes)
-        case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
-          path, idxPath, idCol, column, q, k, nprobes)
+          column, q, k, nprobes, prefilter = prefilter)
+        case t if t.startsWith("IVF_HNSW") =>
+          require(prefilter.isEmpty,
+            s"index $nm ($t): filter is not supported for HNSW graph search")
+          HnswIndex.searchCombined(spark, path, idxPath, idCol, column, q, k, nprobes)
         case other => throw new IllegalArgumentException(
           s"index $nm ($other) is not a vector index")
       }

@@ -408,6 +408,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(knn.length == 3, knn.mkString(","))
     assert(knn.forall(_.getDouble(1) == 0.0), knn.mkString(",")) // 1, 92, 183
     assert(knn.map(_.getLong(0)).toSet == Set(1L, 92L, 183L), knn.mkString(","))
+    // prefiltered ANN from SQL: true top-k of the MATCHING rows — the even
+    // zero-distance ids only (92, 274), never a post-filtered short list
+    val pre = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      "name => 'ivf_vec', query => array(1.0D, 1.0D), k => 2, nprobes => 2, " +
+      "filter => 'id % 2 = 0')").collect()
+    assert(pre.map(_.getLong(0)).toSet == Set(92L, 274L), pre.mkString(","))
+    assert(pre.forall(_.getDouble(1) == 0.0), pre.mkString(","))
     // unknown index name fails fast, doesn't scan
     val err = intercept[Exception] {
       s.sql(s"CALL g.system.knn_search(table => 'db.$t', name => 'nope', " +
