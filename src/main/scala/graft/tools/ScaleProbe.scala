@@ -32,16 +32,19 @@ import graft.operators.{Dedup, Fts, IvfIndex, TextAnalysis => TA}
   *  - lineitem/orders shift their join keys per copy — join fan-out per key
   *    stays constant (more keys, not hotter keys).
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] [outDir]
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [outDir] [op1,op2,...]
   * Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_SHUFFLE (32), SCALE_REPS (2).
   * Prints one `SCALE ...` line per (op, factor, rep) and a final JSON
-  * summary with per-op exponents.
+  * summary with per-op exponents. The optional op list restricts the run
+  * (replicated inputs are cached in outDir, so a subset re-run is cheap).
   */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/scaleprobe")
+    val onlyOps: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.getOrElse("SCALE_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -130,6 +133,7 @@ object ScaleProbe {
     case class Obs(op: String, factor: Int, rows: Long, sec: Double)
     val results = collection.mutable.ArrayBuffer[Obs]()
     def time(op: String, factor: Int)(body: => Long): Unit = {
+      if (onlyOps.exists(!_.contains(op))) return
       var best = Double.MaxValue; var rows = 0L
       for (r <- 1 to reps) {
         spark.catalog.clearCache()
@@ -209,7 +213,7 @@ object ScaleProbe {
       }
     }
 
-    // ---- graft-format write path ----
+    // ---- graft-format write path + format scan overhead ----
     for (f <- docFactors) {
       val p = docsPlain(f)
       val tbl = s"$outDir/gtable_x$f"
@@ -220,6 +224,15 @@ object ScaleProbe {
         graft.format.GraftTable.write(spark.read.parquet(p), tbl, "overwrite")
         graft.format.GraftTable.countRows(spark, tbl)
       }
+      // identical filtered agg over the raw parquet vs the graft table —
+      // the table format's read overhead (manifest listing, metadata
+      // columns) must stay flat, not grow with data
+      def scanAgg(df: DataFrame): Long = df
+        .filter(col("lang") === "de")
+        .agg(count(lit(1)), sum(col("n_chars")))
+        .collect().length.toLong
+      time("parquet_scan_agg", f) { scanAgg(spark.read.parquet(p)) }
+      time("graft_scan_agg", f) { scanAgg(graft.format.GraftTable.read(spark, tbl)) }
     }
 
     // ---- summary: exponent fitted between the two LARGEST factors, where
