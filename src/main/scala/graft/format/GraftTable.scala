@@ -1031,6 +1031,11 @@ object GraftTable {
     var staged = stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
     commitLoop(spark, tablePath, {
       case Some(base) =>
+        // full rewrite replaces the FRAGMENT SET WHOLESALE: any commit that
+        // landed after the snapshot (append, delete, index-relevant config)
+        // would be silently erased by this copy — abort like compactFiles
+        if (base.version != m.version) throw new IllegalStateException(
+          s"compaction conflict: table moved from v${m.version} to v${base.version} — retry")
         val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carryIds)
         staged = paths
@@ -1079,6 +1084,10 @@ object GraftTable {
     var staged = stageFragments(spark, tablePath, arranged)
     commitLoop(spark, tablePath, {
       case Some(base) =>
+        // same wholesale-rewrite hazard as compact: a concurrent commit
+        // after the snapshot would be erased — abort instead
+        if (base.version != m.version) throw new IllegalStateException(
+          s"cluster conflict: table moved from v${m.version} to v${base.version} — retry")
         val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carryIds)
         staged = paths
