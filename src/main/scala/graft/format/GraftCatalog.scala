@@ -429,16 +429,20 @@ private[format] object GraftProcedures {
       Seq(m.version, m.liveRows)
     }
 
-  /** `CALL g.system.cluster(table => 'db.t', columns => 'lang,n_chars')` —
-    * range-cluster the layout so zonemaps prune ([[GraftTable.cluster]]). */
+  /** `CALL g.system.cluster(table => 'db.t', columns => 'lang,n_chars',
+    * curve => 'range'|'zorder')` — cluster the layout so zonemaps prune
+    * ([[GraftTable.cluster]]); zorder tightens EVERY listed column's
+    * zonemap at once. */
   def cluster(pathOf: String => String): UnboundProcedure =
     proc("cluster",
       Array(p("table", DT.StringType), p("columns", DT.StringType),
-        pd("target_rows", DT.LongType, "1048576")),
+        pd("target_rows", DT.LongType, "1048576"),
+        pd("curve", DT.StringType, "'range'")),
       StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val cols = in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val m = GraftTable.cluster(spark, path, cols, in.getLong(2))
+      val m = GraftTable.cluster(spark, path, cols, in.getLong(2),
+        in.getUTF8String(3).toString)
       Seq(m.version, m.liveRows)
     }
 

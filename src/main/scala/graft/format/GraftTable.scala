@@ -1063,9 +1063,49 @@ object GraftTable {
     * pruning reliably effective, so it ships as a first-class maintenance
     * op alongside [[compact]].)
     */
+  /** Z-value column for [[cluster]]'s `curve = "zorder"`: interleaved bits
+    * of per-column uniform bucket ids. Buckets come from `width_bucket`
+    * over each column's observed min/max (ONE driver-side aggregate for
+    * all columns); nulls and degenerate (constant) columns bucket to 0, so
+    * they cluster at the curve origin. 62 bits split evenly across the
+    * columns (12 max each) — the interleave is a plain expression tree, so
+    * it rides whole-stage codegen like any arithmetic. */
+  private def zValue(df: DataFrame, physCols: Seq[String]): Column = {
+    val bits = math.min(12, 62 / physCols.length)
+    val nB = (1 << bits).toLong
+    val aggs = physCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = physCols.zipWithIndex.map { case (c, j) =>
+      if (mm.isNullAt(2 * j) || mm.isNullAt(2 * j + 1) ||
+        !(mm.getDouble(2 * j) < mm.getDouble(2 * j + 1))) lit(0L)
+      else {
+        val b = width_bucket(col(c).cast("double"),
+          lit(mm.getDouble(2 * j)), lit(mm.getDouble(2 * j + 1)), lit(nB)) - lit(1L)
+        coalesce(least(greatest(b, lit(0L)), lit(nB - 1L)), lit(0L))
+      }
+    }
+    var z: Column = lit(0L)
+    for (bit <- 0 until bits; (bc, j) <- buckets.zipWithIndex)
+      z = z.bitwiseOR(shiftleft(
+        shiftrightunsigned(bc, bit).bitwiseAND(lit(1L)), bit * physCols.length + j))
+    z
+  }
+
+  /** `curve = "range"` sorts lexicographically — perfect pruning on the
+    * LEADING column, none on the others (each fragment spans their full
+    * range once the leading column has distinct-enough values). `curve =
+    * "zorder"` interleaves the bits of per-column uniform bucket ids
+    * (width_bucket over the observed min/max, 2 driver-side aggregates) so
+    * every clustered column's zonemap tightens at once — the standard
+    * multi-dimensional data-skipping layout. Z-order columns must be
+    * numeric/timestamp (bucketing needs an order-preserving cast to
+    * double). */
   def cluster(spark: SparkSession, tablePath: String, cols: Seq[String],
-              targetRows: Long = 1L << 20): GraftManifest = {
+              targetRows: Long = 1L << 20,
+              curve: String = "range"): GraftManifest = {
     require(cols.nonEmpty, "cluster requires at least one column")
+    require(Set("range", "zorder").contains(curve), s"unknown curve: $curve")
     val m = loadManifest(spark, tablePath)
     val logical = m.schema.fieldNames.toSet
     val missing = cols.filterNot(logical.contains)
@@ -1077,7 +1117,19 @@ object GraftTable {
     val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     // sort keys address PHYSICAL names (post-toPhysical frame)
     val logicalToPhys = m.renames.toMap
-    val sortCols = cols.map(c => col(logicalToPhys.getOrElse(c, c)))
+    val physCols = cols.map(c => logicalToPhys.getOrElse(c, c))
+    val sortCols: Seq[Column] = curve match {
+      case "range" => physCols.map(col)
+      case "zorder" =>
+        cols.foreach { c =>
+          val dt = m.schema(c).dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.DateType],
+            s"zorder column $c must be numeric/timestamp, is ${dt.simpleString}")
+        }
+        Seq(zValue(toPhysical(live, m), physCols))
+    }
     val arranged = toPhysical(live, m)
       .repartitionByRange(nOut, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

@@ -72,6 +72,52 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder tightens every dimension; range only the leading one") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo => EQ, Literal => L}
+    import org.apache.spark.sql.types.LongType
+    // independent 64×64 grid: x and y carry no joint structure, the case
+    // where lexicographic (x, y) sort leaves y unprunable
+    def grid = spark.range(0, 4096).toDF("id")
+      .withColumn("x", col("id") % 64)
+      .withColumn("y", col("id") / 64)
+      .repartition(8, col("id"))
+    def candidates(t: String, c: String, v: Long): Int = {
+      val m = GraftTable.loadManifest(spark, t)
+      val attr = AttributeReference(c, LongType)()
+      m.fragments.count(f => FragmentStats.mayMatch(f.stats, f.rows, EQ(attr, L(v))))
+    }
+    val tr = tmp(); val tz = tmp()
+    GraftTable.write(grid, tr, "overwrite")
+    GraftTable.write(grid, tz, "overwrite")
+    GraftTable.cluster(spark, tr, Seq("x", "y"), targetRows = 256)
+    GraftTable.cluster(spark, tz, Seq("x", "y"), targetRows = 256, curve = "zorder")
+    val total = GraftTable.loadManifest(spark, tz).fragments.size
+    assert(total >= 8, s"expected >= 8 fragments, got $total")
+    // range: x prunes hard, y not at all (each x-slice spans all of y)
+    assert(candidates(tr, "x", 10) * 4 <= total)
+    assert(candidates(tr, "y", 10) == GraftTable.loadManifest(spark, tr).fragments.size)
+    // zorder: BOTH dimensions prune
+    assert(candidates(tz, "x", 10) * 2 <= total,
+      s"zorder x candidates: ${candidates(tz, "x", 10)} of $total")
+    assert(candidates(tz, "y", 10) * 2 <= total,
+      s"zorder y candidates: ${candidates(tz, "y", 10)} of $total")
+    // layout change only — content identical
+    assert(GraftTable.read(spark, tz).orderBy("id").collect().toSeq ==
+      GraftTable.read(spark, tr).orderBy("id").collect().toSeq)
+  }
+
+  test("zorder rejects non-numeric columns") {
+    val t = tmp()
+    GraftTable.write(Tables.documents(spark, sf).limit(20), t, "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.cluster(spark, t, Seq("lang"), curve = "zorder")
+    }
+    assert(e.getMessage.contains("numeric"))
+    intercept[IllegalArgumentException] {
+      GraftTable.cluster(spark, t, Seq("n_chars"), curve = "hilbert")
+    }
+  }
+
   test("clustered scan prunes fragments in the file index") {
     val t = tmp()
     GraftTable.write(Tables.documents(spark, sf).repartition(8, col("doc_id")),
