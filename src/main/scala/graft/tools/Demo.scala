@@ -124,6 +124,25 @@ object Demo {
     GraftTable.delete(spark, cl, "id >= 600")
     println(s"source rows: ${GraftTable.countRows(spark, t3)}  " +
       s"clone rows: ${GraftTable.countRows(spark, cl)}")
+
+    println("== search from pure SQL: create_index + fts_search / knn_search ==")
+    spark.sql("CREATE TABLE demo.db.docs (id BIGINT, vec ARRAY<FLOAT>, body STRING) USING graft")
+    spark.sql("INSERT INTO demo.db.docs SELECT id, " +
+      "array(CAST(id % 5 AS FLOAT), CAST(id % 3 AS FLOAT)), " +
+      "CASE WHEN id = 7 THEN 'rare needle token' ELSE concat('common text ', id) END " +
+      "FROM range(0, 100)")
+    spark.sql("CALL demo.system.create_index(table => 'db.docs', `column` => 'vec', " +
+      "index_type => 'IVF_FLAT', nlist => 2)")
+    spark.sql("CALL demo.system.create_index(table => 'db.docs', `column` => 'body', " +
+      "index_type => 'FTS')")
+    spark.sql("CALL demo.system.fts_search(table => 'db.docs', name => 'fts_body', " +
+      "query => 'needle', k => 3)").show(false)
+    spark.sql("CALL demo.system.knn_search(table => 'db.docs', name => 'ivf_vec', " +
+      "query => array(1.0D, 1.0D), k => 3, filter => 'id % 2 = 1')").show(false)
+
+    println("== layout clustering: zonemaps become selective ==")
+    spark.sql("CALL demo.system.cluster(table => 'db.docs', columns => 'id', " +
+      "target_rows => 32)").show(false)
     spark.stop()
   }
 }
