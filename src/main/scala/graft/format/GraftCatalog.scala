@@ -759,8 +759,10 @@ private[format] object GraftProcedures {
     * subtracted). Dispatches on the manifest-committed index type like
     * `optimize_index`; k rows reach the driver. `filter` is the
     * reference's prefiltered ANN from SQL: applied BEFORE the top-k cut,
-    * so the result is the true top-k of the matching rows (HNSW graphs
-    * reject it — their beam has no prefilter hook). */
+    * so the result is the true top-k of the matching rows. IVF families
+    * filter the probed candidates directly; HNSW broadcasts the matching
+    * id set as a routing-only dead-mask into the beam (see
+    * [[graft.operators.HnswIndex.searchCombined]]). */
   def knnSearch(pathOf: String => String): UnboundProcedure =
     procRows("knn_search",
       Array(p("table", DT.StringType), p("name", DT.StringType),
@@ -795,10 +797,8 @@ private[format] object GraftProcedures {
           column, q, k, nprobes, prefilter = prefilter)
         case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
           column, q, k, nprobes, prefilter = prefilter)
-        case t if t.startsWith("IVF_HNSW") =>
-          require(prefilter.isEmpty,
-            s"index $nm ($t): filter is not supported for HNSW graph search")
-          HnswIndex.searchCombined(spark, path, idxPath, idCol, column, q, k, nprobes)
+        case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
+          path, idxPath, idCol, column, q, k, nprobes, prefilter = prefilter)
         case other => throw new IllegalArgumentException(
           s"index $nm ($other) is not a vector index")
       }

@@ -456,12 +456,27 @@ object HnswIndex {
     * compaction-dead and DV'd nodes marked dead (routing-only), UNION flat
     * KNN over fragments the index does not cover, merged global top-k.
     * Mirrors [[IvfIndex.searchCombined]]; reference
-    * `scanner.rs:2946-3030`. */
+    * `scanner.rs:2946-3030`.
+    *
+    * `prefilter` (reference prefiltered ANN, `prefilter.rs` — the HNSW
+    * path materializes the filter as a row-id allowlist): the predicate is
+    * evaluated ONCE against the DV-subtracted live table, and the matching
+    * id set broadcasts into the graph as an extra dead-mark — non-matching
+    * nodes still ROUTE (the graph stays navigable) but never reach the
+    * result heap, so the beam emits the true top-k of the matching rows.
+    * The broadcast preserves graph partitioning (no reshuffle). When the
+    * match set exceeds `maskCap` ids the mask is too big to ship to every
+    * task; at that selectivity an exact flat search over the filtered live
+    * rows costs one scan and needs no mask, so the search degrades to that
+    * instead of failing (same contract, reference falls back the same way
+    * for low-selectivity prefilters). */
   def searchCombined(spark: SparkSession, tablePath: String, indexPath: String,
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, ef: Int = 64,
                      refineFactor: Int = 10,
-                     fastSearch: Boolean = false): DataFrame = {
+                     fastSearch: Boolean = false,
+                     prefilter: Option[Column] = None,
+                     maskCap: Int = 1 << 20): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
@@ -494,8 +509,27 @@ object HnswIndex {
             .drop("__dv")
       }
     }
+    val metric = IvfIndex.readVectorMeta(spark, indexPath)
+    val markDeadPf: DataFrame => DataFrame = prefilter match {
+      case None => markDead
+      case Some(pred) =>
+        val live = GraftTable.read(spark, tablePath,
+          withRowId = idCol == GraftTable.RowIdCol)
+        val matching = live.filter(pred).select(col(idCol))
+        // bounded probe (CollectLimit short-circuits): can the mask ship?
+        if (matching.limit(maskCap + 1).count() > maskCap)
+          return Knn.flatSearch(live.filter(pred), vecCol, query, k, metric,
+              tieBreakers = Seq(col(idCol)))
+            .select(col(idCol), col(Knn.DistanceCol))
+        val mask = broadcast(
+          matching.withColumnRenamed(idCol, "id").withColumn("__match", lit(true)))
+        g => markDead(g).join(mask, Seq("id"), "left_outer")
+          .withColumn("__dead",
+            col("__dead") || !coalesce(col("__match"), lit(false)))
+          .drop("__match")
+    }
     val indexed = search(spark, indexPath, query, k, nprobes, ef,
-        markDead = Some(markDead), refineFactor = refineFactor)
+        markDead = Some(markDeadPf), refineFactor = refineFactor)
       .select(col("id").as(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     // fast_search (reference scanner.rs:1176-1193): indexed data only
@@ -503,8 +537,8 @@ object HnswIndex {
     val fresh = Knn.flatSearch(
         GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),
-        vecCol, query, k, IvfIndex.readVectorMeta(spark, indexPath),
-        tieBreakers = Seq(col(idCol)))
+        vecCol, query, k, metric,
+        tieBreakers = Seq(col(idCol)), prefilter = prefilter)
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

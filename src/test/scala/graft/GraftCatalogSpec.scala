@@ -415,6 +415,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       "filter => 'id % 2 = 0')").collect()
     assert(pre.map(_.getLong(0)).toSet == Set(92L, 274L), pre.mkString(","))
     assert(pre.forall(_.getDouble(1) == 0.0), pre.mkString(","))
+    // HNSW takes the same filter: matching ids broadcast as a routing-only
+    // dead-mask into the beam (non-matching nodes route, never rank)
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_HNSW', nlist => 2)")
+    val preH = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      "name => 'hnsw_vec', query => array(1.0D, 1.0D), k => 2, nprobes => 2, " +
+      "filter => 'id % 2 = 0')").collect()
+    assert(preH.map(_.getLong(0)).toSet == Set(92L, 274L), preH.mkString(","))
+    assert(preH.forall(_.getDouble(1) == 0.0), preH.mkString(","))
     // unknown index name fails fast, doesn't scan
     val err = intercept[Exception] {
       s.sql(s"CALL g.system.knn_search(table => 'db.$t', name => 'nope', " +

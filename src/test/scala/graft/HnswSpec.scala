@@ -210,6 +210,34 @@ class HnswSpec extends AnyFunSuite {
     assert(r == exact, s"$r vs $exact")
   }
 
+  test("prefilter: beam emits the true top-k of the matching rows only") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_pf_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_pfidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4)
+    // appended-after-build rows exercise the filtered fresh leg too
+    GraftTable.write(embeddings.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 10000L), t, "append")
+    val q = queryVec(42L)
+    val pred = expr("vec_id % 2 = 0")
+    val exact = Knn.flatSearch(
+        GraftTable.read(spark, t).filter(pred), "embedding", q, 10, "l2",
+        Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    // exhaustive beam (ef covers the corpus) ⇒ mask path must equal exact
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, prefilter = Some(pred))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r.forall(_ % 2 == 0), s"non-matching ids surfaced: $r")
+    assert(r.toSet == exact.toSet, s"mask path: $r vs exact $exact")
+    // match set over maskCap ⇒ degrades to the exact flat scan, same result
+    val fb = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, prefilter = Some(pred), maskCap = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fb.toSet == exact.toSet, s"fallback path: $fb vs exact $exact")
+  }
+
   test("graph cache is LRU-bounded: eviction releases storage") {
     HnswIndex.unpersistAll()
     // CacheCapacity+1 tiny indexes; touching them in order must evict the
