@@ -732,10 +732,16 @@ private[format] object GraftProcedures {
     * top-k (k rows reach the driver — k-sized by construction, never
     * corpus-sized); ids are whatever the index was keyed on (`_rowid` for
     * `CALL create_index` defaults). */
+  /** `filter` is the reference's prefiltered FTS: the predicate runs over
+    * the live table's columns and the matching ids semi-join the scored
+    * postings BEFORE the top-k cut — true BM25 top-k of the matching docs,
+    * never a post-filtered short list (and never a silent fallback to the
+    * unfiltered ranking). */
   def ftsSearch(pathOf: String => String): UnboundProcedure =
     procRows("fts_search",
       Array(p("table", DT.StringType), p("name", DT.StringType),
-        p("query", DT.StringType), pd("k", DT.LongType, "10")),
+        p("query", DT.StringType), pd("k", DT.LongType, "10"),
+        pd("filter", DT.StringType, "''")),
       StructType(Seq(StructField("id", DT.LongType), StructField("score", DT.DoubleType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.loadManifest(spark, path)
@@ -746,9 +752,18 @@ private[format] object GraftProcedures {
       require(e.indexType == "FTS", s"index $nm is ${e.indexType}, not FTS")
       val q = in.getUTF8String(2).toString
       val k = in.getLong(3).toInt
+      val allowed = Option(in.getUTF8String(4)).map(_.toString.trim)
+        .filter(_.nonEmpty).map { pred =>
+          val idCol = e.params.getOrElse("idCol",
+            throw new IllegalArgumentException(s"index $nm records no idCol"))
+          GraftTable.read(spark, path, withRowId = idCol == GraftTable.RowIdCol)
+            .filter(org.apache.spark.sql.functions.expr(pred))
+            .select(org.apache.spark.sql.functions.col(idCol))
+        }
       // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
       // Seq[Double] and silently widens the id
-      graft.operators.Fts.matchQuery(spark, s"$path/_indices/${e.name}", Seq(q), k)
+      graft.operators.Fts.matchQuery(spark, s"$path/_indices/${e.name}", Seq(q), k,
+          allowedDocs = allowed)
         .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
     }
 

@@ -568,19 +568,33 @@ object Fts {
 
   /** Match query: BM25 top-k over any of the terms (OR semantics, like the
     * reference MatchQuery). Terms run through the index's tokenizer config.
-    * Ties broken by doc_id. */
-  def matchQuery(spark: SparkSession, indexPath: String, terms: Seq[String], k: Int): DataFrame =
-    matchTokens(spark, indexPath, queryTerms(spark, indexPath, terms), k)
+    * Ties broken by doc_id. `allowedDocs` (any one-column id frame) is the
+    * prefilter hook: only those docs are scored, so the top-k is the true
+    * top-k of the matching set. */
+  def matchQuery(spark: SparkSession, indexPath: String, terms: Seq[String], k: Int,
+                 allowedDocs: Option[DataFrame] = None): DataFrame =
+    matchTokens(spark, indexPath, queryTerms(spark, indexPath, terms), k, allowedDocs)
 
   /** Match over already-analyzed index-space tokens (no re-tokenization —
     * [[fuzzyQuery]]'s expansions are already dictionary tokens). */
   private def matchTokens(spark: SparkSession, indexPath: String,
-                          tokens: Seq[String], k: Int): DataFrame =
-    scored(spark, paths(indexPath), tokens)
+                          tokens: Seq[String], k: Int,
+                          allowedDocs: Option[DataFrame] = None): DataFrame = {
+    val base = scored(spark, paths(indexPath), tokens)
+    // prefilter (reference prefiltered FTS, `prefilter.rs`): semi-join the
+    // scored postings to the allowed doc ids BEFORE the top-k cut — the
+    // result is the true top-k of the matching docs. Catalyst/AQE picks
+    // broadcast vs shuffle from the allowed set's size; postings stay the
+    // probe side either way.
+    val filtered = allowedDocs.map(a =>
+      base.join(a.select(col(a.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(base)
+    filtered
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("_score"))
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
+  }
 
   /** Doc-id block a posting belongs to for block-max WAND stats. */
   val WandBlockSize = 1024L

@@ -35,6 +35,26 @@ class FtsSpec extends AnyFunSuite {
     assert(!indexed.map(_._1).contains(5L))
   }
 
+  test("allowedDocs prefilter: true top-k of the matching docs only") {
+    val idx = buildTmpIndex()
+    // unfiltered top hit for quick/fox is doc 3; restricting to even ids
+    // must yield the true ranking over {2, 4} — not a post-filtered cut
+    val allowed = Seq(2L, 4L).toDF("doc_id")
+    val filtered = Fts.matchQuery(spark, idx, Seq("quick", "fox"), 5,
+        allowedDocs = Some(allowed))
+      .as[(Long, Double)].collect().toSeq
+    assert(filtered.map(_._1) == Seq(4L), filtered.toString) // doc 2 has no hit
+    val exhaustive = Fts.matchQuery(spark, idx, Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(filtered.head._2 - exhaustive(4L)) < 1e-12,
+      "prefilter must not change BM25 scores")
+    // the column name of the allowed frame is irrelevant (first col is id)
+    val renamed = Seq(3L).toDF("whatever")
+    val one = Fts.matchQuery(spark, idx, Seq("quick"), 5, Some(renamed))
+      .as[(Long, Double)].collect().toSeq
+    assert(one.map(_._1) == Seq(3L), one.toString)
+  }
+
   test("buildForTable commits the FTS index into the manifest inventory") {
     import graft.format.GraftTable
     val t = Files.createTempDirectory("fts_tbl_").toString + "/t"

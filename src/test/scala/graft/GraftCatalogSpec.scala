@@ -401,6 +401,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     val fts = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
       "name => 'fts_body', query => 'needle', k => 5)").collect()
     assert(fts.nonEmpty && fts.head.getLong(0) == 42L, fts.mkString(","))
+    // prefiltered FTS: a filter keeping doc 42 passes it through; one
+    // excluding it yields EMPTY (the only 'needle' doc) — never a silent
+    // fallback to the unfiltered ranking
+    val ftsKeep = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'needle', k => 5, filter => 'id % 2 = 0')")
+      .collect()
+    assert(ftsKeep.map(_.getLong(0)).toSeq == Seq(42L), ftsKeep.mkString(","))
+    val ftsDrop = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'needle', k => 5, filter => 'id % 2 = 1')")
+      .collect()
+    assert(ftsDrop.isEmpty, ftsDrop.mkString(","))
     // KNN: full probes on a 2-list index == exact; nearest to (1, 1) among
     // vectors (id % 13, id % 7) is the id ≡ 1 (mod 91) family at distance 0
     val knn = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
