@@ -530,17 +530,11 @@ private[format] object GraftProcedures {
         case "IVF_RQ" =>
           graft.operators.RqIndex.optimizeForTable(spark, path, idCol, column,
             s"$idxDir/$idxName")
-        case "IVF_HNSW" | "IVF_HNSW_SQ" | "IVF_HNSW_PQ" => // graphs rebuild (no delta insert)
-          graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
-            s"$idxDir/$idxName",
-            nlist = e.params.getOrElse("nlist", "8").toInt,
-            m = e.params.getOrElse("m", "16").toInt,
-            efConstruction = e.params.getOrElse("efConstruction", "64").toInt,
-            metric = e.params.getOrElse("metric", "l2"),
-            storage = e.params.getOrElse("storage", "flat"),
-            pqM = e.params.getOrElse("pqM", "8").toInt,
-            pqK = e.params.getOrElse("pqK", "256").toInt)
-          m.liveRows
+        case "IVF_HNSW" | "IVF_HNSW_SQ" | "IVF_HNSW_PQ" =>
+          // delta sub-graphs over uncovered fragments; full rebuild only
+          // when compaction invalidated coverage
+          graft.operators.HnswIndex.optimizeForTable(spark, path, idCol, column,
+            s"$idxDir/$idxName")
         case "FTS" =>
           graft.operators.Fts.optimizeForTable(spark, path, idCol, column)
         case other => throw new IllegalArgumentException(
@@ -736,7 +730,17 @@ private[format] object GraftProcedures {
     * the live table's columns and the matching ids semi-join the scored
     * postings BEFORE the top-k cut — true BM25 top-k of the matching docs,
     * never a post-filtered short list (and never a silent fallback to the
-    * unfiltered ranking). */
+    * unfiltered ranking).
+    *
+    * Delete/append-safe like `knn_search` (reference applies a deletion
+    * prefilter to FTS too, `prefilter.rs`): when the snapshot carries
+    * deletion vectors, the scored postings are semi-joined to the live
+    * DV-subtracted id set before the cut (zero overhead when
+    * `numDeleted == 0`); rows appended since the build are flat-scored
+    * under the index's stored tokenizer config ([[graft.operators.Fts
+    * .matchFlat]] — the fresh leg computes BM25 from its own corpus stats,
+    * the same contract as the reference's FlatMatchQuery fallback) and
+    * merged before the final top-k. */
   def ftsSearch(pathOf: String => String): UnboundProcedure =
     procRows("fts_search",
       Array(p("table", DT.StringType), p("name", DT.StringType),
@@ -752,19 +756,42 @@ private[format] object GraftProcedures {
       require(e.indexType == "FTS", s"index $nm is ${e.indexType}, not FTS")
       val q = in.getUTF8String(2).toString
       val k = in.getLong(3).toInt
-      val allowed = Option(in.getUTF8String(4)).map(_.toString.trim)
-        .filter(_.nonEmpty).map { pred =>
-          val idCol = e.params.getOrElse("idCol",
-            throw new IllegalArgumentException(s"index $nm records no idCol"))
-          GraftTable.read(spark, path, withRowId = idCol == GraftTable.RowIdCol)
-            .filter(org.apache.spark.sql.functions.expr(pred))
-            .select(org.apache.spark.sql.functions.col(idCol))
-        }
+      import org.apache.spark.sql.functions.{col, expr}
+      val idCol = e.params.getOrElse("idCol",
+        throw new IllegalArgumentException(s"index $nm records no idCol"))
+      val withId = idCol == GraftTable.RowIdCol
+      val userPred = Option(in.getUTF8String(4)).map(_.toString.trim)
+        .filter(_.nonEmpty)
+      // DV subtraction: a user filter already routes through the live
+      // (DV-subtracted) read; otherwise add the live id set as the allowed
+      // mask only when the snapshot actually has deletions.
+      val allowed = userPred.map { pred =>
+        GraftTable.read(spark, path, withRowId = withId)
+          .filter(expr(pred)).select(col(idCol))
+      }.orElse {
+        if (m.numDeleted > 0L)
+          Some(GraftTable.read(spark, path, withRowId = withId).select(col(idCol)))
+        else None
+      }
+      val indexPath = s"$path/_indices/${e.name}"
+      val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
+        allowedDocs = allowed)
+      // fresh leg: fragments the index does not cover yet are flat-scored
+      // under the stored tokenizer config and merged before the final cut
+      val freshFrags = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
+      val merged = if (freshFrags.isEmpty) indexed else {
+        val cfg = graft.operators.Fts.loadConfig(spark, indexPath)
+        val fresh0 = GraftTable.readFragments(spark, path, m, freshFrags,
+          withRowId = withId)
+        val fresh = userPred.map(p => fresh0.filter(expr(p))).getOrElse(fresh0)
+        val flat = graft.operators.Fts.matchFlat(fresh, idCol, e.column,
+          Seq(q), k, config = cfg)
+        indexed.unionByName(flat)
+          .orderBy(col("_score").desc, col("doc_id")).limit(k)
+      }
       // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
       // Seq[Double] and silently widens the id
-      graft.operators.Fts.matchQuery(spark, s"$path/_indices/${e.name}", Seq(q), k,
-          allowedDocs = allowed)
-        .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+      merged.collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
     }
 
   /** `CALL g.system.knn_search(table => 'db.t', name => 'ivf_vec',

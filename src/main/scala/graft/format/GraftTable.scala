@@ -101,29 +101,42 @@ object GraftTable {
       .map(s => (s.getPath.getName.stripSuffix(".json").toLong, s.getModificationTime))
       .sortBy(_._1)
     if (entries.isEmpty) return None
-    val tsCache = scala.collection.mutable.Map.empty[Int, Long]
-    def tsOf(i: Int): Long = tsCache.getOrElseUpdate(i, {
+    val tsCache = scala.collection.mutable.Map.empty[Int, (Long, Boolean)]
+    // (effective ts, stamped?) — stamped = manifest carries a real commitTs
+    def probe(i: Int): (Long, Boolean) = tsCache.getOrElseUpdate(i, {
       val (v, mtime) = entries(i)
       val m = scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption
-      m.map(_.commitTsMillis).filter(_ > 0L).getOrElse(mtime)
+      m.map(_.commitTsMillis).filter(_ > 0L) match {
+        case Some(ts) => (ts, true)
+        case None     => (mtime, false)
+      }
     })
+    def tsOf(i: Int): Long = probe(i)._1
+    def linearScan: Option[Long] =
+      entries.indices.filter(i => tsOf(i) <= tsMillis).map(i => entries(i)._1)
+        .sorted.lastOption
+    // Commits since r6 stamp max(now, parentTs + 1), so stamped lineages
+    // are monotone in version BY CONSTRUCTION — and once a lineage starts
+    // stamping every descendant is stamped, so "oldest entry stamped" ⇒
+    // the whole remaining history is stamped and binary search is sound.
+    // Any legacy manifest in range (mtime fallback — mtimes change on
+    // copy/rsync and skewed writer clocks reorder them) means a
+    // non-monotone pair can hide BETWEEN binary-search probes, where the
+    // old probed-pair check could not see it: take the O(n) linear
+    // max-scan directly instead of trusting the probe result.
+    if (!probe(0)._2) return linearScan
     var lo = 0
     var hi = entries.size - 1
     var ans: Option[Long] = None
+    var sawLegacy = false
     while (lo <= hi) {
       val mid = (lo + hi) / 2
-      if (tsOf(mid) <= tsMillis) { ans = Some(entries(mid)._1); lo = mid + 1 }
+      val (ts, stamped) = probe(mid)
+      if (!stamped) sawLegacy = true
+      if (ts <= tsMillis) { ans = Some(entries(mid)._1); lo = mid + 1 }
       else hi = mid - 1
     }
-    // Commits since r6 stamp max(now, parentTs + 1), so timestamps are
-    // monotone in version — but legacy histories (mtime fallback, skewed
-    // writer clocks) may not be. If any probed pair violates monotonicity,
-    // the binary search is untrustworthy: degrade to the linear max-scan.
-    val probed = tsCache.keys.toSeq.sorted
-    val monotone = probed.zip(probed.drop(1)).forall { case (a, b) => tsOf(a) <= tsOf(b) }
-    if (monotone) ans
-    else entries.indices.filter(i => tsOf(i) <= tsMillis).map(i => entries(i)._1)
-      .sorted.lastOption
+    if (sawLegacy) linearScan else ans
   }
 
   def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None,

@@ -430,10 +430,12 @@ object Fts {
       // compaction retired covered fragments: postings carry doc ids (not
       // addresses), so a filtered rewrite cannot identify their rows —
       // rebuild (the reference's inverted index remaps via row ids; ours
-      // rebuilds, which is also O(corpus) but one pass)
+      // rebuilds, which is also O(corpus) but one pass). The rebuild MUST
+      // re-tokenize under the index's persisted config, not the default.
+      val cfg = loadConfig(spark, indexPath)
       val out = buildIndex(GraftTable.read(spark, tablePath,
           withRowId = idCol == GraftTable.RowIdCol),
-        idCol, textCol, indexPath)
+        idCol, textCol, indexPath, config = cfg)
       graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
         "FTS", textCol, m, Map("idCol" -> idCol))
       return m.liveRows
@@ -532,24 +534,43 @@ object Fts {
   /** (n_docs, avgdl) per index path, memoized — meta is a single parquet
     * row yet costs a driver job per read; query paths (WAND especially —
     * it builds three scored plans) were paying it repeatedly. Invalidated
-    * by in-JVM build/optimize. */
+    * by in-JVM build/optimize AND by a content epoch folded into the key
+    * (max mtime under the meta dir, one FS listing per query): a rebuild
+    * or optimize from ANOTHER process changes the epoch, so a long-lived
+    * JVM never serves stale n_docs/avgdl/df — the same cross-process
+    * contract as the scalar-rule caches. */
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
   private[operators] def invalidateMeta(indexPath: String): Unit = {
-    metaCache.remove(paths(indexPath).meta)
+    metaCache.clear()
     termDfCache.clear()
   }
+  /** Content token for an index stats dir: max file mtime (0 if absent).
+    * One listStatus — microseconds against the driver job it guards. */
+  private def epochOf(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).foldLeft(0L)((m, st) => math.max(m, st.getModificationTime))
+  }
+  private def boundedGet[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
+                            key: String, load: => V): V = {
+    if (cache.size > 1024) cache.clear() // epochs retire old keys; bound growth
+    cache.computeIfAbsent(key, _ => load)
+  }
   private def metaOf(spark: SparkSession, index: Index): (Double, Double) =
-    metaCache.computeIfAbsent(index.meta, { _ =>
+    boundedGet(metaCache, s"${epochOf(spark, index.meta)}|${index.meta}", {
       val meta = spark.read.parquet(index.meta).head()
       (meta.getLong(0).toDouble, meta.getDouble(1))
     })
 
-  /** df per (termstats path, token), memoized — the WAND floor check and
-    * idf precompute collapse to one tiny lookup job per novel token set. */
+  /** df per (termstats epoch+path, token), memoized — the WAND floor check
+    * and idf precompute collapse to one tiny lookup job per novel token
+    * set. */
   private val termDfCache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
   private def termDfs(spark: SparkSession, index: Index, tokens: Seq[String]): Map[String, Double] =
-    termDfCache.computeIfAbsent(
-      index.termstats + "|" + tokens.sorted.map(t => s"${t.length}:$t").mkString(" "), { _ =>
+    boundedGet(termDfCache,
+      epochOf(spark, index.termstats) + "|" + index.termstats + "|" +
+        tokens.sorted.map(t => s"${t.length}:$t").mkString(" "), {
       spark.read.parquet(index.termstats)
         .filter(col("token").isin(tokens: _*))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -173,8 +173,12 @@ object HnswIndex {
     val df = IvfIndex.forMetric(df0, vecCol, metric)
     val spark = df.sparkSession
     invalidateCache(indexPath)
+    dropDeltaDirs(spark, indexPath) // a full rebuild collapses delta graphs
     IvfIndex.writeVectorMeta(spark, indexPath, metric, storage,
       pqVariant = if (storage == "pq") "residual" else "")
+    writeHnswParams(spark, indexPath, Map("nlist" -> nlist.toString,
+      "m" -> m.toString, "efConstruction" -> efConstruction.toString,
+      "pqM" -> pqM.toString, "pqK" -> pqK.toString))
     val model = IvfIndex.train(df, idCol, vecCol, nlist)
     // quantized node storage: train the codec on the (metric-adjusted)
     // corpus, persist it beside the graph, and hand build an encoder —
@@ -207,12 +211,30 @@ object HnswIndex {
         })
       case _ => None
     }
+    writeGraphRows(df, idCol, vecCol, model.centroids, encode, m,
+      efConstruction, s"$indexPath/graph")
+    val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    spark.createDataFrame(cents.toSeq).toDF("pid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+    model
+  }
+
+  /** Assign pids against fixed centroids, build one HNSW graph per IVF
+    * partition, and write the node dataset to `outPath` — the shared core
+    * of [[build]] (full corpus → `graph/`) and [[optimizeForTable]]'s
+    * delta path (uncovered fragments only → `graph_delta_NNN/`). */
+  private def writeGraphRows(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[Array[Float]],
+                             encode: Option[(Array[Float], Int) => Array[Byte]],
+                             m: Int, efConstruction: Int,
+                             outPath: String): Unit = {
+    val spark = df.sparkSession
     val addrExpr = if (df.columns.contains(AddrCol)) col(AddrCol)
       else lit(null).cast(LongType)
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         addrExpr.as(AddrCol))
       .withColumn(PidCol, ColumnBridge.column(
-        IvfAssign(ColumnBridge.expression(col("vec")), model.centroids)))
+        IvfAssign(ColumnBridge.expression(col("vec")), centroids)))
       .repartition(col(PidCol))
     val mLocal = m; val efLocal = efConstruction
     val graphRows = assigned.queryExecution.toRdd.mapPartitions { it =>
@@ -238,11 +260,79 @@ object HnswIndex {
       }
     }
     spark.createDataFrame(graphRows, graphSchema)
-      .write.mode(SaveMode.Overwrite).partitionBy(PidCol).parquet(s"$indexPath/graph")
-    val cents = model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    spark.createDataFrame(cents.toSeq).toDF("pid", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
-    model
+      .write.mode(SaveMode.Overwrite).partitionBy(PidCol).parquet(outPath)
+  }
+
+  /** The persisted codec's encoder, reloaded for delta builds — the delta
+    * MUST encode with the ORIGINAL codec (and, for residual PQ, the
+    * original centroids): retraining would silently shift the code space
+    * under the existing graph nodes. */
+  private def loadEncoder(spark: SparkSession, indexPath: String,
+                          storage: String, centroids: Array[Array[Float]])
+      : Option[(Array[Float], Int) => Array[Byte]] = storage match {
+    case "sq" =>
+      val sq = SqIndex.loadSq(spark, indexPath)
+      Some((v, _) => SqIndex.encodeVec(v, sq))
+    case "pq" =>
+      val pq = PqIndex.loadPq(spark, indexPath)
+      if (IvfIndex.readPqVariant(spark, indexPath) == "residual")
+        Some((v, pid) => {
+          val c = centroids(pid)
+          val r = new Array[Float](v.length)
+          var i = 0; while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+          PqIndex.encodeVec(r, pq)
+        })
+      else Some((v, _) => PqIndex.encodeVec(v, pq))
+    case _ => None
+  }
+
+  /** Graph build params sidecar — lets [[optimizeForTable]] rebuild or
+    * delta-build an index whose IndexMeta never reached a manifest (bare
+    * index dirs outside `<table>/_indices/`). */
+  private def writeHnswParams(spark: SparkSession, indexPath: String,
+                              params: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_HNSW_PARAMS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    val body = params.toSeq.sorted.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readHnswParams(spark: SparkSession, indexPath: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_HNSW_PARAMS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      "\"(\\w+)\"\\s*:\\s*\"(\\w+)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  /** Delta sub-graph directories under an index, oldest first (names sort
+    * lexicographically: `graph_delta_000`, `graph_delta_001`, …). */
+  private def deltaDirs(spark: SparkSession, indexPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("graph_delta_")).sorted.toSeq
+  }
+
+  /** Exact float vectors across the base graph AND every delta sub-graph —
+    * the refine pass's source (column-pruned to id+vec on disk). */
+  private def graphVectors(spark: SparkSession, indexPath: String): DataFrame =
+    ("graph" +: deltaDirs(spark, indexPath))
+      .map(d => spark.read.parquet(s"$indexPath/$d").select(col("id"), col("vec")))
+      .reduce(_.unionByName(_))
+
+  private def dropDeltaDirs(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    deltaDirs(spark, indexPath).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, d), true))
   }
 
   /** Build over a graft table snapshot, recording covered version + fragment
@@ -273,6 +363,72 @@ object HnswIndex {
         (if (storage == "pq") Map("pqM" -> pqM.toString, "pqK" -> pqK.toString)
          else Map.empty))
     model
+  }
+
+  /** Incremental maintenance (reference delta-index semantics,
+    * `rust/lance-index/src/optimize.rs` — `OptimizeOptions.num_indices_to_
+    * merge`, new data becomes a delta index merged at query time):
+    * per-partition HNSW graphs are built over ONLY the fragments the
+    * coverage marker does not include, under the EXISTING centroids,
+    * storage mode, and codec, and written as an additional
+    * `graph_delta_NNN/` dataset. Query-time, every (partition, sub-graph)
+    * pair is beamed independently and the candidate heaps merge in the
+    * global top-k — covered partitions' graph files are NEVER rewritten,
+    * so optimize cost is O(delta), not O(corpus). A compaction that
+    * retires covered fragments invalidates node addresses ⇒ full rebuild
+    * (which collapses the deltas), same contract as the other families. */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, indexPath: String): Long = {
+    import graft.format.GraftTable
+    val mf = GraftTable.loadManifest(spark, tablePath)
+    val cov = graft.index.ScalarIndex.readCoverage(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath has no coverage marker — build with buildForTable"))
+    val covered = cov.fragmentIds.toSet
+    val liveIds = mf.fragments.map(_.id).toSet
+    val entry = mf.indices.find(e => s"$tablePath/_indices/${e.name}" == indexPath ||
+        indexPath.endsWith(s"/_indices/${e.name}"))
+    // manifest params win; bare index dirs fall back to the build sidecar
+    val params = readHnswParams(spark, indexPath) ++
+      entry.map(_.params).getOrElse(Map.empty[String, String])
+    val storage = params.getOrElse("storage",
+      IvfIndex.readVectorStorage(spark, indexPath))
+    val metric = params.getOrElse("metric",
+      IvfIndex.readVectorMeta(spark, indexPath))
+    val m = params.getOrElse("m", "16").toInt
+    val efc = params.getOrElse("efConstruction", "64").toInt
+    if (covered.diff(liveIds).nonEmpty) {
+      // compaction retired covered fragments: their nodes carry dead
+      // addresses and rewritten rows live in NEW fragments — rebuild
+      buildForTable(spark, tablePath, idCol, vecCol, indexPath,
+        nlist = params.getOrElse("nlist", "8").toInt, m = m,
+        efConstruction = efc, metric = metric, storage = storage,
+        pqM = params.getOrElse("pqM", "8").toInt,
+        pqK = params.getOrElse("pqK", "256").toInt)
+      return mf.liveRows
+    }
+    val freshFrags = mf.fragments.filterNot(f => covered.contains(f.id))
+    val indexType = storage match {
+      case "sq" => "IVF_HNSW_SQ"
+      case "pq" => "IVF_HNSW_PQ"
+      case _    => "IVF_HNSW"
+    }
+    if (freshFrags.nonEmpty) {
+      val model = IvfIndex.loadModel(spark, indexPath)
+      val df = IvfIndex.forMetric(
+        GraftTable.readFragments(spark, tablePath, mf, freshFrags,
+          withRowAddr = true,
+          withRowId = idCol == GraftTable.RowIdCol),
+        vecCol, metric)
+      val encode = loadEncoder(spark, indexPath, storage, model.centroids)
+      val next = deltaDirs(spark, indexPath).size
+      writeGraphRows(df, idCol, vecCol, model.centroids, encode, m, efc,
+        f"$indexPath/graph_delta_$next%03d")
+      invalidateCache(indexPath)
+    }
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      indexType, vecCol, mf, params ++ Map("idCol" -> idCol))
+    freshFrags.map(_.rows).sum
   }
 
   /** Per-JVM cache of each index's graph rows, already shuffled into
@@ -345,9 +501,16 @@ object HnswIndex {
         val payload =
           if (IvfIndex.readVectorStorage(spark, indexPath) != "flat") col("codes")
           else col("vec")
-        val fresh = spark.read.parquet(s"$indexPath/graph")
-          .select(col("id"), payload.as("__payload"), col("level"), col("nbrs"),
-            col(AddrCol), col(PidCol).as("pid"))
+        // base graph = generation 0; each delta-optimize dataset is its own
+        // generation: (pid, gen) pairs beam independently and merge in the
+        // global top-k (reference delta indices, optimize.rs)
+        val dirs = "graph" +: deltaDirs(spark, indexPath)
+        val fresh = dirs.zipWithIndex.map { case (dname, gen) =>
+            spark.read.parquet(s"$indexPath/$dname")
+              .select(col("id"), payload.as("__payload"), col("level"),
+                col("nbrs"), col(AddrCol), col(PidCol).as("pid"),
+                lit(gen).as("__gen"))
+          }.reduce(_.unionByName(_))
           .repartition(col("pid"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fresh.count() // materialize once so every query reuses the shuffle
@@ -380,7 +543,7 @@ object HnswIndex {
     val marked = markDead.map(f => f(base))
       .getOrElse(base.withColumn("__dead", lit(false)))
       .select(col("id"), col("__payload"), col("level"), col("nbrs"), col("pid"),
-        col("__dead"))
+        col("__gen"), col("__dead"))
     if (storage == "sq" || storage == "pq") {
       // beam on the asymmetric (ADC) distance over the code-only cached
       // graph, then exact refine: survivors' float vectors are read from
@@ -411,37 +574,41 @@ object HnswIndex {
           val table = PqIndex.loadPq(spark, indexPath).adcTable(query2)
           _ => c => PqIndex.adc(table, c)
         }
-      val cands = marked.as[(Long, Array[Byte], Int, Seq[Seq[Long]], Int, Boolean)]
+      // (pid, gen) keys: each delta generation is an independent sub-graph
+      // beamed on its own entry point; heaps merge in the global top-k
+      val cands = marked.as[(Long, Array[Byte], Int, Seq[Seq[Long]], Int, Int, Boolean)]
         .mapPartitions { it =>
-          val byPid = mutable.Map.empty[Int,
+          val byKey = mutable.Map.empty[(Int, Int),
             mutable.Map[Long, (Array[Byte], Int, Array[Array[Long]], Boolean)]]
-          it.foreach { case (id, codes, level, nbrs, pid, dead) =>
-            byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
+          it.foreach { case (id, codes, level, nbrs, pid, gen, dead) =>
+            byKey.getOrElseUpdate((pid, gen), mutable.Map.empty)(id) =
               (codes, level, nbrs.map(_.toArray).toArray, dead)
           }
-          byPid.iterator.flatMap { case (pid, g) =>
+          byKey.iterator.flatMap { case ((pid, _), g) =>
+            // ef must cover the refine pool: searchGraph's result heap is
+            // capped at ef, so ef = efq alone would silently shrink the
+            // k*refineFactor candidate set to efq
             searchGraph[Array[Byte]](g, codeDistFor(pid),
-              math.max(k * refineFactor, efq), efq)
+              math.max(k * refineFactor, efq), math.max(efq, k * refineFactor))
           }
         }.toDF("id", "__adc")
         .orderBy(col("__adc"), col("id"))
         .limit(k * refineFactor)
         .select(col("id"))
-      val exact = spark.read.parquet(s"$indexPath/graph")
-        .select(col("id"), col("vec"))
+      val exact = graphVectors(spark, indexPath)
         .join(cands, Seq("id"), "left_semi")
       Knn.flatSearch(exact, "vec", query2, k, metric, tieBreakers = Seq(col("id")))
         .select(col("id"), col(Knn.DistanceCol))
     } else {
-      val hits = marked.as[(Long, Seq[Float], Int, Seq[Seq[Long]], Int, Boolean)]
+      val hits = marked.as[(Long, Seq[Float], Int, Seq[Seq[Long]], Int, Int, Boolean)]
         .mapPartitions { it =>
-          val byPid = mutable.Map.empty[Int,
+          val byKey = mutable.Map.empty[(Int, Int),
             mutable.Map[Long, (Array[Float], Int, Array[Array[Long]], Boolean)]]
-          it.foreach { case (id, vec, level, nbrs, pid, dead) =>
-            byPid.getOrElseUpdate(pid, mutable.Map.empty)(id) =
+          it.foreach { case (id, vec, level, nbrs, pid, gen, dead) =>
+            byKey.getOrElseUpdate((pid, gen), mutable.Map.empty)(id) =
               (vec.toArray, level, nbrs.map(_.toArray).toArray, dead)
           }
-          byPid.iterator.flatMap { case (_, g) =>
+          byKey.iterator.flatMap { case (_, g) =>
             // cosine output = l2sq/2 on unit vectors (= 1 - cos); l2 = sqrt
             searchGraph[Array[Float]](g, v => l2sq(query2, v), k, efq).map { case (id, d) =>
               (id, if (metric == "cosine") d / 2.0 else math.sqrt(d))

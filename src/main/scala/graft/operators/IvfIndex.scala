@@ -454,6 +454,11 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // fail fast on dimension mismatch (mirrors RqEncode): a silent
+    // min-length loop would assign garbage partitions and corrupt the index
+    if (centroids.nonEmpty && n != centroids(0).length)
+      throw new IllegalArgumentException(
+        s"ivf_assign: vector has $n dims, centroids have ${centroids(0).length}")
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

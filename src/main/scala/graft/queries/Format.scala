@@ -528,7 +528,7 @@ object Format {
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "q_cluster_layout" ->
-      """SELECT count(*) AS n, sum(n_chars) AS total_chars FROM documents
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
         |WHERE lang = 'de' AND n_chars > 100""".stripMargin,
     "q_scalar_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

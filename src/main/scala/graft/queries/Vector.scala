@@ -75,19 +75,28 @@ object Vector {
       dir
     })
 
-  private val builtHnswSq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtHnswSq = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def hnswSqIndexFor(s: SparkSession, d: String): String =
+  /** Table-backed IVF_HNSW_SQ with a post-build append + DELTA optimize
+    * (VERDICT r6 #2): 7/8 of the corpus is indexed by the build, the last
+    * 1/8 arrives as an appended fragment and is folded in by
+    * [[graft.operators.HnswIndex.optimizeForTable]] as a delta sub-graph —
+    * the gate then searches indexed-only (fast_search), so a hash match
+    * proves the delta generation is traversed. Returns (table, index). */
+  private def hnswSqIndexFor(s: SparkSession, d: String): (String, String) =
     builtHnswSq.computeIfAbsent(d, { _ =>
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/hnswsq_${d.hashCode.toHexString}"
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-      graft.operators.HnswIndex.build(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
-        storage = "sq")
-      dir
+      import graft.format.GraftTable
+      val t = freshDir(s, s"hnswsq_tbl_${d.hashCode.toHexString}")
+      val idx = freshDir(s, s"hnswsq_idx_${d.hashCode.toHexString}")
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cut = math.floor(e.count() * 7.0 / 8.0).toLong
+      GraftTable.write(e.filter(col("vec_id") < cut)
+        .repartitionByRange(4, col("vec_id")), t, "overwrite")
+      graft.operators.HnswIndex.buildForTable(s, t, "vec_id", "embedding",
+        idx, nlist = 4, m = 16, efConstruction = 64, storage = "sq")
+      GraftTable.write(e.filter(col("vec_id") >= cut), t, "append")
+      graft.operators.HnswIndex.optimizeForTable(s, t, "vec_id", "embedding", idx)
+      (t, idx)
     })
 
   private val builtHnswPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -136,7 +145,7 @@ object Vector {
     "build_hnsw" -> ((s, d) => {
       graft.operators.HnswIndex.warm(s, hnswIndexFor(s, d)) }),
     "build_hnsw_sq" -> ((s, d) => {
-      graft.operators.HnswIndex.warm(s, hnswSqIndexFor(s, d)) }),
+      graft.operators.HnswIndex.warm(s, hnswSqIndexFor(s, d)._2) }),
     "build_hnsw_pq" -> ((s, d) => {
       graft.operators.HnswIndex.warm(s, hnswPqIndexFor(s, d)) })
   )
@@ -296,11 +305,14 @@ object Vector {
     // HNSW family (VERDICT r5 task #2; q_ann_hnsw stays rows-only).
     "q_ann_hnsw_sq" -> { (s, d) =>
       val q = queryVec(s, d)
-      val idx = hnswSqIndexFor(s, d)
+      val (t, idx) = hnswSqIndexFor(s, d)
       val n = Tables.embeddings(s, d).count().toInt
-      graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4,
-          ef = n, refineFactor = 100)
-        .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+      // fast_search: indexed data ONLY — the appended 1/8 must surface
+      // through the delta sub-graph, not the flat fresh-fragment leg
+      graft.operators.HnswIndex.searchCombined(s, t, idx, "vec_id",
+          "embedding", q, k = 10, nprobes = 4, ef = n, refineFactor = 100,
+          fastSearch = true)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
     // IVF_HNSW_PQ (reference IVF_HNSW_PQ, lib.rs:98-130 — hnsw/ over pq/

@@ -262,6 +262,65 @@ class HnswSpec extends AnyFunSuite {
     assert(HnswIndex.cachedPaths().isEmpty)
   }
 
+  test("delta optimize: appended fragments get a sub-graph, covered graph files untouched") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_delta_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_deltaidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4,
+      storage = "sq")
+    // fingerprint every file of the covered graph before the optimize
+    val gp = new org.apache.hadoop.fs.Path(s"$ix/graph")
+    val fs = gp.getFileSystem(spark.sessionState.newHadoopConf())
+    def snapshot(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(gp, true)
+      val b = Seq.newBuilder[(String, (Long, Long))]
+      while (it.hasNext) { val s = it.next()
+        b += s.getPath.toString -> ((s.getLen, s.getModificationTime)) }
+      b.result().toMap
+    }
+    val before = snapshot()
+    val fresh = embeddings.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 10000L)
+    GraftTable.write(fresh, t, "append")
+    val n = HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix)
+    assert(n == 20, s"expected 20 delta rows indexed, got $n")
+    // O(delta) IO: the covered partitions' graph files are byte-identical
+    assert(snapshot() == before, "optimize rewrote covered graph files")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ix/graph_delta_000")),
+      "no delta sub-graph written")
+    // coverage is now complete: the indexed-only (fast_search) path must
+    // see the appended rows through the delta sub-graph
+    val q = queryVec(5L)
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, refineFactor = 100, fastSearch = true)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.flatSearch(embeddings.union(fresh), "embedding", q, 10,
+        "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == exact, s"$r vs $exact")
+    assert(r.exists(_ >= 10000L), "delta rows absent from indexed-only search")
+
+    // a second optimize with nothing new appends no generation
+    assert(HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix) == 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/graph_delta_001")))
+
+    // compaction retires covered fragments → full rebuild collapses deltas
+    GraftTable.delete(spark, t, "vec_id < 50")
+    GraftTable.compactFiles(spark, t, targetRows = 200, materializeDeletions = 0.1)
+    HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/graph_delta_000")),
+      "rebuild left delta dirs behind")
+    val r2 = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact2 = Knn.flatSearch(
+        embeddings.union(fresh).filter($"vec_id" >= 50), "embedding", q, 10,
+        "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r2 == exact2, s"$r2 vs $exact2")
+  }
+
   test("deterministic rebuild: identical graphs") {
     val d2 = Files.createTempDirectory("hnsw2_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),

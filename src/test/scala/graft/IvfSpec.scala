@@ -277,4 +277,22 @@ class IvfSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSeq
     assert(after == flat) // nprobes=nlist + DV subtraction == exact over live rows
   }
+
+  test("ivf_assign fails fast on a wrong-dimension vector") {
+    val idx = buildIdx(8)
+    val model = IvfIndex.loadModel(spark, idx)
+    val dim = model.centroids(0).length
+    // ingest vector with dropped dims must throw, not silently assign via
+    // a truncated distance (VERDICT r6 #5, mirrors RqEncode)
+    val bad = Seq((1L, (0 until dim - 3).map(_.toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      bad.withColumn("pid", ColumnBridge.column(graft.operators.IvfAssign(
+        ColumnBridge.expression(col("embedding")), model.centroids))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(ex).contains("dims"), s"unexpected failure: ${rootMsg(ex)}")
+  }
 }
