@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exists for a resolution rule to see.
     e.injectOptimizerRule(session => new GraftScalarIndexRule(session))
     e.injectOptimizerRule(session => new GraftAddrPruneRule(session))
+    // after the index rules: an index-rewritten plan no longer matches the
+    // late-mat shape, so index acceleration takes priority; the late-mat
+    // phase-1 sub-query gets index acceleration on its own pass instead
+    e.injectOptimizerRule(session => new GraftLateMatRule(session))
   }
 }
 
@@ -75,7 +79,7 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
         lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
         if !gfi.maskApplied =>
       findBtree(cond, gfi).orElse(findLabelList(cond, gfi))
-        .orElse(findJson(cond, gfi)) match {
+        .orElse(findJson(cond, gfi)).orElse(findNgram(cond, gfi)) match {
         case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
         case None => findBloom(cond, gfi) match {
           case Some(keepFrags) => rewriteFragmentPrune(f, lr, gfi, keepFrags)
@@ -245,6 +249,38 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
       case In(x, vs) if isGSide(x) => vs.forall(_.foldable)
       case _ => false
     }
+  }
+
+  /** `contains(col, lit)` / `col LIKE '%lit%'` conjunct on a column with a
+    * usable NGRAM index (reference `scalar/ngram.rs`): rows containing ALL
+    * the needle's trigrams form an at-most candidate mask (built from the
+    * lowercased index, so it is a superset of the case-sensitive match);
+    * the original filter on top verifies exactly. Needles under 3 chars
+    * have no trigram and stay full-scan. */
+  private def findNgram(cond: Expression, gfi: GraftFileIndex)
+      : Option[(Set[Long], org.apache.spark.sql.DataFrame)] =
+    splitConjunctivePredicates(cond).iterator.flatMap { p =>
+      ngramShape(p).flatMap { case (colName, needle) =>
+        val grams = needle.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
+        if (grams.isEmpty) None
+        else firstUsable(gfi, colName,
+            candidateNames(gfi, colName).map(n => s"${gfi.tablePath}/_indices/ngram_$n"))
+          .map { case (dir, covered) =>
+            val mask = session.read.parquet(dir)
+              .filter(col("gram").isin(grams: _*))
+              .groupBy(col(GraftTable.RowAddrCol))
+              .agg(countDistinct(col("gram")).as("__ng"))
+              .filter(col("__ng") === grams.length)
+              .select(col(GraftTable.RowAddrCol).as(JoinKey))
+            (covered, mask)
+          }
+      }
+    }.nextOption()
+
+  private def ngramShape(p: Expression): Option[(String, String)] = p match {
+    case Contains(a: AttributeReference, v) if v.foldable && v.eval() != null =>
+      Some((a.name, v.eval().toString))
+    case _ => None
   }
 
   /** `array_contains(attr, lit)` ⇒ all-of([lit]); `arrays_overlap(attr,
@@ -765,5 +801,142 @@ case class GraftMergeCommand(path: String,
       whenNotMatchedBySourceDelete = deleteNotMatchedBySource,
       deleteCondition = deleteCondition)
     Seq.empty
+  }
+}
+
+/** Automatic late materialization (reference `MaterializationStyle`,
+  * `rust/lance/src/dataset/scanner.rs:176-220` — the scanner defaults wide
+  * columns to late materialization): when a pushed filter touches only
+  * NARROW columns but the projection carries WIDE ones (binary / array
+  * blobs, or strings whose observed zonemap values are long), scanning the
+  * wide columns for every row wastes almost all the IO — at 100 TB the
+  * difference between reading terabytes of blobs and reading the narrow
+  * predicate columns plus the blobs of matching fragments.
+  *
+  * The rule rewrites `Project(wide, Filter(narrowPred, graftRelation))`
+  * into the [[GraftTable.readLate]] two-phase shape, fully automatically:
+  *
+  *  1. phase 1 (plan-time, memoized per (table, version, predicate)): a
+  *     column-pruned narrow scan evaluates the predicate and checkpoints
+  *     the matching row addresses;
+  *  2. phase 2 (the returned plan): a full-width scan of ONLY the
+  *     fragments containing matches, semi-joined to the address list, with
+  *     the original filter kept on top as a refine step.
+  *
+  * When the matches span every fragment the rewrite is abandoned — a
+  * single-pass scan is strictly better then — and the memoized verdict
+  * makes the give-up free on re-planning. Phase 1 runs a (narrow, cheap)
+  * job during optimization; that is the same cost an explicit
+  * `readLate` caller pays, traded for never re-reading blobs. */
+class GraftLateMatRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.types._
+
+  private val JoinKey = "__graft_late_addr"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case pr @ Project(projList, f @ Filter(_,
+        lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _)))
+        if eligible(projList, f.condition, gfi) =>
+      scala.util.Try(rewrite(pr.projectList, f, lr, gfi)).getOrElse(pr)
+  }
+
+  /** Longest observed string per zonemap — the "avg value size" proxy the
+    * schema alone cannot supply. Absent stats read as narrow. */
+  private def colWide(name: String, dt: DataType, m: GraftManifest): Boolean = dt match {
+    case BinaryType => true
+    case _: ArrayType => true
+    case StringType => m.fragments.flatMap(_.stats.get(name)).exists(st =>
+      st.kind == "string" && st.max != null && st.max.length > GraftLateMatRule.WideStringLen)
+    case _ => false
+  }
+
+  private def eligible(projList: Seq[NamedExpression], cond: Expression,
+                       gfi: GraftFileIndex): Boolean = {
+    val m = gfi.manifest
+    if (gfi.maskApplied || m.fragments.length < 2 || !cond.deterministic) return false
+    val condAttrs = cond.references.toSeq
+    condAttrs.nonEmpty &&
+      !condAttrs.exists(a => a.name == "_metadata" || colWide(a.name, a.dataType, m)) &&
+      projList.flatMap(_.references.toSeq)
+        .exists(a => a.name != "_metadata" && colWide(a.name, a.dataType, m))
+  }
+
+  private def rewrite(projList: Seq[NamedExpression], f: Filter,
+                      lr: LogicalRelation, gfi: GraftFileIndex): LogicalPlan = {
+    val m = gfi.manifest
+    val outNames = lr.output.map(_.name)
+
+    def scan(frags: Seq[FragmentMeta], cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val relation = HadoopFsRelation(
+        location = new GraftFileIndex(session, gfi.tablePath, m.copy(fragments = frags),
+          dvApplied = gfi.dvApplied, maskApplied = true),
+        partitionSchema = new StructType(), dataSchema = m.physicalSchema,
+        bucketSpec = None, fileFormat = new ParquetFileFormat,
+        options = Map.empty)(session)
+      val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
+      val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
+        "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
+        .plus(col("_metadata.row_index"))
+      base.select(cols.map(col) :+ addr.as(JoinKey): _*)
+    }
+
+    // name-based key: exprIds differ across fresh reads of the same table,
+    // so canonicalized/toString would defeat the memo; .sql renders by name
+    val key = s"${gfi.tablePath}|${m.version}|" +
+      scala.util.Try(f.condition.sql).getOrElse(f.condition.toString)
+    val (fragIds, matches) = GraftLateMatRule.cached(key) {
+      GraftLateMatRule.phase1Runs.incrementAndGet()
+      val narrowCols = f.condition.references.map(_.name).toSeq.distinct
+      val p1 = scan(m.fragments, narrowCols).queryExecution.analyzed
+      val byName = p1.output.map(a => a.name -> a).toMap
+      val rebased = f.condition.transform {
+        case a: AttributeReference => byName(a.name)
+      }
+      val mt = ColumnBridge.ofRows(session, Filter(rebased, p1))
+        .select(col(JoinKey)).localCheckpoint()
+      val ids = mt.select(shiftrightunsigned(col(JoinKey), 32).as("f"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      (ids, mt)
+    }
+    // matches in every fragment ⇒ nothing to prune; single-pass scan wins
+    if (fragIds.size >= m.fragments.size) return Project(projList, f)
+    val pruned = m.fragments.filter(fr => fragIds.contains(fr.id))
+    val combined = scan(pruned, outNames)
+      .join(matches, Seq(JoinKey), "left_semi").drop(JoinKey)
+    val analyzed = combined.queryExecution.analyzed
+    val out: Seq[NamedExpression] = lr.output.zip(analyzed.output).map {
+      case (orig, fresh) => Alias(fresh, orig.name)(exprId = orig.exprId)
+    }
+    // original filter stays on top (refine): exactness by construction
+    Project(projList, Filter(f.condition, Project(out, analyzed)))
+  }
+}
+
+object GraftLateMatRule {
+  /** Strings whose observed zonemap max exceeds this are "wide". */
+  val WideStringLen = 1024
+
+  /** Phase-1 executions (cache misses) — spec observability. */
+  private[graft] val phase1Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val Cap = 64
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Set[Long], org.apache.spark.sql.DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Set[Long], org.apache.spark.sql.DataFrame)]): Boolean =
+        size > Cap
+    })
+
+  private[format] def cached(key: String)(
+      compute: => (Set[Long], org.apache.spark.sql.DataFrame)): (Set[Long], org.apache.spark.sql.DataFrame) = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute
+      cache.put(key, v)
+      v
+    }
   }
 }

@@ -144,13 +144,15 @@ object IvfIndex {
              query: Array[Float], k: Int, nprobes: Int,
              metric: String = "l2",
              prefilter: Option[Column] = None,
-             candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
+             candidateTransform: DataFrame => DataFrame = identity,
+             distanceRange: Option[(Double, Double)] = None): DataFrame = {
     val model = loadModel(spark, indexPath)
     val probes = model.rank(query).take(math.min(nprobes, model.nlist))
     val candidates = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(PidCol).isin(probes: _*))
     Knn.flatSearch(candidateTransform(candidates), vecCol, query, k, metric,
-      tieBreakers = Seq(col(idCol)), prefilter = prefilter).drop(PidCol)
+      tieBreakers = Seq(col(idCol)), prefilter = prefilter,
+      distanceRange = distanceRange).drop(PidCol)
   }
 
   /** Build over a graft table snapshot, recording the covered version AND
@@ -291,11 +293,13 @@ object IvfIndex {
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, metric: String = "l2",
                      prefilter: Option[Column] = None,
-                     fastSearch: Boolean = false): DataFrame =
+                     fastSearch: Boolean = false,
+                     distanceRange: Option[(Double, Double)] = None): DataFrame =
     combined(spark, tablePath, indexPath, idCol, vecCol, query, k, metric, prefilter,
-      fastSearch)(
+      fastSearch, distanceRange)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
-        metric = metric, prefilter = prefilter, candidateTransform = transform))
+        metric = metric, prefilter = prefilter, candidateTransform = transform,
+        distanceRange = distanceRange))
 
   // ------------------------------------------------- metric support (PQ/SQ)
 
@@ -390,7 +394,8 @@ object IvfIndex {
                                   indexPath: String, idCol: String, vecCol: String,
                                   query: Array[Float], k: Int, metric: String,
                                   prefilter: Option[Column],
-                                  fastSearch: Boolean = false)(
+                                  fastSearch: Boolean = false,
+                                  distanceRange: Option[(Double, Double)] = None)(
       runIndexed: (DataFrame => DataFrame) => DataFrame): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
@@ -421,7 +426,7 @@ object IvfIndex {
         GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),
         vecCol, query, k, metric, tieBreakers = Seq(col(idCol)),
-        prefilter = prefilter)
+        prefilter = prefilter, distanceRange = distanceRange)
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

@@ -42,12 +42,20 @@ object Knn {
     *   result is the true top-k of the filtered set — exactly k rows when k
     *   match — never a post-filtered, possibly short, top-k.
     */
+  /** @param distanceRange (reference `distance_range`, `scanner.rs:1087`):
+    *   keep only rows with `minDist <= _distance < maxDist`, applied BEFORE
+    *   the top-k cut — the result is the true top-k of the in-range set. */
   def flatSearch(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
                  metric: String = "l2", tieBreakers: Seq[Column] = Nil,
-                 prefilter: Option[Column] = None): DataFrame =
-    withDistance(prefilter.map(df.filter).getOrElse(df), vecCol, query, metric)
+                 prefilter: Option[Column] = None,
+                 distanceRange: Option[(Double, Double)] = None): DataFrame = {
+    val d = withDistance(prefilter.map(df.filter).getOrElse(df), vecCol, query, metric)
+    distanceRange.map { case (lo, hi) =>
+        d.filter(col(DistanceCol) >= lit(lo) && col(DistanceCol) < lit(hi))
+      }.getOrElse(d)
       .orderBy(col(DistanceCol) +: tieBreakers: _*)
       .limit(k)
+  }
 
   /** Multivector (late-interaction / XTR-style) search (reference
     * `MultivectorScoringExec`, `io/exec/knn.rs:1133`; `multivec_ann`
@@ -61,13 +69,29 @@ object Knn {
     */
   def multivectorSearch(df: DataFrame, idCol: String, vecCol: String,
                         queries: Seq[Array[Float]], k: Int,
-                        overfetch: Int = 10): DataFrame = {
+                        overfetch: Int = 10): DataFrame =
+    multivectorSearchWith(idCol, queries, k, overfetch) { (q, kk) =>
+      flatSearch(df, vecCol, q, kk, "cosine", tieBreakers = Seq(col(idCol)))
+    }
+
+  /** Multivector over ANY ANN family (reference `multivec_ann`,
+    * `scanner.rs:3471-3552`): the reference runs one index search per query
+    * vector with overfetch and feeds the XTR aggregation — here
+    * `searchOne(queryVec, kk)` supplies that per-vector candidate search
+    * (typically a family's `searchCombined`, so delete-safety and the
+    * fresh-fragment union come along for free) returning `(idCol,
+    * _distance)` rows on the COSINE scale; scoring and the global top-k are
+    * shared with [[multivectorSearch]] (sim = 1 − cosine distance, missing
+    * (row, queryVec) pairs contribute 0). With full probes and a refine
+    * covering the overfetch window, the result is hash-identical to the
+    * flat multivector search. */
+  def multivectorSearchWith(idCol: String, queries: Seq[Array[Float]], k: Int,
+                            overfetch: Int = 10)(
+      searchOne: (Array[Float], Int) => DataFrame): DataFrame = {
     require(queries.nonEmpty)
-    val perVec = queries.zipWithIndex.map { case (q, qi) =>
-      withDistance(df, vecCol, q, "cosine")
-        .orderBy(col(DistanceCol), col(idCol))
-        .limit(k * overfetch)
-        .select(col(idCol), (lit(1.0) - col(DistanceCol)).as("sim"), lit(qi).as("qi"))
+    val perVec = queries.map { q =>
+      searchOne(q, k * overfetch)
+        .select(col(idCol), (lit(1.0) - col(DistanceCol)).as("sim"))
     }
     perVec.reduce(_.unionByName(_))
       .groupBy(col(idCol))

@@ -263,6 +263,27 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // AUTO late materialization (reference MaterializationStyle defaults,
+    // scanner.rs:176-220): same two-phase contract as q_format_read_late
+    // but triggered by the OPTIMIZER RULE — the session never calls
+    // readLate; GraftLateMatRule sees narrow filter + wide (binary)
+    // projection and rewrites to phase-1 narrow scan → fragment-pruned
+    // blob fetch. Result must equal a plain filtered read (the oracle).
+    "q_latemat_auto" -> { (s, d) =>
+      val x = sqlSession(s)
+      val t = freshDir(x, "latemat_auto")
+      GraftTable.write(Tables.documents(x, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("text").cast("binary").as("payload"))
+        .repartitionByRange(8, col("doc_id")), t, "overwrite")
+      GraftTable.read(x, t)
+        .filter(col("lang") === "de" && col("n_chars") > 100)
+        .select(col("doc_id"), col("payload"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("payload_bytes"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+
     // Deterministic addr-keyed sampler (reference samplers, `sampler.py`),
     // routed through GraftTable.sampleHash end-to-end. The oracle cannot
     // replay xxhash64(_rowaddr), so the gate checks the partition invariant
@@ -372,6 +393,28 @@ object Format {
             if g.maskApplied => g.manifest.fragments.length
       }
       require(pruned.exists(_ < 8), s"bloom index path not taken: $pruned")
+      q
+    },
+
+    // NGRAM-accelerated contains (reference scalar/ngram.rs; VERDICT r6
+    // #7): the optimizer rewrites `contains(text, needle)` into the
+    // trigram candidate mask semi-join with the original filter as the
+    // exact verify — plan-asserted below; oracle is a plain LIKE.
+    "q_ngram_contains" -> { (s, d) =>
+      val x = sqlSession(s)
+      val t = freshDir(x, "ngram_contains")
+      GraftTable.write(Tables.documents(x, d)
+        .repartitionByRange(8, col("doc_id")), t, "overwrite")
+      graft.index.ScalarIndex.buildNgram(x, t, "text", s"$t/_indices")
+      val q = GraftTable.read(x, t)
+        .filter(col("text").contains("vector"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      val masked = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      require(masked.nonEmpty, "ngram index rewrite not applied")
       q
     },
 
@@ -500,6 +543,11 @@ object Format {
     "q_format_read_late" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 5000 AND 6000""".stripMargin,
+    "q_latemat_auto" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang = 'de' AND n_chars > 100""".stripMargin,
     "q_sample_hash" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total,
         | true AS sample_ok
@@ -536,6 +584,9 @@ object Format {
     "q_bloom_filter" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey IN (101, 997) ORDER BY o_orderkey""".stripMargin,
+    "q_ngram_contains" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE text LIKE '%vector%' ORDER BY doc_id""".stripMargin,
     "q_shallow_clone" ->
       """SELECT (SELECT count(*) FROM orders WHERE o_orderstatus <> 'F') AS clone_n,
         |       (SELECT round(sum(o_totalprice), 2) FROM orders

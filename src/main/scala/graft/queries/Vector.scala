@@ -114,6 +114,23 @@ object Vector {
       dir
     })
 
+  private val builtMultivecAnn = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Table + IVF index over the q_multivector corpus (vec_id > 1), for the
+    * multivector-over-ANN gate. Returns (table, index). */
+  private def multivecAnnFor(s: SparkSession, d: String): (String, String) =
+    builtMultivecAnn.computeIfAbsent(d, { _ =>
+      import graft.format.GraftTable
+      val t = freshDir(s, s"multivec_ann_tbl_${d.hashCode.toHexString}")
+      val idx = freshDir(s, s"multivec_ann_idx_${d.hashCode.toHexString}")
+      GraftTable.write(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") > 1L)
+        .repartitionByRange(4, col("vec_id")), t, "overwrite")
+      IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
+      (t, idx)
+    })
+
   private def freshDir(s: SparkSession, name: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -389,6 +406,36 @@ object Vector {
         .select(col("vec_id"), round(col("_score"), 4).as("_score"))
     },
 
+    // distance_range through the INDEXED path (reference distance_range,
+    // scanner.rs:1087): bounds applied before the top-k cut on both the
+    // indexed and fresh legs of the combined skeleton. Full probes ⇒ the
+    // result is the true top-k of the in-range set == flat range oracle.
+    "q_ann_range" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val (t, idx) = multivecAnnFor(s, d)
+      IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10,
+          nprobes = 8, distanceRange = Some((0.5, 1.2)))
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Multivector over ANN (reference multivec_ann, scanner.rs:3471-3552):
+    // each query vector runs a COMBINED IVF search (delete-safe skeleton)
+    // with k·overfetch; the shared XTR aggregation scores the union.
+    // nprobes = nlist ⇒ per-vector candidates are exact, so the result
+    // hash-matches the flat multivector oracle.
+    "q_multivector_ann" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q0 = queryVec(s, d)
+      val q1 = e.filter(col("vec_id") === 1L).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val (t, idx) = multivecAnnFor(s, d)
+      graft.operators.Knn.multivectorSearchWith("vec_id", Seq(q0, q1),
+          k = 10, overfetch = 50) { (q, kk) =>
+        IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, kk,
+          nprobes = 8, metric = "cosine")
+      }.select(col("vec_id"), round(col("_score"), 4).as("_score"))
+    },
+
     // Per-label norm stats: distance expr inside an aggregation pipeline.
     "q_vector_norms" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -523,6 +570,26 @@ object Vector {
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
         |FROM embeddings e, q, c WHERE e.vec_id >= c.cut
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_range" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |WHERE e.vec_id > 1
+        |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) >= 0.5
+        |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) < 1.2
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_multivector_ann" ->
+      """WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |     q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q0.qv AS DOUBLE[]))
+        |      + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q1.qv AS DOUBLE[])),4) AS _score
+        |FROM embeddings e, q0, q1 WHERE e.vec_id > 1
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q0.qv AS DOUBLE[]))
+        |      + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q1.qv AS DOUBLE[])) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
     "q_multivector" ->
       """WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

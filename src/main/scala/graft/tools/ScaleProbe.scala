@@ -235,6 +235,80 @@ object ScaleProbe {
       time("graft_scan_agg", f) { scanAgg(graft.format.GraftTable.read(spark, tbl)) }
     }
 
+    // ---- HNSW maintenance: CONSTANT-size delta optimize vs full rebuild.
+    // The delta row's alpha should sit near 0 (cost tracks the delta, not
+    // the corpus); the rebuild row near 1 — the gap is what delta
+    // maintenance buys an append-heavy 100 TB table. ----
+    val wantHnsw = onlyOps.forall(s =>
+      s.contains("hnsw_delta_opt") || s.contains("hnsw_rebuild"))
+    if (wantHnsw) for (f <- docFactors) {
+      val p = embs(f)
+      val tbl = s"$outDir/hnsw_tbl_x$f"; val idx = s"$outDir/hnsw_idx_x$f"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+      Seq(tbl, idx).foreach(d => fsys.delete(new org.apache.hadoop.fs.Path(d), true))
+      graft.format.GraftTable.write(
+        spark.read.parquet(p).repartitionByRange(math.max(4, f), col("vec_id")),
+        tbl, "overwrite")
+      graft.operators.HnswIndex.buildForTable(spark, tbl, "vec_id", "embedding",
+        idx, nlist = 32)
+      var shift = 1L
+      time("hnsw_delta_opt", f) {
+        val delta = Tables.embeddings(spark, sfDir)
+          .withColumn("vec_id", col("vec_id") + lit(900000000L) * lit(shift))
+        shift += 1
+        graft.format.GraftTable.write(delta, tbl, "append")
+        graft.operators.HnswIndex.optimizeForTable(spark, tbl, "vec_id",
+          "embedding", idx)
+      }
+      time("hnsw_rebuild", f) {
+        graft.operators.HnswIndex.buildForTable(spark, tbl, "vec_id",
+          "embedding", idx, nlist = 32).centroids.length.toLong
+      }
+    }
+
+    // ---- auto late materialization on a blob table. Layout is HASH
+    // clustered on a bucket column, so fragment zonemaps overlap (min/max
+    // cannot exclude bucket=7) while the matches physically live in ~1 of
+    // 16 fragments — exactly the regime where phase-1 address discovery
+    // prunes the blob fetch and a plain scan cannot. ----
+    val wantLate = onlyOps.forall(s =>
+      s.contains("latemat_off") || s.contains("latemat_auto"))
+    if (wantLate) {
+      val extS = {
+        val prevA = SparkSession.getActiveSession
+        val prevD = SparkSession.getDefaultSession
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s = SparkSession.builder()
+          .withExtensions(new graft.format.GraftExtensions).getOrCreate()
+        prevD.foreach(SparkSession.setDefaultSession)
+        prevA.foreach(SparkSession.setActiveSession)
+        s
+      }
+      for (f <- docFactors) {
+        val p = docsPlain(f)
+        val tbl = s"$outDir/blob_x$f"
+        val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+          spark.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(tbl), true)
+        graft.format.GraftTable.write(
+          spark.read.parquet(p)
+            .withColumn("bucket", pmod(col("doc_id"), lit(16L)))
+            .withColumn("payload", col("text").cast("binary"))
+            .select(col("doc_id"), col("bucket"), col("n_chars"), col("payload"))
+            .repartition(16, col("bucket")),
+          tbl, "overwrite")
+        def run(s: SparkSession): Long =
+          graft.format.GraftTable.read(s, tbl)
+            .filter(col("bucket") === 7L)
+            .select(col("doc_id"), col("payload"))
+            .agg(count(lit(1)), sum(length(col("payload"))))
+            .collect().length.toLong
+        time("latemat_off", f) { run(spark) }
+        time("latemat_auto", f) { run(extS) }
+      }
+    }
+
     // ---- summary: exponent fitted between the two LARGEST factors, where
     // fixed job overhead is smallest relative to real work ----
     val byOp = results.groupBy(_.op).toSeq.sortBy(_._1)

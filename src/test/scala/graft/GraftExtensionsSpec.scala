@@ -61,4 +61,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val t = freshTable()
     assert(GraftTable.read(extSpark, t).count() == 3)
   }
+
+  test("auto late materialization: two-phase plan on blob table, single-pass on narrow") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = Files.createTempDirectory("graft_latemat_").toString + "/t"
+    val df = extSpark.range(0, 800).toDF("id")
+      .withColumn("label", concat(lit("k"), col("id") % 10))
+      .withColumn("payload", expr("cast(repeat('x', 2048) as binary)"))
+    GraftTable.write(df.repartitionByRange(8, col("id")), t, "overwrite")
+
+    // narrow filter + wide projection → two-phase: LeftSemi against the
+    // checkpointed address list, phase-2 relation pruned to match fragments
+    val q = GraftTable.read(extSpark, t)
+      .filter(col("id") >= 700).select(col("id"), col("payload"))
+    val plan = q.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"no two-phase semi-join in:\n$plan")
+    val scans = plan.collect {
+      case LogicalRelation(HadoopFsRelation(g: graft.format.GraftFileIndex, _, _, _, _, _), _, _, _, _) => g
+    }
+    assert(scans.exists(_.manifest.fragments.length < 8),
+      "phase-2 scan was not fragment-pruned")
+    assert(q.count() == 100)
+    assert(q.agg(sum(length(col("payload")))).head().getLong(0) == 100L * 2048)
+
+    // all-narrow projection over the same table → plan untouched
+    val q2 = GraftTable.read(extSpark, t)
+      .filter(col("id") >= 700).select(col("id"), col("label"))
+    assert(q2.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "late-mat fired on an all-narrow projection")
+
+    // all-narrow TABLE (no wide column anywhere) → untouched as well
+    val t2 = Files.createTempDirectory("graft_latemat2_").toString + "/t"
+    GraftTable.write(extSpark.range(0, 800).toDF("id")
+      .withColumn("v", col("id") * 2).repartitionByRange(8, col("id")), t2, "overwrite")
+    val q3 = GraftTable.read(extSpark, t2).filter(col("id") >= 700)
+      .select(col("id"), col("v"))
+    assert(q3.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty)
+
+    // phase 1 memoized: re-planning the same predicate runs no new job
+    val before = graft.format.GraftLateMatRule.phase1Runs.get()
+    GraftTable.read(extSpark, t).filter(col("id") >= 700)
+      .select(col("id"), col("payload")).queryExecution.optimizedPlan
+    assert(graft.format.GraftLateMatRule.phase1Runs.get() == before,
+      "phase 1 re-ran for a memoized predicate")
+  }
 }

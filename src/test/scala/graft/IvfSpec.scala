@@ -278,6 +278,25 @@ class IvfSpec extends AnyFunSuite {
     assert(after == flat) // nprobes=nlist + DV subtraction == exact over live rows
   }
 
+  test("distance_range through the indexed path == flat range result") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_range_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_range_idx_").toString
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", idx, nlist = 8)
+    val q = queryVec(3L)
+    val lo = 0.4; val hi = 1.5
+    val ranged = IvfIndex.searchCombined(spark, t, idx, "vec_id", "embedding",
+        q, k = 10, nprobes = 8, distanceRange = Some((lo, hi)))
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.withDistance(embeddings, "embedding", q, "l2")
+      .filter($"_distance" >= lo && $"_distance" < hi)
+      .orderBy($"_distance", $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ranged == flat, s"$ranged vs $flat")
+    assert(ranged.nonEmpty)
+  }
+
   test("ivf_assign fails fast on a wrong-dimension vector") {
     val idx = buildIdx(8)
     val model = IvfIndex.loadModel(spark, idx)

@@ -193,6 +193,26 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q2.count() == (0L until 450L).count(_ % 40 == 13))
   }
 
+  test("ngram rule: contains conjunct rewritten to trigram mask semi-join, exact") {
+    val t = Files.createTempDirectory("graft_ngr_").toString + "/t"
+    val words = Seq("sparkling", "vectorized", "tabular", "indexing", "hashing")
+    val df = TestSpark.spark.range(0, 500).toDF("id")
+      .withColumn("txt", concat(lit("doc "),
+        element_at(typedLit(words), (pmod(col("id"), lit(5)) + 1).cast("int")),
+        lit(" payload")))
+    GraftTable.write(df.repartition(4, col("id")), t, "overwrite")
+    ScalarIndex.buildNgram(TestSpark.spark, t, "txt", s"$t/_indices")
+    val q = GraftTable.read(extSpark, t).filter(col("txt").contains("vector"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.count() == 100)
+    assert(q.select("id").collect().map(_.getLong(0)).forall(_ % 5 == 1))
+    // needle under 3 chars has no trigram: no rewrite, still exact
+    val q2 = GraftTable.read(extSpark, t).filter(col("txt").contains("iz"))
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q2.count() == 100)
+  }
+
   test("non-sargable filter untouched") {
     val t = freshIndexed()
     val q = GraftTable.read(extSpark, t).filter(col("id") + col("grp") > 100)
