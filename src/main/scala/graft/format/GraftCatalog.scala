@@ -810,7 +810,9 @@ private[format] object GraftProcedures {
       Array(p("table", DT.StringType), p("name", DT.StringType),
         p("query", DT.createArrayType(DT.DoubleType)),
         pd("k", DT.LongType, "10"), pd("nprobes", DT.LongType, "8"),
-        pd("filter", DT.StringType, "''")),
+        pd("filter", DT.StringType, "''"),
+        pd("min_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)"),
+        pd("max_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)")),
       StructType(Seq(StructField("id", DT.LongType), StructField("distance", DT.DoubleType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.loadManifest(spark, path)
@@ -824,6 +826,13 @@ private[format] object GraftProcedures {
       val prefilter = Option(in.getUTF8String(5)).map(_.toString.trim)
         .filter(_.nonEmpty)
         .map(org.apache.spark.sql.functions.expr)
+      // distance_range from SQL (reference scanner.rs:1087): either bound
+      // may stay NaN = unbounded
+      val lo = in.getDouble(6); val hi = in.getDouble(7)
+      val range: Option[(Double, Double)] =
+        if (lo.isNaN && hi.isNaN) None
+        else Some((if (lo.isNaN) Double.NegativeInfinity else lo,
+                   if (hi.isNaN) Double.PositiveInfinity else hi))
       val column = m.logicalName(e.column)
       val idCol = e.params.getOrElse("idCol",
         throw new IllegalArgumentException(s"index $nm records no idCol"))
@@ -832,15 +841,16 @@ private[format] object GraftProcedures {
       val res = e.indexType match {
         case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
           column, q, k, nprobes, metric = IvfIndex.readVectorMeta(spark, idxPath),
-          prefilter = prefilter)
+          prefilter = prefilter, distanceRange = range)
         case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, prefilter = prefilter)
+          column, q, k, nprobes, prefilter = prefilter, distanceRange = range)
         case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, prefilter = prefilter)
+          column, q, k, nprobes, prefilter = prefilter, distanceRange = range)
         case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, prefilter = prefilter)
+          column, q, k, nprobes, prefilter = prefilter, distanceRange = range)
         case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
-          path, idxPath, idCol, column, q, k, nprobes, prefilter = prefilter)
+          path, idxPath, idCol, column, q, k, nprobes, prefilter = prefilter,
+          distanceRange = range)
         case other => throw new IllegalArgumentException(
           s"index $nm ($other) is not a vector index")
       }

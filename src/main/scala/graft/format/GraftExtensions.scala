@@ -900,12 +900,26 @@ class GraftLateMatRule(session: SparkSession) extends Rule[LogicalPlan] {
         .distinct().collect().map(_.getLong(0)).toSet
       (ids, mt)
     }
-    // matches in every fragment ⇒ nothing to prune; single-pass scan wins
-    if (fragIds.size >= m.fragments.size) return Project(projList, f)
+    // matches in every fragment ⇒ nothing to prune; single-pass scan wins.
+    // Oversized match sets can't ship as a broadcast mask — and a
+    // shuffled semi-join would move the BLOB rows, the exact IO the
+    // rewrite exists to avoid — so they bail to the single-pass plan too.
+    if (fragIds.size >= m.fragments.size ||
+        matches.limit(GraftLateMatRule.MaxMatches + 1).count() > GraftLateMatRule.MaxMatches)
+      return Project(projList, f)
     val pruned = m.fragments.filter(fr => fragIds.contains(fr.id))
     val combined = scan(pruned, outNames)
       .join(matches, Seq(JoinKey), "left_semi").drop(JoinKey)
-    val analyzed = combined.queryExecution.analyzed
+    // broadcast the address list (bounded by MaxMatches): the semi-join
+    // must never reshuffle the wide phase-2 rows. A `broadcast()` hint
+    // would inject a ResolvedHint node — illegal after hint resolution, so
+    // mid-optimizer the hint goes directly on the Join.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint}
+    val analyzed = combined.queryExecution.analyzed.transformUp {
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi =>
+        j.copy(hint = JoinHint(leftHint = None,
+          rightHint = Some(HintInfo(strategy = Some(BROADCAST)))))
+    }
     val out: Seq[NamedExpression] = lr.output.zip(analyzed.output).map {
       case (orig, fresh) => Alias(fresh, orig.name)(exprId = orig.exprId)
     }
@@ -917,6 +931,9 @@ class GraftLateMatRule(session: SparkSession) extends Rule[LogicalPlan] {
 object GraftLateMatRule {
   /** Strings whose observed zonemap max exceeds this are "wide". */
   val WideStringLen = 1024
+
+  /** Largest match set the rewrite will broadcast (≈ 32 MB of longs). */
+  val MaxMatches = 4 * 1000 * 1000
 
   /** Phase-1 executions (cache misses) — spec observability. */
   private[graft] val phase1Runs = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -530,7 +530,8 @@ object HnswIndex {
   def search(spark: SparkSession, indexPath: String, query: Array[Float],
              k: Int, nprobes: Int, ef: Int = 64,
              markDead: Option[DataFrame => DataFrame] = None,
-             refineFactor: Int = 10): DataFrame = {
+             refineFactor: Int = 10,
+             distanceRange: Option[(Double, Double)] = None): DataFrame = {
     import spark.implicits._
     val model = IvfIndex.loadModel(spark, s"$indexPath")
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
@@ -597,7 +598,8 @@ object HnswIndex {
         .select(col("id"))
       val exact = graphVectors(spark, indexPath)
         .join(cands, Seq("id"), "left_semi")
-      Knn.flatSearch(exact, "vec", query2, k, metric, tieBreakers = Seq(col("id")))
+      Knn.flatSearch(exact, "vec", query2, k, metric, tieBreakers = Seq(col("id")),
+          distanceRange = distanceRange)
         .select(col("id"), col(Knn.DistanceCol))
     } else {
       val hits = marked.as[(Long, Seq[Float], Int, Seq[Seq[Long]], Int, Int, Boolean)]
@@ -615,7 +617,10 @@ object HnswIndex {
             }
           }
         }.toDF("id", Knn.DistanceCol)
-      hits.orderBy(col(Knn.DistanceCol), col("id")).limit(k)
+      val ranged = distanceRange.map { case (lo, hi) =>
+        hits.filter(col(Knn.DistanceCol) >= lit(lo) && col(Knn.DistanceCol) < lit(hi))
+      }.getOrElse(hits)
+      ranged.orderBy(col(Knn.DistanceCol), col("id")).limit(k)
     }
   }
 
@@ -643,7 +648,8 @@ object HnswIndex {
                      refineFactor: Int = 10,
                      fastSearch: Boolean = false,
                      prefilter: Option[Column] = None,
-                     maskCap: Int = 1 << 20): DataFrame = {
+                     maskCap: Int = 1 << 20,
+                     distanceRange: Option[(Double, Double)] = None): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
@@ -696,7 +702,8 @@ object HnswIndex {
           .drop("__match")
     }
     val indexed = search(spark, indexPath, query, k, nprobes, ef,
-        markDead = Some(markDeadPf), refineFactor = refineFactor)
+        markDead = Some(markDeadPf), refineFactor = refineFactor,
+        distanceRange = distanceRange)
       .select(col("id").as(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     // fast_search (reference scanner.rs:1176-1193): indexed data only
@@ -705,7 +712,8 @@ object HnswIndex {
         GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),
         vecCol, query, k, metric,
-        tieBreakers = Seq(col(idCol)), prefilter = prefilter)
+        tieBreakers = Seq(col(idCol)), prefilter = prefilter,
+        distanceRange = distanceRange)
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

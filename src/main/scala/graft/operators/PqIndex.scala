@@ -309,7 +309,8 @@ object PqIndex {
              query: Array[Float], kNeighbors: Int, nprobes: Int,
              refineFactor: Int = 10,
              prefilter: Option[Column] = None,
-             candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
+             candidateTransform: DataFrame => DataFrame = identity,
+             distanceRange: Option[(Double, Double)] = None): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
@@ -344,7 +345,8 @@ object PqIndex {
     // normalized under cosine; cosine is magnitude-invariant)
     Knn.flatSearch(
       part.join(cands, Seq(idCol), "left_semi"),
-      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)))
+      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)),
+      distanceRange = distanceRange)
       .drop(IvfIndex.PidCol, CodeCol)
   }
 
@@ -356,11 +358,13 @@ object PqIndex {
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, refineFactor: Int = 10,
                      prefilter: Option[Column] = None,
-                     fastSearch: Boolean = false): DataFrame =
+                     fastSearch: Boolean = false,
+                     distanceRange: Option[(Double, Double)] = None): DataFrame =
     IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k,
-      IvfIndex.readVectorMeta(spark, indexPath), prefilter, fastSearch)(
+      IvfIndex.readVectorMeta(spark, indexPath), prefilter, fastSearch, distanceRange)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
-        refineFactor, prefilter, candidateTransform = transform))
+        refineFactor, prefilter, candidateTransform = transform,
+        distanceRange = distanceRange))
 }
 
 /** (vector, ivf pid) → residual `v − centroid(pid)` as array<float>.

@@ -137,7 +137,8 @@ object RqIndex {
              query: Array[Float], kNeighbors: Int, nprobes: Int,
              refineFactor: Int = 10,
              prefilter: Option[Column] = None,
-             candidateTransform: DataFrame => DataFrame = identity): DataFrame = {
+             candidateTransform: DataFrame => DataFrame = identity,
+             distanceRange: Option[(Double, Double)] = None): DataFrame = {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     require(query.length == ivf.centroids.headOption.map(_.length).getOrElse(query.length),
       s"rq search: query dimension ${query.length} != index dimension " +
@@ -164,7 +165,8 @@ object RqIndex {
     // normalized under cosine; cosine is magnitude-invariant)
     Knn.flatSearch(
       part.join(cands, Seq(idCol), "left_semi"),
-      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)))
+      vecCol, q, kNeighbors, metric, tieBreakers = Seq(col(idCol)),
+      distanceRange = distanceRange)
       .drop(IvfIndex.PidCol, CodeCol, NormCol)
   }
 
@@ -177,11 +179,13 @@ object RqIndex {
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobes: Int, refineFactor: Int = 10,
                      prefilter: Option[Column] = None,
-                     fastSearch: Boolean = false): DataFrame =
+                     fastSearch: Boolean = false,
+                     distanceRange: Option[(Double, Double)] = None): DataFrame =
     IvfIndex.combined(spark, tablePath, indexPath, idCol, vecCol, query, k,
-      IvfIndex.readVectorMeta(spark, indexPath), prefilter, fastSearch)(
+      IvfIndex.readVectorMeta(spark, indexPath), prefilter, fastSearch, distanceRange)(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
-        refineFactor, prefilter, candidateTransform = transform))
+        refineFactor, prefilter, candidateTransform = transform,
+        distanceRange = distanceRange))
 }
 
 /** (vector, pid) → struct(sign-bit codes packed 8/byte, residual norm).

@@ -291,10 +291,16 @@ object ScaleProbe {
         val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
           spark.sparkContext.hadoopConfiguration)
         fsys.delete(new org.apache.hadoop.fs.Path(tbl), true)
+        // ~8 KB of doc_id-derived sha2 hex per row: INCOMPRESSIBLE, so the
+        // blob IO the two-phase plan avoids is real on disk (the corpus
+        // text is 300 chars and snappy-collapses to nothing)
         graft.format.GraftTable.write(
           spark.read.parquet(p)
             .withColumn("bucket", pmod(col("doc_id"), lit(16L)))
-            .withColumn("payload", col("text").cast("binary"))
+            .withColumn("payload", expr(
+              """cast(concat_ws('', transform(sequence(1, 128),
+                |  i -> sha2(concat(cast(doc_id as string), '-',
+                |            cast(i as string)), 256))) as binary)""".stripMargin))
             .select(col("doc_id"), col("bucket"), col("n_chars"), col("payload"))
             .repartition(16, col("bucket")),
           tbl, "overwrite")

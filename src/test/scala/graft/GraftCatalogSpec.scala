@@ -435,6 +435,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       "filter => 'id % 2 = 0')").collect()
     assert(preH.map(_.getLong(0)).toSet == Set(92L, 274L), preH.mkString(","))
     assert(preH.forall(_.getDouble(1) == 0.0), preH.mkString(","))
+    // distance_range from SQL: excluding the zero-distance family must
+    // surface the next ring, bounds applied before the top-k cut
+    val rng = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      "name => 'ivf_vec', query => array(1.0D, 1.0D), k => 3, nprobes => 2, " +
+      "min_dist => 0.5D, max_dist => 2.5D)").collect()
+    assert(rng.length == 3, rng.mkString(","))
+    assert(rng.forall(r => r.getDouble(1) >= 0.5 && r.getDouble(1) < 2.5),
+      rng.mkString(","))
     // unknown index name fails fast, doesn't scan
     val err = intercept[Exception] {
       s.sql(s"CALL g.system.knn_search(table => 'db.$t', name => 'nope', " +
