@@ -531,8 +531,9 @@ private[format] object GraftProcedures {
           graft.operators.RqIndex.optimizeForTable(spark, path, idCol, column,
             s"$idxDir/$idxName")
         case "IVF_HNSW" | "IVF_HNSW_SQ" | "IVF_HNSW_PQ" =>
-          // delta sub-graphs over uncovered fragments; full rebuild only
-          // when compaction invalidated coverage
+          // delta sub-graphs over uncovered fragments; compaction-retired
+          // coverage is REMAPPED in place (addresses move, graphs don't —
+          // graft.operators.IndexRemap), never a full rebuild
           graft.operators.HnswIndex.optimizeForTable(spark, path, idCol, column,
             s"$idxDir/$idxName")
         case "FTS" =>

@@ -993,23 +993,40 @@ object GraftTable {
       f.rows < targetRows / 2 ||
         (f.rows > 0 && delByFrag.getOrElse(f.id, 0L).toDouble / f.rows >= materializeDeletions)
     }
-    val candDeleted = cand.map(f => delByFrag.getOrElse(f.id, 0L)).sum
-    if (cand.size < 2 && candDeleted == 0) return m // no debt to pay
-    val keep = m.fragments.filterNot(f => cand.exists(_.id == f.id))
+    // bin candidates by INDEX-COVERAGE SIGNATURE: fragments covered by a
+    // different set of committed indexes never share a rewrite output, so
+    // every output is wholly index-composed per index and
+    // [[graft.operators.IndexRemap]] can move the index to the new
+    // addresses instead of re-encoding (the reference's compaction plans
+    // around index fragment bitmaps for the same reason — never mix
+    // indexed and unindexed rows, `optimize.rs`).
+    val delOf: FragmentMeta => Long = f => delByFrag.getOrElse(f.id, 0L)
+    val groups = cand
+      .groupBy(f => m.indices.filter(_.fragmentIds.contains(f.id)).map(_.name).toSet)
+      .values.toSeq
+      // a single-fragment bin with no deletion debt gains nothing from a
+      // rewrite — leave it alone rather than churn IO and index coverage
+      .filter(g => g.size >= 2 || g.map(delOf).sum > 0)
+    val toRewrite = groups.flatten
+    if (toRewrite.isEmpty) return m // no debt to pay
+    val keep = m.fragments.filterNot(f => toRewrite.exists(_.id == f.id))
     val keepIds = keep.map(_.id).toSet
+    val rewriteDeleted = toRewrite.map(delOf).sum
     // live rows of candidate fragments only (DVs applied by readManifest).
     // Rewritten rows keep their STABLE ids: `_rowid` rides along and is
     // persisted as a physical column in the new fragment files (reference
     // move-stable row ids — addresses change, ids don't).
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    val live = readManifest(spark, tablePath, m.copy(fragments = cand),
-      withRowAddr = false, withRowId = carryIds)
-    val liveCount = cand.map(_.rows).sum - candDeleted
-    val nOut = math.max(1, math.ceil(liveCount.toDouble / targetRows).toInt)
-    var staged = stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
+    var stagedGroups: Seq[Seq[Path]] = groups.map { g =>
+      val live = readManifest(spark, tablePath, m.copy(fragments = g),
+        withRowAddr = false, withRowId = carryIds)
+      val liveCount = g.map(_.rows).sum - g.map(delOf).sum
+      val nOut = math.max(1, math.ceil(liveCount.toDouble / targetRows).toInt)
+      stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
+    }
     // DV entries for untouched fragments survive the rewrite
     val dvCarry: Option[(String, Long)] =
-      if (m.dvFiles.isEmpty || m.numDeleted == candDeleted) None
+      if (m.dvFiles.isEmpty || m.numDeleted == rewriteDeleted) None
       else stageDv(spark, tablePath,
         spark.read.parquet(dvPaths: _*)
           .filter(shiftrightunsigned(col("addr"), 32).isin(keepIds.toSeq: _*))
@@ -1018,11 +1035,16 @@ object GraftTable {
       case Some(base) =>
         if (base.version != m.version) throw new IllegalStateException(
           s"compaction conflict: table moved from v${m.version} to v${base.version}")
-        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
-          base.version + 1, storedRowIds = carryIds)
-        staged = paths
+        var nextId = base.maxFragmentId + 1
+        val assigned = stagedGroups.map { sg =>
+          val (frags, paths) = assignIds(spark, sg, nextId,
+            base.version + 1, storedRowIds = carryIds)
+          nextId += frags.size
+          (frags, paths)
+        }
+        stagedGroups = assigned.map(_._2)
         base.copy(version = base.version + 1, operation = "rewrite",
-          fragments = keep ++ frags,
+          fragments = keep ++ assigned.flatMap(_._1),
           dvFiles = dvCarry.map(_._1).toSeq,
           numDeleted = dvCarry.map(_._2).getOrElse(0L),
           parent = base.version)
@@ -1037,11 +1059,26 @@ object GraftTable {
               targetRows: Long = 1L << 20): GraftManifest = {
     val m = loadManifest(spark, tablePath)
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    val live = readManifest(spark, tablePath, m, withRowAddr = false,
-      withRowId = carryIds)
-    val total = m.liveRows
-    val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
-    var staged = stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
+    // same signature binning as [[compactFiles]]: outputs never mix rows of
+    // differently-indexed fragments, so committed indexes stay remappable
+    val groups: Seq[Seq[FragmentMeta]] =
+      if (m.indices.isEmpty) Seq(m.fragments)
+      else m.fragments
+        .groupBy(f => m.indices.filter(_.fragmentIds.contains(f.id)).map(_.name).toSet)
+        .values.toSeq
+    val delByFrag: Map[Long, Long] =
+      if (m.dvFiles.isEmpty) Map.empty
+      else spark.read.parquet(m.dvFiles.map(p =>
+          new Path(new Path(tablePath), p).toString): _*)
+        .select(shiftrightunsigned(col("addr"), 32).as("f")).groupBy(col("f")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var stagedGroups: Seq[Seq[Path]] = groups.map { g =>
+      val live = readManifest(spark, tablePath, m.copy(fragments = g),
+        withRowAddr = false, withRowId = carryIds)
+      val total = g.map(f => f.rows - delByFrag.getOrElse(f.id, 0L)).sum
+      val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+      stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
+    }
     commitLoop(spark, tablePath, {
       case Some(base) =>
         // full rewrite replaces the FRAGMENT SET WHOLESALE: any commit that
@@ -1049,11 +1086,16 @@ object GraftTable {
         // would be silently erased by this copy — abort like compactFiles
         if (base.version != m.version) throw new IllegalStateException(
           s"compaction conflict: table moved from v${m.version} to v${base.version} — retry")
-        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
-          base.version + 1, storedRowIds = carryIds)
-        staged = paths
+        var nextId = base.maxFragmentId + 1
+        val assigned = stagedGroups.map { sg =>
+          val (frags, paths) = assignIds(spark, sg, nextId,
+            base.version + 1, storedRowIds = carryIds)
+          nextId += frags.size
+          (frags, paths)
+        }
+        stagedGroups = assigned.map(_._2)
         base.copy(version = base.version + 1, operation = "rewrite",
-          fragments = frags, dvFiles = Nil, numDeleted = 0L,
+          fragments = assigned.flatMap(_._1), dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil, // supplemental values materialized by the rewrite
           parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")

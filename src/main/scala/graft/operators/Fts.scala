@@ -426,21 +426,34 @@ object Fts {
       .getOrElse(throw new IllegalStateException(
         s"$indexPath has no coverage marker — build with Fts.buildForTable"))
     val staleIds = covered.diff(m.fragments.map(_.id).toSet)
+    var coveredNow = covered
     if (staleIds.nonEmpty) {
-      // compaction retired covered fragments: postings carry doc ids (not
-      // addresses), so a filtered rewrite cannot identify their rows —
-      // rebuild (the reference's inverted index remaps via row ids; ours
-      // rebuilds, which is also O(corpus) but one pass). The rebuild MUST
-      // re-tokenize under the index's persisted config, not the default.
-      val cfg = loadConfig(spark, indexPath)
-      val out = buildIndex(GraftTable.read(spark, tablePath,
-          withRowId = idCol == GraftTable.RowIdCol),
-        idCol, textCol, indexPath, config = cfg)
-      graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-        "FTS", textCol, m, Map("idCol" -> idCol))
-      return m.liveRows
+      // compaction retired covered fragments. Postings are id-keyed, so
+      // when every indexed doc survived into fully index-composed new
+      // fragments, the postings, doc stats, and BM25 block stats are
+      // bit-exact as-is and ONLY the coverage marker moves — a zero-IO
+      // remap ([[graft.operators.IndexRemap.remapFtsCoverage]]). Deleted
+      // docs or docs scattered into mixed fragments would leave stale
+      // statistics, so those rebuild (re-tokenizing under the index's
+      // persisted config, not the default).
+      val nDocs = spark.read.parquet(s"$indexPath/meta")
+        .head().getAs[Long]("n_docs")
+      val docIds = spark.read.parquet(s"$indexPath/docstats")
+        .select(col("doc_id").as("__rid"))
+      graft.operators.IndexRemap.remapFtsCoverage(
+          spark, tablePath, m, indexPath, idCol, docIds, nDocs) match {
+        case Some(cov2) => coveredNow = cov2
+        case None =>
+          val cfg = loadConfig(spark, indexPath)
+          buildIndex(GraftTable.read(spark, tablePath,
+              withRowId = idCol == GraftTable.RowIdCol),
+            idCol, textCol, indexPath, config = cfg)
+          graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+            "FTS", textCol, m, Map("idCol" -> idCol))
+          return m.liveRows
+      }
     }
-    val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
+    val freshFrags = m.fragments.filterNot(f => coveredNow.contains(f.id))
     if (freshFrags.nonEmpty) {
       optimizeIndex(GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),

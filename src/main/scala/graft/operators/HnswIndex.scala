@@ -397,17 +397,15 @@ object HnswIndex {
       IvfIndex.readVectorMeta(spark, indexPath))
     val m = params.getOrElse("m", "16").toInt
     val efc = params.getOrElse("efConstruction", "64").toInt
-    if (covered.diff(liveIds).nonEmpty) {
-      // compaction retired covered fragments: their nodes carry dead
-      // addresses and rewritten rows live in NEW fragments — rebuild
-      buildForTable(spark, tablePath, idCol, vecCol, indexPath,
-        nlist = params.getOrElse("nlist", "8").toInt, m = m,
-        efConstruction = efc, metric = metric, storage = storage,
-        pqM = params.getOrElse("pqM", "8").toInt,
-        pqK = params.getOrElse("pqK", "256").toInt)
-      return mf.liveRows
-    }
-    val freshFrags = mf.fragments.filterNot(f => covered.contains(f.id))
+    // compaction retired covered fragments: REMAP every generation's
+    // addresses to the rows' new locations ([[remapGraphs]] — adjacency,
+    // codes, and levels untouched, deleted/mixed rows become routing-only
+    // dead nodes) instead of rebuilding; the delta path below then indexes
+    // whatever stays uncovered
+    val coveredNow =
+      if (covered.diff(liveIds).isEmpty) covered
+      else remapGraphs(spark, tablePath, mf, indexPath, idCol)
+    val freshFrags = mf.fragments.filterNot(f => coveredNow.contains(f.id))
     val indexType = storage match {
       case "sq" => "IVF_HNSW_SQ"
       case "pq" => "IVF_HNSW_PQ"
@@ -429,6 +427,56 @@ object HnswIndex {
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       indexType, vecCol, mf, params ++ Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
+  }
+
+  /** Post-compaction graph maintenance WITHOUT a rebuild ([[IndexRemap]]):
+    * each generation's `_rowaddr` column is rewritten in place — a node
+    * whose row moved into a fully index-composed fragment gets the row's
+    * new address; deleted rows and rows scattered into mixed fragments
+    * become routing-only dead nodes (null address: the beam still routes
+    * through them, they can never surface, and the caller's delta path
+    * re-indexes mixed fragments wholesale). Adjacency, quantized codes,
+    * levels, and the IVF centroids are untouched, so the cost is one
+    * delta-sized join per generation instead of an O(n·log n) graph
+    * construction. Reference: compaction hands the index optimizer a
+    * row-id remap rather than forcing rebuilds
+    * (`rust/lance/src/dataset/optimize.rs` `remap_indices`). */
+  private def remapGraphs(spark: SparkSession, tablePath: String,
+                          mf: graft.format.GraftManifest, indexPath: String,
+                          idCol: String): Set[Long] = {
+    import spark.implicits._
+    val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
+      .map(_.fragmentIds.toSet).getOrElse(throw new IllegalStateException(
+        s"$indexPath has no coverage marker — rebuild with buildForTable"))
+    val liveIds = mf.fragments.map(_.id).toSet
+    if (covered.subsetOf(liveIds)) return covered
+    val deadIds = covered.diff(liveIds)
+    val dirs = ("graph" +: deltaDirs(spark, indexPath)).map(d => s"$indexPath/$d")
+    val staleIdsDf = dirs.map(d =>
+        IndexRemap.fragIn(spark, spark.read.parquet(d), deadIds, col(AddrCol))
+          .select(col("id").as("__rid")))
+      .reduce(_.unionByName(_))
+    val p = IndexRemap.plan(spark, tablePath, mf, covered, staleIdsDf, idCol)
+    try {
+      val newAddrs = p.newAddrs.withColumnRenamed("__rid", "id")
+      val deadDf = broadcast(deadIds.toSeq.toDF("__deadfrag"))
+      for (d <- dirs) {
+        val g = spark.read.parquet(d)
+        g.join(deadDf,
+            shiftrightunsigned(col(AddrCol), 32) === col("__deadfrag"), "left_outer")
+          .join(newAddrs, Seq("id"), "left_outer")
+          .withColumn(AddrCol,
+            when(col("__deadfrag").isNotNull, col("__new_addr"))
+              .otherwise(col(AddrCol)))
+          .drop("__deadfrag", "__new_addr")
+          .select(g.columns.map(col).toSeq: _*)
+          .write.mode(SaveMode.Overwrite).partitionBy(PidCol)
+          .parquet(s"${d}__fresh")
+        IvfIndex.swapInDir(spark, s"${d}__fresh", d)
+      }
+      invalidateCache(indexPath)
+      p.newCovered
+    } finally p.done()
   }
 
   /** Per-JVM cache of each index's graph rows, already shuffled into

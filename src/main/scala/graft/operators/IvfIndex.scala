@@ -248,7 +248,22 @@ object IvfIndex {
     // records it as such.
     val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
     val needRid = idCol == GraftTable.RowIdCol
-    if (staleIds.isEmpty && !legacy) {
+    var newlyEncoded = freshFrags.map(_.rows).sum
+    if (!legacy && staleIds.nonEmpty) {
+      // compaction retired covered fragments: REMAP the dataset to the
+      // rows' new addresses (O(delta) join, assignments and codes
+      // untouched — [[IndexRemap]]) and fall through to appending whatever
+      // stays uncovered (mixed rewrite outputs, post-build appends)
+      val cov = IndexRemap.remapVectors(spark, tablePath, m, indexPath, idCol)
+      val fresh2 = m.fragments.filterNot(f => cov.contains(f.id))
+      newlyEncoded = fresh2.map(_.rows).sum
+      if (fresh2.nonEmpty) {
+        assignPid(GraftTable.readFragments(spark, tablePath, m, fresh2,
+            withRowAddr = true, withRowId = needRid))
+          .write.mode(SaveMode.Append).partitionBy(PidCol)
+          .parquet(s"$indexPath/vectors")
+      }
+    } else if (staleIds.isEmpty && !legacy) {
       if (freshFrags.nonEmpty) {
         assignPid(GraftTable.readFragments(spark, tablePath, m, freshFrags,
             withRowAddr = true, withRowId = needRid))
@@ -256,9 +271,10 @@ object IvfIndex {
           .parquet(s"$indexPath/vectors")
       }
     } else {
-      // compaction invalidated part of the coverage: rewrite without the
-      // dead fragments' rows, with the uncovered fragments assigned in the
-      // same pass (then swap the dataset in)
+      // legacy (version-marker-only) index: estimated coverage cannot name
+      // dead fragments, so prove the dataset clean via a filtered rewrite
+      // (drop anything non-live, assign uncovered fragments in the same
+      // pass) before recording the first real coverage marker
       val keep = liveFragmentFilter(spark,
         spark.read.parquet(s"$indexPath/vectors"), covered.intersect(liveIds))
       val freshAssigned =
@@ -273,7 +289,7 @@ object IvfIndex {
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       "IVF_FLAT", vecCol, m, Map("idCol" -> idCol))
-    freshFrags.map(_.rows).sum
+    newlyEncoded
   }
 
   /** `knn_combined` (reference `scanner.rs:2946-3030`): ANN over the

@@ -214,7 +214,21 @@ object PqIndex {
     // recording a coverage marker (same reasoning as IvfIndex.optimizeForTable)
     val legacy = graft.index.ScalarIndex.readCoverage(spark, indexPath).isEmpty
     val needRid = idCol == GraftTable.RowIdCol
-    if (staleIds.isEmpty && !legacy) {
+    var newlyEncoded = freshFrags.map(_.rows).sum
+    if (!legacy && staleIds.nonEmpty) {
+      // compaction retired covered fragments: remap the dataset to the
+      // rows' new addresses (O(delta) join, codes and assignments
+      // untouched -- [[IndexRemap]]), then append what stays uncovered
+      val cov = IndexRemap.remapVectors(spark, tablePath, mft, indexPath, idCol)
+      val fresh2 = mft.fragments.filterNot(f => cov.contains(f.id))
+      newlyEncoded = fresh2.map(_.rows).sum
+      if (fresh2.nonEmpty) {
+        encode(GraftTable.readFragments(spark, tablePath, mft, fresh2,
+            withRowAddr = true, withRowId = needRid))
+          .write.mode(SaveMode.Append)
+          .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
+      }
+    } else if (staleIds.isEmpty && !legacy) {
       if (freshFrags.nonEmpty) {
         encode(GraftTable.readFragments(spark, tablePath, mft, freshFrags,
             withRowAddr = true, withRowId = needRid))
@@ -222,6 +236,8 @@ object PqIndex {
           .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
       }
     } else {
+      // legacy (version-marker-only) index: prove the dataset clean via a
+      // filtered rewrite before recording the first real coverage marker
       val keep = IvfIndex.liveFragmentFilter(spark,
         spark.read.parquet(s"$indexPath/vectors"), covered.intersect(liveIds))
       val freshEncoded =
@@ -236,7 +252,7 @@ object PqIndex {
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       "IVF_PQ", vecCol, mft, Map("idCol" -> idCol))
-    freshFrags.map(_.rows).sum
+    newlyEncoded
   }
 
   /** Encode one in-memory vector (nearest code per subspace). Plain-array

@@ -172,7 +172,8 @@ object Vector {
     * so their session debris (shuffle files, cached blocks) cannot pollute
     * unrelated timings (VERDICT r4 What's-wrong #2). */
   val mutating: Set[String] = Set(
-    "q_ann_after_compact", "q_ann_prefilter_combined", "q_ann_hnsw_after_compact")
+    "q_ann_after_compact", "q_ann_prefilter_combined", "q_ann_hnsw_after_compact",
+    "q_ann_remap")
 
   val queries: Map[String, Q] = Map(
     "q_knn_l2" -> { (s, d) =>
@@ -254,6 +255,31 @@ object Vector {
       GraftTable.delete(s, t, s"vec_id < $cut")
       GraftTable.compactFiles(s, t, targetRows = 250, materializeDeletions = 0.1)
       IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Post-compaction index REMAP end-to-end ([[graft.operators.IndexRemap]]):
+    // build IVF → DV-delete a slab → partial compaction materializes the DVs
+    // and retires the indebted fragment ids → optimize_index REMAPS the
+    // dataset rows to their new addresses (zero rows re-encoded — asserted
+    // in-line) → `fast_search` must then serve the whole live corpus from
+    // the index alone. nprobes = nlist ⇒ exact, hash-gated vs brute force.
+    "q_ann_remap" -> { (s, d) =>
+      import graft.format.GraftTable
+      val t = freshDir(s, "ann_remap")
+      val idx = freshDir(s, "ann_remap_idx")
+      val e = Tables.embeddings(s, d)
+      val q = queryVec(s, d)
+      val cut = math.floor(e.count() / 8.0).toLong
+      GraftTable.write(e.repartitionByRange(4, col("vec_id")), t, "overwrite")
+      IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
+      GraftTable.delete(s, t, s"vec_id < $cut")
+      GraftTable.compactFiles(s, t, targetRows = 250, materializeDeletions = 0.1)
+      val reEncoded = IvfIndex.optimizeForTable(s, t, "vec_id", "embedding", idx)
+      require(reEncoded == 0L,
+        s"pure compaction must remap, not re-encode — got $reEncoded rows")
+      IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10,
+          nprobes = 8, fastSearch = true)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
@@ -564,6 +590,14 @@ object Vector {
         |ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_after_compact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |     c AS (SELECT CAST(floor(count(*) / 8.0) AS BIGINT) AS cut FROM embeddings)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q, c WHERE e.vec_id >= c.cut
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_remap" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |     c AS (SELECT CAST(floor(count(*) / 8.0) AS BIGINT) AS cut FROM embeddings)
         |SELECT e.vec_id,

@@ -267,6 +267,44 @@ object ScaleProbe {
       }
     }
 
+    // ---- post-compaction index REMAP vs the re-encode it replaces
+    // (IndexRemap, r7). Each round deletes a constant-size slab, compacts
+    // the indebted fragment away, then optimizes: the remap cost tracks the
+    // REWRITTEN fragment (constant across factors), while the full PQ
+    // rebuild it replaces grows with the corpus. ----
+    val wantRemap = onlyOps.forall(s =>
+      s.contains("remap_opt") || s.contains("pq_rebuild"))
+    if (wantRemap) for (f <- docFactors) {
+      val p = embs(f)
+      val tbl = s"$outDir/remap_tbl_x$f"; val idx = s"$outDir/remap_idx_x$f"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+      Seq(tbl, idx).foreach(d => fsys.delete(new org.apache.hadoop.fs.Path(d), true))
+      graft.format.GraftTable.write(
+        spark.read.parquet(p).repartitionByRange(math.max(4, f), col("vec_id")),
+        tbl, "overwrite")
+      graft.operators.PqIndex.buildForTable(spark, tbl, "vec_id", "embedding",
+        idx, nlist = 32)
+      val baseRows = Tables.embeddings(spark, sfDir).count()
+      var slab = 0L
+      time("remap_opt", f) {
+        // a fresh constant-size slab each rep, always inside the base-id
+        // range so the debt is identical at every factor
+        val lo = slab * (baseRows / 4); val hi = lo + baseRows / 8
+        slab += 1
+        graft.format.GraftTable.delete(spark, tbl,
+          s"vec_id >= $lo AND vec_id < $hi")
+        graft.format.GraftTable.compactFiles(spark, tbl,
+          targetRows = 2048, materializeDeletions = 0.01)
+        graft.operators.PqIndex.optimizeForTable(spark, tbl, "vec_id",
+          "embedding", idx)
+      }
+      time("pq_rebuild", f) {
+        graft.operators.PqIndex.buildForTable(spark, tbl, "vec_id",
+          "embedding", idx, nlist = 32)._1.centroids.length.toLong
+      }
+    }
+
     // ---- auto late materialization on a blob table. Layout is HASH
     // clustered on a bucket column, so fragment zonemaps overlap (min/max
     // cannot exclude bucket=7) while the matches physically live in ~1 of

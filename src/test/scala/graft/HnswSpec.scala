@@ -305,12 +305,14 @@ class HnswSpec extends AnyFunSuite {
     assert(HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix) == 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/graph_delta_001")))
 
-    // compaction retires covered fragments → full rebuild collapses deltas
+    // compaction retires covered fragments → addresses are REMAPPED in
+    // place (graft.operators.IndexRemap): the delta generation survives
+    // and no graph is rebuilt
     GraftTable.delete(spark, t, "vec_id < 50")
     GraftTable.compactFiles(spark, t, targetRows = 200, materializeDeletions = 0.1)
     HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/graph_delta_000")),
-      "rebuild left delta dirs behind")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ix/graph_delta_000")),
+      "remap should preserve delta generations, not rebuild")
     val r2 = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
         k = 10, nprobes = 4, ef = 600, refineFactor = 100)
       .select("vec_id").as[Long].collect().toSeq
