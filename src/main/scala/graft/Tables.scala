@@ -23,20 +23,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet timestamp[ns], which Spark's parquet reader
-    * rejects. Read nanos as long and truncate to microseconds (integer
-    * division — no double round-trip), matching DuckDB's ns→us cast.
+  /** `events.ts` has shipped as both parquet timestamp[ns] (early testdata
+    * drops — Spark's reader rejects ns, so we read nanos-as-long and
+    * truncate to micros, matching DuckDB's ns→us cast) and timestamp[us]
+    * (current drops — a native timestamp, usable as-is). Branch on the
+    * physical type actually loaded instead of assuming either.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case _ => df // native TIMESTAMP / TIMESTAMP_NTZ: already micros
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view (for spark.sql paths / tests). */
+  /** Register every table as a temp view (for spark.sql paths / tests).
+    * `events` goes through its schema-adaptive loader so views see the
+    * same micros timestamp regardless of the parquet physical type.
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
