@@ -516,8 +516,8 @@ private[format] object GraftProcedures {
         case "LABEL_LIST" =>
           graft.index.ScalarIndex.optimizeLabelList(spark, path, column, idxDir)
         case "BLOOMFILTER" => graft.index.BloomIndex.optimize(spark, path, column, idxDir)
-        case "NGRAM" => // no delta structure — rebuild
-          graft.index.ScalarIndex.buildNgram(spark, path, column, idxDir); m.liveRows
+        case "NGRAM" =>
+          graft.index.ScalarIndex.optimizeNgram(spark, path, column, idxDir)
         case "IVF_FLAT" =>
           graft.operators.IvfIndex.optimizeForTable(spark, path, idCol, column,
             s"$idxDir/$idxName")

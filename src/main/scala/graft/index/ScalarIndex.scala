@@ -243,15 +243,48 @@ object ScalarIndex {
       array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))))
       .otherwise(typedLit(Array.empty[String]))
 
-  /** Build a character-trigram index for a string column. */
+  /** Build a character-trigram index for a string column.
+    *
+    * Layout: postings `(gram, _rowaddr)` range-partitioned and sorted by
+    * `gram` into a FIXED number of files — the same shape as the FTS
+    * postings and the BTREE/JSON indices, NOT `partitionBy("gram")`.
+    * Directory-per-trigram explodes into one directory × one small file
+    * per distinct trigram per writing task (tens of thousands with
+    * unicode text) — a metadata-service DoS at scale. With the sorted
+    * layout a gram lookup is a pushed-down IN filter over row-group
+    * stats on the sort column: same O(matching postings) query cost,
+    * O(1) file count. */
   def buildNgram(spark: SparkSession, tablePath: String, column: String,
                  indexPath: String): Unit = {
     val m = GraftTable.loadManifest(spark, tablePath)
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(col(A), explode(trigrams(lower(col(column)))).as("gram"))
-      .write.mode(SaveMode.Overwrite).partitionBy("gram").parquet(s"$indexPath/ngram_$column")
+      .repartitionByRange(8, col("gram"))
+      .sortWithinPartitions(col("gram"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/ngram_$column")
     finishBuild(spark, tablePath, indexPath, s"ngram_$column", "NGRAM",
       physicalOf(spark, tablePath, column), m, freshUuid = true)
+  }
+
+  /** Incremental NGRAM maintenance: tokenize + append ONLY fragments added
+    * since the build (O(delta) IO), each delta its own sorted segment. */
+  def optimizeNgram(spark: SparkSession, tablePath: String, column: String,
+                    indexPath: String): Long = {
+    val dir = s"$indexPath/ngram_$column"
+    val vi = indexedVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no version marker — build first"))
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val freshFrags = m.fragments.filter(_.addedVersion > vi)
+    if (freshFrags.nonEmpty) {
+      GraftTable.readFragments(spark, tablePath, m, freshFrags, withRowAddr = true)
+        .select(col(A), explode(trigrams(lower(col(column)))).as("gram"))
+        .repartitionByRange(2, col("gram"))
+        .sortWithinPartitions(col("gram"))
+        .write.mode(SaveMode.Append).parquet(dir)
+    }
+    finishBuild(spark, tablePath, indexPath, s"ngram_$column", "NGRAM",
+      physicalOf(spark, tablePath, column), m, freshUuid = false)
+    freshFrags.map(_.rows).sum
   }
 
   /** Candidate row addresses whose column contains `needle` (exact after

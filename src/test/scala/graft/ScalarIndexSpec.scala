@@ -64,6 +64,28 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(got == truth && got.contains(13L) && got.contains(130L))
   }
 
+  test("ngram build writes a fixed file count and incremental optimize is O(delta)") {
+    val (t, idx) = setup()
+    ScalarIndex.buildNgram(spark, t, "payload", idx)
+    // sorted-postings layout: a handful of plain parquet files, NOT a
+    // directory per distinct trigram
+    val dir = new java.io.File(s"$idx/ngram_payload")
+    assert(dir.listFiles().forall(!_.isDirectory),
+      "ngram index must not be directory-per-gram")
+    // append new rows, optimize incrementally, lookup sees them
+    val extra = spark.range(200, 260).toDF("id")
+      .withColumn("category", concat(lit("cat-"), pmod(col("id"), lit(7))))
+      .withColumn("payload", concat(lit("payload text zebra "), col("id")))
+    GraftTable.write(extra, t, "append")
+    val n = ScalarIndex.optimizeNgram(spark, t, "payload", idx)
+    assert(n == 60L)
+    val got = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "zebra")
+      .select("id").as[Long].collect().toSet
+    assert(got == (200L until 260L).toSet)
+    // idempotent: nothing new to index
+    assert(ScalarIndex.optimizeNgram(spark, t, "payload", idx) == 0L)
+  }
+
   test("ngram short-needle falls back to full scan semantics") {
     val (t, idx) = setup()
     ScalarIndex.buildNgram(spark, t, "payload", idx)
