@@ -391,6 +391,9 @@ object Fts {
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
       } finally docstats.unpersist()
     } finally tokenized.unpersist()
+    // adopt the freshly built segments as the merged base (sidecars were
+    // dropped by the Overwrite) so later optimizes track only true deltas
+    mergeDeltaSegments(df.sparkSession, indexPath)
     p
   }
 
@@ -490,14 +493,20 @@ object Fts {
           sort_array(collect_list(col("pos"))).as("positions"))
         .persist()
       try {
-        deltaPost.write.mode(SaveMode.Append).parquet(p.postings)
+        // delta segments are FEW files (repartition before append — never
+        // one file per shuffle partition) and token-sorted, so the term
+        // pushdown prunes inside deltas exactly as it does in the base
+        deltaPost.repartition(2, col("token"))
+          .sortWithinPartitions(col("token"), col("doc_id"))
+          .write.mode(SaveMode.Append).parquet(p.postings)
         val deltaDl = tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
-        deltaDl.write.mode(SaveMode.Append).parquet(p.docstats)
+        deltaDl.coalesce(1).write.mode(SaveMode.Append).parquet(p.docstats)
         // delta block-max stats append; duplicate (token, block) entries
         // merge at query time (max/min are idempotent under re-aggregation)
         deltaPost.join(deltaDl, "doc_id")
           .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
           .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+          .repartition(1, col("token")).sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Append).parquet(s"$indexPath/blockstats")
       } finally deltaPost.unpersist()
     } finally tokenized.unpersist()
@@ -514,7 +523,87 @@ object Fts {
     docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpMeta)
     replaceDir(spark, tmpMeta, p.meta)
+    mergeDeltaSegments(spark, indexPath)
     p
+  }
+
+  // -------------------------------------------------------- segment merge
+
+  private val BaseListFile = "_GRAFT_BASE_FILES"
+
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Set[String] =
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+
+  private def readBaseList(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Option[Set[String]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BaseListFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      Some(s.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  private def writeBaseList(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path,
+                            files: Set[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, BaseListFile), true)
+    try out.write(files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Delta-segment merge policy (reference `OptimizeOptions.num_indices_to_
+    * merge`, `rust/lance-index/src/optimize.rs:10-19`): every
+    * [[optimizeIndex]] appends a small postings/docstats/blockstats segment,
+    * so under continuous ingest the file count — and with it open-file and
+    * footer-read cost per query — grows linearly with maintenance count.
+    * A `_GRAFT_BASE_FILES` sidecar in each dataset dir (ignored by the
+    * parquet reader: leading underscore) records which files are already
+    * merged; when the files OUTSIDE that set pass `maxDeltaFiles`, ONLY
+    * those delta files are read, re-sorted (blockstats re-aggregated —
+    * max/min are idempotent), and rewritten as one compact segment that
+    * joins the base. The base segments are never rewritten: merge cost is
+    * O(sum of delta sizes), not O(corpus). Indexes predating the sidecar
+    * adopt their current files as base on first touch. */
+  def mergeDeltaSegments(spark: SparkSession, indexPath: String,
+                         maxDeltaFiles: Int = 16): Unit = {
+    val p = paths(indexPath)
+    val conf = spark.sessionState.newHadoopConf()
+    def mergeOne(dirStr: String, rewrite: DataFrame => DataFrame): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(dirStr)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return
+      val current = dataFileNames(fs, dir)
+      readBaseList(fs, dir) match {
+        case None => writeBaseList(fs, dir, current)
+        case Some(base) =>
+          val delta = (current -- base).toSeq.sorted
+          if (delta.size > maxDeltaFiles) {
+            val tmp = s"${dirStr}__mergetmp"
+            rewrite(spark.read.parquet(delta.map(f => s"$dirStr/$f"): _*))
+              .write.mode(SaveMode.Overwrite).parquet(tmp)
+            val tmpP = new org.apache.hadoop.fs.Path(tmp)
+            // part filenames carry a fresh UUID — no collision with dest
+            val moved = fs.listStatus(tmpP).iterator.map(_.getPath)
+              .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+              .map { q => fs.rename(q, new org.apache.hadoop.fs.Path(dir, q.getName)); q.getName }
+              .toSet
+            delta.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
+            fs.delete(tmpP, true)
+            writeBaseList(fs, dir, base.intersect(current) ++ moved)
+          }
+      }
+    }
+    mergeOne(p.postings, df => df.repartition(2, col("token"))
+      .sortWithinPartitions(col("token"), col("doc_id")))
+    mergeOne(p.docstats, df => df.coalesce(1))
+    mergeOne(s"$indexPath/blockstats", df => df
+      .groupBy(col("token"), col("block"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+      .repartition(1, col("token")).sortWithinPartitions(col("token")))
   }
 
   /** Directory swap via rename-aside (dest → dest__old, src → dest, delete

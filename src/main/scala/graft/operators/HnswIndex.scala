@@ -378,7 +378,8 @@ object HnswIndex {
     * retires covered fragments invalidates node addresses ⇒ full rebuild
     * (which collapses the deltas), same contract as the other families. */
   def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
-                       vecCol: String, indexPath: String): Long = {
+                       vecCol: String, indexPath: String,
+                       maxDeltas: Int = 0): Long = {
     import graft.format.GraftTable
     val mf = GraftTable.loadManifest(spark, tablePath)
     val cov = graft.index.ScalarIndex.readCoverage(spark, indexPath)
@@ -419,14 +420,53 @@ object HnswIndex {
           withRowId = idCol == GraftTable.RowIdCol),
         vecCol, metric)
       val encode = loadEncoder(spark, indexPath, storage, model.centroids)
-      val next = deltaDirs(spark, indexPath).size
+      // max+1, not count: a prior merge leaves gaps in the numbering
+      val next = deltaDirs(spark, indexPath)
+        .map(_.stripPrefix("graph_delta_").toInt).maxOption.map(_ + 1).getOrElse(0)
       writeGraphRows(df, idCol, vecCol, model.centroids, encode, m, efc,
         f"$indexPath/graph_delta_$next%03d")
       invalidateCache(indexPath)
+      mergeDeltas(spark, indexPath, storage, m, efc,
+        if (maxDeltas > 0) maxDeltas
+        else params.getOrElse("maxDeltas", "4").toInt)
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       indexType, vecCol, mf, params ++ Map("idCol" -> idCol))
     freshFrags.map(_.rows).sum
+  }
+
+  /** Delta-merge policy (reference `OptimizeOptions.num_indices_to_merge`,
+    * `rust/lance-index/src/optimize.rs:10-19`): without it, continuous
+    * append→optimize cycles accumulate one beamed sub-graph per probed
+    * partition per generation forever. When the generation count passes
+    * `maxDeltas`, the OLDEST generations are re-built into one combined
+    * delta — cost is O(sum of merged delta sizes), never O(corpus): the
+    * base `graph/` is untouched and keeps its files. Merged nodes reuse
+    * the EXISTING centroids and codec (same contract as the delta build);
+    * routing-only dead nodes (null address — rows deleted or compacted
+    * away) are dropped, since their vectors no longer back any row. */
+  private def mergeDeltas(spark: SparkSession, indexPath: String,
+                          storage: String, m: Int, efConstruction: Int,
+                          maxDeltas: Int): Unit = {
+    val dirs = deltaDirs(spark, indexPath)
+    if (maxDeltas <= 0 || dirs.size <= maxDeltas) return
+    val toMerge = dirs.take(dirs.size - maxDeltas + 1)
+    val model = IvfIndex.loadModel(spark, indexPath)
+    val encode = loadEncoder(spark, indexPath, storage, model.centroids)
+    val union = toMerge.map(d => spark.read.parquet(s"$indexPath/$d")
+        .select(col("id"), col("vec"), col(AddrCol)))
+      .reduce(_.unionByName(_))
+      .filter(col(AddrCol).isNotNull)
+    val mergedTmp = s"$indexPath/graph_delta_merged__tmp"
+    writeGraphRows(union, "id", "vec", model.centroids, encode, m,
+      efConstruction, mergedTmp)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    toMerge.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(p, d), true))
+    // merged dir takes the first merged slot: lexicographic order (and so
+    // generation order) stays monotone with the surviving newer deltas
+    IvfIndex.swapInDir(spark, mergedTmp, s"$indexPath/${toMerge.head}")
+    invalidateCache(indexPath)
   }
 
   /** Post-compaction graph maintenance WITHOUT a rebuild ([[IndexRemap]]):

@@ -399,4 +399,35 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.phraseQuery(spark, incDir, Seq("brown", "fox")).as[Long].collect().toSet ==
       Fts.phraseQuery(spark, fullDir, Seq("brown", "fox")).as[Long].collect().toSet)
   }
+
+  test("segment merge bounds postings file growth; results byte-identical") {
+    val dir = Files.createTempDirectory("fts_merge_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir)
+    val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
+    def nFiles(sub: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .count { s => val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") }
+    // eight single-doc optimize cycles — each appends small delta segments
+    for (i <- 6L to 13L)
+      Fts.optimizeIndex(Seq((i, s"brown fox cycle $i")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    val before = Fts.matchQuery(spark, dir, Seq("brown", "fox"), 20)
+      .as[(Long, Double)].collect().toSeq
+    val filesBefore = nFiles("postings")
+    // force a merge with a tight budget: delta files collapse into one
+    // compact segment, base files untouched
+    Fts.mergeDeltaSegments(spark, dir, maxDeltaFiles = 1)
+    assert(nFiles("postings") < filesBefore,
+      s"merge did not shrink postings: $filesBefore -> ${nFiles("postings")}")
+    val after = Fts.matchQuery(spark, dir, Seq("brown", "fox"), 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before, "merge changed query results")
+    // further optimizes keep working on the merged layout
+    Fts.optimizeIndex(Seq((14L, "brown fox again")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(Fts.matchQuery(spark, dir, Seq("again"), 5)
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(14L))
+  }
 }

@@ -323,6 +323,40 @@ class HnswSpec extends AnyFunSuite {
     assert(r2 == exact2, s"$r2 vs $exact2")
   }
 
+  test("delta merge policy bounds generation count; search still exact") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_merge_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_mergeidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4)
+    val fs = new org.apache.hadoop.fs.Path(ix)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def deltas(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(ix)).map(_.getPath.getName)
+        .filter(_.startsWith("graph_delta_")).sorted.toSeq
+    // four append→optimize cycles with maxDeltas=2: generations must merge
+    var appended = embeddings.limit(0)
+    for (i <- 0 until 4) {
+      val fresh = embeddings.filter($"vec_id" < 15)
+        .withColumn("vec_id", $"vec_id" + lit(10000L * (i + 1)))
+      GraftTable.write(fresh, t, "append")
+      appended = appended.union(fresh)
+      assert(HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix,
+        maxDeltas = 2) == 15L)
+      assert(deltas().size <= 2,
+        s"merge policy failed to bound generations: ${deltas()}")
+    }
+    // every appended row is still reachable through the indexed-only path
+    val q = queryVec(5L)
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, refineFactor = 100, fastSearch = true)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.flatSearch(embeddings.union(appended), "embedding", q, 10,
+        "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == exact, s"$r vs $exact")
+  }
+
   test("deterministic rebuild: identical graphs") {
     val d2 = Files.createTempDirectory("hnsw2_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
