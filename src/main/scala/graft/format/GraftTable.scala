@@ -1257,6 +1257,16 @@ object GraftTable {
     val rel = s"columns/colf-${UUID.randomUUID().toString.take(8)}"
     val dir = new Path(new Path(tablePath), rel)
     proj.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    commitColumnFilesDir(spark, tablePath, m0, rel, names)
+  }
+
+  /** Commit an ALREADY-WRITTEN `(addr, newCols…)` dataset at `rel` as a
+    * supplemental column file (tail of [[commitColumnFiles]], also the
+    * assembly step of [[addColumnsUdf]]'s checkpointed backfill). */
+  private def commitColumnFilesDir(spark: SparkSession, tablePath: String,
+                                   m0: GraftManifest, rel: String,
+                                   names: Seq[String]): GraftManifest = {
+    val dir = new Path(new Path(tablePath), rel)
     val written = spark.read.parquet(dir.toString).schema
     val newFields = names.map(written(_))
     commitLoop(spark, tablePath, {
@@ -1315,18 +1325,85 @@ object GraftTable {
     * BatchUDF`, `schema_evolution.rs:62`; Python `udf.py`): `fn` maps each
     * existing row to the values of the new columns, executed per partition
     * with iterator-in/iterator-out shape (one UDF init per partition, the
-    * `mapInPandas` analogue for Scala). */
+    * `mapInPandas` analogue for Scala).
+    *
+    * Fragment-granular CHECKPOINT resume (reference `BatchUDFCheckpoint`,
+    * `python/python/lance/udf.py:30-34,96`): each fragment's computed
+    * values land in their own `columns/udf_ckpt_<name>/frag-<id>/` dataset
+    * as one atomic job (per-dir `_SUCCESS`), and a retried call SKIPS
+    * fragments whose checkpoint already committed — on a 100 TB backfill
+    * behind a GPU/model UDF, a lost driver resumes where it stopped
+    * instead of recomputing from row zero. Checkpoints are tied to the
+    * snapshot version (a marker file): a table that moved invalidates
+    * them. On completion the per-fragment files are RENAMED (O(1) per
+    * file, no second write of the column data) into a supplemental
+    * column-file dataset, committed like [[addColumnsFiles]] — existing
+    * fragment files are never rewritten. */
   def addColumnsUdf(spark: SparkSession, tablePath: String,
                     newCols: StructType,
-                    fn: org.apache.spark.sql.Row => Seq[Any]): GraftManifest = {
-    val df = read(spark, tablePath)
-    val combined = StructType(df.schema.fields ++ newCols.fields)
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(combined)
-    val out = df.mapPartitions { it =>
-      it.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq ++ fn(r)))
+                    fn: org.apache.spark.sql.Row => Seq[Any],
+                    checkpointName: String = ""): GraftManifest = {
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    val m0 = loadManifest(spark, tablePath)
+    val taken = (m0.schema.fieldNames ++ m0.physicalSchema.fieldNames).toSet
+    val dup = newCols.fieldNames.filter(taken.contains)
+    require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
+    require(m0.fragments.nonEmpty, s"no fragments at $tablePath")
+    val name = if (checkpointName.nonEmpty) checkpointName
+      else newCols.fieldNames.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+    val ckptRel = s"columns/udf_ckpt_$name"
+    val ckptPath = new Path(new Path(tablePath), ckptRel)
+    val fs = ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // checkpoint values are tied to this snapshot's addresses — a marker
+    // records the version; a moved table invalidates stale checkpoints
+    val marker = new Path(ckptPath, "_GRAFT_CKPT_VERSION")
+    val markerOk = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      s.trim == m0.version.toString
     }
-    write(out.toDF(), tablePath, "overwrite")
+    if (fs.exists(ckptPath) && !markerOk) fs.delete(ckptPath, true)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(ckptPath)
+      val out = fs.create(marker, true)
+      try out.write(m0.version.toString.getBytes("UTF-8")) finally out.close()
+    }
+    val dataSchema = m0.schema
+    val outSchema = StructType(
+      org.apache.spark.sql.types.StructField("addr",
+        org.apache.spark.sql.types.LongType, nullable = false) +: newCols.fields)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    for (f <- m0.fragments) {
+      val fragDir = new Path(ckptPath, s"frag-${f.id}")
+      if (!fs.exists(new Path(fragDir, "_SUCCESS"))) {
+        val rows = readFragments(spark, tablePath, m0, Seq(f), withRowAddr = true)
+        val dataCols = dataSchema.fieldNames
+        val computed = rows.mapPartitions { it =>
+          it.map { r =>
+            val addr = r.getLong(r.fieldIndex(RowAddrCol))
+            val orig = new GenericRowWithSchema(
+              dataCols.map(c => r.get(r.fieldIndex(c))), dataSchema)
+            org.apache.spark.sql.Row.fromSeq(addr +: fn(orig))
+          }
+        }
+        computed.toDF().write.mode(SaveMode.Overwrite).parquet(fragDir.toString)
+      }
+    }
+    // assemble: rename every fragment's part files (names carry per-job
+    // UUIDs — no collisions) into one colf dataset and commit it
+    val rel = s"columns/colf-${UUID.randomUUID().toString.take(8)}"
+    val colfDir = new Path(new Path(tablePath), rel)
+    fs.mkdirs(colfDir)
+    for (f <- m0.fragments) {
+      val fragDir = new Path(ckptPath, s"frag-${f.id}")
+      fs.listStatus(fragDir).iterator.map(_.getPath)
+        .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+        .foreach(q => fs.rename(q, new Path(colfDir, q.getName)))
+    }
+    val m = commitColumnFilesDir(spark, tablePath, m0, rel, newCols.fieldNames.toSeq)
+    fs.delete(ckptPath, true)
+    m
   }
 
   /** ALTER COLUMNS (reference `alter_columns`,

@@ -195,6 +195,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(out.last.getString(2) == "high")
   }
 
+  test("addColumnsUdf checkpoint: failed backfill resumes without recompute") {
+    import org.apache.spark.sql.types._
+    val t = tmp()
+    GraftTable.write(people.filter($"id" <= 3).coalesce(1), t)
+    GraftTable.write(people.filter($"id" > 3).coalesce(1), t, "append")
+    assert(GraftTable.loadManifest(spark, t).fragments.size == 2)
+    UdfCkptProbe.fail.set(true)
+    val cols = StructType(Seq(StructField("nl", IntegerType)))
+    // first attempt: fragment 0 checkpoints, fragment 1 throws
+    intercept[org.apache.spark.SparkException] {
+      GraftTable.addColumnsUdf(spark, t, cols, UdfCkptProbe.fn, "nl_ckpt")
+    }
+    val ckpt = new org.apache.hadoop.fs.Path(s"$t/columns/udf_ckpt_nl_ckpt")
+    val fs = ckpt.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ckpt, "frag-0/_SUCCESS")),
+      "fragment 0's checkpoint should survive the failure")
+    // retry: fragment 0 must NOT be recomputed
+    UdfCkptProbe.fail.set(false)
+    UdfCkptProbe.calls.set(0)
+    GraftTable.addColumnsUdf(spark, t, cols, UdfCkptProbe.fn, "nl_ckpt")
+    assert(UdfCkptProbe.calls.get() == 2,
+      s"resume recomputed fragment 0: ${UdfCkptProbe.calls.get()} calls (want 2)")
+    val out = GraftTable.read(spark, t).orderBy("id")
+      .select("name", "nl").as[(String, Int)].collect().toSeq
+    assert(out == Seq("alice" -> 5, "bob" -> 3, "carol" -> 5, "dave" -> 4, "erin" -> 4))
+    assert(!fs.exists(ckpt), "checkpoint dir should be cleaned after commit")
+  }
+
   test("restore rolls back to an old version as a new commit") {
     val t = tmp()
     GraftTable.write(people, t)
@@ -332,5 +360,18 @@ class GraftTableSpec extends AnyFunSuite {
     assert(after.forall(_._3 == 4L), s"compaction is the last touch: $after")
     // versions never leak into a plain read
     assert(!GraftTable.read(spark, t).columns.contains(GraftTable.RowOffsetCol))
+  }
+}
+
+/** Executor-visible (same-JVM local mode) probe for the addColumnsUdf
+  * checkpoint spec: `fail` makes second-fragment rows throw, `calls`
+  * counts UDF invocations. */
+object UdfCkptProbe {
+  val fail = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val fn: org.apache.spark.sql.Row => Seq[Any] = { r =>
+    calls.incrementAndGet()
+    if (fail.get() && r.getLong(0) > 3) sys.error("simulated UDF crash")
+    Seq(r.getString(1).length)
   }
 }
