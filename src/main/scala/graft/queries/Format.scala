@@ -143,6 +143,27 @@ object Format {
         .orderBy(col("doc_id"))
     },
 
+    // Lazy blob access (reference blob.rs take_blobs): fetch ONLY the blob
+    // column for the addressed rows — fragment pruning from the take path
+    // plus column pruning bound payload IO by the request, not the table.
+    // Oracle checks exact byte counts AND content (md5 over utf-8 bytes).
+    "q_format_take_blobs" -> { (s, d) =>
+      val t = freshDir(s, "take_blobs")
+      GraftTable.write(Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8")), t, "overwrite")
+      val pairs = GraftTable.read(s, t, withRowAddr = true)
+        .filter(col("doc_id").isin(5L, 100L, 250L, 400L))
+        .select(col(GraftTable.RowAddrCol), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val addrToDoc = s.createDataFrame(pairs)
+        .toDF(GraftTable.RowAddrCol, "doc_id")
+      GraftTable.takeBlobs(s, t, pairs.map(_._1), "payload")
+        .join(addrToDoc, GraftTable.RowAddrCol)
+        .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+
     // zonemap pruning e2e: range-partitioned fragments, range predicate -
     // only matching fragments are scanned (stats pruning), result exact
     "q_format_zonemap" -> { (s, d) =>
@@ -276,12 +297,19 @@ object Format {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("text").cast("binary").as("payload"))
         .repartitionByRange(8, col("doc_id")), t, "overwrite")
-      GraftTable.read(x, t)
+      val out = GraftTable.read(x, t)
         .filter(col("lang") === "de" && col("n_chars") > 100)
         .select(col("doc_id"), col("payload"))
         .agg(count(lit(1)).as("n"),
           sum(length(col("payload"))).as("payload_bytes"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      // prove the rule FIRED, not just that the answer is right: phase-1
+      // runs exactly once per fresh table key during optimization
+      val before = graft.format.GraftLateMatRule.phase1Runs.get()
+      out.queryExecution.optimizedPlan
+      require(graft.format.GraftLateMatRule.phase1Runs.get() > before,
+        "GraftLateMatRule did not fire (auto late materialization disabled)")
+      out
     },
 
     // Deterministic addr-keyed sampler (reference samplers, `sampler.py`),
@@ -572,6 +600,9 @@ object Format {
     "q_format_take" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
+    "q_format_take_blobs" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS digest
+        |FROM documents WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
     "q_format_zonemap" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
