@@ -233,6 +233,19 @@ object ScaleProbe {
         .collect().length.toLong
       time("parquet_scan_agg", f) { scanAgg(spark.read.parquet(p)) }
       time("graft_scan_agg", f) { scanAgg(graft.format.GraftTable.read(spark, tbl)) }
+      // NGRAM build on the r8 sorted-postings layout: cost must track the
+      // corpus linearly with a FIXED file count — the old
+      // directory-per-trigram layout died here on file-count explosion
+      time("ngram_build", f) {
+        graft.index.ScalarIndex.buildNgram(spark, tbl, "text", s"$tbl/_indices")
+        val dir = new org.apache.hadoop.fs.Path(s"$tbl/_indices/ngram_text")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(dir).count(s => !s.getPath.getName.startsWith("_")).toLong
+      }
+      time("ngram_lookup", f) {
+        graft.index.ScalarIndex.containsViaNgram(spark, tbl, s"$tbl/_indices",
+          "text", "training data").count()
+      }
     }
 
     // ---- HNSW maintenance: CONSTANT-size delta optimize vs full rebuild.
