@@ -572,6 +572,112 @@ object GraftTable {
     created.drop("__fv_frag", "__fv_start", "__fv_added")
   }
 
+  // ------------------------------------------------------- version deltas
+  //
+  // Changes between two versions (reference `rust/lance/src/dataset/delta.rs`
+  // `DatasetDelta`: `get_inserted_rows` :206, `get_updated_rows` :253,
+  // `list_transactions` :145). Both row APIs read the END-version snapshot
+  // with the row-version system columns and filter on them — but the scan is
+  // first pruned to fragments with `addedVersion > begin`, which is a sound
+  // superset of both change sets: a row created after `begin` lives in a
+  // fragment committed after `begin` (appends stamp the commit's version;
+  // compaction rewrites stamp a LATER one), and an updated row was by
+  // definition rewritten into such a fragment. At 100 TB the delta scan
+  // therefore reads only the fragments the version range touched — O(delta),
+  // never O(corpus) — and inherits parquet pushdown on top.
+
+  private def deltaScan(spark: SparkSession, tablePath: String,
+                        beginVersion: Long, endVersion: Long): DataFrame = {
+    require(beginVersion < endVersion,
+      s"beginVersion $beginVersion must be < endVersion $endVersion")
+    val m = loadManifest(spark, tablePath, Some(endVersion))
+    val pruned = m.copy(fragments = m.fragments.filter(_.addedVersion > beginVersion))
+    // `_rowoffset` from a pruned fragment list would be wrong (offsets are
+    // positions in the FULL snapshot order) — dropped below; creation/update
+    // versions resolve from the manifest chain and are prune-independent
+    readManifest(spark, tablePath, pruned,
+      withRowAddr = false, withRowId = m.hasRowIds, withRowVersions = true)
+      .drop(RowOffsetCol)
+  }
+
+  /** Rows created in `(beginVersion, endVersion]` — reference
+    * `DatasetDelta::get_inserted_rows` (`delta.rs:206-227`). Carries all data
+    * columns plus `_rowid` (when the table has stable ids),
+    * `_row_created_at_version`, `_row_last_updated_at_version`. Rows both
+    * inserted AND deleted inside the range do not appear (the end snapshot's
+    * deletion vectors apply, as in the reference's end-version scan). */
+  def deltaInserted(spark: SparkSession, tablePath: String,
+                    beginVersion: Long, endVersion: Long): DataFrame =
+    deltaScan(spark, tablePath, beginVersion, endVersion)
+      .filter(col(RowCreatedCol) > beginVersion && col(RowCreatedCol) <= endVersion)
+
+  /** Rows UPDATED (not inserted) in `(beginVersion, endVersion]` — reference
+    * `DatasetDelta::get_updated_rows` (`delta.rs:253-272`): created at or
+    * before `begin`, last written inside the range. Last-write granularity is
+    * the fragment's commit (this format rewrites updated rows into new
+    * fragments), so a compaction rewrite counts as a touch — same
+    * fragment-level semantics as [[read]]'s `withRowVersions`. */
+  def deltaUpdated(spark: SparkSession, tablePath: String,
+                   beginVersion: Long, endVersion: Long): DataFrame =
+    deltaScan(spark, tablePath, beginVersion, endVersion)
+      .filter(col(RowCreatedCol) <= beginVersion &&
+        col(RowLastUpdatedCol) > beginVersion && col(RowLastUpdatedCol) <= endVersion)
+
+  /** Rows live at `beginVersion` but gone by `endVersion` (an extension — the
+    * reference's DatasetDelta stops at inserted/updated; deletes surface
+    * there via its CDC path). Identity is the stable `_rowid` (compaction
+    * preserves ids, so a rewrite is not a delete). The begin side is pruned
+    * to fragments that did NOT survive unchanged into the end snapshot —
+    * only their rows can have disappeared, plus rows newly masked by the end
+    * snapshot's deletion vectors; the end side reads `_rowid` alone, a
+    * metadata-derived column (manifest broadcast + row index — zero data
+    * columns off disk). The anti-join shuffles (rowid)-pairs of the CHANGED
+    * begin fragments against the id column only. */
+  def deltaDeleted(spark: SparkSession, tablePath: String,
+                   beginVersion: Long, endVersion: Long): DataFrame = {
+    require(beginVersion < endVersion,
+      s"beginVersion $beginVersion must be < endVersion $endVersion")
+    val mBegin = loadManifest(spark, tablePath, Some(beginVersion))
+    val mEnd = loadManifest(spark, tablePath, Some(endVersion))
+    require(mBegin.hasRowIds,
+      s"deltaDeleted needs stable row ids; table at $tablePath predates them")
+    val endById = mEnd.fragments.map(f => f.id -> f).toMap
+    // a begin fragment is UNCHANGED when the same (id, path) survives to the
+    // end snapshot AND no deletion vectors were added in the range (DV files
+    // are cumulative, so an identical dvFiles list means no new masks)
+    val dvStable = mBegin.dvFiles == mEnd.dvFiles
+    val changed = mBegin.fragments.filter { f =>
+      !dvStable || !endById.get(f.id).exists(_.path == f.path)
+    }
+    if (changed.isEmpty) {
+      val empty = readManifest(spark, tablePath, mBegin.copy(fragments = Nil),
+        withRowAddr = false, withRowId = true)
+      return empty
+    }
+    val beginRows = readManifest(spark, tablePath,
+      mBegin.copy(fragments = changed), withRowAddr = false, withRowId = true)
+    val endIds = readManifest(spark, tablePath, mEnd,
+      withRowAddr = false, withRowId = true).select(col(RowIdCol))
+    beginRows.join(endIds, Seq(RowIdCol), "left_anti")
+  }
+
+  /** Commit metadata for the transactions in `(beginVersion, endVersion]` —
+    * reference `DatasetDelta::list_transactions` (`delta.rs:145-173`). One
+    * row per version from the manifest chain (version-count-sized driver
+    * metadata, same source as the `history` procedure). */
+  def deltaTransactions(spark: SparkSession, tablePath: String,
+                        beginVersion: Long, endVersion: Long): DataFrame = {
+    require(beginVersion < endVersion,
+      s"beginVersion $beginVersion must be < endVersion $endVersion")
+    val rows = ((beginVersion + 1) to endVersion).flatMap { v =>
+      scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption.map(mf =>
+        (mf.version, mf.operation, mf.fragments.length.toLong, mf.liveRows,
+          mf.numDeleted, mf.commitTsMillis))
+    }
+    spark.createDataFrame(rows).toDF(
+      "version", "operation", "n_fragments", "live_rows", "n_deleted", "commit_ts_millis")
+  }
+
   /** Merge supplemental column datasets (no-rewrite add_columns) into a scan
     * that already carries `_rowaddr`. Old fragments read the added columns as
     * nulls from parquet (absent in their files) and take the supplemental
@@ -870,32 +976,46 @@ object GraftTable {
 
   /** UPDATE set-exprs on rows matching `where`: rewrites matching rows into
     * new fragments + DVs the old copies, in ONE commit (reference
-    * `write/update.rs:58-140`). */
+    * `write/update.rs:58-140`).
+    *
+    * Rewritten rows KEEP their stable `_rowid` (reference move-stable row
+    * ids: an update moves a row's address, never its identity —
+    * `delta.rs:430-520` asserts `_row_created_at_version` survives an
+    * update while `_row_last_updated_at_version` moves). The new fragments
+    * persist `_rowid` physically, like compaction rewrites; the id
+    * high-water mark does not advance. Legacy tables without row ids keep
+    * the old new-row-version behavior. */
   def update(spark: SparkSession, tablePath: String, set: Map[String, String],
              where: Option[String] = None): GraftManifest = {
     val m0 = loadManifest(spark, tablePath)
+    val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq
-    val snap = read(spark, tablePath, None, withRowAddr = true)
+    val snap = read(spark, tablePath, None, withRowAddr = true, withRowId = carry)
     val matches = where.map(w => snap.filter(expr(w))).getOrElse(snap)
       .persist()
     try {
+      val outCols = cols.map(col) ++ (if (carry) Seq(col(RowIdCol)) else Nil)
       val updated = set.foldLeft(matches) { case (d, (c, e)) =>
         d.withColumn(c, expr(e).cast(m0.schema(c).dataType))
-      }.select(cols.map(col): _*)
+      }.select(outCols: _*)
       var staged = stageFragments(spark, tablePath, toPhysical(updated, m0))
       val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
       commitLoop(spark, tablePath, {
         case Some(base) =>
           guardStagedBase("update", m0, base)
           val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
-            base.version + 1, base.nextRowId)
+            base.version + 1,
+            rowIdBase = if (carry) -1L else base.nextRowId,
+            storedRowIds = carry)
           staged = paths
           base.copy(version = base.version + 1, operation = "update",
             fragments = base.fragments ++ frags,
             dvFiles = base.dvFiles ++ dvOpt.map(_._1),
             numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
             parent = base.version,
-            nextRowId = base.nextRowId + frags.map(_.rows).sum)
+            nextRowId =
+              if (carry) base.nextRowId
+              else base.nextRowId + frags.map(_.rows).sum)
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally matches.unpersist()
@@ -914,8 +1034,9 @@ object GraftTable {
                   whenNotMatchedBySourceDelete: Boolean = false,
                   deleteCondition: Option[String] = None): GraftManifest = {
     val m0 = loadManifest(spark, tablePath)
+    val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq
-    val target = read(spark, tablePath, None, withRowAddr = true)
+    val target = read(spark, tablePath, None, withRowAddr = true, withRowId = carry)
     // prefix source columns to disambiguate
     val src = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq: _*)
       .withColumn("__s_exists", lit(true))
@@ -943,22 +1064,35 @@ object GraftTable {
         joined.filter(col(RowAddrCol).isNotNull && col("__s_exists").isNull && delCondCol)
       else joined.limit(0)
 
-      val newRows = updates.select(srcRow: _*).unionByName(inserts.select(srcRow: _*))
-      var staged = stageFragments(spark, tablePath, toPhysical(newRows, m0))
+      // matched-update rows keep the TARGET row's stable `_rowid` (move-stable
+      // ids, as in [[update]]); only genuinely new rows draw fresh ids — so
+      // the two classes stage into separate fragment sets
+      var stagedUpd: Seq[Path] =
+        if (carry && whenMatchedUpdateAll) stageFragments(spark, tablePath,
+          toPhysical(updates.select(srcRow :+ col(RowIdCol): _*), m0))
+        else Nil
+      var stagedIns: Seq[Path] =
+        if (carry && !whenNotMatchedInsertAll) Nil
+        else if (carry) stageFragments(spark, tablePath,
+          toPhysical(inserts.select(srcRow: _*), m0))
+        else stageFragments(spark, tablePath, toPhysical(
+          updates.select(srcRow: _*).unionByName(inserts.select(srcRow: _*)), m0))
       val dvOpt = stageDv(spark, tablePath,
         updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
       commitLoop(spark, tablePath, {
         case Some(base) =>
           guardStagedBase("merge_insert", m0, base)
-          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
-            base.version + 1, base.nextRowId)
-          staged = paths
+          val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
+            base.version + 1, storedRowIds = carry)
+          val (fragsI, pathsI) = assignIds(spark, stagedIns,
+            base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId)
+          stagedUpd = pathsU; stagedIns = pathsI
           base.copy(version = base.version + 1, operation = "merge_insert",
-            fragments = base.fragments ++ frags,
+            fragments = base.fragments ++ fragsU ++ fragsI,
             dvFiles = base.dvFiles ++ dvOpt.map(_._1),
             numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
             parent = base.version,
-            nextRowId = base.nextRowId + frags.map(_.rows).sum)
+            nextRowId = base.nextRowId + fragsI.map(_.rows).sum)
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally joined.unpersist()

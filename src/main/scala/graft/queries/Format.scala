@@ -72,6 +72,33 @@ object Format {
         .orderBy(col("c_custkey"))
     },
 
+    // Version deltas (reference dataset/delta.rs DatasetDelta): v1 = lower
+    // half of customers, v2 = append upper half, v3 = update BUILDING
+    // balances, v4 = delete custkey%100=7. The three delta reads over
+    // (1, 4] must classify every row exactly: inserted = upper half (with
+    // the v3 update applied, minus the v4 deletes), updated = lower-half
+    // BUILDING survivors, deleted = lower-half %100=7 rows — provable from
+    // the raw table because update preserves stable row ids (move-stable).
+    "q_version_delta" -> { (s, d) =>
+      val t = freshDir(s, "version_delta")
+      val c = Tables.customer(s, d)
+      val cut = c.agg(max(col("c_custkey"))).head().getLong(0) / 2
+      GraftTable.write(c.filter(col("c_custkey") <= cut), t, "overwrite")
+      GraftTable.write(c.filter(col("c_custkey") > cut), t, "append")
+      GraftTable.update(s, t, Map("c_acctbal" -> "c_acctbal + 50.0"),
+        Some("c_mktsegment = 'BUILDING'"))
+      GraftTable.delete(s, t, "c_custkey % 100 = 7")
+      val ins = GraftTable.deltaInserted(s, t, 1L, 4L)
+        .agg(count(lit(1)).as("ins_n"), round(sum(col("c_acctbal")), 2).as("ins_bal"))
+      val upd = GraftTable.deltaUpdated(s, t, 1L, 4L)
+        .agg(count(lit(1)).as("upd_n"), round(sum(col("c_acctbal")), 2).as("upd_bal"))
+      val del = GraftTable.deltaDeleted(s, t, 1L, 4L)
+        .agg(count(lit(1)).as("del_n"))
+      val tx = GraftTable.deltaTransactions(s, t, 1L, 4L)
+        .agg(count(lit(1)).as("tx_n"))
+      ins.crossJoin(upd).crossJoin(del).crossJoin(tx)
+    },
+
     // write → format("graft") read → TPC-H Q1-shaped agg
     "q_format_roundtrip" -> { (s, d) =>
       val t = freshDir(s, "roundtrip")
@@ -531,6 +558,25 @@ object Format {
         |SELECT rid, c_custkey, round(c_acctbal,2) AS bal
         |FROM r WHERE rid % 97 = 0 AND NOT (c_custkey % 5 = 2)
         |ORDER BY rid""".stripMargin,
+    "q_version_delta" ->
+      """WITH cut AS (SELECT CAST(floor(max(c_custkey) / 2.0) AS BIGINT) AS k
+        |             FROM customer)
+        |SELECT
+        | (SELECT count(*) FROM customer, cut
+        |   WHERE c_custkey > cut.k AND c_custkey % 100 <> 7) AS ins_n,
+        | (SELECT round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |                        THEN c_acctbal + 50.0 ELSE c_acctbal END), 2)
+        |   FROM customer, cut
+        |   WHERE c_custkey > cut.k AND c_custkey % 100 <> 7) AS ins_bal,
+        | (SELECT count(*) FROM customer, cut
+        |   WHERE c_custkey <= cut.k AND c_mktsegment = 'BUILDING'
+        |     AND c_custkey % 100 <> 7) AS upd_n,
+        | (SELECT round(sum(c_acctbal + 50.0), 2) FROM customer, cut
+        |   WHERE c_custkey <= cut.k AND c_mktsegment = 'BUILDING'
+        |     AND c_custkey % 100 <> 7) AS upd_bal,
+        | (SELECT count(*) FROM customer, cut
+        |   WHERE c_custkey <= cut.k AND c_custkey % 100 = 7) AS del_n,
+        | CAST(3 AS BIGINT) AS tx_n""".stripMargin,
     "q_format_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | count(*) AS n

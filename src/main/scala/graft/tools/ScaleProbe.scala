@@ -280,6 +280,43 @@ object ScaleProbe {
       }
     }
 
+    // ---- continuous ingest with the delta-MERGE policy (r8): the factor
+    // axis is the number of append→optimize cycles, not the corpus size.
+    // Without merging, each cycle adds one delta generation and the
+    // per-query beam count grows linearly with maintenance count; with
+    // maxDeltas=4 the generation count (the `rows` column) must stay
+    // bounded and the search time flat as cycles go 1 → 16. ----
+    val wantIngest = onlyOps.forall(_.contains("hnsw_ingest_search"))
+    if (wantIngest) for (c <- Seq(1, 4, 16)) {
+      val p = embs(1)
+      val tbl = s"$outDir/hnswing_tbl_c$c"; val idx = s"$outDir/hnswing_idx_c$c"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+      Seq(tbl, idx).foreach(d => fsys.delete(new org.apache.hadoop.fs.Path(d), true))
+      graft.format.GraftTable.write(
+        spark.read.parquet(p).repartitionByRange(4, col("vec_id")),
+        tbl, "overwrite")
+      graft.operators.HnswIndex.buildForTable(spark, tbl, "vec_id", "embedding",
+        idx, nlist = 32)
+      val slab = Tables.embeddings(spark, sfDir).limit(500)
+      for (i <- 1 to c) {
+        graft.format.GraftTable.write(
+          slab.withColumn("vec_id", col("vec_id") + lit(900000000L) * lit(i.toLong)),
+          tbl, "append")
+        graft.operators.HnswIndex.optimizeForTable(spark, tbl, "vec_id",
+          "embedding", idx, maxDeltas = 4)
+      }
+      val q = Array.tabulate(64)(i => (math.sin(i * 0.37) * 0.5).toFloat)
+      val nGen = fsys.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .map(_.getPath.getName).count(_.startsWith("graph_delta_")).toLong
+      time("hnsw_ingest_search", c) {
+        graft.operators.HnswIndex.searchCombined(spark, tbl, idx, "vec_id",
+          "embedding", q, k = 10, nprobes = 8, ef = 200, refineFactor = 4,
+          fastSearch = true).collect()
+        nGen // rows column = delta generations alive after c cycles (≤ 4)
+      }
+    }
+
     // ---- post-compaction index REMAP vs the re-encode it replaces
     // (IndexRemap, r7). Each round deletes a constant-size slab, compacts
     // the indebted fragment away, then optimizes: the remap cost tracks the

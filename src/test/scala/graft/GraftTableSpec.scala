@@ -319,16 +319,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(again(5L) == Set(4L, 5L)) // original + appended copy, distinct ids
   }
 
-  test("update assigns fresh row ids to rewritten rows, never reuses old ones") {
+  test("update preserves stable row ids (move-stable: address moves, id does not)") {
     val t = tmp()
     GraftTable.write(people.repartition(1), t)
+    val before = GraftTable.read(spark, t, withRowId = true)
+      .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toMap
     GraftTable.update(spark, t, Map("score" -> "score * 2"), Some("id = 3"))
     val m = GraftTable.loadManifest(spark, t)
-    assert(m.nextRowId == 6L)
-    val ids = GraftTable.read(spark, t, withRowId = true)
+    assert(m.nextRowId == 5L, "update must not advance the id high-water mark")
+    assert(m.fragments.exists(_.rowIdStored),
+      "rewritten rows persist their carried ids physically")
+    val after = GraftTable.read(spark, t, withRowId = true)
       .select("id", GraftTable.RowIdCol).as[(Long, Long)].collect().toMap
-    assert(ids(3L) == 5L, "updated row is a new row version with a fresh id")
-    assert(ids.values.toSeq.distinct.length == 5)
+    assert(after == before, s"ids moved across update: $after vs $before")
+    // the updated value landed under the SAME id
+    val score = GraftTable.read(spark, t).filter($"id" === 3L)
+      .select("score").as[Double].collect().toSeq
+    assert(score.length == 1 && score.head == people.filter($"id" === 3L)
+      .select("score").as[Double].collect().head * 2)
   }
 
   test("row-version system columns: _rowoffset, created/updated versions") {
@@ -347,15 +355,25 @@ class GraftTableSpec extends AnyFunSuite {
     assert(fresh.map(r => r._1 -> r._3).toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
     assert(fresh.forall(r => r._3 == r._4), "never-touched rows: created == updated")
-    // update rewrites id 3 (new row version, v3); compact rewrites all (v4)
-    // but preserves ids, so created versions SURVIVE while updated moves
+    // update rewrites id 3 (v3) but KEEPS its stable row id (move-stable:
+    // created survives, updated moves — reference delta.rs:430-520); a
+    // compact (v4) rewrites all and likewise preserves ids
     GraftTable.update(spark, t, Map("score" -> "score + 1"), Some("id = 3"))
+    val mid = GraftTable.read(spark, t, withRowVersions = true)
+      .select($"id", col(GraftTable.RowCreatedCol), col(GraftTable.RowLastUpdatedCol))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mid.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L),
+      s"created must survive an update: $mid")
+    assert(mid.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L),
+      s"only the updated row's last-write moves: $mid")
     GraftTable.compact(spark, t)
     val after = GraftTable.read(spark, t, withRowVersions = true)
       .select($"id", col(GraftTable.RowCreatedCol), col(GraftTable.RowLastUpdatedCol))
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(after.map(r => r._1 -> r._2).toMap ==
-      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L),
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L),
       s"created versions wrong: $after")
     assert(after.forall(_._3 == 4L), s"compaction is the last touch: $after")
     // versions never leak into a plain read
