@@ -219,6 +219,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.indices" => GraftProcedures.indices(pathOf)
       case "system.optimize_index" => GraftProcedures.optimizeIndexProc(pathOf)
       case "system.stats" => GraftProcedures.stats(pathOf)
+      case "system.data_stats" => GraftProcedures.dataStatsProc(pathOf)
       case "system.index_stats" => GraftProcedures.indexStats(pathOf)
       case "system.validate" => GraftProcedures.validateProc(pathOf)
       case "system.history" => GraftProcedures.history(pathOf)
@@ -236,8 +237,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "tag", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "optimize_index",
-        "stats", "index_stats", "validate", "history", "prewarm_index",
-        "fts_search", "knn_search")
+        "stats", "data_stats", "index_stats", "validate", "history",
+        "prewarm_index", "fts_search", "knn_search")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -660,6 +661,19 @@ private[format] object GraftProcedures {
       val target = in.getLong(1)
       Seq(m.liveRows, m.numDeleted, m.fragments.length.toLong,
         m.fragments.count(_.rows < target).toLong, m.version)
+    }
+
+  /** `CALL g.system.data_stats(table => 'db.t')` — per-column compressed
+    * bytes on disk (reference `statistics.rs` `calculate_data_stats`,
+    * `FieldStatistics.bytes_on_disk`): one executor-parallel footer pass
+    * ([[GraftTable.dataStats]]); result rows are column-count-sized. */
+  def dataStatsProc(pathOf: String => String): UnboundProcedure =
+    procRows("data_stats",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("column", DT.StringType),
+        StructField("bytes_on_disk", DT.LongType)))) { in =>
+      GraftTable.dataStats(spark, pathOf(in.getUTF8String(0).toString))
+        .collect().toSeq.map(r => Seq(r.getString(0), r.getLong(1)))
     }
 
   /** `CALL g.system.index_stats(table => 'db.t', name => 'btree_id')` —

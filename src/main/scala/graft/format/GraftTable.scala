@@ -791,6 +791,66 @@ object GraftTable {
     issues.toSeq
   }
 
+  /** Per-column storage statistics (reference
+    * `rust/lance/src/dataset/statistics.rs` `calculate_data_stats` —
+    * `FieldStatistics.bytes_on_disk`): compressed column-chunk bytes summed
+    * across every fragment and supplemental column file. One
+    * executor-parallel footer pass (same shape as [[validate]]'s fragment
+    * check — footers only, no data IO); the result is column-count-sized.
+    * Physical on-file names map back to logical names, so renamed columns
+    * report under the name the user sees. System storage is reported
+    * honestly under its own name: fragments rewritten by compaction carry a
+    * physical `_rowid` column, and supplemental column files carry their
+    * `addr` key. */
+  def dataStats(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val m = loadManifest(spark, tablePath)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val tp = tablePath
+    val paths = m.fragments.map(_.path) ++ m.columnFiles.map(_.path)
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, Long)].toDF("column", "bytes_on_disk")
+    val physToLogical = m.renames.map(_.swap).toMap
+    val chunks = paths.toDS()
+      .repartition(math.max(1, math.min(paths.length, 64)))
+      .mapPartitions { it =>
+        val c = sconf.value
+        it.flatMap { rel =>
+          val p = new Path(new Path(tp), rel)
+          val fs = p.getFileSystem(c)
+          val files =
+            if (fs.getFileStatus(p).isDirectory)
+              fs.listStatus(p).toSeq
+                .filter(_.getPath.getName.endsWith(".parquet"))
+            else Seq(fs.getFileStatus(p))
+          files.flatMap { st =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, c))
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getFooter.getBlocks.asScala.flatMap(b =>
+                b.getColumns.asScala.map(cc =>
+                  (cc.getPath.toDotString, cc.getTotalSize))).toSeq
+            } finally r.close()
+          }
+        }
+      }
+      .toDF("column", "bytes")
+      .groupBy(col("column"))
+      .agg(sum(col("bytes")).as("bytes_on_disk"))
+    // map physical file names (incl. nested `a.b` leaves — logical lookup is
+    // on the root) back to logical; the addr key of column files is storage
+    // overhead attributed to itself
+    val toLogical = udf((c: String) => {
+      val root = c.takeWhile(_ != '.')
+      val mapped = physToLogical.getOrElse(root, root)
+      mapped + c.drop(root.length)
+    })
+    chunks.withColumn("column", toLogical(col("column")))
+      .groupBy(col("column")).agg(sum(col("bytes_on_disk")).as("bytes_on_disk"))
+      .orderBy(col("column"))
+  }
+
   /** COUNT(*) metadata fast path — no data IO (reference
     * `count_rows`, `scanner.rs:1496-1554`). */
   def countRows(spark: SparkSession, tablePath: String, version: Option[Long] = None): Long =

@@ -79,31 +79,68 @@ object IvfIndex {
   def train(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
             maxIter: Int = 10, sampleSize: Int = 100000): Model = {
     val hashOrder = Seq(xxhash64(col("__id")), col("__id"))
-    val sample = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .orderBy(hashOrder: _*).limit(sampleSize)
-      .persist()
-    try {
-      val init = sample.orderBy(hashOrder: _*).limit(nlist).collect()
-      require(init.length >= nlist, s"need >= $nlist vectors to train, got ${init.length}")
-      var centroids = init.map(_.getSeq[Float](1).toArray)
-      for (_ <- 0 until maxIter) {
-        val stats = sample
-          .withColumn("__pid", ColumnBridge.column(
-            IvfAssign(ColumnBridge.expression(col("__v")), centroids)))
-          .select(col("__pid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-          .groupBy(col("__pid"), col("__pos"))
-          .agg(sum(round(col("__x") * MeanScale).cast("long")).as("__s"),
-            count(lit(1)).as("__n"))
-          .collect()
-        val next = centroids.map(_.clone())
-        stats.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) =
-            (r.getLong(2).toDouble / (r.getLong(3).toDouble * MeanScale)).toFloat
+    // Bounded in-memory training (reference kmeans `sample_rate` ≈ 256 rows
+    // per centroid, `rust/lance-index/src/vector/kmeans.rs`): ONE job
+    // TakeOrdered-collects a constant-size hash-sample, then the Lloyd
+    // iterations run as local multithreaded arithmetic — not maxIter Spark
+    // jobs whose fixed scheduling overhead dominates every index build. The
+    // corpus-sized work (assignment / encode) stays distributed. Fixed-point
+    // Long sums keep the update order-independent, so the result is
+    // deterministic on any thread count — same property the distributed
+    // reduction had.
+    val cap = math.min(sampleSize, math.max(nlist * 256, 4096))
+    val data = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(hashOrder: _*).limit(cap)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(data.length >= nlist, s"need >= $nlist vectors to train, got ${data.length}")
+    var centroids = data.take(nlist).map(_.clone())
+    for (_ <- 0 until maxIter) centroids = lloydStep(data, centroids)
+    Model(centroids)
+  }
+
+  /** One in-memory Lloyd round: assign each sample to its nearest centroid
+    * (strict `<` argmin — same first-wins tie rule as [[IvfAssign]]),
+    * accumulate fixed-point sums in parallel chunks, emit the means. Empty
+    * centroids keep their previous position (as the distributed version
+    * did). Deterministic: Long addition is associative, so chunking and
+    * thread scheduling cannot change the result. */
+  private[operators] def lloydStep(data: Array[Array[Float]],
+                                   cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val k = cents.length
+    val dim = if (k > 0) cents(0).length else 0
+    val nChunks = math.max(1, math.min(32, data.length / 256))
+    val chunkSize = (data.length + nChunks - 1) / nChunks
+    val sums = Array.fill(nChunks)(Array.fill(k)(new Array[Long](dim)))
+    val counts = Array.fill(nChunks)(new Array[Long](k))
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+      val s = sums(ci); val n = counts(ci)
+      var i = ci * chunkSize
+      val end = math.min(data.length, i + chunkSize)
+      while (i < end) {
+        val v = data(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = l2sq(v, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
-        centroids = next
+        val sb = s(best); var j = 0
+        while (j < dim) { sb(j) += math.round(v(j).toDouble * MeanScale); j += 1 }
+        n(best) += 1
+        i += 1
       }
-      Model(centroids)
-    } finally sample.unpersist()
+    }
+    Array.tabulate(k) { c =>
+      var cnt = 0L; var ci = 0
+      while (ci < nChunks) { cnt += counts(ci)(c); ci += 1 }
+      if (cnt == 0L) cents(c).clone()
+      else Array.tabulate(dim) { j =>
+        var acc = 0L; var i = 0
+        while (i < nChunks) { acc += sums(i)(c)(j); i += 1 }
+        (acc.toDouble / (cnt.toDouble * MeanScale)).toFloat
+      }
+    }
   }
 
   /** Build the index dataset: assign pids, write partitioned parquet +

@@ -72,58 +72,37 @@ object PqIndex {
       }
   }
 
-  /** Deterministic, unbiased, DISTRIBUTED per-subspace Lloyd's (VERDICT r2
-    * #4; same recipe as [[IvfIndex.train]]): hash-sample via xxhash64
-    * TakeOrdered, then per iteration ONE distributed job assigns every
-    * (row, subspace) sub-vector to its nearest code ([[PqAssignSub]]) and
-    * reduces fixed-point means — all m codebooks advance per pass, and only
-    * the O(m·k·dsub) statistics reach the driver. Init = sub-vectors of the
-    * k hash-smallest sample rows; empty codes keep their previous centroid. */
+  /** Deterministic per-subspace Lloyd's (same recipe as
+    * [[IvfIndex.train]]): ONE job TakeOrdered-collects a bounded
+    * hash-sample (reference kmeans `sample_rate` ≈ 256 rows per code,
+    * `rust/lance-index/src/vector/kmeans.rs`), then every subspace's
+    * codebook advances through in-memory multithreaded iterations
+    * ([[IvfIndex.lloydStep]] over the sub-vector slices) — the maxIter × m
+    * distributed jobs this replaces were pure scheduling overhead at a
+    * bounded sample size, while the corpus-sized encode pass stays
+    * distributed. Fixed-point Long sums keep the update order-independent.
+    * Init = sub-vectors of the k hash-smallest sample rows; empty codes
+    * keep their previous centroid. */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             maxIter: Int = 10, sampleSize: Int = 50000): PqModel = {
     val hashOrder = Seq(xxhash64(col("__id")), col("__id"))
-    val sample = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .orderBy(hashOrder: _*).limit(sampleSize)
-      .persist()
-    try {
-      val initRows = sample.orderBy(hashOrder: _*).limit(k).collect()
-      require(initRows.nonEmpty, "empty training set")
-      val d = initRows(0).getSeq[Float](1).length
-      require(d % m == 0, s"dim $d not divisible by m=$m")
-      val dsub = d / m
-      val kEff = math.min(k, initRows.length)
-      val initVecs = initRows.take(kEff).map(_.getSeq[Float](1).toArray)
-      var books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
-        initVecs.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      }
-      // (sub, subvec) view: one row per (sample row, subspace)
-      val subs = sample.select(
-          explode(transform(sequence(lit(0), lit(m - 1)), s => struct(
-            s.cast("int").as("sub"),
-            slice(col("__v"), (s * dsub + 1).cast("int"), lit(dsub)).as("sv")))).as("e"))
-        .select(col("e.sub").as("__sub"), col("e.sv").as("__sv"))
-        .persist()
-      try {
-        for (_ <- 0 until maxIter) {
-          val stats = subs
-            .withColumn("__code", ColumnBridge.column(PqAssignSub(
-              ColumnBridge.expression(col("__sub")),
-              ColumnBridge.expression(col("__sv")), books)))
-            .select(col("__sub"), col("__code"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
-            .groupBy(col("__sub"), col("__code"), col("__pos"))
-            .agg(sum(round(col("__x") * IvfIndex.MeanScale).cast("long")).as("__s"),
-              count(lit(1)).as("__n"))
-            .collect()
-          val next = books.map(_.map(_.clone()))
-          stats.foreach { r =>
-            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-              (r.getLong(3).toDouble / (r.getLong(4).toDouble * IvfIndex.MeanScale)).toFloat
-          }
-          books = next
-        }
-      } finally subs.unpersist()
-      PqModel(books)
-    } finally sample.unpersist()
+    val cap = math.min(sampleSize, math.max(k * 128, 4096))
+    val data = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(hashOrder: _*).limit(cap)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(data.nonEmpty, "empty training set")
+    val d = data(0).length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val kEff = math.min(k, data.length)
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      val subData = data.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var book = subData.take(kEff).map(_.clone())
+      for (_ <- 0 until maxIter) book = IvfIndex.lloydStep(subData, book)
+      book
+    }
+    PqModel(books)
   }
 
   /** Build an IVF_PQ index: IVF partition assignment (coarse) + PQ codes
@@ -465,45 +444,6 @@ case class PqAdcByPid(left: Expression, right: Expression,
          |${ev.value} = $acc;
        """.stripMargin
     })
-  }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
-/** (subspace id, sub-vector) → nearest code in that subspace's codebook.
-  * The training-loop assignment kernel: evaluated distributed over the
-  * exploded (row × subspace) sample so one job advances all m codebooks. */
-case class PqAssignSub(left: Expression, right: Expression,
-                       codebooks: Array[Array[Array[Float]]])
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "pq_assign_sub"
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (IntegerType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"pq_assign_sub requires (int, array<float>), got (${l.catalogString}, ${r.catalogString})")
-  }
-  override def nullSafeEval(subIn: Any, vecIn: Any): Any = {
-    val s = subIn.asInstanceOf[Int]
-    val arr = vecIn.asInstanceOf[ArrayData]
-    val books = codebooks(s)
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < books.length) {
-      var acc = 0.0
-      var i = 0
-      val n = math.min(arr.numElements(), books(c).length)
-      while (i < n) {
-        val d = arr.getFloat(i).toDouble - books(c)(i)
-        acc += d * d
-        i += 1
-      }
-      if (acc < bestD) { bestD = acc; best = c }
-      c += 1
-    }
-    best
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -244,7 +244,7 @@ object ScaleProbe {
       }
       time("ngram_lookup", f) {
         graft.index.ScalarIndex.containsViaNgram(spark, tbl, s"$tbl/_indices",
-          "text", "training data").count()
+          "text", "vector scan").count()
       }
     }
 

@@ -351,6 +351,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no index nope") ||
       Option(err.getCause).exists(_.getMessage.contains("no index nope")))
+    // per-column storage stats (reference calculate_data_stats): one row
+    // per column, every byte count positive
+    val ds = s.sql(s"CALL g.system.data_stats(table => 'db.$t')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ds.keySet == Set("id", "v"), s"got ${ds.keySet}")
+    assert(ds.values.forall(_ > 0L), s"got $ds")
   }
 
   test("CALL create_index covers vector and FTS families end-to-end") {
