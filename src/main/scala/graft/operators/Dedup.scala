@@ -157,6 +157,50 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise dedup output into survivor groups (keep one doc per
+    * component, the standard corpus-dedup recipe; e.g. the near-dedup
+    * stage in BigCode/The-Stack style pipelines runs exactly
+    * minhash-LSH → connected components → keep-one).
+    *
+    * Min-label propagation: every vertex starts as its own label; each
+    * round takes the min over its neighbors' labels, until a fixpoint.
+    * Rounds = component diameter — near-dup clusters are dense and
+    * shallow (duplicates of one source document all pair with each
+    * other), so this converges in a handful of rounds; each round is ONE
+    * shuffle keyed by vertex id, never materializing anything bigger than
+    * the edge list. The convergence check is a `limit(1)` probe, not a
+    * full count. Returns (idCol, component) for every vertex that appears
+    * in a pair; component = smallest id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
+      .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("__u")).distinct()
+      .withColumn("__lbl", col("__u")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("__u").as("__v"), col("__lbl")), "__v")
+        .groupBy(col("__u")).agg(min(col("__lbl")).as("__nlbl"))
+      val next = labels.join(nbrMin, Seq("__u"), "left_outer")
+        .select(col("__u"),
+          least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("__u"), col("__lbl").as("__old")), "__u")
+        .filter(col("__lbl") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("__u").as(aCol), col("__lbl").as("component"))
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key (brute-force
     * baseline; IVF/LSH bucketing is the scale path). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -65,6 +65,18 @@ object Text {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Near-dup pairs → connected components → survivor groups: the step a
+    // corpus-dedup pipeline runs after LSH (keep one doc per component).
+    // The LSH pairs are exact-verified, so the component structure is a
+    // pure function of the jaccard threshold — DuckDB reproduces it with a
+    // brute-force pair join + recursive reachability closure.
+    "q_dedup_components" -> { (s, d) =>
+      val pairs = Dedup.minhashNearDupPairs(docsWithShingles(s, d), "doc_id", "sh", 0.8)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("a_id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup — sketch values are engine-specific, so the gate
     // records a rows-only check (no oracle entry).
     "q_simhash_dedup" -> { (s, d) =>
@@ -284,6 +296,25 @@ object Text {
         |WHERE len(list_intersect(a.sh,b.sh))*1.0
         |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2],' ')
+        |                   for i in generate_series(1, len(toks)-2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))*1.0
+        |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8),
+        |e AS (SELECT a_id AS u, b_id AS v FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(u, lbl) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u)
+        |SELECT u AS doc_id, min(lbl) AS component
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -93,4 +93,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fps(1L) == fps(4L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("connectedComponents: chain, separate component, min-id labels") {
+    // 1-2-3-4 is a CHAIN (diameter 3, needs >1 propagation round); 10-11
+    // is a separate component; 20 has no edges and must not appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L), s"got $comp")
+  }
+
+  test("connectedComponents on LSH pairs groups duplicates of one source") {
+    val sh = docs.withColumn("sh", TA.shingleSet($"text", 3))
+    val pairs = Dedup.minhashNearDupPairs(sh, "doc_id", "sh", 0.5)
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    // 1, 2, 4 are one near-dup family; 3 pairs with nothing
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), s"got $comp")
+  }
 }
