@@ -496,10 +496,12 @@ private[format] object GraftProcedures {
     * live row count). */
   def optimizeIndexProc(pathOf: String => String): UnboundProcedure =
     proc("optimize_index",
-      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        pd("retrain", DT.BooleanType, "false")),
       StructType(Seq(StructField("rows_indexed", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val idxName = in.getUTF8String(1).toString
+      val retrain = in.getBoolean(2)
       val m = GraftTable.loadManifest(spark, path)
       val e = m.indices.find(_.name == idxName).getOrElse(
         throw new IllegalArgumentException(
@@ -508,7 +510,41 @@ private[format] object GraftProcedures {
       val idxDir = s"$path/_indices"
       def idCol = e.params.getOrElse("idCol",
         throw new IllegalArgumentException(s"index '$idxName' records no idCol"))
-      val n: Long = e.indexType match {
+      // retrain (reference `OptimizeOptions.retrain`, `optimize.rs:24-35`):
+      // re-learn centroids/codebooks/graphs over the CURRENT data and
+      // rebuild the index in one piece — for when the data distribution
+      // drifted past what delta appends with frozen quantizers can serve.
+      // Build parameters re-dispatch from the manifest entry; supported for
+      // the vector families, as in the reference.
+      def runRetrain(): Long = {
+        def pInt(k: String, dflt: Int) = e.params.get(k).map(_.toInt).getOrElse(dflt)
+        def pStr(k: String, dflt: String) = e.params.getOrElse(k, dflt)
+        val ip = s"$idxDir/$idxName"
+        e.indexType match {
+          case "IVF_FLAT" =>
+            graft.operators.IvfIndex.buildForTable(spark, path, idCol, column,
+              ip, pInt("nlist", 8))
+          case "IVF_PQ" =>
+            graft.operators.PqIndex.buildForTable(spark, path, idCol, column,
+              ip, pInt("nlist", 8), pInt("pqM", 8), pInt("pqK", 256),
+              pStr("metric", "l2"))
+          case "IVF_SQ" =>
+            graft.operators.SqIndex.buildForTable(spark, path, idCol, column,
+              ip, pInt("nlist", 8), pStr("metric", "l2"))
+          case "IVF_RQ" =>
+            graft.operators.RqIndex.buildForTable(spark, path, idCol, column,
+              ip, pInt("nlist", 8), pStr("metric", "l2"))
+          case "IVF_HNSW" | "IVF_HNSW_SQ" | "IVF_HNSW_PQ" =>
+            graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
+              ip, pInt("nlist", 8), pInt("m", 16), pInt("efConstruction", 64),
+              pStr("metric", "l2"), pStr("storage", "flat"),
+              pInt("pqM", 8), pInt("pqK", 256))
+          case other => throw new IllegalArgumentException(
+            s"retrain supports the vector index families; '$idxName' is $other")
+        }
+        GraftTable.countRows(spark, path)
+      }
+      val n: Long = if (retrain) runRetrain() else e.indexType match {
         case "BTREE" => graft.index.ScalarIndex.optimizeBtree(spark, path, column, idxDir)
         case "JSON" => graft.index.ScalarIndex.optimizeJson(spark, path, column,
           e.params.getOrElse("path",

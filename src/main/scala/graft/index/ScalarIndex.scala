@@ -203,9 +203,15 @@ object ScalarIndex {
       val uuid = readMarkerUuid(spark, indexPath)
         .getOrElse(java.util.UUID.randomUUID().toString)
       writeVersionMarker(spark, indexPath, m.version, Some(physColumn), Some(uuid))
+      // MERGE params over the existing entry's: incremental-optimize commits
+      // pass only what they know (idCol) and must not erase the build
+      // parameters (nlist, codebook sizes, metric) that retrain re-dispatches
+      // from (reference IndexMetadata carries index params durably)
+      val mergedParams = m.indices.find(_.name == name)
+        .map(_.params).getOrElse(Map.empty) ++ params
       GraftTable.commitIndex(spark, tablePath, graft.format.IndexMeta(
         name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid,
-        params))
+        mergedParams))
     }
   }
 

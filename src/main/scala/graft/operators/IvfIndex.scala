@@ -205,7 +205,7 @@ object IvfIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol))
+      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol, "nlist" -> nlist.toString))
     model
   }
 

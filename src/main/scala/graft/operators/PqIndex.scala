@@ -153,7 +153,8 @@ object PqIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, k, metric)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_PQ", vecCol, mft, Map("idCol" -> idCol))
+      "IVF_PQ", vecCol, mft, Map("idCol" -> idCol, "nlist" -> nlist.toString,
+        "pqM" -> m.toString, "pqK" -> k.toString, "metric" -> metric))
     out
   }
 

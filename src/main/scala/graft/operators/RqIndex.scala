@@ -76,7 +76,8 @@ object RqIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, metric)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_RQ", vecCol, mft, Map("idCol" -> idCol))
+      "IVF_RQ", vecCol, mft, Map("idCol" -> idCol, "nlist" -> nlist.toString,
+        "metric" -> metric))
     out
   }
 

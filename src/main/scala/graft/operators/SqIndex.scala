@@ -95,7 +95,8 @@ object SqIndex {
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, metric)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_SQ", vecCol, mft, Map("idCol" -> idCol))
+      "IVF_SQ", vecCol, mft, Map("idCol" -> idCol, "nlist" -> nlist.toString,
+        "metric" -> metric))
     out
   }
 

@@ -307,6 +307,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no index"), e.getMessage)
   }
 
+  test("CALL optimize_index(retrain => true) relearns quantizers from current data") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, emb ARRAY<FLOAT>) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, array(cast(id % 7 AS FLOAT)," +
+      " cast(id % 5 AS FLOAT)) FROM range(0, 300)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'emb'," +
+      " index_type => 'IVF_PQ', nlist => 4, pq_m => 2, pq_k => 16)")
+    // distribution drift: a second cluster far from the trained space
+    s.sql(s"INSERT INTO g.db.$t SELECT id, array(cast(100 + id % 9 AS FLOAT)," +
+      " cast(100 - id % 11 AS FLOAT)) FROM range(300, 600)")
+    // retrain re-dispatches the build from the manifest-recorded params
+    // (nlist=4, pq_m=2, pq_k=16) and covers the whole current snapshot
+    val n = s.sql(s"CALL g.system.optimize_index(table => 'db.$t'," +
+      " name => 'ivfpq_emb', retrain => true)").head().getLong(0)
+    assert(n == 600L, s"retrain should cover all 600 rows, got $n")
+    val ix = s.sql(s"CALL g.system.index_stats(table => 'db.$t', name => 'ivfpq_emb')")
+      .head()
+    assert(ix.getLong(6) == 0L, s"unindexed debt after retrain: ${ix.getLong(6)}")
+    assert(ix.getLong(5) == 600L, s"indexed rows after retrain: ${ix.getLong(5)}")
+    // scalar families reject retrain, as in the reference (vector-only)
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'id')")
+    val e = intercept[Exception] {
+      s.sql(s"CALL g.system.optimize_index(table => 'db.$t'," +
+        " name => 'btree_id', retrain => true)")
+    }
+    def msgChain(x: Throwable): String =
+      Option(x.getCause).map(c => x.getMessage + " | " + msgChain(c)).getOrElse(x.getMessage)
+    assert(msgChain(e).contains("retrain supports the vector index families"), msgChain(e))
+  }
+
   test("CALL stats / index_stats: manifest-only statistics") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
