@@ -395,6 +395,60 @@ object GraftTable {
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
 
+  /** Schema-level key-value metadata (reference `dataset/metadata.rs`
+    * `replace_schema_metadata` + UpdateMap merge semantics): `replace=false`
+    * merges `set` over the existing map after dropping `remove` keys;
+    * `replace=true` swaps the whole map for `set`. Metadata-only commit. */
+  def updateSchemaMetadata(spark: SparkSession, tablePath: String,
+                           set: Map[String, String],
+                           remove: Seq[String] = Nil,
+                           replace: Boolean = false): GraftManifest =
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val next =
+          (if (replace) Map.empty[String, String] else base.schemaMetadata -- remove) ++ set
+        base.copy(version = base.version + 1, operation = "update_metadata",
+          schemaMetadata = next, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+
+  /** Field-level metadata (reference `metadata.rs` field_metadata_updates):
+    * merged into the column's `StructField.metadata` in the committed
+    * schema, so every subsequent [[read]] exposes it on the DataFrame
+    * schema. Metadata-only commit, no data IO. The `graft.physical` key is
+    * reserved (it carries rename indirection) and cannot be set or
+    * removed here. */
+  def updateFieldMetadata(spark: SparkSession, tablePath: String, column: String,
+                          set: Map[String, String],
+                          remove: Seq[String] = Nil,
+                          replace: Boolean = false): GraftManifest = {
+    require(!set.contains(GraftManifest.PhysicalKey) &&
+      !remove.contains(GraftManifest.PhysicalKey),
+      s"${GraftManifest.PhysicalKey} is reserved (rename indirection)")
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val sch = base.schema
+        require(sch.fieldNames.contains(column),
+          s"no column '$column' (have: ${sch.fieldNames.mkString(", ")})")
+        val fields = sch.fields.map { f =>
+          if (f.name != column) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            if (!replace) mb.withMetadata(f.metadata)
+            else if (f.metadata.contains(GraftManifest.PhysicalKey))
+              mb.putString(GraftManifest.PhysicalKey,
+                f.metadata.getString(GraftManifest.PhysicalKey))
+            remove.foreach(mb.remove)
+            set.foreach { case (k, v) => mb.putString(k, v) }
+            f.copy(metadata = mb.build())
+          }
+        }
+        base.copy(version = base.version + 1, operation = "update_metadata",
+          schemaJson = StructType(fields).json, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+
   // ------------------------------------------------------------------- read
 
   /** Snapshot read. Inherits parquet pushdown/pruning via GraftFileIndex;
@@ -508,7 +562,20 @@ object GraftTable {
     val versioned = if (!withRowVersions) merged else addRowVersionColumns(spark, tablePath, m, merged)
     val out0 = if (withRowAddr) versioned else versioned.drop(RowAddrCol)
     val out = if (withRowId || !needRowId) out0 else out0.drop(RowIdCol)
-    out
+    // expose committed field metadata (updateFieldMetadata) on the result
+    // schema; the rename-indirection key stays internal
+    val fieldMeta: Map[String, org.apache.spark.sql.types.Metadata] =
+      m.schema.fields.toSeq.flatMap { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(GraftManifest.PhysicalKey)
+        val cleaned = mb.build()
+        if (cleaned == org.apache.spark.sql.types.Metadata.empty) None
+        else Some(f.name -> cleaned)
+      }.toMap
+    if (fieldMeta.isEmpty) out
+    else out.select(out.columns.toSeq.map(c =>
+      fieldMeta.get(c).map(md => col(c).as(c, md)).getOrElse(col(c))): _*)
   }
 
   /** System columns `_rowoffset`, `_row_created_at_version`,

@@ -114,7 +114,11 @@ case class GraftManifest(
     /** Committed index inventory (see [[IndexMeta]]). Empty on legacy
       * manifests and on tables whose indexes predate manifest commits —
       * [[GraftManifest.indicesAuthoritative]] tells the two apart. */
-    indices: Seq[IndexMeta] = Nil) {
+    indices: Seq[IndexMeta] = Nil,
+    /** Schema-level key-value metadata (reference `dataset/metadata.rs`
+      * `replace_schema_metadata` / UpdateMap — the Arrow schema metadata).
+      * Missing in pre-r8 manifests → defaults to empty. */
+    schemaMetadata: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** True once any index build has committed metadata into this lineage:

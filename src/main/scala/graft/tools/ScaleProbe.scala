@@ -280,6 +280,30 @@ object ScaleProbe {
       }
     }
 
+    // ---- version-delta reads (r8): a CONSTANT-size append onto a corpus
+    // that grows with the factor; deltaInserted(1, 2) must cost the DELTA
+    // (flat line), because the scan prunes to fragments with
+    // addedVersion > begin before touching storage. ----
+    val wantDelta = onlyOps.forall(_.contains("delta_inserted"))
+    if (wantDelta) for (f <- docFactors) {
+      val p = docsPlain(f)
+      val tbl = s"$outDir/delta_tbl_x$f"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(tbl), true)
+      graft.format.GraftTable.write(
+        spark.read.parquet(p).repartition(math.max(4, f)), tbl, "overwrite")
+      graft.format.GraftTable.write(
+        Tables.documents(spark, sfDir).limit(2000)
+          .withColumn("doc_id", col("doc_id") + lit(900000000L)),
+        tbl, "append")
+      time("delta_inserted", f) {
+        graft.format.GraftTable.deltaInserted(spark, tbl, 1L, 2L)
+          .agg(count(lit(1)), sum(col("n_chars"))).collect()
+        2000L
+      }
+    }
+
     // ---- continuous ingest with the delta-MERGE policy (r8): the factor
     // axis is the number of append→optimize cycles, not the corpus size.
     // Without merging, each cycle adds one delta generation and the
