@@ -87,7 +87,7 @@ object Bench {
     // the shuffle cap showed ≤±5% across 8..64 partitions, so the residual
     // was debris, not partitioning)
     val cleanBefore = Set("q_ngram_jaccard", "q_minhash_lsh", "q_simhash_dedup",
-      "q_embed_near_dup")
+      "q_embed_near_dup", "q_dedup_components")
     val pureResults = pure.map { case (name, fn) =>
       if (cleanBefore.contains(name)) lightClean()
       timed(name, () => { fn(spark, sfDir).count(); () })

@@ -158,18 +158,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val props = changes.collect { case p: TableChange.SetProperty =>
       p.property() -> p.value()
     }
-    val handled = adds.size + renames.size + casts.size + drops.size + props.size
+    // COMMENT ON COLUMN / ALTER COLUMN ... COMMENT → field metadata
+    // (updateFieldMetadata), the standard "comment" key DESCRIBE reads
+    val comments = changes.collect { case c: TableChange.UpdateColumnComment =>
+      require(c.fieldNames().length == 1, "graft: nested COLUMN COMMENT unsupported")
+      c.fieldNames().head -> c.newComment()
+    }
+    val handled = adds.size + renames.size + casts.size + drops.size +
+      props.size + comments.size
     require(handled == changes.size, "graft: unsupported ALTER TABLE change in " +
       changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.SetProperty]).mkString(", "))
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.UpdateColumnComment]).mkString(", "))
     if (adds.nonEmpty) GraftTable.addColumnsFiles(spark, path, adds)
     if (renames.nonEmpty || casts.nonEmpty)
       GraftTable.alterColumns(spark, path, renames.toMap, casts.toMap)
     if (drops.nonEmpty) GraftTable.dropColumns(spark, path, drops)
     if (props.nonEmpty) GraftTable.updateConfig(spark, path, props.toMap)
+    comments.foreach { case (c, cmt) =>
+      GraftTable.updateFieldMetadata(spark, path, c, Map("comment" -> cmt))
+    }
     loadTable(ident)
   }
 

@@ -223,6 +223,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!s.sql(s"SELECT * FROM g.db.$t").columns.contains("w"))
     // data still intact after the metadata churn
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+    // column comments land as field metadata and show through DESCRIBE
+    s.sql(s"ALTER TABLE g.db.$t ALTER COLUMN label COMMENT 'the doc label'")
+    val desc = s.sql(s"DESCRIBE TABLE g.db.$t")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc.get("label").contains("the doc label"), s"got $desc")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
   }
 
   test("CALL maintenance procedures: compact, tag, restore, cleanup") {
