@@ -143,20 +143,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       require(a.fieldNames().length == 1, "graft: nested ADD COLUMN unsupported")
       a.fieldNames().head -> s"CAST(NULL AS ${a.dataType().sql})"
     }
+    // nested field names arrive as a path array; graft addresses them as
+    // dotted paths (segments must not themselves contain dots)
+    def dotted(fieldNames: Array[String]): String = {
+      fieldNames.foreach(s => require(!s.contains("."),
+        s"graft: column name segment may not contain '.': $s"))
+      fieldNames.mkString(".")
+    }
     val renames = changes.collect { case r: TableChange.RenameColumn =>
-      require(r.fieldNames().length == 1, "graft: nested RENAME COLUMN unsupported")
-      r.fieldNames().head -> r.newName()
+      dotted(r.fieldNames()) -> r.newName()
     }
     val casts = changes.collect { case u: TableChange.UpdateColumnType =>
-      require(u.fieldNames().length == 1, "graft: nested ALTER TYPE unsupported")
-      u.fieldNames().head -> u.newDataType().sql
+      dotted(u.fieldNames()) -> u.newDataType().sql
     }
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
-      require(d.fieldNames().length == 1, "graft: nested DROP COLUMN unsupported")
-      d.fieldNames().head
+      dotted(d.fieldNames())
     }
     val props = changes.collect { case p: TableChange.SetProperty =>
       p.property() -> p.value()
+    }
+    // ALTER TABLE ... UNSET TBLPROPERTIES → config key removal (reference
+    // delete_config_keys)
+    val unsets = changes.collect { case p: TableChange.RemoveProperty =>
+      p.property()
     }
     // COMMENT ON COLUMN / ALTER COLUMN ... COMMENT → field metadata
     // (updateFieldMetadata), the standard "comment" key DESCRIBE reads
@@ -165,19 +174,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       c.fieldNames().head -> c.newComment()
     }
     val handled = adds.size + renames.size + casts.size + drops.size +
-      props.size + comments.size
+      props.size + unsets.size + comments.size
     require(handled == changes.size, "graft: unsupported ALTER TABLE change in " +
       changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.UpdateColumnComment]).mkString(", "))
     if (adds.nonEmpty) GraftTable.addColumnsFiles(spark, path, adds)
     if (renames.nonEmpty || casts.nonEmpty)
       GraftTable.alterColumns(spark, path, renames.toMap, casts.toMap)
     if (drops.nonEmpty) GraftTable.dropColumns(spark, path, drops)
-    if (props.nonEmpty) GraftTable.updateConfig(spark, path, props.toMap)
+    if (props.nonEmpty || unsets.nonEmpty)
+      GraftTable.updateConfig(spark, path, props.toMap, unsets)
     comments.foreach { case (c, cmt) =>
       GraftTable.updateFieldMetadata(spark, path, c, Map("comment" -> cmt))
     }
@@ -222,6 +233,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.compact" => GraftProcedures.compact(pathOf)
       case "system.cluster" => GraftProcedures.cluster(pathOf)
       case "system.cleanup" => GraftProcedures.cleanup(pathOf)
+      case "system.add_base" => GraftProcedures.addBase(pathOf)
+      case "system.import_files" => GraftProcedures.importFiles(pathOf)
       case "system.tag" => GraftProcedures.tag(pathOf)
       case "system.restore" => GraftProcedures.restore(pathOf)
       case "system.optimize_scalar_index" => GraftProcedures.optimizeScalarIndex(pathOf)
@@ -246,7 +259,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "cluster", "cleanup", "tag", "restore", "optimize_scalar_index",
+    Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search")
@@ -465,6 +478,38 @@ private[format] object GraftProcedures {
       val path = pathOf(in.getUTF8String(0).toString)
       GraftTable.cleanupOldVersions(spark, path, in.getLong(1).toInt)
       Seq(GraftTable.loadManifest(spark, path).version)
+    }
+
+  /** `CALL g.system.add_base(table => 'db.t', name => 'cold', path => '...')`
+    * — register a multi-base storage location (reference Python
+    * `add_bases`, `dataset.py:2154`). */
+  def addBase(pathOf: String => String): UnboundProcedure =
+    proc("add_base",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        p("path", DT.StringType)),
+      StructType(Seq(StructField("version", DT.LongType),
+        StructField("bases", DT.StringType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.addBases(spark, path,
+        Map(in.getUTF8String(1).toString -> in.getUTF8String(2).toString))
+      Seq(m.version, m.bases.keys.toSeq.sorted.mkString(","))
+    }
+
+  /** `CALL g.system.import_files(table => 'db.t', paths => 'a.parquet,b.parquet')`
+    * — zero-copy registration of existing parquet files as fragments
+    * (reference external-write commit, `Fragment.create_from_file` +
+    * `LanceDataset.commit`; see [[GraftTable.commitFiles]]). */
+  def importFiles(pathOf: String => String): UnboundProcedure =
+    proc("import_files",
+      Array(p("table", DT.StringType), p("paths", DT.StringType),
+        pd("mode", DT.StringType, "'append'")),
+      StructType(Seq(StructField("version", DT.LongType),
+        StructField("rows", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val files = in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty)
+      val m = GraftTable.commitFiles(spark, path, files.toSeq,
+        in.getUTF8String(2).toString)
+      Seq(m.version, m.liveRows)
     }
 
   def tag(pathOf: String => String): UnboundProcedure =

@@ -37,7 +37,7 @@ class GraftDataSource extends RelationProvider
     val m = GraftTable.loadManifest(spark, path, version, branch)
     val dvRuleInstalled = spark.sessionState.analyzer.extendedResolutionRules
       .exists(_.isInstanceOf[GraftDvRule])
-    if ((m.dvFiles.nonEmpty || m.columnFiles.nonEmpty || m.renames.nonEmpty) && !dvRuleInstalled)
+    if ((m.dvFiles.nonEmpty || m.columnFiles.nonEmpty || m.hasIndirection) && !dvRuleInstalled)
       throw new IllegalStateException(
         "graft: this snapshot has deletion vectors, supplemental column " +
           "files, or renamed columns; install GraftExtensions " +

@@ -606,7 +606,7 @@ class GraftDvRule(session: SparkSession) extends Rule[LogicalPlan] {
     case lr @ LogicalRelation(
         HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _)
         if (gfi.manifest.dvFiles.nonEmpty || gfi.manifest.columnFiles.nonEmpty ||
-          gfi.manifest.renames.nonEmpty) && !gfi.dvApplied =>
+          gfi.manifest.hasIndirection) && !gfi.dvApplied =>
       rewrite(lr, gfi)
   }
 

@@ -47,6 +47,14 @@ object GraftTable {
   /** Table-config key selecting the parquet codec for new fragment files
     * ("zstd", "snappy", "gzip", ...). Absent = Spark's session default. */
   val CompressionKey = "graft.write.compression"
+
+  /** Auto-cleanup policy (reference `cleanup.rs:554` `auto_cleanup_hook`,
+    * config keys `lance.auto_cleanup.*`): when set, every commit whose
+    * version is a multiple of the interval prunes manifests beyond
+    * `keep_last` (default 20) — tagged versions always survive
+    * ([[cleanupOldVersions]] keeps them). */
+  val AutoCleanupIntervalKey = "graft.auto_cleanup.interval"
+  val AutoCleanupKeepKey = "graft.auto_cleanup.keep_last"
   val RowOffsetCol = "_rowoffset"
   val RowCreatedCol = "_row_created_at_version"
   val RowLastUpdatedCol = "_row_last_updated_at_version"
@@ -204,11 +212,38 @@ object GraftTable {
       val base = latestVersion(spark, tablePath, branch)
         .map(v => loadManifest(spark, tablePath, Some(v), branch))
       val next = op(base)
-      if (tryCommit(spark, tablePath, next, branch)) return next
+      if (tryCommit(spark, tablePath, next, branch)) {
+        if (branch.isEmpty) autoCleanupHook(spark, tablePath, next)
+        return next
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries at $tablePath")
   }
+
+  /** Post-commit auto-cleanup (reference `auto_cleanup_hook`,
+    * `rust/lance/src/dataset/cleanup.rs:554` — commit path calls it unless
+    * `skip_auto_cleanup`, `io/commit.rs:900`): active only when the table
+    * config carries [[AutoCleanupIntervalKey]]; fires on versions divisible
+    * by the interval; failures are logged, never fail the commit (matching
+    * the reference's log-and-continue). Main branch only — branch heads
+    * share the data dir and are already protected by the cleanup's
+    * every-branch reference sweep. */
+  private def autoCleanupHook(spark: SparkSession, tablePath: String,
+                              m: GraftManifest): Unit =
+    m.config.get(AutoCleanupIntervalKey).foreach { iv =>
+      try {
+        val interval = iv.toLong
+        require(interval > 0, s"$AutoCleanupIntervalKey must be positive: $iv")
+        if (m.version % interval == 0) {
+          val keep = m.config.get(AutoCleanupKeepKey).map(_.toInt).getOrElse(20)
+          cleanupOldVersions(spark, tablePath, keep)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[graft] auto-cleanup at $tablePath failed: ${e.getMessage}")
+      }
+    }
 
   // ------------------------------------------------------------- data files
 
@@ -251,23 +286,31 @@ object GraftTable {
     * table's other files store (renames are metadata-only; see
     * [[GraftManifest.physicalName]]). One atomic projection (swap-safe). */
   private def toPhysical(df: DataFrame, m: GraftManifest): DataFrame = {
-    val logToPhys = m.renames.toMap
-    if (logToPhys.isEmpty) df
-    else df.select(df.columns.toSeq.map(c => col(c).as(logToPhys.getOrElse(c, c))): _*)
+    if (!m.hasIndirection) return df
+    val byLogical = m.schema.fields.map(f => f.name -> f).toMap
+    df.select(df.columns.toSeq.map { c =>
+      byLogical.get(c) match {
+        case Some(f) if SchemaPaths.hasNestedIndirection(f.dataType) =>
+          // nested renames: one struct→struct cast renames fields
+          // positionally (null-safe, recurses through arrays) to the
+          // physical nested names fragment files store
+          col(c).cast(SchemaPaths.nullableAll(SchemaPaths.physicalType(f.dataType)))
+            .as(m.physicalName(f))
+        case Some(f) => col(c).as(m.physicalName(f))
+        case None    => col(c) // graft-internal columns (_rowid, _rowaddr)
+      }
+    }: _*)
   }
 
   /** Strip graft-internal field metadata (rename mapping) from a schema about
     * to be committed for files written under their logical names. */
   private def cleanSchema(s: StructType): StructType =
-    StructType(s.fields.map { f =>
-      if (f.metadata.contains(GraftManifest.PhysicalKey))
-        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)
-      else f
-    })
+    SchemaPaths.cleanType(s).asInstanceOf[StructType]
 
-  private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame): Seq[Path] = {
+  private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame,
+                             stagingRoot: Option[Path] = None): Seq[Path] = {
     val txn = s"data/txn-${UUID.randomUUID().toString.take(8)}"
-    val stagingDir = new Path(new Path(tablePath), txn)
+    val stagingDir = new Path(stagingRoot.getOrElse(new Path(tablePath)), txn)
     // table-level write codec (`graft.write.compression` config, e.g.
     // "zstd"): at archival scale zstd roughly halves cold storage over the
     // snappy default for modest CPU — a per-table choice every mutation
@@ -293,7 +336,8 @@ object GraftTable {
     * column (compaction rewrites). */
   private def assignIds(spark: SparkSession, staged: Seq[Path], firstId: Long,
                         version: Long, rowIdBase: Long = -1L,
-                        storedRowIds: Boolean = false): (Seq[FragmentMeta], Seq[Path]) = {
+                        storedRowIds: Boolean = false,
+                        absolutePaths: Boolean = false): (Seq[FragmentMeta], Seq[Path]) = {
     val conf = spark.sessionState.newHadoopConf()
     var nextRid = rowIdBase
     val out = staged.zipWithIndex.map { case (p, i) =>
@@ -306,7 +350,12 @@ object GraftTable {
       val st = f.getFileStatus(dest)
       val (rows, stats) = parquetFooterInfo(conf, st)
       val start = if (rowIdBase >= 0) { val s = nextRid; nextRid += rows; s } else -1L
-      (FragmentMeta(id, relativize(spark, dest), rows, st.getLen, version, stats,
+      // fragments written to a registered BASE record absolute paths (same
+      // resolution rule shallow clones use: an absolute child wins in
+      // `new Path(tableRoot, path)`)
+      val rel = if (absolutePaths) f.makeQualified(dest).toString
+                else relativize(spark, dest)
+      (FragmentMeta(id, rel, rows, st.getLen, version, stats,
         rowIdStart = start, rowIdStored = storedRowIds), dest)
     }
     (out.map(_._1), out.map(_._2))
@@ -325,23 +374,32 @@ object GraftTable {
 
   // ------------------------------------------------------------------ write
 
-  /** Create / append / overwrite (reference `WriteMode`, `write.rs:115-122`). */
+  /** Create / append / overwrite (reference `WriteMode`, `write.rs:115-122`).
+    * `base`: write the new fragments under a registered multi-base storage
+    * location instead of the table root (reference named base paths,
+    * Python `add_bases` / write-to-base; see [[addBases]]). */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
-            configUpdates: Map[String, String] = Map.empty): GraftManifest = {
+            configUpdates: Map[String, String] = Map.empty,
+            base: Option[String] = None): GraftManifest = {
     val spark = df.sparkSession
     // appends must write the table's PHYSICAL column names (rename mapping of
-    // the latest manifest); create/overwrite define a fresh logical schema
-    val stagedRenames = latestVersion(spark, tablePath)
+    // the latest manifest, at every nesting depth); create/overwrite define a
+    // fresh logical schema
+    val latestM = latestVersion(spark, tablePath)
       .map(v => loadManifest(spark, tablePath, Some(v)))
-      .filter(_ => mode.equalsIgnoreCase("append"))
-      .map(_.renames).getOrElse(Nil)
+    val stagedM = latestM.filter(_ => mode.equalsIgnoreCase("append"))
+    val stagedIndirection = stagedM.map(_.indirectionPairs).getOrElse(Nil)
+    val baseRoot = base.map { name =>
+      val bs = latestM.map(_.bases).getOrElse(Map.empty)
+      new Path(bs.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown base '$name' (registered: ${bs.keys.toSeq.sorted.mkString(", ")})")))
+    }
     val cleanJson = cleanSchema(df.schema).json
     var staged = stageFragments(spark, tablePath,
-      if (stagedRenames.isEmpty) df
-      else df.select(df.columns.toSeq.map(c =>
-        col(c).as(stagedRenames.toMap.getOrElse(c, c))): _*))
+      stagedM.map(m => toPhysical(df, m)).getOrElse(df), baseRoot)
     def assign(firstId: Long, version: Long, rowIdBase: Long): Seq[FragmentMeta] = {
-      val (frags, paths) = assignIds(spark, staged, firstId, version, rowIdBase)
+      val (frags, paths) = assignIds(spark, staged, firstId, version, rowIdBase,
+        absolutePaths = baseRoot.isDefined)
       staged = paths
       frags
     }
@@ -352,7 +410,7 @@ object GraftTable {
           nextRowId = frags.map(_.rows).sum)
       case Some(base) => mode.toLowerCase match {
         case "append" =>
-          if (base.renames != stagedRenames) throw new IllegalStateException(
+          if (base.indirectionPairs != stagedIndirection) throw new IllegalStateException(
             "append conflict: columns were renamed concurrently — retry the write")
           val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
           base.copy(version = base.version + 1, operation = "append",
@@ -365,7 +423,8 @@ object GraftTable {
           val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
           GraftManifest(base.version + 1, "overwrite", cleanJson,
             frags, Nil, 0L, base.config ++ configUpdates, base.version,
-            nextRowId = base.nextRowId + frags.map(_.rows).sum)
+            nextRowId = base.nextRowId + frags.map(_.rows).sum,
+            bases = base.bases)
         case "errorifexists" | "error" =>
           throw new IllegalStateException(s"graft table already exists at $tablePath")
         case m => throw new IllegalArgumentException(s"unknown write mode: $m")
@@ -385,13 +444,101 @@ object GraftTable {
     m
   }
 
+  /** Zero-copy registration of EXISTING parquet files as fragments
+    * (reference distributed/external-write pattern: workers produce data
+    * files via `Fragment.create` / `create_from_file` — Python
+    * `fragment.py:279,304` — and a coordinator registers them with
+    * `LanceDataset.commit(uri, LanceOperation.Append(fragments))`,
+    * `dataset.py` `commit`): the files are NOT copied, moved, or rewritten —
+    * their footers are read once (executor-parallel shape like
+    * [[validate]]) for row counts + zonemap stats, and the manifest commit
+    * references them by absolute qualified path (the shallow-clone /
+    * multi-base resolution rule). At 100 TB this is the difference between
+    * re-ingesting externally produced parquet and a metadata-only import.
+    *
+    * Files must carry the table's PHYSICAL schema (names; types must be
+    * compatible) — verified before commit. `mode` ∈ append | overwrite.
+    * Caveat, documented: imported files keep living at their original
+    * location; `cleanupOldVersions` never deletes files outside the table
+    * root and its registered bases. */
+  def commitFiles(spark: SparkSession, tablePath: String, files: Seq[String],
+                  mode: String = "append"): GraftManifest = {
+    require(files.nonEmpty, "commitFiles: empty file list")
+    val conf = spark.sessionState.newHadoopConf()
+    val m0 = loadManifest(spark, tablePath)
+    // one schema resolution over the file set (names + types, nullability
+    // ignored); parquet files store PHYSICAL column names
+    val got = spark.read.parquet(files: _*).schema
+    val want = m0.physicalSchema
+    val gotMap = got.fields.map(f => f.name -> f.dataType).toMap
+    // compare modulo nullability and field metadata (parquet reads surface
+    // everything nullable; the manifest may carry comments etc.)
+    def norm(dt: org.apache.spark.sql.types.DataType) =
+      SchemaPaths.physicalType(SchemaPaths.nullableAll(dt))
+    want.fields.foreach { f =>
+      val dt = gotMap.getOrElse(f.name, throw new IllegalArgumentException(
+        s"commitFiles: files lack column ${f.name} (have: ${got.fieldNames.mkString(",")})"))
+      require(norm(dt) == norm(f.dataType),
+        s"commitFiles: column ${f.name} is ${dt.simpleString}, table stores ${f.dataType.simpleString}")
+    }
+    val extra = got.fieldNames.toSet -- want.fieldNames.toSet
+    require(extra.isEmpty, s"commitFiles: files carry unknown columns ${extra.mkString(",")}")
+    // footer pass: rows + stats per file (constant across the in-place
+    // renames below)
+    var current: Seq[(Path, Long, Long, Map[String, ColumnStat])] = files.map { fstr =>
+      val p = new Path(fstr)
+      val f = p.getFileSystem(conf)
+      val st = f.getFileStatus(p)
+      val (rows, stats) = parquetFooterInfo(conf, st)
+      (f.makeQualified(p), rows, st.getLen, stats)
+    }
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        val v = base.version + 1
+        var rid = base.nextRowId
+        var fid = base.maxFragmentId + 1
+        // rename IN PLACE to the `frag-<id>` pattern the scan derives
+        // `_rowaddr` from (same-directory rename: no data movement; redone
+        // with fresh ids on a commit-conflict retry, like assignIds)
+        val frags = current.map { case (p, rows, len, stats) =>
+          val f = p.getFileSystem(conf)
+          val dest = new Path(p.getParent, s"frag-$fid.parquet")
+          if (p.getName != dest.getName && !f.rename(p, dest))
+            throw new IllegalStateException(s"commitFiles: rename $p -> $dest failed")
+          val fm = FragmentMeta(fid, f.makeQualified(dest).toString, rows, len, v,
+            stats, rowIdStart = rid)
+          fid += 1; rid += rows
+          (fm, (dest, rows, len, stats))
+        }
+        current = frags.map(_._2)
+        val fms = frags.map(_._1)
+        mode.toLowerCase match {
+          case "append" =>
+            base.copy(version = v, operation = "import_files",
+              fragments = base.fragments ++ fms, parent = base.version,
+              nextRowId = rid)
+          case "overwrite" =>
+            // keep the schema AS COMMITTED (incl. rename indirection):
+            // imported files store physical names, exactly what it maps
+            GraftManifest(v, "import_files", base.schemaJson,
+              fms, Nil, 0L, base.config, base.version,
+              nextRowId = rid, bases = base.bases)
+          case other => throw new IllegalArgumentException(
+            s"commitFiles: unknown mode $other")
+        }
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+
   /** Metadata-only config merge as its own commit (reference `UpdateConfig`
-    * operation, `transaction.rs`). */
+    * operation, `transaction.rs`; `remove` mirrors `delete_config_keys`,
+    * Python `dataset.py`). */
   def updateConfig(spark: SparkSession, tablePath: String,
-                   updates: Map[String, String]): GraftManifest =
+                   updates: Map[String, String],
+                   remove: Seq[String] = Nil): GraftManifest =
     commitLoop(spark, tablePath, {
       case Some(base) => base.copy(version = base.version + 1, operation = "update_config",
-        config = base.config ++ updates, parent = base.version)
+        config = (base.config -- remove) ++ updates, parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
 
@@ -533,12 +680,23 @@ object GraftTable {
     }
     // restore logical names in ONE projection (atomic — swap-renames can't
     // collide); pushdown substitutes back through the aliases, so filters on
-    // renamed columns still reach the parquet scan + zonemaps
-    val physToLogical = m.renames.map(_.swap).toMap
+    // renamed top-level columns still reach the parquet scan + zonemaps.
+    // NESTED renames restore via a struct→struct cast (positional field
+    // rename, null-safe) — see [[SchemaPaths]] for the pushdown trade-off.
     val renamed =
-      if (physToLogical.isEmpty) withAddr
-      else withAddr.select(withAddr.columns.toSeq
-        .map(c => col(c).as(physToLogical.getOrElse(c, c))): _*)
+      if (!m.hasIndirection) withAddr
+      else {
+        val byPhys = m.schema.fields.map(f => m.physicalName(f) -> f).toMap
+        withAddr.select(withAddr.columns.toSeq.map { c =>
+          byPhys.get(c) match {
+            case Some(f) if SchemaPaths.hasNestedIndirection(f.dataType) =>
+              col(c).cast(SchemaPaths.nullableAll(SchemaPaths.cleanType(f.dataType)))
+                .as(f.name)
+            case Some(f) => col(c).as(f.name)
+            case None    => col(c) // _rowaddr / _rowid / stored-row-id helper
+          }
+        }: _*)
+      }
     val live =
       if (m.dvFiles.isEmpty) renamed
       else {
@@ -1688,45 +1846,96 @@ object GraftTable {
                    casts: Map[String, String] = Map.empty): GraftManifest = {
     var m = loadManifest(spark, tablePath)
     if (renames.nonEmpty) {
+      // group renames by their PARENT path: each struct level is renamed in
+      // ONE pass (swap-renames at the same level can't collide mid-apply);
+      // targets are bare names — a rename never moves a field across levels
+      // (reference nested ColumnAlteration semantics)
+      renames.foreach { case (from, to) =>
+        require(!to.contains("."),
+          s"rename target must be a bare name (renames stay in place): $to")
+        require(from.nonEmpty && to.nonEmpty, "empty column name")
+      }
+      val byParent: Map[Seq[String], Map[String, String]] =
+        renames.toSeq.groupBy { case (from, _) => SchemaPaths.split(from).init }
+          .map { case (par, rs) =>
+            par -> rs.map { case (f2, t2) => SchemaPaths.split(f2).last -> t2 }.toMap
+          }
       m = commitLoop(spark, tablePath, {
         case Some(base) =>
-          val names = base.schema.fieldNames.toSet
-          renames.foreach { case (from, to) =>
-            require(names.contains(from), s"no column $from")
-            require(!names.contains(to) || renames.get(to).isDefined,
-              s"column $to already exists")
-            // a new logical name must not shadow another field's PHYSICAL
-            // (on-file) name: the parquet scan would bind it to that field's
-            // stored data (ADVICE r4). Renaming back to the field's OWN
-            // physical name is fine.
-            val physClash = base.schema.fields.exists(f =>
-              f.name != from && base.physicalName(f) == to)
-            require(!physClash,
-              s"column $to collides with another column's on-file (physical) name")
-          }
-          val fields = base.schema.fields.map { f =>
-            renames.get(f.name) match {
-              case None => f
-              case Some(to) =>
-                val mb = new org.apache.spark.sql.types.MetadataBuilder()
-                  .withMetadata(f.metadata)
-                  .putString(GraftManifest.PhysicalKey, base.physicalName(f))
-                org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, mb.build())
+          // rename every addressed level in one recursive pass
+          def renameLevel(st: StructType, prefix: Seq[String]): StructType = {
+            val level = byParent.getOrElse(prefix, Map.empty)
+            level.foreach { case (from, to) =>
+              require(st.fieldNames.contains(from),
+                s"no column ${(prefix :+ from).mkString(".")}")
+              require(!st.fieldNames.contains(to) || level.contains(to),
+                s"column ${(prefix :+ to).mkString(".")} already exists")
+              // a new logical name must not shadow a SIBLING's physical
+              // (on-file) name: the parquet scan would bind it to that
+              // field's stored data (ADVICE r4). Renaming back to the
+              // field's OWN physical name is fine, and so is a sibling
+              // being renamed AWAY in this same batch (swap-renames) —
+              // restore maps physical→logical per FIELD, so on-file
+              // uniqueness (which renames never change) keeps it sound.
+              val physClash = st.fields.exists(f =>
+                f.name != from && SchemaPaths.physName(f) == to &&
+                  !level.contains(f.name))
+              require(!physClash, s"column $to collides with a sibling's " +
+                "on-file (physical) name")
             }
+            val fields = st.fields.map { f =>
+              val renamed = level.get(f.name) match {
+                case None => f
+                case Some(to) =>
+                  val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(f.metadata)
+                    .putString(GraftManifest.PhysicalKey, SchemaPaths.physName(f))
+                  org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, mb.build())
+              }
+              renamed.dataType match {
+                case inner: StructType =>
+                  renamed.copy(dataType = renameLevel(inner, prefix :+ f.name))
+                case org.apache.spark.sql.types.ArrayType(inner: StructType, n) =>
+                  renamed.copy(dataType = org.apache.spark.sql.types.ArrayType(
+                    renameLevel(inner, prefix :+ f.name), n))
+                case _ => renamed
+              }
+            }
+            require(fields.map(_.name).distinct.length == fields.length,
+              s"rename collision at ${if (prefix.isEmpty) "<top>" else prefix.mkString(".")}: " +
+                renames.mkString(","))
+            StructType(fields)
           }
-          require(fields.map(_.name).distinct.length == fields.length,
-            s"rename collision: ${renames.mkString(",")}")
+          val out = renameLevel(base.schema, Nil)
+          // every addressed parent path must have resolved to a struct level
+          byParent.keys.foreach { par =>
+            if (par.nonEmpty) require(SchemaPaths.fieldAt(base.schema, par).exists(_.dataType match {
+              case _: StructType => true
+              case org.apache.spark.sql.types.ArrayType(_: StructType, _) => true
+              case _ => false
+            }), s"no struct at ${par.mkString(".")}")
+          }
           base.copy(version = base.version + 1, operation = "alter",
-            schemaJson = StructType(fields).json, parent = base.version)
+            schemaJson = out.json, parent = base.version)
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     }
     if (casts.nonEmpty) {
-      casts.keys.foreach(c => require(m.schema.fieldNames.contains(c), s"no column $c"))
+      casts.keys.foreach(c => require(
+        SchemaPaths.fieldAt(m.schema, SchemaPaths.split(c)).isDefined, s"no column $c"))
       val carryIds = m.hasRowIds && m.fragments.nonEmpty
       val live = readManifest(spark, tablePath, m, withRowAddr = false,
         withRowId = carryIds)
-      val cast = casts.foldLeft(live) { case (d, (c, ty)) => d.withColumn(c, col(c).cast(ty)) }
+      // nested cast targets rebuild the enclosing struct with the cast at
+      // the addressed path (null-preserving at every struct level)
+      val cast = casts.foldLeft(live) { case (d, (c, ty)) =>
+        val path = SchemaPaths.split(c)
+        if (path.length == 1) d.withColumn(c, col(c).cast(ty))
+        else {
+          val topType = SchemaPaths.cleanType(m.schema(path.head).dataType)
+          d.withColumn(path.head, castAtExpr(col(path.head), topType, path.tail, ty))
+        }
+      }
       var staged = stageFragments(spark, tablePath, cast)
       m = commitLoop(spark, tablePath, {
         case Some(base) =>
@@ -1736,13 +1945,11 @@ object GraftTable {
             base.version + 1, storedRowIds = carryIds)
           staged = paths
           // rewrite materializes logical names — rename metadata drops out
-          val newSchema = StructType(cleanSchema(base.schema).fields.map { f =>
-            casts.get(f.name) match {
-              case None => f
-              case Some(ty) => org.apache.spark.sql.types.StructField(
-                f.name, org.apache.spark.sql.types.DataType.fromDDL(ty), f.nullable)
-            }
-          })
+          val newSchema = casts.foldLeft(cleanSchema(base.schema)) { case (sch, (c, ty)) =>
+            SchemaPaths.rewriteAt(sch, SchemaPaths.split(c))(f =>
+              Some(org.apache.spark.sql.types.StructField(
+                f.name, org.apache.spark.sql.types.DataType.fromDDL(ty), f.nullable)))
+          }
           base.copy(version = base.version + 1, operation = "alter",
             schemaJson = newSchema.json, fragments = frags,
             dvFiles = Nil, numDeleted = 0L, columnFiles = Nil,
@@ -1753,13 +1960,46 @@ object GraftTable {
     m
   }
 
+  /** Cast the (possibly nested) field at `path` inside a LOGICAL-named value
+    * to DDL type `ty`, rebuilding each enclosing struct and preserving nulls
+    * at every level (a null struct must stay null, not become a struct of
+    * nulls). */
+  private def castAtExpr(e: org.apache.spark.sql.Column,
+                         dt: org.apache.spark.sql.types.DataType,
+                         path: Seq[String], ty: String): org.apache.spark.sql.Column =
+    if (path.isEmpty) e.cast(ty)
+    else dt match {
+      case st: StructType =>
+        val rebuilt = struct(st.fields.toSeq.map { f =>
+          if (f.name == path.head)
+            castAtExpr(e.getField(f.name), f.dataType, path.tail, ty).as(f.name)
+          else e.getField(f.name).as(f.name)
+        }: _*)
+        val target = SchemaPaths.nullableAll(
+          SchemaPaths.rewriteAt(st, path)(f => Some(org.apache.spark.sql.types.StructField(
+            f.name, org.apache.spark.sql.types.DataType.fromDDL(ty), f.nullable))))
+        when(e.isNull, lit(null).cast(target)).otherwise(rebuilt)
+      case org.apache.spark.sql.types.ArrayType(st: StructType, _) =>
+        org.apache.spark.sql.functions.transform(e, x => castAtExpr(x, st, path, ty))
+      case other => throw new IllegalArgumentException(
+        s"cannot address ${path.mkString(".")} inside ${other.simpleString}")
+    }
+
   /** Metadata-only column drop: the parquet scan prunes to the manifest
     * schema, so data files need no rewrite (reference `drop_columns`,
-    * metadata-only thanks to field ids). */
+    * metadata-only thanks to field ids). Dotted paths drop NESTED fields —
+    * also metadata-only: the requested (physical) scan schema omits the
+    * subfield and parquet schema clipping prunes it file-side. */
   def dropColumns(spark: SparkSession, tablePath: String, names: Seq[String]): GraftManifest =
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        val keep = StructType(base.schema.fields.filterNot(f => names.contains(f.name)))
+        val (tops, nested) = names.partition(!_.contains("."))
+        tops.foreach(n => require(base.schema.fieldNames.contains(n), s"no column $n"))
+        val afterTops = StructType(base.schema.fields.filterNot(f => tops.contains(f.name)))
+        require(afterTops.fields.nonEmpty, "cannot drop every column")
+        val keep = nested.foldLeft(afterTops) { (sch, n) =>
+          SchemaPaths.rewriteAt(sch, SchemaPaths.split(n))(_ => None)
+        }
         val cf = base.columnFiles
           .map(c => c.copy(columns = c.columns.filterNot(names.contains)))
           .filter(_.columns.nonEmpty)
@@ -1868,11 +2108,12 @@ object GraftTable {
     // referenced files across surviving manifests — including EVERY branch
     // version (branches share the data dir; dropping a branch's files would
     // corrupt it)
-    val referenced = (keep.toSeq.map(v => loadManifest(spark, tablePath, Some(v))) ++
+    val survivors = keep.toSeq.map(v => loadManifest(spark, tablePath, Some(v))) ++
       branches(spark, tablePath).flatMap { b =>
         versions(spark, tablePath, Some(b))
           .map(v => loadManifest(spark, tablePath, Some(v), Some(b)))
-      }).flatMap { m =>
+      }
+    val referenced = survivors.flatMap { m =>
       m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
     }.toSet
     drop.foreach(v => f.delete(manifestPath(t, v), false))
@@ -1903,7 +2144,55 @@ object GraftTable {
         if (!referenced.contains(rel)) f.delete(d.getPath, true)
       }
     }
+    // multi-base sweep: based fragments record ABSOLUTE paths; sweep each
+    // registered base's data dir with the same referenced-set rule. A base
+    // URI must not be shared between tables (reference bases are
+    // per-dataset) — the sweep assumes every file under <base>/data belongs
+    // to this table's lineage.
+    val baseDirs = survivors.flatMap(_.bases.values).distinct
+    baseDirs.foreach { uri =>
+      val broot = new Path(uri)
+      val bfs = fs(spark, broot)
+      val dir = new Path(broot, "data")
+      if (bfs.exists(dir)) bfs.listStatus(dir).foreach { txn =>
+        if (txn.isDirectory) {
+          bfs.listStatus(txn.getPath).foreach { file =>
+            val q = bfs.makeQualified(file.getPath).toString
+            if (file.getPath.getName.endsWith(".parquet") &&
+                !referenced.contains(q) &&
+                !referenced.contains(file.getPath.toString)) {
+              bfs.delete(file.getPath, false)
+            }
+          }
+          if (bfs.listStatus(txn.getPath).forall(!_.getPath.getName.endsWith(".parquet"))) {
+            bfs.delete(txn.getPath, true)
+          }
+        }
+      }
+    }
   }
+
+  /** Register named multi-base storage locations (reference Python
+    * `add_bases`, `dataset.py:2154`; manifest `base_paths`,
+    * `rust/lance-table/src/format/manifest.rs:103,562`): metadata-only
+    * commit. Subsequent `write(..., base = Some(name))` calls land their
+    * fragments under the base's URI — one logical table spread across
+    * buckets / storage classes. A name, once registered, cannot be
+    * re-pointed (files already reference it). */
+  def addBases(spark: SparkSession, tablePath: String,
+               newBases: Map[String, String]): GraftManifest =
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        newBases.foreach { case (n, uri) =>
+          require(n.nonEmpty && !n.contains("/"), s"bad base name: $n")
+          require(uri.nonEmpty, s"empty base uri for $n")
+          require(!base.bases.get(n).exists(_ != uri),
+            s"base $n already registered at ${base.bases.getOrElse(n, "")}")
+        }
+        base.copy(version = base.version + 1, operation = "add_bases",
+          bases = base.bases ++ newBases, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
 
   /** Shallow clone (reference `shallow_clone`, `rust/lance/src/dataset.rs:1951`):
     * a NEW table at `destPath` whose version-1 manifest references the

@@ -118,7 +118,14 @@ case class GraftManifest(
     /** Schema-level key-value metadata (reference `dataset/metadata.rs`
       * `replace_schema_metadata` / UpdateMap — the Arrow schema metadata).
       * Missing in pre-r8 manifests → defaults to empty. */
-    schemaMetadata: Map[String, String] = Map.empty) {
+    schemaMetadata: Map[String, String] = Map.empty,
+    /** Registered multi-base storage locations, name → URI (reference
+      * `manifest.rs:103` `base_paths` / `BasePath` `manifest.rs:562`,
+      * Python `add_bases`): writes may target a named base; such fragments
+      * record ABSOLUTE paths (same resolution rule shallow clones use), so
+      * a 100 TB table can spread across buckets / storage classes while
+      * staying one logical table. Missing in pre-r8 manifests → empty. */
+    bases: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** True once any index build has committed metadata into this lineage:
@@ -142,17 +149,27 @@ case class GraftManifest(
       f.metadata.getString(GraftManifest.PhysicalKey)
     else f.name
 
-  /** logical-name → physical-name pairs for fields that were renamed. */
+  /** logical-name → physical-name pairs for TOP-LEVEL fields that were
+    * renamed (nested renames live in [[indirectionPairs]]). */
   def renames: Seq[(String, String)] =
     schema.fields.toSeq.collect {
       case f if physicalName(f) != f.name => (f.name, physicalName(f))
     }
 
-  /** Schema with on-file (physical) names — what fragment parquet actually
-    * stores; rename metadata stripped. */
+  /** (logical dotted path → physical name) at EVERY depth — the full rename
+    * indirection fingerprint (nested renames included). */
+  def indirectionPairs: Seq[(String, String)] = SchemaPaths.indirectionPairs(schema)
+
+  /** Any rename indirection at any depth? (Gates the restore projection on
+    * reads and the physical projection on writes.) */
+  def hasIndirection: Boolean = indirectionPairs.nonEmpty
+
+  /** Schema with on-file (physical) names at every depth — what fragment
+    * parquet actually stores; rename metadata stripped. */
   def physicalSchema: StructType =
     StructType(schema.fields.map { f =>
-      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), SchemaPaths.physicalType(f.dataType), f.nullable)
     })
 
   /** Logical name currently mapped to physical name `p` (identity if never

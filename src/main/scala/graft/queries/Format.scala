@@ -381,6 +381,67 @@ object Format {
         .orderBy(col("segment"))
     },
 
+    // NESTED schema evolution (reference schema_evolution.rs nested
+    // ColumnAlteration / drop_columns): rename + drop inside a struct are
+    // metadata-only; appends written under the NEW logical shape land with
+    // physical nested names; the read restores logical names.
+    "q_nested_alter" -> { (s, d) =>
+      val t = freshDir(s, "nested_alter")
+      val c = Tables.customer(s, d)
+      val df = c.select(col("c_custkey"),
+        struct(col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nk")).as("info"))
+      GraftTable.write(df.filter(col("c_custkey") <= 900), t, "overwrite")
+      GraftTable.alterColumns(s, t, renames = Map("info.bal" -> "balance"))
+      GraftTable.dropColumns(s, t, Seq("info.nk"))
+      val extra = c.filter(col("c_custkey") > 900).select(col("c_custkey"),
+        struct(col("c_acctbal").as("balance"), col("c_mktsegment").as("seg")).as("info"))
+      GraftTable.write(extra, t, "append")
+      GraftTable.read(s, t)
+        .groupBy(col("info.seg").as("seg"))
+        .agg(count(lit(1)).as("n"), round(sum(col("info.balance")), 2).as("total_bal"))
+        .orderBy(col("seg"))
+    },
+
+    // zero-copy external parquet import (reference Fragment.create_from_file
+    // + dataset commit): externally written files register as fragments by
+    // reference (one footer pass, no rewrite); DML then applies on top.
+    "q_import_files" -> { (s, d) =>
+      val t = freshDir(s, "import_files")
+      val ext = freshDir(s, "import_files_ext")
+      val o = Tables.orders(s, d)
+      GraftTable.write(o.filter(col("o_orderkey") <= 1000), t, "overwrite")
+      o.filter(col("o_orderkey") > 1000).coalesce(2)
+        .write.mode("overwrite").parquet(ext)
+      val fs = new Path(ext).getFileSystem(s.sessionState.newHadoopConf())
+      val files = fs.listStatus(new Path(ext)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+      GraftTable.commitFiles(s, t, files)
+      GraftTable.delete(s, t, "o_orderstatus = 'P'")
+      GraftTable.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // multi-base storage (reference manifest base_paths / add_bases): one
+    // logical table, fragments under two locations; read/DML span both.
+    "q_multibase" -> { (s, d) =>
+      val t = freshDir(s, "multibase")
+      val cold = freshDir(s, "multibase_cold")
+      val c = Tables.customer(s, d)
+      GraftTable.write(c.filter(col("c_custkey") <= 700), t, "overwrite")
+      GraftTable.addBases(s, t, Map("cold" -> cold))
+      GraftTable.write(c.filter(col("c_custkey") > 700), t, "append",
+        base = Some("cold"))
+      GraftTable.delete(s, t, "c_acctbal < 0")
+      GraftTable.read(s, t)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // no-rewrite add_columns: supplemental column file merged on read
     "q_format_add_columns" -> { (s, d) =>
       val t = freshDir(s, "add_columns")
@@ -632,6 +693,18 @@ object Format {
         | max(CAST(c_nationkey AS INTEGER)) AS max_nk
         |FROM customer WHERE c_acctbal >= 0
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_nested_alter" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        | round(sum(c_acctbal),2) AS total_bal
+        |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_import_files" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_multibase" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS total
+        |FROM customer WHERE c_acctbal >= 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_format_add_columns" ->
       """SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
         | count(*) AS n, round(sum(c_acctbal),2) AS total

@@ -231,6 +231,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
   }
 
+  test("ALTER TABLE RENAME / DROP a NESTED column") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, meta STRUCT<a: BIGINT, b: STRING>) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1, named_struct('a', 10L, 'b', 'x')), " +
+      "(2, named_struct('a', 20L, 'b', 'y'))")
+    s.sql(s"ALTER TABLE g.db.$t RENAME COLUMN meta.a TO alpha")
+    val got = s.sql(s"SELECT id, meta.alpha FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 10L, 2L -> 20L))
+    s.sql(s"ALTER TABLE g.db.$t DROP COLUMN meta.b")
+    val shape = s.sql(s"SELECT meta FROM g.db.$t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(shape == Seq("alpha"))
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+  }
+
   test("CALL maintenance procedures: compact, tag, restore, cleanup") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft") // v1
