@@ -241,6 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.create_index" => GraftProcedures.createIndex(pathOf)
       case "system.drop_index" => GraftProcedures.dropIndex(pathOf)
       case "system.indices" => GraftProcedures.indices(pathOf)
+      case "system.fragments" => GraftProcedures.fragments(pathOf)
       case "system.optimize_index" => GraftProcedures.optimizeIndexProc(pathOf)
       case "system.stats" => GraftProcedures.stats(pathOf)
       case "system.data_stats" => GraftProcedures.dataStatsProc(pathOf)
@@ -260,7 +261,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag", "restore", "optimize_scalar_index",
-        "create_index", "drop_index", "indices", "optimize_index",
+        "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search")
       .map(Identifier.of(Array("system"), _))
@@ -997,6 +998,24 @@ private[format] object GraftProcedures {
       Array(p("table", DT.StringType)),
       StructType(Seq(StructField("issue", DT.StringType)))) { in =>
       GraftTable.validate(spark, pathOf(in.getUTF8String(0).toString)).map(Seq(_))
+    }
+
+  /** `CALL g.system.fragments(table => 'db.t')` — per-fragment metadata
+    * (reference `get_fragments` / `Fragment.metadata`, Python
+    * `fragment.py`): id, path, rows, on-disk bytes, adding version, stable
+    * row-id start. Driver-side manifest read only — no data IO. */
+  def fragments(pathOf: String => String): UnboundProcedure =
+    procRows("fragments",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("id", DT.LongType),
+        StructField("path", DT.StringType),
+        StructField("rows", DT.LongType),
+        StructField("size_bytes", DT.LongType),
+        StructField("added_version", DT.LongType),
+        StructField("row_id_start", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      GraftTable.loadManifest(spark, path).fragments.sortBy(_.id).map(f =>
+        Seq(f.id, f.path, f.rows, f.sizeBytes, f.addedVersion, f.rowIdStart))
     }
 
   def indices(pathOf: String => String): UnboundProcedure =

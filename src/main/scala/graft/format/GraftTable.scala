@@ -1393,13 +1393,22 @@ object GraftTable {
     * forward into one rewritten DV file; entries covering rewritten fragments
     * are materialized (dropped with the old files).
     *
-    * Commits optimistically like every mutation, but a concurrent commit
-    * between planning and commit aborts (the reference's Rewrite conflict
-    * semantics) — retrying against a moved base could resurrect rows.
+    * Commits optimistically like every mutation. A concurrent commit between
+    * planning and commit REBASES when the delta is compatible with the
+    * rewrite (the reference's Rewrite conflict semantics,
+    * `transaction.rs` — a rewrite conflicts only with operations that
+    * touched the rewritten fragments): appends and metadata-only commits
+    * rebase (essential under continuous ingest — a 100 TB table that is
+    * never idle must still compact); deletes/updates/other rewrites abort
+    * (retrying against them could resurrect rows).
+    *
+    * `beforeCommit` is a test seam: invoked once after staging, before the
+    * commit loop (deterministic concurrent-commit interleaving in specs).
     */
   def compactFiles(spark: SparkSession, tablePath: String,
                    targetRows: Long = 1L << 20,
-                   materializeDeletions: Double = 0.1): GraftManifest = {
+                   materializeDeletions: Double = 0.1,
+                   beforeCommit: () => Unit = () => ()): GraftManifest = {
     val m = loadManifest(spark, tablePath)
     val t = new Path(tablePath)
     val dvPaths = m.dvFiles.map(p => new Path(t, p).toString)
@@ -1450,10 +1459,16 @@ object GraftTable {
         spark.read.parquet(dvPaths: _*)
           .filter(shiftrightunsigned(col("addr"), 32).isin(keepIds.toSeq: _*))
           .select(col("addr").as(RowAddrCol)))
+    beforeCommit()
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        if (base.version != m.version) throw new IllegalStateException(
-          s"compaction conflict: table moved from v${m.version} to v${base.version}")
+        if (base.version != m.version && !rewriteRebasable(base, m, toRewrite))
+          throw new IllegalStateException(
+            s"compaction conflict: table moved from v${m.version} to " +
+              s"v${base.version} and the delta touches rewritten state — retry")
+        // rebase: keep every CURRENT fragment outside the rewrite set
+        // (planned keepers + anything appended since planning)
+        val keepNow = base.fragments.filterNot(f => toRewrite.exists(_.id == f.id))
         var nextId = base.maxFragmentId + 1
         val assigned = stagedGroups.map { sg =>
           val (frags, paths) = assignIds(spark, sg, nextId,
@@ -1463,7 +1478,7 @@ object GraftTable {
         }
         stagedGroups = assigned.map(_._2)
         base.copy(version = base.version + 1, operation = "rewrite",
-          fragments = keep ++ assigned.flatMap(_._1),
+          fragments = keepNow ++ assigned.flatMap(_._1),
           dvFiles = dvCarry.map(_._1).toSeq,
           numDeleted = dvCarry.map(_._2).getOrElse(0L),
           parent = base.version)
@@ -1471,11 +1486,30 @@ object GraftTable {
     })
   }
 
+  /** Can a rewrite planned against `m` commit on top of `base`? Yes iff the
+    * concurrent delta never touched what the rewrite consumed or replaces
+    * (reference Rewrite conflict semantics, `transaction.rs`): every
+    * rewritten fragment is still present UNCHANGED, no deletion state
+    * moved (a delete after planning on a rewritten fragment would be
+    * resurrected by the staged output), no supplemental column file landed
+    * (it addresses pre-rewrite row addresses), and the schema is
+    * byte-identical. Appends, config/metadata updates, and index commits
+    * all pass. */
+  private def rewriteRebasable(base: GraftManifest, m: GraftManifest,
+                               rewritten: Seq[FragmentMeta]): Boolean = {
+    val byId = base.fragments.map(f => f.id -> f).toMap
+    rewritten.forall(f => byId.get(f.id).contains(f)) &&
+      base.dvFiles == m.dvFiles && base.numDeleted == m.numDeleted &&
+      base.columnFiles == m.columnFiles &&
+      base.schemaJson == m.schemaJson
+  }
+
   /** Full compaction: rewrite all live rows into ~targetRows fragments,
     * materializing deletions (reference `optimize.rs:120-146`). See
     * [[compactFiles]] for the debt-proportional partial path. */
   def compact(spark: SparkSession, tablePath: String,
-              targetRows: Long = 1L << 20): GraftManifest = {
+              targetRows: Long = 1L << 20,
+              beforeCommit: () => Unit = () => ()): GraftManifest = {
     val m = loadManifest(spark, tablePath)
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
     // same signature binning as [[compactFiles]]: outputs never mix rows of
@@ -1498,13 +1532,20 @@ object GraftTable {
       val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
       stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
     }
+    beforeCommit()
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        // full rewrite replaces the FRAGMENT SET WHOLESALE: any commit that
-        // landed after the snapshot (append, delete, index-relevant config)
-        // would be silently erased by this copy — abort like compactFiles
-        if (base.version != m.version) throw new IllegalStateException(
-          s"compaction conflict: table moved from v${m.version} to v${base.version} — retry")
+        // full rewrite replaces m's fragment set wholesale. A concurrent
+        // APPEND-ONLY / metadata-only delta rebases (its new fragments are
+        // kept alongside the rewrite outputs — the continuous-ingest case);
+        // anything that touched the consumed state aborts, same rule as
+        // [[compactFiles]].
+        if (base.version != m.version && !rewriteRebasable(base, m, m.fragments))
+          throw new IllegalStateException(
+            s"compaction conflict: table moved from v${m.version} to " +
+              s"v${base.version} and the delta touches rewritten state — retry")
+        val mIds = m.fragments.map(_.id).toSet
+        val keepNow = base.fragments.filterNot(f => mIds.contains(f.id))
         var nextId = base.maxFragmentId + 1
         val assigned = stagedGroups.map { sg =>
           val (frags, paths) = assignIds(spark, sg, nextId,
@@ -1514,7 +1555,7 @@ object GraftTable {
         }
         stagedGroups = assigned.map(_._2)
         base.copy(version = base.version + 1, operation = "rewrite",
-          fragments = assigned.flatMap(_._1), dvFiles = Nil, numDeleted = 0L,
+          fragments = keepNow ++ assigned.flatMap(_._1), dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil, // supplemental values materialized by the rewrite
           parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
@@ -1610,15 +1651,20 @@ object GraftTable {
     var staged = stageFragments(spark, tablePath, arranged)
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        // same wholesale-rewrite hazard as compact: a concurrent commit
-        // after the snapshot would be erased — abort instead
-        if (base.version != m.version) throw new IllegalStateException(
-          s"cluster conflict: table moved from v${m.version} to v${base.version} — retry")
+        // same wholesale-rewrite rule as [[compact]]: append-only /
+        // metadata-only deltas rebase (their fragments ride along
+        // unclustered until the next pass); touched-state deltas abort
+        if (base.version != m.version && !rewriteRebasable(base, m, m.fragments))
+          throw new IllegalStateException(
+            s"cluster conflict: table moved from v${m.version} to " +
+              s"v${base.version} and the delta touches rewritten state — retry")
+        val mIds = m.fragments.map(_.id).toSet
+        val keepNow = base.fragments.filterNot(f => mIds.contains(f.id))
         val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carryIds)
         staged = paths
         base.copy(version = base.version + 1, operation = "rewrite",
-          fragments = frags, dvFiles = Nil, numDeleted = 0L,
+          fragments = keepNow ++ frags, dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil,
           parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")

@@ -278,6 +278,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("PROCEDURE"))
   }
 
+  test("CALL fragments / add_base / import_files: storage surface via SQL") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b')")
+    // fragment introspection: one row per fragment, metadata only
+    val fr = s.sql(s"CALL g.system.fragments(table => 'db.$t')").collect()
+    assert(fr.nonEmpty && fr.forall(_.getLong(2) > 0), s"rows per fragment: ${fr.toSeq}")
+    // add_base registers; import_files registers external parquet in place
+    val base = Files.createTempDirectory("graft_cat_base_").toString
+    val v = s.sql(s"CALL g.system.add_base(table => 'db.$t', name => 'cold', path => '$base')")
+      .head()
+    assert(v.getString(1) == "cold")
+    val ext = Files.createTempDirectory("graft_cat_ext_").toString
+    s.range(3, 6).selectExpr("id", "CAST(concat('v', id) AS STRING) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    val file = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val imp = s.sql(s"CALL g.system.import_files(table => 'db.$t', paths => '$file')").head()
+    assert(imp.getLong(1) == 5L, s"live rows after import: $imp")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("CALL create_index / indices / drop_index: manifest-committed inventory via SQL") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
