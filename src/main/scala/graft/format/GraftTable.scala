@@ -483,14 +483,25 @@ object GraftTable {
     }
     val extra = got.fieldNames.toSet -- want.fieldNames.toSet
     require(extra.isEmpty, s"commitFiles: files carry unknown columns ${extra.mkString(",")}")
-    // footer pass: rows + stats per file (constant across the in-place
-    // renames below)
+    // footer pass: rows + stats per file, ON THE EXECUTORS (one task per
+    // path slice, same shape as [[validate]] / [[dataStats]]) — a driver
+    // loop over footers would serialize a 100k-file import. Results are
+    // constant across the in-place renames below.
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val byFile: Map[String, (Long, Long, Map[String, ColumnStat])] =
+      spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 64)))
+        .map { fstr =>
+          val c = sconf.value
+          val p = new Path(fstr)
+          val fs = p.getFileSystem(c)
+          val st = fs.getFileStatus(p)
+          val (rows, stats) = parquetFooterInfo(c, st)
+          fstr -> (rows, st.getLen, stats)
+        }.collect().toMap
     var current: Seq[(Path, Long, Long, Map[String, ColumnStat])] = files.map { fstr =>
       val p = new Path(fstr)
-      val f = p.getFileSystem(conf)
-      val st = f.getFileStatus(p)
-      val (rows, stats) = parquetFooterInfo(conf, st)
-      (f.makeQualified(p), rows, st.getLen, stats)
+      val (rows, len, stats) = byFile(fstr)
+      (p.getFileSystem(conf).makeQualified(p), rows, len, stats)
     }
     commitLoop(spark, tablePath, {
       case Some(base) =>
@@ -502,9 +513,25 @@ object GraftTable {
         // with fresh ids on a commit-conflict retry, like assignIds)
         val frags = current.map { case (p, rows, len, stats) =>
           val f = p.getFileSystem(conf)
-          val dest = new Path(p.getParent, s"frag-$fid.parquet")
-          if (p.getName != dest.getName && !f.rename(p, dest))
-            throw new IllegalStateException(s"commitFiles: rename $p -> $dest failed")
+          val dest0 = new Path(p.getParent, s"frag-$fid.parquet")
+          val dest =
+            if (p.getName == dest0.getName) p
+            else if (!f.exists(dest0)) {
+              if (!f.rename(p, dest0)) throw new IllegalStateException(
+                s"commitFiles: rename $p -> $dest0 failed")
+              dest0
+            } else {
+              // target name taken in the source dir (e.g. a prior import's
+              // frag file): rename into a fresh same-fs subdir instead —
+              // still a metadata move, never a data copy
+              val sub = new Path(p.getParent,
+                s"import-${UUID.randomUUID().toString.take(8)}")
+              f.mkdirs(sub)
+              val d = new Path(sub, s"frag-$fid.parquet")
+              if (!f.rename(p, d)) throw new IllegalStateException(
+                s"commitFiles: rename $p -> $d failed")
+              d
+            }
           val fm = FragmentMeta(fid, f.makeQualified(dest).toString, rows, len, v,
             stats, rowIdStart = rid)
           fid += 1; rid += rows

@@ -18,11 +18,15 @@ import org.apache.spark.sql.types._
   * (physical) scan schema simply omits the subfield and parquet schema
   * clipping prunes it file-side.
   *
-  * Trade-off, documented: a filter on a RENAMED nested field sits above the
-  * restoring cast and does not reach the parquet scan as a pushed predicate
-  * (top-level renames keep pushdown — they restore via plain aliases, and
-  * pushdown substitutes through aliases). Filters on un-renamed nested
-  * fields are unaffected.
+  * Trade-off, verified against the physical plan: on a table with nested
+  * renames, filters on OTHER (un-renamed) columns still push to the scan
+  * (`PushedFilters: [GreaterThan(id,500)]` with the restoring cast in the
+  * plan), but a filter on the renamed nested field itself evaluates above
+  * the cast (not pushed), and projecting one subfield reads the whole
+  * struct (Catalyst does not prune nested schema through a struct Cast).
+  * Top-level renames keep full pushdown — they restore via plain aliases.
+  * A cast rewrite (`alterColumns(casts = ...)`) materializes logical names
+  * and restores full pushdown if a renamed nested field becomes hot.
   */
 private[format] object SchemaPaths {
   import GraftManifest.PhysicalKey

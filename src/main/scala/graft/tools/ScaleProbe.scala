@@ -248,6 +248,37 @@ object ScaleProbe {
       }
     }
 
+    // ---- zero-copy import vs full ingest (r8 commitFiles): registering
+    // the SAME replicated parquet the `graft_write` row fully re-ingests
+    // is one executor-free footer pass + a manifest commit — its cost must
+    // track file COUNT (near-flat here; the replication only doubles file
+    // count per 8× data), while graft_write's cost tracks data volume
+    // (alpha ~1). The gap is what metadata-only registration buys a 100 TB
+    // migration. ----
+    val wantImport = onlyOps.forall(_.contains("import_files"))
+    if (wantImport) for (f <- docFactors) {
+      val p = docsPlain(f)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+      val tbl = s"$outDir/import_tbl_x$f"
+      time("import_files", f) {
+        fsys.delete(new org.apache.hadoop.fs.Path(tbl), true)
+        graft.format.GraftTable.createEmpty(spark, tbl,
+          spark.read.parquet(p).schema)
+        // re-list per rep, RECURSIVELY: commitFiles renames registered
+        // files in place (collisions land in same-fs subdirs)
+        val it = fsys.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        val buf = collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) buf += s.getPath.toString
+        }
+        val files = buf.toSeq.sorted
+        graft.format.GraftTable.commitFiles(spark, tbl, files)
+        graft.format.GraftTable.countRows(spark, tbl)
+      }
+    }
+
     // ---- HNSW maintenance: CONSTANT-size delta optimize vs full rebuild.
     // The delta row's alpha should sit near 0 (cost tracks the delta, not
     // the corpus); the rebuild row near 1 — the gap is what delta
