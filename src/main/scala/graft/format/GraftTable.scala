@@ -55,6 +55,11 @@ object GraftTable {
     * ([[cleanupOldVersions]] keeps them). */
   val AutoCleanupIntervalKey = "graft.auto_cleanup.interval"
   val AutoCleanupKeepKey = "graft.auto_cleanup.keep_last"
+
+  /** Default write-to-base for appends/overwrites that don't pass `base`
+    * explicitly — the SQL surface's route to multi-base writes
+    * (`ALTER TABLE ... SET TBLPROPERTIES('graft.write.base'='cold')`). */
+  val WriteBaseKey = "graft.write.base"
   val RowOffsetCol = "_rowoffset"
   val RowCreatedCol = "_row_created_at_version"
   val RowLastUpdatedCol = "_row_last_updated_at_version"
@@ -389,7 +394,11 @@ object GraftTable {
       .map(v => loadManifest(spark, tablePath, Some(v)))
     val stagedM = latestM.filter(_ => mode.equalsIgnoreCase("append"))
     val stagedIndirection = stagedM.map(_.indirectionPairs).getOrElse(Nil)
-    val baseRoot = base.map { name =>
+    // explicit base param wins; else the graft.write.base table config (the
+    // SQL-surface route: ALTER TABLE ... SET TBLPROPERTIES sends INSERTs to
+    // a base without API access)
+    val effBase = base.orElse(latestM.flatMap(_.config.get(WriteBaseKey)))
+    val baseRoot = effBase.map { name =>
       val bs = latestM.map(_.bases).getOrElse(Map.empty)
       new Path(bs.getOrElse(name, throw new IllegalArgumentException(
         s"unknown base '$name' (registered: ${bs.keys.toSeq.sorted.mkString(", ")})")))
@@ -636,6 +645,30 @@ object GraftTable {
            includeDeleted: Boolean = false): DataFrame =
     readManifest(spark, tablePath, loadManifest(spark, tablePath, version),
       withRowAddr, withRowId, withRowVersions, includeDeleted)
+
+  /** Shard read for distributed training loaders (reference
+    * `ShardedFragmentSampler`, `python/python/lance/sampler.py:330` — each
+    * rank processes `fragments[rank::world_size]`): fragment-granular
+    * striping, so every worker's IO is disjoint and no shuffle or
+    * coordination is needed — the property a 1000-worker training job
+    * needs at 100 TB. `randomize` applies a seeded permutation of the
+    * fragment list first (same seed on every rank keeps the cover exact
+    * and disjoint). DV-deletes and rename indirection apply as in any
+    * snapshot read. */
+  def readShard(spark: SparkSession, tablePath: String, rank: Int, worldSize: Int,
+                randomize: Boolean = false, seed: Long = 0L,
+                version: Option[Long] = None): DataFrame = {
+    require(worldSize > 0, s"worldSize must be positive: $worldSize")
+    require(rank >= 0 && rank < worldSize, s"rank $rank outside [0, $worldSize)")
+    val m = loadManifest(spark, tablePath, version)
+    val ordered =
+      if (!randomize) m.fragments
+      else new scala.util.Random(seed).shuffle(m.fragments.toList)
+    val mine = ordered.zipWithIndex.collect {
+      case (f, i) if i % worldSize == rank => f
+    }
+    readManifest(spark, tablePath, m.copy(fragments = mine), withRowAddr = false)
+  }
 
   /** Read a fragment subset of a snapshot (CDC / take-style access). */
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,

@@ -403,6 +403,25 @@ object Format {
         .orderBy(col("seg"))
     },
 
+    // sharded training access (reference ShardedFragmentSampler,
+    // sampler.py:330): rank r reads fragments[r::world]; the three shards
+    // must be DISJOINT (asserted in-gate on row counts) and their union the
+    // exact live table — which the oracle checks from the raw input.
+    "q_shard_read" -> { (s, d) =>
+      val t = freshDir(s, "shard_read")
+      GraftTable.write(Tables.orders(s, d).repartition(6), t, "overwrite")
+      GraftTable.delete(s, t, "o_orderstatus = 'P'")
+      val world = 3
+      val shards = (0 until world).map(r => GraftTable.readShard(s, t, r, world))
+      val total = GraftTable.read(s, t).count()
+      require(shards.map(_.count()).sum == total,
+        "shards must partition the live table exactly")
+      shards.reduce(_ unionByName _)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // zero-copy external parquet import (reference Fragment.create_from_file
     // + dataset commit): externally written files register as fragments by
     // reference (one footer pass, no rewrite); DML then applies on top.
@@ -698,6 +717,10 @@ object Format {
         | round(sum(c_acctbal),2) AS total_bal
         |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
     "q_import_files" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_shard_read" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -92,6 +92,24 @@ class MultiBaseSpec extends AnyFunSuite {
       .head().getLong(0) == (11 to 20).sum.toLong)
   }
 
+  test("graft.write.base config routes writes without the explicit param") {
+    val t = tmp("graft_mb_") + "/t"
+    val cold = tmp("graft_mb_cold_")
+    GraftTable.write(df(1 to 5), t, "overwrite")
+    GraftTable.addBases(spark, t, Map("cold" -> cold))
+    GraftTable.updateConfig(spark, t, Map(GraftTable.WriteBaseKey -> "cold"))
+    GraftTable.write(df(6 to 10), t, "append") // no base param — config routes
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.exists(_.path.contains(cold)),
+      s"config-routed append landed under the base: ${m.fragments.map(_.path)}")
+    assert(GraftTable.read(spark, t).count() == 10L)
+    // removing the key restores table-local writes
+    GraftTable.updateConfig(spark, t, Map.empty, remove = Seq(GraftTable.WriteBaseKey))
+    GraftTable.write(df(11 to 12), t, "append")
+    val m2 = GraftTable.loadManifest(spark, t)
+    assert(!m2.fragments.filter(_.addedVersion == m2.version).exists(_.path.contains(cold)))
+  }
+
   test("take-by-address and stable row ids work across bases") {
     val t = tmp("graft_mb_") + "/t"
     val cold = tmp("graft_mb_cold_")
