@@ -144,10 +144,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       a.fieldNames().head -> s"CAST(NULL AS ${a.dataType().sql})"
     }
     // nested field names arrive as a path array; graft addresses them as
-    // dotted paths (segments must not themselves contain dots)
+    // dotted paths. A single segment passes through VERBATIM (a top-level
+    // column whose quoted name contains a literal '.' keeps working —
+    // GraftTable resolves exact top-level names before splitting); only
+    // multi-segment paths require dot-free segments.
     def dotted(fieldNames: Array[String]): String = {
-      fieldNames.foreach(s => require(!s.contains("."),
-        s"graft: column name segment may not contain '.': $s"))
+      if (fieldNames.length > 1)
+        fieldNames.foreach(s => require(!s.contains("."),
+          s"graft: nested path segment may not contain '.': $s"))
       fieldNames.mkString(".")
     }
     val renames = changes.collect { case r: TableChange.RenameColumn =>

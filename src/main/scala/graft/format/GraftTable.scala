@@ -245,7 +245,7 @@ object GraftTable {
           cleanupOldVersions(spark, tablePath, keep)
         }
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] auto-cleanup at $tablePath failed: ${e.getMessage}")
       }
     }
@@ -296,10 +296,10 @@ object GraftTable {
     df.select(df.columns.toSeq.map { c =>
       byLogical.get(c) match {
         case Some(f) if SchemaPaths.hasNestedIndirection(f.dataType) =>
-          // nested renames: one struct→struct cast renames fields
-          // positionally (null-safe, recurses through arrays) to the
-          // physical nested names fragment files store
-          col(c).cast(SchemaPaths.nullableAll(SchemaPaths.physicalType(f.dataType)))
+          // nested renames: rebuild BY NAME (a positional cast would bind
+          // a reordered-but-correctly-named input struct to the wrong
+          // physical columns), null-safe, recursing through arrays
+          SchemaPaths.toPhysicalExpr(col(c), f.dataType, f.nullable)
             .as(m.physicalName(f))
         case Some(f) => col(c).as(m.physicalName(f))
         case None    => col(c) // graft-internal columns (_rowid, _rowaddr)
@@ -497,7 +497,7 @@ object GraftTable {
     // loop over footers would serialize a 100k-file import. Results are
     // constant across the in-place renames below.
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val byFile: Map[String, (Long, Long, Map[String, ColumnStat])] =
+    val byFile: Map[String, (Long, Long, Map[String, ColumnStat], String)] =
       spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 64)))
         .map { fstr =>
           val c = sconf.value
@@ -505,11 +505,22 @@ object GraftTable {
           val fs = p.getFileSystem(c)
           val st = fs.getFileStatus(p)
           val (rows, stats) = parquetFooterInfo(c, st)
-          fstr -> (rows, st.getLen, stats)
+          // per-file parquet schema fingerprint: spark.read's schema above
+          // comes from ONE sampled footer, so a per-file check is the only
+          // thing standing between a mixed-schema file set and a committed
+          // table that fails (or silently nulls) at read time
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, c))
+          val schemaStr =
+            try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+          fstr -> (rows, st.getLen, stats, schemaStr)
         }.collect().toMap
+    val schemas = byFile.values.map(_._4).toSet
+    require(schemas.size == 1,
+      s"commitFiles: files carry ${schemas.size} different parquet schemas — " +
+        "all imported files must share one physical schema")
     var current: Seq[(Path, Long, Long, Map[String, ColumnStat])] = files.map { fstr =>
       val p = new Path(fstr)
-      val (rows, len, stats) = byFile(fstr)
+      val (rows, len, stats, _) = byFile(fstr)
       (p.getFileSystem(conf).makeQualified(p), rows, len, stats)
     }
     commitLoop(spark, tablePath, {
@@ -519,7 +530,12 @@ object GraftTable {
         var fid = base.maxFragmentId + 1
         // rename IN PLACE to the `frag-<id>` pattern the scan derives
         // `_rowaddr` from (same-directory rename: no data movement; redone
-        // with fresh ids on a commit-conflict retry, like assignIds)
+        // with fresh ids on a commit-conflict retry, like assignIds).
+        // Documented side effect: the rename precedes the commit, so a
+        // commitFiles that ultimately FAILS leaves the source files
+        // frag-renamed (still valid parquet, same directory) — inherent to
+        // naming before the manifest content is known.
+        var attemptSub: Option[Path] = None // one collision subdir per attempt
         val frags = current.map { case (p, rows, len, stats) =>
           val f = p.getFileSystem(conf)
           val dest0 = new Path(p.getParent, s"frag-$fid.parquet")
@@ -533,9 +549,11 @@ object GraftTable {
               // target name taken in the source dir (e.g. a prior import's
               // frag file): rename into a fresh same-fs subdir instead —
               // still a metadata move, never a data copy
-              val sub = new Path(p.getParent,
-                s"import-${UUID.randomUUID().toString.take(8)}")
-              f.mkdirs(sub)
+              val sub = attemptSub.getOrElse {
+                val s0 = new Path(p.getParent,
+                  s"import-${UUID.randomUUID().toString.take(8)}")
+                f.mkdirs(s0); attemptSub = Some(s0); s0
+              }
               val d = new Path(sub, s"frag-$fid.parquet")
               if (!f.rename(p, d)) throw new IllegalStateException(
                 s"commitFiles: rename $p -> $d failed")
@@ -1961,13 +1979,18 @@ object GraftTable {
           s"rename target must be a bare name (renames stay in place): $to")
         require(from.nonEmpty && to.nonEmpty, "empty column name")
       }
-      val byParent: Map[Seq[String], Map[String, String]] =
-        renames.toSeq.groupBy { case (from, _) => SchemaPaths.split(from).init }
-          .map { case (par, rs) =>
-            par -> rs.map { case (f2, t2) => SchemaPaths.split(f2).last -> t2 }.toMap
-          }
       m = commitLoop(spark, tablePath, {
         case Some(base) =>
+          // an exact top-level field name wins over path interpretation, so
+          // a (quoted) column literally named "a.b" stays addressable
+          def asPath(name: String): Seq[String] =
+            if (base.schema.fieldNames.contains(name)) Seq(name)
+            else SchemaPaths.split(name)
+          val byParent: Map[Seq[String], Map[String, String]] =
+            renames.toSeq.groupBy { case (from, _) => asPath(from).init }
+              .map { case (par, rs) =>
+                par -> rs.map { case (f2, t2) => asPath(f2).last -> t2 }.toMap
+              }
           // rename every addressed level in one recursive pass
           def renameLevel(st: StructType, prefix: Seq[String]): StructType = {
             val level = byParent.getOrElse(prefix, Map.empty)
@@ -2027,16 +2050,19 @@ object GraftTable {
       })
     }
     if (casts.nonEmpty) {
+      // exact top-level names (even with a literal '.') win over paths
+      def castPath(c: String): Seq[String] =
+        if (m.schema.fieldNames.contains(c)) Seq(c) else SchemaPaths.split(c)
       casts.keys.foreach(c => require(
-        SchemaPaths.fieldAt(m.schema, SchemaPaths.split(c)).isDefined, s"no column $c"))
+        SchemaPaths.fieldAt(m.schema, castPath(c)).isDefined, s"no column $c"))
       val carryIds = m.hasRowIds && m.fragments.nonEmpty
       val live = readManifest(spark, tablePath, m, withRowAddr = false,
         withRowId = carryIds)
       // nested cast targets rebuild the enclosing struct with the cast at
       // the addressed path (null-preserving at every struct level)
       val cast = casts.foldLeft(live) { case (d, (c, ty)) =>
-        val path = SchemaPaths.split(c)
-        if (path.length == 1) d.withColumn(c, col(c).cast(ty))
+        val path = castPath(c)
+        if (path.length == 1) d.withColumn(path.head, d(s"`${path.head}`").cast(ty))
         else {
           val topType = SchemaPaths.cleanType(m.schema(path.head).dataType)
           d.withColumn(path.head, castAtExpr(col(path.head), topType, path.tail, ty))
@@ -2052,7 +2078,7 @@ object GraftTable {
           staged = paths
           // rewrite materializes logical names — rename metadata drops out
           val newSchema = casts.foldLeft(cleanSchema(base.schema)) { case (sch, (c, ty)) =>
-            SchemaPaths.rewriteAt(sch, SchemaPaths.split(c))(f =>
+            SchemaPaths.rewriteAt(sch, castPath(c))(f =>
               Some(org.apache.spark.sql.types.StructField(
                 f.name, org.apache.spark.sql.types.DataType.fromDDL(ty), f.nullable)))
           }
@@ -2099,7 +2125,10 @@ object GraftTable {
   def dropColumns(spark: SparkSession, tablePath: String, names: Seq[String]): GraftManifest =
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        val (tops, nested) = names.partition(!_.contains("."))
+        // exact top-level names (even containing a literal '.') drop as
+        // whole columns; everything else is a nested path
+        val (tops, nested) = names.partition(n =>
+          base.schema.fieldNames.contains(n) || !n.contains("."))
         tops.foreach(n => require(base.schema.fieldNames.contains(n), s"no column $n"))
         val afterTops = StructType(base.schema.fields.filterNot(f => tops.contains(f.name)))
         require(afterTops.fields.nonEmpty, "cannot drop every column")
@@ -2203,7 +2232,8 @@ object GraftTable {
     * data/DV files no remaining manifest references (reference
     * `cleanup_old_versions`, `cleanup.rs`). Tagged versions are always kept.
     */
-  def cleanupOldVersions(spark: SparkSession, tablePath: String, keepLast: Int): Unit = {
+  def cleanupOldVersions(spark: SparkSession, tablePath: String, keepLast: Int,
+                         unverifiedGraceMillis: Long = 7L * 24 * 3600 * 1000): Unit = {
     val t = new Path(tablePath)
     val f = fs(spark, t)
     val vs = versions(spark, tablePath)
@@ -2222,32 +2252,58 @@ object GraftTable {
     val referenced = survivors.flatMap { m =>
       m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
     }.toSet
+    // files referenced ONLY by dropped manifests are VERIFIED deletable; a
+    // file in NO manifest at all may be a concurrent writer's
+    // staged-but-uncommitted fragment — the reference's cleanup only
+    // removes such "unverified" files past a grace age (`delete_unverified`
+    // defaults false inside 7 days, `cleanup.rs`), and so does this sweep.
+    // Without the grace, an auto-cleanup hook firing mid-stage would delete
+    // another writer's in-flight files: lost data on exactly the
+    // concurrent-commit tables this format supports.
+    val droppedReferenced = drop.map(v => loadManifest(spark, tablePath, Some(v)))
+      .flatMap { m =>
+        m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
+      }.toSet
+    val now = System.currentTimeMillis()
+    def deletable(rel: String, abs: String, mtime: Long): Boolean =
+      !referenced.contains(rel) && !referenced.contains(abs) &&
+        (droppedReferenced.contains(rel) || droppedReferenced.contains(abs) ||
+          now - mtime > unverifiedGraceMillis)
     drop.foreach(v => f.delete(manifestPath(t, v), false))
     // delete unreferenced fragment files / DV dirs
-    def sweep(sub: String, isReferenced: String => Boolean): Unit = {
+    def sweep(sub: String): Unit = {
       val dir = new Path(t, sub)
       if (f.exists(dir)) f.listStatus(dir).foreach { txn =>
         if (txn.isDirectory) {
+          var removed = false
           f.listStatus(txn.getPath).foreach { file =>
             val rel = relativize(spark, file.getPath)
-            if (file.getPath.getName.endsWith(".parquet") && !isReferenced(rel)) {
+            if (file.getPath.getName.endsWith(".parquet") &&
+                deletable(rel, file.getPath.toString, file.getModificationTime)) {
               f.delete(file.getPath, false)
+              removed = true
             }
           }
-          if (f.listStatus(txn.getPath).forall(!_.getPath.getName.endsWith(".parquet"))) {
-            f.delete(txn.getPath, true) // only non-data leftovers (_SUCCESS, crc)
+          // remove the txn dir only when we emptied it ourselves or it aged
+          // past the grace — an in-flight write's dir (only _temporary
+          // inside, no parquet yet) must survive
+          val leftovers = f.listStatus(txn.getPath)
+          if (leftovers.forall(!_.getPath.getName.endsWith(".parquet")) &&
+              (removed || now - txn.getModificationTime > unverifiedGraceMillis)) {
+            f.delete(txn.getPath, true)
           }
         }
       }
     }
-    sweep("data", referenced.contains)
+    sweep("data")
     // DV / supplemental-column "files" are directories: referenced by their
     // dir-relative path
     for (sub <- Seq("deletes", "columns")) {
       val dir = new Path(t, sub)
       if (f.exists(dir)) f.listStatus(dir).foreach { d =>
         val rel = s"$sub/${d.getPath.getName}"
-        if (!referenced.contains(rel)) f.delete(d.getPath, true)
+        if (deletable(rel, d.getPath.toString, d.getModificationTime))
+          f.delete(d.getPath, true)
       }
     }
     // multi-base sweep: based fragments record ABSOLUTE paths; sweep each
@@ -2262,15 +2318,17 @@ object GraftTable {
       val dir = new Path(broot, "data")
       if (bfs.exists(dir)) bfs.listStatus(dir).foreach { txn =>
         if (txn.isDirectory) {
+          var removed = false
           bfs.listStatus(txn.getPath).foreach { file =>
             val q = bfs.makeQualified(file.getPath).toString
             if (file.getPath.getName.endsWith(".parquet") &&
-                !referenced.contains(q) &&
-                !referenced.contains(file.getPath.toString)) {
+                deletable(file.getPath.toString, q, file.getModificationTime)) {
               bfs.delete(file.getPath, false)
+              removed = true
             }
           }
-          if (bfs.listStatus(txn.getPath).forall(!_.getPath.getName.endsWith(".parquet"))) {
+          if (bfs.listStatus(txn.getPath).forall(!_.getPath.getName.endsWith(".parquet")) &&
+              (removed || now - txn.getModificationTime > unverifiedGraceMillis)) {
             bfs.delete(txn.getPath, true)
           }
         }

@@ -123,6 +123,31 @@ private[format] object SchemaPaths {
     case _                => false
   }
 
+  /** Project a LOGICAL-named value to the PHYSICAL nested names fragment
+    * files store — BY NAME, not by position (a caller may build a struct
+    * with the right field names in a different order; a positional cast
+    * would silently bind values to the wrong columns). Null structs are
+    * preserved explicitly. Write-path only; reads restore with a positional
+    * cast, which is safe there because the scan schema is generated from
+    * the same manifest field order. */
+  def toPhysicalExpr(e: org.apache.spark.sql.Column, dt: DataType,
+                     nullable: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, transform, when}
+    dt match {
+      case st: StructType if hasNestedIndirection(st) =>
+        val rebuilt = struct(st.fields.toSeq.map(f =>
+          toPhysicalExpr(e.getField(f.name), f.dataType, f.nullable)
+            .as(physName(f))): _*)
+        if (nullable)
+          when(e.isNull, lit(null).cast(nullableAll(physicalType(st))))
+            .otherwise(rebuilt)
+        else rebuilt
+      case ArrayType(elem, _) if hasNestedIndirection(elem) =>
+        transform(e, x => toPhysicalExpr(x, elem, nullable = true))
+      case _ => e
+    }
+  }
+
   /** (logical dotted path → physical name) for every renamed field at any
     * depth — the indirection fingerprint concurrent writers compare before
     * committing staged physical files. */

@@ -260,21 +260,35 @@ object ScaleProbe {
       val p = docsPlain(f)
       val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
         spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
       val tbl = s"$outDir/import_tbl_x$f"
+      // PRIVATE replica, copied OUTSIDE the timed body: commitFiles renames
+      // the registered files in place, which must never touch the shared
+      // docsPlain cache other probes read — and the copy must not pollute
+      // the timing (it is O(data); the import being measured is not)
+      val src = s"$outDir/import_src_x$f"
+      fsys.delete(new org.apache.hadoop.fs.Path(src), true)
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val it0 = fsys.listFiles(new org.apache.hadoop.fs.Path(p), false)
+      while (it0.hasNext) {
+        val s = it0.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          org.apache.hadoop.fs.FileUtil.copy(fsys, s.getPath, fsys,
+            new org.apache.hadoop.fs.Path(src, s.getPath.getName), false, conf)
+      }
       time("import_files", f) {
         fsys.delete(new org.apache.hadoop.fs.Path(tbl), true)
         graft.format.GraftTable.createEmpty(spark, tbl,
           spark.read.parquet(p).schema)
-        // re-list per rep, RECURSIVELY: commitFiles renames registered
-        // files in place (collisions land in same-fs subdirs)
-        val it = fsys.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        // recursive per-rep listing: rep 2 re-imports the frag-renamed
+        // files (collisions land in one same-fs subdir per attempt)
+        val it = fsys.listFiles(new org.apache.hadoop.fs.Path(src), true)
         val buf = collection.mutable.ArrayBuffer[String]()
         while (it.hasNext) {
           val s = it.next()
           if (s.getPath.getName.endsWith(".parquet")) buf += s.getPath.toString
         }
-        val files = buf.toSeq.sorted
-        graft.format.GraftTable.commitFiles(spark, tbl, files)
+        graft.format.GraftTable.commitFiles(spark, tbl, buf.toSeq.sorted)
         graft.format.GraftTable.countRows(spark, tbl)
       }
     }

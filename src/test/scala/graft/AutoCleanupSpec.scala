@@ -47,6 +47,29 @@ class AutoCleanupSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, t, version = Some(2L)).count() == 2L)
   }
 
+  test("cleanup spares young unverified files (a concurrent writer's stage)") {
+    val t = tmp()
+    GraftTable.write(df(1), t, "overwrite")                  // v1
+    GraftTable.write(df(2), t, "append")                     // v2
+    GraftTable.write(df(3), t, "append")                     // v3
+    // simulate another writer's staged-but-uncommitted fragment: a parquet
+    // file under data/ that no manifest references
+    val staged = new java.io.File(t, "data/txn-inflight")
+    staged.mkdirs()
+    df(99).coalesce(1).write.mode("overwrite")
+      .parquet(staged.getAbsolutePath + "/part")
+    def inflight(): Boolean = new java.io.File(staged, "part").exists()
+    assert(inflight())
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 1) // default 7d grace
+    assert(inflight(), "young unreferenced files survive the sweep")
+    assert(GraftTable.versions(spark, t) == Seq(3L))
+    assert(GraftTable.read(spark, t).count() == 3L)
+    // with the grace forced to zero the unverified file is reclaimed
+    GraftTable.write(df(4), t, "append")
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 1, unverifiedGraceMillis = 0L)
+    assert(!inflight(), "aged-out unverified files are reclaimed")
+  }
+
   test("removing the config key disables the hook (delete_config_keys)") {
     val t = tmp()
     GraftTable.write(df(1), t, "overwrite", configUpdates = Map(

@@ -278,6 +278,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("PROCEDURE"))
   }
 
+  test("CREATE TABLE AS SELECT and CREATE OR REPLACE") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t USING graft AS SELECT id, id * 2 AS dbl FROM range(5)")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == (0L to 4L).toSet)
+    s.sql(s"CREATE OR REPLACE TABLE g.db.$t USING graft AS SELECT id FROM range(3)")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == (0L to 2L).toSet)
+    assert(!s.sql(s"SELECT * FROM g.db.$t").columns.contains("dbl"))
+  }
+
   test("CALL fragments / add_base / import_files: storage surface via SQL") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")

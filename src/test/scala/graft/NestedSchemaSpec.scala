@@ -63,6 +63,24 @@ class NestedSchemaSpec extends AnyFunSuite {
     assert(raw.schema("s").dataType.asInstanceOf[StructType].fieldNames.contains("b"))
   }
 
+  test("append with reordered-but-correctly-named struct fields binds by name") {
+    val t = tmp()
+    GraftTable.write(nestedDf, t)
+    GraftTable.alterColumns(spark, t, renames = Map("s.b" -> "label"))
+    // struct built with fields in the WRONG order but right logical names:
+    // must land in the right physical columns (by-name, not positional)
+    val extra = spark.range(6, 8).toDF("id")
+      .withColumn("s", struct(concat(lit("x"), col("id")).as("label"),
+        (col("id") * 10).as("a")))
+      .withColumn("tags", array(struct(lit("t").as("k"), col("id").as("v"))))
+    GraftTable.write(extra, t, "append")
+    val back = GraftTable.read(spark, t).orderBy("id")
+    assert(back.select("s.a").as[Long].collect().toSeq ==
+      (1 to 7).map(_ * 10L))
+    assert(back.select("s.label").as[String].collect().toSeq ==
+      (1 to 7).map(i => s"x$i"))
+  }
+
   test("nested swap-rename at one level applies atomically") {
     val t = tmp()
     GraftTable.write(nestedDf, t)
