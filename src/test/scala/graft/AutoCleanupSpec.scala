@@ -70,6 +70,21 @@ class AutoCleanupSpec extends AnyFunSuite {
     assert(!inflight(), "aged-out unverified files are reclaimed")
   }
 
+  test("streaming ingest with auto-cleanup keeps version history bounded") {
+    val t = tmp()
+    GraftTable.write(df(0), t, "overwrite", configUpdates = Map(
+      GraftTable.AutoCleanupIntervalKey -> "5",
+      GraftTable.AutoCleanupKeepKey -> "3"))                 // v1
+    (1 to 20).foreach(i =>
+      graft.streaming.GraftStreaming.commitBatch(t, df(i), i.toLong))
+    val vs = GraftTable.versions(spark, t)
+    assert(vs.length < 10, s"history bounded under continuous ingest: $vs")
+    assert(GraftTable.read(spark, t).count() == 21L, "no data lost")
+    // the exactly-once batch high-water mark rides config and survives
+    graft.streaming.GraftStreaming.commitBatch(t, df(99), 5L) // replay
+    assert(GraftTable.read(spark, t).count() == 21L, "replayed batch skipped")
+  }
+
   test("removing the config key disables the hook (delete_config_keys)") {
     val t = tmp()
     GraftTable.write(df(1), t, "overwrite", configUpdates = Map(
