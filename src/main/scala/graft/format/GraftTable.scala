@@ -345,7 +345,26 @@ object GraftTable {
                         absolutePaths: Boolean = false): (Seq[FragmentMeta], Seq[Path]) = {
     val conf = spark.sessionState.newHadoopConf()
     var nextRid = rowIdBase
-    val out = staged.zipWithIndex.map { case (p, i) =>
+    // a commit-conflict retry SHIFTS the id range, so a file's new target
+    // name can collide with a SIBLING's current name (frag-61 -> frag-62
+    // while frag-62 is still staged); detour through unique temp names
+    // first when any such overlap exists
+    val currentNames = staged.map(_.getName).toSet
+    val needTwoPhase = staged.zipWithIndex.exists { case (p, i) =>
+      val d = s"frag-${firstId + i}.parquet"
+      d != p.getName && currentNames.contains(d)
+    }
+    val work =
+      if (!needTwoPhase) staged
+      else staged.map { p =>
+        val f = p.getFileSystem(conf)
+        val tmp = new Path(p.getParent,
+          s"stage-${UUID.randomUUID().toString.take(8)}.parquet")
+        if (!f.rename(p, tmp))
+          throw new IllegalStateException(s"rename $p -> $tmp failed")
+        tmp
+      }
+    val out = work.zipWithIndex.map { case (p, i) =>
       val id = firstId + i
       val f = p.getFileSystem(conf)
       val dest = new Path(p.getParent, s"frag-$id.parquet")
