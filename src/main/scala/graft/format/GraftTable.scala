@@ -265,6 +265,28 @@ object GraftTable {
     try (r.getRecordCount, FragmentStats.fromFooter(r.getFooter)) finally r.close()
   }
 
+  /** ONE footer open returning rows + stats + a CANONICAL schema
+    * fingerprint: column paths, primitive types, and logical annotations —
+    * repetition (required vs optional) and writer-stamped field ids are
+    * excluded because they don't affect read compatibility, and
+    * heterogeneously-produced parquet (pandas vs Spark writers) differs in
+    * exactly those. */
+  private def parquetFooterAll(conf: Configuration,
+                               status: org.apache.hadoop.fs.FileStatus):
+      (Long, Map[String, ColumnStat], String) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val canon = r.getFooter.getFileMetaData.getSchema.getColumns.asScala
+        .map { cd =>
+          val pt = cd.getPrimitiveType
+          cd.getPath.mkString(".") + ":" + pt.getPrimitiveTypeName + ":" +
+            String.valueOf(pt.getLogicalTypeAnnotation)
+        }.sorted.mkString(";")
+      (r.getRecordCount, FragmentStats.fromFooter(r.getFooter), canon)
+    } finally r.close()
+  }
+
   /** Write `df`'s rows as new fragment files under a unique txn directory and
     * return their metadata. Executors write data; the driver only reads
     * footers. Fragment ids are assigned by `assignIds` at commit time.
@@ -523,20 +545,19 @@ object GraftTable {
           val p = new Path(fstr)
           val fs = p.getFileSystem(c)
           val st = fs.getFileStatus(p)
-          val (rows, stats) = parquetFooterInfo(c, st)
-          // per-file parquet schema fingerprint: spark.read's schema above
-          // comes from ONE sampled footer, so a per-file check is the only
-          // thing standing between a mixed-schema file set and a committed
-          // table that fails (or silently nulls) at read time
-          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, c))
-          val schemaStr =
-            try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+          // per-file CANONICAL schema fingerprint in the same footer open:
+          // spark.read's schema above comes from ONE sampled footer, so a
+          // per-file check is the only thing standing between a
+          // mixed-schema file set and a committed table that fails (or
+          // silently nulls) at read time
+          val (rows, stats, schemaStr) = parquetFooterAll(c, st)
           fstr -> (rows, st.getLen, stats, schemaStr)
         }.collect().toMap
     val schemas = byFile.values.map(_._4).toSet
     require(schemas.size == 1,
       s"commitFiles: files carry ${schemas.size} different parquet schemas — " +
-        "all imported files must share one physical schema")
+        "all imported files must share one read schema (names, types, " +
+        "annotations; nullability and field ids are ignored)")
     var current: Seq[(Path, Long, Long, Map[String, ColumnStat])] = files.map { fstr =>
       val p = new Path(fstr)
       val (rows, len, stats, _) = byFile(fstr)
@@ -554,7 +575,10 @@ object GraftTable {
         // commitFiles that ultimately FAILS leaves the source files
         // frag-renamed (still valid parquet, same directory) — inherent to
         // naming before the manifest content is known.
-        var attemptSub: Option[Path] = None // one collision subdir per attempt
+        // one collision subdir per SOURCE DIRECTORY per attempt — a
+        // multi-directory (or multi-filesystem) import must never rename a
+        // file out of its own directory tree
+        val attemptSubs = scala.collection.mutable.Map[String, Path]()
         val frags = current.map { case (p, rows, len, stats) =>
           val f = p.getFileSystem(conf)
           val dest0 = new Path(p.getParent, s"frag-$fid.parquet")
@@ -566,13 +590,13 @@ object GraftTable {
               dest0
             } else {
               // target name taken in the source dir (e.g. a prior import's
-              // frag file): rename into a fresh same-fs subdir instead —
+              // frag file): rename into a fresh subdir OF THAT SAME dir —
               // still a metadata move, never a data copy
-              val sub = attemptSub.getOrElse {
+              val sub = attemptSubs.getOrElseUpdate(p.getParent.toString, {
                 val s0 = new Path(p.getParent,
                   s"import-${UUID.randomUUID().toString.take(8)}")
-                f.mkdirs(s0); attemptSub = Some(s0); s0
-              }
+                f.mkdirs(s0); s0
+              })
               val d = new Path(sub, s"frag-$fid.parquet")
               if (!f.rename(p, d)) throw new IllegalStateException(
                 s"commitFiles: rename $p -> $d failed")
@@ -691,7 +715,13 @@ object GraftTable {
     * needs at 100 TB. `randomize` applies a seeded permutation of the
     * fragment list first (same seed on every rank keeps the cover exact
     * and disjoint). DV-deletes and rename indirection apply as in any
-    * snapshot read. */
+    * snapshot read.
+    *
+    * Multi-process jobs MUST pin `version` explicitly (resolve
+    * `latestVersion` once, hand it to every rank): with `version=None`
+    * each rank resolves "latest" independently, and a commit landing
+    * between two ranks' opens would shard DIFFERENT fragment lists —
+    * silently duplicating and dropping rows across the epoch. */
   def readShard(spark: SparkSession, tablePath: String, rank: Int, worldSize: Int,
                 randomize: Boolean = false, seed: Long = 0L,
                 version: Option[Long] = None): DataFrame = {
@@ -2279,7 +2309,12 @@ object GraftTable {
     // Without the grace, an auto-cleanup hook firing mid-stage would delete
     // another writer's in-flight files: lost data on exactly the
     // concurrent-commit tables this format supports.
-    val droppedReferenced = drop.map(v => loadManifest(spark, tablePath, Some(v)))
+    // tolerant loads: a CONCURRENT cleanup may have deleted a dropped
+    // manifest between our versions() listing and here — skipping it only
+    // narrows the verified-deletable set (safe); survivors stay strict (a
+    // missing survivor would under-count `referenced` and must abort).
+    val droppedReferenced = drop
+      .flatMap(v => scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption)
       .flatMap { m =>
         m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
       }.toSet

@@ -416,6 +416,12 @@ object Format {
       val total = GraftTable.read(s, t).count()
       require(shards.map(_.count()).sum == total,
         "shards must partition the live table exactly")
+      // true disjointness: distinct keys across the union must ALSO equal
+      // the total (a duplicated fragment compensated by an omitted one
+      // would pass the sum check alone)
+      require(shards.reduce(_ unionByName _)
+        .select("o_orderkey").distinct().count() == total,
+        "shards must be disjoint (no fragment assigned to two ranks)")
       shards.reduce(_ unionByName _)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))

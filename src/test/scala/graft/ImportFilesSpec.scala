@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.format.GraftTable
 
@@ -73,6 +74,25 @@ class ImportFilesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftTable.commitFiles(spark, t, extraCol)
     }
+  }
+
+  test("files differing only in nullability import together (fingerprint ignores repetition)") {
+    val t = tmp("graft_imp_") + "/t"
+    GraftTable.write(df(1 to 2), t, "overwrite")
+    // file A: non-nullable id (parquet 'required'), from spark.range
+    val dirA = tmp("graft_ext_")
+    spark.range(3, 5).select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dirA)
+    // file B: nullable id (parquet 'optional'), via boxed values
+    val dirB = tmp("graft_ext_")
+    Seq((java.lang.Long.valueOf(5L), "v5"))
+      .toDF("id", "v").coalesce(1).write.mode(SaveMode.Overwrite).parquet(dirB)
+    val files = Seq(dirA, dirB).flatMap(d => new java.io.File(d).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath))
+    GraftTable.commitFiles(spark, t, files)
+    assert(GraftTable.read(spark, t).count() == 5L)
+    assert(GraftTable.read(spark, t).orderBy("id").select("v").as[String]
+      .collect().toSeq == Seq("v1", "v2", "v3", "v4", "v5"))
   }
 
   test("import into a renamed table binds physical names to logical schema") {
