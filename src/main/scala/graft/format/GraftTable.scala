@@ -1966,9 +1966,17 @@ object GraftTable {
         org.apache.spark.sql.types.LongType, nullable = false) +: newCols.fields)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
+    // "done" = marker AND at least one data file: a prior run that crashed
+    // AFTER the assembly renamed this fragment's parts away (leaving only
+    // _SUCCESS) must recompute, or the commit would silently miss every one
+    // of this fragment's addresses (rows would read NULL)
+    def fragDone(fragDir: Path): Boolean =
+      fs.exists(new Path(fragDir, "_SUCCESS")) &&
+        fs.listStatus(fragDir).exists(s =>
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     for (f <- m0.fragments) {
       val fragDir = new Path(ckptPath, s"frag-${f.id}")
-      if (!fs.exists(new Path(fragDir, "_SUCCESS"))) {
+      if (!fragDone(fragDir)) {
         val rows = readFragments(spark, tablePath, m0, Seq(f), withRowAddr = true)
         val dataCols = dataSchema.fieldNames
         val computed = rows.mapPartitions { it =>

@@ -275,10 +275,22 @@ object ScalarIndex {
   /** Incremental NGRAM maintenance: tokenize + append ONLY fragments added
     * since the build (O(delta) IO), each delta its own sorted segment. */
   def optimizeNgram(spark: SparkSession, tablePath: String, column: String,
-                    indexPath: String): Long = {
+                    indexPath: String, maxSegmentFiles: Int = 32): Long = {
     val dir = s"$indexPath/ngram_$column"
     val vi = indexedVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir has no version marker — build first"))
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
+    // an index built on the pre-r8 directory-per-trigram layout
+    // (partitionBy("gram") → gram=<v>/ subdirs) cannot take flat appends —
+    // Spark refuses mixed partitioned/unpartitioned datasets. Rebuild once
+    // onto the sorted fixed-file layout.
+    val legacyLayout = fs.exists(dirP) &&
+      fs.listStatus(dirP).exists(_.getPath.getName.startsWith("gram="))
+    if (legacyLayout) {
+      buildNgram(spark, tablePath, column, indexPath)
+      return GraftTable.loadManifest(spark, tablePath).fragments.map(_.rows).sum
+    }
     val m = GraftTable.loadManifest(spark, tablePath)
     val freshFrags = m.fragments.filter(_.addedVersion > vi)
     if (freshFrags.nonEmpty) {
@@ -287,6 +299,29 @@ object ScalarIndex {
         .repartitionByRange(2, col("gram"))
         .sortWithinPartitions(col("gram"))
         .write.mode(SaveMode.Append).parquet(dir)
+    }
+    // segment-merge policy (the FTS/HNSW delta-bound applied here): every
+    // optimize appends ~2 files; under continuous per-batch optimize the
+    // file count would otherwise grow without bound — the same
+    // metadata-pressure shape the sorted layout was built to avoid. When
+    // the count passes the bound, compact the POSTINGS (O(index), never
+    // O(corpus)) back to the fixed file count via an atomic dir swap.
+    val nFiles = if (!fs.exists(dirP)) 0
+      else fs.listStatus(dirP).count(s => s.getPath.getName.endsWith(".parquet"))
+    if (nFiles > maxSegmentFiles) {
+      val tmp = s"${dir}__compacttmp"
+      spark.read.parquet(dir)
+        .repartitionByRange(8, col("gram"))
+        .sortWithinPartitions(col("gram"), col(A))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(dirP, old))
+        throw new IllegalStateException(s"ngram compact: rename $dir aside failed")
+      if (!fs.rename(tmpP, dirP))
+        throw new IllegalStateException(s"ngram compact: rename $tmp in failed")
+      fs.delete(old, true)
     }
     finishBuild(spark, tablePath, indexPath, s"ngram_$column", "NGRAM",
       physicalOf(spark, tablePath, column), m, freshUuid = false)

@@ -186,9 +186,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("__u").as("__v"), col("__lbl")), "__v")
         .groupBy(col("__u")).agg(min(col("__lbl")).as("__nlbl"))
+      // neighbor-min plus PATH HALVING (label-of-label shortcut): rounds
+      // needed drop from O(diameter) to O(log diameter), so a 10k-long
+      // gradual-drift duplicate chain converges in ~14 rounds instead of
+      // aborting at the cap
+      val hop = labels.select(col("__u").as("__h_u"), col("__lbl").as("__h_lbl"))
       val next = labels.join(nbrMin, Seq("__u"), "left_outer")
         .select(col("__u"),
-          least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl"))
+          least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl0"))
+        .join(hop, col("__lbl0") === col("__h_u"), "left_outer")
+        .select(col("__u"),
+          least(col("__lbl0"), coalesce(col("__h_lbl"), col("__lbl0"))).as("__lbl"))
         .localCheckpoint()
       val changed = next
         .join(labels.select(col("__u"), col("__lbl").as("__old")), "__u")

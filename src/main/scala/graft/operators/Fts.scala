@@ -572,10 +572,36 @@ object Fts {
                          maxDeltaFiles: Int = 16): Unit = {
     val p = paths(indexPath)
     val conf = spark.sessionState.newHadoopConf()
+    // Roll-forward recovery makes the merge crash-atomic: the intent
+    // marker (written only AFTER the merged segment is fully on disk)
+    // lists the delta files to retire; from that point any crash is
+    // finished forward — deltas deleted, merged parts renamed in, base
+    // list rewritten — instead of leaving duplicated postings (wrong tf /
+    // BM25 forever) or orphaned tmp dirs. Deletes precede the renames so a
+    // concurrent query sees at worst a transient gap of the newest deltas,
+    // never doubled postings.
+    def recoverOne(fs: org.apache.hadoop.fs.FileSystem, dirStr: String): Unit = {
+      val tmpP = new org.apache.hadoop.fs.Path(s"${dirStr}__mergetmp")
+      if (!fs.exists(tmpP)) return
+      val marker = new org.apache.hadoop.fs.Path(tmpP, "_MERGE_INTENT")
+      if (!fs.exists(marker)) { fs.delete(tmpP, true); return } // abandoned
+      val dir = new org.apache.hadoop.fs.Path(dirStr)
+      val in = fs.open(marker)
+      val retire = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq finally in.close()
+      retire.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
+      fs.listStatus(tmpP).iterator.map(_.getPath)
+        .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+        .foreach(q => fs.rename(q, new org.apache.hadoop.fs.Path(dir, q.getName)))
+      writeBaseList(fs, dir, dataFileNames(fs, dir))
+      fs.delete(tmpP, true)
+    }
     def mergeOne(dirStr: String, rewrite: DataFrame => DataFrame): Unit = {
       val dir = new org.apache.hadoop.fs.Path(dirStr)
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) return
+      recoverOne(fs, dirStr) // finish (or discard) a died merge first
       val current = dataFileNames(fs, dir)
       readBaseList(fs, dir) match {
         case None => writeBaseList(fs, dir, current)
@@ -585,15 +611,12 @@ object Fts {
             val tmp = s"${dirStr}__mergetmp"
             rewrite(spark.read.parquet(delta.map(f => s"$dirStr/$f"): _*))
               .write.mode(SaveMode.Overwrite).parquet(tmp)
-            val tmpP = new org.apache.hadoop.fs.Path(tmp)
-            // part filenames carry a fresh UUID — no collision with dest
-            val moved = fs.listStatus(tmpP).iterator.map(_.getPath)
-              .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
-              .map { q => fs.rename(q, new org.apache.hadoop.fs.Path(dir, q.getName)); q.getName }
-              .toSet
-            delta.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(dir, f), false))
-            fs.delete(tmpP, true)
-            writeBaseList(fs, dir, base.intersect(current) ++ moved)
+            val marker = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(tmp), "_MERGE_INTENT")
+            val out = fs.create(marker, true)
+            try out.write(delta.mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            recoverOne(fs, dirStr) // the durable roll-forward IS the commit
           }
       }
     }

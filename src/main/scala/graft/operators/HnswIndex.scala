@@ -318,7 +318,41 @@ object HnswIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("graph_delta_")).sorted.toSeq
+      // numeric generations ONLY: a crashed merge's tmp dir must neither be
+      // searched nor break the next-generation numbering parse
+      .filter(n => n.startsWith("graph_delta_") &&
+        n.stripPrefix("graph_delta_").nonEmpty &&
+        n.stripPrefix("graph_delta_").forall(_.isDigit))
+      .sorted.toSeq
+  }
+
+  private val MergeTmpName = "graph_delta_merged__tmp"
+  private val MergeMarkerName = "_MERGED_SOURCES"
+
+  /** Finish a merge whose process died between writing the merged graph and
+    * completing the swap. The marker (written only AFTER the merged graph
+    * is fully on disk) lists `head :: sources`; recovery deletes any
+    * surviving sources and renames the tmp dir into the head slot —
+    * idempotent, safe to call from search and optimize paths. A tmp dir
+    * WITHOUT a marker is an in-progress (or abandoned) write and is left
+    * for the single-writer optimize path to discard. */
+  private def recoverCompletedMerge(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(p, MergeTmpName)
+    val marker = new org.apache.hadoop.fs.Path(tmp, MergeMarkerName)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val lines = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").split("\n").toSeq
+      finally in.close()
+    val head = lines.head.trim
+    lines.tail.map(_.trim).filter(_.nonEmpty).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s), true)
+    }
+    fs.delete(marker, false) // the merged dir becomes a plain generation
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(p, head))
+    invalidateCache(indexPath)
   }
 
   /** Exact float vectors across the base graph AND every delta sub-graph —
@@ -413,6 +447,9 @@ object HnswIndex {
       case _    => "IVF_HNSW"
     }
     if (freshFrags.nonEmpty) {
+      // a prior merge whose process died mid-swap is finished forward
+      // before anything lists generations
+      recoverCompletedMerge(spark, indexPath)
       val model = IvfIndex.loadModel(spark, indexPath)
       val df = IvfIndex.forMetric(
         GraftTable.readFragments(spark, tablePath, mf, freshFrags,
@@ -448,6 +485,13 @@ object HnswIndex {
   private def mergeDeltas(spark: SparkSession, indexPath: String,
                           storage: String, m: Int, efConstruction: Int,
                           maxDeltas: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // single-writer maintenance path: finish a died merge's swap, then
+    // discard any MARKERLESS tmp (an abandoned in-progress write)
+    recoverCompletedMerge(spark, indexPath)
+    val tmpP = new org.apache.hadoop.fs.Path(p, MergeTmpName)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
     val dirs = deltaDirs(spark, indexPath)
     if (maxDeltas <= 0 || dirs.size <= maxDeltas) return
     val toMerge = dirs.take(dirs.size - maxDeltas + 1)
@@ -457,16 +501,17 @@ object HnswIndex {
         .select(col("id"), col("vec"), col(AddrCol)))
       .reduce(_.unionByName(_))
       .filter(col(AddrCol).isNotNull)
-    val mergedTmp = s"$indexPath/graph_delta_merged__tmp"
     writeGraphRows(union, "id", "vec", model.centroids, encode, m,
-      efConstruction, mergedTmp)
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    toMerge.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(p, d), true))
-    // merged dir takes the first merged slot: lexicographic order (and so
-    // generation order) stays monotone with the surviving newer deltas
-    IvfIndex.swapInDir(spark, mergedTmp, s"$indexPath/${toMerge.head}")
-    invalidateCache(indexPath)
+      efConstruction, tmpP.toString)
+    // marker AFTER the graph is fully written: from here the merge is
+    // durable — a crash at any later point is finished forward by
+    // recoverCompletedMerge (sources deleted, tmp renamed into the head
+    // slot, so generation order stays monotone with surviving deltas)
+    val marker = new org.apache.hadoop.fs.Path(tmpP, MergeMarkerName)
+    val out = fs.create(marker, true)
+    try out.write((toMerge.head +: toMerge).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    recoverCompletedMerge(spark, indexPath)
   }
 
   /** Post-compaction graph maintenance WITHOUT a rebuild ([[IndexRemap]]):
@@ -739,6 +784,9 @@ object HnswIndex {
                      maskCap: Int = 1 << 20,
                      distanceRange: Option[(Double, Double)] = None): DataFrame = {
     import graft.format.GraftTable
+    // a merge that died mid-swap would otherwise hide its generations from
+    // this search until the next optimize; finishing it here is idempotent
+    recoverCompletedMerge(spark, indexPath)
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = graft.index.ScalarIndex.readCoverage(spark, indexPath)
       .map(_.fragmentIds.toSet)

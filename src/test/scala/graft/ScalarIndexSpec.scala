@@ -86,6 +86,28 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(ScalarIndex.optimizeNgram(spark, t, "payload", idx) == 0L)
   }
 
+  test("ngram segment-merge policy bounds the file count under continuous optimize") {
+    val (t, idx) = setup()
+    ScalarIndex.buildNgram(spark, t, "payload", idx)
+    val dir = new java.io.File(s"$idx/ngram_payload")
+    def files(): Int = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    // many append→optimize cycles with a LOW merge bound: without the
+    // policy every cycle leaves 2 more files forever
+    for (i <- 0 until 8) {
+      val base = 1000L + i * 50
+      val extra = spark.range(base, base + 50).toDF("id")
+        .withColumn("category", concat(lit("cat-"), pmod(col("id"), lit(7))))
+        .withColumn("payload", concat(lit("payload text walrus "), col("id")))
+      GraftTable.write(extra, t, "append")
+      ScalarIndex.optimizeNgram(spark, t, "payload", idx, maxSegmentFiles = 6)
+    }
+    assert(files() <= 8, s"segment count stays bounded, got ${files()}")
+    // correctness after repeated merges: every appended row found
+    val got = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "walrus")
+      .select("id").as[Long].collect().toSet
+    assert(got == (1000L until 1400L).toSet)
+  }
+
   test("ngram short-needle falls back to full scan semantics") {
     val (t, idx) = setup()
     ScalarIndex.buildNgram(spark, t, "payload", idx)

@@ -105,6 +105,17 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L), s"got $comp")
   }
 
+  test("connectedComponents converges on a long chain (path halving)") {
+    // diameter-59 chain: pure neighbor propagation needs 59 rounds and
+    // would abort at the round cap; the label-of-label shortcut converges
+    // in O(log d)
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L), s"one component labeled 1, got $comp")
+    assert(comp.keySet == (1L to 60L).toSet)
+  }
+
   test("connectedComponents on LSH pairs groups duplicates of one source") {
     val sh = docs.withColumn("sh", TA.shingleSet($"text", 3))
     val pairs = Dedup.minhashNearDupPairs(sh, "doc_id", "sh", 0.5)
