@@ -578,12 +578,17 @@ private[format] object GraftProcedures {
       // Build parameters re-dispatch from the manifest entry; supported for
       // the vector families, as in the reference.
       def runRetrain(): Long = {
+        def pInt(k: String, dflt: Int) = e.params.get(k).map(_.toInt).getOrElse(dflt)
+        def pStr(k: String, dflt: String) = e.params.getOrElse(k, dflt)
+        val vectorFamilies = Set("IVF_FLAT", "IVF_PQ", "IVF_SQ", "IVF_RQ",
+          "IVF_HNSW", "IVF_HNSW_SQ", "IVF_HNSW_PQ")
+        if (!vectorFamilies.contains(e.indexType))
+          throw new IllegalArgumentException(
+            s"retrain supports the vector index families; '$idxName' is ${e.indexType}")
         // REFUSE legacy entries whose build predates param recording:
         // silently rebuilding a cosine nlist=64 index as l2 nlist=8 (the
         // defaults) would re-rank every subsequent ANN query wrongly with
         // no error anywhere. Such an index must be re-created explicitly.
-        def pInt(k: String, dflt: Int) = e.params.get(k).map(_.toInt).getOrElse(dflt)
-        def pStr(k: String, dflt: String) = e.params.getOrElse(k, dflt)
         require(e.params.contains("nlist"),
           s"index '$idxName' predates build-parameter recording — its " +
             "original nlist/metric are unknown; re-create it with CALL " +
