@@ -60,6 +60,14 @@ object GraftTable {
     * explicitly — the SQL surface's route to multi-base writes
     * (`ALTER TABLE ... SET TBLPROPERTIES('graft.write.base'='cold')`). */
   val WriteBaseKey = "graft.write.base"
+
+  /** Parquet row-group size in bytes for fragment writes (reference
+    * `max_rows_per_group` compaction/write option): row groups are the
+    * zonemap/pushdown pruning granule INSIDE a fragment — at 100 TB a
+    * selective point query skips row groups, not just fragments, so the
+    * group size is a real tuning lever. Honored by every mutation path
+    * (write/update/compact/cluster/merge) like the codec config. */
+  val RowGroupBytesKey = "graft.write.rowgroup.bytes"
   val RowOffsetCol = "_rowoffset"
   val RowCreatedCol = "_row_created_at_version"
   val RowLastUpdatedCol = "_row_last_updated_at_version"
@@ -300,12 +308,16 @@ object GraftTable {
     * one session cannot interleave a set/restore (ADVICE r2). Cloning
     * shares the SparkContext and cached data; only session state is copied. */
   private def writeMicros(spark: SparkSession, df: DataFrame, dest: String,
-                          codec: Option[String] = None): Unit = {
+                          codec: Option[String] = None,
+                          rowGroupBytes: Option[Long] = None): Unit = {
     val writer = ColumnBridge.cloneSession(spark)
     writer.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     codec.foreach(c => writer.conf.set("spark.sql.parquet.compression.codec", c))
-    ColumnBridge.ofRows(writer, df.queryExecution.logical)
-      .write.mode(SaveMode.Overwrite).parquet(dest)
+    val w = ColumnBridge.ofRows(writer, df.queryExecution.logical)
+      .write.mode(SaveMode.Overwrite)
+    // parquet honors block size per-write through the writer options
+    rowGroupBytes.foreach(b => w.option("parquet.block.size", b.toString))
+    w.parquet(dest)
   }
 
   /** Rename a logical-named DataFrame to the manifest's PHYSICAL column
@@ -342,10 +354,11 @@ object GraftTable {
     // "zstd"): at archival scale zstd roughly halves cold storage over the
     // snappy default for modest CPU — a per-table choice every mutation
     // path (write/update/compact/merge) honors uniformly
-    val codec = latestVersion(spark, tablePath)
+    val cfg = latestVersion(spark, tablePath)
       .map(v => loadManifest(spark, tablePath, Some(v)))
-      .flatMap(_.config.get(CompressionKey))
-    writeMicros(spark, df, stagingDir.toString, codec)
+      .map(_.config).getOrElse(Map.empty)
+    writeMicros(spark, df, stagingDir.toString, cfg.get(CompressionKey),
+      cfg.get(RowGroupBytesKey).map(_.toLong))
     val f = fs(spark, stagingDir)
     f.listStatus(stagingDir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))

@@ -97,6 +97,38 @@ class GraftTableSpec extends AnyFunSuite {
     assert(codecOf(t2, m2.fragments.head) != "ZSTD")
   }
 
+  test("graft.write.rowgroup.bytes config sets the parquet row-group granule") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def blocksOf(t: String, frag: graft.format.FragmentMeta): Int = {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(t), frag.path)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try r.getFooter.getBlocks.size() finally r.close()
+    }
+    val wide = spark.range(0, 20000).toDF("id")
+      .withColumn("pad", org.apache.spark.sql.functions.concat_ws("",
+        Seq.fill(20)(org.apache.spark.sql.functions.lit("x" * 50)): _*))
+      .coalesce(1)
+    // tiny row groups: a single fragment must split into many blocks
+    val t = tmp()
+    GraftTable.write(wide, t, "overwrite",
+      configUpdates = Map(GraftTable.RowGroupBytesKey -> (256 * 1024).toString))
+    val m = GraftTable.loadManifest(spark, t)
+    // config lands with the create commit; the append honors it
+    GraftTable.write(wide, t, "append")
+    val m2 = GraftTable.loadManifest(spark, t)
+    val appended = m2.fragments.filter(_.addedVersion == m2.version)
+    assert(appended.nonEmpty && appended.forall(f => blocksOf(t, f) > 2),
+      appended.map(f => f.path -> blocksOf(t, f)).toString)
+    // default: one big row group for the same data
+    val t2 = tmp()
+    GraftTable.write(wide, t2, "overwrite")
+    val f2 = GraftTable.loadManifest(spark, t2).fragments.head
+    assert(blocksOf(t2, f2) < 3, s"default block count: ${blocksOf(t2, f2)}")
+    assert(GraftTable.read(spark, t).count() == 40000L)
+  }
+
   test("includeDeleted: dead rows surface with on-disk values and null _rowid") {
     val t = tmp()
     GraftTable.write(people, t)

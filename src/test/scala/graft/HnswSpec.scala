@@ -357,6 +357,46 @@ class HnswSpec extends AnyFunSuite {
     assert(r == exact, s"$r vs $exact")
   }
 
+  test("delta merge recovers a crash between marker and swap (roll-forward)") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_crash_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_crashidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4)
+    val fresh = embeddings.filter($"vec_id" < 15)
+      .withColumn("vec_id", $"vec_id" + lit(10000L))
+    GraftTable.write(fresh, t, "append")
+    HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix, maxDeltas = 8)
+    val p = new org.apache.hadoop.fs.Path(ix)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def deltas(): Seq[String] =
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("graph_delta_") &&
+          n.stripPrefix("graph_delta_").forall(_.isDigit)).sorted.toSeq
+    val gen = deltas()
+    assert(gen.nonEmpty)
+    // SIMULATED CRASH: the merged graph sits fully-written in the tmp dir
+    // with its marker, but source deletes / the swap never ran. Use the
+    // existing generation's graph AS the merged product (content-valid).
+    val tmp = new org.apache.hadoop.fs.Path(p, "graph_delta_merged__tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(p, gen.head),
+      fs, tmp, false, spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_MERGED_SOURCES")
+    val out = fs.create(marker, true)
+    try out.write(s"${gen.head}\n${gen.head}".getBytes("UTF-8")) finally out.close()
+    // search triggers the roll-forward: tmp renamed into the head slot
+    val q = queryVec(5L)
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, refineFactor = 100, fastSearch = true)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!fs.exists(tmp), "tmp consumed by recovery")
+    assert(deltas() == gen, "generation slot restored under its numeric name")
+    val exact = Knn.flatSearch(embeddings.union(fresh), "embedding", q, 10,
+        "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == exact, s"post-recovery search exact: $r vs $exact")
+  }
+
   test("deterministic rebuild: identical graphs") {
     val d2 = Files.createTempDirectory("hnsw2_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
