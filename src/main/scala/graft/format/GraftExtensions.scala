@@ -763,23 +763,41 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** `DELETE FROM <graft table> WHERE cond` — DV commit, no rewrite. */
+/** Shared result surface for graft DML commands: one row of affected-row
+  * counts read from the commit's stamped [[GraftManifest.opStats]]
+  * (reference DML results — `merge_insert`/`update` return
+  * num_inserted/updated/deleted rows, `dataset.py:91-138,2046`). */
+private[format] object GraftDmlOutput {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+  def attrs(names: String*): Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    names.map(n => AttributeReference(n, LongType, nullable = false)())
+  def row(m: GraftManifest, names: String*): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row.fromSeq(names.map(m.opStats.getOrElse(_, 0L))))
+}
+
+/** `DELETE FROM <graft table> WHERE cond` — DV commit, no rewrite. Returns
+  * the deleted-row count. */
 case class GraftDeleteCommand(path: String, condition: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDmlOutput.attrs("num_deleted_rows")
   override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    GraftTable.delete(sparkSession, path, condition)
-    Seq.empty
+    val m = GraftTable.delete(sparkSession, path, condition)
+    GraftDmlOutput.row(m, "num_deleted_rows")
   }
 }
 
 /** `UPDATE <graft table> SET ... WHERE cond` — rewrite-matching + DV in one
-  * commit. */
+  * commit. Returns the updated-row count (reference `UpdateResult`). */
 case class GraftUpdateCommand(path: String, set: Map[String, String],
                               condition: Option[String])
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDmlOutput.attrs("num_updated_rows")
   override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    GraftTable.update(sparkSession, path, set, condition)
-    Seq.empty
+    val m = GraftTable.update(sparkSession, path, set, condition)
+    GraftDmlOutput.row(m, "num_updated_rows")
   }
 }
 
@@ -793,14 +811,16 @@ case class GraftMergeCommand(path: String,
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     Seq(source)
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDmlOutput.attrs("num_inserted_rows", "num_updated_rows", "num_deleted_rows")
   override def run(sparkSession: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    GraftTable.mergeInsert(sparkSession, path,
+    val m = GraftTable.mergeInsert(sparkSession, path,
       ColumnBridge.ofRows(sparkSession, source), on,
       whenMatchedUpdateAll = updateAll,
       whenNotMatchedInsertAll = insertAll,
       whenNotMatchedBySourceDelete = deleteNotMatchedBySource,
       deleteCondition = deleteCondition)
-    Seq.empty
+    GraftDmlOutput.row(m, "num_inserted_rows", "num_updated_rows", "num_deleted_rows")
   }
 }
 

@@ -222,8 +222,11 @@ object GraftTable {
                          branch: Option[String] = None): GraftManifest = {
     var attempt = 0
     while (attempt < maxRetries) {
+      // opStats describe ONE commit — cleared here so an op that does not
+      // stamp its own stats can never inherit the parent commit's numbers
       val base = latestVersion(spark, tablePath, branch)
         .map(v => loadManifest(spark, tablePath, Some(v), branch))
+        .map(_.copy(opStats = Map.empty))
       val next = op(base)
       if (tryCommit(spark, tablePath, next, branch)) {
         if (branch.isEmpty) autoCleanupHook(spark, tablePath, next)
@@ -479,7 +482,8 @@ object GraftTable {
           base.copy(version = base.version + 1, operation = "append",
             fragments = base.fragments ++ frags,
             config = base.config ++ configUpdates, parent = base.version,
-            nextRowId = base.nextRowId + frags.map(_.rows).sum)
+            nextRowId = base.nextRowId + frags.map(_.rows).sum,
+            opStats = Map("num_inserted_rows" -> frags.map(_.rows).sum))
         case "overwrite" =>
           // ids keep growing across overwrites (the high-water mark is never
           // reset) so a row id can never be observed for two different rows
@@ -1358,6 +1362,65 @@ object GraftTable {
     if (n == 0) { f.delete(dir, true); None } else Some((txn, n))
   }
 
+  /** Test-only seam: invoked between DV staging and the commit loop by
+    * delete/update/merge_insert, so specs can deterministically interleave
+    * concurrent DML (stage under snapshot A, let B commit, then commit). */
+  private[graft] object DmlTestHooks {
+    @volatile var beforeCommit: String => Unit = _ => ()
+  }
+
+  /** DV-level conflict resolution for a mutation whose deletion vector was
+    * staged against snapshot `m0` but is committing over a newer `base`
+    * (reference `transaction.rs` conflict semantics: operations compose
+    * when their consumed state is disjoint, conflict when contested).
+    *
+    *  - Rows contested by a concurrent UPDATE/MERGE (their DVs intersect
+    *    ours) → ABORT: they rewrote the row into a new fragment our
+    *    snapshot never saw; composing would delete-the-old + keep-the-new
+    *    (for a delete) or resurrect a newer value (for an update).
+    *  - Rows contested by a concurrent DELETE: a delete composes (deleting
+    *    a dead row is a no-op) but must not re-count it — the overlap is
+    *    RETURNED and subtracted from `numDeleted`, keeping the metadata
+    *    `countRows` fast path exact. An update/merge aborts here too: its
+    *    staged fragments hold live rewritten copies of rows the concurrent
+    *    delete removed.
+    *
+    * Zero cost on the no-conflict path (`base.dvFiles == m0`'s); otherwise
+    * one O(concurrent-delta) addr join — never corpus-sized. */
+  private def resolveDvConflicts(spark: SparkSession, tablePath: String, op: String,
+                                 m0: GraftManifest, base: GraftManifest,
+                                 stagedDv: Option[String],
+                                 composeDeletes: Boolean): Long = {
+    if (base.version == m0.version || stagedDv.isEmpty) return 0L
+    var prev = m0
+    val delDvs = Seq.newBuilder[String]
+    val rewDvs = Seq.newBuilder[String]
+    for (v <- (m0.version + 1) to base.version) {
+      val m = loadManifest(spark, tablePath, Some(v))
+      val added = m.dvFiles.filterNot(prev.dvFiles.toSet)
+      if (m.operation == "delete") delDvs ++= added else rewDvs ++= added
+      prev = m
+    }
+    val del = delDvs.result(); val rew = rewDvs.result()
+    if (del.isEmpty && rew.isEmpty) return 0L
+    val staged = spark.read.parquet(s"$tablePath/${stagedDv.get}").select(col("addr"))
+    def overlapWith(paths: Seq[String]): DataFrame =
+      staged.join(
+        spark.read.parquet(paths.map(p => s"$tablePath/$p"): _*).select(col("addr")),
+        Seq("addr"), "left_semi")
+    if (rew.nonEmpty && overlapWith(rew).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$op conflict: rows contested by a concurrent update/merge " +
+          s"(v${m0.version} -> v${base.version}) — retry")
+    if (del.isEmpty) 0L
+    else if (composeDeletes) overlapWith(del).count()
+    else if (overlapWith(del).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$op conflict: rows deleted concurrently " +
+          s"(v${m0.version} -> v${base.version}) — retry")
+    else 0L
+  }
+
   /** Conflict guard for mutations whose staged fragments/DVs were derived
     * from manifest `m0` (ADVICE r4): commit-loop retries may see a newer
     * base. A concurrent APPEND is safe (our DVs/fragments don't touch it),
@@ -1381,19 +1444,30 @@ object GraftTable {
     if (predicate.trim.equalsIgnoreCase("true")) {
       return commitLoop(spark, tablePath, {
         case Some(base) => base.copy(version = base.version + 1, operation = "delete",
-          fragments = Nil, dvFiles = Nil, numDeleted = 0L, parent = base.version)
+          fragments = Nil, dvFiles = Nil, numDeleted = 0L, parent = base.version,
+          opStats = Map("num_deleted_rows" -> base.liveRows))
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     }
-    val matches = read(spark, tablePath, None, withRowAddr = true)
+    val m0 = loadManifest(spark, tablePath)
+    val matches = read(spark, tablePath, Some(m0.version), withRowAddr = true)
       .filter(expr(predicate)).select(RowAddrCol)
     stageDv(spark, tablePath, matches) match {
-      case None => loadManifest(spark, tablePath) // no-op delete
+      case None => // no-op delete: report 0 affected, commit nothing
+        m0.copy(opStats = Map("num_deleted_rows" -> 0L))
       case Some((dvPath, n)) =>
+        DmlTestHooks.beforeCommit("delete")
         commitLoop(spark, tablePath, {
-          case Some(base) => base.copy(version = base.version + 1, operation = "delete",
-            dvFiles = base.dvFiles :+ dvPath, numDeleted = base.numDeleted + n,
-            parent = base.version)
+          case Some(base) =>
+            guardStagedBase("delete", m0, base)
+            // deleting a row a concurrent delete already removed is a no-op
+            // but must not re-count; contested update/merge rows abort
+            val over = resolveDvConflicts(spark, tablePath, "delete", m0, base,
+              Some(dvPath), composeDeletes = true)
+            base.copy(version = base.version + 1, operation = "delete",
+              dvFiles = base.dvFiles :+ dvPath, numDeleted = base.numDeleted + n - over,
+              parent = base.version,
+              opStats = Map("num_deleted_rows" -> (n - over)))
           case None => throw new IllegalArgumentException(s"no table at $tablePath")
         })
     }
@@ -1415,7 +1489,8 @@ object GraftTable {
     val m0 = loadManifest(spark, tablePath)
     val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq
-    val snap = read(spark, tablePath, None, withRowAddr = true, withRowId = carry)
+    val snap = read(spark, tablePath, Some(m0.version), withRowAddr = true,
+      withRowId = carry)
     val matches = where.map(w => snap.filter(expr(w))).getOrElse(snap)
       .persist()
     try {
@@ -1425,9 +1500,14 @@ object GraftTable {
       }.select(outCols: _*)
       var staged = stageFragments(spark, tablePath, toPhysical(updated, m0))
       val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
+      DmlTestHooks.beforeCommit("update")
       commitLoop(spark, tablePath, {
         case Some(base) =>
           guardStagedBase("update", m0, base)
+          // our staged fragments hold live rewritten copies — any row a
+          // concurrent DML also touched is contested, abort (never compose)
+          resolveDvConflicts(spark, tablePath, "update", m0, base,
+            dvOpt.map(_._1), composeDeletes = false)
           val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1,
             rowIdBase = if (carry) -1L else base.nextRowId,
@@ -1440,28 +1520,109 @@ object GraftTable {
             parent = base.version,
             nextRowId =
               if (carry) base.nextRowId
-              else base.nextRowId + frags.map(_.rows).sum)
+              else base.nextRowId + frags.map(_.rows).sum,
+            opStats = Map("num_updated_rows" -> frags.map(_.rows).sum))
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally matches.unpersist()
+  }
+
+  /** Observability for index-assisted merges ([[mergeInsert]] `useIndex`):
+    * spec/gate assertions read these to prove the pruned path actually ran
+    * (a silently-disabled fast path would still produce correct results). */
+  object MergeStats {
+    val indexedRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var lastFragmentsScanned: Int = -1
+    @volatile var lastFragmentsTotal: Int = -1
+  }
+
+  /** Source keys inlined as a pushed-down IN literal when at most this many
+    * distinct values — the row-group-stat-pruned fast path of the btree
+    * postings scan (same mechanism as [[graft.index.ScalarIndex.lookupBtree]]). */
+  private val MergeInlineKeyLimit = 10000
+
+  /** Index-assisted MERGE target (reference `MergeInsertBuilder.use_index`,
+    * `python/python/lance/dataset.py:223` — the reference locates matched
+    * rows through the scalar index on the join key instead of scanning the
+    * whole target). Sound only when the merge has NO not-matched-by-source
+    * clause: then target rows matching no source key take no action and
+    * need never be read. The pruned target is
+    *
+    *   (covered fragments that contain ≥1 candidate address) ∪
+    *   (fragments appended after the index build — scanned flat, O(delta))
+    *
+    * Candidate addresses come from the btree postings `(v, _rowaddr)`
+    * semi-joined with the source keys — inlined as a pushed IN literal for
+    * small key sets (row-group pruning inside the sorted index files), a
+    * broadcast-eligible semi-join otherwise (two narrow columns, never the
+    * table width). DV-deleted candidates vanish in the fragment read, so a
+    * source key matching only a dead row still classifies as an insert.
+    * Returns None when no usable index exists (caller falls back to the
+    * full scan). At 100 TB this is the difference between an upsert batch
+    * reading O(matching fragments) and reading the entire table. */
+  private def mergeIndexTarget(spark: SparkSession, tablePath: String,
+                               m0: GraftManifest, key: String, source: DataFrame,
+                               withRowId: Boolean): Option[DataFrame] = {
+    val entryOpt = for {
+      field <- m0.schema.fields.find(_.name == key)
+      phys = m0.physicalName(field)
+      e <- m0.indices.find(e => e.indexType == "BTREE" && e.column == phys)
+      covered = e.fragmentIds.toSet
+      // compacted-away coverage = index rows address dead fragments — dormant
+      if covered.subsetOf(m0.fragments.map(_.id).toSet)
+      dir = s"$tablePath/_indices/${e.name}"
+      // the dir must still hold THIS build (a clone/restore whose dirs did
+      // not travel, or a later rebuild, must not serve another build's rows)
+      if graft.index.ScalarIndex.readMarkerUuid(spark, dir).contains(e.uuid)
+    } yield (e, covered, dir)
+    entryOpt.map { case (_, covered, dir) =>
+      val postings = spark.read.parquet(dir)
+      val srcKeys = source.select(source(key).as("v")).distinct()
+      val probe = srcKeys.limit(MergeInlineKeyLimit + 1).collect()
+      val cand =
+        if (probe.length <= MergeInlineKeyLimit)
+          postings.filter(col("v").isin(probe.toSeq.map(_.get(0)): _*)).select(col(RowAddrCol))
+        else postings.join(srcKeys, Seq("v"), "left_semi").select(col(RowAddrCol))
+      // fragment-count-bounded collect (metadata-sized, never row-sized)
+      val candIds = cand.select(shiftrightunsigned(col(RowAddrCol), 32).as("f"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val frags = m0.fragments.filter(f => !covered(f.id) || candIds(f.id))
+      MergeStats.indexedRuns.incrementAndGet()
+      MergeStats.lastFragmentsScanned = frags.size
+      MergeStats.lastFragmentsTotal = m0.fragments.size
+      readFragments(spark, tablePath, m0, frags, withRowAddr = true,
+        withRowId = withRowId)
+    }
   }
 
   /** MERGE INTO (reference `write/merge_insert.rs:204-299`):
     * full-outer join target vs source on key columns, classify, then apply
     * all actions in ONE commit: updates/inserts as new fragments, matched/
     * not-matched-by-source rows as DVs.
-    */
+    *
+    * `useIndex` (reference `MergeInsertBuilder.use_index`, default on):
+    * single-key merges without a by-source-delete clause read only the
+    * fragments that can contain a source key when a BTREE index on the key
+    * is fresh — see [[mergeIndexTarget]]. `whenMatchedFail` (reference
+    * `when_matched_fail`) aborts the merge if ANY source row matches. */
   def mergeInsert(spark: SparkSession, tablePath: String, source: DataFrame,
                   on: Seq[String],
                   whenMatchedUpdateAll: Boolean = true,
                   matchedCondition: Option[String] = None,
                   whenNotMatchedInsertAll: Boolean = true,
                   whenNotMatchedBySourceDelete: Boolean = false,
-                  deleteCondition: Option[String] = None): GraftManifest = {
+                  deleteCondition: Option[String] = None,
+                  useIndex: Boolean = true,
+                  whenMatchedFail: Boolean = false): GraftManifest = {
     val m0 = loadManifest(spark, tablePath)
     val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq
-    val target = read(spark, tablePath, None, withRowAddr = true, withRowId = carry)
+    val prunedTarget =
+      if (useIndex && !whenNotMatchedBySourceDelete && on.size == 1)
+        mergeIndexTarget(spark, tablePath, m0, on.head, source, withRowId = carry)
+      else None
+    val target = prunedTarget.getOrElse(
+      read(spark, tablePath, Some(m0.version), withRowAddr = true, withRowId = carry))
     // prefix source columns to disambiguate
     val src = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq: _*)
       .withColumn("__s_exists", lit(true))
@@ -1470,6 +1631,12 @@ object GraftTable {
     try {
       val isMatched = col(RowAddrCol).isNotNull && col("__s_exists").isNotNull
       val srcRow = cols.map(c => col(s"__s_$c").as(c))
+
+      // reference `when_matched_fail`: insert-only merges that must not
+      // silently touch existing rows abort on the first match
+      if (whenMatchedFail && joined.filter(isMatched).limit(1).count() > 0)
+        throw new IllegalStateException(
+          "merge_insert: when_matched_fail — a source row matches an existing target row")
 
       // ambiguous-match detection (reference errors on >1 source match)
       if (whenMatchedUpdateAll) {
@@ -1504,20 +1671,34 @@ object GraftTable {
           updates.select(srcRow: _*).unionByName(inserts.select(srcRow: _*)), m0))
       val dvOpt = stageDv(spark, tablePath,
         updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
+      // legacy (no-rowid) staging mixes updates and inserts in one fragment
+      // set; one count over the persisted join recovers the split. Carry
+      // mode reads both counts off staged fragment metadata for free.
+      val nUpdLegacy =
+        if (!carry && whenMatchedUpdateAll) updates.count() else 0L
+      DmlTestHooks.beforeCommit("merge_insert")
       commitLoop(spark, tablePath, {
         case Some(base) =>
           guardStagedBase("merge_insert", m0, base)
+          resolveDvConflicts(spark, tablePath, "merge_insert", m0, base,
+            dvOpt.map(_._1), composeDeletes = false)
           val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
             base.version + 1, storedRowIds = carry)
           val (fragsI, pathsI) = assignIds(spark, stagedIns,
             base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId)
           stagedUpd = pathsU; stagedIns = pathsI
+          val dvN = dvOpt.map(_._2).getOrElse(0L)
+          val nUpd = if (carry) fragsU.map(_.rows).sum else nUpdLegacy
+          val nIns = fragsI.map(_.rows).sum - (if (carry) 0L else nUpdLegacy)
           base.copy(version = base.version + 1, operation = "merge_insert",
             fragments = base.fragments ++ fragsU ++ fragsI,
             dvFiles = base.dvFiles ++ dvOpt.map(_._1),
             numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
             parent = base.version,
-            nextRowId = base.nextRowId + fragsI.map(_.rows).sum)
+            nextRowId = base.nextRowId + fragsI.map(_.rows).sum,
+            opStats = Map("num_updated_rows" -> nUpd,
+              "num_inserted_rows" -> nIns,
+              "num_deleted_rows" -> (dvN - nUpd)))
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally joined.unpersist()
@@ -1621,7 +1802,12 @@ object GraftTable {
           fragments = keepNow ++ assigned.flatMap(_._1),
           dvFiles = dvCarry.map(_._1).toSeq,
           numDeleted = dvCarry.map(_._2).getOrElse(0L),
-          parent = base.version)
+          parent = base.version,
+          // reference CompactionMetrics (optimize.rs): what the rewrite did
+          opStats = Map(
+            "fragments_removed" -> toRewrite.size.toLong,
+            "fragments_added" -> assigned.map(_._1.size).sum.toLong,
+            "rows_materialized_deleted" -> rewriteDeleted))
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
   }
@@ -1697,7 +1883,11 @@ object GraftTable {
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ assigned.flatMap(_._1), dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil, // supplemental values materialized by the rewrite
-          parent = base.version)
+          parent = base.version,
+          opStats = Map(
+            "fragments_removed" -> m.fragments.size.toLong,
+            "fragments_added" -> assigned.map(_._1.size).sum.toLong,
+            "rows_materialized_deleted" -> m.numDeleted))
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
   }
@@ -2292,6 +2482,15 @@ object GraftTable {
       val v = "\\d+".r.findFirstIn(txt).get.toLong
       s.getPath.getName.stripSuffix(".json") -> v
     }.toMap
+  }
+
+  /** Delete a tag (reference `Tags.delete`, `dataset.py:4957`): the tagged
+    * version loses its cleanup protection; data is untouched. */
+  def deleteTag(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    if (!f.delete(new Path(t, s"_tags/$name.json"), false))
+      throw new IllegalArgumentException(s"no tag $name")
   }
 
   def readTag(spark: SparkSession, tablePath: String, name: String): DataFrame =

@@ -125,7 +125,15 @@ case class GraftManifest(
       * record ABSOLUTE paths (same resolution rule shallow clones use), so
       * a 100 TB table can spread across buckets / storage classes while
       * staying one logical table. Missing in pre-r8 manifests → empty. */
-    bases: Map[String, String] = Map.empty) {
+    bases: Map[String, String] = Map.empty,
+    /** Operation statistics stamped into the commit (reference DML results:
+      * `merge_insert` returns `num_inserted_rows`/`num_updated_rows`/
+      * `num_deleted_rows`, `update` returns `rows_updated` —
+      * `python/python/lance/dataset.py:91-138,2046`). Derived from metadata
+      * the commit already holds (staged fragment row counts, DV deltas) —
+      * zero extra jobs — and surfaced through the SQL DML command results
+      * and `CALL g.system.history`. Missing in pre-r9 manifests → empty. */
+    opStats: Map[String, Long] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** True once any index build has committed metadata into this lineage:

@@ -146,6 +146,42 @@ object Format {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Index-assisted MERGE (reference MergeInsertBuilder.use_index): the
+    // target lands as one fragment per 200-key band with a BTREE index on
+    // the key; a small upsert batch (20 updates in ONE band + 10 inserts)
+    // must read only that band plus nothing else — asserted in-gate via
+    // MergeStats, then the merged table is hash-checked against the oracle.
+    "q_merge_indexed" -> { (s, d) =>
+      val t = freshDir(s, "merge_indexed")
+      val c = Tables.customer(s, d)
+      val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
+      var lo = 0L
+      while (lo <= maxKey) {
+        GraftTable.write(
+          c.filter(col("c_custkey") >= lo && col("c_custkey") < lo + 200).coalesce(1),
+          t, if (lo == 0L) "overwrite" else "append")
+        lo += 200
+      }
+      graft.index.ScalarIndex.buildBtree(s, t, "c_custkey", s"$t/_indices")
+      val updates = c.filter(col("c_custkey").between(101, 120))
+        .withColumn("c_acctbal", col("c_acctbal") * 3)
+      val inserts = c.filter(col("c_custkey") <= 10)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      val runs0 = GraftTable.MergeStats.indexedRuns.get()
+      GraftTable.mergeInsert(s, t, updates.unionByName(inserts), Seq("c_custkey"))
+      require(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1,
+        "q_merge_indexed: the index-assisted merge path did not run")
+      require(GraftTable.MergeStats.lastFragmentsScanned <
+        GraftTable.MergeStats.lastFragmentsTotal,
+        s"q_merge_indexed: no fragment pruning (" +
+          s"${GraftTable.MergeStats.lastFragmentsScanned}/" +
+          s"${GraftTable.MergeStats.lastFragmentsTotal})")
+      GraftTable.read(s, t)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // time travel: version 1 vs latest after an append
     "q_format_timetravel" -> { (s, d) =>
       val t = freshDir(s, "timetravel")
@@ -685,6 +721,16 @@ object Format {
         |  FULL OUTER JOIN (SELECT c_custkey, c_mktsegment, c_acctbal*2 AS bal2
         |                   FROM customer WHERE c_custkey BETWEEN 301 AND 900) s
         |    ON t.c_custkey = s.c_custkey)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_merge_indexed" ->
+      """SELECT seg AS c_mktsegment, count(*) AS n, round(sum(bal),2) AS total_bal
+        |FROM (
+        |  SELECT c_mktsegment AS seg,
+        |         CASE WHEN c_custkey BETWEEN 101 AND 120
+        |              THEN c_acctbal*3 ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 10)
         |GROUP BY seg ORDER BY seg""".stripMargin,
     "q_format_timetravel" ->
       """SELECT (SELECT count(*) FROM orders

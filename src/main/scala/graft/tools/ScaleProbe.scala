@@ -248,6 +248,38 @@ object ScaleProbe {
       }
     }
 
+    // ---- index-assisted merge_insert (r9, reference use_index): a small
+    // fixed upsert batch against an ever-bigger target. The indexed path
+    // reads the btree postings (pushed IN over sorted files) + only the
+    // fragments holding source keys — cost tracks the BATCH (α≈0); the
+    // full-scan path full-outer-joins the whole target — cost tracks the
+    // TABLE (α≈1). The gap is what makes continuous upsert ingestion
+    // viable on a 100 TB table. ----
+    for (f <- rowFactors) {
+      val (_, po) = rowTables(f)
+      val tbl = s"$outDir/mergetbl_x$f"
+      ensure(tbl) {
+        graft.format.GraftTable.write(
+          spark.read.parquet(po)
+            .repartitionByRange(math.max(8, 2 * f), col("o_orderkey")),
+          tbl, "overwrite")
+        graft.index.ScalarIndex.buildBtree(spark, tbl, "o_orderkey", s"$tbl/_indices")
+      }
+      val upd = spark.read.parquet(po).filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val batch = upd.unionByName(
+        upd.withColumn("o_orderkey", col("o_orderkey") + 8000000000L))
+        .localCheckpoint()
+      time("merge_indexed", f) {
+        graft.format.GraftTable.mergeInsert(spark, tbl, batch, Seq("o_orderkey"))
+          .opStats.values.sum
+      }
+      time("merge_full", f) {
+        graft.format.GraftTable.mergeInsert(spark, tbl, batch, Seq("o_orderkey"),
+          useIndex = false).opStats.values.sum
+      }
+    }
+
     // ---- zero-copy import vs full ingest (r8 commitFiles): registering
     // the SAME replicated parquet the `graft_write` row fully re-ingests
     // is one executor-free footer pass + a manifest commit — its cost must

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+
+/** DV-level conflict resolution between concurrent DML commits (reference
+  * `transaction.rs` conflict semantics): operations with disjoint row sets
+  * compose; contested rows abort — and composing deletes never double-count
+  * `numDeleted`, keeping the metadata `countRows` fast path exact.
+  *
+  * Races are made deterministic through `GraftTable.DmlTestHooks`: thread A
+  * stages its DV under snapshot v, parks; the concurrent commit B lands;
+  * A resumes into its commit loop over the newer base.
+  */
+class ConcurrentDvSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_dvrace_").toString + "/t"
+
+  private def seed(t: String): Unit =
+    GraftTable.write(spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id")), t, "overwrite")
+
+  /** Run `staged` on a thread that parks at its pre-commit hook (first DML
+    * of kind `op` only), run `concurrent` on this thread, release, join.
+    * Returns the staged thread's failure, if any. */
+  private def race(op: String)(staged: => Unit)(concurrent: => Unit): Option[Throwable] = {
+    val parked = new CountDownLatch(1)
+    val go = new CountDownLatch(1)
+    val first = new AtomicBoolean(false)
+    GraftTable.DmlTestHooks.beforeCommit = o =>
+      if (o == op && first.compareAndSet(false, true)) {
+        parked.countDown()
+        go.await(60, TimeUnit.SECONDS)
+      }
+    try {
+      @volatile var err: Option[Throwable] = None
+      val th = new Thread(() =>
+        try staged catch { case e: Throwable => err = Some(e) })
+      th.start()
+      assert(parked.await(60, TimeUnit.SECONDS), "staged DML never reached its hook")
+      concurrent
+      go.countDown()
+      th.join(120000)
+      assert(!th.isAlive, "staged DML did not finish")
+      err
+    } finally GraftTable.DmlTestHooks.beforeCommit = _ => ()
+  }
+
+  test("overlapping concurrent deletes compose without double-counting") {
+    val t = fresh(); seed(t)
+    val err = race("delete") {
+      GraftTable.delete(spark, t, "id < 20")
+    } {
+      GraftTable.delete(spark, t, "id < 10")
+    }
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.numDeleted == 20L, s"ids 0..19 deleted once, numDeleted=${m.numDeleted}")
+    assert(GraftTable.countRows(spark, t) == 80L)
+    assert(GraftTable.read(spark, t).count() == 80L)
+    // the racing delete reports only the rows IT removed (10 were already gone)
+    assert(m.opStats == Map("num_deleted_rows" -> 10L))
+  }
+
+  test("delete staged before a concurrent compaction aborts, never resurrects") {
+    val t = fresh(); seed(t)
+    val err = race("delete") {
+      GraftTable.delete(spark, t, "id < 10")
+    } {
+      GraftTable.compact(spark, t)
+    }
+    assert(err.exists(_.getMessage.contains("conflict")), err.toString)
+    // the staged DV addressed pre-compaction fragment ids — nothing committed
+    assert(GraftTable.countRows(spark, t) == 100L)
+    assert(GraftTable.read(spark, t).count() == 100L)
+  }
+
+  test("update contested by a concurrent delete aborts") {
+    val t = fresh(); seed(t)
+    val err = race("update") {
+      GraftTable.update(spark, t, Map("v" -> "v + 1000"), Some("id = 5"))
+    } {
+      GraftTable.delete(spark, t, "id = 5")
+    }
+    assert(err.exists(_.getMessage.contains("conflict")), err.toString)
+    // the concurrently-deleted row stays deleted — no resurrected copy
+    assert(GraftTable.read(spark, t).filter(col("id") === 5).count() == 0L)
+    assert(GraftTable.countRows(spark, t) == 99L)
+  }
+
+  test("delete contested by a concurrent update aborts") {
+    val t = fresh(); seed(t)
+    val err = race("delete") {
+      GraftTable.delete(spark, t, "id = 7")
+    } {
+      GraftTable.update(spark, t, Map("v" -> "v + 1"), Some("id = 7"))
+    }
+    assert(err.exists(_.getMessage.contains("contested by a concurrent update")),
+      err.toString)
+    // the update's rewritten copy survives (the delete never saw it)
+    val row = GraftTable.read(spark, t).filter(col("id") === 7).collect()
+    assert(row.length == 1 && row(0).getLong(1) == 8L)
+    assert(GraftTable.countRows(spark, t) == 100L)
+  }
+
+  test("disjoint concurrent delete and update compose") {
+    val t = fresh(); seed(t)
+    val err = race("update") {
+      GraftTable.update(spark, t, Map("v" -> "v + 1000"), Some("id = 50"))
+    } {
+      GraftTable.delete(spark, t, "id < 10")
+    }
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    val got = GraftTable.read(spark, t).filter(col("id") === 50).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1050L)
+    assert(GraftTable.countRows(spark, t) == 90L)
+    assert(GraftTable.read(spark, t).count() == 90L)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+import graft.index.ScalarIndex
+
+/** Index-assisted merge_insert (reference `MergeInsertBuilder.use_index`,
+  * `python/python/lance/dataset.py:223`): a single-key merge without a
+  * by-source-delete clause reads only the fragments that can contain a
+  * source key when a fresh BTREE index exists on the key.
+  */
+class MergeIndexedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_merge_idx_").toString + "/t"
+
+  /** 10 fragments × 100 rows, btree index on `id`. */
+  private def seed(t: String): Unit = {
+    for (i <- 0 until 10) {
+      val df = spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 10)
+      GraftTable.write(df.coalesce(1), t, if (i == 0) "overwrite" else "append")
+    }
+    ScalarIndex.buildBtree(spark, t, "id", s"$t/_indices")
+  }
+
+  private def sourceHitting2Fragments = spark.range(0, 5).toDF("id")
+    .withColumn("v", col("id") * 10 + 1) // keys 0–4 (frag 0) …
+    .union(spark.range(905, 910).toDF("id").withColumn("v", col("id") * 10 + 1))
+    .union(spark.range(2000, 2005).toDF("id").withColumn("v", lit(-1L))) // inserts
+
+  test("indexed merge scans only candidate fragments and matches full-scan result") {
+    val t1 = fresh(); val t2 = fresh()
+    seed(t1); seed(t2)
+    val runs0 = GraftTable.MergeStats.indexedRuns.get()
+    GraftTable.mergeInsert(spark, t1, sourceHitting2Fragments, Seq("id"))
+    assert(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1, "pruned path must run")
+    assert(GraftTable.MergeStats.lastFragmentsTotal == 10)
+    assert(GraftTable.MergeStats.lastFragmentsScanned == 2,
+      s"source keys live in 2 of 10 fragments; scanned ${GraftTable.MergeStats.lastFragmentsScanned}")
+    GraftTable.mergeInsert(spark, t2, sourceHitting2Fragments, Seq("id"), useIndex = false)
+    val a = GraftTable.read(spark, t1).orderBy("id").collect().toSeq
+    val b = GraftTable.read(spark, t2).orderBy("id").collect().toSeq
+    assert(a == b, "indexed and full-scan merges must produce identical tables")
+    assert(a.size == 1005 && a.count(_.getLong(1) % 10 == 1) == 10)
+  }
+
+  test("fragments appended after the index build still match (scanned flat)") {
+    val t = fresh()
+    seed(t)
+    GraftTable.write(spark.range(5000, 5100).toDF("id")
+      .withColumn("v", col("id") * 10).coalesce(1), t, "append")
+    val src = spark.range(5050, 5055).toDF("id").withColumn("v", lit(7L))
+    val runs0 = GraftTable.MergeStats.indexedRuns.get()
+    GraftTable.mergeInsert(spark, t, src, Seq("id"))
+    assert(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1)
+    // 0 candidate covered fragments + 1 uncovered
+    assert(GraftTable.MergeStats.lastFragmentsScanned == 1)
+    val got = GraftTable.read(spark, t).filter(col("v") === 7L).count()
+    assert(got == 5, "matches in uncovered fragments must update, not duplicate")
+    assert(GraftTable.read(spark, t).count() == 1100)
+  }
+
+  test("source key matching only a DV-deleted row classifies as insert") {
+    val t = fresh()
+    seed(t)
+    GraftTable.delete(spark, t, "id = 42")
+    val src = spark.range(42, 43).toDF("id").withColumn("v", lit(999L))
+    GraftTable.mergeInsert(spark, t, src, Seq("id"))
+    val rows = GraftTable.read(spark, t).filter(col("id") === 42).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 999L)
+  }
+
+  test("by-source-delete merges fall back to the full scan") {
+    val t = fresh()
+    seed(t)
+    val runs0 = GraftTable.MergeStats.indexedRuns.get()
+    GraftTable.mergeInsert(spark, t,
+      spark.range(0, 5).toDF("id").withColumn("v", lit(1L)), Seq("id"),
+      whenNotMatchedBySourceDelete = true, deleteCondition = Some("id >= 990"))
+    assert(GraftTable.MergeStats.indexedRuns.get() == runs0,
+      "not-matched-by-source needs every target row — pruning would be unsound")
+    assert(GraftTable.read(spark, t).count() == 990)
+  }
+
+  test("stale index (post-compaction) falls back until remapped") {
+    val t = fresh()
+    seed(t)
+    GraftTable.compact(spark, t)
+    val runs0 = GraftTable.MergeStats.indexedRuns.get()
+    GraftTable.mergeInsert(spark, t,
+      spark.range(0, 3).toDF("id").withColumn("v", lit(5L)), Seq("id"))
+    assert(GraftTable.MergeStats.indexedRuns.get() == runs0,
+      "coverage addresses dead fragments — index must be vetoed")
+    assert(GraftTable.read(spark, t).filter(col("v") === 5L).count() == 3)
+  }
+
+  test("when_matched_fail aborts on a match and passes when insert-only") {
+    val t = fresh()
+    seed(t)
+    val clash = spark.range(7, 8).toDF("id").withColumn("v", lit(0L))
+    val e = intercept[IllegalStateException] {
+      GraftTable.mergeInsert(spark, t, clash, Seq("id"), whenMatchedFail = true)
+    }
+    assert(e.getMessage.contains("when_matched_fail"))
+    GraftTable.mergeInsert(spark, t,
+      spark.range(9000, 9005).toDF("id").withColumn("v", lit(1L)), Seq("id"),
+      whenMatchedFail = true)
+    assert(GraftTable.read(spark, t).count() == 1005)
+  }
+}
