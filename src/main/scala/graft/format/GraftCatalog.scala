@@ -240,6 +240,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.add_base" => GraftProcedures.addBase(pathOf)
       case "system.import_files" => GraftProcedures.importFiles(pathOf)
       case "system.tag" => GraftProcedures.tag(pathOf)
+      case "system.tags" => GraftProcedures.tagsList(pathOf)
+      case "system.delete_tag" => GraftProcedures.deleteTag(pathOf)
+      case "system.branches" => GraftProcedures.branchesList(pathOf)
       case "system.restore" => GraftProcedures.restore(pathOf)
       case "system.optimize_scalar_index" => GraftProcedures.optimizeScalarIndex(pathOf)
       case "system.create_index" => GraftProcedures.createIndex(pathOf)
@@ -264,7 +267,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag", "restore", "optimize_scalar_index",
+    Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag",
+        "tags", "delete_tag", "branches", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search")
@@ -453,10 +457,15 @@ private[format] object GraftProcedures {
     proc("compact",
       Array(p("table", DT.StringType), pd("target_rows", DT.LongType, "1048576"),
         pd("materialize_deletions", DT.DoubleType, "0.1")),
-      StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType)))) { in =>
+      StructType(Seq(StructField("version", DT.LongType), StructField("rows", DT.LongType),
+        StructField("fragments_removed", DT.LongType),
+        StructField("fragments_added", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.compactFiles(spark, path, in.getLong(1), in.getDouble(2))
-      Seq(m.version, m.liveRows)
+      // reference CompactionMetrics: the commit's stamped rewrite stats
+      Seq(m.version, m.liveRows,
+        m.opStats.getOrElse("fragments_removed", 0L),
+        m.opStats.getOrElse("fragments_added", 0L))
     }
 
   /** `CALL g.system.cluster(table => 'db.t', columns => 'lang,n_chars',
@@ -529,6 +538,44 @@ private[format] object GraftProcedures {
       }
       GraftTable.tag(spark, path, in.getUTF8String(1).toString, v)
       Seq(v)
+    }
+
+  /** `CALL g.system.tags(table => 'db.t')` — the tag list, newest-tagged
+    * version first (reference `Tags.list_ordered`, default desc). */
+  def tagsList(pathOf: String => String): UnboundProcedure =
+    procRows("tags",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("name", DT.StringType),
+        StructField("version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      GraftTable.tags(spark, path).toSeq
+        .sortBy { case (n, v) => (-v, n) }
+        .map { case (n, v) => Seq(n, v) }
+    }
+
+  /** `CALL g.system.branches(table => 'db.t')` — branch inventory with each
+    * branch's head version (reference `Branches.list`/`list_ordered`). */
+  def branchesList(pathOf: String => String): UnboundProcedure =
+    procRows("branches",
+      Array(p("table", DT.StringType)),
+      StructType(Seq(StructField("name", DT.StringType),
+        StructField("head_version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      GraftTable.branches(spark, path).toSeq.sorted.map { b =>
+        Seq(b, GraftTable.loadManifest(spark, path, None, Some(b)).version)
+      }
+    }
+
+  /** `CALL g.system.delete_tag(table => 'db.t', name => 'v1')` — reference
+    * `Tags.delete`: the version loses its cleanup protection. */
+  def deleteTag(pathOf: String => String): UnboundProcedure =
+    proc("delete_tag",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("deleted", DT.StringType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val name = in.getUTF8String(1).toString
+      GraftTable.deleteTag(spark, path, name)
+      Seq(name)
     }
 
   def restore(pathOf: String => String): UnboundProcedure =
@@ -672,7 +719,7 @@ private[format] object GraftProcedures {
       Array(p("table", DT.StringType), p("column", DT.StringType),
         pd("index_type", DT.StringType, "'BTREE'"),
         pd("id_col", DT.StringType, s"'${GraftTable.RowIdCol}'"),
-        pd("nlist", DT.LongType, "8"),
+        pd("nlist", DT.LongType, "-1"),
         pd("pq_m", DT.LongType, "8"),
         pd("pq_k", DT.LongType, "256"),
         pd("metric", DT.StringType, "'l2'")),
@@ -682,7 +729,16 @@ private[format] object GraftProcedures {
       val column = in.getUTF8String(1).toString
       val idxDir = s"$path/_indices"
       val idCol = in.getUTF8String(3).toString
-      val nlist = in.getLong(4).toInt
+      // nlist <= 0 → auto-size ≈ sqrt(row count), the reference's default
+      // partition sizing (`dataset.py:2832` num_partitions defaulting via
+      // target partition size) — each IVF partition then holds ~sqrt(n)
+      // vectors, balancing probe fan-out against partition scan cost
+      lazy val autoNlist: Int = {
+        val n = GraftTable.loadManifest(spark, path).liveRows
+        math.max(1, math.min(65536, math.round(math.sqrt(n.toDouble)).toInt))
+      }
+      val nlistIn = in.getLong(4).toInt
+      val nlist = if (nlistIn > 0) nlistIn else autoNlist
       val pqM = in.getLong(5).toInt
       val pqK = in.getLong(6).toInt
       val metric = in.getUTF8String(7).toString
@@ -986,7 +1042,9 @@ private[format] object GraftProcedures {
 
   /** `CALL g.system.history(table => 'db.t')` — the commit log from
     * retained manifests (reference `get_transactions`): one row per
-    * version with its operation, commit time, parent, and row counts.
+    * version with its operation, commit time, parent, row counts, and the
+    * commit's stamped DML statistics (`op_stats` as `k=v` pairs — the
+    * reference's merge/update result counts, recorded durably per commit).
     * Driver-side manifest reads only — the retained-version count is
     * bounded by the cleanup policy, never by data size. */
   def history(pathOf: String => String): UnboundProcedure =
@@ -998,12 +1056,15 @@ private[format] object GraftProcedures {
         StructField("parent", DT.LongType),
         StructField("num_rows", DT.LongType),
         StructField("num_deleted", DT.LongType),
-        StructField("num_fragments", DT.LongType)))) { in =>
+        StructField("num_fragments", DT.LongType),
+        StructField("op_stats", DT.StringType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       GraftTable.versions(spark, path).map { v =>
         val m = GraftTable.loadManifest(spark, path, Some(v))
+        val stats = m.opStats.toSeq.sortBy(_._1)
+          .map { case (k, n) => s"$k=$n" }.mkString(",")
         Seq(m.version, m.operation, m.commitTsMillis, m.parent,
-          m.liveRows, m.numDeleted, m.fragments.length.toLong)
+          m.liveRows, m.numDeleted, m.fragments.length.toLong, stats)
       }
     }
 

@@ -110,6 +110,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'exp'") == Set(1L, 7L))
     // main lineage untouched by the branch append
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+    // branch inventory procedure (reference Branches.list)
+    val br = s.sql(s"CALL g.system.branches(table => 'db.$t')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(br.map(_._1) == Seq("exp") && br.head._2 > v2, br.mkString(","))
     // unknown ref fails
     intercept[Exception] { s.sql(s"SELECT * FROM g.db.$t VERSION AS OF 'nope'").collect() }
   }
@@ -151,7 +155,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
     s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e')")
-    s.sql(s"DELETE FROM g.db.$t WHERE id IN (2, 4)")
+    val res = s.sql(s"DELETE FROM g.db.$t WHERE id IN (2, 4)").collect()
+    // reference DML results: the command reports its affected-row count
+    assert(res.map(_.getLong(0)).toSeq == Seq(2L), res.mkString(","))
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 5L))
     val m = GraftTable.loadManifest(s, s"$warehouse/db/$t")
     assert(m.operation == "delete" && m.dvFiles.nonEmpty)
@@ -163,7 +169,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
     s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c')")
-    s.sql(s"UPDATE g.db.$t SET v = concat(v, '!') WHERE id >= 2")
+    val res = s.sql(s"UPDATE g.db.$t SET v = concat(v, '!') WHERE id >= 2").collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(2L), res.mkString(","))
     val got = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(got == Seq(1L -> "a", 2L -> "b!", 3L -> "c!"))
@@ -175,12 +182,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c')")
     import s.implicits._
     Seq((2L, "B"), (4L, "D")).toDF("id", "v").createOrReplaceTempView("src")
-    s.sql(
+    val res = s.sql(
       s"""MERGE INTO g.db.$t AS tg USING src AS sr ON tg.id = sr.id
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *
          |WHEN NOT MATCHED BY SOURCE AND tg.id = 3 THEN DELETE
-         |""".stripMargin)
+         |""".stripMargin).collect()
+    // (inserted, updated, deleted) — reference merge_insert result counts
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 1L)), res.mkString(","))
     val got = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(got == Seq(1L -> "a", 2L -> "B", 4L -> "D"))
@@ -256,6 +266,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     val c = s.sql(s"CALL g.system.compact(table => 'db.$t', target_rows => 2)")
       .head() // v5: materializes the delete
     assert(c.getLong(1) == 4, s"live rows after compact: $c")
+    // CompactionMetrics columns (fragments removed/added by the rewrite)
+    assert(c.getLong(2) >= 1 && c.getLong(3) >= 1, s"compaction metrics: $c")
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 3L, 4L, 5L))
     // layout clustering through SQL: content unchanged, one new version
     val cl = s.sql(s"CALL g.system.cluster(table => 'db.$t', columns => 'id', target_rows => 2)")
@@ -265,6 +277,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     // tag without explicit version tags the latest, readable via VERSION AS OF
     s.sql(s"CALL g.system.tag(table => 'db.$t', name => 'stable')")
     assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'stable'") == Set(1L, 3L, 4L, 5L))
+    // tag inventory (reference Tags.list_ordered) + delete_tag lifecycle
+    s.sql(s"CALL g.system.tag(table => 'db.$t', name => 'old', version => 2)")
+    val tagRows = s.sql(s"CALL g.system.tags(table => 'db.$t')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tagRows.head._1 == "stable" && tagRows.map(_._1).toSet == Set("stable", "old"),
+      tagRows.mkString(","))
+    assert(tagRows.map(_._2).reverse == tagRows.map(_._2).sorted, "desc by version")
+    s.sql(s"CALL g.system.delete_tag(table => 'db.$t', name => 'old')")
+    assert(s.sql(s"CALL g.system.tags(table => 'db.$t')").count() == 1)
     // restore the pre-append snapshot as a new commit (v6)
     val r = s.sql(s"CALL g.system.restore(table => 'db.$t', version => 2)").head()
     assert(r.getLong(1) == 3)
@@ -472,6 +493,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     val w = s.sql(s"CALL g.system.prewarm_index(table => 'db.$t', name => 'hnsw_vec')")
       .head()
     assert(w.getString(0) == "IVF_HNSW_SQ" && w.getBoolean(1), w.toString)
+  }
+
+  test("create_index auto-sizes nlist to ~sqrt(n) when omitted") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "array(CAST(id % 13 AS FLOAT), CAST(id % 7 AS FLOAT)) FROM range(0, 400)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_FLAT')")
+    // 400 rows → sqrt = 20 partitions, recorded in the committed entry
+    val m = GraftTable.loadManifest(s, s"$warehouse/db/$t")
+    val e = m.indices.find(_.name == "ivf_vec").get
+    assert(e.params.get("nlist").contains("20"), e.params.toString)
   }
 
   test("CALL fts_search / knn_search: both search families from pure SQL") {
