@@ -1604,7 +1604,12 @@ object GraftTable {
     * single-key merges without a by-source-delete clause read only the
     * fragments that can contain a source key when a BTREE index on the key
     * is fresh — see [[mergeIndexTarget]]. `whenMatchedFail` (reference
-    * `when_matched_fail`) aborts the merge if ANY source row matches. */
+    * `when_matched_fail`) aborts the merge if ANY source row matches.
+    * `conflictRetries` (reference `conflict_retries`, same default 10): a
+    * merge whose staged state loses a commit race (schema change, rewrite,
+    * contested rows) re-stages against the fresh snapshot and retries —
+    * each retry re-reads the target, so retried semantics equal running
+    * the merge after the conflicting commit. */
   def mergeInsert(spark: SparkSession, tablePath: String, source: DataFrame,
                   on: Seq[String],
                   whenMatchedUpdateAll: Boolean = true,
@@ -1613,7 +1618,33 @@ object GraftTable {
                   whenNotMatchedBySourceDelete: Boolean = false,
                   deleteCondition: Option[String] = None,
                   useIndex: Boolean = true,
-                  whenMatchedFail: Boolean = false): GraftManifest = {
+                  whenMatchedFail: Boolean = false,
+                  conflictRetries: Int = 10): GraftManifest = {
+    var attempt = 0
+    while (true) {
+      try {
+        return mergeInsertOnce(spark, tablePath, source, on, whenMatchedUpdateAll,
+          matchedCondition, whenNotMatchedInsertAll, whenNotMatchedBySourceDelete,
+          deleteCondition, useIndex, whenMatchedFail)
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("conflict") &&
+              attempt < conflictRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeInsertOnce(spark: SparkSession, tablePath: String, source: DataFrame,
+                  on: Seq[String],
+                  whenMatchedUpdateAll: Boolean,
+                  matchedCondition: Option[String],
+                  whenNotMatchedInsertAll: Boolean,
+                  whenNotMatchedBySourceDelete: Boolean,
+                  deleteCondition: Option[String],
+                  useIndex: Boolean,
+                  whenMatchedFail: Boolean): GraftManifest = {
     val m0 = loadManifest(spark, tablePath)
     val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq

@@ -209,6 +209,37 @@ object Dedup {
     labels.select(col("__u").as(aCol), col("__lbl").as("component"))
   }
 
+  /** Benchmark decontamination (the GPT-3 recipe, arXiv:2005.14165
+    * appendix C: flag training documents that share any word 13-gram with
+    * an evaluation set; `n` configurable — The Pile and C4 pipelines use
+    * the same shape with different n): returns `(idCol, n_hits)` for
+    * documents whose word-n-gram set intersects the benchmark's, with
+    * `n_hits` = the count of DISTINCT shared grams.
+    *
+    * Scale shape: the benchmark gram set is `distinct()` + broadcast —
+    * eval suites are bounded (millions of grams at most), never
+    * corpus-sized — so the corpus side is ONE scan with a map-side hash
+    * probe; the only shuffle is the per-document hit-count aggregation
+    * (map-side partial). At 100 TB the cost is a linear pass over the
+    * text column. */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 13, minHits: Int = 1): DataFrame = {
+    def grams(c: Column): Column = {
+      val words = split(lower(trim(c)), "\\s+")
+      val cnt = size(words) - (n - 1)
+      when(cnt >= 1, array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+        .otherwise(typedLit(Array.empty[String]))
+    }
+    val bg = bench.select(explode(grams(col(benchTextCol))).as("g")).distinct()
+    docs.select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .join(broadcast(bg), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key (brute-force
     * baseline; IVF/LSH bucketing is the scale path). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

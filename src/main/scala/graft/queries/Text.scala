@@ -77,6 +77,20 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Benchmark decontamination (GPT-3 appendix C): flag corpus docs
+    // sharing any word 8-gram with a "benchmark" slice (every 97th doc —
+    // those naturally self-hit, plus any doc overlapping them). Exact
+    // distinct-gram hit counts — DuckDB reproduces them from the same
+    // whitespace tokenization.
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("text").as("btext"))
+      Dedup.contaminationFlags(docs, "doc_id", "text", bench, "btext",
+        n = 8, minHits = 1)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup — sketch values are engine-specific, so the gate
     // records a rows-only check (no oracle entry).
     "q_simhash_dedup" -> { (s, d) =>
@@ -315,6 +329,21 @@ object Text {
         |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(lbl) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+7],' ')
+        |                   for i in generate_series(1, len(w)-7)]) AS g
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents)),
+        |bg AS (SELECT DISTINCT unnest(g) AS gram FROM t WHERE doc_id % 97 = 0),
+        |dg AS (SELECT doc_id, unnest(g) AS gram FROM t)
+        |SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_hits
+        |FROM dg JOIN bg ON dg.gram = bg.gram
+        |GROUP BY dg.doc_id
+        |HAVING count(DISTINCT dg.gram) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

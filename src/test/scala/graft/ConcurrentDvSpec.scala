@@ -110,6 +110,25 @@ class ConcurrentDvSpec extends AnyFunSuite {
     assert(GraftTable.countRows(spark, t) == 100L)
   }
 
+  test("merge contested by a concurrent delete re-stages and succeeds") {
+    val t = fresh(); seed(t)
+    val src = spark.range(5, 6).toDF("id").withColumn("v", lit(777L))
+    val err = race("merge_insert") {
+      GraftTable.mergeInsert(spark, t, src, Seq("id"))
+    } {
+      GraftTable.delete(spark, t, "id = 5")
+    }
+    // conflict_retries (reference default 10): the merge re-stages against
+    // the post-delete snapshot — the matched-update becomes an insert
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    val rows = GraftTable.read(spark, t).filter(col("id") === 5).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 777L)
+    assert(GraftTable.countRows(spark, t) == 100L)
+    assert(GraftTable.loadManifest(spark, t).opStats == Map(
+      "num_updated_rows" -> 0L, "num_inserted_rows" -> 1L,
+      "num_deleted_rows" -> 0L))
+  }
+
   test("disjoint concurrent delete and update compose") {
     val t = fresh(); seed(t)
     val err = race("update") {

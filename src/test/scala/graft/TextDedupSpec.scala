@@ -94,6 +94,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("contaminationFlags counts distinct shared word n-grams vs a benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta other words entirely"),
+      (4L, "nothing in common at all here")).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("btext")
+    val got = Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "btext",
+      n = 4, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares both 4-grams of the benchmark sentence; doc 3 shares one
+    assert(got == Map(1L -> 2L, 3L -> 1L), got.toString)
+    // minHits filters the single-gram overlap
+    val strict = Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "btext",
+      n = 4, minHits = 2)
+    assert(strict.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // n longer than every sentence → nothing flagged, no error
+    assert(Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "btext",
+      n = 30).count() == 0L)
+  }
+
   test("connectedComponents: chain, separate component, min-id labels") {
     // 1-2-3-4 is a CHAIN (diameter 3, needs >1 propagation round); 10-11
     // is a separate component; 20 has no edges and must not appear
