@@ -85,7 +85,8 @@ class GraftDataSource extends RelationProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, tablePath(parameters),
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   /** `df.writeStream.format("graft").option("path", dir)` — append-only
     * exactly-once sink. Each micro-batch's rows and its batch id land in
@@ -121,16 +122,35 @@ class GraftDataSource extends RelationProvider
   * reference's `lance.dataset.diff`-style append feed).
   *
   * `startingVersion` option: emit changes after that version (default:
-  * everything from the start of history). */
+  * everything from the start of history).
+  *
+  * `maxVersionsPerTrigger` option — admission control (the role of the
+  * file source's `maxFilesPerTrigger`): each micro-batch advances at most
+  * this many versions. Without it, a stream restarting against a long
+  * backlog (a table that took thousands of commits while the consumer was
+  * down) would ingest the WHOLE backlog as one giant micro-batch — at
+  * 100 TB that is an OOM-or-nothing batch and a checkpoint that never
+  * lands. Capped offsets keep every batch bounded and individually
+  * committable; recovery replays the checkpointed range exactly. */
 class GraftStreamSource(spark: SparkSession, path: String,
-                        startingVersion: Option[Long]) extends Source {
+                        startingVersion: Option[Long],
+                        maxVersionsPerTrigger: Option[Long] = None) extends Source {
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    s"maxVersionsPerTrigger must be positive: ${maxVersionsPerTrigger.get}")
+
+  /** Highest version already handed to the engine (recovered by the first
+    * getBatch replay after a restart; the engine drives both paths). */
+  @volatile private var anchor: Option[Long] = None
 
   override def schema: StructType = GraftTable.loadManifest(spark, path).schema
 
-  override def getOffset: Option[LegacyOffset] =
+  override def getOffset: Option[LegacyOffset] = {
+    val floor = anchor.orElse(startingVersion).getOrElse(0L)
     GraftTable.latestVersion(spark, path)
-      .filter(v => v > startingVersion.getOrElse(0L))
-      .map(LongOffset(_))
+      .filter(_ > floor)
+      .map(v => LongOffset(
+        maxVersionsPerTrigger.map(m => math.min(v, floor + m)).getOrElse(v)))
+  }
 
   private def versionOf(o: LegacyOffset): Long = o match {
     case LongOffset(v) => v
@@ -140,6 +160,7 @@ class GraftStreamSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
     val from = start.map(versionOf).orElse(startingVersion).getOrElse(0L)
     val to = versionOf(end)
+    anchor = Some(math.max(to, anchor.getOrElse(0L)))
     org.apache.spark.sql.graftshim.ColumnBridge.streamingFrom(
       graft.streaming.GraftStreaming.readChanges(spark, path, from, to))
   }

@@ -738,12 +738,21 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       sameNamed &&
         assigns.map(_.key.asInstanceOf[AttributeReference].name.toLowerCase).toSet == allCols
     }
-    val updateAll = m.matchedActions match {
-      case Seq() => false
-      case Seq(UpdateStarAction(None)) => true
-      case Seq(u: UpdateAction) if u.condition.isEmpty && starAssignments(u.assignments) => true
+    // matched-update conditions must reference only TARGET columns: at run
+    // time the condition filters the classified join where source columns
+    // carry the `__s_` prefix, so a source reference would mis-resolve
+    def targetOnlyCond(cond: Option[Expression]): Option[String] = cond.map { c =>
+      if (!c.references.subsetOf(targetIds)) throw new UnsupportedOperationException(
+        "graft MERGE: WHEN MATCHED AND <cond> may reference target columns only; got: " + c.sql)
+      exprSql(c)
+    }
+    val (updateAll, matchedCond) = m.matchedActions match {
+      case Seq() => (false, None)
+      case Seq(UpdateStarAction(cond)) => (true, targetOnlyCond(cond))
+      case Seq(u: UpdateAction) if starAssignments(u.assignments) =>
+        (true, targetOnlyCond(u.condition))
       case other => throw new UnsupportedOperationException(
-        "graft MERGE supports WHEN MATCHED THEN UPDATE SET * (unconditional); got: " + other)
+        "graft MERGE supports WHEN MATCHED [AND cond] THEN UPDATE SET *; got: " + other)
     }
     val insertAll = m.notMatchedActions match {
       case Seq() => false
@@ -759,7 +768,7 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "graft MERGE supports WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE; got: " + other)
     }
     GraftMergeCommand(t.path, m.sourceTable, on, updateAll, insertAll,
-      deleteNotMatchedBySource, deleteCond)
+      deleteNotMatchedBySource, deleteCond, matchedCond)
   }
 }
 
@@ -807,7 +816,8 @@ case class GraftUpdateCommand(path: String, set: Map[String, String],
 case class GraftMergeCommand(path: String,
                              source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                              on: Seq[String], updateAll: Boolean, insertAll: Boolean,
-                             deleteNotMatchedBySource: Boolean, deleteCondition: Option[String])
+                             deleteNotMatchedBySource: Boolean, deleteCondition: Option[String],
+                             matchedCondition: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     Seq(source)
@@ -817,6 +827,7 @@ case class GraftMergeCommand(path: String,
     val m = GraftTable.mergeInsert(sparkSession, path,
       ColumnBridge.ofRows(sparkSession, source), on,
       whenMatchedUpdateAll = updateAll,
+      matchedCondition = matchedCondition,
       whenNotMatchedInsertAll = insertAll,
       whenNotMatchedBySourceDelete = deleteNotMatchedBySource,
       deleteCondition = deleteCondition)

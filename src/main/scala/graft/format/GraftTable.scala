@@ -1760,7 +1760,8 @@ object GraftTable {
   def compactFiles(spark: SparkSession, tablePath: String,
                    targetRows: Long = 1L << 20,
                    materializeDeletions: Double = 0.1,
-                   beforeCommit: () => Unit = () => ()): GraftManifest = {
+                   beforeCommit: () => Unit = () => (),
+                   maxBytesPerFile: Option[Long] = None): GraftManifest = {
     val m = loadManifest(spark, tablePath)
     val t = new Path(tablePath)
     val dvPaths = m.dvFiles.map(p => new Path(t, p).toString)
@@ -1801,7 +1802,14 @@ object GraftTable {
       val live = readManifest(spark, tablePath, m.copy(fragments = g),
         withRowAddr = false, withRowId = carryIds)
       val liveCount = g.map(_.rows).sum - g.map(delOf).sum
-      val nOut = math.max(1, math.ceil(liveCount.toDouble / targetRows).toInt)
+      // reference `max_bytes_per_file`: output count honors BOTH the row
+      // target and a byte ceiling (estimated from the inputs' on-disk
+      // bytes) — wide multimodal rows must not produce multi-GB fragments
+      // just because their row count is small
+      val byBytes = maxBytesPerFile.map(mb =>
+        math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
+      val nOut = math.max(1,
+        math.max(math.ceil(liveCount.toDouble / targetRows), byBytes).toInt)
       stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
     }
     // DV entries for untouched fragments survive the rewrite
@@ -1866,7 +1874,8 @@ object GraftTable {
     * [[compactFiles]] for the debt-proportional partial path. */
   def compact(spark: SparkSession, tablePath: String,
               targetRows: Long = 1L << 20,
-              beforeCommit: () => Unit = () => ()): GraftManifest = {
+              beforeCommit: () => Unit = () => (),
+              maxBytesPerFile: Option[Long] = None): GraftManifest = {
     val m = loadManifest(spark, tablePath)
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
     // same signature binning as [[compactFiles]]: outputs never mix rows of
@@ -1886,7 +1895,10 @@ object GraftTable {
       val live = readManifest(spark, tablePath, m.copy(fragments = g),
         withRowAddr = false, withRowId = carryIds)
       val total = g.map(f => f.rows - delByFrag.getOrElse(f.id, 0L)).sum
-      val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+      val byBytes = maxBytesPerFile.map(mb =>
+        math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
+      val nOut = math.max(1,
+        math.max(math.ceil(total.toDouble / targetRows), byBytes).toInt)
       stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
     }
     beforeCommit()

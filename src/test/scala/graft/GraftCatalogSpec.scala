@@ -196,6 +196,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == Seq(1L -> "a", 2L -> "B", 4L -> "D"))
   }
 
+  test("MERGE INTO: WHEN MATCHED AND <cond> updates only qualifying rows") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1,'a'), (2,'b'), (3,'c')")
+    import s.implicits._
+    Seq((1L, "A"), (2L, "B")).toDF("id", "v").createOrReplaceTempView("src_cond")
+    val res = s.sql(
+      s"""MERGE INTO g.db.$t AS tg USING src_cond AS sr ON tg.id = sr.id
+         |WHEN MATCHED AND tg.id = 2 THEN UPDATE SET *
+         |""".stripMargin).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 0L)), res.mkString(","))
+    val got = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+    // conditions referencing SOURCE columns are rejected, not mis-resolved
+    val e = intercept[Exception] {
+      s.sql(
+        s"""MERGE INTO g.db.$t AS tg USING src_cond AS sr ON tg.id = sr.id
+           |WHEN MATCHED AND sr.v = 'A' THEN UPDATE SET *
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("target columns only"), e.getMessage)
+  }
+
   test("MERGE INTO: partial same-named UPDATE SET is rejected, not silently star") {
     // ADVICE r5 (high): `UPDATE SET tg.v = sr.v` on a 3-column table is a
     // same-named attribute-to-attribute assignment list, but it does NOT

@@ -202,6 +202,26 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, t).select("id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
   }
 
+  test("compact maxBytesPerFile bounds output size for wide rows") {
+    val t = tmp()
+    // ~100 KB of incompressible payload per fragment, tiny row counts —
+    // the row target alone would merge everything into ONE fat fragment
+    val wide = spark.range(0, 40).toDF("id")
+      .withColumn("payload", expr("sha2(concat(repeat(uuid(), 800), id), 256)"))
+      .withColumn("payload", expr("repeat(payload, 50)"))
+    GraftTable.write(wide.repartition(8), t)
+    val bytes = GraftTable.loadManifest(spark, t).fragments.map(_.sizeBytes).sum
+    val m = GraftTable.compact(spark, t, targetRows = 1000000,
+      maxBytesPerFile = Some(bytes / 4))
+    assert(m.fragments.length >= 4,
+      s"byte ceiling must split the rewrite: ${m.fragments.length} fragments")
+    assert(GraftTable.read(spark, t).count() == 40)
+    // without the ceiling the same rewrite produces one fragment
+    val t2 = tmp()
+    GraftTable.write(wide.repartition(8), t2)
+    assert(GraftTable.compact(spark, t2, targetRows = 1000000).fragments.length == 1)
+  }
+
   test("add_columns + metadata-only drop_columns") {
     val t = tmp()
     GraftTable.write(people, t)

@@ -49,6 +49,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch against a backlog") {
+    val t = tmp()
+    // 6-version backlog before the stream starts (create + 5 appends)
+    GraftTable.write(Seq((0L, "s")).toDF("id", "v"), t)
+    for (i <- 1 to 5)
+      GraftTable.write(Seq((i.toLong, "s")).toDF("id", "v"), t, "append")
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream.format("memory").queryName("graft_rate_mem")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // complete, exactly-once coverage of the backlog...
+      val got = spark.table("graft_rate_mem").select("id").as[Long].collect().toSeq
+      assert(got.sorted == (0L to 5L), got.toString)
+      // ...but never in one gulp: 6 versions at ≤2 per trigger = ≥3 batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"backlog must be admitted over ≥3 micro-batches, got $batches")
+    } finally q.stop()
+  }
+
   test("writeStream.format(graft): first-class sink, append-only, replay-proof") {
     val t = tmp()
     implicit val sc = spark.sqlContext
