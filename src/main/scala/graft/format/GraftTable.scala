@@ -531,6 +531,11 @@ object GraftTable {
   def commitFiles(spark: SparkSession, tablePath: String, files: Seq[String],
                   mode: String = "append"): GraftManifest = {
     require(files.nonEmpty, "commitFiles: empty file list")
+    // a repeated path would rename the file on its first occurrence and
+    // then fail (source gone) halfway through the second — reject up front
+    require(files.distinct.size == files.size,
+      s"commitFiles: duplicate paths in the file list: " +
+        files.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.mkString(","))
     val conf = spark.sessionState.newHadoopConf()
     val m0 = loadManifest(spark, tablePath)
     // one schema resolution over the file set (names + types, nullability
@@ -582,6 +587,14 @@ object GraftTable {
     }
     commitLoop(spark, tablePath, {
       case Some(base) =>
+        // the files were validated against m0's physical schema; a
+        // concurrent schema change (alter/rename) would commit fragments
+        // whose columns no longer match — abort for retry, like every
+        // other staged mutation (guardStagedBase's schema leg)
+        if (base.schemaJson != m0.schemaJson || base.renames != m0.renames)
+          throw new IllegalStateException(
+            s"commitFiles conflict: schema changed concurrently " +
+              s"(v${m0.version} -> v${base.version}) — retry")
         val v = base.version + 1
         var rid = base.nextRowId
         var fid = base.maxFragmentId + 1

@@ -277,6 +277,7 @@ object ScalarIndex {
   def optimizeNgram(spark: SparkSession, tablePath: String, column: String,
                     indexPath: String, maxSegmentFiles: Int = 32): Long = {
     val dir = s"$indexPath/ngram_$column"
+    recoverNgramSwap(spark, dir)
     val vi = indexedVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir has no version marker — build first"))
     val dirP = new org.apache.hadoop.fs.Path(dir)
@@ -310,17 +311,28 @@ object ScalarIndex {
       else fs.listStatus(dirP).count(s => s.getPath.getName.endsWith(".parquet"))
     if (nFiles > maxSegmentFiles) {
       val tmp = s"${dir}__compacttmp"
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
+      fs.delete(tmpP, true); fs.delete(old, true)
       spark.read.parquet(dir)
         .repartitionByRange(8, col("gram"))
         .sortWithinPartitions(col("gram"), col(A))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      val tmpP = new org.apache.hadoop.fs.Path(tmp)
-      val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
-      if (fs.exists(old)) fs.delete(old, true)
+      // the compacted dir carries the SAME identity marker (version,
+      // column, build uuid) — a compaction changes layout, not content, so
+      // the manifest entry's uuid must keep verifying against the dir
+      readMarker(spark, dir).foreach { case (v, c, u) =>
+        writeVersionMarker(spark, tmp, v, c, u)
+      }
+      // completion marker LAST: the swap below is two renames, and a crash
+      // between them must roll FORWARD (same recovery contract as the FTS
+      // segment merge and the HNSW delta merge)
+      atomicWrite(spark, s"$tmp/$NgramCompactReady", "1")
       if (!fs.rename(dirP, old))
         throw new IllegalStateException(s"ngram compact: rename $dir aside failed")
       if (!fs.rename(tmpP, dirP))
         throw new IllegalStateException(s"ngram compact: rename $tmp in failed")
+      fs.delete(new org.apache.hadoop.fs.Path(dirP, NgramCompactReady), false)
       fs.delete(old, true)
     }
     finishBuild(spark, tablePath, indexPath, s"ngram_$column", "NGRAM",
@@ -328,11 +340,42 @@ object ScalarIndex {
     freshFrags.map(_.rows).sum
   }
 
+  private val NgramCompactReady = "_GRAFT_COMPACT_READY"
+
+  /** Crash recovery for [[optimizeNgram]]'s postings-compaction swap —
+    * idempotent, called from the lookup and optimize entry points. A crash
+    * window leaves the live dir missing with the replacement one rename
+    * away: a READY-marked tmp rolls forward (the compaction had fully
+    * landed), a surviving `__old` rolls back; with the live dir present,
+    * stray tmp/old leftovers are discarded. */
+  private[graft] def recoverNgramSwap(spark: SparkSession, dir: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpP = new org.apache.hadoop.fs.Path(s"${dir}__compacttmp")
+    val oldP = new org.apache.hadoop.fs.Path(s"${dir}__old")
+    if (!fs.exists(dirP)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmpP, NgramCompactReady))) {
+        fs.rename(tmpP, dirP)
+        fs.delete(new org.apache.hadoop.fs.Path(dirP, NgramCompactReady), false)
+        fs.delete(oldP, true)
+        graft.format.GraftScalarIndexRule.invalidateCache()
+      } else if (fs.exists(oldP)) {
+        fs.delete(tmpP, true)
+        fs.rename(oldP, dirP)
+        graft.format.GraftScalarIndexRule.invalidateCache()
+      }
+    } else {
+      if (fs.exists(tmpP)) fs.delete(tmpP, true)
+      if (fs.exists(oldP)) fs.delete(oldP, true)
+    }
+  }
+
   /** Candidate row addresses whose column contains `needle` (exact after
     * verification — candidates contain ALL the needle's trigrams). Needles
     * shorter than 3 chars fall back to full-scan semantics (None). */
   def lookupNgramCandidates(spark: SparkSession, indexPath: String, column: String,
                             needle: String): Option[DataFrame] = {
+    recoverNgramSwap(spark, s"$indexPath/ngram_$column")
     val grams = needle.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
     if (grams.isEmpty) None
     else Some(

@@ -175,11 +175,21 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint truncates lineage by pinning blocks in the block
+    // manager; without explicit release, every round's full vertex-label
+    // set stays resident until the context dies — up to maxIter copies on
+    // a 100 TB-corpus dedup. Track the RDD ids each checkpoint creates and
+    // release the previous round's as soon as the convergence probe no
+    // longer needs it, bounding residency to two label copies (+ edges).
+    def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
       .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
       .distinct().localCheckpoint()
+    var beforeLabels = persistentIds
     var labels = edges.select(col("__u")).distinct()
       .withColumn("__lbl", col("__u")).localCheckpoint()
+    var labelIds = persistentIds -- beforeLabels
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -191,6 +201,7 @@ object Dedup {
       // gradual-drift duplicate chain converges in ~14 rounds instead of
       // aborting at the cap
       val hop = labels.select(col("__u").as("__h_u"), col("__lbl").as("__h_lbl"))
+      val before = persistentIds
       val next = labels.join(nbrMin, Seq("__u"), "left_outer")
         .select(col("__u"),
           least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl0"))
@@ -198,9 +209,12 @@ object Dedup {
         .select(col("__u"),
           least(col("__lbl0"), coalesce(col("__h_lbl"), col("__lbl0"))).as("__lbl"))
         .localCheckpoint()
+      val nextIds = persistentIds -- before
       val changed = next
         .join(labels.select(col("__u"), col("__lbl").as("__old")), "__u")
         .filter(col("__lbl") =!= col("__old")).limit(1).count()
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      labelIds = nextIds
       labels = next
       converged = changed == 0L
       it += 1

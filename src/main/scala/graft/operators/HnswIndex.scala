@@ -311,8 +311,13 @@ object HnswIndex {
     }
   }
 
-  /** Delta sub-graph directories under an index, oldest first (names sort
-    * lexicographically: `graph_delta_000`, `graph_delta_001`, …). */
+  /** Delta sub-graph directories under an index, oldest first. Ordered by
+    * the NUMERIC generation, not the name: the `%03d` zero-padding keeps
+    * names lexicographic only up to generation 999, and the counter grows
+    * monotonically under continuous ingest (merges free low slots but
+    * `next = max + 1` never reuses them), so generation 1000 would
+    * string-sort before 999 and invert the merge policy's oldest-first
+    * selection. */
   private def deltaDirs(spark: SparkSession, indexPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -323,7 +328,7 @@ object HnswIndex {
       .filter(n => n.startsWith("graph_delta_") &&
         n.stripPrefix("graph_delta_").nonEmpty &&
         n.stripPrefix("graph_delta_").forall(_.isDigit))
-      .sorted.toSeq
+      .sortBy(_.stripPrefix("graph_delta_").toInt).toSeq
   }
 
   private val MergeTmpName = "graph_delta_merged__tmp"
@@ -367,6 +372,10 @@ object HnswIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     deltaDirs(spark, indexPath).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(p, d), true))
+    // a crashed merge's tmp (marker-bearing or not) holds PRE-REBUILD delta
+    // rows; left behind, the next search's recoverCompletedMerge would
+    // resurrect it as a live generation over the fresh base graph
+    fs.delete(new org.apache.hadoop.fs.Path(p, MergeTmpName), true)
   }
 
   /** Build over a graft table snapshot, recording covered version + fragment

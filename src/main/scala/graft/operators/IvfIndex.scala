@@ -109,7 +109,12 @@ object IvfIndex {
                                    cents: Array[Array[Float]]): Array[Array[Float]] = {
     val k = cents.length
     val dim = if (k > 0) cents(0).length else 0
-    val nChunks = math.max(1, math.min(32, data.length / 256))
+    // per-chunk accumulators cost nChunks·k·dim longs — bound the TOTAL to
+    // ~512 MB (2^26 longs) so a large auto-sized nlist (up to 65536) on
+    // high-dim vectors degrades to fewer (down to one) chunks instead of a
+    // driver OOM; typical builds (k·dim ≲ 2M) keep all 32 chunks
+    val memChunks = math.max(1L, (1L << 26) / math.max(1L, k.toLong * dim)).toInt
+    val nChunks = math.max(1, math.min(math.min(32, memChunks), data.length / 256))
     val chunkSize = (data.length + nChunks - 1) / nChunks
     val sums = Array.fill(nChunks)(Array.fill(k)(new Array[Long](dim)))
     val counts = Array.fill(nChunks)(new Array[Long](k))

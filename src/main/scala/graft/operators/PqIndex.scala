@@ -86,7 +86,7 @@ object PqIndex {
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             maxIter: Int = 10, sampleSize: Int = 50000): PqModel = {
     val hashOrder = Seq(xxhash64(col("__id")), col("__id"))
-    val cap = math.min(sampleSize, math.max(k * 128, 4096))
+    val cap = math.min(sampleSize, math.max(k * 256, 4096))
     val data = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .orderBy(hashOrder: _*).limit(cap)
       .select(col("__v")).collect()

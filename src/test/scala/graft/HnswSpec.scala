@@ -397,6 +397,42 @@ class HnswSpec extends AnyFunSuite {
     assert(r == exact, s"post-recovery search exact: $r vs $exact")
   }
 
+  test("full rebuild discards a crashed merge's tmp instead of resurrecting it") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("hnsw_rbtmp_").toString + "/t"
+    val ix = Files.createTempDirectory("hnsw_rbtmpidx_").toString + "/ix"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4)
+    val fresh = embeddings.filter($"vec_id" < 15)
+      .withColumn("vec_id", $"vec_id" + lit(10000L))
+    GraftTable.write(fresh, t, "append")
+    HnswIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix, maxDeltas = 8)
+    val p = new org.apache.hadoop.fs.Path(ix)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val gen = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("graph_delta_")).head
+    // crashed merge: READY-marked tmp holding PRE-REBUILD delta rows
+    val tmp = new org.apache.hadoop.fs.Path(p, "graph_delta_merged__tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(p, gen),
+      fs, tmp, false, spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_MERGED_SOURCES")
+    val out = fs.create(marker, true)
+    try out.write(s"$gen\n$gen".getBytes("UTF-8")) finally out.close()
+    // FULL rebuild collapses the deltas — and must take the stale tmp with
+    // them, or the next search's recovery would resurrect pre-rebuild rows
+    // as a live generation over the fresh base graph
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 4)
+    assert(!fs.exists(tmp), "rebuild must discard the crashed merge tmp")
+    val q = queryVec(5L)
+    val r = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+        k = 10, nprobes = 4, ef = 600, refineFactor = 100, fastSearch = true)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.flatSearch(embeddings.union(fresh), "embedding", q, 10,
+        "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == exact, s"post-rebuild search exact: $r vs $exact")
+  }
+
   test("deterministic rebuild: identical graphs") {
     val d2 = Files.createTempDirectory("hnsw2_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),

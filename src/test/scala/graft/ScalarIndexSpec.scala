@@ -108,6 +108,37 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(got == (1000L until 1400L).toSet)
   }
 
+  test("ngram compact swap recovers a crash between renames (forward + back)") {
+    val (t, idx) = setup()
+    ScalarIndex.buildNgram(spark, t, "payload", idx)
+    val truth = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "number 13")
+      .select("id").as[Long].collect().toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val dirP = new org.apache.hadoop.fs.Path(s"$idx/ngram_payload")
+    val fs = dirP.getFileSystem(conf)
+    val tmpP = new org.apache.hadoop.fs.Path(s"$idx/ngram_payload__compacttmp")
+    val oldP = new org.apache.hadoop.fs.Path(s"$idx/ngram_payload__old")
+    // FORWARD crash: compacted output fully written (READY-marked tmp),
+    // live dir renamed aside, replacement rename never ran
+    org.apache.hadoop.fs.FileUtil.copy(fs, dirP, fs, tmpP, false, conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpP, "_GRAFT_COMPACT_READY"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    assert(fs.rename(dirP, oldP))
+    graft.format.GraftScalarIndexRule.invalidateCache()
+    val got = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "number 13")
+      .select("id").as[Long].collect().toSet
+    assert(got == truth, "roll-forward recovery must serve exact results")
+    assert(fs.exists(dirP) && !fs.exists(tmpP) && !fs.exists(oldP),
+      "recovery consumes the tmp and the set-aside dir")
+    // BACKWARD crash: dir renamed aside with NO ready-marked replacement
+    assert(fs.rename(dirP, oldP))
+    graft.format.GraftScalarIndexRule.invalidateCache()
+    val got2 = ScalarIndex.containsViaNgram(spark, t, idx, "payload", "number 13")
+      .select("id").as[Long].collect().toSet
+    assert(got2 == truth, "roll-back recovery must serve exact results")
+    assert(fs.exists(dirP) && !fs.exists(oldP))
+  }
+
   test("ngram short-needle falls back to full scan semantics") {
     val (t, idx) = setup()
     ScalarIndex.buildNgram(spark, t, "payload", idx)
