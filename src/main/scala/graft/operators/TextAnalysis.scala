@@ -33,6 +33,52 @@ object TextAnalysis {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Per-document duplicate-word fraction (Gopher quality rules, Rae et
+    * al. 2021 arXiv:2112.11446 §A1.1 — repetitious documents are low
+    * quality): 1 − distinct/total tokens. Pure per-row codegen'd
+    * expression — no shuffle at any corpus size. */
+  def dupWordFraction(toks: Column): Column =
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Per-document top-bigram fraction (the Gopher "fraction of characters
+    * in the most common n-gram" family, computed over occurrence counts):
+    * occurrences of the most frequent word bigram ÷ total bigrams.
+    * Returns (idCol, dup_word_frac, top_bigram_frac) for every document
+    * with ≥2 tokens. Shape: explode → two keyed aggregations with
+    * map-side partial combine — one shuffle keyed by (doc, bigram), one by
+    * doc; never corpus-quadratic. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = df
+      .select(col(idCol), explode(shingles(toks, 2)).as("bg"),
+        dupWordFraction(toks).as("dup_word_frac"))
+    bigrams
+      .groupBy(col(idCol), col("dup_word_frac"), col("bg")).count()
+      .groupBy(col(idCol), col("dup_word_frac"))
+      .agg((max(col("count")).cast("double") / sum(col("count")).cast("double"))
+        .as("top_bigram_frac"))
+      .select(col(idCol), round(col("dup_word_frac"), 4).as("dup_word_frac"),
+        round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+  }
+
+  /** Deterministic weighted corpus mixing — the training-mix construction
+    * step ("30% web, 40% books, …"): keep each row with its source's
+    * probability, decided by a multiplicative-hash permutation of the id
+    * (7919 is coprime to 10000, so residues permute uniformly). No RNG
+    * state: the SAME rows are kept on every run, partitioning, and engine —
+    * reproducible mixes and an exactly-expressible oracle. Sources absent
+    * from `weights` keep `default` (1.0 = pass through). Pure per-row
+    * codegen'd filter — scales to any corpus. */
+  def sampleBySource(df: DataFrame, idCol: String, sourceCol: String,
+                     weights: Map[String, Double],
+                     default: Double = 1.0): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0,1]: $weights")
+    val frac = coalesce(element_at(typedLit(weights), col(sourceCol)), lit(default))
+    val bucket = pmod(pmod(col(idCol).cast("long"), lit(10000L)) * lit(7919L), lit(10000L))
+    df.filter(bucket < frac * lit(10000L))
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Fraction of tokens that are stopwords. */

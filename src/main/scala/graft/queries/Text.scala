@@ -77,6 +77,25 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic weighted corpus mixing (training-mix construction):
+    // hash-permutation sampling keeps exactly the same rows on every run,
+    // so DuckDB replays the mix with plain arithmetic.
+    "q_sample_mix" -> { (s, d) =>
+      TA.sampleBySource(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.3, "src1" -> 0.7, "src2" -> 0.0), default = 1.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+
+    // Gopher repetition rules (Rae et al. 2021, §A1.1): duplicate-word
+    // fraction + top-bigram fraction per document — the standard
+    // quality-filter signals for repetitious machine-generated text.
+    "q_text_repetition" -> { (s, d) =>
+      TA.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination (GPT-3 appendix C): flag corpus docs
     // sharing any word 8-gram with a "benchmark" slice (every 97th doc —
     // those naturally self-hit, plus any doc overlapping them). Exact
@@ -329,6 +348,25 @@ object Text {
         |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(lbl) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_sample_mix" ->
+      """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE ((doc_id % 10000) * 7919) % 10000 <
+        |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.7
+        |                   WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 10000
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        round(1.0 - len(list_distinct(toks))*1.0/len(toks), 4) AS dup_word_frac,
+        |        unnest([array_to_string(toks[i:i+1],' ')
+        |                for i in generate_series(1, len(toks)-1)]) AS bg
+        |      FROM w WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, dup_word_frac, bg, count(*) AS cnt
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, dup_word_frac,
+        |       round(max(cnt)*1.0/sum(cnt), 4) AS top_bigram_frac
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,

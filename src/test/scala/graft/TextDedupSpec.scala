@@ -94,6 +94,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("sampleBySource: deterministic weights, zero drops all, default passes") {
+    val d = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+    val got = TA.sampleBySource(d, "doc_id", "source",
+      Map("s0" -> 0.5, "s1" -> 0.0), default = 1.0)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("s1"), "weight 0 drops the source entirely")
+    assert(bySrc("s2") == 250L && bySrc("s3") == 250L, "default 1.0 passes through")
+    val s0 = bySrc("s0").toDouble
+    assert(s0 > 250 * 0.35 && s0 < 250 * 0.65, s"~half of s0 kept: $s0")
+    // deterministic: identical row set on a re-run with different partitioning
+    val again = TA.sampleBySource(d.repartition(7), "doc_id", "source",
+      Map("s0" -> 0.5, "s1" -> 0.0), default = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("repetitionStats: Gopher dup-word and top-bigram fractions") {
+    val d = Seq(
+      (1L, "a a a a"),  // 1 distinct of 4 tokens; bigram "a a" ×3 of 3
+      (2L, "a b c d"),  // no repetition; 3 distinct bigrams
+      (3L, "x")         // <2 tokens → absent from the result
+    ).toDF("doc_id", "text")
+    val got = TA.repetitionStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((0.75, 1.0)), got.toString)
+    assert(got(2L) == ((0.0, 0.3333)), got.toString)
+  }
+
   test("contaminationFlags counts distinct shared word n-grams vs a benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
