@@ -722,7 +722,9 @@ private[format] object GraftProcedures {
         pd("nlist", DT.LongType, "-1"),
         pd("pq_m", DT.LongType, "8"),
         pd("pq_k", DT.LongType, "256"),
-        pd("metric", DT.StringType, "'l2'")),
+        pd("metric", DT.StringType, "'l2'"),
+        pd("m", DT.LongType, "16"),
+        pd("ef_construction", DT.LongType, "64")),
       StructType(Seq(StructField("index_name", DT.StringType),
         StructField("version", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
@@ -777,8 +779,12 @@ private[format] object GraftProcedures {
             case "IVF_HNSW_PQ" => "pq"
             case _ => "flat"
           }
+          // graph shape knobs (reference create_index kwargs m /
+          // ef_construction — `dataset.py:2640-2650`)
           graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
-            s"$idxDir/hnsw_$column", nlist, metric = metric, storage = storage,
+            s"$idxDir/hnsw_$column", nlist,
+            m = in.getLong(8).toInt, efConstruction = in.getLong(9).toInt,
+            metric = metric, storage = storage,
             pqM = pqM, pqK = pqK)
           s"hnsw_$column"
         case "FTS" =>

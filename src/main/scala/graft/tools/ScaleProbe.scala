@@ -183,6 +183,21 @@ object ScaleProbe {
       }
     }
 
+    // ---- decontamination (r9): FIXED benchmark (the ×1 corpus's every-97th
+    // doc) against a growing corpus — the realistic shape. The benchmark
+    // gram set is bounded + broadcast, so cost must be ONE linear pass over
+    // the corpus (α ≈ 1 at saturation, sub-linear here), never a shuffle of
+    // corpus grams. ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      val bench = spark.read.parquet(docsPlain(1))
+        .filter(col("doc_id") % 97 === 0).select(col("text").as("btext"))
+      time("decontaminate", f) {
+        Dedup.contaminationFlags(spark.read.parquet(p), "doc_id", "text",
+          bench, "btext", n = 8).count()
+      }
+    }
+
     // ---- FTS family (plain replication: postings grow linearly) ----
     for (f <- docFactors) {
       val p = docsPlain(f)

@@ -531,6 +531,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     val m = GraftTable.loadManifest(s, s"$warehouse/db/$t")
     val e = m.indices.find(_.name == "ivf_vec").get
     assert(e.params.get("nlist").contains("20"), e.params.toString)
+    // HNSW graph-shape knobs flow through and land in the committed params
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_HNSW', nlist => 2, m => 8, ef_construction => 32)")
+    val eh = GraftTable.loadManifest(s, s"$warehouse/db/$t")
+      .indices.find(_.name == "hnsw_vec").get
+    assert(eh.params.get("m").contains("8") &&
+      eh.params.get("efConstruction").contains("32"), eh.params.toString)
   }
 
   test("CALL fts_search / knn_search: both search families from pure SQL") {
