@@ -1661,9 +1661,15 @@ object GraftTable {
     val m0 = loadManifest(spark, tablePath)
     val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq
+    // multi-key merges prune on ANY ONE indexed key: the pruned target only
+    // needs to be a SUPERSET of the rows matching ALL keys, and a single
+    // key's candidate set already is one — the full-outer join below still
+    // applies the complete key equality
     val prunedTarget =
-      if (useIndex && !whenNotMatchedBySourceDelete && on.size == 1)
-        mergeIndexTarget(spark, tablePath, m0, on.head, source, withRowId = carry)
+      if (useIndex && !whenNotMatchedBySourceDelete)
+        on.iterator
+          .map(k => mergeIndexTarget(spark, tablePath, m0, k, source, withRowId = carry))
+          .collectFirst { case Some(df) => df }
       else None
     val target = prunedTarget.getOrElse(
       read(spark, tablePath, Some(m0.version), withRowAddr = true, withRowId = carry))

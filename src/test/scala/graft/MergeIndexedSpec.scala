@@ -75,6 +75,28 @@ class MergeIndexedSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getLong(1) == 999L)
   }
 
+  test("multi-key merge prunes on the one indexed key") {
+    val t = fresh(); val t2 = fresh()
+    seed(t); seed(t2) // btree on id only
+    // composite key (id, v): a match requires BOTH equal — pruning on id's
+    // index alone is a sound superset. Keys 0–4 match (same v); keys
+    // 9990–9994 exist in no fragment → inserts.
+    val src = spark.range(0, 5).toDF("id").withColumn("v", col("id") * 10)
+      .union(spark.range(9990, 9995).toDF("id").withColumn("v", col("id") * 10))
+    val runs0 = GraftTable.MergeStats.indexedRuns.get()
+    val m = GraftTable.mergeInsert(spark, t, src, Seq("id", "v"))
+    assert(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1,
+      "multi-key merge must still take the indexed path via the id key")
+    assert(GraftTable.MergeStats.lastFragmentsScanned == 1,
+      s"source keys live in 1 fragment; scanned ${GraftTable.MergeStats.lastFragmentsScanned}")
+    assert(m.opStats == Map("num_updated_rows" -> 5L,
+      "num_inserted_rows" -> 5L, "num_deleted_rows" -> 0L))
+    GraftTable.mergeInsert(spark, t2, src, Seq("id", "v"), useIndex = false)
+    val a = GraftTable.read(spark, t).orderBy("id").collect().toSeq
+    val b = GraftTable.read(spark, t2).orderBy("id").collect().toSeq
+    assert(a == b, "indexed and full-scan multi-key merges must agree")
+  }
+
   test("by-source-delete merges fall back to the full scan") {
     val t = fresh()
     seed(t)
