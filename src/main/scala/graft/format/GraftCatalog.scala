@@ -1063,14 +1063,17 @@ private[format] object GraftProcedures {
         StructField("num_rows", DT.LongType),
         StructField("num_deleted", DT.LongType),
         StructField("num_fragments", DT.LongType),
-        StructField("op_stats", DT.StringType)))) { in =>
+        StructField("op_stats", DT.StringType),
+        StructField("txn_properties", DT.StringType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       GraftTable.versions(spark, path).map { v =>
         val m = GraftTable.loadManifest(spark, path, Some(v))
         val stats = m.opStats.toSeq.sortBy(_._1)
           .map { case (k, n) => s"$k=$n" }.mkString(",")
+        val props = m.txnProperties.toSeq.sortBy(_._1)
+          .map { case (k, p) => s"$k=$p" }.mkString(",")
         Seq(m.version, m.operation, m.commitTsMillis, m.parent,
-          m.liveRows, m.numDeleted, m.fragments.length.toLong, stats)
+          m.liveRows, m.numDeleted, m.fragments.length.toLong, stats, props)
       }
     }
 

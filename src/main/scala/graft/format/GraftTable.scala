@@ -68,6 +68,15 @@ object GraftTable {
     * group size is a real tuning lever. Honored by every mutation path
     * (write/update/compact/cluster/merge) like the codec config. */
   val RowGroupBytesKey = "graft.write.rowgroup.bytes"
+
+  /** Max rows per fragment FILE on any write path (reference
+    * `write_dataset(max_rows_per_file = 1 << 20)`): an oversized input
+    * partition splits into several staged files, each its own fragment —
+    * without the cap one skewed partition becomes one multi-GB fragment,
+    * the unit no take/compaction/index-build granularity can subdivide.
+    * Plumbs through Spark's own `maxRecordsPerFile` writer option, so the
+    * split happens inside the writing task with zero extra shuffle. */
+  val MaxRowsPerFragmentKey = "graft.write.rows.per.fragment"
   val RowOffsetCol = "_rowoffset"
   val RowCreatedCol = "_row_created_at_version"
   val RowLastUpdatedCol = "_row_last_updated_at_version"
@@ -222,11 +231,11 @@ object GraftTable {
                          branch: Option[String] = None): GraftManifest = {
     var attempt = 0
     while (attempt < maxRetries) {
-      // opStats describe ONE commit — cleared here so an op that does not
-      // stamp its own stats can never inherit the parent commit's numbers
+      // opStats / txnProperties describe ONE commit — cleared here so an op
+      // that does not stamp its own can never inherit the parent commit's
       val base = latestVersion(spark, tablePath, branch)
         .map(v => loadManifest(spark, tablePath, Some(v), branch))
-        .map(_.copy(opStats = Map.empty))
+        .map(_.copy(opStats = Map.empty, txnProperties = Map.empty))
       val next = op(base)
       if (tryCommit(spark, tablePath, next, branch)) {
         if (branch.isEmpty) autoCleanupHook(spark, tablePath, next)
@@ -312,7 +321,8 @@ object GraftTable {
     * shares the SparkContext and cached data; only session state is copied. */
   private def writeMicros(spark: SparkSession, df: DataFrame, dest: String,
                           codec: Option[String] = None,
-                          rowGroupBytes: Option[Long] = None): Unit = {
+                          rowGroupBytes: Option[Long] = None,
+                          maxRowsPerFile: Option[Long] = None): Unit = {
     val writer = ColumnBridge.cloneSession(spark)
     writer.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     codec.foreach(c => writer.conf.set("spark.sql.parquet.compression.codec", c))
@@ -320,6 +330,7 @@ object GraftTable {
       .write.mode(SaveMode.Overwrite)
     // parquet honors block size per-write through the writer options
     rowGroupBytes.foreach(b => w.option("parquet.block.size", b.toString))
+    maxRowsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toString))
     w.parquet(dest)
   }
 
@@ -361,7 +372,8 @@ object GraftTable {
       .map(v => loadManifest(spark, tablePath, Some(v)))
       .map(_.config).getOrElse(Map.empty)
     writeMicros(spark, df, stagingDir.toString, cfg.get(CompressionKey),
-      cfg.get(RowGroupBytesKey).map(_.toLong))
+      cfg.get(RowGroupBytesKey).map(_.toLong),
+      cfg.get(MaxRowsPerFragmentKey).map(_.toLong))
     val f = fs(spark, stagingDir)
     f.listStatus(stagingDir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
@@ -442,7 +454,10 @@ object GraftTable {
     * Python `add_bases` / write-to-base; see [[addBases]]). */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
             configUpdates: Map[String, String] = Map.empty,
-            base: Option[String] = None): GraftManifest = {
+            base: Option[String] = None,
+            commitMessage: Option[String] = None,
+            txnProperties: Map[String, String] = Map.empty): GraftManifest = {
+    val txnProps = txnProperties ++ commitMessage.map("message" -> _)
     val spark = df.sparkSession
     // appends must write the table's PHYSICAL column names (rename mapping of
     // the latest manifest, at every nesting depth); create/overwrite define a
@@ -473,7 +488,7 @@ object GraftTable {
       case None =>
         val frags = assign(0L, 1L, 0L)
         GraftManifest(1L, "create", cleanJson, frags, Nil, 0L, configUpdates, 0L,
-          nextRowId = frags.map(_.rows).sum)
+          nextRowId = frags.map(_.rows).sum, txnProperties = txnProps)
       case Some(base) => mode.toLowerCase match {
         case "append" =>
           if (base.indirectionPairs != stagedIndirection) throw new IllegalStateException(
@@ -483,7 +498,8 @@ object GraftTable {
             fragments = base.fragments ++ frags,
             config = base.config ++ configUpdates, parent = base.version,
             nextRowId = base.nextRowId + frags.map(_.rows).sum,
-            opStats = Map("num_inserted_rows" -> frags.map(_.rows).sum))
+            opStats = Map("num_inserted_rows" -> frags.map(_.rows).sum),
+            txnProperties = txnProps)
         case "overwrite" =>
           // ids keep growing across overwrites (the high-water mark is never
           // reset) so a row id can never be observed for two different rows
@@ -491,7 +507,7 @@ object GraftTable {
           GraftManifest(base.version + 1, "overwrite", cleanJson,
             frags, Nil, 0L, base.config ++ configUpdates, base.version,
             nextRowId = base.nextRowId + frags.map(_.rows).sum,
-            bases = base.bases)
+            bases = base.bases, txnProperties = txnProps)
         case "errorifexists" | "error" =>
           throw new IllegalStateException(s"graft table already exists at $tablePath")
         case m => throw new IllegalArgumentException(s"unknown write mode: $m")

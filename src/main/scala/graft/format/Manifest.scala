@@ -133,7 +133,14 @@ case class GraftManifest(
       * the commit already holds (staged fragment row counts, DV deltas) —
       * zero extra jobs — and surfaced through the SQL DML command results
       * and `CALL g.system.history`. Missing in pre-r9 manifests → empty. */
-    opStats: Map[String, Long] = Map.empty) {
+    opStats: Map[String, Long] = Map.empty,
+    /** User-supplied commit annotations (reference `write_dataset`'s
+      * `commit_message` / `transaction_properties` — free-form provenance a
+      * pipeline stamps on its commits: job id, git sha, batch watermark).
+      * The conventional message key is `message`. Like [[opStats]], they
+      * describe ONE commit and are cleared before the next. Surfaced by
+      * `CALL g.system.history`. Missing in pre-r9 manifests → empty. */
+    txnProperties: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** True once any index build has committed metadata into this lineage:

@@ -61,6 +61,37 @@ class DmlStatsSpec extends AnyFunSuite {
     assert(deleted.opStats == Map("num_deleted_rows" -> 10L))
   }
 
+  test("commit message and txn properties stamp one commit, surface in manifest") {
+    val t = fresh(); seed(t)
+    GraftTable.write(spark.range(100, 110).toDF("id")
+      .withColumn("v", col("id") * 2), t, "append",
+      commitMessage = Some("nightly batch 42"),
+      txnProperties = Map("job" -> "j-7"))
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.txnProperties == Map("message" -> "nightly batch 42", "job" -> "j-7"))
+    // the NEXT commit does not inherit the annotations
+    GraftTable.delete(spark, t, "id = 0")
+    assert(GraftTable.loadManifest(spark, t).txnProperties.isEmpty)
+    // the annotated commit keeps them for history
+    assert(GraftTable.loadManifest(spark, t, Some(m.version)).txnProperties
+      .get("job").contains("j-7"))
+  }
+
+  test("graft.write.rows.per.fragment splits an oversized partition") {
+    val t = fresh()
+    GraftTable.write(spark.range(0, 10).toDF("id").withColumn("v", col("id")),
+      t, "overwrite",
+      configUpdates = Map(GraftTable.MaxRowsPerFragmentKey -> "100"))
+    GraftTable.write(spark.range(1000, 2000).toDF("id")
+      .withColumn("v", col("id")).coalesce(1), t, "append")
+    val m = GraftTable.loadManifest(spark, t)
+    val appended = m.fragments.filter(_.addedVersion == m.version)
+    assert(appended.size >= 10 && appended.forall(_.rows <= 100),
+      s"1000-row partition must split at 100 rows/fragment: " +
+        appended.map(_.rows).mkString(","))
+    assert(GraftTable.read(spark, t).count() == 1010)
+  }
+
   test("compaction stamps CompactionMetrics-style rewrite stats") {
     val t = fresh(); seed(t)
     GraftTable.delete(spark, t, "id < 10")
