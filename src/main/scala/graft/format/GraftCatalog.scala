@@ -1070,8 +1070,13 @@ private[format] object GraftProcedures {
         val m = GraftTable.loadManifest(spark, path, Some(v))
         val stats = m.opStats.toSeq.sortBy(_._1)
           .map { case (k, n) => s"$k=$n" }.mkString(",")
-        val props = m.txnProperties.toSeq.sortBy(_._1)
-          .map { case (k, p) => s"$k=$p" }.mkString(",")
+        // JSON, not k=v pairs: free-form property VALUES may contain ','
+        // or '=' (commit messages), which a delimiter encoding mis-parses
+        val props =
+          if (m.txnProperties.isEmpty) ""
+          else org.json4s.jackson.Serialization.write(
+            scala.collection.immutable.TreeMap(m.txnProperties.toSeq: _*))(
+            org.json4s.DefaultFormats)
         Seq(m.version, m.operation, m.commitTsMillis, m.parent,
           m.liveRows, m.numDeleted, m.fragments.length.toLong, stats, props)
       }

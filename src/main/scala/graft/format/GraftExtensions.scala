@@ -262,6 +262,12 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     splitConjunctivePredicates(cond).iterator.flatMap { p =>
       ngramShape(p).flatMap { case (colName, needle) =>
         val grams = needle.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
+        // epoch-memoized crash recovery for the compaction swap: without
+        // it a crashed optimize leaves the dir missing and a warm marker
+        // cache would fail every contains() query on a dead path
+        candidateNames(gfi, colName).foreach(n =>
+          graft.index.ScalarIndex.recoverNgramSwapMemo(
+            session, s"${gfi.tablePath}/_indices/ngram_$n"))
         if (grams.isEmpty) None
         else firstUsable(gfi, colName,
             candidateNames(gfi, colName).map(n => s"${gfi.tablePath}/_indices/ngram_$n"))
@@ -454,6 +460,10 @@ object GraftScalarIndexRule {
   private[graft] val fsProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def invalidateCache(): Unit = epoch.incrementAndGet()
+
+  /** Current cache epoch — lets index-side memos (e.g. the ngram swap
+    * recovery probe) share this cache's invalidation discipline. */
+  def cacheEpoch: Long = epoch.get()
 
   private val Cap = 512
   private val cache = java.util.Collections.synchronizedMap(

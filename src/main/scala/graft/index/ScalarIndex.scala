@@ -343,11 +343,15 @@ object ScalarIndex {
   private val NgramCompactReady = "_GRAFT_COMPACT_READY"
 
   /** Crash recovery for [[optimizeNgram]]'s postings-compaction swap —
-    * idempotent, called from the lookup and optimize entry points. A crash
-    * window leaves the live dir missing with the replacement one rename
-    * away: a READY-marked tmp rolls forward (the compaction had fully
-    * landed), a surviving `__old` rolls back; with the live dir present,
-    * stray tmp/old leftovers are discarded. */
+    * idempotent, called (epoch-memoized) from the lookup, optimizer-rule,
+    * and optimize entry points. A crash window leaves the live dir missing
+    * with the replacement one rename away: a READY-marked tmp rolls
+    * forward (the compaction had fully landed), a surviving `__old` rolls
+    * back. With the live dir PRESENT nothing is touched — a tmp/old
+    * sighting there may be a concurrent optimize mid-swap, and deleting
+    * its fully-written tmp would fail that swap and lose the live dir;
+    * stale leftovers are reclaimed by the next optimize's own pre-swap
+    * cleanup (single-writer, so no race there). */
   private[graft] def recoverNgramSwap(spark: SparkSession, dir: String): Unit = {
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
@@ -364,9 +368,20 @@ object ScalarIndex {
         fs.rename(oldP, dirP)
         graft.format.GraftScalarIndexRule.invalidateCache()
       }
-    } else {
-      if (fs.exists(tmpP)) fs.delete(tmpP, true)
-      if (fs.exists(oldP)) fs.delete(oldP, true)
+    }
+  }
+
+  /** [[recoverNgramSwap]] at most once per dir per cache epoch: the
+    * steady-state query path (hot loop at serving time) pays zero
+    * filesystem probes; marker writes bump the epoch and re-arm it. */
+  private val ngramRecoverMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def recoverNgramSwapMemo(spark: SparkSession, dir: String): Unit = {
+    val ep = graft.format.GraftScalarIndexRule.cacheEpoch
+    val last = ngramRecoverMemo.get(dir)
+    if (last == null || last.longValue() != ep) {
+      recoverNgramSwap(spark, dir)
+      ngramRecoverMemo.put(dir, java.lang.Long.valueOf(ep))
     }
   }
 
@@ -375,7 +390,7 @@ object ScalarIndex {
     * shorter than 3 chars fall back to full-scan semantics (None). */
   def lookupNgramCandidates(spark: SparkSession, indexPath: String, column: String,
                             needle: String): Option[DataFrame] = {
-    recoverNgramSwap(spark, s"$indexPath/ngram_$column")
+    recoverNgramSwapMemo(spark, s"$indexPath/ngram_$column")
     val grams = needle.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
     if (grams.isEmpty) None
     else Some(

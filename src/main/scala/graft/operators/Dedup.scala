@@ -175,21 +175,27 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
     // localCheckpoint truncates lineage by pinning blocks in the block
     // manager; without explicit release, every round's full vertex-label
     // set stays resident until the context dies — up to maxIter copies on
-    // a 100 TB-corpus dedup. Track the RDD ids each checkpoint creates and
-    // release the previous round's as soon as the convergence probe no
-    // longer needs it, bounding residency to two label copies (+ edges).
-    def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // a 100 TB-corpus dedup. Checkpoint through an EXPLICIT RDD handle
+    // (rdd.localCheckpoint + materialize, DataFrame rebuilt over it) so
+    // the previous round's blocks can be released precisely — never by
+    // diffing the context-global persistent-RDD set, which would unpersist
+    // RDDs a concurrent job on the shared context just checkpointed.
+    def checkpointRdd(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // materialize before anyone depends on it
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
     val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
       .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
       .distinct().localCheckpoint()
-    var beforeLabels = persistentIds
-    var labels = edges.select(col("__u")).distinct()
-      .withColumn("__lbl", col("__u")).localCheckpoint()
-    var labelIds = persistentIds -- beforeLabels
+    var (labels, labelsRdd) = checkpointRdd(
+      edges.select(col("__u")).distinct().withColumn("__lbl", col("__u")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -201,20 +207,18 @@ object Dedup {
       // gradual-drift duplicate chain converges in ~14 rounds instead of
       // aborting at the cap
       val hop = labels.select(col("__u").as("__h_u"), col("__lbl").as("__h_lbl"))
-      val before = persistentIds
-      val next = labels.join(nbrMin, Seq("__u"), "left_outer")
-        .select(col("__u"),
-          least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl0"))
-        .join(hop, col("__lbl0") === col("__h_u"), "left_outer")
-        .select(col("__u"),
-          least(col("__lbl0"), coalesce(col("__h_lbl"), col("__lbl0"))).as("__lbl"))
-        .localCheckpoint()
-      val nextIds = persistentIds -- before
+      val (next, nextRdd) = checkpointRdd(
+        labels.join(nbrMin, Seq("__u"), "left_outer")
+          .select(col("__u"),
+            least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl0"))
+          .join(hop, col("__lbl0") === col("__h_u"), "left_outer")
+          .select(col("__u"),
+            least(col("__lbl0"), coalesce(col("__h_lbl"), col("__lbl0"))).as("__lbl")))
       val changed = next
         .join(labels.select(col("__u"), col("__lbl").as("__old")), "__u")
         .filter(col("__lbl") =!= col("__old")).limit(1).count()
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      labelIds = nextIds
+      labelsRdd.unpersist(false) // this round's reads are done; release it
+      labelsRdd = nextRdd
       labels = next
       converged = changed == 0L
       it += 1

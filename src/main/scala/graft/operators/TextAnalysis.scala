@@ -74,6 +74,14 @@ object TextAnalysis {
                      default: Double = 1.0): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be in [0,1]: $weights")
+    require(default >= 0.0 && default <= 1.0, s"default must be in [0,1]: $default")
+    // the permutation hash is integer arithmetic; a non-integral id would
+    // cast to null and the null predicate would SILENTLY drop every row
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(idType.simpleString),
+      s"sampleBySource needs an integral id column; $idCol is ${idType.simpleString}" +
+        " (hash a string id into a long first)")
     val frac = coalesce(element_at(typedLit(weights), col(sourceCol)), lit(default))
     val bucket = pmod(pmod(col(idCol).cast("long"), lit(10000L)) * lit(7919L), lit(10000L))
     df.filter(bucket < frac * lit(10000L))
