@@ -155,12 +155,16 @@ object Format {
       val t = freshDir(s, "merge_indexed")
       val c = Tables.customer(s, d)
       val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
+      // ~8 key bands at ANY scale factor: the gate measures the MERGE's
+      // pruning, so the setup must not degenerate into O(sf) sequential
+      // band commits (75 of them at sf0.1 before this was scaled)
+      val band = math.max(200L, (maxKey + 8) / 8)
       var lo = 0L
       while (lo <= maxKey) {
         GraftTable.write(
-          c.filter(col("c_custkey") >= lo && col("c_custkey") < lo + 200).coalesce(1),
+          c.filter(col("c_custkey") >= lo && col("c_custkey") < lo + band).coalesce(1),
           t, if (lo == 0L) "overwrite" else "append")
-        lo += 200
+        lo += band
       }
       graft.index.ScalarIndex.buildBtree(s, t, "c_custkey", s"$t/_indices")
       val updates = c.filter(col("c_custkey").between(101, 120))
