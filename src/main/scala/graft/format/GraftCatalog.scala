@@ -177,8 +177,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       require(c.fieldNames().length == 1, "graft: nested COLUMN COMMENT unsupported")
       c.fieldNames().head -> c.newComment()
     }
+    // ALTER COLUMN ... SET/DROP NOT NULL (reference AlterColumn.nullable)
+    val nullabilities = changes.collect { case n: TableChange.UpdateColumnNullability =>
+      dotted(n.fieldNames()) -> n.nullable()
+    }
     val handled = adds.size + renames.size + casts.size + drops.size +
-      props.size + unsets.size + comments.size
+      props.size + unsets.size + comments.size + nullabilities.size
     require(handled == changes.size, "graft: unsupported ALTER TABLE change in " +
       changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
@@ -186,7 +190,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
-        c.isInstanceOf[TableChange.UpdateColumnComment]).mkString(", "))
+        c.isInstanceOf[TableChange.UpdateColumnComment] ||
+        c.isInstanceOf[TableChange.UpdateColumnNullability]).mkString(", "))
     if (adds.nonEmpty) GraftTable.addColumnsFiles(spark, path, adds)
     if (renames.nonEmpty || casts.nonEmpty)
       GraftTable.alterColumns(spark, path, renames.toMap, casts.toMap)
@@ -196,6 +201,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     comments.foreach { case (c, cmt) =>
       GraftTable.updateFieldMetadata(spark, path, c, Map("comment" -> cmt))
     }
+    if (nullabilities.nonEmpty)
+      GraftTable.alterNullability(spark, path, nullabilities.toMap)
     loadTable(ident)
   }
 

@@ -2303,6 +2303,57 @@ object GraftTable {
     *    coverage is invalidated naturally (new fragment ids), so index
     *    consumers fall back to flat paths until rebuilt.
     */
+  /** Nullability toggles (reference `AlterColumn.nullable`,
+    * `schema_evolution.rs` — part of `alter_columns`): relaxing
+    * (non-null → nullable) is a pure metadata commit; tightening requires
+    * ONE column-pruned scan proving no nulls exist, then commits metadata
+    * only. Dotted paths address nested struct fields. The tightening
+    * proof is guarded against concurrent data changes (a null appended
+    * between proof and commit would falsify the constraint). */
+  def alterNullability(spark: SparkSession, tablePath: String,
+                       changes: Map[String, Boolean]): GraftManifest = {
+    require(changes.nonEmpty, "no nullability changes")
+    val m0 = loadManifest(spark, tablePath)
+    val tightened = changes.collect { case (name, false) => name }.toSeq
+    tightened.foreach { name =>
+      val nulls = read(spark, tablePath, Some(m0.version))
+        .select(col(name)).filter(col(name).isNull).limit(1).count()
+      require(nulls == 0L,
+        s"cannot mark $name non-nullable: null values exist")
+    }
+    def setNullable(st: StructType, path: Seq[String], nb: Boolean): StructType = {
+      require(st.fieldNames.contains(path.head), s"no column ${path.head}")
+      StructType(st.fields.map { f =>
+        if (f.name != path.head) f
+        else if (path.size == 1) f.copy(nullable = nb)
+        else f.dataType match {
+          case inner: StructType =>
+            f.copy(dataType = setNullable(inner, path.tail, nb))
+          case other => throw new IllegalArgumentException(
+            s"${path.head} is ${other.simpleString}, not a struct")
+        }
+      })
+    }
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        // the no-null proof ran against m0's fragments; any data change in
+        // between could have introduced a null — abort for retry
+        if (tightened.nonEmpty &&
+            base.fragments.map(_.id) != m0.fragments.map(_.id))
+          throw new IllegalStateException(
+            s"alter nullability conflict: data changed concurrently " +
+              s"(v${m0.version} -> v${base.version}) — retry")
+        val schema2 = changes.foldLeft(base.schema) { case (st, (name, nb)) =>
+          val path =
+            if (st.fieldNames.contains(name)) Seq(name) else SchemaPaths.split(name)
+          setNullable(st, path, nb)
+        }
+        base.copy(version = base.version + 1, operation = "alter",
+          schemaJson = schema2.json, parent = base.version)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
+  }
+
   def alterColumns(spark: SparkSession, tablePath: String,
                    renames: Map[String, String] = Map.empty,
                    casts: Map[String, String] = Map.empty): GraftManifest = {

@@ -118,6 +118,30 @@ class AlterColumnsSpec extends AnyFunSuite {
     assert(GraftTable.loadManifest(spark, t).renames.isEmpty)
   }
 
+  test("nullability: relax is metadata-only, tighten proves no nulls first") {
+    val t = tmp()
+    GraftTable.write(people, t)
+    val before = GraftTable.loadManifest(spark, t)
+    // relax: metadata-only commit, fragments untouched
+    val relaxed = GraftTable.alterNullability(spark, t, Map("name" -> true))
+    assert(relaxed.schema("name").nullable)
+    assert(relaxed.fragments == before.fragments, "metadata-only")
+    // tighten back: no nulls exist → succeeds, still metadata-only
+    val tight = GraftTable.alterNullability(spark, t, Map("name" -> false))
+    assert(!tight.schema("name").nullable)
+    assert(tight.fragments == before.fragments)
+    // tighten a column WITH nulls → refused
+    GraftTable.alterNullability(spark, t, Map("name" -> true))
+    GraftTable.write(Seq((6L, null.asInstanceOf[String], 60.0))
+      .toDF("id", "name", "score"), t, "append")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.alterNullability(spark, t, Map("name" -> false))
+    }
+    assert(e.getMessage.contains("null values exist"))
+    // reads keep working across the toggles
+    assert(GraftTable.read(spark, t).count() == 6)
+  }
+
   test("createEmpty: DDL-style empty table accepts appends") {
     val t = tmp()
     GraftTable.createEmpty(spark, t,

@@ -264,6 +264,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(desc.get("label").contains("the doc label"), s"got $desc")
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+    // nullability (reference AlterColumn.nullable): Spark's analyzer only
+    // admits RELAXING through SQL (`Cannot change nullable column to
+    // non-nullable` is a CheckAnalysis rule) — tighten first via the API
+    // (which proves no nulls exist), then DROP NOT NULL relaxes via SQL
+    GraftTable.alterNullability(s, s"$warehouse/db/$t", Map("label" -> false))
+    assert(!GraftTable.loadManifest(s, s"$warehouse/db/$t").schema("label").nullable)
+    s.sql(s"ALTER TABLE g.db.$t ALTER COLUMN label DROP NOT NULL")
+    assert(GraftTable.loadManifest(s, s"$warehouse/db/$t").schema("label").nullable)
+    s.sql(s"INSERT INTO g.db.$t VALUES (3, NULL)")
+    val en = intercept[Exception] {
+      GraftTable.alterNullability(s, s"$warehouse/db/$t", Map("label" -> false))
+    }
+    assert(en.getMessage.contains("null values exist"), en.getMessage)
   }
 
   test("ALTER TABLE RENAME / DROP a NESTED column") {
