@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+import graft.index.ScalarIndex
+
+/** Randomized model equivalence for merge_insert: every clause combination
+  * (update-all with/without matched condition, insert-all,
+  * by-source-delete with/without condition, indexed vs full-scan target,
+  * pre-existing DV deletes) must produce exactly the table a trivial
+  * in-memory reference model predicts. Seeded — failures reproduce. */
+class MergeEquivalenceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_meq_").toString + "/t"
+
+  test("merge_insert matches the reference model across 24 random scenarios") {
+    val rnd = new scala.util.Random(420)
+    for (scenario <- 1 to 24) {
+      val nTarget = 20 + rnd.nextInt(60)
+      val target0 = (0L until nTarget.toLong).map(i => i -> rnd.nextInt(100).toLong).toMap
+      val preDeleted = target0.keys.filter(_ => rnd.nextDouble() < 0.1).toSet
+      val target = target0 -- preDeleted
+      // source: some overlapping ids, some fresh; unique ids (the engine
+      // rejects ambiguous multi-matches by design)
+      val srcIds = rnd.shuffle(target0.keys.toSeq).take(rnd.nextInt(15)) ++
+        (1000L until 1000L + rnd.nextInt(10).toLong)
+      val source = srcIds.distinct.map(i => i -> (200L + rnd.nextInt(100))).toMap
+
+      val updateAll = rnd.nextBoolean()
+      val insertAll = rnd.nextBoolean()
+      val bySrcDelete = rnd.nextBoolean()
+      val matchedCond = if (updateAll && rnd.nextBoolean()) Some("v % 2 = 0") else None
+      val deleteCond = if (bySrcDelete && rnd.nextBoolean()) Some("v >= 50") else None
+      val withIndex = rnd.nextBoolean()
+
+      // ---- reference model ----
+      def matchedCondOk(v: Long) = matchedCond.forall(_ => v % 2 == 0)
+      def deleteCondOk(v: Long) = deleteCond.forall(_ => v >= 50)
+      val expected = scala.collection.mutable.Map[Long, Long]()
+      target.foreach { case (id, v) =>
+        if (source.contains(id)) {
+          if (updateAll && matchedCondOk(v)) expected(id) = source(id)
+          else expected(id) = v
+        } else if (bySrcDelete && deleteCondOk(v)) () // deleted
+        else expected(id) = v
+      }
+      if (insertAll) source.foreach { case (id, v) =>
+        if (!target.contains(id)) expected(id) = v
+      }
+
+      // ---- engine ----
+      val t = fresh()
+      GraftTable.write(target0.toSeq.toDF("id", "v")
+        .repartitionByRange(3, col("id")), t, "overwrite")
+      if (withIndex) ScalarIndex.buildBtree(spark, t, "id", s"$t/_indices")
+      if (preDeleted.nonEmpty)
+        GraftTable.delete(spark, t, s"id IN (${preDeleted.mkString(",")})")
+      val m = GraftTable.mergeInsert(spark, t, source.toSeq.toDF("id", "v"),
+        Seq("id"),
+        whenMatchedUpdateAll = updateAll,
+        matchedCondition = matchedCond,
+        whenNotMatchedInsertAll = insertAll,
+        whenNotMatchedBySourceDelete = bySrcDelete,
+        deleteCondition = deleteCond)
+      val got = GraftTable.read(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ctx = s"scenario $scenario (updateAll=$updateAll cond=$matchedCond " +
+        s"insertAll=$insertAll bySrc=$bySrcDelete delCond=$deleteCond idx=$withIndex)"
+      assert(got == expected.toMap, s"$ctx\n got=${got.toSeq.sorted}\n exp=${expected.toSeq.sorted}")
+      // the stamped stats agree with the model's row classes
+      val expUpd = target.count { case (id, v) =>
+        source.contains(id) && updateAll && matchedCondOk(v) }
+      val expIns = if (insertAll) source.count(s => !target.contains(s._1)) else 0
+      val expDel = target.count { case (id, v) =>
+        !source.contains(id) && bySrcDelete && deleteCondOk(v) }
+      assert(m.opStats("num_updated_rows") == expUpd.toLong, ctx)
+      assert(m.opStats("num_inserted_rows") == expIns.toLong, ctx)
+      assert(m.opStats("num_deleted_rows") == expDel.toLong, ctx)
+    }
+  }
+}
