@@ -1006,7 +1006,8 @@ private[format] object GraftProcedures {
         pd("k", DT.LongType, "10"), pd("nprobes", DT.LongType, "8"),
         pd("filter", DT.StringType, "''"),
         pd("min_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)"),
-        pd("max_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)")),
+        pd("max_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)"),
+        pd("max_nprobes", DT.LongType, "-1")),
       StructType(Seq(StructField("id", DT.LongType), StructField("distance", DT.DoubleType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.loadManifest(spark, path)
@@ -1027,30 +1028,41 @@ private[format] object GraftProcedures {
         if (lo.isNaN && hi.isNaN) None
         else Some((if (lo.isNaN) Double.NegativeInfinity else lo,
                    if (hi.isNaN) Double.PositiveInfinity else hi))
+      val maxNprobes = in.getLong(8).toInt
       val column = m.logicalName(e.column)
       val idCol = e.params.getOrElse("idCol",
         throw new IllegalArgumentException(s"index $nm records no idCol"))
       val idxPath = s"$path/_indices/${e.name}"
       import graft.operators._
-      val res = e.indexType match {
-        case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, metric = IvfIndex.readVectorMeta(spark, idxPath),
-          prefilter = prefilter, distanceRange = range)
-        case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, prefilter = prefilter, distanceRange = range)
-        case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, prefilter = prefilter, distanceRange = range)
-        case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
-          column, q, k, nprobes, prefilter = prefilter, distanceRange = range)
-        case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
-          path, idxPath, idCol, column, q, k, nprobes, prefilter = prefilter,
-          distanceRange = range)
-        case other => throw new IllegalArgumentException(
-          s"index $nm ($other) is not a vector index")
+      def run(np: Int): Seq[Seq[Any]] = {
+        val res = e.indexType match {
+          case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
+            column, q, k, np, metric = IvfIndex.readVectorMeta(spark, idxPath),
+            prefilter = prefilter, distanceRange = range)
+          case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
+            column, q, k, np, prefilter = prefilter, distanceRange = range)
+          case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
+            column, q, k, np, prefilter = prefilter, distanceRange = range)
+          case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
+            column, q, k, np, prefilter = prefilter, distanceRange = range)
+          case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
+            path, idxPath, idCol, column, q, k, np, prefilter = prefilter,
+            distanceRange = range)
+          case other => throw new IllegalArgumentException(
+            s"index $nm ($other) is not a vector index")
+        }
+        res.select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(Knn.DistanceCol))
+          .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
       }
-      res.select(org.apache.spark.sql.functions.col(idCol),
-          org.apache.spark.sql.functions.col(Knn.DistanceCol))
-        .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+      // adaptive probe widening (reference Query minimum_nprobes /
+      // maximum_nprobes, `lance-index/src/vector.rs:72-116`): the cheap
+      // setting serves the common query; only when a selective prefilter /
+      // distance bound starves the result below k does a single second
+      // pass probe `max_nprobes` partitions
+      val first = run(nprobes)
+      if (first.length >= k || maxNprobes <= nprobes) first
+      else run(maxNprobes)
     }
 
   /** `CALL g.system.history(table => 'db.t')` — the commit log from

@@ -611,6 +611,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rng.length == 3, rng.mkString(","))
     assert(rng.forall(r => r.getDouble(1) >= 0.5 && r.getDouble(1) < 2.5),
       rng.mkString(","))
+    // adaptive probe widening (reference minimum/maximum_nprobes): find a
+    // filtered query that nprobes=1 starves, then max_nprobes=2 recovers
+    // the exact filtered top-k in a single escalation
+    val starved = (0L until 30L).find { x =>
+      s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+        s"name => 'ivf_vec', query => array(1.0D, 1.0D), k => 1, " +
+        s"nprobes => 1, filter => 'id = $x')").collect().isEmpty
+    }
+    assert(starved.isDefined, "some id must live outside the first probe")
+    val widened = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      s"name => 'ivf_vec', query => array(1.0D, 1.0D), k => 1, " +
+      s"nprobes => 1, max_nprobes => 2, filter => 'id = ${starved.get}')")
+      .collect()
+    assert(widened.map(_.getLong(0)).toSeq == Seq(starved.get),
+      s"escalation must recover id ${starved.get}: ${widened.mkString(",")}")
     // unknown index name fails fast, doesn't scan
     val err = intercept[Exception] {
       s.sql(s"CALL g.system.knn_search(table => 'db.$t', name => 'nope', " +
