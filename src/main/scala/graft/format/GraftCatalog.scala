@@ -939,7 +939,10 @@ private[format] object GraftProcedures {
     procRows("fts_search",
       Array(p("table", DT.StringType), p("name", DT.StringType),
         p("query", DT.StringType), pd("k", DT.LongType, "10"),
-        pd("filter", DT.StringType, "''")),
+        pd("filter", DT.StringType, "''"),
+        pd("query_type", DT.StringType, "'match'"),
+        pd("fuzziness", DT.LongType, "1"),
+        pd("slop", DT.LongType, "0")),
       StructType(Seq(StructField("id", DT.LongType), StructField("score", DT.DoubleType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.loadManifest(spark, path)
@@ -968,21 +971,52 @@ private[format] object GraftProcedures {
         else None
       }
       val indexPath = s"$path/_indices/${e.name}"
-      val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
-        allowedDocs = allowed)
-      // fresh leg: fragments the index does not cover yet are flat-scored
-      // under the stored tokenizer config and merged before the final cut
+      val queryType = in.getUTF8String(5).toString.toLowerCase
       val freshFrags = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
-      val merged = if (freshFrags.isEmpty) indexed else {
-        val cfg = graft.operators.Fts.loadConfig(spark, indexPath)
-        val fresh0 = GraftTable.readFragments(spark, path, m, freshFrags,
-          withRowId = withId)
-        val fresh = userPred.map(p => fresh0.filter(expr(p))).getOrElse(fresh0)
-        val flat = graft.operators.Fts.matchFlat(fresh, idCol, e.column,
-          Seq(q), k, config = cfg)
-        indexed.unionByName(flat)
-          .orderBy(col("_score").desc, col("doc_id")).limit(k)
-      }
+      // structured query types from SQL (reference FullTextQuery —
+      // PhraseQuery / MatchQuery(fuzziness), `python/lance/query.py`):
+      // phrase ranks the phrase-containing docs by BM25 (phrase membership
+      // intersects the allowed mask BEFORE the cut); fuzzy expands the
+      // dictionary once and scores expansions. Both stay DV/prefilter-safe
+      // through the same allowed mask; both require full index coverage
+      // (run optimize_index after appends) — fail fast, never wrong.
+      val merged =
+        if (queryType != "match") {
+          require(Seq("phrase", "fuzzy").contains(queryType),
+            s"query_type must be match | phrase | fuzzy: $queryType")
+          require(freshFrags.isEmpty,
+            s"$queryType search needs full index coverage — run " +
+              s"CALL g.system.optimize_index(table, '${e.name}') first")
+          queryType match {
+            case "phrase" =>
+              val docs = graft.operators.Fts.phraseQuery(spark, indexPath, Seq(q),
+                in.getLong(7).toInt)
+              val mask = allowed.map(a => docs.join(
+                  a.select(col(a.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
+                .getOrElse(docs)
+              graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
+                allowedDocs = Some(mask))
+            case _ =>
+              graft.operators.Fts.fuzzyQuery(spark, indexPath, Seq(q),
+                in.getLong(6).toInt, prefixLength = 0, k, allowedDocs = allowed)
+          }
+        } else {
+          val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
+            allowedDocs = allowed)
+          // fresh leg: fragments the index does not cover yet are
+          // flat-scored under the stored tokenizer config and merged
+          // before the final cut
+          if (freshFrags.isEmpty) indexed else {
+            val cfg = graft.operators.Fts.loadConfig(spark, indexPath)
+            val fresh0 = GraftTable.readFragments(spark, path, m, freshFrags,
+              withRowId = withId)
+            val fresh = userPred.map(p => fresh0.filter(expr(p))).getOrElse(fresh0)
+            val flat = graft.operators.Fts.matchFlat(fresh, idCol, e.column,
+              Seq(q), k, config = cfg)
+            indexed.unionByName(flat)
+              .orderBy(col("_score").desc, col("doc_id")).limit(k)
+          }
+        }
       // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
       // Seq[Double] and silently widens the id
       merged.collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))

@@ -580,6 +580,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       "name => 'fts_body', query => 'needle', k => 5, filter => 'id % 2 = 1')")
       .collect()
     assert(ftsDrop.isEmpty, ftsDrop.mkString(","))
+    // structured SQL query types (reference FullTextQuery): phrase
+    // respects token order, fuzzy expands within edit distance
+    val ph = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'needle haystack', k => 5, " +
+      "query_type => 'phrase')").collect()
+    assert(ph.map(_.getLong(0)).toSeq == Seq(42L), ph.mkString(","))
+    // the doc has no CONSECUTIVE repeated needle — bag-of-words would match
+    val phNone = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'needle needle', k => 5, " +
+      "query_type => 'phrase')").collect()
+    assert(phNone.isEmpty, phNone.mkString(","))
+    val fz = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'needls', k => 3, " +
+      "query_type => 'fuzzy', fuzziness => 1)").collect()
+    assert(fz.nonEmpty && fz.head.getLong(0) == 42L, fz.mkString(","))
     // KNN: full probes on a 2-list index == exact; nearest to (1, 1) among
     // vectors (id % 13, id % 7) is the id ≡ 1 (mod 91) family at distance 0
     val knn = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
