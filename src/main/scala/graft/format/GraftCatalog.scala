@@ -1093,9 +1093,14 @@ private[format] object GraftProcedures {
       // maximum_nprobes, `lance-index/src/vector.rs:72-116`): the cheap
       // setting serves the common query; only when a selective prefilter /
       // distance bound starves the result below k does a single second
-      // pass probe `max_nprobes` partitions
+      // pass probe `max_nprobes` partitions. Never escalates when the
+      // first pass already probed every partition (recorded nlist) — a
+      // table with genuinely fewer than k matching rows must not pay the
+      // search twice for the same answer.
+      val recordedNlist = e.params.get("nlist").map(_.toInt)
       val first = run(nprobes)
-      if (first.length >= k || maxNprobes <= nprobes) first
+      if (first.length >= k || maxNprobes <= nprobes ||
+          recordedNlist.exists(nprobes >= _)) first
       else run(maxNprobes)
     }
 

@@ -2314,13 +2314,40 @@ object GraftTable {
                        changes: Map[String, Boolean]): GraftManifest = {
     require(changes.nonEmpty, "no nullability changes")
     val m0 = loadManifest(spark, tablePath)
+    def pathOf(name: String): Seq[String] =
+      if (m0.schema.fieldNames.contains(name)) Seq(name) else SchemaPaths.split(name)
+    // does the addressed path cross an array? (struct-in-array fields can
+    // RELAX — metadata-only — but a no-null proof over elements is not a
+    // simple column scan, so tightening is refused, not mis-proven)
+    def crossesArray(st: StructType, path: Seq[String]): Boolean =
+      st.fields.find(_.name == path.head) match {
+        case None => false
+        case Some(_) if path.size == 1 => false
+        case Some(f) => f.dataType match {
+          case inner: StructType => crossesArray(inner, path.tail)
+          case org.apache.spark.sql.types.ArrayType(_, _) => true
+          case _ => false
+        }
+      }
     val tightened = changes.collect { case (name, false) => name }.toSeq
-    tightened.foreach { name =>
-      val nulls = read(spark, tablePath, Some(m0.version))
-        .select(col(name)).filter(col(name).isNull).limit(1).count()
-      require(nulls == 0L,
-        s"cannot mark $name non-nullable: null values exist")
+    if (tightened.nonEmpty) {
+      tightened.foreach(n => require(!crossesArray(m0.schema, pathOf(n)),
+        s"cannot tighten $n: array-element nullability has no scan proof"))
+      // ONE combined scan proves every tightened column; exact top-level
+      // names win over dotted-path interpretation (backtick-quoted), the
+      // same resolution rule the schema update below applies
+      def proofCol(name: String): Column =
+        if (m0.schema.fieldNames.contains(name)) col(s"`$name`") else col(name)
+      val aggs = tightened.map(n =>
+        sum(when(proofCol(n).isNull, 1L).otherwise(0L)).as(n))
+      val row = read(spark, tablePath, Some(m0.version))
+        .agg(aggs.head, aggs.tail: _*).head()
+      tightened.zipWithIndex.foreach { case (n, i) =>
+        val nulls = if (row.isNullAt(i)) 0L else row.getLong(i)
+        require(nulls == 0L, s"cannot mark $n non-nullable: null values exist")
+      }
     }
+    DmlTestHooks.beforeCommit("alter_nullability")
     def setNullable(st: StructType, path: Seq[String], nb: Boolean): StructType = {
       require(st.fieldNames.contains(path.head), s"no column ${path.head}")
       StructType(st.fields.map { f =>
@@ -2329,6 +2356,9 @@ object GraftTable {
         else f.dataType match {
           case inner: StructType =>
             f.copy(dataType = setNullable(inner, path.tail, nb))
+          case org.apache.spark.sql.types.ArrayType(inner: StructType, cn) =>
+            f.copy(dataType = org.apache.spark.sql.types.ArrayType(
+              setNullable(inner, path.tail, nb), cn))
           case other => throw new IllegalArgumentException(
             s"${path.head} is ${other.simpleString}, not a struct")
         }
@@ -2336,17 +2366,16 @@ object GraftTable {
     }
     commitLoop(spark, tablePath, {
       case Some(base) =>
-        // the no-null proof ran against m0's fragments; any data change in
-        // between could have introduced a null — abort for retry
+        // the no-null proof ran against m0's EXACT row set; any concurrent
+        // change to data OR deletion state (a restore can resurrect a
+        // DV-deleted null with the same fragment ids) falsifies it — abort
         if (tightened.nonEmpty &&
-            base.fragments.map(_.id) != m0.fragments.map(_.id))
+            (base.fragments != m0.fragments || base.dvFiles != m0.dvFiles))
           throw new IllegalStateException(
             s"alter nullability conflict: data changed concurrently " +
               s"(v${m0.version} -> v${base.version}) — retry")
         val schema2 = changes.foldLeft(base.schema) { case (st, (name, nb)) =>
-          val path =
-            if (st.fieldNames.contains(name)) Seq(name) else SchemaPaths.split(name)
-          setNullable(st, path, nb)
+          setNullable(st, pathOf(name), nb)
         }
         base.copy(version = base.version + 1, operation = "alter",
           schemaJson = schema2.json, parent = base.version)

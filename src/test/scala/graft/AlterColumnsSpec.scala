@@ -126,9 +126,11 @@ class AlterColumnsSpec extends AnyFunSuite {
     val relaxed = GraftTable.alterNullability(spark, t, Map("name" -> true))
     assert(relaxed.schema("name").nullable)
     assert(relaxed.fragments == before.fragments, "metadata-only")
-    // tighten back: no nulls exist → succeeds, still metadata-only
-    val tight = GraftTable.alterNullability(spark, t, Map("name" -> false))
-    assert(!tight.schema("name").nullable)
+    // tighten back: no nulls exist → succeeds, still metadata-only; a
+    // multi-column tighten proves all constraints in ONE combined scan
+    val tight = GraftTable.alterNullability(spark, t,
+      Map("name" -> false, "score" -> false))
+    assert(!tight.schema("name").nullable && !tight.schema("score").nullable)
     assert(tight.fragments == before.fragments)
     // tighten a column WITH nulls → refused
     GraftTable.alterNullability(spark, t, Map("name" -> true))

@@ -129,6 +129,23 @@ class ConcurrentDvSpec extends AnyFunSuite {
       "num_deleted_rows" -> 0L))
   }
 
+  test("tighten-nullability racing a restore that resurrects a null aborts") {
+    val t = fresh()
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("v", when(col("id") === 3, lit(null)).otherwise(col("id")))
+    GraftTable.write(df, t, "overwrite")  // v1: a null at id=3
+    GraftTable.delete(spark, t, "id = 3") // v2: the null row is DV-dead
+    val err = race("alter_nullability") {
+      GraftTable.alterNullability(spark, t, Map("v" -> false))
+    } {
+      GraftTable.restore(spark, t, 1L)    // same fragment ids, null resurrected
+    }
+    assert(err.exists(_.getMessage.contains("conflict")), err.toString)
+    // the constraint must NOT be committed over the live null
+    assert(GraftTable.loadManifest(spark, t).schema("v").nullable)
+    assert(GraftTable.read(spark, t).filter(col("v").isNull).count() == 1L)
+  }
+
   test("disjoint concurrent delete and update compose") {
     val t = fresh(); seed(t)
     val err = race("update") {
