@@ -37,7 +37,16 @@ case class FtsConfig(
       * in-dictionary vocabulary while recall never drops below the bigram
       * floor. Empty (default) = pure bigrams. Stored with the index config,
       * so query terms always segment exactly like the indexed corpus. */
-    cjkDictionary: Seq[String] = Nil)
+    cjkDictionary: Seq[String] = Nil,
+    /** Store per-document token POSITIONS in the postings (reference
+      * `InvertedIndexParams.with_position` — positions are only needed by
+      * phrase queries and typically dominate postings storage; a
+      * match/boolean/fuzzy/WAND-only index at 100 TB should not pay for
+      * them). `false` = smaller, cheaper-to-build postings; phrase queries
+      * on such an index fail fast with a clear error instead of returning
+      * wrong results. Round-trips with the stored config like every other
+      * tokenizer option. */
+    storePositions: Boolean = true)
 
 /** One tokenization implementation shared by the distributed build path
   * ([[TokenizeWith]]) and driver-side query-term processing — the two sides
@@ -357,9 +366,13 @@ object Fts {
     try {
       val toks = tokenized.select(col("doc_id"),
         posexplode(col("tk")).as(Seq("pos", "token")))
-      val postings = toks.groupBy(col("token"), col("doc_id"))
-        .agg(count(lit(1)).cast("double").as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
+      val postings = (if (config.storePositions)
+          toks.groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).cast("double").as("tf"),
+              sort_array(collect_list(col("pos"))).as("positions"))
+        else
+          toks.groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).cast("double").as("tf")))
         .persist()
       try {
         // sort by (token, doc_id): token runs keep the one-file-per-term
@@ -488,9 +501,13 @@ object Fts {
     try {
       val toks = tokenized.select(col("doc_id"),
         posexplode(col("tk")).as(Seq("pos", "token")))
-      val deltaPost = toks.groupBy(col("token"), col("doc_id"))
-        .agg(count(lit(1)).cast("double").as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
+      val deltaPost = (if (cfg.storePositions)
+          toks.groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).cast("double").as("tf"),
+              sort_array(collect_list(col("pos"))).as("positions"))
+        else
+          toks.groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).cast("double").as("tf")))
         .persist()
       try {
         // delta segments are FEW files (repartition before append — never
@@ -985,6 +1002,9 @@ object Fts {
     require(terms.nonEmpty)
     val p = paths(indexPath)
     val post = spark.read.parquet(p.postings)
+    require(post.columns.contains("positions"),
+      "phrase query needs positions; this index was built with " +
+        "storePositions = false — rebuild with positions to use phrases")
     val first = post.filter(col("token") === terms.head)
       .select(col("doc_id"), col("positions").as("valid"))
     val matched = terms.tail.zipWithIndex.foldLeft(first) { case (acc, (t, i)) =>

@@ -23,6 +23,38 @@ class FtsSpec extends AnyFunSuite {
     dir
   }
 
+  test("storePositions=false: identical scores, no positions, phrase fails fast") {
+    import graft.operators.FtsConfig
+    val withPos = buildTmpIndex()
+    val noPos = Files.createTempDirectory("fts_nopos_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", noPos,
+      config = FtsConfig(storePositions = false))
+    // postings carry no positions column at all
+    assert(!spark.read.parquet(s"$noPos/postings").columns.contains("positions"))
+    // match / fuzzy / wand scoring never needed positions — identical output
+    val a = Fts.matchQuery(spark, withPos, Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val b = Fts.matchQuery(spark, noPos, Seq("quick", "fox"), 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b, s"$a vs $b")
+    val fz = Fts.fuzzyQuery(spark, noPos, Seq("quicc"), 1, 0, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(fz.map(_._1) == Fts.fuzzyQuery(spark, withPos, Seq("quicc"), 1, 0, 5)
+      .as[(Long, Double)].collect().toSeq.map(_._1))
+    // phrase needs positions: clear refusal, never wrong results
+    val e = intercept[IllegalArgumentException] {
+      Fts.phraseQuery(spark, noPos, Seq("brown", "fox")).collect()
+    }
+    assert(e.getMessage.contains("storePositions"), e.getMessage)
+    // incremental maintenance honors the stored config (no mixed schema)
+    Fts.optimizeIndex(Seq((6L, "another quick fox")).toDF("doc_id", "text"),
+      "doc_id", "text", noPos)
+    assert(!spark.read.parquet(s"$noPos/postings").columns.contains("positions"))
+    val after = Fts.matchQuery(spark, noPos, Seq("quick", "fox"), 6)
+      .as[(Long, Double)].collect().toSeq
+    assert(after.map(_._1).contains(6L))
+  }
+
   test("match query ranks higher tf first; indexed == flat") {
     val idx = buildTmpIndex()
     val indexed = Fts.matchQuery(spark, idx, Seq("quick", "fox"), 5)
