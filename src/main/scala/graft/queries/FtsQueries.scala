@@ -34,7 +34,8 @@ object FtsQueries {
     "build_fts" -> ((s, d) => { indexFor(s, d, "bench"); () }),
     "build_fts_title" -> ((s, d) => { titleIndexFor(s, d); () }),
     "build_fts_stemmed" -> ((s, d) => { stemmedIndexFor(s, d); () }),
-    "build_fts_stopword" -> ((s, d) => { stopwordIndexFor(s, d); () })
+    "build_fts_stopword" -> ((s, d) => { stopwordIndexFor(s, d); () }),
+    "build_fts_nopos" -> ((s, d) => { noPosIndexFor(s, d); () })
   )
 
   private val builtStemmed = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -60,9 +61,26 @@ object FtsQueries {
     configuredIndexFor(s, d, "stop", builtStopword,
       graft.operators.FtsConfig(stopWords = Seq("the", "a")))
 
+  private val builtNoPos = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def noPosIndexFor(s: SparkSession, d: String): String =
+    configuredIndexFor(s, d, "nopos", builtNoPos,
+      graft.operators.FtsConfig(storePositions = false))
+
   val queries: Map[String, Q] = Map(
     "q_fts_match" -> { (s, d) =>
       val idx = indexFor(s, d, "match")
+      Fts.matchQuery(s, idx, Seq("spark", "vector"), 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // positionless postings (reference with_position=false): BM25 scoring
+    // never touches positions, so the smaller layout must produce the
+    // EXACT q_fts_match result — and the gate proves the layout actually
+    // differs (no positions column on disk)
+    "q_fts_nopos" -> { (s, d) =>
+      val idx = noPosIndexFor(s, d)
+      require(!s.read.parquet(s"$idx/postings").columns.contains("positions"),
+        "q_fts_nopos: index must not store positions")
       Fts.matchQuery(s, idx, Seq("spark", "vector"), 20)
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },
@@ -198,6 +216,7 @@ object FtsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_fts_match" -> bm25Select("'spark','vector'", ""),
+    "q_fts_nopos" -> bm25Select("'spark','vector'", ""),
     "q_fts_wand" -> bm25Select("'spark','vector'", ""),
     "q_fts_fuzzy" -> bm25Select(
       "SELECT token FROM st WHERE token LIKE 'vect%' AND levenshtein(token, 'vectr') <= 1", ""),
