@@ -19,6 +19,43 @@ class MergeEquivalenceSpec extends AnyFunSuite {
   private def fresh(): String =
     Files.createTempDirectory("graft_meq_").toString + "/t"
 
+  test("update + delete chains match the reference model across 16 scenarios") {
+    val rnd = new scala.util.Random(77)
+    for (scenario <- 1 to 16) {
+      val n = 30 + rnd.nextInt(70)
+      var model = (0L until n.toLong).map(i => i -> rnd.nextInt(100).toLong).toMap
+      val t = fresh()
+      GraftTable.write(model.toSeq.toDF("id", "v")
+        .repartitionByRange(3, col("id")), t, "overwrite")
+      // random 3-step mutation chain: each step an update or a delete with
+      // a random predicate; the model applies the same semantics
+      for (_ <- 1 to 3) {
+        val m = 2 + rnd.nextInt(5)
+        val r = rnd.nextInt(m)
+        if (rnd.nextBoolean()) {
+          val mm = GraftTable.update(spark, t,
+            Map("v" -> "v + 1000"), Some(s"id % $m = $r"))
+          val hits = model.count(_._1 % m == r)
+          assert(mm.opStats == Map("num_updated_rows" -> hits.toLong))
+          model = model.map { case (id, v) =>
+            id -> (if (id % m == r) v + 1000 else v) }
+        } else {
+          val mm = GraftTable.delete(spark, t, s"id % $m = $r")
+          val hits = model.count(_._1 % m == r)
+          assert(mm.opStats == Map("num_deleted_rows" -> hits.toLong),
+            s"scenario $scenario: ${mm.opStats} vs $hits")
+          model = model.filterNot(_._1 % m == r)
+        }
+      }
+      val got = GraftTable.read(spark, t)
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      assert(got == model, s"scenario $scenario mismatch")
+      // the metadata fast path agrees with the physical row count
+      assert(GraftTable.countRows(spark, t) == model.size.toLong,
+        s"scenario $scenario countRows")
+    }
+  }
+
   test("merge_insert matches the reference model across 24 random scenarios") {
     val rnd = new scala.util.Random(420)
     for (scenario <- 1 to 24) {
