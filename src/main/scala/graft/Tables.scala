@@ -30,13 +30,24 @@ object Tables {
     * physical type actually loaded instead of assuming either.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // legacy ns drop: the flag must STAY set — execution re-reads it when
+        // materializing the ns column — so this is the one path that leaves it
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-      case _ => df // native TIMESTAMP / TIMESTAMP_NTZ: already micros
+      case _ =>
+        // native TIMESTAMP: the flag was never needed — restore the session
+        // value so a table loader doesn't smuggle in a global config change
+        prior match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+        df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

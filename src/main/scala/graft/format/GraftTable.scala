@@ -1408,19 +1408,23 @@ object GraftTable {
     *    snapshot never saw; composing would delete-the-old + keep-the-new
     *    (for a delete) or resurrect a newer value (for an update).
     *  - Rows contested by a concurrent DELETE: a delete composes (deleting
-    *    a dead row is a no-op) but must not re-count it — the overlap is
-    *    RETURNED and subtracted from `numDeleted`, keeping the metadata
-    *    `countRows` fast path exact. An update/merge aborts here too: its
-    *    staged fragments hold live rewritten copies of rows the concurrent
-    *    delete removed.
+    *    a dead row is a no-op) — the staged DV is REWRITTEN to the
+    *    remainder not already covered by the concurrent delete's DVs, so
+    *    committed DV files stay address-disjoint (validate, compaction's
+    *    delByFrag/dvCarry and `countRows` all count DV rows without
+    *    `distinct` and rely on that invariant). An update/merge aborts
+    *    here too: its staged fragments hold live rewritten copies of rows
+    *    the concurrent delete removed.
     *
-    * Zero cost on the no-conflict path (`base.dvFiles == m0`'s); otherwise
-    * one O(concurrent-delta) addr join — never corpus-sized. */
+    * Returns the number of addresses the staged DV still masks (== the
+    * rows this op newly deletes); `stagedN` passes through untouched on
+    * the no-conflict path. Zero cost when `base.dvFiles == m0`'s;
+    * otherwise one O(concurrent-delta) addr join — never corpus-sized. */
   private def resolveDvConflicts(spark: SparkSession, tablePath: String, op: String,
                                  m0: GraftManifest, base: GraftManifest,
-                                 stagedDv: Option[String],
+                                 stagedDv: Option[String], stagedN: Long,
                                  composeDeletes: Boolean): Long = {
-    if (base.version == m0.version || stagedDv.isEmpty) return 0L
+    if (base.version == m0.version || stagedDv.isEmpty) return stagedN
     var prev = m0
     val delDvs = Seq.newBuilder[String]
     val rewDvs = Seq.newBuilder[String]
@@ -1431,8 +1435,11 @@ object GraftTable {
       prev = m
     }
     val del = delDvs.result(); val rew = rewDvs.result()
-    if (del.isEmpty && rew.isEmpty) return 0L
-    val staged = spark.read.parquet(s"$tablePath/${stagedDv.get}").select(col("addr"))
+    if (del.isEmpty && rew.isEmpty) return stagedN
+    // re-read per attempt: an earlier commit-race retry may have already
+    // rewritten the staged file to a remainder smaller than stagedN
+    def staged: DataFrame =
+      spark.read.parquet(s"$tablePath/${stagedDv.get}").select(col("addr"))
     def overlapWith(paths: Seq[String]): DataFrame =
       staged.join(
         spark.read.parquet(paths.map(p => s"$tablePath/$p"): _*).select(col("addr")),
@@ -1441,13 +1448,29 @@ object GraftTable {
       throw new IllegalStateException(
         s"$op conflict: rows contested by a concurrent update/merge " +
           s"(v${m0.version} -> v${base.version}) — retry")
-    if (del.isEmpty) 0L
-    else if (composeDeletes) overlapWith(del).count()
+    if (del.isEmpty) stagedN
+    else if (composeDeletes) {
+      val cur = staged.count()
+      val over = overlapWith(del).count()
+      if (over > 0) {
+        val dir = new Path(new Path(tablePath), stagedDv.get)
+        val tmp = new Path(dir.getParent, dir.getName + ".rewrite")
+        staged.join(
+          spark.read.parquet(del.map(p => s"$tablePath/$p"): _*).select(col("addr")),
+          Seq("addr"), "left_anti")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val f = fs(spark, dir)
+        f.delete(dir, true)
+        if (!f.rename(tmp, dir))
+          throw new IllegalStateException(s"$op: failed to swap rewritten DV at $dir")
+      }
+      cur - over
+    }
     else if (overlapWith(del).limit(1).count() > 0)
       throw new IllegalStateException(
         s"$op conflict: rows deleted concurrently " +
           s"(v${m0.version} -> v${base.version}) — retry")
-    else 0L
+    else stagedN
   }
 
   /** Conflict guard for mutations whose staged fragments/DVs were derived
@@ -1490,13 +1513,15 @@ object GraftTable {
           case Some(base) =>
             guardStagedBase("delete", m0, base)
             // deleting a row a concurrent delete already removed is a no-op
-            // but must not re-count; contested update/merge rows abort
-            val over = resolveDvConflicts(spark, tablePath, "delete", m0, base,
-              Some(dvPath), composeDeletes = true)
+            // but must not re-count or re-mask: the staged DV is rewritten
+            // to the disjoint remainder; contested update/merge rows abort
+            val kept = resolveDvConflicts(spark, tablePath, "delete", m0, base,
+              Some(dvPath), n, composeDeletes = true)
             base.copy(version = base.version + 1, operation = "delete",
-              dvFiles = base.dvFiles :+ dvPath, numDeleted = base.numDeleted + n - over,
+              dvFiles = if (kept == 0) base.dvFiles else base.dvFiles :+ dvPath,
+              numDeleted = base.numDeleted + kept,
               parent = base.version,
-              opStats = Map("num_deleted_rows" -> (n - over)))
+              opStats = Map("num_deleted_rows" -> kept))
           case None => throw new IllegalArgumentException(s"no table at $tablePath")
         })
     }
@@ -1536,7 +1561,7 @@ object GraftTable {
           // our staged fragments hold live rewritten copies — any row a
           // concurrent DML also touched is contested, abort (never compose)
           resolveDvConflicts(spark, tablePath, "update", m0, base,
-            dvOpt.map(_._1), composeDeletes = false)
+            dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
           val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1,
             rowIdBase = if (carry) -1L else base.nextRowId,
@@ -1554,15 +1579,6 @@ object GraftTable {
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally matches.unpersist()
-  }
-
-  /** Observability for index-assisted merges ([[mergeInsert]] `useIndex`):
-    * spec/gate assertions read these to prove the pruned path actually ran
-    * (a silently-disabled fast path would still produce correct results). */
-  object MergeStats {
-    val indexedRuns = new java.util.concurrent.atomic.AtomicLong(0L)
-    @volatile var lastFragmentsScanned: Int = -1
-    @volatile var lastFragmentsTotal: Int = -1
   }
 
   /** Source keys inlined as a pushed-down IN literal when at most this many
@@ -1591,7 +1607,7 @@ object GraftTable {
     * reading O(matching fragments) and reading the entire table. */
   private def mergeIndexTarget(spark: SparkSession, tablePath: String,
                                m0: GraftManifest, key: String, source: DataFrame,
-                               withRowId: Boolean): Option[DataFrame] = {
+                               withRowId: Boolean): Option[(DataFrame, Int, Int)] = {
     val entryOpt = for {
       field <- m0.schema.fields.find(_.name == key)
       phys = m0.physicalName(field)
@@ -1616,11 +1632,8 @@ object GraftTable {
       val candIds = cand.select(shiftrightunsigned(col(RowAddrCol), 32).as("f"))
         .distinct().collect().map(_.getLong(0)).toSet
       val frags = m0.fragments.filter(f => !covered(f.id) || candIds(f.id))
-      MergeStats.indexedRuns.incrementAndGet()
-      MergeStats.lastFragmentsScanned = frags.size
-      MergeStats.lastFragmentsTotal = m0.fragments.size
-      readFragments(spark, tablePath, m0, frags, withRowAddr = true,
-        withRowId = withRowId)
+      (readFragments(spark, tablePath, m0, frags, withRowAddr = true,
+        withRowId = withRowId), frags.size, m0.fragments.size)
     }
   }
 
@@ -1685,9 +1698,15 @@ object GraftTable {
       if (useIndex && !whenNotMatchedBySourceDelete)
         on.iterator
           .map(k => mergeIndexTarget(spark, tablePath, m0, k, source, withRowId = carry))
-          .collectFirst { case Some(df) => df }
+          .collectFirst { case Some(t) => t }
       else None
-    val target = prunedTarget.getOrElse(
+    // pruning observability travels on the COMMIT (reference merge stats):
+    // per-run, race-free under concurrent merges, visible in system.history
+    val idxStats: Map[String, Long] = prunedTarget.map { case (_, scanned, total) =>
+      Map("merge_index_fragments_scanned" -> scanned.toLong,
+        "merge_index_fragments_total" -> total.toLong)
+    }.getOrElse(Map.empty)
+    val target = prunedTarget.map(_._1).getOrElse(
       read(spark, tablePath, Some(m0.version), withRowAddr = true, withRowId = carry))
     // prefix source columns to disambiguate
     val src = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq: _*)
@@ -1747,7 +1766,7 @@ object GraftTable {
         case Some(base) =>
           guardStagedBase("merge_insert", m0, base)
           resolveDvConflicts(spark, tablePath, "merge_insert", m0, base,
-            dvOpt.map(_._1), composeDeletes = false)
+            dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
           val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
             base.version + 1, storedRowIds = carry)
           val (fragsI, pathsI) = assignIds(spark, stagedIns,
@@ -1764,7 +1783,7 @@ object GraftTable {
             nextRowId = base.nextRowId + fragsI.map(_.rows).sum,
             opStats = Map("num_updated_rows" -> nUpd,
               "num_inserted_rows" -> nIns,
-              "num_deleted_rows" -> (dvN - nUpd)))
+              "num_deleted_rows" -> (dvN - nUpd)) ++ idxStats)
         case None => throw new IllegalArgumentException(s"no table at $tablePath")
       })
     } finally joined.unpersist()
@@ -2856,7 +2875,10 @@ object GraftTable {
     val old = loadManifest(spark, tablePath, Some(version))
     commitLoop(spark, tablePath, {
       case Some(base) => old.copy(version = base.version + 1, operation = "restore",
-        parent = base.version)
+        parent = base.version,
+        // opStats/txnProperties describe exactly ONE commit — the restored
+        // version's DML stats must not reappear on the restore row in history
+        opStats = Map.empty, txnProperties = Map.empty)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
   }

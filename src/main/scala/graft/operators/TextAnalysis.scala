@@ -77,9 +77,9 @@ object TextAnalysis {
     require(default >= 0.0 && default <= 1.0, s"default must be in [0,1]: $default")
     // the permutation hash is integer arithmetic; a non-integral id would
     // cast to null and the null predicate would SILENTLY drop every row
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-        .contains(idType.simpleString),
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"sampleBySource needs an integral id column; $idCol is ${idType.simpleString}" +
         " (hash a string id into a long first)")
     val frac = coalesce(element_at(typedLit(weights), col(sourceCol)), lit(default))

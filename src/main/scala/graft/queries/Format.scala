@@ -149,8 +149,8 @@ object Format {
     // Index-assisted MERGE (reference MergeInsertBuilder.use_index): the
     // target lands as one fragment per 200-key band with a BTREE index on
     // the key; a small upsert batch (20 updates in ONE band + 10 inserts)
-    // must read only that band plus nothing else — asserted in-gate via
-    // MergeStats, then the merged table is hash-checked against the oracle.
+    // must read only that band plus nothing else — asserted in-gate via the
+    // commit's opStats, then the merged table is hash-checked vs the oracle.
     "q_merge_indexed" -> { (s, d) =>
       val t = freshDir(s, "merge_indexed")
       val c = Tables.customer(s, d)
@@ -171,15 +171,13 @@ object Format {
         .withColumn("c_acctbal", col("c_acctbal") * 3)
       val inserts = c.filter(col("c_custkey") <= 10)
         .withColumn("c_custkey", col("c_custkey") + 1000000L)
-      val runs0 = GraftTable.MergeStats.indexedRuns.get()
-      GraftTable.mergeInsert(s, t, updates.unionByName(inserts), Seq("c_custkey"))
-      require(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1,
-        "q_merge_indexed: the index-assisted merge path did not run")
-      require(GraftTable.MergeStats.lastFragmentsScanned <
-        GraftTable.MergeStats.lastFragmentsTotal,
-        s"q_merge_indexed: no fragment pruning (" +
-          s"${GraftTable.MergeStats.lastFragmentsScanned}/" +
-          s"${GraftTable.MergeStats.lastFragmentsTotal})")
+      val m = GraftTable.mergeInsert(s, t, updates.unionByName(inserts), Seq("c_custkey"))
+      // pruning stats travel on the commit's opStats (per-run, race-free)
+      val scanned = m.opStats.getOrElse("merge_index_fragments_scanned",
+        sys.error("q_merge_indexed: the index-assisted merge path did not run"))
+      val total = m.opStats("merge_index_fragments_total")
+      require(scanned < total,
+        s"q_merge_indexed: no fragment pruning ($scanned/$total)")
       GraftTable.read(s, t)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))

@@ -67,6 +67,38 @@ class ConcurrentDvSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, t).count() == 80L)
     // the racing delete reports only the rows IT removed (10 were already gone)
     assert(m.opStats == Map("num_deleted_rows" -> 10L))
+    // composed DV files stay ADDRESS-DISJOINT (ADVICE r9): validate and
+    // compaction count DV rows without distinct and rely on this
+    val dv = spark.read.parquet(m.dvFiles.map(p => s"$t/$p"): _*)
+    assert(dv.count() == dv.distinct().count(),
+      "overlapping composed deletes committed duplicate DV addresses")
+    assert(dv.count() == 20L)
+    assert(GraftTable.validate(spark, t).isEmpty)
+    // compaction over the composed DVs keeps the counts exact
+    GraftTable.compact(spark, t)
+    assert(GraftTable.countRows(spark, t) == 80L)
+    assert(GraftTable.read(spark, t).count() == 80L)
+    assert(GraftTable.validate(spark, t).isEmpty)
+  }
+
+  test("composed delete fully covered by a concurrent delete commits no DV") {
+    val t = fresh(); seed(t)
+    val dv0 = GraftTable.loadManifest(spark, t).dvFiles.size
+    val err = race("delete") {
+      GraftTable.delete(spark, t, "id < 10")
+    } {
+      GraftTable.delete(spark, t, "id < 10")
+    }
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    val m = GraftTable.loadManifest(spark, t)
+    // every staged address was already masked — the remainder is empty, so
+    // the racing delete appends NO DV file and counts nothing
+    assert(m.dvFiles.size == dv0 + 1, s"expected one DV (the concurrent delete's), got ${m.dvFiles}")
+    assert(m.numDeleted == 10L)
+    assert(m.opStats == Map("num_deleted_rows" -> 0L))
+    assert(GraftTable.countRows(spark, t) == 90L)
+    assert(GraftTable.read(spark, t).count() == 90L)
+    assert(GraftTable.validate(spark, t).isEmpty)
   }
 
   test("delete staged before a concurrent compaction aborts, never resurrects") {

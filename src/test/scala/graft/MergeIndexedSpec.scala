@@ -36,12 +36,11 @@ class MergeIndexedSpec extends AnyFunSuite {
   test("indexed merge scans only candidate fragments and matches full-scan result") {
     val t1 = fresh(); val t2 = fresh()
     seed(t1); seed(t2)
-    val runs0 = GraftTable.MergeStats.indexedRuns.get()
-    GraftTable.mergeInsert(spark, t1, sourceHitting2Fragments, Seq("id"))
-    assert(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1, "pruned path must run")
-    assert(GraftTable.MergeStats.lastFragmentsTotal == 10)
-    assert(GraftTable.MergeStats.lastFragmentsScanned == 2,
-      s"source keys live in 2 of 10 fragments; scanned ${GraftTable.MergeStats.lastFragmentsScanned}")
+    val m = GraftTable.mergeInsert(spark, t1, sourceHitting2Fragments, Seq("id"))
+    assert(m.opStats.contains("merge_index_fragments_scanned"), "pruned path must run")
+    assert(m.opStats("merge_index_fragments_total") == 10L)
+    assert(m.opStats("merge_index_fragments_scanned") == 2L,
+      s"source keys live in 2 of 10 fragments; scanned ${m.opStats("merge_index_fragments_scanned")}")
     GraftTable.mergeInsert(spark, t2, sourceHitting2Fragments, Seq("id"), useIndex = false)
     val a = GraftTable.read(spark, t1).orderBy("id").collect().toSeq
     val b = GraftTable.read(spark, t2).orderBy("id").collect().toSeq
@@ -55,11 +54,10 @@ class MergeIndexedSpec extends AnyFunSuite {
     GraftTable.write(spark.range(5000, 5100).toDF("id")
       .withColumn("v", col("id") * 10).coalesce(1), t, "append")
     val src = spark.range(5050, 5055).toDF("id").withColumn("v", lit(7L))
-    val runs0 = GraftTable.MergeStats.indexedRuns.get()
-    GraftTable.mergeInsert(spark, t, src, Seq("id"))
-    assert(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1)
+    val m = GraftTable.mergeInsert(spark, t, src, Seq("id"))
+    assert(m.opStats.contains("merge_index_fragments_scanned"))
     // 0 candidate covered fragments + 1 uncovered
-    assert(GraftTable.MergeStats.lastFragmentsScanned == 1)
+    assert(m.opStats("merge_index_fragments_scanned") == 1L)
     val got = GraftTable.read(spark, t).filter(col("v") === 7L).count()
     assert(got == 5, "matches in uncovered fragments must update, not duplicate")
     assert(GraftTable.read(spark, t).count() == 1100)
@@ -83,14 +81,14 @@ class MergeIndexedSpec extends AnyFunSuite {
     // 9990–9994 exist in no fragment → inserts.
     val src = spark.range(0, 5).toDF("id").withColumn("v", col("id") * 10)
       .union(spark.range(9990, 9995).toDF("id").withColumn("v", col("id") * 10))
-    val runs0 = GraftTable.MergeStats.indexedRuns.get()
     val m = GraftTable.mergeInsert(spark, t, src, Seq("id", "v"))
-    assert(GraftTable.MergeStats.indexedRuns.get() == runs0 + 1,
+    assert(m.opStats.contains("merge_index_fragments_scanned"),
       "multi-key merge must still take the indexed path via the id key")
-    assert(GraftTable.MergeStats.lastFragmentsScanned == 1,
-      s"source keys live in 1 fragment; scanned ${GraftTable.MergeStats.lastFragmentsScanned}")
-    assert(m.opStats == Map("num_updated_rows" -> 5L,
-      "num_inserted_rows" -> 5L, "num_deleted_rows" -> 0L))
+    assert(m.opStats("merge_index_fragments_scanned") == 1L,
+      s"source keys live in 1 fragment; scanned ${m.opStats("merge_index_fragments_scanned")}")
+    assert(m.opStats("num_updated_rows") == 5L)
+    assert(m.opStats("num_inserted_rows") == 5L)
+    assert(m.opStats("num_deleted_rows") == 0L)
     GraftTable.mergeInsert(spark, t2, src, Seq("id", "v"), useIndex = false)
     val a = GraftTable.read(spark, t).orderBy("id").collect().toSeq
     val b = GraftTable.read(spark, t2).orderBy("id").collect().toSeq
@@ -100,11 +98,10 @@ class MergeIndexedSpec extends AnyFunSuite {
   test("by-source-delete merges fall back to the full scan") {
     val t = fresh()
     seed(t)
-    val runs0 = GraftTable.MergeStats.indexedRuns.get()
-    GraftTable.mergeInsert(spark, t,
+    val m = GraftTable.mergeInsert(spark, t,
       spark.range(0, 5).toDF("id").withColumn("v", lit(1L)), Seq("id"),
       whenNotMatchedBySourceDelete = true, deleteCondition = Some("id >= 990"))
-    assert(GraftTable.MergeStats.indexedRuns.get() == runs0,
+    assert(!m.opStats.contains("merge_index_fragments_scanned"),
       "not-matched-by-source needs every target row — pruning would be unsound")
     assert(GraftTable.read(spark, t).count() == 990)
   }
@@ -113,10 +110,9 @@ class MergeIndexedSpec extends AnyFunSuite {
     val t = fresh()
     seed(t)
     GraftTable.compact(spark, t)
-    val runs0 = GraftTable.MergeStats.indexedRuns.get()
-    GraftTable.mergeInsert(spark, t,
+    val m = GraftTable.mergeInsert(spark, t,
       spark.range(0, 3).toDF("id").withColumn("v", lit(5L)), Seq("id"))
-    assert(GraftTable.MergeStats.indexedRuns.get() == runs0,
+    assert(!m.opStats.contains("merge_index_fragments_scanned"),
       "coverage addresses dead fragments — index must be vetoed")
     assert(GraftTable.read(spark, t).filter(col("v") === 5L).count() == 3)
   }
