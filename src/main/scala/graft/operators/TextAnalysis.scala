@@ -143,4 +143,74 @@ object TextAnalysis {
     }
     when(hasCjk, lit("zh")).otherwise(best._1)
   }
+
+  /** Training-shard packing: assign documents to shards by cumulative token
+    * budget in `idCol` order — a hierarchical prefix sum in which EVERY
+    * window is partitioned and bounded (the naive formulation is a global
+    * unpartitioned window, which Spark executes on ONE partition regardless
+    * of cluster size):
+    *   level 0: per-bucket running sum over ≤`bucketSpan` docs
+    *            (partitioned window);
+    *   level 1: per-super-bucket running sum over ≤`superSpan` buckets
+    *            (partitioned window);
+    *   level 2: super-bucket offsets — n_buckets/superSpan totals collected
+    *            to the driver for a metadata-sized prefix sum, broadcast
+    *            back (at 10^11 docs: 10^9 buckets → ~244k super rows).
+    * The bucket-offset join is corpus/bucketSpan-sized and left to AQE —
+    * never a forced broadcast of a corpus-proportional side. Returns
+    * (`idCol`, n_tokens, shard); [[requirePartitionedWindows]] rejects any
+    * unpartitioned Window slipping back into the plan. */
+  def packShards(df: DataFrame, idCol: String, textCol: String,
+                 shardTokens: Long, bucketSpan: Long = 100L,
+                 superSpan: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", floor(col(idCol) / lit(bucketSpan)))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bk = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).cast("long").as("bk_tokens"))
+      .withColumn("sup", floor(col("bucket") / lit(superSpan)))
+      .persist()
+    val wSup = Window.partitionBy(col("sup")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val supTotals = bk.groupBy(col("sup")).agg(sum(col("bk_tokens")).as("t"))
+      .orderBy(col("sup")).collect()
+    var acc = 0L
+    val supOffsets = supTotals.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
+    }.toSeq
+    val offsets = bk
+      .withColumn("cum_sup", sum(col("bk_tokens")).over(wSup))
+      .join(broadcast(supOffsets.toDF("sup", "sup_offset")), "sup")
+      .withColumn("bk_offset", col("sup_offset") + col("cum_sup") - col("bk_tokens"))
+      .select(col("bucket"), col("bk_offset"))
+    val out = docs
+      .withColumn("cum_in_bucket", sum(col("n_tokens")).over(wIn))
+      .join(offsets, "bucket")
+      .withColumn("prior", col("bk_offset") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("prior") / lit(shardTokens)).as("shard"))
+    requirePartitionedWindows(out, "packShards")
+    // materialize before releasing the shared bucket aggregate
+    val res = out.localCheckpoint()
+    bk.unpersist()
+    res
+  }
+
+  /** Every Window in the optimized plan must be partitioned: an
+    * unpartitioned window funnels its whole input through ONE task, however
+    * large the cluster — the exact anti-pattern Spark's own
+    * `WARN WindowExec: No Partition Defined` flags. */
+  def requirePartitionedWindows(df: DataFrame, tag: String): Unit = {
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    require(bad.isEmpty,
+      s"$tag: ${bad.size} unpartitioned Window(s) in the plan — " +
+        "single-partition execution at scale")
+  }
 }

@@ -202,27 +202,13 @@ object Text {
     },
 
     // Training-shard packing: assign documents to shards by cumulative token
-    // budget in doc_id order — two-phase distributed cumsum (per-bucket
-    // partitioned window + tiny bucket-offset broadcast join), NEVER a
-    // global single-partition window; the same plan holds at 100 TB.
+    // budget in doc_id order. [[TA.packShards]] is a hierarchical prefix sum
+    // — per-bucket window, per-super-bucket window, metadata-sized driver
+    // offset pass — in which every window is PARTITIONED (require'd on the
+    // plan inside packShards); no single-partition stage at any corpus size.
     "q_pack_shards" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TA.tokenCount(col("text")))
-        .withColumn("bucket", floor(col("doc_id") / lit(100L)))
-      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wBk = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offsets = docs.groupBy(col("bucket"))
-        .agg(sum(col("n_tokens")).as("bk_tokens"))
-        .withColumn("bk_offset", sum(col("bk_tokens")).over(wBk) - col("bk_tokens"))
-        .select(col("bucket"), col("bk_offset"))
-      docs
-        .withColumn("cum_in_bucket", sum(col("n_tokens")).over(wIn))
-        .join(broadcast(offsets), "bucket")
-        .withColumn("prior", col("bk_offset") + col("cum_in_bucket") - col("n_tokens"))
-        .withColumn("shard", floor(col("prior") / lit(10000L)))
+      TA.packShards(Tables.documents(s, d), "doc_id", "text",
+        shardTokens = 10000L, bucketSpan = 100L)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("shard_tokens"))
         .orderBy(col("shard"))

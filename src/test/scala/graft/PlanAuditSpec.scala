@@ -70,4 +70,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no sort-merge for a 7-row dim:\n$plan")
   }
+
+  test("shard packing: hierarchical prefix sum, every window partitioned") {
+    import graft.operators.TextAnalysis
+    // small spans force all three levels (many buckets AND many supers)
+    val docs = (0L until 3000L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // packShards require's zero unpartitioned Windows on its own plan
+    val out = TextAnalysis.packShards(docs, "doc_id", "text",
+      shardTokens = 50L, bucketSpan = 10L, superSpan = 8L)
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    var cum = 0L
+    val exp = (0L until 3000L).map { i =>
+      val n = i % 7 + 1; val shard = cum / 50L; cum += n; (i, shard)
+    }
+    assert(got == exp, "hierarchical cumsum must equal the sequential prefix sum")
+    // and the audit itself rejects the single-partition anti-pattern
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val bad = docs.withColumn("c", sum(lit(1)).over(w))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.requirePartitionedWindows(bad, "bad")
+    }
+  }
 }
