@@ -249,7 +249,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.tag" => GraftProcedures.tag(pathOf)
       case "system.tags" => GraftProcedures.tagsList(pathOf)
       case "system.delete_tag" => GraftProcedures.deleteTag(pathOf)
+      case "system.update_tag" => GraftProcedures.updateTag(pathOf)
       case "system.branches" => GraftProcedures.branchesList(pathOf)
+      case "system.create_branch" => GraftProcedures.createBranch(pathOf)
+      case "system.delete_branch" => GraftProcedures.deleteBranch(pathOf)
       case "system.restore" => GraftProcedures.restore(pathOf)
       case "system.optimize_scalar_index" => GraftProcedures.optimizeScalarIndex(pathOf)
       case "system.create_index" => GraftProcedures.createIndex(pathOf)
@@ -275,7 +278,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag",
-        "tags", "delete_tag", "branches", "restore", "optimize_scalar_index",
+        "tags", "delete_tag", "update_tag", "branches", "create_branch",
+        "delete_branch", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search")
@@ -582,6 +586,53 @@ private[format] object GraftProcedures {
       val path = pathOf(in.getUTF8String(0).toString)
       val name = in.getUTF8String(1).toString
       GraftTable.deleteTag(spark, path, name)
+      Seq(name)
+    }
+
+  /** `CALL g.system.update_tag(table => 'db.t', name => 'prod', version => 7)`
+    * — reference `Tags.update` (`dataset.py:4969`): retarget an existing tag
+    * in one atomic replace (promote-to-prod without a missing-ref window).
+    * version => -1 (default) retargets to the latest version. */
+  def updateTag(pathOf: String => String): UnboundProcedure =
+    proc("update_tag",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        pd("version", DT.LongType, "-1")),
+      StructType(Seq(StructField("tagged_version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val v = in.getLong(2) match {
+        case -1L => GraftTable.loadManifest(spark, path).version
+        case x => x
+      }
+      GraftTable.updateTag(spark, path, in.getUTF8String(1).toString, v)
+      Seq(v)
+    }
+
+  /** `CALL g.system.create_branch(table => 'db.t', name => 'exp', version => 3)`
+    * — reference `create_branch`: metadata-only fork sharing data files.
+    * version => -1 (default) branches from the latest version. */
+  def createBranch(pathOf: String => String): UnboundProcedure =
+    proc("create_branch",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        pd("version", DT.LongType, "-1")),
+      StructType(Seq(StructField("head_version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val from = in.getLong(2) match { case -1L => None; case x => Some(x) }
+      val m = GraftTable.createBranch(spark, path,
+        in.getUTF8String(1).toString, from)
+      Seq(m.version)
+    }
+
+  /** `CALL g.system.delete_branch(table => 'db.t', name => 'exp')` —
+    * reference `Branches.delete` (`dataset.py:5010`): drops the branch
+    * lineage; branch-only fragments become cleanup-eligible, shared data
+    * survives. */
+  def deleteBranch(pathOf: String => String): UnboundProcedure =
+    proc("delete_branch",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("deleted", DT.StringType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val name = in.getUTF8String(1).toString
+      GraftTable.deleteBranch(spark, path, name)
       Seq(name)
     }
 

@@ -1661,7 +1661,14 @@ object GraftTable {
                   deleteCondition: Option[String] = None,
                   useIndex: Boolean = true,
                   whenMatchedFail: Boolean = false,
-                  conflictRetries: Int = 10): GraftManifest = {
+                  conflictRetries: Int = 10,
+                  retryTimeoutMs: Long = 30000L): GraftManifest = {
+    // reference `retry_timeout` (Python dataset.py, default 30 s): each
+    // conflict retry re-stages against a fresh snapshot — a FULL re-read of
+    // the target — so under sustained contention an attempt-count bound
+    // alone can hold a pipeline slot for hours; the wall-clock deadline
+    // caps that. Checked BETWEEN attempts: an in-flight attempt finishes.
+    val deadline = System.nanoTime() + retryTimeoutMs * 1000000L
     var attempt = 0
     while (true) {
       try {
@@ -1672,6 +1679,10 @@ object GraftTable {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("conflict") &&
               attempt < conflictRetries =>
+          if (System.nanoTime() >= deadline)
+            throw new IllegalStateException(
+              s"merge_insert: retry_timeout (${retryTimeoutMs} ms) exceeded after " +
+                s"${attempt + 1} attempt(s); last conflict: ${e.getMessage}", e)
           attempt += 1
       }
     }
@@ -2636,10 +2647,39 @@ object GraftTable {
     fs(spark, t).delete(new Path(t, s"_branches/$name"), true)
   }
 
+  /** Delete a branch (reference `Branches.delete`, `dataset.py:5010`):
+    * removes the branch's manifest lineage, making fragments referenced
+    * ONLY by the branch cleanup-eligible; data files shared with main (or
+    * other branches) survive because [[cleanupOldVersions]] computes
+    * referenced files across every remaining lineage. Errors on an unknown
+    * name. */
+  def deleteBranch(spark: SparkSession, tablePath: String, name: String): Unit = {
+    require(branches(spark, tablePath).contains(name), s"no branch $name")
+    dropBranch(spark, tablePath, name)
+  }
+
   // ------------------------------------------------------- tags & cleanup
 
-  /** Named version refs (reference tags, Python `dataset.py:539-645`). */
+  /** Named version refs (reference tags, Python `dataset.py:539-645`).
+    * Creating over an existing name errors (reference `Tags.create`) — use
+    * [[updateTag]] to retarget. */
   def tag(spark: SparkSession, tablePath: String, name: String, version: Long): Unit = {
+    require(!tags(spark, tablePath).contains(name),
+      s"tag $name already exists (use updateTag to retarget)")
+    writeTagRef(spark, tablePath, name, version)
+  }
+
+  /** Retarget an existing tag to a new version (reference `Tags.update`,
+    * `dataset.py:4969`) — the "promote `prod` to the new version" workflow
+    * as ONE atomic replace, no delete+recreate window in which the ref is
+    * missing. */
+  def updateTag(spark: SparkSession, tablePath: String, name: String, version: Long): Unit = {
+    require(tags(spark, tablePath).contains(name), s"no tag $name")
+    writeTagRef(spark, tablePath, name, version)
+  }
+
+  private def writeTagRef(spark: SparkSession, tablePath: String, name: String,
+                          version: Long): Unit = {
     require(versions(spark, tablePath).contains(version), s"no version $version")
     val t = new Path(tablePath)
     val f = fs(spark, t)

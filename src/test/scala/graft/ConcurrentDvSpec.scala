@@ -161,6 +161,26 @@ class ConcurrentDvSpec extends AnyFunSuite {
       "num_deleted_rows" -> 0L))
   }
 
+  test("merge retry_timeout bounds sustained conflict retries by wall-clock") {
+    val t = fresh(); seed(t)
+    val src = spark.range(0, 50).toDF("id").withColumn("v", lit(-5L))
+    // every attempt, delete one more row the merge's staged DV covers —
+    // sustained contention that an attempt-count bound alone rides out
+    // with a full target re-read per retry
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    GraftTable.DmlTestHooks.beforeCommit = op =>
+      if (op == "merge_insert")
+        GraftTable.delete(spark, t, s"id = ${n.getAndIncrement()}")
+    try {
+      val e = intercept[IllegalStateException] {
+        GraftTable.mergeInsert(spark, t, src, Seq("id"),
+          conflictRetries = 100, retryTimeoutMs = 1L)
+      }
+      assert(e.getMessage.contains("retry_timeout"), e.getMessage)
+      assert(n.get() < 100, s"deadline must abort long before the attempt bound (${n.get()})")
+    } finally GraftTable.DmlTestHooks.beforeCommit = _ => ()
+  }
+
   test("tighten-nullability racing a restore that resurrects a null aborts") {
     val t = fresh()
     val df = spark.range(0, 10).toDF("id")

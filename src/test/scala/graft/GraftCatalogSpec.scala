@@ -337,6 +337,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("PROCEDURE"))
   }
 
+  test("update_tag retargets atomically; create/delete branch lifecycle") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft") // v1
+    s.sql(s"INSERT INTO g.db.$t VALUES (1)")               // v2
+    s.sql(s"INSERT INTO g.db.$t VALUES (2)")               // v3
+    val path = s"$warehouse/db/$t"
+    val vHead = GraftTable.loadManifest(s, path).version
+    val v2 = vHead - 1
+    s.sql(s"CALL g.system.tag(table => 'db.$t', name => 'prod', version => $v2)")
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'prod'") == Set(1L))
+    // promote prod to the new head in ONE atomic retarget (reference
+    // Tags.update) — no delete+recreate window with the ref missing
+    val up = s.sql(s"CALL g.system.update_tag(table => 'db.$t', name => 'prod')").head()
+    assert(up.getLong(0) == vHead)
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'prod'") == Set(1L, 2L))
+    intercept[Exception] {
+      s.sql(s"CALL g.system.update_tag(table => 'db.$t', name => 'ghost')").collect()
+    }
+    // create over an existing tag errors (reference Tags.create)
+    intercept[Exception] {
+      s.sql(s"CALL g.system.tag(table => 'db.$t', name => 'prod')").collect()
+    }
+
+    // branch lifecycle through SQL (reference create_branch/Branches.delete)
+    val b = s.sql(s"CALL g.system.create_branch(table => 'db.$t', name => 'exp', version => $v2)").head()
+    assert(b.getLong(0) == v2)
+    import s.implicits._
+    GraftTable.writeBranch(Seq(9L).toDF("id"), path, "exp")
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'exp'") == Set(1L, 9L))
+    val branchOnly = GraftTable.loadManifest(s, path, None, Some("exp"))
+      .fragments.map(_.path).toSet --
+      GraftTable.loadManifest(s, path).fragments.map(_.path).toSet
+    assert(branchOnly.nonEmpty, "branch append must add a branch-only fragment")
+    s.sql(s"CALL g.system.delete_branch(table => 'db.$t', name => 'exp')")
+    assert(s.sql(s"CALL g.system.branches(table => 'db.$t')").count() == 0)
+    intercept[Exception] { s.sql(s"SELECT * FROM g.db.$t VERSION AS OF 'exp'").collect() }
+    intercept[Exception] {
+      s.sql(s"CALL g.system.delete_branch(table => 'db.$t', name => 'exp')").collect()
+    }
+    // the branch-only fragment is now referenced by NO lineage →
+    // cleanup-eligible; data shared with main must survive the sweep
+    // (keepLast = 2 keeps v2+v3 — both tagged/current reads — while
+    // letting the sweep run; cleanup no-ops when nothing drops)
+    GraftTable.cleanupOldVersions(s, path, keepLast = 2, unverifiedGraceMillis = 0L)
+    val p0 = new org.apache.hadoop.fs.Path(path, branchOnly.head)
+    val fsys = p0.getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fsys.exists(p0), "branch-only fragment must be swept after delete_branch")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+    assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'prod'") == Set(1L, 2L))
+  }
+
   test("CREATE TABLE AS SELECT and CREATE OR REPLACE") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t USING graft AS SELECT id, id * 2 AS dbl FROM range(5)")

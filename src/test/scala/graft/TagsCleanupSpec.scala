@@ -22,9 +22,12 @@ class TagsCleanupSpec extends AnyFunSuite {
     assert(GraftTable.tags(spark, t) == Map("v1-release" -> 1L))
     assert(GraftTable.readTag(spark, t, "v1-release").count() == 3)
     assertThrows[IllegalArgumentException](GraftTable.tag(spark, t, "bad", 99L))
-    // update (re-tag) and delete (reference Tags.update / Tags.delete)
-    GraftTable.tag(spark, t, "v1-release", 2L)
+    // create over an existing name errors (reference Tags.create);
+    // updateTag retargets (reference Tags.update); delete (Tags.delete)
+    assertThrows[IllegalArgumentException](GraftTable.tag(spark, t, "v1-release", 2L))
+    GraftTable.updateTag(spark, t, "v1-release", 2L)
     assert(GraftTable.tags(spark, t) == Map("v1-release" -> 2L))
+    assertThrows[IllegalArgumentException](GraftTable.updateTag(spark, t, "ghost", 2L))
     GraftTable.deleteTag(spark, t, "v1-release")
     assert(GraftTable.tags(spark, t).isEmpty)
     assertThrows[IllegalArgumentException](GraftTable.deleteTag(spark, t, "nope"))
