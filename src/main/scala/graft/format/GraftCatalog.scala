@@ -250,6 +250,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.tags" => GraftProcedures.tagsList(pathOf)
       case "system.delete_tag" => GraftProcedures.deleteTag(pathOf)
       case "system.update_tag" => GraftProcedures.updateTag(pathOf)
+      case "system.analyze" => GraftProcedures.analyzeProc(pathOf)
       case "system.branches" => GraftProcedures.branchesList(pathOf)
       case "system.create_branch" => GraftProcedures.createBranch(pathOf)
       case "system.delete_branch" => GraftProcedures.deleteBranch(pathOf)
@@ -278,8 +279,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag",
-        "tags", "delete_tag", "update_tag", "branches", "create_branch",
-        "delete_branch", "restore", "optimize_scalar_index",
+        "tags", "delete_tag", "update_tag", "analyze", "branches",
+        "create_branch", "delete_branch", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search")
@@ -587,6 +588,27 @@ private[format] object GraftProcedures {
       val name = in.getUTF8String(1).toString
       GraftTable.deleteTag(spark, path, name)
       Seq(name)
+    }
+
+  /** `CALL g.system.analyze(table => 'db.t', predicate => 'id > 100',
+    * columns => 'id,v')` — reference `analyze_plan` (`dataset.py`; scan
+    * metrics `filtered_read.rs:208-230`): EXECUTES the scan and reports
+    * what it did — fragments total/scanned/pruned, rows and bytes behind
+    * the surviving fragments, DV rows masked, rows returned. The first
+    * question a user debugging a slow scan asks ("how many fragments did
+    * pruning actually skip?"), answerable from SQL. */
+  def analyzeProc(pathOf: String => String): UnboundProcedure =
+    procRows("analyze",
+      Array(p("table", DT.StringType), pd("predicate", DT.StringType, "''"),
+        pd("columns", DT.StringType, "''")),
+      StructType(Seq(StructField("metric", DT.StringType),
+        StructField("value", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val predicate = Option(in.getUTF8String(1).toString).filter(_.trim.nonEmpty)
+      val cols = in.getUTF8String(2).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      ScanAnalyze.analyze(spark, path, predicate, cols)
+        .map { case (k, v) => Seq(k, v) }
     }
 
   /** `CALL g.system.update_tag(table => 'db.t', name => 'prod', version => 7)`

@@ -46,11 +46,16 @@ class GraftFileIndex(
       dataFilters.forall(e => FragmentStats.mayMatch(f.stats, f.rows, e))
     }
     prunedTo = kept.length
+    lastKept = kept
     Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
   }
 
   /** observability: fragments surviving the last listFiles pruning */
   @volatile var prunedTo: Int = manifest.fragments.length
+
+  /** observability: WHICH fragments survived (metadata-sized; rows/bytes
+    * feed [[ScanAnalyze]] / `CALL g.system.analyze`) */
+  @volatile var lastKept: Seq[FragmentMeta] = manifest.fragments
 
   override def inputFiles: Array[String] =
     manifest.fragments.map(f => new Path(tablePath, f.path).toString).toArray

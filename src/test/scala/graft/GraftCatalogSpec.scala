@@ -388,6 +388,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t VERSION AS OF 'prod'") == Set(1L, 2L))
   }
 
+  test("system.analyze reports fragment pruning from an executed scan") {
+    val t = freshName()
+    val path = s"$warehouse/db/$t"
+    import s.implicits._
+    // 8 fragments with disjoint id ranges → zonemap-prunable
+    for (i <- 0 until 8)
+      GraftTable.write((i * 100L until (i + 1) * 100L).toDF("id")
+        .withColumn("v", org.apache.spark.sql.functions.col("id") * 2).coalesce(1),
+        path, if (i == 0) "overwrite" else "append")
+    GraftTable.delete(s, path, "id = 650")
+    val m = s.sql(
+      s"CALL g.system.analyze(table => 'db.$t', predicate => 'id >= 600', columns => 'id')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("fragments_total") == 8L)
+    assert(m("fragments_scanned") < m("fragments_total"),
+      s"zonemap pruning must skip fragments: $m")
+    assert(m("fragments_scanned") == 2L, s"ids >= 600 live in 2 of 8 fragments: $m")
+    assert(m("fragments_pruned") == 6L)
+    assert(m("rows_in_scanned_fragments") == 200L)
+    assert(m("bytes_in_scanned_fragments") > 0L)
+    assert(m("dv_rows_masked") == 1L)
+    assert(m("rows_returned") == 199L, s"200 candidates minus the deleted row: $m")
+    // unfiltered analyze scans everything
+    val all = s.sql(s"CALL g.system.analyze(table => 'db.$t')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all("fragments_scanned") == 8L && all("rows_returned") == 799L)
+  }
+
   test("CREATE TABLE AS SELECT and CREATE OR REPLACE") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t USING graft AS SELECT id, id * 2 AS dbl FROM range(5)")
