@@ -1368,10 +1368,14 @@ object GraftTable {
       .toDF("column", "type", "rows", "null_count", "min", "max")
   }
 
-  /** Lazy blob access (reference `take_blobs`, `blob.rs:42-168`): fetch ONLY
-    * the blob column (plus id) for the addressed rows — combines the take
-    * fragment pruning with column pruning so payload IO is bounded by the
-    * request, not the table. */
+  /** Blob access for INLINE binary columns (reference `take_blobs`,
+    * `blob.rs:42-168`): fetch ONLY the blob column (plus id) for the
+    * addressed rows — take's fragment pruning plus column pruning bounds
+    * payload IO by the request, not the table. Each addressed payload
+    * still materializes whole; for multi-GB payloads store the column
+    * through [[BlobStore.packBlobs]] and use [[BlobStore.takeBlobRefs]] +
+    * [[BlobStore.readRange]] — lazy descriptors with seek/read semantics
+    * (the reference's `BlobFile`). */
   def takeBlobs(spark: SparkSession, tablePath: String, addrs: Seq[Long],
                 blobCol: String): DataFrame =
     take(spark, tablePath, addrs).select(col(RowAddrCol), col(blobCol))
