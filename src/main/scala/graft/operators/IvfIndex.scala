@@ -453,7 +453,11 @@ object IvfIndex {
                                   query: Array[Float], k: Int, metric: String,
                                   prefilter: Option[Column],
                                   fastSearch: Boolean = false,
-                                  distanceRange: Option[(Double, Double)] = None)(
+                                  distanceRange: Option[(Double, Double)] = None,
+                                  /** override for the uncovered-fragment flat
+                                    * leg (binary/hamming family — its query
+                                    * is bytes, not floats) */
+                                  flatFn: Option[DataFrame => DataFrame] = None)(
       runIndexed: (DataFrame => DataFrame) => DataFrame): DataFrame = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
@@ -480,11 +484,12 @@ object IvfIndex {
     val indexed = runIndexed(transform).select(col(idCol), col(Knn.DistanceCol))
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (fastSearch || freshFrags.isEmpty) return indexed
-    val fresh = Knn.flatSearch(
-        GraftTable.readFragments(spark, tablePath, m, freshFrags,
-          withRowId = idCol == GraftTable.RowIdCol),
-        vecCol, query, k, metric, tieBreakers = Seq(col(idCol)),
-        prefilter = prefilter, distanceRange = distanceRange)
+    val freshDf = GraftTable.readFragments(spark, tablePath, m, freshFrags,
+      withRowId = idCol == GraftTable.RowIdCol)
+    val fresh = flatFn.map(f => f(freshDf)).getOrElse(
+        Knn.flatSearch(freshDf, vecCol, query, k, metric,
+          tieBreakers = Seq(col(idCol)),
+          prefilter = prefilter, distanceRange = distanceRange))
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

@@ -57,6 +57,24 @@ object Knn {
       .limit(k)
   }
 
+  /** Flat hamming search over PACKED BINARY vectors (reference Hamming as a
+    * first-class DistanceType, `rust/lance-index/src/vector.rs:124`,
+    * `rust/lance-linalg/src/distance/hamming.rs`): popcount(xor) distance
+    * via the codegen'd [[graft.functions.HammingDistance]], then the same
+    * TakeOrderedAndProject top-k as the float path. `_distance` is LONG
+    * (bit count), sorted with the same (distance, tieBreakers) rule. */
+  def flatSearchBinary(df: DataFrame, vecCol: String, query: Array[Byte], k: Int,
+                       tieBreakers: Seq[Column] = Nil,
+                       prefilter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val dist = ColumnBridge.column(graft.functions.HammingDistance(
+      ColumnBridge.expression(col(vecCol)), ColumnBridge.expression(lit(query))))
+    prefilter.map(df.filter).getOrElse(df)
+      .withColumn(DistanceCol, dist)
+      .orderBy(col(DistanceCol) +: tieBreakers: _*)
+      .limit(k)
+  }
+
   /** Multivector (late-interaction / XTR-style) search (reference
     * `MultivectorScoringExec`, `io/exec/knn.rs:1133`; `multivec_ann`
     * `scanner.rs:3471-3552`): per-query-vector top-(k·overfetch) candidate

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, IvfIndex, Knn}
+import graft.operators.{BinaryIvfIndex, Dedup, IvfIndex, Knn, PackSignBits}
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Vector search coverage (SURVEY §2.5): flat KNN over l2/cosine/dot and an
   * embedding-cosine near-duplicate self-join. Oracles use DuckDB's
@@ -216,6 +217,23 @@ object Vector {
       val idx = ivfIndexFor(s, d)
       IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Hamming-metric binary-vector ANN (reference DistanceType::Hamming,
+    // vector.rs:124, distance/hamming.rs): sign-bit-packed embeddings,
+    // k-majority IVF, FULL probe == flat hamming scan. The oracle computes
+    // the identical distance as the count of sign disagreements (packing
+    // pads with zero bits on both sides, so popcount(xor) is exactly that).
+    "q_ann_hamming" -> { (s, d) =>
+      val dir = freshDir(s, "ann_hamming")
+      val packed = Tables.embeddings(s, d)
+        .withColumn("bvec",
+          ColumnBridge.column(PackSignBits(ColumnBridge.expression(col("embedding")))))
+        .select(col("vec_id"), col("bvec"))
+      BinaryIvfIndex.build(packed, "vec_id", "bvec", dir, nlist = 8)
+      val q = packed.filter(col("vec_id") === 0L).head().getAs[Array[Byte]](1)
+      BinaryIvfIndex.search(s, dir, "vec_id", "bvec", q, k = 10, nprobes = 8)
+        .select(col("vec_id"), col(Knn.DistanceCol).as("dist"))
     },
 
     // IVF_HNSW: per-partition navigable-small-world sub-index — rows-only
@@ -536,6 +554,15 @@ object Vector {
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
         |FROM embeddings e, q
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_hamming" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(range(len(e.embedding)),
+        |    i -> CASE WHEN (e.embedding[i+1] >= 0) <> (q.qv[i+1] >= 0)
+        |         THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+        |FROM embeddings e, q
+        |ORDER BY dist, e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_ivfsq_exact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
