@@ -72,7 +72,8 @@ object Bench {
 
     // one-time index builds, timed as their own build_* entries — queries
     // that reuse the cached index then measure query cost only
-    val buildResults = (queries.Vector.builds ++ queries.FtsQueries.builds)
+    val buildResults = (queries.Vector.builds ++ queries.FtsQueries.builds ++
+        queries.Text.builds)
       .map { case (name, fn) =>
         val r = timed(name, () => fn(spark, sfDir)); lightClean(); r
       }
