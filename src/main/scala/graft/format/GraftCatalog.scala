@@ -722,6 +722,9 @@ private[format] object GraftProcedures {
             "create_index instead of retrain")
         val ip = s"$idxDir/$idxName"
         e.indexType match {
+          case "IVF_FLAT" if e.params.get("metric").contains("hamming") =>
+            graft.operators.BinaryIvfIndex.buildForTable(spark, path, idCol,
+              column, ip, pInt("nlist", 8))
           case "IVF_FLAT" =>
             graft.operators.IvfIndex.buildForTable(spark, path, idCol, column,
               ip, pInt("nlist", 8))
@@ -756,6 +759,9 @@ private[format] object GraftProcedures {
         case "BLOOMFILTER" => graft.index.BloomIndex.optimize(spark, path, column, idxDir)
         case "NGRAM" =>
           graft.index.ScalarIndex.optimizeNgram(spark, path, column, idxDir)
+        case "IVF_FLAT" if e.params.get("metric").contains("hamming") =>
+          graft.operators.BinaryIvfIndex.optimizeForTable(spark, path, idCol,
+            column, s"$idxDir/$idxName")
         case "IVF_FLAT" =>
           graft.operators.IvfIndex.optimizeForTable(spark, path, idCol, column,
             s"$idxDir/$idxName")
@@ -837,6 +843,12 @@ private[format] object GraftProcedures {
         case "NGRAM" =>
           graft.index.ScalarIndex.buildNgram(spark, path, column, idxDir)
           s"ngram_$column"
+        case "IVF_FLAT" if metric == "hamming" =>
+          // binary-vector family (reference DistanceType::Hamming): the
+          // column must hold packed binary vectors (e.g. PackSignBits)
+          graft.operators.BinaryIvfIndex.buildForTable(spark, path, idCol,
+            column, s"$idxDir/ivf_$column", nlist)
+          s"ivf_$column"
         case "IVF_FLAT" =>
           graft.operators.IvfIndex.buildForTable(spark, path, idCol, column,
             s"$idxDir/ivf_$column", nlist)
@@ -1143,6 +1155,13 @@ private[format] object GraftProcedures {
       import graft.operators._
       def run(np: Int): Seq[Seq[Any]] = {
         val res = e.indexType match {
+          case "IVF_FLAT" if IvfIndex.readVectorMeta(spark, idxPath) == "hamming" =>
+            // hamming family: the float query's SIGN BITS are the binary
+            // query (the packing the index column was built with)
+            require(range.isEmpty,
+              "distance_range is not supported for hamming indexes")
+            BinaryIvfIndex.searchCombined(spark, path, idxPath, idCol, column,
+              BinaryIvfIndex.packQuery(q), k, np, prefilter = prefilter)
           case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
             column, q, k, np, metric = IvfIndex.readVectorMeta(spark, idxPath),
             prefilter = prefilter, distanceRange = range)
@@ -1159,7 +1178,7 @@ private[format] object GraftProcedures {
             s"index $nm ($other) is not a vector index")
         }
         res.select(org.apache.spark.sql.functions.col(idCol),
-            org.apache.spark.sql.functions.col(Knn.DistanceCol))
+            org.apache.spark.sql.functions.col(Knn.DistanceCol).cast("double"))
           .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
       }
       // adaptive probe widening (reference Query minimum_nprobes /

@@ -35,6 +35,18 @@ object BinaryIvfIndex {
       centroids.indices.sortBy(i => (hamming(centroids(i), query), i))
   }
 
+  /** Driver-side sign-bit packing of a float query (the query face of
+    * [[PackSignBits]] — identical bit layout). */
+  def packQuery(q: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte]((q.length + 7) / 8)
+    var i = 0
+    while (i < q.length) {
+      if (q(i) >= 0.0f) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    out
+  }
+
   private[operators] def hamming(a: Array[Byte], b: Array[Byte]): Long = {
     var acc = 0L
     var i = 0
@@ -152,6 +164,20 @@ object BinaryIvfIndex {
       "IVF_FLAT", vecCol, m,
       Map("idCol" -> idCol, "nlist" -> nlist.toString, "metric" -> "hamming"))
     model
+  }
+
+  /** Incremental maintenance — the shared PID-partitioned policy
+    * ([[IvfIndex.maintainPartitionedVectors]]): REMAP compaction-moved rows
+    * (addresses only, assignments untouched), append-assign fresh
+    * fragments with the hamming centroids. Returns rows newly encoded. */
+  def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, indexPath: String): Long = {
+    val model = loadModel(spark, indexPath)
+    IvfIndex.maintainPartitionedVectors(spark, tablePath, idCol, vecCol,
+      indexPath, "IVF_FLAT",
+      df => df.withColumn(PidCol,
+        ColumnBridge.column(BinaryIvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids))),
+      extraMeta = Map("metric" -> "hamming"))
   }
 
   /** Snapshot-consistent combined search — [[IvfIndex.combined]] skeleton

@@ -271,15 +271,28 @@ object IvfIndex {
     * rows. Returns the number of newly indexed rows. */
   def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
                        vecCol: String, indexPath: String): Long = {
+    val model = loadModel(spark, indexPath)
+    maintainPartitionedVectors(spark, tablePath, idCol, vecCol, indexPath,
+      "IVF_FLAT", df => df.withColumn(PidCol,
+        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids))))
+  }
+
+  /** Incremental maintenance shared by every PID-partitioned vector layout
+    * ([[optimizeForTable]] here; [[BinaryIvfIndex.optimizeForTable]] with a
+    * hamming assignment): REMAP compaction-moved rows, append-assign fresh
+    * fragments, filtered-rewrite legacy datasets — identical policy, only
+    * the per-row centroid assignment differs. */
+  private[operators] def maintainPartitionedVectors(
+      spark: SparkSession, tablePath: String, idCol: String, vecCol: String,
+      indexPath: String, indexType: String,
+      assignPid: DataFrame => DataFrame,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val covered = coveredFragmentIds(spark, indexPath, m)
     val liveIds = m.fragments.map(_.id).toSet
     val staleIds = covered.diff(liveIds)
     val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
-    val model = loadModel(spark, indexPath)
-    val assignPid = (df: DataFrame) => df.withColumn(PidCol,
-      ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids)))
     // A legacy version-marker index (no coverage file) cannot NAME dead
     // fragments — coveredFragmentIds estimates coverage from the live
     // manifest, so staleIds is empty even after a compaction. Upgrading it
@@ -330,7 +343,7 @@ object IvfIndex {
       swapInDir(spark, s"$indexPath/vectors__fresh", s"$indexPath/vectors")
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol))
+      indexType, vecCol, m, Map("idCol" -> idCol) ++ extraMeta)
     newlyEncoded
   }
 

@@ -64,6 +64,36 @@ class BinaryIvfSpec extends AnyFunSuite {
     assert(out(2).toSeq == Seq(0xFF.toByte), "empty cluster keeps its centroid")
   }
 
+  test("optimizeForTable: append-assign fresh fragments, REMAP after compaction") {
+    val t = Files.createTempDirectory("graft_bivf_o_").toString + "/t"
+    val idx = Files.createTempDirectory("graft_bivf_oi_").toString
+    val vecs = vectors(200)
+    GraftTable.write(vecs, t, "overwrite")
+    BinaryIvfIndex.buildForTable(spark, t, "id", "bvec", idx, nlist = 4)
+    val q = vecs.filter(col("id") === 5L).head().getAs[Array[Byte]](1)
+    // append a twin under a new id; after optimize, even the INDEXED-ONLY
+    // path (fast_search) must see it — it was assigned into the dataset
+    GraftTable.write(vecs.filter(col("id") === 5L).withColumn("id", lit(8888L)),
+      t, "append")
+    assert(BinaryIvfIndex.optimizeForTable(spark, t, "id", "bvec", idx) == 1L)
+    val rf = BinaryIvfIndex.searchCombined(spark, t, idx, "id", "bvec", q,
+      k = 5, nprobes = 4, fastSearch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rf.contains((8888L, 0L)), rf.toString)
+    // delete + compact retires the covered fragment ids; optimize REMAPs
+    // addresses (assignments untouched) and the index serves exact again
+    GraftTable.delete(spark, t, "id = 5")
+    GraftTable.compact(spark, t)
+    BinaryIvfIndex.optimizeForTable(spark, t, "id", "bvec", idx)
+    val r = BinaryIvfIndex.searchCombined(spark, t, idx, "id", "bvec", q,
+      k = 5, nprobes = 4).collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val flat = Knn.flatSearchBinary(GraftTable.read(spark, t), "bvec", q, 5,
+      tieBreakers = Seq(col("id"))).select(col("id"), col(Knn.DistanceCol))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == flat, s"post-remap full-probe must equal flat:\n$r\n$flat")
+    assert(!r.exists(_._1 == 5L) && r.contains((8888L, 0L)), r.toString)
+  }
+
   test("combined: fresh appends included, deletes masked, fast_search indexed-only") {
     val t = Files.createTempDirectory("graft_bivf_t_").toString + "/t"
     val idx = Files.createTempDirectory("graft_bivf_i_").toString

@@ -416,6 +416,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(all("fragments_scanned") == 8L && all("rows_returned") == 799L)
   }
 
+  test("hamming index lifecycle through SQL: create_index, knn_search, optimize, retrain") {
+    val t = freshName()
+    val path = s"$warehouse/db/$t"
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import graft.operators.PackSignBits
+    val vecs = s.range(0, 300).toDF("id")
+      .withColumn("emb",
+        expr("transform(sequence(0, 63), j -> CAST(sin(id * 131 + j * 17) AS FLOAT))"))
+    val packed = vecs.withColumn("bvec",
+      ColumnBridge.column(PackSignBits(ColumnBridge.expression(col("emb")))))
+      .select(col("id"), col("bvec"))
+    GraftTable.write(packed, path, "overwrite")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'bvec', " +
+      "index_type => 'IVF_FLAT', metric => 'hamming', nlist => 4, id_col => 'id')")
+    val qSql = vecs.filter(col("id") === 5L).select(col("emb")).head()
+      .getSeq[Float](0).map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+    def knn(k: Int) = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      s"name => 'ivf_bvec', query => $qSql, k => $k, nprobes => 4)").collect()
+    val r = knn(3)
+    assert(r.head.getLong(0) == 5L && r.head.getDouble(1) == 0.0, r.mkString(","))
+    // append a twin, optimize incrementally, search again — indexed fresh
+    GraftTable.write(packed.filter(col("id") === 5L).withColumn("id", lit(7777L)),
+      path, "append")
+    s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'ivf_bvec')")
+    val r2 = knn(5).map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(r2.contains((7777L, 0.0)) && r2.contains((5L, 0.0)), r2.toString)
+    // retrain re-learns the k-majority centroids from current data
+    s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'ivf_bvec', retrain => true)")
+    val r3 = knn(5).map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(r3.contains((7777L, 0.0)) && r3.contains((5L, 0.0)), r3.toString)
+  }
+
   test("CREATE TABLE AS SELECT and CREATE OR REPLACE") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t USING graft AS SELECT id, id * 2 AS dbl FROM range(5)")
