@@ -32,23 +32,25 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // legacy ns drop: the flag must STAY set — execution re-reads it when
-        // materializing the ns column — so this is the one path that leaves it
-        df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-      case _ =>
-        // native TIMESTAMP: the flag was never needed — restore the session
-        // value so a table loader doesn't smuggle in a global config change
-        prior match {
-          case Some(v) => s.conf.set(key, v)
-          case None    => s.conf.unset(key)
-        }
-        df
+    def restore(): Unit = prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
     }
+    s.conf.set(key, "true")
+    // restore on EVERY path except legacy ns data (a failed load must not
+    // leave the session flag mutated either); the ns path is the one case
+    // where execution re-reads the flag while materializing the column
+    var keepFlag = false
+    try {
+      val df = load(s, d, "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          keepFlag = true
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        case _ => df // native TIMESTAMP: the flag was never needed
+      }
+    } finally if (!keepFlag) restore()
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

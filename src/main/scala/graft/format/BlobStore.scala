@@ -53,13 +53,22 @@ object BlobStore {
     val packed = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val dir = new Path(new Path(root), txn)
-        val file = new Path(dir, f"part-$pid%05d.bin")
+        // TASK-ATTEMPT-unique file name: a speculative or retried attempt
+        // writes its own sidecar instead of truncating one another attempt's
+        // descriptors may already reference (losers become orphans)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val relPath = f"$txn/part-$pid%05d-a$attempt.bin"
+        val file = new Path(new Path(root), relPath)
         val f = file.getFileSystem(serConf.value)
         val out = f.create(file, true)
+        // close on task completion, drained or not — an early-terminated
+        // consumer (limit/take) must not leak the handle or lose buffered
+        // tail bytes behind committed-looking descriptors
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => out.close()))
         var offset = 0L
-        val relPath = f"$txn/part-$pid%05d.bin"
-        val it = rows.map { r =>
+        rows.map { r =>
           val payload = r.get(bi)
           val desc: Any =
             if (payload == null) null
@@ -72,19 +81,14 @@ object BlobStore {
             }
           Row.fromSeq(r.toSeq.updated(bi, desc))
         }
-        // drain through a buffered wrapper that closes the stream after the
-        // last row (mapPartitions iterators are lazy — closing early would
-        // truncate)
-        new Iterator[Row] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) out.close()
-            h
-          }
-          override def next(): Row = it.next()
-        }
       }
     }
+    // materialize EXACTLY ONCE and truncate lineage: a later action on the
+    // returned frame must never re-run the side-effecting write (a recompute
+    // could reorder rows behind already-persisted descriptors); with
+    // localCheckpoint, lost blocks fail loudly instead of recomputing
+    packed.localCheckpoint()
+    packed.count()
     spark.createDataFrame(packed, outSchema)
   }
 
@@ -94,6 +98,8 @@ object BlobStore {
   def takeBlobRefs(spark: SparkSession, tablePath: String, addrs: Seq[Long],
                    blobCol: String): Seq[BlobRef] =
     GraftTable.take(spark, tablePath, addrs)
+      // null payloads carry null descriptors — there is no blob to hand out
+      .filter(col(blobCol).isNotNull)
       .select(col(GraftTable.RowAddrCol), col(s"$blobCol.file"),
         col(s"$blobCol.offset"), col(s"$blobCol.length"))
       .collect()

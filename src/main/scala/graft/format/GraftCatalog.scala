@@ -1153,9 +1153,13 @@ private[format] object GraftProcedures {
         throw new IllegalArgumentException(s"index $nm records no idCol"))
       val idxPath = s"$path/_indices/${e.name}"
       import graft.operators._
+      // read once — run() may execute twice under adaptive probe widening
+      lazy val flatMetric =
+        if (e.indexType == "IVF_FLAT") IvfIndex.readVectorMeta(spark, idxPath)
+        else "l2"
       def run(np: Int): Seq[Seq[Any]] = {
         val res = e.indexType match {
-          case "IVF_FLAT" if IvfIndex.readVectorMeta(spark, idxPath) == "hamming" =>
+          case "IVF_FLAT" if flatMetric == "hamming" =>
             // hamming family: the float query's SIGN BITS are the binary
             // query (the packing the index column was built with)
             require(range.isEmpty,
@@ -1163,7 +1167,7 @@ private[format] object GraftProcedures {
             BinaryIvfIndex.searchCombined(spark, path, idxPath, idCol, column,
               BinaryIvfIndex.packQuery(q), k, np, prefilter = prefilter)
           case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, metric = IvfIndex.readVectorMeta(spark, idxPath),
+            column, q, k, np, metric = flatMetric,
             prefilter = prefilter, distanceRange = range)
           case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
             column, q, k, np, prefilter = prefilter, distanceRange = range)

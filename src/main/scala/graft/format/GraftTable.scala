@@ -1438,7 +1438,13 @@ object GraftTable {
       if (m.operation == "delete") delDvs ++= added else rewDvs ++= added
       prev = m
     }
-    val del = delDvs.result(); val rew = rewDvs.result()
+    // only DVs STILL PRESENT in base mask rows: a concurrent restore may
+    // have rolled an intermediate delete back — composing against its
+    // removed DV would rewrite our staged DV to skip rows that are live
+    // again (a silently lost delete)
+    val baseDvs = base.dvFiles.toSet
+    val del = delDvs.result().filter(baseDvs)
+    val rew = rewDvs.result().filter(baseDvs)
     if (del.isEmpty && rew.isEmpty) return stagedN
     // re-read per attempt: an earlier commit-race retry may have already
     // rewritten the staged file to a remainder smaller than stagedN

@@ -44,12 +44,14 @@ object ScanAnalyze {
               .location.isInstanceOf[GraftFileIndex] =>
         lr.relation.asInstanceOf[HadoopFsRelation]
           .location.asInstanceOf[GraftFileIndex]
-    }.getOrElse(throw new IllegalStateException(
-      s"no graft scan in the plan for $tablePath"))
+    }
+    // a constant-false predicate folds the scan away entirely (PruneFilters
+    // → empty LocalRelation): the perfect prune — report zero scanned, not
+    // an error from the debugging tool itself.
     // execute THIS QueryExecution (not a derived count() plan) so the
     // pruning observability read below belongs to the plan that ran
     val rowsReturned = qe.toRdd.count()
-    val kept = idx.lastKept
+    val kept = idx.map(_.lastKept).getOrElse(Seq.empty)
     Seq(
       "fragments_total" -> m.fragments.length.toLong,
       "fragments_scanned" -> kept.length.toLong,

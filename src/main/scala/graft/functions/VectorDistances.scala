@@ -164,15 +164,8 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two binary arguments")
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[Array[Byte]]; val b = r.asInstanceOf[Array[Byte]]
-    var acc = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
-    // length mismatch: extra bytes count fully (same as reference padding)
-    acc + (math.max(a.length, b.length) - n) * 8L
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HammingDistance.compute(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
@@ -187,6 +180,20 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object HammingDistance {
+  /** THE hamming definition — eval, codegen, and every driver-side use
+    * (k-majority training, centroid ranking) share it so padding semantics
+    * can never diverge. Length mismatch: extra bytes count fully (same as
+    * reference padding). */
+  def compute(a: Array[Byte], b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
+    acc + (math.max(a.length, b.length) - n) * 8L
+  }
 }
 
 /** Column-API + SQL registration for the vector kernels. */

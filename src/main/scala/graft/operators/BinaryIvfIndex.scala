@@ -47,13 +47,9 @@ object BinaryIvfIndex {
     out
   }
 
-  private[operators] def hamming(a: Array[Byte], b: Array[Byte]): Long = {
-    var acc = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
-    acc + (math.max(a.length, b.length) - n) * 8L
-  }
+  /** Shared with the codegen'd expression — one hamming definition. */
+  private[operators] def hamming(a: Array[Byte], b: Array[Byte]): Long =
+    graft.functions.HammingDistance.compute(a, b)
 
   /** Deterministic bounded-sample training (same hash-prefix sample as
     * [[IvfIndex.train]]), k-majority rounds locally. */

@@ -161,6 +161,28 @@ class ConcurrentDvSpec extends AnyFunSuite {
       "num_deleted_rows" -> 0L))
   }
 
+  test("delete racing a concurrent delete+restore keeps its full DV (no lost delete)") {
+    val t = fresh(); seed(t)
+    val v0 = GraftTable.loadManifest(spark, t).version
+    val err = race("delete") {
+      GraftTable.delete(spark, t, "id < 10")
+    } {
+      // concurrent delete of the same rows, then restore rolls it back —
+      // the rows are LIVE again at the staged delete's commit base, so its
+      // DV must NOT be rewritten against the restored-away DV
+      GraftTable.delete(spark, t, "id < 10")
+      GraftTable.restore(spark, t, v0)
+    }
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.numDeleted == 10L, s"the staged delete must land in full: $m")
+    assert(m.opStats == Map("num_deleted_rows" -> 10L))
+    assert(GraftTable.countRows(spark, t) == 90L)
+    assert(GraftTable.read(spark, t).filter(col("id") < 10).count() == 0L,
+      "ids < 10 must be deleted — composing against a restored-away DV lost the delete")
+    assert(GraftTable.validate(spark, t).isEmpty)
+  }
+
   test("merge retry_timeout bounds sustained conflict retries by wall-clock") {
     val t = fresh(); seed(t)
     val src = spark.range(0, 50).toDF("id").withColumn("v", lit(-5L))

@@ -414,6 +414,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     val all = s.sql(s"CALL g.system.analyze(table => 'db.$t')")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(all("fragments_scanned") == 8L && all("rows_returned") == 799L)
+    // constant-false predicate: the optimizer folds the scan away entirely
+    // (the perfect prune) — report zeros, never error from a debug tool
+    val nil = s.sql(s"CALL g.system.analyze(table => 'db.$t', predicate => '1 = 0')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nil("fragments_scanned") == 0L && nil("rows_returned") == 0L, nil.toString)
   }
 
   test("hamming index lifecycle through SQL: create_index, knn_search, optimize, retrain") {
