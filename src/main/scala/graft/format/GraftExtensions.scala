@@ -748,19 +748,26 @@ class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       sameNamed &&
         assigns.map(_.key.asInstanceOf[AttributeReference].name.toLowerCase).toSet == allCols
     }
-    // matched-update conditions must reference only TARGET columns: at run
-    // time the condition filters the classified join where source columns
-    // carry the `__s_` prefix, so a source reference would mis-resolve
-    def targetOnlyCond(cond: Option[Expression]): Option[String] = cond.map { c =>
-      if (!c.references.subsetOf(targetIds)) throw new UnsupportedOperationException(
-        "graft MERGE: WHEN MATCHED AND <cond> may reference target columns only; got: " + c.sql)
-      exprSql(c)
+    // matched-update conditions may reference BOTH sides (reference
+    // `when_matched_update_all(condition)` — e.g. `source.last_update >
+    // target.last_update`): at run time the condition filters the
+    // classified join where source columns carry the `__s_` prefix, so
+    // source attribute references rewrite to their prefixed names here
+    // (precise, attribute-identity-based — no textual ambiguity)
+    def condSql(cond: Option[Expression]): Option[String] = cond.map { c =>
+      if (!c.references.subsetOf(targetIds ++ sourceIds))
+        throw new UnsupportedOperationException(
+          "graft MERGE: WHEN MATCHED AND <cond> may reference only target/source columns; got: " + c.sql)
+      exprSql(c.transform {
+        case a: AttributeReference if sourceIds.contains(a) =>
+          a.withName(s"__s_${a.name}")
+      })
     }
     val (updateAll, matchedCond) = m.matchedActions match {
       case Seq() => (false, None)
-      case Seq(UpdateStarAction(cond)) => (true, targetOnlyCond(cond))
+      case Seq(UpdateStarAction(cond)) => (true, condSql(cond))
       case Seq(u: UpdateAction) if starAssignments(u.assignments) =>
-        (true, targetOnlyCond(u.condition))
+        (true, condSql(u.condition))
       case other => throw new UnsupportedOperationException(
         "graft MERGE supports WHEN MATCHED [AND cond] THEN UPDATE SET *; got: " + other)
     }

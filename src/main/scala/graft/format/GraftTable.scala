@@ -1591,6 +1591,15 @@ object GraftTable {
     } finally matches.unpersist()
   }
 
+  /** Merge conditions may qualify columns with `source.` / `target.`
+    * (reference `when_matched_update_all(condition)` docs — e.g.
+    * `source.last_update > target.last_update`): in the classified join,
+    * source columns carry the `__s_` prefix and target columns are plain,
+    * so the qualifiers rewrite textually. Unqualified names resolve to the
+    * TARGET side (it owns the plain names). */
+  private def rewriteMergeCond(cond: String): String =
+    cond.replaceAll("\\btarget\\.", "").replaceAll("\\bsource\\.(\\w+)", "__s_$1")
+
   /** Source keys inlined as a pushed-down IN literal when at most this many
     * distinct values — the row-group-stat-pruned fast path of the btree
     * postings scan (same mechanism as [[graft.index.ScalarIndex.lookupBtree]]). */
@@ -1752,12 +1761,14 @@ object GraftTable {
           "merge_insert: a target row matches multiple source rows")
       }
 
-      val matchedCondCol = matchedCondition.map(expr).getOrElse(lit(true))
+      val matchedCondCol = matchedCondition.map(c => expr(rewriteMergeCond(c)))
+        .getOrElse(lit(true))
       val updates = if (whenMatchedUpdateAll)
         joined.filter(isMatched && matchedCondCol) else joined.limit(0)
       val inserts = if (whenNotMatchedInsertAll)
         joined.filter(col(RowAddrCol).isNull && col("__s_exists").isNotNull) else joined.limit(0)
-      val delCondCol = deleteCondition.map(expr).getOrElse(lit(true))
+      val delCondCol = deleteCondition.map(c => expr(rewriteMergeCond(c)))
+        .getOrElse(lit(true))
       val deletes = if (whenNotMatchedBySourceDelete)
         joined.filter(col(RowAddrCol).isNotNull && col("__s_exists").isNull && delCondCol)
       else joined.limit(0)

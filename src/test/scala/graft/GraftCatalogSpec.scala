@@ -211,14 +211,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     val got = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(got == Seq(1L -> "a", 2L -> "B", 3L -> "c"))
-    // conditions referencing SOURCE columns are rejected, not mis-resolved
-    val e = intercept[Exception] {
-      s.sql(
-        s"""MERGE INTO g.db.$t AS tg USING src_cond AS sr ON tg.id = sr.id
-           |WHEN MATCHED AND sr.v = 'A' THEN UPDATE SET *
-           |""".stripMargin)
-    }
-    assert(e.getMessage.contains("target columns only"), e.getMessage)
+    // conditions may reference SOURCE columns (reference
+    // when_matched_update_all(condition) — source attrs rewrite to the
+    // classified join's prefixed names, never mis-resolve)
+    s.sql(
+      s"""MERGE INTO g.db.$t AS tg USING src_cond AS sr ON tg.id = sr.id
+         |WHEN MATCHED AND sr.v = 'A' THEN UPDATE SET *
+         |""".stripMargin)
+    val got2 = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got2 == Seq(1L -> "A", 2L -> "B", 3L -> "c"), got2.toString)
+    // cross-side comparison — the canonical newer-wins upsert condition
+    Seq((1L, "zz"), (2L, "AA")).toDF("id", "v").createOrReplaceTempView("src_cmp")
+    s.sql(
+      s"""MERGE INTO g.db.$t AS tg USING src_cmp AS sr ON tg.id = sr.id
+         |WHEN MATCHED AND sr.v > tg.v THEN UPDATE SET *
+         |""".stripMargin)
+    val got3 = s.sql(s"SELECT id, v FROM g.db.$t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got3 == Seq(1L -> "zz", 2L -> "B", 3L -> "c"), got3.toString)
   }
 
   test("MERGE INTO: partial same-named UPDATE SET is rejected, not silently star") {

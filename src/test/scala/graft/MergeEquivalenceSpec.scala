@@ -121,4 +121,22 @@ class MergeEquivalenceSpec extends AnyFunSuite {
       assert(m.opStats("num_deleted_rows") == expDel.toLong, ctx)
     }
   }
+
+  test("matched condition comparing source and target (newer-wins upsert)") {
+    val t = fresh()
+    GraftTable.write(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      t, "overwrite")
+    val src = Seq((1L, 99L), (2L, 5L), (9L, 1L)).toDF("id", "v")
+    // reference when_matched_update_all("source.v > target.v"): only rows
+    // whose source value is newer update; failing matched rows stay put
+    // (they never become inserts or deletes)
+    val m = GraftTable.mergeInsert(spark, t, src, Seq("id"),
+      matchedCondition = Some("source.v > target.v"))
+    val got = GraftTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 99L, 2L -> 20L, 3L -> 30L, 9L -> 1L), got.toString)
+    assert(m.opStats("num_updated_rows") == 1L)
+    assert(m.opStats("num_inserted_rows") == 1L)
+    assert(m.opStats("num_deleted_rows") == 0L)
+  }
 }
