@@ -1708,6 +1708,38 @@ object GraftTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** A staged-but-uncommitted merge (reference `execute_uncommitted`,
+    * Python `dataset.py:113-135`): fragments and the deletion vector are on
+    * disk under the table's staging dirs, but NOTHING is visible to readers
+    * until [[commitMerge]] lands it — the distributed-pipeline shape where
+    * workers stage expensive merge work and a coordinator commits. `stats`
+    * carries the row-class counts when staged via
+    * [[mergeInsertUncommitted]] (the reference returns the same dict). */
+  case class StagedMerge private[format] (
+      m0: GraftManifest, carry: Boolean,
+      stagedUpd: Seq[Path], stagedIns: Seq[Path],
+      dvOpt: Option[(String, Long)], nUpdLegacy: Long,
+      idxStats: Map[String, Long], stats: Map[String, Long])
+
+  /** Stage a merge without committing (reference
+    * `MergeInsertBuilder.execute_uncommitted`): returns the staged
+    * transaction, whose `stats` report num_updated/inserted/deleted rows.
+    * Commit it with [[commitMerge]]; a commit over a snapshot that
+    * conflicts with concurrent DML aborts like any merge commit (the
+    * caller re-stages — there is no hidden re-read inside commit). */
+  def mergeInsertUncommitted(spark: SparkSession, tablePath: String, source: DataFrame,
+                  on: Seq[String],
+                  whenMatchedUpdateAll: Boolean = true,
+                  matchedCondition: Option[String] = None,
+                  whenNotMatchedInsertAll: Boolean = true,
+                  whenNotMatchedBySourceDelete: Boolean = false,
+                  deleteCondition: Option[String] = None,
+                  useIndex: Boolean = true,
+                  whenMatchedFail: Boolean = false): StagedMerge =
+    stageMerge(spark, tablePath, source, on, whenMatchedUpdateAll,
+      matchedCondition, whenNotMatchedInsertAll, whenNotMatchedBySourceDelete,
+      deleteCondition, useIndex, whenMatchedFail, withStats = true)
+
   private def mergeInsertOnce(spark: SparkSession, tablePath: String, source: DataFrame,
                   on: Seq[String],
                   whenMatchedUpdateAll: Boolean,
@@ -1716,7 +1748,22 @@ object GraftTable {
                   whenNotMatchedBySourceDelete: Boolean,
                   deleteCondition: Option[String],
                   useIndex: Boolean,
-                  whenMatchedFail: Boolean): GraftManifest = {
+                  whenMatchedFail: Boolean): GraftManifest =
+    commitMerge(spark, tablePath,
+      stageMerge(spark, tablePath, source, on, whenMatchedUpdateAll,
+        matchedCondition, whenNotMatchedInsertAll, whenNotMatchedBySourceDelete,
+        deleteCondition, useIndex, whenMatchedFail, withStats = false))
+
+  private def stageMerge(spark: SparkSession, tablePath: String, source: DataFrame,
+                  on: Seq[String],
+                  whenMatchedUpdateAll: Boolean,
+                  matchedCondition: Option[String],
+                  whenNotMatchedInsertAll: Boolean,
+                  whenNotMatchedBySourceDelete: Boolean,
+                  deleteCondition: Option[String],
+                  useIndex: Boolean,
+                  whenMatchedFail: Boolean,
+                  withStats: Boolean): StagedMerge = {
     val m0 = loadManifest(spark, tablePath)
     val carry = m0.hasRowIds && m0.fragments.nonEmpty
     val cols = m0.schema.fieldNames.toSeq
@@ -1793,32 +1840,54 @@ object GraftTable {
       // mode reads both counts off staged fragment metadata for free.
       val nUpdLegacy =
         if (!carry && whenMatchedUpdateAll) updates.count() else 0L
-      DmlTestHooks.beforeCommit("merge_insert")
-      commitLoop(spark, tablePath, {
-        case Some(base) =>
-          guardStagedBase("merge_insert", m0, base)
-          resolveDvConflicts(spark, tablePath, "merge_insert", m0, base,
-            dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
-          val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
-            base.version + 1, storedRowIds = carry)
-          val (fragsI, pathsI) = assignIds(spark, stagedIns,
-            base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId)
-          stagedUpd = pathsU; stagedIns = pathsI
-          val dvN = dvOpt.map(_._2).getOrElse(0L)
-          val nUpd = if (carry) fragsU.map(_.rows).sum else nUpdLegacy
-          val nIns = fragsI.map(_.rows).sum - (if (carry) 0L else nUpdLegacy)
-          base.copy(version = base.version + 1, operation = "merge_insert",
-            fragments = base.fragments ++ fragsU ++ fragsI,
-            dvFiles = base.dvFiles ++ dvOpt.map(_._1),
-            numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
-            parent = base.version,
-            nextRowId = base.nextRowId + fragsI.map(_.rows).sum,
-            opStats = Map("num_updated_rows" -> nUpd,
-              "num_inserted_rows" -> nIns,
-              "num_deleted_rows" -> (dvN - nUpd)) ++ idxStats)
-        case None => throw new IllegalArgumentException(s"no table at $tablePath")
-      })
+      val stats: Map[String, Long] =
+        if (!withStats) Map.empty
+        else {
+          val nUpd = updates.count()
+          Map("num_updated_rows" -> nUpd,
+            "num_inserted_rows" -> inserts.count(),
+            "num_deleted_rows" -> (dvOpt.map(_._2).getOrElse(0L) - nUpd))
+        }
+      StagedMerge(m0, carry, stagedUpd, stagedIns, dvOpt, nUpdLegacy,
+        idxStats, stats)
     } finally joined.unpersist()
+  }
+
+  /** Commit a [[StagedMerge]] (reference `LanceDataset.commit` over an
+    * `execute_uncommitted` transaction): the standard merge commit path —
+    * staged-base guard, DV-level conflict resolution, fragment-id
+    * assignment — with no hidden target re-read. */
+  def commitMerge(spark: SparkSession, tablePath: String,
+                  st: StagedMerge): GraftManifest = {
+    var stagedUpd = st.stagedUpd
+    var stagedIns = st.stagedIns
+    val dvOpt = st.dvOpt
+    val carry = st.carry
+    DmlTestHooks.beforeCommit("merge_insert")
+    commitLoop(spark, tablePath, {
+      case Some(base) =>
+        guardStagedBase("merge_insert", st.m0, base)
+        resolveDvConflicts(spark, tablePath, "merge_insert", st.m0, base,
+          dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
+        val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
+          base.version + 1, storedRowIds = carry)
+        val (fragsI, pathsI) = assignIds(spark, stagedIns,
+          base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId)
+        stagedUpd = pathsU; stagedIns = pathsI
+        val dvN = dvOpt.map(_._2).getOrElse(0L)
+        val nUpd = if (carry) fragsU.map(_.rows).sum else st.nUpdLegacy
+        val nIns = fragsI.map(_.rows).sum - (if (carry) 0L else st.nUpdLegacy)
+        base.copy(version = base.version + 1, operation = "merge_insert",
+          fragments = base.fragments ++ fragsU ++ fragsI,
+          dvFiles = base.dvFiles ++ dvOpt.map(_._1),
+          numDeleted = base.numDeleted + dvOpt.map(_._2).getOrElse(0L),
+          parent = base.version,
+          nextRowId = base.nextRowId + fragsI.map(_.rows).sum,
+          opStats = Map("num_updated_rows" -> nUpd,
+            "num_inserted_rows" -> nIns,
+            "num_deleted_rows" -> (dvN - nUpd)) ++ st.idxStats)
+      case None => throw new IllegalArgumentException(s"no table at $tablePath")
+    })
   }
 
   /** Partial compaction (reference `compact_files`, `optimize.rs:120-146`):
