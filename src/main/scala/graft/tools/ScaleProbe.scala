@@ -228,6 +228,69 @@ object ScaleProbe {
       }
     }
 
+    // ---- shard packing (r10): hierarchical prefix sum — EVERY window
+    // partitioned (require'd on the optimized plan inside packShards), so
+    // cost must be ~linear with no single-partition stage. The r9
+    // formulation funneled every bucket aggregate through ONE task. ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      time("pack_shards", f) {
+        TA.packShards(spark.read.parquet(p)
+            .withColumn("did", monotonically_increasing_id()),
+          "did", "text", 10000L)
+          .agg(countDistinct(col("shard"))).collect().head.getLong(0)
+      }
+    }
+
+    // ---- hamming binary-vector family (r10): sign-bit-packed embeddings.
+    // Search must stay probe-pruned (α≈0) like the float family; build is
+    // the linear assign+write pass over 32×-smaller vectors. ----
+    for (f <- docFactors) {
+      val p = embs(f)
+      val idx = s"$outDir/bivf_x$f"
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      val packed = spark.read.parquet(p).withColumn("bvec",
+          ColumnBridge.column(graft.operators.PackSignBits(
+            ColumnBridge.expression(col("embedding")))))
+        .select(col("vec_id"), col("bvec"))
+      time("hamming_build", f) {
+        graft.operators.BinaryIvfIndex.build(packed, "vec_id", "bvec", idx, nlist = 64)
+        spark.read.parquet(s"$idx/vectors").count()
+      }
+      val q = graft.operators.BinaryIvfIndex.packQuery(
+        Array.tabulate(64)(i => (math.sin(i * 0.37) * 0.5).toFloat))
+      time("hamming_search", f) {
+        graft.operators.BinaryIvfIndex.search(spark, idx, "vec_id", "bvec",
+          q, 10, nprobes = 8).collect().length.toLong
+      }
+    }
+
+    // ---- lazy blob slice (r10): resolving ONE handle and reading a 4 KB
+    // range must stay flat while the blob corpus grows ×64 — descriptors
+    // travel through the scan, payload IO is the requested span only ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      val tbl = s"$outDir/blob_x$f"
+      ensure(tbl) {
+        val df = spark.read.parquet(p)
+          .withColumn("did", monotonically_increasing_id())
+          .withColumn("payload", expr("cast(repeat(text, 4) as binary)"))
+          .select(col("did"), col("payload"))
+        graft.format.GraftTable.write(
+          graft.format.BlobStore.packBlobs(df, tbl, "payload"), tbl, "overwrite")
+      }
+      time("blob_slice", f) {
+        val addr = graft.format.GraftTable.read(spark, tbl, withRowAddr = true)
+          .filter(col("did") === 42L)
+          .select(col(graft.format.GraftTable.RowAddrCol))
+          .head().getLong(0)
+        val ref = graft.format.BlobStore
+          .takeBlobRefs(spark, tbl, Seq(addr), "payload").head
+        graft.format.BlobStore.readRange(spark, tbl, ref, 0L,
+          math.min(4096L, ref.length).toInt).length.toLong
+      }
+    }
+
     // ---- graft-format write path + format scan overhead ----
     for (f <- docFactors) {
       val p = docsPlain(f)
