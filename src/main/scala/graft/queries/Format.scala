@@ -239,6 +239,56 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // Lazy blob handles e2e (reference take_blobs + BlobFile, blob.rs:42-168):
+    // documents' text packed into descriptor sidecars; resolve handles for 4
+    // docs WITHOUT touching payload bytes, then seek+read ONLY the first 64
+    // bytes of each — digests must match the oracle's substr exactly.
+    "q_blob_slice" -> { (s, d) =>
+      import graft.format.BlobStore
+      val t = freshDir(s, "blob_slice")
+      val docs = Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), col("payload"))
+      GraftTable.write(BlobStore.packBlobs(docs, t, "payload"), t, "overwrite")
+      val ids = Seq(5L, 100L, 250L, 400L)
+      // byte-slice == char-substr only for single-byte text: require it so a
+      // testdata regeneration fails loudly instead of silently hash-drifting
+      val multibyte = Tables.documents(s, d).filter(col("doc_id").isin(ids: _*))
+        .filter(length(col("text")) =!= octet_length(col("text"))).count()
+      require(multibyte == 0, "q_blob_slice: selected docs must be single-byte text")
+      val addrByDoc = GraftTable.read(s, t, withRowAddr = true)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), col(GraftTable.RowAddrCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val slices = ids.map { doc =>
+        val ref = BlobStore.takeBlobRefs(s, t, Seq(addrByDoc(doc)), "payload").head
+        val n = math.min(64L, ref.length).toInt
+        (doc, BlobStore.readRange(s, t, ref, 0L, n))
+      }
+      import s.implicits._
+      slices.toDF("doc_id", "slice")
+        .select(col("doc_id"), length(col("slice")).as("n_bytes"),
+          md5(col("slice")).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Scan observability e2e (reference analyze_plan / filtered_read
+    // metrics): the analyze surface must measure REAL pruning — require'd
+    // in-gate — and the query result itself stays oracle-exact.
+    "q_scan_metrics" -> { (s, d) =>
+      val t = freshDir(s, "scan_metrics")
+      GraftTable.write(Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), t, "overwrite")
+      val m = graft.format.ScanAnalyze.analyze(s, t,
+        Some("o_orderkey BETWEEN 1000 AND 2000")).toMap
+      require(m("fragments_total") == 8L, s"q_scan_metrics: expected 8 fragments, got $m")
+      require(m("fragments_scanned") < m("fragments_total"),
+        s"q_scan_metrics: zonemap pruning must skip fragments: $m")
+      require(m("rows_returned") > 0L, s"q_scan_metrics: empty scan: $m")
+      GraftTable.read(s, t)
+        .filter(col("o_orderkey").between(1000, 2000))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
     // layout clustering (GraftTable.cluster): a deliberately scattered
     // write, range-clustered on (lang, n_chars) so fragment zonemaps become
     // selective; the scan result must equal the plain-parquet oracle —
@@ -800,6 +850,13 @@ object Format {
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS digest
         |FROM documents WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
     "q_format_zonemap" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "q_blob_slice" ->
+      """SELECT doc_id, CAST(least(64, strlen(text)) AS INT) AS n_bytes,
+        |  md5(substr(text, 1, 64)) AS digest
+        |FROM documents WHERE doc_id IN (5, 100, 250, 400) ORDER BY doc_id""".stripMargin,
+    "q_scan_metrics" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "q_cluster_layout" ->
