@@ -44,21 +44,30 @@ object TextAnalysis {
     * in the most common n-gram" family, computed over occurrence counts):
     * occurrences of the most frequent word bigram ÷ total bigrams.
     * Returns (idCol, dup_word_frac, top_bigram_frac) for every document
-    * with ≥2 tokens. Shape: explode → two keyed aggregations with
-    * map-side partial combine — one shuffle keyed by (doc, bigram), one by
-    * doc; never corpus-quadratic. */
+    * with ≥2 tokens.
+    *
+    * Shape: ZERO shuffles — the statistic is per-document, so it computes
+    * inside the scan stage: sort the doc's bigram array (equal bigrams
+    * become adjacent) and take the longest run with one `aggregate` fold.
+    * O(d log d) per document, entirely codegen. The previous formulation
+    * exploded every bigram through two keyed shuffles — corpus-token-sized
+    * network traffic for a row-local statistic. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = df
-      .select(col(idCol), explode(shingles(toks, 2)).as("bg"),
-        dupWordFraction(toks).as("dup_word_frac"))
-    bigrams
-      .groupBy(col(idCol), col("dup_word_frac"), col("bg")).count()
-      .groupBy(col(idCol), col("dup_word_frac"))
-      .agg((max(col("count")).cast("double") / sum(col("count")).cast("double"))
-        .as("top_bigram_frac"))
-      .select(col(idCol), round(col("dup_word_frac"), 4).as("dup_word_frac"),
-        round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+    val bg = array_sort(shingles(toks, 2))
+    val init = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val topCount = aggregate(bg, init,
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1).otherwise(1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    df.filter(size(toks) >= 2)
+      .select(col(idCol),
+        round(dupWordFraction(toks), 4).as("dup_word_frac"),
+        round(topCount.cast("double") / size(bg).cast("double"), 4)
+          .as("top_bigram_frac"))
   }
 
   /** Deterministic weighted corpus mixing — the training-mix construction
