@@ -74,18 +74,24 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private val JoinKey = "__graft_mask_addr"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond,
-        lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
-        if !gfi.maskApplied =>
-      findBtree(cond, gfi).orElse(findLabelList(cond, gfi))
-        .orElse(findJson(cond, gfi)).orElse(findNgram(cond, gfi)) match {
-        case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
-        case None => findBloom(cond, gfi) match {
-          case Some(keepFrags) => rewriteFragmentPrune(f, lr, gfi, keepFrags)
-          case None => f
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // reference ScannerBuilder.use_scalar_index(false): the corner-case
+    // escape hatch when an index rewrite would hurt a particular query
+    if (session.conf.get("graft.scan.use_scalar_index", "true") == "false")
+      return plan
+    plan.transformUp {
+      case f @ Filter(cond,
+          lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
+          if !gfi.maskApplied =>
+        findBtree(cond, gfi).orElse(findLabelList(cond, gfi))
+          .orElse(findJson(cond, gfi)).orElse(findNgram(cond, gfi)) match {
+          case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
+          case None => findBloom(cond, gfi) match {
+            case Some(keepFrags) => rewriteFragmentPrune(f, lr, gfi, keepFrags)
+            case None => f
+          }
         }
-      }
+    }
   }
 
   /** Equality/IN conjunct on a column with a usable BLOOMFILTER index

@@ -42,9 +42,14 @@ class GraftFileIndex(
     // zonemap pruning: drop fragments whose min/max/nullCount stats prove the
     // pushed predicates can't match (reference ZONEMAP semantics; the
     // manifest is the zone map, so this is zero extra IO).
-    val kept = manifest.fragments.filter { f =>
-      dataFilters.forall(e => FragmentStats.mayMatch(f.stats, f.rows, e))
-    }
+    // `graft.scan.use_stats=false` (reference ScannerBuilder.use_stats) turns
+    // it off — the debugging/benchmarking knob for isolating pruning effects.
+    val useStats = spark.conf.get("graft.scan.use_stats", "true") != "false"
+    val kept =
+      if (!useStats) manifest.fragments
+      else manifest.fragments.filter { f =>
+        dataFilters.forall(e => FragmentStats.mayMatch(f.stats, f.rows, e))
+      }
     prunedTo = kept.length
     lastKept = kept
     Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))

@@ -42,6 +42,36 @@ class ScalarIndexRuleSpec extends AnyFunSuite {
     assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (100L to 110L))
   }
 
+  test("use_scalar_index=false disables the rewrite (reference escape hatch)") {
+    val t = freshIndexed()
+    extSpark.conf.set("graft.scan.use_scalar_index", "false")
+    try {
+      val q = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LeftSemi"), s"no mask with the rule disabled:\n$plan")
+      assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (100L to 110L))
+    } finally extSpark.conf.unset("graft.scan.use_scalar_index")
+    // back on: the mask returns
+    val q2 = GraftTable.read(extSpark, t).filter(col("id").between(100, 110))
+    assert(q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("use_stats=false disables zonemap pruning (reference debugging knob)") {
+    val s = TestSpark.spark
+    val t = Files.createTempDirectory("graft_ir_us_").toString + "/t"
+    GraftTable.write(s.range(0, 800).toDF("id")
+      .repartitionByRange(8, col("id")), t, "overwrite")
+    val pruned = graft.format.ScanAnalyze.analyze(s, t, Some("id >= 700")).toMap
+    assert(pruned("fragments_scanned") < pruned("fragments_total"), pruned.toString)
+    s.conf.set("graft.scan.use_stats", "false")
+    try {
+      val all = graft.format.ScanAnalyze.analyze(s, t, Some("id >= 700")).toMap
+      assert(all("fragments_scanned") == all("fragments_total"),
+        s"stats off must scan everything: $all")
+      assert(all("rows_returned") == pruned("rows_returned"), "same result either way")
+    } finally s.conf.unset("graft.scan.use_stats")
+  }
+
   test("append after build: partial coverage — mask over indexed fragments, flat union over fresh") {
     val t = freshIndexed()
     GraftTable.write(TestSpark.spark.range(500, 600).toDF("id")
