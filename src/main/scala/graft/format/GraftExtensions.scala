@@ -77,7 +77,9 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // reference ScannerBuilder.use_scalar_index(false): the corner-case
     // escape hatch when an index rewrite would hurt a particular query
-    if (session.conf.get("graft.scan.use_scalar_index", "true") == "false")
+    // (parsed like Spark's own boolean confs: False/FALSE/0 all disable)
+    if (Seq("false", "0").contains(
+        session.conf.get("graft.scan.use_scalar_index", "true").trim.toLowerCase))
       return plan
     plan.transformUp {
       case f @ Filter(cond,

@@ -44,7 +44,8 @@ class GraftFileIndex(
     // manifest is the zone map, so this is zero extra IO).
     // `graft.scan.use_stats=false` (reference ScannerBuilder.use_stats) turns
     // it off — the debugging/benchmarking knob for isolating pruning effects.
-    val useStats = spark.conf.get("graft.scan.use_stats", "true") != "false"
+    val useStats = !Seq("false", "0").contains(
+      spark.conf.get("graft.scan.use_stats", "true").trim.toLowerCase)
     val kept =
       if (!useStats) manifest.fragments
       else manifest.fragments.filter { f =>

@@ -1594,11 +1594,23 @@ object GraftTable {
   /** Merge conditions may qualify columns with `source.` / `target.`
     * (reference `when_matched_update_all(condition)` docs — e.g.
     * `source.last_update > target.last_update`): in the classified join,
-    * source columns carry the `__s_` prefix and target columns are plain,
-    * so the qualifiers rewrite textually. Unqualified names resolve to the
-    * TARGET side (it owns the plain names). */
-  private def rewriteMergeCond(cond: String): String =
-    cond.replaceAll("\\btarget\\.", "").replaceAll("\\bsource\\.(\\w+)", "__s_$1")
+    * source columns carry the `__s_` prefix and target columns are plain.
+    * The rewrite happens on the PARSED expression's attribute qualifiers
+    * (case-insensitive, backtick-safe, string literals untouched — a
+    * textual replace would corrupt a literal containing "target.").
+    * Unqualified names resolve to the TARGET side (it owns plain names). */
+  private def mergeCondColumn(spark: SparkSession, cond: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val rewritten = spark.sessionState.sqlParser.parseExpression(cond).transform {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+          ua.nameParts.head.equalsIgnoreCase("source") =>
+        UnresolvedAttribute(s"__s_${ua.nameParts(1)}" +: ua.nameParts.drop(2))
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+          ua.nameParts.head.equalsIgnoreCase("target") =>
+        UnresolvedAttribute(ua.nameParts.tail)
+    }
+    ColumnBridge.column(rewritten)
+  }
 
   /** Source keys inlined as a pushed-down IN literal when at most this many
     * distinct values — the row-group-stat-pruned fast path of the btree
@@ -1719,7 +1731,12 @@ object GraftTable {
       m0: GraftManifest, carry: Boolean,
       stagedUpd: Seq[Path], stagedIns: Seq[Path],
       dvOpt: Option[(String, Long)], nUpdLegacy: Long,
-      idxStats: Map[String, Long], stats: Map[String, Long])
+      idxStats: Map[String, Long], stats: Map[String, Long]) {
+    /** Set by a successful [[commitMerge]]: the staged files were renamed
+      * into the table, so a second commit would fail with an obscure
+      * rename error — guard it with a clear one instead. */
+    private[format] val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
 
   /** Stage a merge without committing (reference
     * `MergeInsertBuilder.execute_uncommitted`): returns the staged
@@ -1808,14 +1825,12 @@ object GraftTable {
           "merge_insert: a target row matches multiple source rows")
       }
 
-      val matchedCondCol = matchedCondition.map(c => expr(rewriteMergeCond(c)))
-        .getOrElse(lit(true))
+      val matchedCondCol = matchedCondition.map(mergeCondColumn(spark, _)).getOrElse(lit(true))
       val updates = if (whenMatchedUpdateAll)
         joined.filter(isMatched && matchedCondCol) else joined.limit(0)
       val inserts = if (whenNotMatchedInsertAll)
         joined.filter(col(RowAddrCol).isNull && col("__s_exists").isNotNull) else joined.limit(0)
-      val delCondCol = deleteCondition.map(c => expr(rewriteMergeCond(c)))
-        .getOrElse(lit(true))
+      val delCondCol = deleteCondition.map(mergeCondColumn(spark, _)).getOrElse(lit(true))
       val deletes = if (whenNotMatchedBySourceDelete)
         joined.filter(col(RowAddrCol).isNotNull && col("__s_exists").isNull && delCondCol)
       else joined.limit(0)
@@ -1843,7 +1858,9 @@ object GraftTable {
       val stats: Map[String, Long] =
         if (!withStats) Map.empty
         else {
-          val nUpd = updates.count()
+          // legacy mode already counted updates for nUpdLegacy — reuse it
+          val nUpd =
+            if (!carry && whenMatchedUpdateAll) nUpdLegacy else updates.count()
           Map("num_updated_rows" -> nUpd,
             "num_inserted_rows" -> inserts.count(),
             "num_deleted_rows" -> (dvOpt.map(_._2).getOrElse(0L) - nUpd))
@@ -1859,12 +1876,14 @@ object GraftTable {
     * assignment — with no hidden target re-read. */
   def commitMerge(spark: SparkSession, tablePath: String,
                   st: StagedMerge): GraftManifest = {
+    require(!st.committed.get(),
+      "this StagedMerge was already committed — stage a new merge")
     var stagedUpd = st.stagedUpd
     var stagedIns = st.stagedIns
     val dvOpt = st.dvOpt
     val carry = st.carry
     DmlTestHooks.beforeCommit("merge_insert")
-    commitLoop(spark, tablePath, {
+    val m = commitLoop(spark, tablePath, {
       case Some(base) =>
         guardStagedBase("merge_insert", st.m0, base)
         resolveDvConflicts(spark, tablePath, "merge_insert", st.m0, base,
@@ -1888,6 +1907,8 @@ object GraftTable {
             "num_deleted_rows" -> (dvN - nUpd)) ++ st.idxStats)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
+    st.committed.set(true)
+    m
   }
 
   /** Partial compaction (reference `compact_files`, `optimize.rs:120-146`):

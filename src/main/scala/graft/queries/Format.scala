@@ -260,8 +260,14 @@ object Format {
         .filter(col("doc_id").isin(ids: _*))
         .select(col("doc_id"), col(GraftTable.RowAddrCol))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      require(ids.forall(addrByDoc.contains),
+        s"q_blob_slice: docs ${ids.filterNot(addrByDoc.contains)} missing from testdata")
+      // ONE batched handle resolution (k addrs → k refs in one pruned take)
+      val refByAddr = BlobStore
+        .takeBlobRefs(s, t, ids.map(addrByDoc), "payload")
+        .map(r => r.addr -> r).toMap
       val slices = ids.map { doc =>
-        val ref = BlobStore.takeBlobRefs(s, t, Seq(addrByDoc(doc)), "payload").head
+        val ref = refByAddr(addrByDoc(doc))
         val n = math.min(64L, ref.length).toInt
         (doc, BlobStore.readRange(s, t, ref, 0L, n))
       }

@@ -280,8 +280,10 @@ object ScaleProbe {
           graft.format.BlobStore.packBlobs(df, tbl, "payload"), tbl, "overwrite")
       }
       time("blob_slice", f) {
+        // monotonically_increasing_id is partition-offset encoded — pick the
+        // smallest id rather than assuming a specific value exists
         val addr = graft.format.GraftTable.read(spark, tbl, withRowAddr = true)
-          .filter(col("did") === 42L)
+          .orderBy(col("did")).limit(1)
           .select(col(graft.format.GraftTable.RowAddrCol))
           .head().getLong(0)
         val ref = graft.format.BlobStore

@@ -139,4 +139,20 @@ class MergeEquivalenceSpec extends AnyFunSuite {
     assert(m.opStats("num_inserted_rows") == 1L)
     assert(m.opStats("num_deleted_rows") == 0L)
   }
+
+  test("merge condition qualifiers: case-insensitive and string-literal-safe") {
+    val t = fresh()
+    GraftTable.write(Seq((1L, "see target.v2"), (2L, "b")).toDF("id", "v"),
+      t, "overwrite")
+    val src = Seq((1L, "upd"), (2L, "upd")).toDF("id", "v")
+    // a literal CONTAINING "target." must survive the qualifier rewrite;
+    // TARGET./Source. must resolve regardless of case
+    val m = GraftTable.mergeInsert(spark, t, src, Seq("id"),
+      whenNotMatchedInsertAll = false,
+      matchedCondition = Some("TARGET.v = 'see target.v2' AND Source.v = 'upd'"))
+    val got = GraftTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "upd", 2L -> "b"), got.toString)
+    assert(m.opStats("num_updated_rows") == 1L)
+  }
 }

@@ -62,6 +62,18 @@ class UncommittedMergeSpec extends AnyFunSuite {
     assert(GraftTable.countRows(spark, t) == 100L)
   }
 
+  test("double commit of one staged merge is rejected with a clear error") {
+    val t = fresh(); seed(t)
+    val st = GraftTable.mergeInsertUncommitted(spark, t,
+      spark.range(0, 3).toDF("id").withColumn("v", lit(-1L)), Seq("id"))
+    GraftTable.commitMerge(spark, t, st)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.commitMerge(spark, t, st)
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    assert(GraftTable.countRows(spark, t) == 100L)
+  }
+
   test("a concurrent append composes: commit lands over the newer base") {
     val t = fresh(); seed(t)
     val src = spark.range(50, 55).toDF("id").withColumn("v", lit(-7L))
