@@ -600,14 +600,16 @@ private[format] object GraftProcedures {
   def analyzeProc(pathOf: String => String): UnboundProcedure =
     procRows("analyze",
       Array(p("table", DT.StringType), pd("predicate", DT.StringType, "''"),
-        pd("columns", DT.StringType, "''")),
+        pd("columns", DT.StringType, "''"),
+        pd("version", DT.LongType, "-1")),
       StructType(Seq(StructField("metric", DT.StringType),
         StructField("value", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val predicate = Option(in.getUTF8String(1).toString).filter(_.trim.nonEmpty)
       val cols = in.getUTF8String(2).toString.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
-      ScanAnalyze.analyze(spark, path, predicate, cols)
+      val version = in.getLong(3) match { case -1L => None; case v => Some(v) }
+      ScanAnalyze.analyze(spark, path, predicate, cols, version)
         .map { case (k, v) => Seq(k, v) }
     }
 

@@ -210,14 +210,17 @@ object VectorFunctions {
   def vectorLit(v: Array[Float]): Column =
     c(Literal.create(v, ArrayType(FloatType, containsNull = false)))
 
+  def packSignBits(v: Column): Column = c(graft.operators.PackSignBits(x(v)))
+
   /** Register l2_distance / cosine_distance / dot_product / hamming_distance
-    * for SQL use (reference registers its distance UDFs into DataFusion the
-    * same way — `rust/lance-datafusion/src/udf.rs`). */
+    * / pack_sign_bits for SQL use (reference registers its distance UDFs
+    * into DataFusion the same way — `rust/lance-datafusion/src/udf.rs`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_distance", es => HammingDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pack_sign_bits", es => graft.operators.PackSignBits(es(0)), "scala_udf")
   }
 }

@@ -430,6 +430,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     val nil = s.sql(s"CALL g.system.analyze(table => 'db.$t', predicate => '1 = 0')")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(nil("fragments_scanned") == 0L && nil("rows_returned") == 0L, nil.toString)
+    // time-travel analyze: the pre-delete version masks no DV rows
+    val v0 = GraftTable.loadManifest(s, path).version - 1
+    val old = s.sql(s"CALL g.system.analyze(table => 'db.$t', version => $v0)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(old("dv_rows_masked") == 0L && old("rows_returned") == 800L, old.toString)
   }
 
   test("hamming index lifecycle through SQL: create_index, knn_search, optimize, retrain") {

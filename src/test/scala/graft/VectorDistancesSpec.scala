@@ -79,6 +79,18 @@ class VectorDistancesSpec extends AnyFunSuite {
     assert(n.toSeq == Seq(1L))
   }
 
+  test("SQL registration: pack_sign_bits + hamming_distance compose in spark.sql") {
+    register(spark)
+    df.createOrReplaceTempView("vecs")
+    // pack each vector's sign bits, distance to an all-positive query = 0
+    // for all-positive vectors
+    val n = spark.sql(
+      "SELECT id FROM vecs WHERE hamming_distance(pack_sign_bits(v), " +
+        "pack_sign_bits(array(1.0F, 1.0F, 1.0F))) = 0")
+      .as[Long].collect()
+    assert(n.nonEmpty && n.forall(Seq(1L, 2L, 3L).contains))
+  }
+
   test("Knn.flatSearch returns k nearest in order") {
     // d(id1)=0, d(id2)=sqrt(50)≈7.07, d(id3)=sqrt(56)≈7.48
     val got = Knn.flatSearch(df, "v", Array(1.0f, 2.0f, 3.0f), 2, "l2",
