@@ -26,9 +26,18 @@ import org.apache.spark.util.SerializableConfiguration
   * unchanged. */
 object BlobStore {
 
+  /** Manifest-config key holding newline-separated fallback roots for
+    * relative sidecar paths — stamped by [[GraftTable.shallowClone]], whose
+    * metadata-only contract cannot rewrite the descriptor ROW DATA the way
+    * it rewrites fragment paths. */
+  val BlobRootsKey = "graft.blob.roots"
+
   /** A resolved blob handle: `file` is table-root-relative; the payload
     * occupies `[offset, offset + length)` of that sidecar file. */
   case class BlobRef(addr: Long, file: String, offset: Long, length: Long)
+
+  private val rootsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
   val descriptorType: StructType = StructType(Seq(
     StructField("file", StringType),
@@ -113,8 +122,25 @@ object BlobStore {
                 offset: Long, length: Int): Array[Byte] = {
     require(offset >= 0 && offset <= ref.length, s"offset $offset out of [0, ${ref.length}]")
     val n = math.min(length.toLong, ref.length - offset).toInt
-    val p = new Path(new Path(tablePath), ref.file)
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val local = new Path(new Path(tablePath), ref.file)
+    // shallow clones hold descriptors whose sidecars live under the SOURCE
+    // table — fall back through the manifest's recorded blob roots (one
+    // existence probe per miss; a point read already pays a seek)
+    val p =
+      if (new Path(ref.file).isAbsolute || local.getFileSystem(conf).exists(local)) local
+      else {
+        // roots are stamped once at clone creation and copied forward by
+        // every commit — cache per table so repeated point reads don't
+        // re-parse the manifest
+        val roots = rootsCache.computeIfAbsent(tablePath, _ =>
+          GraftTable.loadManifest(spark, tablePath)
+            .config.getOrElse(BlobRootsKey, "").split('\n').filter(_.nonEmpty))
+        roots.iterator.map(r => new Path(new Path(r), ref.file))
+          .find(c => c.getFileSystem(conf).exists(c))
+          .getOrElse(local) // fail on the local path's clear error below
+      }
+    val f = p.getFileSystem(conf)
     val in = f.open(p)
     try {
       in.seek(ref.offset + offset)

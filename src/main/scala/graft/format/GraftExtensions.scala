@@ -77,9 +77,7 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // reference ScannerBuilder.use_scalar_index(false): the corner-case
     // escape hatch when an index rewrite would hurt a particular query
-    // (parsed like Spark's own boolean confs: False/FALSE/0 all disable)
-    if (Seq("false", "0").contains(
-        session.conf.get("graft.scan.use_scalar_index", "true").trim.toLowerCase))
+    if (GraftConf.isDisabled(session, "graft.scan.use_scalar_index"))
       return plan
     plan.transformUp {
       case f @ Filter(cond,

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.StructType
   * nullCount stats (zonemap-equivalent, reference `scalar/zonemap.rs`), on
   * top of parquet row-group pruning that happens per task.
   */
+/** Shared parsing for the `graft.scan.*` boolean escape hatches (parsed
+  * like Spark's own boolean confs: False/FALSE/0 all disable). One place,
+  * so the two scan knobs can't drift apart. */
+private[graft] object GraftConf {
+  def isDisabled(spark: SparkSession, key: String): Boolean =
+    Seq("false", "0").contains(spark.conf.get(key, "true").trim.toLowerCase)
+}
+
 class GraftFileIndex(
     spark: SparkSession,
     val tablePath: Path,
@@ -44,8 +52,7 @@ class GraftFileIndex(
     // manifest is the zone map, so this is zero extra IO).
     // `graft.scan.use_stats=false` (reference ScannerBuilder.use_stats) turns
     // it off — the debugging/benchmarking knob for isolating pruning effects.
-    val useStats = !Seq("false", "0").contains(
-      spark.conf.get("graft.scan.use_stats", "true").trim.toLowerCase)
+    val useStats = !GraftConf.isDisabled(spark, "graft.scan.use_stats")
     val kept =
       if (!useStats) manifest.fragments
       else manifest.fragments.filter { f =>

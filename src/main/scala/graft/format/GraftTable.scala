@@ -237,6 +237,7 @@ object GraftTable {
         .map(v => loadManifest(spark, tablePath, Some(v), branch))
         .map(_.copy(opStats = Map.empty, txnProperties = Map.empty))
       val next = op(base)
+      DmlTestHooks.beforeCas(tablePath)
       if (tryCommit(spark, tablePath, next, branch)) {
         if (branch.isEmpty) autoCleanupHook(spark, tablePath, next)
         return next
@@ -1400,6 +1401,10 @@ object GraftTable {
     * concurrent DML (stage under snapshot A, let B commit, then commit). */
   private[graft] object DmlTestHooks {
     @volatile var beforeCommit: String => Unit = _ => ()
+    /** Fires between a commit attempt's manifest construction (which may
+      * rename staged files) and its CAS — the window where a concurrent
+      * commit forces a retry against work already renamed. */
+    @volatile var beforeCas: String => Unit = _ => ()
   }
 
   /** DV-level conflict resolution for a mutation whose deletion vector was
@@ -1598,15 +1603,29 @@ object GraftTable {
     * The rewrite happens on the PARSED expression's attribute qualifiers
     * (case-insensitive, backtick-safe, string literals untouched — a
     * textual replace would corrupt a literal containing "target.").
-    * Unqualified names resolve to the TARGET side (it owns plain names). */
-  private def mergeCondColumn(spark: SparkSession, cond: String): Column = {
+    * Unqualified names resolve to the TARGET side (it owns plain names).
+    *
+    * A table column literally NAMED `source` or `target` wins over the
+    * qualifier interpretation: `target.v` on a table with a struct column
+    * `target` is that struct's field, not a qualified `v`. This keeps the
+    * SQL route sound — [[GraftExtensions]] serializes its already-resolved
+    * conditions with qualifiers stripped and source attrs pre-prefixed, so
+    * any dotted path it emits whose head is `source`/`target` IS a struct
+    * access on such a column and must not be re-qualified here. (The
+    * source relation's columns of those names are unreachable under the
+    * collision — qualify nothing else that way.) */
+  private def mergeCondColumn(spark: SparkSession, cond: String,
+                              targetCols: Seq[String]): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def isColumn(name: String) = targetCols.exists(_.equalsIgnoreCase(name))
     val rewritten = spark.sessionState.sqlParser.parseExpression(cond).transform {
       case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
-          ua.nameParts.head.equalsIgnoreCase("source") =>
+          ua.nameParts.head.equalsIgnoreCase("source") &&
+          !isColumn(ua.nameParts.head) =>
         UnresolvedAttribute(s"__s_${ua.nameParts(1)}" +: ua.nameParts.drop(2))
       case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
-          ua.nameParts.head.equalsIgnoreCase("target") =>
+          ua.nameParts.head.equalsIgnoreCase("target") &&
+          !isColumn(ua.nameParts.head) =>
         UnresolvedAttribute(ua.nameParts.tail)
     }
     ColumnBridge.column(rewritten)
@@ -1736,6 +1755,14 @@ object GraftTable {
       * into the table, so a second commit would fail with an obscure
       * rename error — guard it with a clear one instead. */
     private[format] val committed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** CURRENT staged file paths. A commit attempt renames staged files
+      * into their fragment names BEFORE the CAS; if the commit then fails
+      * (e.g. a concurrent schema change trips the staged-base guard), the
+      * renames stand — a permitted re-invocation of [[commitMerge]] must
+      * see the renamed paths, not the originals. */
+    private[format] val curPaths =
+      new java.util.concurrent.atomic.AtomicReference[(Seq[Path], Seq[Path])](
+        (stagedUpd, stagedIns))
   }
 
   /** Stage a merge without committing (reference
@@ -1825,12 +1852,14 @@ object GraftTable {
           "merge_insert: a target row matches multiple source rows")
       }
 
-      val matchedCondCol = matchedCondition.map(mergeCondColumn(spark, _)).getOrElse(lit(true))
+      val matchedCondCol = matchedCondition.map(mergeCondColumn(spark, _, cols))
+        .getOrElse(lit(true))
       val updates = if (whenMatchedUpdateAll)
         joined.filter(isMatched && matchedCondCol) else joined.limit(0)
       val inserts = if (whenNotMatchedInsertAll)
         joined.filter(col(RowAddrCol).isNull && col("__s_exists").isNotNull) else joined.limit(0)
-      val delCondCol = deleteCondition.map(mergeCondColumn(spark, _)).getOrElse(lit(true))
+      val delCondCol = deleteCondition.map(mergeCondColumn(spark, _, cols))
+        .getOrElse(lit(true))
       val deletes = if (whenNotMatchedBySourceDelete)
         joined.filter(col(RowAddrCol).isNotNull && col("__s_exists").isNull && delCondCol)
       else joined.limit(0)
@@ -1878,8 +1907,7 @@ object GraftTable {
                   st: StagedMerge): GraftManifest = {
     require(!st.committed.get(),
       "this StagedMerge was already committed — stage a new merge")
-    var stagedUpd = st.stagedUpd
-    var stagedIns = st.stagedIns
+    var (stagedUpd, stagedIns) = st.curPaths.get()
     val dvOpt = st.dvOpt
     val carry = st.carry
     DmlTestHooks.beforeCommit("merge_insert")
@@ -1893,6 +1921,7 @@ object GraftTable {
         val (fragsI, pathsI) = assignIds(spark, stagedIns,
           base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId)
         stagedUpd = pathsU; stagedIns = pathsI
+        st.curPaths.set((pathsU, pathsI))
         val dvN = dvOpt.map(_._2).getOrElse(0L)
         val nUpd = if (carry) fragsU.map(_.rows).sum else st.nUpdLegacy
         val nIns = fragsI.map(_.rows).sum - (if (carry) 0L else st.nUpdLegacy)
@@ -2983,11 +3012,21 @@ object GraftTable {
       val p = new Path(rel)
       (if (p.isAbsolute) f.makeQualified(p) else new Path(qSrc, rel)).toString
     }
+    // blob descriptors are ROW DATA — their table-relative sidecar paths
+    // can't be rewritten metadata-only like fragment paths. The clone's
+    // manifest records the source root(s) instead; [[BlobStore.readRange]]
+    // falls back through them when `destPath/<file>` doesn't exist.
+    // Clone-of-clone keeps the whole chain (each hop may have packed its
+    // own blobs), newline-separated (newlines can't appear in URIs).
+    val priorRoots = src.config.get(BlobStore.BlobRootsKey)
+      .toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+    val blobRoots = (qSrc.toString +: priorRoots).distinct
     val m = src.copy(
       version = 1L, operation = "shallow_clone", parent = 0L,
       fragments = src.fragments.map(fr => fr.copy(path = abs(fr.path))),
       dvFiles = src.dvFiles.map(abs),
       columnFiles = src.columnFiles.map(cf => cf.copy(path = abs(cf.path))),
+      config = src.config + (BlobStore.BlobRootsKey -> blobRoots.mkString("\n")),
       // index dirs do not travel with a clone: drop the entries (the uuid
       // guard would veto them anyway — this keeps the inventory honest)
       indices = Nil)

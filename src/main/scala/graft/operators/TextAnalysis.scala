@@ -63,10 +63,12 @@ object TextAnalysis {
           greatest(s.getField("best"), run).as("best"))
       },
       s => s.getField("best"))
+    // bigram count = token count − 1 for the ≥2-token rows kept here; a
+    // size(bg) denominator would re-evaluate the whole sort+shingle tree
     df.filter(size(toks) >= 2)
       .select(col(idCol),
         round(dupWordFraction(toks), 4).as("dup_word_frac"),
-        round(topCount.cast("double") / size(bg).cast("double"), 4)
+        round(topCount.cast("double") / (size(toks) - 1).cast("double"), 4)
           .as("top_bigram_frac"))
   }
 

@@ -77,4 +77,28 @@ class BlobStoreSpec extends AnyFunSuite {
       BlobStore.packBlobs(df.withColumn("payload", lit("s")), t, "payload")
     }
   }
+
+  test("blob slices resolve through a shallow clone (and a clone of the clone)") {
+    val dir = Files.createTempDirectory("graft_blob_clone_").toString
+    val t = s"$dir/t"
+    val rows = (0 until 3).map { i =>
+      (i.toLong, Array.tabulate(8192)(j => pat(i, j.toLong)))
+    }
+    GraftTable.write(BlobStore.packBlobs(
+      spark.createDataFrame(rows).toDF("id", "payload"), t, "payload"),
+      t, "overwrite")
+    // descriptors are ROW DATA: the clone's metadata-only path rewrite
+    // can't touch them, so resolution must fall back to the recorded
+    // source root(s)
+    for ((src, dst) <- Seq(t -> s"$dir/c1", s"$dir/c1" -> s"$dir/c2")) {
+      GraftTable.shallowClone(spark, src, dst)
+      val addr = GraftTable.read(spark, dst, withRowAddr = true)
+        .filter(col("id") === 1L).select(col(GraftTable.RowAddrCol))
+        .head().getLong(0)
+      val ref = BlobStore.takeBlobRefs(spark, dst, Seq(addr), "payload").head
+      val slice = BlobStore.readRange(spark, dst, ref, 100L, 64)
+      assert(slice.length == 64)
+      assert(slice.zipWithIndex.forall { case (b, k) => b == pat(1, 100L + k) })
+    }
+  }
 }

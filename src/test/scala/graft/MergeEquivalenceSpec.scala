@@ -155,4 +155,27 @@ class MergeEquivalenceSpec extends AnyFunSuite {
     assert(got == Map(1L -> "upd", 2L -> "b"), got.toString)
     assert(m.opStats("num_updated_rows") == 1L)
   }
+
+  test("a table column literally named source/target wins over the qualifier rewrite") {
+    val t = fresh()
+    // `source` here is a STRUCT COLUMN of the target table, not the merge's
+    // source relation: `source.flag` must resolve as that struct's field.
+    // (The SQL route depends on this — GraftExtensions serializes resolved
+    // struct accesses as dotted paths, which must not be re-qualified.)
+    GraftTable.write(
+      Seq((1L, 10L, true), (2L, 20L, false)).toDF("id", "v", "flag")
+        .select(col("id"), col("v"), struct(col("flag")).as("source")),
+      t, "overwrite")
+    val src = Seq((1L, 99L, false), (2L, 88L, false)).toDF("id", "v", "flag")
+      .select(col("id"), col("v"), struct(col("flag")).as("source"))
+    val m = GraftTable.mergeInsert(spark, t, src, Seq("id"),
+      whenNotMatchedInsertAll = false,
+      matchedCondition = Some("source.flag"))
+    // only the TARGET row whose source.flag struct field is true updates —
+    // a (mis)rewrite to the source relation's __s_ column would update both
+    val got = GraftTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 99L, 2L -> 20L), got.toString)
+    assert(m.opStats("num_updated_rows") == 1L)
+  }
 }

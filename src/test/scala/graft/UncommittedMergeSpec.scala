@@ -74,6 +74,33 @@ class UncommittedMergeSpec extends AnyFunSuite {
     assert(GraftTable.countRows(spark, t) == 100L)
   }
 
+  test("a CAS-race retry that aborts leaves the staged merge re-invocable with a clear error") {
+    val t = fresh(); seed(t)
+    val src = spark.range(0, 5).toDF("id").withColumn("v", lit(-1L))
+    val st = GraftTable.mergeInsertUncommitted(spark, t, src, Seq("id"))
+    // between attempt 1's staged-file renames and its CAS, a concurrent
+    // delete contests a row the merge updates: attempt 1 loses the CAS,
+    // attempt 2 aborts in conflict resolution — AFTER the renames stood
+    @volatile var fired = false
+    GraftTable.DmlTestHooks.beforeCas = { _ =>
+      if (!fired) { fired = true; GraftTable.delete(spark, t, "id = 3") }
+    }
+    try {
+      val e = intercept[IllegalStateException](GraftTable.commitMerge(spark, t, st))
+      assert(e.getMessage.contains("conflict"), e.getMessage)
+    } finally GraftTable.DmlTestHooks.beforeCas = _ => ()
+    // the failed attempt renamed the staged files into fragment names; a
+    // permitted re-invocation must pick up the CURRENT paths and fail with
+    // the same clear conflict error — not a rename/FileNotFound crash on
+    // the original staged names
+    val e2 = intercept[IllegalStateException](GraftTable.commitMerge(spark, t, st))
+    assert(e2.getMessage.contains("conflict"), e2.getMessage)
+    // the table shows only the delete; the contested merge landed nothing
+    assert(GraftTable.countRows(spark, t) == 99L)
+    assert(GraftTable.read(spark, t).filter(col("v") === -1L).count() == 0L)
+    assert(GraftTable.validate(spark, t).isEmpty)
+  }
+
   test("a concurrent append composes: commit lands over the newer base") {
     val t = fresh(); seed(t)
     val src = spark.range(50, 55).toDF("id").withColumn("v", lit(-7L))
