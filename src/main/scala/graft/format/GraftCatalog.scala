@@ -687,11 +687,19 @@ private[format] object GraftProcedures {
   def optimizeIndexProc(pathOf: String => String): UnboundProcedure =
     proc("optimize_index",
       Array(p("table", DT.StringType), p("name", DT.StringType),
-        pd("retrain", DT.BooleanType, "false")),
+        pd("retrain", DT.BooleanType, "false"),
+        // reference `OptimizeOptions.num_indices_to_merge`
+        // (`optimize.rs:8-19`): cap the delta generations / segment files
+        // kept after this optimize — 1 = merge everything into one delta,
+        // 0 = the index family's default policy. Honored by the
+        // delta-accumulating families (HNSW graphs, FTS segments); the
+        // IVF families rewrite their deltas wholesale already.
+        pd("max_deltas", DT.LongType, "0")),
       StructType(Seq(StructField("rows_indexed", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val idxName = in.getUTF8String(1).toString
       val retrain = in.getBoolean(2)
+      val maxDeltas = in.getLong(3).toInt
       val m = GraftTable.loadManifest(spark, path)
       val e = m.indices.find(_.name == idxName).getOrElse(
         throw new IllegalArgumentException(
@@ -781,9 +789,10 @@ private[format] object GraftProcedures {
           // coverage is REMAPPED in place (addresses move, graphs don't —
           // graft.operators.IndexRemap), never a full rebuild
           graft.operators.HnswIndex.optimizeForTable(spark, path, idCol, column,
-            s"$idxDir/$idxName")
+            s"$idxDir/$idxName", maxDeltas = maxDeltas)
         case "FTS" =>
-          graft.operators.Fts.optimizeForTable(spark, path, idCol, column)
+          graft.operators.Fts.optimizeForTable(spark, path, idCol, column,
+            maxDeltaFiles = maxDeltas)
         case other => throw new IllegalArgumentException(
           s"index '$idxName' has unknown type $other")
       }
@@ -1128,7 +1137,13 @@ private[format] object GraftProcedures {
         pd("filter", DT.StringType, "''"),
         pd("min_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)"),
         pd("max_dist", DT.DoubleType, "CAST('NaN' AS DOUBLE)"),
-        pd("max_nprobes", DT.LongType, "-1")),
+        pd("max_nprobes", DT.LongType, "-1"),
+        // reference `nearest(refine_factor=...)` (`dataset.py:4429`): the
+        // quantized families rank k·refine_factor candidates before the
+        // exact re-rank — the recall/cost dial from SQL
+        pd("refine_factor", DT.LongType, "10"),
+        // HNSW search-time beam width (reference `ef`/`ef_search`)
+        pd("ef", DT.LongType, "64")),
       StructType(Seq(StructField("id", DT.LongType), StructField("distance", DT.DoubleType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.loadManifest(spark, path)
@@ -1150,6 +1165,9 @@ private[format] object GraftProcedures {
         else Some((if (lo.isNaN) Double.NegativeInfinity else lo,
                    if (hi.isNaN) Double.PositiveInfinity else hi))
       val maxNprobes = in.getLong(8).toInt
+      val refineFactor = in.getLong(9).toInt
+      require(refineFactor >= 1, s"refine_factor must be >= 1, got $refineFactor")
+      val ef = in.getLong(10).toInt
       val column = m.logicalName(e.column)
       val idCol = e.params.getOrElse("idCol",
         throw new IllegalArgumentException(s"index $nm records no idCol"))
@@ -1172,13 +1190,17 @@ private[format] object GraftProcedures {
             column, q, k, np, metric = flatMetric,
             prefilter = prefilter, distanceRange = range)
           case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, prefilter = prefilter, distanceRange = range)
+            column, q, k, np, refineFactor = refineFactor,
+            prefilter = prefilter, distanceRange = range)
           case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, prefilter = prefilter, distanceRange = range)
+            column, q, k, np, refineFactor = refineFactor,
+            prefilter = prefilter, distanceRange = range)
           case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, prefilter = prefilter, distanceRange = range)
+            column, q, k, np, refineFactor = refineFactor,
+            prefilter = prefilter, distanceRange = range)
           case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
-            path, idxPath, idCol, column, q, k, np, prefilter = prefilter,
+            path, idxPath, idCol, column, q, k, np, ef = ef,
+            refineFactor = refineFactor, prefilter = prefilter,
             distanceRange = range)
           case other => throw new IllegalArgumentException(
             s"index $nm ($other) is not a vector index")

@@ -433,7 +433,7 @@ object Fts {
     * coverage + manifest entry forward. O(delta) tokenization. Returns the
     * number of newly indexed rows. */
   def optimizeForTable(spark: SparkSession, tablePath: String, idCol: String,
-                       textCol: String): Long = {
+                       textCol: String, maxDeltaFiles: Int = 0): Long = {
     import graft.format.GraftTable
     val m = GraftTable.loadManifest(spark, tablePath)
     val indexPath = s"$tablePath/_indices/fts_$textCol"
@@ -473,7 +473,13 @@ object Fts {
     if (freshFrags.nonEmpty) {
       optimizeIndex(GraftTable.readFragments(spark, tablePath, m, freshFrags,
           withRowId = idCol == GraftTable.RowIdCol),
-        idCol, textCol, indexPath)
+        idCol, textCol, indexPath, maxDeltaFiles)
+    } else if (maxDeltaFiles > 0) {
+      // no fresh docs, but the caller asked for a tighter segment budget
+      // (reference OptimizeOptions.num_indices_to_merge with no appends):
+      // compact the existing deltas down to the requested count
+      mergeDeltaSegments(spark, indexPath, maxDeltaFiles)
+      invalidateMeta(indexPath)
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       "FTS", textCol, m, Map("idCol" -> idCol))
@@ -490,7 +496,7 @@ object Fts {
     * already handles. At 100 TB, maintenance cost is O(delta) + one
     * aggregate over postings keys. */
   def optimizeIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                    indexPath: String): Index = {
+                    indexPath: String, maxDeltaFiles: Int = 0): Index = {
     val p = paths(indexPath)
     invalidateMeta(indexPath)
     // delta docs MUST tokenize under the index's stored config
@@ -540,7 +546,8 @@ object Fts {
     docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpMeta)
     replaceDir(spark, tmpMeta, p.meta)
-    mergeDeltaSegments(spark, indexPath)
+    mergeDeltaSegments(spark, indexPath,
+      if (maxDeltaFiles > 0) maxDeltaFiles else 16)
     p
   }
 

@@ -475,6 +475,13 @@ object HnswIndex {
       mergeDeltas(spark, indexPath, storage, m, efc,
         if (maxDeltas > 0) maxDeltas
         else params.getOrElse("maxDeltas", "4").toInt)
+    } else if (maxDeltas > 0) {
+      // nothing fresh, but the caller asked for a tighter generation
+      // budget (reference OptimizeOptions.num_indices_to_merge with no
+      // appends): compact the existing generations down to the request
+      recoverCompletedMerge(spark, indexPath)
+      mergeDeltas(spark, indexPath, storage, m, efc, maxDeltas)
+      invalidateCache(indexPath)
     }
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       indexType, vecCol, mf, params ++ Map("idCol" -> idCol))

@@ -470,6 +470,64 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(r3.contains((7777L, 0.0)) && r3.contains((5L, 0.0)), r3.toString)
   }
 
+  test("CALL optimize_index(max_deltas): generation budget from SQL") {
+    val t = freshName()
+    val path = s"$warehouse/db/$t"
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val vecs = s.range(0, 200).toDF("id")
+      .withColumn("vec",
+        expr("transform(sequence(0, 7), j -> CAST(sin(id * 31 + j * 7) AS FLOAT))"))
+    GraftTable.write(vecs, path, "overwrite")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_HNSW', nlist => 2, id_col => 'id')")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def gens(): Int = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_indices/hnsw_vec"))
+      .count(_.getPath.getName.startsWith("graph_delta_"))
+    // two append→optimize cycles under the default policy: 2 generations
+    for (i <- 1 to 2) {
+      GraftTable.write(vecs.limit(10).withColumn("id", col("id") + lit(10000L * i)),
+        path, "append")
+      s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'hnsw_vec')")
+    }
+    assert(gens() == 2, s"expected 2 delta generations, got ${gens()}")
+    // reference OptimizeOptions.num_indices_to_merge: with NO new appends,
+    // max_deltas => 1 compacts the existing generations into one
+    s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'hnsw_vec', " +
+      "max_deltas => 1)")
+    assert(gens() == 1, s"expected 1 delta generation after merge, got ${gens()}")
+    // appended rows still reachable through the indexed path
+    val qSql = vecs.filter(col("id") === 3L).select(col("vec")).head()
+      .getSeq[Float](0).map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+    val r = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      s"name => 'hnsw_vec', query => $qSql, k => 3, nprobes => 2, " +
+      "ef => 400, refine_factor => 50)").collect()
+    assert(r.map(_.getLong(0)).toSet == Set(3L, 10003L, 20003L), r.mkString(","))
+    // FTS takes the same budget: segment files compact down on request
+    s.sql(s"ALTER TABLE g.db.$t ADD COLUMN body STRING")
+    s.sql(s"UPDATE g.db.$t SET body = concat('term', CAST(id % 5 AS STRING))")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      "index_type => 'FTS')")
+    for (i <- 3 to 4) {
+      GraftTable.write(vecs.limit(5)
+        .withColumn("id", col("id") + lit(10000L * i))
+        .withColumn("body", lit("term1 fresh")), path, "append")
+      s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'fts_body')")
+    }
+    def postingFiles(): Int = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_indices/fts_body/postings"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = postingFiles()
+    s.sql(s"CALL g.system.optimize_index(table => 'db.$t', name => 'fts_body', " +
+      "max_deltas => 1)")
+    assert(postingFiles() < before,
+      s"segment budget must compact postings files: $before -> ${postingFiles()}")
+    val hits = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'fresh', k => 20)").collect()
+    assert(hits.length == 10, s"appended docs searchable after merge: ${hits.length}")
+  }
+
   test("CREATE TABLE AS SELECT and CREATE OR REPLACE") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t USING graft AS SELECT id, id * 2 AS dbl FROM range(5)")
@@ -774,6 +832,26 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()
     assert(widened.map(_.getLong(0)).toSeq == Seq(starved.get),
       s"escalation must recover id ${starved.get}: ${widened.mkString(",")}")
+    // refine_factor (reference `nearest(refine_factor=...)`) + HNSW `ef`:
+    // generous settings at full probes recover the exact zero-distance
+    // family through the quantized path; refine_factor < 1 is rejected
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_PQ', nlist => 2, pq_m => 2)")
+    val rf = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      "name => 'ivfpq_vec', query => array(1.0D, 1.0D), k => 3, " +
+      "nprobes => 2, refine_factor => 50)").collect()
+    assert(rf.map(_.getLong(0)).toSet == Set(1L, 92L, 183L), rf.mkString(","))
+    val efWide = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      "name => 'hnsw_vec', query => array(1.0D, 1.0D), k => 3, " +
+      "nprobes => 2, ef => 256, refine_factor => 20)").collect()
+    assert(efWide.map(_.getLong(0)).toSet == Set(1L, 92L, 183L), efWide.mkString(","))
+    val badRf = intercept[Exception] {
+      s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+        "name => 'ivfpq_vec', query => array(1.0D, 1.0D), k => 3, " +
+        "refine_factor => 0)").collect()
+    }
+    assert(badRf.getMessage.contains("refine_factor") ||
+      Option(badRf.getCause).exists(_.getMessage.contains("refine_factor")))
     // unknown index name fails fast, doesn't scan
     val err = intercept[Exception] {
       s.sql(s"CALL g.system.knn_search(table => 'db.$t', name => 'nope', " +
