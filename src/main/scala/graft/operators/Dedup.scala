@@ -258,6 +258,48 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Corpus-level exact LINE deduplication (the RefinedWeb / CCNet
+    * line-dedup stage, arXiv:2306.01116 §3.2 / arXiv:1911.00359: a line
+    * appearing in ≥ `minDocs` distinct documents is boilerplate — nav
+    * bars, cookie banners, license headers — and is removed from EVERY
+    * document, keeping the documents themselves). Operates on a
+    * pre-split `linesCol: array<string>` so the caller owns the line
+    * discipline (real corpora split on '\n'; fixtures may window words).
+    *
+    * Returns one row per document with ≥1 line: `(idCol, n_lines,
+    * n_dup_lines, cleaned)` — `cleaned` re-joins the surviving lines in
+    * order with a single space, NULL when every line was boilerplate.
+    *
+    * Scale shape: one (line, doc)-keyed partial-agg shuffle collapses
+    * per-doc repeats, one line-keyed count finds the corpus-duplicated
+    * lines (a tiny fraction — AQE broadcasts it into the flag join when
+    * small), one doc-keyed shuffle reassembles. No stage is quadratic
+    * and nothing is ever keyed by the full corpus — the same plan holds
+    * at 100 TB. */
+  def lineDedup(df: DataFrame, idCol: String, linesCol: String,
+                minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(col(linesCol)).as(Seq("idx", "line")))
+    // distinct-doc frequency as two explicit partial aggs (never a
+    // count(distinct) expand over the corpus)
+    val dup = lines.select(col("line"), col(idCol)).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(true).as("__dup"))
+    lines.join(dup, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_lines"),
+        // collect_list drops nulls, so only surviving lines travel;
+        // sort_array on (idx, line) structs restores document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("idx"), col("line"))))),
+          x => x.getField("line"))).as("cleaned"))
+      .withColumn("cleaned",
+        when(col("n_dup_lines") === col("n_lines"), lit(null)
+          .cast("string")).otherwise(col("cleaned")))
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key (brute-force
     * baseline; IVF/LSH bucketing is the scale path). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

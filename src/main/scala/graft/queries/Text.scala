@@ -19,6 +19,18 @@ object Text {
     Tables.documents(s, d)
       .withColumn("sh", TA.shingleSet(col("text"), 3))
 
+  /** Deterministic pseudo-lines for [[Dedup.lineDedup]]: non-overlapping
+    * 3-word windows (the corpus text carries no newlines); trailing
+    * partial windows are dropped on both sides. */
+  private def docsWithLines(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).withColumn("lines",
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), (size(toks) / lit(3)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * lit(3) + lit(1), lit(3)))))
+        .otherwise(typedLit(Array.empty[String])))
+  }
+
   /** One shared exact-verified minhash pair set per sfDir per JVM — the
     * real pipeline shape: LSH pairs are computed ONCE, then consumed by
     * both the pair report (q_minhash_lsh) and the component/survivor step
@@ -132,6 +144,15 @@ object Text {
     "q_simhash_dedup" -> { (s, d) =>
       Dedup.simhashNearDupPairs(docsWithShingles(s, d), "doc_id", "sh", 3)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Corpus-level exact line dedup (RefinedWeb/CCNet boilerplate
+    // removal): the synthetic corpus has no newlines, so "lines" are
+    // deterministic non-overlapping 3-word windows — the oracle replays
+    // the identical chunking.
+    "q_line_dedup" -> { (s, d) =>
+      Dedup.lineDedup(docsWithLines(s, d), "doc_id", "lines")
+        .orderBy(col("doc_id"))
     },
 
     // Content fingerprints per source — rows-only (hash-engine-specific).
@@ -257,6 +278,22 @@ object Text {
   private val stop7 = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // replays the 3-word pseudo-line chunking, the ≥2-distinct-doc
+    // boilerplate rule, and the in-order surviving-line rejoin exactly
+    "q_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS idx, array_to_string(w[(i*3+1):(i*3+3)], ' ') AS line
+        |  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, CAST(len(w) // 3 AS INT) - 1)) AS i) t
+        |  WHERE len(w) >= 3),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+        |flagged AS (
+        |  SELECT l.doc_id, l.idx, l.line, f.nd >= 2 AS dup
+        |  FROM lines l JOIN freq f USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY idx) AS cleaned
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays the q_multimodal_decode fixture arithmetic codec-free: the
     // Spark side must round-trip the exact dims/gray through PNG encode+decode
     "q_multimodal_decode" ->

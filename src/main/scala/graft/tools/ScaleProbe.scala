@@ -183,6 +183,22 @@ object ScaleProbe {
       }
     }
 
+    // ---- corpus line dedup (r10): boilerplate removal is two line-keyed
+    // aggs + one doc-keyed reassembly — every shuffle keyed by line/doc,
+    // never pairwise, so the fitted exponent must stay ~linear ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      time("line_dedup", f) {
+        val toks = split(col("text"), " ")
+        val withLines = spark.read.parquet(p).withColumn("lines",
+          when(size(toks) >= 3,
+            transform(sequence(lit(0), (size(toks) / lit(3)).cast("int") - 1),
+              i => concat_ws(" ", slice(toks, i * lit(3) + lit(1), lit(3)))))
+            .otherwise(typedLit(Array.empty[String])))
+        Dedup.lineDedup(withLines, "doc_id", "lines").count()
+      }
+    }
+
     // ---- decontamination (r9): FIXED benchmark (the ×1 corpus's every-97th
     // doc) against a growing corpus — the realistic shape. The benchmark
     // gram set is bounded + broadcast, so cost must be ONE linear pass over

@@ -176,4 +176,34 @@ class TextDedupSpec extends AnyFunSuite {
     // 1, 2, 4 are one near-dup family; 3 pairs with nothing
     assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), s"got $comp")
   }
+
+  test("lineDedup removes corpus-duplicated lines, keeps order, nulls empty docs") {
+    // "nav" is boilerplate shared by docs 1/2/3; "foot" by 1/2; each doc
+    // also has unique lines except doc 3, which is ALL boilerplate
+    val df = Seq(
+      (1L, Seq("nav bar", "alpha body one", "foot note", "alpha body two")),
+      (2L, Seq("nav bar", "beta body", "foot note")),
+      (3L, Seq("nav bar", "foot note")),
+      (4L, Seq("gamma body", "gamma tail"))
+    ).toDF("doc_id", "lines")
+    val got = Dedup.lineDedup(df, "doc_id", "lines")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, Some("alpha body one alpha body two")),
+      (2L, 3L, 2L, Some("beta body")),
+      (3L, 2L, 2L, None),
+      (4L, 2L, 0L, Some("gamma body gamma tail"))), got.toString)
+    // a line repeated WITHIN one doc is not corpus-boilerplate (distinct
+    // docs, not occurrences, drive the rule)
+    val solo = Seq((9L, Seq("same line", "same line", "tail"))).toDF("doc_id", "lines")
+    val r = Dedup.lineDedup(solo, "doc_id", "lines")
+      .as[(Long, Long, Long, Option[String])].head()
+    assert(r == ((9L, 3L, 0L, Some("same line same line tail"))), r.toString)
+    // partitioning-invariant: same result from a different layout
+    val got8 = Dedup.lineDedup(df.repartition(8), "doc_id", "lines")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got8 == got)
+  }
 }
