@@ -264,6 +264,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.stats" => GraftProcedures.stats(pathOf)
       case "system.data_stats" => GraftProcedures.dataStatsProc(pathOf)
       case "system.index_stats" => GraftProcedures.indexStats(pathOf)
+      case "system.ivf_model" => GraftProcedures.ivfModel(pathOf)
       case "system.validate" => GraftProcedures.validateProc(pathOf)
       case "system.history" => GraftProcedures.history(pathOf)
       case "system.prewarm_index" => GraftProcedures.prewarmIndex(pathOf)
@@ -432,6 +433,8 @@ private[format] object GraftProcedures {
   /** UTF8String-coerce driver-side strings for InternalRow literals. */
   private def cell(v: Any): Any = v match {
     case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case a: Seq[_] =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(cell).toArray)
     case other => other
   }
 
@@ -977,6 +980,65 @@ private[format] object GraftProcedures {
       Seq(e.indexType, e.column, e.indexedVersion,
         idx.length.toLong, fresh.length.toLong,
         idx.map(_.rows).sum, fresh.map(_.rows).sum)
+    }
+
+  /** `CALL g.system.ivf_model(table => 'db.t', name => 'ivf_vec')` —
+    * inspect a vector index's trained IVF model (reference
+    * `get_ivf_model` / `centroids` / `IvfModel.num_partitions`, Python
+    * `dataset.py:3495-3543`): one row per partition with its centroid
+    * and indexed-node count — the recall/skew debugging surface ("is one
+    * partition hogging the corpus?"). Output is nlist rows; the size
+    * pass is one count aggregate over the index's own row store
+    * (IVF `vectors` or HNSW graph nodes incl. deltas), never the table.
+    * The hamming family's packed sign-bit centroids unpack to ±1.0. */
+  def ivfModel(pathOf: String => String): UnboundProcedure =
+    procRows("ivf_model",
+      Array(p("table", DT.StringType), p("name", DT.StringType)),
+      StructType(Seq(StructField("partition_id", DT.IntegerType),
+        StructField("size", DT.LongType),
+        StructField("centroid", DT.createArrayType(DT.DoubleType))))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      require(e.indexType.startsWith("IVF"),
+        s"index '$nm' (${e.indexType}) has no IVF model")
+      val ip = s"$path/_indices/$nm"
+      val fs = new org.apache.hadoop.fs.Path(ip)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val cdf = spark.read.parquet(s"$ip/centroids").orderBy("pid").collect()
+      val cents: Seq[(Int, Seq[Double])] = cdf.toSeq.map { r =>
+        val pid = r.getInt(0)
+        pid -> (r.get(1) match {
+          case bytes: Array[Byte] =>
+            bytes.toSeq.flatMap(b =>
+              (7 to 0 by -1).map(j => if (((b >> j) & 1) != 0) 1.0 else -1.0))
+          case _ => r.getSeq[Float](1).map(_.toDouble)
+        })
+      }
+      val stores: Seq[String] =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$ip/vectors")))
+          Seq(s"$ip/vectors")
+        else {
+          val base =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$ip/graph")))
+              Seq(s"$ip/graph")
+            else Nil
+          base ++ fs.listStatus(new org.apache.hadoop.fs.Path(ip))
+            .filter(_.getPath.getName.startsWith("graph_delta_"))
+            .map(_.getPath.toString)
+        }
+      val sizes: Map[Int, Long] =
+        if (stores.isEmpty) Map.empty
+        else spark.read.parquet(stores: _*)
+          .groupBy(col(graft.operators.IvfIndex.PidCol)).agg(count(lit(1)))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      cents.map { case (pid, c) =>
+        Seq(pid, sizes.getOrElse(pid, 0L), c)
+      }
     }
 
   /** `CALL g.system.prewarm_index(table => 'db.t', name => 'hnsw_vec')` —

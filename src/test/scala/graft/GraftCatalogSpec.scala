@@ -458,6 +458,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"name => 'ivf_bvec', query => $qSql, k => $k, nprobes => 4)").collect()
     val r = knn(3)
     assert(r.head.getLong(0) == 5L && r.head.getDouble(1) == 0.0, r.mkString(","))
+    // ivf_model unpacks the k-majority sign-bit centroids to ±1 doubles
+    val model = s.sql(s"CALL g.system.ivf_model(table => 'db.$t', name => 'ivf_bvec')")
+      .collect()
+    assert(model.length == 4 && model.map(_.getLong(1)).sum == 300L, model.mkString(","))
+    assert(model.forall(_.getSeq[Double](2).forall(v => v == 1.0 || v == -1.0)))
+    assert(model.forall(_.getSeq[Double](2).length == 64))
     // append a twin, optimize incrementally, search again — indexed fresh
     GraftTable.write(packed.filter(col("id") === 5L).withColumn("id", lit(7777L)),
       path, "append")
@@ -526,6 +532,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     val hits = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
       "name => 'fts_body', query => 'fresh', k => 20)").collect()
     assert(hits.length == 10, s"appended docs searchable after merge: ${hits.length}")
+  }
+
+  test("CALL ivf_model: per-partition centroids and sizes (reference get_ivf_model)") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
+    // two tight clusters at (0,0) and (10,10): nlist=2 must split them
+    s.sql(s"INSERT INTO g.db.$t SELECT id, CASE WHEN id < 40 " +
+      "THEN array(CAST(id % 3 AS FLOAT) * 0.01F, 0.0F) " +
+      "ELSE array(10.0F, 10.0F + CAST(id % 3 AS FLOAT) * 0.01F) END " +
+      "FROM range(0, 100)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_FLAT', nlist => 2)")
+    val rows = s.sql(s"CALL g.system.ivf_model(table => 'db.$t', name => 'ivf_vec')")
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows.map(_.getLong(1)).sum == 100L, rows.mkString(","))
+    assert(rows.map(_.getLong(1)).toSet == Set(40L, 60L), rows.mkString(","))
+    val cents = rows.map(_.getSeq[Double](2))
+    assert(cents.forall(_.length == 2))
+    // one centroid near the origin cluster, one near (10,10)
+    assert(cents.exists(c => math.abs(c.head) < 1.0) &&
+      cents.exists(c => math.abs(c.head - 10.0) < 1.0), cents.toSeq.toString)
+    // non-IVF index refuses
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'id', " +
+      "index_type => 'BTREE')")
+    val err = intercept[Exception] {
+      s.sql(s"CALL g.system.ivf_model(table => 'db.$t', name => 'btree_id')").collect()
+    }
+    assert(err.getMessage.contains("IVF") ||
+      Option(err.getCause).exists(_.getMessage.contains("IVF")))
   }
 
   test("CREATE TABLE AS SELECT and CREATE OR REPLACE") {
