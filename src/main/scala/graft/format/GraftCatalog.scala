@@ -255,6 +255,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.create_branch" => GraftProcedures.createBranch(pathOf)
       case "system.delete_branch" => GraftProcedures.deleteBranch(pathOf)
       case "system.restore" => GraftProcedures.restore(pathOf)
+      case "system.shallow_clone" => GraftProcedures.shallowCloneProc(pathOf)
       case "system.optimize_scalar_index" => GraftProcedures.optimizeScalarIndex(pathOf)
       case "system.create_index" => GraftProcedures.createIndex(pathOf)
       case "system.drop_index" => GraftProcedures.dropIndex(pathOf)
@@ -502,10 +503,18 @@ private[format] object GraftProcedures {
 
   def cleanup(pathOf: String => String): UnboundProcedure =
     proc("cleanup",
-      Array(p("table", DT.StringType), pd("keep_last", DT.LongType, "3")),
+      Array(p("table", DT.StringType), pd("keep_last", DT.LongType, "3"),
+        // reference `cleanup_old_versions(delete_unverified=...)`
+        // (`cleanup.rs`): files referenced by NO manifest are normally
+        // spared for 7 days (they may be a concurrent writer's staged
+        // work); true sweeps them immediately — only safe when no write
+        // is in flight, exactly as the reference documents
+        pd("delete_unverified", DT.BooleanType, "false")),
       StructType(Seq(StructField("latest_version", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
-      GraftTable.cleanupOldVersions(spark, path, in.getLong(1).toInt)
+      val grace = if (in.getBoolean(2)) 0L else 7L * 24 * 3600 * 1000
+      GraftTable.cleanupOldVersions(spark, path, in.getLong(1).toInt,
+        unverifiedGraceMillis = grace)
       Seq(GraftTable.loadManifest(spark, path).version)
     }
 
@@ -670,6 +679,26 @@ private[format] object GraftProcedures {
       val path = pathOf(in.getUTF8String(0).toString)
       val m = GraftTable.restore(spark, path, in.getLong(1))
       Seq(m.version, m.liveRows)
+    }
+
+  /** `CALL g.system.shallow_clone(table => 'db.t', dest => 'db.t2')` —
+    * fork a table to a new catalog name sharing the source's data files
+    * (reference `shallow_clone`, `dataset.py`): metadata-only, optional
+    * `version` pins an old snapshot. The dest registers in the same
+    * catalog namespace, so `SELECT ... FROM g.db.t2` works immediately. */
+  def shallowCloneProc(pathOf: String => String): UnboundProcedure =
+    proc("shallow_clone",
+      Array(p("table", DT.StringType), p("dest", DT.StringType),
+        pd("version", DT.LongType, "-1")),
+      StructType(Seq(StructField("dest_path", DT.StringType),
+        StructField("version", DT.LongType),
+        StructField("rows", DT.LongType)))) { in =>
+      val src = pathOf(in.getUTF8String(0).toString)
+      val dst = pathOf(in.getUTF8String(1).toString)
+      val v = in.getLong(2)
+      val m = GraftTable.shallowClone(spark, src, dst,
+        if (v >= 0) Some(v) else None)
+      Seq(dst, m.version, m.liveRows)
     }
 
   def optimizeScalarIndex(pathOf: String => String): UnboundProcedure =

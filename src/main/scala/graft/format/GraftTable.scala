@@ -2866,7 +2866,11 @@ object GraftTable {
     val tagged = tags(spark, tablePath).values.toSet
     val keep = (vs.takeRight(keepLast).toSet ++ tagged)
     val drop = vs.filterNot(keep)
-    if (drop.isEmpty) return
+    // nothing to drop AND the unverified grace is in force ⇒ the sweep
+    // could not delete anything — skip the IO. A zero grace (reference
+    // `delete_unverified=true`) must still sweep orphaned staged files
+    // even when every version is retained.
+    if (drop.isEmpty && unverifiedGraceMillis > 0) return
     // referenced files across surviving manifests — including EVERY branch
     // version (branches share the data dir; dropping a branch's files would
     // corrupt it)

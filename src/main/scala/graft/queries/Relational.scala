@@ -242,6 +242,24 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // AS-OF join (graft.operators.AsofJoin): each click's latest
+    // prior-or-equal purchase by the same user — one key-partitioned
+    // window, never a range join. DuckDB's native ASOF JOIN is the oracle.
+    "q_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          round(col("value"), 2).as("purchase_value"))
+      graft.operators.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_event_id", "purchase_value"), suffix = "")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_event_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     // Random access / take by id list (reference take.rs; §2.1).
     "q_take_by_id" -> { (s, d) =>
       Tables.documents(s, d)
@@ -374,6 +392,14 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_take_by_id" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id IN (3,17,42,99,123,250,499) ORDER BY doc_id""".stripMargin
+        |WHERE doc_id IN (3,17,42,99,123,250,499) ORDER BY doc_id""".stripMargin,
+    // DuckDB's native ASOF JOIN validates the window-based formulation
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS purchase_event_id,
+        |  round(r.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin
   )
 }

@@ -534,6 +534,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(hits.length == 10, s"appended docs searchable after merge: ${hits.length}")
   }
 
+  test("CALL shallow_clone: fork to a new catalog name, shared data, version pin") {
+    val t = freshName(); val t2 = freshName(); val t3 = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1), (2)")
+    s.sql(s"INSERT INTO g.db.$t VALUES (3)")
+    val r = s.sql(s"CALL g.system.shallow_clone(table => 'db.$t', dest => 'db.$t2')")
+      .head()
+    assert(r.getLong(2) == 3L, r.toString)
+    assert(ids(s, s"SELECT id FROM g.db.$t2") == Set(1L, 2L, 3L))
+    // pin an old snapshot (v2 = after the first INSERT)
+    s.sql(s"CALL g.system.shallow_clone(table => 'db.$t', dest => 'db.$t3', " +
+      "version => 2)")
+    assert(ids(s, s"SELECT id FROM g.db.$t3") == Set(1L, 2L))
+    // clone mutations land under the clone; the source never moves
+    s.sql(s"DELETE FROM g.db.$t2 WHERE id = 1")
+    assert(ids(s, s"SELECT id FROM g.db.$t2") == Set(2L, 3L))
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L, 3L))
+  }
+
+  test("CALL cleanup(delete_unverified): reclaims a dead writer's staged file") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1)")
+    s.sql(s"INSERT INTO g.db.$t VALUES (2)")
+    val path = s"$warehouse/db/$t"
+    // a parquet file under data/ that no manifest references — a crashed
+    // writer's staged work
+    val staged = new java.io.File(path, "data/txn-dead")
+    staged.mkdirs()
+    s.range(1).coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(staged, "part").getAbsolutePath)
+    def inflight() = new java.io.File(staged, "part").exists()
+    // default: unverified files inside the 7-day grace survive
+    s.sql(s"CALL g.system.cleanup(table => 'db.$t', keep_last => 1)")
+    assert(inflight(), "young unreferenced files survive the default sweep")
+    // reference delete_unverified=true: sweep them now
+    s.sql(s"CALL g.system.cleanup(table => 'db.$t', keep_last => 1, " +
+      "delete_unverified => true)")
+    assert(!inflight(), "delete_unverified sweeps staged orphans")
+    assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
+  }
+
   test("CALL ivf_model: per-partition centroids and sizes (reference get_ivf_model)") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
