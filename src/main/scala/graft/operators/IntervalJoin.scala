@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range-containment) join: pair every left POINT row with the
+  * right INTERVAL rows that contain it (`start <= pt <= end`), optionally
+  * within equality-key groups. Spark OSS has no range join — the naive
+  * `l.pt BETWEEN r.start AND r.end` plan is a broadcast-nested-loop (or,
+  * keyed, a per-key cross product): |L|·|R| candidate pairs before the
+  * filter, the classic 100 TB blow-up.
+  *
+  * Shape — the leveled binned equi-join formulation; nothing is ever
+  * driver-sized or quadratic:
+  *  1. pick a fine bin width (default: the p95 interval length, from ONE
+  *     single-row aggregate over the right side) — so a typical interval
+  *     overlaps ~1–2 fine bins;
+  *  2. assign each interval the smallest bin LEVEL k (width = fine ×
+  *     `binsCap`^k) at which it spans ≤ ~`binsCap` bins — level 0 for
+  *     all but degenerate outliers, so replication is capped per
+  *     interval at EVERY level, and ≥ 4 levels cover any physical
+  *     domain;
+  *  3. per level present in the data (a metadata-sized driver list, ≤ 5
+  *     values): explode intervals to their covered bins — the bin key is
+  *     the bin's aligned START value `v - pmod(v, width)`, pure integer
+  *     arithmetic, no division-exactness hazard — and equi-join points
+  *     on (keys..., bin). A point's single bin per level meets each
+  *     interval's replica AT MOST ONCE and every interval lives in
+  *     exactly one level — containment pairs appear exactly once, NO
+  *     dedup stage;
+  *  4. filter each leg to true containment, union.
+  *
+  * Cost: one (keys, bin)-keyed shuffle per populated level (one, absent
+  * outliers) + two metadata-sized aggregates on the interval side.
+  * Candidate pairs are bounded by per-bin occupancy, never |L|·|R|;
+  * skewed bins are ordinary equi-join skew (AQE splits them). The same
+  * plan holds at any scale.
+  */
+object IntervalJoin {
+
+  /** @param leftPt   left timestamp/numeric point column
+    * @param rStart   right interval start column (inclusive)
+    * @param rEnd     right interval end column (inclusive; rows with
+    *                 end < start are dropped as empty)
+    * @param on       equality keys present on BOTH sides (may be empty
+    *                 for a pure range join)
+    * @param binWidthMicros fine bin width; <= 0 auto-sizes to the p95
+    *                 interval length (min 1)
+    * @param suffix   appended to right column names that collide with
+    *                 left ones (join keys excepted)
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftPt: String,
+                   rStart: String, rEnd: String, on: Seq[String] = Nil,
+                   binWidthMicros: Long = -1L,
+                   suffix: String = "_r"): DataFrame = {
+    def micros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      // NTZ embeds via the session zone — any fixed offset is monotonic,
+      // which is all the bin arithmetic needs
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => col(c).cast("long")
+    }
+    // aligned bin start: exact floor alignment for any sign (pmod >= 0)
+    def binOf(c: Column, w: Long): Column = c - pmod(c, lit(w))
+
+    // rename right-side collisions FIRST so every later expression
+    // resolves against one consistent set of names
+    val lCols = left.columns.toSet
+    def rename(c: String) = if (lCols.contains(c) && !on.contains(c)) s"$c$suffix" else c
+    val rRen = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, rename(c)))
+    val rs = rename(rStart); val re = rename(rEnd)
+    val r1 = rRen.filter(col(re) >= col(rs))
+
+    val fine: Long =
+      if (binWidthMicros > 0) binWidthMicros
+      else {
+        val row = r1.select(
+          percentile_approx(micros(r1, re) - micros(r1, rs),
+            lit(0.95), lit(1000)).as("w")).head()
+        math.max(1L, if (row.isNullAt(0)) 1L else row.getLong(0))
+      }
+    val binsCap = 4096L
+    // width per level, saturating long multiplication
+    val maxLevel = 4
+    val widths: IndexedSeq[Long] = (0 to maxLevel).scanLeft(fine) { (w, _) =>
+      if (w > Long.MaxValue / binsCap) Long.MaxValue else w * binsCap
+    }.take(maxLevel + 1).toIndexedSeq
+
+    // smallest level k with span/width(k) <= binsCap, i.e. the largest k
+    // such that span > binsCap * width(k-1) (= width(k)), else 0
+    val span = micros(r1, re) - micros(r1, rs)
+    val levelCol = (1 to maxLevel).foldLeft(lit(0)) { (acc, k) =>
+      when(span > widths(k), lit(k)).otherwise(acc)
+    }
+    val rl = r1.withColumn("__lvl", levelCol)
+    val levelsPresent = rl.select(col("__lvl")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    val levels = if (levelsPresent.isEmpty) Array(0) else levelsPresent
+
+    val legs = levels.map { k =>
+      val w = widths(k)
+      val r = rl.filter(col("__lvl") === k).drop("__lvl")
+      val exploded = r.withColumn("__bin",
+        explode(sequence(binOf(micros(r, rs), w), binOf(micros(r, re), w),
+          lit(w))))
+      val l2 = left.withColumn("__bin", binOf(micros(left, leftPt), w))
+      l2.join(exploded, (on :+ "__bin").toSeq, "inner")
+        .filter(col(leftPt) >= col(rs) && col(leftPt) <= col(re))
+        .drop("__bin")
+    }
+    legs.reduce(_ unionByName _)
+  }
+}

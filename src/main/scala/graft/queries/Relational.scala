@@ -260,6 +260,35 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // Gap-based sessionization (graft.operators.Sessionize): per-user
+    // sessions split at >6h gaps — one key-partitioned window (lag +
+    // running sum), the batch twin of session_window. Oracle replays the
+    // same lag/cumsum in DuckDB window SQL.
+    "q_sessionize" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.operators.Sessionize.sessions(ev, Seq("user_id"), "ts",
+          gapSeconds = 21600L, tiebreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+
+    // Interval containment join (graft.operators.IntervalJoin): clicks
+    // inside a 5-minute window after an error by the same user — the
+    // leveled binned equi-join, never a per-key cross product. DuckDB
+    // runs the naive range join as the oracle.
+    "q_interval_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("win_end"))
+      graft.operators.IntervalJoin.intervalJoin(clicks, errors, "ts",
+          "win_start", "win_end", Seq("user_id"))
+        .select(col("click_id"), col("error_id"))
+        .orderBy(col("click_id"), col("error_id"))
+    },
+
     // Random access / take by id list (reference take.rs; §2.1).
     "q_take_by_id" -> { (s, d) =>
       Tables.documents(s, d)
@@ -400,6 +429,33 @@ object Relational {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+    // DuckDB replays the same lag/cumsum window formulation
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // DuckDB runs the naive range join the binned formulation replaces
+    "q_interval_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id
+        | AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 5 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin
   )
 }
