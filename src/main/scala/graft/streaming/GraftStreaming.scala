@@ -60,6 +60,29 @@ object GraftStreaming {
     * hash-partitioned by key across executors and checkpointed by Spark.
     * This is the streaming leg of the dedup family in `operators/Dedup` —
     * dedup-at-ingest before rows ever reach the table. */
+  /** Streaming gap-based sessionization: the Structured Streaming twin of
+    * `operators/Sessionize` (whose spec proves the batch labeling equals
+    * this aggregate's windows). Native `session_window` + a watermark —
+    * Spark's SessionWindowStateStore merges windows per key as events
+    * arrive and EMITS a session only once the watermark passes its close
+    * (Append mode), so late events inside the lateness bound still extend
+    * their session. State is keyed by (keys..., window) and
+    * hash-partitioned across executors; per-key open-session state is
+    * O(open sessions), never O(events). */
+  def sessionizeStream(df: DataFrame, keys: Seq[String], tsCol: String,
+                       gapSeconds: Long, watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "sessionizeStream needs at least one key column")
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds") +:
+        keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select(keys.map(col) :+ col("session_start") :+
+        col("session_end") :+ col("n_events"): _*)
+  }
+
   def dedupStream[K, V](ds: Dataset[V], key: V => K)(
       implicit ke: org.apache.spark.sql.Encoder[K],
       ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {

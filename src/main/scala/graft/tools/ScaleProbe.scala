@@ -169,6 +169,56 @@ object ScaleProbe {
       }
     }
 
+    // ---- events family (r10): sessionize / as-of / interval join.
+    // Replication shifts user_id AND event_id per copy — more users at
+    // constant per-user event density, so window buffers and per-bin
+    // occupancy stay fixed while the corpus grows: each operator is one
+    // (or, interval, two) key-keyed shuffle and the fitted exponent must
+    // stay ~linear. A super-linear reading here would mean a candidate
+    // expansion (interval) or an unpartitioned window (sessionize/asof)
+    // crept back in. ----
+    def eventsRep(f: Int): String = {
+      val p = s"$outDir/events_x$f"
+      ensure(p) {
+        val base = Tables.events(spark, sfDir)
+        (0 until f).map { i =>
+          base.withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(4, f))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+      }
+      p
+    }
+    for (f <- docFactors) {
+      val p = eventsRep(f)
+      time("sessionize", f) {
+        graft.operators.Sessionize.sessions(spark.read.parquet(p),
+          Seq("user_id"), "ts", gapSeconds = 21600L, tiebreak = Seq("event_id"))
+          .agg(count(lit(1))).collect().head.getLong(0)
+      }
+      time("asof_join", f) {
+        val ev = spark.read.parquet(p)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("value")).count()
+      }
+      time("interval_join", f) {
+        val ev = spark.read.parquet(p)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("ts").as("win_start"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("win_end"))
+        graft.operators.IntervalJoin.intervalJoin(clicks, errors, "ts",
+          "win_start", "win_end", Seq("user_id")).count()
+      }
+    }
+
     // ---- near-dup family (salted: constant duplicate density) ----
     for (f <- docFactors) {
       val p = docsSalted(f)
