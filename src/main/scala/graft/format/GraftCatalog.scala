@@ -271,6 +271,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.prewarm_index" => GraftProcedures.prewarmIndex(pathOf)
       case "system.fts_search" => GraftProcedures.ftsSearch(pathOf)
       case "system.knn_search" => GraftProcedures.knnSearch(pathOf)
+      case "system.analyze_knn" => GraftProcedures.analyzeKnn(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -285,7 +286,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "create_branch", "delete_branch", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
-        "prewarm_index", "fts_search", "knn_search")
+        "prewarm_index", "fts_search", "knn_search", "analyze_knn",
+        "ivf_model", "shallow_clone")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -1035,8 +1037,6 @@ private[format] object GraftProcedures {
       require(e.indexType.startsWith("IVF"),
         s"index '$nm' (${e.indexType}) has no IVF model")
       val ip = s"$path/_indices/$nm"
-      val fs = new org.apache.hadoop.fs.Path(ip)
-        .getFileSystem(spark.sessionState.newHadoopConf())
       import org.apache.spark.sql.functions.{col, count, lit}
       val cdf = spark.read.parquet(s"$ip/centroids").orderBy("pid").collect()
       val cents: Seq[(Int, Seq[Double])] = cdf.toSeq.map { r =>
@@ -1048,18 +1048,7 @@ private[format] object GraftProcedures {
           case _ => r.getSeq[Float](1).map(_.toDouble)
         })
       }
-      val stores: Seq[String] =
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$ip/vectors")))
-          Seq(s"$ip/vectors")
-        else {
-          val base =
-            if (fs.exists(new org.apache.hadoop.fs.Path(s"$ip/graph")))
-              Seq(s"$ip/graph")
-            else Nil
-          base ++ fs.listStatus(new org.apache.hadoop.fs.Path(ip))
-            .filter(_.getPath.getName.startsWith("graph_delta_"))
-            .map(_.getPath.toString)
-        }
+      val stores: Seq[String] = ScanAnalyze.indexRowStores(spark, ip)
       val sizes: Map[Int, Long] =
         if (stores.isEmpty) Map.empty
         else spark.read.parquet(stores: _*)
@@ -1264,42 +1253,11 @@ private[format] object GraftProcedures {
         throw new IllegalArgumentException(s"index $nm records no idCol"))
       val idxPath = s"$path/_indices/${e.name}"
       import graft.operators._
-      // read once — run() may execute twice under adaptive probe widening
-      lazy val flatMetric =
-        if (e.indexType == "IVF_FLAT") IvfIndex.readVectorMeta(spark, idxPath)
-        else "l2"
-      def run(np: Int): Seq[Seq[Any]] = {
-        val res = e.indexType match {
-          case "IVF_FLAT" if flatMetric == "hamming" =>
-            // hamming family: the float query's SIGN BITS are the binary
-            // query (the packing the index column was built with)
-            require(range.isEmpty,
-              "distance_range is not supported for hamming indexes")
-            BinaryIvfIndex.searchCombined(spark, path, idxPath, idCol, column,
-              BinaryIvfIndex.packQuery(q), k, np, prefilter = prefilter)
-          case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, metric = flatMetric,
-            prefilter = prefilter, distanceRange = range)
-          case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, refineFactor = refineFactor,
-            prefilter = prefilter, distanceRange = range)
-          case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, refineFactor = refineFactor,
-            prefilter = prefilter, distanceRange = range)
-          case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
-            column, q, k, np, refineFactor = refineFactor,
-            prefilter = prefilter, distanceRange = range)
-          case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
-            path, idxPath, idCol, column, q, k, np, ef = ef,
-            refineFactor = refineFactor, prefilter = prefilter,
-            distanceRange = range)
-          case other => throw new IllegalArgumentException(
-            s"index $nm ($other) is not a vector index")
-        }
-        res.select(org.apache.spark.sql.functions.col(idCol),
+      def run(np: Int): Seq[Seq[Any]] =
+        knnDispatch(spark, path, e, q, k, np, refineFactor, ef, prefilter, range)
+          .select(org.apache.spark.sql.functions.col(idCol),
             org.apache.spark.sql.functions.col(Knn.DistanceCol).cast("double"))
           .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
-      }
       // adaptive probe widening (reference Query minimum_nprobes /
       // maximum_nprobes, `lance-index/src/vector.rs:72-116`): the cheap
       // setting serves the common query; only when a selective prefilter /
@@ -1313,6 +1271,87 @@ private[format] object GraftProcedures {
       if (first.length >= k || maxNprobes <= nprobes ||
           recordedNlist.exists(nprobes >= _)) first
       else run(maxNprobes)
+    }
+
+  /** Family dispatch for an index-assisted ANN search: the one place that
+    * maps a manifest-committed vector IndexMeta to its family's
+    * delete-safe combined search. Shared by `knn_search` and
+    * `analyze_knn`. */
+  private[format] def knnDispatch(spark: SparkSession, path: String,
+      e: IndexMeta, q: Array[Float], k: Int, np: Int,
+      refineFactor: Int, ef: Int,
+      prefilter: Option[org.apache.spark.sql.Column],
+      range: Option[(Double, Double)]): org.apache.spark.sql.DataFrame = {
+    import graft.operators._
+    val m = GraftTable.loadManifest(spark, path)
+    val column = m.logicalName(e.column)
+    val idCol = e.params.getOrElse("idCol",
+      throw new IllegalArgumentException(s"index ${e.name} records no idCol"))
+    val idxPath = s"$path/_indices/${e.name}"
+    lazy val flatMetric =
+      if (e.indexType == "IVF_FLAT") IvfIndex.readVectorMeta(spark, idxPath)
+      else "l2"
+    e.indexType match {
+      case "IVF_FLAT" if flatMetric == "hamming" =>
+        // hamming family: the float query's SIGN BITS are the binary
+        // query (the packing the index column was built with)
+        require(range.isEmpty,
+          "distance_range is not supported for hamming indexes")
+        BinaryIvfIndex.searchCombined(spark, path, idxPath, idCol, column,
+          BinaryIvfIndex.packQuery(q), k, np, prefilter = prefilter)
+      case "IVF_FLAT" => IvfIndex.searchCombined(spark, path, idxPath, idCol,
+        column, q, k, np, metric = flatMetric,
+        prefilter = prefilter, distanceRange = range)
+      case "IVF_PQ" => PqIndex.searchCombined(spark, path, idxPath, idCol,
+        column, q, k, np, refineFactor = refineFactor,
+        prefilter = prefilter, distanceRange = range)
+      case "IVF_SQ" => SqIndex.searchCombined(spark, path, idxPath, idCol,
+        column, q, k, np, refineFactor = refineFactor,
+        prefilter = prefilter, distanceRange = range)
+      case "IVF_RQ" => RqIndex.searchCombined(spark, path, idxPath, idCol,
+        column, q, k, np, refineFactor = refineFactor,
+        prefilter = prefilter, distanceRange = range)
+      case t if t.startsWith("IVF_HNSW") => HnswIndex.searchCombined(spark,
+        path, idxPath, idCol, column, q, k, np, ef = ef,
+        refineFactor = refineFactor, prefilter = prefilter,
+        distanceRange = range)
+      case other => throw new IllegalArgumentException(
+        s"index ${e.name} ($other) is not a vector index")
+    }
+  }
+
+  /** `CALL g.system.analyze_knn(table => 'db.t', name => 'ivf_vec',
+    * query => array(...), k => 10, nprobes => 2)` — the ANN twin of
+    * `analyze` (reference `analyze_plan` covers index scans too,
+    * `sql.rs:226-281`): EXECUTES the family's combined search and reports
+    * the pruning story — partitions probed vs total, index nodes behind
+    * the probed partitions vs total, the fresh-fragment flat-leg volume,
+    * DV masking, and rows returned. The first question a user debugging
+    * ANN latency or recall asks ("how much of the index did this probe
+    * setting actually touch, and how much unindexed data rode along?"). */
+  def analyzeKnn(pathOf: String => String): UnboundProcedure =
+    procRows("analyze_knn",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        p("query", DT.createArrayType(DT.DoubleType)),
+        pd("k", DT.LongType, "10"), pd("nprobes", DT.LongType, "8"),
+        pd("refine_factor", DT.LongType, "10"), pd("ef", DT.LongType, "64")),
+      StructType(Seq(StructField("metric", DT.StringType),
+        StructField("value", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      val q = in.getArray(2).toDoubleArray().map(_.toFloat)
+      val k = in.getLong(3).toInt
+      val np = in.getLong(4).toInt
+      val refineFactor = in.getLong(5).toInt
+      val ef = in.getLong(6).toInt
+      val rows = knnDispatch(spark, path, e, q, k, np, refineFactor, ef,
+        prefilter = None, range = None).count()
+      ScanAnalyze.knnMetrics(spark, path, m, e, q, np) :+
+        Seq[Any]("rows_returned", rows)
     }
 
   /** `CALL g.system.history(table => 'db.t')` — the commit log from

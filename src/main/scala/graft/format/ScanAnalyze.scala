@@ -61,4 +61,69 @@ object ScanAnalyze {
       "dv_rows_masked" -> m.numDeleted,
       "rows_returned" -> rowsReturned)
   }
+
+  /** Row stores backing a vector index's nodes: the IVF `vectors` dataset,
+    * or the HNSW base graph plus its delta generations. */
+  private[format] def indexRowStores(spark: SparkSession, ip: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(ip)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$ip/vectors")))
+      Seq(s"$ip/vectors")
+    else {
+      val base =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$ip/graph")))
+          Seq(s"$ip/graph")
+        else Nil
+      base ++ fs.listStatus(new org.apache.hadoop.fs.Path(ip))
+        .filter(_.getPath.getName.startsWith("graph_delta_"))
+        .map(_.getPath.toString)
+    }
+  }
+
+  /** Planning-side metrics for an ANN search (`CALL g.system.analyze_knn`):
+    * the probe-pruning story every IVF family shares — ranked by the same
+    * centroid model the families' searches use (hamming ranks the packed
+    * sign-bit query). Node counts are ONE nlist-sized aggregate over the
+    * index's own row store, never the table. */
+  private[format] def knnMetrics(spark: SparkSession, tablePath: String,
+      m: GraftManifest, e: IndexMeta, query: Array[Float],
+      nprobes: Int): Seq[Seq[Any]] = {
+    import graft.operators.{BinaryIvfIndex, IvfIndex}
+    import org.apache.spark.sql.functions.{count, lit}
+    val ip = s"$tablePath/_indices/${e.name}"
+    val metric = IvfIndex.readVectorMeta(spark, ip)
+    val (nlist, probes): (Int, Seq[Int]) =
+      if (metric == "hamming") {
+        val bm = BinaryIvfIndex.loadModel(spark, ip)
+        (bm.nlist,
+          bm.rank(BinaryIvfIndex.packQuery(query))
+            .take(math.min(nprobes, bm.nlist)))
+      } else {
+        val model = IvfIndex.loadModel(spark, ip)
+        // cosine families rank in the unit-normalized space
+        val q = if (metric != "cosine") query else {
+          val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+          if (n <= 0.0) query else query.map(x => (x / n).toFloat)
+        }
+        (model.nlist, model.rank(q).take(math.min(nprobes, model.nlist)))
+      }
+    val sizes: Map[Int, Long] =
+      spark.read.parquet(indexRowStores(spark, ip): _*)
+        .groupBy(col(graft.operators.IvfIndex.PidCol)).agg(count(lit(1)))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probed = probes.toSet
+    // fresh (index-uncovered) fragments ride the flat leg of the combined
+    // search — the freshness cost the next optimize_index would retire
+    val covered = e.fragmentIds.toSet
+    val freshRows = m.fragments.filterNot(f => covered.contains(f.id))
+      .map(_.rows).sum
+    Seq(
+      Seq[Any]("partitions_total", nlist.toLong),
+      Seq[Any]("partitions_probed", probed.size.toLong),
+      Seq[Any]("index_nodes_total", sizes.values.sum),
+      Seq[Any]("index_nodes_scanned",
+        sizes.collect { case (p, n) if probed(p) => n }.sum),
+      Seq[Any]("fresh_rows_scanned", freshRows),
+      Seq[Any]("dv_rows_masked", m.numDeleted))
+  }
 }

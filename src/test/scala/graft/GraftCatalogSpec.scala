@@ -576,6 +576,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
   }
 
+  test("CALL analyze_knn: probe pruning, fresh-leg volume, measured rows") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, array(CAST(id % 17 AS FLOAT), " +
+      "CAST(id % 5 AS FLOAT)) FROM range(0, 400)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'vec', " +
+      "index_type => 'IVF_FLAT', nlist => 8)")
+    def metrics(np: Int): Map[String, Long] =
+      s.sql(s"CALL g.system.analyze_knn(table => 'db.$t', name => 'ivf_vec', " +
+        s"query => array(3.0D, 2.0D), k => 5, nprobes => $np)")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m1 = metrics(2)
+    assert(m1("partitions_total") == 8L, m1.toString)
+    assert(m1("partitions_probed") == 2L, m1.toString)
+    assert(m1("index_nodes_total") == 400L, m1.toString)
+    assert(m1("index_nodes_scanned") < 400L && m1("index_nodes_scanned") > 0L,
+      m1.toString)
+    assert(m1("fresh_rows_scanned") == 0L, m1.toString)
+    assert(m1("rows_returned") == 5L, m1.toString)
+    // fresh append rides the flat leg until the next optimize_index
+    s.sql(s"INSERT INTO g.db.$t SELECT id + 1000, array(50.0F, 50.0F) " +
+      "FROM range(0, 30)")
+    val m2 = metrics(8)
+    assert(m2("partitions_probed") == 8L, m2.toString)
+    assert(m2("index_nodes_scanned") == 400L, m2.toString)
+    assert(m2("fresh_rows_scanned") == 30L, m2.toString)
+  }
+
   test("CALL ivf_model: per-partition centroids and sizes (reference get_ivf_model)") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
