@@ -272,6 +272,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.fts_search" => GraftProcedures.ftsSearch(pathOf)
       case "system.knn_search" => GraftProcedures.knnSearch(pathOf)
       case "system.analyze_knn" => GraftProcedures.analyzeKnn(pathOf)
+      case "system.analyze_fts" => GraftProcedures.analyzeFts(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -287,7 +288,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
-        "ivf_model", "shallow_clone")
+        "analyze_fts", "ivf_model", "shallow_clone")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -1176,26 +1177,79 @@ private[format] object GraftProcedures {
               graft.operators.Fts.fuzzyQuery(spark, indexPath, Seq(q),
                 in.getLong(6).toInt, prefixLength = 0, k, allowedDocs = allowed)
           }
-        } else {
-          val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
-            allowedDocs = allowed)
-          // fresh leg: fragments the index does not cover yet are
-          // flat-scored under the stored tokenizer config and merged
-          // before the final cut
-          if (freshFrags.isEmpty) indexed else {
-            val cfg = graft.operators.Fts.loadConfig(spark, indexPath)
-            val fresh0 = GraftTable.readFragments(spark, path, m, freshFrags,
-              withRowId = withId)
-            val fresh = userPred.map(p => fresh0.filter(expr(p))).getOrElse(fresh0)
-            val flat = graft.operators.Fts.matchFlat(fresh, idCol, e.column,
-              Seq(q), k, config = cfg)
-            indexed.unionByName(flat)
-              .orderBy(col("_score").desc, col("doc_id")).limit(k)
-          }
-        }
+        } else ftsMatchCombined(spark, path, m, e, q, k, allowed, userPred)
       // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
       // Seq[Double] and silently widens the id
       merged.collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+    }
+
+  /** BM25 match search with the fresh-fragment flat leg: fragments the
+    * index does not cover yet are flat-scored under the stored tokenizer
+    * config and merged before the final cut. Shared by `fts_search` and
+    * `analyze_fts`. */
+  private[format] def ftsMatchCombined(spark: SparkSession, path: String,
+      m: GraftManifest, e: IndexMeta, q: String, k: Int,
+      allowed: Option[org.apache.spark.sql.DataFrame],
+      userPred: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val indexPath = s"$path/_indices/${e.name}"
+    val idCol = e.params.getOrElse("idCol",
+      throw new IllegalArgumentException(s"index ${e.name} records no idCol"))
+    val freshFrags = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
+    val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
+      allowedDocs = allowed)
+    if (freshFrags.isEmpty) indexed else {
+      val cfg = graft.operators.Fts.loadConfig(spark, indexPath)
+      val fresh0 = GraftTable.readFragments(spark, path, m, freshFrags,
+        withRowId = idCol == GraftTable.RowIdCol)
+      val fresh = userPred.map(p => fresh0.filter(expr(p))).getOrElse(fresh0)
+      val flat = graft.operators.Fts.matchFlat(fresh, idCol, e.column,
+        Seq(q), k, config = cfg)
+      indexed.unionByName(flat)
+        .orderBy(col("_score").desc, col("doc_id")).limit(k)
+    }
+  }
+
+  /** `CALL g.system.analyze_fts(table => 'db.t', name => 'fts_text',
+    * query => 'spark engine', k => 10)` — the FTS twin of `analyze` /
+    * `analyze_knn`: EXECUTES the match search and reports how much of the
+    * inverted index the query actually touched — analyzed terms, matched
+    * dictionary terms, postings rows behind them vs the index total
+    * (dictionary-sized aggregates — `df` per token IS its postings-row
+    * count), the fresh-fragment flat-leg volume, DV masking, and rows
+    * returned. The question behind slow or surprising BM25 results ("did
+    * my query hit a stop word? one enormous posting list?"), from SQL. */
+  def analyzeFts(pathOf: String => String): UnboundProcedure =
+    procRows("analyze_fts",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        p("query", DT.StringType), pd("k", DT.LongType, "10")),
+      StructType(Seq(StructField("metric", DT.StringType),
+        StructField("value", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      require(e.indexType == "FTS", s"index $nm is ${e.indexType}, not FTS")
+      val q = in.getUTF8String(2).toString
+      val k = in.getLong(3).toInt
+      import org.apache.spark.sql.functions.col
+      val idCol = e.params.getOrElse("idCol",
+        throw new IllegalArgumentException(s"index $nm records no idCol"))
+      val allowed =
+        if (m.numDeleted > 0L)
+          Some(GraftTable.read(spark, path,
+            withRowId = idCol == GraftTable.RowIdCol).select(col(idCol)))
+        else None
+      val rows = ftsMatchCombined(spark, path, m, e, q, k, allowed, None).count()
+      val freshRows = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
+        .map(_.rows).sum
+      graft.operators.Fts.matchMetrics(spark, s"$path/_indices/${e.name}", Seq(q))
+        .map { case (n, v) => Seq[Any](n, v) } ++ Seq(
+        Seq[Any]("fresh_rows_scanned", freshRows),
+        Seq[Any]("dv_rows_masked", m.numDeleted),
+        Seq[Any]("rows_returned", rows))
     }
 
   /** `CALL g.system.knn_search(table => 'db.t', name => 'ivf_vec',

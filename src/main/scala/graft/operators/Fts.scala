@@ -343,6 +343,29 @@ object Fts {
     terms.flatMap(FtsTokenizer.tokens(_, cfg))
   }
 
+  /** Planning metrics for a match query (`CALL g.system.analyze_fts`):
+    * how much of the index the token-pushdown scan will actually read.
+    * Every aggregate here runs over the DICTIONARY (termstats — one row
+    * per distinct token), never the postings, so the debugging surface
+    * stays metadata-cheap at any corpus size: `df` per token IS the
+    * token's postings-row count, maintained through incremental appends
+    * and segment merges. */
+  def matchMetrics(spark: SparkSession, indexPath: String,
+                   terms: Seq[String]): Seq[(String, Long)] = {
+    val p = paths(indexPath)
+    val toks = queryTerms(spark, indexPath, terms)
+    val ts = spark.read.parquet(p.termstats)
+    val hit = ts.filter(col("token").isin(toks: _*))
+      .agg(count(lit(1)), coalesce(sum(col("df")), lit(0.0d))).head()
+    val all = ts.agg(count(lit(1)), coalesce(sum(col("df")), lit(0.0d))).head()
+    Seq(
+      "query_terms" -> toks.length.toLong,
+      "terms_matched" -> hit.getLong(0),
+      "postings_rows_scanned" -> hit.getDouble(1).toLong,
+      "terms_total" -> all.getLong(0),
+      "postings_rows_total" -> all.getDouble(1).toLong)
+  }
+
   /** Distributed inverted-index build (reference `inverted/builder.rs`).
     *
     * One tokenization pass: the tokenized corpus is cached, postings are

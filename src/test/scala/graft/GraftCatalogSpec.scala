@@ -576,6 +576,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
   }
 
+  test("CALL analyze_fts: postings touched vs total, stop-word visibility") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, body STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "CASE WHEN id < 20 THEN 'needle in a stack' " +
+      "ELSE concat('plain filler document ', id) END FROM range(0, 200)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      "index_type => 'FTS')")
+    def metrics(q: String): Map[String, Long] =
+      s.sql(s"CALL g.system.analyze_fts(table => 'db.$t', name => 'fts_body', " +
+        s"query => '$q', k => 5)")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m1 = metrics("needle")
+    assert(m1("query_terms") == 1L && m1("terms_matched") == 1L, m1.toString)
+    assert(m1("postings_rows_scanned") == 20L, m1.toString)
+    assert(m1("postings_rows_total") > m1("postings_rows_scanned"), m1.toString)
+    assert(m1("fresh_rows_scanned") == 0L, m1.toString)
+    assert(m1("rows_returned") == 5L, m1.toString)
+    // a term absent from the dictionary — the metrics SHOW the query
+    // analyzed to one term but touched zero postings
+    val m2 = metrics("zzzmissing")
+    assert(m2("query_terms") == 1L && m2("terms_matched") == 0L, m2.toString)
+    assert(m2("postings_rows_scanned") == 0L && m2("rows_returned") == 0L,
+      m2.toString)
+    // fresh append rides the flat leg until the next optimize_index
+    s.sql(s"INSERT INTO g.db.$t SELECT id + 1000, 'needle fresh' " +
+      "FROM range(0, 7)")
+    val m3 = metrics("needle")
+    assert(m3("fresh_rows_scanned") == 7L, m3.toString)
+    assert(m3("rows_returned") == 5L, m3.toString)
+  }
+
   test("CALL analyze_knn: probe pruning, fresh-leg volume, measured rows") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")
