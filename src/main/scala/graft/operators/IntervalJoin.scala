@@ -111,4 +111,41 @@ object IntervalJoin {
     }
     legs.reduce(_ unionByName _)
   }
+
+  /** Interval-OVERLAP join: pair left intervals `[lStart, lEnd]` with
+    * right intervals `[rStart, rEnd]` that overlap them
+    * (`lStart <= rEnd && rStart <= lEnd`), optionally within equality-key
+    * groups — the interval×interval twin of [[intervalJoin]] (log-window
+    * correlation, feature-window alignment).
+    *
+    * Decomposition instead of two-sided explosion: every overlapping pair
+    * falls in exactly one of
+    *  - `lStart` inside the right interval (`rStart <= lStart <= rEnd`) —
+    *    a point-in-interval join probing with the left STARTS;
+    *  - `rStart` STRICTLY inside the left interval
+    *    (`lStart < rStart <= lEnd`) — the mirrored point-in-interval join.
+    * The two legs are disjoint (the strict bound) and complete, so the
+    * union is exactly-once with NO dedup stage — and each leg is the
+    * leveled [[intervalJoin]], whose replication is capped on the INTERVAL
+    * side only; points never explode, so a degenerate-long interval on
+    * EITHER side stays bounded.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String, on: Seq[String] = Nil,
+                  binWidthMicros: Long = -1L,
+                  suffix: String = "_r"): DataFrame = {
+    // rename right collisions ONCE; both legs then operate on disjoint
+    // names and neither nested call renames anything further
+    val lCols = left.columns.toSet
+    def rename(c: String) = if (lCols.contains(c) && !on.contains(c)) s"$c$suffix" else c
+    val rRen = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, rename(c)))
+    val rs = rename(rStart); val re = rename(rEnd)
+    val l1 = left.filter(col(lEnd) >= col(lStart))
+    val r1 = rRen.filter(col(re) >= col(rs))
+    val legA = intervalJoin(l1, r1, lStart, rs, re, on, binWidthMicros, suffix)
+    val legB = intervalJoin(r1, l1, rs, lStart, lEnd, on, binWidthMicros, suffix)
+      .filter(col(lStart) < col(rs))
+    legA.unionByName(legB)
+  }
 }

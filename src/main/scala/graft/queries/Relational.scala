@@ -289,6 +289,24 @@ object Relational {
         .orderBy(col("click_id"), col("error_id"))
     },
 
+    // Interval-overlap join (graft.operators.IntervalJoin.overlapJoin):
+    // 10-min windows after an error overlapping 5-min windows after a
+    // purchase by the same user — decomposed into two disjoint
+    // point-in-interval legs, never a per-key cross product.
+    "q_overlap_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("es"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("ee"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("ps"), (col("ts") + expr("INTERVAL 5 MINUTES")).as("pe"))
+      graft.operators.IntervalJoin.overlapJoin(errors, purchases,
+          "es", "ee", "ps", "pe", Seq("user_id"))
+        .select(col("error_id"), col("purchase_id"))
+        .orderBy(col("error_id"), col("purchase_id"))
+    },
+
     // Random access / take by id list (reference take.rs; §2.1).
     "q_take_by_id" -> { (s, d) =>
       Tables.documents(s, d)
@@ -449,6 +467,15 @@ object Relational {
         |  max(ts) AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // DuckDB runs the naive overlap join the decomposition replaces
+    "q_overlap_join" ->
+      """SELECT l.event_id AS error_id, r.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND l.ts <= r.ts + INTERVAL 5 MINUTE
+        | AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |ORDER BY error_id, purchase_id""".stripMargin,
     // DuckDB runs the naive range join the binned formulation replaces
     "q_interval_join" ->
       """SELECT l.event_id AS click_id, r.event_id AS error_id

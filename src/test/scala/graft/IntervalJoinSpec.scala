@@ -67,6 +67,31 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 11L)), got.toString)
   }
 
+  test("overlap join == naive overlap join, exactly-once (randomized)") {
+    val rnd = new scala.util.Random(23)
+    val lhs = (0 until 400).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong, rnd.nextInt(6).toLong, s, s + rnd.nextInt(800))
+    }.toDF("l_id", "k", "ls", "le")
+    val rhs = ((0 until 300).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong, rnd.nextInt(6).toLong, s, s + rnd.nextInt(500))
+    } ++ Seq(
+      // a corpus-spanning outlier interval on EACH side: both stay
+      // bounded because only interval sides replicate, never points
+      (300L, 2L, 0L, 99999L)
+    )).toDF("r_id", "k", "s", "e")
+    val got = IntervalJoin.overlapJoin(lhs, rhs, "ls", "le", "s", "e",
+        Seq("k"), binWidthMicros = 200L)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSeq
+    val want = lhs.join(rhs, lhs("k") === rhs("k") &&
+        lhs("ls") <= rhs("e") && rhs("s") <= lhs("le"))
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == want.sorted,
+      s"got ${got.length} pairs want ${want.length}")
+    assert(got.distinct.length == got.length, "pairs must appear exactly once")
+  }
+
   test("the plan is an equi-join — never a nested-loop / cartesian product") {
     val pts = Seq((1L, 1L, 100L)).toDF("pt_id", "k", "pt")
     val ivs = Seq((10L, 1L, 90L, 120L)).toDF("iv_id", "k", "s", "e")
