@@ -273,6 +273,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.knn_search" => GraftProcedures.knnSearch(pathOf)
       case "system.analyze_knn" => GraftProcedures.analyzeKnn(pathOf)
       case "system.analyze_fts" => GraftProcedures.analyzeFts(pathOf)
+      case "system.blob_slice" => GraftProcedures.blobSlice(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -288,7 +289,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
-        "analyze_fts", "ivf_model", "shallow_clone")
+        "analyze_fts", "ivf_model", "shallow_clone", "blob_slice")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -1181,6 +1182,37 @@ private[format] object GraftProcedures {
       // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
       // Seq[Double] and silently widens the id
       merged.collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getDouble(1)))
+    }
+
+  /** `CALL g.system.blob_slice(table => 'db.t', `column` => 'payload',
+    * addr => 42, offset => 0, length => 4096)` — ranged read of one lazy
+    * blob from SQL (reference `take_blobs` + `BlobFile.read`,
+    * `blob.rs:42-168`): resolves the row's descriptor without touching
+    * payload bytes, then ONE seek+read of exactly the requested span.
+    * `addr` is the row's `_rowaddr`. Returns the descriptor alongside the
+    * bytes so a caller can page through a multi-GB blob with repeated
+    * slices. */
+  def blobSlice(pathOf: String => String): UnboundProcedure =
+    proc("blob_slice",
+      Array(p("table", DT.StringType), p("column", DT.StringType),
+        p("addr", DT.LongType), pd("offset", DT.LongType, "0"),
+        pd("length", DT.LongType, "65536")),
+      StructType(Seq(StructField("addr", DT.LongType),
+        StructField("blob_length", DT.LongType),
+        StructField("bytes", DT.BinaryType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val colName = in.getUTF8String(1).toString
+      val addr = in.getLong(2)
+      val offset = in.getLong(3)
+      val length = in.getLong(4)
+      require(length >= 0 && length <= Int.MaxValue,
+        s"length must be in [0, ${Int.MaxValue}], got $length")
+      val refs = BlobStore.takeBlobRefs(spark, path, Seq(addr), colName)
+      require(refs.nonEmpty,
+        s"row $addr has no blob in '$colName' (missing row or null payload)")
+      val ref = refs.head
+      Seq(ref.addr, ref.length,
+        BlobStore.readRange(spark, path, ref, offset, length.toInt))
     }
 
   /** BM25 match search with the fresh-fragment flat leg: fragments the

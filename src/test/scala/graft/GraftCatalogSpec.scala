@@ -576,6 +576,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(s, s"SELECT id FROM g.db.$t") == Set(1L, 2L))
   }
 
+  test("CALL blob_slice: ranged lazy-blob read from SQL") {
+    val t = freshName()
+    val path = s"$warehouse/db/$t"
+    val payload = Array.tabulate(100000)(i => ((i * 131) & 0xFF).toByte)
+    import s.implicits._
+    val df = Seq((1L, payload), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    GraftTable.write(
+      graft.format.BlobStore.packBlobs(df, path, "payload"), path, "overwrite")
+    val addr = GraftTable.read(s, path, withRowAddr = true)
+      .filter($"id" === 1L)
+      .select(org.apache.spark.sql.functions.col(GraftTable.RowAddrCol))
+      .head().getLong(0)
+    val r = s.sql(s"CALL g.system.blob_slice(table => 'db.$t', " +
+      s"`column` => 'payload', addr => $addr, offset => 1000, length => 64)")
+      .head()
+    assert(r.getLong(1) == 100000L, r.toString)
+    assert(r.getAs[Array[Byte]](2).toSeq == payload.slice(1000, 1064).toSeq)
+    // a null payload has no blob to hand out — clear error, not a NPE
+    val nullAddr = GraftTable.read(s, path, withRowAddr = true)
+      .filter($"id" === 2L)
+      .select(org.apache.spark.sql.functions.col(GraftTable.RowAddrCol))
+      .head().getLong(0)
+    val err = intercept[Exception] {
+      s.sql(s"CALL g.system.blob_slice(table => 'db.$t', " +
+        s"`column` => 'payload', addr => $nullAddr)").collect()
+    }
+    assert(err.getMessage.contains("no blob"), err.getMessage)
+  }
+
   test("CALL analyze_fts: postings touched vs total, stop-word visibility") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, body STRING) USING graft")
