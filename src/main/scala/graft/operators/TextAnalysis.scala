@@ -211,6 +211,55 @@ object TextAnalysis {
     res
   }
 
+  /** CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2019,
+    * arXiv:1911.00359 §4.2 — the filtering stage that keeps the
+    * "Wikipedia-like" slice of a crawl): train an add-alpha-smoothed
+    * bigram LM on the reference slice (`isRef` rows), then score EVERY
+    * document by per-bigram cross-entropy under it. Low perplexity ≈
+    * fluent/in-domain; pipelines keep the head/middle of the per-language
+    * perplexity distribution.
+    *
+    * Returns (idCol, n_bigrams, ppl) for every document with ≥2 tokens,
+    * ppl rounded to 4 decimals:
+    * `P(w2|w1) = (c_ref(w1 w2) + α) / (c_ref(w1 ·) + α·V)`,
+    * `ppl(doc) = exp(−Σ log P / n_bigrams)` — V = reference vocabulary
+    * size (distinct unigrams).
+    *
+    * Scale shape: the LM "tables" are plain aggregates of ONE exploded
+    * bigram pass over the reference slice (map-side combined, pruned at
+    * the scan when `isRef` is a pushable predicate); scoring is the
+    * standard count-join plan — per-doc bigram counts (map-side combined)
+    * joined to the model by gram key and by history key, two
+    * gram-partitioned shuffle joins that AQE broadcasts when the model is
+    * small. Nothing is quadratic and nothing funnels through one task; V
+    * is the only driver-side value (a single long). */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+                 isRef: Column, alpha: Double = 0.1): DataFrame = {
+    val bigr = df
+      .select(col(idCol), isRef.as("is_ref"), tokens(col(textCol)).as("w"))
+      .select(col(idCol), col("is_ref"), explode(shingles(col("w"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val refB = bigr.filter(col("is_ref"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"),
+        first(col("w1")).as("bw1"))
+    val refH = refB.groupBy(col("bw1").as("w1")).agg(sum(col("cb")).as("ch"))
+    // reference vocabulary size — a single driver-side long (metadata-sized)
+    val vocab = df.filter(isRef)
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val docB = bigr.groupBy(col(idCol), col("g"), col("w1"))
+      .agg(count(lit(1)).as("c"))
+    docB
+      .join(refB.select(col("g"), col("cb")), Seq("g"), "left")
+      .join(refH, Seq("w1"), "left")
+      .withColumn("lp", col("c") * log(
+        (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("ch"), lit(0L)) + lit(alpha * vocab))))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        round(exp(-sum(col("lp")) / sum(col("c"))), 4).as("ppl"))
+  }
+
   /** Every Window in the optimized plan must be partitioned: an
     * unpartitioned window funnels its whole input through ONE task, however
     * large the cluster — the exact anti-pattern Spark's own

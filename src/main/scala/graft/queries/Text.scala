@@ -139,6 +139,16 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet perplexity filtering (Wenzek et al. 2019 §4.2): bigram LM
+    // trained on the src0 slice, every document scored by cross-entropy
+    // under it. Counts, smoothing, and the log-sum are exact arithmetic —
+    // DuckDB replays the identical model from the same tokenization.
+    "q_perplexity" -> { (s, d) =>
+      TA.perplexity(Tables.documents(s, d), "doc_id", "text",
+        isRef = col("source") === "src0", alpha = 0.1)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup — sketch values are engine-specific, so the gate
     // records a rows-only check (no oracle entry).
     "q_simhash_dedup" -> { (s, d) =>
@@ -435,6 +445,30 @@ object Text {
         |WHERE len(list_intersect(a.sh,b.sh))*1.0
         |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |gr AS (
+        |  SELECT doc_id, source,
+        |    unnest([w[i] || ' ' || w[i+1]
+        |            for i in generate_series(1, len(w)-1)]) AS g
+        |  FROM tok),
+        |db AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2),
+        |rb AS (SELECT g, count(*) AS cb FROM gr WHERE source = 'src0' GROUP BY 1),
+        |rh AS (SELECT string_split(g,' ')[1] AS w1, sum(cb) AS ch
+        |       FROM rb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u.t) AS vsz
+        |      FROM (SELECT unnest(w) AS t FROM tok WHERE source = 'src0') u)
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+        |  round(exp(-sum(db.c * ln((coalesce(rb.cb,0) + 0.1)
+        |                           / (coalesce(rh.ch,0) + 0.1 * v.vsz)))
+        |            / sum(db.c)), 4) AS ppl
+        |FROM db
+        |LEFT JOIN rb ON db.g = rb.g
+        |LEFT JOIN rh ON string_split(db.g,' ')[1] = rh.w1
+        |CROSS JOIN v
+        |GROUP BY db.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_pack_shards" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,

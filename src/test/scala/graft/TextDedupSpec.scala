@@ -206,4 +206,35 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Option[String])].collect().toSeq
     assert(got8 == got)
   }
+
+  test("perplexity: bigram LM cross-entropy matches hand arithmetic") {
+    // reference slice = src "a"; its bigram counts:
+    //   "x y": 2, "y x": 1, "y z": 1 → history c("x ·")=2, c("y ·")=2, V=3
+    val corpus = Seq(
+      (1L, "x y x y z", "a"),
+      (2L, "x y", "b"),   // in-domain: the LM's most likely bigram
+      (3L, "q r", "b"),   // out-of-domain: every bigram unseen
+      (4L, "x", "b")      // <2 tokens → no bigrams → absent from output
+    ).toDF("doc_id", "text", "src")
+    val out = TA.perplexity(corpus, "doc_id", "text", $"src" === "a",
+      alpha = 0.5).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val v = 3.0
+    def p(cb: Double, ch: Double) = (cb + 0.5) / (ch + 0.5 * v)
+    def ppl(ps: Seq[Double]) =
+      BigDecimal(math.exp(-ps.map(math.log).sum / ps.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Seq(
+      (1L, 4L, ppl(Seq(p(2, 2), p(1, 2), p(2, 2), p(1, 2)))),
+      (2L, 1L, ppl(Seq(p(2, 2)))),
+      (3L, 1L, ppl(Seq(p(0, 0)))))
+    assert(out == exp, s"got $out expected $exp")
+    // the in-domain doc scores strictly lower perplexity than the unseen one
+    assert(out(1)._3 < out(2)._3)
+    // partitioning-invariant
+    val out8 = TA.perplexity(corpus.repartition(8), "doc_id", "text",
+      $"src" === "a", alpha = 0.5).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out8 == out)
+  }
 }
