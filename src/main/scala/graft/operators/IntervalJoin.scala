@@ -53,14 +53,10 @@ object IntervalJoin {
                    rStart: String, rEnd: String, on: Seq[String] = Nil,
                    binWidthMicros: Long = -1L,
                    suffix: String = "_r"): DataFrame = {
-    def micros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      // NTZ embeds via the session zone — any fixed offset is monotonic,
-      // which is all the bin arithmetic needs
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
-      case _ => col(c).cast("long")
-    }
+    // NTZ pins to UTC (see TimeMicros): the session zone is not a fixed
+    // offset under DST, and bin arithmetic needs monotonicity
+    def micros(df: DataFrame, c: String): Column =
+      TimeMicros.micros(col(c), df.schema(c).dataType)
     // aligned bin start: exact floor alignment for any sign (pmod >= 0)
     def binOf(c: Column, w: Long): Column = c - pmod(c, lit(w))
 
@@ -72,14 +68,19 @@ object IntervalJoin {
     val rs = rename(rStart); val re = rename(rEnd)
     val r1 = rRen.filter(col(re) >= col(rs))
 
+    // ONE aggregate over the interval side supplies everything the
+    // planner needs: the p95 width (fine bin sizing) and the span range
+    // (populated-level bounds) — previously two full passes (a p95 job +
+    // a levelsPresent distinct().collect()); at 100 TB the second pass
+    // was a whole extra scan of the interval table per join call.
+    val span = micros(r1, re) - micros(r1, rs)
+    val stats = r1.select(
+      percentile_approx(span, lit(0.95), lit(1000)).as("w"),
+      min(span).as("mn"), max(span).as("mx")).head()
+    val empty = stats.isNullAt(0)
     val fine: Long =
       if (binWidthMicros > 0) binWidthMicros
-      else {
-        val row = r1.select(
-          percentile_approx(micros(r1, re) - micros(r1, rs),
-            lit(0.95), lit(1000)).as("w")).head()
-        math.max(1L, if (row.isNullAt(0)) 1L else row.getLong(0))
-      }
+      else math.max(1L, if (empty) 1L else stats.getLong(0))
     val binsCap = 4096L
     // width per level, saturating long multiplication
     val maxLevel = 4
@@ -89,14 +90,19 @@ object IntervalJoin {
 
     // smallest level k with span/width(k) <= binsCap, i.e. the largest k
     // such that span > binsCap * width(k-1) (= width(k)), else 0
-    val span = micros(r1, re) - micros(r1, rs)
+    def levelOf(s: Long): Int =
+      (1 to maxLevel).foldLeft(0)((acc, k) => if (s > widths(k)) k else acc)
     val levelCol = (1 to maxLevel).foldLeft(lit(0)) { (acc, k) =>
       when(span > widths(k), lit(k)).otherwise(acc)
     }
     val rl = r1.withColumn("__lvl", levelCol)
-    val levelsPresent = rl.select(col("__lvl")).distinct().collect()
-      .map(_.getInt(0)).sorted
-    val levels = if (levelsPresent.isEmpty) Array(0) else levelsPresent
+    // level assignment is monotone in span, so the populated levels lie
+    // in [levelOf(min), levelOf(max)]; a leg whose level holds no
+    // intervals explodes to zero rows and AQE's empty-relation
+    // propagation eliminates the join at runtime — hashes unchanged
+    val levels: Seq[Int] =
+      if (empty) Seq(0)
+      else levelOf(stats.getLong(1)) to levelOf(stats.getLong(2))
 
     val legs = levels.map { k =>
       val w = widths(k)

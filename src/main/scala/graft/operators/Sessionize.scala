@@ -34,15 +34,10 @@ object Sessionize {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(tsCol), 1).over(w)
-    // NTZ embeds via the session zone — any fixed offset is monotonic,
-    // which is all the gap arithmetic needs
+    // NTZ pins to UTC (see TimeMicros): the session zone is not a fixed
+    // offset under DST, and gap arithmetic needs monotonicity
     def micros(c: org.apache.spark.sql.Column) =
-      df.schema(tsCol).dataType match {
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _ => c.cast("long")
-      }
+      TimeMicros.micros(c, df.schema(tsCol).dataType)
     val newSession = when(prev.isNull
         .or(micros(col(tsCol)) - micros(prev) > gapSeconds * 1000000L),
       1L).otherwise(0L)

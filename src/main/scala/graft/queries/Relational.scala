@@ -249,10 +249,15 @@ object Relational {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // Pre-aggregate purchases to one row per (user_id, ts), keeping the
+      // max event_id — DuckDB's native ASOF JOIN leaves the choice among
+      // equal-ts right rows unspecified, so the gate pins the tie rule
+      // explicitly on BOTH sides instead of relying on testdata having no
+      // (user_id, ts) duplicates.
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("purchase_event_id"),
-          round(col("value"), 2).as("purchase_value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_event_id"),
+          round(max_by(col("value"), col("event_id")), 2).as("purchase_value"))
       graft.operators.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"),
           "ts", "ts", Seq("purchase_event_id", "purchase_value"), suffix = "")
         .select(col("event_id"), col("user_id"),
@@ -266,8 +271,18 @@ object Relational {
     // same lag/cumsum in DuckDB window SQL.
     "q_sessionize" -> { (s, d) =>
       val ev = Tables.events(s, d)
+      // Session bounds emitted as BIGINT micros: the driver's hasher
+      // renders raw-microsecond timestamps differently across engines,
+      // so hash-proof them the same way the packs round() doubles.
+      val tsType = ev.schema("ts").dataType
       graft.operators.Sessionize.sessions(ev, Seq("user_id"), "ts",
           gapSeconds = 21600L, tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("session_idx"),
+          graft.operators.TimeMicros.micros(col("session_start"), tsType)
+            .as("session_start_us"),
+          graft.operators.TimeMicros.micros(col("session_end"), tsType)
+            .as("session_end_us"),
+          col("n_events"))
         .orderBy(col("user_id"), col("session_idx"))
     },
 
@@ -445,8 +460,11 @@ object Relational {
       """SELECT l.event_id, l.user_id, r.event_id AS purchase_event_id,
         |  round(r.value, 2) AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |) r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
     // DuckDB replays the same lag/cumsum window formulation
     "q_sessionize" ->
@@ -463,8 +481,9 @@ object Relational {
         |      ROWS UNBOUNDED PRECEDING) AS session_idx
         |  FROM flagged
         |)
-        |SELECT user_id, session_idx, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_events
+        |SELECT user_id, session_idx,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
     // DuckDB runs the naive overlap join the decomposition replaces
