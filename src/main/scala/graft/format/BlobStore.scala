@@ -39,6 +39,15 @@ object BlobStore {
   private val rootsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
+  /** Drop the cached blob-root chain for a table. Called from the commit
+    * path (GraftTable.tryCommit) so a drop/recreate, overwrite, or
+    * re-clone at the same path never serves stale roots for the rest of
+    * the JVM's lifetime. Cross-process staleness cannot arise: the chain
+    * is only consulted for relative descriptors that MISS locally, and a
+    * miss re-probes the filesystem per root on every call. */
+  private[format] def invalidateRoots(tablePath: String): Unit =
+    rootsCache.remove(tablePath)
+
   val descriptorType: StructType = StructType(Seq(
     StructField("file", StringType),
     StructField("offset", LongType, nullable = false),

@@ -251,6 +251,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.delete_tag" => GraftProcedures.deleteTag(pathOf)
       case "system.update_tag" => GraftProcedures.updateTag(pathOf)
       case "system.analyze" => GraftProcedures.analyzeProc(pathOf)
+      case "system.analyze_query" => GraftProcedures.analyzeQuery()
       case "system.branches" => GraftProcedures.branchesList(pathOf)
       case "system.create_branch" => GraftProcedures.createBranch(pathOf)
       case "system.delete_branch" => GraftProcedures.deleteBranch(pathOf)
@@ -284,7 +285,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag",
-        "tags", "delete_tag", "update_tag", "analyze", "branches",
+        "tags", "delete_tag", "update_tag", "analyze", "analyze_query",
+        "branches",
         "create_branch", "delete_branch", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
@@ -621,12 +623,34 @@ private[format] object GraftProcedures {
       StructType(Seq(StructField("metric", DT.StringType),
         StructField("value", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
-      val predicate = Option(in.getUTF8String(1).toString).filter(_.trim.nonEmpty)
-      val cols = in.getUTF8String(2).toString.split(",").map(_.trim)
-        .filter(_.nonEmpty).toSeq
+      // a debugging procedure fails with a clear message on explicit
+      // NULLs, never an NPE (getUTF8String returns null for NULL input)
+      val predicate = Option(in.getUTF8String(1)).map(_.toString)
+        .filter(_.trim.nonEmpty)
+      val cols = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val version = in.getLong(3) match { case -1L => None; case v => Some(v) }
       ScanAnalyze.analyze(spark, path, predicate, cols, version)
         .map { case (k, v) => Seq(k, v) }
+    }
+
+  /** `CALL g.system.analyze_query(query => 'SELECT ... JOIN ...')` — the
+    * arbitrary-plan twin of `analyze` (reference `analyze_plan` instruments
+    * ANY plan, `sql.rs:226-281`): executes the SQL once and reports every
+    * graft scan leaf's fragment pruning, so a multi-table join debugger
+    * sees which side's pruning failed from one CALL. */
+  def analyzeQuery(): UnboundProcedure =
+    procRows("analyze_query",
+      Array(p("query", DT.StringType)),
+      StructType(Seq(StructField("scan", DT.IntegerType),
+        StructField("table_path", DT.StringType),
+        StructField("metric", DT.StringType),
+        StructField("value", DT.LongType)))) { in =>
+      val sql = Option(in.getUTF8String(0)).map(_.toString)
+        .filter(_.trim.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "analyze_query: `query` must be a non-empty SQL string"))
+      ScanAnalyze.analyzeSql(spark, sql)
     }
 
   /** `CALL g.system.update_tag(table => 'db.t', name => 'prod', version => 7)`

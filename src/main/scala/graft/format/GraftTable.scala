@@ -214,7 +214,13 @@ object GraftTable {
         val stamped = m.copy(commitTsMillis = math.max(System.currentTimeMillis(), parentTs + 1))
         val out = f.create(tmpP, /*overwrite=*/ true)
         try out.write(GraftManifest.toJson(stamped).getBytes("UTF-8")) finally out.close()
-        if (f.rename(tmpP, p)) true
+        if (f.rename(tmpP, p)) {
+          // every successful commit may change blob-root config (overwrite,
+          // re-clone, drop/recreate at the same path) — drop the per-JVM
+          // cached root chain so the next point read re-resolves
+          BlobStore.invalidateRoots(tablePath)
+          true
+        }
         else { f.delete(tmpP, false); false }
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false

@@ -2,7 +2,7 @@ package graft.format
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, shiftright}
 
 /** EXPLAIN ANALYZE-equivalent for graft scans (reference `analyze_plan`,
   * Python `dataset.py`; per-scan metrics `rust/lance/src/io/exec/
@@ -58,8 +58,73 @@ object ScanAnalyze {
       "fragments_pruned" -> (m.fragments.length - kept.length).toLong,
       "rows_in_scanned_fragments" -> kept.map(_.rows).sum,
       "bytes_in_scanned_fragments" -> kept.map(_.sizeBytes).sum,
-      "dv_rows_masked" -> m.numDeleted,
+      "dv_rows_masked" -> dvRowsMasked(spark, tablePath, m, kept),
       "rows_returned" -> rowsReturned)
+  }
+
+  /** DV rows the SCAN actually masked — deletions behind the KEPT
+    * fragments, not the table-global `numDeleted` (reference counts
+    * per-scan masking, `filtered_read.rs:208-230`): on a table where
+    * pruning skips the deletion-heavy fragments, the global number is
+    * misleading exactly when the tool matters. All-kept and no-DV cases
+    * answer from the manifest with zero IO; a genuinely partial scan
+    * pays one aggregate over the (small) DV address files. */
+  private[format] def dvRowsMasked(spark: SparkSession, tablePath: String,
+      m: GraftManifest, kept: Seq[FragmentMeta]): Long = {
+    if (m.dvFiles.isEmpty || m.numDeleted == 0L || kept.isEmpty) 0L
+    else if (kept.length == m.fragments.length) m.numDeleted
+    else {
+      val t = new org.apache.hadoop.fs.Path(tablePath)
+      val dv = spark.read.parquet(m.dvFiles.map(p =>
+        new org.apache.hadoop.fs.Path(t, p).toString): _*)
+      // addr = fragId << 32 | position (Manifest.scala dvFiles docs)
+      val keptIds = kept.map(_.id)
+      dv.filter(shiftright(col("addr"), 32).isin(keptIds: _*)).count()
+    }
+  }
+
+  /** [[analyze]] for an ARBITRARY SQL query (reference `analyze_plan`
+    * instruments ANY plan DataFusion built, `sql.rs:226-281`, not just
+    * single-table scans): EXECUTES the query once and reports, for EVERY
+    * graft scan leaf in the optimized plan, that table's fragment-pruning
+    * story — so a user debugging a slow multi-table join can ask "which
+    * side's pruning failed" from one surface. Rows are
+    * (scan ordinal, table path, metric, value); scan -1 carries the
+    * query-level rows_returned / graft_scans counters. Requires
+    * GraftExtensions for catalog tables (GraftSqlRule swaps the DSv2
+    * relation for the GraftFileIndex-backed native plan; the V1 fallback
+    * scan exposes no fragment metadata — such a plan reports 0 leaves). */
+  def analyzeSql(spark: SparkSession, sql: String): Seq[Seq[Any]] = {
+    val qe = spark.sql(sql).queryExecution
+    val leaves = qe.optimizedPlan.collect {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] &&
+            lr.relation.asInstanceOf[HadoopFsRelation]
+              .location.isInstanceOf[GraftFileIndex] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[GraftFileIndex]
+    }
+    // execute THIS QueryExecution so each leaf's pruning observability
+    // (lastKept) belongs to the plan that actually ran
+    val rowsReturned = qe.toRdd.count()
+    val header = Seq(
+      Seq[Any](-1, "(query)", "rows_returned", rowsReturned),
+      Seq[Any](-1, "(query)", "graft_scans", leaves.length.toLong))
+    header ++ leaves.zipWithIndex.flatMap { case (idx, i) =>
+      val m = idx.manifest
+      val kept = idx.lastKept
+      val tbl = idx.tablePath.toString
+      Seq(
+        Seq[Any](i, tbl, "fragments_total", m.fragments.length.toLong),
+        Seq[Any](i, tbl, "fragments_scanned", kept.length.toLong),
+        Seq[Any](i, tbl, "fragments_pruned",
+          (m.fragments.length - kept.length).toLong),
+        Seq[Any](i, tbl, "rows_in_scanned_fragments", kept.map(_.rows).sum),
+        Seq[Any](i, tbl, "bytes_in_scanned_fragments",
+          kept.map(_.sizeBytes).sum),
+        Seq[Any](i, tbl, "dv_rows_masked",
+          dvRowsMasked(spark, tbl, m, kept)))
+    }
   }
 
   /** Row stores backing a vector index's nodes: the IVF `vectors` dataset,

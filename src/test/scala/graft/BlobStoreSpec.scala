@@ -101,4 +101,33 @@ class BlobStoreSpec extends AnyFunSuite {
       assert(slice.zipWithIndex.forall { case (b, k) => b == pat(1, 100L + k) })
     }
   }
+
+  test("root cache invalidates on commit: re-clone at the same path re-resolves") {
+    val dir = Files.createTempDirectory("graft_blob_inval_").toString
+    def mkSource(path: String, fill: Int): Unit = {
+      val rows = Seq((0L, Array.fill[Byte](4096)(fill.toByte)))
+      GraftTable.write(BlobStore.packBlobs(
+        spark.createDataFrame(rows).toDF("id", "payload"), path, "payload"),
+        path, "overwrite")
+    }
+    mkSource(s"$dir/a", 0x11)
+    mkSource(s"$dir/b", 0x22)
+    val c = s"$dir/c"
+    def sliceAt(path: String): Byte = {
+      val addr = GraftTable.read(spark, path, withRowAddr = true)
+        .select(col(GraftTable.RowAddrCol)).head().getLong(0)
+      val ref = BlobStore.takeBlobRefs(spark, path, Seq(addr), "payload").head
+      BlobStore.readRange(spark, path, ref, 0L, 1).head
+    }
+    GraftTable.shallowClone(spark, s"$dir/a", c)
+    assert(sliceAt(c) == 0x11.toByte) // caches c's root chain (→ a)
+    // drop + re-clone the SAME path from a different source: the cached
+    // chain is stale the moment the new clone's commit lands
+    val fs = new org.apache.hadoop.fs.Path(c)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(c), true)
+    GraftTable.shallowClone(spark, s"$dir/b", c)
+    assert(sliceAt(c) == 0x22.toByte,
+      "re-clone at the same path must serve the NEW source's bytes")
+  }
 }

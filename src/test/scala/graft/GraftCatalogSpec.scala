@@ -435,6 +435,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     val old = s.sql(s"CALL g.system.analyze(table => 'db.$t', version => $v0)")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(old("dv_rows_masked") == 0L && old("rows_returned") == 800L, old.toString)
+    // dv_rows_masked counts DVs behind the SCANNED fragments, not the
+    // table-global numDeleted: id < 600 prunes away the deletion-heavy
+    // fragment (the deleted row is id 650) → 0 masked, though the table
+    // has 1 deletion
+    val pruned = s.sql(
+      s"CALL g.system.analyze(table => 'db.$t', predicate => 'id < 600')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned("fragments_scanned") == 6L, pruned.toString)
+    assert(pruned("dv_rows_masked") == 0L,
+      s"scan prunes the fragment holding the DV row: $pruned")
+    assert(pruned("rows_returned") == 600L, pruned.toString)
+  }
+
+  test("system.analyze_query: one CALL reports both sides of a two-table join") {
+    val t1 = freshName(); val t2 = freshName()
+    val p1 = s"$warehouse/db/$t1"; val p2 = s"$warehouse/db/$t2"
+    import s.implicits._
+    // 4 fragments each, disjoint id ranges → zonemap-prunable on both sides
+    for (i <- 0 until 4) {
+      GraftTable.write((i * 100L until (i + 1) * 100L).toDF("id")
+        .withColumn("a", org.apache.spark.sql.functions.col("id") * 2).coalesce(1),
+        p1, if (i == 0) "overwrite" else "append")
+      GraftTable.write((i * 100L until (i + 1) * 100L).toDF("id")
+        .withColumn("b", org.apache.spark.sql.functions.col("id") * 3).coalesce(1),
+        p2, if (i == 0) "overwrite" else "append")
+    }
+    val rows = s.sql(
+      s"""CALL g.system.analyze_query(query =>
+         | 'SELECT l.id, l.a, r.b FROM g.db.$t1 l JOIN g.db.$t2 r ON l.id = r.id
+         |  WHERE l.id >= 300 AND r.id >= 300')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val q = rows.filter(_._1 == -1).map(r => r._3 -> r._4).toMap
+    assert(q("rows_returned") == 100L, rows.mkString(","))
+    assert(q("graft_scans") == 2L, rows.mkString(","))
+    // both tables' pruning stories from one CALL, keyed by table path
+    val byTable = rows.filter(_._1 >= 0)
+      .groupBy(_._2).map { case (tbl, rs) =>
+        tbl -> rs.map(r => r._3 -> r._4).toMap }
+    assert(byTable.size == 2, byTable.toString)
+    byTable.foreach { case (tbl, m) =>
+      assert(m("fragments_total") == 4L, s"$tbl: $m")
+      assert(m("fragments_scanned") == 1L, s"id >= 300 lives in 1 of 4: $tbl $m")
+      assert(m("fragments_pruned") == 3L, s"$tbl: $m")
+      assert(m("rows_in_scanned_fragments") == 100L, s"$tbl: $m")
+    }
+    // explicit NULL query: clear error, not an NPE
+    val e = intercept[Exception] {
+      s.sql("CALL g.system.analyze_query(query => CAST(NULL AS STRING))").collect()
+    }
+    assert(e.getMessage.contains("analyze_query") ||
+      Option(e.getCause).exists(_.getMessage.contains("analyze_query")), e.getMessage)
   }
 
   test("hamming index lifecycle through SQL: create_index, knn_search, optimize, retrain") {
