@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -195,9 +195,12 @@ object BinaryIvfIndex {
 
 /** Hamming-argmin centroid assignment over packed binary vectors (the
   * binary face of [[IvfAssign]]). First-wins ties; fails fast on packed
-  * dimension mismatch. */
+  * dimension mismatch. Codegen'd (popcount-xor argmin loop): the
+  * corpus-sized assignment pass is the hamming family's scan-stage hot
+  * path, mirroring the reference's first-class SIMD hamming kernel
+  * (`rust/lance-linalg/src/distance/hamming.rs`). */
 case class BinaryIvfAssign(child: Expression, centroids: Array[Array[Byte]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
   override def prettyName: String = "binary_ivf_assign"
@@ -223,15 +226,42 @@ case class BinaryIvfAssign(child: Expression, centroids: Array[Array[Byte]])
     }
     best
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "byte[][]")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val cc = ctx.freshName("cc")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($cents.length > 0 && $v.length != $cents[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "binary_ivf_assign: vector has " + $v.length +
+         |    " bytes, centroids have " + $cents[0].length);
+         |}
+         |int $best = 0;
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  byte[] $cc = $cents[$c];
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $cc.length; $i++) {
+         |    $d += java.lang.Integer.bitCount(($v[$i] ^ $cc[$i]) & 0xff);
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Pack the sign bits of a float/double vector into a binary vector
   * (bit i = 1 iff element i >= 0; zero-padded to whole bytes) — the
   * standard float→binary embedding reduction that [[BinaryIvfIndex]]
-  * indexes. Evaluates once per row at build/query time. */
+  * indexes. Evaluates once per row at build/query time; codegen'd so the
+  * corpus-sized packing pass stays inside whole-stage codegen. */
 case class PackSignBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pack_sign_bits"
@@ -259,5 +289,23 @@ case class PackSignBits(child: Expression)
     }
     out
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      val elem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $elem;
+         |  if ($x >= 0.0) {
+         |    $out[$i >> 3] = (byte) ($out[$i >> 3] | (1 << (7 - ($i & 7))));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -173,11 +173,16 @@ object TextAnalysis {
     * unpartitioned Window slipping back into the plan. */
   def packShards(df: DataFrame, idCol: String, textCol: String,
                  shardTokens: Long, bucketSpan: Long = 100L,
-                 superSpan: Long = 4096L): DataFrame = {
+                 superSpan: Long = 4096L,
+                 tokenCounts: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val docs = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+    // budgets default to whitespace tokens; pass `tokenCounts` (e.g.
+    // BpeTokenizer.bpeTokenCount over a real vocabulary) to pack by
+    // tokenizer-true counts — what a training pipeline actually bills
+    val docs = df.select(col(idCol),
+      tokenCounts.getOrElse(tokenCount(col(textCol))).as("n_tokens"))
       .withColumn("bucket", floor(col(idCol) / lit(bucketSpan)))
     val wIn = Window.partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

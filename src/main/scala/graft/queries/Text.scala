@@ -60,6 +60,25 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Tokenizer-TRUE token accounting (graft.functions.BpeTokenizer): BPE
+    // merges applied in rank order, per-row, over the shared literal
+    // vocabulary — the DuckDB oracle replays the SAME merges as a
+    // replace() chain over a delimiter-wrapped char encoding. translate
+    // strips the delimiter code points on both sides (a no-op on this
+    // printable-ASCII corpus, but keeps the two replays byte-identical
+    // by construction).
+    "q_bpe_token_stats" -> { (s, d) =>
+      val cleaned = translate(col("text"), "\u0001\u0002", "")
+      Tables.documents(s, d)
+        .withColumn("n_bpe", graft.functions.BpeTokenizer.bpeTokenCount(
+          cleaned, graft.functions.BpeTokenizer.EnglishMerges))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe_tokens"),
+          round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"))
+        .orderBy(col("lang"))
+    },
+
     "q_text_quality" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("q", TA.qualityScore(col("text")))
@@ -333,6 +352,14 @@ object Text {
         | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
         | round(avg(len(string_split(text,' '))),4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_bpe_token_stats" -> {
+      val n = graft.functions.BpeTokenizer.oracleCountSql("text",
+        graft.functions.BpeTokenizer.EnglishMerges)
+      s"""SELECT lang, count(*) AS n_docs,
+         | CAST(sum($n) AS BIGINT) AS total_bpe_tokens,
+         | round(avg($n),4) AS avg_bpe_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH q AS (
          |  SELECT source,

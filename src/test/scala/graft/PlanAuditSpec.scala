@@ -94,4 +94,32 @@ class PlanAuditSpec extends AnyFunSuite {
       TextAnalysis.requirePartitionedWindows(bad, "bad")
     }
   }
+
+  test("binary-vector kernels stay inside whole-stage codegen") {
+    import graft.operators.{BinaryIvfAssign, PackSignBits}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val vecs = spark.range(0, 512).toDF("vid")
+      .withColumn("vec", array((0 until 16).map(j =>
+        (pmod(col("vid") + lit(j), lit(5)) - lit(2)).cast("float")): _*))
+    val centroids = Array(Array.fill[Byte](2)(0), Array.fill[Byte](2)(-1))
+    val assigned = ColumnBridge.column(BinaryIvfAssign(
+      ColumnBridge.expression(ColumnBridge.column(
+        PackSignBits(ColumnBridge.expression(col("vec"))))), centroids))
+    val df = vecs.select(col("vid"), assigned.as("pid"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the projection carrying pack+assign must render as a `*(n)` stage —
+    // the corpus-sized assignment pass is the hamming family's hot path
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project.*binary_ivf_assign".r.findFirstIn(plan).isDefined,
+      s"pack/assign must be whole-stage-codegen'd:\n$plan")
+    // codegen result == the interpreted definition, replayed in Scala
+    val vecRows = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecRows.foreach { case (vid, v) =>
+      val packed = graft.operators.BinaryIvfIndex.packQuery(v)
+      val exp = centroids.zipWithIndex.minBy { case (c, i) =>
+        (graft.functions.HammingDistance.compute(packed, c), i) }._2
+      assert(rows(vid) == exp, s"vid=$vid")
+    }
+  }
 }
