@@ -83,6 +83,125 @@ object GraftStreaming {
         col("session_end") :+ col("n_events"): _*)
   }
 
+  /** State for [[asofJoinStream]]: per key, the right-side history still
+    * matchable by future lefts, and the lefts awaiting watermark
+    * finality. Both lists are bounded: rights prune to (all > watermark)
+    * + (the single latest <= watermark); lefts drain as the watermark
+    * passes them. */
+  case class AsofStreamState(
+      rights: List[(Long, Array[Any])],
+      lefts: List[(Long, Array[Any])])
+
+  /** Streaming AS-OF join — the Structured Streaming twin of
+    * `operators/AsofJoin` (stream enrichment: attach to every left event
+    * the latest right record with `r.ts <= l.ts` for the same keys —
+    * click ↔ latest-prior model version, trade ↔ latest-prior quote).
+    *
+    * Spark's stream-stream joins express time-RANGE conditions but not
+    * "latest prior per key", so this is custom state
+    * (`flatMapGroupsWithState`, EventTimeTimeout):
+    *  - arriving rights enter per-key history (latest-wins on equal ts);
+    *  - arriving lefts buffer until the watermark passes their event
+    *    time — only then is "no earlier right can still arrive" final —
+    *    and emit matched against the history (left outer: unmatched
+    *    lefts emit null payload);
+    *  - state stays bounded: rights prune to those above the watermark
+    *    plus the single latest at-or-below it (exactly what any future
+    *    left can match), lefts drain at the watermark, and a per-key
+    *    event-time timeout drains buffered lefts even when the key goes
+    *    quiet. Rows below the watermark on EITHER side are dropped (the
+    *    standard lateness contract; admitting a late right could
+    *    contradict an already-emitted match).
+    *
+    * State is keyed by the join keys and hash-partitioned across
+    * executors; per-key state is O(open window), never O(stream). Output
+    * mode Append; emission order within a key is by event time. */
+  def asofJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     lTs: String, rTs: String, rPayload: Seq[String],
+                     watermarkDelay: String,
+                     suffix: String = "_r"): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keys.nonEmpty, "asofJoinStream needs at least one key column")
+
+    val lCols = left.columns.toSeq
+    val outPayload = rPayload.map(c => if (lCols.contains(c)) s"$c$suffix" else c)
+    val nullKey = "<null>"
+    def keyExpr(df: DataFrame) = concat_ws("\u0000",
+      keys.map(c => coalesce(col(c).cast("string"), lit(nullKey))): _*)
+
+    // tagged union: one event-time column carries the watermark for both
+    // sides; each side's data rides nullable slots
+    val lTagged = left.select(
+      Seq(keyExpr(left).as("__k"), col(lTs).as("__et"), lit(1).as("__side")) ++
+        lCols.map(c => col(c).as(s"L$c")) ++
+        rPayload.zip(outPayload).map { case (c, o) =>
+          lit(null).cast(right.schema(c).dataType).as(s"R$o") }: _*)
+    val rTagged = right.select(
+      Seq(keyExpr(right).as("__k"), col(rTs).as("__et"), lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"L$c")) ++
+        rPayload.zip(outPayload).map { case (c, o) => col(c).as(s"R$o") }: _*)
+    val union = lTagged.unionByName(rTagged).withWatermark("__et", watermarkDelay)
+
+    val nL = lCols.length; val nR = rPayload.length
+    // payload slots are nullable: unmatched lefts carry null payload
+    val outSchema = StructType(
+      lCols.map(c => left.schema(c).copy(name = c)) ++
+        rPayload.zip(outPayload).map { case (c, o) =>
+          right.schema(c).copy(name = o, nullable = true) })
+    def toMs(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case i: java.time.Instant => i.toEpochMilli
+      case l: java.time.LocalDateTime =>
+        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"asofJoinStream: unsupported event-time value $other")
+    }
+
+    implicit val stateEnc = Encoders.kryo[AsofStreamState]
+    implicit val outEnc = Encoders.row(outSchema)
+    union.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[AsofStreamState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[AsofStreamState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(AsofStreamState(Nil, Nil))
+          var rights = st.rights
+          var lefts = st.lefts
+          rows.foreach { r =>
+            val tsMs = toMs(r.get(1))
+            if (tsMs >= wm) { // below-watermark rows are late: dropped
+              if (r.getInt(2) == 1)
+                lefts ::= (tsMs, Array.tabulate[Any](nL)(i => r.get(3 + i)))
+              else // latest-wins on equal right ts
+                rights = (tsMs,
+                  Array.tabulate[Any](nR)(i => r.get(3 + nL + i))) ::
+                  rights.filterNot(_._1 == tsMs)
+            }
+          }
+          val rSorted = rights.sortBy(_._1)
+          val (emit, keep) = lefts.partition(_._1 < wm)
+          val out = emit.sortBy(_._1).map { case (lt, lv) =>
+            val m = rSorted.reverseIterator.find(_._1 <= lt)
+            Row.fromSeq(lv.toSeq ++
+              m.map(_._2.toSeq).getOrElse(Seq.fill[Any](nR)(null)))
+          }
+          // prune rights to what a future (above-watermark) left can match
+          val (past, future) = rSorted.partition(_._1 <= wm)
+          val pruned = past.lastOption.toList ++ future
+          if (keep.isEmpty && pruned.isEmpty) state.remove()
+          else {
+            state.update(AsofStreamState(pruned, keep))
+            if (keep.nonEmpty) // fire once the watermark passes the oldest left
+              state.setTimeoutTimestamp(math.max(keep.map(_._1).min, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   def dedupStream[K, V](ds: Dataset[V], key: V => K)(
       implicit ke: org.apache.spark.sql.Encoder[K],
       ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
