@@ -295,6 +295,42 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // Arbitrary-plan analyze (ScanAnalyze.analyzeSql / CALL
+    // g.system.analyze_query): ONE call reports BOTH sides of a
+    // two-graft-table join — fragments scanned/pruned per leaf plus the
+    // query's rows_returned. Engine-specific metrics are require'd
+    // in-gate (8 fragments per side, pruning on both); the emitted
+    // aggregate is the DuckDB-checkable face of the same join.
+    "q_analyze_join" -> { (s, d) =>
+      val t1 = freshDir(s, "aj_orders"); val t2 = freshDir(s, "aj_cust")
+      GraftTable.write(Tables.orders(s, d)
+        .repartitionByRange(8, col("o_orderkey")), t1, "overwrite")
+      GraftTable.write(Tables.customer(s, d)
+        .repartitionByRange(8, col("c_custkey")), t2, "overwrite")
+      GraftTable.read(s, t1).createOrReplaceTempView("aj_orders")
+      GraftTable.read(s, t2).createOrReplaceTempView("aj_cust")
+      val sql =
+        s"""SELECT o.o_orderkey, o.o_totalprice, c.c_custkey
+           |FROM aj_orders o JOIN aj_cust c
+           |  ON o.o_custkey = c.c_custkey
+           |WHERE o.o_orderkey BETWEEN 1000 AND 2000
+           |  AND c.c_custkey <= 500""".stripMargin
+      val rows = graft.format.ScanAnalyze.analyzeSql(s, sql)
+      val q = rows.filter(_.head == -1)
+        .map(r => r(2).toString -> r(3).asInstanceOf[Long]).toMap
+      require(q("graft_scans") == 2L, s"q_analyze_join: expected 2 leaves: $rows")
+      val perScan = rows.filter(_.head != -1).groupBy(_.head).map { case (i, rs) =>
+        i -> rs.map(r => r(2).toString -> r(3).asInstanceOf[Long]).toMap }
+      perScan.values.foreach { m =>
+        require(m("fragments_total") == 8L, s"q_analyze_join: $m")
+        require(m("fragments_pruned") > 0L,
+          s"q_analyze_join: both join sides must prune: $m")
+      }
+      require(q("rows_returned") > 0L, s"q_analyze_join: empty join: $rows")
+      s.sql(sql).agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
     // layout clustering (GraftTable.cluster): a deliberately scattered
     // write, range-clustered on (lang, n_chars) so fragment zonemaps become
     // selective; the scan result must equal the plain-parquet oracle —
@@ -865,6 +901,11 @@ object Format {
     "q_scan_metrics" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "q_analyze_join" ->
+      """SELECT count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey BETWEEN 1000 AND 2000
+        |  AND c.c_custkey <= 500""".stripMargin,
     "q_cluster_layout" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
         |WHERE lang = 'de' AND n_chars > 100""".stripMargin,
