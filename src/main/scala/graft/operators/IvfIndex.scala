@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -513,10 +512,12 @@ object IvfIndex {
 /** Nearest-centroid assignment: argmin over the embedded centroid table.
   * One O(nlist · dim) pass per row; centroids ride along in the serialized
   * expression (they are small). Ties resolve to the lowest pid —
-  * deterministic across runs and executors.
+  * deterministic across runs and executors. Codegen'd: the assignment
+  * pass runs once per corpus row at build/optimize time, the float twin
+  * of BinaryIvfAssign's popcount argmin.
   */
 case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_assign"
@@ -559,5 +560,40 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
     }
     best
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
+      val cent = ctx.freshName("cent")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |if ($cents.length > 0 && $n != $cents[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_assign: vector has " + $n + " dims, centroids have " +
+         |    $cents[0].length);
+         |}
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  float[] $cent = $cents[$c];
+         |  double $acc = 0.0;
+         |  int $m = java.lang.Math.min($n, $cent.length);
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $dd = $getElem - $cent[$i];
+         |    $acc += $dd * $dd;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -369,7 +368,7 @@ object PqIndex {
   * centroids. */
 case class ResidualByPid(left: Expression, right: Expression,
                          centroids: Array[Array[Float]])
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "ivf_residual"
@@ -389,6 +388,29 @@ case class ResidualByPid(left: Expression, right: Expression,
     while (i < n) { out(i) = arr.getFloat(i) - cent(i); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val cent = ctx.freshName("cent"); val out = ctx.freshName("out")
+      s"""
+         |float[] $cent = $cents[$b];
+         |int $n = $a.numElements();
+         |if ($n != $cent.length) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_residual: vector dim " + $n + " != trained dim " + $cent.length);
+         |}
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getFloat($i) - $cent[$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -450,9 +472,10 @@ case class PqAdcByPid(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
-/** vector → m PQ code bytes (nearest sub-centroid per subspace). */
+/** vector → m PQ code bytes (nearest sub-centroid per subspace).
+  * Codegen'd — runs once per corpus row at build/optimize time. */
 case class PqEncode(child: Expression, model: PqIndex.PqModel)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
@@ -486,6 +509,39 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
     }
     out
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val books = ctx.addReferenceObj("codebooks", model.codebooks, "float[][][]")
+      val m = model.m; val dsub = model.dsub
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
+      val sub = ctx.freshName("sub"); val cent = ctx.freshName("cent")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |byte[] $out = new byte[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  float[][] $sub = $books[$s];
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $sub.length; $c++) {
+         |    float[] $cent = $sub[$c];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $dd = (double) $v.getFloat($s * $dsub + $i) - $cent[$i];
+         |      $acc += $dd * $dd;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |  }
+         |  $out[$s] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

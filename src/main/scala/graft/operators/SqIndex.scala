@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -269,9 +268,10 @@ object SqIndex {
         distanceRange = distanceRange))
 }
 
-/** vector → d scalar-quantized bytes. */
+/** vector → d scalar-quantized bytes. Codegen'd — runs once per corpus
+  * row at build/optimize time. */
 case class SqEncode(child: Expression, model: SqIndex.SqModel)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "sq_encode"
@@ -301,6 +301,33 @@ case class SqEncode(child: Expression, model: SqIndex.SqModel)
     }
     out
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val lo = ctx.addReferenceObj("lo", model.lo, "float[]")
+      val hi = ctx.addReferenceObj("hi", model.hi, "float[]")
+      val d = model.d
+      val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val range = ctx.freshName("range"); val q = ctx.freshName("q")
+      s"""
+         |if ($v.numElements() != $d) {
+         |  throw new IllegalArgumentException(
+         |    "sq_encode: vector dimension " + $v.numElements() +
+         |    " != trained dimension " + $d);
+         |}
+         |byte[] $out = new byte[$d];
+         |for (int $i = 0; $i < $d; $i++) {
+         |  float $range = $hi[$i] - $lo[$i];
+         |  int $q = $range <= 0f ? 0
+         |    : java.lang.Math.round(($v.getFloat($i) - $lo[$i]) / $range * 255.0f);
+         |  $out[$i] = (byte) java.lang.Math.max(0, java.lang.Math.min(255, $q));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
