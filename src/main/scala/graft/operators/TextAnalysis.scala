@@ -72,6 +72,63 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** FULL Gopher n-gram repetition rule set (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): per document,
+    *  - `top_{n}gram_char_frac` (n ∈ topNs, paper: 2..4) — characters
+    *    covered by ALL occurrences of the doc's most frequent word
+    *    n-gram, over the doc's characters (ties → lexicographically
+    *    smallest n-gram, deterministic);
+    *  - `dup_{n}gram_char_frac` (n ∈ dupNs, paper: 5..10) — characters
+    *    covered by every occurrence of n-grams appearing ≥ 2 times,
+    *    over the doc's characters.
+    *
+    * Same shape as [[repetitionStats]]'s r10 rework: each statistic is a
+    * per-row longest-run / run-sum fold over the doc's SORTED n-gram
+    * array — a pure per-row expression, NO shuffle at any corpus size
+    * (the n-grams of one doc never leave their row). Scanning the sorted
+    * array makes "first run reaching the max" the smallest-gram
+    * tie-break for free, and run-incremental `+2·len` / `+len` char
+    * accounting equals `count·len` per duplicated gram — both exactly
+    * replayable in the DuckDB oracle's group-by formulation
+    * (q_gopher_ngrams). */
+  def gopherNgramStats(df: DataFrame, idCol: String, textCol: String,
+                       topNs: Seq[Int] = Seq(2, 3, 4),
+                       dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    val toks = tokens(col(textCol))
+    val len = length(col(textCol)).cast("double")
+    def fold(n: Int): (Column, Column) = {
+      val sg = array_sort(shingles(toks, n))
+      val init = struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("best"), lit("").as("bestg"), lit(0L).as("dupc"))
+      val res = aggregate(sg, init,
+        (s, x) => {
+          val run = when(x === s.getField("prev"), s.getField("run") + 1)
+            .otherwise(lit(1))
+          val dupAdd = when(run === 2, length(x).cast("long") * 2)
+            .when(run > 2, length(x).cast("long")).otherwise(lit(0L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(s.getField("best"), run).as("best"),
+            when(run > s.getField("best"), x).otherwise(s.getField("bestg"))
+              .as("bestg"),
+            (s.getField("dupc") + dupAdd).as("dupc"))
+        },
+        s => s)
+      // overlapping occurrences can over-count characters; clamp keeps
+      // the statistic a true fraction (Gopher's coverage metric caps
+      // naturally — this is the documented occurrence-count variant)
+      val top = when(len > 0 && res.getField("best") > 0,
+        least(lit(1.0), res.getField("best").cast("double") *
+          length(res.getField("bestg")).cast("double") / len)).otherwise(lit(0.0))
+      val dup = when(len > 0,
+        least(lit(1.0), res.getField("dupc").cast("double") / len))
+        .otherwise(lit(0.0))
+      (top, dup)
+    }
+    df.select(col(idCol) +:
+      (topNs.map(n => round(fold(n)._1, 4).as(s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => round(fold(n)._2, 4).as(s"dup_${n}gram_char_frac"))): _*)
+  }
+
   /** Deterministic weighted corpus mixing — the training-mix construction
     * step ("30% web, 40% books, …"): keep each row with its source's
     * probability, decided by a multiplicative-hash permutation of the id

@@ -144,6 +144,15 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // FULL Gopher n-gram repetition rules (Rae et al. 2021 §A1.1): top
+    // n-gram char fraction (n = 2..4) + duplicate n-gram char fraction
+    // (n = 5..10), per doc — a per-row sorted-array fold on the Spark
+    // side, a group-by replay in DuckDB; both clamp at 1.0.
+    "q_gopher_ngrams" -> { (s, d) =>
+      TA.gopherNgramStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination (GPT-3 appendix C): flag corpus docs
     // sharing any word 8-gram with a "benchmark" slice (every 97th doc —
     // those naturally self-hit, plus any doc overlapping them). Exact
@@ -444,6 +453,41 @@ object Text {
         |SELECT doc_id, dup_word_frac,
         |       round(max(cnt)*1.0/sum(cnt), 4) AS top_bigram_frac
         |FROM c GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // Generated replay of gopherNgramStats: one (grams → counts → top/dup)
+    // CTE chain per n, joined back per doc. Tie rule (ORDER BY c DESC,
+    // g ASC) matches the fold's first-run-in-sorted-order tie-break.
+    "q_gopher_ngrams" -> {
+      val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      val ns = (topNs ++ dupNs).distinct.sorted
+      val ctes = ns.map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+           |          THEN list_transform(range(1, len(t) - $n + 2),
+           |                 i -> array_to_string(t[i:i+${n - 1}], ' '))
+           |          ELSE CAST([] AS VARCHAR[]) END) AS g
+           |        FROM toks)
+           |  GROUP BY doc_id, g),
+           |a$n AS (
+           |  SELECT doc_id, c * length(g) AS topchars,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn,
+           |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+           |      OVER (PARTITION BY doc_id) AS dupchars
+           |  FROM g$n),
+           |p$n AS (SELECT doc_id, topchars, dupchars FROM a$n WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val cols =
+        topNs.map(n => s"round(least(1.0, coalesce(p$n.topchars, 0) * 1.0 " +
+          s"/ length(d.text)), 4) AS top_${n}gram_char_frac") ++
+        dupNs.map(n => s"round(least(1.0, coalesce(p$n.dupchars, 0) * 1.0 " +
+          s"/ length(d.text)), 4) AS dup_${n}gram_char_frac")
+      val joins = ns.map(n => s"LEFT JOIN p$n USING(doc_id)").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM documents),
+         |$ctes
+         |SELECT d.doc_id, ${cols.mkString(",\n  ")}
+         |FROM documents d $joins ORDER BY d.doc_id""".stripMargin
+    },
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -125,6 +125,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) == ((0.0, 0.3333)), got.toString)
   }
 
+  test("gopherNgramStats: top/dup n-gram char fractions, ties, clamp, short docs") {
+    val d = Seq(
+      // 11 chars; bigrams "a b"×2, "b a"×2, "a c"×1 — tie → smallest
+      // "a b": top2 = 2·3/11; dup2 = (2·3 + 2·3)/11 clamps at 1.0
+      (1L, "a b a b a c"),
+      // 7 chars; bigram "a a"×3: top2 = min(1, 3·3/7) = 1.0
+      (2L, "a a a a"),
+      (3L, "x y z"), // no repeated bigram: top2 = 1·3/5, dup2 = 0
+      (4L, "w")      // < n tokens for every n → all zeros
+    ).toDF("doc_id", "text")
+    val got = TA.gopherNgramStats(d, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2, 5))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((0.5455, 1.0, 0.0)), got.toString)
+    assert(got(2L) == ((1.0, 1.0, 0.0)), got.toString)
+    assert(got(3L) == ((0.6, 0.0, 0.0)), got.toString)
+    assert(got(4L) == ((0.0, 0.0, 0.0)), got.toString)
+  }
+
   test("contaminationFlags counts distinct shared word n-grams vs a benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
