@@ -96,37 +96,112 @@ object TextAnalysis {
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
     val toks = tokens(col(textCol))
     val len = length(col(textCol)).cast("double")
-    def fold(n: Int): (Column, Column) = {
-      val sg = array_sort(shingles(toks, n))
-      val init = struct(lit("").as("prev"), lit(0).as("run"),
-        lit(0).as("best"), lit("").as("bestg"), lit(0L).as("dupc"))
-      val res = aggregate(sg, init,
-        (s, x) => {
-          val run = when(x === s.getField("prev"), s.getField("run") + 1)
-            .otherwise(lit(1))
-          val dupAdd = when(run === 2, length(x).cast("long") * 2)
-            .when(run > 2, length(x).cast("long")).otherwise(lit(0L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(s.getField("best"), run).as("best"),
-            when(run > s.getField("best"), x).otherwise(s.getField("bestg"))
-              .as("bestg"),
-            (s.getField("dupc") + dupAdd).as("dupc"))
-        },
-        s => s)
-      // overlapping occurrences can over-count characters; clamp keeps
-      // the statistic a true fraction (Gopher's coverage metric caps
-      // naturally — this is the documented occurrence-count variant)
-      val top = when(len > 0 && res.getField("best") > 0,
-        least(lit(1.0), res.getField("best").cast("double") *
-          length(res.getField("bestg")).cast("double") / len)).otherwise(lit(0.0))
-      val dup = when(len > 0,
-        least(lit(1.0), res.getField("dupc").cast("double") / len))
-        .otherwise(lit(0.0))
-      (top, dup)
-    }
     df.select(col(idCol) +:
-      (topNs.map(n => round(fold(n)._1, 4).as(s"top_${n}gram_char_frac")) ++
-        dupNs.map(n => round(fold(n)._2, 4).as(s"dup_${n}gram_char_frac"))): _*)
+      (topNs.map(n =>
+        round(ngramFold(toks, len, n)._1, 4).as(s"top_${n}gram_char_frac")) ++
+        dupNs.map(n =>
+          round(ngramFold(toks, len, n)._2, 4).as(s"dup_${n}gram_char_frac"))): _*)
+  }
+
+  /** One sorted-array fold → (top-n-gram char frac, dup-n-gram char
+    * frac), unrounded, clamped to [0,1]. Shared by [[gopherNgramStats]]
+    * and [[gopherQualityFilter]]. */
+  private def ngramFold(toks: Column, len: Column, n: Int): (Column, Column) = {
+    val sg = array_sort(shingles(toks, n))
+    val init = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best"), lit("").as("bestg"), lit(0L).as("dupc"))
+    val res = aggregate(sg, init,
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1)
+          .otherwise(lit(1))
+        val dupAdd = when(run === 2, length(x).cast("long") * 2)
+          .when(run > 2, length(x).cast("long")).otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"),
+          when(run > s.getField("best"), x).otherwise(s.getField("bestg"))
+            .as("bestg"),
+          (s.getField("dupc") + dupAdd).as("dupc"))
+      },
+      s => s)
+    // overlapping occurrences can over-count characters; clamp keeps
+    // the statistic a true fraction (Gopher's coverage metric caps
+    // naturally — this is the documented occurrence-count variant).
+    // A top n-gram occurring ONCE is not repetition: it contributes 0
+    // (otherwise every short doc's single top 4-gram trips the filter —
+    // the standard reproduction behavior).
+    val top = when(len > 0 && res.getField("best") >= 2,
+      least(lit(1.0), res.getField("best").cast("double") *
+        length(res.getField("bestg")).cast("double") / len)).otherwise(lit(0.0))
+    val dup = when(len > 0,
+      least(lit(1.0), res.getField("dupc").cast("double") / len))
+      .otherwise(lit(0.0))
+    (top, dup)
+  }
+
+  /** Gopher's stop-word list for the "document coherence" rule (Rae et
+    * al. 2021 §A1.1: a document must contain ≥ 2 of these). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality FILTER (Rae et al. 2021 §A1.1) — the
+    * composed keep/drop decision a pipeline actually runs, per doc:
+    * (id, kept, reason) where `reason` names the FIRST failing rule in
+    * the paper's order (null = kept). Every rule is a per-row codegen'd
+    * expression — no shuffle — and every threshold is the paper's:
+    *
+    *  1. `too_few_tokens` / `too_many_tokens` — word count outside
+    *     [minTokens, maxTokens] (paper: 50 / 100k);
+    *  2. `mean_word_length` — mean token chars outside [3, 10];
+    *  3. `symbol_ratio` — '#'-to-word or '...'-to-word ratio > 0.1;
+    *  4. `alpha_words` — < 80% of words contain an alphabetic char;
+    *  5. `stop_words` — fewer than 2 distinct Gopher stop words;
+    *  6. `top_{2,3,4}gram` — top n-gram char fraction > 0.20/0.18/0.16;
+    *  7. `dup_{5..10}gram` — duplicate n-gram char fraction >
+    *     0.15/0.14/0.13/0.12/0.11/0.10.
+    *
+    * (The paper's duplicate line/paragraph rules live in
+    * [[graft.operators.Dedup.lineDedup]] — they need corpus context,
+    * not a per-row pass.) */
+  def gopherQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 50,
+                          maxTokens: Int = 100000,
+                          minStopWords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val len = length(col(textCol)).cast("double")
+    val meanLen =
+      aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
+        .cast("double") / n
+    val alphaFrac =
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") / n
+    val stopCount = size(array_intersect(
+      array_distinct(transform(toks, x => lower(x))),
+      typedLit(GopherStopWords)))
+    def occurrences(lit0: String): Column =
+      (length(col(textCol)) -
+        length(replace(col(textCol), lit(lit0), lit("")))) / lit0.length
+    val topThresh = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThresh = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val rules: Seq[(Column, String)] =
+      Seq(
+        (n < minTokens, "too_few_tokens"),
+        (n > maxTokens, "too_many_tokens"),
+        (meanLen < 3.0 || meanLen > 10.0, "mean_word_length"),
+        (occurrences("#").cast("double") / n > 0.1 ||
+          occurrences("...").cast("double") / n > 0.1, "symbol_ratio"),
+        (alphaFrac < 0.8, "alpha_words"),
+        (stopCount < minStopWords, "stop_words")) ++
+        topThresh.map { case (g, t) =>
+          (ngramFold(toks, len, g)._1 > t, s"top_${g}gram") } ++
+        dupThresh.map { case (g, t) =>
+          (ngramFold(toks, len, g)._2 > t, s"dup_${g}gram") }
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((cond, name), acc) => when(cond, lit(name)).otherwise(acc)
+    }
+    df.select(col(idCol), reason.as("reason"))
+      .withColumn("kept", col("reason").isNull)
+      .select(col(idCol), col("kept"), col("reason"))
   }
 
   /** Deterministic weighted corpus mixing — the training-mix construction

@@ -153,6 +153,17 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Composed Gopher quality FILTER: per-doc keep/drop + first failing
+    // rule, every rule a per-row expression with the paper's thresholds.
+    // minTokens/minStopWords relaxed from the paper's web-scale defaults
+    // (50 / 2) so the synthetic word-salad corpus exercises the WHOLE
+    // rule chain, not just the first two gates.
+    "q_quality_filter" -> { (s, d) =>
+      TA.gopherQualityFilter(Tables.documents(s, d), "doc_id", "text",
+        minTokens = 12, minStopWords = 1)
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination (GPT-3 appendix C): flag corpus docs
     // sharing any word 8-gram with a "benchmark" slice (every 97th doc —
     // those naturally self-hit, plus any doc overlapping them). Exact
@@ -469,7 +480,7 @@ object Text {
            |        FROM toks)
            |  GROUP BY doc_id, g),
            |a$n AS (
-           |  SELECT doc_id, c * length(g) AS topchars,
+           |  SELECT doc_id, CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS topchars,
            |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn,
            |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
            |      OVER (PARTITION BY doc_id) AS dupchars
@@ -487,6 +498,75 @@ object Text {
          |$ctes
          |SELECT d.doc_id, ${cols.mkString(",\n  ")}
          |FROM documents d $joins ORDER BY d.doc_id""".stripMargin
+    },
+    // DuckDB replay of gopherQualityFilter: same per-row statistics, same
+    // CASE order, same paper thresholds. The n-gram CTEs mirror
+    // q_gopher_ngrams' generator but feed UNROUNDED clamped fractions
+    // into the threshold comparisons (ratios of small exact integers —
+    // bit-identical IEEE division on both engines).
+    "q_quality_filter" -> {
+      val ns = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)
+      val ctes = ns.map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+           |          THEN list_transform(range(1, len(t) - $n + 2),
+           |                 i -> array_to_string(t[i:i+${n - 1}], ' '))
+           |          ELSE CAST([] AS VARCHAR[]) END) AS g
+           |        FROM toks)
+           |  GROUP BY doc_id, g),
+           |a$n AS (
+           |  SELECT doc_id, CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS topchars,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn,
+           |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+           |      OVER (PARTITION BY doc_id) AS dupchars
+           |  FROM g$n),
+           |p$n AS (SELECT doc_id, topchars, dupchars FROM a$n WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = ns.map(n => s"LEFT JOIN p$n USING(doc_id)").mkString(" ")
+      def topv(n: Int) =
+        s"least(1.0, coalesce(p$n.topchars, 0) * 1.0 / length(d.text))"
+      def dupv(n: Int) =
+        s"least(1.0, coalesce(p$n.dupchars, 0) * 1.0 / length(d.text))"
+      val stops = graft.operators.TextAnalysis.GopherStopWords
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM documents),
+         |$ctes,
+         |base AS (
+         |  SELECT doc_id, text, len(t) * 1.0 AS n,
+         |    list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS meanlen,
+         |    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+         |      / len(t) AS alphafrac,
+         |    len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+         |        $stops)) AS stopcount,
+         |    (length(text) - length(replace(text, '#', ''))) * 1.0 AS hashes,
+         |    (length(text) - length(replace(text, '...', ''))) / 3.0 AS ellipses
+         |  FROM toks),
+         |r AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.n < 12 THEN 'too_few_tokens'
+         |         WHEN d.n > 100000 THEN 'too_many_tokens'
+         |         WHEN d.meanlen < 3.0 OR d.meanlen > 10.0 THEN 'mean_word_length'
+         |         WHEN d.hashes / d.n > 0.1 OR d.ellipses / d.n > 0.1
+         |           THEN 'symbol_ratio'
+         |         WHEN d.alphafrac < 0.8 THEN 'alpha_words'
+         |         WHEN d.stopcount < 1 THEN 'stop_words'
+         |         WHEN ${topv(2)} > 0.20 THEN 'top_2gram'
+         |         WHEN ${topv(3)} > 0.18 THEN 'top_3gram'
+         |         WHEN ${topv(4)} > 0.16 THEN 'top_4gram'
+         |         WHEN ${dupv(5)} > 0.15 THEN 'dup_5gram'
+         |         WHEN ${dupv(6)} > 0.14 THEN 'dup_6gram'
+         |         WHEN ${dupv(7)} > 0.13 THEN 'dup_7gram'
+         |         WHEN ${dupv(8)} > 0.12 THEN 'dup_8gram'
+         |         WHEN ${dupv(9)} > 0.11 THEN 'dup_9gram'
+         |         WHEN ${dupv(10)} > 0.10 THEN 'dup_10gram'
+         |         ELSE NULL END AS reason
+         |  FROM (SELECT dd.*, b.n, b.meanlen, b.alphafrac, b.stopcount,
+         |          b.hashes, b.ellipses
+         |        FROM documents dd JOIN base b USING(doc_id)) d $joins)
+         |SELECT doc_id, reason IS NULL AS kept, reason
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     "q_decontaminate" ->
       """WITH t AS (

@@ -132,7 +132,7 @@ class TextDedupSpec extends AnyFunSuite {
       (1L, "a b a b a c"),
       // 7 chars; bigram "a a"×3: top2 = min(1, 3·3/7) = 1.0
       (2L, "a a a a"),
-      (3L, "x y z"), // no repeated bigram: top2 = 1·3/5, dup2 = 0
+      (3L, "x y z"), // no repeated bigram: top2 = 0 (count-1 top ignored)
       (4L, "w")      // < n tokens for every n → all zeros
     ).toDF("doc_id", "text")
     val got = TA.gopherNgramStats(d, "doc_id", "text",
@@ -141,8 +141,38 @@ class TextDedupSpec extends AnyFunSuite {
         ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got(1L) == ((0.5455, 1.0, 0.0)), got.toString)
     assert(got(2L) == ((1.0, 1.0, 0.0)), got.toString)
-    assert(got(3L) == ((0.6, 0.0, 0.0)), got.toString)
+    assert(got(3L) == ((0.0, 0.0, 0.0)), got.toString)
     assert(got(4L) == ((0.0, 0.0, 0.0)), got.toString)
+  }
+
+  test("gopherQualityFilter: first-failing-rule reasons in paper order") {
+    val good = (("the data " * 10) + "model of things and more words here").trim
+    val d = Seq(
+      (1L, good),                        // passes every rule… except top_2gram
+      (2L, "a b"),                       // too few tokens
+      (3L, ("x " * 30).trim),            // 1-char mean word length
+      (4L, ("then off #tags " * 10).trim + " #### ## ## ### morex"), // symbol ratio
+      (5L, ("1234 5678 9012 3456 the offer " * 5).trim), // <80% alpha words
+      (6L, ("zebra quartz " * 10).trim)  // no stop words
+    ).toDF("doc_id", "text")
+    val got = TA.gopherQualityFilter(d, "doc_id", "text",
+        minTokens = 3, minStopWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)).orNull))).toMap
+    assert(got(2L) == ((false, "too_few_tokens")), got.toString)
+    assert(got(3L) == ((false, "mean_word_length")), got.toString)
+    assert(got(4L) == ((false, "symbol_ratio")), got.toString)
+    assert(got(5L) == ((false, "alpha_words")), got.toString)
+    assert(got(6L) == ((false, "stop_words")), got.toString)
+    // doc 1: "the data" ×10 → top-2-gram chars 8·10 = 80 of 125 > 0.20
+    assert(got(1L) == ((false, "top_2gram")), got.toString)
+    // and a genuinely clean doc passes
+    val clean = Seq((9L, "the quick brown fox jumps over that lazy dog " +
+      "while many other animals of various kinds watch with great interest"))
+      .toDF("doc_id", "text")
+    val keep = TA.gopherQualityFilter(clean, "doc_id", "text",
+        minTokens = 3, minStopWords = 2).collect().head
+    assert(keep.getBoolean(1) && keep.isNullAt(2), keep.toString)
   }
 
   test("contaminationFlags counts distinct shared word n-grams vs a benchmark") {
