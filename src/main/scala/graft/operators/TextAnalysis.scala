@@ -94,49 +94,37 @@ object TextAnalysis {
   def gopherNgramStats(df: DataFrame, idCol: String, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
-    val toks = tokens(col(textCol))
-    val len = length(col(textCol)).cast("double")
-    df.select(col(idCol) +:
-      (topNs.map(n =>
-        round(ngramFold(toks, len, n)._1, 4).as(s"top_${n}gram_char_frac")) ++
-        dupNs.map(n =>
-          round(ngramFold(toks, len, n)._2, 4).as(s"dup_${n}gram_char_frac"))): _*)
+    val ns = (topNs ++ dupNs).distinct.sorted
+    // stage 1 materializes each n's [topChars, dupChars] pair ONCE; the
+    // frac projections then read the pair twice without re-counting
+    val staged = df.select(col(idCol) +:
+      length(col(textCol)).cast("double").as("__len") +:
+      ns.map(n => ngramRep(tokens(col(textCol)), n).as(s"__rep$n")): _*)
+    staged.select(col(idCol) +:
+      (topNs.map(n => round(clampFrac(element_at(col(s"__rep$n"), 1),
+        col("__len")), 4).as(s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => round(clampFrac(element_at(col(s"__rep$n"), 2),
+          col("__len")), 4).as(s"dup_${n}gram_char_frac"))): _*)
   }
 
-  /** One sorted-array fold → (top-n-gram char frac, dup-n-gram char
-    * frac), unrounded, clamped to [0,1]. Shared by [[gopherNgramStats]]
-    * and [[gopherQualityFilter]]. */
-  private def ngramFold(toks: Column, len: Column, n: Int): (Column, Column) = {
-    val sg = array_sort(shingles(toks, n))
-    val init = struct(lit("").as("prev"), lit(0).as("run"),
-      lit(0).as("best"), lit("").as("bestg"), lit(0L).as("dupc"))
-    val res = aggregate(sg, init,
-      (s, x) => {
-        val run = when(x === s.getField("prev"), s.getField("run") + 1)
-          .otherwise(lit(1))
-        val dupAdd = when(run === 2, length(x).cast("long") * 2)
-          .when(run > 2, length(x).cast("long")).otherwise(lit(0L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(s.getField("best"), run).as("best"),
-          when(run > s.getField("best"), x).otherwise(s.getField("bestg"))
-            .as("bestg"),
-          (s.getField("dupc") + dupAdd).as("dupc"))
-      },
-      s => s)
-    // overlapping occurrences can over-count characters; clamp keeps
-    // the statistic a true fraction (Gopher's coverage metric caps
-    // naturally — this is the documented occurrence-count variant).
-    // A top n-gram occurring ONCE is not repetition: it contributes 0
-    // (otherwise every short doc's single top 4-gram trips the filter —
-    // the standard reproduction behavior).
-    val top = when(len > 0 && res.getField("best") >= 2,
-      least(lit(1.0), res.getField("best").cast("double") *
-        length(res.getField("bestg")).cast("double") / len)).otherwise(lit(0.0))
-    val dup = when(len > 0,
-      least(lit(1.0), res.getField("dupc").cast("double") / len))
+  /** `[topChars, dupChars]` of the doc's word n-grams — ONE per-row
+    * hash-count pass ([[graft.functions.NgramRepetition]]); shared by
+    * [[gopherNgramStats]] and [[gopherQualityFilter]].
+    *
+    * Overlapping occurrences can over-count characters, so consumers
+    * clamp the fraction at 1 (Gopher's coverage metric caps naturally —
+    * this is the documented occurrence-count variant). A top n-gram
+    * occurring ONCE contributes 0 (not repetition; otherwise every short
+    * doc's single top 4-gram trips the filter — the standard
+    * reproduction behavior). */
+  private def ngramRep(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.NgramRepetition(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(toks), n))
+
+  private def clampFrac(chars: Column, len: Column): Column =
+    when(len > 0, least(lit(1.0), chars.cast("double") / len))
       .otherwise(lit(0.0))
-    (top, dup)
-  }
 
   /** Gopher's stop-word list for the "document coherence" rule (Rae et
     * al. 2021 §A1.1: a document must contain ≥ 2 of these). */
@@ -168,10 +156,18 @@ object TextAnalysis {
                           minStopWords: Int = 2): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks).cast("double")
-    val len = length(col(textCol)).cast("double")
+    val topThresh = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThresh = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val ns = (topThresh.map(_._1) ++ dupThresh.map(_._1)).distinct
+    // stage 1 materializes each n's repetition pair ONCE (the dominant
+    // cost); stage 2 composes the cheap scalar rules and the reason chain
+    val staged = df.select(Seq(col(idCol), col(textCol),
+      length(col(textCol)).cast("double").as("__len")) ++
+        ns.map(g => ngramRep(toks, g).as(s"__rep$g")): _*)
+    val len = col("__len")
     val meanLen =
-      aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
-        .cast("double") / n
+      length(array_join(toks, "")).cast("double") / n
     val alphaFrac =
       size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") / n
     val stopCount = size(array_intersect(
@@ -180,9 +176,6 @@ object TextAnalysis {
     def occurrences(lit0: String): Column =
       (length(col(textCol)) -
         length(replace(col(textCol), lit(lit0), lit("")))) / lit0.length
-    val topThresh = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
-    val dupThresh = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
-      9 -> 0.11, 10 -> 0.10)
     val rules: Seq[(Column, String)] =
       Seq(
         (n < minTokens, "too_few_tokens"),
@@ -193,13 +186,15 @@ object TextAnalysis {
         (alphaFrac < 0.8, "alpha_words"),
         (stopCount < minStopWords, "stop_words")) ++
         topThresh.map { case (g, t) =>
-          (ngramFold(toks, len, g)._1 > t, s"top_${g}gram") } ++
+          (clampFrac(element_at(col(s"__rep$g"), 1), len) > t,
+            s"top_${g}gram") } ++
         dupThresh.map { case (g, t) =>
-          (ngramFold(toks, len, g)._2 > t, s"dup_${g}gram") }
+          (clampFrac(element_at(col(s"__rep$g"), 2), len) > t,
+            s"dup_${g}gram") }
     val reason = rules.foldRight(lit(null).cast("string")) {
       case ((cond, name), acc) => when(cond, lit(name)).otherwise(acc)
     }
-    df.select(col(idCol), reason.as("reason"))
+    staged.select(col(idCol), reason.as("reason"))
       .withColumn("kept", col("reason").isNull)
       .select(col(idCol), col("kept"), col("reason"))
   }

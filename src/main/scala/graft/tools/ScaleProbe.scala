@@ -308,6 +308,32 @@ object ScaleProbe {
       }
     }
 
+    // ---- r11 text operators: all three are pure per-row passes (no
+    // shuffle), so the expected curve is plain linearity in the corpus —
+    // α ≈ 1 with NO super-linear stage. ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      time("gopher_ngrams", f) {
+        // sum a produced statistic so column pruning can't skip the work
+        TA.gopherNgramStats(spark.read.parquet(p)
+            .withColumn("did", monotonically_increasing_id()), "did", "text")
+          .agg(sum(col("dup_5gram_char_frac") + col("top_2gram_char_frac")))
+          .collect().head.getDouble(0).toLong
+      }
+      time("quality_filter", f) {
+        TA.gopherQualityFilter(spark.read.parquet(p)
+            .withColumn("did", monotonically_increasing_id()), "did", "text",
+          minTokens = 12, minStopWords = 1)
+          .groupBy(col("kept")).count().collect().map(_.getLong(1)).sum
+      }
+      time("bpe_count", f) {
+        spark.read.parquet(p).select(
+            graft.functions.BpeTokenizer.bpeTokenCount(col("text"),
+              graft.functions.BpeTokenizer.EnglishMerges).as("n"))
+          .agg(sum(col("n"))).collect().head.getLong(0)
+      }
+    }
+
     // ---- hamming binary-vector family (r10): sign-bit-packed embeddings.
     // Search must stay probe-pruned (α≈0) like the float family; build is
     // the linear assign+write pass over 32×-smaller vectors. ----
