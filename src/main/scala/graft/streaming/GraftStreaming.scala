@@ -202,6 +202,44 @@ object GraftStreaming {
       }
   }
 
+  /** Streaming point-in-interval join — the streaming twin of
+    * `operators/IntervalJoin.intervalJoin`, and deliberately NOT custom
+    * state: Spark's native stream-stream join already expresses
+    * time-RANGE conditions with watermark-driven state eviction, so this
+    * composes it (the (a)-tier preference: built-in operators when
+    * semantics allow). Pairs every left point event with the right
+    * interval rows containing it (`start <= pt <= end`), equality keys
+    * optional.
+    *
+    * `maxIntervalWidth` (e.g. "10 minutes") must upper-bound every
+    * interval's `end - start`: it becomes the join's event-time
+    * constraint `pt <= start + maxWidth`, which is what lets Spark
+    * evict interval state once the watermark passes (an unbounded
+    * range condition would keep every interval forever). Matches beyond
+    * the bound are dropped — pass the true maximum, exactly like the
+    * bin-width hint on the batch operator. Inner join; results emit as
+    * soon as both sides arrive and are final under the watermark. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, leftPt: String,
+                         rStart: String, rEnd: String, on: Seq[String] = Nil,
+                         maxIntervalWidth: String,
+                         watermarkDelay: String,
+                         suffix: String = "_r"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val lCols = left.columns.toSet
+    def rename(c: String) =
+      if (lCols.contains(c) && !on.contains(c)) s"$c$suffix" else c
+    val rRen = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, rename(c)))
+    val rs = rename(rStart); val re = rename(rEnd)
+    val l = left.withWatermark(leftPt, watermarkDelay)
+    val r = rRen.withWatermark(rs, watermarkDelay)
+    val range = col(leftPt) >= col(rs) && col(leftPt) <= col(re) &&
+      col(leftPt) <= col(rs) + expr(s"INTERVAL $maxIntervalWidth")
+    val keyEq = on.map(c => l(c) === r(c))
+    val cond = keyEq.foldLeft(range)(_ && _)
+    on.foldLeft(l.join(r, cond, "inner"))((d, c) => d.drop(r(c)))
+  }
+
   def dedupStream[K, V](ds: Dataset[V], key: V => K)(
       implicit ke: org.apache.spark.sql.Encoder[K],
       ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
