@@ -225,6 +225,56 @@ object TextAnalysis {
     df.filter(bucket < frac * lit(10000L))
   }
 
+  /** Deterministic PER-ROW weighted sampling — quality-weighted
+    * downsampling (keep each row with its own probability, e.g. a quality
+    * or perplexity-derived weight in [0,1]): the same multiplicative-hash
+    * permutation as [[sampleBySource]] decides each row, so the kept set
+    * is identical on every run, partitioning, and engine — reproducible
+    * corpora and an exactly-expressible oracle. Pure per-row codegen'd
+    * filter. Weights outside [0,1] fail fast (a silent clamp would skew
+    * the mix). */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"sampleByWeight needs an integral id column; $idCol is ${idType.simpleString}" +
+        " (hash a string id into a long first)")
+    val w = col(weightCol).cast("double")
+    val bucket = pmod(pmod(col(idCol).cast("long"), lit(10000L)) * lit(7919L), lit(10000L))
+    df.filter(
+      when(w.isNull || w < 0.0 || w > 1.0,
+        raise_error(concat(lit(s"sampleByWeight: $weightCol out of [0,1]: "),
+          col(weightCol).cast("string"))))
+        .otherwise(bucket < w * lit(10000L)))
+  }
+
+  /** Deterministic stratified split assignment (train/val/test …): each
+    * row gets a `split` label from cumulative ranges of the SAME hash
+    * permutation — disjoint by construction, stable across runs/engines,
+    * and a row keeps its split as the corpus grows (the permutation is a
+    * pure function of the id). `splits` are (name, fraction) in priority
+    * order; ids landing past the cumulative sum get `defaultName`.
+    * Per-row codegen'd expression — no shuffle, no RNG state. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)],
+                   defaultName: String = "train"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one named split")
+    require(splits.forall(_._2 >= 0.0), s"split fractions must be >= 0: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1: $splits")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"assignSplits needs an integral id column; $idCol is ${idType.simpleString}")
+    val bucket = pmod(pmod(col(idCol).cast("long"), lit(10000L)) * lit(7919L), lit(10000L))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.zip(cum).foldRight(lit(defaultName)) {
+      case (((name, _), c), acc) =>
+        when(bucket < lit(c * 10000.0), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Fraction of tokens that are stopwords. */

@@ -136,6 +136,30 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // Per-row weighted sampling (quality-weighted downsampling): each doc
+    // kept with probability min(1, n_chars/400) by the deterministic hash
+    // permutation — DuckDB replays the identical arithmetic.
+    "q_sample_weight" -> { (s, d) =>
+      TA.sampleByWeight(
+        Tables.documents(s, d)
+          .withColumn("w", least(lit(1.0), col("n_chars") / lit(400.0))),
+        "doc_id", "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+
+    // Deterministic stratified split assignment: train/val/test by
+    // cumulative hash-permutation ranges; stable per id as the corpus
+    // grows.
+    "q_split_assign" -> { (s, d) =>
+      TA.assignSplits(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    },
+
     // Gopher repetition rules (Rae et al. 2021, §A1.1): duplicate-word
     // fraction + top-bigram fraction per document — the standard
     // quality-filter signals for repetitious machine-generated text.
@@ -452,6 +476,19 @@ object Text {
         |      (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.7
         |                   WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 10000
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_weight" ->
+      """SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE ((doc_id % 10000) * 7919) % 10000 <
+        |      least(1.0, n_chars / 400.0) * 10000
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_split_assign" ->
+      """SELECT CASE WHEN ((doc_id % 10000) * 7919) % 10000 < 8000.0 THEN 'train'
+        |            WHEN ((doc_id % 10000) * 7919) % 10000 < 9000.0 THEN 'val'
+        |            WHEN ((doc_id % 10000) * 7919) % 10000 < 10000.0 THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |b AS (SELECT doc_id,

@@ -112,6 +112,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(again == got.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("sampleByWeight: per-row probability, deterministic, bounds enforced") {
+    val d = spark.range(0, 10000).toDF("doc_id")
+      .withColumn("w", when(pmod(col("doc_id"), lit(2)) === 0, 0.9).otherwise(0.1))
+    val kept = TA.sampleByWeight(d, "doc_id", "w")
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byW(0.9) > 4000 && byW(0.9) < 5000, byW.toString)
+    assert(byW(0.1) > 300 && byW(0.1) < 700, byW.toString)
+    // deterministic under repartitioning
+    val again = TA.sampleByWeight(d.repartition(7), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    // out-of-range weights fail fast, never silently clamp
+    val bad = d.withColumn("w", lit(1.5))
+    intercept[Exception] { TA.sampleByWeight(bad, "doc_id", "w").count() }
+  }
+
+  test("assignSplits: disjoint stable strata, remainder to default") {
+    val d = spark.range(0, 10000).toDF("doc_id")
+    val out = TA.assignSplits(d, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"), byS.toString)
+    assert(byS("train") > 7500 && byS("train") < 8500, byS.toString)
+    assert(byS("val") > 700 && byS("val") < 1300, byS.toString)
+    // a row keeps its split as the corpus grows: the first 10k ids get
+    // identical labels inside a 20k corpus
+    val bigger = TA.assignSplits(spark.range(0, 20000).toDF("doc_id"),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("doc_id") < 10000)
+    val a = out.orderBy("doc_id").select("split").as[String].collect().toSeq
+    val b = bigger.orderBy("doc_id").select("split").as[String].collect().toSeq
+    assert(a == b, "labels must be a pure function of the id")
+    intercept[IllegalArgumentException] {
+      TA.assignSplits(d, "doc_id", Seq("a" -> 0.7, "b" -> 0.5))
+    }
+  }
+
   test("repetitionStats: Gopher dup-word and top-bigram fractions") {
     val d = Seq(
       (1L, "a a a a"),  // 1 distinct of 4 tokens; bigram "a a" ×3 of 3
