@@ -109,4 +109,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(graft.format.GraftLateMatRule.phase1Runs.get() == before,
       "phase 1 re-ran for a memoized predicate")
   }
+
+  test("injected SQL kernels: distance, BPE, sketches resolve to native expressions") {
+    val s = extSpark
+    val row = s.sql(
+      """SELECT l2_distance(array(0.0F, 3.0F), array(4.0F, 3.0F)) AS l2,
+        |  dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dp,
+        |  bpe_token_count('the theatre') AS bpe,
+        |  ngram_repetition(array('a','b','a','b'), 2) AS rep,
+        |  hamming_distance(X'FF', X'0F') AS hd""".stripMargin).head()
+    assert(row.getDouble(0) == 4.0, row.toString)
+    assert(row.getDouble(1) == 11.0, row.toString)
+    // full EnglishMerges: "the" + ' ' + "the","at","re" = 5 tokens
+    assert(row.getInt(2) == 5, row.toString)
+    // bigrams "a b"x2, "b a"x1 -> top = 2*3 = 6; dup = 6
+    assert(row.getSeq[Long](3) == Seq(6L, 6L), row.toString)
+    assert(row.getLong(4) == 4L, row.toString)
+    // literal-required args fail with a clear message, not a cast error
+    val e = intercept[Exception] {
+      s.sql("SELECT ngram_repetition(array('a'), 1 + 1)").head()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")),
+      e.getMessage)
+  }
 }
