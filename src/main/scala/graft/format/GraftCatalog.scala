@@ -252,6 +252,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.update_tag" => GraftProcedures.updateTag(pathOf)
       case "system.analyze" => GraftProcedures.analyzeProc(pathOf)
       case "system.analyze_query" => GraftProcedures.analyzeQuery()
+      case "system.explain_query" => GraftProcedures.explainQuery()
       case "system.branches" => GraftProcedures.branchesList(pathOf)
       case "system.create_branch" => GraftProcedures.createBranch(pathOf)
       case "system.delete_branch" => GraftProcedures.deleteBranch(pathOf)
@@ -286,7 +287,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "cluster", "cleanup", "add_base", "import_files", "tag",
         "tags", "delete_tag", "update_tag", "analyze", "analyze_query",
-        "branches",
+        "explain_query", "branches",
         "create_branch", "delete_branch", "restore", "optimize_scalar_index",
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
@@ -632,6 +633,25 @@ private[format] object GraftProcedures {
       val version = in.getLong(3) match { case -1L => None; case v => Some(v) }
       ScanAnalyze.analyze(spark, path, predicate, cols, version)
         .map { case (k, v) => Seq(k, v) }
+    }
+
+  /** `CALL g.system.explain_query(query => '...', mode => 'formatted')` —
+    * reference `explain_plan(verbose)` (`dataset.py`; `sql.rs` EXPLAIN):
+    * the PLANNING twin of `analyze_query` — returns the plan WITHOUT
+    * executing. Modes: simple | extended | formatted | codegen | cost. */
+  def explainQuery(): UnboundProcedure =
+    procRows("explain_query",
+      Array(p("query", DT.StringType), pd("mode", DT.StringType, "'formatted'")),
+      StructType(Seq(StructField("line", DT.StringType)))) { in =>
+      val sql = Option(in.getUTF8String(0)).map(_.toString)
+        .filter(_.trim.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "explain_query: `query` must be a non-empty SQL string"))
+      val mode = Option(in.getUTF8String(1)).map(_.toString)
+        .filter(_.trim.nonEmpty).getOrElse("formatted")
+      val m = org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+      spark.sql(sql).queryExecution.explainString(m)
+        .split("\n").toSeq.map(l => Seq[Any](l))
     }
 
   /** `CALL g.system.analyze_query(query => 'SELECT ... JOIN ...')` — the

@@ -448,6 +448,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(pruned("rows_returned") == 600L, pruned.toString)
   }
 
+  test("system.explain_query returns the plan without executing") {
+    val t = freshName()
+    val path = s"$warehouse/db/$t"
+    import s.implicits._
+    GraftTable.write((0L until 100L).toDF("id").coalesce(1), path, "overwrite")
+    val lines = s.sql(
+      s"CALL g.system.explain_query(query => 'SELECT id FROM g.db.$t WHERE id > 50', mode => 'formatted')")
+      .collect().map(_.getString(0))
+    assert(lines.exists(_.contains("Physical Plan")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("PushedFilters")), "pushdown must be visible:\n" + lines.mkString("\n"))
+    // simple mode works too; bad mode errors clearly
+    assert(s.sql(s"CALL g.system.explain_query(query => 'SELECT 1', mode => 'simple')").count() > 0)
+    intercept[Exception] {
+      s.sql(s"CALL g.system.explain_query(query => 'SELECT 1', mode => 'nope')").collect()
+    }
+  }
+
   test("system.analyze_query: one CALL reports both sides of a two-table join") {
     val t1 = freshName(); val t2 = freshName()
     val p1 = s"$warehouse/db/$t1"; val p2 = s"$warehouse/db/$t2"
