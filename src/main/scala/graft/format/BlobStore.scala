@@ -124,6 +124,44 @@ object BlobStore {
       .map(r => BlobRef(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
 
+  /** [[takeBlobRefs]] by STABLE row ids (reference `take_blobs(ids=...)`,
+    * `dataset.py:1500` — ids survive compaction/update, addresses don't):
+    * the `_rowid IN` filter rides the addr-prune rewrite when
+    * GraftExtensions is installed, so only the O(k) owning fragments are
+    * scanned. */
+  def takeBlobRefsById(spark: SparkSession, tablePath: String, ids: Seq[Long],
+                       blobCol: String): Seq[BlobRef] =
+    GraftTable.read(spark, tablePath, withRowAddr = true, withRowId = true)
+      .filter(col(GraftTable.RowIdCol).isin(ids: _*))
+      .filter(col(blobCol).isNotNull)
+      .select(col(GraftTable.RowAddrCol), col(s"$blobCol.file"),
+        col(s"$blobCol.offset"), col(s"$blobCol.length"))
+      .collect()
+      .map(r => BlobRef(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  /** [[takeBlobRefs]] by dataset offsets (reference
+    * `take_blobs(indices=...)` / `take_blobs_by_indices`): index space =
+    * manifest fragment order × physical position, resolved to addresses
+    * from the MANIFEST alone (zero scan jobs). Tables with deletion
+    * vectors are rejected — a physical offset would silently point past
+    * masked rows; use ids there. */
+  def takeBlobRefsByIndex(spark: SparkSession, tablePath: String,
+                          indices: Seq[Long], blobCol: String): Seq[BlobRef] = {
+    val m = GraftTable.loadManifest(spark, tablePath)
+    require(m.dvFiles.isEmpty,
+      "takeBlobRefsByIndex on a table with deletion vectors is ambiguous; " +
+        "take by stable row id instead")
+    val bounds = m.fragments.scanLeft(0L)(_ + _.rows)
+    val total = bounds.last
+    val addrs = indices.map { i =>
+      require(i >= 0 && i < total, s"index $i out of [0, $total)")
+      val f = bounds.lastIndexWhere(_ <= i)
+      (m.fragments(f).id << 32) | (i - bounds(f))
+    }
+    takeBlobRefs(spark, tablePath, addrs, blobCol)
+  }
+
   /** Read `length` bytes starting `offset` bytes into the blob — ONE
     * seek+read of exactly the requested span (reference `BlobFile.read`).
     * Requests past the end are clamped. */

@@ -102,6 +102,43 @@ class BlobStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("take_blobs by stable id and by dataset index agree with by-address") {
+    val t = Files.createTempDirectory("graft_blob_take_").toString + "/t"
+    val rows = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(2048)(j => pat(i, j.toLong)))
+    }
+    GraftTable.write(BlobStore.packBlobs(
+      spark.createDataFrame(rows).toDF("id", "payload").repartition(3),
+      t, "payload"), t, "overwrite")
+    val addr = GraftTable.read(spark, t, withRowAddr = true)
+      .filter(col("id") === 4L).select(col(GraftTable.RowAddrCol))
+      .head().getLong(0)
+    val byAddr = BlobStore.takeBlobRefs(spark, t, Seq(addr), "payload").head
+    // stable-id variant: ids == _rowid here (fresh write, contiguous)
+    val rid = GraftTable.read(spark, t, withRowId = true)
+      .filter(col("id") === 4L).select(col(GraftTable.RowIdCol))
+      .head().getLong(0)
+    val byId = BlobStore.takeBlobRefsById(spark, t, Seq(rid), "payload").head
+    assert(byId == byAddr, s"$byId vs $byAddr")
+    // index variant: find id 4's scan offset, resolve metadata-only
+    val m = GraftTable.loadManifest(spark, t)
+    val all = BlobStore.takeBlobRefsByIndex(spark, t,
+      0L until m.fragments.map(_.rows).sum, "payload")
+    assert(all.size == 6)
+    assert(all.map(_.addr).contains(byAddr.addr))
+    intercept[IllegalArgumentException] {
+      BlobStore.takeBlobRefsByIndex(spark, t, Seq(99L), "payload")
+    }
+    // DV tables reject the physical-offset variant
+    GraftTable.delete(spark, t, "id = 1")
+    intercept[IllegalArgumentException] {
+      BlobStore.takeBlobRefsByIndex(spark, t, Seq(0L), "payload")
+    }
+    // ...but the id variant still resolves and reads correctly
+    val slice = BlobStore.readRange(spark, t, byId, 10L, 16)
+    assert(slice.zipWithIndex.forall { case (b, k) => b == pat(4, 10L + k) })
+  }
+
   test("root cache invalidates on commit: re-clone at the same path re-resolves") {
     val dir = Files.createTempDirectory("graft_blob_inval_").toString
     def mkSource(path: String, fill: Int): Unit = {
