@@ -79,6 +79,23 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Trained-vocabulary BPE end-to-end: merges learned from a bounded
+    // deterministic corpus sample, then applied per-row. The merge table
+    // is corpus-dependent, so no static DuckDB oracle exists → rows-only
+    // gate (same declared class as simhash); BpeSpec proves training
+    // determinism, and the fixed-vocab gate (q_bpe_token_stats) hash-
+    // checks the application machinery.
+    "q_bpe_trained" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.functions.BpeTokenizer.trainOnSample(
+        docs, "text", numMerges = 64)
+      docs.withColumn("n_bpe",
+          graft.functions.BpeTokenizer.bpeTokenCount(col("text"), merges))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("total_tokens"))
+        .orderBy(col("source"))
+    },
+
     "q_text_quality" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("q", TA.qualityScore(col("text")))
