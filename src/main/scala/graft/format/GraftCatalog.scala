@@ -516,13 +516,22 @@ private[format] object GraftProcedures {
         // spared for 7 days (they may be a concurrent writer's staged
         // work); true sweeps them immediately — only safe when no write
         // is in flight, exactly as the reference documents
-        pd("delete_unverified", DT.BooleanType, "false")),
-      StructType(Seq(StructField("latest_version", DT.LongType)))) { in =>
+        pd("delete_unverified", DT.BooleanType, "false"),
+        // reference `error_if_tagged_old_versions` (default true): a tag
+        // protecting an old version fails the call instead of silently
+        // retaining storage
+        pd("error_if_tagged_old_versions", DT.BooleanType, "true")),
+      StructType(Seq(StructField("latest_version", DT.LongType),
+        StructField("old_versions_removed", DT.LongType),
+        StructField("files_removed", DT.LongType),
+        StructField("bytes_removed", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
       val grace = if (in.getBoolean(2)) 0L else 7L * 24 * 3600 * 1000
-      GraftTable.cleanupOldVersions(spark, path, in.getLong(1).toInt,
-        unverifiedGraceMillis = grace)
-      Seq(GraftTable.loadManifest(spark, path).version)
+      val stats = GraftTable.cleanupOldVersions(spark, path, in.getLong(1).toInt,
+        unverifiedGraceMillis = grace,
+        errorIfTaggedOldVersions = in.getBoolean(3))
+      Seq(GraftTable.loadManifest(spark, path).version,
+        stats.oldVersionsRemoved, stats.filesRemoved, stats.bytesRemoved)
     }
 
   /** `CALL g.system.add_base(table => 'db.t', name => 'cold', path => '...')`

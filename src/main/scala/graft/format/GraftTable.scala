@@ -269,7 +269,10 @@ object GraftTable {
         require(interval > 0, s"$AutoCleanupIntervalKey must be positive: $iv")
         if (m.version % interval == 0) {
           val keep = m.config.get(AutoCleanupKeepKey).map(_.toInt).getOrElse(20)
-          cleanupOldVersions(spark, tablePath, keep)
+          // log-and-continue semantics: a tag protecting old versions must
+          // not start failing every interval-divisible commit
+          cleanupOldVersions(spark, tablePath, keep,
+            errorIfTaggedOldVersions = false)
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -2860,23 +2863,48 @@ object GraftTable {
     read(spark, tablePath, Some(tags(spark, tablePath).getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name"))))
 
+  /** Removal statistics returned by [[cleanupOldVersions]] (reference
+    * `CleanupStats` / `RemovalStats`, `cleanup.rs` — `old_versions`,
+    * `bytes_removed`). */
+  case class CleanupStats(oldVersionsRemoved: Long, filesRemoved: Long,
+                          bytesRemoved: Long)
+
   /** GC: drop manifests older than the last `keepLast` versions and delete
     * data/DV files no remaining manifest references (reference
-    * `cleanup_old_versions`, `cleanup.rs`). Tagged versions are always kept.
-    */
+    * `cleanup_old_versions`, `cleanup.rs`). Tagged versions are always
+    * kept; with `errorIfTaggedOldVersions` (reference
+    * `error_if_tagged_old_versions`, default TRUE) a tag protecting an
+    * otherwise-droppable old version fails the call instead of silently
+    * retaining — the caller must delete the tag or opt out, so "why is my
+    * storage not shrinking" is an error message, not a mystery. Returns
+    * the removal statistics. */
   def cleanupOldVersions(spark: SparkSession, tablePath: String, keepLast: Int,
-                         unverifiedGraceMillis: Long = 7L * 24 * 3600 * 1000): Unit = {
+                         unverifiedGraceMillis: Long = 7L * 24 * 3600 * 1000,
+                         errorIfTaggedOldVersions: Boolean = true): CleanupStats = {
     val t = new Path(tablePath)
     val f = fs(spark, t)
     val vs = versions(spark, tablePath)
-    val tagged = tags(spark, tablePath).values.toSet
+    val tagMap = tags(spark, tablePath)
+    val tagged = tagMap.values.toSet
+    val taggedOld = vs.dropRight(keepLast).toSet.intersect(tagged)
+    if (errorIfTaggedOldVersions && taggedOld.nonEmpty) {
+      val blocking = tagMap.filter { case (_, v) => taggedOld.contains(v) }
+        .map { case (n, v) => s"$n -> v$v" }.toSeq.sorted
+      throw new IllegalArgumentException(
+        s"cleanup: old versions are protected by tags (${blocking.mkString(", ")}); " +
+          "delete the tags or pass errorIfTaggedOldVersions = false " +
+          "(error_if_tagged_old_versions => false) to retain them silently")
+    }
     val keep = (vs.takeRight(keepLast).toSet ++ tagged)
     val drop = vs.filterNot(keep)
+    var filesRemoved = 0L
+    var bytesRemoved = 0L
     // nothing to drop AND the unverified grace is in force ⇒ the sweep
     // could not delete anything — skip the IO. A zero grace (reference
     // `delete_unverified=true`) must still sweep orphaned staged files
     // even when every version is retained.
-    if (drop.isEmpty && unverifiedGraceMillis > 0) return
+    if (drop.isEmpty && unverifiedGraceMillis > 0)
+      return CleanupStats(0L, 0L, 0L)
     // referenced files across surviving manifests — including EVERY branch
     // version (branches share the data dir; dropping a branch's files would
     // corrupt it)
@@ -2921,6 +2949,7 @@ object GraftTable {
             val rel = relativize(spark, file.getPath)
             if (file.getPath.getName.endsWith(".parquet") &&
                 deletable(rel, file.getPath.toString, file.getModificationTime)) {
+              filesRemoved += 1; bytesRemoved += file.getLen
               f.delete(file.getPath, false)
               removed = true
             }
@@ -2943,8 +2972,11 @@ object GraftTable {
       val dir = new Path(t, sub)
       if (f.exists(dir)) f.listStatus(dir).foreach { d =>
         val rel = s"$sub/${d.getPath.getName}"
-        if (deletable(rel, d.getPath.toString, d.getModificationTime))
+        if (deletable(rel, d.getPath.toString, d.getModificationTime)) {
+          val cs = f.getContentSummary(d.getPath)
+          filesRemoved += cs.getFileCount; bytesRemoved += cs.getLength
           f.delete(d.getPath, true)
+        }
       }
     }
     // multi-base sweep: based fragments record ABSOLUTE paths; sweep each
@@ -2964,6 +2996,7 @@ object GraftTable {
             val q = bfs.makeQualified(file.getPath).toString
             if (file.getPath.getName.endsWith(".parquet") &&
                 deletable(file.getPath.toString, q, file.getModificationTime)) {
+              filesRemoved += 1; bytesRemoved += file.getLen
               bfs.delete(file.getPath, false)
               removed = true
             }
@@ -2975,6 +3008,7 @@ object GraftTable {
         }
       }
     }
+    CleanupStats(drop.length.toLong, filesRemoved, bytesRemoved)
   }
 
   /** Register named multi-base storage locations (reference Python

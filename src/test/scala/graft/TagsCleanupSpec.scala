@@ -39,7 +39,18 @@ class TagsCleanupSpec extends AnyFunSuite {
     GraftTable.write(people, t, "overwrite")                        // v2 (v1 files orphaned)
     GraftTable.write(Seq((9L, "z")).toDF("id", "v"), t, "append")   // v3
     GraftTable.tag(spark, t, "keep-me", 2L)
-    GraftTable.cleanupOldVersions(spark, t, keepLast = 1)
+    // reference default error_if_tagged_old_versions=true: the tag
+    // protecting v2 (an old version at keepLast=1) fails the call loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.cleanupOldVersions(spark, t, keepLast = 1)
+    }
+    assert(e.getMessage.contains("keep-me"), e.getMessage)
+    assert(GraftTable.versions(spark, t) == Seq(1L, 2L, 3L), "error = no-op")
+    // opting out retains tagged silently, sweeps the rest, reports stats
+    val stats = GraftTable.cleanupOldVersions(spark, t, keepLast = 1,
+      errorIfTaggedOldVersions = false)
+    assert(stats.oldVersionsRemoved == 1L, stats.toString)
+    assert(stats.filesRemoved >= 1L && stats.bytesRemoved > 0L, stats.toString)
     // v1 manifest gone, v2 kept via tag, v3 kept as latest
     assert(GraftTable.versions(spark, t) == Seq(2L, 3L))
     // current + tagged reads still work (their files survived the sweep)
