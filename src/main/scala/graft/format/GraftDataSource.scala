@@ -47,7 +47,10 @@ class GraftDataSource extends RelationProvider
       location = new GraftFileIndex(spark, t, m),
       partitionSchema = new StructType(),
       dataSchema = m.schema,
-      bucketSpec = None,
+      // bucket columns are stored by PHYSICAL name; this relation exposes
+      // the logical schema, so only attach the spec when they coincide
+      // (renamed tables go through GraftTable.read via the DV rule anyway)
+      bucketSpec = if (m.hasIndirection) None else GraftTable.bucketSpecOf(m),
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
   }

@@ -434,7 +434,7 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
         options = Map.empty)(session)
       val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
       val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
-        "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
+        "frag-(\\d+)(?:_\\d+)?\\.parquet$", 1).cast("long"), 32)
         .plus(col("_metadata.row_index"))
       base.select(outNames.map(col) :+ addr.as(joinKey): _*)
     }
@@ -934,7 +934,7 @@ class GraftLateMatRule(session: SparkSession) extends Rule[LogicalPlan] {
         options = Map.empty)(session)
       val base = ColumnBridge.ofRows(session, LogicalRelation(relation, isStreaming = false))
       val addr = shiftleft(regexp_extract(col("_metadata.file_name"),
-        "frag-(\\d+)\\.parquet$", 1).cast("long"), 32)
+        "frag-(\\d+)(?:_\\d+)?\\.parquet$", 1).cast("long"), 32)
         .plus(col("_metadata.row_index"))
       base.select(cols.map(col) :+ addr.as(JoinKey): _*)
     }

@@ -77,10 +77,18 @@ object GraftTable {
     * Plumbs through Spark's own `maxRecordsPerFile` writer option, so the
     * split happens inside the writing task with zero extra shuffle. */
   val MaxRowsPerFragmentKey = "graft.write.rows.per.fragment"
+
+  /** Bucketed-layout config (see [[write]]'s `bucketBy`): co-located joins
+    * and aggregations on the bucket columns need NO shuffle — Spark's scan
+    * reports hash partitioning when the relation carries a BucketSpec and
+    * every fragment file name parses a bucket id. Columns are stored by
+    * PHYSICAL name (physical names never change across renames). */
+  val BucketNumKey = "graft.bucket.numBuckets"
+  val BucketColsKey = "graft.bucket.columns"
   val RowOffsetCol = "_rowoffset"
   val RowCreatedCol = "_row_created_at_version"
   val RowLastUpdatedCol = "_row_last_updated_at_version"
-  private val FragRe = "frag-(\\d+)\\.parquet$"
+  private val FragRe = "frag-(\\d+)(?:_\\d+)?\\.parquet$"
 
   // ---------------------------------------------------------------- metadata
 
@@ -399,19 +407,45 @@ object GraftTable {
     * range starting at the running total (derived `_rowid`, no storage);
     * `storedRowIds` marks fragments whose files carry a physical `_rowid`
     * column (compaction rewrites). */
+  /** The table's BucketSpec, iff the configured spec still DESCRIBES the
+    * layout: every live fragment must carry the parseable bucket suffix.
+    * A rewriting mutation (compact/update/merge/cluster) emits unsuffixed
+    * files, so the spec silently degrades to None — an ordinary scan,
+    * never a bucketed-read error on invalid file names. Metadata-only
+    * (fragment NAME check over the manifest). */
+  private[format] def bucketSpecOf(m: GraftManifest)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val suffixed = "frag-\\d+_\\d+\\.parquet$".r
+    for {
+      n <- m.config.get(BucketNumKey).map(_.toInt)
+      cs <- m.config.get(BucketColsKey)
+        .map(_.split(",").toSeq.filter(_.nonEmpty))
+      if cs.nonEmpty
+      if m.fragments.forall(f =>
+        suffixed.findFirstIn(f.path.split('/').last).isDefined)
+    } yield org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs, Nil)
+  }
+
   private def assignIds(spark: SparkSession, staged: Seq[Path], firstId: Long,
                         version: Long, rowIdBase: Long = -1L,
                         storedRowIds: Boolean = false,
-                        absolutePaths: Boolean = false): (Seq[FragmentMeta], Seq[Path]) = {
+                        absolutePaths: Boolean = false,
+                        bucketIds: Option[Seq[Int]] = None): (Seq[FragmentMeta], Seq[Path]) = {
     val conf = spark.sessionState.newHadoopConf()
     var nextRid = rowIdBase
+    // bucketed layouts suffix the Spark bucket id in the exact shape
+    // BucketingUtils.getBucketId parses (`..._NNNNN.parquet`)
+    def destName(i: Int): String = bucketIds match {
+      case Some(bs) => f"frag-${firstId + i}_${bs(i)}%05d.parquet"
+      case None => s"frag-${firstId + i}.parquet"
+    }
     // a commit-conflict retry SHIFTS the id range, so a file's new target
     // name can collide with a SIBLING's current name (frag-61 -> frag-62
     // while frag-62 is still staged); detour through unique temp names
     // first when any such overlap exists
     val currentNames = staged.map(_.getName).toSet
     val needTwoPhase = staged.zipWithIndex.exists { case (p, i) =>
-      val d = s"frag-${firstId + i}.parquet"
+      val d = destName(i)
       d != p.getName && currentNames.contains(d)
     }
     val work =
@@ -427,7 +461,7 @@ object GraftTable {
     val out = work.zipWithIndex.map { case (p, i) =>
       val id = firstId + i
       val f = p.getFileSystem(conf)
-      val dest = new Path(p.getParent, s"frag-$id.parquet")
+      val dest = new Path(p.getParent, destName(i))
       if (p.getName != dest.getName && !f.rename(p, dest)) {
         throw new IllegalStateException(s"rename $p -> $dest failed")
       }
@@ -462,11 +496,23 @@ object GraftTable {
     * `base`: write the new fragments under a registered multi-base storage
     * location instead of the table root (reference named base paths,
     * Python `add_bases` / write-to-base; see [[addBases]]). */
+  /** `bucketBy = Some((n, cols))` (create/overwrite only) lays fragments
+    * out as Spark hash buckets: rows route by `pmod(murmur3(cols), n)` —
+    * the SAME function Spark's bucketed scan assumes — and fragment files
+    * carry the `_NNNNN` bucket suffix `BucketingUtils` parses, so reads
+    * report hash partitioning and joins/aggregations on the bucket
+    * columns need NO shuffle (PlanAuditSpec proves a bucketed-bucketed
+    * join plans zero exchanges). Appends inherit the table's spec
+    * automatically (SQL INSERTs stay bucketed); rewriting mutations
+    * (compact/update/merge) produce unsuffixed files and the read side
+    * degrades to an ordinary scan — never an error (see
+    * [[bucketSpecOf]]). */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
             configUpdates: Map[String, String] = Map.empty,
             base: Option[String] = None,
             commitMessage: Option[String] = None,
-            txnProperties: Map[String, String] = Map.empty): GraftManifest = {
+            txnProperties: Map[String, String] = Map.empty,
+            bucketBy: Option[(Int, Seq[String])] = None): GraftManifest = {
     val txnProps = txnProperties ++ commitMessage.map("message" -> _)
     val spark = df.sparkSession
     // appends must write the table's PHYSICAL column names (rename mapping of
@@ -486,18 +532,60 @@ object GraftTable {
         s"unknown base '$name' (registered: ${bs.keys.toSeq.sorted.mkString(", ")})")))
     }
     val cleanJson = cleanSchema(df.schema).json
-    var staged = stageFragments(spark, tablePath,
-      stagedM.map(m => toPhysical(df, m)).getOrElse(df), baseRoot)
+    val physDf = stagedM.map(m => toPhysical(df, m)).getOrElse(df)
+    // bucket spec in PHYSICAL column names: explicit at create/overwrite
+    // (appends must match the configured spec); appends inherit the
+    // table's spec so every ingestion path stays bucketed
+    val cfgSpec: Option[(Int, Seq[String])] = latestM.flatMap(m =>
+      for {
+        n <- m.config.get(BucketNumKey)
+        cs <- m.config.get(BucketColsKey)
+      } yield (n.toInt, cs.split(",").toSeq.filter(_.nonEmpty)))
+    val isAppend = mode.equalsIgnoreCase("append") && latestM.isDefined
+    val explicitSpec = bucketBy.map { case (n, cols) =>
+      require(n > 0, s"bucketBy needs a positive bucket count, got $n")
+      require(cols.nonEmpty, "bucketBy needs at least one column")
+      cols.foreach(c => require(df.columns.contains(c),
+        s"bucketBy column $c not in ${df.columns.mkString(", ")}"))
+      (n, stagedM.map(m => cols.map(c => m.physicalName(m.schema(c))))
+        .getOrElse(cols))
+    }
+    if (isAppend) explicitSpec.foreach { s =>
+      require(cfgSpec.contains(s),
+        s"append bucketBy $s does not match the table's bucket spec " +
+          s"${cfgSpec.getOrElse("(none — bucket at create/overwrite)")}")
+    }
+    val effSpec = explicitSpec.orElse(if (isAppend) cfgSpec else None)
+    val toStage = effSpec.map { case (n, cols) =>
+      physDf.repartition(n, cols.map(col): _*)
+    }.getOrElse(physDf)
+    var staged = stageFragments(spark, tablePath, toStage, baseRoot)
+    // after repartition(n, cols) the staged part index IS the bucket id
+    // (both route rows by pmod(murmur3(cols), n))
+    val PartIdx = "part-(\\d+)".r
+    val bucketIds: Option[Seq[Int]] = effSpec.map { _ =>
+      staged.map(p => PartIdx.findFirstMatchIn(p.getName)
+        .getOrElse(throw new IllegalStateException(
+          s"unexpected staged file name ${p.getName}"))
+        .group(1).toInt)
+    }
+    val bucketCfg = bucketBy match {
+      case Some((n, _)) if !isAppend =>
+        Map(BucketNumKey -> n.toString,
+          BucketColsKey -> effSpec.get._2.mkString(","))
+      case _ => Map.empty[String, String]
+    }
     def assign(firstId: Long, version: Long, rowIdBase: Long): Seq[FragmentMeta] = {
       val (frags, paths) = assignIds(spark, staged, firstId, version, rowIdBase,
-        absolutePaths = baseRoot.isDefined)
+        absolutePaths = baseRoot.isDefined, bucketIds = bucketIds)
       staged = paths
       frags
     }
     commitLoop(spark, tablePath, {
       case None =>
         val frags = assign(0L, 1L, 0L)
-        GraftManifest(1L, "create", cleanJson, frags, Nil, 0L, configUpdates, 0L,
+        GraftManifest(1L, "create", cleanJson, frags, Nil, 0L,
+          configUpdates ++ bucketCfg, 0L,
           nextRowId = frags.map(_.rows).sum, txnProperties = txnProps)
       case Some(base) => mode.toLowerCase match {
         case "append" =>
@@ -514,8 +602,12 @@ object GraftTable {
           // ids keep growing across overwrites (the high-water mark is never
           // reset) so a row id can never be observed for two different rows
           val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
+          // an unbucketed overwrite replaces every fragment — stale bucket
+          // keys must not survive to mis-describe the new layout
+          val cfg0 = if (bucketBy.isEmpty)
+            base.config -- Seq(BucketNumKey, BucketColsKey) else base.config
           GraftManifest(base.version + 1, "overwrite", cleanJson,
-            frags, Nil, 0L, base.config ++ configUpdates, base.version,
+            frags, Nil, 0L, cfg0 ++ configUpdates ++ bucketCfg, base.version,
             nextRowId = base.nextRowId + frags.map(_.rows).sum,
             bases = base.bases, txnProperties = txnProps)
         case "errorifexists" | "error" =>
@@ -831,7 +923,7 @@ object GraftTable {
       location = index,
       partitionSchema = new StructType(),
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpecOf(m),
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val base = ColumnBridge.ofRows(spark, LogicalRelation(relation, isStreaming = false))

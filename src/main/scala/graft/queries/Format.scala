@@ -295,6 +295,33 @@ object Format {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     },
 
+    // Bucketed layout (GraftTable.write bucketBy): a bucketed-bucketed
+    // equi-join on the bucket column plans ZERO exchanges — require'd on
+    // the executed plan in-gate — and the joined aggregate is the
+    // DuckDB-checkable face.
+    "q_bucket_join" -> { (s, d) =>
+      val t1 = freshDir(s, "bk_orders"); val t2 = freshDir(s, "bk_cust")
+      GraftTable.write(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        t1, "overwrite", bucketBy = Some((8, Seq("o_custkey"))))
+      GraftTable.write(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal")),
+        t2, "overwrite", bucketBy = Some((8, Seq("c_custkey"))))
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = GraftTable.read(s, t1).join(GraftTable.read(s, t2),
+          col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"q_bucket_join: bucketed join must not shuffle:\n$plan")
+        require(plan.contains("Bucketed: true"),
+          s"q_bucket_join: scans must be bucketed:\n$plan")
+        joined.agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice") + col("c_acctbal")), 2).as("total"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+
     // Arbitrary-plan analyze (ScanAnalyze.analyzeSql / CALL
     // g.system.analyze_query): ONE call reports BOTH sides of a
     // two-graft-table join — fragments scanned/pruned per leaf plus the
@@ -906,6 +933,10 @@ object Format {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey BETWEEN 1000 AND 2000
         |  AND c.c_custkey <= 500""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o.o_totalprice + c.c_acctbal), 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "q_cluster_layout" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
         |WHERE lang = 'de' AND n_chars > 100""".stripMargin,

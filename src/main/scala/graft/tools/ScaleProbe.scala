@@ -169,6 +169,54 @@ object ScaleProbe {
       }
     }
 
+    // ---- bucketed layout (r11): the same lineitem⋈orders aggregate twice,
+    // once over plain parquet (full shuffle of both sides) and once over
+    // graft tables bucketed on the join key (co-located, zero exchanges —
+    // asserted on the plan). The gap is what bucketing buys a repeated
+    // 100 TB join; both must stay ~linear. ----
+    for (f <- rowFactors) {
+      val (pl, po) = rowTables(f)
+      val bl = s"$outDir/bk_lineitem_x$f"; val bo = s"$outDir/bk_orders_x$f"
+      // graft tables have no _SUCCESS: probe the manifest dir directly
+      def ensureGraft(path: String)(write: => Unit): Unit =
+        if (!Files.exists(Paths.get(path, "_manifests"))) write
+      ensureGraft(bl) {
+        graft.format.GraftTable.write(spark.read.parquet(pl)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          bl, "overwrite", bucketBy = Some((32, Seq("l_orderkey"))))
+        ()
+      }
+      ensureGraft(bo) {
+        graft.format.GraftTable.write(spark.read.parquet(po)
+          .select(col("o_orderkey")),
+          bo, "overwrite", bucketBy = Some((32, Seq("o_orderkey"))))
+        ()
+      }
+      def revAgg(o: DataFrame, li: DataFrame): Long =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .count()
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time("plain_join_agg", f) {
+          revAgg(spark.read.parquet(po).select(col("o_orderkey")),
+            spark.read.parquet(pl)
+              .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+        }
+        time("bucket_join_agg", f) {
+          val o = graft.format.GraftTable.read(spark, bo)
+          val li = graft.format.GraftTable.read(spark, bl)
+          val joined = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          val plan = joined.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            s"bucket_join_agg must not shuffle:\n$plan")
+          revAgg(o, li)
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+
     // ---- events family (r10): sessionize / as-of / interval join.
     // Replication shifts user_id AND event_id per copy — more users at
     // constant per-user event density, so window buffers and per-bin

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+
+/** Bucketed graft tables: co-located joins/aggregations on the bucket
+  * columns plan ZERO shuffles — the 100 TB lever for repeated big joins —
+  * and rewriting mutations degrade the spec safely instead of erroring. */
+class BucketedTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_bucket_").toString + "/t"
+
+  private def noBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed-bucketed equi-join plans no exchange; results exact") {
+    val a = tmp(); val b = tmp()
+    val dfA = spark.range(0, 5000).toDF("id")
+      .withColumn("x", col("id") * 2)
+    val dfB = spark.range(0, 5000).toDF("id")
+      .withColumn("y", col("id") * 3)
+    GraftTable.write(dfA, a, "overwrite", bucketBy = Some((8, Seq("id"))))
+    GraftTable.write(dfB, b, "overwrite", bucketBy = Some((8, Seq("id"))))
+    // appends inherit the spec and add suffixed files
+    GraftTable.write(spark.range(5000, 6000).toDF("id")
+      .withColumn("x", col("id") * 2), a, "append")
+    noBroadcast {
+      val ra = GraftTable.read(spark, a)
+      val rb = GraftTable.read(spark, b)
+      val joined = ra.join(rb, "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"join must still be a real join:\n$plan")
+      // correctness: equal to the unbucketed computation
+      val got = joined.agg(count(lit(1)), sum(col("x") + col("y"))).head()
+      val exp = dfA.join(dfB, "id")
+        .agg(count(lit(1)), sum(col("x") + col("y"))).head()
+      assert(got == exp, s"$got vs $exp")
+    }
+    val ra = GraftTable.read(spark, a)
+    // group-by on the bucket column also avoids the exchange
+    val aggPlan = ra.groupBy("id").agg(sum("x"))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not shuffle:\n$aggPlan")
+  }
+
+  test("append with a mismatched spec fails; bucketing survives deletes, degrades after compact") {
+    val t = tmp()
+    GraftTable.write(spark.range(0, 2000).toDF("id")
+      .withColumn("v", col("id") % 7), t, "overwrite",
+      bucketBy = Some((4, Seq("id"))))
+    intercept[IllegalArgumentException] {
+      GraftTable.write(spark.range(0, 10).toDF("id")
+        .withColumn("v", lit(0L)), t, "append", bucketBy = Some((8, Seq("id"))))
+    }
+    // DV delete keeps files in place: still bucketed, rows correct
+    GraftTable.delete(spark, t, "id % 100 = 0")
+    val afterDelete = GraftTable.read(spark, t)
+    assert(afterDelete.count() == 1980)
+    val p1 = afterDelete.groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    // the DV mask side shuffles its own (tiny) addr set; the GROUPING
+    // must not re-shuffle the bucketed id
+    assert(!p1.contains("Exchange hashpartitioning(id"), p1)
+    assert(p1.contains("Bucketed: true"), p1)
+    // compaction rewrites files without the suffix: reads must DEGRADE to
+    // an ordinary scan (plan shuffles again), never error
+    GraftTable.compactFiles(spark, t, targetRows = 1 << 20)
+    val afterCompact = GraftTable.read(spark, t)
+    assert(afterCompact.count() == 1980)
+    val p2 = afterCompact.groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("Exchange hashpartitioning(id"),
+      s"post-compaction layout is unbucketed; the spec must drop:\n$p2")
+    // unbucketed overwrite clears the stale keys
+    GraftTable.write(spark.range(0, 5).toDF("id")
+      .withColumn("v", lit(1L)), t, "overwrite")
+    val m = GraftTable.loadManifest(spark, t)
+    assert(!m.config.contains(GraftTable.BucketNumKey), m.config.toString)
+  }
+}
