@@ -119,14 +119,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
+    // CLUSTERED BY (cols) INTO n BUCKETS arrives as a bucket transform —
+    // store the spec so every INSERT lands bucketed (GraftTable.write's
+    // appends inherit the configured spec); PARTITIONED BY stays rejected
+    val (bucketCfg, rest) = partitions.partition(_.name == "bucket")
+    require(rest.isEmpty,
       "graft tables do not take PARTITIONED BY — fragments are the unit of parallelism")
+    val bucket = bucketCfg.headOption.map { b =>
+      val n = b.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        "bucket transform carries no bucket count"))
+      val cols = b.references.map(_.fieldNames.mkString(".")).toSeq
+      require(cols.nonEmpty, "CLUSTERED BY needs at least one column")
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"bucket column $c not in the table schema"))
+      Map(GraftTable.BucketNumKey -> n.toString,
+        GraftTable.BucketColsKey -> cols.mkString(","))
+    }.getOrElse(Map.empty[String, String])
     val path = tablePath(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val config = properties.asScala.toMap -- Seq(
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT)
-    GraftTable.createEmpty(spark, path, schema, config)
+    GraftTable.createEmpty(spark, path, schema, config ++ bucket)
     new GraftSqlTable(path, ident.toString, GraftTable.loadManifest(spark, path))
   }
 

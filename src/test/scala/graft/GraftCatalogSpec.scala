@@ -448,6 +448,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(pruned("rows_returned") == 600L, pruned.toString)
   }
 
+  test("CREATE TABLE CLUSTERED BY stores the bucket spec; INSERTs land bucketed") {
+    val t = freshName()
+    s.sql(s"""CREATE TABLE g.db.$t (id BIGINT, v DOUBLE) USING graft
+             |CLUSTERED BY (id) INTO 4 BUCKETS""".stripMargin)
+    s.sql(s"INSERT INTO g.db.$t SELECT id, id * 1.5 FROM range(2000)")
+    val path = s"$warehouse/db/$t"
+    val m = GraftTable.loadManifest(s, path)
+    assert(m.config.get(GraftTable.BucketNumKey).contains("4"), m.config.toString)
+    assert(m.config.get(GraftTable.BucketColsKey).contains("id"), m.config.toString)
+    assert(m.fragments.nonEmpty &&
+      m.fragments.forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
+      m.fragments.map(_.path).toString)
+    // the read attaches the spec: groupBy on the bucket column plans no
+    // exchange on it
+    val plan = GraftTable.read(s, path).groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(id"), plan)
+    assert(s.sql(s"SELECT sum(v) FROM g.db.$t").head().getDouble(0)
+      == (0L until 2000L).map(_ * 1.5).sum)
+  }
+
   test("system.explain_query returns the plan without executing") {
     val t = freshName()
     val path = s"$warehouse/db/$t"
