@@ -56,6 +56,27 @@ class BucketedTableSpec extends AnyFunSuite {
       s"bucketed groupBy must not shuffle:\n$aggPlan")
   }
 
+  test("point filters on the bucket column prune to one bucket") {
+    val t = tmp()
+    GraftTable.write(spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") * 2), t, "overwrite",
+      bucketBy = Some((8, Seq("id"))))
+    // DisableUnnecessaryBucketedScan turns the bucketed read off for a
+    // bare filter (no distribution-requiring operator above it); bucket
+    // PRUNING needs it on — the standard knob for point-probe workloads
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = GraftTable.read(spark, t).filter(col("id") === 1234L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"an equality probe must touch one bucket:\n$plan")
+      assert(q.collect().map(_.getLong(1)).toSeq == Seq(2468L))
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("append with a mismatched spec fails; bucketing survives deletes, degrades after compact") {
     val t = tmp()
     GraftTable.write(spark.range(0, 2000).toDF("id")
