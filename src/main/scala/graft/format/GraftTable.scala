@@ -2063,6 +2063,29 @@ object GraftTable {
     * `beforeCommit` is a test seam: invoked once after staging, before the
     * commit loop (deterministic concurrent-commit interleaving in specs).
     */
+  /** Stage one rewrite group's live rows, PRESERVING a bucketed layout
+    * when the table has one: rows re-route to their `n` buckets (same
+    * murmur3 routing as the original write) and the staged part index
+    * rides along as the bucket id for [[assignIds]]'s suffixed naming —
+    * so compaction keeps the zero-shuffle join property instead of
+    * degrading it. Unbucketed tables bin by `nOut` as before. */
+  private def stageRewrite(spark: SparkSession, tablePath: String,
+                           m: GraftManifest, live: DataFrame,
+                           nOut: Int): (Seq[Path], Option[Seq[Int]]) =
+    bucketSpecOf(m) match {
+      case Some(bs) =>
+        val staged = stageFragments(spark, tablePath, toPhysical(live, m)
+          .repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*))
+        val PartIdx = "part-(\\d+)".r
+        (staged, Some(staged.map(p =>
+          PartIdx.findFirstMatchIn(p.getName).getOrElse(
+            throw new IllegalStateException(
+              s"unexpected staged file name ${p.getName}")).group(1).toInt)))
+      case None =>
+        (stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut)),
+          None)
+    }
+
   def compactFiles(spark: SparkSession, tablePath: String,
                    targetRows: Long = 1L << 20,
                    materializeDeletions: Double = 0.1,
@@ -2104,7 +2127,7 @@ object GraftTable {
     // persisted as a physical column in the new fragment files (reference
     // move-stable row ids — addresses change, ids don't).
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    var stagedGroups: Seq[Seq[Path]] = groups.map { g =>
+    var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
       val live = readManifest(spark, tablePath, m.copy(fragments = g),
         withRowAddr = false, withRowId = carryIds)
       val liveCount = g.map(_.rows).sum - g.map(delOf).sum
@@ -2116,7 +2139,7 @@ object GraftTable {
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
       val nOut = math.max(1,
         math.max(math.ceil(liveCount.toDouble / targetRows), byBytes).toInt)
-      stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
+      stageRewrite(spark, tablePath, m, live, nOut)
     }
     // DV entries for untouched fragments survive the rewrite
     val dvCarry: Option[(String, Long)] =
@@ -2136,13 +2159,13 @@ object GraftTable {
         // (planned keepers + anything appended since planning)
         val keepNow = base.fragments.filterNot(f => toRewrite.exists(_.id == f.id))
         var nextId = base.maxFragmentId + 1
-        val assigned = stagedGroups.map { sg =>
+        val assigned = stagedGroups.map { case (sg, bids) =>
           val (frags, paths) = assignIds(spark, sg, nextId,
-            base.version + 1, storedRowIds = carryIds)
+            base.version + 1, storedRowIds = carryIds, bucketIds = bids)
           nextId += frags.size
-          (frags, paths)
+          (frags, paths, bids)
         }
-        stagedGroups = assigned.map(_._2)
+        stagedGroups = assigned.map(a => (a._2, a._3))
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ assigned.flatMap(_._1),
           dvFiles = dvCarry.map(_._1).toSeq,
@@ -2197,7 +2220,7 @@ object GraftTable {
           new Path(new Path(tablePath), p).toString): _*)
         .select(shiftrightunsigned(col("addr"), 32).as("f")).groupBy(col("f")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    var stagedGroups: Seq[Seq[Path]] = groups.map { g =>
+    var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
       val live = readManifest(spark, tablePath, m.copy(fragments = g),
         withRowAddr = false, withRowId = carryIds)
       val total = g.map(f => f.rows - delByFrag.getOrElse(f.id, 0L)).sum
@@ -2205,7 +2228,7 @@ object GraftTable {
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
       val nOut = math.max(1,
         math.max(math.ceil(total.toDouble / targetRows), byBytes).toInt)
-      stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut))
+      stageRewrite(spark, tablePath, m, live, nOut)
     }
     beforeCommit()
     commitLoop(spark, tablePath, {
@@ -2222,13 +2245,13 @@ object GraftTable {
         val mIds = m.fragments.map(_.id).toSet
         val keepNow = base.fragments.filterNot(f => mIds.contains(f.id))
         var nextId = base.maxFragmentId + 1
-        val assigned = stagedGroups.map { sg =>
+        val assigned = stagedGroups.map { case (sg, bids) =>
           val (frags, paths) = assignIds(spark, sg, nextId,
-            base.version + 1, storedRowIds = carryIds)
+            base.version + 1, storedRowIds = carryIds, bucketIds = bids)
           nextId += frags.size
-          (frags, paths)
+          (frags, paths, bids)
         }
-        stagedGroups = assigned.map(_._2)
+        stagedGroups = assigned.map(a => (a._2, a._3))
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ assigned.flatMap(_._1), dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil, // supplemental values materialized by the rewrite

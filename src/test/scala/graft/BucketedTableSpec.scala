@@ -77,7 +77,7 @@ class BucketedTableSpec extends AnyFunSuite {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
 
-  test("append with a mismatched spec fails; bucketing survives deletes, degrades after compact") {
+  test("mismatched append fails; bucketing survives deletes AND compaction, degrades after update") {
     val t = tmp()
     GraftTable.write(spark.range(0, 2000).toDF("id")
       .withColumn("v", col("id") % 7), t, "overwrite",
@@ -96,15 +96,29 @@ class BucketedTableSpec extends AnyFunSuite {
     // must not re-shuffle the bucketed id
     assert(!p1.contains("Exchange hashpartitioning(id"), p1)
     assert(p1.contains("Bucketed: true"), p1)
-    // compaction rewrites files without the suffix: reads must DEGRADE to
-    // an ordinary scan (plan shuffles again), never error
+    // compaction PRESERVES the bucketed layout: rewrite groups re-route
+    // to their buckets and outputs keep the suffix, so the zero-shuffle
+    // property survives maintenance (deletions materialized)
     GraftTable.compactFiles(spark, t, targetRows = 1 << 20)
     val afterCompact = GraftTable.read(spark, t)
     assert(afterCompact.count() == 1980)
     val p2 = afterCompact.groupBy("id").count()
       .queryExecution.executedPlan.toString
-    assert(p2.contains("Exchange hashpartitioning(id"),
-      s"post-compaction layout is unbucketed; the spec must drop:\n$p2")
+    assert(!p2.contains("Exchange hashpartitioning(id") &&
+      p2.contains("Bucketed: true"),
+      s"compaction must keep the bucketed layout:\n$p2")
+    assert(GraftTable.loadManifest(spark, t).fragments
+      .forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
+      "compacted fragments keep the bucket suffix")
+    // an UPDATE rewrite emits unsuffixed files: reads must DEGRADE to an
+    // ordinary scan (plan shuffles again), never error
+    GraftTable.update(spark, t, Map("v" -> "99"), Some("id = 7"))
+    val afterUpdate = GraftTable.read(spark, t)
+    assert(afterUpdate.count() == 1980)
+    val p3 = afterUpdate.groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("Exchange hashpartitioning(id"),
+      s"post-update layout is partially unbucketed; the spec must drop:\n$p3")
     // unbucketed overwrite clears the stale keys
     GraftTable.write(spark.range(0, 5).toDF("id")
       .withColumn("v", lit(1L)), t, "overwrite")
