@@ -556,18 +556,12 @@ object GraftTable {
           s"${cfgSpec.getOrElse("(none — bucket at create/overwrite)")}")
     }
     val effSpec = explicitSpec.orElse(if (isAppend) cfgSpec else None)
-    val toStage = effSpec.map { case (n, cols) =>
-      physDf.repartition(n, cols.map(col): _*)
-    }.getOrElse(physDf)
-    var staged = stageFragments(spark, tablePath, toStage, baseRoot)
-    // after repartition(n, cols) the staged part index IS the bucket id
-    // (both route rows by pmod(murmur3(cols), n))
-    val PartIdx = "part-(\\d+)".r
-    val bucketIds: Option[Seq[Int]] = effSpec.map { _ =>
-      staged.map(p => PartIdx.findFirstMatchIn(p.getName)
-        .getOrElse(throw new IllegalStateException(
-          s"unexpected staged file name ${p.getName}"))
-        .group(1).toInt)
+    var (staged, bucketIds): (Seq[Path], Option[Seq[Int]]) = effSpec match {
+      case Some((n, cols)) =>
+        val (paths, ids) = stageBucketed(spark, tablePath, n, cols,
+          physDf, baseRoot)
+        (paths, Some(ids))
+      case None => (stageFragments(spark, tablePath, physDf, baseRoot), None)
     }
     val bucketCfg = bucketBy match {
       case Some((n, _)) if !isAppend =>
@@ -1668,7 +1662,8 @@ object GraftTable {
       val updated = set.foldLeft(matches) { case (d, (c, e)) =>
         d.withColumn(c, expr(e).cast(m0.schema(c).dataType))
       }.select(outCols: _*)
-      var staged = stageFragments(spark, tablePath, toPhysical(updated, m0))
+      var (staged, bids) = stageBucketAware(spark, tablePath, m0,
+        toPhysical(updated, m0))
       val dvOpt = stageDv(spark, tablePath, matches.select(RowAddrCol))
       DmlTestHooks.beforeCommit("update")
       commitLoop(spark, tablePath, {
@@ -1681,7 +1676,7 @@ object GraftTable {
           val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1,
             rowIdBase = if (carry) -1L else base.nextRowId,
-            storedRowIds = carry)
+            storedRowIds = carry, bucketIds = bids)
           staged = paths
           base.copy(version = base.version + 1, operation = "update",
             fragments = base.fragments ++ frags,
@@ -1851,7 +1846,11 @@ object GraftTable {
       m0: GraftManifest, carry: Boolean,
       stagedUpd: Seq[Path], stagedIns: Seq[Path],
       dvOpt: Option[(String, Long)], nUpdLegacy: Long,
-      idxStats: Map[String, Long], stats: Map[String, Long]) {
+      idxStats: Map[String, Long], stats: Map[String, Long],
+      /** Bucket ids aligned with stagedUpd/stagedIns when the target is
+        * bucketed (renames preserve order, so a commit re-invocation
+        * stays aligned). */
+      bidsU: Option[Seq[Int]] = None, bidsI: Option[Seq[Int]] = None) {
     /** Set by a successful [[commitMerge]]: the staged files were renamed
       * into the table, so a second commit would fail with an obscure
       * rename error — guard it with a clear one instead. */
@@ -1968,15 +1967,15 @@ object GraftTable {
       // matched-update rows keep the TARGET row's stable `_rowid` (move-stable
       // ids, as in [[update]]); only genuinely new rows draw fresh ids — so
       // the two classes stage into separate fragment sets
-      var stagedUpd: Seq[Path] =
-        if (carry && whenMatchedUpdateAll) stageFragments(spark, tablePath,
-          toPhysical(updates.select(srcRow :+ col(RowIdCol): _*), m0))
-        else Nil
-      var stagedIns: Seq[Path] =
-        if (carry && !whenNotMatchedInsertAll) Nil
-        else if (carry) stageFragments(spark, tablePath,
+      val (stagedUpd, bidsU): (Seq[Path], Option[Seq[Int]]) =
+        if (carry && whenMatchedUpdateAll) stageBucketAware(spark, tablePath,
+          m0, toPhysical(updates.select(srcRow :+ col(RowIdCol): _*), m0))
+        else (Nil, None)
+      val (stagedIns, bidsI): (Seq[Path], Option[Seq[Int]]) =
+        if (carry && !whenNotMatchedInsertAll) (Nil, None)
+        else if (carry) stageBucketAware(spark, tablePath, m0,
           toPhysical(inserts.select(srcRow: _*), m0))
-        else stageFragments(spark, tablePath, toPhysical(
+        else stageBucketAware(spark, tablePath, m0, toPhysical(
           updates.select(srcRow: _*).unionByName(inserts.select(srcRow: _*)), m0))
       val dvOpt = stageDv(spark, tablePath,
         updates.select(RowAddrCol).unionByName(deletes.select(RowAddrCol)))
@@ -1996,7 +1995,7 @@ object GraftTable {
             "num_deleted_rows" -> (dvOpt.map(_._2).getOrElse(0L) - nUpd))
         }
       StagedMerge(m0, carry, stagedUpd, stagedIns, dvOpt, nUpdLegacy,
-        idxStats, stats)
+        idxStats, stats, bidsU, bidsI)
     } finally joined.unpersist()
   }
 
@@ -2018,9 +2017,10 @@ object GraftTable {
         resolveDvConflicts(spark, tablePath, "merge_insert", st.m0, base,
           dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
         val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
-          base.version + 1, storedRowIds = carry)
+          base.version + 1, storedRowIds = carry, bucketIds = st.bidsU)
         val (fragsI, pathsI) = assignIds(spark, stagedIns,
-          base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId)
+          base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId,
+          bucketIds = st.bidsI)
         stagedUpd = pathsU; stagedIns = pathsI
         st.curPaths.set((pathsU, pathsI))
         val dvN = dvOpt.map(_._2).getOrElse(0L)
@@ -2072,19 +2072,65 @@ object GraftTable {
   private def stageRewrite(spark: SparkSession, tablePath: String,
                            m: GraftManifest, live: DataFrame,
                            nOut: Int): (Seq[Path], Option[Seq[Int]]) =
+    stageBucketAware(spark, tablePath, m, toPhysical(live, m),
+      fallback = _.repartition(nOut))
+
+  /** Stage a PHYSICAL-named DataFrame, routing rows to their buckets when
+    * the table is bucketed (routing is recomputed from CURRENT values, so
+    * even a mutation that changes a bucket column lands rows correctly);
+    * otherwise apply `fallback`. Returns the staged paths and the aligned
+    * bucket ids for [[assignIds]]' suffixed naming. */
+  private def stageBucketAware(spark: SparkSession, tablePath: String,
+                               m: GraftManifest, dfPhys: DataFrame,
+                               fallback: DataFrame => DataFrame = identity)
+      : (Seq[Path], Option[Seq[Int]]) =
     bucketSpecOf(m) match {
       case Some(bs) =>
-        val staged = stageFragments(spark, tablePath, toPhysical(live, m)
-          .repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*))
-        val PartIdx = "part-(\\d+)".r
-        (staged, Some(staged.map(p =>
-          PartIdx.findFirstMatchIn(p.getName).getOrElse(
-            throw new IllegalStateException(
-              s"unexpected staged file name ${p.getName}")).group(1).toInt)))
-      case None =>
-        (stageFragments(spark, tablePath, toPhysical(live, m).repartition(nOut)),
-          None)
+        val (paths, ids) = stageBucketed(spark, tablePath, bs.numBuckets,
+          bs.bucketColumnNames, dfPhys)
+        (paths, Some(ids))
+      case None => (stageFragments(spark, tablePath, fallback(dfPhys)), None)
     }
+
+  /** Bucketed staging core: shuffle rows to their `n` hash buckets and
+    * derive each staged file's bucket id from its CONTENT — the write
+    * task's part index is NOT a stable bucket label (AQE re-optimization
+    * can permute the task↔shuffle-partition mapping; observed on
+    * anti-join rewrite plans). One column-pruned pass over the staged
+    * files recovers the id per file; a file mixing buckets fails loudly
+    * (it would mean the routing itself broke). Empty files (a zero-row
+    * mutation) get bucket 0 — vacuously correct. */
+  private def stageBucketed(spark: SparkSession, tablePath: String,
+                            n: Int, cols: Seq[String], dfPhys: DataFrame,
+                            stagingRoot: Option[Path] = None)
+      : (Seq[Path], Seq[Int]) = {
+    val staged = stageFragments(spark, tablePath,
+      dfPhys.repartition(n, cols.map(col): _*), stagingRoot)
+    if (staged.isEmpty) return (staged, Nil)
+    // Spark's bucket id = pmod(murmur3(cols), n) — hash() IS Murmur3Hash
+    // with HashPartitioning's seed, so this matches both the shuffle
+    // routing above and the scan-side bucket pruning
+    val bucketExpr = pmod(hash(cols.map(col): _*), lit(n))
+    val byName: Map[String, (Int, Int)] =
+      spark.read.parquet(staged.map(_.toString): _*)
+        .select(input_file_name().as("__f"), bucketExpr.as("__b"))
+        .groupBy(col("__f"))
+        .agg(min(col("__b")).as("lo"), max(col("__b")).as("hi"))
+        .collect().map { r =>
+          val name = r.getString(0).split('/').last
+          name -> (r.getInt(1), r.getInt(2))
+        }.toMap
+    val ids = staged.map { p =>
+      byName.get(p.getName) match {
+        case Some((lo, hi)) =>
+          require(lo == hi,
+            s"staged file $p mixes buckets $lo..$hi — bucket routing broke")
+          lo
+        case None => 0
+      }
+    }
+    (staged, ids)
+  }
 
   def compactFiles(spark: SparkSession, tablePath: String,
                    targetRows: Long = 1L << 20,

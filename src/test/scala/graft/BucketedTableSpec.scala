@@ -77,7 +77,7 @@ class BucketedTableSpec extends AnyFunSuite {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
 
-  test("mismatched append fails; bucketing survives deletes AND compaction, degrades after update") {
+  test("mismatched append fails; bucketing survives delete/compact/update, degrades after cluster") {
     val t = tmp()
     GraftTable.write(spark.range(0, 2000).toDF("id")
       .withColumn("v", col("id") % 7), t, "overwrite",
@@ -110,15 +110,27 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(GraftTable.loadManifest(spark, t).fragments
       .forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
       "compacted fragments keep the bucket suffix")
-    // an UPDATE rewrite emits unsuffixed files: reads must DEGRADE to an
-    // ordinary scan (plan shuffles again), never error
+    // UPDATE also preserves the layout (rewritten rows re-route by their
+    // CURRENT values — even a bucket-column update lands correctly)
     GraftTable.update(spark, t, Map("v" -> "99"), Some("id = 7"))
     val afterUpdate = GraftTable.read(spark, t)
     assert(afterUpdate.count() == 1980)
+    assert(afterUpdate.filter(col("id") === 7L).head().getLong(1) == 99L)
     val p3 = afterUpdate.groupBy("id").count()
       .queryExecution.executedPlan.toString
-    assert(p3.contains("Exchange hashpartitioning(id"),
-      s"post-update layout is partially unbucketed; the spec must drop:\n$p3")
+    assert(!p3.contains("Exchange hashpartitioning(id") &&
+      p3.contains("Bucketed: true"),
+      s"update must keep the bucketed layout:\n$p3")
+    // cluster() re-sorts the layout — semantically incompatible with hash
+    // buckets; its unsuffixed files DEGRADE the spec to an ordinary scan
+    // (plan shuffles again), never an error
+    GraftTable.cluster(spark, t, Seq("v"), targetRows = 4096)
+    val afterCluster = GraftTable.read(spark, t)
+    assert(afterCluster.count() == 1980)
+    val p4 = afterCluster.groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("Exchange hashpartitioning(id"),
+      s"post-cluster layout is unbucketed; the spec must drop:\n$p4")
     // unbucketed overwrite clears the stale keys
     GraftTable.write(spark.range(0, 5).toDF("id")
       .withColumn("v", lit(1L)), t, "overwrite")
