@@ -43,6 +43,13 @@ object GraftTable {
     * unlike `_rowaddr` — preserved through compaction rewrites (see
     * [[Manifest]] `FragmentMeta.rowIdStart`/`rowIdStored`). */
   val RowIdCol = "_rowid"
+  /** Pre-rewrite row address, persisted as a physical column by
+    * content-preserving rewrites (compaction / clustering) so retired
+    * index coverage keeps serving through an address translation until
+    * `optimize_index` remaps — see [[Manifest]] `FragmentMeta.srcFragIds`
+    * and [[graft.operators.IvfIndex.searchCombined]]. Never part of the
+    * logical schema; read only via `withOldAddr`. */
+  val OldAddrCol = "__old_addr"
 
   /** Table-config key selecting the parquet codec for new fragment files
     * ("zstd", "snappy", "gzip", ...). Absent = Spark's session default. */
@@ -879,17 +886,22 @@ object GraftTable {
     readManifest(spark, tablePath, m.copy(fragments = mine), withRowAddr = false)
   }
 
-  /** Read a fragment subset of a snapshot (CDC / take-style access). */
+  /** Read a fragment subset of a snapshot (CDC / take-style access).
+    * `withOldAddr` exposes the physical [[OldAddrCol]] of rewrite outputs
+    * (null on fragments that don't store it). */
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
                     frags: Seq[FragmentMeta], withRowAddr: Boolean = false,
-                    withRowId: Boolean = false): DataFrame =
+                    withRowId: Boolean = false,
+                    withOldAddr: Boolean = false): DataFrame =
     readManifest(spark, tablePath, m.copy(fragments = frags),
-      withRowAddr = withRowAddr, withRowId = withRowId)
+      withRowAddr = withRowAddr, withRowId = withRowId,
+      withOldAddr = withOldAddr)
 
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
                            withRowAddr: Boolean, withRowId: Boolean = false,
                            withRowVersions: Boolean = false,
-                           includeDeleted: Boolean = false): DataFrame = {
+                           includeDeleted: Boolean = false,
+                           withOldAddr: Boolean = false): DataFrame = {
     val t = new Path(tablePath)
     // row-version columns derive creation from stable row ids when the
     // table has them; the internal id is dropped again below unless the
@@ -901,15 +913,19 @@ object GraftTable {
     // it through the scan schema; parquet yields null for fragments without
     // the column, and those derive it from their contiguous range instead
     val hasStored = needRowId && m.fragments.exists(_.rowIdStored)
+    val hasOldAddr = withOldAddr && m.fragments.exists(_.oldAddrStored)
     // fragment parquet carries PHYSICAL column names (renames are
     // metadata-only, like the reference's field-id indirection); the scan
     // reads physical and a projection below restores logical names
     val physSchema = m.physicalSchema
+    val extraCols =
+      (if (hasStored) Seq(RowIdCol) else Nil) ++
+        (if (hasOldAddr) Seq(OldAddrCol) else Nil)
     val dataSchema =
-      if (hasStored) StructType(physSchema.fields :+
-        org.apache.spark.sql.types.StructField(RowIdCol,
-          org.apache.spark.sql.types.LongType, nullable = true))
-      else physSchema
+      if (extraCols.isEmpty) physSchema
+      else StructType(physSchema.fields ++ extraCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = true)))
     // dvApplied: this path applies DVs itself — the extension rule must not
     // wrap a second (idempotent but wasteful) anti-join around it
     val index = new GraftFileIndex(spark, t, m, dvApplied = true)
@@ -988,7 +1004,11 @@ object GraftTable {
     val merged = mergeColumnFiles(spark, t, m, live)
     val versioned = if (!withRowVersions) merged else addRowVersionColumns(spark, tablePath, m, merged)
     val out0 = if (withRowAddr) versioned else versioned.drop(RowAddrCol)
-    val out = if (withRowId || !needRowId) out0 else out0.drop(RowIdCol)
+    val out1 = if (withRowId || !needRowId) out0 else out0.drop(RowIdCol)
+    // withOldAddr contract: the column is always present (all-null when no
+    // fragment stores it) so callers need no schema branch
+    val out = if (withOldAddr && !hasOldAddr)
+      out1.withColumn(OldAddrCol, lit(null).cast("long")) else out1
     // expose committed field metadata (updateFieldMetadata) on the result
     // schema; the rename-indirection key stays internal
     val fieldMeta: Map[String, org.apache.spark.sql.types.Metadata] =
@@ -2174,8 +2194,12 @@ object GraftTable {
     // move-stable row ids — addresses change, ids don't).
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
     var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
+      // pre-rewrite addresses ride along as the physical __old_addr column:
+      // retired index coverage keeps serving through the translation until
+      // optimize_index remaps (reference defer_index_remap / FragReuseIndex)
       val live = readManifest(spark, tablePath, m.copy(fragments = g),
-        withRowAddr = false, withRowId = carryIds)
+        withRowAddr = true, withRowId = carryIds)
+        .withColumnRenamed(RowAddrCol, OldAddrCol)
       val liveCount = g.map(_.rows).sum - g.map(delOf).sum
       // reference `max_bytes_per_file`: output count honors BOTH the row
       // target and a byte ceiling (estimated from the inputs' on-disk
@@ -2205,9 +2229,11 @@ object GraftTable {
         // (planned keepers + anything appended since planning)
         val keepNow = base.fragments.filterNot(f => toRewrite.exists(_.id == f.id))
         var nextId = base.maxFragmentId + 1
-        val assigned = stagedGroups.map { case (sg, bids) =>
-          val (frags, paths) = assignIds(spark, sg, nextId,
+        val assigned = stagedGroups.zip(groups).map { case ((sg, bids), g) =>
+          val (frags0, paths) = assignIds(spark, sg, nextId,
             base.version + 1, storedRowIds = carryIds, bucketIds = bids)
+          val frags = frags0.map(_.copy(
+            srcFragIds = g.map(_.id).sorted, oldAddrStored = true))
           nextId += frags.size
           (frags, paths, bids)
         }
@@ -2268,7 +2294,8 @@ object GraftTable {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
       val live = readManifest(spark, tablePath, m.copy(fragments = g),
-        withRowAddr = false, withRowId = carryIds)
+        withRowAddr = true, withRowId = carryIds)
+        .withColumnRenamed(RowAddrCol, OldAddrCol)
       val total = g.map(f => f.rows - delByFrag.getOrElse(f.id, 0L)).sum
       val byBytes = maxBytesPerFile.map(mb =>
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
@@ -2291,9 +2318,11 @@ object GraftTable {
         val mIds = m.fragments.map(_.id).toSet
         val keepNow = base.fragments.filterNot(f => mIds.contains(f.id))
         var nextId = base.maxFragmentId + 1
-        val assigned = stagedGroups.map { case (sg, bids) =>
-          val (frags, paths) = assignIds(spark, sg, nextId,
+        val assigned = stagedGroups.zip(groups).map { case ((sg, bids), g) =>
+          val (frags0, paths) = assignIds(spark, sg, nextId,
             base.version + 1, storedRowIds = carryIds, bucketIds = bids)
+          val frags = frags0.map(_.copy(
+            srcFragIds = g.map(_.id).sorted, oldAddrStored = true))
           nextId += frags.size
           (frags, paths, bids)
         }
@@ -2374,8 +2403,9 @@ object GraftTable {
     val missing = cols.filterNot(logical.contains)
     require(missing.isEmpty, s"cluster columns not in schema: ${missing.mkString(", ")}")
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    val live = readManifest(spark, tablePath, m, withRowAddr = false,
+    val live = readManifest(spark, tablePath, m, withRowAddr = true,
       withRowId = carryIds)
+      .withColumnRenamed(RowAddrCol, OldAddrCol)
     val total = m.liveRows
     val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     // sort keys address PHYSICAL names (post-toPhysical frame)
@@ -2408,9 +2438,11 @@ object GraftTable {
               s"v${base.version} and the delta touches rewritten state — retry")
         val mIds = m.fragments.map(_.id).toSet
         val keepNow = base.fragments.filterNot(f => mIds.contains(f.id))
-        val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+        val (frags0, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carryIds)
         staged = paths
+        val frags = frags0.map(_.copy(
+          srcFragIds = m.fragments.map(_.id).sorted, oldAddrStored = true))
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ frags, dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil,

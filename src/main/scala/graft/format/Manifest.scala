@@ -38,7 +38,19 @@ case class FragmentMeta(
       * of that column keep take-by-id pruning manifest-level.
       * `rowIdStart = -1 && !rowIdStored` marks a pre-rowid legacy fragment. */
     rowIdStart: Long = -1L,
-    rowIdStored: Boolean = false) {
+    rowIdStored: Boolean = false,
+    /** Rewrite provenance (reference `defer_index_remap` +
+      * FragReuseIndex, `rust/lance/src/dataset/optimize.rs:155-166`): a
+      * content-preserving rewrite (compaction / layout clustering) records
+      * the source fragment ids it consumed, and `oldAddrStored` marks that
+      * the files persist each row's PRE-rewrite `_rowaddr` as a physical
+      * `__old_addr` column. Together they let an index whose coverage the
+      * rewrite retired keep SERVING: a query translates stale candidate
+      * addresses through the mapping instead of flat-scanning the rewritten
+      * fragments, until `optimize_index` remaps permanently. Value-changing
+      * rewrites (update/merge) never set these. */
+    srcFragIds: Seq[Long] = Nil,
+    oldAddrStored: Boolean = false) {
   def hasRowIds: Boolean = rowIdStored || rowIdStart >= 0L
 }
 

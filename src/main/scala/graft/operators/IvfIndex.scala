@@ -460,6 +460,40 @@ object IvfIndex {
     * only, trading freshness for latency (the DV/liveness transform still
     * applies, so deleted rows never resurface; identical results when
     * coverage is complete). */
+  /** Metadata-only serving decision for retired coverage (reference
+    * `defer_index_remap` + FragReuseIndex, `optimize.rs:155-166`):
+    * partition the UNCOVERED live fragments into
+    *  - translatable: produced by a content-preserving rewrite
+    *    (compaction/clustering) whose every source fragment the index
+    *    covered — all their rows are in the index, so they are served by
+    *    translating stale candidate addresses through the fragments'
+    *    persisted `__old_addr` column (16 bytes/row of IO, vs
+    *    dim·4 bytes/row for the flat leg they replace);
+    *  - fresh: everything else (appends, value-changing rewrites,
+    *    second-generation rewrites whose mapping chain broke) — the flat
+    *    leg, as before.
+    * Pure manifest arithmetic — no data read to decide. */
+  private[graft] def deferServing(m: graft.format.GraftManifest,
+                                  covered: Set[Long])
+      : (Seq[graft.format.FragmentMeta], Seq[graft.format.FragmentMeta]) =
+    m.fragments.filterNot(f => covered.contains(f.id))
+      .partition(f => f.oldAddrStored && f.srcFragIds.nonEmpty &&
+        f.srcFragIds.forall(covered.contains))
+
+  /** Old-addr → new-addr mapping of `translatable` fragments: one
+    * column-pruned scan (two longs per row; DV-deleted rows excluded, so
+    * a deleted row's stale candidate simply finds no translation). */
+  private[operators] def addrMapping(spark: SparkSession, tablePath: String,
+                                     m: graft.format.GraftManifest,
+                                     translatable: Seq[graft.format.FragmentMeta])
+      : DataFrame = {
+    import graft.format.GraftTable
+    GraftTable.readFragments(spark, tablePath, m, translatable,
+        withRowAddr = true, withOldAddr = true)
+      .select(col(GraftTable.OldAddrCol),
+        col(GraftTable.RowAddrCol).as("__new_addr"))
+  }
+
   private[operators] def combined(spark: SparkSession, tablePath: String,
                                   indexPath: String, idCol: String, vecCol: String,
                                   query: Array[Float], k: Int, metric: String,
@@ -483,18 +517,37 @@ object IvfIndex {
       else Some(spark.read.parquet(
           m.dvFiles.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
         .select(col("addr").as(addrCol)).distinct())
+    // retired coverage that can keep serving through the rewrite outputs'
+    // __old_addr translation (reference defer_index_remap / FragReuseIndex)
+    val (translatable, freshFrags) = deferServing(m, covered)
+    val mapping: Option[DataFrame] =
+      if (translatable.isEmpty) None
+      else Some(addrMapping(spark, tablePath, m, translatable))
+    val servableIds = coveredLive ++ translatable.map(_.id)
     val transform: DataFrame => DataFrame = { cand =>
       require(cand.columns.contains(addrCol),
         s"index at $indexPath carries no $addrCol — rebuild with buildForTable")
+      // stale candidate addresses move to their rows' post-rewrite
+      // addresses; untranslated candidates keep theirs and the liveness
+      // filter below drops the dead ones. The join is keyed by address —
+      // candidates are probe-pruned-small, the mapping is
+      // rewritten-rows-sized (AQE broadcasts it when small).
+      val moved = mapping match {
+        case Some(map) =>
+          cand.join(map, cand(addrCol) === map(graft.format.GraftTable.OldAddrCol),
+              "left_outer")
+            .withColumn(addrCol, coalesce(col("__new_addr"), cand(addrCol)))
+            .drop(graft.format.GraftTable.OldAddrCol, "__new_addr")
+        case None => cand
+      }
       // liveness filter only when coverage is actually broken (or unknown —
       // legacy marker): the common fresh-index path adds no predicate
-      val live = if (covered == coveredLive &&
-          graft.index.ScalarIndex.readCoverage(spark, indexPath).isDefined) cand
-        else liveFragmentFilter(spark, cand, coveredLive)
+      val live = if (covered == coveredLive && mapping.isEmpty &&
+          graft.index.ScalarIndex.readCoverage(spark, indexPath).isDefined) moved
+        else liveFragmentFilter(spark, moved, servableIds)
       dv.map(d => live.join(d, Seq(addrCol), "left_anti")).getOrElse(live)
     }
     val indexed = runIndexed(transform).select(col(idCol), col(Knn.DistanceCol))
-    val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
     if (fastSearch || freshFrags.isEmpty) return indexed
     val freshDf = GraftTable.readFragments(spark, tablePath, m, freshFrags,
       withRowId = idCol == GraftTable.RowIdCol)

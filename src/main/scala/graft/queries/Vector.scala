@@ -174,7 +174,7 @@ object Vector {
     * unrelated timings (VERDICT r4 What's-wrong #2). */
   val mutating: Set[String] = Set(
     "q_ann_after_compact", "q_ann_prefilter_combined", "q_ann_hnsw_after_compact",
-    "q_ann_remap")
+    "q_ann_remap", "q_ann_defer")
 
   val queries: Map[String, Q] = Map(
     "q_knn_l2" -> { (s, d) =>
@@ -272,6 +272,32 @@ object Vector {
       IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
       GraftTable.delete(s, t, s"vec_id < $cut")
       GraftTable.compactFiles(s, t, targetRows = 250, materializeDeletions = 0.1)
+      IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // Deferred-remap serving end-to-end (reference `defer_index_remap` +
+    // FragReuseIndex, `rust/lance/src/dataset/optimize.rs:155-166`): build
+    // IVF → pure compaction retires every covered fragment id → WITHOUT
+    // optimize_index the search serves the whole corpus by translating
+    // stale candidate addresses through the rewrite outputs' persisted
+    // `__old_addr` column — the in-gate require proves the flat leg is
+    // EMPTY, so the hash-match is evidence for the translation path alone.
+    // nprobes = nlist ⇒ exact vs brute force.
+    "q_ann_defer" -> { (s, d) =>
+      import graft.format.GraftTable
+      val t = freshDir(s, "ann_defer")
+      val idx = freshDir(s, "ann_defer_idx")
+      val e = Tables.embeddings(s, d)
+      val q = queryVec(s, d)
+      GraftTable.write(e.repartitionByRange(4, col("vec_id")), t, "overwrite")
+      IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
+      GraftTable.compactFiles(s, t, targetRows = 250)
+      val m = GraftTable.loadManifest(s, t)
+      val cov = graft.index.ScalarIndex.readCoverage(s, idx).get.fragmentIds.toSet
+      val (_, fresh) = IvfIndex.deferServing(m, cov)
+      require(fresh.isEmpty, "pure compaction outputs must serve via " +
+        s"__old_addr translation; flat leg got ${fresh.map(_.id)}")
       IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
@@ -622,6 +648,13 @@ object Vector {
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
         |FROM embeddings e, q, c WHERE e.vec_id >= c.cut
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_defer" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_remap" ->

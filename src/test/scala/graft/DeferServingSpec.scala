@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.format.GraftTable
+import graft.operators.{IvfIndex, Knn}
+
+/** Deferred index remap serving (reference `defer_index_remap` +
+  * FragReuseIndex, `rust/lance/src/dataset/optimize.rs:155-166`): a
+  * content-preserving rewrite (compaction / clustering) records its source
+  * fragment ids and persists each row's pre-rewrite `_rowaddr` as a physical
+  * `__old_addr` column, so an index whose coverage the rewrite retired keeps
+  * SERVING those rows — stale candidate addresses translate through the
+  * mapping instead of falling to the flat leg — until `optimize_index`
+  * remaps permanently. */
+class DeferServingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embeddings = Tables.embeddings(spark, sf)
+
+  private def queryVec(id: Long): Array[Float] =
+    embeddings.filter($"vec_id" === id).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def flatIds(t: String, q: Array[Float], k: Int): Seq[Long] =
+    Knn.flatSearch(GraftTable.read(spark, t), "embedding", q, k, "l2",
+      tieBreakers = Seq($"vec_id")).select("vec_id").as[Long].collect().toSeq
+
+  private def searchIds(t: String, ix: String, q: Array[Float]): Seq[Long] =
+    IvfIndex.searchCombined(spark, t, ix, "vec_id", "embedding", q,
+      10, nprobes = 8).select("vec_id").as[Long].collect().toSeq
+
+  private def covered(ix: String): Set[Long] =
+    graft.index.ScalarIndex.readCoverage(spark, ix).get.fragmentIds.toSet
+
+  test("compaction outputs record provenance and persist __old_addr") {
+    val t = tmp("defer_prov_t")
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    val srcIds = GraftTable.loadManifest(spark, t).fragments.map(_.id).toSet
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.nonEmpty)
+    m.fragments.foreach { f =>
+      assert(f.oldAddrStored, s"fragment ${f.id} lost the __old_addr marker")
+      assert(f.srcFragIds.nonEmpty && f.srcFragIds.toSet.subsetOf(srcIds),
+        s"fragment ${f.id} provenance ${f.srcFragIds} not within $srcIds")
+    }
+    // the physical column exists, is non-null, and holds pre-rewrite
+    // fragment ids in its upper 32 bits
+    val olds = GraftTable.readFragments(spark, t, m, m.fragments,
+        withOldAddr = true)
+      .select(shiftrightunsigned(col(GraftTable.OldAddrCol), 32).as("f"))
+      .as[Long].collect()
+    assert(olds.length == 500)
+    assert(olds.toSet.subsetOf(srcIds))
+  }
+
+  test("pure compaction: whole corpus served from the index, no flat leg") {
+    val t = tmp("defer_pure_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    val m = GraftTable.loadManifest(spark, t)
+    val (translatable, fresh) = IvfIndex.deferServing(m, covered(ix))
+    assert(fresh.isEmpty, s"rewrite outputs fell to the flat leg: $fresh")
+    assert(translatable.map(_.id).toSet == m.fragments.map(_.id).toSet)
+    // nprobes = nlist => exact through the address translation
+    val q = queryVec(3L)
+    assert(searchIds(t, ix, q) == flatIds(t, q, 10))
+  }
+
+  test("materialized deletions stay dead through the translation") {
+    val t = tmp("defer_del_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.delete(spark, t, "vec_id % 10 = 0")
+    GraftTable.compactFiles(spark, t, targetRows = 2000, materializeDeletions = 0.01)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.numDeleted == 0L, "compaction should have materialized the DVs")
+    val (_, fresh) = IvfIndex.deferServing(m, covered(ix))
+    assert(fresh.isEmpty)
+    // deleted rows' stale candidates find no translation and are dropped
+    val q = queryVec(3L)
+    val got = searchIds(t, ix, q)
+    assert(got == flatIds(t, q, 10))
+    assert(!got.exists(_ % 10 == 0))
+  }
+
+  test("deletes AFTER the rewrite are masked at translated addresses") {
+    val t = tmp("defer_postdel_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    val q = queryVec(3L)
+    val before = searchIds(t, ix, q)
+    GraftTable.delete(spark, t, s"vec_id = ${before.head}")
+    val got = searchIds(t, ix, q)
+    assert(got == flatIds(t, q, 10))
+    assert(!got.contains(before.head))
+  }
+
+  test("appends after the rewrite go to the flat leg, translation keeps serving") {
+    val t = tmp("defer_append_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    // append a twin of row 3 under a fresh id — it must surface via the
+    // flat leg while the compacted corpus serves through the index
+    val twin = embeddings.filter($"vec_id" === 3L)
+      .withColumn("vec_id", lit(100003L))
+    GraftTable.write(twin, t, "append")
+    val m = GraftTable.loadManifest(spark, t)
+    val (translatable, fresh) = IvfIndex.deferServing(m, covered(ix))
+    assert(fresh.size == 1 && translatable.nonEmpty)
+    val q = queryVec(3L)
+    val got = searchIds(t, ix, q)
+    assert(got == flatIds(t, q, 10))
+    assert(got.contains(100003L))
+  }
+
+  test("value-changing update breaks provenance; second-generation rewrite breaks the chain") {
+    val t = tmp("defer_chain_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.compactFiles(spark, t, targetRows = 300)
+    val gen1 = GraftTable.loadManifest(spark, t)
+    // an update rewrite must NOT claim translatability
+    GraftTable.update(spark, t, Map("label" -> "99"), Some("vec_id = 7"))
+    val mU = GraftTable.loadManifest(spark, t)
+    val updated = mU.fragments.filterNot(f => gen1.fragments.exists(_.id == f.id))
+    assert(updated.nonEmpty)
+    updated.foreach(f => assert(f.srcFragIds.isEmpty && !f.oldAddrStored,
+      s"update output ${f.id} falsely claims content-preserving provenance"))
+    // a second compaction's sources are gen-1 ids the index never covered:
+    // the chain is broken, those outputs serve from the flat leg
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    val m2 = GraftTable.loadManifest(spark, t)
+    val (translatable, fresh) = IvfIndex.deferServing(m2, covered(ix))
+    assert(translatable.isEmpty && fresh.nonEmpty)
+    // correctness holds either way
+    val q = queryVec(3L)
+    assert(searchIds(t, ix, q) == flatIds(t, q, 10))
+  }
+}
