@@ -45,9 +45,11 @@ object GraftTable {
   val RowIdCol = "_rowid"
   /** Pre-rewrite row address, persisted as a physical column by
     * content-preserving rewrites (compaction / clustering) so retired
-    * index coverage keeps serving through an address translation until
-    * `optimize_index` remaps — see [[Manifest]] `FragmentMeta.srcFragIds`
-    * and [[graft.operators.IvfIndex.searchCombined]]. Never part of the
+    * index coverage keeps serving until `optimize_index` remaps: the
+    * column is read only to map post-rewrite deletion vectors BACKWARD
+    * into the index's old address space — see [[Manifest]]
+    * `FragmentMeta.srcFragIds`/`srcDvFiles` and
+    * [[graft.operators.IvfIndex.searchCombined]]. Never part of the
     * logical schema; read only via `withOldAddr`. */
   val OldAddrCol = "__old_addr"
 
@@ -522,6 +524,14 @@ object GraftTable {
             bucketBy: Option[(Int, Seq[String])] = None): GraftManifest = {
     val txnProps = txnProperties ++ commitMessage.map("message" -> _)
     val spark = df.sparkSession
+    // graft-internal column names (system scan columns + the rewrite
+    // provenance column) can't be user data: a later internal read that
+    // projects them through the scan schema would collide with the stored
+    // column and serve the wrong values silently
+    val reservedHit = Seq(RowIdCol, RowAddrCol, OldAddrCol)
+      .filter(df.columns.contains)
+    require(reservedHit.isEmpty,
+      s"reserved graft column names: ${reservedHit.mkString(", ")}")
     // appends must write the table's PHYSICAL column names (rename mapping of
     // the latest manifest, at every nesting depth); create/overwrite define a
     // fresh logical schema
@@ -892,10 +902,11 @@ object GraftTable {
   def readFragments(spark: SparkSession, tablePath: String, m: GraftManifest,
                     frags: Seq[FragmentMeta], withRowAddr: Boolean = false,
                     withRowId: Boolean = false,
-                    withOldAddr: Boolean = false): DataFrame =
+                    withOldAddr: Boolean = false,
+                    includeDeleted: Boolean = false): DataFrame =
     readManifest(spark, tablePath, m.copy(fragments = frags),
       withRowAddr = withRowAddr, withRowId = withRowId,
-      withOldAddr = withOldAddr)
+      withOldAddr = withOldAddr, includeDeleted = includeDeleted)
 
   private def readManifest(spark: SparkSession, tablePath: String, m: GraftManifest,
                            withRowAddr: Boolean, withRowId: Boolean = false,
@@ -2232,8 +2243,12 @@ object GraftTable {
         val assigned = stagedGroups.zip(groups).map { case ((sg, bids), g) =>
           val (frags0, paths) = assignIds(spark, sg, nextId,
             base.version + 1, storedRowIds = carryIds, bucketIds = bids)
+          // srcDvFiles: the old-address DV files this group's rewrite
+          // materialized — deferred index serving reads them as the
+          // deletion-sized "rows that vanished here" set
           val frags = frags0.map(_.copy(
-            srcFragIds = g.map(_.id).sorted, oldAddrStored = true))
+            srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
+            srcDvFiles = if (g.map(delOf).sum > 0) m.dvFiles else Nil))
           nextId += frags.size
           (frags, paths, bids)
         }
@@ -2322,7 +2337,10 @@ object GraftTable {
           val (frags0, paths) = assignIds(spark, sg, nextId,
             base.version + 1, storedRowIds = carryIds, bucketIds = bids)
           val frags = frags0.map(_.copy(
-            srcFragIds = g.map(_.id).sorted, oldAddrStored = true))
+            srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
+            srcDvFiles =
+              if (g.exists(f => delByFrag.getOrElse(f.id, 0L) > 0)) m.dvFiles
+              else Nil))
           nextId += frags.size
           (frags, paths, bids)
         }
@@ -2442,7 +2460,8 @@ object GraftTable {
           base.version + 1, storedRowIds = carryIds)
         staged = paths
         val frags = frags0.map(_.copy(
-          srcFragIds = m.fragments.map(_.id).sorted, oldAddrStored = true))
+          srcFragIds = m.fragments.map(_.id).sorted, oldAddrStored = true,
+          srcDvFiles = if (m.numDeleted > 0) m.dvFiles else Nil))
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ frags, dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil,
@@ -3107,7 +3126,11 @@ object GraftTable {
           .map(v => loadManifest(spark, tablePath, Some(v), Some(b)))
       }
     val referenced = survivors.flatMap { m =>
-      m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
+      m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path) ++
+        // old-address DV sidecars rewrite outputs still serve deferred
+        // index candidates from — referenced even though no manifest's
+        // dvFiles lists them anymore
+        m.fragments.flatMap(_.srcDvFiles)
     }.toSet
     // files referenced ONLY by dropped manifests are VERIFIED deletable; a
     // file in NO manifest at all may be a concurrent writer's
@@ -3124,7 +3147,8 @@ object GraftTable {
     val droppedReferenced = drop
       .flatMap(v => scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption)
       .flatMap { m =>
-        m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path)
+        m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path) ++
+          m.fragments.flatMap(_.srcDvFiles)
       }.toSet
     val now = System.currentTimeMillis()
     def deletable(rel: String, abs: String, mtime: Long): Boolean =

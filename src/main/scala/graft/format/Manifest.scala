@@ -45,12 +45,21 @@ case class FragmentMeta(
       * the source fragment ids it consumed, and `oldAddrStored` marks that
       * the files persist each row's PRE-rewrite `_rowaddr` as a physical
       * `__old_addr` column. Together they let an index whose coverage the
-      * rewrite retired keep SERVING: a query translates stale candidate
-      * addresses through the mapping instead of flat-scanning the rewritten
-      * fragments, until `optimize_index` remaps permanently. Value-changing
-      * rewrites (update/merge) never set these. */
+      * rewrite retired keep SERVING at the old addresses: only the
+      * deletion-sized exclusion sets ([[srcDvFiles]], post-rewrite DVs
+      * mapped backward through `__old_addr`) touch the old address space,
+      * until `optimize_index` remaps permanently. Value-changing rewrites
+      * (update/merge) never set these. */
     srcFragIds: Seq[Long] = Nil,
-    oldAddrStored: Boolean = false) {
+    oldAddrStored: Boolean = false,
+    /** DV files (old-address parquet, table-relative paths) the rewrite
+      * MATERIALIZED while producing this fragment: the rows they address
+      * existed in `srcFragIds` but were dropped from the output. Deferred
+      * index serving anti-joins candidates against this deletion-sized set
+      * instead of scanning the corpus to discover missing translations;
+      * [[graft.format.GraftTable.cleanupOldVersions]] keeps the files
+      * referenced while any live fragment lists them. */
+    srcDvFiles: Seq[String] = Nil) {
   def hasRowIds: Boolean = rowIdStored || rowIdStart >= 0L
 }
 

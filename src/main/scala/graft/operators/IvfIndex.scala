@@ -465,10 +465,10 @@ object IvfIndex {
     * partition the UNCOVERED live fragments into
     *  - translatable: produced by a content-preserving rewrite
     *    (compaction/clustering) whose every source fragment the index
-    *    covered — all their rows are in the index, so they are served by
-    *    translating stale candidate addresses through the fragments'
-    *    persisted `__old_addr` column (16 bytes/row of IO, vs
-    *    dim·4 bytes/row for the flat leg they replace);
+    *    covered — all their rows are in the index, so candidates keep
+    *    serving AT THEIR OLD ADDRESSES; only the deletion-sized sets
+    *    (rows the rewrite dropped, DVs landed after it) are mapped back
+    *    into the old address space and anti-joined;
     *  - fresh: everything else (appends, value-changing rewrites,
     *    second-generation rewrites whose mapping chain broke) — the flat
     *    leg, as before.
@@ -481,15 +481,17 @@ object IvfIndex {
         f.srcFragIds.forall(covered.contains))
 
   /** Old-addr → new-addr mapping of `translatable` fragments: one
-    * column-pruned scan (two longs per row; DV-deleted rows excluded, so
-    * a deleted row's stale candidate simply finds no translation). */
+    * column-pruned scan (two longs per row). Read ONLY to translate
+    * post-rewrite DVs backward — never joined against candidates. */
   private[operators] def addrMapping(spark: SparkSession, tablePath: String,
                                      m: graft.format.GraftManifest,
                                      translatable: Seq[graft.format.FragmentMeta])
       : DataFrame = {
     import graft.format.GraftTable
+    // includeDeleted: the DV'd rows are exactly the ones whose mapping
+    // entry the backward translation needs
     GraftTable.readFragments(spark, tablePath, m, translatable,
-        withRowAddr = true, withOldAddr = true)
+        withRowAddr = true, withOldAddr = true, includeDeleted = true)
       .select(col(GraftTable.OldAddrCol),
         col(GraftTable.RowAddrCol).as("__new_addr"))
   }
@@ -517,35 +519,58 @@ object IvfIndex {
       else Some(spark.read.parquet(
           m.dvFiles.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
         .select(col("addr").as(addrCol)).distinct())
-    // retired coverage that can keep serving through the rewrite outputs'
-    // __old_addr translation (reference defer_index_remap / FragReuseIndex)
+    // retired coverage that can keep serving at its OLD addresses
+    // (reference defer_index_remap / FragReuseIndex): candidates are never
+    // touched — the deletion-sized exclusion sets move into the old address
+    // space instead, so the corpus-sized mapping scan happens only when
+    // post-rewrite DVs actually landed on rewrite outputs
     val (translatable, freshFrags) = deferServing(m, covered)
-    val mapping: Option[DataFrame] =
-      if (translatable.isEmpty) None
-      else Some(addrMapping(spark, tablePath, m, translatable))
-    val servableIds = coveredLive ++ translatable.map(_.id)
+    val translatableIds = translatable.map(_.id).toSet
+    val translatableSrc = translatable.flatMap(_.srcFragIds).toSet
+    val servableIds = coveredLive ++ translatableSrc
+    val fragOf = (c: Column) => shiftrightunsigned(c, 32)
+    // current DVs, expressed in the candidates' old address space: DVs on
+    // covered-live fragments apply as-is; DVs on translatable rewrite
+    // outputs translate BACKWARD through __old_addr (one two-long
+    // column-pruned scan, output deletion-sized — skipped when no DV falls
+    // on a rewrite output)
+    val dvOld: Option[DataFrame] = dv.map { d =>
+      if (translatable.isEmpty) d
+      else {
+        val tSeq = translatableIds.toSeq
+        val onNew = d.filter(fragOf(col(addrCol)).isin(tSeq: _*))
+        val direct = d.filter(!fragOf(col(addrCol)).isin(tSeq: _*))
+        if (onNew.isEmpty) direct
+        else {
+          val map = addrMapping(spark, tablePath, m, translatable)
+          val back = map
+            .join(onNew, map("__new_addr") === onNew(addrCol), "left_semi")
+            .select(col(graft.format.GraftTable.OldAddrCol).as(addrCol))
+          direct.unionByName(back)
+        }
+      }
+    }
+    // rows the rewrite itself dropped (materialized deletions): the
+    // old-address DV sidecars stamped on the rewrite outputs — already in
+    // candidate coordinates, deletion-sized, no corpus work
+    val srcDvPaths = translatable.flatMap(_.srcDvFiles).distinct
+    val deadOld: Option[DataFrame] =
+      if (srcDvPaths.isEmpty) None
+      else Some(spark.read.parquet(
+          srcDvPaths.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
+        .select(col("addr").as(addrCol)).distinct())
     val transform: DataFrame => DataFrame = { cand =>
       require(cand.columns.contains(addrCol),
         s"index at $indexPath carries no $addrCol — rebuild with buildForTable")
-      // stale candidate addresses move to their rows' post-rewrite
-      // addresses; untranslated candidates keep theirs and the liveness
-      // filter below drops the dead ones. The join is keyed by address —
-      // candidates are probe-pruned-small, the mapping is
-      // rewritten-rows-sized (AQE broadcasts it when small).
-      val moved = mapping match {
-        case Some(map) =>
-          cand.join(map, cand(addrCol) === map(graft.format.GraftTable.OldAddrCol),
-              "left_outer")
-            .withColumn(addrCol, coalesce(col("__new_addr"), cand(addrCol)))
-            .drop(graft.format.GraftTable.OldAddrCol, "__new_addr")
-        case None => cand
-      }
       // liveness filter only when coverage is actually broken (or unknown —
       // legacy marker): the common fresh-index path adds no predicate
-      val live = if (covered == coveredLive && mapping.isEmpty &&
-          graft.index.ScalarIndex.readCoverage(spark, indexPath).isDefined) moved
-        else liveFragmentFilter(spark, moved, servableIds)
-      dv.map(d => live.join(d, Seq(addrCol), "left_anti")).getOrElse(live)
+      val live = if (covered == coveredLive && translatable.isEmpty &&
+          graft.index.ScalarIndex.readCoverage(spark, indexPath).isDefined) cand
+        else liveFragmentFilter(spark, cand, servableIds)
+      val afterDv = dvOld.map(d => live.join(d, Seq(addrCol), "left_anti"))
+        .getOrElse(live)
+      deadOld.map(d => afterDv.join(d, Seq(addrCol), "left_anti"))
+        .getOrElse(afterDv)
     }
     val indexed = runIndexed(transform).select(col(idCol), col(Knn.DistanceCol))
     if (fastSearch || freshFrags.isEmpty) return indexed

@@ -279,11 +279,11 @@ object Vector {
     // Deferred-remap serving end-to-end (reference `defer_index_remap` +
     // FragReuseIndex, `rust/lance/src/dataset/optimize.rs:155-166`): build
     // IVF → pure compaction retires every covered fragment id → WITHOUT
-    // optimize_index the search serves the whole corpus by translating
-    // stale candidate addresses through the rewrite outputs' persisted
-    // `__old_addr` column — the in-gate require proves the flat leg is
-    // EMPTY, so the hash-match is evidence for the translation path alone.
-    // nprobes = nlist ⇒ exact vs brute force.
+    // optimize_index the search serves the whole corpus from the index's
+    // old addresses (the rewrite outputs' `__old_addr` column is touched
+    // only to map deletions backward — none here) — the in-gate require
+    // proves the flat leg is EMPTY, so the hash-match is evidence for the
+    // deferred path alone. nprobes = nlist ⇒ exact vs brute force.
     "q_ann_defer" -> { (s, d) =>
       import graft.format.GraftTable
       val t = freshDir(s, "ann_defer")

@@ -679,6 +679,47 @@ object ScaleProbe {
       }
     }
 
+    // ---- deferred index remap serving (r11): a pure compaction retires
+    // every covered fragment id, but the IVF keeps serving the rewritten
+    // corpus by translating stale candidate addresses through the outputs'
+    // persisted __old_addr column. The translation's corpus-sized work is a
+    // 16 B/row two-long address scan; the alternative — those outputs
+    // falling to the flat leg — re-reads dim·4 B/row of vectors AND runs
+    // the distance kernel on all of them. Both legs are ~linear in the
+    // corpus; the probe certifies the constant-factor gap that makes
+    // deferral serviceable at 100 TB (and that the in-probe require holds:
+    // the flat leg really is empty). ----
+    val wantDefer = onlyOps.forall(s =>
+      s.contains("defer_search") || s.contains("defer_flat"))
+    if (wantDefer) for (f <- docFactors) {
+      val p = embs(f)
+      val tbl = s"$outDir/defer_tbl_x$f"; val idx = s"$outDir/defer_idx_x$f"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+      Seq(tbl, idx).foreach(d => fsys.delete(new org.apache.hadoop.fs.Path(d), true))
+      graft.format.GraftTable.write(
+        spark.read.parquet(p).repartitionByRange(math.max(4, 4 * f), col("vec_id")),
+        tbl, "overwrite")
+      IvfIndex.buildForTable(spark, tbl, "vec_id", "embedding", idx, nlist = 64)
+      graft.format.GraftTable.compactFiles(spark, tbl,
+        targetRows = 1 << 20, maxBytesPerFile = Some(256L << 20))
+      val dm = graft.format.GraftTable.loadManifest(spark, tbl)
+      val dcov = graft.index.ScalarIndex.readCoverage(spark, idx).get.fragmentIds.toSet
+      val (_, deferFresh) = IvfIndex.deferServing(dm, dcov)
+      require(deferFresh.isEmpty,
+        s"defer probe x$f: rewrite outputs fell to the flat leg: $deferFresh")
+      val q = Array.tabulate(64)(i => (math.sin(i * 0.37) * 0.5).toFloat)
+      time("defer_search", f) {
+        IvfIndex.searchCombined(spark, tbl, idx, "vec_id", "embedding", q,
+          10, nprobes = 8).collect().length.toLong
+      }
+      time("defer_flat", f) {
+        graft.operators.Knn.flatSearch(
+            graft.format.GraftTable.read(spark, tbl), "embedding", q, 10, "l2")
+          .collect().length.toLong
+      }
+    }
+
     // ---- auto late materialization on a blob table. Layout is HASH
     // clustered on a bucket column, so fragment zonemaps overlap (min/max
     // cannot exclude bucket=7) while the matches physically live in ~1 of

@@ -10,11 +10,12 @@ import graft.operators.{IvfIndex, Knn}
 /** Deferred index remap serving (reference `defer_index_remap` +
   * FragReuseIndex, `rust/lance/src/dataset/optimize.rs:155-166`): a
   * content-preserving rewrite (compaction / clustering) records its source
-  * fragment ids and persists each row's pre-rewrite `_rowaddr` as a physical
-  * `__old_addr` column, so an index whose coverage the rewrite retired keeps
-  * SERVING those rows — stale candidate addresses translate through the
-  * mapping instead of falling to the flat leg — until `optimize_index`
-  * remaps permanently. */
+  * fragment ids, the DV files it materialized, and persists each row's
+  * pre-rewrite `_rowaddr` as a physical `__old_addr` column, so an index
+  * whose coverage the rewrite retired keeps SERVING those rows at their OLD
+  * addresses — only the deletion-sized exclusion sets (materialized-DV
+  * sidecars, post-rewrite DVs mapped backward) touch the old address
+  * space — until `optimize_index` remaps permanently. */
 class DeferServingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
@@ -95,6 +96,33 @@ class DeferServingSpec extends AnyFunSuite {
     assert(!got.exists(_ % 10 == 0))
   }
 
+  test("cleanup keeps the old-address DV sidecars rewrite outputs reference") {
+    val t = tmp("defer_cleanup_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.delete(spark, t, "vec_id % 10 = 0")
+    GraftTable.compactFiles(spark, t, targetRows = 2000, materializeDeletions = 0.01)
+    val m = GraftTable.loadManifest(spark, t)
+    val sidecars = m.fragments.flatMap(_.srcDvFiles).distinct
+    assert(sidecars.nonEmpty, "materializing compaction must stamp srcDvFiles")
+    // drop every pre-rewrite version; the sidecars are referenced by no
+    // surviving manifest's dvFiles — only by the fragments' srcDvFiles
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 1,
+      unverifiedGraceMillis = 0L)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sidecars.foreach { p =>
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(t), p)),
+        s"cleanup deleted referenced DV sidecar $p")
+    }
+    // and the deferred search still masks the materialized deletions
+    val q = queryVec(3L)
+    val got = searchIds(t, ix, q)
+    assert(got == flatIds(t, q, 10))
+    assert(!got.exists(_ % 10 == 0))
+  }
+
   test("deletes AFTER the rewrite are masked at translated addresses") {
     val t = tmp("defer_postdel_t")
     val ix = s"$t/_indices/ivf_embedding"
@@ -127,6 +155,29 @@ class DeferServingSpec extends AnyFunSuite {
     val got = searchIds(t, ix, q)
     assert(got == flatIds(t, q, 10))
     assert(got.contains(100003L))
+  }
+
+  test("layout clustering outputs also serve via translation") {
+    val t = tmp("defer_cluster_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.cluster(spark, t, Seq("label"), targetRows = 2000)
+    val m = GraftTable.loadManifest(spark, t)
+    val (translatable, fresh) = IvfIndex.deferServing(m, covered(ix))
+    assert(fresh.isEmpty, s"cluster outputs fell to the flat leg: $fresh")
+    assert(translatable.nonEmpty)
+    val q = queryVec(3L)
+    assert(searchIds(t, ix, q) == flatIds(t, q, 10))
+  }
+
+  test("write rejects reserved graft column names") {
+    val t = tmp("defer_reserved_t")
+    val bad = embeddings.withColumn(GraftTable.OldAddrCol, lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.write(bad, t, "overwrite")
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 
   test("value-changing update breaks provenance; second-generation rewrite breaks the chain") {
