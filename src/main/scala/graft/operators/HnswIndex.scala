@@ -816,18 +816,26 @@ object HnswIndex {
       else Some(spark.read.parquet(
           m.dvFiles.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
         .select(col("addr").as(AddrCol)).distinct())
+    // deferred serving (shared with the IVF family): nodes of retired
+    // coverage whose rows a content-preserving rewrite carried stay ALIVE
+    // at their old addresses; the deletion-sized exclusion set replaces the
+    // raw DV set in dead-marking
+    val (translatable, deferFresh) = IvfIndex.deferServing(m, covered)
+    val servable = coveredLive ++ translatable.flatMap(_.srcFragIds)
+    val exclusions = IvfIndex.deferExclusions(spark, tablePath, m,
+      translatable, dv, AddrCol)
     val markDead: DataFrame => DataFrame = { g =>
       require(g.columns.contains(AddrCol),
         s"index at $indexPath carries no $AddrCol — rebuild with buildForTable")
       val fragId = shiftrightunsigned(col(AddrCol), 32)
       val fragDead =
-        if (covered == coveredLive) lit(false)
-        else !fragId.isin(coveredLive.toSeq: _*)
-      dv match {
+        if (covered == coveredLive && translatable.isEmpty) lit(false)
+        else !fragId.isin(servable.toSeq: _*)
+      exclusions match {
         case None => g.withColumn("__dead", fragDead || col(AddrCol).isNull)
         case Some(d) =>
-          // broadcast join: the DV set is bounded by deletes since the last
-          // optimize; graph partitioning is preserved (no reshuffle)
+          // broadcast join: the exclusion set is bounded by deletes since
+          // the last optimize; graph partitioning is preserved (no reshuffle)
           g.join(broadcast(d.withColumn("__dv", lit(true))), Seq(AddrCol), "left_outer")
             .withColumn("__dead",
               fragDead || col(AddrCol).isNull || coalesce(col("__dv"), lit(false)))
@@ -857,7 +865,7 @@ object HnswIndex {
         markDead = Some(markDeadPf), refineFactor = refineFactor,
         distanceRange = distanceRange)
       .select(col("id").as(idCol), col(Knn.DistanceCol))
-    val freshFrags = m.fragments.filterNot(f => covered.contains(f.id))
+    val freshFrags = deferFresh
     // fast_search (reference scanner.rs:1176-1193): indexed data only
     if (fastSearch || freshFrags.isEmpty) return indexed
     val fresh = Knn.flatSearch(

@@ -496,6 +496,48 @@ object IvfIndex {
         col(GraftTable.RowAddrCol).as("__new_addr"))
   }
 
+  /** Deletion-sized exclusion set for deferred serving, in the index's OLD
+    * address space: current DVs (as-is on non-translatable fragments,
+    * backward through `__old_addr` on translatable rewrite outputs — the
+    * two-long mapping scan runs only when such DVs actually exist) unioned
+    * with the rewrites' materialized-DV sidecars (`srcDvFiles`). None when
+    * nothing is excluded. Shared by the IVF-family transform and the HNSW
+    * dead-marking; never corpus-sized. */
+  private[operators] def deferExclusions(spark: SparkSession, tablePath: String,
+                                         m: graft.format.GraftManifest,
+                                         translatable: Seq[graft.format.FragmentMeta],
+                                         dv: Option[DataFrame],
+                                         addrCol: String): Option[DataFrame] = {
+    val fragOf = (c: Column) => shiftrightunsigned(c, 32)
+    val tIds = translatable.map(_.id).toSeq
+    val dvOld: Option[DataFrame] = dv.map { d =>
+      if (translatable.isEmpty) d
+      else {
+        val onNew = d.filter(fragOf(col(addrCol)).isin(tIds: _*))
+        val direct = d.filter(!fragOf(col(addrCol)).isin(tIds: _*))
+        if (onNew.isEmpty) direct
+        else {
+          val map = addrMapping(spark, tablePath, m, translatable)
+          val back = map
+            .join(onNew, map("__new_addr") === onNew(addrCol), "left_semi")
+            .select(col(graft.format.GraftTable.OldAddrCol).as(addrCol))
+          direct.unionByName(back)
+        }
+      }
+    }
+    val srcDvPaths = translatable.flatMap(_.srcDvFiles).distinct
+    val t = new org.apache.hadoop.fs.Path(tablePath)
+    val deadOld: Option[DataFrame] =
+      if (srcDvPaths.isEmpty) None
+      else Some(spark.read.parquet(
+          srcDvPaths.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
+        .select(col("addr").as(addrCol)).distinct())
+    (dvOld, deadOld) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
   private[operators] def combined(spark: SparkSession, tablePath: String,
                                   indexPath: String, idCol: String, vecCol: String,
                                   query: Array[Float], k: Int, metric: String,
@@ -521,44 +563,12 @@ object IvfIndex {
         .select(col("addr").as(addrCol)).distinct())
     // retired coverage that can keep serving at its OLD addresses
     // (reference defer_index_remap / FragReuseIndex): candidates are never
-    // touched — the deletion-sized exclusion sets move into the old address
-    // space instead, so the corpus-sized mapping scan happens only when
-    // post-rewrite DVs actually landed on rewrite outputs
+    // touched — the deletion-sized exclusion set moves into the old address
+    // space instead
     val (translatable, freshFrags) = deferServing(m, covered)
-    val translatableIds = translatable.map(_.id).toSet
-    val translatableSrc = translatable.flatMap(_.srcFragIds).toSet
-    val servableIds = coveredLive ++ translatableSrc
-    val fragOf = (c: Column) => shiftrightunsigned(c, 32)
-    // current DVs, expressed in the candidates' old address space: DVs on
-    // covered-live fragments apply as-is; DVs on translatable rewrite
-    // outputs translate BACKWARD through __old_addr (one two-long
-    // column-pruned scan, output deletion-sized — skipped when no DV falls
-    // on a rewrite output)
-    val dvOld: Option[DataFrame] = dv.map { d =>
-      if (translatable.isEmpty) d
-      else {
-        val tSeq = translatableIds.toSeq
-        val onNew = d.filter(fragOf(col(addrCol)).isin(tSeq: _*))
-        val direct = d.filter(!fragOf(col(addrCol)).isin(tSeq: _*))
-        if (onNew.isEmpty) direct
-        else {
-          val map = addrMapping(spark, tablePath, m, translatable)
-          val back = map
-            .join(onNew, map("__new_addr") === onNew(addrCol), "left_semi")
-            .select(col(graft.format.GraftTable.OldAddrCol).as(addrCol))
-          direct.unionByName(back)
-        }
-      }
-    }
-    // rows the rewrite itself dropped (materialized deletions): the
-    // old-address DV sidecars stamped on the rewrite outputs — already in
-    // candidate coordinates, deletion-sized, no corpus work
-    val srcDvPaths = translatable.flatMap(_.srcDvFiles).distinct
-    val deadOld: Option[DataFrame] =
-      if (srcDvPaths.isEmpty) None
-      else Some(spark.read.parquet(
-          srcDvPaths.map(p => new org.apache.hadoop.fs.Path(t, p).toString): _*)
-        .select(col("addr").as(addrCol)).distinct())
+    val servableIds = coveredLive ++ translatable.flatMap(_.srcFragIds)
+    val exclusions = deferExclusions(spark, tablePath, m, translatable,
+      dv, addrCol)
     val transform: DataFrame => DataFrame = { cand =>
       require(cand.columns.contains(addrCol),
         s"index at $indexPath carries no $addrCol — rebuild with buildForTable")
@@ -567,10 +577,8 @@ object IvfIndex {
       val live = if (covered == coveredLive && translatable.isEmpty &&
           graft.index.ScalarIndex.readCoverage(spark, indexPath).isDefined) cand
         else liveFragmentFilter(spark, cand, servableIds)
-      val afterDv = dvOld.map(d => live.join(d, Seq(addrCol), "left_anti"))
+      exclusions.map(e => live.join(e, Seq(addrCol), "left_anti"))
         .getOrElse(live)
-      deadOld.map(d => afterDv.join(d, Seq(addrCol), "left_anti"))
-        .getOrElse(afterDv)
     }
     val indexed = runIndexed(transform).select(col(idCol), col(Knn.DistanceCol))
     if (fastSearch || freshFrags.isEmpty) return indexed

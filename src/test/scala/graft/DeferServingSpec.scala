@@ -180,6 +180,28 @@ class DeferServingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("HNSW serves deferred too: compaction + post-rewrite delete, no flat leg") {
+    import graft.operators.HnswIndex
+    val t = tmp("defer_hnsw_t")
+    val ix = s"$t/_indices/hnsw_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    HnswIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    val m = GraftTable.loadManifest(spark, t)
+    val (_, fresh) = IvfIndex.deferServing(m, covered(ix))
+    assert(fresh.isEmpty, s"rewrite outputs fell to the flat leg: $fresh")
+    val q = queryVec(3L)
+    val before = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding",
+        q, 10, nprobes = 8).select("vec_id").as[Long].collect().toSeq
+    assert(before.toSet == flatIds(t, q, 10).toSet)
+    // a delete AFTER the rewrite is masked through the backward mapping
+    GraftTable.delete(spark, t, s"vec_id = ${before.head}")
+    val got = HnswIndex.searchCombined(spark, t, ix, "vec_id", "embedding",
+        q, 10, nprobes = 8).select("vec_id").as[Long].collect().toSeq
+    assert(got.toSet == flatIds(t, q, 10).toSet)
+    assert(!got.contains(before.head))
+  }
+
   test("value-changing update breaks provenance; second-generation rewrite breaks the chain") {
     val t = tmp("defer_chain_t")
     val ix = s"$t/_indices/ivf_embedding"
