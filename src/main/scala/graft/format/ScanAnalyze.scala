@@ -177,18 +177,21 @@ object ScanAnalyze {
         .groupBy(col(graft.operators.IvfIndex.PidCol)).agg(count(lit(1)))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val probed = probes.toSet
-    // fresh (index-uncovered) fragments ride the flat leg of the combined
-    // search — the freshness cost the next optimize_index would retire
+    // uncovered fragments split the way the combined search splits them:
+    // rewrite outputs of fully-covered sources serve DEFERRED from the
+    // index (no table scan); only the rest rides the flat leg — the
+    // freshness cost the next optimize_index would retire
     val covered = e.fragmentIds.toSet
-    val freshRows = m.fragments.filterNot(f => covered.contains(f.id))
-      .map(_.rows).sum
+    val (deferred, fresh) =
+      graft.operators.IvfIndex.deferServing(m, covered)
     Seq(
       Seq[Any]("partitions_total", nlist.toLong),
       Seq[Any]("partitions_probed", probed.size.toLong),
       Seq[Any]("index_nodes_total", sizes.values.sum),
       Seq[Any]("index_nodes_scanned",
         sizes.collect { case (p, n) if probed(p) => n }.sum),
-      Seq[Any]("fresh_rows_scanned", freshRows),
+      Seq[Any]("fresh_rows_scanned", fresh.map(_.rows).sum),
+      Seq[Any]("deferred_rows_served", deferred.map(_.rows).sum),
       Seq[Any]("dv_rows_masked", m.numDeleted))
   }
 }

@@ -754,6 +754,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(m2("partitions_probed") == 8L, m2.toString)
     assert(m2("index_nodes_scanned") == 400L, m2.toString)
     assert(m2("fresh_rows_scanned") == 30L, m2.toString)
+    assert(m2("deferred_rows_served") == 0L, m2.toString)
+    // a compaction retires the covered fragments, but their rewrite output
+    // serves DEFERRED from the index; the never-covered appends (their own
+    // coverage-signature group) stay on the flat leg
+    s.sql(s"CALL g.system.compact(table => 'db.$t')")
+    val m3 = metrics(8)
+    assert(m3("deferred_rows_served") == 400L, m3.toString)
+    assert(m3("fresh_rows_scanned") == 30L, m3.toString)
+    assert(m3("rows_returned") == 5L, m3.toString)
   }
 
   test("CALL ivf_model: per-partition centroids and sizes (reference get_ivf_model)") {
