@@ -675,9 +675,22 @@ private[format] object GraftProcedures {
           "explain_query: `query` must be a non-empty SQL string"))
       val mode = Option(in.getUTF8String(1)).map(_.toString)
         .filter(_.trim.nonEmpty).getOrElse("formatted")
-      val m = org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-      spark.sql(sql).queryExecution.explainString(m)
-        .split("\n").toSeq.map(l => Seq[Any](l))
+      // validate the mode name up front (clear error), then go through the
+      // EXPLAIN statement itself: since Spark 3.2 a top-level command
+      // EXECUTES when spark.sql() builds the Dataset — planning an
+      // INSERT/DROP via .queryExecution.explainString would run the
+      // mutation. EXPLAIN wraps the parsed plan in ExplainCommand, which
+      // plans with command execution SKIPPED, honoring the
+      // "returns the plan WITHOUT executing" contract.
+      val kw = org.apache.spark.sql.execution.ExplainMode.fromString(mode) match {
+        case org.apache.spark.sql.execution.SimpleMode => ""
+        case org.apache.spark.sql.execution.ExtendedMode => "EXTENDED"
+        case org.apache.spark.sql.execution.CodegenMode => "CODEGEN"
+        case org.apache.spark.sql.execution.CostMode => "COST"
+        case _ => "FORMATTED"
+      }
+      spark.sql(s"EXPLAIN $kw $sql").collect()
+        .flatMap(_.getString(0).split("\n")).toSeq.map(l => Seq[Any](l))
     }
 
   /** `CALL g.system.analyze_query(query => 'SELECT ... JOIN ...')` — the

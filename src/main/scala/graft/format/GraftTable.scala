@@ -352,6 +352,15 @@ object GraftTable {
                           maxRowsPerFile: Option[Long] = None): Unit = {
     val writer = ColumnBridge.cloneSession(spark)
     writer.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // staging a bucketed table's rewrite reads bucketed fragments under a
+    // `repartition(n, bucketCols)`: EnsureRequirements elides that shuffle
+    // because the BUCKETED scan's claimed partitioning already satisfies
+    // it, but DisableUnnecessaryBucketedScan can then UNDO the bucketed
+    // scan (it only protects joins/aggregates, not elided user shuffles) —
+    // leaving no shuffle at all and letting file-packing mix buckets in
+    // one task. Pinning autoBucketedScan off in this write-only session
+    // keeps the claimed partitioning the executed one.
+    writer.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     codec.foreach(c => writer.conf.set("spark.sql.parquet.compression.codec", c))
     val w = ColumnBridge.ofRows(writer, df.queryExecution.logical)
       .write.mode(SaveMode.Overwrite)
@@ -388,7 +397,8 @@ object GraftTable {
     SchemaPaths.cleanType(s).asInstanceOf[StructType]
 
   private def stageFragments(spark: SparkSession, tablePath: String, df: DataFrame,
-                             stagingRoot: Option[Path] = None): Seq[Path] = {
+                             stagingRoot: Option[Path] = None,
+                             maxRowsPerFile: Option[Long] = None): Seq[Path] = {
     val txn = s"data/txn-${UUID.randomUUID().toString.take(8)}"
     val stagingDir = new Path(stagingRoot.getOrElse(new Path(tablePath)), txn)
     // table-level write codec (`graft.write.compression` config, e.g.
@@ -400,7 +410,7 @@ object GraftTable {
       .map(_.config).getOrElse(Map.empty)
     writeMicros(spark, df, stagingDir.toString, cfg.get(CompressionKey),
       cfg.get(RowGroupBytesKey).map(_.toLong),
-      cfg.get(MaxRowsPerFragmentKey).map(_.toLong))
+      maxRowsPerFile.orElse(cfg.get(MaxRowsPerFragmentKey).map(_.toLong)))
     val f = fs(spark, stagingDir)
     f.listStatus(stagingDir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
@@ -2102,23 +2112,33 @@ object GraftTable {
     * degrading it. Unbucketed tables bin by `nOut` as before. */
   private def stageRewrite(spark: SparkSession, tablePath: String,
                            m: GraftManifest, live: DataFrame,
-                           nOut: Int): (Seq[Path], Option[Seq[Int]]) =
+                           nOut: Int,
+                           rowsPerFile: Option[Long] = None)
+      : (Seq[Path], Option[Seq[Int]]) =
     stageBucketAware(spark, tablePath, m, toPhysical(live, m),
-      fallback = _.repartition(nOut))
+      fallback = _.repartition(nOut), maxRowsPerFile = rowsPerFile)
 
   /** Stage a PHYSICAL-named DataFrame, routing rows to their buckets when
     * the table is bucketed (routing is recomputed from CURRENT values, so
     * even a mutation that changes a bucket column lands rows correctly);
     * otherwise apply `fallback`. Returns the staged paths and the aligned
-    * bucket ids for [[assignIds]]' suffixed naming. */
+    * bucket ids for [[assignIds]]' suffixed naming.
+    *
+    * `maxRowsPerFile` carries the caller's targetRows/maxBytesPerFile
+    * ceiling into the BUCKETED branch: the shuffle stays one-partition-
+    * per-bucket (anything else could mix buckets in a file), so the
+    * ceiling applies as the writer's maxRecordsPerFile — an oversized
+    * bucket splits into several single-bucket fragments instead of one
+    * multi-GB file. */
   private def stageBucketAware(spark: SparkSession, tablePath: String,
                                m: GraftManifest, dfPhys: DataFrame,
-                               fallback: DataFrame => DataFrame = identity)
+                               fallback: DataFrame => DataFrame = identity,
+                               maxRowsPerFile: Option[Long] = None)
       : (Seq[Path], Option[Seq[Int]]) =
     bucketSpecOf(m) match {
       case Some(bs) =>
         val (paths, ids) = stageBucketed(spark, tablePath, bs.numBuckets,
-          bs.bucketColumnNames, dfPhys)
+          bs.bucketColumnNames, dfPhys, maxRowsPerFile = maxRowsPerFile)
         (paths, Some(ids))
       case None => (stageFragments(spark, tablePath, fallback(dfPhys)), None)
     }
@@ -2133,10 +2153,11 @@ object GraftTable {
     * mutation) get bucket 0 — vacuously correct. */
   private def stageBucketed(spark: SparkSession, tablePath: String,
                             n: Int, cols: Seq[String], dfPhys: DataFrame,
-                            stagingRoot: Option[Path] = None)
+                            stagingRoot: Option[Path] = None,
+                            maxRowsPerFile: Option[Long] = None)
       : (Seq[Path], Seq[Int]) = {
     val staged = stageFragments(spark, tablePath,
-      dfPhys.repartition(n, cols.map(col): _*), stagingRoot)
+      dfPhys.repartition(n, cols.map(col): _*), stagingRoot, maxRowsPerFile)
     if (staged.isEmpty) return (staged, Nil)
     // Spark's bucket id = pmod(murmur3(cols), n) — hash() IS Murmur3Hash
     // with HashPartitioning's seed, so this matches both the shuffle
@@ -2151,6 +2172,19 @@ object GraftTable {
           val name = r.getString(0).split('/').last
           name -> (r.getInt(1), r.getInt(2))
         }.toMap
+    // a name absent from the content scan is only legitimate for a
+    // ZERO-ROW file (input_file_name never surfaces it); anything else is
+    // a staged-path vs scan-name mismatch that would silently label a
+    // data-bearing file bucket 0 and make bucket-pruned reads drop rows —
+    // verify emptiness instead of assuming it
+    val unseen = staged.filterNot(p => byName.contains(p.getName))
+    if (unseen.nonEmpty) {
+      val nonEmpty = spark.read.parquet(unseen.map(_.toString): _*)
+        .limit(1).count()
+      require(nonEmpty == 0L,
+        s"staged bucketed files missing from the content scan but not " +
+          s"empty: ${unseen.mkString(", ")}")
+    }
     val ids = staged.map { p =>
       byName.get(p.getName) match {
         case Some((lo, hi)) =>
@@ -2220,7 +2254,9 @@ object GraftTable {
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
       val nOut = math.max(1,
         math.max(math.ceil(liveCount.toDouble / targetRows), byBytes).toInt)
-      stageRewrite(spark, tablePath, m, live, nOut)
+      stageRewrite(spark, tablePath, m, live, nOut,
+        rowsPerFile = Some(math.max(1L,
+          math.ceil(liveCount.toDouble / nOut).toLong)))
     }
     // DV entries for untouched fragments survive the rewrite
     val dvCarry: Option[(String, Long)] =
@@ -2229,6 +2265,18 @@ object GraftTable {
         spark.read.parquet(dvPaths: _*)
           .filter(shiftrightunsigned(col("addr"), 32).isin(keepIds.toSeq: _*))
           .select(col("addr").as(RowAddrCol)))
+    // per-group old-address DV sidecars for deferred index serving: each
+    // deletion-bearing group's outputs reference a PRIVATE copy of exactly
+    // the addresses the rewrite materialized — never the table's shared DV
+    // files, which would stay pinned (and be re-read by every deferred
+    // search) long after the other fragments' deletions became irrelevant
+    val srcDvByGroup: Seq[Option[String]] = groups.map { g =>
+      if (m.dvFiles.isEmpty || g.map(delOf).sum == 0) None
+      else stageDv(spark, tablePath,
+        spark.read.parquet(dvPaths: _*)
+          .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
+          .select(col("addr").as(RowAddrCol))).map(_._1)
+    }
     beforeCommit()
     commitLoop(spark, tablePath, {
       case Some(base) =>
@@ -2240,17 +2288,18 @@ object GraftTable {
         // (planned keepers + anything appended since planning)
         val keepNow = base.fragments.filterNot(f => toRewrite.exists(_.id == f.id))
         var nextId = base.maxFragmentId + 1
-        val assigned = stagedGroups.zip(groups).map { case ((sg, bids), g) =>
-          val (frags0, paths) = assignIds(spark, sg, nextId,
-            base.version + 1, storedRowIds = carryIds, bucketIds = bids)
-          // srcDvFiles: the old-address DV files this group's rewrite
-          // materialized — deferred index serving reads them as the
-          // deletion-sized "rows that vanished here" set
-          val frags = frags0.map(_.copy(
-            srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
-            srcDvFiles = if (g.map(delOf).sum > 0) m.dvFiles else Nil))
-          nextId += frags.size
-          (frags, paths, bids)
+        val assigned = stagedGroups.zip(groups).zip(srcDvByGroup).map {
+          case (((sg, bids), g), sdv) =>
+            val (frags0, paths) = assignIds(spark, sg, nextId,
+              base.version + 1, storedRowIds = carryIds, bucketIds = bids)
+            // srcDvFiles: this group's private old-address DV sidecar —
+            // deferred index serving reads it as the deletion-sized
+            // "rows that vanished here" set
+            val frags = frags0.map(_.copy(
+              srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
+              srcDvFiles = sdv.toSeq))
+            nextId += frags.size
+            (frags, paths, bids)
         }
         stagedGroups = assigned.map(a => (a._2, a._3))
         base.copy(version = base.version + 1, operation = "rewrite",
@@ -2316,7 +2365,19 @@ object GraftTable {
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
       val nOut = math.max(1,
         math.max(math.ceil(total.toDouble / targetRows), byBytes).toInt)
-      stageRewrite(spark, tablePath, m, live, nOut)
+      stageRewrite(spark, tablePath, m, live, nOut,
+        rowsPerFile = Some(math.max(1L,
+          math.ceil(total.toDouble / nOut).toLong)))
+    }
+    // per-group private old-address DV sidecars (see [[compactFiles]])
+    val srcDvByGroup: Seq[Option[String]] = groups.map { g =>
+      if (m.dvFiles.isEmpty ||
+          !g.exists(f => delByFrag.getOrElse(f.id, 0L) > 0)) None
+      else stageDv(spark, tablePath,
+        spark.read.parquet(m.dvFiles.map(p =>
+            new Path(new Path(tablePath), p).toString): _*)
+          .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
+          .select(col("addr").as(RowAddrCol))).map(_._1)
     }
     beforeCommit()
     commitLoop(spark, tablePath, {
@@ -2333,16 +2394,15 @@ object GraftTable {
         val mIds = m.fragments.map(_.id).toSet
         val keepNow = base.fragments.filterNot(f => mIds.contains(f.id))
         var nextId = base.maxFragmentId + 1
-        val assigned = stagedGroups.zip(groups).map { case ((sg, bids), g) =>
-          val (frags0, paths) = assignIds(spark, sg, nextId,
-            base.version + 1, storedRowIds = carryIds, bucketIds = bids)
-          val frags = frags0.map(_.copy(
-            srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
-            srcDvFiles =
-              if (g.exists(f => delByFrag.getOrElse(f.id, 0L) > 0)) m.dvFiles
-              else Nil))
-          nextId += frags.size
-          (frags, paths, bids)
+        val assigned = stagedGroups.zip(groups).zip(srcDvByGroup).map {
+          case (((sg, bids), g), sdv) =>
+            val (frags0, paths) = assignIds(spark, sg, nextId,
+              base.version + 1, storedRowIds = carryIds, bucketIds = bids)
+            val frags = frags0.map(_.copy(
+              srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
+              srcDvFiles = sdv.toSeq))
+            nextId += frags.size
+            (frags, paths, bids)
         }
         stagedGroups = assigned.map(a => (a._2, a._3))
         base.copy(version = base.version + 1, operation = "rewrite",
@@ -3303,10 +3363,23 @@ object GraftTable {
     * optimizer stops probing the filesystem for markers entirely. */
   def commitIndex(spark: SparkSession, tablePath: String, meta: IndexMeta): GraftManifest =
     commitLoop(spark, tablePath, {
-      case Some(base) => base.copy(version = base.version + 1,
-        operation = "create_index", parent = base.version,
-        config = base.config + (GraftManifest.IndicesCommittedKey -> "true"),
-        indices = base.indices.filterNot(_.name == meta.name) :+ meta)
+      case Some(base) =>
+        val indices = base.indices.filterNot(_.name == meta.name) :+ meta
+        // an index commit is also when defer provenance can RETIRE: once
+        // every committed index covers a rewrite output, no search needs
+        // its old-address chain anymore — dropping srcFragIds/srcDvFiles
+        // lets cleanup reclaim the DV sidecars instead of pinning them for
+        // the fragment's lifetime
+        val frags = base.fragments.map { f =>
+          if ((f.srcFragIds.nonEmpty || f.srcDvFiles.nonEmpty) &&
+              indices.forall(_.fragmentIds.contains(f.id)))
+            f.copy(srcFragIds = Nil, srcDvFiles = Nil)
+          else f
+        }
+        base.copy(version = base.version + 1,
+          operation = "create_index", parent = base.version,
+          config = base.config + (GraftManifest.IndicesCommittedKey -> "true"),
+          fragments = frags, indices = indices)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })
 

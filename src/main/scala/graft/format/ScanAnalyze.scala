@@ -2,7 +2,7 @@ package graft.format
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, expr, shiftright}
+import org.apache.spark.sql.functions.{col, expr, shiftrightunsigned}
 
 /** EXPLAIN ANALYZE-equivalent for graft scans (reference `analyze_plan`,
   * Python `dataset.py`; per-scan metrics `rust/lance/src/io/exec/
@@ -79,7 +79,7 @@ object ScanAnalyze {
         new org.apache.hadoop.fs.Path(t, p).toString): _*)
       // addr = fragId << 32 | position (Manifest.scala dvFiles docs)
       val keptIds = kept.map(_.id)
-      dv.filter(shiftright(col("addr"), 32).isin(keptIds: _*)).count()
+      dv.filter(shiftrightunsigned(col("addr"), 32).isin(keptIds: _*)).count()
     }
   }
 
@@ -96,17 +96,28 @@ object ScanAnalyze {
     * scan exposes no fragment metadata — such a plan reports 0 leaves). */
   def analyzeSql(spark: SparkSession, sql: String): Seq[Seq[Any]] = {
     val qe = spark.sql(sql).queryExecution
-    val leaves = qe.optimizedPlan.collect {
+    // one GraftFileIndex INSTANCE can back several scan leaves (a temp view
+    // self-join inlines the same LogicalRelation twice) and `lastKept` is
+    // per-instance — so every leaf gets a fresh clone and the CLONED plan
+    // is what executes, keeping per-leaf attribution exact even when the
+    // two sides prune differently
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[GraftFileIndex]
+    val cloned = qe.optimizedPlan.transform {
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[HadoopFsRelation] &&
             lr.relation.asInstanceOf[HadoopFsRelation]
               .location.isInstanceOf[GraftFileIndex] =>
-        lr.relation.asInstanceOf[HadoopFsRelation]
-          .location.asInstanceOf[GraftFileIndex]
+        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+        val idx = rel.location.asInstanceOf[GraftFileIndex]
+        val clone = new GraftFileIndex(spark, idx.tablePath, idx.manifest,
+          idx.dvApplied, idx.maskApplied, idx.addrPruned)
+        leaves += clone
+        lr.copy(relation = rel.copy(location = clone)(rel.sparkSession))
     }
-    // execute THIS QueryExecution so each leaf's pruning observability
+    // execute the cloned plan so each leaf's pruning observability
     // (lastKept) belongs to the plan that actually ran
-    val rowsReturned = qe.toRdd.count()
+    val rowsReturned = org.apache.spark.sql.graftshim.ColumnBridge
+      .ofRows(spark, cloned).queryExecution.toRdd.count()
     val header = Seq(
       Seq[Any](-1, "(query)", "rows_returned", rowsReturned),
       Seq[Any](-1, "(query)", "graft_scans", leaves.length.toLong))

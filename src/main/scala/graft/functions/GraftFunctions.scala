@@ -21,23 +21,34 @@ object GraftFunctions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  private def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument${if (n == 1) "" else "s"}, got ${es.length}")
+      b(es)
+    }
+
   /** (name, builder) for every SQL-exposed kernel. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "l2_distance" -> (es => L2Distance(es(0), es(1))),
-    "cosine_distance" -> (es => CosineDistance(es(0), es(1))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "hamming_distance" -> (es => HammingDistance(es(0), es(1))),
-    "pack_sign_bits" -> (es => graft.operators.PackSignBits(es(0))),
+    "l2_distance" -> arity("l2_distance", 2)(es => L2Distance(es(0), es(1))),
+    "cosine_distance" -> arity("cosine_distance", 2)(es =>
+      CosineDistance(es(0), es(1))),
+    "dot_product" -> arity("dot_product", 2)(es => DotProduct(es(0), es(1))),
+    "hamming_distance" -> arity("hamming_distance", 2)(es =>
+      HammingDistance(es(0), es(1))),
+    "pack_sign_bits" -> arity("pack_sign_bits", 1)(es =>
+      graft.operators.PackSignBits(es(0))),
     // text kernels: BPE counting under the built-in English merge table,
     // n-gram repetition pair, and the dedup sketches
-    "bpe_token_count" -> (es =>
+    "bpe_token_count" -> arity("bpe_token_count", 1)(es =>
       BpeTokenCount(es(0), BpeTokenizer.EnglishMerges)),
-    "ngram_repetition" -> (es => NgramRepetition(es(0),
-      litInt(es(1), "ngram_repetition", "n"))),
-    "minhash_signature" -> (es => MinHashSignature(es(0),
-      litInt(es(1), "minhash_signature", "k"))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "fingerprint64" -> (es => Fingerprint64(es(0))))
+    "ngram_repetition" -> arity("ngram_repetition", 2)(es =>
+      NgramRepetition(es(0), litInt(es(1), "ngram_repetition", "n"))),
+    "minhash_signature" -> arity("minhash_signature", 2)(es =>
+      MinHashSignature(es(0), litInt(es(1), "minhash_signature", "k"))),
+    "simhash64" -> arity("simhash64", 1)(es => SimHash64(es(0))),
+    "fingerprint64" -> arity("fingerprint64", 1)(es => Fingerprint64(es(0))))
 
   /** Called from GraftExtensions.apply. */
   def inject(e: SparkSessionExtensions): Unit =

@@ -82,24 +82,27 @@ object TextAnalysis {
     *    covered by every occurrence of n-grams appearing ≥ 2 times,
     *    over the doc's characters.
     *
-    * Same shape as [[repetitionStats]]'s r10 rework: each statistic is a
-    * per-row longest-run / run-sum fold over the doc's SORTED n-gram
-    * array — a pure per-row expression, NO shuffle at any corpus size
-    * (the n-grams of one doc never leave their row). Scanning the sorted
-    * array makes "first run reaching the max" the smallest-gram
-    * tie-break for free, and run-incremental `+2·len` / `+len` char
-    * accounting equals `count·len` per duplicated gram — both exactly
-    * replayable in the DuckDB oracle's group-by formulation
-    * (q_gopher_ngrams). */
+    * Same spirit as [[repetitionStats]]'s r10 rework: each statistic is
+    * ONE per-row hash-count pass ([[graft.functions.NgramRepetition]]) —
+    * a pure per-row expression, NO shuffle at any corpus size (the
+    * n-grams of one doc never leave their row). Ties on the top count
+    * resolve to the lexicographically smallest gram (explicit compareTo
+    * in the expression), and `count·len` char accounting per
+    * top/duplicated gram — both exactly replayable in the DuckDB
+    * oracle's group-by formulation (q_gopher_ngrams). */
   def gopherNgramStats(df: DataFrame, idCol: String, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
     val ns = (topNs ++ dupNs).distinct.sorted
-    // stage 1 materializes each n's [topChars, dupChars] pair ONCE; the
-    // frac projections then read the pair twice without re-counting
-    val staged = df.select(col(idCol) +:
-      length(col(textCol)).cast("double").as("__len") +:
-      ns.map(n => ngramRep(tokens(col(textCol)), n).as(s"__rep$n")): _*)
+    // stage 0 tokenizes ONCE (codegen CSE across 9 identical split()
+    // subtrees is not guaranteed); stage 1 materializes each n's
+    // [topChars, dupChars] pair ONCE; the frac projections then read the
+    // pair twice without re-counting
+    val toksStaged = df.select(col(idCol),
+      length(col(textCol)).cast("double").as("__len"),
+      tokens(col(textCol)).as("__toks"))
+    val staged = toksStaged.select(col(idCol) +: col("__len") +:
+      ns.map(n => ngramRep(col("__toks"), n).as(s"__rep$n")): _*)
     staged.select(col(idCol) +:
       (topNs.map(n => round(clampFrac(element_at(col(s"__rep$n"), 1),
         col("__len")), 4).as(s"top_${n}gram_char_frac")) ++
@@ -154,17 +157,22 @@ object TextAnalysis {
                           minTokens: Int = 50,
                           maxTokens: Int = 100000,
                           minStopWords: Int = 2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks).cast("double")
     val topThresh = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
     val dupThresh = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
       9 -> 0.11, 10 -> 0.10)
     val ns = (topThresh.map(_._1) ++ dupThresh.map(_._1)).distinct
-    // stage 1 materializes each n's repetition pair ONCE (the dominant
-    // cost); stage 2 composes the cheap scalar rules and the reason chain
-    val staged = df.select(Seq(col(idCol), col(textCol),
-      length(col(textCol)).cast("double").as("__len")) ++
-        ns.map(g => ngramRep(toks, g).as(s"__rep$g")): _*)
+    // stage 0 tokenizes ONCE — the scalar rules below each consume the
+    // staged array instead of re-splitting the text per rule; stage 1
+    // materializes each n's repetition pair ONCE (the dominant cost);
+    // stage 2 composes the cheap scalar rules and the reason chain
+    val toksStaged = df.select(col(idCol), col(textCol),
+      tokens(col(textCol)).as("__toks"),
+      length(col(textCol)).cast("double").as("__len"))
+    val staged = toksStaged.select(Seq(col(idCol), col(textCol),
+      col("__toks"), col("__len")) ++
+        ns.map(g => ngramRep(col("__toks"), g).as(s"__rep$g")): _*)
+    val toks = col("__toks")
+    val n = size(toks).cast("double")
     val len = col("__len")
     val meanLen =
       length(array_join(toks, "")).cast("double") / n

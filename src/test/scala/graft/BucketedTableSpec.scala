@@ -137,4 +137,33 @@ class BucketedTableSpec extends AnyFunSuite {
     val m = GraftTable.loadManifest(spark, t)
     assert(!m.config.contains(GraftTable.BucketNumKey), m.config.toString)
   }
+
+  test("bucketed compaction honors targetRows: oversized buckets split into single-bucket files") {
+    val t = tmp()
+    // two fragments so the 4-bucket table is a compaction candidate
+    GraftTable.write(spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") % 7), t, "overwrite",
+      bucketBy = Some((4, Seq("id"))))
+    GraftTable.write(spark.range(4000, 8000).toDF("id")
+      .withColumn("v", col("id") % 7), t, "append")
+    // targetRows far below rows/bucket (~2000 post-merge): each bucket
+    // must split into several files instead of one oversized file per
+    // bucket (full compact: unconditional wholesale rewrite)
+    GraftTable.compact(spark, t, targetRows = 500)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.length > 4,
+      s"ceiling ignored: ${m.fragments.length} fragments for 8000 rows @ 500")
+    assert(m.fragments.forall(_.rows <= 500),
+      m.fragments.map(_.rows).mkString(","))
+    assert(m.fragments.forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
+      "split outputs keep the bucket suffix")
+    // still a bucketed layout: zero-shuffle grouping and exact rows
+    val r = GraftTable.read(spark, t)
+    assert(r.count() == 8000)
+    val p = r.groupBy("id").count().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(id") &&
+      p.contains("Bucketed: true"), p)
+    // point probe still prunes to one bucket's files
+    assert(r.filter(col("id") === 4321L).count() == 1)
+  }
 }

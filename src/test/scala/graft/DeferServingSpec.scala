@@ -180,6 +180,40 @@ class DeferServingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("sidecars are group-private; optimize_index retires provenance and unpins them") {
+    val t = tmp("defer_retire_t")
+    val ix = s"$t/_indices/ivf_embedding"
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding", ix, nlist = 8)
+    GraftTable.delete(spark, t, "vec_id % 10 = 0")
+    val shared = GraftTable.loadManifest(spark, t).dvFiles
+    GraftTable.compactFiles(spark, t, targetRows = 2000, materializeDeletions = 0.01)
+    val m1 = GraftTable.loadManifest(spark, t)
+    val sidecars = m1.fragments.flatMap(_.srcDvFiles).distinct
+    assert(sidecars.nonEmpty)
+    // private copies, never the table's shared DV files
+    assert(sidecars.intersect(shared).isEmpty, s"$sidecars pins $shared")
+    // deferred search works off the sidecar
+    val q = queryVec(3L)
+    assert(searchIds(t, ix, q) == flatIds(t, q, 10))
+    // optimize_index remaps; the coverage commit retires the provenance
+    IvfIndex.optimizeForTable(spark, t, "vec_id", "embedding", ix)
+    val m2 = GraftTable.loadManifest(spark, t)
+    assert(m2.fragments.forall(f =>
+      f.srcFragIds.isEmpty && f.srcDvFiles.isEmpty),
+      m2.fragments.map(f => (f.id, f.srcFragIds, f.srcDvFiles)).toString)
+    // ...which lets cleanup reclaim the sidecar files
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 1,
+      unverifiedGraceMillis = 0L)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sidecars.foreach { p =>
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(t), p)),
+        s"retired sidecar $p still on disk after cleanup")
+    }
+    assert(searchIds(t, ix, q) == flatIds(t, q, 10))
+  }
+
   test("HNSW serves deferred too: compaction + post-rewrite delete, no flat leg") {
     import graft.operators.HnswIndex
     val t = tmp("defer_hnsw_t")

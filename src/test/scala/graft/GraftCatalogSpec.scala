@@ -485,6 +485,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       s.sql(s"CALL g.system.explain_query(query => 'SELECT 1', mode => 'nope')").collect()
     }
+    // the contract's sharp edge: explaining a MUTATION must not run it
+    // (since Spark 3.2, spark.sql() executes top-level commands eagerly —
+    // the procedure must plan with command execution skipped)
+    val ins = s.sql(s"CALL g.system.explain_query(" +
+        s"query => 'INSERT INTO g.db.$t SELECT id + 1000 FROM range(0, 5)')")
+      .collect().map(_.getString(0))
+    assert(ins.exists(_.contains("Physical Plan")), ins.mkString("\n"))
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 100L,
+      "explain_query executed the INSERT it was asked to explain")
   }
 
   test("system.analyze_query: one CALL reports both sides of a two-table join") {
@@ -525,6 +534,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("analyze_query") ||
       Option(e.getCause).exists(_.getMessage.contains("analyze_query")), e.getMessage)
+  }
+
+  test("analyze_query: self-joined view attributes pruning per scan leaf") {
+    val t = freshName()
+    val p = s"$warehouse/db/$t"
+    import s.implicits._
+    for (i <- 0 until 4)
+      GraftTable.write((i * 100L until (i + 1) * 100L).toDF("id").coalesce(1),
+        p, if (i == 0) "overwrite" else "append")
+    // a temp view over ONE DataFrame: the self-join inlines the SAME
+    // LogicalRelation (and GraftFileIndex instance) into both leaves —
+    // per-leaf metrics must still attribute each side's pruning, not
+    // whichever side listed files last
+    GraftTable.read(s, p).createOrReplaceTempView("aq_selfjoin_v")
+    val rows = s.sql(
+      """CALL g.system.analyze_query(query =>
+        | 'SELECT a.id FROM aq_selfjoin_v a JOIN aq_selfjoin_v b
+        |  ON a.id = b.id - 300 WHERE a.id < 100 AND b.id >= 300')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
+    val q = rows.filter(_._1 == -1).map(r => r._2 -> r._3).toMap
+    assert(q("graft_scans") == 2L, rows.mkString(","))
+    assert(q("rows_returned") == 100L, rows.mkString(","))
+    val byScan = rows.filter(_._1 >= 0)
+      .groupBy(_._1).map { case (i, rs) => i -> rs.map(r => r._2 -> r._3).toMap }
+    assert(byScan.size == 2, byScan.toString)
+    // each side scans exactly its 1 of 4 fragments; the shared-instance bug
+    // reported one side's fragment set for both
+    byScan.values.foreach { m =>
+      assert(m("fragments_scanned") == 1L && m("fragments_pruned") == 3L,
+        byScan.toString)
+    }
   }
 
   test("hamming index lifecycle through SQL: create_index, knn_search, optimize, retrain") {

@@ -132,5 +132,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal") ||
       Option(e.getCause).exists(_.getMessage.contains("integer literal")),
       e.getMessage)
+    // wrong arity fails with a typed message, not IndexOutOfBounds
+    val e2 = intercept[Exception] {
+      s.sql("SELECT l2_distance(array(1.0F))").head()
+    }
+    assert(e2.getMessage.contains("expects 2 argument") ||
+      Option(e2.getCause).exists(_.getMessage.contains("expects 2 argument")),
+      e2.getMessage)
   }
 }
