@@ -2238,13 +2238,17 @@ object GraftTable {
     // persisted as a physical column in the new fragment files (reference
     // move-stable row ids — addresses change, ids don't).
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
+    // pre-rewrite addresses ride along as the physical __old_addr column:
+    // retired index coverage keeps serving at those addresses until
+    // optimize_index remaps (reference defer_index_remap / FragReuseIndex).
+    // Only worth the extra column when an index exists to defer FOR —
+    // unindexed tables skip the provenance entirely
+    val keepOldAddr = m.indices.nonEmpty
     var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
-      // pre-rewrite addresses ride along as the physical __old_addr column:
-      // retired index coverage keeps serving through the translation until
-      // optimize_index remaps (reference defer_index_remap / FragReuseIndex)
-      val live = readManifest(spark, tablePath, m.copy(fragments = g),
-        withRowAddr = true, withRowId = carryIds)
-        .withColumnRenamed(RowAddrCol, OldAddrCol)
+      val live0 = readManifest(spark, tablePath, m.copy(fragments = g),
+        withRowAddr = keepOldAddr, withRowId = carryIds)
+      val live = if (keepOldAddr)
+        live0.withColumnRenamed(RowAddrCol, OldAddrCol) else live0
       val liveCount = g.map(_.rows).sum - g.map(delOf).sum
       // reference `max_bytes_per_file`: output count honors BOTH the row
       // target and a byte ceiling (estimated from the inputs' on-disk
@@ -2271,7 +2275,7 @@ object GraftTable {
     // files, which would stay pinned (and be re-read by every deferred
     // search) long after the other fragments' deletions became irrelevant
     val srcDvByGroup: Seq[Option[String]] = groups.map { g =>
-      if (m.dvFiles.isEmpty || g.map(delOf).sum == 0) None
+      if (!keepOldAddr || m.dvFiles.isEmpty || g.map(delOf).sum == 0) None
       else stageDv(spark, tablePath,
         spark.read.parquet(dvPaths: _*)
           .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
@@ -2295,9 +2299,11 @@ object GraftTable {
             // srcDvFiles: this group's private old-address DV sidecar —
             // deferred index serving reads it as the deletion-sized
             // "rows that vanished here" set
-            val frags = frags0.map(_.copy(
-              srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
-              srcDvFiles = sdv.toSeq))
+            val frags =
+              if (!keepOldAddr) frags0
+              else frags0.map(_.copy(
+                srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
+                srcDvFiles = sdv.toSeq))
             nextId += frags.size
             (frags, paths, bids)
         }
@@ -2356,10 +2362,12 @@ object GraftTable {
           new Path(new Path(tablePath), p).toString): _*)
         .select(shiftrightunsigned(col("addr"), 32).as("f")).groupBy(col("f")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keepOldAddr = m.indices.nonEmpty
     var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
-      val live = readManifest(spark, tablePath, m.copy(fragments = g),
-        withRowAddr = true, withRowId = carryIds)
-        .withColumnRenamed(RowAddrCol, OldAddrCol)
+      val live0 = readManifest(spark, tablePath, m.copy(fragments = g),
+        withRowAddr = keepOldAddr, withRowId = carryIds)
+      val live = if (keepOldAddr)
+        live0.withColumnRenamed(RowAddrCol, OldAddrCol) else live0
       val total = g.map(f => f.rows - delByFrag.getOrElse(f.id, 0L)).sum
       val byBytes = maxBytesPerFile.map(mb =>
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
@@ -2371,7 +2379,7 @@ object GraftTable {
     }
     // per-group private old-address DV sidecars (see [[compactFiles]])
     val srcDvByGroup: Seq[Option[String]] = groups.map { g =>
-      if (m.dvFiles.isEmpty ||
+      if (!keepOldAddr || m.dvFiles.isEmpty ||
           !g.exists(f => delByFrag.getOrElse(f.id, 0L) > 0)) None
       else stageDv(spark, tablePath,
         spark.read.parquet(m.dvFiles.map(p =>
@@ -2398,9 +2406,11 @@ object GraftTable {
           case (((sg, bids), g), sdv) =>
             val (frags0, paths) = assignIds(spark, sg, nextId,
               base.version + 1, storedRowIds = carryIds, bucketIds = bids)
-            val frags = frags0.map(_.copy(
-              srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
-              srcDvFiles = sdv.toSeq))
+            val frags =
+              if (!keepOldAddr) frags0
+              else frags0.map(_.copy(
+                srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
+                srcDvFiles = sdv.toSeq))
             nextId += frags.size
             (frags, paths, bids)
         }
@@ -2481,9 +2491,11 @@ object GraftTable {
     val missing = cols.filterNot(logical.contains)
     require(missing.isEmpty, s"cluster columns not in schema: ${missing.mkString(", ")}")
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    val live = readManifest(spark, tablePath, m, withRowAddr = true,
+    val keepOldAddr = m.indices.nonEmpty
+    val live0 = readManifest(spark, tablePath, m, withRowAddr = keepOldAddr,
       withRowId = carryIds)
-      .withColumnRenamed(RowAddrCol, OldAddrCol)
+    val live = if (keepOldAddr)
+      live0.withColumnRenamed(RowAddrCol, OldAddrCol) else live0
     val total = m.liveRows
     val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     // sort keys address PHYSICAL names (post-toPhysical frame)
@@ -2519,9 +2531,11 @@ object GraftTable {
         val (frags0, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carryIds)
         staged = paths
-        val frags = frags0.map(_.copy(
-          srcFragIds = m.fragments.map(_.id).sorted, oldAddrStored = true,
-          srcDvFiles = if (m.numDeleted > 0) m.dvFiles else Nil))
+        val frags =
+          if (!keepOldAddr) frags0
+          else frags0.map(_.copy(
+            srcFragIds = m.fragments.map(_.id).sorted, oldAddrStored = true,
+            srcDvFiles = if (m.numDeleted > 0) m.dvFiles else Nil))
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ frags, dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil,

@@ -41,9 +41,21 @@ class DeferServingSpec extends AnyFunSuite {
   private def covered(ix: String): Set[Long] =
     graft.index.ScalarIndex.readCoverage(spark, ix).get.fragmentIds.toSet
 
+  test("unindexed compaction skips the provenance column entirely") {
+    val t = tmp("defer_skip_t")
+    GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    GraftTable.compactFiles(spark, t, targetRows = 2000)
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.fragments.forall(f =>
+      !f.oldAddrStored && f.srcFragIds.isEmpty && f.srcDvFiles.isEmpty),
+      "no index exists to defer for — the 8-bytes/row column is waste")
+  }
+
   test("compaction outputs record provenance and persist __old_addr") {
     val t = tmp("defer_prov_t")
     GraftTable.write(embeddings.repartitionByRange(4, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "embedding",
+      s"$t/_indices/ivf_embedding", nlist = 8)
     val srcIds = GraftTable.loadManifest(spark, t).fragments.map(_.id).toSet
     GraftTable.compactFiles(spark, t, targetRows = 2000)
     val m = GraftTable.loadManifest(spark, t)
