@@ -53,6 +53,13 @@ object GraftTable {
     * logical schema; read only via `withOldAddr`. */
   val OldAddrCol = "__old_addr"
 
+  /** Graft-internal column names user data may never take (any case —
+    * Spark resolution is case-insensitive): returns the offending names. */
+  private def requireNotReserved(names: Seq[String]): Seq[String] = {
+    val reserved = Set(RowIdCol, RowAddrCol, OldAddrCol)
+    names.filter(n => reserved.contains(n.toLowerCase(java.util.Locale.ROOT)))
+  }
+
   /** Table-config key selecting the parquet codec for new fragment files
     * ("zstd", "snappy", "gzip", ...). Absent = Spark's session default. */
   val CompressionKey = "graft.write.compression"
@@ -537,9 +544,9 @@ object GraftTable {
     // graft-internal column names (system scan columns + the rewrite
     // provenance column) can't be user data: a later internal read that
     // projects them through the scan schema would collide with the stored
-    // column and serve the wrong values silently
-    val reservedHit = Seq(RowIdCol, RowAddrCol, OldAddrCol)
-      .filter(df.columns.contains)
+    // column and serve the wrong values silently. Case-INSENSITIVE —
+    // Spark resolution is, so `_ROWADDR` collides just the same.
+    val reservedHit = requireNotReserved(df.columns)
     require(reservedHit.isEmpty,
       s"reserved graft column names: ${reservedHit.mkString(", ")}")
     // appends must write the table's PHYSICAL column names (rename mapping of
@@ -1521,6 +1528,49 @@ object GraftTable {
 
   /** Stage a deletion-vector file from a DataFrame of `_rowaddr`s; returns
     * (relative path, row count), or None when nothing matched. */
+  /** Is a rewrite group's output deferred-servable by SOME committed
+    * index? Translatability needs every source fragment covered, so an
+    * output is only worth the `__old_addr` column (8 bytes/row, forever)
+    * when at least one index covers the WHOLE group. Compaction bins
+    * groups by coverage signature, making this a per-group constant;
+    * never-indexed appends compact at plain write volume. */
+  private def deferUseful(m: GraftManifest, g: Seq[FragmentMeta]): Boolean =
+    g.nonEmpty &&
+      m.indices.exists(ix => g.forall(f => ix.fragmentIds.contains(f.id)))
+
+  /** Group-private old-address DV sidecar for deferred serving
+    * ([[FragmentMeta]] `srcDvFiles`): exactly the addresses this group's
+    * rewrite materialized, staged as its own file set — the table's
+    * shared DV files are never pinned by rewrite outputs. */
+  private def stageSrcDv(spark: SparkSession, tablePath: String,
+                         m: GraftManifest, g: Seq[FragmentMeta],
+                         hasDeletions: Boolean): Option[String] =
+    if (!deferUseful(m, g) || m.dvFiles.isEmpty || !hasDeletions) None
+    else stageDv(spark, tablePath,
+      spark.read.parquet(m.dvFiles.map(p =>
+          new Path(new Path(tablePath), p).toString): _*)
+        .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
+        .select(col("addr").as(RowAddrCol))).map(_._1)
+
+  /** Stamp rewrite provenance on a group's outputs when defer-servable. */
+  private def stampProvenance(m: GraftManifest, g: Seq[FragmentMeta],
+                              frags: Seq[FragmentMeta],
+                              sdv: Option[String]): Seq[FragmentMeta] =
+    if (!deferUseful(m, g)) frags
+    else frags.map(_.copy(srcFragIds = g.map(_.id).sorted,
+      oldAddrStored = true, srcDvFiles = sdv.toSeq))
+
+  /** Read a rewrite group's live rows, carrying the pre-rewrite address
+    * as [[OldAddrCol]] iff the group is defer-servable. */
+  private def readForRewrite(spark: SparkSession, tablePath: String,
+                             m: GraftManifest, g: Seq[FragmentMeta],
+                             carryIds: Boolean): DataFrame = {
+    val keep = deferUseful(m, g)
+    val live = readManifest(spark, tablePath, m.copy(fragments = g),
+      withRowAddr = keep, withRowId = carryIds)
+    if (keep) live.withColumnRenamed(RowAddrCol, OldAddrCol) else live
+  }
+
   private def stageDv(spark: SparkSession, tablePath: String, addrs: DataFrame): Option[(String, Long)] = {
     val txn = s"deletes/dv-${UUID.randomUUID().toString.take(8)}"
     val dir = new Path(new Path(tablePath), txn)
@@ -2238,17 +2288,12 @@ object GraftTable {
     // persisted as a physical column in the new fragment files (reference
     // move-stable row ids — addresses change, ids don't).
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    // pre-rewrite addresses ride along as the physical __old_addr column:
-    // retired index coverage keeps serving at those addresses until
-    // optimize_index remaps (reference defer_index_remap / FragReuseIndex).
-    // Only worth the extra column when an index exists to defer FOR —
-    // unindexed tables skip the provenance entirely
-    val keepOldAddr = m.indices.nonEmpty
+    // pre-rewrite addresses ride along as the physical __old_addr column
+    // iff the group is defer-servable (readForRewrite): retired index
+    // coverage keeps serving at those addresses until optimize_index
+    // remaps (reference defer_index_remap / FragReuseIndex)
     var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
-      val live0 = readManifest(spark, tablePath, m.copy(fragments = g),
-        withRowAddr = keepOldAddr, withRowId = carryIds)
-      val live = if (keepOldAddr)
-        live0.withColumnRenamed(RowAddrCol, OldAddrCol) else live0
+      val live = readForRewrite(spark, tablePath, m, g, carryIds)
       val liveCount = g.map(_.rows).sum - g.map(delOf).sum
       // reference `max_bytes_per_file`: output count honors BOTH the row
       // target and a byte ceiling (estimated from the inputs' on-disk
@@ -2269,18 +2314,8 @@ object GraftTable {
         spark.read.parquet(dvPaths: _*)
           .filter(shiftrightunsigned(col("addr"), 32).isin(keepIds.toSeq: _*))
           .select(col("addr").as(RowAddrCol)))
-    // per-group old-address DV sidecars for deferred index serving: each
-    // deletion-bearing group's outputs reference a PRIVATE copy of exactly
-    // the addresses the rewrite materialized — never the table's shared DV
-    // files, which would stay pinned (and be re-read by every deferred
-    // search) long after the other fragments' deletions became irrelevant
-    val srcDvByGroup: Seq[Option[String]] = groups.map { g =>
-      if (!keepOldAddr || m.dvFiles.isEmpty || g.map(delOf).sum == 0) None
-      else stageDv(spark, tablePath,
-        spark.read.parquet(dvPaths: _*)
-          .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
-          .select(col("addr").as(RowAddrCol))).map(_._1)
-    }
+    val srcDvByGroup: Seq[Option[String]] =
+      groups.map(g => stageSrcDv(spark, tablePath, m, g, g.map(delOf).sum > 0))
     beforeCommit()
     commitLoop(spark, tablePath, {
       case Some(base) =>
@@ -2296,14 +2331,7 @@ object GraftTable {
           case (((sg, bids), g), sdv) =>
             val (frags0, paths) = assignIds(spark, sg, nextId,
               base.version + 1, storedRowIds = carryIds, bucketIds = bids)
-            // srcDvFiles: this group's private old-address DV sidecar —
-            // deferred index serving reads it as the deletion-sized
-            // "rows that vanished here" set
-            val frags =
-              if (!keepOldAddr) frags0
-              else frags0.map(_.copy(
-                srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
-                srcDvFiles = sdv.toSeq))
+            val frags = stampProvenance(m, g, frags0, sdv)
             nextId += frags.size
             (frags, paths, bids)
         }
@@ -2362,12 +2390,8 @@ object GraftTable {
           new Path(new Path(tablePath), p).toString): _*)
         .select(shiftrightunsigned(col("addr"), 32).as("f")).groupBy(col("f")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val keepOldAddr = m.indices.nonEmpty
     var stagedGroups: Seq[(Seq[Path], Option[Seq[Int]])] = groups.map { g =>
-      val live0 = readManifest(spark, tablePath, m.copy(fragments = g),
-        withRowAddr = keepOldAddr, withRowId = carryIds)
-      val live = if (keepOldAddr)
-        live0.withColumnRenamed(RowAddrCol, OldAddrCol) else live0
+      val live = readForRewrite(spark, tablePath, m, g, carryIds)
       val total = g.map(f => f.rows - delByFrag.getOrElse(f.id, 0L)).sum
       val byBytes = maxBytesPerFile.map(mb =>
         math.ceil(g.map(_.sizeBytes).sum.toDouble / mb)).getOrElse(1.0)
@@ -2377,16 +2401,9 @@ object GraftTable {
         rowsPerFile = Some(math.max(1L,
           math.ceil(total.toDouble / nOut).toLong)))
     }
-    // per-group private old-address DV sidecars (see [[compactFiles]])
-    val srcDvByGroup: Seq[Option[String]] = groups.map { g =>
-      if (!keepOldAddr || m.dvFiles.isEmpty ||
-          !g.exists(f => delByFrag.getOrElse(f.id, 0L) > 0)) None
-      else stageDv(spark, tablePath,
-        spark.read.parquet(m.dvFiles.map(p =>
-            new Path(new Path(tablePath), p).toString): _*)
-          .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
-          .select(col("addr").as(RowAddrCol))).map(_._1)
-    }
+    val srcDvByGroup: Seq[Option[String]] = groups.map(g =>
+      stageSrcDv(spark, tablePath, m, g,
+        g.exists(f => delByFrag.getOrElse(f.id, 0L) > 0)))
     beforeCommit()
     commitLoop(spark, tablePath, {
       case Some(base) =>
@@ -2406,11 +2423,7 @@ object GraftTable {
           case (((sg, bids), g), sdv) =>
             val (frags0, paths) = assignIds(spark, sg, nextId,
               base.version + 1, storedRowIds = carryIds, bucketIds = bids)
-            val frags =
-              if (!keepOldAddr) frags0
-              else frags0.map(_.copy(
-                srcFragIds = g.map(_.id).sorted, oldAddrStored = true,
-                srcDvFiles = sdv.toSeq))
+            val frags = stampProvenance(m, g, frags0, sdv)
             nextId += frags.size
             (frags, paths, bids)
         }
@@ -2491,11 +2504,7 @@ object GraftTable {
     val missing = cols.filterNot(logical.contains)
     require(missing.isEmpty, s"cluster columns not in schema: ${missing.mkString(", ")}")
     val carryIds = m.hasRowIds && m.fragments.nonEmpty
-    val keepOldAddr = m.indices.nonEmpty
-    val live0 = readManifest(spark, tablePath, m, withRowAddr = keepOldAddr,
-      withRowId = carryIds)
-    val live = if (keepOldAddr)
-      live0.withColumnRenamed(RowAddrCol, OldAddrCol) else live0
+    val live = readForRewrite(spark, tablePath, m, m.fragments, carryIds)
     val total = m.liveRows
     val nOut = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     // sort keys address PHYSICAL names (post-toPhysical frame)
@@ -2516,6 +2525,7 @@ object GraftTable {
     val arranged = toPhysical(live, m)
       .repartitionByRange(nOut, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+    val srcDv = stageSrcDv(spark, tablePath, m, m.fragments, m.numDeleted > 0)
     var staged = stageFragments(spark, tablePath, arranged)
     commitLoop(spark, tablePath, {
       case Some(base) =>
@@ -2531,11 +2541,7 @@ object GraftTable {
         val (frags0, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carryIds)
         staged = paths
-        val frags =
-          if (!keepOldAddr) frags0
-          else frags0.map(_.copy(
-            srcFragIds = m.fragments.map(_.id).sorted, oldAddrStored = true,
-            srcDvFiles = if (m.numDeleted > 0) m.dvFiles else Nil))
+        val frags = stampProvenance(m, m.fragments, frags0, srcDv)
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ frags, dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil,
@@ -2579,6 +2585,8 @@ object GraftTable {
     val taken = (m0.schema.fieldNames ++ m0.physicalSchema.fieldNames).toSet
     val dup = exprs.map(_._1).filter(taken.contains)
     require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
+    val rsv = requireNotReserved(exprs.map(_._1))
+    require(rsv.isEmpty, s"reserved graft column names: ${rsv.mkString(",")}")
     val snap = read(spark, tablePath, None, withRowAddr = true)
     val proj = snap.select(col(RowAddrCol).as("addr") +:
       exprs.map { case (n, e) => expr(e).as(n) }: _*)
@@ -2645,8 +2653,10 @@ object GraftTable {
     val dup = newNames.filter(taken.contains)
     require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
     // "addr" is the column-file key and "__mc_*" are this join's internals —
-    // a source column with either name would misbind silently
-    val reserved = newNames.filter(n => n == "addr" || n.startsWith("__mc_"))
+    // a source column with either name would misbind silently; graft's
+    // system columns are reserved everywhere
+    val reserved = newNames.filter(n => n == "addr" || n.startsWith("__mc_")) ++
+      requireNotReserved(newNames)
     require(reserved.isEmpty, s"reserved column names in source: ${reserved.mkString(",")}")
     require(source.groupBy(col(rightOn)).count()
       .filter(col("count") > 1).limit(1).count() == 0,
@@ -2686,6 +2696,8 @@ object GraftTable {
     val taken = (m0.schema.fieldNames ++ m0.physicalSchema.fieldNames).toSet
     val dup = newCols.fieldNames.filter(taken.contains)
     require(dup.isEmpty, s"columns already exist (logical or on-file): ${dup.mkString(",")}")
+    val rsv = requireNotReserved(newCols.fieldNames.toSeq)
+    require(rsv.isEmpty, s"reserved graft column names: ${rsv.mkString(",")}")
     require(m0.fragments.nonEmpty, s"no fragments at $tablePath")
     val name = if (checkpointName.nonEmpty) checkpointName
       else newCols.fieldNames.mkString("_").replaceAll("[^A-Za-z0-9_]", "_")

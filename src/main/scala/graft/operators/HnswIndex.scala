@@ -828,19 +828,30 @@ object HnswIndex {
       require(g.columns.contains(AddrCol),
         s"index at $indexPath carries no $AddrCol — rebuild with buildForTable")
       val fragId = shiftrightunsigned(col(AddrCol), 32)
-      val fragDead =
-        if (covered == coveredLive && translatable.isEmpty) lit(false)
-        else !fragId.isin(servable.toSeq: _*)
-      exclusions match {
-        case None => g.withColumn("__dead", fragDead || col(AddrCol).isNull)
+      // fragment-liveness flag: isin for small servable sets; a broadcast
+      // left-outer marker join beyond 1000 ids (a many-thousand-literal
+      // In() costs more to build/ship per query than the join)
+      val (flagged, fragDead): (DataFrame, Column) =
+        if (covered == coveredLive && translatable.isEmpty) (g, lit(false))
+        else if (servable.size <= 1000) (g, !fragId.isin(servable.toSeq: _*))
+        else {
+          import spark.implicits._
+          val ids = broadcast(servable.toSeq.toDF("__live_frag"))
+          (g.join(ids, fragId === col("__live_frag"), "left_outer"),
+            col("__live_frag").isNull)
+        }
+      val marked = exclusions match {
+        case None => flagged.withColumn("__dead", fragDead || col(AddrCol).isNull)
         case Some(d) =>
           // broadcast join: the exclusion set is bounded by deletes since
           // the last optimize; graph partitioning is preserved (no reshuffle)
-          g.join(broadcast(d.withColumn("__dv", lit(true))), Seq(AddrCol), "left_outer")
+          flagged.join(broadcast(d.withColumn("__dv", lit(true))), Seq(AddrCol), "left_outer")
             .withColumn("__dead",
               fragDead || col(AddrCol).isNull || coalesce(col("__dv"), lit(false)))
             .drop("__dv")
       }
+      if (marked.columns.contains("__live_frag")) marked.drop("__live_frag")
+      else marked
     }
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
     val markDeadPf: DataFrame => DataFrame = prefilter match {

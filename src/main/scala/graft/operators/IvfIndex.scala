@@ -232,6 +232,25 @@ object IvfIndex {
     * the compaction guard (rewritten fragments get NEW ids, so rows filed
     * under a dead id are duplicates of rows the flat side now serves).
     * Small id sets inline as an `isin`; larger ones broadcast-semi-join. */
+  /** addr-frame split by fragment-id membership: isin for small sets,
+    * broadcast semi/anti joins beyond the same 1000-id bound
+    * [[liveFragmentFilter]] uses (a many-thousand-literal `In()` costs
+    * more to build and ship per query than the joins). */
+  private[operators] def splitByFrag(spark: SparkSession, df: DataFrame,
+                                     addrCol: String, ids: Set[Long])
+      : (DataFrame, DataFrame) = {
+    val fragId = shiftrightunsigned(col(addrCol), 32)
+    if (ids.size <= 1000) {
+      val seq = ids.toSeq
+      (df.filter(fragId.isin(seq: _*)), df.filter(!fragId.isin(seq: _*)))
+    } else {
+      import spark.implicits._
+      val idsDf = broadcast(ids.toSeq.toDF("__frag_in"))
+      (df.join(idsDf, fragId === col("__frag_in"), "left_semi"),
+        df.join(idsDf, fragId === col("__frag_in"), "left_anti"))
+    }
+  }
+
   private[operators] def liveFragmentFilter(spark: SparkSession, df: DataFrame,
                                             keepIds: Set[Long]): DataFrame = {
     val addrCol = graft.format.GraftTable.RowAddrCol
@@ -447,19 +466,6 @@ object IvfIndex {
     }
   }
 
-  /** Shared combined-search skeleton for EVERY index family (IVF_FLAT here;
-    * [[PqIndex.searchCombined]] / [[SqIndex.searchCombined]] reuse it;
-    * [[HnswIndex.searchCombined]] mirrors it with graph-specific routing):
-    * builds the DV/liveness candidate transform, runs the family's indexed
-    * search with it, and unions a flat search over fragments the index does
-    * not cover. `runIndexed` receives the transform and must apply it to
-    * its candidate set BEFORE any top-k cut.
-    *
-    * `fastSearch` (reference `fast_search`, `scanner.rs:1176-1193`): skip
-    * the fresh-fragment flat leg entirely — results come from INDEXED data
-    * only, trading freshness for latency (the DV/liveness transform still
-    * applies, so deleted rows never resurface; identical results when
-    * coverage is complete). */
   /** Metadata-only serving decision for retired coverage (reference
     * `defer_index_remap` + FragReuseIndex, `optimize.rs:155-166`):
     * partition the UNCOVERED live fragments into
@@ -508,13 +514,11 @@ object IvfIndex {
                                          translatable: Seq[graft.format.FragmentMeta],
                                          dv: Option[DataFrame],
                                          addrCol: String): Option[DataFrame] = {
-    val fragOf = (c: Column) => shiftrightunsigned(c, 32)
-    val tIds = translatable.map(_.id).toSeq
     val dvOld: Option[DataFrame] = dv.map { d =>
       if (translatable.isEmpty) d
       else {
-        val onNew = d.filter(fragOf(col(addrCol)).isin(tIds: _*))
-        val direct = d.filter(!fragOf(col(addrCol)).isin(tIds: _*))
+        val (onNew, direct) =
+          splitByFrag(spark, d, addrCol, translatable.map(_.id).toSet)
         if (onNew.isEmpty) direct
         else {
           val map = addrMapping(spark, tablePath, m, translatable)
@@ -538,6 +542,19 @@ object IvfIndex {
     }
   }
 
+  /** Shared combined-search skeleton for EVERY index family (IVF_FLAT here;
+    * [[PqIndex.searchCombined]] / [[SqIndex.searchCombined]] reuse it;
+    * [[HnswIndex.searchCombined]] mirrors it with graph-specific routing):
+    * builds the DV/liveness candidate transform, runs the family's indexed
+    * search with it, and unions a flat search over fragments the index does
+    * not cover. `runIndexed` receives the transform and must apply it to
+    * its candidate set BEFORE any top-k cut.
+    *
+    * `fastSearch` (reference `fast_search`, `scanner.rs:1176-1193`): skip
+    * the fresh-fragment flat leg entirely — results come from INDEXED data
+    * only, trading freshness for latency (the DV/liveness transform still
+    * applies, so deleted rows never resurface; identical results when
+    * coverage is complete). */
   private[operators] def combined(spark: SparkSession, tablePath: String,
                                   indexPath: String, idCol: String, vecCol: String,
                                   query: Array[Float], k: Int, metric: String,

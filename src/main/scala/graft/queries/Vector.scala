@@ -287,17 +287,26 @@ object Vector {
     "q_ann_defer" -> { (s, d) =>
       import graft.format.GraftTable
       val t = freshDir(s, "ann_defer")
-      val idx = freshDir(s, "ann_defer_idx")
+      // TABLE-LOCAL index path: provenance stamping is gated on the
+      // manifest actually carrying an index (deferUseful), which needs
+      // the IndexMeta commit only table-local builds perform
+      val idx = s"$t/_indices/ivf_embedding"
       val e = Tables.embeddings(s, d)
       val q = queryVec(s, d)
       GraftTable.write(e.repartitionByRange(4, col("vec_id")), t, "overwrite")
       IvfIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 8)
-      GraftTable.compactFiles(s, t, targetRows = 250)
+      // full compact: UNCONDITIONAL rewrite (compactFiles' debt heuristic
+      // can legally no-op at some scale factors, which would let the
+      // requires below pass vacuously on the plain covered path)
+      GraftTable.compact(s, t)
       val m = GraftTable.loadManifest(s, t)
       val cov = graft.index.ScalarIndex.readCoverage(s, idx).get.fragmentIds.toSet
-      val (_, fresh) = IvfIndex.deferServing(m, cov)
-      require(fresh.isEmpty, "pure compaction outputs must serve via " +
-        s"__old_addr translation; flat leg got ${fresh.map(_.id)}")
+      val (translatable, fresh) = IvfIndex.deferServing(m, cov)
+      require(translatable.nonEmpty && translatable.forall(f => !cov.contains(f.id)),
+        "the rewrite must RETIRE coverage into translatable outputs — " +
+          s"got translatable=${translatable.map(_.id)} covered=$cov")
+      require(fresh.isEmpty, "pure compaction outputs must serve deferred; " +
+        s"flat leg got ${fresh.map(_.id)}")
       IvfIndex.searchCombined(s, t, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },

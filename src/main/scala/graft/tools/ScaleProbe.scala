@@ -693,7 +693,9 @@ object ScaleProbe {
       s.contains("defer_search") || s.contains("defer_flat"))
     if (wantDefer) for (f <- docFactors) {
       val p = embs(f)
-      val tbl = s"$outDir/defer_tbl_x$f"; val idx = s"$outDir/defer_idx_x$f"
+      val tbl = s"$outDir/defer_tbl_x$f"
+      // table-local: provenance stamping needs the IndexMeta commit
+      val idx = s"$tbl/_indices/ivf_embedding"
       val fsys = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
         spark.sparkContext.hadoopConfiguration)
       Seq(tbl, idx).foreach(d => fsys.delete(new org.apache.hadoop.fs.Path(d), true))
@@ -705,7 +707,9 @@ object ScaleProbe {
         targetRows = 1 << 20, maxBytesPerFile = Some(256L << 20))
       val dm = graft.format.GraftTable.loadManifest(spark, tbl)
       val dcov = graft.index.ScalarIndex.readCoverage(spark, idx).get.fragmentIds.toSet
-      val (_, deferFresh) = IvfIndex.deferServing(dm, dcov)
+      val (deferTrans, deferFresh) = IvfIndex.deferServing(dm, dcov)
+      require(deferTrans.nonEmpty && deferTrans.forall(fr => !dcov.contains(fr.id)),
+        s"defer probe x$f: rewrite must retire coverage into translatable outputs")
       require(deferFresh.isEmpty,
         s"defer probe x$f: rewrite outputs fell to the flat leg: $deferFresh")
       val q = Array.tabulate(64)(i => (math.sin(i * 0.37) * 0.5).toFloat)
