@@ -359,7 +359,25 @@ object TextAnalysis {
   def packShards(df: DataFrame, idCol: String, textCol: String,
                  shardTokens: Long, bucketSpan: Long = 100L,
                  superSpan: Long = 4096L,
-                 tokenCounts: Option[Column] = None): DataFrame = {
+                 tokenCounts: Option[Column] = None): DataFrame =
+    tokenOffsets(df, idCol, textCol, bucketSpan, superSpan, tokenCounts,
+      "packShards") { off =>
+      off.select(col(idCol), col("n_tokens"),
+        floor(col("prior") / lit(shardTokens)).as("shard"))
+    }
+
+  /** Each document's PRIOR-token offset in the id-ordered corpus — the
+    * hierarchical prefix sum shared by [[packShards]] and
+    * [[packSequences]]: per-bucket window → per-super-bucket window →
+    * metadata-sized driver offset pass broadcast back; every window
+    * PARTITIONED and bounded (require'd on the optimized plan of the
+    * finished frame), no corpus-sized single-partition stage anywhere.
+    * `finish` shapes (idCol, n_tokens, prior) into the operator's output
+    * BEFORE the localCheckpoint that releases the shared bucket agg. */
+  private def tokenOffsets(df: DataFrame, idCol: String, textCol: String,
+                           bucketSpan: Long, superSpan: Long,
+                           tokenCounts: Option[Column], op: String)(
+      finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -388,17 +406,53 @@ object TextAnalysis {
       .join(broadcast(supOffsets.toDF("sup", "sup_offset")), "sup")
       .withColumn("bk_offset", col("sup_offset") + col("cum_sup") - col("bk_tokens"))
       .select(col("bucket"), col("bk_offset"))
-    val out = docs
+    val out = finish(docs
       .withColumn("cum_in_bucket", sum(col("n_tokens")).over(wIn))
       .join(offsets, "bucket")
-      .withColumn("prior", col("bk_offset") + col("cum_in_bucket") - col("n_tokens"))
-      .select(col(idCol), col("n_tokens"),
-        floor(col("prior") / lit(shardTokens)).as("shard"))
-    requirePartitionedWindows(out, "packShards")
+      .withColumn("prior", col("bk_offset") + col("cum_in_bucket") - col("n_tokens")))
+    requirePartitionedWindows(out, op)
     // materialize before releasing the shared bucket aggregate
     val res = out.localCheckpoint()
     bk.unpersist()
     res
+  }
+
+  /** Fixed-length SEQUENCE packing — the LLM-pretraining data-prep step
+    * [[packShards]] does not cover: documents concatenate in id order into
+    * `seqLen`-token training sequences and SPLIT across sequence
+    * boundaries (GPT-style packed batches), instead of binning whole docs
+    * to shard budgets. One output row per (document, sequence) overlap:
+    *
+    *   seq_id    — the sequence this slice lands in
+    *   seq_begin — the slice's start offset WITHIN the sequence
+    *   doc_begin — the slice's start offset WITHIN the document
+    *   len       — slice length in tokens
+    *
+    * so a loader can assemble any sequence from document slices (and a
+    * document's slices reassemble the document). Scale shape: the prior
+    * offsets are the shared hierarchical prefix sum; the per-doc explode
+    * emits ≤ n_tokens/seqLen + 2 rows — output-proportional, no window
+    * over the corpus, deterministic and exactly SQL-replayable. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long, bucketSpan: Long = 100L,
+                    superSpan: Long = 4096L,
+                    tokenCounts: Option[Column] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    tokenOffsets(df, idCol, textCol, bucketSpan, superSpan, tokenCounts,
+      "packSequences") { off =>
+      val end = col("prior") + col("n_tokens") // exclusive
+      val seqStart = col("seq_id") * lit(seqLen)
+      off.filter(col("n_tokens") > 0)
+        .withColumn("seq_id", explode(sequence(
+          floor(col("prior") / lit(seqLen)),
+          floor((end - 1) / lit(seqLen)))))
+        .select(col(idCol),
+          col("seq_id"),
+          greatest(col("prior") - seqStart, lit(0L)).as("seq_begin"),
+          greatest(seqStart - col("prior"), lit(0L)).as("doc_begin"),
+          (least(end, seqStart + lit(seqLen)) -
+            greatest(col("prior"), seqStart)).as("len"))
+    }
   }
 
   /** CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2019,

@@ -342,6 +342,18 @@ object Text {
         .orderBy(col("shard"))
     },
 
+    // Fixed-length sequence packing (GPT-style packed pretraining
+    // batches): docs concatenate in id order into 256-token sequences and
+    // split across boundaries; every (doc, sequence) slice row travels
+    // through the hash gate, so a wrong offset/length/boundary anywhere
+    // in the corpus mismatches. The slice invariants (doc slices
+    // reassemble docs, sequences fill to exactly 256) are spec-asserted.
+    "q_pack_sequences" -> { (s, d) =>
+      TA.packSequences(Tables.documents(s, d), "doc_id", "text",
+        seqLen = 256L, bucketSpan = 100L)
+        .orderBy(col("doc_id"), col("seq_id"))
+    },
+
     // PII scrubbing: count and redact email/phone-shaped tokens (the
     // regex-sanitize pass every corpus pipeline runs before training).
     "q_pii_scrub" -> { (s, d) =>
@@ -683,6 +695,22 @@ object Text {
         |SELECT CAST(floor(prior / 10000) AS BIGINT) AS shard,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+        |      FROM t WHERE n_tokens > 0),
+        |s AS (SELECT doc_id, n_tokens, prior,
+        |        unnest(generate_series(CAST(floor(prior / 256) AS BIGINT),
+        |          CAST(floor((prior + n_tokens - 1) / 256) AS BIGINT))) AS seq_id
+        |      FROM c)
+        |SELECT doc_id, seq_id,
+        |  greatest(prior - seq_id * 256, 0) AS seq_begin,
+        |  greatest(seq_id * 256 - prior, 0) AS doc_begin,
+        |  least(prior + n_tokens, (seq_id + 1) * 256)
+        |    - greatest(prior, seq_id * 256) AS len
+        |FROM s ORDER BY doc_id, seq_id""".stripMargin,
     "q_pii_scrub" ->
       """SELECT source, count(*) AS n,
         |  CAST(sum(len(regexp_extract_all(text,

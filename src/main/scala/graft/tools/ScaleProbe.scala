@@ -354,6 +354,14 @@ object ScaleProbe {
           "did", "text", 10000L)
           .agg(countDistinct(col("shard"))).collect().head.getLong(0)
       }
+      // sequence packing shares the hierarchical prefix sum; the explode
+      // adds output-proportional rows only — same ~linear expectation
+      time("pack_sequences", f) {
+        TA.packSequences(spark.read.parquet(p)
+            .withColumn("did", monotonically_increasing_id()),
+          "did", "text", 2048L)
+          .agg(count(lit(1))).collect().head.getLong(0)
+      }
     }
 
     // ---- r11 text operators: all three are pure per-row passes (no

@@ -326,4 +326,54 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out8 == out)
   }
+
+  test("packSequences: slices reassemble docs, sequences fill to seqLen, boundaries split") {
+    // deterministic corpus: doc i has (i % 7) + 1 tokens, 200 docs — token
+    // offsets cross many 16-token sequence boundaries
+    val docs = spark.range(0, 200).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), pmod(col("doc_id"), lit(7)).cast("int")),
+          i => concat(lit("w"), i))))
+    val L = 16L
+    val out = TA.packSequences(docs, "doc_id", "text", seqLen = L,
+        bucketSpan = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val nTok = (i: Long) => (i % 7) + 1
+    val total = (0L until 200L).map(nTok).sum
+    // per-doc: slices cover [0, n) contiguously in doc_begin order
+    out.groupBy(_._1).foreach { case (id, slices) =>
+      val s = slices.sortBy(_._4)
+      assert(s.head._4 == 0L && s.map(_._5).sum == nTok(id), s"$id: $s")
+      s.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 + a._5 == b._4, s"doc $id slices not contiguous: $s")
+          assert(a._2 + 1 == b._2, s"doc $id spans non-adjacent seqs: $s")
+        case _ =>
+      }
+    }
+    // per-sequence: every sequence except the last holds exactly L tokens,
+    // contiguously in seq_begin order
+    val bySeq = out.groupBy(_._2).toSeq.sortBy(_._1)
+    bySeq.foreach { case (seq, slices) =>
+      val s = slices.sortBy(_._3)
+      assert(s.head._3 == 0L, s"seq $seq starts at ${s.head._3}")
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._5 == b._3, s"seq $seq gap: $s")
+        case _ =>
+      }
+      val fill = s.map(_._5).sum
+      if (seq < bySeq.last._1) assert(fill == L, s"seq $seq fill $fill")
+      else assert(fill == total - seq * L, s"last seq fill $fill")
+    }
+    // a doc longer than L splits across >= 2 sequences when straddling
+    assert(out.groupBy(_._1).values.exists(_.size >= 2),
+      "no doc straddles a boundary — the test corpus is degenerate")
+    // partitioning-invariant
+    val out8 = TA.packSequences(docs.repartition(8), "doc_id", "text",
+        seqLen = L, bucketSpan = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(out8 == out)
+  }
 }
