@@ -116,12 +116,13 @@ object ScanAnalyze {
     }
     // execute the cloned plan so each leaf's pruning observability
     // (lastKept) belongs to the plan that actually ran
-    val rowsReturned = org.apache.spark.sql.graftshim.ColumnBridge
-      .ofRows(spark, cloned).queryExecution.toRdd.count()
+    val exec = org.apache.spark.sql.graftshim.ColumnBridge
+      .ofRows(spark, cloned).queryExecution
+    val rowsReturned = exec.toRdd.count()
     val header = Seq(
       Seq[Any](-1, "(query)", "rows_returned", rowsReturned),
       Seq[Any](-1, "(query)", "graft_scans", leaves.length.toLong))
-    header ++ leaves.zipWithIndex.flatMap { case (idx, i) =>
+    val scans = leaves.zipWithIndex.flatMap { case (idx, i) =>
       val m = idx.manifest
       val kept = idx.lastKept
       val tbl = idx.tablePath.toString
@@ -135,6 +136,35 @@ object ScanAnalyze {
           kept.map(_.sizeBytes).sum),
         Seq[Any](i, tbl, "dv_rows_masked",
           dvRowsMasked(spark, tbl, m, kept)))
+    }
+    header ++ scans ++ operatorRows(exec.executedPlan)
+  }
+
+  /** EXPLAIN-ANALYZE-style per-operator output-row counts from the
+    * EXECUTED plan's SQLMetrics (reference `analyze_plan` reports executed
+    * metrics on every operator, `sql.rs:226-281`, not just the scans):
+    * rows are (-1, "(operator)", "<i> <NodeName>", numOutputRows) in
+    * pre-order, AQE final subtrees unwrapped, exchange-reused subtrees
+    * included once. Operators without a row counter (exchanges report
+    * shuffle records under a different key) are skipped. */
+  private def operatorRows(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[Seq[Any]] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.{InputAdapter, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case w: WholeStageCodegenExec => w.children.flatMap(walk)
+      case i: InputAdapter => i.children.flatMap(walk)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(plan).zipWithIndex.flatMap { case (node, i) =>
+      node.metrics.get("numOutputRows").map(m =>
+        Seq[Any](-1, "(operator)", f"$i%02d ${node.nodeName}", m.value))
     }
   }
 

@@ -528,6 +528,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(m("fragments_pruned") == 3L, s"$tbl: $m")
       assert(m("rows_in_scanned_fragments") == 100L, s"$tbl: $m")
     }
+    // per-operator EXPLAIN-ANALYZE rows from the executed plan: the join
+    // itself reports its measured output rows, and scan-stage row counts
+    // reflect the pruned read (100 rows per side, not 400)
+    val ops = rows.filter(r => r._1 == -1 && r._2 == "(operator)")
+    assert(ops.nonEmpty, rows.mkString(","))
+    assert(ops.exists(o => o._3.toLowerCase.contains("join") && o._4 == 100L),
+      ops.mkString(","))
+    assert(ops.exists(o => o._3.toLowerCase.contains("scan") && o._4 == 100L),
+      ops.mkString(","))
     // explicit NULL query: clear error, not an NPE
     val e = intercept[Exception] {
       s.sql("CALL g.system.analyze_query(query => CAST(NULL AS STRING))").collect()
