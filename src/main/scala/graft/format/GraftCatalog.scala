@@ -125,6 +125,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val (bucketCfg, rest) = partitions.partition(_.name == "bucket")
     require(rest.isEmpty,
       "graft tables do not take PARTITIONED BY — fragments are the unit of parallelism")
+    // the DDL route must reject reserved system column names like the
+    // write route does — an empty table created with `_rowid` would
+    // collide with the derived-id scan schema on first read
+    val rsv = GraftTable.requireNotReserved(schema.fieldNames.toSeq)
+    require(rsv.isEmpty, s"reserved graft column names: ${rsv.mkString(",")}")
     val bucket = bucketCfg.headOption.map { b =>
       val n = b.arguments.collectFirst {
         case l: org.apache.spark.sql.connector.expressions.Literal[_] =>

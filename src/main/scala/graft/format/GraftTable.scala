@@ -55,7 +55,7 @@ object GraftTable {
 
   /** Graft-internal column names user data may never take (any case —
     * Spark resolution is case-insensitive): returns the offending names. */
-  private def requireNotReserved(names: Seq[String]): Seq[String] = {
+  private[format] def requireNotReserved(names: Seq[String]): Seq[String] = {
     val reserved = Set(RowIdCol, RowAddrCol, OldAddrCol)
     names.filter(n => reserved.contains(n.toLowerCase(java.util.Locale.ROOT)))
   }

@@ -190,6 +190,18 @@ class DeferServingSpec extends AnyFunSuite {
       GraftTable.write(bad, t, "overwrite")
     }
     assert(e.getMessage.contains("reserved"))
+    // case-insensitively (Spark resolution is)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.write(embeddings.withColumn("_ROWADDR", lit(0L)), t, "overwrite")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // and on the no-rewrite schema-evolution routes
+    val ok = tmp("defer_reserved_ok")
+    GraftTable.write(embeddings, ok, "overwrite")
+    val e3 = intercept[IllegalArgumentException] {
+      GraftTable.addColumnsFiles(spark, ok, Seq(GraftTable.RowIdCol -> "1"))
+    }
+    assert(e3.getMessage.contains("reserved"))
   }
 
   test("sidecars are group-private; optimize_index retires provenance and unpins them") {
