@@ -1238,7 +1238,7 @@ private[format] object GraftProcedures {
       }
       val indexPath = s"$path/_indices/${e.name}"
       val queryType = in.getUTF8String(5).toString.toLowerCase
-      val freshFrags = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
+      val freshFrags = ftsFresh(m, e)
       // structured query types from SQL (reference FullTextQuery —
       // PhraseQuery / MatchQuery(fuzziness), `python/lance/query.py`):
       // phrase ranks the phrase-containing docs by BM25 (phrase membership
@@ -1253,18 +1253,20 @@ private[format] object GraftProcedures {
           require(freshFrags.isEmpty,
             s"$queryType search needs full index coverage — run " +
               s"CALL g.system.optimize_index(table, '${e.name}') first")
+          val allowedEff = intersectMasks(allowed,
+            ftsServableMask(spark, path, m, e, idCol))
           queryType match {
             case "phrase" =>
               val docs = graft.operators.Fts.phraseQuery(spark, indexPath, Seq(q),
                 in.getLong(7).toInt)
-              val mask = allowed.map(a => docs.join(
+              val mask = allowedEff.map(a => docs.join(
                   a.select(col(a.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
                 .getOrElse(docs)
               graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
                 allowedDocs = Some(mask))
             case _ =>
               graft.operators.Fts.fuzzyQuery(spark, indexPath, Seq(q),
-                in.getLong(6).toInt, prefixLength = 0, k, allowedDocs = allowed)
+                in.getLong(6).toInt, prefixLength = 0, k, allowedDocs = allowedEff)
           }
         } else ftsMatchCombined(spark, path, m, e, q, k, allowed, userPred)
       // Seq[Any] — an untyped Seq(Long, Double) literal unifies to
@@ -1307,6 +1309,58 @@ private[format] object GraftProcedures {
     * index does not cover yet are flat-scored under the stored tokenizer
     * config and merged before the final cut. Shared by `fts_search` and
     * `analyze_fts`. */
+  /** Fragments an FTS search's FLAT leg must cover. Postings are id-keyed,
+    * so a content-preserving rewrite (compaction/clustering) whose sources
+    * the index covered keeps serving FROM THE POSTINGS — its outputs must
+    * NOT ride the flat leg, or every surviving doc would surface TWICE
+    * (indexed + re-scored flat) between the rewrite and the next
+    * optimize_index. Same manifest-only partition as the vector families'
+    * deferred serving. */
+  private[format] def ftsFresh(m: GraftManifest, e: IndexMeta)
+      : Seq[graft.format.FragmentMeta] =
+    graft.operators.IvfIndex.deferServing(m, e.fragmentIds.toSet)._2
+
+  /** Doc-id mask for the INDEXED leg when postings may contain ids whose
+    * rows died or moved out of index-served state: rows materialized-
+    * deleted by a rewrite (`srcDvFiles`), or retired coverage NOT
+    * accounted by translatable outputs (a value-changing update moved the
+    * ids to uncovered fragments — the indexed leg would score the STALE
+    * version while the flat leg scores the new one: duplicate ids). The
+    * mask is the ids still residing in index-served fragments; None in
+    * the common states (fresh index, pure compaction, plain appends), so
+    * the zero-IO deferred path stays zero-IO. */
+  private[format] def ftsServableMask(spark: SparkSession, path: String,
+      m: GraftManifest, e: IndexMeta, idCol: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val covered = e.fragmentIds.toSet
+    val liveIds = m.fragments.map(_.id).toSet
+    val (translatable, _) =
+      graft.operators.IvfIndex.deferServing(m, covered)
+    val unaccounted = covered.diff(liveIds)
+      .diff(translatable.flatMap(_.srcFragIds).toSet)
+    if (unaccounted.isEmpty && !translatable.exists(_.srcDvFiles.nonEmpty))
+      None
+    else {
+      val servable =
+        m.fragments.filter(f => covered.contains(f.id)) ++ translatable
+      Some(GraftTable.readFragments(spark, path, m, servable,
+          withRowId = idCol == GraftTable.RowIdCol)
+        .select(col(idCol)))
+    }
+  }
+
+  /** Intersect optional doc-id masks (semi-join on the first's id column). */
+  private def intersectMasks(a: Option[org.apache.spark.sql.DataFrame],
+                             b: Option[org.apache.spark.sql.DataFrame])
+      : Option[org.apache.spark.sql.DataFrame] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      import org.apache.spark.sql.functions.col
+      Some(x.join(y.select(col(y.columns.head).as(x.columns.head)),
+        Seq(x.columns.head), "left_semi"))
+    case _ => a.orElse(b)
+  }
+
   private[format] def ftsMatchCombined(spark: SparkSession, path: String,
       m: GraftManifest, e: IndexMeta, q: String, k: Int,
       allowed: Option[org.apache.spark.sql.DataFrame],
@@ -1315,9 +1369,11 @@ private[format] object GraftProcedures {
     val indexPath = s"$path/_indices/${e.name}"
     val idCol = e.params.getOrElse("idCol",
       throw new IllegalArgumentException(s"index ${e.name} records no idCol"))
-    val freshFrags = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
+    val freshFrags = ftsFresh(m, e)
+    val allowedEff =
+      intersectMasks(allowed, ftsServableMask(spark, path, m, e, idCol))
     val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
-      allowedDocs = allowed)
+      allowedDocs = allowedEff)
     if (freshFrags.isEmpty) indexed else {
       val cfg = graft.operators.Fts.loadConfig(spark, indexPath)
       val fresh0 = GraftTable.readFragments(spark, path, m, freshFrags,
@@ -1363,8 +1419,7 @@ private[format] object GraftProcedures {
             withRowId = idCol == GraftTable.RowIdCol).select(col(idCol)))
         else None
       val rows = ftsMatchCombined(spark, path, m, e, q, k, allowed, None).count()
-      val freshRows = m.fragments.filterNot(f => e.fragmentIds.contains(f.id))
-        .map(_.rows).sum
+      val freshRows = ftsFresh(m, e).map(_.rows).sum
       graft.operators.Fts.matchMetrics(spark, s"$path/_indices/${e.name}", Seq(q))
         .map { case (n, v) => Seq[Any](n, v) } ++ Seq(
         Seq[Any]("fresh_rows_scanned", freshRows),

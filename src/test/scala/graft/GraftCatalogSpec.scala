@@ -1060,6 +1060,57 @@ class GraftCatalogSpec extends AnyFunSuite {
       eh.params.get("efConstruction").contains("32"), eh.params.toString)
   }
 
+  test("fts_search between a rewrite and optimize: deferred, deduped, dead and stale docs masked") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, body STRING) USING graft")
+    // two inserts => two fragments so compaction has something to merge
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "CASE WHEN id % 10 = 0 THEN concat('needle doc ', id) " +
+      "ELSE concat('plain doc ', id) END FROM range(0, 100)")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "CASE WHEN id % 10 = 0 THEN concat('needle doc ', id) " +
+      "ELSE concat('plain doc ', id) END FROM range(100, 200)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      "index_type => 'FTS')")
+    def hits() = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+        s"name => 'fts_body', query => 'needle', k => 30)")
+      .collect().map(_.getLong(0)).toSeq
+    val before = hits()
+    assert(before.length == 20 && before.distinct.length == 20, before.toString)
+    // pure compaction retires coverage; postings are id-keyed so the
+    // search serves DEFERRED — same docs, no doc scored twice (the old
+    // flat-leg formulation re-scored every surviving doc)
+    s.sql(s"CALL g.system.compact(table => 'db.$t')")
+    val after = hits()
+    assert(after.distinct.length == after.length,
+      s"duplicate docs after compaction: $after")
+    assert(after.toSet == before.toSet, s"$after vs $before")
+    // phrase search keeps working through the deferred state
+    assert(s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+        s"name => 'fts_body', query => 'needle doc', k => 5, " +
+        "query_type => 'phrase')").count() == 5)
+    // a delete + MATERIALIZING compaction kills the doc for good: the
+    // postings still carry its id, numDeleted is 0 again — the servable
+    // mask (not the DV mask) must drop it
+    val victim = after.head
+    s.sql(s"DELETE FROM g.db.$t WHERE id = $victim")
+    s.sql(s"CALL g.system.compact(table => 'db.$t')")
+    val afterDel = hits()
+    assert(!afterDel.contains(victim) && afterDel.length == 19,
+      s"dead doc $victim resurfaced: $afterDel")
+    // an UPDATE moves a doc's row out of covered state: the indexed leg
+    // must not return the STALE version alongside the flat leg's new one
+    val moved = afterDel.head
+    s.sql(s"UPDATE g.db.$t SET body = 'rewritten entirely' WHERE id = $moved")
+    val afterUpd = hits()
+    assert(!afterUpd.contains(moved) && afterUpd.distinct.length == afterUpd.length,
+      s"stale doc $moved still served: $afterUpd")
+    // and a doc updated INTO matching surfaces exactly once via the flat leg
+    s.sql(s"UPDATE g.db.$t SET body = 'needle needle needle' WHERE id = 3")
+    val afterAdd = hits()
+    assert(afterAdd.count(_ == 3L) == 1, afterAdd.toString)
+  }
+
   test("CALL fts_search / knn_search: both search families from pure SQL") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>, body STRING) USING graft")
