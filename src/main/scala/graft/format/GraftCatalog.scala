@@ -1259,11 +1259,8 @@ private[format] object GraftProcedures {
             case "phrase" =>
               val docs = graft.operators.Fts.phraseQuery(spark, indexPath, Seq(q),
                 in.getLong(7).toInt)
-              val mask = allowedEff.map(a => docs.join(
-                  a.select(col(a.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
-                .getOrElse(docs)
               graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
-                allowedDocs = Some(mask))
+                allowedDocs = intersectMasks(Some(docs), allowedEff))
             case _ =>
               graft.operators.Fts.fuzzyQuery(spark, indexPath, Seq(q),
                 in.getLong(6).toInt, prefixLength = 0, k, allowedDocs = allowedEff)
@@ -1318,17 +1315,19 @@ private[format] object GraftProcedures {
     * deferred serving. */
   private[format] def ftsFresh(m: GraftManifest, e: IndexMeta)
       : Seq[graft.format.FragmentMeta] =
-    graft.operators.IvfIndex.deferServing(m, e.fragmentIds.toSet)._2
+    graft.operators.IvfIndex.deferServingById(m, e.fragmentIds.toSet)._2
 
   /** Doc-id mask for the INDEXED leg when postings may contain ids whose
     * rows died or moved out of index-served state: rows materialized-
-    * deleted by a rewrite (`srcDvFiles`), or retired coverage NOT
-    * accounted by translatable outputs (a value-changing update moved the
-    * ids to uncovered fragments — the indexed leg would score the STALE
-    * version while the flat leg scores the new one: duplicate ids). The
-    * mask is the ids still residing in index-served fragments; None in
-    * the common states (fresh index, pure compaction, plain appends), so
-    * the zero-IO deferred path stays zero-IO. */
+    * deleted anywhere on a content-preserving lineage (`lossyLineage` —
+    * per-generation DV sidecars can't say this once intermediate
+    * generations are gone), or retired coverage NOT accounted by
+    * translatable outputs (a value-changing update moved the ids to
+    * uncovered fragments — the indexed leg would score the STALE version
+    * while the flat leg scores the new one: duplicate ids). The mask is
+    * the ids still residing in index-served fragments; None in the common
+    * states (fresh index, pure compaction chains, plain appends), so the
+    * zero-IO deferred path stays zero-IO. */
   private[format] def ftsServableMask(spark: SparkSession, path: String,
       m: GraftManifest, e: IndexMeta, idCol: String)
       : Option[org.apache.spark.sql.DataFrame] = {
@@ -1336,11 +1335,15 @@ private[format] object GraftProcedures {
     val covered = e.fragmentIds.toSet
     val liveIds = m.fragments.map(_.id).toSet
     val (translatable, _) =
-      graft.operators.IvfIndex.deferServing(m, covered)
+      graft.operators.IvfIndex.deferServingById(m, covered)
     val unaccounted = covered.diff(liveIds)
-      .diff(translatable.flatMap(_.srcFragIds).toSet)
-    if (unaccounted.isEmpty && !translatable.exists(_.srcDvFiles.nonEmpty))
-      None
+      .diff(translatable.flatMap(f => f.srcFragIds ++ f.rootFragIds).toSet)
+    // any LIVE uncovered fragment with a lossy lineage threatens the
+    // postings: materializing compactions (dead ids) and update/merge/cast
+    // rewrites (ids whose content changed) both stamp it
+    val lossy = m.fragments.exists(f =>
+      !covered.contains(f.id) && f.lossyLineage)
+    if (unaccounted.isEmpty && !lossy) None
     else {
       val servable =
         m.fragments.filter(f => covered.contains(f.id)) ++ translatable
@@ -1419,10 +1422,18 @@ private[format] object GraftProcedures {
             withRowId = idCol == GraftTable.RowIdCol).select(col(idCol)))
         else None
       val rows = ftsMatchCombined(spark, path, m, e, q, k, allowed, None).count()
-      val freshRows = ftsFresh(m, e).map(_.rows).sum
+      val (deferred, fresh) =
+        graft.operators.IvfIndex.deferServingById(m, e.fragmentIds.toSet)
       graft.operators.Fts.matchMetrics(spark, s"$path/_indices/${e.name}", Seq(q))
         .map { case (n, v) => Seq[Any](n, v) } ++ Seq(
-        Seq[Any]("fresh_rows_scanned", freshRows),
+        Seq[Any]("fresh_rows_scanned", fresh.map(_.rows).sum),
+        // rewrite outputs served from the postings (deferred) + whether
+        // the servable-fragment doc mask is active (dead/moved ids the
+        // DV count no longer reflects — see ftsServableMask)
+        Seq[Any]("deferred_rows_served", deferred.map(_.rows).sum),
+        Seq[Any]("servable_mask_engaged",
+          if (ftsServableMask(spark, path, m, e,
+            e.params.getOrElse("idCol", "_rowid")).isDefined) 1L else 0L),
         Seq[Any]("dv_rows_masked", m.numDeleted),
         Seq[Any]("rows_returned", rows))
     }

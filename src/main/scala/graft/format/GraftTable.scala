@@ -1535,8 +1535,15 @@ object GraftTable {
     * groups by coverage signature, making this a per-group constant;
     * never-indexed appends compact at plain write volume. */
   private def deferUseful(m: GraftManifest, g: Seq[FragmentMeta]): Boolean =
-    g.nonEmpty &&
-      m.indices.exists(ix => g.forall(f => ix.fragmentIds.contains(f.id)))
+    g.nonEmpty && m.indices.exists(ix => g.forall(f =>
+      ix.fragmentIds.contains(f.id) ||
+        // a source that is itself a rewrite output still counts when the
+        // index covers its sources or roots — id-keyed (FTS) serving
+        // survives rewrite GENERATIONS, so the provenance stays worth it
+        (f.srcFragIds.nonEmpty &&
+          f.srcFragIds.forall(ix.fragmentIds.contains)) ||
+        (f.rootFragIds.nonEmpty &&
+          f.rootFragIds.forall(ix.fragmentIds.contains))))
 
   /** Group-private old-address DV sidecar for deferred serving
     * ([[FragmentMeta]] `srcDvFiles`): exactly the addresses this group's
@@ -1552,13 +1559,23 @@ object GraftTable {
         .filter(shiftrightunsigned(col("addr"), 32).isin(g.map(_.id): _*))
         .select(col("addr").as(RowAddrCol))).map(_._1)
 
-  /** Stamp rewrite provenance on a group's outputs when defer-servable. */
+  /** Stamp rewrite provenance on a group's outputs when defer-servable:
+    * immediate sources (single-hop address translation), root sources
+    * (id-keyed serving across generations), and the lossy-lineage flag. */
   private def stampProvenance(m: GraftManifest, g: Seq[FragmentMeta],
                               frags: Seq[FragmentMeta],
                               sdv: Option[String]): Seq[FragmentMeta] =
     if (!deferUseful(m, g)) frags
-    else frags.map(_.copy(srcFragIds = g.map(_.id).sorted,
-      oldAddrStored = true, srcDvFiles = sdv.toSeq))
+    else {
+      val roots = g.flatMap(f =>
+        if (f.rootFragIds.nonEmpty) f.rootFragIds
+        else if (f.srcFragIds.nonEmpty) f.srcFragIds
+        else Seq(f.id)).distinct.sorted
+      val lossy = sdv.nonEmpty || g.exists(_.lossyLineage)
+      frags.map(_.copy(srcFragIds = g.map(_.id).sorted,
+        oldAddrStored = true, srcDvFiles = sdv.toSeq,
+        rootFragIds = roots, lossyLineage = lossy))
+    }
 
   /** Read a rewrite group's live rows, carrying the pre-rewrite address
     * as [[OldAddrCol]] iff the group is defer-servable. */
@@ -1764,10 +1781,14 @@ object GraftTable {
           // concurrent DML also touched is contested, abort (never compose)
           resolveDvConflicts(spark, tablePath, "update", m0, base,
             dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
-          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+          val (frags0, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1,
             rowIdBase = if (carry) -1L else base.nextRowId,
             storedRowIds = carry, bucketIds = bids)
+          // rewritten existing rows: their ids may sit in index postings
+          // whose content no longer matches — id-keyed deferred serving
+          // must mask (see ftsServableMask / FragmentMeta.lossyLineage)
+          val frags = frags0.map(_.copy(lossyLineage = true))
           staged = paths
           base.copy(version = base.version + 1, operation = "update",
             fragments = base.fragments ++ frags,
@@ -2107,8 +2128,10 @@ object GraftTable {
         guardStagedBase("merge_insert", st.m0, base)
         resolveDvConflicts(spark, tablePath, "merge_insert", st.m0, base,
           dvOpt.map(_._1), dvOpt.map(_._2).getOrElse(0L), composeDeletes = false)
-        val (fragsU, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
+        val (fragsU0, pathsU) = assignIds(spark, stagedUpd, base.maxFragmentId + 1,
           base.version + 1, storedRowIds = carry, bucketIds = st.bidsU)
+        // rewritten-match side: ids may sit in stale postings (see update)
+        val fragsU = fragsU0.map(_.copy(lossyLineage = true))
         val (fragsI, pathsI) = assignIds(spark, stagedIns,
           base.maxFragmentId + 1 + fragsU.size, base.version + 1, base.nextRowId,
           bucketIds = st.bidsI)
@@ -2873,6 +2896,10 @@ object GraftTable {
         require(!to.contains("."),
           s"rename target must be a bare name (renames stay in place): $to")
         require(from.nonEmpty && to.nonEmpty, "empty column name")
+        // the rename route must not re-open the reserved-name hole the
+        // write/create routes guard
+        require(requireNotReserved(Seq(to)).isEmpty,
+          s"reserved graft column name: $to")
       }
       m = commitLoop(spark, tablePath, {
         case Some(base) =>
@@ -2968,8 +2995,10 @@ object GraftTable {
         case Some(base) =>
           if (base.version != m.version) throw new IllegalStateException(
             s"alter conflict: table moved from v${m.version} to v${base.version}")
-          val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
+          val (frags0, paths) = assignIds(spark, staged, base.maxFragmentId + 1,
             base.version + 1, storedRowIds = carryIds)
+          // cast rewrite changes values: stale-posting hazard (see update)
+          val frags = frags0.map(_.copy(lossyLineage = true))
           staged = paths
           // rewrite materializes logical names — rename metadata drops out
           val newSchema = casts.foldLeft(cleanSchema(base.schema)) { case (sch, (c, ty)) =>
@@ -3399,7 +3428,8 @@ object GraftTable {
         val frags = base.fragments.map { f =>
           if ((f.srcFragIds.nonEmpty || f.srcDvFiles.nonEmpty) &&
               indices.forall(_.fragmentIds.contains(f.id)))
-            f.copy(srcFragIds = Nil, srcDvFiles = Nil)
+            f.copy(srcFragIds = Nil, srcDvFiles = Nil,
+              rootFragIds = Nil, lossyLineage = false)
           else f
         }
         base.copy(version = base.version + 1,

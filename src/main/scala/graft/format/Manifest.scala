@@ -59,7 +59,25 @@ case class FragmentMeta(
       * instead of scanning the corpus to discover missing translations;
       * [[graft.format.GraftTable.cleanupOldVersions]] keeps the files
       * referenced while any live fragment lists them. */
-    srcDvFiles: Seq[String] = Nil) {
+    srcDvFiles: Seq[String] = Nil,
+    /** ROOT provenance for ID-keyed deferred serving (FTS): the original
+      * fragment ids this content descends from through content-preserving
+      * rewrites only (a source that was itself a rewrite output
+      * contributes ITS roots). Addresses don't survive a second rewrite
+      * (`__old_addr` holds single-hop addresses), but doc IDS do — an FTS
+      * index covering every root keeps serving from its postings across
+      * rewrite GENERATIONS. Value-changing rewrites reset the chain. */
+    rootFragIds: Seq[Long] = Nil,
+    /** true iff this fragment's content diverged from what an index may
+      * have seen: a content-preserving lineage that materialized deletions
+      * (postings can carry ids whose rows no longer exist anywhere), or a
+      * VALUE-CHANGING rewrite (update / merge-matched / cast — ids live on
+      * with different content, so posting-derived matches may be stale).
+      * Id-keyed serving masks against the servable-fragment id set when
+      * any live uncovered fragment carries this
+      * ([[graft.format.GraftCatalog.ftsServableMask]]) — per-generation DV
+      * sidecars can't say it once intermediate generations are gone. */
+    lossyLineage: Boolean = false) {
   def hasRowIds: Boolean = rowIdStored || rowIdStart >= 0L
 }
 

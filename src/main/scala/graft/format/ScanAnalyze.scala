@@ -157,7 +157,9 @@ object ScanAnalyze {
         : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: QueryStageExec => walk(s.plan)
-      case r: ReusedExchangeExec => walk(r.child)
+      // the ORIGINAL exchange's subtree is walked at its own position —
+      // recursing here would report every operator under it twice
+      case _: ReusedExchangeExec => Nil
       case w: WholeStageCodegenExec => w.children.flatMap(walk)
       case i: InputAdapter => i.children.flatMap(walk)
       case other => other +: other.children.flatMap(walk)

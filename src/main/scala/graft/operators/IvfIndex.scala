@@ -486,6 +486,19 @@ object IvfIndex {
       .partition(f => f.oldAddrStored && f.srcFragIds.nonEmpty &&
         f.srcFragIds.forall(covered.contains))
 
+  /** ID-keyed twin of [[deferServing]] for indexes that never touch
+    * addresses (FTS postings): translatability survives rewrite
+    * GENERATIONS — an output serves from the postings when the index
+    * covers its immediate sources OR its root provenance (`rootFragIds`),
+    * because doc ids are stable even though `__old_addr` is single-hop. */
+  private[graft] def deferServingById(m: graft.format.GraftManifest,
+                                      covered: Set[Long])
+      : (Seq[graft.format.FragmentMeta], Seq[graft.format.FragmentMeta]) =
+    m.fragments.filterNot(f => covered.contains(f.id))
+      .partition(f => f.srcFragIds.nonEmpty &&
+        (f.srcFragIds.forall(covered.contains) ||
+          (f.rootFragIds.nonEmpty && f.rootFragIds.forall(covered.contains))))
+
   /** Old-addr → new-addr mapping of `translatable` fragments: one
     * column-pruned scan (two longs per row). Read ONLY to translate
     * post-rewrite DVs backward — never joined against candidates. */

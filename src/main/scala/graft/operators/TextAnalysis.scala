@@ -381,6 +381,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
+    // an id column named like an internal/output column would be silently
+    // clobbered by the withColumns below (document identity lost) — fail
+    // fast instead
+    val internal = Seq("n_tokens", "bucket", "sup", "cum_in_bucket",
+      "bk_offset", "prior", "shard", "seq_id", "seq_begin", "doc_begin", "len")
+    require(!internal.contains(idCol),
+      s"$op: id column '$idCol' collides with an internal/output name " +
+        s"(${internal.mkString(", ")}) — rename it first")
     // budgets default to whitespace tokens; pass `tokenCounts` (e.g.
     // BpeTokenizer.bpeTokenCount over a real vocabulary) to pack by
     // tokenizer-true counts — what a training pipeline actually bills

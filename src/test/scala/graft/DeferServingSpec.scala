@@ -202,6 +202,12 @@ class DeferServingSpec extends AnyFunSuite {
       GraftTable.addColumnsFiles(spark, ok, Seq(GraftTable.RowIdCol -> "1"))
     }
     assert(e3.getMessage.contains("reserved"))
+    // and on the rename route
+    val e4 = intercept[IllegalArgumentException] {
+      GraftTable.alterColumns(spark, ok,
+        renames = Map("label" -> GraftTable.RowAddrCol))
+    }
+    assert(e4.getMessage.contains("reserved"))
   }
 
   test("sidecars are group-private; optimize_index retires provenance and unpins them") {

@@ -1098,6 +1098,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     val afterDel = hits()
     assert(!afterDel.contains(victim) && afterDel.length == 19,
       s"dead doc $victim resurfaced: $afterDel")
+    // the analyze surface reflects the state: rewrite outputs served
+    // deferred from the postings, zero flat-leg rows, the servable mask
+    // engaged (the DV count is 0 again — it alone would claim nothing
+    // is masked while the dead doc is actively dropped)
+    val am = s.sql(s"CALL g.system.analyze_fts(table => 'db.$t', " +
+        "name => 'fts_body', query => 'needle', k => 30)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(am("deferred_rows_served") == 199L, am.toString)
+    assert(am("fresh_rows_scanned") == 0L, am.toString)
+    assert(am("servable_mask_engaged") == 1L, am.toString)
+    assert(am("dv_rows_masked") == 0L, am.toString)
     // an UPDATE moves a doc's row out of covered state: the indexed leg
     // must not return the STALE version alongside the flat leg's new one
     val moved = afterDel.head
@@ -1109,6 +1120,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     s.sql(s"UPDATE g.db.$t SET body = 'needle needle needle' WHERE id = 3")
     val afterAdd = hits()
     assert(afterAdd.count(_ == 3L) == 1, afterAdd.toString)
+  }
+
+  test("update after a PURE compact: stale posting masked with no deletes anywhere") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, body STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, " +
+      "CASE WHEN id < 5 THEN concat('needle doc ', id) " +
+      "ELSE concat('plain doc ', id) END FROM range(0, 50)")
+    s.sql(s"INSERT INTO g.db.$t SELECT id + 50, concat('plain doc ', id + 50) " +
+      "FROM range(0, 50)")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      "index_type => 'FTS')")
+    s.sql(s"CALL g.system.compact(table => 'db.$t')")
+    // numDeleted is 0 and the lineage is loss-free: the ONLY signal that
+    // the indexed leg may serve a stale posting is the update output's
+    // lossyLineage flag
+    s.sql(s"UPDATE g.db.$t SET body = 'rewritten entirely' WHERE id = 2")
+    val hits = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+        s"name => 'fts_body', query => 'needle', k => 10)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(!hits.contains(2L) && hits.distinct.length == hits.length,
+      s"stale doc served after update: $hits")
+    assert(hits.toSet == Set(0L, 1L, 3L, 4L), hits.toString)
   }
 
   test("CALL fts_search / knn_search: both search families from pure SQL") {
