@@ -138,10 +138,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "bucket transform carries no bucket count"))
       val cols = b.references.map(_.fieldNames.mkString(".")).toSeq
       require(cols.nonEmpty, "CLUSTERED BY needs at least one column")
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"bucket column $c not in the table schema"))
+      // Spark identifier resolution is case-insensitive — match it here and
+      // store the schema's canonical casing so downstream lookups resolve
+      val canon = cols.map(c => schema.fieldNames
+        .find(_.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucket column $c not in the table schema")))
       Map(GraftTable.BucketNumKey -> n.toString,
-        GraftTable.BucketColsKey -> cols.mkString(","))
+        GraftTable.BucketColsKey -> canon.mkString(","))
     }.getOrElse(Map.empty[String, String])
     val path = tablePath(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -1367,14 +1371,19 @@ private[format] object GraftProcedures {
   private[format] def ftsMatchCombined(spark: SparkSession, path: String,
       m: GraftManifest, e: IndexMeta, q: String, k: Int,
       allowed: Option[org.apache.spark.sql.DataFrame],
-      userPred: Option[String]): org.apache.spark.sql.DataFrame = {
+      userPred: Option[String],
+      // precomputed servable-fragment doc mask — lets analyze_fts report
+      // the SAME mask the search actually ran under instead of rebuilding
+      // one (possibly under a different id column)
+      servable: Option[Option[org.apache.spark.sql.DataFrame]] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val indexPath = s"$path/_indices/${e.name}"
     val idCol = e.params.getOrElse("idCol",
       throw new IllegalArgumentException(s"index ${e.name} records no idCol"))
     val freshFrags = ftsFresh(m, e)
-    val allowedEff =
-      intersectMasks(allowed, ftsServableMask(spark, path, m, e, idCol))
+    val allowedEff = intersectMasks(allowed,
+      servable.getOrElse(ftsServableMask(spark, path, m, e, idCol)))
     val indexed = graft.operators.Fts.matchQuery(spark, indexPath, Seq(q), k,
       allowedDocs = allowedEff)
     if (freshFrags.isEmpty) indexed else {
@@ -1421,7 +1430,12 @@ private[format] object GraftProcedures {
           Some(GraftTable.read(spark, path,
             withRowId = idCol == GraftTable.RowIdCol).select(col(idCol)))
         else None
-      val rows = ftsMatchCombined(spark, path, m, e, q, k, allowed, None).count()
+      // ONE mask, under the index's required idCol, shared by the search
+      // and the metric — so servable_mask_engaged describes the search
+      // that actually ran
+      val mask = ftsServableMask(spark, path, m, e, idCol)
+      val rows = ftsMatchCombined(spark, path, m, e, q, k, allowed, None,
+        servable = Some(mask)).count()
       val (deferred, fresh) =
         graft.operators.IvfIndex.deferServingById(m, e.fragmentIds.toSet)
       graft.operators.Fts.matchMetrics(spark, s"$path/_indices/${e.name}", Seq(q))
@@ -1431,9 +1445,7 @@ private[format] object GraftProcedures {
         // the servable-fragment doc mask is active (dead/moved ids the
         // DV count no longer reflects — see ftsServableMask)
         Seq[Any]("deferred_rows_served", deferred.map(_.rows).sum),
-        Seq[Any]("servable_mask_engaged",
-          if (ftsServableMask(spark, path, m, e,
-            e.params.getOrElse("idCol", "_rowid")).isDefined) 1L else 0L),
+        Seq[Any]("servable_mask_engaged", if (mask.isDefined) 1L else 0L),
         Seq[Any]("dv_rows_masked", m.numDeleted),
         Seq[Any]("rows_returned", rows))
     }

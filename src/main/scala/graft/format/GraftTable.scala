@@ -538,7 +538,8 @@ object GraftTable {
             base: Option[String] = None,
             commitMessage: Option[String] = None,
             txnProperties: Map[String, String] = Map.empty,
-            bucketBy: Option[(Int, Seq[String])] = None): GraftManifest = {
+            bucketBy: Option[(Int, Seq[String])] = None,
+            unbucket: Boolean = false): GraftManifest = {
     val txnProps = txnProperties ++ commitMessage.map("message" -> _)
     val spark = df.sparkSession
     // graft-internal column names (system scan columns + the rewrite
@@ -589,7 +590,24 @@ object GraftTable {
         s"append bucketBy $s does not match the table's bucket spec " +
           s"${cfgSpec.getOrElse("(none — bucket at create/overwrite)")}")
     }
-    val effSpec = explicitSpec.orElse(if (isAppend) cfgSpec else None)
+    require(!unbucket || mode.equalsIgnoreCase("overwrite"),
+      "unbucket is only meaningful on overwrite")
+    require(!(unbucket && bucketBy.isDefined),
+      "unbucket and bucketBy are mutually exclusive")
+    // overwrite INHERITS the DDL-declared bucket layout (like INSERT
+    // OVERWRITE on a Hive bucketed table): a plain overwrite must not
+    // silently drop the zero-shuffle-join property. Config cols are stored
+    // in the OLD manifest's physical names; the overwrite defines a fresh
+    // logical schema, so translate to logical. If a bucket column no longer
+    // exists in the new data the layout can't hold — fall back to unbucketed
+    // (and strip the config keys below). `unbucket = true` opts out.
+    val inheritedSpec: Option[(Int, Seq[String])] =
+      if (unbucket || !mode.equalsIgnoreCase("overwrite")) None
+      else cfgSpec.flatMap { case (n, physCols) =>
+        val logical = latestM.map(m => physCols.map(m.logicalName)).getOrElse(physCols)
+        if (logical.forall(df.columns.contains)) Some((n, logical)) else None
+      }
+    val effSpec = explicitSpec.orElse(if (isAppend) cfgSpec else inheritedSpec)
     var (staged, bucketIds): (Seq[Path], Option[Seq[Int]]) = effSpec match {
       case Some((n, cols)) =>
         val (paths, ids) = stageBucketed(spark, tablePath, n, cols,
@@ -597,10 +615,9 @@ object GraftTable {
         (paths, Some(ids))
       case None => (stageFragments(spark, tablePath, physDf, baseRoot), None)
     }
-    val bucketCfg = bucketBy match {
-      case Some((n, _)) if !isAppend =>
-        Map(BucketNumKey -> n.toString,
-          BucketColsKey -> effSpec.get._2.mkString(","))
+    val bucketCfg = effSpec match {
+      case Some((n, cols)) if !isAppend =>
+        Map(BucketNumKey -> n.toString, BucketColsKey -> cols.mkString(","))
       case _ => Map.empty[String, String]
     }
     def assign(firstId: Long, version: Long, rowIdBase: Long): Seq[FragmentMeta] = {
@@ -632,7 +649,7 @@ object GraftTable {
           val frags = assign(base.maxFragmentId + 1, base.version + 1, base.nextRowId)
           // an unbucketed overwrite replaces every fragment — stale bucket
           // keys must not survive to mis-describe the new layout
-          val cfg0 = if (bucketBy.isEmpty)
+          val cfg0 = if (effSpec.isEmpty)
             base.config -- Seq(BucketNumKey, BucketColsKey) else base.config
           GraftManifest(base.version + 1, "overwrite", cleanJson,
             frags, Nil, 0L, cfg0 ++ configUpdates ++ bucketCfg, base.version,
@@ -2568,6 +2585,10 @@ object GraftTable {
         base.copy(version = base.version + 1, operation = "rewrite",
           fragments = keepNow ++ frags, dvFiles = Nil, numDeleted = 0L,
           columnFiles = Nil,
+          // clustering deliberately REPLACES the hash-bucket layout — drop
+          // the bucket keys so later overwrites don't inherit a spec the
+          // files no longer satisfy
+          config = base.config -- Seq(BucketNumKey, BucketColsKey),
           parent = base.version)
       case None => throw new IllegalArgumentException(s"no table at $tablePath")
     })

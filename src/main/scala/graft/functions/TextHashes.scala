@@ -56,10 +56,6 @@ case class MinHashSignature(child: Expression, k: Int) extends StringArrayExpres
   private lazy val coefA: Array[Long] = Array.tabulate(k)(i => XxHashUtil.mix(i * 2 + 1) | 1L)
   private lazy val coefB: Array[Long] = Array.tabulate(k)(i => XxHashUtil.mix(i * 2 + 2))
 
-  // code points, matching Spark/DuckDB length() semantics beyond ASCII
-  private def gramChars(s: String): Long =
-    s.codePointCount(0, s.length).toLong
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -85,10 +81,6 @@ case class MinHashSignature(child: Expression, k: Int) extends StringArrayExpres
 case class SimHash64(child: Expression) extends StringArrayExpression {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
-  // code points, matching Spark/DuckDB length() semantics beyond ASCII
-  private def gramChars(s: String): Long =
-    s.codePointCount(0, s.length).toLong
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -116,10 +108,6 @@ case class SimHash64(child: Expression) extends StringArrayExpression {
 case class Fingerprint64(child: Expression) extends StringArrayExpression {
   override def prettyName: String = "fingerprint64"
   override def dataType: DataType = LongType
-  // code points, matching Spark/DuckDB length() semantics beyond ASCII
-  private def gramChars(s: String): Long =
-    s.codePointCount(0, s.length).toLong
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

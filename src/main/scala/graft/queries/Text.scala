@@ -698,8 +698,9 @@ object Text {
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |        sum(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prior
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |          AS BIGINT) AS prior
         |      FROM t WHERE n_tokens > 0),
         |s AS (SELECT doc_id, n_tokens, prior,
         |        unnest(generate_series(CAST(floor(prior / 256) AS BIGINT),

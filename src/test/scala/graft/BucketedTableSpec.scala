@@ -138,6 +138,44 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(!m.config.contains(GraftTable.BucketNumKey), m.config.toString)
   }
 
+  test("plain overwrite inherits the bucket spec; unbucket=true opts out; dropped column degrades") {
+    val t = tmp()
+    GraftTable.write(spark.range(0, 2000).toDF("id")
+      .withColumn("v", col("id") % 7), t, "overwrite",
+      bucketBy = Some((4, Seq("id"))))
+    // plain overwrite (no bucketBy) keeps the declared layout
+    GraftTable.write(spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") % 3), t, "overwrite")
+    val m1 = GraftTable.loadManifest(spark, t)
+    assert(m1.config.get(GraftTable.BucketNumKey).contains("4"), m1.config.toString)
+    assert(m1.fragments.forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
+      m1.fragments.map(_.path).toString)
+    val p = GraftTable.read(spark, t).groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true") &&
+      !p.contains("Exchange hashpartitioning(id"), p)
+    // explicit opt-out clears the keys and writes unsuffixed fragments
+    GraftTable.write(spark.range(0, 10).toDF("id")
+      .withColumn("v", lit(0L)), t, "overwrite", unbucket = true)
+    val m2 = GraftTable.loadManifest(spark, t)
+    assert(!m2.config.contains(GraftTable.BucketNumKey), m2.config.toString)
+    // unbucket is overwrite-only and excludes bucketBy
+    intercept[IllegalArgumentException] {
+      GraftTable.write(spark.range(0, 1).toDF("id")
+        .withColumn("v", lit(0L)), t, "append", unbucket = true)
+    }
+    // a bucketed table overwritten WITHOUT the bucket column can't keep
+    // the layout — degrades to unbucketed, keys stripped, no error
+    val t2 = tmp()
+    GraftTable.write(spark.range(0, 100).toDF("id")
+      .withColumn("v", lit(1L)), t2, "overwrite", bucketBy = Some((4, Seq("id"))))
+    GraftTable.write(spark.range(0, 50).toDF("other")
+      .withColumn("v", lit(2L)), t2, "overwrite")
+    val m3 = GraftTable.loadManifest(spark, t2)
+    assert(!m3.config.contains(GraftTable.BucketNumKey), m3.config.toString)
+    assert(GraftTable.read(spark, t2).count() == 50)
+  }
+
   test("bucketed compaction honors targetRows: oversized buckets split into single-bucket files") {
     val t = tmp()
     // two fragments so the 4-bucket table is a compaction candidate

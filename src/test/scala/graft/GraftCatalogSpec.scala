@@ -470,6 +470,38 @@ class GraftCatalogSpec extends AnyFunSuite {
       == (0L until 2000L).map(_ * 1.5).sum)
   }
 
+  test("INSERT OVERWRITE keeps the DDL-declared bucket layout; CLUSTERED BY is case-insensitive") {
+    val t = freshName()
+    // CLUSTERED BY (ID) on a column named id must resolve (Spark identifier
+    // resolution is case-insensitive) and store the canonical casing
+    s.sql(s"""CREATE TABLE g.db.$t (id BIGINT, v DOUBLE) USING graft
+             |CLUSTERED BY (ID) INTO 4 BUCKETS""".stripMargin)
+    s.sql(s"INSERT INTO g.db.$t SELECT id, id * 1.5 FROM range(2000)")
+    val path = s"$warehouse/db/$t"
+    assert(GraftTable.loadManifest(s, path).config
+      .get(GraftTable.BucketColsKey).contains("id"))
+    // the reported hazard: INSERT OVERWRITE goes through the V1 truncate
+    // fallback — it must NOT silently de-bucket the table
+    s.sql(s"INSERT OVERWRITE g.db.$t SELECT id, id * 2.0 FROM range(1000)")
+    val m = GraftTable.loadManifest(s, path)
+    assert(m.config.get(GraftTable.BucketNumKey).contains("4"), m.config.toString)
+    assert(m.config.get(GraftTable.BucketColsKey).contains("id"), m.config.toString)
+    assert(m.fragments.nonEmpty &&
+      m.fragments.forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
+      s"overwrite fragments must keep the bucket suffix: " +
+        m.fragments.map(_.path).toString)
+    // and a LATER append still lands bucketed
+    s.sql(s"INSERT INTO g.db.$t SELECT id, 0.0 FROM range(1000, 1500)")
+    val m2 = GraftTable.loadManifest(s, path)
+    assert(m2.fragments.forall(_.path.matches(".*frag-\\d+_\\d+\\.parquet")),
+      m2.fragments.map(_.path).toString)
+    val plan = GraftTable.read(s, path).groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") &&
+      !plan.contains("Exchange hashpartitioning(id"), plan)
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 1500L)
+  }
+
   test("system.explain_query returns the plan without executing") {
     val t = freshName()
     val path = s"$warehouse/db/$t"

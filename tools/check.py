@@ -43,6 +43,28 @@ for name in sorted(oracle):
     if sorted(gcols) != sorted(ecols):
         results[name] = f"SCHEMA: got {sorted(gcols)} want {sorted(ecols)}"
         continue
+    # driver's hash is type-sensitive to EXOTIC types: DuckDB HUGEINT vs
+    # Spark BIGINT failed r11's gate even with equal values, while plain
+    # int-width differences (INTEGER vs BIGINT) pass. Normalize the common
+    # numeric widths and flag everything else that differs.
+    def tnorm(t):
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER"):
+            return "INT"
+        if t in ("FLOAT", "DOUBLE"):
+            return "FLOAT"
+        return t
+    try:
+        gtypes = {r[0]: tnorm(r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{resdir}/*.parquet')").fetchall()}
+        etypes = {r[0]: tnorm(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        tdiff = [(c, gtypes.get(c), etypes.get(c)) for c in sorted(gtypes)
+                 if gtypes.get(c) != etypes.get(c)]
+        if tdiff:
+            results[name] = f"TYPE: {tdiff}"
+            continue
+    except Exception:
+        pass  # DESCRIBE can fail on exotic relations; value pass still runs
     if len(got) != len(exp):
         results[name] = f"ROWS: got {len(got)} want {len(exp)}"
         continue
