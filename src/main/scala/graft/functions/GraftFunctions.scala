@@ -39,6 +39,16 @@ object GraftFunctions {
       HammingDistance(es(0), es(1))),
     "pack_sign_bits" -> arity("pack_sign_bits", 1)(es =>
       graft.operators.PackSignBits(es(0))),
+    // half-precision vectors (reference `_cast_list_f16` + f16 kernels):
+    // packed BINARY at rest, distances computed through the packed bytes
+    "f16_pack" -> arity("f16_pack", 1)(es => PackF16(es(0))),
+    "f16_unpack" -> arity("f16_unpack", 1)(es => UnpackF16(es(0))),
+    "l2_distance_f16" -> arity("l2_distance_f16", 2)(es =>
+      F16L2Distance(es(0), es(1))),
+    "dot_product_f16" -> arity("dot_product_f16", 2)(es =>
+      F16DotProduct(es(0), es(1))),
+    "cosine_distance_f16" -> arity("cosine_distance_f16", 2)(es =>
+      F16CosineDistance(es(0), es(1))),
     // text kernels: BPE counting under the built-in English merge table,
     // n-gram repetition pair, and the dedup sketches
     "bpe_token_count" -> arity("bpe_token_count", 1)(es =>

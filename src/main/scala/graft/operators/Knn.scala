@@ -75,6 +75,43 @@ object Knn {
       .limit(k)
   }
 
+  /** Flat search over PACKED f16 binary vectors (reference f16 storage —
+    * `_cast_list_f16`, `rust/lance-datafusion/src/planner.rs:77-214` — with
+    * f16 kernels from `rust/lance-linalg/`): the distance decodes THROUGH
+    * the packed bytes (no per-row float array), then the same
+    * TakeOrderedAndProject top-k. With `refineWith = Some(f32Col)` the
+    * f16 ranking is an over-fetched candidate pass (k·refineFactor) and the
+    * ORIGINAL f32 column re-ranks exactly — the reference's
+    * refine_factor pattern, which recovers full-precision top-k from
+    * half-precision storage. */
+  def flatSearchF16(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
+                    metric: String = "l2", tieBreakers: Seq[Column] = Nil,
+                    prefilter: Option[Column] = None,
+                    refineWith: Option[String] = None,
+                    refineFactor: Int = 4): DataFrame = {
+    import graft.functions.F16Functions._
+    val q = f16Lit(query)
+    val dist = metric match {
+      case "l2" => l2DistanceF16(col(vecCol), q)
+      case "cosine" => cosineDistanceF16(col(vecCol), q)
+      case "dot" => negate(dotProductF16(col(vecCol), q))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    val base = prefilter.map(df.filter).getOrElse(df).withColumn(DistanceCol, dist)
+    refineWith match {
+      case None =>
+        base.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
+      case Some(f32Col) =>
+        // candidate cut by f16 distance, exact re-rank by the f32 column;
+        // the candidate limit is a driver-merged top-(k·rf) — only
+        // k·rf rows move, then one cheap re-sort of that driver-sized set
+        base.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k * refineFactor)
+          .withColumn(DistanceCol,
+            distanceExpr(metric, col(f32Col), vectorLit(query)))
+          .orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
+    }
+  }
+
   /** Multivector (late-interaction / XTR-style) search (reference
     * `MultivectorScoringExec`, `io/exec/knn.rs:1133`; `multivec_ann`
     * `scanner.rs:3471-3552`): per-query-vector top-(k·overfetch) candidate

@@ -201,6 +201,51 @@ object Vector {
         .select(col("vec_id"), round(-col(Knn.DistanceCol), 4).as("ip"))
     },
 
+    // Half-precision search (reference `_cast_list_f16` storage + f16
+    // kernels): the f16 pass ranks PACKED bytes (half the IO), the f32
+    // refine recovers exact top-k — so the gate hash-matches the exact
+    // oracle, proving both the pack/decode round and the refine pattern.
+    "q_knn_f16" -> { (s, d) =>
+      import graft.functions.F16Functions._
+      val q = queryVec(s, d)
+      val packed = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+        .withColumn("emb_f16", f16Pack(col("embedding")))
+      Knn.flatSearchF16(packed, "emb_f16", q, 10, "l2",
+          tieBreakers = Seq(col("vec_id")),
+          refineWith = Some("embedding"), refineFactor = 4)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // f16 storage round trip: pack → graft table (BINARY column at rest,
+    // 2 bytes/element) → read → verify precision in-gate (quantization
+    // error within the binary16 bound; re-pack idempotent), emit per-row
+    // byte sizes the oracle recomputes from the f32 table.
+    "q_f16_storage" -> { (s, d) =>
+      import graft.functions.F16Functions._
+      import graft.format.GraftTable
+      val t = freshDir(s, s"f16_tbl_${d.hashCode.toHexString}")
+      GraftTable.write(Tables.embeddings(s, d)
+        .select(col("vec_id"), f16Pack(col("embedding")).as("emb_f16"))
+        .repartitionByRange(4, col("vec_id")), t, "overwrite")
+      val back = GraftTable.read(s, t)
+      // quantization bound: |unpack(pack(x)) - x| <= 2^-10 * max(|x|, 2^-14)
+      // (binary16 rel. precision 2^-11 + RNE rounding; subnormal floor)
+      val err = back.join(Tables.embeddings(s, d), "vec_id")
+        .select(aggregate(
+          zip_with(f16Unpack(col("emb_f16")), col("embedding"),
+            (u, o) => abs(u - o) / greatest(abs(o), lit(0.00006103515625f))),
+          lit(0.0), (acc, x) => greatest(acc, x.cast("double"))).as("maxrel"))
+        .agg(max(col("maxrel"))).head().getDouble(0)
+      require(err <= 0.0009765625, // 2^-10
+        s"f16 round-trip error $err exceeds the binary16 bound")
+      // idempotence: pack(unpack(b)) == b, byte-exact
+      val nonIdem = back.filter(
+        f16Pack(f16Unpack(col("emb_f16"))) =!= col("emb_f16")).count()
+      require(nonIdem == 0L, s"$nonIdem rows re-pack differently")
+      back.select(col("vec_id"), length(col("emb_f16")).cast("long").as("f16_bytes"))
+        .orderBy(col("vec_id"))
+    },
+
     // Distance-bounded search (reference `distance_range`, scanner.rs:1087).
     "q_knn_range" -> { (s, d) =>
       val q = queryVec(s, d)
@@ -561,6 +606,18 @@ object Vector {
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
+    // f16 + f32-refine recovers the EXACT top-k — same oracle as flat l2
+    "q_knn_f16" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    // packed f16 is exactly 2 bytes per element
+    "q_f16_storage" ->
+      """SELECT vec_id, CAST(2 * len(embedding) AS BIGINT) AS f16_bytes
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
