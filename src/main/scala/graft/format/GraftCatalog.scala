@@ -869,7 +869,7 @@ private[format] object GraftProcedures {
           case "IVF_PQ" =>
             graft.operators.PqIndex.buildForTable(spark, path, idCol, column,
               ip, pInt("nlist", 8), pInt("pqM", 8), pInt("pqK", 256),
-              pStr("metric", "l2"))
+              pStr("metric", "l2"), numBits = pInt("numBits", 8))
           case "IVF_SQ" =>
             graft.operators.SqIndex.buildForTable(spark, path, idCol, column,
               ip, pInt("nlist", 8), pStr("metric", "l2"))
@@ -949,7 +949,9 @@ private[format] object GraftProcedures {
         pd("pq_k", DT.LongType, "256"),
         pd("metric", DT.StringType, "'l2'"),
         pd("m", DT.LongType, "16"),
-        pd("ef_construction", DT.LongType, "64")),
+        pd("ef_construction", DT.LongType, "64"),
+        // PQ code width (reference num_bits, vector/pq.rs:44): 8 or 4
+        pd("num_bits", DT.LongType, "8")),
       StructType(Seq(StructField("index_name", DT.StringType),
         StructField("version", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
@@ -994,7 +996,8 @@ private[format] object GraftProcedures {
           s"ivf_$column"
         case "IVF_PQ" =>
           graft.operators.PqIndex.buildForTable(spark, path, idCol, column,
-            s"$idxDir/ivfpq_$column", nlist, pqM, pqK, metric)
+            s"$idxDir/ivfpq_$column", nlist, pqM, pqK, metric,
+            numBits = in.getLong(10).toInt)
           s"ivfpq_$column"
         case "IVF_SQ" =>
           graft.operators.SqIndex.buildForTable(spark, path, idCol, column,

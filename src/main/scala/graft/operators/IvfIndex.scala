@@ -421,12 +421,16 @@ object IvfIndex {
   private[graft] def writeVectorMeta(spark: SparkSession, indexPath: String,
                                          metric: String,
                                          storage: String = "flat",
-                                         pqVariant: String = ""): Unit = {
+                                         pqVariant: String = "",
+                                         pqBits: Int = 8): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     val pqField = if (pqVariant.isEmpty) "" else s""", "pq": "$pqVariant""""
-    try out.write(s"""{"metric": "$metric", "storage": "$storage"$pqField}""".getBytes("UTF-8"))
+    val bitsField = if (pqBits == 8) "" else s""", "pq_bits": $pqBits"""
+    try out.write(
+      s"""{"metric": "$metric", "storage": "$storage"$pqField$bitsField}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -440,6 +444,20 @@ object IvfIndex {
       val in = fs.open(p)
       val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
       "\"pq\"\\s*:\\s*\"(\\w+)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("raw")
+    }
+  }
+
+  /** PQ code width the index stores (reference `num_bits`,
+    * `rust/lance-index/src/vector/pq.rs:44`): 4 = two nibble codes per
+    * byte, 8 = one per byte. Absent field (legacy) reads as 8. */
+  private[graft] def readPqBits(spark: SparkSession, indexPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_GRAFT_VECTOR_META")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 8
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      "\"pq_bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(8)
     }
   }
 

@@ -111,7 +111,10 @@ object PqIndex {
     * encodes over `v − centroid(pid)` (see object doc). */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 8, k: Int = 256,
-            metric: String = "l2", residual: Boolean = true): (IvfIndex.Model, PqModel) = {
+            metric: String = "l2", residual: Boolean = true,
+            numBits: Int = 8): (IvfIndex.Model, PqModel) = {
+    require(numBits == 8 || numBits == 4, s"numBits must be 4 or 8, got $numBits")
+    require(k <= (1 << numBits), s"k=$k codes do not fit numBits=$numBits")
     val df = IvfIndex.forMetric(df0, vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
     val withPid = df.withColumn(IvfIndex.PidCol,
@@ -126,10 +129,10 @@ object PqIndex {
     val pq = train(withPid.withColumn("__pq_space", pqSpace(withPid)),
       idCol, "__pq_space", m, k)
     IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric,
-      pqVariant = if (residual) "residual" else "raw")
+      pqVariant = if (residual) "residual" else "raw", pqBits = numBits)
     val assigned = withPid
       .withColumn(CodeCol,
-        ColumnBridge.column(PqEncode(ColumnBridge.expression(pqSpace(withPid)), pq)))
+        ColumnBridge.column(PqEncode(ColumnBridge.expression(pqSpace(withPid)), pq, numBits)))
     assigned.write.mode(SaveMode.Overwrite)
       .partitionBy(IvfIndex.PidCol).parquet(s"$indexPath/vectors")
     val spark = df.sparkSession
@@ -146,14 +149,16 @@ object PqIndex {
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 8, k: Int = 256,
-                    metric: String = "l2"): (IvfIndex.Model, PqModel) = {
+                    metric: String = "l2",
+                    numBits: Int = 8): (IvfIndex.Model, PqModel) = {
     val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist, m, k, metric)
+      idCol, vecCol, indexPath, nlist, m, k, metric, numBits = numBits)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
       "IVF_PQ", vecCol, mft, Map("idCol" -> idCol, "nlist" -> nlist.toString,
-        "pqM" -> m.toString, "pqK" -> k.toString, "metric" -> metric))
+        "pqM" -> m.toString, "pqK" -> k.toString, "metric" -> metric,
+        "numBits" -> numBits.toString))
     out
   }
 
@@ -175,6 +180,7 @@ object PqIndex {
     val pq = loadPq(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
     val variant = IvfIndex.readPqVariant(spark, indexPath)
+    val numBits = IvfIndex.readPqBits(spark, indexPath)
     val encode = (df0: DataFrame) => {
       val withPid = IvfIndex.forMetric(df0, vecCol, metric)
         .withColumn(IvfIndex.PidCol,
@@ -186,7 +192,7 @@ object PqIndex {
           ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids))
         else col(vecCol)
       withPid.withColumn(CodeCol,
-        ColumnBridge.column(PqEncode(ColumnBridge.expression(space), pq)))
+        ColumnBridge.column(PqEncode(ColumnBridge.expression(space), pq, numBits)))
     }
     // legacy (version-marker-only) indexes can't name dead fragments, so
     // always prove the dataset clean via the filtered rewrite before
@@ -237,7 +243,7 @@ object PqIndex {
   /** Encode one in-memory vector (nearest code per subspace). Plain-array
     * twin of [[PqEncode]] for driver/executor-local callers — HNSW quantized
     * node storage encodes graph nodes with this. */
-  private[operators] def encodeVec(v: Array[Float], model: PqModel): Array[Byte] = {
+  private[graft] def encodeVec(v: Array[Float], model: PqModel): Array[Byte] = {
     val dsub = model.dsub
     val out = new Array[Byte](model.m)
     var s = 0
@@ -263,13 +269,24 @@ object PqIndex {
     out
   }
 
+  /** Bytes per code array: m at 8 bits, ⌈m/2⌉ at 4 bits. */
+  private[graft] def codeBytes(m: Int, numBits: Int): Int =
+    if (numBits == 4) (m + 1) / 2 else m
+
+  /** Code of subspace `s` out of a (possibly nibble-packed) code array. */
+  @inline private[graft] def codeAt(codes: Array[Byte], s: Int, numBits: Int): Int =
+    if (numBits == 4) (codes(s >> 1) >> ((s & 1) * 4)) & 0xf
+    else codes(s) & 0xff
+
   /** ADC distance of one code array against a per-query lookup table —
     * the scalar twin of the codegen'd [[PqAdc]]. */
-  private[operators] def adc(table: Array[Array[Float]], codes: Array[Byte]): Double = {
+  private[graft] def adc(table: Array[Array[Float]], codes: Array[Byte],
+                             numBits: Int = 8): Double = {
     var acc = 0.0
     var s = 0
-    val n = math.min(codes.length, table.length)
-    while (s < n) { acc += table(s)(codes(s) & 0xff); s += 1 }
+    val subs = if (numBits == 4) codes.length * 2 else codes.length
+    val n = math.min(subs, table.length)
+    while (s < n) { acc += table(s)(codeAt(codes, s, numBits)); s += 1 }
     acc
   }
 
@@ -310,6 +327,7 @@ object PqIndex {
     val pq = loadPq(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
     val variant = IvfIndex.readPqVariant(spark, indexPath)
+    val numBits = IvfIndex.readPqBits(spark, indexPath)
     val q = if (metric == "cosine") IvfIndex.normalize(query) else query
     val probes = ivf.rank(q).take(math.min(nprobes, ivf.nlist))
     val part0 = spark.read.parquet(s"$indexPath/vectors")
@@ -328,9 +346,9 @@ object PqIndex {
           tables(pid) = pq.adcTable(qr)
         }
         ColumnBridge.column(PqAdcByPid(ColumnBridge.expression(col(CodeCol)),
-          ColumnBridge.expression(col(IvfIndex.PidCol).cast("int")), tables))
+          ColumnBridge.expression(col(IvfIndex.PidCol).cast("int")), tables, numBits))
       } else
-        ColumnBridge.column(PqAdc(ColumnBridge.expression(col(CodeCol)), pq.adcTable(q)))
+        ColumnBridge.column(PqAdc(ColumnBridge.expression(col(CodeCol)), pq.adcTable(q), numBits))
     val cands = part.select(col(idCol), col(CodeCol), col(IvfIndex.PidCol))
       .withColumn("_adc", adcCol)
       .orderBy(col("_adc"), col(idCol))
@@ -422,8 +440,10 @@ case class ResidualByPid(left: Expression, right: Expression,
   * probe-pid filter, but a null table fails soft (+∞) rather than NPE.
   * Codegen'd: same hot-loop shape as [[PqAdc]] plus one indexed load. */
 case class PqAdcByPid(left: Expression, right: Expression,
-                      tables: Array[Array[Array[Float]]])
+                      tables: Array[Array[Array[Float]]],
+                      numBits: Int = 8)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(numBits == 8 || numBits == 4, s"numBits must be 4 or 8, got $numBits")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_by_pid"
@@ -437,13 +457,7 @@ case class PqAdcByPid(left: Expression, right: Expression,
     val pid = pidIn.asInstanceOf[Int]
     val table = if (pid >= 0 && pid < tables.length) tables(pid) else null
     if (table == null) Double.MaxValue
-    else {
-      var acc = 0.0
-      var s = 0
-      val n = math.min(codes.length, table.length)
-      while (s < n) { acc += table(s)(codes(s) & 0xff); s += 1 }
-      acc
-    }
+    else PqIndex.adc(table, codes, numBits)
   }
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
                                    ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -452,6 +466,11 @@ case class PqAdcByPid(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (codes, pid) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val t = ctx.freshName("t")
+      val codeOf =
+        if (numBits == 4) s"(($codes[$i >> 1] >> (($i & 1) * 4)) & 0xf)"
+        else s"($codes[$i] & 0xff)"
+      val subCount =
+        if (numBits == 4) s"$codes.length * 2" else s"$codes.length"
       s"""
          |float[][] $t = ($pid >= 0 && $pid < $tablesRef.length) ? $tablesRef[$pid] : null;
          |double $acc;
@@ -459,9 +478,9 @@ case class PqAdcByPid(left: Expression, right: Expression,
          |  $acc = Double.MAX_VALUE;
          |} else {
          |  $acc = 0.0;
-         |  int $n = java.lang.Math.min($codes.length, $t.length);
+         |  int $n = java.lang.Math.min($subCount, $t.length);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $t[$i][$codes[$i] & 0xff];
+         |    $acc += $t[$i][$codeOf];
          |  }
          |}
          |${ev.value} = $acc;
@@ -472,10 +491,18 @@ case class PqAdcByPid(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
-/** vector → m PQ code bytes (nearest sub-centroid per subspace).
-  * Codegen'd — runs once per corpus row at build/optimize time. */
-case class PqEncode(child: Expression, model: PqIndex.PqModel)
+/** vector → PQ code bytes (nearest sub-centroid per subspace).
+  * Codegen'd — runs once per corpus row at build/optimize time.
+  * `numBits` = 8 (one code per byte) or 4 (reference `num_bits`,
+  * `rust/lance-index/src/vector/pq.rs:44` — two codes per byte, low
+  * nibble = even subspace; requires k ≤ 16, halves the code size at
+  * equal m). */
+case class PqEncode(child: Expression, model: PqIndex.PqModel,
+                    numBits: Int = 8)
     extends UnaryExpression {
+  require(numBits == 8 || numBits == 4, s"numBits must be 4 or 8, got $numBits")
+  require(model.k <= (1 << numBits),
+    s"k=${model.k} codes do not fit numBits=$numBits")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
@@ -486,7 +513,7 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dsub = model.dsub
-    val out = new Array[Byte](model.m)
+    val out = new Array[Byte](PqIndex.codeBytes(model.m, numBits))
     var s = 0
     while (s < model.m) {
       val books = model.codebooks(s)
@@ -504,7 +531,9 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
       }
-      out(s) = best.toByte
+      if (numBits == 4)
+        out(s >> 1) = (out(s >> 1) | (best << ((s & 1) * 4))).toByte
+      else out(s) = best.toByte
       s += 1
     }
     out
@@ -517,13 +546,18 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
     nullSafeCodeGen(ctx, ev, v => {
       val books = ctx.addReferenceObj("codebooks", model.codebooks, "float[][][]")
       val m = model.m; val dsub = model.dsub
+      val nBytes = PqIndex.codeBytes(m, numBits)
       val s = ctx.freshName("s"); val c = ctx.freshName("c")
       val i = ctx.freshName("i"); val out = ctx.freshName("out")
       val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
       val sub = ctx.freshName("sub"); val cent = ctx.freshName("cent")
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val store =
+        if (numBits == 4)
+          s"$out[$s >> 1] = (byte)($out[$s >> 1] | ($best << (($s & 1) * 4)));"
+        else s"$out[$s] = (byte) $best;"
       s"""
-         |byte[] $out = new byte[$m];
+         |byte[] $out = new byte[$nBytes];
          |for (int $s = 0; $s < $m; $s++) {
          |  float[][] $sub = $books[$s];
          |  int $best = 0;
@@ -537,7 +571,7 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
          |    }
          |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
          |  }
-         |  $out[$s] = (byte) $best;
+         |  $store
          |}
          |${ev.value} = $out;
        """.stripMargin
@@ -548,36 +582,34 @@ case class PqEncode(child: Expression, model: PqIndex.PqModel)
 /** PQ codes + per-query ADC table → approximate l2² distance. Codegen'd —
   * this is the hot loop of the ANN candidate pass; the lookup table is a
   * per-query constant shipped as a codegen reference object. */
-case class PqAdc(child: Expression, table: Array[Array[Float]])
+case class PqAdc(child: Expression, table: Array[Array[Float]],
+                 numBits: Int = 8)
     extends UnaryExpression {
+  require(numBits == 8 || numBits == 4, s"numBits must be 4 or 8, got $numBits")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"pq_adc requires binary codes")
-  override def nullSafeEval(input: Any): Any = {
-    val codes = input.asInstanceOf[Array[Byte]]
-    var acc = 0.0
-    var s = 0
-    val n = math.min(codes.length, table.length)
-    while (s < n) {
-      acc += table(s)(codes(s) & 0xff)
-      s += 1
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    PqIndex.adc(table, input.asInstanceOf[Array[Byte]], numBits)
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
                                    ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val tableRef = ctx.addReferenceObj("adcTable", table, "float[][]")
     nullSafeCodeGen(ctx, ev, codes => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val codeOf =
+        if (numBits == 4) s"(($codes[$i >> 1] >> (($i & 1) * 4)) & 0xf)"
+        else s"($codes[$i] & 0xff)"
+      val subCount =
+        if (numBits == 4) s"$codes.length * 2" else s"$codes.length"
       s"""
-         |int $n = java.lang.Math.min($codes.length, $tableRef.length);
+         |int $n = java.lang.Math.min($subCount, $tableRef.length);
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $tableRef[$i][$codes[$i] & 0xff];
+         |  $acc += $tableRef[$i][$codeOf];
          |}
          |${ev.value} = $acc;
        """.stripMargin

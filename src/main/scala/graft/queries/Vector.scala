@@ -36,6 +36,19 @@ object Vector {
       dir
     })
 
+  private val builtPq4 = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pq4IndexFor(s: SparkSession, d: String): String =
+    builtPq4.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivfpq4_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.operators.PqIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir, nlist = 8, m = 8, k = 16, numBits = 4)
+      dir
+    })
+
   private val builtSq = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sqIndexFor(s: SparkSession, d: String): String =
@@ -488,6 +501,17 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // 4-bit PQ (reference num_bits, vector/pq.rs:44): nibble-packed codes,
+    // half the code bytes at equal m. Full probes + large refine == flat,
+    // so the whole pack/unpack/ADC chain is oracle-checked exactly.
+    "q_ann_ivfpq4_exact" -> { (s, d) =>
+      val q = queryVec(s, d)
+      val idx = pq4IndexFor(s, d)
+      graft.operators.PqIndex.search(s, idx, "vec_id", "embedding", q,
+          kNeighbors = 10, nprobes = 8, refineFactor = 100)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // IVF_SQ (reference vector/sq.rs): int8 scalar quantization; full
     // probes + large refine == flat, so the oracle matches exactly
     "q_ann_ivfsq_exact" -> { (s, d) =>
@@ -685,6 +709,13 @@ object Vector {
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
         |LIMIT 10""".stripMargin,
     "q_ann_ivfpq_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_ivfpq4_exact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist

@@ -31,6 +31,64 @@ class PqSpec extends AnyFunSuite {
     assert(codes.length == 500)
   }
 
+  test("4-bit codes: half the bytes, identical ADC, exact config == flat") {
+    val dir = Files.createTempDirectory("pq4_").toString
+    val (_, pq) = PqIndex.build(embeddings, "vec_id", "embedding", dir,
+      nlist = 8, m = 8, k = 16, numBits = 4)
+    // nibble-packed: ⌈m/2⌉ = 4 bytes instead of 8
+    val codes = spark.read.parquet(s"$dir/vectors")
+      .select(PqIndex.CodeCol).as[Array[Byte]].collect()
+    assert(codes.forall(_.length == 4), "4-bit m=8 codes must pack to 4 bytes")
+    // the recorded width round-trips and search uses it: exact == flat
+    assert(graft.operators.IvfIndex.readPqBits(spark, dir) == 4)
+    val q = queryVec(0L)
+    val full = PqIndex.search(spark, dir, "vec_id", "embedding", q, 10,
+      nprobes = 8, refineFactor = 100).select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == flat)
+    // same codebooks, k ≤ 16: the nibble-packed ADC must equal the byte ADC
+    val table = pq.adcTable(q)
+    val v = embeddings.filter($"vec_id" === 7L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val c8 = PqIndex.encodeVec(v, pq)
+    val c4 = new Array[Byte]((c8.length + 1) / 2)
+    for (s <- c8.indices)
+      c4(s >> 1) = (c4(s >> 1) | ((c8(s) & 0xf) << ((s & 1) * 4))).toByte
+    assert(PqIndex.adc(table, c4, numBits = 4) == PqIndex.adc(table, c8),
+      "nibble unpack must reproduce the byte-code ADC exactly")
+    // k > 16 cannot be 4-bit encoded
+    intercept[IllegalArgumentException] {
+      PqIndex.build(embeddings, "vec_id", "embedding",
+        Files.createTempDirectory("pq4bad_").toString,
+        nlist = 4, m = 8, k = 32, numBits = 4)
+    }
+  }
+
+  test("4-bit optimizeForTable encodes the delta nibble-packed") {
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("pq4tbl_").toString + "/t"
+    val idx = Files.createTempDirectory("pq4idx_").toString
+    val cut = 400L
+    GraftTable.write(embeddings.filter($"vec_id" < cut)
+      .repartitionByRange(2, $"vec_id"), t, "overwrite")
+    PqIndex.buildForTable(spark, t, "vec_id", "embedding", idx,
+      nlist = 8, m = 8, k = 16, numBits = 4)
+    GraftTable.write(embeddings.filter($"vec_id" >= cut), t, "append")
+    PqIndex.optimizeForTable(spark, t, "vec_id", "embedding", idx)
+    val codes = spark.read.parquet(s"$idx/vectors")
+      .select(PqIndex.CodeCol).as[Array[Byte]].collect()
+    assert(codes.length == 500 && codes.forall(_.length == 4),
+      "delta rows must encode at the index's recorded 4-bit width")
+    val q = queryVec(3L)
+    val full = PqIndex.searchCombined(spark, t, idx, "vec_id", "embedding",
+        q, 10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearch(GraftTable.read(spark, t), "embedding", q, 10,
+      "l2", Seq($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    assert(full == flat)
+  }
+
   test("adc distance approximates true distance (rank correlation)") {
     val idx = buildIdx()
     val q = queryVec(0L)
