@@ -302,6 +302,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.analyze_knn" => GraftProcedures.analyzeKnn(pathOf)
       case "system.analyze_fts" => GraftProcedures.analyzeFts(pathOf)
       case "system.blob_slice" => GraftProcedures.blobSlice(pathOf)
+      case "system.wal_open" => GraftProcedures.walOpen(pathOf)
+      case "system.wal_seal" => GraftProcedures.walSeal(pathOf)
+      case "system.wal_flush" => GraftProcedures.walFlush(pathOf)
+      case "system.wal_status" => GraftProcedures.walStatus(pathOf)
+      case "system.wal_cleanup" => GraftProcedures.walCleanup(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -318,7 +323,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "create_index", "drop_index", "indices", "fragments", "optimize_index",
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
-        "analyze_fts", "ivf_model", "shallow_clone", "blob_slice")
+        "analyze_fts", "ivf_model", "shallow_clone", "blob_slice",
+        "wal_open", "wal_seal", "wal_flush", "wal_status", "wal_cleanup")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -434,7 +440,22 @@ class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
               require(!pinned, s"cannot write to time-traveled table $ident")
-              GraftTable.write(data, path, if (overwrite) "overwrite" else "append")
+              // WAL-routed ingest (MemWAL from SQL): a table configured with
+              // graft.wal.region sends INSERT INTO through the commit-free
+              // WAL append (auto-opening a generation); flush via
+              // CALL g.system.wal_flush. INSERT OVERWRITE stays a real
+              // commit — truncation must be transactional.
+              val cfg = GraftTable.loadManifest(SparkSession.active, path).config
+              cfg.get(GraftTable.WalRegionKey) match {
+                case Some(region) if !overwrite =>
+                  val owner = cfg.getOrElse(GraftTable.WalOwnerKey, "sql")
+                  if (!WalIngest.generations(SparkSession.active, path, region)
+                      .exists(_.state == "Open"))
+                    WalIngest.open(SparkSession.active, path, region, owner)
+                  WalIngest.append(SparkSession.active, path, region, owner, data)
+                case _ =>
+                  GraftTable.write(data, path, if (overwrite) "overwrite" else "append")
+              }
             }
           }
       }
@@ -573,6 +594,61 @@ private[format] object GraftProcedures {
       val m = GraftTable.addBases(spark, path,
         Map(in.getUTF8String(1).toString -> in.getUTF8String(2).toString))
       Seq(m.version, m.bases.keys.toSeq.sorted.mkString(","))
+    }
+
+  /** Commit-batched WAL ingest from SQL (the MemWAL surface, see
+    * [[WalIngest]]): `wal_open` fences a generation, `INSERT INTO` on a
+    * table with `graft.wal.region` set appends commit-free, `wal_flush`
+    * folds the generation into ONE commit, `wal_status` inspects, and
+    * `wal_cleanup` reclaims generations a compaction merged away. */
+  def walOpen(pathOf: String => String): UnboundProcedure =
+    proc("wal_open",
+      Array(p("table", DT.StringType), p("region", DT.StringType),
+        pd("owner", DT.StringType, "'sql'")),
+      StructType(Seq(StructField("generation", DT.LongType)))) { in =>
+      Seq(WalIngest.open(spark, pathOf(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString))
+    }
+
+  def walSeal(pathOf: String => String): UnboundProcedure =
+    proc("wal_seal",
+      Array(p("table", DT.StringType), p("region", DT.StringType),
+        pd("owner", DT.StringType, "'sql'")),
+      StructType(Seq(StructField("sealed", DT.BooleanType)))) { in =>
+      WalIngest.seal(spark, pathOf(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+      Seq(true)
+    }
+
+  def walFlush(pathOf: String => String): UnboundProcedure =
+    proc("wal_flush",
+      Array(p("table", DT.StringType), p("region", DT.StringType),
+        pd("owner", DT.StringType, "'sql'")),
+      StructType(Seq(StructField("rows_flushed", DT.LongType),
+        StructField("version", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val rows = WalIngest.flush(spark, path,
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+      Seq(rows, GraftTable.loadManifest(spark, path).version)
+    }
+
+  def walStatus(pathOf: String => String): UnboundProcedure =
+    procRows("wal_status",
+      Array(p("table", DT.StringType), p("region", DT.StringType)),
+      StructType(Seq(StructField("generation", DT.LongType),
+        StructField("state", DT.StringType),
+        StructField("owner", DT.StringType)))) { in =>
+      WalIngest.generations(spark, pathOf(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)
+        .map(g => Seq[Any](g.generation, g.state, g.owner))
+    }
+
+  def walCleanup(pathOf: String => String): UnboundProcedure =
+    proc("wal_cleanup",
+      Array(p("table", DT.StringType), p("region", DT.StringType)),
+      StructType(Seq(StructField("generations_merged", DT.LongType)))) { in =>
+      Seq(WalIngest.cleanupMerged(spark, pathOf(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString).toLong)
     }
 
   /** `CALL g.system.import_files(table => 'db.t', paths => 'a.parquet,b.parquet')`

@@ -99,6 +99,10 @@ object GraftTable {
     * reports hash partitioning when the relation carries a BucketSpec and
     * every fragment file name parses a bucket id. Columns are stored by
     * PHYSICAL name (physical names never change across renames). */
+  /** Table config routing SQL INSERT INTO through the commit-free WAL
+    * ([[WalIngest]]); flush with `CALL g.system.wal_flush`. */
+  val WalRegionKey = "graft.wal.region"
+  val WalOwnerKey = "graft.wal.owner"
   val BucketNumKey = "graft.bucket.numBuckets"
   val BucketColsKey = "graft.bucket.columns"
   val RowOffsetCol = "_rowoffset"
@@ -381,7 +385,7 @@ object GraftTable {
     * names before staging fragment files — new fragments must match what the
     * table's other files store (renames are metadata-only; see
     * [[GraftManifest.physicalName]]). One atomic projection (swap-safe). */
-  private def toPhysical(df: DataFrame, m: GraftManifest): DataFrame = {
+  private[format] def toPhysical(df: DataFrame, m: GraftManifest): DataFrame = {
     if (!m.hasIndirection) return df
     val byLogical = m.schema.fields.map(f => f.name -> f).toMap
     df.select(df.columns.toSeq.map { c =>
@@ -806,13 +810,15 @@ object GraftTable {
           case "append" =>
             base.copy(version = v, operation = "import_files",
               fragments = base.fragments ++ fms, parent = base.version,
-              nextRowId = rid)
+              nextRowId = rid,
+              opStats = Map("num_inserted_rows" -> fms.map(_.rows).sum))
           case "overwrite" =>
             // keep the schema AS COMMITTED (incl. rename indirection):
             // imported files store physical names, exactly what it maps
             GraftManifest(v, "import_files", base.schemaJson,
               fms, Nil, 0L, base.config, base.version,
-              nextRowId = rid, bases = base.bases)
+              nextRowId = rid, bases = base.bases,
+              opStats = Map("num_inserted_rows" -> fms.map(_.rows).sum))
           case other => throw new IllegalArgumentException(
             s"commitFiles: unknown mode $other")
         }

@@ -38,6 +38,19 @@ case class FtsConfig(
       * floor. Empty (default) = pure bigrams. Stored with the index config,
       * so query terms always segment exactly like the indexed corpus. */
     cjkDictionary: Seq[String] = Nil,
+    /** Dictionary segmentation algorithm for the `cjk` tokenizer:
+      *  - `"fmm"` (default): forward maximum matching with a bigram floor
+      *    on unmatched stretches — best search recall.
+      *  - `"dp"`: Jieba-parity max-probability path (the reference ships
+      *    the Jieba tokenizer, `tokenizer.rs:36-108`; this reimplements
+      *    jieba's documented `cut(HMM=False)` — a DAG of dictionary
+      *    matches scored by `log(freq/total)`, dynamic program right to
+      *    left, ties to the longer word; out-of-vocabulary characters
+      *    emit as singles exactly like jieba's no-HMM path). Dictionary
+      *    entries may carry frequencies as `word:freq` (freq 1 when
+      *    absent), mirroring jieba's dict.txt weights.
+      * Stored with the index config like every tokenizer option. */
+    cjkSegmenter: String = "fmm",
     /** Store per-document token POSITIONS in the postings (reference
       * `InvertedIndexParams.with_position` — positions are only needed by
       * phrase queries and typically dominate postings storage; a
@@ -85,13 +98,20 @@ object FtsTokenizer {
     * letter/digit runs emit word tokens as `simple` does. Query terms pass
     * through the same function, so a query phrase segments exactly like the
     * indexed text. */
-  private def cjkTokens(t: String, dict: Set[String], maxWordCp: Int): Seq[String] = {
+  private def cjkTokens(t: String, dict: Set[String], maxWordCp: Int,
+                        dp: Option[Map[String, Long]] = None): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val latin = new StringBuilder
     val run = scala.collection.mutable.ArrayBuffer.empty[Int] // CJK codepoints
     def flushLatin(): Unit = if (latin.nonEmpty) { out += latin.toString; latin.clear() }
     def endCjkRun(): Unit = {
-      if (run.nonEmpty) { segmentRun(run.toSeq, dict, maxWordCp, out); run.clear() }
+      if (run.nonEmpty) {
+        dp match {
+          case Some(freq) => segmentRunDp(run.toSeq, freq, maxWordCp, out)
+          case None => segmentRun(run.toSeq, dict, maxWordCp, out)
+        }
+        run.clear()
+      }
     }
     var i = 0
     while (i < t.length) {
@@ -151,6 +171,62 @@ object FtsTokenizer {
     }
   }
 
+  /** Jieba-parity segmentation of one CJK run — jieba `cut(HMM=False)`
+    * (`__cut_DAG_NO_HMM`, public jieba source): build the DAG of all
+    * dictionary matches (singles always included), score each word
+    * `log(freq) − log(total)` (freq 1 when the word is unlisted, like
+    * jieba's `FREQ.get(w) or 1`), dynamic program right-to-left keeping
+    * the max-probability path; ties resolve to the LONGER word (jieba's
+    * tuple-max over `(score, end)`), OOV characters emit as singles. */
+  private def segmentRunDp(run: Seq[Int], freq: Map[String, Long],
+                           maxWordCp: Int,
+                           out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val n = run.length
+    def str(from: Int, until: Int): String = {
+      val sb = new java.lang.StringBuilder((until - from) * 2)
+      var i = from
+      while (i < until) { sb.appendCodePoint(run(i)); i += 1 }
+      sb.toString
+    }
+    val logTotal = math.log(math.max(1L, freq.values.sum).toDouble)
+    // route(i) = (best log-prob of run[i..n), end index of the first word)
+    val routeScore = new Array[Double](n + 1)
+    val routeEnd = new Array[Int](n + 1)
+    routeScore(n) = 0.0
+    var i = n - 1
+    while (i >= 0) {
+      var bestS = Double.NegativeInfinity
+      var bestE = i + 1
+      var l = 1
+      val maxL = math.min(maxWordCp, n - i)
+      while (l <= maxL) {
+        val w = str(i, i + l)
+        // singles are always path candidates; longer words only if listed
+        if (l == 1 || freq.contains(w)) {
+          val s = math.log(math.max(1L, freq.getOrElse(w, 1L)).toDouble) -
+            logTotal + routeScore(i + l)
+          // >= : ties go to the longer word, like jieba's max over (s, end)
+          if (s > bestS || (s == bestS && i + l > bestE)) { bestS = s; bestE = i + l }
+        }
+        l += 1
+      }
+      routeScore(i) = bestS
+      routeEnd(i) = bestE
+      i -= 1
+    }
+    var pos = 0
+    while (pos < n) { out += str(pos, routeEnd(pos)); pos = routeEnd(pos) }
+  }
+
+  /** Parse a dictionary entry, optionally `word:freq` (jieba dict.txt
+    * weights); a non-numeric suffix keeps the whole entry as the word. */
+  private[operators] def dictEntry(e: String): (String, Long) = {
+    val i = e.lastIndexOf(':')
+    if (i > 0 && i < e.length - 1 && e.substring(i + 1).forall(_.isDigit))
+      (e.substring(0, i), e.substring(i + 1).toLong)
+    else (e, 1L)
+  }
+
   def tokens(text: String, cfg: FtsConfig): Seq[String] = {
     if (text == null) return Nil
     var t = if (cfg.lowerCase) text.toLowerCase(java.util.Locale.ROOT) else text
@@ -159,11 +235,15 @@ object FtsTokenizer {
       case "raw" => if (t.isEmpty) Nil else Seq(t)
       case "whitespace" => t.split("\\s+").toSeq.filter(_.nonEmpty)
       case "cjk" =>
-        val dict = cfg.cjkDictionary.toSet
+        val entries = cfg.cjkDictionary.map(dictEntry)
+        val dict = entries.map(_._1).toSet
         val maxWordCp =
           if (dict.isEmpty) 2
-          else cfg.cjkDictionary.iterator.map(w => w.codePointCount(0, w.length)).max
-        cjkTokens(t, dict, maxWordCp)
+          else entries.iterator.map(e => e._1.codePointCount(0, e._1.length)).max
+        val dp =
+          if (cfg.cjkSegmenter == "dp" && dict.nonEmpty) Some(entries.toMap)
+          else None
+        cjkTokens(t, dict, maxWordCp, dp)
       case "ngram" =>
         val grams = scala.collection.mutable.ArrayBuffer.empty[String]
         val starts = if (cfg.ngramPrefixOnly) Seq(0) else 0 until t.length

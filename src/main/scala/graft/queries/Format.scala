@@ -588,6 +588,38 @@ object Format {
     // zero-copy external parquet import (reference Fragment.create_from_file
     // + dataset commit): externally written files register as fragments by
     // reference (one footer pass, no rewrite); DML then applies on top.
+    // Commit-batched WAL ingest (MemWAL capability, mem_wal.rs): three
+    // appends land with ZERO manifest commits (version pinned in-gate),
+    // the un-flushed tail reads through readWithWal, then ONE flush commit
+    // folds everything — the final table must equal plain customer.
+    "q_wal_ingest" -> { (s, d) =>
+      import graft.format.WalIngest
+      val t = freshDir(s, "wal_ingest")
+      val c = Tables.customer(s, d)
+      val cut = c.agg(max(col("c_custkey"))).head().getLong(0) / 2
+      GraftTable.write(c.filter(col("c_custkey") <= cut), t, "overwrite")
+      val v0 = GraftTable.loadManifest(s, t).version
+      WalIngest.open(s, t, "gate", "verifier")
+      val hi = c.filter(col("c_custkey") > cut)
+      WalIngest.append(s, t, "gate", "verifier",
+        hi.filter(col("c_custkey") % 3 === 0))
+      WalIngest.append(s, t, "gate", "verifier",
+        hi.filter(col("c_custkey") % 3 === 1))
+      WalIngest.append(s, t, "gate", "verifier",
+        hi.filter(col("c_custkey") % 3 === 2))
+      require(GraftTable.loadManifest(s, t).version == v0,
+        "WAL appends must not move the manifest")
+      require(WalIngest.readWithWal(s, t, Seq("gate")).count() == c.count(),
+        "un-flushed WAL rows must be readable through the union")
+      WalIngest.flush(s, t, "gate", "verifier")
+      require(GraftTable.loadManifest(s, t).version == v0 + 1,
+        "three WAL appends must fold into exactly ONE commit")
+      GraftTable.read(s, t)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     "q_import_files" -> { (s, d) =>
       val t = freshDir(s, "import_files")
       val ext = freshDir(s, "import_files_ext")
@@ -889,6 +921,9 @@ object Format {
       """SELECT c_mktsegment AS seg, count(*) AS n,
         | round(sum(c_acctbal),2) AS total_bal
         |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_wal_ingest" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS total
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_import_files" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders WHERE o_orderstatus <> 'P'

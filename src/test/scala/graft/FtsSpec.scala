@@ -344,6 +344,49 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.loadConfig(spark, dirBi).cjkDictionary == Nil)
   }
 
+  test("dp segmenter reproduces jieba cut(HMM=False) where FMM diverges") {
+    import graft.operators.{Fts, FtsConfig, FtsTokenizer}
+    import java.nio.file.Files
+    // jieba's README example: 我来到北京清华大学 → 我/来到/北京/清华大学.
+    // Frequencies shaped like jieba's dict.txt (清华大学 listed, so the
+    // max-probability path takes the long word over 清华+大学).
+    val dict = Seq("我:1000", "来到:500", "北京:800",
+      "清华大学:300", "清华:200", "大学:600")
+    val dp = FtsConfig(baseTokenizer = "cjk", cjkDictionary = dict,
+      cjkSegmenter = "dp")
+    assert(FtsTokenizer.tokens("我来到北京清华大学", dp)
+      == Seq("我", "来到", "北京", "清华大学"))
+    // the classic FMM failure: greedy longest match takes 研究生 and
+    // strands 命; the probability path (jieba) picks 研究/生命/科学.
+    // Hand check with total=1040, logs base e:
+    //   研究生(10)+命(1)+科学(400):  ln(10)+ln(1)+ln(400) = 8.29 − 3ln(1040)
+    //   研究(500)+生命(120)+科学(400): ln(500)+ln(120)+ln(400) = 16.99 − 3ln(1040)
+    val dict2 = Seq("研究:500", "研究生:10", "生命:120", "科学:400", "命:10")
+    val dp2 = FtsConfig(baseTokenizer = "cjk", cjkDictionary = dict2,
+      cjkSegmenter = "dp")
+    val fmm2 = FtsConfig(baseTokenizer = "cjk", cjkDictionary = dict2)
+    assert(FtsTokenizer.tokens("研究生命科学", dp2) == Seq("研究", "生命", "科学"))
+    assert(FtsTokenizer.tokens("研究生命科学", fmm2).head == "研究生",
+      "FMM should diverge here — that is what dp fixes")
+    // OOV characters emit as singles (jieba no-HMM), never bigrams
+    assert(FtsTokenizer.tokens("我爱你", dp) == Seq("我", "爱", "你"))
+    // a listed word always beats its own split at equal freqs (one
+    // log(f/T) factor vs two) — jieba's preference for listed long words
+    val tie = FtsConfig(baseTokenizer = "cjk",
+      cjkDictionary = Seq("北京:100", "北京大:100", "大学:100"),
+      cjkSegmenter = "dp")
+    assert(FtsTokenizer.tokens("北京大", tie) == Seq("北京大"))
+    // end-to-end: the segmenter + freq dict round-trip with the index and
+    // query terms segment exactly like the corpus
+    val corpus = Seq((1L, "我来到北京清华大学"), (2L, "清华和大学")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("fts_cjk_dp_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir, config = dp)
+    assert(Fts.loadConfig(spark, dir).cjkSegmenter == "dp")
+    val hits = Fts.matchQuery(spark, dir, Seq("清华大学"), 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(hits == Set(1L), s"dp word query must hit only the exact-word doc: $hits")
+  }
+
   test("block-max WAND equals matchQuery exactly and prunes weak blocks") {
     // one doc per 1024-block: 5 strong docs (high tf, short dl), 195 weak
     val docs = (0 until 200).map { i =>

@@ -502,6 +502,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 1500L)
   }
 
+  test("WAL from SQL: config-routed INSERT appends commit-free; wal_flush folds to one commit") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v DOUBLE) USING graft")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, id * 1.0 FROM range(100)")
+    val path = s"$warehouse/db/$t"
+    val v0 = GraftTable.loadManifest(s, path).version
+    // route subsequent INSERTs through the WAL
+    s.sql(s"ALTER TABLE g.db.$t SET TBLPROPERTIES (" +
+      "'graft.wal.region' = 'sqlwal', 'graft.wal.owner' = 'etl')")
+    val v1 = GraftTable.loadManifest(s, path).version // config commit
+    s.sql(s"INSERT INTO g.db.$t SELECT id, 0.0 FROM range(100, 150)")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, 0.0 FROM range(150, 200)")
+    assert(GraftTable.loadManifest(s, path).version == v1,
+      "WAL-routed INSERTs must not move the manifest")
+    // committed reads don't see the WAL tail yet
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 100L)
+    val st = s.sql(s"CALL g.system.wal_status(table => 'db.$t', region => 'sqlwal')")
+      .collect()
+    assert(st.length == 1 && st(0).getString(1) == "Open" &&
+      st(0).getString(2) == "etl", st.mkString(","))
+    val fl = s.sql(s"CALL g.system.wal_flush(table => 'db.$t', " +
+      "region => 'sqlwal', owner => 'etl')").head()
+    assert(fl.getLong(0) == 100L, s"rows_flushed = ${fl.getLong(0)}")
+    assert(GraftTable.loadManifest(s, path).version == v1 + 1,
+      "two WAL INSERTs must fold into ONE commit")
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 200L)
+    assert(s.sql(s"SELECT sum(id) FROM g.db.$t").head().getLong(0)
+      == (0L until 200L).sum)
+    assert(v0 + 1 == v1)
+  }
+
   test("system.explain_query returns the plan without executing") {
     val t = freshName()
     val path = s"$warehouse/db/$t"
