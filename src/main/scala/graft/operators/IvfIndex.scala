@@ -147,13 +147,33 @@ object IvfIndex {
     }
   }
 
+  /** True when the vector column holds PACKED f16 bytes (binary16 storage,
+    * [[graft.functions.Float16]]) rather than `array<float>`: the IVF
+    * family then trains/assigns through a decode expression but STORES the
+    * packed bytes — half the index IO end-to-end — and serves searches with
+    * the f16 distance kernels. */
+  private[operators] def isF16(df: DataFrame, vecCol: String): Boolean =
+    df.schema(vecCol).dataType == org.apache.spark.sql.types.BinaryType
+
+  /** The column as `array<float>` for training/assignment math: identity
+    * for float vectors, a codegen'd decode for packed f16. */
+  private[operators] def floatSide(df: DataFrame, vecCol: String): Column =
+    if (isF16(df, vecCol))
+      ColumnBridge.column(graft.functions.UnpackF16(ColumnBridge.expression(col(vecCol))))
+    else col(vecCol)
+
   /** Build the index dataset: assign pids, write partitioned parquet +
-    * centroids sidecar. */
+    * centroids sidecar. f16 columns train/assign through the decode but
+    * the index stores the PACKED bytes. */
   def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, maxIter: Int = 10): Model = {
-    val model = train(df, idCol, vecCol, nlist, maxIter)
+    val f16 = isF16(df, vecCol)
+    val trainDf =
+      if (f16) df.withColumn(vecCol, floatSide(df, vecCol)) else df
+    val model = train(trainDf, idCol, vecCol, nlist, maxIter)
     val assigned = df.withColumn(PidCol,
-      ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids)))
+      ColumnBridge.column(IvfAssign(
+        ColumnBridge.expression(floatSide(df, vecCol)), model.centroids)))
     assigned.write.mode(SaveMode.Overwrite).partitionBy(PidCol).parquet(s"$indexPath/vectors")
     val spark = df.sparkSession
     val rows = model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
@@ -191,9 +211,17 @@ object IvfIndex {
     val probes = model.rank(query).take(math.min(nprobes, model.nlist))
     val candidates = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(PidCol).isin(probes: _*))
-    Knn.flatSearch(candidateTransform(candidates), vecCol, query, k, metric,
-      tieBreakers = Seq(col(idCol)), prefilter = prefilter,
-      distanceRange = distanceRange).drop(PidCol)
+    val cand = candidateTransform(candidates)
+    // f16 index dataset (binary vector column): rank with the packed-byte
+    // kernels — the probed partitions stream at half the bytes
+    (if (isF16(cand, vecCol))
+       Knn.flatSearchF16(cand, vecCol, query, k, metric,
+         tieBreakers = Seq(col(idCol)), prefilter = prefilter,
+         distanceRange = distanceRange)
+     else
+       Knn.flatSearch(cand, vecCol, query, k, metric,
+         tieBreakers = Seq(col(idCol)), prefilter = prefilter,
+         distanceRange = distanceRange)).drop(PidCol)
   }
 
   /** Build over a graft table snapshot, recording the covered version AND
@@ -292,7 +320,8 @@ object IvfIndex {
     val model = loadModel(spark, indexPath)
     maintainPartitionedVectors(spark, tablePath, idCol, vecCol, indexPath,
       "IVF_FLAT", df => df.withColumn(PidCol,
-        ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), model.centroids))))
+        ColumnBridge.column(IvfAssign(
+          ColumnBridge.expression(floatSide(df, vecCol)), model.centroids))))
   }
 
   /** Incremental maintenance shared by every PID-partitioned vector layout
@@ -633,9 +662,14 @@ object IvfIndex {
     val freshDf = GraftTable.readFragments(spark, tablePath, m, freshFrags,
       withRowId = idCol == GraftTable.RowIdCol)
     val fresh = flatFn.map(f => f(freshDf)).getOrElse(
-        Knn.flatSearch(freshDf, vecCol, query, k, metric,
-          tieBreakers = Seq(col(idCol)),
-          prefilter = prefilter, distanceRange = distanceRange))
+        if (isF16(freshDf, vecCol))
+          Knn.flatSearchF16(freshDf, vecCol, query, k, metric,
+            tieBreakers = Seq(col(idCol)),
+            prefilter = prefilter, distanceRange = distanceRange)
+        else
+          Knn.flatSearch(freshDf, vecCol, query, k, metric,
+            tieBreakers = Seq(col(idCol)),
+            prefilter = prefilter, distanceRange = distanceRange))
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

@@ -88,7 +88,8 @@ object Knn {
                     metric: String = "l2", tieBreakers: Seq[Column] = Nil,
                     prefilter: Option[Column] = None,
                     refineWith: Option[String] = None,
-                    refineFactor: Int = 4): DataFrame = {
+                    refineFactor: Int = 4,
+                    distanceRange: Option[(Double, Double)] = None): DataFrame = {
     import graft.functions.F16Functions._
     val q = f16Lit(query)
     val dist = metric match {
@@ -97,7 +98,10 @@ object Knn {
       case "dot" => negate(dotProductF16(col(vecCol), q))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
-    val base = prefilter.map(df.filter).getOrElse(df).withColumn(DistanceCol, dist)
+    val base0 = prefilter.map(df.filter).getOrElse(df).withColumn(DistanceCol, dist)
+    val base = distanceRange.map { case (lo, hi) =>
+      base0.filter(col(DistanceCol) >= lit(lo) && col(DistanceCol) < lit(hi))
+    }.getOrElse(base0)
     refineWith match {
       case None =>
         base.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)

@@ -145,6 +145,21 @@ object Vector {
       (t, idx)
     })
 
+  private val builtIvfF16 = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfF16IndexFor(s: SparkSession, d: String): String =
+    builtIvfF16.computeIfAbsent(d, { _ =>
+      import graft.functions.F16Functions._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/ivff16_${d.hashCode.toHexString}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.build(Tables.embeddings(s, d)
+        .select(col("vec_id"), f16Pack(col("embedding")).as("emb_f16")),
+        "vec_id", "emb_f16", dir, nlist = 8)
+      dir
+    })
+
   private def freshDir(s: SparkSession, name: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -274,6 +289,22 @@ object Vector {
       val q = queryVec(s, d)
       val idx = ivfIndexFor(s, d)
       IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 8)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
+    // IVF over PACKED f16 storage (half the index IO): full-probe f16
+    // ranking over-fetches 4k, the f32 refine recovers exact top-k — the
+    // whole pack → assign-through-decode → f16-kernel-serve chain is
+    // oracle-checked exactly.
+    "q_ann_ivf_f16" -> { (s, d) =>
+      import graft.functions.F16Functions._
+      val q = queryVec(s, d)
+      val idx = ivfF16IndexFor(s, d)
+      val cands = IvfIndex.search(s, idx, "vec_id", "emb_f16", q,
+        k = 40, nprobes = 8).select(col("vec_id"))
+      Knn.flatSearch(
+          Tables.embeddings(s, d).join(cands, Seq("vec_id"), "left_semi"),
+          "embedding", q, 10, "l2", tieBreakers = Seq(col("vec_id")))
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
@@ -665,6 +696,14 @@ object Vector {
         |  AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) < 1.2
         |ORDER BY dist, e.vec_id""".stripMargin,
     "q_ann_ivf_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    // f16-IVF + f32 refine recovers the exact top-k — same oracle shape
+    "q_ann_ivf_f16" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist

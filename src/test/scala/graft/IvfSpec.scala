@@ -34,6 +34,55 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == flat)
   }
 
+  test("f16 storage end-to-end: index stores packed bytes, search serves them") {
+    import graft.functions.F16Functions._
+    val packed = embeddings.select($"vec_id", f16Pack($"embedding").as("emb"))
+    val dir = Files.createTempDirectory("ivf_f16_").toString
+    IvfIndex.build(packed, "vec_id", "emb", dir, nlist = 8)
+    // the index dataset keeps the PACKED column — half the bytes at rest
+    val idxSchema = spark.read.parquet(s"$dir/vectors").schema
+    assert(idxSchema("emb").dataType ==
+      org.apache.spark.sql.types.BinaryType, idxSchema.treeString)
+    val q = queryVec(0L)
+    // full probes: IVF-f16 must equal flat f16 search exactly (same
+    // decoded values, same kernels — deterministic)
+    val ivf = IvfIndex.search(spark, dir, "vec_id", "emb", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearchF16(packed, "emb", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == flat)
+    // and the f16 ranking is a faithful stand-in for f32 truth
+    val truth = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(truth.intersect(ivf.toSet).size >= 9,
+      s"f16 quantization should barely disturb top-10: ${ivf.toSet}")
+  }
+
+  test("f16 table: buildForTable + optimize + searchCombined stay packed") {
+    import graft.functions.F16Functions._
+    import graft.format.GraftTable
+    val t = Files.createTempDirectory("ivf_f16_tbl_").toString + "/t"
+    val idx = Files.createTempDirectory("ivf_f16_idx_").toString
+    val packed = embeddings.select($"vec_id", f16Pack($"embedding").as("emb"))
+    val cut = 400L
+    GraftTable.write(packed.filter($"vec_id" < cut)
+      .repartitionByRange(2, $"vec_id"), t, "overwrite")
+    IvfIndex.buildForTable(spark, t, "vec_id", "emb", idx, nlist = 8)
+    GraftTable.write(packed.filter($"vec_id" >= cut), t, "append")
+    // BEFORE optimize: the fresh leg flat-searches the packed column
+    val q = queryVec(1L)
+    val pre = IvfIndex.searchCombined(spark, t, idx, "vec_id", "emb", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    IvfIndex.optimizeForTable(spark, t, "vec_id", "emb", idx)
+    val post = IvfIndex.searchCombined(spark, t, idx, "vec_id", "emb", q, 10, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val flat = Knn.flatSearchF16(GraftTable.read(spark, t), "emb", q, 10,
+      "l2", Seq($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    assert(pre == flat && post == flat)
+    assert(spark.read.parquet(s"$idx/vectors").schema("emb").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
   test("partition assignment covers all rows exactly once") {
     val idx = buildIdx(8)
     val vecs = spark.read.parquet(s"$idx/vectors")
