@@ -169,8 +169,10 @@ object HnswIndex {
     require(Set("flat", "sq", "pq").contains(storage),
       s"unknown hnsw storage: $storage")
     // cosine: graph vectors are unit-normalized; internal l2 ranking is then
-    // cosine-rank-equivalent (see IvfIndex.forMetric)
-    val df = IvfIndex.forMetric(df0, vecCol, metric)
+    // cosine-rank-equivalent (see IvfIndex.forMetric). Packed f16 input
+    // decodes ONCE at the boundary (see IvfIndex.floatView) — graph nodes
+    // carry their own SQ/PQ compression.
+    val df = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
     val spark = df.sparkSession
     invalidateCache(indexPath)
     dropDeltaDirs(spark, indexPath) // a full rebuild collapses delta graphs
@@ -460,11 +462,12 @@ object HnswIndex {
       // before anything lists generations
       recoverCompletedMerge(spark, indexPath)
       val model = IvfIndex.loadModel(spark, indexPath)
-      val df = IvfIndex.forMetric(
-        GraftTable.readFragments(spark, tablePath, mf, freshFrags,
+      val df = {
+        val raw = GraftTable.readFragments(spark, tablePath, mf, freshFrags,
           withRowAddr = true,
-          withRowId = idCol == GraftTable.RowIdCol),
-        vecCol, metric)
+          withRowId = idCol == GraftTable.RowIdCol)
+        IvfIndex.forMetric(IvfIndex.floatView(raw, vecCol), vecCol, metric)
+      }
       val encode = loadEncoder(spark, indexPath, storage, model.centroids)
       // max+1, not count: a prior merge leaves gaps in the numbering
       val next = deltaDirs(spark, indexPath)
@@ -861,10 +864,16 @@ object HnswIndex {
           withRowId = idCol == GraftTable.RowIdCol)
         val matching = live.filter(pred).select(col(idCol))
         // bounded probe (CollectLimit short-circuits): can the mask ship?
-        if (matching.limit(maskCap + 1).count() > maskCap)
-          return Knn.flatSearch(live.filter(pred), vecCol, query, k, metric,
-              tieBreakers = Seq(col(idCol)))
+        if (matching.limit(maskCap + 1).count() > maskCap) {
+          val filt = live.filter(pred)
+          return (if (IvfIndex.isF16(filt, vecCol))
+              Knn.flatSearchF16(filt, vecCol, query, k, metric,
+                tieBreakers = Seq(col(idCol)))
+            else
+              Knn.flatSearch(filt, vecCol, query, k, metric,
+                tieBreakers = Seq(col(idCol))))
             .select(col(idCol), col(Knn.DistanceCol))
+        }
         val mask = broadcast(
           matching.withColumnRenamed(idCol, "id").withColumn("__match", lit(true)))
         g => markDead(g).join(mask, Seq("id"), "left_outer")
@@ -879,12 +888,16 @@ object HnswIndex {
     val freshFrags = deferFresh
     // fast_search (reference scanner.rs:1176-1193): indexed data only
     if (fastSearch || freshFrags.isEmpty) return indexed
-    val fresh = Knn.flatSearch(
-        GraftTable.readFragments(spark, tablePath, m, freshFrags,
-          withRowId = idCol == GraftTable.RowIdCol),
-        vecCol, query, k, metric,
-        tieBreakers = Seq(col(idCol)), prefilter = prefilter,
-        distanceRange = distanceRange)
+    val freshDf = GraftTable.readFragments(spark, tablePath, m, freshFrags,
+      withRowId = idCol == GraftTable.RowIdCol)
+    val fresh = (if (IvfIndex.isF16(freshDf, vecCol))
+        Knn.flatSearchF16(freshDf, vecCol, query, k, metric,
+          tieBreakers = Seq(col(idCol)), prefilter = prefilter,
+          distanceRange = distanceRange)
+      else
+        Knn.flatSearch(freshDf, vecCol, query, k, metric,
+          tieBreakers = Seq(col(idCol)), prefilter = prefilter,
+          distanceRange = distanceRange))
       .select(col(idCol), col(Knn.DistanceCol))
     indexed.unionByName(fresh)
       .orderBy(col(Knn.DistanceCol), col(idCol))

@@ -162,6 +162,16 @@ object IvfIndex {
       ColumnBridge.column(graft.functions.UnpackF16(ColumnBridge.expression(col(vecCol))))
     else col(vecCol)
 
+  /** Frame with the vector column decoded to `array<float>` when packed
+    * f16 — the boundary cast the QUANTIZED families (PQ/SQ/RQ/HNSW) apply
+    * once at build/optimize: their index payload is the CODES (the full
+    * vectors only back the k·refine-sized exact re-rank), so decoding at
+    * the boundary keeps the table at half bytes — the user's win — without
+    * f16-specializing every codebook/bounds/graph kernel. IVF_FLAT, whose
+    * payload IS the vectors, keeps them packed instead (see [[build]]). */
+  private[operators] def floatView(df: DataFrame, vecCol: String): DataFrame =
+    if (isF16(df, vecCol)) df.withColumn(vecCol, floatSide(df, vecCol)) else df
+
   /** Build the index dataset: assign pids, write partitioned parquet +
     * centroids sidecar. f16 columns train/assign through the decode but
     * the index stores the PACKED bytes. */

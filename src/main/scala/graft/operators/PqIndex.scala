@@ -115,7 +115,8 @@ object PqIndex {
             numBits: Int = 8): (IvfIndex.Model, PqModel) = {
     require(numBits == 8 || numBits == 4, s"numBits must be 4 or 8, got $numBits")
     require(k <= (1 << numBits), s"k=$k codes do not fit numBits=$numBits")
-    val df = IvfIndex.forMetric(df0, vecCol, metric)
+    // packed f16 input decodes ONCE at the boundary (see IvfIndex.floatView)
+    val df = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
     val withPid = df.withColumn(IvfIndex.PidCol,
       ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
@@ -182,7 +183,7 @@ object PqIndex {
     val variant = IvfIndex.readPqVariant(spark, indexPath)
     val numBits = IvfIndex.readPqBits(spark, indexPath)
     val encode = (df0: DataFrame) => {
-      val withPid = IvfIndex.forMetric(df0, vecCol, metric)
+      val withPid = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
         .withColumn(IvfIndex.PidCol,
           ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       // fresh rows must encode in the SAME space the index was built in

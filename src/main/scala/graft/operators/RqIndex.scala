@@ -46,7 +46,8 @@ object RqIndex {
     * SQ/PQ; the refine pass computes true cosine). */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, metric: String = "l2"): IvfIndex.Model = {
-    val df = IvfIndex.forMetric(df0, vecCol, metric)
+    // packed f16 input decodes ONCE at the boundary (see IvfIndex.floatView)
+    val df = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
     IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric)
     df.withColumn(IvfIndex.PidCol,
@@ -95,7 +96,8 @@ object RqIndex {
     val freshFrags = mft.fragments.filterNot(f => covered.contains(f.id))
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
-    val encode = (df0: DataFrame) => IvfIndex.forMetric(df0, vecCol, metric)
+    val encode = (df0: DataFrame) =>
+      IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
       .withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn("__rq", ColumnBridge.column(RqEncode(

@@ -66,7 +66,8 @@ object SqIndex {
     * (magnitude-invariant, so normalized == original). */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, metric: String = "l2"): (IvfIndex.Model, SqModel) = {
-    val df = IvfIndex.forMetric(df0, vecCol, metric)
+    // packed f16 input decodes ONCE at the boundary (see IvfIndex.floatView)
+    val df = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
     val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
     val sq = train(df, vecCol)
     IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric)
@@ -114,7 +115,8 @@ object SqIndex {
     val ivf = IvfIndex.loadModel(spark, indexPath)
     val sq = loadSq(spark, indexPath)
     val metric = IvfIndex.readVectorMeta(spark, indexPath)
-    val encode = (df0: DataFrame) => IvfIndex.forMetric(df0, vecCol, metric)
+    val encode = (df0: DataFrame) =>
+      IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
       .withColumn(IvfIndex.PidCol,
         ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
       .withColumn(CodeCol,

@@ -780,6 +780,89 @@ object ScaleProbe {
       }
     }
 
+    // ---- f16 storage (r12): the SAME brute-force top-k over float32
+    // vectors vs binary16-packed bytes. The packed column is half the
+    // bytes at rest and on the wire; the f16 kernel decodes through a 64K
+    // LUT inside the scan stage, so the expected curve is flat-factor
+    // speedup from IO alone. Rows column = stored column bytes. ----
+    for (f <- docFactors) {
+      val p = embs(f)
+      val pf16 = s"$outDir/embs_f16_x$f"
+      ensure(pf16) {
+        spark.read.parquet(p)
+          .select(col("vec_id"),
+            graft.functions.F16Functions.f16Pack(col("embedding")).as("emb"))
+          .write.mode(SaveMode.Overwrite).parquet(pf16)
+      }
+      val q = Array.tabulate(64)(i => (math.sin(i * 0.37) * 0.5).toFloat)
+      time("flat_knn_f32", f) {
+        graft.operators.Knn.flatSearch(spark.read.parquet(p), "embedding",
+          q, 10, "l2", Seq(col("vec_id"))).collect().length.toLong
+      }
+      time("flat_knn_f16", f) {
+        graft.operators.Knn.flatSearchF16(spark.read.parquet(pf16), "emb",
+          q, 10, "l2", Seq(col("vec_id"))).collect().length.toLong
+      }
+    }
+
+    // ---- WAL commit batching (r12, MemWAL capability): 8 CONCURRENT
+    // writers each appending a constant 2k-row batch `factor` times.
+    // `commit_appends` pays one manifest CAS per batch — every commit
+    // invalidates the other 7 writers' staged base, so they re-read and
+    // retry: the contention shape that melts at high-frequency ingest.
+    // `wal_appends` gives each writer its own REGION (the MemWAL sharding
+    // design): batches land commit-free with zero coordination and fold in
+    // 8 flush commits total instead of 8·factor contended ones. ----
+    for (f <- rowFactors) {
+      import graft.format.{GraftTable, WalIngest}
+      val writers = 8
+      val batch = Tables.orders(spark, sfDir).limit(2000)
+        .select(col("o_orderkey"), col("o_totalprice")).cache()
+      batch.count()
+      def concurrently(body: Int => Unit): Unit = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+        try {
+          val futs = (0 until writers).map(w =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                SparkSession.setActiveSession(spark)
+                body(w)
+              }
+            }))
+          futs.foreach(_.get())
+        } finally pool.shutdown()
+      }
+      val t1 = s"$outDir/walprobe_commit_x$f/t"
+      time("commit_appends", f) {
+        val fs = new org.apache.hadoop.fs.Path(t1)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(t1).getParent, true)
+        GraftTable.write(batch, t1, "overwrite")
+        concurrently { _ =>
+          for (_ <- 1 to f) GraftTable.write(batch, t1, "append")
+        }
+        val m = GraftTable.loadManifest(spark, t1)
+        require(m.liveRows == 2000L * (writers * f + 1), s"lost rows: ${m.liveRows}")
+        m.version // = COMMITS MADE: 1 + 8·f contended CAS points
+      }
+      val t2 = s"$outDir/walprobe_wal_x$f/t"
+      time("wal_appends", f) {
+        val fs = new org.apache.hadoop.fs.Path(t2)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(t2).getParent, true)
+        GraftTable.write(batch, t2, "overwrite")
+        concurrently { w =>
+          WalIngest.open(spark, t2, s"w$w", s"w$w")
+          for (_ <- 1 to f) WalIngest.append(spark, t2, s"w$w", s"w$w", batch)
+          WalIngest.flush(spark, t2, s"w$w", s"w$w")
+        }
+        val m = GraftTable.loadManifest(spark, t2)
+        require(m.liveRows == 2000L * (writers * f + 1), s"lost rows: ${m.liveRows}")
+        m.version // = COMMITS MADE: 1 + 8 flushes regardless of factor
+      }
+      batch.unpersist()
+    }
+
     // ---- summary: exponent fitted between the two LARGEST factors, where
     // fixed job overhead is smallest relative to real work ----
     val byOp = results.groupBy(_.op).toSeq.sortBy(_._1)

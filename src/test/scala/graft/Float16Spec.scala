@@ -113,6 +113,50 @@ class Float16Spec extends AnyFunSuite {
     assert(stats.getDouble(2) < 0.05, s"dot drift ${stats.getDouble(2)}")
   }
 
+  test("quantized index families accept packed f16 table columns") {
+    import java.nio.file.Files
+    import graft.format.GraftTable
+    import graft.operators.{Knn, PqIndex, SqIndex, RqIndex, HnswIndex}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val packed = emb.select(col("vec_id"),
+      F16Functions.f16Pack(col("embedding")).as("emb"))
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // truth over the SAME f16-decoded values — quantized refine legs must
+    // reproduce it exactly at full probes + large refine
+    val flat = Knn.flatSearchF16(packed, "emb", q, 10, "l2", Seq(col("vec_id")))
+      .select("vec_id").as[Long].collect().toSeq
+    val t = Files.createTempDirectory("f16_fam_tbl_").toString + "/t"
+    GraftTable.write(packed.repartitionByRange(2, col("vec_id")), t, "overwrite")
+    val pqDir = Files.createTempDirectory("f16_pq_").toString
+    PqIndex.buildForTable(spark, t, "vec_id", "emb", pqDir, nlist = 8, m = 8, k = 16)
+    val viaPq = PqIndex.searchCombined(spark, t, pqDir, "vec_id", "emb", q,
+        10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaPq == flat, s"PQ over f16: $viaPq != $flat")
+    val sqDir = Files.createTempDirectory("f16_sq_").toString
+    SqIndex.buildForTable(spark, t, "vec_id", "emb", sqDir, nlist = 8)
+    val viaSq = SqIndex.searchCombined(spark, t, sqDir, "vec_id", "emb", q,
+        10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaSq == flat, s"SQ over f16: $viaSq != $flat")
+    val rqDir = Files.createTempDirectory("f16_rq_").toString
+    RqIndex.buildForTable(spark, t, "vec_id", "emb", rqDir, nlist = 8)
+    val viaRq = RqIndex.searchCombined(spark, t, rqDir, "vec_id", "emb", q,
+        10, nprobes = 8, refineFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaRq == flat, s"RQ over f16: $viaRq != $flat")
+    val hDir = Files.createTempDirectory("f16_hnsw_").toString
+    HnswIndex.buildForTable(spark, t, "vec_id", "emb", hDir,
+      nlist = 4, m = 16, efConstruction = 64)
+    val viaH = HnswIndex.searchCombined(spark, t, hDir, "vec_id", "emb", q,
+        10, nprobes = 4, ef = 500)
+      .select("vec_id").as[Long].collect().toSeq
+    // HNSW is approximate: recall check, not exact equality
+    assert(flat.toSet.intersect(viaH.toSet).size >= 8,
+      s"HNSW over f16 recall too low: $viaH vs $flat")
+  }
+
   test("flatSearchF16 with f32 refine equals exact flat search") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 500).map { i =>
