@@ -956,7 +956,7 @@ private[format] object GraftProcedures {
             graft.operators.HnswIndex.buildForTable(spark, path, idCol, column,
               ip, pInt("nlist", 8), pInt("m", 16), pInt("efConstruction", 64),
               pStr("metric", "l2"), pStr("storage", "flat"),
-              pInt("pqM", 8), pInt("pqK", 256))
+              pInt("pqM", 8), pInt("pqK", 256), pqBits = pInt("numBits", 8))
           case other => throw new IllegalArgumentException(
             s"retrain supports the vector index families; '$idxName' is $other")
         }
@@ -1095,7 +1095,7 @@ private[format] object GraftProcedures {
             s"$idxDir/hnsw_$column", nlist,
             m = in.getLong(8).toInt, efConstruction = in.getLong(9).toInt,
             metric = metric, storage = storage,
-            pqM = pqM, pqK = pqK)
+            pqM = pqM, pqK = pqK, pqBits = in.getLong(10).toInt)
           s"hnsw_$column"
         case "FTS" =>
           graft.operators.Fts.buildForTable(spark, path, idCol, column)

@@ -165,9 +165,12 @@ object HnswIndex {
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 16, efConstruction: Int = 64,
             metric: String = "l2", storage: String = "flat",
-            pqM: Int = 8, pqK: Int = 256): IvfIndex.Model = {
+            pqM: Int = 8, pqK: Int = 256, pqBits: Int = 8): IvfIndex.Model = {
     require(Set("flat", "sq", "pq").contains(storage),
       s"unknown hnsw storage: $storage")
+    require(pqBits == 8 || pqBits == 4, s"pqBits must be 4 or 8, got $pqBits")
+    require(storage != "pq" || pqK <= (1 << pqBits),
+      s"pqK=$pqK codes do not fit pqBits=$pqBits")
     // cosine: graph vectors are unit-normalized; internal l2 ranking is then
     // cosine-rank-equivalent (see IvfIndex.forMetric). Packed f16 input
     // decodes ONCE at the boundary (see IvfIndex.floatView) — graph nodes
@@ -177,7 +180,8 @@ object HnswIndex {
     invalidateCache(indexPath)
     dropDeltaDirs(spark, indexPath) // a full rebuild collapses delta graphs
     IvfIndex.writeVectorMeta(spark, indexPath, metric, storage,
-      pqVariant = if (storage == "pq") "residual" else "")
+      pqVariant = if (storage == "pq") "residual" else "",
+      pqBits = pqBits)
     writeHnswParams(spark, indexPath, Map("nlist" -> nlist.toString,
       "m" -> m.toString, "efConstruction" -> efConstruction.toString,
       "pqM" -> pqM.toString, "pqK" -> pqK.toString))
@@ -209,7 +213,7 @@ object HnswIndex {
           val c = cents(pid)
           val r = new Array[Float](v.length)
           var i = 0; while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
-          PqIndex.encodeVec(r, pq)
+          PqIndex.encodeVec(r, pq, pqBits)
         })
       case _ => None
     }
@@ -277,14 +281,15 @@ object HnswIndex {
       Some((v, _) => SqIndex.encodeVec(v, sq))
     case "pq" =>
       val pq = PqIndex.loadPq(spark, indexPath)
+      val bits = IvfIndex.readPqBits(spark, indexPath)
       if (IvfIndex.readPqVariant(spark, indexPath) == "residual")
         Some((v, pid) => {
           val c = centroids(pid)
           val r = new Array[Float](v.length)
           var i = 0; while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
-          PqIndex.encodeVec(r, pq)
+          PqIndex.encodeVec(r, pq, bits)
         })
-      else Some((v, _) => PqIndex.encodeVec(v, pq))
+      else Some((v, _) => PqIndex.encodeVec(v, pq, bits))
     case _ => None
   }
 
@@ -388,13 +393,14 @@ object HnswIndex {
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 16, efConstruction: Int = 64,
                     metric: String = "l2", storage: String = "flat",
-                    pqM: Int = 8, pqK: Int = 256): IvfIndex.Model = {
+                    pqM: Int = 8, pqK: Int = 256,
+                    pqBits: Int = 8): IvfIndex.Model = {
     val mf = graft.format.GraftTable.loadManifest(spark, tablePath)
     val model = build(
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
       idCol, vecCol, indexPath, nlist, m, efConstruction, metric, storage,
-      pqM, pqK)
+      pqM, pqK, pqBits)
     val indexType = storage match {
       case "sq" => "IVF_HNSW_SQ"
       case "pq" => "IVF_HNSW_PQ"
@@ -405,7 +411,8 @@ object HnswIndex {
       Map("idCol" -> idCol, "nlist" -> nlist.toString, "m" -> m.toString,
         "efConstruction" -> efConstruction.toString, "metric" -> metric,
         "storage" -> storage) ++
-        (if (storage == "pq") Map("pqM" -> pqM.toString, "pqK" -> pqK.toString)
+        (if (storage == "pq") Map("pqM" -> pqM.toString, "pqK" -> pqK.toString,
+          "numBits" -> pqBits.toString)
          else Map.empty))
     model
   }
@@ -714,18 +721,20 @@ object HnswIndex {
           _ => c => SqIndex.adc(query2, c, lo, step)
         } else if (IvfIndex.readPqVariant(spark, indexPath) == "residual") {
           val pq = PqIndex.loadPq(spark, indexPath)
+          val bits = IvfIndex.readPqBits(spark, indexPath)
           val tables: Map[Int, Array[Array[Float]]] = probes.map { p =>
             val cent = model.centroids(p)
             p -> pq.adcTable(Array.tabulate(query2.length)(i => query2(i) - cent(i)))
           }.toMap
           pid => tables.get(pid) match {
-            case Some(t) => c => PqIndex.adc(t, c)
+            case Some(t) => c => PqIndex.adc(t, c, bits)
             case None    => _ => Double.MaxValue // unprobed pid cannot occur
           }
         } else {
           // per-query lookup table (pqM × pqK floats) ships to tasks once
           val table = PqIndex.loadPq(spark, indexPath).adcTable(query2)
-          _ => c => PqIndex.adc(table, c)
+          val bits = IvfIndex.readPqBits(spark, indexPath)
+          _ => c => PqIndex.adc(table, c, bits)
         }
       // (pid, gen) keys: each delta generation is an independent sub-graph
       // beamed on its own entry point; heaps merge in the global top-k

@@ -244,9 +244,10 @@ object PqIndex {
   /** Encode one in-memory vector (nearest code per subspace). Plain-array
     * twin of [[PqEncode]] for driver/executor-local callers — HNSW quantized
     * node storage encodes graph nodes with this. */
-  private[graft] def encodeVec(v: Array[Float], model: PqModel): Array[Byte] = {
+  private[graft] def encodeVec(v: Array[Float], model: PqModel,
+                               numBits: Int = 8): Array[Byte] = {
     val dsub = model.dsub
-    val out = new Array[Byte](model.m)
+    val out = new Array[Byte](codeBytes(model.m, numBits))
     var s = 0
     while (s < model.m) {
       val books = model.codebooks(s)
@@ -264,7 +265,9 @@ object PqIndex {
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
       }
-      out(s) = best.toByte
+      if (numBits == 4)
+        out(s >> 1) = (out(s >> 1) | (best << ((s & 1) * 4))).toByte
+      else out(s) = best.toByte
       s += 1
     }
     out

@@ -639,6 +639,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("f16 vector lifecycle through SQL: f16_pack INSERT, create_index, knn_search") {
+    val t = freshName()
+    val path = s"$warehouse/db/$t"
+    import org.apache.spark.sql.functions.col
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, emb BINARY) USING graft")
+    // f16_pack is registered by GraftExtensions: half-precision from SQL
+    s.sql(s"""INSERT INTO g.db.$t
+      |SELECT id, f16_pack(transform(sequence(0, 63),
+      |  j -> CAST(sin(id * 131 + j * 17) AS FLOAT)))
+      |FROM range(300)""".stripMargin)
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', column => 'emb', " +
+      "index_type => 'IVF_FLAT', id_col => 'id', nlist => 4)")
+    // the index dataset keeps the PACKED bytes (half the probe IO)
+    assert(s.read.parquet(s"$path/_indices/ivf_emb/vectors").schema("emb")
+      .dataType == org.apache.spark.sql.types.BinaryType)
+    val qSql = (0 until 64)
+      .map(j => s"CAST(CAST(sin(5 * 131 + $j * 17) AS FLOAT) AS DOUBLE)")
+      .mkString("array(", ",", ")")
+    val r = s.sql(s"CALL g.system.knn_search(table => 'db.$t', " +
+      s"name => 'ivf_emb', query => $qSql, k => 3, nprobes => 4)").collect()
+    assert(r.head.getLong(0) == 5L && r.head.getDouble(1) < 0.05,
+      s"self-query must rank first within f16 precision: ${r.mkString(",")}")
+    // l2_distance_f16 is SQL-callable over the stored column
+    val d = s.sql(s"SELECT l2_distance_f16(a.emb, b.emb) FROM g.db.$t a " +
+      s"JOIN g.db.$t b ON a.id = 3 AND b.id = 3").head().getDouble(0)
+    assert(d == 0.0)
+  }
+
   test("hamming index lifecycle through SQL: create_index, knn_search, optimize, retrain") {
     val t = freshName()
     val path = s"$warehouse/db/$t"

@@ -121,6 +121,32 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"pq recall@10 = $recall")
   }
 
+  test("pq storage with 4-bit codes: half the node bytes, exact config still matches flat") {
+    val dir = Files.createTempDirectory("hnsw_pq4_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64,
+      storage = "pq", pqM = 8, pqK = 16, pqBits = 4)
+    assert(graft.operators.IvfIndex.readPqBits(spark, dir) == 4)
+    // nibble-packed: 4 bytes per node instead of 8
+    val codeLens = spark.read.parquet(s"$dir/graph")
+      .select(length(col("codes"))).distinct().as[Int].collect().toSeq
+    assert(codeLens == Seq(4), s"expected 4-byte packed codes, got $codeLens")
+    val q = queryVec(123L)
+    val via4 = HnswIndex.search(spark, dir, q, k = 10, nprobes = 4,
+        ef = 500, refineFactor = 100)
+      .select("id").as[Long].collect().toSeq
+    val exact = Knn.flatSearch(embeddings, "embedding", q, 10, "l2", Seq($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(via4 == exact)
+    // pqK > 16 cannot be 4-bit encoded
+    intercept[IllegalArgumentException] {
+      HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+        "vec_id", "embedding",
+        Files.createTempDirectory("hnsw_pq4bad_").toString,
+        nlist = 4, storage = "pq", pqM = 8, pqK = 32, pqBits = 4)
+    }
+  }
+
   test("cosine metric: high recall vs flat cosine, distances on the cosine scale") {
     val dir = Files.createTempDirectory("hnsw_cos_").toString
     HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
