@@ -307,6 +307,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.wal_flush" => GraftProcedures.walFlush(pathOf)
       case "system.wal_status" => GraftProcedures.walStatus(pathOf)
       case "system.wal_cleanup" => GraftProcedures.walCleanup(pathOf)
+      case "system.wal_discard" => GraftProcedures.walDiscard(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -324,7 +325,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "stats", "data_stats", "index_stats", "validate", "history",
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
         "analyze_fts", "ivf_model", "shallow_clone", "blob_slice",
-        "wal_open", "wal_seal", "wal_flush", "wal_status", "wal_cleanup")
+        "wal_open", "wal_seal", "wal_flush", "wal_status", "wal_cleanup",
+        "wal_discard")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -449,10 +451,32 @@ class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest
               cfg.get(GraftTable.WalRegionKey) match {
                 case Some(region) if !overwrite =>
                   val owner = cfg.getOrElse(GraftTable.WalOwnerKey, "sql")
-                  if (!WalIngest.generations(SparkSession.active, path, region)
-                      .exists(_.state == "Open"))
-                    WalIngest.open(SparkSession.active, path, region, owner)
-                  WalIngest.append(SparkSession.active, path, region, owner, data)
+                  // auto-open with a bounded retry: two concurrent INSERTs
+                  // can both see "no Open generation" — the exclusive .s0
+                  // create picks one winner, the loser just appends into
+                  // the winner's generation on the next attempt
+                  var attempts = 0
+                  var done = false
+                  while (!done) {
+                    attempts += 1
+                    if (!WalIngest.generations(SparkSession.active, path, region)
+                        .exists(_.state == "Open")) {
+                      try WalIngest.open(SparkSession.active, path, region, owner)
+                      catch {
+                        case e @ (_: java.io.IOException | _: IllegalStateException)
+                            if attempts < 5 => // another writer won the open
+                      }
+                    }
+                    try {
+                      WalIngest.append(SparkSession.active, path, region, owner, data)
+                      done = true
+                    } catch {
+                      // the generation sealed/flushed between lookup and
+                      // append: re-resolve (a fresh one will auto-open)
+                      case e: IllegalArgumentException if attempts < 5 &&
+                          e.getMessage != null && e.getMessage.contains("need Open") =>
+                    }
+                  }
                 case _ =>
                   GraftTable.write(data, path, if (overwrite) "overwrite" else "append")
               }
@@ -641,6 +665,15 @@ private[format] object GraftProcedures {
       WalIngest.generations(spark, pathOf(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString)
         .map(g => Seq[Any](g.generation, g.state, g.owner))
+    }
+
+  def walDiscard(pathOf: String => String): UnboundProcedure =
+    proc("wal_discard",
+      Array(p("table", DT.StringType), p("region", DT.StringType),
+        pd("owner", DT.StringType, "'sql'")),
+      StructType(Seq(StructField("generation_discarded", DT.LongType)))) { in =>
+      Seq(WalIngest.discard(spark, pathOf(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString))
     }
 
   def walCleanup(pathOf: String => String): UnboundProcedure =

@@ -13,40 +13,48 @@ import org.apache.spark.sql.functions._
   *
   * The problem both solve: a manifest CAS commit per tiny append melts
   * under high-frequency ingest — N writers × M batches/sec all contend on
-  * one commit point. Here an append writes parquet batches into a
-  * region's generation directory with NO manifest commit (unique file
-  * names — concurrent appends to the same or different regions never
-  * conflict), and `flush` folds everything the generation holds into the
-  * table in ONE commit via the zero-copy [[GraftTable.commitFiles]] import
-  * (in-place rename to fragment naming + one CAS). N·M appends become 1
-  * commit: commit batching, not a low-latency single-row serving path —
-  * the part of MemWAL that matters for a Spark batch/streaming engine.
-  * (A memtable serving un-flushed rows to point reads is a serving-system
-  * concern; here un-flushed rows are visible through [[readWithWal]]'s
-  * union instead.)
+  * one commit point. Here an append writes a parquet batch DIRECTORY into
+  * a region's generation with NO manifest commit (unique names —
+  * concurrent appends never conflict), and `flush` folds everything the
+  * generation holds into the table in ONE commit via the zero-copy
+  * [[GraftTable.commitFiles]] import. N·M appends become 1 commit:
+  * commit batching, not a low-latency single-row serving path — the part
+  * of MemWAL that matters for a Spark batch/streaming engine. (A memtable
+  * serving un-flushed rows to point reads is a serving-system concern;
+  * here un-flushed rows are visible through [[readWithWal]]'s union.)
   *
   * Layout (under the table root, so multi-base path resolution and
   * `cleanupOldVersions` — which sweeps only data/deletes/columns — are
   * unaffected):
   * {{{
-  *   _wal/<region>/gen-<g>.json              state: {state, owner}
-  *   _wal/<region>/gen-<g>/batch-*.parquet   appended batches (PHYSICAL schema)
+  *   _wal/<region>/gen-<g>.s0.json          Open marker {generation, owner, base}
+  *   _wal/<region>/gen-<g>.s1.json          Sealed marker (presence = state)
+  *   _wal/<region>/gen-<g>.s2.json          Flushed marker
+  *   _wal/<region>/gen-<g>.s3.json          Merged marker
+  *   _wal/<region>/gen-<g>/batch-<id>/ part files   one DIRECTORY per batch
   * }}}
   *
-  * Fencing and crash-safety:
-  *  - one Open generation per region; `open` creates the state file with
-  *    create-no-overwrite (atomic on HDFS/local, the same primitive the
-  *    manifest CAS relies on), so two writers cannot both own a generation.
-  *  - `append`/`seal`/`flush` verify the caller's `owner` against the
-  *    state file — the reference's `owner_id` fence. Like the reference's
-  *    (experimental) design this is cooperative fencing, not byzantine.
-  *  - a crash mid-append leaves files under `_tmp-*` staging dirs only —
-  *    never listed as batches; re-append is safe.
-  *  - a crash mid-flush can leave batches already frag-renamed by
-  *    `commitFiles` but uncommitted; re-flush picks them up again because
-  *    the flush list is (batch-*.parquet ∪ frag-*.parquet not referenced
-  *    by the manifest) — idempotent resume, no duplicates (a committed
-  *    frag IS referenced and is never re-imported).
+  * Fencing and crash-safety (each invariant carries its mechanism):
+  *  - one Open generation per region: `open` creates the `.s0` marker with
+  *    create-no-overwrite — the same atomicity primitive the manifest CAS
+  *    relies on — so two writers cannot both own a generation.
+  *  - state transitions NEVER delete or rewrite a marker: each transition
+  *    is an exclusive create of the NEXT `.sN` file and the current state
+  *    is the highest marker present. There is no window where a
+  *    generation's state vanishes, and a generation number can never be
+  *    reused (its `.s0` survives forever).
+  *  - a batch becomes visible by ONE directory rename (`_tmp-*` →
+  *    `batch-<id>`): a crash mid-append leaves only `_tmp-*` debris, never
+  *    a torn batch; re-append is safe.
+  *  - a crash mid-flush can leave batch files already frag-renamed by
+  *    `commitFiles` (possibly into nested `import-*` collision subdirs)
+  *    but uncommitted; re-flush lists the generation RECURSIVELY and
+  *    re-imports every parquet file the manifest does not reference —
+  *    idempotent resume, no loss, no duplicates.
+  *  - `open` stamps the table version; `flush`/`readWithWal` check for an
+  *    OVERWRITE or RESTORE committed since and refuse/skip a fenced
+  *    generation (its rows predate a truncation that was supposed to
+  *    remove them) — [[discard]] is the explicit escape hatch.
   *  - flushed fragments keep living in the generation directory
   *    (zero-copy); a later compaction rewrites them into `data/` like any
   *    fragment, after which [[cleanupMerged]] marks the generation Merged
@@ -54,11 +62,17 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: appends are O(batch) with zero coordination; flush is one
   * footer-stat pass over the new files (executor-parallel) + one CAS;
-  * nothing here scales with table size.
+  * the fence check walks only the manifests committed SINCE the
+  * generation opened. Nothing here scales with table size.
   */
 object WalIngest {
 
-  case class GenState(generation: Long, state: String, owner: String)
+  private val States = Array("Open", "Sealed", "Flushed", "Merged")
+
+  case class GenState(generation: Long, state: String, owner: String,
+                      base: Long) {
+    private[WalIngest] def seq: Int = States.indexOf(state)
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -69,66 +83,64 @@ object WalIngest {
     new Path(s"$table/_wal/$region")
   }
 
-  private def stateFile(table: String, region: String, gen: Long) =
-    new Path(regionDir(table, region), s"gen-$gen.json")
+  private def marker(table: String, region: String, gen: Long, seq: Int) =
+    new Path(regionDir(table, region), s"gen-$gen.s$seq.json")
 
   private def genDir(table: String, region: String, gen: Long) =
     new Path(regionDir(table, region), s"gen-$gen")
 
-  private def readState(fs: FileSystem, f: Path): Option[GenState] =
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      val s = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-      def field(k: String) =
-        s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
-      val gen = "\"generation\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(s).map(_.group(1).toLong)
-      Some(GenState(gen.getOrElse(-1L),
-        field("state").getOrElse("?"), field("owner").getOrElse("")))
-    }
-
-  private def writeState(fs: FileSystem, f: Path, st: GenState,
-                         exclusive: Boolean): Unit = {
+  /** Advance a generation to `seq` by exclusive create of the next marker
+    * — never deletes, never rewrites, so state can only move forward and
+    * is never transiently absent. A marker that already exists is fine
+    * (the transition happened; callers re-verify what they need). */
+  private def advance(fs: FileSystem, table: String, region: String,
+                      g: GenState, seq: Int): Unit = {
+    val f = marker(table, region, g.generation, seq)
+    if (fs.exists(f)) return
     val json =
-      s"""{"generation": ${st.generation}, "state": "${st.state}", "owner": "${st.owner}"}"""
-    if (exclusive) {
-      // create-no-overwrite: the open() fence
+      s"""{"generation": ${g.generation}, "owner": "${g.owner}", "base": ${g.base}}"""
+    try {
       val out = fs.create(f, false)
       try out.write(json.getBytes("UTF-8")) finally out.close()
-    } else {
-      // state transition: temp + rename (single owner writes, so the
-      // last-writer-wins rename is within-protocol)
-      val tmp = new Path(f.getParent, s".${f.getName}.${UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      fs.delete(f, false)
-      if (!fs.rename(tmp, f)) throw new IllegalStateException(s"state write lost: $f")
+    } catch {
+      case _: java.io.IOException if fs.exists(f) => // raced; already there
     }
   }
 
-  /** All generations of a region, ascending. */
+  /** All generations of a region, ascending; state = highest marker. */
   def generations(spark: SparkSession, table: String, region: String): Seq[GenState] = {
     val dir = regionDir(table, region)
     val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n if n.matches("gen-\\d+\\.json") =>
-        n.stripPrefix("gen-").stripSuffix(".json").toLong
-    }.sorted.toSeq.flatMap(g => readState(fs, stateFile(table, region, g)))
+    if (!fs.exists(dir)) return Nil
+    val markers = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.matches("gen-\\d+\\.s[0-3]\\.json") =>
+        val core = n.stripSuffix(".json")
+        val gen = core.substring(4, core.lastIndexOf('.')).toLong
+        val seq = core.substring(core.length - 1).toInt
+        (gen, seq)
+    }
+    markers.groupBy(_._1).toSeq.sortBy(_._1).map { case (gen, ms) =>
+      val seq = ms.map(_._2).max
+      // owner/base from the immutable .s0 marker
+      val f = marker(table, region, gen, 0)
+      val in = fs.open(f)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val owner = "\"owner\"\\s*:\\s*\"([^\"]*)\"".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val base = "\"base\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      GenState(gen, States(seq), owner, base)
+    }
   }
-
-  private def currentOpen(spark: SparkSession, table: String,
-                          region: String): Option[GenState] =
-    generations(spark, table, region).find(_.state == "Open")
 
   /** Open the region's next generation, fenced to `owner`. Errors if an
     * Open generation exists (one writer per region, like the reference's
-    * single MemWAL owner per region-generation). */
+    * single MemWAL owner per region-generation). Concurrent opens race on
+    * the exclusive `.s0` create — exactly one wins. */
   def open(spark: SparkSession, table: String, region: String,
            owner: String): Long = {
-    GraftTable.loadManifest(spark, table) // table must exist
+    val base = GraftTable.loadManifest(spark, table).version
     val gens = generations(spark, table, region)
     gens.find(_.state == "Open").foreach { g =>
       throw new IllegalStateException(
@@ -139,16 +151,19 @@ object WalIngest {
     val dir = regionDir(table, region)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
-    writeState(fs, stateFile(table, region, next),
-      GenState(next, "Open", owner), exclusive = true)
+    val f = marker(table, region, next, 0)
+    val json = s"""{"generation": $next, "owner": "$owner", "base": $base}"""
+    val out = fs.create(f, false) // exclusive: the ownership fence
+    try out.write(json.getBytes("UTF-8")) finally out.close()
     next
   }
 
-  private def requireOwned(spark: SparkSession, table: String, region: String,
+  private def requireOwned(gens: Seq[GenState], region: String,
                            owner: String, wantState: String): GenState = {
-    val g = currentOpen(spark, table, region)
-      .orElse(generations(spark, table, region).lastOption)
-      .getOrElse(throw new IllegalStateException(s"region '$region' has no generation — open() first"))
+    val g = gens.find(_.state == wantState)
+      .orElse(gens.lastOption)
+      .getOrElse(throw new IllegalStateException(
+        s"region '$region' has no generation — open() first"))
     require(g.state == wantState,
       s"region '$region' generation ${g.generation} is ${g.state}, need $wantState")
     require(g.owner == owner,
@@ -156,14 +171,30 @@ object WalIngest {
     g
   }
 
+  /** True when the table was OVERWRITTEN or RESTORED after the generation
+    * opened — its rows predate a truncation and must not flush into the
+    * new table contents. Walks only the manifests committed since `base`
+    * (O(delta), never O(table)). */
+  private def fencedOut(spark: SparkSession, table: String,
+                        g: GenState): Boolean = {
+    val latest = GraftTable.loadManifest(spark, table)
+    if (latest.version <= g.base) return false
+    (g.base + 1 to latest.version).exists { v =>
+      val op = scala.util.Try(
+        GraftTable.loadManifest(spark, table, Some(v)).operation)
+        .getOrElse("") // a cleaned-up intermediate version cannot be an overwrite fence... conservatively treat unreadable as non-fencing
+      op == "overwrite" || op == "restore"
+    }
+  }
+
   /** Append a batch to the region's Open generation — NO manifest commit.
     * The batch is written in the table's PHYSICAL column layout (so flush
-    * imports it untouched) through a staging dir + renames: a crash leaves
-    * only `_tmp-*` debris, never a half-visible batch. Returns the number
-    * of batch files added. */
+    * imports it untouched) to a `_tmp-*` staging dir, then made visible by
+    * ONE directory rename: a crash leaves only staging debris, never a
+    * torn batch. Returns the number of part files in the batch. */
   def append(spark: SparkSession, table: String, region: String,
              owner: String, df: DataFrame): Int = {
-    val g = requireOwned(spark, table, region, owner, "Open")
+    val g = requireOwned(generations(spark, table, region), region, owner, "Open")
     val m = GraftTable.loadManifest(spark, table)
     // fail fast on schema drift (flush would reject it much later)
     val want = m.schema.fieldNames.toSet
@@ -173,33 +204,51 @@ object WalIngest {
         s"table has ${want.toSeq.sorted.mkString(",")}")
     val dest = genDir(table, region, g.generation)
     val fs = fsOf(spark, dest)
-    val tmp = new Path(dest, s"_tmp-${UUID.randomUUID().toString.take(12)}")
-    GraftTable.toPhysical(df, m).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val parts = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
     val id = UUID.randomUUID().toString.take(12)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val to = new Path(dest, s"batch-$id-$i.parquet")
-      if (!fs.rename(p.getPath, to))
-        throw new IllegalStateException(s"WAL batch rename failed: ${p.getPath} -> $to")
-    }
-    fs.delete(tmp, true)
-    parts.length
+    val tmp = new Path(dest, s"_tmp-$id")
+    GraftTable.toPhysical(df, m).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Spark's job-commit leaves only part files + _SUCCESS; drop the marker
+    // so the batch dir holds exactly its parquet parts
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    val n = fs.listStatus(tmp).count(_.getPath.getName.endsWith(".parquet"))
+    val dst = new Path(dest, s"batch-$id")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"WAL batch rename failed: $tmp -> $dst")
+    n
   }
 
   /** Open → Sealed: no further appends; the generation is flushable. */
   def seal(spark: SparkSession, table: String, region: String, owner: String): Unit = {
-    val g = requireOwned(spark, table, region, owner, "Open")
-    val fs = fsOf(spark, regionDir(table, region))
-    writeState(fs, stateFile(table, region, g.generation),
-      g.copy(state = "Sealed"), exclusive = false)
+    val g = requireOwned(generations(spark, table, region), region, owner, "Open")
+    advance(fsOf(spark, regionDir(table, region)), table, region, g, 1)
+  }
+
+  /** Every parquet file a generation holds that the manifest does NOT
+    * reference: fresh batches plus anything a crashed flush already
+    * frag-renamed (commitFiles renames in place, possibly into nested
+    * `import-*` collision subdirs — hence the RECURSIVE walk). */
+  private def unreferencedFiles(fs: FileSystem, dir: Path,
+                                referenced: Set[String]): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      if (p.getName.endsWith(".parquet") &&
+          // staged-but-unrenamed batches are not yet appended — skip
+          !p.toString.contains("/_tmp-") &&
+          !referenced.contains(p.toString))
+        out += p.toString
+    }
+    out.toSeq.sorted
   }
 
   /** Fold every batch the generation holds into the table in ONE commit
     * (zero-copy [[GraftTable.commitFiles]] append), then mark Flushed.
-    * Seals first if still Open. Idempotent across crashes: the flush list
-    * is batch files ∪ frag-renamed-but-unreferenced files (a commitFiles
-    * attempt that died between rename and CAS), and committed fragments
-    * are never re-imported. Returns rows flushed. */
+    * Seals first if still Open. Idempotent across crashes (see object doc)
+    * and FENCED: a generation opened before a later OVERWRITE/RESTORE
+    * refuses to flush — [[discard]] it instead. Returns rows flushed. */
   def flush(spark: SparkSession, table: String, region: String,
             owner: String): Long = {
     val gens = generations(spark, table, region)
@@ -208,48 +257,63 @@ object WalIngest {
         s"region '$region' has no Open/Sealed generation to flush"))
     require(g.owner == owner,
       s"region '$region' generation ${g.generation} is owned by '${g.owner}', not '$owner'")
+    if (fencedOut(spark, table, g))
+      throw new IllegalStateException(
+        s"region '$region' generation ${g.generation} opened at table " +
+          s"version ${g.base}, and the table was OVERWRITTEN or RESTORED " +
+          "since — flushing would resurrect pre-truncation rows. " +
+          "wal_discard the generation (or re-ingest into a fresh one).")
     val fs = fsOf(spark, regionDir(table, region))
-    if (g.state == "Open")
-      writeState(fs, stateFile(table, region, g.generation),
-        g.copy(state = "Sealed"), exclusive = false)
+    advance(fs, table, region, g, 1) // seal
     val dir = genDir(table, region, g.generation)
     val referenced = GraftTable.loadManifest(spark, table)
       .fragments.map(_.path).toSet
-    val files =
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).map(_.getPath).filter { p =>
-        val n = p.getName
-        n.matches("batch-.*\\.parquet") ||
-          // crashed-flush resume: frag-renamed but never committed
-          (n.matches("frag-\\d+\\.parquet") && !referenced.contains(p.toString))
-      }.map(_.toString).toSeq.sorted
+    val files = unreferencedFiles(fs, dir, referenced)
     val rows =
       if (files.isEmpty) 0L
-      else {
-        val m = GraftTable.commitFiles(spark, table, files, "append")
-        m.opStats.getOrElse("num_inserted_rows", 0L)
-      }
-    writeState(fs, stateFile(table, region, g.generation),
-      g.copy(state = "Flushed"), exclusive = false)
+      else GraftTable.commitFiles(spark, table, files, "append")
+        .opStats.getOrElse("num_inserted_rows", 0L)
+    advance(fs, table, region, g, 2) // flushed
     rows
+  }
+
+  /** Abandon an Open/Sealed generation WITHOUT importing it: deletes its
+    * batches and marks it Merged. The escape hatch for a generation fenced
+    * out by a table overwrite/restore. */
+  def discard(spark: SparkSession, table: String, region: String,
+              owner: String): Long = {
+    val gens = generations(spark, table, region)
+    val g = gens.find(g => g.state == "Open" || g.state == "Sealed")
+      .getOrElse(throw new IllegalStateException(
+        s"region '$region' has no Open/Sealed generation to discard"))
+    require(g.owner == owner,
+      s"region '$region' generation ${g.generation} is owned by '${g.owner}', not '$owner'")
+    val fs = fsOf(spark, regionDir(table, region))
+    val dir = genDir(table, region, g.generation)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    advance(fs, table, region, g, 1)
+    advance(fs, table, region, g, 2)
+    advance(fs, table, region, g, 3)
+    g.generation
   }
 
   /** The table's rows PLUS the un-flushed WAL tail of `regions` (every
     * Open/Sealed generation's batches), logical column names restored —
     * what the reference serves from the memtable, expressed as a union.
-    * WAL rows carry no `_rowid`/`_rowaddr` (they are not committed yet). */
+    * Generations fenced out by an overwrite/restore are SKIPPED (their
+    * rows predate the truncation). WAL rows carry no `_rowid`/`_rowaddr`
+    * (they are not committed yet). */
   def readWithWal(spark: SparkSession, table: String,
                   regions: Seq[String]): DataFrame = {
     val m = GraftTable.loadManifest(spark, table)
+    val referenced = m.fragments.map(_.path).toSet
     val batches = regions.flatMap { r =>
       generations(spark, table, r)
         .filter(g => g.state == "Open" || g.state == "Sealed")
+        .filterNot(g => fencedOut(spark, table, g))
         .flatMap { g =>
           val dir = genDir(table, r, g.generation)
-          val fs = fsOf(spark, dir)
-          if (!fs.exists(dir)) Nil
-          else fs.listStatus(dir).map(_.getPath)
-            .filter(_.getName.matches("batch-.*\\.parquet")).map(_.toString)
+          unreferencedFiles(fsOf(spark, dir), dir, referenced)
         }
     }
     val base = GraftTable.read(spark, table)
@@ -280,12 +344,15 @@ object WalIngest {
     var merged = 0
     generations(spark, table, region).filter(_.state == "Flushed").foreach { g =>
       val dir = genDir(table, region, g.generation)
-      val live = fs.exists(dir) && fs.listStatus(dir).exists(p =>
-        referenced.contains(p.getPath.toString))
+      var live = false
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext && !live)
+          live = referenced.contains(it.next().getPath.toString)
+      }
       if (!live) {
         if (fs.exists(dir)) fs.delete(dir, true)
-        writeState(fs, stateFile(table, region, g.generation),
-          g.copy(state = "Merged"), exclusive = false)
+        advance(fs, table, region, g, 3)
         merged += 1
       }
     }

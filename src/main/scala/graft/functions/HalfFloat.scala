@@ -119,7 +119,7 @@ case class PackF16(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<float|double>, got ${t.catalogString}")
   }
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -296,12 +296,15 @@ object F16Functions {
     c(org.apache.spark.sql.catalyst.expressions.Literal.create(
       Float16.pack(v), BinaryType))
 
+  /** Per-session registration of the f16 SQL functions for sessions
+    * WITHOUT GraftExtensions — resolves through the SAME builders the
+    * extension injects, so the two registration paths cannot drift. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("f16_pack", es => PackF16(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("f16_unpack", es => UnpackF16(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("l2_distance_f16", es => F16L2Distance(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product_f16", es => F16DotProduct(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_distance_f16", es => F16CosineDistance(es(0), es(1)), "scala_udf")
+    GraftFunctions.builders
+      .filter(_._1.contains("f16"))
+      .foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      }
   }
 }

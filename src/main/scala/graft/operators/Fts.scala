@@ -235,6 +235,8 @@ object FtsTokenizer {
       case "raw" => if (t.isEmpty) Nil else Seq(t)
       case "whitespace" => t.split("\\s+").toSeq.filter(_.nonEmpty)
       case "cjk" =>
+        require(cfg.cjkSegmenter == "fmm" || cfg.cjkSegmenter == "dp",
+          s"unknown cjkSegmenter '${cfg.cjkSegmenter}' (fmm | dp)")
         val entries = cfg.cjkDictionary.map(dictEntry)
         val dict = entries.map(_._1).toSet
         val maxWordCp =

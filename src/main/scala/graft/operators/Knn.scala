@@ -99,19 +99,24 @@ object Knn {
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
     val base0 = prefilter.map(df.filter).getOrElse(df).withColumn(DistanceCol, dist)
-    val base = distanceRange.map { case (lo, hi) =>
-      base0.filter(col(DistanceCol) >= lit(lo) && col(DistanceCol) < lit(hi))
-    }.getOrElse(base0)
+    def rangeFilter(d: DataFrame) = distanceRange.map { case (lo, hi) =>
+      d.filter(col(DistanceCol) >= lit(lo) && col(DistanceCol) < lit(hi))
+    }.getOrElse(d)
     refineWith match {
       case None =>
-        base.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
+        rangeFilter(base0).orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
       case Some(f32Col) =>
         // candidate cut by f16 distance, exact re-rank by the f32 column;
         // the candidate limit is a driver-merged top-(k·rf) — only
-        // k·rf rows move, then one cheap re-sort of that driver-sized set
-        base.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k * refineFactor)
-          .withColumn(DistanceCol,
-            distanceExpr(metric, col(f32Col), vectorLit(query)))
+        // k·rf rows move, then one cheap re-sort of that driver-sized set.
+        // distanceRange applies to the EXACT distances only (after the
+        // re-rank): the returned `_distance` must honor the range, and a
+        // pre-cut on the approximate distance would mis-classify rows near
+        // the range bounds in both directions.
+        rangeFilter(
+          base0.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k * refineFactor)
+            .withColumn(DistanceCol,
+              distanceExpr(metric, col(f32Col), vectorLit(query))))
           .orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
     }
   }

@@ -117,6 +117,43 @@ class WalIngestSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, t).count() == 150)
   }
 
+  test("a table OVERWRITE fences un-flushed generations: flush refuses, reads skip, discard clears") {
+    val t = tmp(); seed(t)
+    WalIngest.open(spark, t, "f", "w")
+    WalIngest.append(spark, t, "f", "w",
+      (100L until 120L).toDF("id").withColumn("v", col("id") * 2).coalesce(1))
+    // the truncation the WAL rows must NOT survive
+    GraftTable.write((0L until 10L).toDF("id")
+      .withColumn("v", lit(0L)).coalesce(1), t, "overwrite")
+    // flushing would resurrect pre-truncation rows — refused
+    val e = intercept[IllegalStateException] { WalIngest.flush(spark, t, "f", "w") }
+    assert(e.getMessage.contains("OVERWRITTEN"), e.getMessage)
+    // reads skip the fenced tail: only the overwritten contents serve
+    assert(WalIngest.readWithWal(spark, t, Seq("f")).count() == 10)
+    // discard is the explicit escape hatch; the region then reopens
+    WalIngest.discard(spark, t, "f", "w")
+    assert(WalIngest.generations(spark, t, "f").head.state == "Merged")
+    assert(WalIngest.open(spark, t, "f", "w") == 1L)
+    WalIngest.append(spark, t, "f", "w", Seq((11L, 22L)).toDF("id", "v"))
+    assert(WalIngest.flush(spark, t, "f", "w") == 1L)
+    assert(GraftTable.read(spark, t).count() == 11)
+  }
+
+  test("state transitions never lose the generation: markers only accrete") {
+    val t = tmp(); seed(t)
+    WalIngest.open(spark, t, "s", "w")
+    WalIngest.seal(spark, t, "s", "w")
+    // every prior marker still exists alongside the current one
+    val dir = new java.io.File(s"$t/_wal/s")
+    val markers = dir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(markers.toSeq == Seq("gen-0.s0.json", "gen-0.s1.json"), markers.toSeq)
+    WalIngest.flush(spark, t, "s", "w")
+    val after = dir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(after.toSeq == Seq("gen-0.s0.json", "gen-0.s1.json", "gen-0.s2.json"))
+    // generation numbers never recycle even across the full lifecycle
+    assert(WalIngest.open(spark, t, "s", "w") == 1L)
+  }
+
   test("multiple regions are independent; readWithWal unions all requested") {
     val t = tmp(); seed(t)
     WalIngest.open(spark, t, "a", "w1")
