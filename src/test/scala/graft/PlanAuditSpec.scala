@@ -95,6 +95,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("f16 kernels stay inside whole-stage codegen; f16 top-k is TakeOrderedAndProject") {
+    import graft.functions.F16Functions
+    val vecs = spark.range(0, 2000).toDF("vid")
+      .withColumn("p", F16Functions.f16Pack(
+        array(col("vid").cast("float"), lit(1.0f))))
+    // pack renders as a codegen'd projection stage (the write-side cast
+    // runs once per corpus row)
+    val packPlan = vecs.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project.*f16_pack".r.findFirstIn(packPlan).isDefined,
+      s"f16_pack must be whole-stage-codegen'd:\n$packPlan")
+    // the search: distance fused into the scan stage, top-k merged per
+    // partition — same plan shape as the f32 path
+    val df = Knn.flatSearchF16(vecs, "p", Array(3.0f, 1.0f), 10, "l2",
+      tieBreakers = Seq(col("vid")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"f16 top-k must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Sort ["), s"no full sort for f16 top-k:\n$plan")
+    assert("\\*\\(\\d+\\) Project.*l2_distance_f16".r.findFirstIn(plan).isDefined,
+      s"the f16 distance must sit inside a codegen stage:\n$plan")
+  }
+
   test("binary-vector kernels stay inside whole-stage codegen") {
     import graft.operators.{BinaryIvfAssign, PackSignBits}
     import org.apache.spark.sql.graftshim.ColumnBridge
