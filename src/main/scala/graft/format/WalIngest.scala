@@ -191,9 +191,22 @@ object WalIngest {
     * The batch is written in the table's PHYSICAL column layout (so flush
     * imports it untouched) to a `_tmp-*` staging dir, then made visible by
     * ONE directory rename: a crash leaves only staging debris, never a
-    * torn batch. Returns the number of part files in the batch. */
+    * torn batch. Returns the number of part files in the batch.
+    *
+    * `batchTag` makes the append IDEMPOTENT for replayed writers
+    * (Structured Streaming's micro-batch replay): a tagged batch leaves a
+    * region-level `done-<tag>` marker after its rename, and a re-append of
+    * the same tag is a no-op (returns 0) — the marker survives flush,
+    * generation turnover, and [[cleanupMerged]], so a replay can never
+    * duplicate rows whatever state its original generation reached. */
   def append(spark: SparkSession, table: String, region: String,
-             owner: String, df: DataFrame): Int = {
+             owner: String, df: DataFrame,
+             batchTag: Option[String] = None): Int = {
+    batchTag.foreach(t => require(t.matches("[A-Za-z0-9_\\-\\.]+"),
+      s"batchTag must be alphanumeric/_/-/., got '$t'"))
+    val rfs = fsOf(spark, regionDir(table, region))
+    val doneMarker = batchTag.map(t => new Path(regionDir(table, region), s"done-$t"))
+    if (doneMarker.exists(rfs.exists)) return 0 // replayed batch
     val g = requireOwned(generations(spark, table, region), region, owner, "Open")
     val m = GraftTable.loadManifest(spark, table)
     // fail fast on schema drift (flush would reject it much later)
@@ -204,7 +217,7 @@ object WalIngest {
         s"table has ${want.toSeq.sorted.mkString(",")}")
     val dest = genDir(table, region, g.generation)
     val fs = fsOf(spark, dest)
-    val id = UUID.randomUUID().toString.take(12)
+    val id = batchTag.getOrElse(UUID.randomUUID().toString.take(12))
     val tmp = new Path(dest, s"_tmp-$id")
     GraftTable.toPhysical(df, m).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Spark's job-commit leaves only part files + _SUCCESS; drop the marker
@@ -212,8 +225,14 @@ object WalIngest {
     fs.delete(new Path(tmp, "_SUCCESS"), false)
     val n = fs.listStatus(tmp).count(_.getPath.getName.endsWith(".parquet"))
     val dst = new Path(dest, s"batch-$id")
-    if (!fs.rename(tmp, dst))
+    if (fs.exists(dst)) { // tagged replay that crashed before its marker
+      fs.delete(tmp, true)
+    } else if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"WAL batch rename failed: $tmp -> $dst")
+    doneMarker.foreach { mk =>
+      try { val o = rfs.create(mk, false); o.close() }
+      catch { case _: java.io.IOException if rfs.exists(mk) => }
+    }
     n
   }
 

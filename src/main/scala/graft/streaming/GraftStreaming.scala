@@ -45,6 +45,36 @@ object GraftStreaming {
     commitBatch(tablePath, batch.toDF(), batchId, queryId)
   }
 
+  /** WAL-backed exactly-once sink (the MemWAL ingest path for streams):
+    * each micro-batch lands as a COMMIT-FREE [[graft.format.WalIngest]]
+    * append — no manifest CAS per trigger, so a high-frequency stream (or
+    * many streams into one table, each with its own region) never contends
+    * on the commit point — and every `flushEvery` batches one flush folds
+    * them into a single commit. Exactly-once comes from the WAL's
+    * per-batch `done-` marker keyed on (queryId, batchId): Spark's replay
+    * of an uncommitted epoch re-appends the same tag and no-ops.
+    *
+    * Trade vs [[foreachBatchSink]]: readers of the TABLE see ingested rows
+    * only at flush boundaries (use [[graft.format.WalIngest.readWithWal]]
+    * for the un-flushed tail); in exchange, commit traffic drops by
+    * `flushEvery`× and triggers never wait on CAS retries. */
+  def walBatchSink(tablePath: String, region: String,
+                   flushEvery: Int = 10, owner: String = "stream",
+                   queryId: String = "default"):
+      (Dataset[Row], Long) => Unit = {
+    require(flushEvery >= 1, s"flushEvery must be >= 1, got $flushEvery")
+    (batch, batchId) => {
+      import graft.format.WalIngest
+      val spark = batch.sparkSession
+      if (!WalIngest.generations(spark, tablePath, region).exists(_.state == "Open"))
+        WalIngest.open(spark, tablePath, region, owner)
+      WalIngest.append(spark, tablePath, region, owner, batch.toDF(),
+        batchTag = Some(s"q$queryId-b$batchId"))
+      if ((batchId + 1) % flushEvery == 0)
+        WalIngest.flush(spark, tablePath, region, owner)
+    }
+  }
+
   /** Rows appended in versions (fromVersion, toVersion]. */
   def readChanges(spark: SparkSession, tablePath: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {

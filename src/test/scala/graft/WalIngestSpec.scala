@@ -154,6 +154,37 @@ class WalIngestSpec extends AnyFunSuite {
     assert(WalIngest.open(spark, t, "s", "w") == 1L)
   }
 
+  test("walBatchSink: commit-free micro-batches, one commit per flushEvery, replay-proof") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GraftStreaming
+    val t = tmp()
+    GraftTable.write(Seq.empty[(Long, Long)].toDF("id", "v").coalesce(1), t, "overwrite")
+    val v0 = GraftTable.loadManifest(spark, t).version
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("walck_").toString)
+      .foreachBatch(GraftStreaming.walBatchSink(t, "stream", flushEvery = 3, queryId = "wq"))
+      .start()
+    try {
+      for (b <- 0 until 6) { mem.addData((b.toLong, b.toLong * 2)); q.processAllAvailable() }
+    } finally q.stop()
+    // 6 micro-batches, flushEvery=3 → exactly TWO flush commits
+    val m = GraftTable.loadManifest(spark, t)
+    assert(m.version == v0 + 2, s"want 2 flush commits, got v${m.version} from v$v0")
+    assert(GraftTable.read(spark, t).count() == 6)
+    // a replayed micro-batch (same queryId+batchId tag) is a no-op
+    val sink = GraftStreaming.walBatchSink(t, "stream", flushEvery = 3, queryId = "wq")
+    sink(Seq((0L, 0L)).toDF("id", "v"), 0L)
+    assert(GraftTable.read(spark, t).count() == 6)
+    assert(WalIngest.readWithWal(spark, t, Seq("stream")).count() == 6,
+      "the replay must not even reach the WAL tail")
+    // new batches keep flowing into the auto-reopened generation
+    sink(Seq((100L, 1L)).toDF("id", "v"), 6L)
+    assert(WalIngest.readWithWal(spark, t, Seq("stream")).count() == 7)
+    assert(GraftTable.read(spark, t).count() == 6) // un-flushed until the boundary
+  }
+
   test("multiple regions are independent; readWithWal unions all requested") {
     val t = tmp(); seed(t)
     WalIngest.open(spark, t, "a", "w1")
