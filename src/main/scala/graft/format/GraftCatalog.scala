@@ -477,6 +477,17 @@ class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest
                           e.getMessage != null && e.getMessage.contains("need Open") =>
                     }
                   }
+                  // auto-flush: fold every N INSERTs into one commit
+                  // (graft.wal.autoflush.batches — the SQL twin of the
+                  // streaming sink's flushEvery)
+                  cfg.get(GraftTable.WalAutoFlushKey).map(_.toInt).foreach { n =>
+                    val s = SparkSession.active
+                    WalIngest.generations(s, path, region)
+                      .find(_.state == "Open")
+                      .filter(g => WalIngest.batchCount(s, path, region,
+                        g.generation) >= n)
+                      .foreach(_ => WalIngest.flush(s, path, region, owner))
+                  }
                 case _ =>
                   GraftTable.write(data, path, if (overwrite) "overwrite" else "append")
               }

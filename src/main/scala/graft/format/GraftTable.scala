@@ -100,9 +100,12 @@ object GraftTable {
     * every fragment file name parses a bucket id. Columns are stored by
     * PHYSICAL name (physical names never change across renames). */
   /** Table config routing SQL INSERT INTO through the commit-free WAL
-    * ([[WalIngest]]); flush with `CALL g.system.wal_flush`. */
+    * ([[WalIngest]]); flush with `CALL g.system.wal_flush`, or set
+    * `graft.wal.autoflush.batches = N` to fold every N INSERTs into one
+    * commit automatically. */
   val WalRegionKey = "graft.wal.region"
   val WalOwnerKey = "graft.wal.owner"
+  val WalAutoFlushKey = "graft.wal.autoflush.batches"
   val BucketNumKey = "graft.bucket.numBuckets"
   val BucketColsKey = "graft.bucket.columns"
   val RowOffsetCol = "_rowoffset"

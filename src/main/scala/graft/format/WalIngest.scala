@@ -236,6 +236,16 @@ object WalIngest {
     n
   }
 
+  /** Batches sitting in a generation directory (visible `batch-*` dirs —
+    * one listStatus, no data IO). The SQL route's auto-flush trigger. */
+  def batchCount(spark: SparkSession, table: String, region: String,
+                 gen: Long): Int = {
+    val dir = genDir(table, region, gen)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(_.getPath.getName.startsWith("batch-"))
+  }
+
   /** Open → Sealed: no further appends; the generation is flushable. */
   def seal(spark: SparkSession, table: String, region: String, owner: String): Unit = {
     val g = requireOwned(generations(spark, table, region), region, owner, "Open")

@@ -531,6 +531,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s.sql(s"SELECT sum(id) FROM g.db.$t").head().getLong(0)
       == (0L until 200L).sum)
     assert(v0 + 1 == v1)
+    // auto-flush: every 2 INSERTs fold into one commit without a CALL
+    s.sql(s"ALTER TABLE g.db.$t SET TBLPROPERTIES (" +
+      "'graft.wal.autoflush.batches' = '2')")
+    val v2 = GraftTable.loadManifest(s, path).version
+    s.sql(s"INSERT INTO g.db.$t SELECT id, 0.0 FROM range(200, 220)")
+    assert(GraftTable.loadManifest(s, path).version == v2,
+      "first batch stays commit-free")
+    s.sql(s"INSERT INTO g.db.$t SELECT id, 0.0 FROM range(220, 240)")
+    assert(GraftTable.loadManifest(s, path).version == v2 + 1,
+      "second batch triggers the auto-flush commit")
+    assert(s.sql(s"SELECT count(*) FROM g.db.$t").head().getLong(0) == 240L)
   }
 
   test("system.explain_query returns the plan without executing") {
