@@ -258,18 +258,27 @@ object WalIngest {
     * `import-*` collision subdirs — hence the RECURSIVE walk). */
   private def unreferencedFiles(fs: FileSystem, dir: Path,
                                 referenced: Set[String]): Seq[String] = {
-    if (!fs.exists(dir)) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      if (p.getName.endsWith(".parquet") &&
-          // staged-but-unrenamed batches are not yet appended — skip
-          !p.toString.contains("/_tmp-") &&
-          !referenced.contains(p.toString))
-        out += p.toString
+    // manual walk, NOT fs.listFiles(recursive=true): the bulk iterator
+    // descends into concurrent writers' `_tmp-*` staging dirs, whose
+    // `_temporary` innards vanish mid-listing (a live Spark write job) —
+    // skip staging subtrees entirely and tolerate entries that disappear
+    // between list and stat
+    def walk(d: Path): Unit = {
+      val entries =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith("_tmp-") && !n.startsWith("_temporary"))
+            walk(st.getPath)
+        } else if (n.endsWith(".parquet") &&
+            !referenced.contains(st.getPath.toString))
+          out += st.getPath.toString
+      }
     }
+    if (fs.exists(dir)) walk(dir)
     out.toSeq.sorted
   }
 
@@ -277,33 +286,59 @@ object WalIngest {
     * (zero-copy [[GraftTable.commitFiles]] append), then mark Flushed.
     * Seals first if still Open. Idempotent across crashes (see object doc)
     * and FENCED: a generation opened before a later OVERWRITE/RESTORE
-    * refuses to flush — [[discard]] it instead. Returns rows flushed. */
+    * refuses to flush — [[discard]] it instead. Returns rows flushed.
+    *
+    * STRAGGLERS: an append that verified `Open` just before the seal can
+    * land its batch after the flush listing (its write job takes time).
+    * flush therefore re-lists after each commit and imports what appeared,
+    * and — if every Open/Sealed generation is drained — re-checks the LAST
+    * Flushed generation too, so calling flush again always converges.
+    * A straggler that arrives after the final flush is never lost:
+    * [[cleanupMerged]] refuses to reclaim a generation holding
+    * un-imported batches (they are visibly non-frag-named), and the next
+    * flush imports them. */
   def flush(spark: SparkSession, table: String, region: String,
             owner: String): Long = {
-    val gens = generations(spark, table, region)
-    val g = gens.find(g => g.state == "Open" || g.state == "Sealed")
-      .getOrElse(throw new IllegalStateException(
-        s"region '$region' has no Open/Sealed generation to flush"))
-    require(g.owner == owner,
-      s"region '$region' generation ${g.generation} is owned by '${g.owner}', not '$owner'")
-    if (fencedOut(spark, table, g))
-      throw new IllegalStateException(
-        s"region '$region' generation ${g.generation} opened at table " +
-          s"version ${g.base}, and the table was OVERWRITTEN or RESTORED " +
-          "since — flushing would resurrect pre-truncation rows. " +
-          "wal_discard the generation (or re-ingest into a fresh one).")
     val fs = fsOf(spark, regionDir(table, region))
-    advance(fs, table, region, g, 1) // seal
-    val dir = genDir(table, region, g.generation)
-    val referenced = GraftTable.loadManifest(spark, table)
-      .fragments.map(_.path).toSet
-    val files = unreferencedFiles(fs, dir, referenced)
-    val rows =
-      if (files.isEmpty) 0L
-      else GraftTable.commitFiles(spark, table, files, "append")
-        .opStats.getOrElse("num_inserted_rows", 0L)
-    advance(fs, table, region, g, 2) // flushed
-    rows
+    def drain(g: GenState): Long = {
+      val dir = genDir(table, region, g.generation)
+      var total = 0L
+      var drained = false
+      while (!drained) {
+        val referenced = GraftTable.loadManifest(spark, table)
+          .fragments.map(_.path).toSet
+        val files = unreferencedFiles(fs, dir, referenced)
+        if (files.isEmpty) drained = true
+        else total += GraftTable.commitFiles(spark, table, files, "append")
+          .opStats.getOrElse("num_inserted_rows", 0L)
+      }
+      total
+    }
+    val gens = generations(spark, table, region)
+    val target = gens.find(g => g.state == "Open" || g.state == "Sealed")
+    if (target.isEmpty && !gens.exists(_.state == "Flushed"))
+      throw new IllegalStateException(
+        s"region '$region' has no Open/Sealed/Flushed generation to flush")
+    var total = 0L
+    target.foreach { g =>
+      require(g.owner == owner,
+        s"region '$region' generation ${g.generation} is owned by '${g.owner}', not '$owner'")
+      if (fencedOut(spark, table, g))
+        throw new IllegalStateException(
+          s"region '$region' generation ${g.generation} opened at table " +
+            s"version ${g.base}, and the table was OVERWRITTEN or RESTORED " +
+            "since — flushing would resurrect pre-truncation rows. " +
+            "wal_discard the generation (or re-ingest into a fresh one).")
+      advance(fs, table, region, g, 1) // seal
+      total += drain(g)
+      advance(fs, table, region, g, 2) // flushed
+    }
+    // sweep EVERY earlier Flushed generation for stragglers — an append
+    // that verified Open just before a past seal can land its batch at
+    // any later time; repeated flushes must converge on all of them
+    gens.filter(g => g.state == "Flushed" && !fencedOut(spark, table, g))
+      .foreach(g => total += drain(g))
+    total
   }
 
   /** Abandon an Open/Sealed generation WITHOUT importing it: deletes its
@@ -373,13 +408,15 @@ object WalIngest {
     var merged = 0
     generations(spark, table, region).filter(_.state == "Flushed").foreach { g =>
       val dir = genDir(table, region, g.generation)
-      var live = false
-      if (fs.exists(dir)) {
-        val it = fs.listFiles(dir, true)
-        while (it.hasNext && !live)
-          live = referenced.contains(it.next().getPath.toString)
-      }
-      if (!live) {
+      val all = unreferencedFiles(fs, dir, Set.empty)
+      val live = all.exists(referenced.contains)
+      // a non-frag-named parquet is an UN-IMPORTED straggler batch (every
+      // imported file was frag-renamed by commitFiles): refuse to reclaim —
+      // the next flush imports it. Dead frag-named copies a compaction
+      // superseded are safe to drop.
+      val stragglers = all.exists(p =>
+        !new Path(p).getName.matches("frag-\\d+\\.parquet"))
+      if (!live && !stragglers) {
         if (fs.exists(dir)) fs.delete(dir, true)
         advance(fs, table, region, g, 3)
         merged += 1

@@ -96,8 +96,10 @@ class WalIngestSpec extends AnyFunSuite {
     val flushed = WalIngest.flush(spark, t, "cr", "w")
     assert(flushed == 20L)
     assert(GraftTable.read(spark, t).count() == 120)
-    // a second flush finds nothing and is a no-op error (nothing open)
-    intercept[IllegalStateException] { WalIngest.flush(spark, t, "cr", "w") }
+    // a second flush re-checks the Flushed generation for stragglers —
+    // finds none, imports nothing (the idempotent-converge contract)
+    assert(WalIngest.flush(spark, t, "cr", "w") == 0L)
+    assert(GraftTable.read(spark, t).count() == 120)
     GraftTable.validate(spark, t)
   }
 
@@ -183,6 +185,67 @@ class WalIngestSpec extends AnyFunSuite {
     sink(Seq((100L, 1L)).toDF("id", "v"), 6L)
     assert(WalIngest.readWithWal(spark, t, Seq("stream")).count() == 7)
     assert(GraftTable.read(spark, t).count() == 6) // un-flushed until the boundary
+  }
+
+  test("chaos: concurrent writers and mid-stream flushes never lose or duplicate a row") {
+    val t = tmp(); seed(t)
+    val writers = 4
+    val batchesPerWriter = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def task(body: => Unit) = pool.submit(new Runnable {
+      def run(): Unit = {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        try body catch { case e: Throwable => failures.add(e) }
+      }
+    })
+    // each writer owns its region; a mid-stream flusher seals generations
+    // under the writers' feet — they must reopen and carry on (the same
+    // dance the SQL route's retry loop performs)
+    val futs = (0 until writers).map { w =>
+      task {
+        val region = s"w$w"
+        WalIngest.open(spark, t, region, region)
+        for (b <- 0 until batchesPerWriter) {
+          val df = Seq((1000L + w * 100 + b, w.toLong)).toDF("id", "v")
+          var ok = false
+          while (!ok) {
+            try { WalIngest.append(spark, t, region, region, df); ok = true }
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage != null && e.getMessage.contains("need Open") =>
+                try WalIngest.open(spark, t, region, region)
+                catch { case _: IllegalStateException => } // racer reopened
+            }
+          }
+        }
+      }
+    }
+    val flusher = task {
+      for (_ <- 0 until 6) {
+        Thread.sleep(150)
+        for (w <- 0 until writers) {
+          try WalIngest.flush(spark, t, s"w$w", s"w$w")
+          catch { case _: IllegalStateException => } // nothing open yet — fine
+        }
+      }
+    }
+    (futs :+ flusher).foreach(_.get())
+    pool.shutdown()
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    // drain whatever is still un-flushed
+    for (w <- 0 until writers) {
+      try WalIngest.flush(spark, t, s"w$w", s"w$w")
+      catch { case _: IllegalStateException => }
+    }
+    // exact accounting: the seed + every appended row exactly once
+    val got = GraftTable.read(spark, t).select("id").as[Long].collect().sorted
+    val want = ((0L until 100L) ++ (for {
+      w <- 0 until writers; b <- 0 until batchesPerWriter
+    } yield 1000L + w * 100 + b)).sorted
+    assert(got.toSeq == want.toSeq,
+      s"got ${got.length} rows, want ${want.length}")
+    GraftTable.validate(spark, t)
   }
 
   test("multiple regions are independent; readWithWal unions all requested") {
