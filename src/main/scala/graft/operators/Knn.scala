@@ -135,7 +135,11 @@ object Knn {
                         queries: Seq[Array[Float]], k: Int,
                         overfetch: Int = 10): DataFrame =
     multivectorSearchWith(idCol, queries, k, overfetch) { (q, kk) =>
-      flatSearch(df, vecCol, q, kk, "cosine", tieBreakers = Seq(col(idCol)))
+      // packed-f16 vector columns serve through the f16 kernels
+      if (df.schema(vecCol).dataType == org.apache.spark.sql.types.BinaryType)
+        flatSearchF16(df, vecCol, q, kk, "cosine", tieBreakers = Seq(col(idCol)))
+      else
+        flatSearch(df, vecCol, q, kk, "cosine", tieBreakers = Seq(col(idCol)))
     }
 
   /** Multivector over ANY ANN family (reference `multivec_ann`,
