@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall/latency parity probe mirroring the reference's published SIFT
+  * table (BASELINE.md: IVF nlist=512 / PQ m=16 / nprobes=1 → recall@10
+  * 0.546, +refine_factor=10 → 0.81; `benchmarks/sift/lance_sift1m_stats.csv`).
+  *
+  * Corpus: the ScaleProbe ×64 replica (128k × 64-dim) — smaller and
+  * lower-dimensional than SIFT-1M, so ABSOLUTE recall is expected to run
+  * higher at equal parameters; what must match is the SHAPE: low recall at
+  * nprobes=1 without refine, a large jump from exact refine, and recall
+  * climbing with nprobes. Prints one JSON line per configuration:
+  * {"op":"recall","nlist":..,"m":..,"nprobes":..,"refine":..,
+  *  "recall_at_10":..,"mean_query_ms":..}.
+  *
+  * Usage: runMain graft.tools.RecallProbe [corpusParquet] [indexDir]
+  * (defaults to the ScaleProbe replica paths; run ScaleProbe first or pass
+  * your own (vec_id, embedding) parquet).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/scaleprobe/embs_x64")
+    val idxDir = args.lift(1).getOrElse("/tmp/recallprobe")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{IvfIndex, Knn, PqIndex}
+
+    val df = spark.read.parquet(corpus).cache()
+    val n = df.count()
+    val nlist = 512
+    val m = 16
+    println(s"corpus rows=$n, nlist=$nlist, m=$m")
+    val p = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    PqIndex.build(df, "vec_id", "embedding", idxDir, nlist = nlist,
+      m = m, k = 256)
+
+    // 100 deterministic query vectors drawn from the corpus
+    val queries = df.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(100)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    // exact ground truth per query (flat search)
+    val truth: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+      qid -> Knn.flatSearch(df, "embedding", q, 10, "l2",
+        tieBreakers = Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    for ((nprobes, refine) <- Seq((1, 1), (1, 10), (4, 10), (16, 10))) {
+      var hits = 0L
+      val t0 = System.nanoTime()
+      queries.foreach { case (qid, q) =>
+        val got = PqIndex.search(spark, idxDir, "vec_id", "embedding", q,
+            kNeighbors = 10, nprobes = nprobes, refineFactor = refine)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        hits += truth(qid).intersect(got).size
+      }
+      val ms = (System.nanoTime() - t0) / 1e6 / queries.length
+      println(f"""{"op":"recall","nlist":$nlist,"m":$m,"nprobes":$nprobes,""" +
+        f""""refine":$refine,"recall_at_10":${hits / (10.0 * queries.length)}%.3f,""" +
+        f""""mean_query_ms":$ms%.1f}""")
+    }
+    spark.stop()
+  }
+}
