@@ -480,7 +480,14 @@ class GraftSqlTable(val path: String, ident: String, val manifest: GraftManifest
                   // auto-flush: fold every N INSERTs into one commit
                   // (graft.wal.autoflush.batches — the SQL twin of the
                   // streaming sink's flushEvery)
-                  cfg.get(GraftTable.WalAutoFlushKey).map(_.toInt).foreach { n =>
+                  cfg.get(GraftTable.WalAutoFlushKey).map { v =>
+                    val n = scala.util.Try(v.toInt).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"${GraftTable.WalAutoFlushKey} must be a positive integer, got '$v'"))
+                    require(n >= 1,
+                      s"${GraftTable.WalAutoFlushKey} must be >= 1, got $n")
+                    n
+                  }.foreach { n =>
                     val s = SparkSession.active
                     WalIngest.generations(s, path, region)
                       .find(_.state == "Open")

@@ -291,23 +291,49 @@ object WalIngest {
     * STRAGGLERS: an append that verified `Open` just before the seal can
     * land its batch after the flush listing (its write job takes time).
     * flush therefore re-lists after each commit and imports what appeared,
-    * and — if every Open/Sealed generation is drained — re-checks the LAST
-    * Flushed generation too, so calling flush again always converges.
-    * A straggler that arrives after the final flush is never lost:
-    * [[cleanupMerged]] refuses to reclaim a generation holding
-    * un-imported batches (they are visibly non-frag-named), and the next
-    * flush imports them. */
+    * and sweeps every earlier Flushed generation THE CALLER OWNS for
+    * stragglers — so calling flush again always converges. The sweep
+    * imports only NON-frag-named files: a frag-named unreferenced file in
+    * a FLUSHED generation is a dead copy a compaction superseded (its rows
+    * already live in the table), never import material. A straggler that
+    * arrives after the final flush is never lost: [[cleanupMerged]]
+    * refuses to reclaim a generation holding un-imported batches, and the
+    * next flush imports them. Before importing, flush also stamps each
+    * batch directory's `done-` marker (tagged batches), closing the
+    * replay window of an append that crashed between its rename and its
+    * marker and whose generation was then flushed. */
   def flush(spark: SparkSession, table: String, region: String,
             owner: String): Long = {
     val fs = fsOf(spark, regionDir(table, region))
-    def drain(g: GenState): Long = {
+    // a tagged batch dir that reached flush IS durably ingested — ensure
+    // its replay marker exists even if the appender died before writing it
+    def stampMarkers(dir: Path): Unit = {
+      val entries = try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("batch-")) {
+          val mk = new Path(regionDir(table, region), s"done-${n.stripPrefix("batch-")}")
+          if (!fs.exists(mk)) {
+            try { val o = fs.create(mk, false); o.close() }
+            catch { case _: java.io.IOException if fs.exists(mk) => }
+          }
+        }
+      }
+    }
+    def drain(g: GenState, stragglersOnly: Boolean): Long = {
       val dir = genDir(table, region, g.generation)
       var total = 0L
       var drained = false
       while (!drained) {
+        stampMarkers(dir)
         val referenced = GraftTable.loadManifest(spark, table)
           .fragments.map(_.path).toSet
-        val files = unreferencedFiles(fs, dir, referenced)
+        val files = unreferencedFiles(fs, dir, referenced).filter(p =>
+          // Flushed-generation sweep: frag-named unreferenced files are
+          // compaction-superseded dead copies — importing them would
+          // duplicate every row of the generation
+          !stragglersOnly || !new Path(p).getName.matches("frag-\\d+\\.parquet"))
         if (files.isEmpty) drained = true
         else total += GraftTable.commitFiles(spark, table, files, "append")
           .opStats.getOrElse("num_inserted_rows", 0L)
@@ -316,9 +342,12 @@ object WalIngest {
     }
     val gens = generations(spark, table, region)
     val target = gens.find(g => g.state == "Open" || g.state == "Sealed")
-    if (target.isEmpty && !gens.exists(_.state == "Flushed"))
+    val ownedFlushed = gens.filter(g =>
+      g.state == "Flushed" && g.owner == owner && !fencedOut(spark, table, g))
+    if (target.isEmpty && ownedFlushed.isEmpty)
       throw new IllegalStateException(
-        s"region '$region' has no Open/Sealed/Flushed generation to flush")
+        s"region '$region' has no Open/Sealed/Flushed generation owned by " +
+          s"'$owner' to flush")
     var total = 0L
     target.foreach { g =>
       require(g.owner == owner,
@@ -330,15 +359,44 @@ object WalIngest {
             "since — flushing would resurrect pre-truncation rows. " +
             "wal_discard the generation (or re-ingest into a fresh one).")
       advance(fs, table, region, g, 1) // seal
-      total += drain(g)
+      total += drain(g, stragglersOnly = false)
       advance(fs, table, region, g, 2) // flushed
     }
-    // sweep EVERY earlier Flushed generation for stragglers — an append
-    // that verified Open just before a past seal can land its batch at
-    // any later time; repeated flushes must converge on all of them
-    gens.filter(g => g.state == "Flushed" && !fencedOut(spark, table, g))
-      .foreach(g => total += drain(g))
+    // straggler sweep over the caller's OWN earlier Flushed generations
+    // (O(flushed-gens) metadata walks until compaction + cleanupMerged
+    // retires them; no manifest loads or commits unless stragglers exist)
+    ownedFlushed.foreach(g => total += drain(g, stragglersOnly = true))
+    // bound the replay-marker population: markers more than MarkerRetention
+    // batch ids below the query's high-water can never be replayed (Spark
+    // restarts at the last checkpointed epoch, not at zero — a checkpoint
+    // RESET must use a fresh queryId, like any idempotent-sink appId)
+    pruneMarkers(fs, table, region)
     total
+  }
+
+  /** Replay markers retained per queryId below its high-water mark. Spark
+    * replays at most the last uncommitted epoch; thousands of slack ids
+    * make the prune unconditionally safe while keeping region listings
+    * bounded for long-lived streams. */
+  private val MarkerRetention = 10000L
+
+  private def pruneMarkers(fs: FileSystem, table: String, region: String): Unit = {
+    val dir = regionDir(table, region)
+    val done = try fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("done-"))
+      catch { case _: java.io.FileNotFoundException => return }
+    // tags of the sink shape q<query>-b<batchId>: prune per query prefix
+    val tagged = done.flatMap { p =>
+      val t = p.getName.stripPrefix("done-")
+      val i = t.lastIndexOf("-b")
+      if (i > 0 && t.substring(i + 2).forall(_.isDigit))
+        Some((t.substring(0, i), t.substring(i + 2).toLong, p))
+      else None
+    }
+    tagged.groupBy(_._1).foreach { case (_, ms) =>
+      val hw = ms.map(_._2).max
+      ms.filter(_._2 < hw - MarkerRetention).foreach(m => fs.delete(m._3, false))
+    }
   }
 
   /** Abandon an Open/Sealed generation WITHOUT importing it: deletes its

@@ -131,12 +131,17 @@ object Knn {
     * Score per (row, queryVec) = 1 - cosineDistance (similarity); missing
     * (row, qv) pairs contribute 0, as in XTR.
     */
+  /** @param packedF16 the vector column holds binary16-PACKED bytes
+    *   ([[graft.functions.Float16]]) — EXPLICIT, not inferred from
+    *   BinaryType: a binary column could equally be sign-bit packed
+    *   (hamming family), and decoding those as halves would return a
+    *   confidently wrong ranking instead of an error. */
   def multivectorSearch(df: DataFrame, idCol: String, vecCol: String,
                         queries: Seq[Array[Float]], k: Int,
-                        overfetch: Int = 10): DataFrame =
+                        overfetch: Int = 10,
+                        packedF16: Boolean = false): DataFrame =
     multivectorSearchWith(idCol, queries, k, overfetch) { (q, kk) =>
-      // packed-f16 vector columns serve through the f16 kernels
-      if (df.schema(vecCol).dataType == org.apache.spark.sql.types.BinaryType)
+      if (packedF16)
         flatSearchF16(df, vecCol, q, kk, "cosine", tieBreakers = Seq(col(idCol)))
       else
         flatSearch(df, vecCol, q, kk, "cosine", tieBreakers = Seq(col(idCol)))

@@ -66,10 +66,12 @@ class TagsCleanupSpec extends AnyFunSuite {
       Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f)), k = 3, overfetch = 10)
       .select("id").as[Long].collect()
     assert(out.head == 3L) // equidistant from both queries -> highest sum
-    // the SAME ranking over a packed-f16 column (dispatch by column type)
+    // the SAME ranking over a packed-f16 column (explicit flag — binary
+    // could equally be sign-bit packed, so the caller must say)
     val packed = df.select($"id", graft.functions.F16Functions.f16Pack($"vec").as("vec"))
     val outF16 = Knn.multivectorSearch(packed, "id", "vec",
-      Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f)), k = 3, overfetch = 10)
+      Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f)), k = 3, overfetch = 10,
+      packedF16 = true)
       .select("id").as[Long].collect()
     assert(outF16.toSeq == out.toSeq)
   }

@@ -113,10 +113,20 @@ class WalIngestSpec extends AnyFunSuite {
     assert(WalIngest.cleanupMerged(spark, t, "m") == 0)
     assert(WalIngest.generations(spark, t, "m").head.state == "Flushed")
     GraftTable.compactFiles(spark, t, targetRows = 1 << 20)
+    // the window between compaction and cleanup: gen-0's frag copies are
+    // now dead (unreferenced) — a flush of a LATER generation's straggler
+    // sweep must NOT re-import them (that would duplicate every row)
+    WalIngest.open(spark, t, "m", "w")
+    WalIngest.append(spark, t, "m", "w", Seq((999L, 0L)).toDF("id", "v"))
+    assert(WalIngest.flush(spark, t, "m", "w") == 1L,
+      "only the new batch may flush — dead gen-0 copies are not imports")
+    assert(GraftTable.read(spark, t).count() == 151)
     assert(WalIngest.cleanupMerged(spark, t, "m") == 1)
     assert(WalIngest.generations(spark, t, "m").head.state == "Merged")
     assert(!new java.io.File(s"$t/_wal/m/gen-0").exists)
-    assert(GraftTable.read(spark, t).count() == 150)
+    assert(GraftTable.read(spark, t).count() == 151)
+    // ownership is enforced even when only Flushed generations remain
+    intercept[Exception] { WalIngest.flush(spark, t, "m", "intruder") }
   }
 
   test("a table OVERWRITE fences un-flushed generations: flush refuses, reads skip, discard clears") {
