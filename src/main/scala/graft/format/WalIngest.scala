@@ -364,8 +364,19 @@ object WalIngest {
     }
     // straggler sweep over the caller's OWN earlier Flushed generations
     // (O(flushed-gens) metadata walks until compaction + cleanupMerged
-    // retires them; no manifest loads or commits unless stragglers exist)
-    ownedFlushed.foreach(g => total += drain(g, stragglersOnly = true))
+    // retires them). Fast path: ONE manifest load + one walk per gen; the
+    // drain loop (with its per-commit manifest reloads) only runs for a
+    // generation that actually holds stragglers.
+    if (ownedFlushed.nonEmpty) {
+      val referenced0 = GraftTable.loadManifest(spark, table)
+        .fragments.map(_.path).toSet
+      ownedFlushed.foreach { g =>
+        val hasStragglers = unreferencedFiles(fs,
+            genDir(table, region, g.generation), referenced0)
+          .exists(p => !new Path(p).getName.matches("frag-\\d+\\.parquet"))
+        if (hasStragglers) total += drain(g, stragglersOnly = true)
+      }
+    }
     // bound the replay-marker population: markers more than MarkerRetention
     // batch ids below the query's high-water can never be replayed (Spark
     // restarts at the last checkpointed epoch, not at zero — a checkpoint
