@@ -133,6 +133,10 @@ object GraftTable {
                branch: Option[String] = None): Seq[Long] = {
     val t = new Path(tablePath)
     val f = fs(spark, t)
+    // an external commit handler may hold won-but-unwritten versions
+    // (crash between KV claim and object write) — surface them first;
+    // no-op under the default FS handler
+    CommitHandler.forSession(spark).recover(f, manifestDir(t, branch))
     if (!f.exists(manifestDir(t, branch))) Seq.empty
     else f.listStatus(manifestDir(t, branch)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".json"))
@@ -212,52 +216,32 @@ object GraftTable {
     GraftManifest.fromJson(new String(bytes, "UTF-8"))
   }
 
-  /** Per-table intra-JVM commit locks. The cross-driver CAS is the
-    * filesystem's atomic create-if-absent (HDFS) / conditional put (object
-    * stores); the local-FS implementation of create(overwrite=false) is
-    * check-then-act, so same-JVM racers (local mode, tests) are serialized
-    * here. */
-  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Atomic create-if-absent commit. Returns false on version conflict. */
+  /** Create-if-absent commit through the session's [[CommitHandler]]
+    * (default: FS atomic rename; `spark.graft.commit.handler = kv:...`
+    * for object stores without one). Returns false on version conflict. */
   private def tryCommit(spark: SparkSession, tablePath: String, m: GraftManifest,
                         branch: Option[String] = None): Boolean = {
-    val lock = commitLocks.computeIfAbsent(s"$tablePath#${branch.getOrElse("")}", _ => new Object)
-    lock.synchronized {
-      val t = new Path(tablePath)
-      val f = fs(spark, t)
-      f.mkdirs(manifestDir(t, branch))
-      val p = manifestPath(t, m.version, branch)
-      if (f.exists(p)) return false
-      // write complete content to a temp file, then rename into place:
-      // readers never observe a partially written manifest (rename is atomic
-      // on POSIX/HDFS; HDFS rename additionally fails if the dest exists,
-      // which is the cross-process CAS).
-      val tmpP = new Path(manifestDir(t, branch), s".tmp-${m.version}-${UUID.randomUUID().toString.take(8)}")
-      try {
-        // Commit timestamps must be MONOTONE in version — versionAsOfTimestamp
-        // binary-searches on them. Writer clocks can skew (and legacy manifests
-        // fall back to mtime), so stamp max(now, parentTs + 1) rather than
-        // trusting the local clock alone (ADVICE r5).
-        val parentTs = scala.util.Try(
-          loadManifest(spark, tablePath, Some(m.version - 1), branch).commitTsMillis)
-          .getOrElse(0L)
-        val stamped = m.copy(commitTsMillis = math.max(System.currentTimeMillis(), parentTs + 1))
-        val out = f.create(tmpP, /*overwrite=*/ true)
-        try out.write(GraftManifest.toJson(stamped).getBytes("UTF-8")) finally out.close()
-        if (f.rename(tmpP, p)) {
-          // every successful commit may change blob-root config (overwrite,
-          // re-clone, drop/recreate at the same path) — drop the per-JVM
-          // cached root chain so the next point read re-resolves
-          BlobStore.invalidateRoots(tablePath)
-          true
-        }
-        else { f.delete(tmpP, false); false }
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if f.exists(p) => false
-      }
-    }
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    f.mkdirs(manifestDir(t, branch))
+    val p = manifestPath(t, m.version, branch)
+    if (f.exists(p)) return false // fast path; the handler re-checks atomically
+    // Commit timestamps must be MONOTONE in version — versionAsOfTimestamp
+    // binary-searches on them. Writer clocks can skew (and legacy manifests
+    // fall back to mtime), so stamp max(now, parentTs + 1) rather than
+    // trusting the local clock alone (ADVICE r5).
+    val parentTs = scala.util.Try(
+      loadManifest(spark, tablePath, Some(m.version - 1), branch).commitTsMillis)
+      .getOrElse(0L)
+    val stamped = m.copy(commitTsMillis = math.max(System.currentTimeMillis(), parentTs + 1))
+    val payload = GraftManifest.toJson(stamped).getBytes("UTF-8")
+    if (CommitHandler.forSession(spark).commit(f, p, payload)) {
+      // every successful commit may change blob-root config (overwrite,
+      // re-clone, drop/recreate at the same path) — drop the per-JVM
+      // cached root chain so the next point read re-resolves
+      BlobStore.invalidateRoots(tablePath)
+      true
+    } else false
   }
 
   /** Commit loop: re-reads the latest manifest and re-applies `op` until the
@@ -3300,7 +3284,12 @@ object GraftTable {
       !referenced.contains(rel) && !referenced.contains(abs) &&
         (droppedReferenced.contains(rel) || droppedReferenced.contains(abs) ||
           now - mtime > unverifiedGraceMillis)
-    drop.foreach(v => f.delete(manifestPath(t, v), false))
+    val handler = CommitHandler.forSession(spark)
+    drop.foreach { v =>
+      val p = manifestPath(t, v)
+      f.delete(p, false)
+      handler.forget(p) // external claim state must not outlive the manifest
+    }
     // delete unreferenced fragment files / DV dirs
     def sweep(sub: String): Unit = {
       val dir = new Path(t, sub)

@@ -92,25 +92,26 @@ object WalIngest {
   /** Advance a generation to `seq` by exclusive create of the next marker
     * — never deletes, never rewrites, so state can only move forward and
     * is never transiently absent. A marker that already exists is fine
-    * (the transition happened; callers re-verify what they need). */
-  private def advance(fs: FileSystem, table: String, region: String,
-                      g: GenState, seq: Int): Unit = {
+    * (the transition happened; callers re-verify what they need). Goes
+    * through the session's [[CommitHandler]]: racing advancers of the
+    * same generation write byte-identical content, so even a lost race
+    * is semantics-preserving, but the handler keeps the create safe on
+    * stores without atomic create. */
+  private def advance(spark: SparkSession, fs: FileSystem, table: String,
+                      region: String, g: GenState, seq: Int): Unit = {
     val f = marker(table, region, g.generation, seq)
     if (fs.exists(f)) return
     val json =
       s"""{"generation": ${g.generation}, "owner": "${g.owner}", "base": ${g.base}}"""
-    try {
-      val out = fs.create(f, false)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-    } catch {
-      case _: java.io.IOException if fs.exists(f) => // raced; already there
-    }
+    CommitHandler.forSession(spark).commit(fs, f, json.getBytes("UTF-8"))
   }
 
   /** All generations of a region, ascending; state = highest marker. */
   def generations(spark: SparkSession, table: String, region: String): Seq[GenState] = {
     val dir = regionDir(table, region)
     val fs = fsOf(spark, dir)
+    // surface markers an external handler won but crashed before writing
+    CommitHandler.forSession(spark).recover(fs, dir)
     if (!fs.exists(dir)) return Nil
     val markers = fs.listStatus(dir).map(_.getPath.getName).collect {
       case n if n.matches("gen-\\d+\\.s[0-3]\\.json") =>
@@ -153,8 +154,12 @@ object WalIngest {
     fs.mkdirs(dir)
     val f = marker(table, region, next, 0)
     val json = s"""{"generation": $next, "owner": "$owner", "base": $base}"""
-    val out = fs.create(f, false) // exclusive: the ownership fence
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    // exclusive create through the commit handler: the ownership fence —
+    // the second of the format's two CAS points (see [[CommitHandler]])
+    if (!CommitHandler.forSession(spark).commit(fs, f, json.getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"region '$region' generation $next was opened concurrently by " +
+          "another writer; retry open() to take the next generation")
     next
   }
 
@@ -229,10 +234,8 @@ object WalIngest {
       fs.delete(tmp, true)
     } else if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"WAL batch rename failed: $tmp -> $dst")
-    doneMarker.foreach { mk =>
-      try { val o = rfs.create(mk, false); o.close() }
-      catch { case _: java.io.IOException if rfs.exists(mk) => }
-    }
+    doneMarker.foreach(mk =>
+      CommitHandler.forSession(spark).commit(rfs, mk, Array.emptyByteArray))
     n
   }
 
@@ -249,7 +252,7 @@ object WalIngest {
   /** Open → Sealed: no further appends; the generation is flushable. */
   def seal(spark: SparkSession, table: String, region: String, owner: String): Unit = {
     val g = requireOwned(generations(spark, table, region), region, owner, "Open")
-    advance(fsOf(spark, regionDir(table, region)), table, region, g, 1)
+    advance(spark, fsOf(spark, regionDir(table, region)), table, region, g, 1)
   }
 
   /** Every parquet file a generation holds that the manifest does NOT
@@ -314,10 +317,8 @@ object WalIngest {
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("batch-")) {
           val mk = new Path(regionDir(table, region), s"done-${n.stripPrefix("batch-")}")
-          if (!fs.exists(mk)) {
-            try { val o = fs.create(mk, false); o.close() }
-            catch { case _: java.io.IOException if fs.exists(mk) => }
-          }
+          if (!fs.exists(mk))
+            CommitHandler.forSession(spark).commit(fs, mk, Array.emptyByteArray)
         }
       }
     }
@@ -358,9 +359,9 @@ object WalIngest {
             s"version ${g.base}, and the table was OVERWRITTEN or RESTORED " +
             "since — flushing would resurrect pre-truncation rows. " +
             "wal_discard the generation (or re-ingest into a fresh one).")
-      advance(fs, table, region, g, 1) // seal
+      advance(spark, fs, table, region, g, 1) // seal
       total += drain(g, stragglersOnly = false)
-      advance(fs, table, region, g, 2) // flushed
+      advance(spark, fs, table, region, g, 2) // flushed
     }
     // straggler sweep over the caller's OWN earlier Flushed generations
     // (O(flushed-gens) metadata walks until compaction + cleanupMerged
@@ -424,9 +425,9 @@ object WalIngest {
     val fs = fsOf(spark, regionDir(table, region))
     val dir = genDir(table, region, g.generation)
     if (fs.exists(dir)) fs.delete(dir, true)
-    advance(fs, table, region, g, 1)
-    advance(fs, table, region, g, 2)
-    advance(fs, table, region, g, 3)
+    advance(spark, fs, table, region, g, 1)
+    advance(spark, fs, table, region, g, 2)
+    advance(spark, fs, table, region, g, 3)
     g.generation
   }
 
@@ -487,7 +488,7 @@ object WalIngest {
         !new Path(p).getName.matches("frag-\\d+\\.parquet"))
       if (!live && !stragglers) {
         if (fs.exists(dir)) fs.delete(dir, true)
-        advance(fs, table, region, g, 3)
+        advance(spark, fs, table, region, g, 3)
         merged += 1
       }
     }
