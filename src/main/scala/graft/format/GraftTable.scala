@@ -3236,8 +3236,25 @@ object GraftTable {
           "delete the tags or pass errorIfTaggedOldVersions = false " +
           "(error_if_tagged_old_versions => false) to retain them silently")
     }
-    val keep = (vs.takeRight(keepLast).toSet ++ tagged)
-    val drop = vs.filterNot(keep)
+    // WAL retention (ADVICE r12): an overwrite/restore manifest committed
+    // after a live WAL generation's base is that generation's FENCE —
+    // dropping it would let a later flush silently resurrect rows a
+    // truncation removed. Open/Sealed generations additionally pin FULL
+    // history since their base: crashed-flush recovery tells dead copies
+    // from import material by whether any manifest since base referenced
+    // a file. Both retentions expire the moment the generation is
+    // flushed/merged — generations live minutes, not days.
+    val keepBase = vs.takeRight(keepLast).toSet ++ tagged
+    val candidates = vs.filterNot(keepBase)
+    val (fullSince, fenceSince) = WalIngest.retentionBases(spark, tablePath)
+    val walKeep = candidates.filter { v =>
+      fullSince.exists(v > _) ||
+        (fenceSince.exists(v > _) && scala.util.Try(
+          loadManifest(spark, tablePath, Some(v)).operation).toOption
+          .exists(op => op == "overwrite" || op == "restore"))
+    }.toSet
+    val keep = keepBase ++ walKeep
+    val drop = candidates.filterNot(walKeep)
     var filesRemoved = 0L
     var bytesRemoved = 0L
     // nothing to drop AND the unverified grace is in force ⇒ the sweep

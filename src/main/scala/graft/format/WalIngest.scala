@@ -35,14 +35,18 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * Fencing and crash-safety (each invariant carries its mechanism):
-  *  - one Open generation per region: `open` creates the `.s0` marker with
-  *    create-no-overwrite — the same atomicity primitive the manifest CAS
-  *    relies on — so two writers cannot both own a generation.
+  *  - one Open generation per region: `open` creates the `.s0` marker
+  *    through the session's [[CommitHandler]] — the same CAS primitive
+  *    the manifest commit uses (FS atomic create, or the external-KV
+  *    claim on object stores without one) — so two writers cannot both
+  *    own a generation.
   *  - state transitions NEVER delete or rewrite a marker: each transition
   *    is an exclusive create of the NEXT `.sN` file and the current state
   *    is the highest marker present. There is no window where a
   *    generation's state vanishes, and a generation number can never be
-  *    reused (its `.s0` survives forever).
+  *    reused: markers survive until the generation is Merged, after
+  *    which the region's `hw-<G>.json` high water (create-only,
+  *    ratchets up) stands in for every compacted generation ≤ G.
   *  - a batch becomes visible by ONE directory rename (`_tmp-*` →
   *    `batch-<id>`): a crash mid-append leaves only `_tmp-*` debris, never
   *    a torn batch; re-append is safe.
@@ -106,34 +110,59 @@ object WalIngest {
     CommitHandler.forSession(spark).commit(fs, f, json.getBytes("UTF-8"))
   }
 
-  /** All generations of a region, ascending; state = highest marker. */
-  def generations(spark: SparkSession, table: String, region: String): Seq[GenState] = {
+  /** Immutable `.s0` payloads (owner/base never change once written),
+    * cached per (table, region, generation): a long-lived region's
+    * listing costs one marker read per NEW generation, not one per
+    * historical generation per call. */
+  private val s0Cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), (String, Long)]()
+
+  /** (live generations ascending, merged-through high water). Generations
+    * at or below the high water are Merged with their markers compacted
+    * away ([[cleanupMerged]]) and are NOT listed — the `hw-<G>.json` file
+    * is committed BEFORE any marker deletion and only superseded by a
+    * higher one, so no listing can ever see a partially-deleted
+    * generation without also seeing a high water that covers it. */
+  private def listRegion(spark: SparkSession, table: String,
+                         region: String): (Seq[GenState], Long) = {
     val dir = regionDir(table, region)
     val fs = fsOf(spark, dir)
     // surface markers an external handler won but crashed before writing
     CommitHandler.forSession(spark).recover(fs, dir)
-    if (!fs.exists(dir)) return Nil
-    val markers = fs.listStatus(dir).map(_.getPath.getName).collect {
+    if (!fs.exists(dir)) return (Nil, -1L)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val hw = names.collect { case n if n.matches("hw-\\d+\\.json") =>
+      n.stripPrefix("hw-").stripSuffix(".json").toLong }
+      .foldLeft(-1L)(math.max)
+    val markers = names.collect {
       case n if n.matches("gen-\\d+\\.s[0-3]\\.json") =>
         val core = n.stripSuffix(".json")
         val gen = core.substring(4, core.lastIndexOf('.')).toLong
         val seq = core.substring(core.length - 1).toInt
         (gen, seq)
     }
-    markers.groupBy(_._1).toSeq.sortBy(_._1).map { case (gen, ms) =>
-      val seq = ms.map(_._2).max
-      // owner/base from the immutable .s0 marker
-      val f = marker(table, region, gen, 0)
-      val in = fs.open(f)
-      val s = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-      val owner = "\"owner\"\\s*:\\s*\"([^\"]*)\"".r
-        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-      val base = "\"base\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      GenState(gen, States(seq), owner, base)
-    }
+    val gens = markers.filter(_._1 > hw).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (gen, ms) =>
+        val seq = ms.map(_._2).max
+        val (owner, base) = s0Cache.computeIfAbsent((table, region, gen), _ => {
+          val f = marker(table, region, gen, 0)
+          val in = fs.open(f)
+          val s = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+          ("\"owner\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(s).map(_.group(1)).getOrElse(""),
+            "\"base\"\\s*:\\s*(\\d+)".r
+              .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
+        })
+        GenState(gen, States(seq), owner, base)
+      }
+    (gens, hw)
   }
+
+  /** All live generations of a region, ascending; state = highest marker.
+    * Merged generations whose markers were compacted are omitted. */
+  def generations(spark: SparkSession, table: String, region: String): Seq[GenState] =
+    listRegion(spark, table, region)._1
 
   /** Open the region's next generation, fenced to `owner`. Errors if an
     * Open generation exists (one writer per region, like the reference's
@@ -142,13 +171,15 @@ object WalIngest {
   def open(spark: SparkSession, table: String, region: String,
            owner: String): Long = {
     val base = GraftTable.loadManifest(spark, table).version
-    val gens = generations(spark, table, region)
+    val (gens, hw) = listRegion(spark, table, region)
     gens.find(_.state == "Open").foreach { g =>
       throw new IllegalStateException(
         s"region '$region' generation ${g.generation} is already Open " +
           s"(owner ${g.owner}); seal or flush it first")
     }
-    val next = gens.lastOption.map(_.generation + 1).getOrElse(0L)
+    // the high water counts: compacted Merged generations have no markers
+    // left, and a generation number must never be reused
+    val next = math.max(gens.lastOption.map(_.generation).getOrElse(-1L), hw) + 1
     val dir = regionDir(table, region)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
@@ -179,7 +210,12 @@ object WalIngest {
   /** True when the table was OVERWRITTEN or RESTORED after the generation
     * opened — its rows predate a truncation and must not flush into the
     * new table contents. Walks only the manifests committed since `base`
-    * (O(delta), never O(table)). */
+    * (O(delta), never O(table)). An unreadable intermediate version is
+    * non-fencing BY ENFORCEMENT, not assumption:
+    * [[GraftTable.cleanupOldVersions]] retains every overwrite/restore
+    * manifest newer than any live generation's base (see its WAL
+    * retention), so the only versions cleanup can drop here are
+    * non-fencing ones. */
   private def fencedOut(spark: SparkSession, table: String,
                         g: GenState): Boolean = {
     val latest = GraftTable.loadManifest(spark, table)
@@ -187,9 +223,29 @@ object WalIngest {
     (g.base + 1 to latest.version).exists { v =>
       val op = scala.util.Try(
         GraftTable.loadManifest(spark, table, Some(v)).operation)
-        .getOrElse("") // a cleaned-up intermediate version cannot be an overwrite fence... conservatively treat unreadable as non-fencing
+        .getOrElse("")
       op == "overwrite" || op == "restore"
     }
+  }
+
+  /** How much manifest history live WAL generations pin, for
+    * [[GraftTable.cleanupOldVersions]]'s retention: `_1` = base below
+    * which FULL history must stay readable (Open/Sealed generations —
+    * their crashed-flush recovery distinguishes dead copies from
+    * import material by whether any manifest since base referenced a
+    * file, and their fence check must see every operation); `_2` = base
+    * below which overwrite/restore FENCE manifests must stay readable
+    * (any non-Merged generation — Flushed ones still fence their
+    * straggler sweeps). One `_wal` listing + one listing per region. */
+  def retentionBases(spark: SparkSession, table: String): (Option[Long], Option[Long]) = {
+    val walRoot = new Path(s"$table/_wal")
+    val fs = fsOf(spark, walRoot)
+    if (!fs.exists(walRoot)) return (None, None)
+    val regions = fs.listStatus(walRoot).filter(_.isDirectory).map(_.getPath.getName)
+    val live = regions.toSeq.flatMap(r => generations(spark, table, r))
+      .filter(_.state != "Merged")
+    val openSealed = live.filter(g => g.state == "Open" || g.state == "Sealed")
+    (openSealed.map(_.base).minOption, live.map(_.base).minOption)
   }
 
   /** Append a batch to the region's Open generation — NO manifest commit.
@@ -229,7 +285,12 @@ object WalIngest {
     // so the batch dir holds exactly its parquet parts
     fs.delete(new Path(tmp, "_SUCCESS"), false)
     val n = fs.listStatus(tmp).count(_.getPath.getName.endsWith(".parquet"))
-    val dst = new Path(dest, s"batch-$id")
+    // taggedness is recorded in the directory name: only `batch-` dirs are
+    // replay-protected and get `done-` markers; an UNTAGGED append (SQL
+    // INSERT route) is `adhoc-` — flush must never stamp a permanent
+    // marker for it (the region would grow one file per INSERT forever)
+    val dst = new Path(dest,
+      if (batchTag.isDefined) s"batch-$id" else s"adhoc-$id")
     if (fs.exists(dst)) { // tagged replay that crashed before its marker
       fs.delete(tmp, true)
     } else if (!fs.rename(tmp, dst))
@@ -246,7 +307,9 @@ object WalIngest {
     val dir = genDir(table, region, gen)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) 0
-    else fs.listStatus(dir).count(_.getPath.getName.startsWith("batch-"))
+    else fs.listStatus(dir).count(s =>
+      s.getPath.getName.startsWith("batch-") ||
+        s.getPath.getName.startsWith("adhoc-"))
   }
 
   /** Open → Sealed: no further appends; the generation is flushable. */
@@ -324,20 +387,46 @@ object WalIngest {
     }
     def drain(g: GenState, stragglersOnly: Boolean): Long = {
       val dir = genDir(table, region, g.generation)
+      // An unreferenced FRAG-NAMED file in the generation is one of two
+      // things: a crashed flush's rename that never made its commit
+      // (import material — its rows exist nowhere else), or a copy some
+      // commit DID reference that a later compaction superseded (dead —
+      // its rows live in the compacted fragments, and importing it would
+      // duplicate the whole generation). The current manifest cannot tell
+      // them apart; HISTORY can: a file is dead iff any manifest since
+      // the generation's base ever referenced it. The walk is lazy (only
+      // a frag-named sighting pays it) and O(delta since base) — the
+      // WAL-aware retention in [[GraftTable.cleanupOldVersions]] keeps
+      // those manifests readable while the generation is Open/Sealed.
+      lazy val referencedSinceBase: Set[String] = {
+        val latest = GraftTable.loadManifest(spark, table).version
+        (g.base + 1 to latest).iterator.flatMap(v =>
+          scala.util.Try(GraftTable.loadManifest(spark, table, Some(v))
+            .fragments.map(_.path)).getOrElse(Nil)).toSet
+      }
+      var committedByUs = Set.empty[String] // commits from THIS drain loop
+      def deadCopy(p: String): Boolean =
+        committedByUs.contains(p) || referencedSinceBase.contains(p)
       var total = 0L
       var drained = false
       while (!drained) {
         stampMarkers(dir)
         val referenced = GraftTable.loadManifest(spark, table)
           .fragments.map(_.path).toSet
-        val files = unreferencedFiles(fs, dir, referenced).filter(p =>
-          // Flushed-generation sweep: frag-named unreferenced files are
-          // compaction-superseded dead copies — importing them would
-          // duplicate every row of the generation
-          !stragglersOnly || !new Path(p).getName.matches("frag-\\d+\\.parquet"))
+        val files = unreferencedFiles(fs, dir, referenced).filter { p =>
+          val fragNamed = new Path(p).getName.matches("frag-\\d+\\.parquet")
+          // Flushed-generation sweep imports only non-frag stragglers; a
+          // Sealed re-flush imports frag-named files ONLY when no commit
+          // since base ever referenced them (crashed-pre-commit renames)
+          if (stragglersOnly) !fragNamed
+          else !fragNamed || !deadCopy(p)
+        }
         if (files.isEmpty) drained = true
-        else total += GraftTable.commitFiles(spark, table, files, "append")
-          .opStats.getOrElse("num_inserted_rows", 0L)
+        else {
+          val mNew = GraftTable.commitFiles(spark, table, files, "append")
+          committedByUs ++= mNew.fragments.map(_.path)
+          total += mNew.opStats.getOrElse("num_inserted_rows", 0L)
+        }
       }
       total
     }
@@ -382,7 +471,7 @@ object WalIngest {
     // batch ids below the query's high-water can never be replayed (Spark
     // restarts at the last checkpointed epoch, not at zero — a checkpoint
     // RESET must use a fresh queryId, like any idempotent-sink appId)
-    pruneMarkers(fs, table, region)
+    pruneMarkers(spark, fs, table, region)
     total
   }
 
@@ -392,23 +481,39 @@ object WalIngest {
     * bounded for long-lived streams. */
   private val MarkerRetention = 10000L
 
-  private def pruneMarkers(fs: FileSystem, table: String, region: String): Unit = {
+  /** Hand-tagged (non-sink-shaped) replay markers expire after this long:
+    * an at-least-once retry replays within its pipeline's horizon; a
+    * replay of a custom tag weeks later is a pipeline bug, not a retry —
+    * without a TTL every custom tag is a permanent region file. */
+  private val MarkerTtlMillis = 7L * 24 * 3600 * 1000
+
+  private def pruneMarkers(spark: SparkSession, fs: FileSystem,
+                           table: String, region: String): Unit = {
+    val handler = CommitHandler.forSession(spark)
     val dir = regionDir(table, region)
-    val done = try fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith("done-"))
+    val done = try fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("done-"))
       catch { case _: java.io.FileNotFoundException => return }
     // tags of the sink shape q<query>-b<batchId>: prune per query prefix
-    val tagged = done.flatMap { p =>
-      val t = p.getName.stripPrefix("done-")
+    val tagged = done.flatMap { st =>
+      val t = st.getPath.getName.stripPrefix("done-")
       val i = t.lastIndexOf("-b")
       if (i > 0 && t.substring(i + 2).forall(_.isDigit))
-        Some((t.substring(0, i), t.substring(i + 2).toLong, p))
+        Some((t.substring(0, i), t.substring(i + 2).toLong, st.getPath))
       else None
     }
     tagged.groupBy(_._1).foreach { case (_, ms) =>
       val hw = ms.map(_._2).max
-      ms.filter(_._2 < hw - MarkerRetention).foreach(m => fs.delete(m._3, false))
+      ms.filter(_._2 < hw - MarkerRetention).foreach { m =>
+        fs.delete(m._3, false); handler.forget(m._3)
+      }
     }
+    // custom tags carry no ordering to prune by — age them out instead
+    val shaped = tagged.map(_._3.getName).toSet
+    val now = System.currentTimeMillis()
+    done.filterNot(st => shaped.contains(st.getPath.getName))
+      .filter(st => now - st.getModificationTime > MarkerTtlMillis)
+      .foreach { st => fs.delete(st.getPath, false); handler.forget(st.getPath) }
   }
 
   /** Abandon an Open/Sealed generation WITHOUT importing it: deletes its
@@ -492,6 +597,48 @@ object WalIngest {
         merged += 1
       }
     }
+    compactMarkers(spark, fs, table, region)
     merged
+  }
+
+  /** Retire the markers of the contiguous Merged prefix: commit the
+    * region's merged-through high water (`hw-<G>.json`, create-only, so
+    * it can only ratchet up), THEN delete the covered `gen-*.s*` markers
+    * and superseded hw files. Without this a long-lived region pays one
+    * listing entry per generation it EVER had; with it, listing cost is
+    * O(live generations). Readers never see a torn window: the covering
+    * hw file exists before any deletion starts ([[listRegion]]). */
+  private def compactMarkers(spark: SparkSession, fs: FileSystem,
+                             table: String, region: String): Unit = {
+    val (gens, hw) = listRegion(spark, table, region)
+    var through = hw
+    gens.foreach { g =>
+      if (g.generation == through + 1 && g.state == "Merged") through += 1
+    }
+    if (through > hw)
+      CommitHandler.forSession(spark).commit(fs,
+        new Path(regionDir(table, region), s"hw-$through.json"),
+        s"""{"merged_through": $through}""".getBytes("UTF-8"))
+    // sweep everything a present hw file covers (also catches litter from
+    // a prior partially-failed sweep)
+    if (through >= 0) {
+      val dir = regionDir(table, region)
+      val names = try fs.listStatus(dir).map(_.getPath.getName)
+        catch { case _: java.io.FileNotFoundException => return }
+      val handler = CommitHandler.forSession(spark)
+      def drop(n: String): Unit = {
+        val p = new Path(dir, n)
+        fs.delete(p, false); handler.forget(p)
+      }
+      names.foreach {
+        case n if n.matches("gen-\\d+\\.s[0-3]\\.json") =>
+          val gen = n.stripSuffix(".json").substring(4).takeWhile(_ != '.').toLong
+          if (gen <= through) drop(n)
+        case n if n.matches("hw-\\d+\\.json") =>
+          val g = n.stripPrefix("hw-").stripSuffix(".json").toLong
+          if (g < through) drop(n)
+        case _ =>
+      }
+    }
   }
 }

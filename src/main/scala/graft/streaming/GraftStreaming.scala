@@ -57,12 +57,21 @@ object GraftStreaming {
     * Trade vs [[foreachBatchSink]]: readers of the TABLE see ingested rows
     * only at flush boundaries (use [[graft.format.WalIngest.readWithWal]]
     * for the un-flushed tail); in exchange, commit traffic drops by
-    * `flushEvery`× and triggers never wait on CAS retries. */
-  def walBatchSink(tablePath: String, region: String,
-                   flushEvery: Int = 10, owner: String = "stream",
-                   queryId: String = "default"):
+    * `flushEvery`× and triggers never wait on CAS retries.
+    *
+    * `queryId` is REQUIRED and must be unique per logical stream into the
+    * region: replay idempotence is keyed on (queryId, batchId), so two
+    * streams sharing an id — or one stream restarted from a RESET
+    * checkpoint (batch ids start over) — would have their batches
+    * silently dropped as replays. Use a stable name per pipeline, and a
+    * fresh one whenever a checkpoint is reset. */
+  def walBatchSink(tablePath: String, region: String, queryId: String,
+                   flushEvery: Int = 10, owner: String = "stream"):
       (Dataset[Row], Long) => Unit = {
     require(flushEvery >= 1, s"flushEvery must be >= 1, got $flushEvery")
+    require(queryId.nonEmpty, "walBatchSink needs an explicit queryId — " +
+      "batch replay dedup is keyed on (queryId, batchId), and a shared or " +
+      "recycled id silently drops the other stream's batches as replays")
     (batch, batchId) => {
       import graft.format.WalIngest
       val spark = batch.sparkSession

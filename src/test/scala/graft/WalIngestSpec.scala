@@ -90,7 +90,8 @@ class WalIngestSpec extends AnyFunSuite {
     val genDir = new Path(s"$t/_wal/cr/gen-0")
     val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
     val batch = fs.listStatus(genDir)
-      .map(_.getPath).filter(_.getName.startsWith("batch-")).head
+      .map(_.getPath).filter(p => p.getName.startsWith("batch-") ||
+        p.getName.startsWith("adhoc-")).head
     assert(fs.rename(batch, new Path(genDir, "frag-99999.parquet")))
     // flush must sweep BOTH the frag-renamed orphan and remaining batches
     val flushed = WalIngest.flush(spark, t, "cr", "w")
@@ -122,7 +123,9 @@ class WalIngestSpec extends AnyFunSuite {
       "only the new batch may flush — dead gen-0 copies are not imports")
     assert(GraftTable.read(spark, t).count() == 151)
     assert(WalIngest.cleanupMerged(spark, t, "m") == 1)
-    assert(WalIngest.generations(spark, t, "m").head.state == "Merged")
+    // the merged generation's markers compact into the high water: it
+    // leaves the listing entirely, the Flushed successor remains
+    assert(WalIngest.generations(spark, t, "m").map(_.generation) == Seq(1L))
     assert(!new java.io.File(s"$t/_wal/m/gen-0").exists)
     assert(GraftTable.read(spark, t).count() == 151)
     // ownership is enforced even when only Flushed generations remain
@@ -256,6 +259,112 @@ class WalIngestSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq,
       s"got ${got.length} rows, want ${want.length}")
     GraftTable.validate(spark, t)
+  }
+
+  test("cleanup retains a live generation's OVERWRITE fence: flush still refuses") {
+    val t = tmp(); seed(t)
+    WalIngest.open(spark, t, "fr", "w")
+    WalIngest.append(spark, t, "fr", "w",
+      (100L until 110L).toDF("id").withColumn("v", col("id") * 2).coalesce(1))
+    // truncation the WAL rows must not survive, then enough commits to
+    // push the overwrite manifest out of any keepLast window
+    GraftTable.write((0L until 10L).toDF("id")
+      .withColumn("v", lit(0L)).coalesce(1), t, "overwrite")
+    val fenceV = GraftTable.latestVersion(spark, t).get
+    for (i <- 0 until 4)
+      GraftTable.write(Seq((50L + i, 0L)).toDF("id", "v"), t, "append")
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 2)
+    // the fence manifest survived the cleanup (WAL retention) ...
+    assert(GraftTable.versions(spark, t).contains(fenceV),
+      "cleanup dropped the overwrite fence of a live WAL generation")
+    // ... so the flush still sees the truncation and refuses
+    val e = intercept[IllegalStateException] { WalIngest.flush(spark, t, "fr", "w") }
+    assert(e.getMessage.contains("OVERWRITTEN"), e.getMessage)
+    assert(GraftTable.read(spark, t).count() == 14)
+    // discarding the generation releases the retention
+    WalIngest.discard(spark, t, "fr", "w")
+    GraftTable.cleanupOldVersions(spark, t, keepLast = 2)
+    assert(!GraftTable.versions(spark, t).contains(fenceV))
+  }
+
+  test("Sealed re-flush after crash+compaction: dead copies are never re-imported") {
+    val t = tmp(); seed(t)
+    WalIngest.open(spark, t, "dc", "w")
+    WalIngest.append(spark, t, "dc", "w",
+      (100L until 120L).toDF("id").withColumn("v", col("id") * 2).coalesce(1))
+    WalIngest.seal(spark, t, "dc", "w")
+    // crash window: drain's commitFiles landed, but the process died
+    // before the .s2 marker — mimic by committing the batch files by hand
+    val genDir = new Path(s"$t/_wal/dc/gen-0")
+    val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(genDir).filter(_.isDirectory).flatMap(d =>
+      fs.listStatus(d.getPath)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    GraftTable.commitFiles(spark, t, parts, "append")
+    assert(GraftTable.read(spark, t).count() == 120)
+    assert(WalIngest.generations(spark, t, "dc").head.state == "Sealed")
+    // a compaction now supersedes the committed fragments: the gen dir
+    // holds frag-named DEAD copies whose rows live on in data/
+    GraftTable.compactFiles(spark, t, targetRows = 1 << 20)
+    // the retry flush must import NOTHING — re-importing the dead copies
+    // would duplicate every row of the generation
+    assert(WalIngest.flush(spark, t, "dc", "w") == 0L,
+      "retry flush re-imported compaction-superseded dead copies")
+    assert(GraftTable.read(spark, t).count() == 120)
+    assert(WalIngest.generations(spark, t, "dc").head.state == "Flushed")
+    assert(GraftTable.validate(spark, t).isEmpty)
+    // while a crashed-pre-COMMIT rename (never referenced) still imports:
+    // see "crashed flush resumes without duplicates"
+  }
+
+  test("untagged appends leave no permanent markers; custom tags age out") {
+    val t = tmp(); seed(t)
+    WalIngest.open(spark, t, "mk", "w")
+    WalIngest.append(spark, t, "mk", "w", Seq((500L, 0L)).toDF("id", "v"))
+    WalIngest.append(spark, t, "mk", "w", Seq((501L, 0L)).toDF("id", "v"),
+      batchTag = Some("mytag"))
+    val dir = new java.io.File(s"$t/_wal/mk")
+    val genDir = new java.io.File(s"$t/_wal/mk/gen-0")
+    // taggedness is recorded in the batch dir name
+    assert(genDir.listFiles().count(_.getName.startsWith("adhoc-")) == 1)
+    assert(genDir.listFiles().count(_.getName.startsWith("batch-")) == 1)
+    WalIngest.flush(spark, t, "mk", "w")
+    // flush stamped no marker for the adhoc batch — only the tagged one
+    assert(dir.listFiles().map(_.getName).filter(_.startsWith("done-")).toSeq
+      == Seq("done-mytag"))
+    // custom (non-sink-shaped) markers expire by age
+    val mk = new Path(s"$t/_wal/mk/done-mytag")
+    val fs = mk.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    fs.setTimes(mk, old, old)
+    WalIngest.open(spark, t, "mk", "w")
+    WalIngest.append(spark, t, "mk", "w", Seq((502L, 0L)).toDF("id", "v"))
+    WalIngest.flush(spark, t, "mk", "w")
+    assert(!dir.listFiles().map(_.getName).exists(_ == "done-mytag"),
+      "aged-out custom marker survived the prune")
+    assert(GraftTable.read(spark, t).count() == 103)
+  }
+
+  test("merged generations compact to a high water: listings stay O(live)") {
+    val t = tmp(); seed(t)
+    for (g <- 0 until 3) {
+      WalIngest.open(spark, t, "hw", "w")
+      WalIngest.append(spark, t, "hw", "w",
+        Seq((900L + g, 0L)).toDF("id", "v"))
+      WalIngest.flush(spark, t, "hw", "w")
+      GraftTable.compactFiles(spark, t, targetRows = 1 << 20)
+      assert(WalIngest.cleanupMerged(spark, t, "hw") == 1)
+    }
+    val names = new java.io.File(s"$t/_wal/hw").listFiles().map(_.getName)
+    assert(names.contains("hw-2.json"), names.toSeq)
+    assert(!names.exists(_.startsWith("gen-")),
+      s"markers of compacted generations linger: ${names.toSeq}")
+    // generation numbers still never recycle
+    assert(WalIngest.open(spark, t, "hw", "w") == 3L)
+    WalIngest.append(spark, t, "hw", "w", Seq((999L, 0L)).toDF("id", "v"))
+    assert(WalIngest.flush(spark, t, "hw", "w") == 1L)
+    assert(GraftTable.read(spark, t).count() == 104)
+    assert(GraftTable.validate(spark, t).isEmpty)
   }
 
   test("multiple regions are independent; readWithWal unions all requested") {
