@@ -98,7 +98,22 @@ object Bench {
       deepClean(); r
     }
 
-    val all = buildResults ++ pureResults ++ gateResults
+    // absolute TPC-H anchor at SF1 (BASELINE.md): included when the
+    // generated 6M-row benchdata exists (tools/gen_tpch_sf1.py builds the
+    // parquet; tools.TpchAnchor builds the graft table and carries the
+    // best-of-5 comparison — these are cold single-run numbers)
+    val sf1Results =
+      if (scala.util.Try(graft.format.GraftTable.latestVersion(spark,
+          graft.tools.TpchAnchor.TableDir)).toOption.flatten.isDefined) {
+        deepClean()
+        Seq(
+          timed("tpch_sf1_q1", () =>
+            { graft.tools.TpchAnchor.q1(spark, graft.tools.TpchAnchor.TableDir).collect(); () }),
+          timed("tpch_sf1_q6", () =>
+            { graft.tools.TpchAnchor.q6(spark, graft.tools.TpchAnchor.TableDir).collect(); () }))
+      } else Nil
+
+    val all = buildResults ++ pureResults ++ gateResults ++ sf1Results
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -117,7 +132,7 @@ object Bench {
       "q1_agg", "q3_join_topk", "q_ngram_jaccard", "q_minhash_lsh",
       "q_simhash_dedup", "q_fts_match", "q_fts_boost", "q_ann_ivf_exact",
       "q_ann_hnsw", "q_scalar_index", "q_format_roundtrip",
-      "q_multimodal_decode")
+      "q_multimodal_decode", "tpch_sf1_q1", "tpch_sf1_q6")
     val byName = all.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     val line =
