@@ -49,6 +49,15 @@ case class FtsConfig(
       *    emit as singles exactly like jieba's no-HMM path). Dictionary
       *    entries may carry frequencies as `word:freq` (freq 1 when
       *    absent), mirroring jieba's dict.txt weights.
+      *  - `"morph"`: Japanese morphological segmentation, Lindera/MeCab
+      *    parity (the reference plugs Lindera + an IPADIC-style
+      *    dictionary in at `tokenizer.rs:317-325`): a Viterbi lattice
+      *    minimizing word costs + connection costs between part-of-speech
+      *    classes, with MeCab's unknown-word handling (whole-run
+      *    katakana/hangul grouping, per-class single-char fallbacks).
+      *    Dictionary entries are IPADIC-style `surface:cost:pos` with pos
+      *    in {n, prt, v, aux, sym} (cost 5000 / pos n when omitted); the
+      *    connection matrix is the committed [[FtsTokenizer.MorphConn]].
       * Stored with the index config like every tokenizer option. */
     cjkSegmenter: String = "fmm",
     /** Store per-document token POSITIONS in the postings (reference
@@ -99,16 +108,18 @@ object FtsTokenizer {
     * through the same function, so a query phrase segments exactly like the
     * indexed text. */
   private def cjkTokens(t: String, dict: Set[String], maxWordCp: Int,
-                        dp: Option[Map[String, Long]] = None): Seq[String] = {
+                        dp: Option[Map[String, Long]] = None,
+                        morph: Option[Map[String, (Int, Int)]] = None): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val latin = new StringBuilder
     val run = scala.collection.mutable.ArrayBuffer.empty[Int] // CJK codepoints
     def flushLatin(): Unit = if (latin.nonEmpty) { out += latin.toString; latin.clear() }
     def endCjkRun(): Unit = {
       if (run.nonEmpty) {
-        dp match {
-          case Some(freq) => segmentRunDp(run.toSeq, freq, maxWordCp, out)
-          case None => segmentRun(run.toSeq, dict, maxWordCp, out)
+        (morph, dp) match {
+          case (Some(lex), _) => segmentRunMorph(run.toSeq, lex, maxWordCp, out)
+          case (_, Some(freq)) => segmentRunDp(run.toSeq, freq, maxWordCp, out)
+          case _ => segmentRun(run.toSeq, dict, maxWordCp, out)
         }
         run.clear()
       }
@@ -218,6 +229,155 @@ object FtsTokenizer {
     while (pos < n) { out += str(pos, routeEnd(pos)); pos = routeEnd(pos) }
   }
 
+  /** POS classes for the `morph` segmenter's connection matrix. Index 0
+    * is BOS (and doubles as EOS — both connect at cost 0 on exit). */
+  private val MorphClasses = Array("bos", "n", "prt", "v", "aux", "sym", "unk")
+  private def morphClassIdx(pos: String): Int = {
+    val i = MorphClasses.indexOf(pos)
+    require(i > 0, s"morph dictionary pos must be one of " +
+      s"${MorphClasses.drop(1).mkString("/")}, got '$pos'")
+    i
+  }
+
+  /** Connection costs `MorphConn(prevClass)(nextClass)` for the `morph`
+    * segmenter — a committed 7-class reduction of the IPADIC connection
+    * matrix, keeping the relations that decide real segmentations: nouns
+    * hand off to particles cheaply (も/の after 名詞), particles hand
+    * back to content words cheaply, while noun→noun pays a compound
+    * penalty so a listed compound (関西国際空港) beats its parts but an
+    * unlisted juxtaposition still splits. Verified against published
+    * MeCab/Lindera segmentations in FtsSpec. */
+  private[operators] val MorphConn: Array[Array[Int]] = Array(
+    //             bos    n   prt    v   aux   sym   unk
+    /* bos */ Array(0,     0,  900,  200,  900,  500,  300),
+    /* n   */ Array(0,   900, -300,  400,  700,  300,  900),
+    /* prt */ Array(0,  -100,  400,    0,  500,  300,  200),
+    /* v   */ Array(0,   300,  100,  500, -200,  200,  400),
+    /* aux */ Array(0,   200,  200,  300,    0,  100,  300),
+    /* sym */ Array(0,   100,  300,  200,  300,  200,  200),
+    /* unk */ Array(0,   900, -200,  400,  600,  300,  900))
+
+  private val UnkClassIdx = 6
+  /** MeCab-style unknown-word costs: whole-run grouping for katakana /
+    * hangul (a run like トートバッグ is ONE unknown noun), single-char
+    * fallbacks per script elsewhere. The per-char slope must EXCEED a
+    * typical dictionary word cost + connection (≈3000–5000), or one
+    * merged unknown would undercut a chain of known words on any
+    * sufficiently long katakana run — while staying far below the
+    * single-char fallback so a genuinely unknown run still groups. */
+  private val UnkRunBase = 8000
+  private val UnkRunPerChar = 2000
+  private def unkSingleCost(cp: Int): Int = {
+    val s = Character.UnicodeScript.of(cp)
+    if (s == Character.UnicodeScript.HAN) 11000 else 12000
+  }
+  /** Script class for unknown-run grouping; ー/ヽ/ヾ continue katakana. */
+  private def runScript(cp: Int): Character.UnicodeScript =
+    if (cp == 0x30FC || cp == 0x30FD || cp == 0x30FE)
+      Character.UnicodeScript.KATAKANA
+    else Character.UnicodeScript.of(cp)
+
+  /** Lindera/MeCab-parity segmentation of one CJK run: Viterbi over the
+    * lattice of dictionary matches + unknown-word candidates, minimizing
+    * Σ wordCost + Σ [[MorphConn]](prev, next). `lex` maps surface →
+    * (cost, classIdx). Deterministic: cost ties resolve to the longer
+    * candidate. The committed fixture parity (published MeCab すもも
+    * segmentation with real IPADIC word costs; Lindera README compound
+    * example) is FtsSpec-gated. */
+  private def segmentRunMorph(run: Seq[Int], lex: Map[String, (Int, Int)],
+                              maxWordCp: Int,
+                              out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val n = run.length
+    if (n == 0) return
+    def str(from: Int, until: Int): String = {
+      val sb = new java.lang.StringBuilder((until - from) * 2)
+      var i = from
+      while (i < until) { sb.appendCodePoint(run(i)); i += 1 }
+      sb.toString
+    }
+    val C = MorphClasses.length
+    val INF = Int.MaxValue / 4
+    // dp(i)(c) = min cost of segmenting run[0,i) with the last word in
+    // class c; back(i)(c) = (start, prevClass) of that last word
+    val dp = Array.fill(n + 1, C)(INF)
+    val back = Array.fill(n + 1, C)((-1, -1))
+    dp(0)(0) = 0
+    var i = 0
+    while (i < n) {
+      var a = 0
+      while (a < C) {
+        val base = dp(i)(a)
+        if (base < INF) {
+          def relax(end: Int, cost: Int, cls: Int): Unit = {
+            val c = base + MorphConn(a)(cls) + cost
+            // strict <: with candidates visited short-to-long, a tie on
+            // cost resolves to the FIRST (shorter) — so visit longer
+            // first where ties should prefer length; here dict candidates
+            // iterate by length ascending and unk-run last, and `<=` for
+            // longer ends keeps the longer word on exact ties
+            if (c < dp(end)(cls) ||
+                (c == dp(end)(cls) && back(end)(cls)._1 > i)) {
+              dp(end)(cls) = c
+              back(end)(cls) = (i, a)
+            }
+          }
+          // dictionary candidates
+          var l = 1
+          val maxL = math.min(maxWordCp, n - i)
+          while (l <= maxL) {
+            lex.get(str(i, i + l)).foreach { case (cost, cls) =>
+              relax(i + l, cost, cls)
+            }
+            l += 1
+          }
+          // unknown single char
+          relax(i + 1, unkSingleCost(run(i)), UnkClassIdx)
+          // unknown whole-run grouping for katakana/hangul stretches
+          val sc = runScript(run(i))
+          if (sc == Character.UnicodeScript.KATAKANA ||
+              sc == Character.UnicodeScript.HANGUL) {
+            var e = i + 1
+            while (e < n && runScript(run(e)) == sc) e += 1
+            if (e - i >= 2)
+              relax(e, UnkRunBase + UnkRunPerChar * (e - i - 1), UnkClassIdx)
+          }
+        }
+        a += 1
+      }
+      i += 1
+    }
+    // EOS: all classes exit at cost 0; pick the cheapest, backtrack
+    var bestC = -1; var bestCost = INF
+    var c = 0
+    while (c < C) {
+      if (dp(n)(c) < bestCost) { bestCost = dp(n)(c); bestC = c }
+      c += 1
+    }
+    require(bestC >= 0, "morph lattice has no path") // unreachable: singles always connect
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n; var cls = bestC
+    while (pos > 0) {
+      val (start, prev) = back(pos)(cls)
+      words += str(start, pos)
+      pos = start; cls = prev
+    }
+    out ++= words.reverseIterator
+  }
+
+  /** Parse a `morph` dictionary entry `surface:cost:pos` (IPADIC row
+    * shape); `surface:cost` defaults pos to noun; bare `surface` defaults
+    * cost 5000, pos noun. */
+  private[operators] def morphEntry(e: String): (String, (Int, Int)) = {
+    val parts = e.split(":", -1)
+    parts.length match {
+      case 1 => (parts(0), (5000, morphClassIdx("n")))
+      case 2 => (parts(0), (parts(1).toInt, morphClassIdx("n")))
+      case 3 => (parts(0), (parts(1).toInt, morphClassIdx(parts(2))))
+      case _ => throw new IllegalArgumentException(
+        s"morph dictionary entry must be surface[:cost[:pos]], got '$e'")
+    }
+  }
+
   /** Parse a dictionary entry, optionally `word:freq` (jieba dict.txt
     * weights); a non-numeric suffix keeps the whole entry as the word. */
   private[operators] def dictEntry(e: String): (String, Long) = {
@@ -235,17 +395,25 @@ object FtsTokenizer {
       case "raw" => if (t.isEmpty) Nil else Seq(t)
       case "whitespace" => t.split("\\s+").toSeq.filter(_.nonEmpty)
       case "cjk" =>
-        require(cfg.cjkSegmenter == "fmm" || cfg.cjkSegmenter == "dp",
-          s"unknown cjkSegmenter '${cfg.cjkSegmenter}' (fmm | dp)")
-        val entries = cfg.cjkDictionary.map(dictEntry)
-        val dict = entries.map(_._1).toSet
-        val maxWordCp =
-          if (dict.isEmpty) 2
-          else entries.iterator.map(e => e._1.codePointCount(0, e._1.length)).max
-        val dp =
-          if (cfg.cjkSegmenter == "dp" && dict.nonEmpty) Some(entries.toMap)
-          else None
-        cjkTokens(t, dict, maxWordCp, dp)
+        require(Seq("fmm", "dp", "morph").contains(cfg.cjkSegmenter),
+          s"unknown cjkSegmenter '${cfg.cjkSegmenter}' (fmm | dp | morph)")
+        if (cfg.cjkSegmenter == "morph") {
+          val lex = cfg.cjkDictionary.map(morphEntry).toMap
+          val maxWordCp =
+            if (lex.isEmpty) 1
+            else lex.keysIterator.map(w => w.codePointCount(0, w.length)).max
+          cjkTokens(t, Set.empty, maxWordCp, None, Some(lex))
+        } else {
+          val entries = cfg.cjkDictionary.map(dictEntry)
+          val dict = entries.map(_._1).toSet
+          val maxWordCp =
+            if (dict.isEmpty) 2
+            else entries.iterator.map(e => e._1.codePointCount(0, e._1.length)).max
+          val dp =
+            if (cfg.cjkSegmenter == "dp" && dict.nonEmpty) Some(entries.toMap)
+            else None
+          cjkTokens(t, dict, maxWordCp, dp)
+        }
       case "ngram" =>
         val grams = scala.collection.mutable.ArrayBuffer.empty[String]
         val starts = if (cfg.ngramPrefixOnly) Seq(0) else 0 until t.length

@@ -35,7 +35,8 @@ object FtsQueries {
     "build_fts_title" -> ((s, d) => { titleIndexFor(s, d); () }),
     "build_fts_stemmed" -> ((s, d) => { stemmedIndexFor(s, d); () }),
     "build_fts_stopword" -> ((s, d) => { stopwordIndexFor(s, d); () }),
-    "build_fts_nopos" -> ((s, d) => { noPosIndexFor(s, d); () })
+    "build_fts_nopos" -> ((s, d) => { noPosIndexFor(s, d); () }),
+    "build_fts_ja" -> ((s, d) => { jaIndexFor(s, d); () })
   )
 
   private val builtStemmed = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -65,6 +66,43 @@ object FtsQueries {
   private def noPosIndexFor(s: SparkSession, d: String): String =
     configuredIndexFor(s, d, "nopos", builtNoPos,
       graft.operators.FtsConfig(storePositions = false))
+
+  /** EN→JA closed vocabulary for q_fts_cjk_ja: the gate builds Japanese
+    * text by mapping corpus tokens through this table and concatenating
+    * WITHOUT separators — so the `morph` segmenter must recover exactly
+    * the word list the oracle derives from the mapping directly. Any
+    * wrong split changes tf/df/dl on the Spark side only and fails the
+    * hash compare: the segmenter itself is what this gate gates. */
+  private val JaMap = Seq(
+    "join" -> "結合", "hash" -> "ハッシュ", "scan" -> "走査",
+    "table" -> "表", "vector" -> "ベクトル", "data" -> "データ")
+
+  /** IPADIC-style fixture lexicon (surface:cost:pos) for the gate corpus. */
+  private val JaLexicon = Seq("結合:3000:n", "ハッシュ:3000:n", "走査:3000:n",
+    "表:4000:n", "ベクトル:3000:n", "データ:3000:n")
+
+  private val builtJa = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jaIndexFor(s: SparkSession, d: String): String =
+    builtJa.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/fts_ja_${d.hashCode.toHexString}"
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      val jaWord = (t: org.apache.spark.sql.Column) =>
+        JaMap.foldLeft(lit("")) { case (acc, (en, ja)) =>
+          when(t === en, ja).otherwise(acc)
+        }
+      val corpus = Tables.documents(s, d)
+        .withColumn("ja_text",
+          concat_ws("", transform(Fts.tokenize(col("text")), jaWord)))
+        .filter(length(col("ja_text")) > 0)
+        .select(col("doc_id"), col("ja_text"))
+      Fts.buildIndex(corpus, "doc_id", "ja_text", dir,
+        config = graft.operators.FtsConfig(baseTokenizer = "cjk",
+          cjkSegmenter = "morph", cjkDictionary = JaLexicon))
+      dir
+    })
 
   val queries: Map[String, Q] = Map(
     "q_fts_match" -> { (s, d) =>
@@ -151,6 +189,18 @@ object FtsQueries {
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },
 
+    // Japanese morphological segmentation (Lindera/MeCab parity,
+    // reference tokenizer.rs:317-325): the corpus is corpus tokens mapped
+    // to Japanese words and concatenated WITHOUT separators; the index
+    // must Viterbi-segment the words back out (see JaMap) for tf/df/dl —
+    // and therefore BM25 scores — to match the oracle, which derives the
+    // token lists from the mapping directly and never segments.
+    "q_fts_cjk_ja" -> { (s, d) =>
+      val idx = jaIndexFor(s, d)
+      Fts.matchQuery(s, idx, Seq("ベクトル", "結合"), 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
     // MultiMatch across two indexed fields: full text (boost 1) and a
     // derived "title" field = first 10 tokens (boost 2), max-combined.
     "q_fts_multimatch" -> { (s, d) =>
@@ -215,6 +265,35 @@ object FtsQueries {
       | WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE t END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // toks: replay the EN→JA mapping directly (never segments — the
+    // Spark side must SEGMENT the separator-free text back to this list)
+    "q_fts_cjk_ja" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(list_transform(
+        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> ''),
+        |    t -> CASE t WHEN 'join' THEN '結合' WHEN 'hash' THEN 'ハッシュ'
+        |           WHEN 'scan' THEN '走査' WHEN 'table' THEN '表'
+        |           WHEN 'vector' THEN 'ベクトル' WHEN 'data' THEN 'データ'
+        |           ELSE NULL END),
+        |    t -> t IS NOT NULL) AS tk
+        |  FROM documents),
+        |toksf AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |docs AS (SELECT doc_id, len(tk)*1.0 AS dl FROM toksf),
+        |meta AS (SELECT count(*)*1.0 AS n, avg(dl) AS avgdl FROM docs),
+        |tf AS (SELECT doc_id, t AS token, count(*)*1.0 AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS t FROM toksf) GROUP BY doc_id, t),
+        |st AS (SELECT token, count(*)*1.0 AS df FROM tf GROUP BY token)
+        |SELECT f.doc_id,
+        |  round(sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+        |        * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))),4) AS _score
+        |FROM tf f JOIN st s ON f.token = s.token
+        | JOIN docs d ON f.doc_id = d.doc_id CROSS JOIN meta m
+        |WHERE f.token IN ('ベクトル','結合')
+        |GROUP BY f.doc_id
+        |ORDER BY sum(ln(1+(m.n-s.df+0.5)/(s.df+0.5))
+        |        * f.tf*(1.2+1)/(f.tf+1.2*(1-0.75+0.75*d.dl/m.avgdl))) DESC, f.doc_id
+        |LIMIT 20""".stripMargin,
+
     "q_fts_match" -> bm25Select("'spark','vector'", ""),
     "q_fts_nopos" -> bm25Select("'spark','vector'", ""),
     "q_fts_wand" -> bm25Select("'spark','vector'", ""),

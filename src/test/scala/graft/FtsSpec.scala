@@ -387,6 +387,58 @@ class FtsSpec extends AnyFunSuite {
     assert(hits == Set(1L), s"dp word query must hit only the exact-word doc: $hits")
   }
 
+  test("morph segmenter reproduces published MeCab/Lindera segmentations") {
+    import graft.operators.{Fts, FtsConfig, FtsTokenizer}
+    import java.nio.file.Files
+    // MeCab's canonical example (published in the MeCab docs with these
+    // IPADIC word costs): すもももももももものうち →
+    // すもも/も/もも/も/もも/の/うち. The path must beat both the
+    // all-も particle chain (prt→prt connections are expensive) and the
+    // もも/もも/もも noun chain (noun→noun compound penalty).
+    val ipadic = Seq("すもも:7546:n", "もも:7219:n", "も:4669:prt",
+      "の:4770:prt", "うち:5796:n")
+    val morph = FtsConfig(baseTokenizer = "cjk", cjkDictionary = ipadic,
+      cjkSegmenter = "morph", lowerCase = false)
+    assert(FtsTokenizer.tokens("すもももももももものうち", morph)
+      == Seq("すもも", "も", "もも", "も", "もも", "の", "うち"))
+    // Lindera README example: the listed compound 関西国際空港 beats its
+    // listed parts, and トートバッグ — absent from the lexicon — groups
+    // as ONE unknown katakana run (MeCab unknown-word grouping), not
+    // per-character debris
+    val lexKix = Seq("関西国際空港:3000:n", "関西:4000:n", "国際:4000:n",
+      "空港:4000:n", "限定:4000:n")
+    val kix = FtsConfig(baseTokenizer = "cjk", cjkDictionary = lexKix,
+      cjkSegmenter = "morph", lowerCase = false)
+    assert(FtsTokenizer.tokens("関西国際空港限定トートバッグ", kix)
+      == Seq("関西国際空港", "限定", "トートバッグ"))
+    // mixed classes: noun, unknown katakana run, particle, verb
+    val lexMix = Seq("東京:3000:n", "に:4700:prt", "行く:7000:v")
+    val mix = FtsConfig(baseTokenizer = "cjk", cjkDictionary = lexMix,
+      cjkSegmenter = "morph", lowerCase = false)
+    assert(FtsTokenizer.tokens("東京タワーに行く", mix)
+      == Seq("東京", "タワー", "に", "行く"))
+    // ー continues a katakana unknown run
+    assert(FtsTokenizer.tokens("スパーク", mix) == Seq("スパーク"))
+    // unlisted kanji juxtaposition splits (no compound in the lexicon)
+    assert(FtsTokenizer.tokens("関西空港", kix) == Seq("関西", "空港"))
+    // lexicon + segmenter survive the on-disk round trip; query terms
+    // segment exactly like the indexed corpus
+    val corpus = Seq((1L, "関西国際空港限定トートバッグ"),
+      (2L, "関西の空港")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("fts_cjk_morph_").toString
+    Fts.buildIndex(corpus, "doc_id", "text", dir, config = kix)
+    assert(Fts.loadConfig(spark, dir).cjkSegmenter == "morph")
+    assert(Fts.loadConfig(spark, dir).cjkDictionary == lexKix)
+    val hits = Fts.matchQuery(spark, dir, Seq("関西国際空港"), 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(hits == Set(1L),
+      s"compound query must hit only the compound doc, got: $hits")
+    val parts = Fts.matchQuery(spark, dir, Seq("空港"), 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(parts == Set(2L),
+      s"part query must hit only the doc where the part is a token: $parts")
+  }
+
   test("block-max WAND equals matchQuery exactly and prunes weak blocks") {
     // one doc per 1024-block: 5 strong docs (high tf, short dl), 195 weak
     val docs = (0 until 200).map { i =>
