@@ -21,6 +21,25 @@ object Vector {
     Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** In-gate recall floor (VERDICT r12 #4): the approximate rows-only
+    * gates assert recall@10 against the flat-search truth over `corpus`,
+    * so a quality regression fails the gate instead of sliding through a
+    * shape-only check. Floors sit BELOW the measured sf0.01/sf0.1 values
+    * with slack for corpus regeneration, not at them; the tight curve
+    * lives in tools/RecallProbe + the per-index recall specs. */
+  private def requireRecall(corpus: DataFrame, q: Array[Float],
+                            got: DataFrame, floor: Double,
+                            gate: String): DataFrame = {
+    val truth = Knn.flatSearch(corpus, "embedding", q, 10, "l2",
+        tieBreakers = Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids = got.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = truth.count(ids.contains).toDouble / truth.size
+    require(recall >= floor,
+      f"$gate recall@10 = $recall%.2f below floor $floor%.2f")
+    got
+  }
+
   // one shared IVF / IVF_PQ index per sfDir per JVM
   private val builtIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val builtPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -330,8 +349,10 @@ object Vector {
     "q_ann_hnsw" -> { (s, d) =>
       val q = queryVec(s, d)
       val idx = hnswIndexFor(s, d)
-      graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4, ef = 64)
-        .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+      requireRecall(Tables.embeddings(s, d), q,
+        graft.operators.HnswIndex.search(s, idx, q, k = 10, nprobes = 4, ef = 64)
+          .select(col("id").as("vec_id"), round(col(Knn.DistanceCol), 4).as("dist")),
+        floor = 0.9, gate = "q_ann_hnsw") // measured 1.00 @ both SFs; HnswSpec gates >=0.9 too
     },
 
     // Prefiltered ANN (reference prefilter.rs + scanner.rs:2254-2278): the
@@ -466,9 +487,11 @@ object Vector {
       graft.operators.HnswIndex.buildForTable(s, t, "vec_id", "embedding", idx, nlist = 4)
       GraftTable.delete(s, t, s"vec_id < $cut")
       GraftTable.compactFiles(s, t, targetRows = 250, materializeDeletions = 0.1)
-      graft.operators.HnswIndex.searchCombined(s, t, idx, "vec_id", "embedding", q,
-          k = 10, nprobes = 4)
-        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+      requireRecall(e.filter(col("vec_id") >= cut), q,
+        graft.operators.HnswIndex.searchCombined(s, t, idx, "vec_id", "embedding", q,
+            k = 10, nprobes = 4)
+          .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist")),
+        floor = 0.9, gate = "q_ann_hnsw_after_compact") // measured 1.00 @ both SFs
     },
 
     // IVF_RQ binary quantization (reference vector/bq/ — RaBitQ-style
@@ -518,8 +541,10 @@ object Vector {
     "q_ann_ivf_probe" -> { (s, d) =>
       val q = queryVec(s, d)
       val idx = ivfIndexFor(s, d)
-      IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 2)
-        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+      requireRecall(Tables.embeddings(s, d), q,
+        IvfIndex.search(s, idx, "vec_id", "embedding", q, k = 10, nprobes = 2)
+          .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist")),
+        floor = 0.5, gate = "q_ann_ivf_probe") // measured 0.60 @ sf0.01/sf0.1 (nprobes=2/8 truncation)
     },
 
     // IVF_PQ with full probes + refine covering the corpus == flat search
@@ -557,18 +582,22 @@ object Vector {
     "q_ann_ivfsq_probe" -> { (s, d) =>
       val q = queryVec(s, d)
       val idx = sqIndexFor(s, d)
-      graft.operators.SqIndex.search(s, idx, "vec_id", "embedding", q,
-          kNeighbors = 10, nprobes = 2, refineFactor = 5)
-        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+      requireRecall(Tables.embeddings(s, d), q,
+        graft.operators.SqIndex.search(s, idx, "vec_id", "embedding", q,
+            kNeighbors = 10, nprobes = 2, refineFactor = 5)
+          .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist")),
+        floor = 0.5, gate = "q_ann_ivfsq_probe") // measured 0.60 @ both SFs
     },
 
     // realistic lossy config — rows-only; quality gated by PqSpec recall
     "q_ann_ivfpq_probe" -> { (s, d) =>
       val q = queryVec(s, d)
       val idx = pqIndexFor(s, d)
-      graft.operators.PqIndex.search(s, idx, "vec_id", "embedding", q,
-          kNeighbors = 10, nprobes = 2, refineFactor = 5)
-        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+      requireRecall(Tables.embeddings(s, d), q,
+        graft.operators.PqIndex.search(s, idx, "vec_id", "embedding", q,
+            kNeighbors = 10, nprobes = 2, refineFactor = 5)
+          .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist")),
+        floor = 0.4, gate = "q_ann_ivfpq_probe") // measured 0.60/0.50 (PQ loss atop truncation)
     },
 
     // Multivector (late-interaction) search: two query vectors, per-row
