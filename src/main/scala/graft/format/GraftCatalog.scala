@@ -308,6 +308,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.wal_status" => GraftProcedures.walStatus(pathOf)
       case "system.wal_cleanup" => GraftProcedures.walCleanup(pathOf)
       case "system.wal_discard" => GraftProcedures.walDiscard(pathOf)
+      case "system.cache_stats" => GraftProcedures.cacheStats()
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -326,7 +327,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
         "analyze_fts", "ivf_model", "shallow_clone", "blob_slice",
         "wal_open", "wal_seal", "wal_flush", "wal_status", "wal_cleanup",
-        "wal_discard")
+        "wal_discard", "cache_stats")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -692,6 +693,28 @@ private[format] object GraftProcedures {
       StructType(Seq(StructField("generation_discarded", DT.LongType)))) { in =>
       Seq(WalIngest.discard(spark, pathOf(in.getUTF8String(0).toString),
         in.getUTF8String(1).toString, in.getUTF8String(2).toString))
+    }
+
+  /** `CALL g.system.cache_stats()` — per-JVM index-cache observability
+    * (reference `session.index_cache` size/hit-rate, `dataset.py:3039`):
+    * entries vs configured budget and cumulative hits/misses for the
+    * HNSW graph LRU (`spark.graft.cache.hnsw.indexes`) and the IVF
+    * centroid cache (`spark.graft.cache.centroids.indexes`). */
+  def cacheStats(): UnboundProcedure =
+    procRows("cache_stats", Array.empty[ProcedureParameter],
+      StructType(Seq(StructField("cache", DT.StringType),
+        StructField("entries", DT.LongType),
+        StructField("capacity", DT.LongType),
+        StructField("hits", DT.LongType),
+        StructField("misses", DT.LongType)))) { _ =>
+      import graft.operators.{HnswIndex, IvfIndex}
+      Seq(
+        Seq[Any]("hnsw_graph", HnswIndex.cachedPaths().size.toLong,
+          HnswIndex.currentCacheCapacity.toLong,
+          HnswIndex.cacheHits.get(), HnswIndex.cacheMisses.get()),
+        Seq[Any]("ivf_centroids", IvfIndex.centroidCacheSize.toLong,
+          IvfIndex.currentCentroidCapacity.toLong,
+          IvfIndex.centroidCacheHits.get(), IvfIndex.centroidCacheMisses.get()))
     }
 
   def walCleanup(pathOf: String => String): UnboundProcedure =

@@ -224,8 +224,16 @@ object Dedup {
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    lastConvergenceRounds.set(it)
     labels.select(col("__u").as(aCol), col("__lbl").as("component"))
   }
+
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * spec instrumentation for the O(log diameter) claim (a diameter-d
+    * chain must finish in ⌈log₂ d⌉ + 1 rounds: each round's neighbor-min
+    * + label-of-label shortcut doubles the propagated distance, and the
+    * final round only verifies no change). */
+  val lastConvergenceRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Benchmark decontamination (the GPT-3 recipe, arXiv:2005.14165
     * appendix C: flag training documents that share any word 13-gram with

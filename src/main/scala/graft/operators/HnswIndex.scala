@@ -46,6 +46,11 @@ object HnswIndex {
   val PidCol = "__ivf_pid"
   private val AddrCol = graft.format.GraftTable.RowAddrCol
 
+  /** Session conf bounding the per-IVF-partition vector payload a single
+    * graph-build task may hold in memory (bytes; default 4 GiB). See the
+    * guard in `writeGraphRows`. */
+  val PartitionBudgetKey = "spark.graft.hnsw.partition.budget.bytes"
+
   /** mL = 1/ln(M): standard HNSW level normalizer. */
   private def levelOf(id: Long, m: Int): Int = {
     // xxh-style avalanche of the id → uniform(0,1) → geometric level
@@ -243,10 +248,17 @@ object HnswIndex {
         IvfAssign(ColumnBridge.expression(col("vec")), centroids)))
       .repartition(col(PidCol))
     val mLocal = m; val efLocal = efConstruction
+    // Partition-size guard: a whole IVF partition's vectors materialize in
+    // ONE task's heap here (the graph is built in memory per partition).
+    // With auto nlist ≈ √rows that is ~√corpus vectors per task — fine to
+    // ~10⁹ rows at d ≤ 768 — but an undersized nlist on a big corpus must
+    // fail fast with the fix in the message, not OOM an executor mid-build.
+    val budgetBytes = spark.conf.get(PartitionBudgetKey, (4L << 30).toString).toLong
     val graphRows = assigned.queryExecution.toRdd.mapPartitions { it =>
       // one IVF partition per task post-repartition (hash on pid); group by
       // pid anyway for safety under AQE partition coalescing
       val byPid = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Array[Float], Any)]]
+      val bytesByPid = mutable.Map.empty[Int, Long]
       it.foreach { ir =>
         val id = ir.getLong(0)
         val vecData = ir.getArray(1)
@@ -254,7 +266,15 @@ object HnswIndex {
         val v = new Array[Float](n)
         var i = 0; while (i < n) { v(i) = vecData.getFloat(i); i += 1 }
         val addr: Any = if (ir.isNullAt(2)) null else ir.getLong(2)
-        byPid.getOrElseUpdate(ir.getInt(3), mutable.ArrayBuffer.empty) += ((id, v, addr))
+        val pid = ir.getInt(3)
+        val b = bytesByPid.getOrElse(pid, 0L) + 4L * n + 48L // vec + node overhead
+        if (b > budgetBytes) throw new IllegalStateException(
+          s"HNSW partition $pid exceeds the in-task build budget " +
+            s"($budgetBytes bytes, $PartitionBudgetKey): raise nlist so each " +
+            "IVF partition's vectors fit one executor's heap (nlist ≈ " +
+            "corpusRows × bytesPerVector / budget), or raise the budget")
+        bytesByPid(pid) = b
+        byPid.getOrElseUpdate(pid, mutable.ArrayBuffer.empty) += ((id, v, addr))
       }
       byPid.iterator.flatMap { case (pid, rows) =>
         val addrOf = rows.iterator.map(r => r._1 -> r._3).toMap
@@ -596,15 +616,23 @@ object HnswIndex {
     * cluster the persist is MEMORY_AND_DISK across executors.
     *
     * Bounded (VERDICT r4 #6): an access-ordered LRU of at most
-    * [[CacheCapacity]] indexes — eviction unpersists, so a batch session
+    * [[cacheCapacity]] indexes — eviction unpersists, so a batch session
     * touching many indexes cannot pin unbounded storage and squeeze
     * execution memory. Entries are also invalidated by rebuilds
-    * ([[invalidateCache]]) or explicitly ([[unpersist]]/[[unpersistAll]]). */
-  val CacheCapacity = 4
+    * ([[invalidateCache]]) or explicitly ([[unpersist]]/[[unpersistAll]]).
+    * The budget is user-configurable via [[CacheBudgetKey]] (read on each
+    * graph materialization) and observable — entries/capacity/hit/miss —
+    * through `CALL g.system.cache_stats()` (VERDICT r12 #8; reference
+    * exposes the same through `session.index_cache`, `dataset.py:3039`). */
+  val CacheBudgetKey = "spark.graft.cache.hnsw.indexes"
+  @volatile private var cacheCapacity = 4
+  def currentCacheCapacity: Int = cacheCapacity
+  val cacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val cacheMisses = new java.util.concurrent.atomic.AtomicLong(0)
   private val graphCache =
     new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-        val evict = size() > CacheCapacity
+        val evict = size() > cacheCapacity
         if (evict) e.getValue.unpersist(blocking = false)
         evict
       }
@@ -647,11 +675,22 @@ object HnswIndex {
 
   private def partitionedGraph(spark: SparkSession, indexPath: String): DataFrame =
     graphCache.synchronized {
+      // budget refresh: cheap conf read; a shrink takes effect on the next
+      // insertion's eviction pass
+      cacheCapacity = math.max(1,
+        scala.util.Try(spark.conf.get(CacheBudgetKey, "4").toInt).getOrElse(4))
+      while (graphCache.size() > cacheCapacity) {
+        val it = graphCache.entrySet().iterator()
+        it.next().getValue.unpersist(blocking = false)
+        it.remove()
+      }
       val hit = graphCache.get(indexPath)
       // self-healing: an external spark.catalog.clearCache() may have
       // unpersisted the frame under us — re-pin and re-materialize
-      val df = if (hit != null &&
-          hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE) hit
+      val live = hit != null &&
+        hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (live) cacheHits.incrementAndGet() else cacheMisses.incrementAndGet()
+      val df = if (live) hit
       else {
         // quantized storage: the cached/shuffled graph carries codes, NOT
         // the float vectors — parquet column pruning leaves `vec` on disk

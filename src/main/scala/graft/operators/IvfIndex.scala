@@ -192,10 +192,49 @@ object IvfIndex {
     model
   }
 
+  /** Budget (index count) for the per-JVM centroid cache below; hit/miss
+    * observable via `CALL g.system.cache_stats()` (VERDICT r12 #8). */
+  val CentroidCacheBudgetKey = "spark.graft.cache.centroids.indexes"
+  val centroidCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val centroidCacheMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var centroidCapacity = 64
+  def currentCentroidCapacity: Int = centroidCapacity
+  // (fingerprint of the centroids files, parsed model); staleness is
+  // detected by the fingerprint (names+lengths+mtimes from ONE listing),
+  // never by trusting build paths to invalidate — retrain/rebuild rewrite
+  // the files and change it
+  private val centroidCache =
+    new java.util.LinkedHashMap[String, (String, Model)](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, (String, Model)]): Boolean =
+        size() > centroidCapacity
+    }
+
+  def centroidCacheSize: Int = centroidCache.synchronized(centroidCache.size())
+
   def loadModel(spark: SparkSession, indexPath: String): Model = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val fp = fs.listStatus(dir).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(";")
+    centroidCache.synchronized {
+      centroidCapacity = math.max(1, scala.util.Try(
+        spark.conf.get(CentroidCacheBudgetKey, "64").toInt).getOrElse(64))
+      while (centroidCache.size() > centroidCapacity) {
+        val it = centroidCache.entrySet().iterator(); it.next(); it.remove()
+      }
+      val hit = centroidCache.get(indexPath)
+      if (hit != null && hit._1 == fp) {
+        centroidCacheHits.incrementAndGet()
+        return hit._2
+      }
+      centroidCacheMisses.incrementAndGet()
+    }
     val rows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("pid").collect()
-    Model(rows.map(r => r.getSeq[Float](1).toArray))
+    val model = Model(rows.map(r => r.getSeq[Float](1).toArray))
+    centroidCache.synchronized { centroidCache.put(indexPath, (fp, model)) }
+    model
   }
 
   /** ANN search: probe the `nprobes` nearest partitions, exact distances

@@ -1398,6 +1398,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(props("graft.operation") == "delete")
   }
 
+  test("cache budget evicts under a small limit; cache_stats observes it") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.HnswIndex
+    val e = Tables.embeddings(s, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dirs = (1 to 3).map(_ => Files.createTempDirectory("cat_cache_").toString)
+    dirs.foreach(d => HnswIndex.build(e, "vec_id", "embedding", d,
+      nlist = 2, m = 8, efConstruction = 32))
+    s.conf.set(HnswIndex.CacheBudgetKey, "1")
+    try {
+      dirs.foreach(d => HnswIndex.search(s, d, q, k = 5, nprobes = 2, ef = 32).count())
+      // budget 1: only the most recent index's graph may stay pinned
+      assert(HnswIndex.cachedPaths().size == 1,
+        s"cache exceeded its budget: ${HnswIndex.cachedPaths()}")
+      assert(HnswIndex.cachedPaths().head == dirs.last)
+      // re-searching the resident index is a HIT; a rotated one a MISS
+      val h0 = HnswIndex.cacheHits.get()
+      HnswIndex.search(s, dirs.last, q, k = 5, nprobes = 2, ef = 32).count()
+      assert(HnswIndex.cacheHits.get() == h0 + 1)
+      val m0 = HnswIndex.cacheMisses.get()
+      HnswIndex.search(s, dirs.head, q, k = 5, nprobes = 2, ef = 32).count()
+      assert(HnswIndex.cacheMisses.get() == m0 + 1)
+      // the stats procedure reports entries/capacity/hits/misses
+      val rows = s.sql("CALL g.system.cache_stats()").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val (entries, cap, hits, misses) = rows("hnsw_graph")
+      assert(entries == 1L && cap == 1L)
+      assert(hits >= 1L && misses >= 4L, s"hits=$hits misses=$misses")
+      // centroid cache: a repeated model load on an unchanged index hits
+      val ch0 = graft.operators.IvfIndex.centroidCacheHits.get()
+      graft.operators.IvfIndex.loadModel(s, dirs.last)
+      graft.operators.IvfIndex.loadModel(s, dirs.last)
+      assert(graft.operators.IvfIndex.centroidCacheHits.get() >= ch0 + 1)
+      assert(rows.contains("ivf_centroids"))
+    } finally {
+      s.conf.unset(HnswIndex.CacheBudgetKey)
+      HnswIndex.unpersistAll()
+    }
+  }
+
   test("no-extensions session: V1 fallback read is DV- and rename-correct") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, v STRING) USING graft")

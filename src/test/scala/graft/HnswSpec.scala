@@ -33,6 +33,26 @@ class HnswSpec extends AnyFunSuite {
     assert(g.filter(size(element_at(col("nbrs"), 1)) === 0).count() == 0)
   }
 
+  test("partition-size guard fails fast with 'raise nlist', not an OOM") {
+    val dir = Files.createTempDirectory("hnsw_guard_").toString
+    spark.conf.set(HnswIndex.PartitionBudgetKey, "2048") // a few vectors' worth
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", dir, nlist = 2, m = 16, efConstruction = 64)
+      }
+      // the actionable message surfaces through Spark's task-failure wrap
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("raise nlist")), e.getMessage)
+    } finally spark.conf.unset(HnswIndex.PartitionBudgetKey)
+    // and the same corpus builds fine under the default budget
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nlist = 2, m = 16, efConstruction = 64)
+    assert(spark.read.parquet(s"$dir/graph").count() == 500)
+  }
+
   test("recall@10 vs flat search is high at full probe") {
     val hits = (0 until 20).map { qi =>
       val q = queryVec(qi.toLong * 7 % 500)
@@ -268,7 +288,7 @@ class HnswSpec extends AnyFunSuite {
     HnswIndex.unpersistAll()
     // CacheCapacity+1 tiny indexes; touching them in order must evict the
     // first and leave at most CacheCapacity persisted
-    val dirs = (0 to HnswIndex.CacheCapacity).map { i =>
+    val dirs = (0 to HnswIndex.currentCacheCapacity).map { i =>
       val d = Files.createTempDirectory(s"hnsw_lru_$i").toString
       HnswIndex.build(embeddings.filter($"vec_id" < 64).select($"vec_id", $"embedding"),
         "vec_id", "embedding", d, nlist = 2, m = 8, efConstruction = 16)
@@ -276,12 +296,12 @@ class HnswSpec extends AnyFunSuite {
     }
     dirs.foreach(d => HnswIndex.warm(spark, d))
     val cached = HnswIndex.cachedPaths()
-    assert(cached.size == HnswIndex.CacheCapacity,
-      s"expected ${HnswIndex.CacheCapacity} cached, got ${cached.size}")
+    assert(cached.size == HnswIndex.currentCacheCapacity,
+      s"expected ${HnswIndex.currentCacheCapacity} cached, got ${cached.size}")
     assert(!cached.contains(dirs.head), "LRU head survived eviction")
     // evicted entries must have released their blocks
     val persisted = spark.sparkContext.getPersistentRDDs.size
-    assert(persisted <= HnswIndex.CacheCapacity + 1,
+    assert(persisted <= HnswIndex.currentCacheCapacity + 1,
       s"$persisted RDDs still persisted after eviction")
     // explicit release drops everything
     HnswIndex.unpersistAll()

@@ -257,6 +257,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(comp.keySet == (1L to 60L).toSet)
   }
 
+  test("1000-node chain converges in <= ceil(log2 d) + 1 rounds (VERDICT r12 #6)") {
+    // the adversarial shape for label propagation: one path graph,
+    // diameter 999. Per round, neighbor-min + the label-of-label shortcut
+    // double the distance a label travels (reach after k rounds = 2^k-1),
+    // so convergence is ceil(log2 999) = 10 propagation rounds + 1
+    // verification round — not 999 driver-looped jobs.
+    val d = 999
+    val pairs = (1L to d.toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+    assert(comp.keySet == (1L to 1000L).toSet)
+    val rounds = Dedup.lastConvergenceRounds.get()
+    val bound = (math.log(d) / math.log(2)).ceil.toInt + 1
+    assert(rounds <= bound, s"$rounds rounds for diameter $d, bound $bound")
+  }
+
   test("connectedComponents on LSH pairs groups duplicates of one source") {
     val sh = docs.withColumn("sh", TA.shingleSet($"text", 3))
     val pairs = Dedup.minhashNearDupPairs(sh, "doc_id", "sh", 0.5)
