@@ -309,6 +309,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.wal_cleanup" => GraftProcedures.walCleanup(pathOf)
       case "system.wal_discard" => GraftProcedures.walDiscard(pathOf)
       case "system.cache_stats" => GraftProcedures.cacheStats()
+      case "system.merge_index_metadata" => GraftProcedures.mergeIndexMetadata(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -327,7 +328,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
         "analyze_fts", "ivf_model", "shallow_clone", "blob_slice",
         "wal_open", "wal_seal", "wal_flush", "wal_status", "wal_cleanup",
-        "wal_discard", "cache_stats")
+        "wal_discard", "cache_stats", "merge_index_metadata")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -693,6 +694,38 @@ private[format] object GraftProcedures {
       StructType(Seq(StructField("generation_discarded", DT.LongType)))) { in =>
       Seq(WalIngest.discard(spark, pathOf(in.getUTF8String(0).toString),
         in.getUTF8String(1).toString, in.getUTF8String(2).toString))
+    }
+
+  /** `CALL g.system.merge_index_metadata(table => 'db.t', uuid => '...',
+    * index_type => 'BTREE'|'INVERTED', `column` => 'c')` — commit an
+    * externally-built index by uuid (reference `merge_index_metadata`,
+    * `python/dataset.py:3006`): workers staged disjoint fragment-slice
+    * sub-indexes under `_indices/_staged/<uuid>/part-*` (via
+    * `ScalarIndex.buildBtreePart` / `Fts.buildPartForTable`); this call
+    * validates snapshot/coverage, merges the data, and makes the ONE
+    * manifest commit. */
+  def mergeIndexMetadata(pathOf: String => String): UnboundProcedure =
+    proc("merge_index_metadata",
+      Array(p("table", DT.StringType), p("uuid", DT.StringType),
+        p("index_type", DT.StringType), p("column", DT.StringType),
+        pd("id_col", DT.StringType, s"'${GraftTable.RowIdCol}'")),
+      StructType(Seq(StructField("index_name", DT.StringType),
+        StructField("rows_merged", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val uuid = in.getUTF8String(1).toString
+      val column = in.getUTF8String(3).toString
+      in.getUTF8String(2).toString.toUpperCase match {
+        case "BTREE" =>
+          val n = graft.index.ScalarIndex.mergeBtreeParts(spark, path, column, uuid)
+          Seq(s"btree_$column", n)
+        case "INVERTED" | "FTS" =>
+          val n = graft.operators.Fts.mergePartsForTable(spark, path,
+            in.getUTF8String(4).toString, column, uuid)
+          Seq(s"fts_$column", n)
+        case other => throw new IllegalArgumentException(
+          s"merge_index_metadata supports BTREE and INVERTED, got $other " +
+            "(matching the reference's supported set)")
+      }
     }
 
   /** `CALL g.system.cache_stats()` — per-JVM index-cache observability

@@ -194,13 +194,19 @@ object ScalarIndex {
                                             params: Map[String, String] = Map.empty): Unit = {
     val physColumn = m.schema.fields.find(_.name == column)
       .map(m.physicalName).getOrElse(column)
+    // capture the dir's build uuid BEFORE writeCoverage: its legacy
+    // version-marker sync writes a uuid-less marker, and reading after it
+    // would rotate the uuid on every incremental commit (breaking the
+    // external-build contract where the committed uuid IS the staged
+    // build's identity)
+    val prevUuid = readMarkerUuid(spark, indexPath)
     writeCoverage(spark, indexPath, m.version, m.fragments.map(_.id))
     val idxParent = new org.apache.hadoop.fs.Path(indexPath).getParent
     val tableLocal = idxParent != null &&
       idxParent.toString == new org.apache.hadoop.fs.Path(s"$tablePath/_indices").toString
     if (tableLocal) {
       val name = new org.apache.hadoop.fs.Path(indexPath).getName
-      val uuid = readMarkerUuid(spark, indexPath)
+      val uuid = prevUuid
         .getOrElse(java.util.UUID.randomUUID().toString)
       writeVersionMarker(spark, indexPath, m.version, Some(physColumn), Some(uuid))
       // MERGE params over the existing entry's: incremental-optimize commits
@@ -213,6 +219,99 @@ object ScalarIndex {
         name, indexType, physColumn, m.version, m.fragments.map(_.id).sorted, uuid,
         mergedParams))
     }
+  }
+
+  // ---- external distributed build → ONE metadata commit (reference
+  // `merge_index_metadata`, `python/dataset.py:3006`: workers build
+  // BTREE/INVERTED sub-indexes under a shared uuid, then a single call
+  // merges them and commits the manifest entry — "build the index on
+  // another cluster, commit it here"). Worker parts are ordinary index
+  // data over a FRAGMENT SLICE of one snapshot plus a coverage marker;
+  // the merge refuses drifted snapshots, overlapping or incomplete
+  // slices, and ends in the same IndexMeta commit a local build makes.
+
+  /** Staging root for the externally-built sub-indexes of one build uuid. */
+  def stagedDir(tablePath: String, uuid: String): String =
+    s"$tablePath/_indices/_staged/$uuid"
+
+  /** Worker-side: BTREE sub-index over a fragment slice of the CURRENT
+    * snapshot, staged under `uuid`. Each worker takes a disjoint
+    * `fragmentIds` slice; slices must jointly cover the snapshot by
+    * merge time. Returns the part directory. */
+  def buildBtreePart(spark: SparkSession, tablePath: String, column: String,
+                     uuid: String, part: Int, fragmentIds: Seq[Long]): String = {
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val frags = m.fragments.filter(f => fragmentIds.contains(f.id))
+    require(frags.map(_.id).toSet == fragmentIds.toSet,
+      s"fragments ${fragmentIds.toSet -- frags.map(_.id)} not in snapshot v${m.version}")
+    val dir = s"${stagedDir(tablePath, uuid)}/part-$part/btree_$column"
+    GraftTable.readFragments(spark, tablePath, m, frags, withRowAddr = true)
+      .select(col(column).as("v"), col(A))
+      .repartitionByRange(2, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    writeCoverage(spark, dir, m.version, fragmentIds.sorted)
+    dir
+  }
+
+  /** Staged part directories of a build uuid, ascending. */
+  private[graft] def stagedParts(spark: SparkSession, tablePath: String,
+                                 uuid: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(stagedDir(tablePath, uuid))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted.toSeq
+  }
+
+  /** Check the parts' coverage markers: one common snapshot version,
+    * disjoint slices, and together EXACTLY the snapshot's fragment set
+    * (the distributed-build contract — a drifted or partial build must
+    * fail the merge, not commit a hole). Returns (version, fragmentIds). */
+  private[graft] def validateParts(covs: Seq[IndexCoverage],
+                                   snapshotFrags: Long => Seq[Long]): (Long, Seq[Long]) = {
+    val versions = covs.map(_.version).distinct
+    require(versions.size == 1,
+      s"staged parts were built against different snapshots: v${versions.sorted.mkString(", v")}")
+    val v = versions.head
+    val all = covs.flatMap(_.fragmentIds)
+    require(all.size == all.distinct.size,
+      "staged parts overlap: the same fragment is indexed by two parts")
+    val want = snapshotFrags(v).toSet
+    require(all.toSet == want,
+      s"staged parts cover ${all.size} fragments but snapshot v$v has " +
+        s"${want.size}: missing ${(want -- all.toSet).toSeq.sorted.take(8)}")
+    (v, all.sorted)
+  }
+
+  /** Merge every staged BTREE part of `uuid` into the committed
+    * table-local index (`_indices/btree_<column>`) and commit its
+    * [[graft.format.IndexMeta]] — the metadata-commit half of the
+    * reference's `merge_index_metadata`. Returns rows merged. */
+  def mergeBtreeParts(spark: SparkSession, tablePath: String, column: String,
+                      uuid: String): Long = {
+    val parts = stagedParts(spark, tablePath, uuid).map(p => s"$p/btree_$column")
+    require(parts.nonEmpty, s"no staged parts for uuid $uuid under " +
+      stagedDir(tablePath, uuid))
+    val covs = parts.map(p => readCoverage(spark, p).getOrElse(
+      throw new IllegalStateException(s"staged part $p has no coverage marker")))
+    val (v, fragIds) = validateParts(covs, ver =>
+      GraftTable.loadManifest(spark, tablePath, Some(ver)).fragments.map(_.id))
+    val mV = GraftTable.loadManifest(spark, tablePath, Some(v))
+    val dest = s"$tablePath/_indices/btree_$column"
+    val merged = spark.read.parquet(parts: _*)
+    val rows = merged.count()
+    merged.repartitionByRange(8, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+    val phys = mV.schema.fields.find(_.name == column)
+      .map(mV.physicalName).getOrElse(column)
+    writeVersionMarker(spark, dest, v, Some(phys), Some(uuid))
+    GraftTable.commitIndex(spark, tablePath, graft.format.IndexMeta(
+      s"btree_$column", "BTREE", phys, v, fragIds, uuid, Map.empty))
+    val root = new org.apache.hadoop.fs.Path(stagedDir(tablePath, uuid))
+    root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
+    rows
   }
 
   def readCoverage(spark: SparkSession, dir: String): Option[IndexCoverage] = {

@@ -700,6 +700,93 @@ object Fts {
     out
   }
 
+  /** Worker-side half of the external distributed build (reference
+    * `merge_index_metadata`, `python/dataset.py:3006`): a complete mini
+    * INVERTED index over a fragment slice of the CURRENT snapshot, staged
+    * under `uuid` — another cluster/driver runs N of these over disjoint
+    * slices, then ONE [[mergePartsForTable]] call merges and commits.
+    * Returns the part directory. */
+  def buildPartForTable(spark: SparkSession, tablePath: String, idCol: String,
+                        textCol: String, uuid: String, part: Int,
+                        fragmentIds: Seq[Long],
+                        config: FtsConfig = FtsConfig()): String = {
+    import graft.format.GraftTable
+    val m = GraftTable.loadManifest(spark, tablePath)
+    val frags = m.fragments.filter(f => fragmentIds.contains(f.id))
+    require(frags.map(_.id).toSet == fragmentIds.toSet,
+      s"fragments ${fragmentIds.toSet -- frags.map(_.id)} not in snapshot v${m.version}")
+    val dir = s"${graft.index.ScalarIndex.stagedDir(tablePath, uuid)}/part-$part/fts_$textCol"
+    buildIndex(GraftTable.readFragments(spark, tablePath, m, frags,
+        withRowId = idCol == GraftTable.RowIdCol),
+      idCol, textCol, dir, config = config)
+    graft.index.ScalarIndex.writeCoverage(spark, dir, m.version, fragmentIds.sorted)
+    dir
+  }
+
+  /** Merge every staged INVERTED part of `uuid` into the committed
+    * table-local index and commit its manifest entry — the
+    * metadata-commit half of the reference's `merge_index_metadata`.
+    * Parts must share one snapshot, one tokenizer config, and jointly
+    * cover the snapshot exactly ([[graft.index.ScalarIndex.validateParts]]).
+    * Doc sets are disjoint, so merged postings are the plain union; the
+    * GLOBAL statistics (df, avgdl, N, WAND block maxima) are recomputed
+    * over the union — a part's own stats are only locally correct.
+    * Returns documents merged. */
+  def mergePartsForTable(spark: SparkSession, tablePath: String, idCol: String,
+                         textCol: String, uuid: String): Long = {
+    import graft.format.GraftTable
+    val parts = graft.index.ScalarIndex.stagedParts(spark, tablePath, uuid)
+      .map(p => s"$p/fts_$textCol")
+    require(parts.nonEmpty, s"no staged parts for uuid $uuid under " +
+      graft.index.ScalarIndex.stagedDir(tablePath, uuid))
+    val covs = parts.map(p => graft.index.ScalarIndex.readCoverage(spark, p)
+      .getOrElse(throw new IllegalStateException(
+        s"staged part $p has no coverage marker")))
+    val (v, _) = graft.index.ScalarIndex.validateParts(covs, ver =>
+      GraftTable.loadManifest(spark, tablePath, Some(ver)).fragments.map(_.id))
+    val cfgs = parts.map(p => loadConfig(spark, p))
+    require(cfgs.distinct.size == 1,
+      "staged parts were built with different tokenizer configs — query " +
+        "terms could not segment like the corpus")
+    val indexPath = s"$tablePath/_indices/fts_$textCol"
+    val p = paths(indexPath)
+    invalidateMeta(indexPath)
+    writeConfig(spark, indexPath, cfgs.head)
+    val postings = spark.read.parquet(parts.map(x => s"$x/postings"): _*).persist()
+    val nDocs = try {
+      postings.repartition(8, col("token"))
+        .sortWithinPartitions(col("token"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(p.postings)
+      postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+        .repartition(2, col("token")).sortWithinPartitions(col("token"))
+        .write.mode(SaveMode.Overwrite).parquet(p.termstats)
+      spark.read.parquet(parts.map(x => s"$x/docstats"): _*)
+        .write.mode(SaveMode.Overwrite).parquet(p.docstats)
+      val ds = spark.read.parquet(p.docstats)
+      ds.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
+      postings.join(ds.select(col("doc_id"), col("dl")), "doc_id")
+        .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+        .repartition(2, col("token")).sortWithinPartitions(col("token"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
+      ds.count()
+    } finally postings.unpersist()
+    mergeDeltaSegments(spark, indexPath)
+    val mV = GraftTable.loadManifest(spark, tablePath, Some(v))
+    val phys = mV.schema.fields.find(_.name == textCol)
+      .map(mV.physicalName).getOrElse(textCol)
+    // stamp the BUILD uuid before the commit helper reads it back
+    graft.index.ScalarIndex.writeVersionMarker(spark, indexPath, v,
+      Some(phys), Some(uuid))
+    graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
+      "FTS", textCol, mV, Map("idCol" -> idCol))
+    val root = new org.apache.hadoop.fs.Path(
+      graft.index.ScalarIndex.stagedDir(tablePath, uuid))
+    root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
+    nDocs
+  }
+
   /** Incremental FTS maintenance for a table-local index: tokenize ONLY the
     * fragments the coverage marker does not include yet, append their
     * postings/docstats/blockstats, recompute global stats, and move the

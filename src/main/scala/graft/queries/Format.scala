@@ -373,6 +373,36 @@ object Format {
     },
 
     // scalar (btree) index: value -> row-addr mask -> semi-join application
+    // External distributed build → one metadata commit (reference
+    // merge_index_metadata, python/dataset.py:3006): two "workers" stage
+    // BTREE sub-indexes over disjoint fragment slices, one merge call
+    // validates + commits, and the merged index must serve the query the
+    // oracle answers by plain scan. The in-gate requires pin the
+    // contract: entry committed under the BUILD uuid, staging reclaimed.
+    "q_merge_index_external" -> { (s, d) =>
+      val t = freshDir(s, "merge_index_ext")
+      GraftTable.write(Tables.orders(s, d)
+        .repartitionByRange(4, col("o_orderkey")), t, "overwrite")
+      val frags = GraftTable.loadManifest(s, t).fragments.map(_.id)
+      val uuid = java.util.UUID.randomUUID().toString
+      graft.index.ScalarIndex.buildBtreePart(s, t, "o_custkey", uuid, 0,
+        frags.take(frags.size / 2))
+      graft.index.ScalarIndex.buildBtreePart(s, t, "o_custkey", uuid, 1,
+        frags.drop(frags.size / 2))
+      graft.index.ScalarIndex.mergeBtreeParts(s, t, "o_custkey", uuid)
+      val entry = GraftTable.loadManifest(s, t).indices.find(_.name == "btree_o_custkey")
+      require(entry.exists(_.uuid == uuid),
+        s"merge must commit the entry under the build uuid, got $entry")
+      require(!new java.io.File(s"$t/_indices/_staged/$uuid").exists,
+        "staged parts must be reclaimed after the merge")
+      val mask = graft.index.ScalarIndex.lookupBtree(s, s"$t/_indices", "o_custkey",
+        _.between(100L, 110L))
+      GraftTable.read(s, t, withRowAddr = true)
+        .join(mask, Seq(GraftTable.RowAddrCol), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q_scalar_index" -> { (s, d) =>
       val t = freshDir(s, "scalar_index")
       GraftTable.write(Tables.orders(s, d), t, "overwrite")
@@ -976,6 +1006,9 @@ object Format {
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
         |WHERE lang = 'de' AND n_chars > 100""".stripMargin,
     "q_scalar_index" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin,
+    "q_merge_index_external" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey BETWEEN 100 AND 110 ORDER BY o_orderkey""".stripMargin,
     "q_bloom_filter" ->

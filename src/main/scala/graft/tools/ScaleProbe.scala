@@ -58,8 +58,13 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import java.nio.file.{Files, Paths}
 
-    val docFactors = Seq(1, 8, 64)
-    val rowFactors = Seq(1, 4, 16)
+    // default sweep ×1/×8/×64 (docs) and ×1/×4/×16 (row tables); env
+    // overrides extend the tail (the r13 ×256 confirmation sweep runs
+    // SCALE_DOC_FACTORS=64,256 on the steepest curves)
+    def factorsEnv(key: String, dflt: Seq[Int]): Seq[Int] =
+      sys.env.get(key).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
+    val docFactors = factorsEnv("SCALE_DOC_FACTORS", Seq(1, 8, 64))
+    val rowFactors = factorsEnv("SCALE_ROW_FACTORS", Seq(1, 4, 16))
 
     // ---- replicated inputs (written once, read back for every timing) ----
     def ensure(path: String)(write: => Unit): Unit =
@@ -455,6 +460,11 @@ object ScaleProbe {
         graft.format.GraftTable.write(spark.read.parquet(p), tbl, "overwrite")
         graft.format.GraftTable.countRows(spark, tbl)
       }
+      // scan_agg/ngram below need the table even when a subset re-run
+      // filters graft_write itself out
+      if (scala.util.Try(graft.format.GraftTable.latestVersion(spark, tbl))
+          .toOption.flatten.isEmpty)
+        graft.format.GraftTable.write(spark.read.parquet(p), tbl, "overwrite")
       // identical filtered agg over the raw parquet vs the graft table —
       // the table format's read overhead (manifest listing, metadata
       // columns) must stay flat, not grow with data
