@@ -264,6 +264,15 @@ object GraftTable {
         return next
       }
       attempt += 1
+      // jittered exponential backoff: without it, N contending writers
+      // re-read and re-CAS in lockstep and one of them can lose every
+      // round (livelock-shaped starvation at high commit contention —
+      // observed at 8 writers × 64 sequential appends); capped so a
+      // single lost race never waits long
+      if (attempt < maxRetries) {
+        val cap = math.min(200L, 2L << math.min(attempt, 6))
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+      }
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries at $tablePath")
   }

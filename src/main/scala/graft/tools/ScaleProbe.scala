@@ -849,7 +849,21 @@ object ScaleProbe {
         fs.delete(new org.apache.hadoop.fs.Path(t1).getParent, true)
         GraftTable.write(batch, t1, "overwrite")
         concurrently { _ =>
-          for (_ <- 1 to f) GraftTable.write(batch, t1, "append")
+          // client-style outer retry: the engine's bounded conflict budget
+          // (20, the reference default) is a backpressure SIGNAL under
+          // pathological contention — 8 writers × 64 sequential appends on
+          // one commit point is exactly the shape the WAL exists for, and
+          // the probe measures what that contention costs end-to-end
+          for (_ <- 1 to f) {
+            var done = false
+            while (!done) {
+              try { GraftTable.write(batch, t1, "append"); done = true }
+              catch {
+                case e: IllegalStateException
+                    if e.getMessage != null && e.getMessage.contains("conflict") =>
+              }
+            }
+          }
         }
         val m = GraftTable.loadManifest(spark, t1)
         require(m.liveRows == 2000L * (writers * f + 1), s"lost rows: ${m.liveRows}")
