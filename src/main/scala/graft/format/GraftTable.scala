@@ -204,6 +204,22 @@ object GraftTable {
     if (sawLegacy) linearScan else ans
   }
 
+  /** Bounded per-JVM manifest cache. A committed manifest file is
+    * IMMUTABLE (commits only ever create the next version), so caching
+    * the parsed object is sound — guarded by (length, mtime) from ONE
+    * `getFileStatus` against the wipe-and-recreate-same-path edge, which
+    * still beats open+read+parse on every metadata touch. At 100 TB a
+    * manifest is tens of MB of fragment metadata and `loadManifest` is
+    * on every query/commit/fence path — this is the difference between
+    * O(1) stat and re-parsing the fragment list per call. */
+  private val ManifestCacheCapacity = 32
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, (Long, Long, GraftManifest)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, GraftManifest)]): Boolean =
+        size() > ManifestCacheCapacity
+    }
+
   def loadManifest(spark: SparkSession, tablePath: String, version: Option[Long] = None,
                    branch: Option[String] = None): GraftManifest = {
     val t = new Path(tablePath)
@@ -211,9 +227,21 @@ object GraftTable {
       .getOrElse(throw new IllegalArgumentException(
         s"no graft ${branch.map(b => s"branch $b").getOrElse("table")} at $tablePath"))
     val f = fs(spark, t)
-    val in = f.open(manifestPath(t, v, branch))
+    val p = manifestPath(t, v, branch)
+    val st = f.getFileStatus(p)
+    val key = p.toString
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null && hit._1 == st.getLen && hit._2 == st.getModificationTime)
+        return hit._3
+    }
+    val in = f.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    GraftManifest.fromJson(new String(bytes, "UTF-8"))
+    val m = GraftManifest.fromJson(new String(bytes, "UTF-8"))
+    manifestCache.synchronized {
+      manifestCache.put(key, (st.getLen, st.getModificationTime, m))
+    }
+    m
   }
 
   /** Create-if-absent commit through the session's [[CommitHandler]]
