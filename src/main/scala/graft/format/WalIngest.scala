@@ -47,9 +47,11 @@ import org.apache.spark.sql.functions._
   *    reused: markers survive until the generation is Merged, after
   *    which the region's `hw-<G>.json` high water (create-only,
   *    ratchets up) stands in for every compacted generation ≤ G.
-  *  - a batch becomes visible by ONE directory rename (`_tmp-*` →
-  *    `batch-<id>`): a crash mid-append leaves only `_tmp-*` debris, never
-  *    a torn batch; re-append is safe.
+  *  - a batch becomes visible by ONE `_BATCH_READY` marker create inside
+  *    its directory, through the commit handler, AFTER all part files are
+  *    durable (no atomic directory rename anywhere — object stores have
+  *    none): a crash mid-append leaves an unready directory that nothing
+  *    reads and a retry overwrites; never a torn batch.
   *  - a crash mid-flush can leave batch files already frag-renamed by
   *    `commitFiles` (possibly into nested `import-*` collision subdirs)
   *    but uncommitted; re-flush lists the generation RECURSIVELY and
@@ -248,18 +250,38 @@ object WalIngest {
     (openSealed.map(_.base).minOption, live.map(_.base).minOption)
   }
 
+  /** Batch visibility marker inside a `batch-`/`adhoc-` directory. A
+    * batch EXISTS when this file does — created through the session's
+    * [[CommitHandler]] AFTER every part file is durable, so visibility
+    * needs no atomic directory rename (object stores have none: rename =
+    * copy+delete there). A dir without it is an in-flight or crashed
+    * append: invisible to flush/reads, overwritten by a retry, and never
+    * blocking reclamation. */
+  private[format] val ReadyMarker = "_BATCH_READY"
+
+  private def isReady(fs: FileSystem, dir: Path): Boolean =
+    try fs.exists(new Path(dir, ReadyMarker))
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private def isBatchDir(name: String): Boolean =
+    name.startsWith("batch-") || name.startsWith("adhoc-")
+
   /** Append a batch to the region's Open generation — NO manifest commit.
     * The batch is written in the table's PHYSICAL column layout (so flush
-    * imports it untouched) to a `_tmp-*` staging dir, then made visible by
-    * ONE directory rename: a crash leaves only staging debris, never a
-    * torn batch. Returns the number of part files in the batch.
+    * imports it untouched) directly into its `batch-`/`adhoc-` directory
+    * and made visible by ONE [[ReadyMarker]] create through the commit
+    * handler: a crash leaves an unready directory (invisible everywhere,
+    * reclaimed or overwritten later), never a torn batch — and nothing
+    * here needs an atomic rename, so the path is object-store-safe like
+    * the manifest commit. Returns the number of part files in the batch.
     *
     * `batchTag` makes the append IDEMPOTENT for replayed writers
     * (Structured Streaming's micro-batch replay): a tagged batch leaves a
-    * region-level `done-<tag>` marker after its rename, and a re-append of
-    * the same tag is a no-op (returns 0) — the marker survives flush,
-    * generation turnover, and [[cleanupMerged]], so a replay can never
-    * duplicate rows whatever state its original generation reached. */
+    * region-level `done-<tag>` marker after its ready marker, and a
+    * re-append of the same tag is a no-op (returns 0) — the marker
+    * survives flush, generation turnover, and [[cleanupMerged]], so a
+    * replay can never duplicate rows whatever state its original
+    * generation reached. */
   def append(spark: SparkSession, table: String, region: String,
              owner: String, df: DataFrame,
              batchTag: Option[String] = None): Int = {
@@ -279,37 +301,42 @@ object WalIngest {
     val dest = genDir(table, region, g.generation)
     val fs = fsOf(spark, dest)
     val id = batchTag.getOrElse(UUID.randomUUID().toString.take(12))
-    val tmp = new Path(dest, s"_tmp-$id")
-    GraftTable.toPhysical(df, m).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // Spark's job-commit leaves only part files + _SUCCESS; drop the marker
-    // so the batch dir holds exactly its parquet parts
-    fs.delete(new Path(tmp, "_SUCCESS"), false)
-    val n = fs.listStatus(tmp).count(_.getPath.getName.endsWith(".parquet"))
     // taggedness is recorded in the directory name: only `batch-` dirs are
     // replay-protected and get `done-` markers; an UNTAGGED append (SQL
     // INSERT route) is `adhoc-` — flush must never stamp a permanent
     // marker for it (the region would grow one file per INSERT forever)
     val dst = new Path(dest,
       if (batchTag.isDefined) s"batch-$id" else s"adhoc-$id")
-    if (fs.exists(dst)) { // tagged replay that crashed before its marker
-      fs.delete(tmp, true)
-    } else if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"WAL batch rename failed: $tmp -> $dst")
+    if (isReady(fs, dst)) {
+      // tagged append that crashed between its ready marker and its done
+      // marker: the rows ARE durably staged — close the replay window
+      doneMarker.foreach(mk =>
+        CommitHandler.forSession(spark).commit(rfs, mk, Array.emptyByteArray))
+      return 0
+    }
+    // Overwrite clears any crashed attempt's partial files in the dir
+    GraftTable.toPhysical(df, m).write.mode(SaveMode.Overwrite).parquet(dst.toString)
+    // Spark's job-commit leaves only part files + _SUCCESS; drop the marker
+    // so the batch dir holds exactly its parquet parts + the ready marker
+    fs.delete(new Path(dst, "_SUCCESS"), false)
+    val n = fs.listStatus(dst).count(_.getPath.getName.endsWith(".parquet"))
+    CommitHandler.forSession(spark).commit(fs,
+      new Path(dst, ReadyMarker), Array.emptyByteArray)
     doneMarker.foreach(mk =>
       CommitHandler.forSession(spark).commit(rfs, mk, Array.emptyByteArray))
     n
   }
 
-  /** Batches sitting in a generation directory (visible `batch-*` dirs —
-    * one listStatus, no data IO). The SQL route's auto-flush trigger. */
+  /** Batches sitting in a generation directory (READY `batch-`/`adhoc-`
+    * dirs — one listing plus a marker probe per batch dir, no data IO).
+    * The SQL route's auto-flush trigger. */
   def batchCount(spark: SparkSession, table: String, region: String,
                  gen: Long): Int = {
     val dir = genDir(table, region, gen)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).count(s =>
-      s.getPath.getName.startsWith("batch-") ||
-        s.getPath.getName.startsWith("adhoc-"))
+      isBatchDir(s.getPath.getName) && isReady(fs, s.getPath))
   }
 
   /** Open → Sealed: no further appends; the generation is flushable. */
@@ -337,7 +364,11 @@ object WalIngest {
       entries.foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory) {
-          if (!n.startsWith("_tmp-") && !n.startsWith("_temporary"))
+          // skip live Spark write jobs' innards AND batch dirs whose ready
+          // marker is absent — an in-flight or crashed append is not batch
+          // material until its marker commits (and never blocks reclaim)
+          if (!n.startsWith("_tmp-") && !n.startsWith("_temporary") &&
+              (!isBatchDir(n) || isReady(fs, st.getPath)))
             walk(st.getPath)
         } else if (n.endsWith(".parquet") &&
             !referenced.contains(st.getPath.toString))
@@ -378,7 +409,9 @@ object WalIngest {
         catch { case _: java.io.FileNotFoundException => return }
       entries.foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("batch-")) {
+        // READY only: a crashed (unready) tagged append must keep its
+        // replay window open so the retry can land the rows
+        if (st.isDirectory && n.startsWith("batch-") && isReady(fs, st.getPath)) {
           val mk = new Path(regionDir(table, region), s"done-${n.stripPrefix("batch-")}")
           if (!fs.exists(mk))
             CommitHandler.forSession(spark).commit(fs, mk, Array.emptyByteArray)

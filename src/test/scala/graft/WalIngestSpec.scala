@@ -367,6 +367,42 @@ class WalIngestSpec extends AnyFunSuite {
     assert(GraftTable.validate(spark, t).isEmpty)
   }
 
+  test("torn append is invisible until its ready marker; retry lands it once") {
+    val t = tmp(); seed(t)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    WalIngest.open(spark, t, "rm", "w")
+    WalIngest.append(spark, t, "rm", "w", Seq((200L, 0L)).toDF("id", "v"))
+    // simulate a crashed append: part files durable, ready marker never
+    // committed (delete it plus the replay marker the append left)
+    WalIngest.append(spark, t, "rm", "w", Seq((300L, 0L)).toDF("id", "v"),
+      batchTag = Some("torn"))
+    fs.delete(new Path(s"$t/_wal/rm/gen-0/batch-torn/_BATCH_READY"), false)
+    fs.delete(new Path(s"$t/_wal/rm/done-torn"), false)
+    // unready = invisible: reads, batch count
+    assert(WalIngest.readWithWal(spark, t, Seq("rm")).count() == 101)
+    assert(WalIngest.batchCount(spark, t, "rm", 0) == 1)
+    // the retry overwrites the torn files and lands exactly once
+    assert(WalIngest.append(spark, t, "rm", "w", Seq((300L, 0L)).toDF("id", "v"),
+      batchTag = Some("torn")) == 1)
+    assert(WalIngest.readWithWal(spark, t, Seq("rm")).count() == 102)
+    assert(WalIngest.flush(spark, t, "rm", "w") == 2L)
+    assert(GraftTable.read(spark, t).count() == 102)
+    // a generation holding ONLY a torn dir still flushes empty-handed and
+    // is reclaimable after compaction (the torn debris never strands it)
+    WalIngest.open(spark, t, "rm", "w")
+    WalIngest.append(spark, t, "rm", "w", Seq((400L, 0L)).toDF("id", "v"),
+      batchTag = Some("t2"))
+    fs.delete(new Path(s"$t/_wal/rm/gen-1/batch-t2/_BATCH_READY"), false)
+    fs.delete(new Path(s"$t/_wal/rm/done-t2"), false)
+    assert(WalIngest.flush(spark, t, "rm", "w") == 0L)
+    GraftTable.compactFiles(spark, t, targetRows = 1 << 20)
+    assert(WalIngest.cleanupMerged(spark, t, "rm") == 2)
+    assert(!new java.io.File(s"$t/_wal/rm/gen-1").exists,
+      "torn debris must not strand a merged generation")
+    assert(GraftTable.read(spark, t).count() == 102)
+    assert(GraftTable.validate(spark, t).isEmpty)
+  }
+
   test("multiple regions are independent; readWithWal unions all requested") {
     val t = tmp(); seed(t)
     WalIngest.open(spark, t, "a", "w1")
