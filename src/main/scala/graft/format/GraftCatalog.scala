@@ -310,6 +310,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case "system.wal_discard" => GraftProcedures.walDiscard(pathOf)
       case "system.cache_stats" => GraftProcedures.cacheStats()
       case "system.merge_index_metadata" => GraftProcedures.mergeIndexMetadata(pathOf)
+      case "system.train_ivf_model" => GraftProcedures.trainIvfModel(pathOf)
+      case "system.train_pq_model" => GraftProcedures.trainPqModel(pathOf)
+      case "system.ivf_partition" => GraftProcedures.ivfPartition(pathOf)
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure $other (known: system.compact, system.cleanup, " +
           "system.tag, system.restore, system.optimize_scalar_index, " +
@@ -328,7 +331,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "prewarm_index", "fts_search", "knn_search", "analyze_knn",
         "analyze_fts", "ivf_model", "shallow_clone", "blob_slice",
         "wal_open", "wal_seal", "wal_flush", "wal_status", "wal_cleanup",
-        "wal_discard", "cache_stats", "merge_index_metadata")
+        "wal_discard", "cache_stats", "merge_index_metadata",
+        "train_ivf_model", "train_pq_model", "ivf_partition")
       .map(Identifier.of(Array("system"), _))
 
   // ------------------------------------------------------------ namespaces
@@ -1134,7 +1138,12 @@ private[format] object GraftProcedures {
         pd("m", DT.LongType, "16"),
         pd("ef_construction", DT.LongType, "64"),
         // PQ code width (reference num_bits, vector/pq.rs:44): 8 or 4
-        pd("num_bits", DT.LongType, "8")),
+        pd("num_bits", DT.LongType, "8"),
+        // precomputed models (reference ivf_centroids_file /
+        // pq_codebook / train=False, dataset.py:2525-2541): paths saved
+        // by train_ivf_model / train_pq_model; build skips training
+        pd("ivf_centroids_file", DT.StringType, "''"),
+        pd("pq_codebook_file", DT.StringType, "''")),
       StructType(Seq(StructField("index_name", DT.StringType),
         StructField("version", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
@@ -1154,6 +1163,8 @@ private[format] object GraftProcedures {
       val pqM = in.getLong(5).toInt
       val pqK = in.getLong(6).toInt
       val metric = in.getUTF8String(7).toString
+      val ivfCentsFile = Option(in.getUTF8String(11).toString).filter(_.nonEmpty)
+      val pqBookFile = Option(in.getUTF8String(12).toString).filter(_.nonEmpty)
       val name = in.getUTF8String(2).toString.toUpperCase match {
         case "BTREE" =>
           graft.index.ScalarIndex.buildBtree(spark, path, column, idxDir)
@@ -1175,12 +1186,13 @@ private[format] object GraftProcedures {
           s"ivf_$column"
         case "IVF_FLAT" =>
           graft.operators.IvfIndex.buildForTable(spark, path, idCol, column,
-            s"$idxDir/ivf_$column", nlist)
+            s"$idxDir/ivf_$column", nlist, centroidsFile = ivfCentsFile)
           s"ivf_$column"
         case "IVF_PQ" =>
           graft.operators.PqIndex.buildForTable(spark, path, idCol, column,
             s"$idxDir/ivfpq_$column", nlist, pqM, pqK, metric,
-            numBits = in.getLong(10).toInt)
+            numBits = in.getLong(10).toInt,
+            ivfCentroidsFile = ivfCentsFile, pqCodebookFile = pqBookFile)
           s"ivfpq_$column"
         case "IVF_SQ" =>
           graft.operators.SqIndex.buildForTable(spark, path, idCol, column,
@@ -1337,6 +1349,96 @@ private[format] object GraftProcedures {
       cents.map { case (pid, c) =>
         Seq(pid, sizes.getOrElse(pid, 0L), c)
       }
+    }
+
+  /** `CALL g.system.train_ivf_model(table => 'db.t', column => 'emb',
+    * nlist => 64, dest => '/models/ivf64')` — train IVF centroids once and
+    * persist them standalone (reference `IndicesBuilder.train_ivf` +
+    * `IvfModel.save`, `python/lance/indices/builder.py:60`,
+    * `indices/ivf.py:27`). `create_index(ivf_centroids_file => dest)` then
+    * builds any number of indexes under the saved model WITHOUT retraining
+    * (reference `create_index(ivf_centroids=..., train=False)`,
+    * `dataset.py:2525,2541`) — at 100 TB the training sample is bounded
+    * either way, but the saved model makes rebuilds/branches/clones
+    * byte-identical and training a one-time cost. */
+  def trainIvfModel(pathOf: String => String): UnboundProcedure =
+    proc("train_ivf_model",
+      Array(p("table", DT.StringType), p("column", DT.StringType),
+        p("nlist", DT.LongType), p("dest", DT.StringType),
+        pd("id_col", DT.StringType, s"'${GraftTable.RowIdCol}'"),
+        pd("metric", DT.StringType, "'l2'")),
+      StructType(Seq(StructField("dest", DT.StringType),
+        StructField("nlist", DT.IntegerType),
+        StructField("dim", DT.IntegerType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val (nlist, dim) = graft.operators.IvfIndex.trainModelToPath(spark, path,
+        in.getUTF8String(4).toString, in.getUTF8String(1).toString,
+        in.getLong(2).toInt, in.getUTF8String(5).toString,
+        in.getUTF8String(3).toString)
+      Seq(in.getUTF8String(3).toString, nlist, dim)
+    }
+
+  /** `CALL g.system.train_pq_model(table => 'db.t', column => 'emb',
+    * pq_m => 8, pq_k => 256, dest => '/models/pq8',
+    * ivf_centroids_file => '/models/ivf64')` — train a PQ codebook once
+    * and persist it standalone (reference `IndicesBuilder.train_pq` +
+    * `PqModel.save`). With `ivf_centroids_file` the codebook is trained in
+    * RESIDUAL space relative to those centroids (and `create_index` will
+    * demand the same file back); without it, raw space. */
+  def trainPqModel(pathOf: String => String): UnboundProcedure =
+    proc("train_pq_model",
+      Array(p("table", DT.StringType), p("column", DT.StringType),
+        p("pq_m", DT.LongType), p("pq_k", DT.LongType),
+        p("dest", DT.StringType),
+        pd("id_col", DT.StringType, s"'${GraftTable.RowIdCol}'"),
+        pd("metric", DT.StringType, "'l2'"),
+        pd("ivf_centroids_file", DT.StringType, "''")),
+      StructType(Seq(StructField("dest", DT.StringType),
+        StructField("pq_m", DT.IntegerType),
+        StructField("pq_k", DT.IntegerType),
+        StructField("variant", DT.StringType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val centFile = Option(in.getUTF8String(7).toString).filter(_.nonEmpty)
+      val (m, k, variant) = graft.operators.PqIndex.trainCodebookToPath(spark,
+        path, in.getUTF8String(5).toString, in.getUTF8String(1).toString,
+        in.getLong(2).toInt, in.getLong(3).toInt,
+        in.getUTF8String(6).toString, in.getUTF8String(4).toString, centFile)
+      Seq(in.getUTF8String(4).toString, m, k, variant)
+    }
+
+  /** `CALL g.system.ivf_partition(table => 'db.t', name => 'ivf_emb',
+    * pid => 0)` — the rows an IVF-family index filed under one partition
+    * (reference `VectorIndexReader.read_partition`, `dataset.py:5404` —
+    * with `num_partitions`/`centroids` served by `ivf_model`): the
+    * distributed-inspection surface ("which ids landed in the skewed
+    * partition?"). Output is the partition's ids + addresses — one
+    * directory-pruned scan of that partition, never the index. */
+  def ivfPartition(pathOf: String => String): UnboundProcedure =
+    procRows("ivf_partition",
+      Array(p("table", DT.StringType), p("name", DT.StringType),
+        p("pid", DT.LongType)),
+      StructType(Seq(StructField("id", DT.LongType),
+        StructField("rowaddr", DT.LongType)))) { in =>
+      val path = pathOf(in.getUTF8String(0).toString)
+      val m = GraftTable.loadManifest(spark, path)
+      val nm = in.getUTF8String(1).toString
+      val pid = in.getLong(2).toInt
+      val e = m.indices.find(_.name == nm).getOrElse(
+        throw new IllegalArgumentException(
+          s"no index $nm (known: ${m.indices.map(_.name).mkString(",")})"))
+      require(e.indexType.startsWith("IVF"),
+        s"index '$nm' (${e.indexType}) has no IVF partitions")
+      val ip = s"$path/_indices/$nm"
+      val stores = ScanAnalyze.indexRowStores(spark, ip)
+      require(stores.nonEmpty, s"index '$nm' has no row store")
+      import org.apache.spark.sql.functions.col
+      val idCol = e.params.getOrElse("idCol", GraftTable.RowIdCol)
+      spark.read.parquet(stores: _*)
+        .filter(col(graft.operators.IvfIndex.PidCol) === pid)
+        .select(col(idCol).cast(DT.LongType).as("id"),
+          col(GraftTable.RowAddrCol).as("rowaddr"))
+        .orderBy(col("id"))
+        .collect().toSeq.map(r => Seq(r.getLong(0), r.getLong(1)))
     }
 
   /** `CALL g.system.prewarm_index(table => 'db.t', name => 'hnsw_vec')` —

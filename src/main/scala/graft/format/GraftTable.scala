@@ -129,6 +129,16 @@ object GraftTable {
   private def manifestPath(t: Path, v: Long, branch: Option[String] = None) =
     new Path(manifestDir(t, branch), f"$v%020d.json")
 
+  /** Detached-version bit (reference `DETACHED_VERSION_MASK`,
+    * `rust/lance-table/src/format/manifest.rs:107` — the reference sets the
+    * u64 high bit; this engine's versions are signed Longs, so bit 62 keeps
+    * them positive): a manifest committed OUTSIDE the lineage, invisible to
+    * HEAD / `versions` / history / fences, checkout-able only by its exact
+    * version handle. */
+  val DetachedVersionMask: Long = 0x4000000000000000L
+
+  def isDetachedVersion(v: Long): Boolean = (v & DetachedVersionMask) != 0L
+
   def versions(spark: SparkSession, tablePath: String,
                branch: Option[String] = None): Seq[Long] = {
     val t = new Path(tablePath)
@@ -140,7 +150,21 @@ object GraftTable {
     if (!f.exists(manifestDir(t, branch))) Seq.empty
     else f.listStatus(manifestDir(t, branch)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).sorted
+      .map(_.stripSuffix(".json").toLong)
+      .filterNot(isDetachedVersion) // lineage only — never a detached head
+      .sorted
+  }
+
+  /** Detached manifests at the table (main lineage dir) — the caller-held
+    * handles; nothing else ever lists or serves them. */
+  def detachedVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    if (!f.exists(manifestDir(t))) Seq.empty
+    else f.listStatus(manifestDir(t)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(isDetachedVersion).sorted
   }
 
   def latestVersion(spark: SparkSession, tablePath: String,
@@ -164,6 +188,7 @@ object GraftTable {
     val entries = f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".json"))
       .map(s => (s.getPath.getName.stripSuffix(".json").toLong, s.getModificationTime))
+      .filterNot(e => isDetachedVersion(e._1)) // lineage-only resolution
       .sortBy(_._1)
     if (entries.isEmpty) return None
     val tsCache = scala.collection.mutable.Map.empty[Int, (Long, Boolean)]
@@ -688,6 +713,59 @@ object GraftTable {
         case m => throw new IllegalArgumentException(s"unknown write mode: $m")
       }
     })
+  }
+
+  /** Detached append (reference `commit(detached=True)` /
+    * `commit_detached_transaction`, `rust/lance/src/io/commit.rs:606-626`,
+    * Python `dataset.py:3066`): stage + commit the rows as a manifest at a
+    * RANDOM version with [[DetachedVersionMask]] set — outside the lineage.
+    * HEAD, `versions`, history, time travel and WAL fences never see it;
+    * only the returned handle reaches it (`read(version = Some(v))`, SQL
+    * `VERSION AS OF v`). The experiment/staging surface: snapshot
+    * base-plus-candidate-rows without publishing, compare, then publish (a
+    * normal append) or walk away — nothing to roll back. Never contends
+    * with lineage commits (no CAS loop: the 62-bit random version IS the
+    * exclusivity). Caveat, documented: the detached snapshot assigns stable
+    * row ids from the SAME high-water a later lineage append will use —
+    * detached versions are snapshots, not mergeable branches.
+    * `cleanupOldVersions` keeps their files referenced; `dropDetached`
+    * releases the handle. */
+  def writeDetached(df: DataFrame, tablePath: String,
+                    txnProperties: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val reservedHit = requireNotReserved(df.columns)
+    require(reservedHit.isEmpty,
+      s"reserved graft column names: ${reservedHit.mkString(", ")}")
+    val base = loadManifest(spark, tablePath)
+    val physDf = toPhysical(df, base)
+    var staged = stageFragments(spark, tablePath, physDf)
+    val v = (java.util.concurrent.ThreadLocalRandom.current().nextLong()
+      & 0x3FFFFFFFFFFFFFFFL) | DetachedVersionMask
+    val (frags, paths) = assignIds(spark, staged, base.maxFragmentId + 1, v,
+      base.nextRowId)
+    staged = paths
+    val m = base.copy(version = v, operation = "append",
+      fragments = base.fragments ++ frags, parent = base.version,
+      nextRowId = base.nextRowId + frags.map(_.rows).sum,
+      opStats = Map("num_inserted_rows" -> frags.map(_.rows).sum),
+      txnProperties = txnProperties + ("detached" -> "true"))
+    // collision of two 62-bit random versions is not a real event; surface
+    // it loudly rather than renaming the staged fragments for a retry
+    if (!tryCommit(spark, tablePath, m))
+      throw new IllegalStateException(
+        s"detached version collision at $tablePath v$v — retry the write")
+    v
+  }
+
+  /** Delete a detached manifest (the handle is the only route to it, so
+    * dropping it releases the snapshot; the next cleanup sweep reclaims any
+    * fragments only it referenced). */
+  def dropDetached(spark: SparkSession, tablePath: String, version: Long): Unit = {
+    require(isDetachedVersion(version), s"v$version is not a detached version")
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    f.delete(manifestPath(t, version), false)
+    CommitHandler.forSession(spark).forget(manifestPath(t, version))
   }
 
   /** Create an EMPTY table from a schema — one metadata-only commit, no data
@@ -3307,7 +3385,12 @@ object GraftTable {
       branches(spark, tablePath).flatMap { b =>
         versions(spark, tablePath, Some(b))
           .map(v => loadManifest(spark, tablePath, Some(v), Some(b)))
-      }
+      } ++
+      // detached snapshots are alive until dropDetached releases their
+      // handle — their fragments (shared base + detached-only) stay
+      // referenced or the sweep would corrupt the snapshot
+      detachedVersions(spark, tablePath)
+        .flatMap(v => scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption)
     val referenced = survivors.flatMap { m =>
       m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path) ++
         // old-address DV sidecars rewrite outputs still serve deferred

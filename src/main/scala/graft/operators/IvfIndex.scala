@@ -172,15 +172,70 @@ object IvfIndex {
   private[operators] def floatView(df: DataFrame, vecCol: String): DataFrame =
     if (isF16(df, vecCol)) df.withColumn(vecCol, floatSide(df, vecCol)) else df
 
+  /** Persist a trained IVF model standalone (reference `IvfModel.save`,
+    * `python/lance/indices/ivf.py:27`): same `centroids` parquet layout the
+    * index directories use, so [[loadModel]] reads either. The model is the
+    * train-once-reuse-everywhere artifact of a 100 TB build: centroids
+    * learned on one bounded sample serve every rebuild / branch / retrain-
+    * free re-index without re-running training. */
+  def saveModelTo(spark: SparkSession, modelPath: String, model: Model,
+                  metric: String = "l2"): Unit = {
+    val rows = model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    spark.createDataFrame(rows.toSeq).toDF("pid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$modelPath/centroids")
+    writeVectorMeta(spark, modelPath, metric)
+  }
+
+  /** Train centroids over a table column and persist them standalone —
+    * the train-once half of the precomputed-model flow (reference
+    * `IndicesBuilder.train_ivf` + `IvfModel.save`,
+    * `python/lance/indices/builder.py:60`, `indices/ivf.py:27`). Training
+    * cost is the bounded-sample recipe of [[train]] regardless of table
+    * size. Returns (nlist, dim). */
+  def trainModelToPath(spark: SparkSession, tablePath: String, idCol: String,
+                       vecCol: String, nlist: Int, metric: String,
+                       dest: String): (Int, Int) = {
+    val df0 = graft.format.GraftTable.read(spark, tablePath,
+      withRowId = idCol == graft.format.GraftTable.RowIdCol)
+    val df = forMetric(floatView(df0, vecCol), vecCol, metric)
+    val model = train(df, idCol, vecCol, nlist)
+    saveModelTo(spark, dest, model, metric)
+    (model.nlist, model.centroids.head.length)
+  }
+
+  /** Vector length of the column's first row — the build-time dimension
+    * guard for precomputed models (a mismatched model would otherwise
+    * assign garbage silently: the distance loop runs over min(dims)). */
+  private[operators] def dimOf(df: DataFrame, vecCol: String): Int =
+    floatView(df, vecCol).select(col(vecCol)).limit(1).collect() match {
+      case Array(r) => r.getSeq[Float](0).length
+      case _ => throw new IllegalArgumentException("empty vector column")
+    }
+
+  private[operators] def requireDim(model: Model, df: DataFrame,
+                                    vecCol: String): Unit = {
+    val d = dimOf(df, vecCol)
+    require(model.centroids.head.length == d,
+      s"precomputed model dimension ${model.centroids.head.length} != " +
+        s"column '$vecCol' dimension $d")
+  }
+
   /** Build the index dataset: assign pids, write partitioned parquet +
     * centroids sidecar. f16 columns train/assign through the decode but
-    * the index stores the PACKED bytes. */
+    * the index stores the PACKED bytes. `precomputed` (reference
+    * `create_index(ivf_centroids=..., train=False)`, `dataset.py:2525`)
+    * skips training and partitions under the given model — the assignment
+    * pass (the corpus-sized work) still runs distributed. */
   def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
-            nlist: Int, maxIter: Int = 10): Model = {
+            nlist: Int, maxIter: Int = 10,
+            precomputed: Option[Model] = None): Model = {
     val f16 = isF16(df, vecCol)
     val trainDf =
       if (f16) df.withColumn(vecCol, floatSide(df, vecCol)) else df
-    val model = train(trainDf, idCol, vecCol, nlist, maxIter)
+    val model = precomputed match {
+      case Some(m) => requireDim(m, df, vecCol); m
+      case None => train(trainDf, idCol, vecCol, nlist, maxIter)
+    }
     val assigned = df.withColumn(PidCol,
       ColumnBridge.column(IvfAssign(
         ColumnBridge.expression(floatSide(df, vecCol)), model.centroids)))
@@ -279,14 +334,19 @@ object IvfIndex {
     * delta maintenance. The index rows carry `_rowaddr` so post-build
     * deletions can be subtracted at query time. */
   def buildForTable(spark: SparkSession, tablePath: String, idCol: String,
-                    vecCol: String, indexPath: String, nlist: Int): Model = {
+                    vecCol: String, indexPath: String, nlist: Int,
+                    centroidsFile: Option[String] = None): Model = {
     val m = graft.format.GraftTable.loadManifest(spark, tablePath)
+    val pre = centroidsFile.map(loadModel(spark, _))
     val model = build(
       graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist)
+      idCol, vecCol, indexPath, pre.map(_.nlist).getOrElse(nlist),
+      precomputed = pre)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol, "nlist" -> nlist.toString))
+      "IVF_FLAT", vecCol, m, Map("idCol" -> idCol,
+        "nlist" -> model.nlist.toString) ++
+        centroidsFile.map("centroidsFile" -> _))
     model
   }
 

@@ -109,15 +109,64 @@ object PqIndex {
     * "l2" (default) or "cosine" — cosine stores NORMALIZED vectors (see
     * [[IvfIndex.forMetric]]). `residual = true` (default) trains and
     * encodes over `v − centroid(pid)` (see object doc). */
+  /** Persist a trained PQ codebook standalone (reference `PqModel.save`,
+    * `python/lance/indices/pq.py:26`): same `pq` parquet layout the index
+    * directories use plus a meta sidecar recording the metric and the code
+    * SPACE ("residual" | "raw") the codebook was trained in — a codebook is
+    * only valid for builds in that same space. */
+  def saveCodebookTo(spark: SparkSession, modelPath: String, pq: PqModel,
+                     variant: String, metric: String = "l2"): Unit = {
+    require(variant == "residual" || variant == "raw",
+      s"codebook variant must be residual|raw, got $variant")
+    writePq(spark, modelPath, pq)
+    IvfIndex.writeVectorMeta(spark, modelPath, metric, pqVariant = variant)
+  }
+
+  /** Train a PQ codebook over a table column and persist it standalone —
+    * residual space when `ivfCentroidsFile` names a saved IVF model (the
+    * codes are then relative to those centroids), raw space otherwise
+    * (reference `IndicesBuilder.train_pq` + `PqModel.save`,
+    * `python/lance/indices/builder.py:149`, `indices/pq.py:26`).
+    * Returns (m, k, variant). */
+  def trainCodebookToPath(spark: SparkSession, tablePath: String, idCol: String,
+                          vecCol: String, m: Int, k: Int, metric: String,
+                          dest: String,
+                          ivfCentroidsFile: Option[String]): (Int, Int, String) = {
+    val df0 = graft.format.GraftTable.read(spark, tablePath,
+      withRowId = idCol == graft.format.GraftTable.RowIdCol)
+    val df = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
+    val (trainDf, trainCol, variant) = ivfCentroidsFile match {
+      case Some(f) =>
+        val ivf = IvfIndex.loadModel(spark, f)
+        IvfIndex.requireDim(ivf, df, vecCol)
+        val withPid = df.withColumn(IvfIndex.PidCol,
+          ColumnBridge.column(IvfAssign(
+            ColumnBridge.expression(col(vecCol)), ivf.centroids)))
+        (withPid.withColumn("__pq_space", ColumnBridge.column(ResidualByPid(
+          ColumnBridge.expression(col(vecCol)),
+          ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids))),
+          "__pq_space", "residual")
+      case None => (df, vecCol, "raw")
+    }
+    val pq = train(trainDf, idCol, trainCol, m, k)
+    saveCodebookTo(spark, dest, pq, variant, metric)
+    (m, k, variant)
+  }
+
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 8, k: Int = 256,
             metric: String = "l2", residual: Boolean = true,
-            numBits: Int = 8): (IvfIndex.Model, PqModel) = {
+            numBits: Int = 8,
+            preIvf: Option[IvfIndex.Model] = None,
+            prePq: Option[PqModel] = None): (IvfIndex.Model, PqModel) = {
     require(numBits == 8 || numBits == 4, s"numBits must be 4 or 8, got $numBits")
     require(k <= (1 << numBits), s"k=$k codes do not fit numBits=$numBits")
     // packed f16 input decodes ONCE at the boundary (see IvfIndex.floatView)
     val df = IvfIndex.forMetric(IvfIndex.floatView(df0, vecCol), vecCol, metric)
-    val ivf = IvfIndex.train(df, idCol, vecCol, nlist)
+    val ivf = preIvf match {
+      case Some(pm) => IvfIndex.requireDim(pm, df, vecCol); pm
+      case None => IvfIndex.train(df, idCol, vecCol, nlist)
+    }
     val withPid = df.withColumn(IvfIndex.PidCol,
       ColumnBridge.column(IvfAssign(ColumnBridge.expression(col(vecCol)), ivf.centroids)))
     // the column PQ quantizes: the residual (assignment already computed) or
@@ -127,8 +176,15 @@ object PqIndex {
         ColumnBridge.expression(col(vecCol)),
         ColumnBridge.expression(col(IvfIndex.PidCol)), ivf.centroids))
       else col(vecCol)
-    val pq = train(withPid.withColumn("__pq_space", pqSpace(withPid)),
-      idCol, "__pq_space", m, k)
+    val pq = prePq match {
+      case Some(pm) =>
+        require(pm.codebooks.length == m,
+          s"precomputed codebook has m=${pm.codebooks.length} subspaces, " +
+            s"build asked for m=$m")
+        pm
+      case None => train(withPid.withColumn("__pq_space", pqSpace(withPid)),
+        idCol, "__pq_space", m, k)
+    }
     IvfIndex.writeVectorMeta(df.sparkSession, indexPath, metric,
       pqVariant = if (residual) "residual" else "raw", pqBits = numBits)
     val assigned = withPid
@@ -151,15 +207,39 @@ object PqIndex {
                     vecCol: String, indexPath: String, nlist: Int,
                     m: Int = 8, k: Int = 256,
                     metric: String = "l2",
-                    numBits: Int = 8): (IvfIndex.Model, PqModel) = {
+                    numBits: Int = 8,
+                    ivfCentroidsFile: Option[String] = None,
+                    pqCodebookFile: Option[String] = None): (IvfIndex.Model, PqModel) = {
     val mft = graft.format.GraftTable.loadManifest(spark, tablePath)
+    val preIvf = ivfCentroidsFile.map(IvfIndex.loadModel(spark, _))
+    // a precomputed codebook dictates the code SPACE it was trained in and
+    // its own (m, k); silently re-spacing it would encode garbage
+    val prePq = pqCodebookFile.map(loadPq(spark, _))
+    val residual = pqCodebookFile
+      .map(f => IvfIndex.readPqVariant(spark, f) == "residual")
+      .getOrElse(true)
+    pqCodebookFile.foreach { f =>
+      val mm = IvfIndex.readVectorMeta(spark, f)
+      require(mm == metric,
+        s"codebook $f was trained for metric '$mm', build asked for '$metric'")
+      if (residual) require(ivfCentroidsFile.nonEmpty,
+        "residual-space codebook requires ivf_centroids_file — the codes are " +
+          "only meaningful relative to the centroids they were trained against")
+    }
+    val mEff = prePq.map(_.codebooks.length).getOrElse(m)
+    val kEff = prePq.map(_.codebooks.head.length).getOrElse(k)
     val out = build(graft.format.GraftTable.read(spark, tablePath, withRowAddr = true,
         withRowId = idCol == graft.format.GraftTable.RowIdCol),
-      idCol, vecCol, indexPath, nlist, m, k, metric, numBits = numBits)
+      idCol, vecCol, indexPath, preIvf.map(_.nlist).getOrElse(nlist),
+      mEff, kEff, metric, residual = residual, numBits = numBits,
+      preIvf = preIvf, prePq = prePq)
     graft.index.ScalarIndex.writeCoverageAndCommit(spark, tablePath, indexPath,
-      "IVF_PQ", vecCol, mft, Map("idCol" -> idCol, "nlist" -> nlist.toString,
-        "pqM" -> m.toString, "pqK" -> k.toString, "metric" -> metric,
-        "numBits" -> numBits.toString))
+      "IVF_PQ", vecCol, mft, Map("idCol" -> idCol,
+        "nlist" -> out._1.nlist.toString,
+        "pqM" -> mEff.toString, "pqK" -> kEff.toString, "metric" -> metric,
+        "numBits" -> numBits.toString) ++
+        ivfCentroidsFile.map("centroidsFile" -> _) ++
+        pqCodebookFile.map("codebookFile" -> _))
     out
   }
 
