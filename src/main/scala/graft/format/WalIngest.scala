@@ -158,6 +158,16 @@ object WalIngest {
         })
         GenState(gen, States(seq), owner, base)
       }
+    // compacted generations never list again — release their cached .s0
+    // payloads so a long-lived session's cache stays O(live generations),
+    // not O(every generation ever opened)
+    if (hw >= 0) {
+      val it = s0Cache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == table && k._2 == region && k._3 <= hw) it.remove()
+      }
+    }
     (gens, hw)
   }
 
