@@ -308,6 +308,79 @@ object Dedup {
           .cast("string")).otherwise(col("cleaned")))
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2021, arXiv:2107.06499
+    * §4.1 ExactSubstr: remove substrings of ≥ k tokens that occur more
+    * than once in the corpus — the dedup family document-level methods
+    * miss, e.g. boilerplate paragraphs pasted into otherwise-unique
+    * pages). The paper builds a single-machine suffix array; the
+    * distributed formulation here is the k-token sliding-window
+    * equivalence: a token belongs to a duplicated substring of length
+    * ≥ k iff some k-window containing it occurs ≥ 2 times corpus-wide.
+    *
+    * Returns `(idCol, span_start, span_end)` — 0-based token offsets,
+    * end exclusive, overlapping/adjacent windows merged into maximal
+    * spans.
+    *
+    * Scale shape: windows stream as (xxhash64(window), doc, start) —
+    * never the window text; the duplicate-hash set comes from ONE
+    * map-side-combined count (shuffle keyed on the 8-byte hash, linear
+    * in corpus tokens — the honest cost of EXACT substring matching;
+    * the sub-linear paths are the document/paragraph families above);
+    * the span merge is one doc-keyed window (partitioned, bounded by
+    * doc length). Collisions: two distinct windows sharing an xxhash64
+    * value could merge spans spuriously at p ≈ n²/2⁶⁵ — the paper's
+    * own Bloom-filter variant accepts the same class of error. */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    val words = split(col(textCol), " ")
+    val nwin = size(words) - (k - 1)
+    val wins = df.select(col(idCol), posexplode(
+        when(nwin >= 1, transform(sequence(lit(1), nwin),
+          i => xxhash64(concat_ws(" ", slice(words, i, lit(k))))))
+          .otherwise(typedLit(Array.empty[Long]))))
+      .toDF(idCol, "__start", "__h")
+    // "more than once in the corpus" includes twice within one document
+    val dup = wins.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    val hits = wins.join(dup, "__h").select(col(idCol), col("__start"))
+    // gaps-and-islands over sorted starts: equal-length spans sort by end
+    // too, so the running "previous end" IS lag(start) + k; start beyond
+    // it opens a new island (adjacent windows merge — they tile one
+    // contiguous duplicated region)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__start"))
+    hits
+      .withColumn("__new", when(col("__start") >
+        coalesce(lag(col("__start"), 1).over(w) + lit(k), lit(Int.MinValue)),
+        1L).otherwise(0L))
+      .withColumn("__isle", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isle"))
+      .agg(min(col("__start")).cast("long").as("span_start"),
+        (max(col("__start")) + lit(k)).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Companion scrub: the document texts with every [[exactSubstringSpans]]
+    * token removed (the paper's removal policy; spans rarely cut mid-
+    * sentence at k ≥ 50). Docs without duplicated spans pass through
+    * untouched; a fully-duplicated doc scrubs to null (drop candidate). */
+  def exactSubstringScrub(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val words = split(col(textCol), " ")
+    val kept = filter(words, (_, i) =>
+      !exists(col("__spans"), sp =>
+        i >= sp.getField("span_start") && i < sp.getField("span_end")))
+    df.join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(when(size(kept) === 0, lit(null).cast("string"))
+            .otherwise(concat_ws(" ", kept))).as("cleaned"))
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key (brute-force
     * baseline; IVF/LSH bucketing is the scale path). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -245,6 +245,16 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Exact-substring dedup (Lee et al. 2021, arXiv:2107.06499 §4.1):
+    // maximal duplicated k-token spans, oracle-replayed string-exactly
+    // (the operator keys the shuffle on xxhash64; the oracle groups the
+    // window strings themselves — identical spans unless a 64-bit
+    // collision lands inside this corpus).
+    "q_substring_dedup" -> { (s, d) =>
+      Dedup.exactSubstringSpans(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // Content fingerprints per source — rows-only (hash-engine-specific).
     "q_fingerprint" -> { (s, d) =>
       docsWithShingles(s, d)
@@ -396,6 +406,28 @@ object Text {
         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
         |  string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY idx) AS cleaned
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact replay of the k=8 sliding-window substring dedup: windows by
+    // string equality, corpus-wide count > 1 (incl. twice in one doc),
+    // gaps-and-islands merge of overlapping/adjacent starts
+    "q_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS s, array_to_string(w[i:(i+7)], ' ') AS win
+        |  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, CAST(len(w) AS INT) - 7)) AS i) t
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, s FROM wins JOIN dup USING (win)),
+        |isl AS (
+        |  SELECT doc_id, s, CASE WHEN s > coalesce(
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY s), -1000000) + 8
+        |    THEN 1 ELSE 0 END AS newi
+        |  FROM hits),
+        |isl2 AS (SELECT doc_id, s,
+        |  sum(newi) OVER (PARTITION BY doc_id ORDER BY s) AS isle FROM isl)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(s) + 8 AS BIGINT) AS span_end
+        |FROM isl2 GROUP BY doc_id, isle
+        |ORDER BY doc_id, span_start""".stripMargin,
     // replays the q_multimodal_decode fixture arithmetic codec-free: the
     // Spark side must round-trip the exact dims/gray through PNG encode+decode
     "q_multimodal_decode" ->

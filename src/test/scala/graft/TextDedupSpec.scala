@@ -393,4 +393,49 @@ class TextDedupSpec extends AnyFunSuite {
       .sortBy(r => (r._1, r._2))
     assert(out8 == out)
   }
+
+  test("exactSubstringSpans: corpus-duplicated k-windows merge to maximal spans") {
+    // docs 10 and 11 share the 10-token run "a b c d e f g h i j" (tokens
+    // 2..11 of doc 10, 0..9 of doc 11); doc 12 repeats a 4-window TWICE
+    // WITHIN itself; doc 13 is clean
+    val corpus = Seq(
+      (10L, "x y a b c d e f g h i j z"),
+      (11L, "a b c d e f g h i j q r"),
+      (12L, "p q r s t u m m p q r s t u m m"),
+      (13L, "totally unique words nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(corpus, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // 10-token shared run -> ONE maximal span per doc (7 overlapping
+    // 4-windows merged); doc 12's repeated 8-token half -> one span
+    // covering the whole doc (the second copy's windows overlap the
+    // straddling windows); doc 13 absent
+    assert(spans.filter(_._1 == 10L) == Seq((10L, 2L, 12L)))
+    assert(spans.filter(_._1 == 11L) == Seq((11L, 0L, 10L)))
+    assert(spans.filter(_._1 == 12L) == Seq((12L, 0L, 16L)))
+    assert(!spans.exists(_._1 == 13L))
+    // partitioning-invariant
+    val spans8 = Dedup.exactSubstringSpans(corpus.repartition(8),
+        "doc_id", "text", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(spans8 == spans)
+  }
+
+  test("exactSubstringScrub removes exactly the flagged tokens") {
+    val corpus = Seq(
+      (10L, "x y a b c d e f g h i j z"),
+      (11L, "a b c d e f g h i j q r"),
+      (13L, "totally unique words nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringScrub(corpus, "doc_id", "text", k = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(10L) == "x y z")
+    assert(out(11L) == "q r")
+    assert(out(13L) == "totally unique words nothing shared at all here")
+    // a fully-duplicated doc scrubs to null, not empty string
+    val twins = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val scrubbed = Dedup.exactSubstringScrub(twins, "doc_id", "text", k = 4)
+      .as[(Long, Option[String])].collect().toMap
+    assert(scrubbed(1L).isEmpty && scrubbed(2L).isEmpty)
+  }
 }
