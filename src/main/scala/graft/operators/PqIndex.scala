@@ -104,11 +104,6 @@ object PqIndex {
     PqModel(books)
   }
 
-  /** Build an IVF_PQ index: IVF partition assignment (coarse) + PQ codes
-    * (fine), one distributed pass, partitioned parquet layout. `metric`
-    * "l2" (default) or "cosine" — cosine stores NORMALIZED vectors (see
-    * [[IvfIndex.forMetric]]). `residual = true` (default) trains and
-    * encodes over `v − centroid(pid)` (see object doc). */
   /** Persist a trained PQ codebook standalone (reference `PqModel.save`,
     * `python/lance/indices/pq.py:26`): same `pq` parquet layout the index
     * directories use plus a meta sidecar recording the metric and the code
@@ -153,6 +148,14 @@ object PqIndex {
     (m, k, variant)
   }
 
+  /** Build an IVF_PQ index: IVF partition assignment (coarse) + PQ codes
+    * (fine), one distributed pass, partitioned parquet layout. `metric`
+    * "l2" (default) or "cosine" — cosine stores NORMALIZED vectors (see
+    * [[IvfIndex.forMetric]]). `residual = true` (default) trains and
+    * encodes over `v − centroid(pid)` (see object doc). `preIvf`/`prePq`
+    * (reference precomputed `ivf_centroids`/`pq_codebook`,
+    * `dataset.py:2525-2541`) skip the corresponding training; the
+    * corpus-sized assign/encode pass stays distributed either way. */
   def build(df0: DataFrame, idCol: String, vecCol: String, indexPath: String,
             nlist: Int, m: Int = 8, k: Int = 256,
             metric: String = "l2", residual: Boolean = true,

@@ -302,6 +302,19 @@ object ScaleProbe {
       }
     }
 
+    // ---- exact-substring dedup (r13, arXiv:2107.06499): windows stream
+    // as 8-byte hashes, duplicate set = one map-side-combined count,
+    // span merge = doc-keyed window — cost must stay linear in corpus
+    // tokens (the SALTED corpus keeps duplicate density constant, so the
+    // hit/merge stage cannot shrink relative to the scan) ----
+    for (f <- docFactors) {
+      val p = docsSalted(f)
+      time("substring_dedup", f) {
+        Dedup.exactSubstringSpans(spark.read.parquet(p), "doc_id", "text",
+          k = 8).count()
+      }
+    }
+
     // ---- decontamination (r9): FIXED benchmark (the ×1 corpus's every-97th
     // doc) against a growing corpus — the realistic shape. The benchmark
     // gram set is bounded + broadcast, so cost must be ONE linear pass over
