@@ -489,6 +489,27 @@ object Format {
       main.crossJoin(dev)
     },
 
+    // Detached commits (reference commit(detached=True),
+    // io/commit.rs:606-626): the detached append is invisible to HEAD /
+    // versions (require'd in-gate) yet fully readable by its handle, and
+    // a LATER lineage append does not disturb the snapshot — the gate
+    // reads both sides after the lineage moved on.
+    "q_format_detached" -> { (s, d) =>
+      val t = freshDir(s, "detached")
+      val o = Tables.orders(s, d)
+      GraftTable.write(o.filter(col("o_orderkey") <= 30000), t, "overwrite")
+      val dv = GraftTable.writeDetached(o.filter(col("o_orderkey") > 30000), t)
+      GraftTable.write(o.filter(col("o_orderkey") <= 100), t, "append")
+      require(GraftTable.isDetachedVersion(dv), "handle must carry the mask bit")
+      require(GraftTable.versions(s, t).forall(!GraftTable.isDetachedVersion(_)),
+        "lineage listing must never surface a detached version")
+      val head = GraftTable.read(s, t).agg(count(lit(1)).as("head_n"))
+      val snap = GraftTable.read(s, t, version = Some(dv))
+        .agg(count(lit(1)).as("snap_n"),
+          round(sum(col("o_totalprice")), 2).as("snap_total"))
+      head.crossJoin(snap)
+    },
+
     // late materialization: narrow-column predicate phase + fragment-pruned
     // wide fetch — result must equal a plain filtered read
     "q_format_read_late" -> { (s, d) =>
@@ -929,6 +950,11 @@ object Format {
       """SELECT (SELECT count(*) FROM orders WHERE o_orderkey <= 30000) AS main_n,
         |       (SELECT count(*) FROM orders) AS dev_n,
         |       (SELECT round(sum(o_totalprice),2) FROM orders) AS dev_total""".stripMargin,
+    "q_format_detached" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_orderkey <= 30000)
+        |     + (SELECT count(*) FROM orders WHERE o_orderkey <= 100) AS head_n,
+        |       (SELECT count(*) FROM orders) AS snap_n,
+        |       (SELECT round(sum(o_totalprice),2) FROM orders) AS snap_total""".stripMargin,
     "q_format_read_late" ->
       """SELECT count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders
         |WHERE o_orderkey BETWEEN 5000 AND 6000""".stripMargin,
