@@ -82,6 +82,25 @@ class DetachedCommitSpec extends AnyFunSuite {
     assert(GraftTable.validate(spark, t).isEmpty)
   }
 
+  test("detached commit runs through the external-KV handler (object-store path)") {
+    val t = tmp()
+    GraftTable.write((0L until 20L).map(i => (i, i)).toDF("id", "v"), t, "overwrite")
+    spark.conf.set(graft.format.CommitHandler.ConfKey, "kvmem:detached-spec")
+    try {
+      val dv = GraftTable.writeDetached(
+        (20L until 25L).map(i => (i, i)).toDF("id", "v"), t)
+      assert(GraftTable.isDetachedVersion(dv))
+      assert(GraftTable.read(spark, t, version = Some(dv)).count() == 25)
+      assert(GraftTable.read(spark, t).count() == 20)
+      GraftTable.dropDetached(spark, t, dv) // also forgets the KV claim
+      // the version handle is reusable after forget: a fresh detached
+      // commit through the same KV must not be blocked by stale claims
+      val dv2 = GraftTable.writeDetached(
+        (25L until 30L).map(i => (i, i)).toDF("id", "v"), t)
+      assert(GraftTable.read(spark, t, version = Some(dv2)).count() == 25)
+    } finally spark.conf.unset(graft.format.CommitHandler.ConfKey)
+  }
+
   test("guards: dropDetached refuses lineage versions; handle collision caveat") {
     val t = tmp()
     GraftTable.write(Seq((1L, 1L)).toDF("id", "v"), t, "overwrite")
