@@ -1433,8 +1433,11 @@ private[format] object GraftProcedures {
       require(stores.nonEmpty, s"index '$nm' has no row store")
       import org.apache.spark.sql.functions.col
       val idCol = e.params.getOrElse("idCol", GraftTable.RowIdCol)
-      spark.read.parquet(stores: _*)
-        .filter(col(graft.operators.IvfIndex.PidCol) === pid)
+      val rows = spark.read.parquet(stores: _*)
+      require(rows.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"index id column '$idCol' is ${rows.schema(idCol).dataType.simpleString} — " +
+          "ivf_partition reports numeric ids only (indexes keyed by _rowid qualify)")
+      rows.filter(col(graft.operators.IvfIndex.PidCol) === pid)
         .select(col(idCol).cast(DT.LongType).as("id"),
           col(GraftTable.RowAddrCol).as("rowaddr"))
         .orderBy(col("id"))

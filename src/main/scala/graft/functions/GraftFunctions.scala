@@ -49,6 +49,16 @@ object GraftFunctions {
       F16DotProduct(es(0), es(1))),
     "cosine_distance_f16" -> arity("cosine_distance_f16", 2)(es =>
       F16CosineDistance(es(0), es(1))),
+    // bfloat16 (reference lance.arrow.BFloat16Array + bf16 kernels): same
+    // 2-byte packed BINARY, f32's exponent range, shift-only decode
+    "bf16_pack" -> arity("bf16_pack", 1)(es => PackBf16(es(0))),
+    "bf16_unpack" -> arity("bf16_unpack", 1)(es => UnpackBf16(es(0))),
+    "l2_distance_bf16" -> arity("l2_distance_bf16", 2)(es =>
+      Bf16L2Distance(es(0), es(1))),
+    "dot_product_bf16" -> arity("dot_product_bf16", 2)(es =>
+      Bf16DotProduct(es(0), es(1))),
+    "cosine_distance_bf16" -> arity("cosine_distance_bf16", 2)(es =>
+      Bf16CosineDistance(es(0), es(1))),
     // text kernels: BPE counting under the built-in English merge table,
     // n-gram repetition pair, and the dedup sketches
     "bpe_token_count" -> arity("bpe_token_count", 1)(es =>

@@ -121,6 +121,44 @@ object Knn {
     }
   }
 
+  /** Flat search over PACKED bf16 vectors (reference
+    * `lance.arrow.BFloat16Array` + bf16 kernels, `rust/lance-linalg/src/
+    * distance/`): same contract as [[flatSearchF16]] — distance through the
+    * packed bytes, optional exact f32 re-rank via `refineWith` — under the
+    * bf16 codec (f32 exponent range, shift-only decode). The caller states
+    * the codec by choosing this method: f16 and bf16 pack to
+    * indistinguishable BINARY, and decoding one as the other returns a
+    * confidently wrong ranking instead of an error. */
+  def flatSearchBf16(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
+                     metric: String = "l2", tieBreakers: Seq[Column] = Nil,
+                     prefilter: Option[Column] = None,
+                     refineWith: Option[String] = None,
+                     refineFactor: Int = 4,
+                     distanceRange: Option[(Double, Double)] = None): DataFrame = {
+    import graft.functions.Bf16Functions._
+    val q = bf16Lit(query)
+    val dist = metric match {
+      case "l2" => l2DistanceBf16(col(vecCol), q)
+      case "cosine" => cosineDistanceBf16(col(vecCol), q)
+      case "dot" => negate(dotProductBf16(col(vecCol), q))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    val base0 = prefilter.map(df.filter).getOrElse(df).withColumn(DistanceCol, dist)
+    def rangeFilter(d: DataFrame) = distanceRange.map { case (lo, hi) =>
+      d.filter(col(DistanceCol) >= lit(lo) && col(DistanceCol) < lit(hi))
+    }.getOrElse(d)
+    refineWith match {
+      case None =>
+        rangeFilter(base0).orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
+      case Some(f32Col) =>
+        rangeFilter(
+          base0.orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k * refineFactor)
+            .withColumn(DistanceCol,
+              distanceExpr(metric, col(f32Col), vectorLit(query))))
+          .orderBy(col(DistanceCol) +: tieBreakers: _*).limit(k)
+    }
+  }
+
   /** Multivector (late-interaction / XTR-style) search (reference
     * `MultivectorScoringExec`, `io/exec/knn.rs:1133`; `multivec_ann`
     * `scanner.rs:3471-3552`): per-query-vector top-(k·overfetch) candidate

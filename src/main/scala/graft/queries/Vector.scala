@@ -284,6 +284,20 @@ object Vector {
         .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
     },
 
+    // bf16 twin (reference lance.arrow.BFloat16Array + bf16 kernels): the
+    // coarser mantissa (8 bits) needs a wider refine than f16 to recover
+    // the exact top-10; the refined result must equal the f32 oracle.
+    "q_knn_bf16" -> { (s, d) =>
+      import graft.functions.Bf16Functions._
+      val q = queryVec(s, d)
+      val packed = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+        .withColumn("emb_bf16", bf16Pack(col("embedding")))
+      Knn.flatSearchBf16(packed, "emb_bf16", q, 10, "l2",
+          tieBreakers = Seq(col("vec_id")),
+          refineWith = Some("embedding"), refineFactor = 8)
+        .select(col("vec_id"), round(col(Knn.DistanceCol), 4).as("dist"))
+    },
+
     // f16 storage round trip: pack → graft table (BINARY column at rest,
     // 2 bytes/element) → read → verify precision in-gate (quantization
     // error within the binary16 bound; re-pack idempotent), emit per-row
@@ -725,6 +739,14 @@ object Vector {
         |LIMIT 10""".stripMargin,
     // f16 + f32-refine recovers the EXACT top-k — same oracle as flat l2
     "q_knn_f16" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), e.vec_id
+        |LIMIT 10""".stripMargin,
+    // bf16 with f32 refine recovers the exact top-k — same oracle shape
+    "q_knn_bf16" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])),4) AS dist
