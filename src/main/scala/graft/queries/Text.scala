@@ -255,6 +255,13 @@ object Text {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // the scrub half (the paper's removal policy): every doc's text with
+    // the flagged tokens removed, fully-duplicated docs → null
+    "q_substring_scrub" -> { (s, d) =>
+      Dedup.exactSubstringScrub(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Content fingerprints per source — rows-only (hash-engine-specific).
     "q_fingerprint" -> { (s, d) =>
       docsWithShingles(s, d)
@@ -428,6 +435,29 @@ object Text {
         |  CAST(max(s) + 8 AS BIGINT) AS span_end
         |FROM isl2 GROUP BY doc_id, isle
         |ORDER BY doc_id, span_start""".stripMargin,
+    // scrub replay: a token is cut iff some duplicated window covers it;
+    // surviving tokens rejoin in order, all-cut docs go null
+    "q_substring_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS s, array_to_string(w[i:(i+7)], ' ') AS win
+        |  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, CAST(len(w) AS INT) - 7)) AS i) t
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, s FROM wins JOIN dup USING (win)),
+        |tok AS (
+        |  SELECT doc_id, t.i - 1 AS ti, w[t.i] AS tokn
+        |  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, CAST(len(w) AS INT))) AS i) t),
+        |flag AS (
+        |  SELECT tok.doc_id, ti, tokn,
+        |    EXISTS(SELECT 1 FROM hits h
+        |           WHERE h.doc_id = tok.doc_id AND h.s <= ti AND ti < h.s + 8) AS cut
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN count(*) FILTER (WHERE NOT cut) = 0 THEN NULL
+        |       ELSE string_agg(CASE WHEN NOT cut THEN tokn END, ' ' ORDER BY ti)
+        |  END AS cleaned
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays the q_multimodal_decode fixture arithmetic codec-free: the
     // Spark side must round-trip the exact dims/gray through PNG encode+decode
     "q_multimodal_decode" ->
