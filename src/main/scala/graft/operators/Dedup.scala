@@ -31,22 +31,28 @@ object Dedup {
   /** Candidate pairs sharing at least one MinHash LSH band bucket.
     * Output: (a_id, b_id) distinct, a_id < b_id.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
-                        numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
+  /** (id, band, bucket) LSH rows for a corpus slice — the unit both the
+    * batch self-join and the persisted incremental store are made of. */
+  private def bandedBuckets(df: DataFrame, idCol: String, shingleCol: String,
+                            numPerms: Int, bandRows: Int): DataFrame = {
     val numBands = numPerms / bandRows
     val sig = df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig"))
-    // (band, bucketHash(bandSlice)) per doc; slice = sig[band*r .. band*r+r)
-    // localCheckpoint (NOT persist): both sides of the bucket self-join read
-    // this subtree and the signature computation is the expensive part, but a
-    // bare persist leaks storage for the session lifetime on a lazily
-    // returned result — the eager checkpoint materializes once and its
-    // blocks are reclaimed automatically when the plan is dropped.
-    val banded = sig.select(
+    sig.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))).as("bucket"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
+                        numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
+    // localCheckpoint (NOT persist): both sides of the bucket self-join read
+    // this subtree and the signature computation is the expensive part, but a
+    // bare persist leaks storage for the session lifetime on a lazily
+    // returned result — the eager checkpoint materializes once and its
+    // blocks are reclaimed automatically when the plan is dropped.
+    val banded = bandedBuckets(df, idCol, shingleCol, numPerms, bandRows)
       .localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
@@ -73,6 +79,72 @@ object Dedup {
       .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Persist a corpus's LSH bucket store — the standing index the
+    * incremental dedup path probes (the ingest-time regime: CCNet /
+    * RefinedWeb-scale pipelines dedup each ARRIVING batch against the
+    * already-indexed corpus without rescanning it). The store is a graft
+    * table of `(id, band, bucket)` — numBands rows per doc, a few hundred
+    * bytes; shingle sets are NOT stored (exact verification reads only the
+    * candidate docs). */
+  def minhashIndexBuild(docs: DataFrame, idCol: String, shingleCol: String,
+                        storePath: String, numPerms: Int = 64,
+                        bandRows: Int = 2, mode: String = "overwrite"): Unit =
+    graft.format.GraftTable.write(
+      bandedBuckets(docs, idCol, shingleCol, numPerms, bandRows),
+      storePath, mode)
+
+  /** Incremental MinHash-LSH near-dup: exact-verified pairs touching the
+    * NEW batch — (old, new) via the persisted store, (new, new) within the
+    * batch — then ONE append commit of the batch's buckets so the next
+    * batch sees this one.
+    *
+    * Scale shape: the old corpus is touched only at (1) the store join on
+    * (band, bucket) — store rows are numBands/doc of metadata, never
+    * documents — and (2) the exact-verify join, whose old side is
+    * candidate-pruned (a semi-join by candidate id before shingles travel;
+    * candidates are collision-bounded like the batch path). The arriving
+    * batch, not the corpus, is the unit of work — the property that makes
+    * dedup-at-ingest viable at 100 TB.
+    *
+    * Pair identity: `a_id` is the existing/batch-mate doc, `b_id` the new
+    * doc (numeric order only when old ids precede new ones). Same
+    * recall/precision contract as [[minhashNearDupPairs]]: exact verify ⇒
+    * precision 1; banding recall at the 0.8 threshold is 1 − (1−s²)^b. */
+  def minhashIncremental(newDocs: DataFrame, idCol: String, shingleCol: String,
+                         oldDocs: DataFrame, storePath: String,
+                         threshold: Double, numPerms: Int = 64,
+                         bandRows: Int = 2): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSets = newDocs.select(col(idCol), col(shingleCol)).localCheckpoint()
+    val bandedNew = bandedBuckets(newSets, idCol, shingleCol, numPerms, bandRows)
+      .localCheckpoint()
+    val store = graft.format.GraftTable.read(spark, storePath)
+      .select(col("band"), col("bucket"), col(idCol).as("a_id"))
+    val oldNew = bandedNew.join(store, Seq("band", "bucket"))
+      .select(col("a_id"), col(idCol).as("b_id")).distinct()
+    val l = bandedNew.select(col("band"), col("bucket"), col(idCol).as("a_id"))
+    val r = bandedNew.select(col("band"), col("bucket"), col(idCol).as("b_id"))
+    val newNew = l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val cands = oldNew.union(newNew).distinct().localCheckpoint()
+    // exact verify: the old side prunes to candidate ids BEFORE its shingle
+    // sets travel anywhere
+    val candAIds = cands.select(col("a_id")).distinct()
+    val aSets = oldDocs.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
+      .join(candAIds, Seq("a_id"), "left_semi")
+      .unionByName(newSets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
+        .join(candAIds, Seq("a_id"), "left_semi"))
+    val bSets = newSets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
+    val out = cands.join(aSets, "a_id").join(bSets, "b_id")
+      .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .localCheckpoint() // materialize BEFORE the store grows
+    graft.format.GraftTable.write(bandedNew, storePath, "append")
+    out
   }
 
   /** SimHash near-duplicate pairs: block on 16-bit chunks (hamming ≤ 3 over

@@ -38,6 +38,14 @@ object Text {
     * `build_minhash_pairs` entry, exactly like the vector/FTS index
     * builds; the checkpointed pair set is near-dup-sized (thousands of
     * rows), never corpus-sized. */
+  private def freshDir(s: org.apache.spark.sql.SparkSession, name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gate/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
   private val builtPairs = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def minhashPairsFor(s: SparkSession, d: String): DataFrame =
     builtPairs.computeIfAbsent(d, _ =>
@@ -128,6 +136,32 @@ object Text {
     "q_minhash_lsh" -> { (s, d) =>
       minhashPairsFor(s, d)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Incremental (ingest-time) MinHash dedup: the corpus splits into an
+    // already-indexed 80% (bucket store persisted as a graft table) and an
+    // arriving 20% batch; the batch probes the store for old candidates and
+    // self-joins for batch-internal ones, exact-verifies, then appends its
+    // buckets in ONE commit. Oracle = exhaustive-jaccard pairs touching the
+    // new slice (same recall argument as q_minhash_lsh: banding miss
+    // probability at 0.8 is (1-0.64)^32 ≈ 5e-15).
+    "q_minhash_incremental" -> { (s, d) =>
+      import graft.format.GraftTable
+      val docs = docsWithShingles(s, d).localCheckpoint()
+      val old = docs.filter(col("doc_id") % 10 < 8)
+      val neu = docs.filter(col("doc_id") % 10 >= 8)
+      val store = freshDir(s, s"mh_store_${d.hashCode.toHexString}")
+      Dedup.minhashIndexBuild(old, "doc_id", "sh", store)
+      val pairs = Dedup.minhashIncremental(neu, "doc_id", "sh", old, store, 0.8)
+      // the append made the batch visible to the NEXT batch: store holds
+      // (old + new) docs × 32 bands
+      val expect = docs.count() * 32
+      val got = GraftTable.read(s, store).count()
+      require(got == expect, s"store holds $got bucket rows, want $expect")
+      pairs.select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -723,6 +757,21 @@ object Text {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh,b.sh))*1.0
         |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    // same exhaustive replay, restricted to pairs touching the new slice
+    "q_minhash_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2],' ')
+        |                   for i in generate_series(1, len(toks)-2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh,b.sh))*1.0
+        |        / len(list_distinct(list_concat(a.sh,b.sh))),4) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))*1.0
+        |      / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
+        |  AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
         |ORDER BY a_id, b_id""".stripMargin,
     "q_perplexity" ->
       """WITH tok AS (

@@ -421,6 +421,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(spans8 == spans)
   }
 
+  test("incremental minhash == batch pairs touching the new slice; store accretes") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight too"), // near-dup of 1
+      (3L, "completely different content about spark engines here today"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight again"), // new: dup of 1 & 2
+      (12L, "some fresh unrelated new-batch text with no duplicates at all"),
+      (13L, "some fresh unrelated new-batch text with no duplicates here")  // new-new near-dup of 12
+    ).toDF("doc_id", "text").withColumn("sh", TA.shingleSet($"text", 3))
+    val old = corpus.filter($"doc_id" < 10L)
+    val neu = corpus.filter($"doc_id" >= 10L)
+    val store = java.nio.file.Files.createTempDirectory("mh_inc_").toString + "/store"
+    Dedup.minhashIndexBuild(old, "doc_id", "sh", store)
+    val inc = Dedup.minhashIncremental(neu, "doc_id", "sh", old, store, 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashNearDupPairs(corpus, "doc_id", "sh", 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(inc == batch, s"incremental $inc != batch-restricted $batch")
+    assert(inc.contains((1L, 11L)) && inc.contains((2L, 11L)) &&
+      inc.contains((12L, 13L)))
+    // the NEXT batch sees this one through the store: a late duplicate of
+    // doc 12 pairs with it without doc 12 being passed as oldDocs shingles
+    // from anywhere but the verify union
+    val late = Seq((21L, "some fresh unrelated new-batch text with no duplicates at all"))
+      .toDF("doc_id", "text").withColumn("sh", TA.shingleSet($"text", 3))
+    val inc2 = Dedup.minhashIncremental(late, "doc_id", "sh", neu.unionByName(old),
+        store, 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(inc2.contains((12L, 21L)))
+    val stored = graft.format.GraftTable.read(spark, store).count()
+    assert(stored == 7L * 32, s"store holds $stored rows") // 7 docs x 32 bands
+  }
+
   test("exactSubstringScrub removes exactly the flagged tokens") {
     val corpus = Seq(
       (10L, "x y a b c d e f g h i j z"),
