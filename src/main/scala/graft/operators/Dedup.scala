@@ -81,6 +81,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Candidate-id inlining bound for [[minhashIncremental]]'s verify scan:
+    * at or under it the ids ship as a pushed-down `IN` (parquet row-group
+    * pruning); above it (a collision storm) the semi-join fallback keeps
+    * the plan correct at full-scan cost. */
+  private val InlineKeyLimit = 10000
+
   /** Persist a corpus's LSH bucket store — the standing index the
     * incremental dedup path probes (the ingest-time regime: CCNet /
     * RefinedWeb-scale pipelines dedup each ARRIVING batch against the
@@ -131,12 +137,22 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
     val cands = oldNew.union(newNew).distinct().localCheckpoint()
     // exact verify: the old side prunes to candidate ids BEFORE its shingle
-    // sets travel anywhere
-    val candAIds = cands.select(col("a_id")).distinct()
-    val aSets = oldDocs.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
-      .join(candAIds, Seq("a_id"), "left_semi")
-      .unionByName(newSets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
-        .join(candAIds, Seq("a_id"), "left_semi"))
+    // sets (or even its text) are touched. A semi join alone is not enough
+    // — the join condition sits ABOVE the text scan, so parquet would still
+    // read every old doc's text column. Candidate sets are collision-
+    // bounded (batch-sized), so inline them as an `isin` that parquet
+    // PUSHES DOWN (row-group pruning on an id-clustered corpus — the same
+    // `MergeInlineKeyLimit` trick the indexed merge uses); only an unusual
+    // collision storm falls back to the semi join.
+    val candAIds = cands.select(col("a_id")).distinct().localCheckpoint()
+    val inlined = candAIds.limit(InlineKeyLimit + 1).collect().map(_.get(0))
+    val oldPruned =
+      if (inlined.length <= InlineKeyLimit)
+        oldDocs.filter(col(idCol).isin(inlined.toSeq: _*))
+      else oldDocs.join(candAIds.withColumnRenamed("a_id", idCol),
+        Seq(idCol), "left_semi")
+    val aSets = oldPruned.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
+      .unionByName(newSets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh")))
     val bSets = newSets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
     val out = cands.join(aSets, "a_id").join(bSets, "b_id")
       .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))

@@ -302,6 +302,28 @@ object ScaleProbe {
       }
     }
 
+    // ---- incremental minhash dedup (r13): a FIXED 256-doc arriving batch
+    // against a GROWING persisted bucket store — the ingest-time claim is
+    // that the batch, not the corpus, is the unit of work: probe cost may
+    // grow only with the store scan (metadata rows), never with corpus
+    // text. Batch docs are store members under shifted ids, so every
+    // factor yields the same 256 guaranteed old-new pairs. ----
+    for (f <- docFactors) {
+      val p = docsSalted(f)
+      val store = s"$outDir/mh_inc_store_x$f"
+      val sh = shingled(p)
+      time("minhash_inc_build", f) {
+        Dedup.minhashIndexBuild(sh, "doc_id", "sh", store)
+        graft.format.GraftTable.read(spark, store).count()
+      }
+      val batch = sh.orderBy(col("doc_id")).limit(256)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .localCheckpoint()
+      time("minhash_inc_probe", f) {
+        Dedup.minhashIncremental(batch, "doc_id", "sh", sh, store, 0.8).count()
+      }
+    }
+
     // ---- exact-substring dedup (r13, arXiv:2107.06499): windows stream
     // as 8-byte hashes, duplicate set = one map-side-combined count,
     // span merge = doc-keyed window — cost must stay linear in corpus
