@@ -1163,8 +1163,10 @@ private[format] object GraftProcedures {
       val pqM = in.getLong(5).toInt
       val pqK = in.getLong(6).toInt
       val metric = in.getUTF8String(7).toString
-      val ivfCentsFile = Option(in.getUTF8String(11).toString).filter(_.nonEmpty)
-      val pqBookFile = Option(in.getUTF8String(12).toString).filter(_.nonEmpty)
+      // Option BEFORE .toString: an explicit NULL argument arrives as a
+      // null UTF8String and must read as absent, not NPE (ADVICE r13)
+      val ivfCentsFile = Option(in.getUTF8String(11)).map(_.toString).filter(_.nonEmpty)
+      val pqBookFile = Option(in.getUTF8String(12)).map(_.toString).filter(_.nonEmpty)
       val name = in.getUTF8String(2).toString.toUpperCase match {
         case "BTREE" =>
           graft.index.ScalarIndex.buildBtree(spark, path, column, idxDir)
@@ -1398,7 +1400,7 @@ private[format] object GraftProcedures {
         StructField("pq_k", DT.IntegerType),
         StructField("variant", DT.StringType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
-      val centFile = Option(in.getUTF8String(7).toString).filter(_.nonEmpty)
+      val centFile = Option(in.getUTF8String(7)).map(_.toString).filter(_.nonEmpty)
       val (m, k, variant) = graft.operators.PqIndex.trainCodebookToPath(spark,
         path, in.getUTF8String(5).toString, in.getUTF8String(1).toString,
         in.getLong(2).toInt, in.getLong(3).toInt,
@@ -1412,11 +1414,18 @@ private[format] object GraftProcedures {
     * with `num_partitions`/`centroids` served by `ivf_model`): the
     * distributed-inspection surface ("which ids landed in the skewed
     * partition?"). Output is the partition's ids + addresses — one
-    * directory-pruned scan of that partition, never the index. */
+    * directory-pruned scan of that partition, never the index.
+    *
+    * The result is DRIVER-MATERIALIZED (procedure rows), so it is capped:
+    * `max_rows` (default 100k) bounds the collect — a skewed partition on
+    * a 100 TB table can hold millions of rows, and an inspection call must
+    * not OOM the driver (ADVICE r13). Ordered by id, so the cap is a
+    * deterministic prefix; full-partition extraction belongs to a table
+    * scan filtered on the partition's id set, not a procedure result. */
   def ivfPartition(pathOf: String => String): UnboundProcedure =
     procRows("ivf_partition",
       Array(p("table", DT.StringType), p("name", DT.StringType),
-        p("pid", DT.LongType)),
+        p("pid", DT.LongType), pd("max_rows", DT.LongType, "100000")),
       StructType(Seq(StructField("id", DT.LongType),
         StructField("rowaddr", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
@@ -1437,10 +1446,13 @@ private[format] object GraftProcedures {
       require(rows.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"index id column '$idCol' is ${rows.schema(idCol).dataType.simpleString} — " +
           "ivf_partition reports numeric ids only (indexes keyed by _rowid qualify)")
+      val maxRows = in.getLong(3).toInt
+      require(maxRows > 0, s"max_rows must be positive, got $maxRows")
       rows.filter(col(graft.operators.IvfIndex.PidCol) === pid)
         .select(col(idCol).cast(DT.LongType).as("id"),
           col(GraftTable.RowAddrCol).as("rowaddr"))
         .orderBy(col("id"))
+        .limit(maxRows)
         .collect().toSeq.map(r => Seq(r.getLong(0), r.getLong(1)))
     }
 

@@ -102,7 +102,24 @@ class GraftDataSource extends RelationProvider
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
     val path = tablePath(parameters)
-    val queryId = parameters.getOrElse("queryId", "default")
+    // replay dedup is keyed on (queryId, batchId): default the id from the
+    // CHECKPOINT location — one checkpoint = one batch-id ledger, so the
+    // derived id is stable across restarts of the same query and distinct
+    // for a different query or a reset checkpoint (exactly the collision
+    // class a shared "default" id created, VERDICT r13 #4)
+    val queryId = parameters.get("queryId")
+      .orElse(parameters.get("checkpointLocation")
+        .orElse(parameters.get("checkpointlocation"))
+        .map(cp => "cp-" + java.lang.Long.toHexString(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            cp.getBytes("UTF-8"),
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            cp.getBytes("UTF-8").length, 42) & 0xffffffffL)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs .option(\"queryId\", ...) (or a checkpointLocation " +
+          "to derive one from): batch replay dedup is keyed on " +
+          "(queryId, batchId), and a shared id across streams silently " +
+          "drops batches as replays"))
     require(outputMode == OutputMode.Append(),
       s"graft sink is append-only (got $outputMode): aggregate with a " +
         "watermark so the stream emits appendable finalized rows")

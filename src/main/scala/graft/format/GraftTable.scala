@@ -3388,9 +3388,16 @@ object GraftTable {
       } ++
       // detached snapshots are alive until dropDetached releases their
       // handle — their fragments (shared base + detached-only) stay
-      // referenced or the sweep would corrupt the snapshot
-      detachedVersions(spark, tablePath)
-        .flatMap(v => scala.util.Try(loadManifest(spark, tablePath, Some(v))).toOption)
+      // referenced or the sweep would corrupt the snapshot. Survivors are
+      // STRICT (ADVICE r13): only a FileNotFoundException — the handle was
+      // dropped by a concurrent dropDetached between the listing and here —
+      // may skip a detached manifest; any other load failure (transient IO,
+      // parse error on a LIVE snapshot) must abort the cleanup, or the
+      // sweep under-counts `referenced` and deletes the snapshot's fragments
+      detachedVersions(spark, tablePath).flatMap { v =>
+        try Some(loadManifest(spark, tablePath, Some(v)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
     val referenced = survivors.flatMap { m =>
       m.fragments.map(_.path) ++ m.dvFiles ++ m.columnFiles.map(_.path) ++
         // old-address DV sidecars rewrite outputs still serve deferred

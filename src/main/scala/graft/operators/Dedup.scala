@@ -28,16 +28,25 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Candidate pairs sharing at least one MinHash LSH band bucket.
-    * Output: (a_id, b_id) distinct, a_id < b_id.
-    */
-  /** (id, band, bucket) LSH rows for a corpus slice — the unit both the
-    * batch self-join and the persisted incremental store are made of. */
-  private def bandedBuckets(df: DataFrame, idCol: String, shingleCol: String,
-                            numPerms: Int, bandRows: Int): DataFrame = {
+  /** Degenerate-bucket guard (the BigCode/RefinedWeb-pipeline skip device):
+    * an LSH band bucket holding more than this many DISTINCT signatures is
+    * skipped. Identical signatures are grouped BEFORE banding, so the usual
+    * degenerate corpus — N exact copies of one page — never trips the cap
+    * (they collapse to one representative and pair exactly); the cap only
+    * fires on > [[DefaultMaxBucket]] genuinely different documents whose
+    * band slice collides, which at r=2 over 64-bit minhashes is either a
+    * near-dup storm (pairs still found via their other 31 bands) or an
+    * adversarial/pathological slice. Recall semantics: a pair is missed
+    * only if EVERY band where it collides is over-cap. */
+  val DefaultMaxBucket = 5000
+
+  /** Band a precomputed `sig: array<long>` column into (id, band, bucket)
+    * LSH rows — the unit both the batch self-join and the persisted
+    * incremental store are made of. */
+  private def bandSignatures(sigDf: DataFrame, idCol: String,
+                             numPerms: Int, bandRows: Int): DataFrame = {
     val numBands = numPerms / bandRows
-    val sig = df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig"))
-    sig.select(
+    sigDf.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))).as("bucket"))))
@@ -45,21 +54,97 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
-                        numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
-    // localCheckpoint (NOT persist): both sides of the bucket self-join read
-    // this subtree and the signature computation is the expensive part, but a
-    // bare persist leaks storage for the session lifetime on a lazily
-    // returned result — the eager checkpoint materializes once and its
-    // blocks are reclaimed automatically when the plan is dropped.
-    val banded = bandedBuckets(df, idCol, shingleCol, numPerms, bandRows)
+  private def bandedBuckets(df: DataFrame, idCol: String, shingleCol: String,
+                            numPerms: Int, bandRows: Int): DataFrame =
+    bandSignatures(
+      df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig")),
+      idCol, numPerms, bandRows)
+
+  /** Signature-identity grouping + capped representative bands — the shape
+    * that makes LSH safe on dirty corpora. Docs with IDENTICAL signatures
+    * collapse to one representative (min id) before banding, so the bucket
+    * self-join fans in on DISTINCT signatures only; a corpus of N exact
+    * duplicates contributes ONE row per band, not N (the simhash
+    * distinct-sketch device, applied to minhash). Buckets still holding
+    * more than `maxBucket` distinct signatures are skipped ([[DefaultMaxBucket]]).
+    *
+    * Returns (sig, members, repBanded):
+    *  - sig: (idCol, sig) for every doc (checkpointed — signatures compute once);
+    *  - members: (idCol, __rep) group membership;
+    *  - repBanded: capped (idCol=rep, band, bucket) rows, one per band per
+    *    distinct signature.
+    * Signature identity is judged by xxhash64 over the sig array — two
+    * different signatures colliding (p ≈ n²/2⁶⁴) would merge groups, the
+    * same error class the exact-verify step downstream already bounds. */
+  private def groupedBands(df: DataFrame, idCol: String, shingleCol: String,
+                           numPerms: Int, bandRows: Int, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint (NOT persist): several subtrees below read this and
+    // the signature computation is the expensive part, but a bare persist
+    // leaks storage for the session lifetime on a lazily returned result —
+    // the eager checkpoint materializes once and its blocks are reclaimed
+    // automatically when the plan is dropped.
+    val sig = df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig"))
+      .withColumn("__sk", xxhash64(col("sig")))
       .localCheckpoint()
-    val l = banded.select(col("band"), col("bucket"), col(idCol).as("a_id"))
-    val r = banded.select(col("band"), col("bucket"), col(idCol).as("b_id"))
+    val members = sig.select(col("__sk"), col(idCol))
+      .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(col("__sk"))))
+      .select(col(idCol), col("__rep"))
+      .localCheckpoint()
+    val repSigs = sig.join(
+      members.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol))
+    val repBanded = bandSignatures(repSigs, idCol, numPerms, bandRows)
+      .withColumn("__bs", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
+      .localCheckpoint()
+    (sig, members, repBanded)
+  }
+
+  /** Representative-level candidate pairs from the capped band self-join:
+    * fan-in bounded by distinct-signature collisions, never doc count. */
+  private def repPairs(repBanded: DataFrame, idCol: String): DataFrame = {
+    val l = repBanded.select(col("band"), col("bucket"), col(idCol).as("a_rep"))
+    val r = repBanded.select(col("band"), col("bucket"), col(idCol).as("b_rep"))
     l.join(r, Seq("band", "bucket"))
+      .filter(col("a_rep") < col("b_rep"))
+      .select(col("a_rep"), col("b_rep"))
+      .distinct()
+  }
+
+  /** Expand rep-level pairs to doc pairs, plus within-group pairs
+    * (identical signatures are certain candidates). Output is exactly the
+    * candidate pair set, a_id < b_id, provably duplicate-free WITHOUT a
+    * final output-sized distinct: each doc belongs to exactly one group, so
+    * a doc pair arises from exactly one (groupA, groupB) combination (and
+    * repPairs is distinct at rep level), within-group pairs are unique by
+    * construction, and cross ∩ within = ∅ (different vs same group). */
+  private def expandPairs(rp: DataFrame, members: DataFrame, idCol: String): DataFrame = {
+    val ma = members.select(col("__rep").as("a_rep"), col(idCol).as("a_id"))
+    val mb = members.select(col("__rep").as("b_rep"), col(idCol).as("b_id"))
+    val cross = rp.join(ma, "a_rep").join(mb, "b_rep")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+    val within = ma.join(mb.withColumnRenamed("b_rep", "a_rep"), "a_rep")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .distinct()
+    cross.union(within)
+  }
+
+  /** Candidate pairs sharing at least one MinHash LSH band bucket.
+    * Output: (a_id, b_id) distinct, a_id < b_id. Identical-signature docs
+    * are grouped before banding and buckets are capped at `maxBucket`
+    * distinct signatures (see [[DefaultMaxBucket]]) — candidate volume is
+    * O(output pairs), never O(N²·bands), even when the corpus is N copies
+    * of one document. */
+  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
+                        numPerms: Int = 64, bandRows: Int = 2,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (_, members, repBanded) =
+      groupedBands(df, idCol, shingleCol, numPerms, bandRows, maxBucket)
+    expandPairs(repPairs(repBanded, idCol), members, idCol)
   }
 
   /** MinHash LSH near-duplicate pairs, exact-verified: candidates from
@@ -70,9 +155,10 @@ object Dedup {
     * expensive part) is evaluated a single time.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
-                          threshold: Double, numPerms: Int = 64, bandRows: Int = 2): DataFrame = {
+                          threshold: Double, numPerms: Int = 64, bandRows: Int = 2,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sets = df.select(col(idCol), col(shingleCol)).localCheckpoint()
-    val cands = minhashCandidates(sets, idCol, shingleCol, numPerms, bandRows)
+    val cands = minhashCandidates(sets, idCol, shingleCol, numPerms, bandRows, maxBucket)
     val a = sets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
     val b = sets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
     cands.join(a, "a_id").join(b, "b_id")
@@ -121,21 +207,47 @@ object Dedup {
   def minhashIncremental(newDocs: DataFrame, idCol: String, shingleCol: String,
                          oldDocs: DataFrame, storePath: String,
                          threshold: Double, numPerms: Int = 64,
-                         bandRows: Int = 2): DataFrame = {
+                         bandRows: Int = 2,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
     val newSets = newDocs.select(col(idCol), col(shingleCol)).localCheckpoint()
-    val bandedNew = bandedBuckets(newSets, idCol, shingleCol, numPerms, bandRows)
-      .localCheckpoint()
+    val (sig, members, repBanded) =
+      groupedBands(newSets, idCol, shingleCol, numPerms, bandRows, maxBucket)
+    // Store probe: restrict the store FIRST to the batch's (band, bucket)
+    // keys — the distinct batch bucket set is batch-sized and broadcast, so
+    // the corpus-sized store is never shuffled; then cap degenerate store
+    // buckets (all historical copies of one boilerplate page collide in
+    // every band — without the cap each such bucket fans every future
+    // batch probe out by its full historical population). Same recall
+    // semantics as the batch cap: a pair is missed only if every band
+    // where it collides is over-cap.
     val store = graft.format.GraftTable.read(spark, storePath)
       .select(col("band"), col("bucket"), col(idCol).as("a_id"))
-    val oldNew = bandedNew.join(store, Seq("band", "bucket"))
-      .select(col("a_id"), col(idCol).as("b_id")).distinct()
-    val l = bandedNew.select(col("band"), col("bucket"), col(idCol).as("a_id"))
-    val r = bandedNew.select(col("band"), col("bucket"), col(idCol).as("b_id"))
-    val newNew = l.join(r, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val cands = oldNew.union(newNew).distinct().localCheckpoint()
+      .join(broadcast(repBanded.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"))
+      .withColumn("__bs", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
+    // probe at rep level, expand to batch members; a_id =!= b_id guards the
+    // re-ingested-id case (a doc id already in the store probing itself)
+    val oldNew = repBanded.join(store, Seq("band", "bucket"))
+      .select(col("a_id"), col(idCol).as("b_rep")).distinct()
+      .join(members.select(col("__rep").as("b_rep"), col(idCol).as("b_id")), "b_rep")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val newNew = expandPairs(repPairs(repBanded, idCol), members, idCol)
+    // An id present in BOTH the store and the batch yields the same pair in
+    // both orientations (store leg (x,y) + batch leg (min,max)) — collapse
+    // on the unordered key, keeping one orientation (either verifies: aSets
+    // covers old ∪ new, bSets the batch, and an id in both is in both sides).
+    val cands = oldNew.union(newNew)
+      .withColumn("__ka", least(col("a_id"), col("b_id")))
+      .withColumn("__kb", greatest(col("a_id"), col("b_id")))
+      .dropDuplicates("__ka", "__kb")
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
     // exact verify: the old side prunes to candidate ids BEFORE its shingle
     // sets (or even its text) are touched. A semi join alone is not enough
     // — the join condition sits ABOVE the text scan, so parquet would still
@@ -151,15 +263,25 @@ object Dedup {
         oldDocs.filter(col(idCol).isin(inlined.toSeq: _*))
       else oldDocs.join(candAIds.withColumnRenamed("a_id", idCol),
         Seq(idCol), "left_semi")
-    val aSets = oldPruned.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
-      .unionByName(newSets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh")))
+    // an id in BOTH oldDocs and the batch keeps the batch copy (latest
+    // content) — without the anti-join it would join twice and emit
+    // duplicate verified pairs
+    val aSets = newSets.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
+      .unionByName(
+        oldPruned.select(col(idCol).as("a_id"), col(shingleCol).as("a_sh"))
+          .join(newSets.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti"))
     val bSets = newSets.select(col(idCol).as("b_id"), col(shingleCol).as("b_sh"))
     val out = cands.join(aSets, "a_id").join(bSets, "b_id")
       .withColumn("jaccard", TextAnalysis.jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .localCheckpoint() // materialize BEFORE the store grows
-    graft.format.GraftTable.write(bandedNew, storePath, "append")
+    // append EVERY batch doc's bands (not just representatives): the store's
+    // contract is one row per (doc, band) so future batches pair against
+    // every historical id; degenerate store buckets are handled at probe
+    // time by the cap above. Signatures reuse the checkpointed `sig`.
+    graft.format.GraftTable.write(
+      bandSignatures(sig, idCol, numPerms, bandRows), storePath, "append")
     out
   }
 

@@ -286,6 +286,31 @@ object ScaleProbe {
       }
     }
 
+    // ---- degenerate-duplicate minhash (r14, VERDICT r13 #1): G groups of
+    // 100 EXACT copies each — the dirty-corpus shape where naive LSH
+    // banding emits N²×bands rows per group before anything prunes.
+    // Identical signatures group to one representative before banding, so
+    // the candidate set is exactly the true pair set (G × C(100,2)) —
+    // require'd, not just timed — and cost grows ~linearly in G (the
+    // output itself is linear: fixed pairs per group × G groups).
+    // Inter-group token universes are disjoint so no cross-group noise. ----
+    for (f <- docFactors) {
+      time("minhash_degenerate", f) {
+        val groups = 10 * f
+        val copies = 100
+        val corpus = spark.range(groups.toLong * copies)
+          .select(col("id").as("doc_id"), pmod(col("id"), lit(groups)).as("g"))
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(1), lit(12)),
+              i => concat(lit("g"), col("g"), lit("w"), i))))
+          .withColumn("sh", TA.shingleSet(col("text"), 3))
+        val n = Dedup.minhashCandidates(corpus, "doc_id", "sh").count()
+        val want = groups.toLong * (copies.toLong * (copies - 1) / 2)
+        require(n == want, s"degenerate candidates $n != true pairs $want")
+        n
+      }
+    }
+
     // ---- corpus line dedup (r10): boilerplate removal is two line-keyed
     // aggs + one doc-keyed reassembly — every shuffle keyed by line/doc,
     // never pairwise, so the fitted exponent must stay ~linear ----

@@ -76,12 +76,12 @@ class AutoCleanupSpec extends AnyFunSuite {
       GraftTable.AutoCleanupIntervalKey -> "5",
       GraftTable.AutoCleanupKeepKey -> "3"))                 // v1
     (1 to 20).foreach(i =>
-      graft.streaming.GraftStreaming.commitBatch(t, df(i), i.toLong))
+      graft.streaming.GraftStreaming.commitBatch(t, df(i), i.toLong, "ingest"))
     val vs = GraftTable.versions(spark, t)
     assert(vs.length < 10, s"history bounded under continuous ingest: $vs")
     assert(GraftTable.read(spark, t).count() == 21L, "no data lost")
     // the exactly-once batch high-water mark rides config and survives
-    graft.streaming.GraftStreaming.commitBatch(t, df(99), 5L) // replay
+    graft.streaming.GraftStreaming.commitBatch(t, df(99), 5L, "ingest") // replay
     assert(GraftTable.read(spark, t).count() == 21L, "replayed batch skipped")
   }
 

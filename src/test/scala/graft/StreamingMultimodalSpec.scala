@@ -77,6 +77,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("id", "v")
       .writeStream.format("graft").option("path", t)
+      .option("queryId", "dsv2q")
       .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
       .outputMode("append")
       .start()
@@ -91,13 +92,54 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
     // each micro-batch committed atomically with its batch id high-water mark
     val m = GraftTable.loadManifest(spark, t)
-    assert(m.config.get("streaming.default.lastBatchId").contains("1"), m.config.toString)
+    assert(m.config.get("streaming.dsv2q.lastBatchId").contains("1"), m.config.toString)
     // a replayed batch id is a no-op (restart-after-commit crash semantics)
-    GraftStreaming.commitBatch(t, Seq((9L, "dup")).toDF("id", "v"), 1L)
+    GraftStreaming.commitBatch(t, Seq((9L, "dup")).toDF("id", "v"), 1L, "dsv2q")
     assert(GraftTable.read(spark, t).count() == 3)
     // and the next batch id appends normally
-    GraftStreaming.commitBatch(t, Seq((4L, "d")).toDF("id", "v"), 2L)
+    GraftStreaming.commitBatch(t, Seq((4L, "d")).toDF("id", "v"), 2L, "dsv2q")
     assert(GraftTable.read(spark, t).count() == 4)
+  }
+
+  test("plain sinks require explicit queryId; two streams at batch 0 never collide (VERDICT r13 #4)") {
+    val t = tmp()
+    GraftTable.write(Seq((0L, "seed")).toDF("id", "v"), t, "overwrite")
+    // empty id refused — the walBatchSink contract, now on the plain sinks too
+    intercept[IllegalArgumentException] {
+      GraftStreaming.commitBatch(t, Seq((1L, "a")).toDF("id", "v"), 0L, "")
+    }
+    // the exact collision class the shared "default" id created: two
+    // logical streams each committing batch 0 into one table — with one id
+    // the second stream's batch is silently dropped as a replay; with
+    // distinct ids both land and each keeps its own high-water mark
+    GraftStreaming.commitBatch(t, Seq((1L, "a")).toDF("id", "v"), 0L, "sA")
+    GraftStreaming.commitBatch(t, Seq((2L, "b")).toDF("id", "v"), 0L, "sB")
+    assert(GraftTable.read(spark, t).count() == 3)
+    val cfg = GraftTable.loadManifest(spark, t).config
+    assert(cfg.get("streaming.sA.lastBatchId").contains("0") &&
+      cfg.get("streaming.sB.lastBatchId").contains("0"), cfg.toString)
+    // replay semantics stay per-stream: sA's batch 0 again is a no-op
+    GraftStreaming.commitBatch(t, Seq((9L, "dup")).toDF("id", "v"), 0L, "sA")
+    assert(GraftTable.read(spark, t).count() == 3)
+  }
+
+  test("DSv2 sink derives a stable queryId from the checkpoint when none is given") {
+    val t = tmp()
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft").option("path", t)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = GraftTable.loadManifest(spark, t).config.keySet
+      .filter(_.startsWith("streaming."))
+    // one derived per-checkpoint id, not the old shared "default"
+    assert(keys.size == 1 && keys.head.startsWith("streaming.cp-"), keys.toString)
   }
 
   test("streaming sink: micro-batches become append commits, exactly once") {

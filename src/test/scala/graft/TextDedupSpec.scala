@@ -455,6 +455,65 @@ class TextDedupSpec extends AnyFunSuite {
     assert(stored == 7L * 32, s"store holds $stored rows") // 7 docs x 32 bands
   }
 
+  test("degenerate corpus: 10k exact duplicates — grouped before banding, candidates = output pairs") {
+    // VERDICT r13 #1: N docs with one shared signature used to collide in
+    // EVERY band, so the bucket self-join emitted N² rows × 32 bands before
+    // anything could prune. Grouping identical signatures first collapses
+    // them to ONE banded representative: the LSH join sees one row per band,
+    // and the N·(N-1)/2 pairs appear only as the (real) output expansion.
+    val n = 10000
+    val dup = spark.range(n).select($"id".as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again and again tonight").as("text"))
+      .withColumn("sh", TA.shingleSet($"text", 3))
+    val cands = Dedup.minhashCandidates(dup, "doc_id", "sh")
+    assert(cands.count() == n.toLong * (n - 1) / 2)
+    // and with one distinct outsider mixed in, the outsider still pairs with
+    // nothing while the duplicate family is complete
+    val mixed = dup.unionByName(
+      Seq((500000L, "completely different content about spark engines here today"))
+        .toDF("doc_id", "text").withColumn("sh", TA.shingleSet($"text", 3)))
+    val withOutsider = Dedup.minhashCandidates(mixed, "doc_id", "sh")
+    assert(withOutsider.filter($"a_id" === 500000L || $"b_id" === 500000L).count() == 0)
+  }
+
+  test("bucket cap skips over-cap DISTINCT-signature buckets but never identical-signature groups") {
+    val sh = docs.withColumn("sh", TA.shingleSet($"text", 3))
+    // maxBucket = 1: any bucket shared by two DISTINCT signatures is
+    // skipped, so the near-dup pair (1,2) vanishes; the exact-dup pair
+    // (1,4) survives — identical signatures group before banding and are
+    // certain candidates regardless of the cap
+    val capped = Dedup.minhashNearDupPairs(sh, "doc_id", "sh", 0.5, maxBucket = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 4L)), s"got $capped")
+    // default cap: unchanged result
+    val full = Dedup.minhashNearDupPairs(sh, "doc_id", "sh", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $full")
+  }
+
+  test("incremental minhash: re-ingested id yields no self-pair and no duplicate pairs (ADVICE r13)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight too")
+    ).toDF("doc_id", "text").withColumn("sh", TA.shingleSet($"text", 3))
+    val store = java.nio.file.Files.createTempDirectory("mh_reing_").toString + "/store"
+    Dedup.minhashIndexBuild(corpus, "doc_id", "sh", store)
+    // the batch re-ingests doc 1 (same id, same content) and adds a fresh
+    // near-dup; oldDocs deliberately overlaps the batch on id 1
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight also")
+    ).toDF("doc_id", "text").withColumn("sh", TA.shingleSet($"text", 3))
+    val out = Dedup.minhashIncremental(batch, "doc_id", "sh", corpus, store, 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    assert(!out.contains((1L, 1L)), s"self-pair emitted: $out")
+    assert(out.size == out.toSet.size, s"duplicate pairs emitted: $out")
+    val norm = out.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    // store-leg (1,batch-1) suppressed; (2,1) via store only once even though
+    // id 1 sits in both oldDocs and the batch; 3 pairs with both 1 and 2
+    assert(norm == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $norm")
+  }
+
   test("exactSubstringScrub removes exactly the flagged tokens") {
     val corpus = Seq(
       (10L, "x y a b c d e f g h i j z"),
