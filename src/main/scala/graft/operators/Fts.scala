@@ -26,6 +26,13 @@ case class FtsConfig(
     maxTokenLength: Option[Int] = None,
     stopWords: Seq[String] = Nil,
     stemming: Boolean = false,
+    /** Snowball stemmer language when `stemming` is on (reference drives
+      * tantivy's `Stemmer::new(language)` over the Snowball set,
+      * `tokenizer.rs:47,256`): one of
+      * [[graft.functions.SnowballStemmer.Languages]] — english (Porter),
+      * german, french, spanish, russian. Round-trips with the stored index
+      * config so query terms always stem exactly like the indexed corpus. */
+    language: String = "english",
     ngramMin: Int = 3,
     ngramMax: Int = 3,
     ngramPrefixOnly: Boolean = false,
@@ -68,7 +75,13 @@ case class FtsConfig(
       * on such an index fail fast with a clear error instead of returning
       * wrong results. Round-trips with the stored config like every other
       * tokenizer option. */
-    storePositions: Boolean = true)
+    storePositions: Boolean = true,
+    /** Override for the `morph` segmenter's 7-class connection matrix —
+      * loaded from a real MeCab `matrix.def` + lexicon CSV via
+      * [[DictLoader.loadMeCab]] (class-reduced by averaging the real
+      * context-id groups). Empty (default) = the committed
+      * [[FtsTokenizer.MorphConn]]. Round-trips with the stored config. */
+    morphConnCosts: Seq[Seq[Int]] = Nil)
 
 /** One tokenization implementation shared by the distributed build path
   * ([[TokenizeWith]]) and driver-side query-term processing — the two sides
@@ -109,7 +122,8 @@ object FtsTokenizer {
     * indexed text. */
   private def cjkTokens(t: String, dict: Set[String], maxWordCp: Int,
                         dp: Option[Map[String, Long]] = None,
-                        morph: Option[Map[String, (Int, Int)]] = None): Seq[String] = {
+                        morph: Option[Map[String, (Int, Int)]] = None,
+                        morphConn: Array[Array[Int]] = null): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val latin = new StringBuilder
     val run = scala.collection.mutable.ArrayBuffer.empty[Int] // CJK codepoints
@@ -117,7 +131,8 @@ object FtsTokenizer {
     def endCjkRun(): Unit = {
       if (run.nonEmpty) {
         (morph, dp) match {
-          case (Some(lex), _) => segmentRunMorph(run.toSeq, lex, maxWordCp, out)
+          case (Some(lex), _) => segmentRunMorph(run.toSeq, lex, maxWordCp, out,
+            if (morphConn == null) MorphConn else morphConn)
           case (_, Some(freq)) => segmentRunDp(run.toSeq, freq, maxWordCp, out)
           case _ => segmentRun(run.toSeq, dict, maxWordCp, out)
         }
@@ -231,7 +246,7 @@ object FtsTokenizer {
 
   /** POS classes for the `morph` segmenter's connection matrix. Index 0
     * is BOS (and doubles as EOS — both connect at cost 0 on exit). */
-  private val MorphClasses = Array("bos", "n", "prt", "v", "aux", "sym", "unk")
+  private[graft] val MorphClasses = Array("bos", "n", "prt", "v", "aux", "sym", "unk")
   private def morphClassIdx(pos: String): Int = {
     val i = MorphClasses.indexOf(pos)
     require(i > 0, s"morph dictionary pos must be one of " +
@@ -247,7 +262,7 @@ object FtsTokenizer {
     * penalty so a listed compound (関西国際空港) beats its parts but an
     * unlisted juxtaposition still splits. Verified against published
     * MeCab/Lindera segmentations in FtsSpec. */
-  private[operators] val MorphConn: Array[Array[Int]] = Array(
+  private[graft] val MorphConn: Array[Array[Int]] = Array(
     //             bos    n   prt    v   aux   sym   unk
     /* bos */ Array(0,     0,  900,  200,  900,  500,  300),
     /* n   */ Array(0,   900, -300,  400,  700,  300,  900),
@@ -286,7 +301,8 @@ object FtsTokenizer {
     * example) is FtsSpec-gated. */
   private def segmentRunMorph(run: Seq[Int], lex: Map[String, (Int, Int)],
                               maxWordCp: Int,
-                              out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+                              out: scala.collection.mutable.ArrayBuffer[String],
+                              conn: Array[Array[Int]]): Unit = {
     val n = run.length
     if (n == 0) return
     def str(from: Int, until: Int): String = {
@@ -309,7 +325,7 @@ object FtsTokenizer {
         val base = dp(i)(a)
         if (base < INF) {
           def relax(end: Int, cost: Int, cls: Int): Unit = {
-            val c = base + MorphConn(a)(cls) + cost
+            val c = base + conn(a)(cls) + cost
             // strict <: with candidates visited short-to-long, a tie on
             // cost resolves to the FIRST (shorter) — so visit longer
             // first where ties should prefer length; here dict candidates
@@ -402,7 +418,15 @@ object FtsTokenizer {
           val maxWordCp =
             if (lex.isEmpty) 1
             else lex.keysIterator.map(w => w.codePointCount(0, w.length)).max
-          cjkTokens(t, Set.empty, maxWordCp, None, Some(lex))
+          val conn =
+            if (cfg.morphConnCosts.isEmpty) MorphConn
+            else {
+              require(cfg.morphConnCosts.length == MorphClasses.length &&
+                cfg.morphConnCosts.forall(_.length == MorphClasses.length),
+                s"morphConnCosts must be ${MorphClasses.length}x${MorphClasses.length}")
+              cfg.morphConnCosts.map(_.toArray).toArray
+            }
+          cjkTokens(t, Set.empty, maxWordCp, None, Some(lex), conn)
         } else {
           val entries = cfg.cjkDictionary.map(dictEntry)
           val dict = entries.map(_._1).toSet
@@ -428,16 +452,19 @@ object FtsTokenizer {
       val stop = cfg.stopWords.toSet
       out = out.filterNot(stop)
     }
-    if (cfg.stemming) out = out.map(graft.functions.PorterStemmer.stem)
+    if (cfg.stemming)
+      out = out.map(graft.functions.SnowballStemmer.stem(_, cfg.language))
     out
   }
 }
 
-/** Scalar Porter stem of one token — used INSIDE `transform()` over the
+/** Scalar Snowball stem of one token — used INSIDE `transform()` over the
   * builtin-tokenized array, so a stemming config costs one interpreted call
   * per token instead of demoting the whole tokenize pipeline out of codegen
-  * (VERDICT r4 What's-wrong #3). */
-case class StemWord(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  * (VERDICT r4 What's-wrong #3). `language` selects the stemmer
+  * ([[graft.functions.SnowballStemmer]]); "english" is Porter. */
+case class StemWord(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                    language: String = "english")
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
@@ -451,7 +478,7 @@ case class StemWord(child: org.apache.spark.sql.catalyst.expressions.Expression)
       s"stem_word requires string, got ${child.dataType.catalogString}")
   override def nullSafeEval(input: Any): Any =
     org.apache.spark.unsafe.types.UTF8String.fromString(
-      graft.functions.PorterStemmer.stem(input.toString))
+      graft.functions.SnowballStemmer.stem(input.toString, language))
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): StemWord = copy(child = c)
 }
@@ -557,7 +584,8 @@ object Fts {
     if (cfg.stopWords.nonEmpty)
       arr = filter(arr, x => !x.isin(cfg.stopWords: _*))
     if (cfg.stemming)
-      arr = transform(arr, x => ColumnBridge.column(StemWord(ColumnBridge.expression(x))))
+      arr = transform(arr, x => ColumnBridge.column(
+        StemWord(ColumnBridge.expression(x), cfg.language)))
     arr
   }
 

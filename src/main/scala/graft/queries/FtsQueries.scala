@@ -34,6 +34,7 @@ object FtsQueries {
     "build_fts" -> ((s, d) => { indexFor(s, d, "bench"); () }),
     "build_fts_title" -> ((s, d) => { titleIndexFor(s, d); () }),
     "build_fts_stemmed" -> ((s, d) => { stemmedIndexFor(s, d); () }),
+    "build_fts_stemmed_de" -> ((s, d) => { stemmedDeIndexFor(s, d); () }),
     "build_fts_stopword" -> ((s, d) => { stopwordIndexFor(s, d); () }),
     "build_fts_nopos" -> ((s, d) => { noPosIndexFor(s, d); () }),
     "build_fts_ja" -> ((s, d) => { jaIndexFor(s, d); () })
@@ -61,6 +62,11 @@ object FtsQueries {
   private def stopwordIndexFor(s: SparkSession, d: String): String =
     configuredIndexFor(s, d, "stop", builtStopword,
       graft.operators.FtsConfig(stopWords = Seq("the", "a")))
+
+  private val builtStemmedDe = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stemmedDeIndexFor(s: SparkSession, d: String): String =
+    configuredIndexFor(s, d, "stemde", builtStemmedDe,
+      graft.operators.FtsConfig(stemming = true, language = "german"))
 
   private val builtNoPos = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def noPosIndexFor(s: SparkSession, d: String): String =
@@ -189,6 +195,27 @@ object FtsQueries {
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },
 
+    // Snowball German index (r14, VERDICT r13 #4): same closed-vocabulary
+    // discipline as q_fts_stemmed — the gate first PROVES the oracle CASE
+    // mapping complete against the German stemmer over the live corpus
+    // vocabulary, then matches 'tables' (→tabl) and 'orders' (→ord, the
+    // s-then-er two-step that distinguishes the German rules from Porter,
+    // which stops at 'order'). Stemmer correctness beyond this vocabulary
+    // is spec-gated on traced Snowball vocabulary cases (FtsSpec).
+    "q_fts_stemmed_de" -> { (s, d) =>
+      val idx = stemmedDeIndexFor(s, d)
+      val mapped = Set("customer", "filter", "line", "merge", "order",
+        "table", "value")
+      val changed = Tables.documents(s, d)
+        .select(explode(Fts.tokenize(col("text"))).as("t")).distinct()
+        .collect().iterator.map(_.getString(0))
+        .filter(t => graft.functions.SnowballStemmer.german(t) != t).toSet
+      require(changed.subsetOf(mapped),
+        s"stemCaseDe oracle mapping is stale for this corpus; unmapped rewritten tokens: ${changed.diff(mapped)}")
+      Fts.matchQuery(s, idx, Seq("tables", "orders"), 20)
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
     // Japanese morphological segmentation (Lindera/MeCab parity,
     // reference tokenizer.rs:317-325): the corpus is corpus tokens mapped
     // to Japanese words and concatenated WITHOUT separators; the index
@@ -264,6 +291,15 @@ object FtsQueries {
       | WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
       | WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE t END""".stripMargin
 
+  /** Closed-vocabulary Snowball-German mapping for the synthetic corpus
+    * (the only tokens the German stemmer rewrites; completeness proved
+    * in-gate, see q_fts_stemmed_de). */
+  private val stemCaseDe =
+    """CASE t WHEN 'customer' THEN 'custom' WHEN 'filter' THEN 'filt'
+      | WHEN 'line' THEN 'lin' WHEN 'merge' THEN 'merg'
+      | WHEN 'order' THEN 'ord' WHEN 'table' THEN 'tabl'
+      | WHEN 'value' THEN 'valu' ELSE t END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // toks: replay the EN→JA mapping directly (never segments — the
     // Spark side must SEGMENT the separator-free text back to this list)
@@ -305,6 +341,9 @@ object FtsQueries {
     "q_fts_stemmed" -> bm25SelectWith(
       s"list_transform($defaultTokExpr, t -> $stemCase)",
       "'tabl'", ""),
+    "q_fts_stemmed_de" -> bm25SelectWith(
+      s"list_transform($defaultTokExpr, t -> $stemCaseDe)",
+      "'tabl','ord'", ""),
     "q_fts_phrase" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk

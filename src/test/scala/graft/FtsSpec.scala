@@ -205,6 +205,93 @@ class FtsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"stemmer deviates on: ${bad.mkString(", ")}")
   }
 
+  test("Snowball German stemmer: traced vocabulary (r14, VERDICT r13 #4)") {
+    import graft.functions.SnowballStemmer.german
+    // each pair hand-traced through the published algorithm definition
+    // (snowballstem.org/algorithms/german): R1≥3/R2 regions, the three
+    // suffix steps, ß→ss, umlaut removal, the niss rule, valid s/st-endings
+    val fixture = Seq(
+      "kinder" -> "kind", "kindern" -> "kind",          // er / ern in R1
+      "häuser" -> "haus", "grüßen" -> "gruss",          // umlaut + ß
+      "armes" -> "arm", "schönes" -> "schon",           // es in R1
+      "verständnisse" -> "verstandnis",                 // the niss rule
+      "starkst" -> "stark",                             // st after valid st-ending
+      "bezirke" -> "bezirk", "aufgaben" -> "aufgab",
+      "rads" -> "rad",                                  // s after valid s-ending
+      "haus" -> "haus",                                 // s after u: kept
+      "könig" -> "konig", "wenig" -> "wenig",           // ig NOT in R2: kept
+      "vereinigung" -> "verein",                        // ung in R2, then ig in R2
+      "bewegung" -> "beweg",
+      "gelegenheiten" -> "geleg",                       // en, then heit, then en in R1
+      "mädchen" -> "madch",
+      "sammlung" -> "sammlung")                         // ung not in R2
+    val bad = fixture.filter { case (in, want) => german(in) != want }
+      .map { case (in, want) => s"$in -> ${german(in)} (want $want)" }
+    assert(bad.isEmpty, s"german stemmer deviates on: ${bad.mkString(", ")}")
+  }
+
+  test("Snowball Spanish/French/Russian stemmers: traced vocabularies") {
+    import graft.functions.SnowballStemmer.{spanish, french, russian}
+    val es = Seq(
+      "niños" -> "niñ", "amigas" -> "amig",             // residual / verb suffix
+      "nacionalidad" -> "nacional",                     // idad in R2
+      "continuación" -> "continu",                      // ación in R2
+      "construyendo" -> "constru",                      // y-verb suffix after u
+      "cantando" -> "cant",
+      "cantándoselo" -> "cant")                         // attached pronoun + accent fix
+    val fr = Seq(
+      "majestueux" -> "majestu",                        // eux in R2
+      "continuité" -> "continu",                        // ité in R2
+      "abondamment" -> "abond",                         // amment→ant, then 2b ant
+      "parlement" -> "parl",                            // ement in RV
+      "donnerez" -> "don",                              // 2b erez + undouble onn
+      "mangeaient" -> "mang",                           // protected I; aIent + e
+      "châteaux" -> "château")                          // eaux→eau
+    val ru = Seq(
+      "книгами" -> "книг",                              // noun ами
+      "красивая" -> "красив",                           // adjective ая
+      "стремится" -> "стрем",                           // reflexive + verb ит
+      "жизнь" -> "жизн",                                // noun ь
+      "важность" -> "важност",                          // ост NOT in R2: kept
+      "возможность" -> "возможн",                       // ость... ост in R2
+      "читав" -> "чита",                                // perfective gerund в after а
+      "делались" -> "дела")                             // reflexive + verb ли after а
+    def check(name: String, f: String => String, fx: Seq[(String, String)]) = {
+      val bad = fx.filter { case (in, want) => f(in) != want }
+        .map { case (in, want) => s"$in -> ${f(in)} (want $want)" }
+      assert(bad.isEmpty, s"$name stemmer deviates on: ${bad.mkString(", ")}")
+    }
+    check("spanish", spanish, es)
+    check("french", french, fr)
+    check("russian", russian, ru)
+  }
+
+  test("language config round-trips with the index; German query terms stem like the corpus") {
+    import graft.operators.FtsConfig
+    // whitespace base tokenizer: umlauts survive to the stemmer (the
+    // default `simple` splitter is ASCII-alphanumeric)
+    val cfg = FtsConfig(baseTokenizer = "whitespace", stemming = true,
+      language = "german")
+    val dir = Files.createTempDirectory("fts_de_").toString
+    val deCorpus = Seq(
+      (1L, "kinder spielen im haus"),
+      (2L, "das kind spielt mit aufgaben"),
+      (3L, "häuser und wohnungen überall")
+    ).toDF("doc_id", "text")
+    Fts.buildIndex(deCorpus, "doc_id", "text", dir, config = cfg)
+    // stored config carries the language back to query analysis
+    assert(Fts.loadConfig(spark, dir).language == "german")
+    // 'kindern' (dative plural) stems to 'kind' and matches docs 1 and 2
+    // ('kinder' and 'kind' both index as 'kind')
+    val hits = Fts.matchQuery(spark, dir, Seq("kindern"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L), hits.toString)
+    // 'häusern' stems to 'haus' and matches both surface forms
+    val haus = Fts.matchQuery(spark, dir, Seq("häusern"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(haus == Set(1L, 3L), haus.toString)
+  }
+
   test("fuzzy expansion: fuzziness 0/1/2, prefixLength 0 and pruning") {
     val idx = buildTmpIndex()
     // fuzziness 0 degenerates to exact match
@@ -385,6 +472,68 @@ class FtsSpec extends AnyFunSuite {
     val hits = Fts.matchQuery(spark, dir, Seq("清华大学"), 4)
       .as[(Long, Double)].collect().map(_._1).toSet
     assert(hits == Set(1L), s"dp word query must hit only the exact-word doc: $hits")
+  }
+
+  test("MeCab-format CSV + matrix.def loader reproduces the published fixture segmentations (r14)") {
+    import graft.operators.{DictLoader, FtsConfig, FtsTokenizer}
+    import java.nio.file.Files
+    // a miniature dictionary in the REAL file formats: IPADIC-shaped CSV
+    // rows (surface,leftId,rightId,cost,POS1,...) with the published MeCab
+    // fixture word costs, and a matrix.def (sizes line + 'prevId nextId
+    // cost' rows) whose id-blocks average to the committed 7-class costs.
+    // Ids: 0=BOS/EOS, 1=noun rows, 2=も(助詞), 3=の(助詞) — two distinct
+    // particle context ids so the class reduction actually averages a block.
+    val dir = Files.createTempDirectory("mecab_mini_")
+    val csv = dir.resolve("lex.csv")
+    Files.write(csv, (Seq(
+      "すもも,1,1,7546,名詞,一般,*,*,*,*,すもも,スモモ,スモモ",
+      "もも,1,1,7219,名詞,一般,*,*,*,*,もも,モモ,モモ",
+      "うち,1,1,5796,名詞,非自立,*,*,*,*,うち,ウチ,ウチ",
+      "も,2,2,4669,助詞,係助詞,*,*,*,*,も,モ,モ",
+      "の,3,3,4770,助詞,連体化,*,*,*,*,の,ノ,ノ").mkString("\n"))
+      .getBytes("UTF-8"))
+    val conn = graft.operators.FtsTokenizer.MorphConn
+    val cls = Map(0 -> 0, 1 -> 1, 2 -> 2, 3 -> 2) // ctx id -> class
+    val matrix = dir.resolve("matrix.def")
+    val rows = for (p <- 0 to 3; n <- 0 to 3)
+      yield s"$p $n ${conn(cls(p))(cls(n))}"
+    Files.write(matrix, (s"4 4" +: rows).mkString("\n").getBytes("UTF-8"))
+
+    val (entries, loadedConn) =
+      DictLoader.loadMeCab(spark, csv.toString, matrix.toString)
+    // entries carry the real costs + reduced POS in the config format
+    assert(entries.toSet == Set("すもも:7546:n", "もも:7219:n", "うち:5796:n",
+      "も:4669:prt", "の:4770:prt"), entries.toString)
+    // the id-block reduction reproduces the committed matrix exactly
+    // (unlisted classes fall back to the committed defaults)
+    assert(loadedConn == conn.map(_.toSeq).toSeq, loadedConn.toString)
+    // and the loaded dictionary drives the SAME published segmentation as
+    // the hand-written fixture entries
+    val cfg = FtsConfig(baseTokenizer = "cjk", cjkDictionary = entries,
+      cjkSegmenter = "morph", morphConnCosts = loadedConn, lowerCase = false)
+    assert(FtsTokenizer.tokens("すもももももももものうち", cfg)
+      == Seq("すもも", "も", "もも", "も", "もも", "の", "うち"))
+  }
+
+  test("jieba dict.txt loader feeds the dp segmenter (r14)") {
+    import graft.operators.{DictLoader, FtsConfig, FtsTokenizer}
+    import java.nio.file.Files
+    // jieba's published dict.txt format: word freq pos
+    val f = Files.createTempDirectory("jieba_mini_").resolve("dict.txt")
+    Files.write(f, Seq(
+      "北京 34488 ns",
+      "大学 29429 n",
+      "北京大学 2053 nt",
+      "生 3 n").mkString("\n").getBytes("UTF-8"))
+    val entries = DictLoader.loadJieba(spark, f.toString)
+    assert(entries == Seq("北京:34488", "大学:29429", "北京大学:2053", "生:3"),
+      entries.toString)
+    val cfg = FtsConfig(baseTokenizer = "cjk", cjkDictionary = entries,
+      cjkSegmenter = "dp", lowerCase = false)
+    // jieba cut(HMM=False) parity with these real dict.txt frequencies:
+    // the 北京+大学 split outscores the rarer listed compound 北京大学
+    // (ln 34488 + ln 29429 − lnT > ln 2053), so 北京大学生 → 北京/大学/生
+    assert(FtsTokenizer.tokens("北京大学生", cfg) == Seq("北京", "大学", "生"))
   }
 
   test("morph segmenter reproduces published MeCab/Lindera segmentations") {
