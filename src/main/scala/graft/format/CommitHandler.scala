@@ -234,16 +234,43 @@ final class ExternalKvCommitHandler(kv: CommitKv) extends CommitHandler {
 
   override def commit(fs: FileSystem, dest: Path, payload: Array[Byte]): Boolean = {
     val key = dest.toString
+    // Lost-KV guard (r14 adversarial review): an object that exists BEFORE
+    // we claim was committed by someone whose claim the KV must still hold
+    // — if instead the claim is GONE (a kvmem store after a JVM restart, a
+    // wiped kv: dir, a table migrated from the fs handler), winning the
+    // absent claim would let this commit OVERWRITE the committed object.
+    // Refuse and heal the claim to FINAL. Checking before the claim makes
+    // this race-free: once we win putIfAbsent below, no prior claim
+    // existed, so any later appearance of dest can only be a concurrent
+    // recover() publishing OUR OWN staging (byte-identical).
+    if (fs.exists(dest)) {
+      if (kv.get(key).isEmpty) kv.putIfAbsent(key, Final)
+      return false
+    }
     val staging = new Path(dest.getParent,
       s".stage-${dest.getName}-${UUID.randomUUID().toString.take(8)}")
     putObject(fs, staging, payload) // durable BEFORE the claim — recover relies on it
     val won = kv.putIfAbsent(key, staging.toString) || {
-      // FINAL claim but no object and no staging to recover from: the
-      // destination was garbage-collected or the table wiped — reclaim
-      // with a conditional replace so two re-creators cannot both win.
       kv.get(key) match {
+        // FINAL claim but no object and no staging to recover from: the
+        // destination was garbage-collected or the table wiped — reclaim
+        // with a conditional replace so two re-creators cannot both win.
         case Some(Final) if !fs.exists(dest) =>
           kv.replaceIf(key, Final, staging.toString)
+        // ORPHANED claim (r14 adversarial review): non-FINAL, but both the
+        // destination and the claimed staging object are gone — the
+        // claimant crashed AND its staging was later swept (cleanup's
+        // aged-unverified pass). recover() deliberately leaves such
+        // entries; without reclaim here, every future committer of this
+        // version loses the CAS against a claim that can never finalize,
+        // and the table wedges at this version number forever. The
+        // conditional replace on the exact stale value keeps two healers
+        // from both winning. A LIVE claimant always has staging on disk
+        // (written before the claim), so this can never steal an
+        // in-flight commit.
+        case Some(v0) if v0 != Final && !fs.exists(dest) &&
+            !fs.exists(new Path(v0)) =>
+          kv.replaceIf(key, v0, staging.toString)
         case _ => false
       }
     }

@@ -940,8 +940,14 @@ class GraftLateMatRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // name-based key: exprIds differ across fresh reads of the same table,
-    // so canonicalized/toString would defeat the memo; .sql renders by name
-    val key = s"${gfi.tablePath}|${m.version}|" +
+    // so canonicalized/toString would defeat the memo; .sql renders by name.
+    // commitTsMillis is in the key because (path, version) alone is NOT an
+    // identity: a table dropped and recreated at the same path restarts at
+    // the same version number, and a memo hit would then serve phase-1
+    // match addresses computed against the DELETED incarnation's fragments
+    // (r14, found by the bench reps protocol re-running the gate against a
+    // recreated table).
+    val key = s"${gfi.tablePath}|${m.version}|${m.commitTsMillis}|" +
       scala.util.Try(f.condition.sql).getOrElse(f.condition.toString)
     val (fragIds, matches) = GraftLateMatRule.cached(key) {
       GraftLateMatRule.phase1Runs.incrementAndGet()

