@@ -54,12 +54,14 @@ object TpchAnchor {
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
-  /** Build the graft table once: 16 fragments — measured best on this
-    * box (32 smaller fragments shrink row groups and lose more to
-    * per-task overhead than they gain; 16 beats raw parquet's ~8 size
-    * splits). On a cluster, fragments ARE the scan split unit. Fragment
-    * zonemaps come free from the commit-time footer pass and fund Q6's
-    * date pruning. */
+  /** Build the graft table once: 128 fragments (r14 — the r13 choice of
+    * 16 was a straggler trap: 16 tasks on 16 threads leaves zero
+    * work-stealing slack, so one slow task IS the wall-clock; the r14
+    * sweep measured 16→128 fragments cutting Q1 0.64→0.37 s and Q6
+    * 0.16→0.106 s at 16 threads, flat beyond 128). Finer fragments also
+    * tighten the range-clustered shipdate zonemaps, which is what pushed
+    * Q6 to DuckDB parity. On a cluster, fragments ARE the scan split
+    * unit — size them for several task waves per core, not one. */
   def ensureTable(spark: SparkSession): Unit = {
     if (scala.util.Try(GraftTable.latestVersion(spark, TableDir)).toOption
         .flatten.isDefined) return
@@ -69,7 +71,7 @@ object TpchAnchor {
     // pruning); range clustering gives each fragment a tight shipdate
     // window, so Q6's one-year predicate prunes ~5/6 of the fragments from
     // the manifest alone and Q1's tail cutoff drops the newest ones
-    GraftTable.write(src.repartitionByRange(16, col("l_shipdate")),
+    GraftTable.write(src.repartitionByRange(128, col("l_shipdate")),
       TableDir, "overwrite")
   }
 
@@ -84,11 +86,15 @@ object TpchAnchor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensureTable(spark)
-    // warmup (JIT + codegen + footer caches), then best-of-5 like the
-    // DuckDB side
-    q1(spark, TableDir).collect(); q6(spark, TableDir).collect()
+    // warmup (JIT + codegen + footer caches), then best-of-7 like the
+    // DuckDB side's best-of. Three warmup passes, not one: C2 needs a few
+    // thousand invocations of the generated agg-update loop before the
+    // steady-state code is in place, and a single pass leaves the
+    // "best-of" measuring tier-1 JIT, not the engine (r14: the same table
+    // in a hot JVM measured 0.37 s where a 1-warmup JVM measured 0.45-0.52)
+    for (_ <- 1 to 3) { q1(spark, TableDir).collect(); q6(spark, TableDir).collect() }
     def best(fn: () => Unit): Double =
-      (1 to 5).map { _ =>
+      (1 to 7).map { _ =>
         val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
       }.min
     val t1 = best(() => { q1(spark, TableDir).collect(); () })
@@ -98,7 +104,7 @@ object TpchAnchor {
     val raw = spark.read.parquet(s"$SrcDir/lineitem.parquet")
     def q1raw = q1df(raw)
     def q6raw = q6df(raw)
-    q1raw.collect(); q6raw.collect()
+    for (_ <- 1 to 3) { q1raw.collect(); q6raw.collect() }
     val r1 = best(() => { q1raw.collect(); () })
     val r6 = best(() => { q6raw.collect(); () })
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
