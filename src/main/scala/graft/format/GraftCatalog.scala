@@ -1143,7 +1143,12 @@ private[format] object GraftProcedures {
         // pq_codebook / train=False, dataset.py:2525-2541): paths saved
         // by train_ivf_model / train_pq_model; build skips training
         pd("ivf_centroids_file", DT.StringType, "''"),
-        pd("pq_codebook_file", DT.StringType, "''")),
+        pd("pq_codebook_file", DT.StringType, "''"),
+        // FTS tokenizer options as the stored-config JSON (reference
+        // create_scalar_index tokenizer kwargs — base_tokenizer, language,
+        // stem, remove_stop_words, ascii_folding...): e.g.
+        // '{"stemming":true,"language":"german"}'
+        pd("tokenizer_config", DT.StringType, "''")),
       StructType(Seq(StructField("index_name", DT.StringType),
         StructField("version", DT.LongType)))) { in =>
       val path = pathOf(in.getUTF8String(0).toString)
@@ -1219,7 +1224,12 @@ private[format] object GraftProcedures {
             pqM = pqM, pqK = pqK, pqBits = in.getLong(10).toInt)
           s"hnsw_$column"
         case "FTS" =>
-          graft.operators.Fts.buildForTable(spark, path, idCol, column)
+          val tcfg = Option(in.getUTF8String(13)).map(_.toString)
+            .filter(_.nonEmpty)
+            .map(graft.operators.Fts.parseConfig)
+            .getOrElse(graft.operators.FtsConfig())
+          graft.operators.Fts.buildForTable(spark, path, idCol, column,
+            config = tcfg)
           s"fts_$column"
         case other => throw new IllegalArgumentException(
           s"graft: unknown index_type $other (BTREE, BLOOMFILTER, LABEL_LIST, " +

@@ -591,6 +591,12 @@ object Fts {
 
   implicit private val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
+  /** Parse an [[FtsConfig]] from its stored-JSON form (the `_tokenizer.json`
+    * round-trip format) — the SQL surface's `tokenizer_config` argument
+    * (r14). Absent fields take the case-class defaults. */
+  def parseConfig(json: String): FtsConfig =
+    org.json4s.jackson.JsonMethods.parse(json).extract[FtsConfig]
+
   private def writeConfig(spark: SparkSession, indexPath: String, cfg: FtsConfig): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_tokenizer.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

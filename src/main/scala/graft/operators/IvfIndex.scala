@@ -292,6 +292,102 @@ object IvfIndex {
     model
   }
 
+  // ------------------------------------------------------------------
+  // Driver-local single-query serving (r14) — the IVF_FLAT twin of
+  // [[HnswIndex.serveLocal]] for the interactive regime: centroids rank
+  // on the driver (the loadModel cache), probed partitions' (id, vec)
+  // rows come from a driver-local LRU (each cold partition costs ONE
+  // directory-pruned read of `vectors/` — it is partitioned BY pid), and
+  // ranking is an exact brute-force scan replicating [[Knn.flatSearch]]'s
+  // kernel arithmetic bit-for-bit. Zero Spark jobs once warm. Float
+  // storage only; serves the index dataset as-is (no DV/coverage
+  // subtraction — the fastSearch contract), like the HNSW twin.
+  // ------------------------------------------------------------------
+
+  val ServeCacheBudgetKey = "spark.graft.cache.ivf.serve.partitions"
+  @volatile private var serveCapacity = 64
+  private val serveRows =
+    new java.util.LinkedHashMap[(String, Int), Array[(Long, Array[Float])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Array[(Long, Array[Float])]]): Boolean =
+        size() > serveCapacity
+    }
+
+  /** Drop an index's driver-resident serve rows (after rebuild/optimize). */
+  def serveUnpersist(indexPath: String): Unit = serveRows.synchronized {
+    val it = serveRows.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+  }
+
+  private def servePartition(spark: SparkSession, indexPath: String,
+                             idCol: String, vecCol: String,
+                             pid: Int): Array[(Long, Array[Float])] =
+    serveRows.synchronized {
+      serveCapacity = math.max(1,
+        scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
+      val hit = serveRows.get((indexPath, pid))
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$indexPath/vectors")
+          .filter(col(PidCol) === pid)
+        require(!isF16(df, vecCol),
+          s"serveLocal needs float vector storage at $indexPath — packed " +
+            "f16/bf16 indexes belong to the batched path")
+        val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        serveRows.put((indexPath, pid), rows)
+        rows
+      }
+    }
+
+  /** Preload the serve cache (all partitions by default); returns resident
+    * row count. */
+  def serveWarm(spark: SparkSession, indexPath: String, idCol: String,
+                vecCol: String, pids: Seq[Int] = Nil): Long = {
+    val model = loadModel(spark, indexPath)
+    val targets = if (pids.nonEmpty) pids else 0 until model.nlist
+    targets.map(p => servePartition(spark, indexPath, idCol, vecCol, p).length.toLong).sum
+  }
+
+  /** Same accumulation order and widening as the codegen'd distance
+    * kernels ([[graft.functions.VectorDistances]]) — results are
+    * bit-identical to [[search]]'s, not merely close. */
+  private def serveDist(metric: String, q: Array[Float], v: Array[Float]): Double = {
+    val n = math.min(q.length, v.length)
+    metric match {
+      case "l2" =>
+        var acc = 0.0; var i = 0
+        while (i < n) { val d = v(i).toDouble - q(i).toDouble; acc += d * d; i += 1 }
+        math.sqrt(acc)
+      case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = v(i).toDouble; val y = q(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        1.0 - dot / math.sqrt(na * nb)
+      case "dot" =>
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += v(i).toDouble * q(i).toDouble; i += 1 }
+        -dot
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+  }
+
+  /** Answer one query driver-locally: centroid ranking + exact brute-force
+    * over the probed resident partitions, global top-k with [[search]]'s
+    * (distance, id) tie-break. No Spark job once the partitions are warm. */
+  def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
+                 vecCol: String, query: Array[Float], k: Int, nprobes: Int,
+                 metric: String = "l2"): Seq[(Long, Double)] = {
+    val model = loadModel(spark, indexPath)
+    val probes = model.rank(query).take(math.min(nprobes, model.nlist))
+    probes.iterator.flatMap { pid =>
+      servePartition(spark, indexPath, idCol, vecCol, pid).iterator
+        .map { case (id, v) => (id, serveDist(metric, query, v)) }
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
   /** ANN search: probe the `nprobes` nearest partitions, exact distances
     * inside, global top-k. `nprobes >= nlist` ⇒ identical to flat search.
     *

@@ -879,6 +879,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(m3("rows_returned") == 5L, m3.toString)
   }
 
+  test("create_index FTS accepts tokenizer_config JSON (language round-trips) (r14)") {
+    val t = freshName()
+    s.sql(s"CREATE TABLE g.db.$t (id BIGINT, body STRING) USING graft")
+    s.sql(s"INSERT INTO g.db.$t VALUES (1, 'kinder spielen gern'), " +
+      "(2, 'das kind spielt'), (3, 'voellig anderes thema')")
+    s.sql(s"CALL g.system.create_index(table => 'db.$t', `column` => 'body', " +
+      """index_type => 'FTS', tokenizer_config => '{"stemming":true,"language":"german"}')""")
+    val cfg = graft.operators.Fts.loadConfig(s,
+      s"$warehouse/db/$t/_indices/fts_body")
+    assert(cfg.stemming && cfg.language == "german", cfg.toString)
+    // German analysis end-to-end: the plural query stems to the indexed stem
+    // index keyed by the default _rowid: rows 0 and 1 hold the kinder/kind
+    // docs; the plural query only hits both if it stems under German rules
+    val hits = s.sql(s"CALL g.system.fts_search(table => 'db.$t', " +
+      "name => 'fts_body', query => 'kindern', k => 5)")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(0L, 1L), hits.toString)
+  }
+
   test("CALL analyze_knn: probe pruning, fresh-leg volume, measured rows") {
     val t = freshName()
     s.sql(s"CREATE TABLE g.db.$t (id BIGINT, vec ARRAY<FLOAT>) USING graft")

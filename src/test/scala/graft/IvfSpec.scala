@@ -34,6 +34,36 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == flat)
   }
 
+  test("serveLocal: driver-local IVF serving matches search() bit-for-bit, no jobs when warm (r14)") {
+    val idx = buildIdx(8)
+    IvfIndex.serveUnpersist(idx)
+    val resident = IvfIndex.serveWarm(spark, idx, "vec_id", "embedding")
+    assert(resident == embeddings.count(), s"all rows resident, got $resident")
+    for (metric <- Seq("l2", "cosine", "dot"); qid <- Seq(0L, 7L, 123L)) {
+      val q = queryVec(qid)
+      val batched = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+          nprobes = 3, metric = metric)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val served = IvfIndex.serveLocal(spark, idx, "vec_id", "embedding", q,
+        10, nprobes = 3, metric = metric)
+      assert(tracker.getJobIdsForGroup(null).length == before,
+        "warm serveLocal must not launch a Spark job")
+      assert(served == batched, s"$metric qid=$qid: $served != $batched")
+    }
+    // packed f16 storage refuses with a clear error
+    import graft.functions.F16Functions._
+    val f16dir = Files.createTempDirectory("ivf_serve_f16_").toString
+    IvfIndex.build(embeddings.select($"vec_id", f16Pack($"embedding").as("emb")),
+      "vec_id", "emb", f16dir, nlist = 4)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.serveLocal(spark, f16dir, "vec_id", "emb", queryVec(0L), 5, 2)
+    }
+    assert(e.getMessage.contains("float vector storage"), e.getMessage)
+  }
+
   test("f16 storage end-to-end: index stores packed bytes, search serves them") {
     import graft.functions.F16Functions._
     val packed = embeddings.select($"vec_id", f16Pack($"embedding").as("emb"))
