@@ -14,13 +14,16 @@ package graft.functions
   */
 object SnowballStemmer {
 
-  val Languages: Seq[String] = Seq("english", "german", "french", "spanish", "russian")
+  val Languages: Seq[String] =
+    Seq("english", "german", "french", "spanish", "italian", "portuguese", "russian")
 
   def stem(word: String, language: String): String = language.toLowerCase match {
     case "english" | "en" | "porter" => PorterStemmer.stem(word)
     case "german" | "de" => german(word)
     case "french" | "fr" => french(word)
     case "spanish" | "es" => spanish(word)
+    case "italian" | "it" => italian(word)
+    case "portuguese" | "pt" => portuguese(word)
     case "russian" | "ru" => russian(word)
     case other => throw new IllegalArgumentException(
       s"unsupported stemmer language '$other' (supported: ${Languages.mkString(", ")})")
@@ -556,6 +559,298 @@ object SnowballStemmer {
         b.setCharAt(j, 'e')
     }
     b.toString.map { case 'U' => 'u'; case 'I' => 'i'; case 'Y' => 'y'; case c => c }
+  }
+
+  // ---------------------------------------------------------------- italian
+
+  private val itVowels = "aeiouàèìòù".toSet
+
+  def italian(word0: String): String = {
+    if (word0.length <= 2) return word0
+    // prelude: acute → grave accents; protect u after q and u/i between
+    // vowels as U/I
+    val word = word0.map {
+      case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+      case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+    }
+    val cs = word.toCharArray
+    val orig = cs.clone()
+    def v(i: Int) = i >= 0 && i < orig.length && itVowels(orig(i))
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case 'u' if i > 0 && orig(i - 1) == 'q' => cs(i) = 'U'
+        case 'u' if v(i - 1) && v(i + 1) => cs(i) = 'U'
+        case 'i' if v(i - 1) && v(i + 1) => cs(i) = 'I'
+        case _ =>
+      }
+      i += 1
+    }
+    val b = new StringBuilder(new String(cs))
+    def isV(c: Char) = itVowels(c)
+    val rv = esStyleRv(b, isV)
+    val (r1, r2) = regions(b, isV)
+
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String): Int = b.length - suf.length
+    def del(suf: String): Unit = b.setLength(b.length - suf.length)
+    def endsAny(sufs: Seq[String]): Option[String] =
+      sufs.sortBy(-_.length).find(ends)
+
+    // step 0: attached pronoun after a gerund/infinitive marker in RV;
+    // gerund (ando/endo) → delete, infinitive (ar/er/ir) → replace with e
+    locally {
+      val pronouns = Seq("gliela", "gliele", "glieli", "glielo", "gliene",
+        "sene", "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+        "teli", "telo", "tene", "cela", "cele", "celi", "celo", "cene",
+        "vela", "vele", "veli", "velo", "vene", "gli", "ci", "la", "le",
+        "li", "lo", "mi", "ne", "si", "ti", "vi")
+      endsAny(pronouns).foreach { pr =>
+        val stemEnd = sufStart(pr)
+        val head = b.substring(0, stemEnd)
+        def inRv(m: String) = stemEnd - m.length >= rv
+        if (Seq("ando", "endo").exists(m => head.endsWith(m) && inRv(m)))
+          del(pr)
+        else if (Seq("ar", "er", "ir").exists(m => head.endsWith(m) && inRv(m)))
+          b.replace(stemEnd, b.length, "e")
+      }
+    }
+
+    val len0 = b.length
+    // step 1: standard suffixes
+    var step1Removed = false
+    locally {
+      val delR2 = Seq("abile", "abili", "ibile", "ibili", "atrice", "atrici",
+        "mente", "anza", "anze", "iche", "ichi", "ismo", "ismi", "ista",
+        "iste", "isti", "istà", "istè", "istì", "ante", "anti", "ico",
+        "ici", "ica", "ice", "oso", "osi", "osa", "ose")
+      val table: Seq[(String, String)] =
+        (delR2.map((_, "delR2")) ++ Seq(
+          ("azione", "azione"), ("azioni", "azione"), ("atore", "azione"),
+          ("atori", "azione"),
+          ("logia", "log"), ("logie", "log"),
+          ("uzione", "u"), ("uzioni", "u"), ("usione", "u"), ("usioni", "u"),
+          ("enza", "ente"), ("enze", "ente"),
+          ("amento", "rv"), ("amenti", "rv"), ("imento", "rv"), ("imenti", "rv"),
+          ("amente", "amente"),
+          ("ità", "ità"),
+          ("ivo", "iv"), ("ivi", "iv"), ("iva", "iv"), ("ive", "iv")))
+      table.sortBy(-_._1.length).find { case (suf, _) => ends(suf) } match {
+        case Some((suf, kind)) =>
+          val p = sufStart(suf)
+          kind match {
+            case "delR2" => if (p >= r2) { del(suf); step1Removed = true }
+            case "azione" => if (p >= r2) {
+              del(suf); step1Removed = true
+              if (ends("ic") && sufStart("ic") >= r2) del("ic")
+            }
+            case "log" => if (p >= r2) { b.replace(p, b.length, "log"); step1Removed = true }
+            case "u" => if (p >= r2) { b.replace(p, b.length, "u"); step1Removed = true }
+            case "ente" => if (p >= r2) { b.replace(p, b.length, "ente"); step1Removed = true }
+            case "rv" => if (p >= rv) { del(suf); step1Removed = true }
+            case "amente" => if (p >= r1) {
+              del(suf); step1Removed = true
+              if (ends("iv") && sufStart("iv") >= r2) {
+                del("iv")
+                if (ends("at") && sufStart("at") >= r2) del("at")
+              } else Seq("os", "ic", "abil").find(ends).foreach { x =>
+                if (sufStart(x) >= r2) del(x)
+              }
+            }
+            case "ità" => if (p >= r2) {
+              del(suf); step1Removed = true
+              Seq("abil", "ic", "iv").find(ends).foreach { x =>
+                if (sufStart(x) >= r2) del(x)
+              }
+            }
+            case "iv" => if (p >= r2) {
+              del(suf); step1Removed = true
+              if (ends("at") && sufStart("at") >= r2) {
+                del("at")
+                if (ends("ic") && sufStart("ic") >= r2) del("ic")
+              }
+            }
+          }
+        case None =>
+      }
+    }
+
+    // step 2: verb suffixes, only if step 1 removed nothing
+    if (!step1Removed && b.length == len0) {
+      val verbs = Seq("erebbero", "irebbero", "assero", "assimo", "eranno",
+        "erebbe", "eremmo", "ereste", "eresti", "essero", "iranno",
+        "irebbe", "iremmo", "ireste", "iresti", "iscano", "iscono",
+        "issero", "arono", "avamo", "avano", "avate", "eremo", "erete",
+        "erono", "evamo", "evano", "evate", "iremo", "irete", "irono",
+        "ivamo", "ivano", "ivate", "ammo", "ando", "asse", "assi",
+        "emmo", "enda", "ende", "endi", "endo", "erai", "erei", "Yamo",
+        "iamo", "immo", "irai", "irei", "isca", "isce", "isci", "isco",
+        "ano", "are", "ata", "ate", "ati", "ato", "ava", "avi", "avo",
+        "erà", "ere", "erò", "ete", "eva", "evi", "evo", "irà", "ire",
+        "irò", "ita", "ite", "iti", "ito", "iva", "ivi", "ivo", "ono",
+        "uta", "ute", "uti", "uto", "ar", "ir")
+      endsAny(verbs).foreach { suf =>
+        if (sufStart(suf) >= rv) del(suf)
+      }
+    }
+
+    // step 3a: a final vowel in RV, then a preceding i in RV
+    locally {
+      val last = if (b.nonEmpty) b.charAt(b.length - 1) else ' '
+      if ("aeioàèìò".contains(last) && b.length - 1 >= rv) {
+        b.setLength(b.length - 1)
+        if (b.nonEmpty && b.charAt(b.length - 1) == 'i' && b.length - 1 >= rv)
+          b.setLength(b.length - 1)
+      }
+    }
+    // step 3b: final ch/gh → c/g in RV
+    if ((ends("ch") || ends("gh")) && sufStart("ch") >= rv)
+      b.setLength(b.length - 1)
+
+    b.toString.map { case 'U' => 'u'; case 'I' => 'i'; case c => c }
+  }
+
+  // -------------------------------------------------------------- portuguese
+
+  private val ptVowels = "aeiouáéíóúâêô".toSet
+
+  def portuguese(word0: String): String = {
+    if (word0.length <= 2) return word0
+    // prelude: nasal vowels to two-char forms so they act as non-vowels
+    // mid-algorithm; postlude restores them
+    val b = new StringBuilder(word0.replace("ã", "a~").replace("õ", "o~"))
+    def isV(c: Char) = ptVowels(c)
+    val rv = esStyleRv(b, isV)
+    val (r1, r2) = regions(b, isV)
+
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String): Int = b.length - suf.length
+    def del(suf: String): Unit = b.setLength(b.length - suf.length)
+
+    val len0 = b.length
+    var removed = false
+    // ---- step 1: standard suffixes
+    locally {
+      val delR2 = Seq("amentos", "imentos", "amento", "imento", "adoras",
+        "adores", "aço~es", "ismos", "istas", "ância", "eza", "ezas",
+        "icos", "icas", "ico", "ica", "ismo", "ável", "ível", "ista",
+        "osos", "osas", "oso", "osa", "adora", "ador", "aça~o", "antes",
+        "ante")
+      val table: Seq[(String, String)] =
+        (delR2.map((_, "delR2")) ++ Seq(
+          ("logias", "log"), ("logia", "log"),
+          ("uço~es", "u"), ("uça~o", "u"),
+          ("ências", "ente"), ("ência", "ente"),
+          ("amente", "amente"), ("mente", "mente"),
+          ("idades", "idade"), ("idade", "idade"),
+          ("ivas", "iv"), ("ivos", "iv"), ("iva", "iv"), ("ivo", "iv"),
+          ("iras", "ira"), ("ira", "ira")))
+      table.sortBy(-_._1.length).find { case (suf, _) => ends(suf) } match {
+        case Some((suf, kind)) =>
+          val p = sufStart(suf)
+          kind match {
+            case "delR2" => if (p >= r2) { del(suf); removed = true }
+            case "log" => if (p >= r2) { b.replace(p, b.length, "log"); removed = true }
+            case "u" => if (p >= r2) { b.replace(p, b.length, "u"); removed = true }
+            case "ente" => if (p >= r2) { b.replace(p, b.length, "ente"); removed = true }
+            case "amente" => if (p >= r1) {
+              del(suf); removed = true
+              if (ends("iv") && sufStart("iv") >= r2) {
+                del("iv")
+                if (ends("at") && sufStart("at") >= r2) del("at")
+              } else Seq("os", "ic", "ad").find(ends).foreach { x =>
+                if (sufStart(x) >= r2) del(x)
+              }
+            }
+            case "mente" => if (p >= r2) {
+              del(suf); removed = true
+              Seq("ante", "avel", "ível").find(ends).foreach { x =>
+                if (sufStart(x) >= r2) del(x)
+              }
+            }
+            case "idade" => if (p >= r2) {
+              del(suf); removed = true
+              Seq("abil", "ic", "iv").find(ends).foreach { x =>
+                if (sufStart(x) >= r2) del(x)
+              }
+            }
+            case "iv" => if (p >= r2) {
+              del(suf); removed = true
+              if (ends("at") && sufStart("at") >= r2) del("at")
+            }
+            case "ira" =>
+              // ira/iras → ir when in RV and preceded by e (pereira family)
+              if (p >= rv && p >= 1 && b.charAt(p - 1) == 'e') {
+                b.replace(p, b.length, "ir"); removed = true
+              }
+          }
+        case None =>
+      }
+    }
+
+    // ---- step 2: verb suffixes (only if step 1 removed nothing)
+    if (!removed && b.length == len0) {
+      val verbs = Seq("aríamos", "eríamos", "iríamos", "ássemos", "êssemos",
+        "íssemos", "aríeis", "eríeis", "iríeis", "ásseis", "ésseis",
+        "ísseis", "áramos", "éramos", "íramos", "ávamos", "aremos",
+        "eremos", "iremos", "ariam", "eriam", "iriam", "assem", "essem",
+        "issem", "ara~o", "era~o", "ira~o", "arias", "erias", "irias",
+        "ardes", "erdes", "irdes", "asses", "esses", "isses", "astes",
+        "estes", "istes", "áreis", "areis", "éreis", "ereis", "íreis",
+        "ireis", "ásteis", "ésteis", "ísteis", "íamos", "armos", "ermos",
+        "irmos", "aria", "eria", "iria", "asse", "esse", "isse", "aste",
+        "este", "iste", "arei", "erei", "irei", "aram", "eram", "iram",
+        "avam", "arem", "erem", "irem", "ando", "endo", "indo", "adas",
+        "idas", "arás", "aras", "erás", "eras", "irás", "avas", "ares",
+        "eres", "ires", "íeis", "ados", "idos", "ámos", "amos", "emos",
+        "imos", "iras", "ada", "ida", "ará", "ara", "erá", "era", "irá",
+        "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ira", "ia",
+        "ei", "am", "em", "ar", "er", "ir", "as", "es", "is", "eu", "iu",
+        "ou")
+      verbs.sortBy(-_.length).find(ends).foreach { suf =>
+        if (sufStart(suf) >= rv) { del(suf); removed = true }
+      }
+    }
+
+    // ---- step 3: delete i after c, if a suffix was removed
+    if (removed && ends("i") && sufStart("i") >= rv &&
+        b.length >= 2 && b.charAt(b.length - 2) == 'c')
+      b.setLength(b.length - 1)
+
+    // ---- step 4: residual suffix (only if steps 1 and 2 removed nothing)
+    if (!removed) {
+      Seq("os", "a", "i", "o", "á", "í", "ó").sortBy(-_.length).find(ends)
+        .foreach { suf => if (sufStart(suf) >= rv) del(suf) }
+    }
+
+    // ---- step 5: final e/é/ê; gu/ci undouble; ç → c
+    locally {
+      val last = if (b.nonEmpty) b.charAt(b.length - 1) else ' '
+      if ("eéê".contains(last) && b.length - 1 >= rv) {
+        b.setLength(b.length - 1)
+        if ((ends("gu") || ends("ci")) && b.length - 1 >= rv)
+          b.setLength(b.length - 1)
+      }
+      if (b.nonEmpty && b.charAt(b.length - 1) == 'ç')
+        b.setCharAt(b.length - 1, 'c')
+    }
+
+    b.toString.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  /** RV per the Spanish-family definition, parameterized by vowel set. */
+  private def esStyleRv(s: CharSequence, isV: Char => Boolean): Int = {
+    val n = s.length
+    if (n < 3) return n
+    if (!isV(s.charAt(1))) {
+      var i = 2; while (i < n && !isV(s.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (isV(s.charAt(0)) && isV(s.charAt(1))) {
+      var i = 2; while (i < n && isV(s.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    } else 3
   }
 
   // ---------------------------------------------------------------- russian

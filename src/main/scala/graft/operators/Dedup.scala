@@ -216,20 +216,23 @@ object Dedup {
       groupedBands(newSets, idCol, shingleCol, numPerms, bandRows, maxBucket)
     // Store probe: restrict the store FIRST to the batch's (band, bucket)
     // keys — the distinct batch bucket set is batch-sized and broadcast, so
-    // the corpus-sized store is never shuffled; then cap degenerate store
-    // buckets (all historical copies of one boilerplate page collide in
-    // every band — without the cap each such bucket fans every future
-    // batch probe out by its full historical population). Same recall
-    // semantics as the batch cap: a pair is missed only if every band
-    // where it collides is over-cap.
+    // the corpus-sized store is never shuffled; then SAMPLE degenerate
+    // store buckets down to maxBucket rows per (band, bucket) (the store
+    // holds one row per historical doc per band, so N copies of one
+    // boilerplate page keep every one of its buckets N rows fat — without
+    // the bound each future probe of that page fans out by the full
+    // historical population). A bounded row_number sample, NOT a skip: a
+    // new copy must still PAIR with history (one verified link is enough
+    // for survivor-group connectivity), it just pairs with at most
+    // maxBucket bucket-mates per band. Deterministic: lowest ids kept.
     val store = graft.format.GraftTable.read(spark, storePath)
       .select(col("band"), col("bucket"), col(idCol).as("a_id"))
       .join(broadcast(repBanded.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"))
-      .withColumn("__bs", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bs") <= maxBucket)
-      .drop("__bs")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band"), col("bucket")).orderBy(col("a_id"))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
     // probe at rep level, expand to batch members; a_id =!= b_id guards the
     // re-ingested-id case (a doc id already in the store probing itself)
     val oldNew = repBanded.join(store, Seq("band", "bucket"))

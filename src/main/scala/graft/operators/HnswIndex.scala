@@ -728,33 +728,41 @@ object HnswIndex {
       (IvfIndex.loadModel(spark, indexPath), IvfIndex.readVectorMeta(spark, indexPath))
     })
 
+  private def refreshServeCapacity(spark: SparkSession): Int = {
+    serveCapacity = math.max(1,
+      scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
+    serveCapacity
+  }
+
   private def servePartition(spark: SparkSession, indexPath: String,
-                             pid: Int): Seq[ServeGraph] =
+                             pid: Int): Seq[ServeGraph] = {
+    refreshServeCapacity(spark)
+    // fast path under the lock; the COLD read runs OUTSIDE it — a
+    // multi-hundred-ms Spark collect must not block concurrent warm
+    // queries on unrelated partitions (a racing duplicate load is benign:
+    // last put wins, same content)
     serveGraphs.synchronized {
-      serveCapacity = math.max(1,
-        scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
       val hit = serveGraphs.get((indexPath, pid))
-      if (hit != null) hit
-      else {
-        // the cold path's ONE ranged read: pid is a pushed-down parquet
-        // predicate, so only the partition's row groups are touched
-        val dirs = "graph" +: deltaDirs(spark, indexPath)
-        val loaded = dirs.map { d =>
-          val rows = spark.read.parquet(s"$indexPath/$d")
-            .filter(col(PidCol) === pid)
-            .select(col("id"), col("vec"), col("level"), col("nbrs"))
-            .collect()
-          val g: ServeGraph = mutable.Map.empty
-          rows.foreach { r =>
-            g(r.getLong(0)) = (r.getSeq[Float](1).toArray, r.getInt(2),
-              r.getSeq[scala.collection.Seq[Long]](3).map(_.toArray).toArray, false)
-          }
-          g
-        }.filter(_.nonEmpty)
-        serveGraphs.put((indexPath, pid), loaded)
-        loaded
-      }
+      if (hit != null) return hit
     }
+    // the cold path's ONE ranged read: pid is a pushed-down parquet
+    // predicate, so only the partition's row groups are touched
+    val dirs = "graph" +: deltaDirs(spark, indexPath)
+    val loaded = dirs.map { d =>
+      val rows = spark.read.parquet(s"$indexPath/$d")
+        .filter(col(PidCol) === pid)
+        .select(col("id"), col("vec"), col("level"), col("nbrs"))
+        .collect()
+      val g: ServeGraph = mutable.Map.empty
+      rows.foreach { r =>
+        g(r.getLong(0)) = (r.getSeq[Float](1).toArray, r.getInt(2),
+          r.getSeq[scala.collection.Seq[Long]](3).map(_.toArray).toArray, false)
+      }
+      g
+    }.filter(_.nonEmpty)
+    serveGraphs.synchronized { serveGraphs.put((indexPath, pid), loaded) }
+    loaded
+  }
 
   /** Preload the serve cache for an index — every partition (default) or a
     * chosen subset; returns resident node count. Books the cold-read cost
@@ -764,6 +772,13 @@ object HnswIndex {
                 pids: Seq[Int] = Nil): Long = {
     val (model, _) = serveModel(spark, indexPath)
     val targets = if (pids.nonEmpty) pids else 0 until model.nlist
+    // warming more partitions than the LRU can hold would evict most of
+    // what was just loaded and report an inflated resident count while
+    // every later query pays cold reads anyway — fail fast instead
+    val cap = refreshServeCapacity(spark)
+    require(targets.size <= cap,
+      s"serveWarm(${targets.size} partitions) exceeds the serve budget " +
+        s"$cap — raise $ServeCacheBudgetKey or warm a pid subset")
     targets.map(p => servePartition(spark, indexPath, p).map(_.size.toLong).sum).sum
   }
 

@@ -319,26 +319,32 @@ object IvfIndex {
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
   }
 
+  private def refreshServeCapacity(spark: SparkSession): Int = {
+    serveCapacity = math.max(1,
+      scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
+    serveCapacity
+  }
+
   private def servePartition(spark: SparkSession, indexPath: String,
                              idCol: String, vecCol: String,
-                             pid: Int): Array[(Long, Array[Float])] =
+                             pid: Int): Array[(Long, Array[Float])] = {
+    refreshServeCapacity(spark)
+    // cold read OUTSIDE the lock (see HnswIndex.servePartition): a racing
+    // duplicate load is benign, a blocked warm query is not
     serveRows.synchronized {
-      serveCapacity = math.max(1,
-        scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
       val hit = serveRows.get((indexPath, pid))
-      if (hit != null) hit
-      else {
-        val df = spark.read.parquet(s"$indexPath/vectors")
-          .filter(col(PidCol) === pid)
-        require(!isF16(df, vecCol),
-          s"serveLocal needs float vector storage at $indexPath — packed " +
-            "f16/bf16 indexes belong to the batched path")
-        val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        serveRows.put((indexPath, pid), rows)
-        rows
-      }
+      if (hit != null) return hit
     }
+    val df = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col(PidCol) === pid)
+    require(!isF16(df, vecCol),
+      s"serveLocal needs float vector storage at $indexPath — packed " +
+        "f16/bf16 indexes belong to the batched path")
+    val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    serveRows.synchronized { serveRows.put((indexPath, pid), rows) }
+    rows
+  }
 
   /** Preload the serve cache (all partitions by default); returns resident
     * row count. */
@@ -346,6 +352,10 @@ object IvfIndex {
                 vecCol: String, pids: Seq[Int] = Nil): Long = {
     val model = loadModel(spark, indexPath)
     val targets = if (pids.nonEmpty) pids else 0 until model.nlist
+    val cap = refreshServeCapacity(spark)
+    require(targets.size <= cap,
+      s"serveWarm(${targets.size} partitions) exceeds the serve budget " +
+        s"$cap — raise $ServeCacheBudgetKey or warm a pid subset")
     targets.map(p => servePartition(spark, indexPath, idCol, vecCol, p).length.toLong).sum
   }
 

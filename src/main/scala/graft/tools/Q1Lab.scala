@@ -24,7 +24,9 @@ object Q1Lab {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     sys.env.get("Q1_CONFS").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      val parts = kv.split("=", 2)
+      require(parts.length == 2, s"Q1_CONFS entry must be key=value, got '$kv'")
+      b.config(parts(0), parts(1))
     })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,7 +67,7 @@ object Q1Lab {
         count(lit(1))).collect()
     intKey()
     val intK = best(5)(() => { intKey(); () })
-    println(f"""{"q1_full":$full%.4f,"count_only_grouped":$scanAgg%.4f,"agg_no_keys":$noKey%.4f,"agg_int_key":$intK%.4f,"confs":"${sys.env.getOrElse("Q1_CONFS","")}"}""")
+    println(f"""{"q1_full":$full%.4f,"count_only_grouped":$scanAgg%.4f,"agg_no_keys":$noKey%.4f,"agg_int_key":$intK%.4f,"confs":"${sys.env.getOrElse("Q1_CONFS","").replace("\"","'")}"}""")
     if (sys.env.contains("Q1_CODEGEN")) {
       import org.apache.spark.sql.execution.debug._
       TpchAnchor.q1(spark, t).debugCodegen()

@@ -63,8 +63,18 @@ object TpchAnchor {
     * Q6 to DuckDB parity. On a cluster, fragments ARE the scan split
     * unit — size them for several task waves per core, not one. */
   def ensureTable(spark: SparkSession): Unit = {
-    if (scala.util.Try(GraftTable.latestVersion(spark, TableDir)).toOption
-        .flatten.isDefined) return
+    // rebuild when the cached table predates the current layout — a box
+    // carrying the old 16-fragment table must not report its straggler
+    // numbers under the 128-fragment label
+    val current = scala.util.Try(GraftTable.latestVersion(spark, TableDir))
+      .toOption.flatten
+      .map(_ => GraftTable.loadManifest(spark, TableDir).fragments.length)
+    if (current.contains(128)) return
+    current.foreach { n =>
+      System.err.println(s"[TpchAnchor] rebuilding: cached table has $n fragments, layout wants 128")
+      val t = new org.apache.hadoop.fs.Path(TableDir)
+      t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+    }
     val src = spark.read.parquet(s"$SrcDir/lineitem.parquet")
     // RANGE partitioning, not hash: hash-by-date scatters every date range
     // across all fragments (zonemap min/max ≈ the full corpus range — zero

@@ -266,6 +266,33 @@ class FtsSpec extends AnyFunSuite {
     check("russian", russian, ru)
   }
 
+  test("Snowball Italian/Portuguese stemmers: traced vocabularies (r14)") {
+    import graft.functions.SnowballStemmer.{italian, portuguese}
+    val it = Seq(
+      "abbandonata" -> "abbandon", "abbandonati" -> "abbandon", // verb ata/ati
+      "pronto" -> "pront", "libri" -> "libr",                   // final-vowel step
+      "felicità" -> "felic",                                    // ità in R2
+      "mangiando" -> "mang",                                    // ando + vowel + i
+      "ragione" -> "ragion",
+      "mangiarlo" -> "mang",                                    // pronoun after ar → e
+      "banchi" -> "banc")                                       // final i, then ch → c
+    val pt = Seq(
+      "gostou" -> "gost",                                       // verb ou
+      "nacionalidade" -> "nacional",                            // idade in R2
+      "informações" -> "inform",                                // nasal prelude + ações
+      "comparação" -> "compar",
+      "perguntar" -> "pergunt",                                 // verb ar in RV
+      "menina" -> "menin",                                      // residual a
+      "doce" -> "doc")                                          // step-5 final e
+    def check(name: String, f: String => String, fx: Seq[(String, String)]) = {
+      val bad = fx.filter { case (in, want) => f(in) != want }
+        .map { case (in, want) => s"$in -> ${f(in)} (want $want)" }
+      assert(bad.isEmpty, s"$name stemmer deviates on: ${bad.mkString(", ")}")
+    }
+    check("italian", italian, it)
+    check("portuguese", portuguese, pt)
+  }
+
   test("language config round-trips with the index; German query terms stem like the corpus") {
     import graft.operators.FtsConfig
     // whitespace base tokenizer: umlauts survive to the stemmer (the

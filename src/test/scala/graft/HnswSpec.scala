@@ -62,6 +62,17 @@ class HnswSpec extends AnyFunSuite {
     HnswIndex.serveUnpersist(idx)
     val again = Knn.serveLocal(spark, idx, queryVec(3L), 5, nprobes = 4)
     assert(again.length == 5)
+    // warming more partitions than the LRU budget refuses instead of
+    // silently evicting what it just loaded (r14 review)
+    spark.conf.set(HnswIndex.ServeCacheBudgetKey, "2")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        HnswIndex.serveWarm(spark, idx) // nlist = 4 > budget 2
+      }
+      assert(err.getMessage.contains("serve budget"), err.getMessage)
+      // a subset within budget is fine
+      assert(HnswIndex.serveWarm(spark, idx, pids = Seq(0, 1)) >= 0L)
+    } finally spark.conf.unset(HnswIndex.ServeCacheBudgetKey)
   }
 
   test("partition-size guard fails fast with 'raise nlist', not an OOM") {

@@ -514,6 +514,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(norm == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $norm")
   }
 
+  test("incremental minhash: over-cap store bucket SAMPLES, never skips — a new copy still pairs with history (r14 review)") {
+    // 5 historical exact copies of one page, maxBucket = 2: every store
+    // bucket holds 5 rows (> cap). A skip would make the 6th copy pass
+    // dedup as unique; the bounded sample must still pair it with the
+    // 2 lowest-id historical copies per band.
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val old = (1L to 5L).map(i => (i, text)).toDF("doc_id", "text")
+      .withColumn("sh", TA.shingleSet($"text", 3))
+    val store = java.nio.file.Files.createTempDirectory("mh_cap_").toString + "/store"
+    Dedup.minhashIndexBuild(old, "doc_id", "sh", store)
+    val batch = Seq((100L, text)).toDF("doc_id", "text")
+      .withColumn("sh", TA.shingleSet($"text", 3))
+    val pairs = Dedup.minhashIncremental(batch, "doc_id", "sh", old, store,
+        0.8, maxBucket = 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // candidates bounded (≤ maxBucket old partners), but NEVER empty —
+    // connectivity to the duplicate family is preserved
+    assert(pairs.nonEmpty, "new copy lost its link to history under the cap")
+    assert(pairs.forall(_._2 == 100L), pairs.toString)
+    assert(pairs.map(_._1).subsetOf(Set(1L, 2L)), s"lowest-id sample expected: $pairs")
+  }
+
   test("exactSubstringScrub removes exactly the flagged tokens") {
     val corpus = Seq(
       (10L, "x y a b c d e f g h i j z"),

@@ -36,11 +36,21 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     thr = 1.25
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                thr = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
@@ -63,11 +73,12 @@ def main():
           f"{new_total / old_total / drift:.3f}x")
 
     def noise_floor(k):
-        # widest relative spread seen for this entry in either artifact
+        # widest demonstrated run-to-run swing (median over best) seen for
+        # this entry in either artifact's committed spread
         floors = [1.0]
         for s, q in ((old_s, old_q), (new_s, new_q)):
-            if k in s and len(s[k]) == 3 and s[k][1] > 0:
-                floors.append(s[k][2] / s[k][1])
+            if k in s and len(s[k]) == 3 and s[k][0] > 0:
+                floors.append(s[k][1] / s[k][0])
         return max(floors)
 
     regressions, improvements = [], []
