@@ -15,7 +15,8 @@ package graft.functions
 object SnowballStemmer {
 
   val Languages: Seq[String] =
-    Seq("english", "german", "french", "spanish", "italian", "portuguese", "russian")
+    Seq("english", "german", "french", "spanish", "italian", "portuguese",
+      "swedish", "norwegian", "danish", "russian")
 
   def stem(word: String, language: String): String = language.toLowerCase match {
     case "english" | "en" | "porter" => PorterStemmer.stem(word)
@@ -24,6 +25,9 @@ object SnowballStemmer {
     case "spanish" | "es" => spanish(word)
     case "italian" | "it" => italian(word)
     case "portuguese" | "pt" => portuguese(word)
+    case "swedish" | "sv" => swedish(word)
+    case "norwegian" | "no" | "nb" => norwegian(word)
+    case "danish" | "da" => danish(word)
     case "russian" | "ru" => russian(word)
     case other => throw new IllegalArgumentException(
       s"unsupported stemmer language '$other' (supported: ${Languages.mkString(", ")})")
@@ -559,6 +563,135 @@ object SnowballStemmer {
         b.setCharAt(j, 'e')
     }
     b.toString.map { case 'U' => 'u'; case 'I' => 'i'; case 'Y' => 'y'; case c => c }
+  }
+
+  // ------------------------------------------------------- scandinavian trio
+  // Swedish / Norwegian / Danish share the simple Snowball shape: R1 (start
+  // forced to ≥3), one big delete-if-in-R1 suffix step with an s-ending
+  // condition, a consonant-cluster trim, and a small d-suffix step.
+
+  private def r1Min3(s: CharSequence, isVowel: Char => Boolean): Int = {
+    val (r1, _) = regions(s, isVowel)
+    math.max(r1, 3)
+  }
+
+  private val svVowels = "aeiouyäåö".toSet
+  private val svSEnding = "bcdfghjklmnoprtvy".toSet
+
+  def swedish(word: String): String = {
+    if (word.length <= 3) return word
+    val b = new StringBuilder(word)
+    val r1 = r1Min3(b, svVowels)
+    def ends(suf: String) =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String) = b.length - suf.length
+    // step 1 (a-suffixes + conditional s)
+    val s1 = Seq("heterna", "hetens", "anden", "heten", "heter", "arnas",
+      "ernas", "ornas", "arens", "andes", "andet", "arna", "erna", "orna",
+      "ande", "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern",
+      "ens", "het", "ast", "ad", "en", "ar", "er", "or", "as", "es", "at",
+      "a", "e")
+    s1.sortBy(-_.length).find(ends) match {
+      case Some(suf) => if (sufStart(suf) >= r1) b.setLength(b.length - suf.length)
+      case None =>
+        if (ends("s") && sufStart("s") >= r1 && b.length >= 2 &&
+            svSEnding(b.charAt(b.length - 2)))
+          b.setLength(b.length - 1)
+    }
+    // step 2: trim a consonant cluster's last letter
+    if (Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+        .exists(c => ends(c) && sufStart(c) >= r1))
+      b.setLength(b.length - 1)
+    // step 3: d-suffixes
+    if (ends("fullt") && sufStart("fullt") >= r1) b.setLength(b.length - 1)
+    else if (ends("löst") && sufStart("löst") >= r1) b.setLength(b.length - 1)
+    else Seq("lig", "els", "ig").sortBy(-_.length)
+      .find(s => ends(s) && sufStart(s) >= r1)
+      .foreach(s => b.setLength(b.length - s.length))
+    b.toString
+  }
+
+  private val noVowels = "aeiouyæåø".toSet
+  private val noSEnding = "bcdfghjlmnoprtvyz".toSet
+
+  def norwegian(word: String): String = {
+    if (word.length <= 3) return word
+    val b = new StringBuilder(word)
+    val r1 = r1Min3(b, noVowels)
+    def ends(suf: String) =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String) = b.length - suf.length
+    // step 1: delete group, erte/ert → er, conditional s (k counts as a
+    // valid s-ending only when not preceded by a vowel)
+    val del = Seq("hetenes", "hetene", "hetens", "heter", "heten", "endes",
+      "ande", "ende", "edes", "enes", "eres", "ets", "het", "ast", "ens",
+      "ers", "ede", "ane", "ene", "et", "es", "as", "en", "ar", "er",
+      "e", "a")
+    val all = (del.map((_, "del")) ++ Seq(("erte", "er"), ("ert", "er")))
+      .sortBy(-_._1.length)
+    all.find { case (s, _) => ends(s) } match {
+      case Some((suf, "del")) =>
+        if (sufStart(suf) >= r1) b.setLength(b.length - suf.length)
+      case Some((suf, _)) =>
+        if (sufStart(suf) >= r1) b.replace(sufStart(suf), b.length, "er")
+      case None =>
+        if (ends("s") && sufStart("s") >= r1 && b.length >= 2) {
+          val prev = b.charAt(b.length - 2)
+          val ok = noSEnding(prev) ||
+            (prev == 'k' && (b.length < 3 || !noVowels(b.charAt(b.length - 3))))
+          if (ok) b.setLength(b.length - 1)
+        }
+    }
+    // step 2: dt/vt → drop the t
+    if (Seq("dt", "vt").exists(c => ends(c) && sufStart(c) >= r1))
+      b.setLength(b.length - 1)
+    // step 3: d-suffixes
+    Seq("hetslov", "eleg", "elov", "slov", "elig", "lov", "leg", "eig",
+      "lig", "els", "ig").sortBy(-_.length)
+      .find(s => ends(s) && sufStart(s) >= r1)
+      .foreach(s => b.setLength(b.length - s.length))
+    b.toString
+  }
+
+  private val daVowels = "aeiouyæåø".toSet
+  private val daSEnding = "abcdfghjklmnoprtvyzå".toSet
+
+  def danish(word: String): String = {
+    if (word.length <= 3) return word
+    val b = new StringBuilder(word)
+    val r1 = r1Min3(b, daVowels)
+    def ends(suf: String) =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String) = b.length - suf.length
+    // step 1
+    val s1 = Seq("erendes", "erende", "hedens", "ethed", "erede", "heden",
+      "heder", "endes", "erens", "erets", "enes", "eren", "erer", "eres",
+      "ende", "erne", "ered", "heds", "ene", "ens", "ers", "ets", "hed",
+      "es", "et", "er", "en", "e")
+    s1.sortBy(-_.length).find(ends) match {
+      case Some(suf) => if (sufStart(suf) >= r1) b.setLength(b.length - suf.length)
+      case None =>
+        if (ends("s") && sufStart("s") >= r1 && b.length >= 2 &&
+            daSEnding(b.charAt(b.length - 2)))
+          b.setLength(b.length - 1)
+    }
+    // step 2: trim gd/dt/gt/kt
+    def step2(): Unit =
+      if (Seq("gd", "dt", "gt", "kt").exists(c => ends(c) && sufStart(c) >= r1))
+        b.setLength(b.length - 1)
+    step2()
+    // step 3: igst → drop st; then d-suffixes (delete + re-run step 2);
+    // løst → løs
+    if (ends("igst")) b.setLength(b.length - 2)
+    if (ends("løst") && sufStart("løst") >= r1) b.setLength(b.length - 1)
+    else Seq("elig", "lig", "els", "ig").sortBy(-_.length)
+      .find(s => ends(s) && sufStart(s) >= r1)
+      .foreach { s => b.setLength(b.length - s.length); step2() }
+    // step 4: undouble a final double consonant in R1
+    if (b.length >= 2 && b.charAt(b.length - 1) == b.charAt(b.length - 2) &&
+        !daVowels(b.charAt(b.length - 1)) && b.length - 1 >= r1)
+      b.setLength(b.length - 1)
+    b.toString
   }
 
   // ---------------------------------------------------------------- italian

@@ -293,6 +293,37 @@ class FtsSpec extends AnyFunSuite {
     check("portuguese", portuguese, pt)
   }
 
+  test("Snowball Swedish/Norwegian/Danish stemmers: traced vocabularies (r14)") {
+    import graft.functions.SnowballStemmer.{swedish, norwegian, danish}
+    val sv = Seq(
+      "jakten" -> "jakt", "klubbarnas" -> "klubb",      // en / arnas in R1
+      "starkast" -> "stark", "flickorna" -> "flick",
+      "hundens" -> "hund",                              // ens
+      "friskt" -> "frisk",                              // step-2 kt trim
+      "möjlig" -> "möj",                                // step-3 lig
+      "beundransfullt" -> "beundransfull",              // fullt → full
+      "fullt" -> "fullt")                               // suffix outside R1: kept
+    val no = Seq(
+      "huset" -> "hus", "bilene" -> "bil",
+      "mulighetene" -> "mul",                           // hetene, then ig
+      "fisks" -> "fisk",                                // s after k-not-after-vowel
+      "vondt" -> "vond",                                // step-2 dt
+      "lærte" -> "lært")
+    val da = Seq(
+      "hundene" -> "hund", "kvindens" -> "kvind",
+      "venligst" -> "ven",                              // igst → ig..., then lig
+      "bakker" -> "bak",                                // er, then undouble kk
+      "hurtigt" -> "hurt")                              // step-2 gt trim, then ig
+    def check(name: String, f: String => String, fx: Seq[(String, String)]) = {
+      val bad = fx.filter { case (in, want) => f(in) != want }
+        .map { case (in, want) => s"$in -> ${f(in)} (want $want)" }
+      assert(bad.isEmpty, s"$name stemmer deviates on: ${bad.mkString(", ")}")
+    }
+    check("swedish", swedish, sv)
+    check("norwegian", norwegian, no)
+    check("danish", danish, da)
+  }
+
   test("language config round-trips with the index; German query terms stem like the corpus") {
     import graft.operators.FtsConfig
     // whitespace base tokenizer: umlauts survive to the stemmer (the
