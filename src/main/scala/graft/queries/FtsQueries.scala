@@ -104,9 +104,23 @@ object FtsQueries {
           concat_ws("", transform(Fts.tokenize(col("text")), jaWord)))
         .filter(length(col("ja_text")) > 0)
         .select(col("doc_id"), col("ja_text"))
+      // the lexicon reaches the index THROUGH the real-format loader (r14):
+      // the gate writes the fixture as a MeCab-shaped CSV, loads it with
+      // DictLoader, and requires the loaded entries to equal the committed
+      // fixture — so a loader regression fails the gate, not just a spec
+      val csv = new Path(dir + "_lex.csv")
+      val out = fs.create(csv, true)
+      try out.write(JaLexicon.map { e =>
+        val Array(surf, cost, pos) = e.split(":")
+        val jpPos = pos match { case "n" => "名詞"; case other => other }
+        s"$surf,1,1,$cost,$jpPos,一般,*,*,*,*,$surf,*,*"
+      }.mkString("\n").getBytes("UTF-8")) finally out.close()
+      val loaded = graft.operators.DictLoader.loadMeCabLexicon(s, csv.toString)
+      require(loaded.toSet == JaLexicon.toSet,
+        s"DictLoader round-trip drifted from the fixture: $loaded vs $JaLexicon")
       Fts.buildIndex(corpus, "doc_id", "ja_text", dir,
         config = graft.operators.FtsConfig(baseTokenizer = "cjk",
-          cjkSegmenter = "morph", cjkDictionary = JaLexicon))
+          cjkSegmenter = "morph", cjkDictionary = loaded))
       dir
     })
 
