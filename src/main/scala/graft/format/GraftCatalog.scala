@@ -751,7 +751,15 @@ private[format] object GraftProcedures {
           HnswIndex.cacheHits.get(), HnswIndex.cacheMisses.get()),
         Seq[Any]("ivf_centroids", IvfIndex.centroidCacheSize.toLong,
           IvfIndex.currentCentroidCapacity.toLong,
-          IvfIndex.centroidCacheHits.get(), IvfIndex.centroidCacheMisses.get()))
+          IvfIndex.centroidCacheHits.get(), IvfIndex.centroidCacheMisses.get()),
+        // driver-local single-query serving caches (r14): entries are
+        // resident PARTITIONS, not indexes
+        Seq[Any]("hnsw_serve", HnswIndex.serveCacheSize.toLong,
+          HnswIndex.currentServeCapacity.toLong,
+          HnswIndex.serveHits.get(), HnswIndex.serveMisses.get()),
+        Seq[Any]("ivf_serve", IvfIndex.serveCacheSize.toLong,
+          IvfIndex.currentServeCapacity.toLong,
+          IvfIndex.serveHits.get(), IvfIndex.serveMisses.get()))
     }
 
   def walCleanup(pathOf: String => String): UnboundProcedure =

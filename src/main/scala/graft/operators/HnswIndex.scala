@@ -702,6 +702,10 @@ object HnswIndex {
     * budget of 64 holds ~64·sqrt(n) nodes resident. */
   val ServeCacheBudgetKey = "spark.graft.cache.hnsw.serve.partitions"
   @volatile private var serveCapacity = 64
+  def currentServeCapacity: Int = serveCapacity
+  val serveHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val serveMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  def serveCacheSize: Int = serveGraphs.synchronized(serveGraphs.size())
   private type ServeGraph = mutable.Map[Long, (Array[Float], Int, Array[Array[Long]], Boolean)]
   private val serveGraphs =
     new java.util.LinkedHashMap[(String, Int), Seq[ServeGraph]](16, 0.75f, true) {
@@ -743,8 +747,9 @@ object HnswIndex {
     // last put wins, same content)
     serveGraphs.synchronized {
       val hit = serveGraphs.get((indexPath, pid))
-      if (hit != null) return hit
+      if (hit != null) { serveHits.incrementAndGet(); return hit }
     }
+    serveMisses.incrementAndGet()
     // the cold path's ONE ranged read: pid is a pushed-down parquet
     // predicate, so only the partition's row groups are touched
     val dirs = "graph" +: deltaDirs(spark, indexPath)

@@ -306,6 +306,10 @@ object IvfIndex {
 
   val ServeCacheBudgetKey = "spark.graft.cache.ivf.serve.partitions"
   @volatile private var serveCapacity = 64
+  def currentServeCapacity: Int = serveCapacity
+  val serveHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val serveMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  def serveCacheSize: Int = serveRows.synchronized(serveRows.size())
   private val serveRows =
     new java.util.LinkedHashMap[(String, Int), Array[(Long, Array[Float])]](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -333,8 +337,9 @@ object IvfIndex {
     // duplicate load is benign, a blocked warm query is not
     serveRows.synchronized {
       val hit = serveRows.get((indexPath, pid))
-      if (hit != null) return hit
+      if (hit != null) { serveHits.incrementAndGet(); return hit }
     }
+    serveMisses.incrementAndGet()
     val df = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(PidCol) === pid)
     require(!isF16(df, vecCol),

@@ -1454,6 +1454,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       graft.operators.IvfIndex.loadModel(s, dirs.last)
       assert(graft.operators.IvfIndex.centroidCacheHits.get() >= ch0 + 1)
       assert(rows.contains("ivf_centroids"))
+      // the r14 driver-local serving caches report too (entries = resident
+      // partitions), with live hit/miss counters
+      assert(rows.contains("hnsw_serve") && rows.contains("ivf_serve"), rows.keySet)
+      val sh0 = HnswIndex.serveHits.get(); val sm0 = HnswIndex.serveMisses.get()
+      graft.operators.Knn.serveLocal(s, dirs.head, q, 3, nprobes = 1) // cold
+      graft.operators.Knn.serveLocal(s, dirs.head, q, 3, nprobes = 1) // hit
+      assert(HnswIndex.serveMisses.get() > sm0 && HnswIndex.serveHits.get() > sh0)
     } finally {
       s.conf.unset(HnswIndex.CacheBudgetKey)
       HnswIndex.unpersistAll()
