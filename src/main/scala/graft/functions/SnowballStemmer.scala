@@ -16,7 +16,7 @@ object SnowballStemmer {
 
   val Languages: Seq[String] =
     Seq("english", "german", "french", "spanish", "italian", "portuguese",
-      "swedish", "norwegian", "danish", "russian")
+      "dutch", "swedish", "norwegian", "danish", "russian")
 
   def stem(word: String, language: String): String = language.toLowerCase match {
     case "english" | "en" | "porter" => PorterStemmer.stem(word)
@@ -25,6 +25,7 @@ object SnowballStemmer {
     case "spanish" | "es" => spanish(word)
     case "italian" | "it" => italian(word)
     case "portuguese" | "pt" => portuguese(word)
+    case "dutch" | "nl" => dutch(word)
     case "swedish" | "sv" => swedish(word)
     case "norwegian" | "no" | "nb" => norwegian(word)
     case "danish" | "da" => danish(word)
@@ -563,6 +564,121 @@ object SnowballStemmer {
         b.setCharAt(j, 'e')
     }
     b.toString.map { case 'U' => 'u'; case 'I' => 'i'; case 'Y' => 'y'; case c => c }
+  }
+
+  // ----------------------------------------------------------------- dutch
+
+  private val nlVowels = "aeiouyè".toSet
+
+  def dutch(word0: String): String = {
+    if (word0.length <= 2) return word0
+    // prelude: strip umlauts/acutes, then protect initial y, y after a
+    // vowel, and i between vowels
+    val word = word0.map {
+      case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+      case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+    }
+    val cs = word.toCharArray
+    val orig = cs.clone()
+    def v(i: Int) = i >= 0 && i < orig.length && nlVowels(orig(i))
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case 'y' if i == 0 || v(i - 1) => cs(i) = 'Y'
+        case 'i' if v(i - 1) && v(i + 1) => cs(i) = 'I'
+        case _ =>
+      }
+      i += 1
+    }
+    val b = new StringBuilder(new String(cs))
+    def isV(c: Char) = nlVowels(c)
+    val (r1raw, r2) = regions(b, isV)
+    val r1 = math.max(r1raw, 3)
+
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String): Int = b.length - suf.length
+    def del(suf: String): Unit = b.setLength(b.length - suf.length)
+    def undouble(): Unit =
+      if (ends("kk") || ends("dd") || ends("tt")) b.setLength(b.length - 1)
+    // valid en-ending: a non-vowel, and the stem must not end in "gem"
+    def enOk(stemEnd: Int): Boolean =
+      stemEnd >= 1 && !isV(b.charAt(stemEnd - 1)) &&
+        !(stemEnd >= 3 && b.substring(stemEnd - 3, stemEnd) == "gem")
+    def delEn(suf: String): Boolean = {
+      val p = sufStart(suf)
+      if (p >= r1 && enOk(p)) { del(suf); undouble(); true } else false
+    }
+
+    // step 1
+    if (ends("heden")) {
+      if (sufStart("heden") >= r1)
+        b.replace(sufStart("heden"), b.length, "heid")
+    } else if (ends("ene")) delEn("ene")
+    else if (ends("en")) delEn("en")
+    else if (ends("se") || ends("s")) {
+      val suf = if (ends("se")) "se" else "s"
+      val p = sufStart(suf)
+      // valid s-ending: a non-vowel other than j
+      if (p >= r1 && p >= 1 && !isV(b.charAt(p - 1)) && b.charAt(p - 1) != 'j')
+        del(suf)
+    }
+
+    // step 2: final e after a non-vowel, then undouble (the removal feeds
+    // step 3b's "bar" condition)
+    var eRemoved = false
+    if (ends("e") && sufStart("e") >= r1 && b.length >= 2 &&
+        !isV(b.charAt(b.length - 2))) {
+      del("e"); undouble(); eRemoved = true
+    }
+
+    // step 3a: heid (not after c), then a directly-preceding en as step 1
+    if (ends("heid") && sufStart("heid") >= r2 &&
+        (sufStart("heid") == 0 || b.charAt(sufStart("heid") - 1) != 'c')) {
+      del("heid")
+      if (ends("en")) delEn("en")
+    }
+
+    // step 3b: d-suffixes
+    locally {
+      val cands = Seq("lijk", "baar", "end", "ing", "bar", "ig").sortBy(-_.length)
+      cands.find(ends) match {
+        case Some(suf @ ("end" | "ing")) =>
+          if (sufStart(suf) >= r2) {
+            del(suf)
+            if (ends("ig") && sufStart("ig") >= r2 &&
+                (sufStart("ig") == 0 || b.charAt(sufStart("ig") - 1) != 'e'))
+              del("ig")
+            else undouble()
+          }
+        case Some("ig") =>
+          if (sufStart("ig") >= r2 &&
+              (sufStart("ig") == 0 || b.charAt(sufStart("ig") - 1) != 'e'))
+            del("ig")
+        case Some("lijk") =>
+          if (sufStart("lijk") >= r2) {
+            del("lijk")
+            // repeat step 2
+            if (ends("e") && sufStart("e") >= r1 && b.length >= 2 &&
+                !isV(b.charAt(b.length - 2))) { del("e"); undouble() }
+          }
+        case Some("baar") => if (sufStart("baar") >= r2) del("baar")
+        case Some("bar") => if (sufStart("bar") >= r2 && eRemoved) del("bar")
+        case _ =>
+      }
+    }
+
+    // step 4: undouble vowel — c + aa/ee/oo/uu + c (final c not I/j per the
+    // protected-letter rule) loses one vowel
+    if (b.length >= 4) {
+      val n = b.length
+      val c2 = b.charAt(n - 1); val v1 = b.charAt(n - 2)
+      val v0 = b.charAt(n - 3); val c1 = b.charAt(n - 4)
+      if (!isV(c1) && !isV(c2) && c2 != 'I' && v0 == v1 && "aeou".contains(v0))
+        b.deleteCharAt(n - 2)
+    }
+
+    b.toString.map { case 'Y' => 'y'; case 'I' => 'i'; case c => c }
   }
 
   // ------------------------------------------------------- scandinavian trio

@@ -324,6 +324,23 @@ class FtsSpec extends AnyFunSuite {
     check("danish", danish, da)
   }
 
+  test("Snowball Dutch stemmer: traced vocabulary (r14)") {
+    import graft.functions.SnowballStemmer.dutch
+    val nl = Seq(
+      "lichamelijk" -> "licham",          // lijk, then step-2 e + repeat
+      "lichamelijkheden" -> "licham",     // heden→heid, heid, lijk chain
+      "bedden" -> "bed",                  // en + kk/dd/tt undouble
+      "lopen" -> "lop", "boten" -> "bot", // en after valid en-ending
+      "boot" -> "bot",                    // step-4 vowel undouble: converges with boten
+      "witte" -> "wit",                   // step-2 e + undouble
+      "gemeen" -> "gemen",                // en after a vowel kept; vowel undoubles
+      "uitvoering" -> "uitvoer",          // ing in R2
+      "kleding" -> "kleding")             // ing NOT in R2: kept
+    val bad = nl.filter { case (in, want) => dutch(in) != want }
+      .map { case (in, want) => s"$in -> ${dutch(in)} (want $want)" }
+    assert(bad.isEmpty, s"dutch stemmer deviates on: ${bad.mkString(", ")}")
+  }
+
   test("language config round-trips with the index; German query terms stem like the corpus") {
     import graft.operators.FtsConfig
     // whitespace base tokenizer: umlauts survive to the stemmer (the
