@@ -40,6 +40,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // captured before any work: how loaded the box already was when the
+    // run began (committed into BENCH_FULL.json for drift adjudication)
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     // warmup: JVM + whole-stage-codegen paths (scan/filter/agg/join/sort) +
     // parquet footer caches, so per-query numbers measure operators, not JIT
@@ -69,7 +73,15 @@ object Bench {
     // error count by one. One-time builds stay single-run — their caches
     // make a second rep a no-op hit, which would measure nothing.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // spreads hold the SORTED raw rep timings, one element per rep that
+    // actually ran (r15, VERDICT r14 #6): a single-run entry commits [x],
+    // a 3-rep entry [min, med, max] — the length IS reps_run, so a
+    // degenerate [x,x,x] can no longer masquerade as zero-variance.
     val spreads = collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // entries where a LATER rep failed after >=1 success (ADVICE r14): the
+    // valid measurements are kept, the flake is recorded here, not as a
+    // hard error
+    val repFailures = collection.mutable.LinkedHashMap.empty[String, Int]
     def timedN(name: String, n: Int, fn: () => Unit,
                between: () => Unit = () => ()): (String, Double) = {
       val runs = collection.mutable.ArrayBuffer.empty[Double]
@@ -82,14 +94,15 @@ object Bench {
         if (i < n && !failed) between()
         i += 1
       }
-      if (failed) {
+      if (runs.isEmpty) {
+        // rep 1 failed: a deterministic failure — the -1 sentinel, once
         errors += 1
-        spreads(name) = Seq(-1.0, -1.0, -1.0)
+        spreads(name) = Seq(-1.0)
         name -> -1.0
       } else {
-        val sorted = runs.sorted
-        spreads(name) = Seq(sorted.head, sorted(sorted.length / 2), sorted.last)
-        name -> sorted.head
+        if (failed) repFailures(name) = runs.length + 1 // which rep flaked
+        spreads(name) = runs.sorted.toSeq
+        name -> runs.min
       }
     }
     def timed(name: String, fn: () => Unit): (String, Double) = timedN(name, 1, fn)
@@ -159,13 +172,26 @@ object Bench {
     // full per-query map → file (committed with the round; the printed line
     // must stay under the driver's stdout-tail parse window)
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
-    // per-entry [min, median, max] across reps — the committed spread that
-    // lets the next judge tell a code regression from machine-load drift
+    // per-entry sorted raw rep timings — the committed spread that lets the
+    // next judge tell a code regression from machine-load drift; element
+    // count == reps actually run for that entry (single-run builds commit
+    // a 1-element list)
     val spreadJson = spreads.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val repFailJson = repFailures.map { case (k, rep) =>
+      "\"" + k + "\":" + rep
+    }.mkString("{", ",", "}")
+    // run context for next-round drift adjudication (VERDICT r14 #8): the
+    // box's load average at start/end plus the env knobs that shaped the run
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val envEcho = Seq("SPARK_GRAFT_BENCH_REPS", "SPARK_GRAFT_CPUS",
+        "SPARK_GRAFT_SHUFFLE")
+      .map(k => "\"" + k + "\":\"" + sys.env.getOrElse(k, "") + "\"")
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"reps":$reps,"queries":${jsonMap(all)},"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"reps":$reps,"load_avg_start":${r3(loadAvgStart)},"load_avg_end":${r3(loadAvg)},"env":$envEcho,"rep_failures":$repFailJson,"queries":${jsonMap(all)},"spread":$spreadJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

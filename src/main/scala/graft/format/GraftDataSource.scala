@@ -121,11 +121,16 @@ class GraftDataSource extends RelationProvider
           val p = new org.apache.hadoop.fs.Path(cp0)
           val cp = p.getFileSystem(sqlContext.sparkSession.sessionState
             .newHadoopConf()).makeQualified(p).toString
-          "cp-" + java.lang.Long.toHexString(
-            org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-              cp.getBytes("UTF-8"),
-              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-              cp.getBytes("UTF-8").length, 42) & 0xffffffffL)
+          // 64-bit hash + the path's last segment as a human-readable
+          // disambiguator (ADVICE r14): a 32-bit hash gave two different
+          // checkpoints a ~2^-32 chance of sharing a batch-id ledger —
+          // the silent-replay-drop class this derivation exists to avoid
+          val bytes = cp.getBytes("UTF-8")
+          val h64 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+          "cp-" + java.lang.Long.toHexString(h64) + "-" +
+            p.getName.replaceAll("[^A-Za-z0-9._-]", "_")
         })
       .getOrElse(throw new IllegalArgumentException(
         "graft sink needs .option(\"queryId\", ...) (or a checkpointLocation " +

@@ -16,7 +16,9 @@ object SnowballStemmer {
 
   val Languages: Seq[String] =
     Seq("english", "german", "french", "spanish", "italian", "portuguese",
-      "dutch", "swedish", "norwegian", "danish", "russian")
+      "dutch", "swedish", "norwegian", "danish", "russian",
+      "finnish", "romanian", "hungarian", "turkish", "arabic", "greek",
+      "tamil")
 
   def stem(word: String, language: String): String = language.toLowerCase match {
     case "english" | "en" | "porter" => PorterStemmer.stem(word)
@@ -30,6 +32,13 @@ object SnowballStemmer {
     case "norwegian" | "no" | "nb" => norwegian(word)
     case "danish" | "da" => danish(word)
     case "russian" | "ru" => russian(word)
+    case "finnish" | "fi" => finnish(word)
+    case "romanian" | "ro" => romanian(word)
+    case "hungarian" | "hu" => hungarian(word)
+    case "turkish" | "tr" => turkish(word)
+    case "arabic" | "ar" => arabic(word)
+    case "greek" | "el" => greek(word)
+    case "tamil" | "ta" => tamil(word)
     case other => throw new IllegalArgumentException(
       s"unsupported stemmer language '$other' (supported: ${Languages.mkString(", ")})")
   }

@@ -720,8 +720,43 @@ object HnswIndex {
     * or to release driver memory). */
   def serveUnpersist(indexPath: String): Unit = serveGraphs.synchronized {
     serveModels.remove(indexPath)
+    serveEpochs.remove(indexPath)
     val it = serveGraphs.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+  }
+
+  // Staleness guard (r15, VERDICT r14 #7): the serve LRU is keyed on
+  // (indexPath, pid), so a DROP + retrain at the same path would keep
+  // serving the dead index's partitions. Every serveLocal/serveWarm first
+  // compares the index's on-disk epoch — ONE root listing, child
+  // name:len:mtime, which moves on base-graph Overwrite (the graph/ dir is
+  // recreated), delta add/merge/drop (the name set changes), and retrain —
+  // against the epoch the resident entries were loaded under, and purges
+  // the index's graphs + model on mismatch. Granularity caveat: a rebuild
+  // completing within the same millisecond with identical child names and
+  // lengths is indistinguishable; real rebuilds rewrite part files over
+  // many ms. Cost: one fs listing per query, the same order as the
+  // centroid-cache fingerprint the batched path already pays.
+  private val serveEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexEpoch(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(";")
+  }
+
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = indexEpoch(spark, indexPath)
+    val prev = serveEpochs.put(indexPath, ep)
+    if (prev != null && prev != ep) serveGraphs.synchronized {
+      serveModels.remove(indexPath)
+      val it = serveGraphs.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+    }
   }
 
   private def serveModel(spark: SparkSession, indexPath: String): (IvfIndex.Model, String) =
@@ -733,9 +768,17 @@ object HnswIndex {
     })
 
   private def refreshServeCapacity(spark: SparkSession): Int = {
-    serveCapacity = math.max(1,
+    val cap = math.max(1,
       scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
-    serveCapacity
+    // a SHRUNK budget releases driver memory NOW (ADVICE r14): evict LRU
+    // entries down to the new capacity under the lock, instead of waiting
+    // for removeEldestEntry to reap one entry per future cold load
+    if (cap < serveCapacity) serveGraphs.synchronized {
+      serveCapacity = cap
+      val it = serveGraphs.entrySet().iterator() // access-order: LRU first
+      while (serveGraphs.size() > cap && it.hasNext) { it.next(); it.remove() }
+    } else serveCapacity = cap
+    cap
   }
 
   private def servePartition(spark: SparkSession, indexPath: String,
@@ -775,6 +818,7 @@ object HnswIndex {
     * batched cache. */
   def serveWarm(spark: SparkSession, indexPath: String,
                 pids: Seq[Int] = Nil): Long = {
+    ensureServeFresh(spark, indexPath)
     val (model, _) = serveModel(spark, indexPath)
     val targets = if (pids.nonEmpty) pids else 0 until model.nlist
     // warming more partitions than the LRU can hold would evict most of
@@ -793,6 +837,7 @@ object HnswIndex {
     * the same distance semantics as [[search]] (cosine = 1−cos, else l2). */
   def serveLocal(spark: SparkSession, indexPath: String, query: Array[Float],
                  k: Int, nprobes: Int, ef: Int = 64): Seq[(Long, Double)] = {
+    ensureServeFresh(spark, indexPath)
     val (model, metric) = serveModel(spark, indexPath)
     val query2 = if (metric == "cosine") IvfIndex.normalize(query) else query
     val probes = model.rank(query2).take(math.min(nprobes, model.nlist))

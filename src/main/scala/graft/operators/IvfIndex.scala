@@ -319,14 +319,50 @@ object IvfIndex {
 
   /** Drop an index's driver-resident serve rows (after rebuild/optimize). */
   def serveUnpersist(indexPath: String): Unit = serveRows.synchronized {
+    serveEpochs.remove(indexPath)
     val it = serveRows.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
   }
 
+  // Staleness guard (r15, VERDICT r14 #7) — the HNSW twin's design: the
+  // serve LRU would otherwise keep serving a dropped/retrained index's
+  // partitions from (indexPath, pid) keys. One root listing per
+  // serveLocal/serveWarm (child name:len:mtime — Overwrite recreates
+  // vectors/, retrain rewrites centroids/) purges the index's rows on
+  // mismatch. The model itself is already fingerprint-guarded inside
+  // loadModel.
+  private val serveEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexEpoch(spark: SparkSession, indexPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(";")
+  }
+
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = indexEpoch(spark, indexPath)
+    val prev = serveEpochs.put(indexPath, ep)
+    if (prev != null && prev != ep) serveRows.synchronized {
+      val it = serveRows.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+    }
+  }
+
   private def refreshServeCapacity(spark: SparkSession): Int = {
-    serveCapacity = math.max(1,
+    val cap = math.max(1,
       scala.util.Try(spark.conf.get(ServeCacheBudgetKey, "64").toInt).getOrElse(64))
-    serveCapacity
+    // shrinking the budget releases memory immediately (ADVICE r14), same
+    // as the HNSW twin: evict LRU-first down to the new capacity
+    if (cap < serveCapacity) serveRows.synchronized {
+      serveCapacity = cap
+      val it = serveRows.entrySet().iterator() // access-order: LRU first
+      while (serveRows.size() > cap && it.hasNext) { it.next(); it.remove() }
+    } else serveCapacity = cap
+    cap
   }
 
   private def servePartition(spark: SparkSession, indexPath: String,
@@ -355,6 +391,7 @@ object IvfIndex {
     * row count. */
   def serveWarm(spark: SparkSession, indexPath: String, idCol: String,
                 vecCol: String, pids: Seq[Int] = Nil): Long = {
+    ensureServeFresh(spark, indexPath)
     val model = loadModel(spark, indexPath)
     val targets = if (pids.nonEmpty) pids else 0 until model.nlist
     val cap = refreshServeCapacity(spark)
@@ -395,6 +432,7 @@ object IvfIndex {
   def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
                  vecCol: String, query: Array[Float], k: Int, nprobes: Int,
                  metric: String = "l2"): Seq[(Long, Double)] = {
+    ensureServeFresh(spark, indexPath)
     val model = loadModel(spark, indexPath)
     val probes = model.rank(query).take(math.min(nprobes, model.nlist))
     probes.iterator.flatMap { pid =>

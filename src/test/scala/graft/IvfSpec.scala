@@ -64,6 +64,48 @@ class IvfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("float vector storage"), e.getMessage)
   }
 
+  test("serveLocal staleness guard: retrain at the same path serves the NEW index (r15)") {
+    val dir = Files.createTempDirectory("ivf_stale_").toString
+    IvfIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
+      dir, nlist = 4)
+    IvfIndex.serveUnpersist(dir)
+    val q = queryVec(0L)
+    val servedOld = IvfIndex.serveLocal(spark, dir, "vec_id", "embedding",
+      q, 5, nprobes = 4)
+    assert(servedOld.forall(_._1 < 300))
+    // retrain IN PLACE over a disjoint id range; no explicit serveUnpersist —
+    // the epoch guard alone must drop the resident partitions, or serveLocal
+    // keeps answering from the dead incarnation
+    IvfIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
+      "vec_id", "embedding", dir, nlist = 4)
+    val servedNew = IvfIndex.serveLocal(spark, dir, "vec_id", "embedding",
+      q, 5, nprobes = 4)
+    assert(servedNew.forall(id => id._1 >= 300 && id._1 < 600),
+      s"stale serve cache answered for the dropped index: $servedNew")
+    val batched = IvfIndex.search(spark, dir, "vec_id", "embedding", q, 5,
+        nprobes = 4)
+      .select(col("vec_id"), col(Knn.DistanceCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedNew == batched)
+  }
+
+  test("serve budget shrink evicts down to the new capacity immediately (r15, ADVICE r14)") {
+    val idx = buildIdx(8)
+    IvfIndex.serveUnpersist(idx)
+    spark.conf.set(IvfIndex.ServeCacheBudgetKey, "8")
+    try {
+      IvfIndex.serveWarm(spark, idx, "vec_id", "embedding")
+      assert(IvfIndex.serveCacheSize >= 8)
+      // lowering the budget must release entries on the NEXT conf refresh,
+      // not one-per-future-cold-load
+      spark.conf.set(IvfIndex.ServeCacheBudgetKey, "3")
+      IvfIndex.serveLocal(spark, idx, "vec_id", "embedding", queryVec(0L),
+        5, nprobes = 2)
+      assert(IvfIndex.serveCacheSize <= 3,
+        s"shrunk budget left ${IvfIndex.serveCacheSize} resident")
+    } finally spark.conf.unset(IvfIndex.ServeCacheBudgetKey)
+  }
+
   test("f16 storage end-to-end: index stores packed bytes, search serves them") {
     import graft.functions.F16Functions._
     val packed = embeddings.select($"vec_id", f16Pack($"embedding").as("emb"))

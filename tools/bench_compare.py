@@ -9,17 +9,22 @@ The box drifts under load (r13 measured a uniform +24% on untouched
 entries), so a raw per-entry ratio confounds machine state with code
 change. This tool separates them:
 
-  1. per shared entry: ratio = new_median / old_median
+  1. per shared entry: ratio = new_best / old_best (the committed
+     `queries` values are best-of-N minimums — Bench.scala's headline
+     protocol — NOT medians)
   2. drift factor = MEDIAN of those ratios (a code change moves a few
      entries; load moves all of them — the median ratio IS the load)
   3. normalized ratio = ratio / drift factor; entries beyond the
      threshold in either direction are flagged as genuine regressions /
      improvements
 
-When both artifacts carry `spread` fields ([min, median, max] per entry),
-an entry is only flagged if its normalized regression also exceeds the
-relative spread observed for it (noise floor) — a slow entry whose own
-min..max straddles the delta is reported as within-noise.
+When both artifacts carry `spread` fields (sorted raw rep timings per
+entry; r15+ artifacts commit one element per rep actually run, r14
+committed [min, median, max]), an entry is only flagged if its
+normalized regression also exceeds the relative spread observed for it
+(noise floor) — a slow entry whose own min..max straddles the delta is
+reported as within-noise. Entries with a single-element spread ran once
+and carry no noise-floor information.
 
 Exit code: 0 if no regression flagged, 1 otherwise (CI-friendly).
 """
@@ -74,11 +79,12 @@ def main():
 
     def noise_floor(k):
         # widest demonstrated run-to-run swing (median over best) seen for
-        # this entry in either artifact's committed spread
+        # this entry in either artifact's committed spread; spreads are
+        # sorted raw rep timings (any length >= 2 carries information)
         floors = [1.0]
         for s, q in ((old_s, old_q), (new_s, new_q)):
-            if k in s and len(s[k]) == 3 and s[k][0] > 0:
-                floors.append(s[k][1] / s[k][0])
+            if k in s and len(s[k]) >= 2 and s[k][0] > 0:
+                floors.append(s[k][len(s[k]) // 2] / s[k][0])
         return max(floors)
 
     regressions, improvements = [], []
