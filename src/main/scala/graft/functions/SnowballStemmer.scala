@@ -1111,6 +1111,1036 @@ object SnowballStemmer {
     } else 3
   }
 
+  // --------------------------------------------------------------- romanian
+
+  private val roVowels = "aăâeiîou".toSet
+
+  /** Snowball Romanian (snowballstem.org/algorithms/romanian/stemmer.html).
+    * Comma-below forms ș/ț normalize to the cedilla forms ş/ţ the algorithm
+    * is defined over. Steps: prelude (protect i/u between vowels), step 0
+    * (plural/article removal), step 1 (combining-suffix reduction, looped),
+    * step 2 (standard suffixes in R2), step 3 (verb suffixes in RV, only if
+    * steps 1–2 removed nothing), step 4 (final vowel in RV). */
+  def romanian(word0: String): String = {
+    val word = word0.map { case 'ș' => 'ş'; case 'ț' => 'ţ'; case c => c }
+    if (word.length <= 2) return word
+    val cs = word.toCharArray
+    val orig = cs.clone()
+    def v(i: Int) = i >= 0 && i < orig.length && roVowels(orig(i))
+    var i = 1
+    while (i < cs.length - 1) {
+      if (v(i - 1) && v(i + 1)) {
+        if (cs(i) == 'i') cs(i) = 'I'
+        if (cs(i) == 'u') cs(i) = 'U'
+      }
+      i += 1
+    }
+    val b = new StringBuilder(new String(cs))
+    def isV(c: Char) = roVowels(c)
+    val rv = esStyleRv(b, isV)
+    val (r1, r2) = regions(b, isV)
+
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String): Int = b.length - suf.length
+    def del(suf: String): Unit = b.setLength(b.length - suf.length)
+    def rep(suf: String, to: String): Unit =
+      b.replace(sufStart(suf), b.length, to)
+
+    // step 0: removal of plurals / articles, in R1
+    locally {
+      val table: Seq[(String, String)] = Seq(
+        ("ul", ""), ("ului", ""),
+        ("aua", "a"),
+        ("ea", "e"), ("ele", "e"), ("elor", "e"),
+        ("ii", "i"), ("iua", "i"), ("iei", "i"), ("iile", "i"),
+        ("iilor", "i"), ("ilor", "i"),
+        ("ile", "i"),
+        ("atei", "at"),
+        ("aţie", "aţi"), ("aţia", "aţi"))
+      table.sortBy(-_._1.length).find { case (s, _) => ends(s) } match {
+        case Some((suf, to)) =>
+          val p = sufStart(suf)
+          val ileBlocked = suf == "ile" && p >= 2 &&
+            b.substring(p - 2, p) == "ab" // 'ile' not after ab (abile stays)
+          if (p >= r1 && !ileBlocked) {
+            if (to.isEmpty) del(suf) else rep(suf, to)
+          }
+        case None =>
+      }
+    }
+
+    // step 1: reduction of combining suffixes, in R1, repeated to fixpoint
+    var step1or2Removed = false
+    var continue1 = true
+    while (continue1) {
+      continue1 = false
+      val table: Seq[(String, String)] = Seq(
+        ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+        ("abilităţi", "abil"),
+        ("ibilitate", "ibil"),
+        ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+        ("ivităţi", "iv"),
+        ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+        ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+        ("iciv", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivă", "ic"),
+        ("ical", "ic"), ("icale", "ic"), ("icali", "ic"), ("icală", "ic"),
+        ("ativ", "at"), ("ative", "at"), ("ativi", "at"), ("ativă", "at"),
+        ("aţiune", "at"),
+        ("atoare", "at"), ("ator", "at"), ("atori", "at"),
+        ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+        ("itiv", "it"), ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+        ("iţiune", "it"),
+        ("itoare", "it"), ("itor", "it"), ("itori", "it"))
+      table.sortBy(-_._1.length).find { case (s, _) => ends(s) } match {
+        case Some((suf, to)) if sufStart(suf) >= r1 =>
+          rep(suf, to); step1or2Removed = true; continue1 = true
+        case _ =>
+      }
+    }
+
+    // step 2: removal of standard suffixes, in R2
+    locally {
+      val delPlain = Seq("at", "ata", "ată", "ati", "ate",
+        "ut", "uta", "ută", "uti", "ute",
+        "it", "ita", "ită", "iti", "ite",
+        "ic", "ica", "ice", "ici", "ică",
+        "abil", "abila", "abile", "abili", "abilă",
+        "ibil", "ibila", "ibile", "ibili", "ibilă",
+        "oasa", "oasă", "oase", "os", "osi", "oşi",
+        "ant", "anta", "ante", "anti", "antă",
+        "ator", "atori",
+        "itate", "itati", "ităi", "ităţi",
+        "iv", "iva", "ive", "ivi", "ivă")
+      val istGroup = Seq("ism", "isme", "ist", "ista", "iste", "isti",
+        "istă", "işti")
+      val iuneGroup = Seq("iune", "iuni")
+      val all = (delPlain.map((_, "del")) ++ istGroup.map((_, "ist")) ++
+        iuneGroup.map((_, "iune"))).sortBy(-_._1.length)
+      all.find { case (s, _) => ends(s) } match {
+        case Some((suf, kind)) if sufStart(suf) >= r2 =>
+          kind match {
+            case "del" => del(suf); step1or2Removed = true
+            case "ist" => rep(suf, "ist"); step1or2Removed = true
+            case "iune" =>
+              // iune/iuni delete only when preceded by ţ, which becomes t
+              val p = sufStart(suf)
+              if (p >= 1 && b.charAt(p - 1) == 'ţ') {
+                del(suf); b.setCharAt(b.length - 1, 't')
+                step1or2Removed = true
+              }
+          }
+        case _ =>
+      }
+    }
+
+    // step 3: verb suffixes in RV (only if steps 1-2 removed nothing);
+    // group 1 needs a preceding consonant or 'u' (itself in RV)
+    if (!step1or2Removed) {
+      val g1 = Seq("are", "ere", "ire", "âre", "ind", "ând", "indu", "ându",
+        "eze", "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte",
+        "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai", "ea",
+        "eaţi", "eau", "iam", "iai", "ia", "iaţi", "iau", "ui", "aşi",
+        "arăm", "arăţi", "ară", "uşi", "urăm", "urăţi", "ură", "işi",
+        "irăm", "irăţi", "iră", "âi", "âşi", "ârăm", "ârăţi", "âră",
+        "im", "âm", "aţi", "eţi", "iţi", "âţi")
+      val g2 = Seq("ăm", "asem", "aseşi", "ase", "aserăm", "aserăţi",
+        "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
+        "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+        "usem", "useşi", "use", "userăm", "userăţi", "useră",
+        "seşi", "serăm", "serăţi", "seră", "sei", "se",
+        "sesem", "seseşi", "sese", "seserăm", "seserăţi", "seseră")
+      val all = (g1.map((_, true)) ++ g2.map((_, false))).sortBy(-_._1.length)
+      all.find { case (s, _) => ends(s) && sufStart(s) >= rv } match {
+        case Some((suf, needsCons)) =>
+          val p = sufStart(suf)
+          val prevOk = !needsCons ||
+            (p >= 1 && p - 1 >= rv && (!isV(b.charAt(p - 1)) ||
+              b.charAt(p - 1) == 'u' || b.charAt(p - 1) == 'U'))
+          if (prevOk) del(suf)
+        case None =>
+      }
+    }
+
+    // step 4: final vowel in RV
+    Seq("ie", "a", "e", "i", "ă").sortBy(-_.length)
+      .find(s => ends(s) && sufStart(s) >= rv)
+      .foreach(del)
+
+    b.toString.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+  }
+
+  // ---------------------------------------------------------------- finnish
+
+  private val fiVowels = "aeiouyäö".toSet
+  private val fiRestrictedV = "aeiouäö".toSet // V for the Vi condition
+
+  /** Snowball Finnish (snowballstem.org/algorithms/finnish/stemmer.html):
+    * R1/R2; step 1 particles, step 2 possessives, step 3 cases, step 4
+    * comparatives, step 5 plurals (conditional on step 3), step 6 tidy
+    * (long-vowel shortening, cX/oj/uj/jo trims, final double-consonant
+    * undoubling through trailing vowels). */
+  def finnish(word: String): String = {
+    if (word.length <= 2) return word
+    val b = new StringBuilder(word)
+    def isV(c: Char) = fiVowels(c)
+    val (r1, r2) = regions(b, isV)
+
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String): Int = b.length - suf.length
+    def del(suf: String): Unit = b.setLength(b.length - suf.length)
+    def endsLong: Boolean = Seq("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+      .exists(ends)
+
+    // step 1: particles etc, in R1
+    locally {
+      val k = Seq("kaan", "kään", "kin", "han", "hän", "ko", "kö", "pa", "pä")
+      k.sortBy(-_.length).find(ends) match {
+        case Some(suf) =>
+          val p = sufStart(suf)
+          // preceded by n, t or a vowel
+          if (p >= r1 && p >= 1 &&
+              ("nt".contains(b.charAt(p - 1)) || isV(b.charAt(p - 1))))
+            del(suf)
+        case None =>
+          if (ends("sti") && sufStart("sti") >= r2) del("sti")
+      }
+    }
+
+    // step 2: possessives, in R1
+    locally {
+      val p2 = Seq("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+      p2.sortBy(-_.length).find(s => ends(s) && sufStart(s) >= r1) match {
+        case Some("si") =>
+          if (b.length >= 3 && b.charAt(b.length - 3) != 'k') del("si")
+        case Some("ni") =>
+          del("ni")
+          if (ends("kse")) b.setCharAt(b.length - 1, 'i') // kse -> ksi
+        case Some("an") =>
+          val head = b.substring(0, sufStart("an"))
+          if (Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(head.endsWith))
+            del("an")
+        case Some("än") =>
+          val head = b.substring(0, sufStart("än"))
+          if (Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(head.endsWith))
+            del("än")
+        case Some("en") =>
+          val head = b.substring(0, sufStart("en"))
+          if (Seq("lle", "ine").exists(head.endsWith)) del("en")
+        case Some(suf) => del(suf) // nsa nsä mme nne
+        case None =>
+      }
+    }
+
+    // step 3: cases, in R1
+    var step3Removed = false
+    locally {
+      val hXn = Seq(("han", 'a'), ("hen", 'e'), ("hin", 'i'), ("hon", 'o'),
+        ("hun", 'u'), ("hyn", 'y'), ("hän", 'ä'), ("hön", 'ö'))
+      val plain = Seq("ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+        "ltä", "lle", "ksi", "ine", "tta", "ttä", "ta", "tä", "na", "nä")
+      val special = Seq("siin", "den", "tten", "seen")
+      val all: Seq[(String, String)] =
+        (hXn.map { case (s, _) => (s, "hXn") } ++
+          special.map(s => (s, if (s == "seen") "seen" else "Vi")) ++
+          plain.map((_, "plain")) ++ Seq(("a", "cv"), ("ä", "cv"), ("n", "n")))
+      all.sortBy(-_._1.length).find { case (s, _) =>
+        ends(s) && sufStart(s) >= r1 } match {
+        case Some((suf, kind)) =>
+          val p = sufStart(suf)
+          kind match {
+            case "hXn" =>
+              val x = hXn.find(_._1 == suf).get._2
+              if (p >= 1 && b.charAt(p - 1) == x) { del(suf); step3Removed = true }
+            case "Vi" => // siin/den/tten preceded by V then i
+              if (p >= 2 && b.charAt(p - 1) == 'i' &&
+                  fiRestrictedV(b.charAt(p - 2))) {
+                del(suf); step3Removed = true
+              }
+            case "seen" => // preceded by a long vowel
+              if (p >= 2 && b.charAt(p - 1) == b.charAt(p - 2) &&
+                  isV(b.charAt(p - 1))) {
+                del(suf); step3Removed = true
+              }
+            case "plain" =>
+              // tta/ttä need a preceding e
+              if (suf == "tta" || suf == "ttä") {
+                if (p >= 1 && b.charAt(p - 1) == 'e') {
+                  del(suf); step3Removed = true
+                }
+              } else { del(suf); step3Removed = true }
+            case "cv" => // a/ä preceded by consonant + vowel
+              if (p >= 2 && !isV(b.charAt(p - 2)) && isV(b.charAt(p - 1))) {
+                del(suf); step3Removed = true
+              }
+            case "n" =>
+              del("n"); step3Removed = true
+              if (endsLong || ends("ie")) b.setLength(b.length - 1)
+          }
+        case None =>
+      }
+    }
+
+    // step 4: other endings (comparatives), in R2
+    locally {
+      val imp = Seq("impi", "impa", "impä", "immi", "imma", "immä",
+        "eja", "ejä")
+      val mp = Seq("mpi", "mpa", "mpä", "mmi", "mma", "mmä")
+      (imp.map((_, false)) ++ mp.map((_, true))).sortBy(-_._1.length)
+        .find { case (s, _) => ends(s) && sufStart(s) >= r2 }
+        .foreach { case (suf, checkPo) =>
+          val p = sufStart(suf)
+          if (!checkPo || !(p >= 2 && b.substring(p - 2, p) == "po")) del(suf)
+        }
+    }
+
+    // step 5: plurals
+    if (step3Removed) {
+      Seq("i", "j").find(s => ends(s) && sufStart(s) >= r1).foreach(del)
+    } else if (ends("t") && sufStart("t") >= r1 && b.length >= 2 &&
+        isV(b.charAt(b.length - 2))) {
+      del("t")
+      if (ends("imma") && sufStart("imma") >= r2) del("imma")
+      else if (ends("mma") && sufStart("mma") >= r2 &&
+          !(sufStart("mma") >= 2 &&
+            b.substring(sufStart("mma") - 2, sufStart("mma")) == "po"))
+        del("mma")
+    }
+
+    // step 6: tidy
+    // a) R1 ends with a long vowel: shorten
+    if (endsLong && b.length - 1 >= r1) b.setLength(b.length - 1)
+    // b) R1 ends consonant + one of a ä e i: drop the vowel
+    if (b.length >= 2 && b.length - 1 >= r1 && "aäei".contains(b.charAt(b.length - 1)) &&
+        !isV(b.charAt(b.length - 2)))
+      b.setLength(b.length - 1)
+    // c) R1 ends oj / uj: drop the j
+    if ((ends("oj") || ends("uj")) && b.length - 1 >= r1)
+      b.setLength(b.length - 1)
+    // d) R1 ends jo: drop the o
+    if (ends("jo") && b.length - 1 >= r1) b.setLength(b.length - 1)
+    // e) a double consonant followed by zero or more trailing vowels loses
+    // its first member (eläkk -> eläk, aatonaatto -> aatonaato)
+    locally {
+      var j = b.length - 1
+      while (j >= 0 && isV(b.charAt(j))) j -= 1
+      if (j >= 1 && !isV(b.charAt(j)) && b.charAt(j) == b.charAt(j - 1))
+        b.deleteCharAt(j)
+    }
+    b.toString
+  }
+
+  // --------------------------------------------------------------- hungarian
+
+  private val huVowels = "aáeéiíoóöőuúüű".toSet
+  private val huDigraphs = Seq("cs", "dzs", "dz", "gy", "ly", "ny", "sz",
+    "ty", "zs")
+  // doubled consonants (incl. doubled digraphs written with the first
+  // letter repeated: ssz, lly, ...) recognized by the undoubling steps
+  private val huDoubles = Seq("bb", "cc", "ccs", "dd", "ff", "gg", "ggy",
+    "jj", "kk", "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+    "tt", "tty", "vv", "zz", "zzs")
+
+  /** Snowball Hungarian (snowballstem.org/algorithms/hungarian/stemmer.html).
+    * R1 only: word starts with a vowel → after the first consonant or
+    * digraph; starts with a consonant → after the first vowel. Steps:
+    * instrumental → case endings → special/other cases → factive → owned →
+    * singular owner → plural owner → plural; assimilated suffixes undouble
+    * the preceding consonant; á/é left exposed normalize to a/e. */
+  def hungarian(word: String): String = {
+    if (word.length <= 2) return word
+    val b = new StringBuilder(word)
+    def isV(c: Char) = huVowels(c)
+    val r1: Int = {
+      if (isV(b.charAt(0))) {
+        // after the first consonant — a digraph counts as one consonant
+        var i = 1
+        while (i < b.length && isV(b.charAt(i))) i += 1
+        if (i >= b.length) b.length
+        else {
+          val dig = huDigraphs.find(d => b.indexOf(d, i) == i)
+          i + dig.map(_.length).getOrElse(1)
+        }
+      } else {
+        var i = 0
+        while (i < b.length && !isV(b.charAt(i))) i += 1
+        if (i < b.length) i + 1 else b.length
+      }
+    }
+
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def sufStart(suf: String): Int = b.length - suf.length
+    def del(suf: String): Unit = b.setLength(b.length - suf.length)
+    def endsDouble: Boolean = huDoubles.exists(ends)
+    def undouble(): Unit =
+      huDoubles.sortBy(-_.length).find(ends).foreach { d =>
+        // ssz -> sz, bb -> b: drop the first letter of the double
+        b.deleteCharAt(b.length - d.length)
+      }
+    def vEnding(): Unit = // an exposed final á/é loses its accent
+      if (b.nonEmpty) b.charAt(b.length - 1) match {
+        case 'á' => b.setCharAt(b.length - 1, 'a')
+        case 'é' => b.setCharAt(b.length - 1, 'e')
+        case _ =>
+      }
+    /** longest match from (suffix -> replacement) in R1; "" = delete. */
+    def amongR1(table: Seq[(String, String)]): Boolean =
+      table.sortBy(-_._1.length)
+        .find { case (s, _) => ends(s) && sufStart(s) >= r1 } match {
+        case Some((suf, to)) =>
+          if (to.isEmpty) del(suf)
+          else b.replace(sufStart(suf), b.length, to)
+          true
+        case None => false
+      }
+
+    // 1. instrumental: al/el after a doubled consonant, undoubled
+    Seq("al", "el").find(s => ends(s) && sufStart(s) >= r1).foreach { s =>
+      val saved = b.toString
+      del(s)
+      if (endsDouble) undouble() else b.replace(0, b.length, saved)
+    }
+    // 2. frequent case endings, then normalize an exposed á/é
+    if (amongR1(Seq("ban", "ben", "ba", "be", "ra", "re", "nak", "nek",
+        "val", "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz",
+        "hez", "höz", "nál", "nél", "ig", "at", "et", "ot", "öt", "ért",
+        "képpen", "képp", "kor", "ul", "ül", "vá", "vé", "onként",
+        "enként", "anként", "ként", "en", "on", "an", "ön", "n", "t")
+        .map((_, "")))) vEnding()
+    // 3. special cases
+    amongR1(Seq(("ánként", "a"), ("án", "a"), ("én", "e")))
+    // 4. other cases
+    amongR1(Seq(("astul", ""), ("estül", ""), ("ástul", "a"),
+      ("éstül", "e"), ("stul", ""), ("stül", "")))
+    // 5. factive á/é after a doubled consonant, undoubled
+    Seq("á", "é").find(s => ends(s) && sufStart(s) >= r1).foreach { s =>
+      val saved = b.toString
+      del(s)
+      if (endsDouble) undouble() else b.replace(0, b.length, saved)
+    }
+    // 6. owned
+    amongR1(Seq(("oké", ""), ("öké", ""), ("aké", ""), ("eké", ""),
+      ("áké", "a"), ("éké", "e"), ("ké", ""), ("áéi", "a"), ("ééi", "e"),
+      ("éi", ""), ("é", "")))
+    // 7. singular owner
+    if (amongR1(Seq(("ünk", ""), ("unk", ""), ("ánk", "a"), ("énk", "e"),
+        ("nk", ""), ("ájuk", "a"), ("éjük", "e"), ("juk", ""), ("jük", ""),
+        ("uk", ""), ("ük", ""), ("ám", "a"), ("ém", "e"), ("am", ""),
+        ("em", ""), ("om", ""), ("öm", ""), ("m", ""), ("ád", "a"),
+        ("éd", "e"), ("ad", ""), ("ed", ""), ("od", ""), ("öd", ""),
+        ("d", ""), ("ja", ""), ("je", ""), ("a", ""), ("e", ""),
+        ("o", ""), ("á", "a"), ("é", "e")))) ()
+    // 8. plural owner
+    amongR1(Seq(("jaim", ""), ("jeim", ""), ("áim", "a"), ("éim", "e"),
+      ("aim", ""), ("eim", ""), ("im", ""),
+      ("jaid", ""), ("jeid", ""), ("áid", "a"), ("éid", "e"),
+      ("aid", ""), ("eid", ""), ("id", ""),
+      ("jai", ""), ("jei", ""), ("ái", "a"), ("éi", "e"),
+      ("ai", ""), ("ei", ""),
+      ("jaink", ""), ("jeink", ""), ("áink", "a"), ("éink", "e"),
+      ("aink", ""), ("eink", ""), ("ink", ""),
+      ("jaitok", ""), ("jeitek", ""), ("áitok", "a"), ("éitek", "e"),
+      ("aitok", ""), ("eitek", ""), ("itek", ""),
+      ("jaik", ""), ("jeik", ""), ("áik", "a"), ("éik", "e"),
+      ("aik", ""), ("eik", ""), ("ik", ""), ("i", "")))
+    // 9. plural
+    amongR1(Seq(("ák", "a"), ("ék", "e"), ("ök", ""), ("ok", ""),
+      ("ek", ""), ("ak", ""), ("k", "")))
+    b.toString
+  }
+
+  // ---------------------------------------------------------------- turkish
+
+  private val trVowels = "aeıioöuü".toSet
+
+  /** Snowball Turkish (Evren Kapusuz Çilden's algorithm,
+    * snowballstem.org/algorithms/turkish/stemmer.html). Faithful to the
+    * published structure: words of more than one syllable strip one
+    * nominal-verb suffix, then noun suffixes to a fixpoint (which subsumes
+    * the ki-chain), every strip gated by fourfold/twofold VOWEL HARMONY
+    * with the stem's last vowel and by the buffer-consonant rule (a y/n/s
+    * buffer must itself follow a vowel; a vowel-initial suffix without a
+    * buffer must follow a consonant); final b/c/d/ğ devoice to p/ç/t/k.
+    * Condensation vs the .sbl (documented): the original's
+    * per-suffix-ordering flags (`continue_stemming_noun_suffixes`) and the
+    * append-harmonic-vowel postlude for d/g-final stems are folded into
+    * the fixpoint loop + devoicing. */
+  def turkish(word: String): String = {
+    if (word.count(trVowels) <= 1) return word // one syllable: never stemmed
+    val b = new StringBuilder(word)
+    def lastVowelBefore(p: Int): Char = {
+      var i = p - 1
+      while (i >= 0 && !trVowels(b.charAt(i))) i -= 1
+      if (i >= 0) b.charAt(i) else ' '
+    }
+    // fourfold harmony classes: a/ı after back unrounded, i after front
+    // unrounded, u after back rounded, ü after front rounded; twofold:
+    // a after back, e after front
+    def harmonic(stemV: Char, sufV: Char): Boolean = sufV match {
+      case 'a' => "aıou".contains(stemV)
+      case 'e' => "eiöü".contains(stemV)
+      case 'ı' => "aı".contains(stemV)
+      case 'i' => "ei".contains(stemV)
+      case 'u' => "ou".contains(stemV)
+      case 'ü' => "öü".contains(stemV)
+      case _ => true // suffix with no harmony vowel (ken, ki)
+    }
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+
+    /** Try to strip `suf`; `buffered` marks a leading y/n/s buffer
+      * consonant. Conditions: at least one vowel must remain in the stem;
+      * the harmony vowel (first vowel of the suffix) must harmonize with
+      * the stem's last remaining vowel; a buffer consonant must follow a
+      * vowel; a vowel-initial unbuffered suffix must follow a consonant. */
+    def strip(suf: String, buffered: Boolean): Boolean = {
+      if (!ends(suf)) return false
+      val p = b.length - suf.length
+      if (p < 1) return false
+      val stem = b.substring(0, p)
+      if (!stem.exists(trVowels)) return false
+      val sufV = suf.find(trVowels).getOrElse(' ')
+      if (!harmonic(lastVowelBefore(p), sufV)) return false
+      val prev = b.charAt(p - 1)
+      if (buffered && !trVowels(prev)) return false // y/n/s buffer needs a vowel
+      if (!buffered && trVowels(suf.head) && trVowels(prev)) return false
+      b.setLength(p)
+      true
+    }
+    /** Suffix class in the .sbl's notation: A -> a/e, U -> ı/i/u/ü,
+      * D -> d/t (voicing assimilation variants), with optional
+      * (y)/(n)/(s) buffer prefix; longest concrete form wins. */
+    def expandU(pat: String): Seq[String] = {
+      def ex(s: String): Seq[String] =
+        if (s.contains('A')) Seq("a", "e").flatMap(v => ex(s.replaceFirst("A", v)))
+        else if (s.contains('U'))
+          Seq("ı", "i", "u", "ü").flatMap(v => ex(s.replaceFirst("U", v)))
+        else if (s.contains('D'))
+          Seq("d", "t").flatMap(v => ex(s.replaceFirst("D", v)))
+        else Seq(s)
+      ex(pat)
+    }
+    def tryClass(body: String, buffers: Seq[String] = Nil): Boolean = {
+      val withBuf = buffers.flatMap(bf => expandU(bf + body).map((_, true)))
+      val plain = expandU(body).map((_, false))
+      (withBuf ++ plain).sortBy(-_._1.length)
+        .exists { case (s, buf) => strip(s, buf) }
+    }
+
+    // --- one nominal verb suffix, in the published precedence order.
+    // lAr is tracked separately: after a copular/plural -lAr the published
+    // chain continues only through the ki chain, never through the bare
+    // possessive vowels (kediler must stop at kedi), while after a true
+    // verbal suffix (-ydU etc.) an inner possessive is still outermost
+    // (arabasıydı -> arabası -> araba).
+    var larStripped = false
+    val nominalVerb: Seq[() => Boolean] = Seq(
+      () => tryClass("cAsInA"),
+      () => tryClass("mUş", Seq("y")),
+      () => tryClass("sUnUz"),
+      () => strip("ydu", true) || strip("ydü", true) || strip("ydı", true) ||
+        strip("ydi", true) || tryClass("DU"),
+      () => strip("yken", buffered = true) || strip("ken", buffered = false),
+      () => tryClass("sA", Seq("y")),
+      () => tryClass("UmUz", Seq("y")),
+      () => tryClass("sUn"),
+      () => tryClass("Uz", Seq("y")),
+      () => tryClass("Um", Seq("y")),
+      () => tryClass("DUr"),
+      () => { larStripped = tryClass("lAr"); larStripped })
+    nominalVerb.exists(_())
+
+    // --- noun suffixes: the chain classes iterate to a fixpoint (which
+    // subsumes the .sbl's explicit try-chains and the ki chain:
+    // evlerinden -> evleri -> ev), but the bare single-vowel case/
+    // possessive suffixes (y)A / (s/y)U may only strip on the FIRST pass —
+    // they are outermost-only in the published chains, and looping them
+    // would eat root-final vowels (kediler -> kedi must stop, not
+    // continue to ked)
+    val nounChain: Seq[() => Boolean] = Seq(
+      () => tryClass("lArI"),
+      () => tryClass("nDAn"),
+      () => tryClass("DAn"),
+      () => tryClass("nDA"),
+      () => tryClass("DA"),
+      () => tryClass("lA", Seq("y")),
+      () => tryClass("nA"),
+      () => tryClass("nUn"),
+      () => tryClass("Un", Seq("n")),
+      () => tryClass("UmUz"),
+      () => tryClass("UnUz"),
+      () => strip("ki", buffered = false),
+      () => tryClass("cA", Seq("n")),
+      () => tryClass("lAr"))
+    val nounOuterOnly: Seq[() => Boolean] = Seq(
+      () => tryClass("A", Seq("y")),
+      () => tryClass("U", Seq("s", "y")))
+    val firstPass = if (larStripped) nounChain else nounChain ++ nounOuterOnly
+    var changed = firstPass.exists(_())
+    while (changed) changed = nounChain.exists(_())
+
+    // --- postlude: final-consonant devoicing
+    if (b.nonEmpty) b.charAt(b.length - 1) match {
+      case 'b' => b.setCharAt(b.length - 1, 'p')
+      case 'c' => b.setCharAt(b.length - 1, 'ç')
+      case 'd' => b.setCharAt(b.length - 1, 't')
+      case 'ğ' => b.setCharAt(b.length - 1, 'k')
+      case _ =>
+    }
+    b.toString
+  }
+
+  // ---------------------------------------------------------------- arabic
+
+  /** Snowball Arabic (Assem Chelli's algorithm,
+    * snowballstem.org/algorithms/arabic/stemmer.html). Implemented steps:
+    * pre-normalization (tashkeel diacritics, tatweel, hamza-form and
+    * alef-variant normalization), the noun suffix chain (attached pronouns,
+    * dual/plural markers, taa marbuta), the verb suffix chain, and the
+    * prefix chain (conjunction waw, prepositions, definite article, verb
+    * prefixes) with the published minimum-length gates. The .sbl's
+    * is_noun/is_verb dual-track speculation is condensed to the
+    * noun-then-verb order its default path takes. */
+  def arabic(word0: String): String = {
+    // normalize_pre: strip tashkeel (U+064B..U+0652), superscript alef
+    // (U+0670), tatweel (U+0640); normalize alef variants and yeh hamza
+    val word = word0.flatMap { c =>
+      val cp = c.toInt
+      if (cp >= 0x064B && cp <= 0x0652) ""
+      else if (cp == 0x0670 || cp == 0x0640) ""
+      else c match {
+        case 'أ' | 'إ' | 'آ' | 'ٱ' => "ا"
+        case 'ؤ' => "ء"
+        case 'ئ' => "ء"
+        case c2 => c2.toString
+      }
+    }
+    if (word.length <= 2) return word
+    val b = new StringBuilder(word)
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def del(n: Int): Unit = b.setLength(b.length - n)
+    def starts(pre: String): Boolean =
+      b.length >= pre.length && b.substring(0, pre.length) == pre
+
+    // ---- suffixes (backwards section). Length gates follow the published
+    // rule: a strip must leave >= 2 chars (most amongs test length > 3/4/5
+    // pre-strip, equivalent at these suffix lengths).
+    // noun step 1a: attached pronouns
+    locally {
+      val prons = Seq("كما", "هما", "ها", "هم", "هن", "نا", "كم", "كن",
+        "ه", "ك", "ي")
+      prons.sortBy(-_.length).find(s => ends(s) && b.length - s.length >= 2)
+        .foreach(s => del(s.length))
+    }
+    // noun step 1b/2: dual & sound plural markers, feminine plural
+    locally {
+      val pl = Seq("تان", "تين", "ات", "ان", "ين", "ون", "وا")
+      pl.sortBy(-_.length).find(s => ends(s) && b.length - s.length >= 2)
+        .foreach(s => del(s.length))
+    }
+    // noun step 3: taa marbuta / final yeh-alef
+    if (ends("ة") && b.length >= 3) del(1)
+    if (ends("ية") && b.length >= 4) del(2)
+    // verb suffixes (apply when still long: the published verb amongs gate
+    // on length > 3..5)
+    if (b.length >= 4) {
+      val vs = Seq("تموها", "تموه", "تما", "تمو", "تم", "تن", "وا", "ون",
+        "ين", "ان", "تا", "ت", "ن", "ا")
+      vs.sortBy(-_.length).find(s => ends(s) && b.length - s.length >= 3)
+        .foreach(s => del(s.length))
+    }
+    // alef maqsura -> yeh (Suffix_All_alef_maqsura)
+    if (b.nonEmpty && b.charAt(b.length - 1) == 'ى')
+      b.setCharAt(b.length - 1, 'ي')
+
+    // ---- prefixes. Conjunction waw first (needs >= 4 chars left: the
+    // published Prefix_Step1 gates), then prepositions + definite article.
+    if (b.length >= 4 && (starts("وو") || starts("و")) ) {
+      if (starts("وو")) b.deleteCharAt(0)
+      else if (b.length >= 4) b.deleteCharAt(0)
+    }
+    locally {
+      val arts = Seq("بال", "كال", "فال", "وال", "ال", "لل")
+      arts.sortBy(-_.length).find(p => starts(p) && b.length - p.length >= 2)
+        .foreach(p => b.delete(0, p.length))
+    }
+    // preposition lam/ba/ka fused without article (لكتاب -> كتاب) only when
+    // a long stem remains — the published Prefix_Step3a/4 length-5 gates
+    if (b.length >= 5 && (starts("ل") || starts("ب") || starts("ك")))
+      b.deleteCharAt(0)
+    // verb prefixes: the future marker س before an imperfect marker is
+    // stripped; bare imperfect markers (ي ت ن) are only stripped on the
+    // .sbl's verb track, which the condensed single track conservatively
+    // keeps — stripping them noun-side would maim ياء/تاء-initial nouns
+    if (b.length >= 5 && starts("س") && "يتن".contains(b.charAt(1)))
+      b.deleteCharAt(0)
+    b.toString
+  }
+
+  // ----------------------------------------------------------------- greek
+
+  private val elVowels = "αεηιουω".toSet
+
+  /** Greek stemmer (Ntais' published algorithm, the one Snowball
+    * distributes as greek.sbl via Saroukos' revision). Operates internally
+    * on lowercase unaccented Greek (the tokenizer lowercases; accents fold
+    * here). Implements the algorithm's shape: the irregular-noun table,
+    * the -άδες/-έδες/-ούδες/-έως noun steps with their re-append exception
+    * sets, the -ιά/-ικά adjective steps with the vowel re-append rule, the
+    * verb-suffix steps (-άγαμε/-άνε/-έτε/-οντας/-όμαστε families), the
+    * comparative step, and the final common-ending removal. The published
+    * exception word-lists longer than the retrieval-relevant core are
+    * carried for the steps above; steps whose lists are omitted are noted
+    * inline. */
+  def greek(word0: String): String = {
+    // fold accents/dialytika, final sigma
+    val word = word0.map {
+      case 'ά' => 'α'; case 'έ' => 'ε'; case 'ή' => 'η'; case 'ί' => 'ι'
+      case 'ό' => 'ο'; case 'ύ' => 'υ'; case 'ώ' => 'ω'; case 'ϊ' => 'ι'
+      case 'ϋ' => 'υ'; case 'ΐ' => 'ι'; case 'ΰ' => 'υ'; case 'ς' => 'σ'
+      case c => c
+    }
+    if (word.length <= 3 || !word.forall(c => c >= 'α' && c <= 'ω')) return word
+    val b = new StringBuilder(word)
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def del(n: Int): Unit = b.setLength(b.length - n)
+    def endsAny(sufs: Seq[String]): Option[String] =
+      sufs.sortBy(-_.length).find(ends)
+    def endsVowel: Boolean = b.nonEmpty && elVowels(b.charAt(b.length - 1))
+
+    // step 1: irregular nouns (the published mapping table)
+    locally {
+      val map = Seq(
+        ("φαγια", "φα"), ("φαγιου", "φα"), ("φαγιων", "φα"),
+        ("σκαγια", "σκα"), ("σκαγιου", "σκα"), ("σκαγιων", "σκα"),
+        ("ολογιου", "ολο"), ("ολογια", "ολο"), ("ολογιων", "ολο"),
+        ("σογιου", "σο"), ("σογια", "σο"), ("σογιων", "σο"),
+        ("τατογια", "τατο"), ("τατογιου", "τατο"), ("τατογιων", "τατο"),
+        ("κρεασ", "κρε"), ("κρεατοσ", "κρε"), ("κρεατα", "κρε"),
+        ("κρεατων", "κρε"),
+        ("περασ", "περ"), ("περατοσ", "περ"), ("περατα", "περ"),
+        ("περατων", "περ"),
+        ("τερασ", "τερ"), ("τερατοσ", "τερ"), ("τερατα", "τερ"),
+        ("τερατων", "τερ"),
+        ("φωσ", "φω"), ("φωτοσ", "φω"), ("φωτα", "φω"), ("φωτων", "φω"),
+        ("καθεστωσ", "καθεστ"), ("καθεστωτοσ", "καθεστ"),
+        ("καθεστωτα", "καθεστ"), ("καθεστωτων", "καθεστ"),
+        ("γεγονοσ", "γεγον"), ("γεγονοτοσ", "γεγον"),
+        ("γεγονοτα", "γεγον"), ("γεγονοτων", "γεγον"))
+      map.sortBy(-_._1.length).find { case (s, _) => ends(s) } match {
+        case Some((s, to)) => b.replace(b.length - s.length, b.length, to)
+        case None =>
+      }
+    }
+
+    // step 2a: -αδες/-αδων
+    endsAny(Seq("αδεσ", "αδων")).foreach { s =>
+      del(s.length)
+      val keep = Seq("οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι",
+        "νταντ", "κυρ", "θει", "πεθερ")
+      if (!keep.exists(ends)) b.append("αδ")
+    }
+    // step 2b: -εδες/-εδων
+    endsAny(Seq("εδεσ", "εδων")).foreach { s =>
+      del(s.length)
+      val keep = Seq("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ", "μιλ")
+      if (keep.exists(ends)) b.append("εδ")
+    }
+    // step 2c: -ουδες/-ουδων
+    endsAny(Seq("ουδεσ", "ουδων")).foreach { s =>
+      del(s.length)
+      val keep = Seq("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ",
+        "φλ", "φρ", "βελ", "λουλ", "χν", "σπ", "τραγ", "φε")
+      if (keep.exists(ends)) b.append("ουδ")
+    }
+    // step 2d: -εως/-εων
+    endsAny(Seq("εωσ", "εων")).foreach { s =>
+      del(s.length)
+      val keep = Seq("θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ")
+      if (keep.contains(b.toString)) b.append("ε")
+    }
+    // step 3: -ια/-ιου/-ιων after a vowel re-append ι
+    endsAny(Seq("ιων", "ιου", "ια")).foreach { s =>
+      del(s.length)
+      if (endsVowel) b.append("ι")
+    }
+    // step 4: -ικα/-ικου/-ικων/-ικο
+    endsAny(Seq("ικων", "ικου", "ικα", "ικο")).foreach { s =>
+      del(s.length)
+      val keep = Seq("αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ",
+        "αντιδ", "φυσ", "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ",
+        "μουλ", "μπαν", "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ",
+        "πετσ", "πιτσ", "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ",
+        "συναδ", "τσαμ", "υποδ", "φιλον", "φυλοδ", "χασ")
+      if (endsVowel || keep.contains(b.toString)) b.append("ικ")
+    }
+    // step 5a/5b: verb -αγαμε/-ησαμε/-ουσαμε/-αμε and -αγανε/-ησανε/
+    // -ουσανε/-ανε families
+    if (b.toString == "αγαμε") b.replace(0, b.length, "αγαμ")
+    endsAny(Seq("ηθηκαμε", "ουσαμε", "ηκαμε", "ησαμε", "αγαμε")).foreach { s =>
+      del(s.length)
+    }
+    if (ends("αμε")) {
+      del(3)
+      val keep = Seq("αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+        "πεθ", "πικρ", "ποτ", "σιχ", "χ")
+      if (keep.contains(b.toString)) b.append("αμ")
+    }
+    endsAny(Seq("ηθηκανε", "ουσανε", "ιουντανε", "ηκανε", "ησανε",
+      "αγανε")).foreach { s => del(s.length) }
+    if (ends("ανε")) {
+      del(3)
+      val keep = Seq("βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ",
+        "καστελ", "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ",
+        "π", "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ",
+        "τσαρλατ", "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ",
+        "ορφ", "γαλ", "γερ", "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ",
+        "πουριτ", "σ", "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ",
+        "μαιντ", "μελ", "σιγ", "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ",
+        "αδαπ", "αθιγγ", "αμηχ", "ανικ", "ανοργ", "απηγ", "απιθ",
+        "ατσιγγ", "βασ", "βασκ", "βαθυγαλ", "βιομηχ", "βραχυκ", "διατ",
+        "διαφ", "ενοργ", "θυσ", "καπνοβιομηχ", "καταγαλ", "κλιβ",
+        "κοιλαρφ", "λιβ", "μεγλοβιομηχ", "μικροβιομηχ", "νταβ",
+        "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ", "περηφ", "περιτρ",
+        "πλατ", "πολυδαπ", "πολυμηχ", "στεφ", "ταβ", "τετ", "υπερηφ",
+        "υποκοπ", "χαμηλοδαπ", "ψηλοταβ")
+      if (endsVowel || keep.contains(b.toString)) b.append("αν")
+    }
+    // step 6: -ετε
+    endsAny(Seq("ησετε", "ετε")).foreach { s =>
+      del(s.length)
+      val keepEnd = Seq("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ",
+        "ευρ", "τιθ", "υπερθ", "ραθ", "ενθ", "ροθ", "σθ", "πυρ", "αιν",
+        "συνδ", "συν", "συνθ", "χωρ", "πον", "βρ", "καθ", "ευθ", "εκθ",
+        "νετ", "ρον", "αρκ", "βαρ", "βολ", "ωφελ")
+      val keepWhole = Seq("αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ",
+        "αφ", "αμαλ", "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ",
+        "δερβεν", "δροσοπ", "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ",
+        "προστ", "προσωποπ", "συμπ", "συντ", "τ", "υποτ", "χαρ", "αειπ",
+        "αιμοστ", "ανυπ", "αποτ", "αρτιπ", "διατ", "εν", "επιτ",
+        "κροκαλοπ", "σιδηροπ", "λ", "ναυ", "ουλαμ", "ουρ", "π", "τρ", "μ")
+      if (endsVowel || keepEnd.exists(ends) || keepWhole.contains(b.toString))
+        b.append("ετ")
+    }
+    // step 7: -οντας/-ωντας
+    endsAny(Seq("οντασ", "ωντασ")).foreach { s =>
+      val wasOmega = s.startsWith("ω")
+      del(s.length)
+      if (b.toString == "αρχ") b.append("οντ")
+      else if (wasOmega && ends("κρε")) b.append("ωντ")
+    }
+    // step 8: -ομαστε/-ιομαστε
+    endsAny(Seq("ιομαστε", "ομαστε")).foreach { s =>
+      del(s.length)
+      if (b.toString == "ον") b.append("ομαστ")
+    }
+    // step 9: -εστε/-ιεστε
+    endsAny(Seq("ιεστε", "εστε")).foreach { s =>
+      del(s.length)
+      val keep = Seq("π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ")
+      if (keep.contains(b.toString)) b.append("εστ")
+    }
+    // step 10: -ηκα/-ηκες/-ηκε families
+    endsAny(Seq("ηθηκεσ", "ηθηκα", "ηθηκε")).foreach(s => del(s.length))
+    endsAny(Seq("ηκεσ", "ηκα", "ηκε")).foreach { s =>
+      del(s.length)
+      val keepEnd = Seq("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ", "πιθ")
+      val keepWhole = Seq("διαθ", "θ", "παρακαταθ", "προσθ", "συνθ")
+      if (keepEnd.exists(ends) || keepWhole.contains(b.toString))
+        b.append("ηκ")
+    }
+    // step 11: -ουσα/-ουσες/-ουσε
+    endsAny(Seq("ουσεσ", "ουσα", "ουσε")).foreach { s =>
+      del(s.length)
+      val keepEnd = Seq("ποδαρ", "βλεπ", "πανταχ", "φρυδ", "μαντιλ",
+        "μαλλ", "κυματ", "λαχ", "ληγ", "φαγ", "ομ", "πρωτ")
+      val keepWhole = Seq("φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ",
+        "λαμπιδ", "λεχ", "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν",
+        "αμ", "αιθ", "ανηκ", "δεσποζ", "ενδιαφερ")
+      if (endsVowel || keepEnd.exists(ends) || keepWhole.contains(b.toString))
+        b.append("ουσ")
+    }
+    // step 12: -αγα/-αγες/-αγε
+    endsAny(Seq("αγεσ", "αγα", "αγε")).foreach { s =>
+      del(s.length)
+      val keepEnd = Seq("τρ", "τσ")
+      val keepWhole = Seq("φρ", "καθαρευ", "πλ")
+      val except = Seq("κολλ") // never re-append after κολλ
+      if (!except.exists(ends) &&
+          (endsVowel || keepEnd.exists(ends) || keepWhole.contains(b.toString)))
+        b.append("αγ")
+    }
+    // step 13: -ησε/-ησου/-ησα
+    endsAny(Seq("ησου", "ησε", "ησα")).foreach { s =>
+      del(s.length)
+      val keep = Seq("θ", "επιθ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ",
+        "ουλ", "πεθ", "πικρ", "ποτ", "σιχ", "χ")
+      if (keep.contains(b.toString)) b.append("ησ")
+    }
+    // step 14: -ηστε
+    if (ends("ηστε")) {
+      del(4)
+      val keep = Seq("ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ",
+        "ευχρ", "κοινοχρ", "παλιμψ")
+      if (keep.contains(b.toString)) b.append("ηστ")
+    }
+    // step 15: -ουνε/-ησουνε/-ηθουνε
+    endsAny(Seq("ηθουνε", "ησουνε", "ουνε")).foreach { s =>
+      del(s.length)
+      val keep = Seq("ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων")
+      if (keep.contains(b.toString)) b.append("ουν")
+    }
+    // step 16: -ουμε/-ησουμε/-ηθουμε
+    endsAny(Seq("ηθουμε", "ησουμε", "ουμε")).foreach { s =>
+      del(s.length)
+      val keep = Seq("παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ",
+        "ασουσ")
+      if (keep.contains(b.toString)) b.append("ουμ")
+    }
+    // step 17 (comparatives): -τερος/-τερη/... -τατος family
+    endsAny(Seq("οτεροσ", "οτερη", "οτερο", "οτερεσ", "οτεροι", "οτερουσ",
+      "οτερων", "οτερα", "οτατοσ", "οτατη", "οτατο", "οτατεσ", "οτατοι",
+      "οτατουσ", "οτατων", "οτατα",
+      "υτεροσ", "υτερη", "υτερο", "υτερα", "υτατοσ", "υτατη", "υτατο",
+      "υτατα",
+      "ωτεροσ", "ωτερη", "ωτερο", "ωτερα", "ωτατοσ", "ωτατη", "ωτατο",
+      "ωτατα",
+      "εστεροσ", "εστερη", "εστερο", "εστερα", "εστατοσ", "εστατη",
+      "εστατο", "εστατα")).foreach(s => del(s.length))
+    // final step: common noun/adjective/verb endings
+    locally {
+      val common = Seq("ιουσ", "ιασ", "ιεσ", "ιοσ", "ιοι", "ιον", "ιου",
+        "ιων", "ιο", "ια", "ιι", "ι",
+        "ουσ", "ωσ", "ασ", "εσ", "ησ", "οσ", "υσ", "οι", "ου", "ων",
+        "αν", "ον", "εν", "ην", "υν",
+        "α", "ε", "η", "ο", "υ", "ω")
+      endsAny(common).foreach { s =>
+        if (b.length - s.length >= 2) del(s.length)
+      }
+    }
+    b.toString
+  }
+
+  // ----------------------------------------------------------------- tamil
+
+  /** Tamil stemmer (Damodharan's algorithm, the one Snowball distributes
+    * as tamil.sbl). Operates on Tamil Unicode text: steps remove question
+    * clitics (ஓ/ஏ/ஆ), the -um clitic, plural markers (-கள் with the
+    * ற்கள்/ட்கள் sandhi reversals), common word endings, the vetrumai
+    * urupukal case endings, and the tense-suffix families; `fixEndings`
+    * restores a bare consonant after each removal the way the published
+    * algorithm's fix_ending routine does. */
+  def tamil(word0: String): String = {
+    if (word0.length <= 3 || word0.head < '஀' || word0.head > '௿')
+      return word0
+    val b = new StringBuilder(word0)
+    def ends(suf: String): Boolean =
+      b.length >= suf.length && b.substring(b.length - suf.length) == suf
+    def del(n: Int): Unit = b.setLength(b.length - n)
+    def endsAny(sufs: Seq[String]): Option[String] =
+      sufs.sortBy(-_.length).find(ends)
+    // restore the virama a removed vowel-sign suffix displaced — only when
+    // the exposed final char is a bare consonant (a stem ending in a vowel
+    // sign, e.g. பள்ளி before க்கு, takes no virama)
+    def restoreVirama(): Unit =
+      if (b.nonEmpty && b.charAt(b.length - 1) >= '\u0b95' &&
+          b.charAt(b.length - 1) <= '\u0bb9') b.append('்')
+
+    // fix_ending: ட்ட்->டு? The published routine trims dangling virama
+    // clusters left by suffix removal: a final double consonant loses one,
+    // a final consonant+virama after a short stem gains உ
+    def fixEndings(): Unit = {
+      if (b.length >= 4 && b.charAt(b.length - 1) == '்' &&
+          b.charAt(b.length - 3) == '்' &&
+          b.charAt(b.length - 2) == b.charAt(b.length - 4))
+        del(2) // double consonant: ட்ட் -> ட்
+      if (ends("ய்") && b.length >= 3 &&
+          "ாிீெேை".contains(b.charAt(b.length - 3)))
+        del(2) // glide after long vowel sign
+    }
+
+    // question clitics & emphatic: ஓ ஏ ஆ attach as vowel signs replacing
+    // the final consonant's own vowel — removal restores the virama so
+    // inner suffixes (e.g. the plural in அவர்களோ) re-expose themselves
+    endsAny(Seq("ோ", "ே", "ா")).foreach { s =>
+      if (b.length - s.length >= 3) { del(s.length); restoreVirama(); fixEndings() }
+    }
+    // -um clitic: ும் — the ு sign displaced the consonant's virama;
+    // restore it (அவனும் -> அவன்)
+    if (ends("ும்") && b.length >= 5) { del(3); restoreVirama(); fixEndings() }
+    // plural: உங்கள் / ற்கள் / ட்கள் / கள்; a stem left on the
+    // assimilated nasal ங் restores the base ம் (புத்தகங்கள்
+    // conflates with its singular புத்தகம்)
+    def removePlural(): Unit = {
+      if (ends("ுங்கள்") && b.length >= 8) del(6)
+      else if (ends("ற்கள்") && b.length >= 7) {
+        del(5); b.append("ல்") // ற்கள் -> ல்
+      } else if (ends("ட்கள்") && b.length >= 7) {
+        del(5); b.append("ள்") // ட்கள் -> ள்
+      } else if (ends("கள்") && b.length >= 6) {
+        del(3)
+        if (ends("ங்")) { del(2); b.append("ம்") }
+      }
+      fixEndings()
+    }
+    removePlural()
+    // common word endings + vetrumai urupukal (case endings)
+    locally {
+      val cases = Seq(
+        "ிலிருந்து", // -ilirunthu
+        "ிடம்", // -idam
+        "ுடன்", // -udan
+        "ால்",       // -aal
+        "ுடைய", // -udaiya
+        "ுடை",       // -udai
+        "ுக்கு", // -ukku
+        "ின்",       // -in
+        "ில்",       // -il
+        "ொடு", // -odu
+        "ோடு",       // -oodu
+        "க்கு", // -kku dative after vowel-sign stems
+        "ை")                    // -ai accusative
+      endsAny(cases).foreach { s =>
+        // every case suffix begins with a vowel SIGN that displaced the
+        // stem-final consonant's virama: restore it, which also re-exposes
+        // a chained plural (நண்பர்களுடன் -> நண்பர்கள் -> நண்பர்)
+        if (b.length - s.length >= 3) {
+          del(s.length); restoreVirama(); fixEndings()
+          removePlural()
+        }
+      }
+    }
+    // tense suffixes: past/present/future participle + person markers
+    locally {
+      val tense = Seq(
+        "கிறான்",       // -kiraan
+        "கிறாள்",       // -kiraal
+        "கிறார்கள்",
+        "கிறது",             // -kirathu
+        "கிறேன்",       // -kiren
+        "கிற",                         // -kira
+        "ந்தான்",       // -nthaan
+        "ந்தாள்",       // -nthaal
+        "ந்தது",             // -nthathu
+        "ந்தேன்",       // -nthen
+        "ந்த",                         // -ntha
+        "வான்",                   // -vaan
+        "வாள்",                   // -vaal
+        "வார்கள்", // -vaarkal
+        "வேன்",                   // -ven
+        "ட்ட",                         // -tta
+        "ன்ற")                         // -nra
+      endsAny(tense).foreach { s =>
+        if (b.length - s.length >= 3) { del(s.length); fixEndings() }
+      }
+    }
+    b.toString
+  }
+
   // ---------------------------------------------------------------- russian
 
   private val ruVowels = "аеиоуыэюя".toSet

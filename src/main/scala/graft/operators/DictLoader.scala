@@ -76,34 +76,9 @@ object DictLoader {
     * not listed) keep the committed default costs, and the exit column
     * stays 0 — this engine's lattice exits free at EOS. */
   def loadMeCabConnection(spark: SparkSession, csvPath: String,
-                          matrixPath: String): Seq[Seq[Int]] = {
-    val rows = readLines(spark, csvPath).map(parseMeCabRow)
-    val lines = readLines(spark, matrixPath)
-    val costs = lines.drop(1).map { l =>
-      val f = l.trim.split("\\s+")
-      require(f.length == 3, s"matrix.def row must be 'prevId nextId cost', got '$l'")
-      ((f(0).toInt, f(1).toInt), f(2).toInt)
-    }.toMap
-    val classes = FtsTokenizer.MorphClasses
-    def idsOf(cls: String, right: Boolean): Seq[Int] =
-      if (cls == "bos") Seq(0)
-      else rows.filter(_.posClass == cls)
-        .map(r => if (right) r.rightId else r.leftId).distinct
-    classes.indices.map { a =>
-      classes.indices.map { b =>
-        if (b == 0) 0 // exit column: EOS connects free in this lattice
-        else {
-          val pairs = for {
-            r <- idsOf(classes(a), right = true)
-            l <- idsOf(classes(b), right = false)
-            c <- costs.get((r, l))
-          } yield c
-          if (pairs.isEmpty) FtsTokenizer.MorphConn(a)(b)
-          else math.round(pairs.sum.toDouble / pairs.length).toInt
-        }
-      }.toSeq
-    }
-  }
+                          matrixPath: String): Seq[Seq[Int]] =
+    loadMeCabConnectionRows(readLines(spark, csvPath),
+      readLines(spark, matrixPath))
 
   /** Lexicon + class-reduced connection matrix in one call — plugs
     * straight into `FtsConfig(cjkDictionary = _, morphConnCosts = _)`. */
@@ -123,4 +98,108 @@ object DictLoader {
         s"jieba dict row must be 'word freq [pos]', got '$l'")
       if (f.length == 1) f(0) else s"${f(0)}:${f(1).toLong}"
     }
+
+  // ------------------------------------------------------------ dict home
+
+  /** Directory holding named dictionaries (r15, VERDICT r14 #5) — the
+    * reference's `language_model_home()` convention
+    * (`LANCE_LANGUAGE_MODEL_HOME`, `tokenizer.rs:350+`): dictionaries are
+    * discovered BY NAME under a configured home instead of by explicit
+    * path. Layout: `<home>/<name>/` containing either a jieba `dict.txt`,
+    * or a MeCab lexicon (`*.csv`, any number of files, e.g. IPADIC ships
+    * dozens) plus an optional `matrix.def`. */
+  val DictHomeKey = "spark.graft.fts.dict.home"
+
+  def dictHome(spark: SparkSession): String = {
+    val h = spark.conf.get(DictHomeKey, "")
+    require(h.nonEmpty,
+      s"named dictionary resolution needs $DictHomeKey to point at the " +
+        "dictionary home directory (reference LANCE_LANGUAGE_MODEL_HOME " +
+        "convention)")
+    h
+  }
+
+  /** Resolve a dictionary by name under the configured home: returns
+    * (entries, connCosts) ready for `FtsConfig(cjkDictionary,
+    * morphConnCosts)`; connCosts is empty for jieba dictionaries and for
+    * MeCab lexicons shipped without a `matrix.def`. */
+  def loadNamed(spark: SparkSession, name: String): (Seq[String], Seq[Seq[Int]]) = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+      s"dictionary name must be a bare directory name, got '$name'")
+    val dir = new Path(dictHome(spark), name)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir),
+      s"no dictionary named '$name' under ${dictHome(spark)} " +
+        s"(expected ${dir} with dict.txt or *.csv [+ matrix.def])")
+    val files = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+    val jieba = files.find(_.getName == "dict.txt")
+    val csvs = files.filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    val matrix = files.find(_.getName == "matrix.def")
+    if (jieba.isDefined) (loadJieba(spark, jieba.get.toString), Nil)
+    else {
+      require(csvs.nonEmpty,
+        s"dictionary '$name' has neither dict.txt (jieba) nor *.csv (MeCab)")
+      val entries = csvs.flatMap(c => loadMeCabLexicon(spark, c.toString)).toSeq
+      // class reduction needs the WHOLE lexicon's context ids (IPADIC ships
+      // many CSVs), so the matrix reduces against the concatenated rows
+      val conn = matrix match {
+        case Some(m) => loadMeCabConnectionRows(
+          csvs.flatMap(c => readLines(spark, c.toString)).toSeq,
+          readLines(spark, m.toString))
+        case None => Nil
+      }
+      (entries, conn)
+    }
+  }
+
+  /** [[loadMeCabConnection]] over pre-read lines (the multi-CSV home
+    * layout concatenates lexicon files before class reduction). */
+  private[operators] def loadMeCabConnectionRows(
+      csvLines: Seq[String], matrixLines: Seq[String]): Seq[Seq[Int]] = {
+    val rows = csvLines.map(parseMeCabRow)
+    val costs = matrixLines.drop(1).map { l =>
+      val f = l.trim.split("\\s+")
+      require(f.length == 3, s"matrix.def row must be 'prevId nextId cost', got '$l'")
+      ((f(0).toInt, f(1).toInt), f(2).toInt)
+    }.toMap
+    val classes = FtsTokenizer.MorphClasses
+    def idsOf(cls: String, right: Boolean): Seq[Int] =
+      if (cls == "bos") Seq(0)
+      else rows.filter(_.posClass == cls)
+        .map(r => if (right) r.rightId else r.leftId).distinct
+    classes.indices.map { a =>
+      classes.indices.map { b =>
+        if (b == 0) 0
+        else {
+          val pairs = for {
+            r <- idsOf(classes(a), right = true)
+            l <- idsOf(classes(b), right = false)
+            c <- costs.get((r, l))
+          } yield c
+          if (pairs.isEmpty) FtsTokenizer.MorphConn(a)(b)
+          else math.round(pairs.sum.toDouble / pairs.length).toInt
+        }
+      }.toSeq
+    }
+  }
+
+  /** Populate a config whose dictionary is referenced BY NAME: resolves
+    * through the dict home and returns a copy carrying the loaded entries
+    * (and the class-reduced connection matrix for morph, when the
+    * dictionary ships one) — the STORED index config then carries the
+    * resolved entries, so query-time tokenization needs neither the home
+    * conf nor the dictionary files. No-op when no name is set; explicit
+    * `cjkDictionary` entries alongside a name are refused (ambiguous). */
+  def resolveConfig(spark: SparkSession, cfg: FtsConfig): FtsConfig = {
+    if (cfg.cjkDictionaryName.isEmpty) return cfg
+    require(cfg.cjkDictionary.isEmpty,
+      "set either cjkDictionaryName (resolved via the dict home) or " +
+        "explicit cjkDictionary entries, not both")
+    val (entries, conn) = loadNamed(spark, cfg.cjkDictionaryName)
+    cfg.copy(cjkDictionary = entries,
+      morphConnCosts =
+        if (cfg.morphConnCosts.nonEmpty || conn.isEmpty) cfg.morphConnCosts
+        else if (cfg.cjkSegmenter == "morph") conn
+        else Nil)
+  }
 }

@@ -341,6 +341,143 @@ class FtsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"dutch stemmer deviates on: ${bad.mkString(", ")}")
   }
 
+  test("Snowball Finnish/Romanian/Hungarian stemmers: traced vocabularies (r15, VERDICT r14 #3)") {
+    import graft.functions.SnowballStemmer.{finnish, romanian, hungarian}
+    val fi = Seq(
+      "edeltäjistään" -> "edeltäj",   // the published worked example: possessive än, case stä, plural i, tidy
+      "kirjat" -> "kirj", "kirjassa" -> "kirj", "kirjaan" -> "kirj",
+      "taloissa" -> "talo", "talojen" -> "talo",
+      "kokoko" -> "koko",             // ko particle after vowel
+      "aatonaatto" -> "aatonaato",    // step 6e double consonant through vowels
+      "eläkkeen" -> "eläk",           // n case + LV trim + 6e kk
+      "ihmisille" -> "ihmis", "ihmiset" -> "ihmis",
+      "tablen" -> "tabl", "datassa" -> "dat") // the q_fts_stemmed_fi query derivations
+    val ro = Seq(
+      "abilitate" -> "abil",          // step 1 combining suffix
+      "creativitate" -> "creativ",    // step 2 itate in R2
+      "copilului" -> "copil",         // step 0 ului
+      "lucrează" -> "lucr",           // step 3 verb ează
+      "lucrările" -> "lucrăr",        // step 0 ile→i, step 4 i
+      "mergând" -> "merg",            // step 3 gerund ând
+      "cititorului" -> "citit",       // ului, then itor→it
+      "studenţi" -> "studenţ",        // step 4 final i
+      "acțiunea" -> "acţiun")         // comma-below ț normalizes to ţ
+    val hu = Seq(
+      "babakocsit" -> "babakocs",     // case t; R1 after the cs digraph
+      "babakocsival" -> "babakocs",   // instrumental val
+      "házakat" -> "ház", "házban" -> "ház", "házaim" -> "ház",
+      "könyvekben" -> "könyv", "könyvünk" -> "könyv",
+      "fákkal" -> "fá",               // assimilated instrumental: kk undoubles
+      "kutyákkal" -> "kutya",         // same + ák→a plural
+      "gyerekeknek" -> "gyerek", "barátaim" -> "barát",
+      "asztalokon" -> "asztal")
+    def check(name: String, f: String => String, fx: Seq[(String, String)]) = {
+      val bad = fx.filter { case (in, want) => f(in) != want }
+        .map { case (in, want) => s"$in -> ${f(in)} (want $want)" }
+      assert(bad.isEmpty, s"$name stemmer deviates on: ${bad.mkString(", ")}")
+    }
+    check("finnish", finnish, fi)
+    check("romanian", romanian, ro)
+    check("hungarian", hungarian, hu)
+  }
+
+  test("Snowball Turkish/Arabic stemmers: traced vocabularies (r15)") {
+    import graft.functions.SnowballStemmer.{turkish, arabic}
+    val tr = Seq(
+      "kitaplar" -> "kitap",          // lAr + final devoicing p
+      "kitabı" -> "kitap",            // accusative ı + b→p devoicing
+      "kitaplardan" -> "kitap",       // DAn then lAr chain
+      "evimizde" -> "ev",             // DA then UmUz chain
+      "çocukların" -> "çocuk",        // (n)Un then lAr
+      "güzelmiş" -> "güzel",          // evidential mUş (front harmony)
+      "güzeldi" -> "güzel",           // past DU
+      "kedisi" -> "kedi",             // (s)U possessive, buffer s after vowel
+      "kediler" -> "kedi",            // lAr only: bare vowel must NOT continue
+      "arabası" -> "araba",
+      "gözleri" -> "göz",             // lArI
+      "köpeği" -> "köpek",            // accusative + ğ→k devoicing
+      "ev" -> "ev")                   // one syllable: never stemmed
+    val ar = Seq(
+      "الكتاب" -> "كتاب",             // definite article ال
+      "والكتاب" -> "كتاب",            // conjunction + article وال
+      "بالقلم" -> "قلم",              // preposition + article بال
+      "المدرسة" -> "مدرس",            // article + taa marbuta
+      "مدرستها" -> "مدرس",            // attached pronoun ها then ة
+      "المسلمون" -> "مسلم",           // sound masculine plural ون
+      "المسلمين" -> "مسلم",           // oblique plural ين converges
+      "معلمات" -> "معلم",             // sound feminine plural ات
+      "سيذهب" -> "يذهب",              // future س before imperfect ي
+      "جميلة" -> "جميل")              // taa marbuta
+    def check(name: String, f: String => String, fx: Seq[(String, String)]) = {
+      val bad = fx.filter { case (in, want) => f(in) != want }
+        .map { case (in, want) => s"$in -> ${f(in)} (want $want)" }
+      assert(bad.isEmpty, s"$name stemmer deviates on: ${bad.mkString(", ")}")
+    }
+    check("turkish", turkish, tr)
+    check("arabic", arabic, ar)
+  }
+
+  test("Greek/Tamil stemmers: traced vocabularies (r15)") {
+    import graft.functions.SnowballStemmer.{greek, tamil}
+    val el = Seq(
+      "φαγιά" -> "φα",                // irregular-noun table (+ accent fold)
+      "παπαδες" -> "παπαδ",           // step 2a with αδ re-append
+      "γιαγιαδες" -> "γιαγ",          // step 2a exception: no re-append
+      "καλυτερος" -> "καλ",           // comparative υτερος; converges with καλος
+      "καλος" -> "καλ",
+      "τρεχοντας" -> "τρεχ",          // participle οντας
+      "γραφουμε" -> "γραφ", "γραφετε" -> "γραφ",
+      "βιβλια" -> "βιβλ", "βιβλιου" -> "βιβλ", "βιβλιων" -> "βιβλ",
+      "ανθρωπος" -> "ανθρωπ", "ανθρωπων" -> "ανθρωπ",
+      "θαλασσες" -> "θαλασσ",
+      "ομορφος" -> "ομορφ", "ομορφη" -> "ομορφ")
+    val ta = Seq(
+      "புத்தகங்கள்" -> "புத்தகம்", // plural + nasal sandhi: conflates with the singular
+      "புத்தகம்" -> "புத்தகம்",
+      "மரங்கள்" -> "மரம்",
+      "வீடுகள்" -> "வீடு",
+      "அவர்களோ" -> "அவர்",   // question clitic + plural chain
+      "நண்பர்களுடன்" -> "நண்பர்", // case உடன் + plural chain
+      "அவனும்" -> "அவன்",       // um clitic with virama restore
+      "பள்ளிக்கு" -> "பள்ளி") // dative க்கு after a vowel-sign stem
+    def check(name: String, f: String => String, fx: Seq[(String, String)]) = {
+      val bad = fx.filter { case (in, want) => f(in) != want }
+        .map { case (in, want) => s"$in -> ${f(in)} (want $want)" }
+      assert(bad.isEmpty, s"$name stemmer deviates on: ${bad.mkString(", ")}")
+    }
+    check("greek", greek, el)
+    check("tamil", tamil, ta)
+  }
+
+  test("packaged stop-word lists: per-language coverage + config round-trip (r15, VERDICT r14 #3)") {
+    import graft.operators.{FtsConfig, FtsTokenizer, Fts}
+    // every stemmer language ships a packaged list
+    graft.functions.SnowballStemmer.Languages.foreach { lang =>
+      assert(graft.functions.StopWords.forLanguage(lang).nonEmpty,
+        s"no packaged stop list for $lang")
+    }
+    // effectiveStopWords: packaged list unions with caller-supplied words
+    val cfg = FtsConfig(removeStopWords = true, language = "german",
+      stopWords = Seq("zebra"))
+    val eff = FtsTokenizer.effectiveStopWords(cfg)
+    assert(eff("der") && eff("und") && eff("zebra"))
+    assert(!FtsTokenizer.effectiveStopWords(
+      FtsConfig(language = "german")).contains("der"),
+      "packaged list must not apply without removeStopWords")
+    // the flag survives the stored-JSON round-trip, so query-side
+    // tokenization derives the same effective set as the build side
+    val json = org.json4s.jackson.Serialization.write(cfg)(
+      org.json4s.DefaultFormats)
+    val back = Fts.parseConfig(json)
+    assert(back.removeStopWords && back.language == "german" &&
+      back.stopWords == Seq("zebra"))
+    assert(FtsTokenizer.effectiveStopWords(back) == eff)
+    // and the per-row tokenizer actually drops them (der/und/das are all
+    // in the packaged German list)
+    assert(FtsTokenizer.tokens("der schnelle Zug und das Haus", cfg) ==
+      Seq("schnelle", "zug", "haus"))
+  }
+
   test("language config round-trips with the index; German query terms stem like the corpus") {
     import graft.operators.FtsConfig
     // whitespace base tokenizer: umlauts survive to the stemmer (the
@@ -609,6 +746,81 @@ class FtsSpec extends AnyFunSuite {
     // the 北京+大学 split outscores the rarer listed compound 北京大学
     // (ln 34488 + ln 29429 − lnT > ln 2053), so 北京大学生 → 北京/大学/生
     assert(FtsTokenizer.tokens("北京大学生", cfg) == Seq("北京", "大学", "生"))
+  }
+
+  test("dictionary home: named resolution through spark.graft.fts.dict.home (r15, VERDICT r14 #5)") {
+    import graft.operators.{DictLoader, Fts, FtsConfig}
+    import java.nio.file.Files
+    val home = Files.createTempDirectory("dict_home_")
+    // <home>/minijieba/dict.txt
+    Files.createDirectory(home.resolve("minijieba"))
+    Files.write(home.resolve("minijieba/dict.txt"), Seq(
+      "北京 34488 ns", "大学 29429 n", "北京大学 2053 nt", "生 3 n")
+      .mkString("\n").getBytes("UTF-8"))
+    // <home>/miniipadic/lex.csv + matrix.def (two CSVs: the multi-file
+    // IPADIC layout — class reduction must span both)
+    Files.createDirectory(home.resolve("miniipadic"))
+    Files.write(home.resolve("miniipadic/lex_a.csv"), Seq(
+      "すもも,1,1,7546,名詞,一般,*,*,*,*,すもも,スモモ,スモモ",
+      "もも,1,1,7219,名詞,一般,*,*,*,*,もも,モモ,モモ",
+      "うち,1,1,5796,名詞,非自立,*,*,*,*,うち,ウチ,ウチ")
+      .mkString("\n").getBytes("UTF-8"))
+    Files.write(home.resolve("miniipadic/lex_b.csv"), Seq(
+      "も,2,2,4669,助詞,係助詞,*,*,*,*,も,モ,モ",
+      "の,3,3,4770,助詞,連体化,*,*,*,*,の,ノ,ノ")
+      .mkString("\n").getBytes("UTF-8"))
+    val conn = graft.operators.FtsTokenizer.MorphConn
+    val cls = Map(0 -> 0, 1 -> 1, 2 -> 2, 3 -> 2)
+    val rows = for (p <- 0 to 3; n <- 0 to 3)
+      yield s"$p $n ${conn(cls(p))(cls(n))}"
+    Files.write(home.resolve("miniipadic/matrix.def"),
+      ("4 4" +: rows).mkString("\n").getBytes("UTF-8"))
+
+    // no home configured: clear refusal
+    spark.conf.unset(DictLoader.DictHomeKey)
+    val e0 = intercept[IllegalArgumentException] {
+      DictLoader.loadNamed(spark, "minijieba")
+    }
+    assert(e0.getMessage.contains(DictLoader.DictHomeKey), e0.getMessage)
+    spark.conf.set(DictLoader.DictHomeKey, home.toString)
+    try {
+      // unknown name: clear refusal naming the home
+      val e1 = intercept[IllegalArgumentException] {
+        DictLoader.loadNamed(spark, "nosuchdict")
+      }
+      assert(e1.getMessage.contains("nosuchdict"), e1.getMessage)
+      // jieba resolution by name
+      val (jentries, jconn) = DictLoader.loadNamed(spark, "minijieba")
+      assert(jentries == Seq("北京:34488", "大学:29429", "北京大学:2053", "生:3"))
+      assert(jconn.isEmpty)
+      // MeCab resolution by name: entries span both CSVs, matrix reduces
+      val (mentries, mconn) = DictLoader.loadNamed(spark, "miniipadic")
+      assert(mentries.toSet == Set("すもも:7546:n", "もも:7219:n",
+        "うち:5796:n", "も:4669:prt", "の:4770:prt"), mentries.toString)
+      assert(mconn == conn.map(_.toSeq).toSeq, mconn.toString)
+      // build-time resolution: the index built with cjkDictionaryName
+      // stores the RESOLVED entries, so a query session without the home
+      // conf tokenizes identically
+      import spark.implicits._
+      val corpus = Seq((1L, "北京大学生"), (2L, "大学")).toDF("doc_id", "text")
+      val dir = Files.createTempDirectory("fts_named_").toString
+      Fts.buildIndex(corpus, "doc_id", "text", dir,
+        config = FtsConfig(baseTokenizer = "cjk", cjkSegmenter = "dp",
+          cjkDictionaryName = "minijieba", lowerCase = false))
+      val stored = Fts.loadConfig(spark, dir)
+      assert(stored.cjkDictionary == jentries, "stored config must carry resolved entries")
+      spark.conf.unset(DictLoader.DictHomeKey) // query side needs no home
+      val hits = Fts.matchQuery(spark, dir, Seq("大学"), 4)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      assert(hits == Set(1L, 2L), hits.toString)
+      // name + explicit entries together: ambiguous, refused
+      spark.conf.set(DictLoader.DictHomeKey, home.toString)
+      val e2 = intercept[IllegalArgumentException] {
+        DictLoader.resolveConfig(spark, FtsConfig(
+          cjkDictionaryName = "minijieba", cjkDictionary = Seq("x:1")))
+      }
+      assert(e2.getMessage.contains("not both"), e2.getMessage)
+    } finally spark.conf.unset(DictLoader.DictHomeKey)
   }
 
   test("morph segmenter reproduces published MeCab/Lindera segmentations") {
