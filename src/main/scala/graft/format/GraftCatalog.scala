@@ -759,7 +759,13 @@ private[format] object GraftProcedures {
           HnswIndex.serveHits.get(), HnswIndex.serveMisses.get()),
         Seq[Any]("ivf_serve", IvfIndex.serveCacheSize.toLong,
           IvfIndex.currentServeCapacity.toLong,
-          IvfIndex.serveHits.get(), IvfIndex.serveMisses.get()))
+          IvfIndex.serveHits.get(), IvfIndex.serveMisses.get()),
+        // FTS driver-local serving (r15): entries are resident per-token
+        // postings lists
+        Seq[Any]("fts_serve", graft.operators.Fts.serveCacheSize.toLong,
+          graft.operators.Fts.currentServeTermCapacity.toLong,
+          graft.operators.Fts.serveHits.get(),
+          graft.operators.Fts.serveMisses.get()))
     }
 
   def walCleanup(pathOf: String => String): UnboundProcedure =

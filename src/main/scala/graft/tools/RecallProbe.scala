@@ -110,6 +110,43 @@ object RecallProbe {
         f""""recall_at_10":${hitsS / (10.0 * queries.length)}%.3f,""" +
         f""""mean_query_ms":$msS%.2f,"batched_mean_query_ms":$msB%.1f}""")
     }
+
+    // ---- FTS driver-local serving leg (r15, VERDICT r14 #4): same regime
+    // comparison for text — batched matchQuery pays Spark jobs per query,
+    // Fts.serveLocal answers from the resident dictionary + postings LRU.
+    // Parity is ids AND scores (bit-exact: the serve scorer replicates the
+    // codegen arithmetic through StrictMath). ----
+    locally {
+      import graft.operators.Fts
+      val ftsDir = s"$idxDir/_fts_serve"
+      val fp = new org.apache.hadoop.fs.Path(ftsDir)
+      if (fs.exists(fp)) fs.delete(fp, true)
+      Fts.buildIndex(graft.Tables.documents(spark, "/root/testdata/sf0.01"),
+        "doc_id", "text", ftsDir)
+      val termSets = Seq(
+        Seq("spark", "vector"), Seq("table", "hash"), Seq("merge", "data"),
+        Seq("query", "join"), Seq("column", "line"), Seq("scan", "filter"),
+        Seq("index", "value"), Seq("batch", "stream"))
+      val tB = System.nanoTime()
+      val batched = termSets.map(ts =>
+        ts -> Fts.matchQuery(spark, ftsDir, ts, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq).toMap
+      val msB = (System.nanoTime() - tB) / 1e6 / termSets.length
+      Fts.serveUnpersist(ftsDir)
+      val residentRows = Fts.serveWarm(spark, ftsDir, termSets.flatten.distinct)
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val tS = System.nanoTime()
+      val served = termSets.map(ts =>
+        ts -> Fts.serveLocal(spark, ftsDir, ts, 10)).toMap
+      val msS = (System.nanoTime() - tS) / 1e6 / termSets.length
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      require(jobsAfter == jobsBefore,
+        s"Fts.serveLocal launched ${jobsAfter - jobsBefore} Spark jobs on a warm cache")
+      val parity = termSets.count(ts => served(ts) == batched(ts))
+      println(f"""{"op":"fts_serve_local","resident_postings":$residentRows,""" +
+        f""""parity_pct":${parity * 100.0 / termSets.length}%.1f,""" +
+        f""""mean_query_ms":$msS%.2f,"batched_mean_query_ms":$msB%.1f}""")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Fts
+
+/** Driver-local single-query FTS serving (r15, VERDICT r14 #4): parity
+  * with the batched matchQuery/booleanQuery/fuzzyQuery top-k, the no-job
+  * guarantee when warm, the staleness guard, and the budget refusals. */
+class FtsServeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val idx: String = {
+    val dir = Files.createTempDirectory("fts_serve_").toString
+    Fts.buildIndex(Tables.documents(spark, sf), "doc_id", "text", dir)
+    dir
+  }
+
+  test("serveLocal matches matchQuery top-k (ids AND scores), zero jobs when warm") {
+    Fts.serveUnpersist(idx)
+    val terms = Seq("spark", "vector")
+    val resident = Fts.serveWarm(spark, idx, terms)
+    assert(resident > 0, "warm must load the query terms' postings")
+    val batched = Fts.matchQuery(spark, idx, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val served = Fts.serveLocal(spark, idx, terms, 20)
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "warm serveLocal must not launch a Spark job")
+    // two query terms → at most two float addends per doc: float addition
+    // is commutative, so scores are bit-identical to the batched sum
+    assert(served == batched, s"$served != $batched")
+  }
+
+  test("serveBoolean and serveFuzzy match their batched twins") {
+    Fts.serveUnpersist(idx)
+    val boolBatched = Fts.booleanQuery(spark, idx,
+      must = Seq("table"), should = Seq("vector"), mustNot = Seq("slow"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val boolServed = Fts.serveBoolean(spark, idx,
+      must = Seq("table"), should = Seq("vector"), mustNot = Seq("slow"), k = 20)
+    assert(boolServed == boolBatched, s"$boolServed != $boolBatched")
+    // a must term with no postings empties the result, like the batched
+    // intersect over an empty leg
+    assert(Fts.serveBoolean(spark, idx, Seq("zzzznothere"), Seq("vector"),
+      Nil, 10).isEmpty)
+    val fuzzBatched = Fts.fuzzyQuery(spark, idx, Seq("vectr"),
+      fuzziness = 1, prefixLength = 1, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fuzzServed = Fts.serveFuzzy(spark, idx, Seq("vectr"),
+      fuzziness = 1, prefixLength = 1, k = 20)
+    assert(fuzzServed == fuzzBatched, s"$fuzzServed != $fuzzBatched")
+  }
+
+  test("staleness guard: rebuild at the same path serves the NEW index") {
+    val dir = Files.createTempDirectory("fts_serve_stale_").toString
+    Fts.buildIndex(Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    Fts.serveUnpersist(dir)
+    assert(Fts.serveLocal(spark, dir, Seq("alpha"), 10).map(_._1).toSet ==
+      Set(1L, 2L))
+    // rebuild in place over different docs, NO explicit unpersist: the
+    // epoch guard alone must drop the resident state
+    Fts.buildIndex(Seq((7L, "alpha delta"), (8L, "epsilon"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val served = Fts.serveLocal(spark, dir, Seq("alpha"), 10)
+    assert(served.map(_._1) == Seq(7L),
+      s"stale serve state answered for the dropped index: $served")
+  }
+
+  test("budgets: doc-count refusal, term-LRU shrink eviction, warm refusal") {
+    Fts.serveUnpersist(idx)
+    spark.conf.set(Fts.ServeDocBudgetKey, "3") // corpus is far bigger
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Fts.serveLocal(spark, idx, Seq("spark"), 5)
+      }
+      assert(e.getMessage.contains(Fts.ServeDocBudgetKey), e.getMessage)
+    } finally spark.conf.unset(Fts.ServeDocBudgetKey)
+    // term LRU: shrinking the budget evicts down immediately
+    Fts.serveUnpersist(idx)
+    spark.conf.set(Fts.ServeTermBudgetKey, "8")
+    try {
+      Fts.serveWarm(spark, idx, Seq("spark", "vector", "table", "hash"))
+      assert(Fts.serveCacheSize >= 4)
+      spark.conf.set(Fts.ServeTermBudgetKey, "2")
+      Fts.serveLocal(spark, idx, Seq("spark"), 5)
+      assert(Fts.serveCacheSize <= 2,
+        s"shrunk budget left ${Fts.serveCacheSize} resident")
+      // warming more terms than the budget refuses instead of thrashing
+      val e2 = intercept[IllegalArgumentException] {
+        Fts.serveWarm(spark, idx, Seq("spark", "vector", "table"))
+      }
+      assert(e2.getMessage.contains("serve budget"), e2.getMessage)
+    } finally spark.conf.unset(Fts.ServeTermBudgetKey)
+  }
+}
