@@ -124,7 +124,13 @@ class GraftDataSource extends RelationProvider
           // 64-bit hash + the path's last segment as a human-readable
           // disambiguator (ADVICE r14): a 32-bit hash gave two different
           // checkpoints a ~2^-32 chance of sharing a batch-id ledger —
-          // the silent-replay-drop class this derivation exists to avoid
+          // the silent-replay-drop class this derivation exists to avoid.
+          // Upgrade note: the derivation CHANGED from the earlier 32-bit
+          // form, so a stream restarted across the upgrade derives a new
+          // id and its first restart may re-commit the last unacknowledged
+          // batch (the ledger keyed by the old id no longer matches);
+          // streams needing exactly-once across the upgrade should pass an
+          // explicit queryId, which was always the documented contract
           val bytes = cp.getBytes("UTF-8")
           val h64 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,

@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // late-mat shape, so index acceleration takes priority; the late-mat
     // phase-1 sub-query gets index acceleration on its own pass instead
     e.injectOptimizerRule(session => new GraftLateMatRule(session))
+    // opt-in packed group-key rewrite (r15): no-op unless
+    // spark.graft.agg.packedStringKeys lists columns
+    e.injectOptimizerRule(session => new graft.plans.GraftPackedKeyAggRule(session))
     // SQL faces of the expression kernels (distance, BPE, sketches) —
     // every one a native Catalyst expression, never a Scala UDF
     graft.functions.GraftFunctions.inject(e)

@@ -1575,6 +1575,8 @@ object Fts {
     serveEpochs.remove(indexPath)
     val it = servePostings.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+    val pit = servePosPostings.keySet().iterator()
+    while (pit.hasNext) if (pit.next()._1 == indexPath) pit.remove()
   }
 
   private def serveIndexEpoch(spark: SparkSession, indexPath: String): String = {
@@ -1593,6 +1595,8 @@ object Fts {
       serveStates.remove(indexPath)
       val it = servePostings.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+      val pit = servePosPostings.keySet().iterator()
+      while (pit.hasNext) if (pit.next()._1 == indexPath) pit.remove()
     }
   }
 
@@ -1605,6 +1609,8 @@ object Fts {
       serveTermCapacity = cap
       val it = servePostings.entrySet().iterator()
       while (servePostings.size() > cap && it.hasNext) { it.next(); it.remove() }
+      val pit = servePosPostings.entrySet().iterator()
+      while (servePosPostings.size() > cap && pit.hasNext) { pit.next(); pit.remove() }
     } else serveTermCapacity = cap
     cap
   }
@@ -1766,6 +1772,92 @@ object Fts {
       }) expanded += tok
     }
     serveScore(spark, indexPath, st, expanded.toSeq, k)
+  }
+
+  /** Positioned postings LRU for [[servePhrase]] — separate from the
+    * scoring LRU so match/boolean/fuzzy serving never pays for position
+    * arrays it does not read. Shares the token budget and the epoch
+    * guard. */
+  private val servePosPostings =
+    new java.util.LinkedHashMap[(String, String), Array[(Long, Array[Int])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Array[(Long, Array[Int])]]): Boolean =
+        size() > serveTermCapacity
+    }
+
+  private def servePosPosting(spark: SparkSession, indexPath: String,
+                              token: String): Array[(Long, Array[Int])] = {
+    refreshServeTermCapacity(spark)
+    // single coarse lock (servePostings' monitor) guards BOTH LRUs — the
+    // purge/shrink paths iterate them together
+    servePostings.synchronized {
+      val hit = servePosPostings.get((indexPath, token))
+      if (hit != null) { serveHits.incrementAndGet(); return hit }
+    }
+    serveMisses.incrementAndGet()
+    val post = spark.read.parquet(paths(indexPath).postings)
+    require(post.columns.contains("positions"),
+      "phrase serving needs positions; this index was built with " +
+        "storePositions = false — rebuild with positions to use phrases")
+    val rows = post.filter(col("token") === token)
+      .select(col("doc_id").cast("long"), col("positions"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toArray))
+    servePostings.synchronized {
+      servePosPostings.put((indexPath, token), rows)
+    }
+    rows
+  }
+
+  /** Driver-local [[phraseQuery]]: same consecutive-position (or slop)
+    * walk over resident positioned postings; returns the matching doc ids
+    * sorted ascending. Zero Spark jobs once the phrase's tokens are warm. */
+  def servePhrase(spark: SparkSession, indexPath: String,
+                  rawTerms: Seq[String], slop: Int = 0): Seq[Long] = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveStateOf(spark, indexPath)
+    val terms = rawTerms.flatMap(FtsTokenizer.tokens(_, st.cfg))
+    require(terms.nonEmpty)
+    // valid(doc) = positions where a prefix of the phrase ends
+    var valid: Map[Long, Array[Int]] =
+      servePosPosting(spark, indexPath, terms.head).toMap
+    terms.tail.foreach { t =>
+      if (valid.nonEmpty) {
+        val next = servePosPosting(spark, indexPath, t)
+        valid = next.iterator.flatMap { case (doc, ps) =>
+          valid.get(doc) match {
+            case None => Iterator.empty
+            case Some(vs) =>
+              val ext =
+                if (slop == 0) { val vset = vs.toSet; ps.filter(x => vset(x - 1)) }
+                else ps.filter(x => vs.exists(v => x - v >= 1 && x - v <= 1 + slop))
+              if (ext.isEmpty) Iterator.empty else Iterator((doc, ext))
+          }
+        }.toMap
+      }
+    }
+    valid.keys.toSeq.sorted
+  }
+
+  /** Driver-local [[boostQuery]]: positive score − negativeBoost ×
+    * negative score over docs matching the positive terms; same
+    * (score desc, doc_id) top-k. */
+  def serveBoost(spark: SparkSession, indexPath: String,
+                 positive: Seq[String], negative: Seq[String],
+                 negativeBoost: Double, k: Int): Seq[(Long, Double)] = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveStateOf(spark, indexPath)
+    def scores(terms: Seq[String]): collection.Map[Long, Double] = {
+      val toks = terms.flatMap(FtsTokenizer.tokens(_, st.cfg))
+      // unbounded k: the full per-doc score map (both legs need it whole)
+      serveScore(spark, indexPath, st, toks, Int.MaxValue)
+        .iterator.map(e => e._1 -> e._2).toMap
+    }
+    val pos = scores(positive)
+    val neg = scores(negative)
+    pos.iterator.map { case (doc, p) =>
+      (doc, p - negativeBoost * neg.getOrElse(doc, 0.0))
+    }.toSeq.sortBy { case (doc, s) => (-s, doc) }.take(k)
   }
 
   /** Standard edit distance — the same function Spark's `levenshtein`

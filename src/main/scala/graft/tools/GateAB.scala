@@ -28,7 +28,7 @@ object GateAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Bench's warmup: JIT + codegen + footer caches
-    {
+    locally {
       import org.apache.spark.sql.functions._
       val li = graft.Tables.lineitem(spark, sfDir)
       li.filter("l_quantity > 0").count()

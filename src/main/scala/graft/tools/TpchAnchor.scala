@@ -22,10 +22,35 @@ object TpchAnchor {
   val SrcDir = "/root/repo/benchdata/sf1"
   val TableDir = "/root/repo/benchdata/sf1_graft/lineitem"
 
+  /** Dedicated anchor session: same SparkContext, plus GraftExtensions
+    * and the opt-in packed group-key rewrite (r15, VERDICT r14 #2) for
+    * Q1's two single-char group keys — the user assertion Q1Lab's packed
+    * A/B motivated. Both the graft leg and the raw-parquet control run
+    * through it, so the format-overhead comparison stays apples-to-apples
+    * and q1/q6 measure the same agg plan the rewrite produces (q6 has no
+    * string keys; the rule is a no-op there). */
+  @volatile private var anchorSess: SparkSession = _
+  def anchorSession(s: SparkSession): SparkSession = synchronized {
+    if (anchorSess == null) {
+      val prevA = SparkSession.getActiveSession
+      val prevD = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      anchorSess = SparkSession.builder()
+        .withExtensions(new graft.format.GraftExtensions)
+        .getOrCreate()
+      anchorSess.conf.set(graft.plans.GraftPackedKeyAggRule.ConfKey,
+        "l_returnflag,l_linestatus")
+      prevD.foreach(SparkSession.setDefaultSession)
+      prevA.foreach(SparkSession.setActiveSession)
+    }
+    anchorSess
+  }
+
   /** TPC-H Q1 over a graft lineitem table (date literal shifted; see
     * object doc). */
   def q1(spark: SparkSession, table: String): DataFrame =
-    q1df(GraftTable.read(spark, table))
+    q1df(GraftTable.read(anchorSession(spark), table))
 
   def q1df(src: DataFrame): DataFrame =
     src
@@ -45,7 +70,7 @@ object TpchAnchor {
 
   /** TPC-H Q6 over a graft lineitem table. */
   def q6(spark: SparkSession, table: String): DataFrame =
-    q6df(GraftTable.read(spark, table))
+    q6df(GraftTable.read(anchorSession(spark), table))
 
   def q6df(src: DataFrame): DataFrame =
     src
@@ -97,12 +122,15 @@ object TpchAnchor {
     spark.sparkContext.setLogLevel("WARN")
     ensureTable(spark)
     // warmup (JIT + codegen + footer caches), then best-of-7 like the
-    // DuckDB side's best-of. Three warmup passes, not one: C2 needs a few
-    // thousand invocations of the generated agg-update loop before the
-    // steady-state code is in place, and a single pass leaves the
-    // "best-of" measuring tier-1 JIT, not the engine (r14: the same table
-    // in a hot JVM measured 0.37 s where a 1-warmup JVM measured 0.45-0.52)
-    for (_ <- 1 to 3) { q1(spark, TableDir).collect(); q6(spark, TableDir).collect() }
+    // DuckDB side's best-of. TWENTY passes, not three (r15): the r14
+    // 3-pass protocol measured mid-tier JIT — PackProbe's interleaved
+    // cycles show Q1 at 0.45-0.48 s on the first post-3-warmup best-of
+    // dropping to a stable 0.27-0.31 s only after ~20 total invocations
+    // (a 10-pass warmup still paired at 0.38-0.42 s), while DuckDB
+    // reaches its steady state within 2-3 runs. Best-of-N is only an
+    // engine comparison when both sides are at steady state; the extra
+    // passes cost ~8 s once per anchor run.
+    for (_ <- 1 to 20) { q1(spark, TableDir).collect(); q6(spark, TableDir).collect() }
     def best(fn: () => Unit): Double =
       (1 to 7).map { _ =>
         val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
@@ -111,7 +139,9 @@ object TpchAnchor {
     val t6 = best(() => { q6(spark, TableDir).collect(); () })
     // raw-parquet control: isolates the graft format's read overhead from
     // Spark-vs-native engine differences
-    val raw = spark.read.parquet(s"$SrcDir/lineitem.parquet")
+    // through the anchor session too: the control must carry the SAME agg
+    // plan (packed keys included) or the format-overhead comparison skews
+    val raw = anchorSession(spark).read.parquet(s"$SrcDir/lineitem.parquet")
     def q1raw = q1df(raw)
     def q6raw = q6df(raw)
     for (_ <- 1 to 3) { q1raw.collect(); q6raw.collect() }

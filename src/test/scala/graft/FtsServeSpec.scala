@@ -58,6 +58,31 @@ class FtsServeSpec extends AnyFunSuite {
     assert(fuzzServed == fuzzBatched, s"$fuzzServed != $fuzzBatched")
   }
 
+  test("servePhrase and serveBoost match their batched twins") {
+    Fts.serveUnpersist(idx)
+    val phraseBatched = Fts.phraseQuery(spark, idx, Seq("hash join"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val phraseServed = Fts.servePhrase(spark, idx, Seq("hash join"))
+    assert(phraseServed == phraseBatched, s"$phraseServed != $phraseBatched")
+    assert(phraseBatched.nonEmpty, "fixture phrase must match something")
+    // slop variant
+    val slopBatched = Fts.phraseQuery(spark, idx, Seq("hash join"), slop = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(Fts.servePhrase(spark, idx, Seq("hash join"), slop = 2) == slopBatched)
+    // warm phrase serving runs zero jobs
+    Fts.servePhrase(spark, idx, Seq("hash join"))
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    Fts.servePhrase(spark, idx, Seq("hash join"))
+    assert(tracker.getJobIdsForGroup(null).length == before)
+    val boostBatched = Fts.boostQuery(spark, idx, Seq("table"), Seq("slow"),
+      negativeBoost = 0.5, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val boostServed = Fts.serveBoost(spark, idx, Seq("table"), Seq("slow"),
+      negativeBoost = 0.5, k = 20)
+    assert(boostServed == boostBatched, s"$boostServed != $boostBatched")
+  }
+
   test("staleness guard: rebuild at the same path serves the NEW index") {
     val dir = Files.createTempDirectory("fts_serve_stale_").toString
     Fts.buildIndex(Seq((1L, "alpha beta"), (2L, "alpha gamma"))
