@@ -242,6 +242,28 @@ object FtsQueries {
         .select(col("doc_id"), round(col("_score"), 4).as("_score"))
     },
 
+    // Driver-local serving, ORACLE-gated (r15, VERDICT r14 #4): the gate
+    // answers the same match query through Fts.serveLocal — dictionary +
+    // postings resident on the driver, zero Spark jobs once warm — and
+    // the DuckDB BM25 oracle (identical to q_fts_match's) must hash-match
+    // the result, certifying the driver-side scorer end-to-end, not just
+    // against the batched twin.
+    "q_fts_serve_match" -> { (s, d) =>
+      val idx = indexFor(s, d, "bench")
+      val served = Fts.serveLocal(s, idx, Seq("spark", "vector"), 20)
+      import s.implicits._
+      served.toDF("doc_id", "_score")
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // Phrase serving, oracle-gated with q_fts_phrase's consecutive-pair
+    // oracle: the positioned-postings walk runs entirely driver-side.
+    "q_fts_serve_phrase" -> { (s, d) =>
+      val idx = indexFor(s, d, "bench")
+      import s.implicits._
+      Fts.servePhrase(s, idx, Seq("hash", "join")).toDF("doc_id")
+    },
+
     // Packaged per-language stop-word list (r15, VERDICT r14 #3:
     // reference `StopWordFilter::new(language)`, tokenizer.rs:256-262):
     // the index is built with removeStopWords = true and NO caller list;
@@ -404,6 +426,9 @@ object FtsQueries {
         |LIMIT 20""".stripMargin,
 
     "q_fts_match" -> bm25Select("'spark','vector'", ""),
+    // driver-local serving legs: same oracles as their batched gates —
+    // DuckDB certifies the serve scorer/phrase walk directly
+    "q_fts_serve_match" -> bm25Select("'spark','vector'", ""),
     "q_fts_nopos" -> bm25Select("'spark','vector'", ""),
     "q_fts_wand" -> bm25Select("'spark','vector'", ""),
     "q_fts_fuzzy" -> bm25Select(
@@ -427,6 +452,13 @@ object FtsQueries {
       s"list_transform($defaultTokExpr, t -> $stemCaseFi)",
       "'tabl','dat'", ""),
     "q_fts_phrase" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE len(list_filter(tk, (t,i) -> t = 'hash' AND i < len(tk) AND tk[i+1] = 'join')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_fts_serve_phrase" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk
         |  FROM documents)
