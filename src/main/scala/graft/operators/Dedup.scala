@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 import graft.functions.TextHashFunctions._
 import graft.functions.VectorFunctions._
 
@@ -291,39 +292,78 @@ object Dedup {
   /** SimHash near-duplicate pairs: block on 16-bit chunks (hamming ≤ 3 over
     * 64 bits ⇒ at least one of 4 chunks identical), verify hamming ≤ maxDist.
     *
-    * Pairing runs over DISTINCT sketches, then expands back to doc pairs —
-    * near-identical corpora collapse many docs onto one sketch, which is
-    * exactly when naive chunk-bucket joins explode quadratically.
+    * Two devices keep the chunk self-join off the quadratic cliff at corpus
+    * scale (the same pair [[groupedBands]] applies to minhash):
+    *  - pairing runs over DISTINCT sketches, then expands back to doc pairs —
+    *    near-identical corpora collapse many docs onto one sketch;
+    *  - each (chunk, key) bucket is capped at `maxBucket` DISTINCT sketches
+    *    and skipped when over-cap. At 10⁹⁺ distinct sketches a 16-bit chunk
+    *    bucket holds ~N/65536 sketches organically — without the cap that is
+    *    10⁸⁺ comparisons per bucket. Recall semantics under the cap: a
+    *    cross-sketch pair is missed only if EVERY chunk on which the two
+    *    sketches agree is over-cap; identical-sketch doc pairs (hamming 0)
+    *    never pass through the chunk join and are always emitted.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
-                          maxDist: Int = 3): DataFrame = {
+                          maxDist: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = df.select(col(idCol), simhash64(col(shingleCol)).as("sim")).localCheckpoint()
-    val sketches = sh.select(col("sim")).distinct()
+    simhashPairsFromSketches(sh, idCol, maxDist, maxBucket)
+  }
+
+  /** Sketch-level entry for [[simhashNearDupPairs]]: `sh` is (idCol,
+    * sim: long). Exposed so probes/specs can exercise the capped chunk join
+    * on constructed sketch distributions. */
+  def simhashPairsFromSketches(sh: DataFrame, idCol: String, maxDist: Int,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sketchPairs = simhashSketchCandidates(
+      sh.select(col("sim")).distinct(), maxBucket)
+      .withColumn("hamming",
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+      .filter(col("hamming") <= maxDist)
+    // symmetrize before expansion: doc id order is independent of sketch order
+    val sym = sketchPairs.union(
+      sketchPairs.select(col("b_sim").as("a_sim"), col("a_sim").as("b_sim"),
+        col("hamming")))
+    val da = sh.select(col("sim").as("a_sim"), col(idCol).as("a_id"))
+    val db = sh.select(col("sim").as("b_sim"), col(idCol).as("b_id"))
+    val cross = sym.join(da, "a_sim").join(db, "b_sim")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    // identical-sketch pairs: certain duplicates (hamming 0), emitted
+    // unconditionally via a sketch-keyed self-join — fan-in is group size,
+    // i.e. exactly the output size, never bucket collisions
+    val same = sh.select(col("sim"), col(idCol).as("a_id"))
+      .join(sh.select(col("sim"), col(idCol).as("b_id")), Seq("sim"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        lit(0).cast(IntegerType).as("hamming"))
+    cross.union(same).distinct()
+  }
+
+  /** Capped candidate sketch pairs (a_sim < b_sim, pre-hamming-verify) from
+    * the 16-bit-chunk self-join over DISTINCT sketches. Buckets holding more
+    * than `maxBucket` sketches are skipped ([[DefaultMaxBucket]] semantics —
+    * see [[simhashNearDupPairs]]). Public so ScaleProbe can require the
+    * candidate count stays bounded on dense-bucket sketch distributions. */
+  def simhashSketchCandidates(sketches: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunked = sketches.select(col("sim"),
       explode(array((0 until 4).map(c => struct(
         lit(c).as("chunk"),
         shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
         .as("ck"))
       .select(col("sim"), col("ck.chunk"), col("ck.key"))
+      .withColumn("__bs", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("key"))))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
       .localCheckpoint()
     val l = chunked.select(col("chunk"), col("key"), col("sim").as("a_sim"))
     val r = chunked.select(col("chunk"), col("key"), col("sim").as("b_sim"))
-    // sketch pairs (incl. identical-sketch pairs via a_sim = b_sim on docs)
-    val sketchPairs = l.join(r, Seq("chunk", "key"))
-      .filter(col("a_sim") <= col("b_sim"))
-      .select(col("a_sim"), col("b_sim"),
-        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
-    // symmetrize before expansion: doc id order is independent of sketch order
-    val sym = sketchPairs.union(
-      sketchPairs.filter(col("a_sim") =!= col("b_sim"))
-        .select(col("b_sim").as("a_sim"), col("a_sim").as("b_sim"), col("hamming")))
-    val da = sh.select(col("sim").as("a_sim"), col(idCol).as("a_id"))
-    val db = sh.select(col("sim").as("b_sim"), col(idCol).as("b_id"))
-    sym.join(da, "a_sim").join(db, "b_sim")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("a_sim") < col("b_sim"))
+      .select(col("a_sim"), col("b_sim"))
       .distinct()
   }
 
@@ -594,12 +634,39 @@ object Dedup {
             .otherwise(concat_ws(" ", kept))).as("cleaned"))
   }
 
+  /** A brute-force block larger than this refuses (≈ 3×10⁷ pairs): the
+    * within-block join is all-pairs BY CONTRACT, so block size is the one
+    * knob standing between "baseline" and "accidental cartesian". */
+  val DefaultMaxBlock = 8192
+
   /** Embedding cosine near-dup pairs within a blocking key (brute-force
-    * baseline; IVF/LSH bucketing is the scale path). */
+    * baseline; IVF/LSH bucketing is the scale path — see [[semanticDedup]]
+    * and [[minhashNearDupPairs]]).
+    *
+    * Each block is joined ALL-PAIRS, so a low-cardinality `blockCol` is a
+    * quadratic hazard: any block holding more than `maxBlock` rows fails the
+    * job at execution time (a distributed per-block count guard — no extra
+    * driver pass) with a pointer at the scale paths. Raise `maxBlock`
+    * explicitly to accept the quadratic cost. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            blockCol: String, minSim: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+                            blockCol: String, minSim: Double,
+                            maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the guard rides the join input as a filter over assert_true, so it
+    // cannot be pruned away and adds no job: the window count shuffles on
+    // blk, the key the join shuffles on anyway
+    val guarded = df.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(assert_true(col("__bn") <= maxBlock, concat(
+        lit("embeddingNearDupPairs: block "), col("blk").cast("string"),
+        lit(" holds "), col("__bn").cast("string"),
+        lit(s" rows > maxBlock=$maxBlock; the within-block join is the " +
+          "all-pairs brute baseline — use semanticDedup (IVF-blocked) or " +
+          "minhashNearDupPairs at this scale, or raise maxBlock explicitly")))
+        .isNull)
+      .drop("__bn")
+    val a = guarded.select(col("blk"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = guarded.select(col("blk"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", lit(1.0) - cosineDistance(col("a_vec"), col("b_vec")))

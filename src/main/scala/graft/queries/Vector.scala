@@ -706,10 +706,7 @@ object Vector {
     "q_embed_near_dup" -> { (s, d) =>
       val e = Tables.embeddings(s, d).select(
         col("vec_id"), col("label"), col("embedding"))
-      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"), col("embedding").as("a_vec"))
-      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("embedding").as("b_vec"))
-      a.join(b, col("a_label") === col("b_label") && col("a_id") < col("b_id"))
-        .withColumn("sim", lit(1.0) - cosineDistance(col("a_vec"), col("b_vec")))
+      graft.operators.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "label", 0.8)
         .filter(col("sim") > 0.8)
         .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
         .orderBy(col("a_id"), col("b_id"))

@@ -311,6 +311,42 @@ object ScaleProbe {
       }
     }
 
+    // ---- dense-bucket simhash (r16, VERDICT r15 #1): one 16-bit chunk
+    // bucket holding 250f DISTINCT sketches — the organic shape at 10⁹⁺
+    // sketches (~N/65536 per bucket) that the uncapped chunk join would
+    // compare quadratically (C(250f,2) per factor). With the bucket cap the
+    // dense bucket is skipped and the candidate set is EXACTLY the 10f
+    // genuine near-dup pairs, each colliding only in sparse size-2 buckets
+    // — require'd, not just timed — so cost grows with N, not N². Sketches
+    // are constructed directly (sketch-level entry): decoys i·(2¹⁶+2³²+2⁴⁸)
+    // all share chunk-0 key 0 and are singletons in chunks 1-3 (i < 2¹⁴);
+    // pair j = x_j and x_j xor 2²⁹ (hamming 1) with per-j unique chunk keys
+    // in the 0x4000+ range decoys never reach. ----
+    for (f <- docFactors) {
+      time("simhash_dense", f) {
+        val decoys = 250L * f
+        val pairs = 10L * f
+        val mul = (1L << 16) | (1L << 32) | (1L << 48)
+        val decoyDf = spark.range(1, decoys + 1)
+          .select((col("id") * mul).as("sim"), (col("id") + 1000000L).as("doc_id"))
+        val xs = spark.range(1, pairs + 1).select(
+          (col("id")
+            + (lit(0x4000L) + col("id") * 2) * lit(1L << 16)
+            + (lit(0x4000L) + col("id")) * lit(1L << 32)
+            + (lit(0x4000L) + col("id")) * lit(1L << 48)).as("sim"),
+          (col("id") * 2).as("doc_id"))
+        val ys = xs.select(col("sim").bitwiseXOR(lit(1L << 29)).as("sim"),
+          (col("doc_id") + 1).as("doc_id"))
+        val sh = decoyDf.unionByName(xs).unionByName(ys)
+        val cand = Dedup.simhashSketchCandidates(
+          sh.select(col("sim")).distinct(), maxBucket = 64).count()
+        require(cand == pairs, s"dense-bucket candidates $cand != true pairs $pairs")
+        val out = Dedup.simhashPairsFromSketches(sh, "doc_id", 3, maxBucket = 64).count()
+        require(out == pairs, s"dense-bucket verified pairs $out != $pairs")
+        out
+      }
+    }
+
     // ---- corpus line dedup (r10): boilerplate removal is two line-keyed
     // aggs + one doc-keyed reassembly — every shuffle keyed by line/doc,
     // never pairwise, so the fitted exponent must stay ~linear ----

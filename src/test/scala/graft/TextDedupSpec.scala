@@ -553,4 +553,47 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Option[String])].collect().toMap
     assert(scrubbed(1L).isEmpty && scrubbed(2L).isEmpty)
   }
+
+  test("simhash dense chunk bucket is capped; sparse-bucket recall survives") {
+    // 200 distinct decoy sketches i*(2^16+2^32+2^48): all share chunk-0
+    // key 0 (one dense bucket), chunks 1-3 are i (distinct). Pairwise
+    // hamming is large, but UNCAPPED the chunk-0 bucket alone yields
+    // C(200,2)=19900 candidate comparisons. Plus one genuine near-dup
+    // sketch pair (hamming 1) colliding only in SPARSE buckets, and two
+    // docs sharing one sketch (hamming 0, must never ride the chunk join).
+    val mul = (1L << 16) | (1L << 32) | (1L << 48)
+    val base = 0x5a5a00000000L | 0x1111L // chunk0 = 0x1111, outside the dense bucket
+    val rows =
+      (1 to 200).map(i => (i.toLong, i * mul)) ++
+      Seq((500L, base), (501L, base ^ (1L << 31)), // hamming 1 (chunk-1 bit above the decoy key range), chunks 0/2/3 shared
+          (600L, 0x7777777777777777L), (601L, 0x7777777777777777L)) // identical
+    val sh = rows.toDF("doc_id", "sim")
+    val capped = Dedup.simhashSketchCandidates(
+      sh.select($"sim").distinct(), maxBucket = 100)
+    // the 200-sketch chunk-0 bucket is skipped; the only surviving
+    // candidate is the genuine pair via its sparse (size-2) buckets
+    assert(capped.count() == 1)
+    val pairs = Dedup.simhashPairsFromSketches(sh, "doc_id", maxDist = 3,
+      maxBucket = 100).as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((500L, 501L, 1)))
+    assert(pairs.contains((600L, 601L, 0))) // identical-sketch pair: cap-immune
+    assert(pairs.forall(p => p._1 >= 500L)) // no decoy pair leaks through
+    // uncapped control: the same corpus produces the quadratic candidate set
+    val uncapped = Dedup.simhashSketchCandidates(
+      sh.select($"sim").distinct(), maxBucket = Dedup.DefaultMaxBucket)
+    assert(uncapped.count() >= 19900L)
+  }
+
+  test("embeddingNearDupPairs refuses a block over maxBlock, points at scale paths") {
+    val vecs = (1 to 8).map(i =>
+      (i.toLong, "blk", Array.fill(4)(i.toFloat))).toDF("id", "b", "v")
+    val err = intercept[Exception] {
+      Dedup.embeddingNearDupPairs(vecs, "id", "v", "b", 0.5, maxBlock = 4).count()
+    }
+    assert(err.getMessage.contains("semanticDedup") ||
+      Option(err.getCause).exists(_.getMessage.contains("semanticDedup")))
+    // under the cap the same corpus pairs normally
+    val ok = Dedup.embeddingNearDupPairs(vecs, "id", "v", "b", 0.5, maxBlock = 8)
+    assert(ok.count() > 0)
+  }
 }
