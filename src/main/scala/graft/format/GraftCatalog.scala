@@ -760,6 +760,12 @@ private[format] object GraftProcedures {
         Seq[Any]("ivf_serve", IvfIndex.serveCacheSize.toLong,
           IvfIndex.currentServeCapacity.toLong,
           IvfIndex.serveHits.get(), IvfIndex.serveMisses.get()),
+        // IVF_PQ driver-local serving (r16): entries are resident per-
+        // partition CODE arrays; refine vectors share the ivf_serve LRU
+        Seq[Any]("pq_serve", graft.operators.PqIndex.serveCacheSize.toLong,
+          graft.operators.PqIndex.currentServeCapacity.toLong,
+          graft.operators.PqIndex.serveHits.get(),
+          graft.operators.PqIndex.serveMisses.get()),
         // FTS driver-local serving (r15): entries are resident per-token
         // postings lists
         Seq[Any]("fts_serve", graft.operators.Fts.serveCacheSize.toLong,

@@ -740,17 +740,10 @@ object HnswIndex {
   private val serveEpochs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def indexEpoch(spark: SparkSession, indexPath: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) "absent"
-    else fs.listStatus(p).map(s =>
-      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(";")
-  }
-
+  // r16 (ADVICE r15 #4): bounded deep listing ([[ServeEpoch]]) so nested
+  // file rewrites move the token on object stores too.
   private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = indexEpoch(spark, indexPath)
+    val ep = ServeEpoch.of(spark, indexPath)
     val prev = serveEpochs.put(indexPath, ep)
     if (prev != null && prev != ep) serveGraphs.synchronized {
       serveModels.remove(indexPath)

@@ -334,17 +334,11 @@ object IvfIndex {
   private val serveEpochs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def indexEpoch(spark: SparkSession, indexPath: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) "absent"
-    else fs.listStatus(p).map(s =>
-      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(";")
-  }
-
-  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = indexEpoch(spark, indexPath)
+  // r16 (ADVICE r15 #4): the epoch is [[ServeEpoch]]'s bounded deep listing,
+  // not a one-level root listing — object-store rebuilds that only rewrite
+  // files nested under vectors/__ivf_pid=N/ still move the token.
+  private[operators] def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = ServeEpoch.of(spark, indexPath)
     val prev = serveEpochs.put(indexPath, ep)
     if (prev != null && prev != ep) serveRows.synchronized {
       val it = serveRows.keySet().iterator()
@@ -365,7 +359,7 @@ object IvfIndex {
     cap
   }
 
-  private def servePartition(spark: SparkSession, indexPath: String,
+  private[operators] def servePartition(spark: SparkSession, indexPath: String,
                              idCol: String, vecCol: String,
                              pid: Int): Array[(Long, Array[Float])] = {
     refreshServeCapacity(spark)
@@ -404,7 +398,7 @@ object IvfIndex {
   /** Same accumulation order and widening as the codegen'd distance
     * kernels ([[graft.functions.VectorDistances]]) — results are
     * bit-identical to [[search]]'s, not merely close. */
-  private def serveDist(metric: String, q: Array[Float], v: Array[Float]): Double = {
+  private[operators] def serveDist(metric: String, q: Array[Float], v: Array[Float]): Double = {
     val n = math.min(q.length, v.length)
     metric match {
       case "l2" =>

@@ -396,6 +396,159 @@ object PqIndex {
     PqModel(books.map(_.toArray))
   }
 
+  // ------------------------------------------------------------------
+  // Driver-local single-query serving (r16, VERDICT r15 #2) — the IVF_PQ
+  // twin of [[IvfIndex.serveLocal]], matching the reference's headline
+  // interactive config (SIFT-1M IVF512/PQ16 at 1.24–2.15 ms/query,
+  // `benchmarks/sift/lance_sift1m_stats.csv:2-6`). Memory model mirrors
+  // the batched two-pass plan:
+  //  - the CODES of probed partitions live in their own LRU — m bytes per
+  //    vector (the 32× ratio that makes PQ the serve-scale index), budget
+  //    [[ServeCodesBudgetKey]];
+  //  - ADC ranks driver-side against per-query lookup tables ([[PqModel
+  //    .adcTable]], residual variant per-probed-pid) — bit-identical to
+  //    the codegen'd [[PqAdc]]/[[PqAdcByPid]] arithmetic;
+  //  - the top k·refineFactor candidates exact-refine against float
+  //    vectors from [[IvfIndex.servePartition]]'s shared LRU (a cold
+  //    partition costs one directory-pruned read; zero Spark jobs warm),
+  //    replicating [[Knn.flatSearch]]'s kernels via [[IvfIndex.serveDist]].
+  // Same epoch-staleness and budget-refusal contract as the serve twins.
+  // ------------------------------------------------------------------
+
+  val ServeCodesBudgetKey = "spark.graft.cache.pq.serve.partitions"
+  @volatile private var serveCodesCapacity = 256
+  def currentServeCapacity: Int = serveCodesCapacity
+  val serveHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val serveMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  def serveCacheSize: Int = serveCodes.synchronized(serveCodes.size())
+  private val serveCodes =
+    new java.util.LinkedHashMap[(String, Int), Array[(Long, Array[Byte])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Array[(Long, Array[Byte])]]): Boolean =
+        size() > serveCodesCapacity
+    }
+  private case class ServeState(ivf: IvfIndex.Model, pq: PqModel,
+                                metric: String, variant: String, numBits: Int)
+  private val serveStates =
+    new java.util.concurrent.ConcurrentHashMap[String, ServeState]()
+  private val serveEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop an index's driver-resident serve state (after rebuild/optimize).
+    * The refine vectors live in [[IvfIndex]]'s shared serve LRU — dropped
+    * through its own unpersist so both caches retire together. */
+  def serveUnpersist(indexPath: String): Unit = {
+    serveCodes.synchronized {
+      serveStates.remove(indexPath)
+      serveEpochs.remove(indexPath)
+      val it = serveCodes.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+    }
+    IvfIndex.serveUnpersist(indexPath)
+  }
+
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = ServeEpoch.of(spark, indexPath)
+    val prev = serveEpochs.put(indexPath, ep)
+    if (prev != null && prev != ep) serveCodes.synchronized {
+      serveStates.remove(indexPath)
+      val it = serveCodes.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+    }
+    // keep the shared refine-vector LRU on the same epoch
+    IvfIndex.ensureServeFresh(spark, indexPath)
+  }
+
+  private def refreshServeCapacity(spark: SparkSession): Int = {
+    val cap = math.max(1,
+      scala.util.Try(spark.conf.get(ServeCodesBudgetKey, "256").toInt).getOrElse(256))
+    if (cap < serveCodesCapacity) serveCodes.synchronized {
+      serveCodesCapacity = cap
+      val it = serveCodes.entrySet().iterator() // access-order: LRU first
+      while (serveCodes.size() > cap && it.hasNext) { it.next(); it.remove() }
+    } else serveCodesCapacity = cap
+    cap
+  }
+
+  private def serveState(spark: SparkSession, indexPath: String): ServeState =
+    serveStates.computeIfAbsent(indexPath, { _ =>
+      ServeState(IvfIndex.loadModel(spark, indexPath), loadPq(spark, indexPath),
+        IvfIndex.readVectorMeta(spark, indexPath),
+        IvfIndex.readPqVariant(spark, indexPath),
+        IvfIndex.readPqBits(spark, indexPath))
+    })
+
+  private def serveCodesPartition(spark: SparkSession, indexPath: String,
+                                  idCol: String, pid: Int): Array[(Long, Array[Byte])] = {
+    refreshServeCapacity(spark)
+    // cold read OUTSIDE the lock (see IvfIndex.servePartition): a racing
+    // duplicate load is benign, a blocked warm query is not
+    serveCodes.synchronized {
+      val hit = serveCodes.get((indexPath, pid))
+      if (hit != null) { serveHits.incrementAndGet(); return hit }
+    }
+    serveMisses.incrementAndGet()
+    val rows = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col(IvfIndex.PidCol) === pid)
+      .select(col(idCol).cast("long"), col(CodeCol)).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    serveCodes.synchronized { serveCodes.put((indexPath, pid), rows) }
+    rows
+  }
+
+  /** Preload the serve caches (codes + refine vectors; all partitions by
+    * default); returns resident code-row count. */
+  def serveWarm(spark: SparkSession, indexPath: String, idCol: String,
+                vecCol: String, pids: Seq[Int] = Nil): Long = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveState(spark, indexPath)
+    val targets = if (pids.nonEmpty) pids else 0 until st.ivf.nlist
+    val cap = refreshServeCapacity(spark)
+    require(targets.size <= cap,
+      s"serveWarm(${targets.size} partitions) exceeds the code-cache budget " +
+        s"$cap — raise $ServeCodesBudgetKey or warm a pid subset")
+    val n = targets.map(p =>
+      serveCodesPartition(spark, indexPath, idCol, p).length.toLong).sum
+    IvfIndex.serveWarm(spark, indexPath, idCol, vecCol, targets)
+    n
+  }
+
+  /** Answer one query driver-locally: centroid ranking + ADC over the
+    * probed partitions' resident codes + exact refine of the global top
+    * k·refineFactor against resident float vectors. Ids AND distances are
+    * bit-identical to [[search]] at equal refineFactor — same ADC
+    * arithmetic, same (adc, id) candidate cut, same exact kernels and
+    * (distance, id) tie-break. No Spark job once the partitions are warm. */
+  def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
+                 vecCol: String, query: Array[Float], k: Int, nprobes: Int,
+                 refineFactor: Int = 10): Seq[(Long, Double)] = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveState(spark, indexPath)
+    val q = if (st.metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = st.ivf.rank(q).take(math.min(nprobes, st.ivf.nlist))
+    // pass 1: ADC over resident codes — residual variant builds one table
+    // per probed pid over q − centroid(pid), exactly like the batched plan
+    val cands = probes.iterator.flatMap { pid =>
+      val table =
+        if (st.variant == "residual") {
+          val cent = st.ivf.centroids(pid)
+          st.pq.adcTable(Array.tabulate(q.length)(i => q(i) - cent(i)))
+        } else st.pq.adcTable(q)
+      serveCodesPartition(spark, indexPath, idCol, pid).iterator
+        .map { case (id, codes) => (id, adc(table, codes, st.numBits), pid) }
+    }.toSeq.sortBy { case (id, d, _) => (d, id) }.take(k * refineFactor)
+    // pass 2: exact refine from the shared float-vector serve LRU
+    val byPid = cands.groupBy(_._3)
+    byPid.iterator.flatMap { case (pid, cs) =>
+      val vecs = IvfIndex.servePartition(spark, indexPath, idCol, vecCol, pid)
+      val lookup = new java.util.HashMap[Long, Array[Float]](vecs.length * 2)
+      vecs.foreach { case (id, v) => lookup.put(id, v) }
+      cs.iterator.flatMap { case (id, _, _) =>
+        Option(lookup.get(id)).map(v => (id, IvfIndex.serveDist(st.metric, q, v)))
+      }
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
   /** ANN search: ADC candidate pass + exact-refine pass, both restricted to
     * the probed partitions and column-pruned.
     *

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Staleness token for the driver-local serve caches (IVF/HNSW/PQ/FTS).
+  *
+  * The r15 guard was a one-level root listing (child name:len:mtime). That
+  * is sufficient on local filesystems, where a directory's mtime moves when
+  * files inside it are rewritten — but on object stores "directories" are
+  * virtual entries with length 0 and mtime 0, so a rebuild that only
+  * rewrites files NESTED under e.g. `postings/` or `vectors/__ivf_pid=N/`
+  * can leave the root listing string unchanged and the serve LRU answering
+  * from the dead index (ADVICE r15 #4).
+  *
+  * Fix: fold the nested content into the token with a bounded recursive
+  * listing — every file at any depth contributes `path:len:mtime`, every
+  * directory contributes its name. Depth and entry count are capped so the
+  * guard stays a metadata-sized operation: a serve-scale index holds
+  * O(nlist) partition directories with a handful of part files each, far
+  * under the caps; if a pathological tree exceeds them, the remainder is
+  * summarized as `…+N` (the count itself still moves on add/drop, and any
+  * in-cap file rewrite moves the token).
+  *
+  * Granularity caveat (unchanged from r15): a rebuild completing within the
+  * same millisecond with identical file names and lengths at every depth is
+  * indistinguishable; real rebuilds rewrite part files over many ms.
+  */
+private[operators] object ServeEpoch {
+  private val MaxDepth = 3
+  private val MaxEntries = 4096
+
+  def of(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return "absent"
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var overflow = 0L
+    def walk(dir: org.apache.hadoop.fs.Path, prefix: String, depth: Int): Unit = {
+      val kids = fs.listStatus(dir).sortBy(_.getPath.getName)
+      kids.foreach { s =>
+        val name = s"$prefix${s.getPath.getName}"
+        if (entries.size >= MaxEntries) overflow += 1
+        else if (s.isDirectory) {
+          entries += name
+          if (depth < MaxDepth) walk(s.getPath, s"$name/", depth + 1)
+          else overflow += 1 // depth-capped subtree: count it so adds still move the token
+        } else entries += s"$name:${s.getLen}:${s.getModificationTime}"
+      }
+    }
+    walk(p, "", 1)
+    val body = entries.mkString(";")
+    if (overflow == 0) body else s"$body;…+$overflow"
+  }
+}

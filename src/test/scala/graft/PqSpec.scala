@@ -222,4 +222,86 @@ class PqSpec extends AnyFunSuite {
     assert(got == flat)
     assert(got.filter(_ < 400).forall(_ % 7 != 0)) // deleted indexed rows stay dead
   }
+
+  test("serveLocal: PQ serving matches search() ids AND distances, no jobs warm (r16)") {
+    val idx = buildIdx()
+    PqIndex.serveUnpersist(idx)
+    val resident = PqIndex.serveWarm(spark, idx, "vec_id", "embedding")
+    assert(resident == embeddings.count(), s"all code rows resident, got $resident")
+    for (qid <- Seq(0L, 7L, 123L); rf <- Seq(4, 10)) {
+      val q = queryVec(qid)
+      val batched = PqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+          nprobes = 3, refineFactor = rf)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val served = PqIndex.serveLocal(spark, idx, "vec_id", "embedding", q,
+        10, nprobes = 3, refineFactor = rf)
+      assert(tracker.getJobIdsForGroup(null).length == before,
+        "warm serveLocal must not launch a Spark job")
+      assert(served == batched, s"qid=$qid rf=$rf: $served != $batched")
+    }
+  }
+
+  test("serveLocal: residual AND raw variants, cosine metric, all parity (r16)") {
+    for (residual <- Seq(true, false)) {
+      val dir = Files.createTempDirectory(s"pq_serve_${residual}_").toString
+      PqIndex.build(embeddings, "vec_id", "embedding", dir, nlist = 8, m = 8,
+        k = 16, metric = "cosine", residual = residual)
+      PqIndex.serveUnpersist(dir)
+      val q = queryVec(42L)
+      val batched = PqIndex.search(spark, dir, "vec_id", "embedding", q, 10,
+          nprobes = 4, refineFactor = 6)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q,
+        10, nprobes = 4, refineFactor = 6)
+      assert(served == batched, s"residual=$residual: $served != $batched")
+    }
+  }
+
+  test("serveLocal staleness: rebuild at the same path serves the NEW index (r16)") {
+    val dir = Files.createTempDirectory("pq_stale_").toString
+    PqIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
+      dir, nlist = 4, m = 8, k = 16)
+    PqIndex.serveUnpersist(dir)
+    val q = queryVec(0L)
+    val servedOld = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
+      nprobes = 4)
+    assert(servedOld.forall(_._1 < 300))
+    // rebuild IN PLACE over a disjoint id range; the epoch guard alone must
+    // retire the resident codes, vectors, and codebook state
+    PqIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
+      "vec_id", "embedding", dir, nlist = 4, m = 8, k = 16)
+    val servedNew = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
+      nprobes = 4)
+    assert(servedNew.forall(p => p._1 >= 300 && p._1 < 600),
+      s"stale serve cache answered for the dropped index: $servedNew")
+    val batched = PqIndex.search(spark, dir, "vec_id", "embedding", q, 5,
+        nprobes = 4)
+      .select(col("vec_id"), col(Knn.DistanceCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedNew == batched)
+  }
+
+  test("serve budget: warm refuses over-budget, shrink evicts immediately (r16)") {
+    val idx = buildIdx()
+    PqIndex.serveUnpersist(idx)
+    spark.conf.set(PqIndex.ServeCodesBudgetKey, "4")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        PqIndex.serveWarm(spark, idx, "vec_id", "embedding") // nlist=8 > 4
+      }
+      assert(e.getMessage.contains(PqIndex.ServeCodesBudgetKey), e.getMessage)
+      spark.conf.set(PqIndex.ServeCodesBudgetKey, "8")
+      PqIndex.serveWarm(spark, idx, "vec_id", "embedding")
+      assert(PqIndex.serveCacheSize == 8)
+      spark.conf.set(PqIndex.ServeCodesBudgetKey, "3")
+      PqIndex.serveLocal(spark, idx, "vec_id", "embedding", queryVec(0L), 5,
+        nprobes = 2)
+      assert(PqIndex.serveCacheSize <= 3,
+        s"shrunk budget left ${PqIndex.serveCacheSize} resident")
+    } finally spark.conf.unset(PqIndex.ServeCodesBudgetKey)
+  }
 }
