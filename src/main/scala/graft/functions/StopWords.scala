@@ -4,12 +4,13 @@ package graft.functions
   * the reference's tokenizer wires tantivy's `StopWordFilter::new(language)`
   * packaged lists next to the stemmer
   * (`rust/lance-index/src/scalar/inverted/tokenizer.rs:256-262`), so a user
-  * setting `removeStopWords` with a `language` gets the standard list
+  * setting `removeStopWords` with a `language` selects the standard list
   * without hand-assembling one. These are the published Snowball-project
   * stop-word lists (snowballstem.org, public) — function words only; the
   * high-frequency core of each published list is carried (the retrieval
-  * effect concentrates entirely there), and callers can extend via
-  * `FtsConfig.stopWords`, which UNIONS with the packaged list.
+  * effect concentrates entirely there). A caller-supplied
+  * `FtsConfig.stopWords` list REPLACES the packaged one (reference
+  * `StopWordFilter::remove` semantics — r16, ADVICE r15 #1).
   *
   * The lists are part of the index's tokenizer config round-trip: the
   * stored config re-derives the same effective set at query time, so index

@@ -188,8 +188,13 @@ object DictLoader {
     * (and the class-reduced connection matrix for morph, when the
     * dictionary ships one) — the STORED index config then carries the
     * resolved entries, so query-time tokenization needs neither the home
-    * conf nor the dictionary files. No-op when no name is set; explicit
-    * `cjkDictionary` entries alongside a name are refused (ambiguous). */
+    * conf nor the dictionary files. The resolved copy CLEARS the name
+    * (r16, ADVICE r15 #5): a stored config is already resolved, so
+    * feeding it back into a build (rebuild-from-stored-config) must not
+    * trip the name-vs-entries ambiguity refusal below; provenance is
+    * recorded in `cjkDictionarySource` instead. No-op when no name is set;
+    * explicit `cjkDictionary` entries alongside a name are refused
+    * (ambiguous). */
   def resolveConfig(spark: SparkSession, cfg: FtsConfig): FtsConfig = {
     if (cfg.cjkDictionaryName.isEmpty) return cfg
     require(cfg.cjkDictionary.isEmpty,
@@ -197,6 +202,8 @@ object DictLoader {
         "explicit cjkDictionary entries, not both")
     val (entries, conn) = loadNamed(spark, cfg.cjkDictionaryName)
     cfg.copy(cjkDictionary = entries,
+      cjkDictionaryName = "",
+      cjkDictionarySource = cfg.cjkDictionaryName,
       morphConnCosts =
         if (cfg.morphConnCosts.nonEmpty || conn.isEmpty) cfg.morphConnCosts
         else if (cfg.cjkSegmenter == "morph") conn

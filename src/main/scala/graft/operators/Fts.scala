@@ -24,13 +24,22 @@ case class FtsConfig(
     lowerCase: Boolean = true,
     asciiFolding: Boolean = false,
     maxTokenLength: Option[Int] = None,
+    /** Caller-supplied stop words. Reference semantics (r16, ADVICE r15
+      * #1, `tokenizer.rs:258-262`): a non-empty list REPLACES the packaged
+      * per-language list (tantivy `StopWordFilter::remove` vs `::new`) —
+      * they never union. As a graft convenience a non-empty list also
+      * filters WITHOUT `removeStopWords` (the reference has no such mode,
+      * so no shared config diverges). */
     stopWords: Seq[String] = Nil,
-    /** Use the PACKAGED stop-word list for `language` (reference wires
-      * tantivy's `StopWordFilter::new(language)` packaged lists next to
-      * the stemmer, `tokenizer.rs:256-262`) — r15, VERDICT r14 #3. The
-      * packaged list UNIONS with any caller-supplied `stopWords`; the
-      * flag round-trips with the stored index config, so index and query
-      * sides derive the same effective set. */
+    /** Use the stop-word list for `language` (reference wires tantivy's
+      * `StopWordFilter` next to the stemmer, `tokenizer.rs:256-262`): the
+      * PACKAGED list when `stopWords` is empty — an ERROR for languages
+      * without one, like the reference — or the caller's `stopWords`
+      * verbatim otherwise (replace semantics, see above). Stop-word
+      * removal runs AFTER stemming, matching the reference's filter
+      * order, so the effective list applies to stemmed tokens. The flag
+      * round-trips with the stored index config, so index and query sides
+      * derive the same effective set. */
     removeStopWords: Boolean = false,
     stemming: Boolean = false,
     /** Snowball stemmer language when `stemming` is on (reference drives
@@ -60,8 +69,15 @@ case class FtsConfig(
       * build time ([[DictLoader.resolveConfig]]); the stored index config
       * carries the resolved entries, so query-side tokenization needs
       * neither the conf nor the files. Mutually exclusive with explicit
-      * `cjkDictionary` entries. */
+      * `cjkDictionary` entries. The stored (resolved) config clears this
+      * field — `cjkDictionarySource` keeps the provenance — so a stored
+      * config can be fed back into a rebuild without tripping the
+      * ambiguity refusal (r16, ADVICE r15 #5). */
     cjkDictionaryName: String = "",
+    /** Provenance only: the dictionary name a stored config was resolved
+      * from (empty when entries were given explicitly). Never consulted by
+      * tokenization. */
+    cjkDictionarySource: String = "",
     /** Dictionary segmentation algorithm for the `cjk` tokenizer:
       *  - `"fmm"` (default): forward maximum matching with a bigram floor
       *    on unmatched stretches — best search recall.
@@ -465,23 +481,31 @@ object FtsTokenizer {
     }
     var out = base
     cfg.maxTokenLength.foreach(max => out = out.filter(_.length <= max))
-    val stop = effectiveStopWords(cfg)
-    if (stop.nonEmpty) out = out.filterNot(stop)
+    // reference filter order (tokenizer.rs build(): Stemmer BEFORE
+    // StopWordFilter) — stop words apply to the stemmed tokens
     if (cfg.stemming)
       out = out.map(graft.functions.SnowballStemmer.stem(_, cfg.language))
+    val stop = effectiveStopWords(cfg)
+    if (stop.nonEmpty) out = out.filterNot(stop)
     out
   }
 
-  /** The stop set a config denotes: caller-supplied words, unioned with
-    * the packaged per-language list when `removeStopWords` is set. Derived
-    * identically on the build and query sides from the round-tripped
-    * config. */
-  def effectiveStopWords(cfg: FtsConfig): Set[String] = {
-    val packaged =
-      if (cfg.removeStopWords) graft.functions.StopWords.forLanguage(cfg.language)
-      else Set.empty[String]
-    packaged ++ cfg.stopWords
-  }
+  /** The stop set a config denotes (reference `tokenizer.rs:258-262`,
+    * r16 ADVICE r15 #1): caller-supplied `stopWords` REPLACE the packaged
+    * list when non-empty (tantivy `StopWordFilter::remove`); otherwise
+    * `removeStopWords` selects the packaged per-language list, erroring —
+    * like the reference — when no list is packaged for the language.
+    * Derived identically on the build and query sides from the
+    * round-tripped config. */
+  def effectiveStopWords(cfg: FtsConfig): Set[String] =
+    if (cfg.stopWords.nonEmpty) cfg.stopWords.toSet
+    else if (cfg.removeStopWords) {
+      val packaged = graft.functions.StopWords.forLanguage(cfg.language)
+      require(packaged.nonEmpty,
+        s"removing stop words for language '${cfg.language}' is not " +
+          "supported: no packaged list — pass stopWords explicitly")
+      packaged
+    } else Set.empty[String]
 }
 
 /** Scalar Snowball stem of one token — used INSIDE `transform()` over the
@@ -607,12 +631,14 @@ object Fts {
       case _ => filter(split(t, "[^a-z0-9]+"), x => x =!= lit(""))
     }
     cfg.maxTokenLength.foreach(max => arr = filter(arr, x => length(x) <= lit(max)))
-    val stop = FtsTokenizer.effectiveStopWords(cfg)
-    if (stop.nonEmpty)
-      arr = filter(arr, x => !x.isin(stop.toSeq: _*))
+    // reference filter order: stem BEFORE stop-word removal (mirrors
+    // [[FtsTokenizer.tokens]])
     if (cfg.stemming)
       arr = transform(arr, x => ColumnBridge.column(
         StemWord(ColumnBridge.expression(x), cfg.language)))
+    val stop = FtsTokenizer.effectiveStopWords(cfg)
+    if (stop.nonEmpty)
+      arr = filter(arr, x => !x.isin(stop.toSeq: _*))
     arr
   }
 
@@ -1160,14 +1186,34 @@ object Fts {
       .withColumn("term_score", bm25Term(n, avgdl))
   }
 
+  /** Per-doc BM25 score sum in CANONICAL (ascending-addend) order
+    * (r16, ADVICE r15 #2): floating-point addition is not associative at
+    * the ulp level, so a plain `sum()` accumulates in partition order —
+    * for docs matching 3+ distinct terms the batched and driver-side
+    * (serve) sums could differ by ulps and flip the (score desc, doc_id)
+    * tie-break. Sorting the addends before folding makes the batched score
+    * reproducible across partitionings AND bit-identical to [[serveScore]],
+    * which folds the same sorted addends. Per-doc group size is the query's
+    * term count, so the collect_list holds a handful of doubles. */
+  private def canonicalScoreSum(addend: Column): Column =
+    aggregate(array_sort(collect_list(addend)), lit(0.0), _ + _)
+
   /** Match query: BM25 top-k over any of the terms (OR semantics, like the
     * reference MatchQuery). Terms run through the index's tokenizer config.
     * Ties broken by doc_id. `allowedDocs` (any one-column id frame) is the
     * prefilter hook: only those docs are scored, so the top-k is the true
     * top-k of the matching set. */
   def matchQuery(spark: SparkSession, indexPath: String, terms: Seq[String], k: Int,
-                 allowedDocs: Option[DataFrame] = None): DataFrame =
-    matchTokens(spark, indexPath, queryTerms(spark, indexPath, terms), k, allowedDocs)
+                 allowedDocs: Option[DataFrame] = None,
+                 withScore: Boolean = true): DataFrame = {
+    val out = matchTokens(spark, indexPath, queryTerms(spark, indexPath, terms),
+      k, allowedDocs)
+    // withScore = false is the reference's disable_scoring_autoprojection
+    // (r16, VERDICT r15 #7, `dataset.py:692,803-811`): the scoring column
+    // is auto-appended by default; opting out projects ids only. The
+    // top-k cut itself still ranks by score either way.
+    if (withScore) out else out.select(col("doc_id"))
+  }
 
   /** Match over already-analyzed index-space tokens (no re-tokenization —
     * [[fuzzyQuery]]'s expansions are already dictionary tokens). */
@@ -1185,7 +1231,7 @@ object Fts {
       .getOrElse(base)
     filtered
       .groupBy(col("doc_id"))
-      .agg(sum(col("term_score")).as("_score"))
+      .agg(canonicalScoreSum(col("term_score")).as("_score"))
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
   }
@@ -1289,7 +1335,7 @@ object Fts {
       val seedPostings = spark.read.parquet(p.postings)
         .filter(col("token").isin(qs: _*)).filter(seedRanges)
       val seedTop = scored(spark, p, qs, Some(seedPostings))
-        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("_score"))
+        .groupBy(col("doc_id")).agg(canonicalScoreSum(col("term_score")).as("_score"))
         .orderBy(col("_score").desc, col("doc_id")).limit(k)
         .collect()
       if (seedTop.length < k) return matchTokens(spark, indexPath, qs, k)
@@ -1316,7 +1362,7 @@ object Fts {
             .join(surviving, wandBlock(col("doc_id")) === surviving("block"), "left_semi")
         }
       scored(spark, p, qs, Some(pruned))
-        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("_score"))
+        .groupBy(col("doc_id")).agg(canonicalScoreSum(col("term_score")).as("_score"))
         .orderBy(col("_score").desc, col("doc_id"))
         .limit(k)
     } finally blockUb.unpersist()
@@ -1417,7 +1463,7 @@ object Fts {
       .join(docstats, "doc_id")
       .withColumn("term_score", bm25Term(n, avgdl))
       .groupBy(col("doc_id"))
-      .agg(sum(col("term_score")).as("_score"))
+      .agg(canonicalScoreSum(col("term_score")).as("_score"))
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
   }
@@ -1465,9 +1511,9 @@ object Fts {
     val posTerms = queryTerms(spark, indexPath, positive)
     val negTerms = queryTerms(spark, indexPath, negative)
     val pos = scored(spark, p, posTerms)
-      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("pos_score"))
+      .groupBy(col("doc_id")).agg(canonicalScoreSum(col("term_score")).as("pos_score"))
     val neg = scored(spark, p, negTerms)
-      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("neg_score"))
+      .groupBy(col("doc_id")).agg(canonicalScoreSum(col("term_score")).as("neg_score"))
     pos.join(neg, Seq("doc_id"), "left_outer")
       .withColumn("_score",
         col("pos_score") - lit(negativeBoost) * coalesce(col("neg_score"), lit(0.0)))
@@ -1483,7 +1529,7 @@ object Fts {
     val perField = fieldIndexPaths.map { case (idxPath, boost) =>
       // each field analyzes the terms with ITS OWN tokenizer config
       scored(spark, paths(idxPath), queryTerms(spark, idxPath, terms))
-        .groupBy(col("doc_id")).agg((sum(col("term_score")) * boost).as("fscore"))
+        .groupBy(col("doc_id")).agg((canonicalScoreSum(col("term_score")) * boost).as("fscore"))
     }
     perField.reduce(_.unionByName(_))
       .groupBy(col("doc_id"))
@@ -1519,7 +1565,7 @@ object Fts {
     val filtered0 = mustDocs.map(md => base.join(md, Seq("doc_id"), "left_semi")).getOrElse(base)
     val filtered = notDocs.map(nd => filtered0.join(nd, Seq("doc_id"), "left_anti")).getOrElse(filtered0)
     filtered.groupBy(col("doc_id"))
-      .agg(sum(col("term_score")).as("_score"))
+      .agg(canonicalScoreSum(col("term_score")).as("_score"))
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
   }
@@ -1579,17 +1625,12 @@ object Fts {
     while (pit.hasNext) if (pit.next()._1 == indexPath) pit.remove()
   }
 
-  private def serveIndexEpoch(spark: SparkSession, indexPath: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) "absent"
-    else fs.listStatus(p).map(s =>
-      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(";")
-  }
-
+  // r16 (ADVICE r15 #4): bounded deep listing ([[ServeEpoch]]) — a rebuild
+  // that only rewrites files nested under postings/docstats/termstats moves
+  // the token even on object stores, where the r15 one-level root listing
+  // (virtual directory entries: len 0, mtime 0) could stay unchanged.
   private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = serveIndexEpoch(spark, indexPath)
+    val ep = ServeEpoch.of(spark, indexPath)
     val prev = serveEpochs.put(indexPath, ep)
     if (prev != null && prev != ep) servePostings.synchronized {
       serveStates.remove(indexPath)
@@ -1685,12 +1726,16 @@ object Fts {
   /** Shared driver-side scorer: BM25 with EXACTLY [[bm25Term]]'s
     * arithmetic (same idf, K1, B, dl/avgdl widening), summed per doc over
     * the token set (set semantics, like `isin`), then (score desc, doc_id)
-    * top-k — [[matchTokens]]'s ordering. */
+    * top-k — [[matchTokens]]'s ordering. Per-doc addends fold in the same
+    * CANONICAL ascending order as [[canonicalScoreSum]] (r16, ADVICE r15
+    * #2), so scores are bit-identical to the batched path for ANY number
+    * of matched terms, not just the 1-2 where fp addition order cannot
+    * matter. */
   private def serveScore(spark: SparkSession, indexPath: String,
                          st: ServeState, tokens: Seq[String], k: Int,
                          mustTokens: Seq[String] = Nil,
                          mustNotTokens: Seq[String] = Nil): Seq[(Long, Double)] = {
-    val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    val acc = new java.util.HashMap[java.lang.Long, collection.mutable.ArrayBuffer[Double]]()
     tokens.distinct.foreach { t =>
       val dfv = st.df.get(t)
       if (dfv != null) {
@@ -1704,8 +1749,9 @@ object Fts {
           if (dlv != null) {
             val s = idf * (tf * (K1 + 1)) /
               (tf + K1 * (1 - B + B * dlv.doubleValue / st.avgdl))
-            val prev = acc.get(doc)
-            acc.put(doc, if (prev == null) s else prev.doubleValue + s)
+            var buf = acc.get(doc)
+            if (buf == null) { buf = collection.mutable.ArrayBuffer.empty[Double]; acc.put(doc, buf) }
+            buf += s
           }
         }
       }
@@ -1720,7 +1766,7 @@ object Fts {
       val e = it.next()
       val doc = e.getKey.longValue
       if (mustSets.forall(_.contains(doc)) && !notSet.contains(doc))
-        out += ((doc, e.getValue.doubleValue))
+        out += ((doc, e.getValue.sorted.foldLeft(0.0)(_ + _)))
     }
     out.sortBy { case (doc, s) => (-s, doc) }.take(k).toSeq
   }

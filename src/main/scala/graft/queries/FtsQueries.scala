@@ -264,6 +264,31 @@ object FtsQueries {
       Fts.servePhrase(s, idx, Seq("hash", "join")).toDF("doc_id")
     },
 
+    // Boolean serving, oracle-gated (r16, VERDICT r15 #3): must/must_not
+    // replayed by the oracle as set algebra over the BM25 formula — the
+    // driver-side intersection/exclusion is certified by DuckDB directly,
+    // not only by the batched twin (FtsServeSpec keeps the twin parity).
+    "q_fts_serve_boolean" -> { (s, d) =>
+      val idx = indexFor(s, d, "bench")
+      import s.implicits._
+      Fts.serveBoolean(s, idx,
+          must = Seq("table"), should = Seq("vector"), mustNot = Seq("slow"), k = 20)
+        .toDF("doc_id", "_score")
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
+    // Fuzzy serving, oracle-gated (r16, VERDICT r15 #3): the oracle
+    // replays the resident-dictionary expansion with levenshtein() over
+    // the term dictionary — prefix gate and edit bound included — so the
+    // driver-side expansion set itself is DuckDB-certified.
+    "q_fts_serve_fuzzy" -> { (s, d) =>
+      val idx = indexFor(s, d, "bench")
+      import s.implicits._
+      Fts.serveFuzzy(s, idx, Seq("vectr"), fuzziness = 1, prefixLength = 4, k = 20)
+        .toDF("doc_id", "_score")
+        .select(col("doc_id"), round(col("_score"), 4).as("_score"))
+    },
+
     // Packaged per-language stop-word list (r15, VERDICT r14 #3:
     // reference `StopWordFilter::new(language)`, tokenizer.rs:256-262):
     // the index is built with removeStopWords = true and NO caller list;
@@ -468,6 +493,12 @@ object FtsQueries {
     "q_fts_boolean" -> bm25Select("'table','vector'",
       """AND f.doc_id IN (SELECT doc_id FROM tf WHERE token = 'table')
         |AND f.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'slow')""".stripMargin),
+    // serve legs (r16): identical oracles to their batched gates
+    "q_fts_serve_boolean" -> bm25Select("'table','vector'",
+      """AND f.doc_id IN (SELECT doc_id FROM tf WHERE token = 'table')
+        |AND f.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'slow')""".stripMargin),
+    "q_fts_serve_fuzzy" -> bm25Select(
+      "SELECT token FROM st WHERE token LIKE 'vect%' AND levenshtein(token, 'vectr') <= 1", ""),
     "q_fts_multimatch" ->
       """WITH fdocs AS (SELECT doc_id, text, array_to_string((string_split(text,' '))[1:10],' ') AS title FROM documents),
         |ftoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '') AS tk FROM fdocs),

@@ -33,9 +33,27 @@ class FtsServeSpec extends AnyFunSuite {
     val served = Fts.serveLocal(spark, idx, terms, 20)
     assert(tracker.getJobIdsForGroup(null).length == before,
       "warm serveLocal must not launch a Spark job")
-    // two query terms → at most two float addends per doc: float addition
-    // is commutative, so scores are bit-identical to the batched sum
     assert(served == batched, s"$served != $batched")
+  }
+
+  test("3+-term queries: canonical-order sums keep serve/batched bit-parity (r16)") {
+    // with 3+ distinct terms per doc, fp addition order matters at the ulp
+    // level; both sides now fold ascending-sorted addends (ADVICE r15 #2),
+    // so ids AND raw double scores must be identical — and the batched
+    // score must be partitioning-invariant
+    Fts.serveUnpersist(idx)
+    for (terms <- Seq(Seq("spark", "vector", "table"),
+                      Seq("spark", "vector", "table", "data", "query"))) {
+      val batched = Fts.matchQuery(spark, idx, terms, 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = Fts.serveLocal(spark, idx, terms, 50)
+      assert(served == batched, s"$terms: $served != $batched")
+      // at least one doc must actually match 3+ terms or this proves nothing
+      val multi = spark.read.parquet(s"$idx/postings")
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id").count().filter(col("count") >= 3).count()
+      assert(multi > 0, s"fixture too weak: no doc matches 3+ of $terms")
+    }
   }
 
   test("serveBoolean and serveFuzzy match their batched twins") {

@@ -456,14 +456,26 @@ class FtsSpec extends AnyFunSuite {
       assert(graft.functions.StopWords.forLanguage(lang).nonEmpty,
         s"no packaged stop list for $lang")
     }
-    // effectiveStopWords: packaged list unions with caller-supplied words
+    // reference semantics (r16, ADVICE r15 #1, tokenizer.rs:258-262):
+    // caller stopWords REPLACE the packaged list — never union
     val cfg = FtsConfig(removeStopWords = true, language = "german",
       stopWords = Seq("zebra"))
     val eff = FtsTokenizer.effectiveStopWords(cfg)
-    assert(eff("der") && eff("und") && eff("zebra"))
+    assert(eff == Set("zebra"),
+      s"custom stop words must replace the packaged list, got $eff")
     assert(!FtsTokenizer.effectiveStopWords(
       FtsConfig(language = "german")).contains("der"),
       "packaged list must not apply without removeStopWords")
+    // packaged list applies when no caller list is given
+    val pkg = FtsConfig(removeStopWords = true, language = "german")
+    assert(FtsTokenizer.effectiveStopWords(pkg)("der"))
+    // a language without a packaged list ERRORS (reference build()
+    // refusal), instead of silently filtering nothing
+    val err = intercept[IllegalArgumentException] {
+      FtsTokenizer.effectiveStopWords(
+        FtsConfig(removeStopWords = true, language = "japanese"))
+    }
+    assert(err.getMessage.contains("not supported"), err.getMessage)
     // the flag survives the stored-JSON round-trip, so query-side
     // tokenization derives the same effective set as the build side
     val json = org.json4s.jackson.Serialization.write(cfg)(
@@ -472,10 +484,16 @@ class FtsSpec extends AnyFunSuite {
     assert(back.removeStopWords && back.language == "german" &&
       back.stopWords == Seq("zebra"))
     assert(FtsTokenizer.effectiveStopWords(back) == eff)
-    // and the per-row tokenizer actually drops them (der/und/das are all
-    // in the packaged German list)
-    assert(FtsTokenizer.tokens("der schnelle Zug und das Haus", cfg) ==
+    // the per-row tokenizer drops the PACKAGED words under pkg config
+    // (der/und/das are all in the packaged German list)
+    assert(FtsTokenizer.tokens("der schnelle Zug und das Haus", pkg) ==
       Seq("schnelle", "zug", "haus"))
+    // reference filter order: stemming runs BEFORE stop-word removal, so
+    // stop entries match the STEMMED form ('zebra' stems from 'zebras'
+    // via Porter s-removal in english)
+    val stemCfg = FtsConfig(stemming = true, stopWords = Seq("zebra"))
+    assert(FtsTokenizer.tokens("zebras run", stemCfg) == Seq("run"),
+      "stop list must apply to stemmed tokens (stem-then-stop order)")
   }
 
   test("language config round-trips with the index; German query terms stem like the corpus") {
