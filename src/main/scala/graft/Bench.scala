@@ -156,11 +156,18 @@ object Bench {
       if (scala.util.Try(graft.format.GraftTable.latestVersion(spark,
           graft.tools.TpchAnchor.TableDir)).toOption.flatten.isDefined) {
         deepClean()
+        graft.tools.TpchAnchor.ensureJoinTables(spark)
+        val q3Entry =
+          if (scala.util.Try(graft.format.GraftTable.latestVersion(spark,
+              graft.tools.TpchAnchor.OrdersDir)).toOption.flatten.isDefined)
+            Seq(timedN("tpch_sf1_q3", reps, () =>
+              { graft.tools.TpchAnchor.q3(spark).collect(); () }))
+          else Nil
         Seq(
           timedN("tpch_sf1_q1", reps, () =>
             { graft.tools.TpchAnchor.q1(spark, graft.tools.TpchAnchor.TableDir).collect(); () }),
           timedN("tpch_sf1_q6", reps, () =>
-            { graft.tools.TpchAnchor.q6(spark, graft.tools.TpchAnchor.TableDir).collect(); () }))
+            { graft.tools.TpchAnchor.q6(spark, graft.tools.TpchAnchor.TableDir).collect(); () })) ++ q3Entry
       } else Nil
 
     val all = buildResults ++ pureResults ++ gateResults ++ sf1Results
@@ -200,7 +207,7 @@ object Bench {
       "q1_agg", "q3_join_topk", "q_ngram_jaccard", "q_minhash_lsh",
       "q_simhash_dedup", "q_fts_match", "q_fts_boost", "q_ann_ivf_exact",
       "q_ann_hnsw", "q_scalar_index", "q_format_roundtrip",
-      "q_multimodal_decode", "tpch_sf1_q1", "tpch_sf1_q6")
+      "q_multimodal_decode", "tpch_sf1_q1", "tpch_sf1_q6", "tpch_sf1_q3")
     val byName = all.toMap
     val headline = headlineNames.flatMap(n => byName.get(n).map(n -> _))
     val line =

@@ -21,6 +21,8 @@ import graft.format.GraftTable
 object TpchAnchor {
   val SrcDir = "/root/repo/benchdata/sf1"
   val TableDir = "/root/repo/benchdata/sf1_graft/lineitem"
+  val OrdersDir = "/root/repo/benchdata/sf1_graft/orders"
+  val CustomerDir = "/root/repo/benchdata/sf1_graft/customer"
 
   /** Dedicated anchor session: same SparkContext, plus GraftExtensions
     * and the opt-in packed group-key rewrite (r15, VERDICT r14 #2) for
@@ -79,6 +81,43 @@ object TpchAnchor {
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
+  /** TPC-H Q3 over graft customer/orders/lineitem tables (r16, VERDICT
+    * r15 #4: the Q1/Q6 anchor only covered scan+agg; this engine claims
+    * the join superset, so the anchor carries one join query too). Date
+    * literal 1998-04-01 ≈ the synthetic data's 1995-2001 midpoint,
+    * matching dbgen Q3's ~48%/~54% two-sided selectivities; the synthetic
+    * orders table has no o_shippriority, so o_orderpriority stands in
+    * (same cardinality class, same plan shape). */
+  def q3(spark: SparkSession): DataFrame = {
+    val s = anchorSession(spark)
+    q3df(GraftTable.read(s, CustomerDir), GraftTable.read(s, OrdersDir),
+      GraftTable.read(s, TableDir))
+  }
+
+  /** Plan shape is the 100 TB one: the filtered customer dimension
+    * broadcasts into orders, and the (date-filtered) customer⋈orders
+    * result — a few hundred thousand rows — broadcasts into the 6M-row
+    * lineitem scan, so the fact table NEVER shuffles; the only shuffle is
+    * the post-join partial agg on l_orderkey, and the top-10 is a
+    * TakeOrdered, not a global sort. */
+  def q3df(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-04-01 00:00:00"))
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    lineitem.filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Build the graft table once: 128 fragments (r14 — the r13 choice of
     * 16 was a straggler trap: 16 tasks on 16 threads leaves zero
     * work-stealing slack, so one slow task IS the wall-clock; the r14
@@ -110,6 +149,24 @@ object TpchAnchor {
       TableDir, "overwrite")
   }
 
+  /** Q3's side tables (r16): orders range-clustered by o_orderdate —
+    * the manifest zonemaps prune the date predicate's fragments before
+    * any parquet footer is touched — customer small and broadcast-bound. */
+  def ensureJoinTables(spark: SparkSession): Unit = {
+    if (!new java.io.File(s"$SrcDir/orders.parquet").exists()) return
+    if (scala.util.Try(GraftTable.latestVersion(spark, OrdersDir))
+        .toOption.flatten.isEmpty)
+      GraftTable.write(
+        spark.read.parquet(s"$SrcDir/orders.parquet")
+          .repartitionByRange(32, col("o_orderdate")),
+        OrdersDir, "overwrite")
+    if (scala.util.Try(GraftTable.latestVersion(spark, CustomerDir))
+        .toOption.flatten.isEmpty)
+      GraftTable.write(
+        spark.read.parquet(s"$SrcDir/customer.parquet").repartition(4),
+        CustomerDir, "overwrite")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -130,13 +187,18 @@ object TpchAnchor {
     // reaches its steady state within 2-3 runs. Best-of-N is only an
     // engine comparison when both sides are at steady state; the extra
     // passes cost ~8 s once per anchor run.
-    for (_ <- 1 to 20) { q1(spark, TableDir).collect(); q6(spark, TableDir).collect() }
+    ensureJoinTables(spark)
+    for (_ <- 1 to 20) {
+      q1(spark, TableDir).collect(); q6(spark, TableDir).collect()
+      q3(spark).collect()
+    }
     def best(fn: () => Unit): Double =
       (1 to 7).map { _ =>
         val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
       }.min
     val t1 = best(() => { q1(spark, TableDir).collect(); () })
     val t6 = best(() => { q6(spark, TableDir).collect(); () })
+    val t3 = best(() => { q3(spark).collect(); () })
     // raw-parquet control: isolates the graft format's read overhead from
     // Spark-vs-native engine differences
     // through the anchor session too: the control must carry the SAME agg
@@ -144,14 +206,19 @@ object TpchAnchor {
     val raw = anchorSession(spark).read.parquet(s"$SrcDir/lineitem.parquet")
     def q1raw = q1df(raw)
     def q6raw = q6df(raw)
-    for (_ <- 1 to 3) { q1raw.collect(); q6raw.collect() }
+    def q3raw = q3df(
+      anchorSession(spark).read.parquet(s"$SrcDir/customer.parquet"),
+      anchorSession(spark).read.parquet(s"$SrcDir/orders.parquet"), raw)
+    for (_ <- 1 to 3) { q1raw.collect(); q6raw.collect(); q3raw.collect() }
     val r1 = best(() => { q1raw.collect(); () })
     val r6 = best(() => { q6raw.collect(); () })
+    val r3 = best(() => { q3raw.collect(); () })
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       q1(spark, TableDir).explain("formatted")
       q6(spark, TableDir).explain("formatted")
+      q3(spark).explain("formatted")
     }
-    println(f"""{"tpch_sf1_q1":$t1%.4f,"tpch_sf1_q6":$t6%.4f,"raw_parquet_q1":$r1%.4f,"raw_parquet_q6":$r6%.4f,"cpus":$cpus}""")
+    println(f"""{"tpch_sf1_q1":$t1%.4f,"tpch_sf1_q6":$t6%.4f,"tpch_sf1_q3":$t3%.4f,"raw_parquet_q1":$r1%.4f,"raw_parquet_q6":$r6%.4f,"raw_parquet_q3":$r3%.4f,"cpus":$cpus}""")
     spark.stop()
   }
 }

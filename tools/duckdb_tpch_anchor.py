@@ -13,6 +13,11 @@ threads = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 con = duckdb.connect()
 con.execute(f"SET threads={threads}")
 con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')")
+import os
+has_q3 = os.path.exists(f"{d}/orders.parquet")
+if has_q3:
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet')")
 
 Q1 = """
 SELECT l_returnflag, l_linestatus,
@@ -38,8 +43,26 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24
 """
 
+# Q3 join anchor (r16): same adapted literals as TpchAnchor.q3 — the
+# synthetic schema has no o_shippriority, so o_orderpriority stands in.
+Q3 = """
+SELECT l_orderkey,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+  AND l_shipdate > TIMESTAMP '1998-04-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
 out = {"threads": threads}
-for name, q in [("q1", Q1), ("q6", Q6)]:
+queries = [("q1", Q1), ("q6", Q6)] + ([("q3", Q3)] if has_q3 else [])
+for name, q in queries:
     times = []
     rows = None
     for _ in range(5):

@@ -26,3 +26,27 @@ COPY (
 """)
 n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/lineitem.parquet')").fetchone()[0]
 print(f"wrote {out}/lineitem.parquet rows={n}")
+
+# r16 (VERDICT r15 #4): orders + customer for the Q3 join anchor. Same x10
+# replication with the SAME key shift as lineitem, so each replica's joins
+# line up exactly like the source's — join fan-out per key stays constant.
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + i * 10000000 AS o_orderkey,
+         o_custkey + i * 10000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('/root/testdata/sf0.1/orders.parquet'),
+       range(10) t(i)
+) TO '{out}/orders.parquet' (FORMAT parquet, ROW_GROUP_SIZE 1048576)
+""")
+con.execute(f"""
+COPY (
+  SELECT c_custkey + i * 10000000 AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('/root/testdata/sf0.1/customer.parquet'),
+       range(10) t(i)
+) TO '{out}/customer.parquet' (FORMAT parquet, ROW_GROUP_SIZE 1048576)
+""")
+for t in ("orders", "customer"):
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+    print(f"wrote {out}/{t}.parquet rows={n}")
