@@ -1128,8 +1128,12 @@ private[format] object GraftProcedures {
         case "FTS" =>
           graft.operators.Fts.optimizeForTable(spark, path, idCol, column,
             maxDeltaFiles = maxDeltas)
-        case other => throw new IllegalArgumentException(
-          s"index '$idxName' has unknown type $other")
+        case other => graft.index.ScalarIndexRegistry.get(other) match {
+          // registered third-party kind (r16, reference registry.rs)
+          case Some(pl) => pl.optimize(spark, path, column, idxDir)
+          case None => throw new IllegalArgumentException(
+            s"index '$idxName' has unknown type $other")
+        }
       }
       Seq(n)
     }
@@ -1251,10 +1255,19 @@ private[format] object GraftProcedures {
           graft.operators.Fts.buildForTable(spark, path, idCol, column,
             config = tcfg)
           s"fts_$column"
-        case other => throw new IllegalArgumentException(
-          s"graft: unknown index_type $other (BTREE, BLOOMFILTER, LABEL_LIST, " +
-            "NGRAM, IVF_FLAT, IVF_PQ, IVF_SQ, IVF_RQ, IVF_HNSW, IVF_HNSW_SQ, " +
-            "IVF_HNSW_PQ, FTS)")
+        case other => graft.index.ScalarIndexRegistry.get(other) match {
+          // registered third-party kind (r16, reference registry.rs):
+          // tokenizer_config doubles as the plugin params string, the
+          // reference's new_training_request(params) JSON channel
+          case Some(pl) =>
+            pl.build(spark, path, column, idxDir,
+              Option(in.getUTF8String(13)).map(_.toString).getOrElse(""))
+            pl.dirName(column)
+          case None => throw new IllegalArgumentException(
+            s"graft: unknown index_type $other (BTREE, BLOOMFILTER, LABEL_LIST, " +
+              "NGRAM, IVF_FLAT, IVF_PQ, IVF_SQ, IVF_RQ, IVF_HNSW, IVF_HNSW_SQ, " +
+              "IVF_HNSW_PQ, FTS, or a registered ScalarIndexRegistry kind)")
+        }
       }
       Seq(name, GraftTable.loadManifest(spark, path).version)
     }

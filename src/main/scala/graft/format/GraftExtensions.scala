@@ -90,7 +90,8 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
           lr @ LogicalRelation(HadoopFsRelation(gfi: GraftFileIndex, _, _, _, _, _), _, _, _, _))
           if !gfi.maskApplied =>
         findBtree(cond, gfi).orElse(findLabelList(cond, gfi))
-          .orElse(findJson(cond, gfi)).orElse(findNgram(cond, gfi)) match {
+          .orElse(findJson(cond, gfi)).orElse(findNgram(cond, gfi))
+          .orElse(findPlugin(cond, gfi)) match {
           case Some((covered, mask)) => rewrite(f, lr, gfi, covered, mask)
           case None => findBloom(cond, gfi) match {
             case Some(keepFrags) => rewriteFragmentPrune(f, lr, gfi, keepFrags)
@@ -407,6 +408,33 @@ class GraftScalarIndexRule(session: SparkSession) extends Rule[LogicalPlan]
     case _: AttributeReference => true
     case c: Cast => isAttrSide(c.child)
     case _ => false
+  }
+
+  /** Registered-plugin finder (r16, reference `registry.rs` — the
+    * `new_query_parser` participation hook): for each single-column
+    * conjunct, ask each registered plugin whose index dir is usable for
+    * this snapshot (same [[firstUsable]] coverage/column-identity/uuid
+    * discipline as the built-ins) for an address mask. The rewrite keeps
+    * the original filter as the refine step, so plugin masks only need
+    * to be over-approximate to be CORRECT. */
+  private def findPlugin(cond: Expression, gfi: GraftFileIndex)
+      : Option[(Set[Long], org.apache.spark.sql.DataFrame)] = {
+    val plugins = graft.index.ScalarIndexRegistry.all
+    if (plugins.isEmpty) return None
+    splitConjunctivePredicates(cond).iterator.flatMap { p =>
+      if (p.references.size == 1) {
+        val colName = p.references.head.name
+        plugins.iterator.flatMap { pl =>
+          firstUsable(gfi, colName, candidateNames(gfi, colName)
+              .map(n => s"${gfi.tablePath}/_indices/${pl.dirName(n)}"))
+            .flatMap { case (dir, covered) =>
+              pl.candidatesFor(session, dir, colName, p).map { m =>
+                (covered, m.select(col(GraftTable.RowAddrCol).as(JoinKey)))
+              }
+            }
+        }.nextOption()
+      } else None
+    }.nextOption()
   }
 
   private def indexDir(gfi: GraftFileIndex, colName: String): String =

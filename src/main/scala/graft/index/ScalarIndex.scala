@@ -131,6 +131,24 @@ object ScalarIndex {
     }
   }
 
+  /** Public commit step for [[ScalarIndexRegistry]] plugins (r16): the
+    * same marker + manifest-IndexMeta bookkeeping every built-in build
+    * ends with ([[finishBuild]]), exposed so third-party index kinds get
+    * the identical cross-session visibility, staleness, and uuid-veto
+    * regime. Call LAST, after the index dataset is fully written under
+    * `indexPath/<plugin.dirName(column)>`. */
+  def commitPluginBuild(spark: SparkSession, tablePath: String,
+                        indexPath: String, plugin: ScalarIndexPlugin,
+                        column: String,
+                        params: Map[String, String] = Map.empty): Unit = {
+    require(ScalarIndexRegistry.get(plugin.kind).exists(_ eq plugin) ||
+      !ScalarIndexRegistry.BuiltinKinds.contains(plugin.kind),
+      s"plugin kind ${plugin.kind} may not shadow a built-in")
+    finishBuild(spark, tablePath, indexPath, plugin.dirName(column),
+      plugin.kind, physicalOf(spark, tablePath, column),
+      GraftTable.loadManifest(spark, tablePath), freshUuid = true, params)
+  }
+
   /** PHYSICAL (on-file) name of a logical column in the table's current
     * manifest — what build-time markers record. */
   private def physicalOf(spark: SparkSession, tablePath: String, column: String): String = {
