@@ -1619,6 +1619,7 @@ object Fts {
   def serveUnpersist(indexPath: String): Unit = servePostings.synchronized {
     serveStates.remove(indexPath)
     serveEpochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
     val it = servePostings.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
     val pit = servePosPostings.keySet().iterator()

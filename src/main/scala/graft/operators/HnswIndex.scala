@@ -721,6 +721,7 @@ object HnswIndex {
   def serveUnpersist(indexPath: String): Unit = serveGraphs.synchronized {
     serveModels.remove(indexPath)
     serveEpochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
     val it = serveGraphs.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
   }

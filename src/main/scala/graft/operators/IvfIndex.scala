@@ -320,6 +320,8 @@ object IvfIndex {
   /** Drop an index's driver-resident serve rows (after rebuild/optimize). */
   def serveUnpersist(indexPath: String): Unit = serveRows.synchronized {
     serveEpochs.remove(indexPath)
+    serveStorageF16.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
     val it = serveRows.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
   }
@@ -359,6 +361,15 @@ object IvfIndex {
     cap
   }
 
+  // storage flavor of an index's resident partitions (r16: f16 serving —
+  // the last "falls back to batched" storage refusal). Set on first
+  // partition load, purged with the serve rows; consistent per index
+  // since every partition shares the build's storage.
+  private val serveStorageF16 =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[operators] def serveIsF16(indexPath: String): Boolean =
+    serveStorageF16.getOrDefault(indexPath, java.lang.Boolean.FALSE)
+
   private[operators] def servePartition(spark: SparkSession, indexPath: String,
                              idCol: String, vecCol: String,
                              pid: Int): Array[(Long, Array[Float])] = {
@@ -372,11 +383,21 @@ object IvfIndex {
     serveMisses.incrementAndGet()
     val df = spark.read.parquet(s"$indexPath/vectors")
       .filter(col(PidCol) === pid)
-    require(!isF16(df, vecCol),
-      s"serveLocal needs float vector storage at $indexPath — packed " +
-        "f16/bf16 indexes belong to the batched path")
-    val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // packed f16 storage (r16): decode ONCE at load into resident floats.
+    // Every decoded value is an exact f16, and the batched kernels
+    // ([[graft.functions.F16L2Distance]] etc.) also just decode-and-widen
+    // per element, so [[serveDist]] over these floats with an f16-ROUNDED
+    // query ([[serveLocal]]) is bit-identical to the batched f16 ranking.
+    val f16 = isF16(df, vecCol)
+    serveStorageF16.put(indexPath, f16)
+    val rows =
+      if (f16)
+        df.select(col(idCol).cast("long"), col(vecCol)).collect()
+          .map(r => (r.getLong(0),
+            graft.functions.Float16.unpack(r.getAs[Array[Byte]](1))))
+      else
+        df.select(col(idCol).cast("long"), col(vecCol)).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     serveRows.synchronized { serveRows.put((indexPath, pid), rows) }
     rows
   }
@@ -428,10 +449,19 @@ object IvfIndex {
                  metric: String = "l2"): Seq[(Long, Double)] = {
     ensureServeFresh(spark, indexPath)
     val model = loadModel(spark, indexPath)
+    // centroid ranking always uses the raw float query (the batched path
+    // does too: [[Model.rank]] precedes any storage-flavor handling)
     val probes = model.rank(query).take(math.min(nprobes, model.nlist))
+    // packed-f16 storage (r16): the batched ranking compares f16 query
+    // bytes against f16 stored bytes, so the serve query must round
+    // through f16 exactly like f16Lit's pack — computed once, lazily
+    // (the flag is set by the first servePartition load)
+    lazy val q16 = graft.functions.Float16.unpack(
+      graft.functions.Float16.pack(query))
     probes.iterator.flatMap { pid =>
-      servePartition(spark, indexPath, idCol, vecCol, pid).iterator
-        .map { case (id, v) => (id, serveDist(metric, query, v)) }
+      val rows = servePartition(spark, indexPath, idCol, vecCol, pid)
+      val qq = if (serveIsF16(indexPath)) q16 else query
+      rows.iterator.map { case (id, v) => (id, serveDist(metric, qq, v)) }
     }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
   }
 

@@ -441,6 +441,7 @@ object PqIndex {
     serveCodes.synchronized {
       serveStates.remove(indexPath)
       serveEpochs.remove(indexPath)
+      ServeEpoch.invalidate(indexPath)
       val it = serveCodes.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
     }

@@ -29,7 +29,38 @@ private[operators] object ServeEpoch {
   private val MaxDepth = 3
   private val MaxEntries = 4096
 
+  /** Recompute throttle: the deep listing costs one listStatus per
+    * directory (O(nlist) for a partitioned IVF index), which at serve
+    * latencies would dominate every query — RecallProbe measured the
+    * unthrottled r16 deep check at ~300 ms/query on an nlist=512 index.
+    * Within the TTL the cached token is reused, so a warm query pays
+    * ZERO filesystem calls (cheaper than the r15 per-query root listing);
+    * a rebuild is noticed at most TTL later — same order as the
+    * ms-granularity caveat the token already carries. `serveUnpersist`
+    * (via [[invalidate]]) forces an immediate recheck; set 0 to recheck
+    * every query (specs pin staleness behavior with this). */
+  val TtlKey = "spark.graft.serve.epoch.ttl.ms"
+  val DefaultTtlMs = 1000L
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Drop the cached token so the next [[of]] relists immediately. */
+  def invalidate(path: String): Unit = memo.remove(path)
+
   def of(spark: SparkSession, path: String): String = {
+    val ttlMs = scala.util.Try(
+      spark.conf.get(TtlKey, DefaultTtlMs.toString).toLong)
+      .getOrElse(DefaultTtlMs)
+    val now = System.nanoTime()
+    val hit = memo.get(path)
+    if (hit != null && ttlMs > 0 && (now - hit._1) < ttlMs * 1000000L)
+      return hit._2
+    val ep = compute(spark, path)
+    memo.put(path, (now, ep))
+    ep
+  }
+
+  private def compute(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return "absent"

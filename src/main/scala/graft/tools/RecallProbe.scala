@@ -69,6 +69,53 @@ object RecallProbe {
         f""""mean_query_ms":$ms%.1f}""")
     }
 
+    // ---- PQ driver-local serving (r16, VERDICT r15 #2): the reference's
+    // SIFT-1M interactive config is IVF512/PQ16 at 1.24–2.15 ms/query
+    // (`benchmarks/sift/lance_sift1m_stats.csv:2-6`). Reuse the IVF512/
+    // PQ16 index built above; parity is ids AND distances vs the batched
+    // two-pass search at equal (nprobes, refineFactor), so the latency
+    // gap is regime (per-query Spark job vs driver-resident state), not
+    // quality. ----
+    locally {
+      import graft.operators.{IvfIndex => Ivf, PqIndex => Pq}
+      Pq.serveUnpersist(idxDir)
+      // 512 partitions: lift both serve budgets above nlist so the warm
+      // pass books every partition (codes + refine vectors) without churn
+      spark.conf.set(Pq.ServeCodesBudgetKey, "600")
+      spark.conf.set(Ivf.ServeCacheBudgetKey, "600")
+      val resident = Pq.serveWarm(spark, idxDir, "vec_id", "embedding")
+      val (nprobes, refine) = (4, 10)
+      var msB = 0.0
+      val batched = {
+        val t0 = System.nanoTime()
+        val b = queries.map { case (qid, q) =>
+          qid -> Pq.search(spark, idxDir, "vec_id", "embedding", q,
+              kNeighbors = 10, nprobes = nprobes, refineFactor = refine)
+            .select(col("vec_id"), col(graft.operators.Knn.DistanceCol))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }.toMap
+        msB = (System.nanoTime() - t0) / 1e6 / queries.length
+        b
+      }
+      val tracker = spark.sparkContext.statusTracker
+      val jobsBefore = tracker.getJobIdsForGroup(null).length
+      val t0 = System.nanoTime()
+      val served = queries.map { case (qid, q) =>
+        qid -> Pq.serveLocal(spark, idxDir, "vec_id", "embedding", q,
+          10, nprobes = nprobes, refineFactor = refine)
+      }.toMap
+      val msS = (System.nanoTime() - t0) / 1e6 / queries.length
+      val jobsAfter = tracker.getJobIdsForGroup(null).length
+      require(jobsAfter == jobsBefore,
+        s"PqIndex.serveLocal launched ${jobsAfter - jobsBefore} Spark jobs on a warm cache")
+      val parity = queries.count { case (qid, _) => served(qid) == batched(qid) }
+      println(f"""{"op":"pq_serve_local","nlist":$nlist,"m":$m,"nprobes":$nprobes,"refine":$refine,""" +
+        f""""resident_rows":$resident,"parity_pct":${parity * 100.0 / queries.length}%.1f,""" +
+        f""""mean_query_ms":$msS%.2f,"batched_mean_query_ms":$msB%.1f}""")
+      spark.conf.unset(Pq.ServeCodesBudgetKey)
+      spark.conf.unset(Ivf.ServeCacheBudgetKey)
+    }
+
     // ---- driver-local serving leg (r14, VERDICT r13 missing #3): the
     // interactive regime. Same ×64 corpus under a flat-storage HNSW; the
     // batched path pays one Spark job per query, serveLocal answers from

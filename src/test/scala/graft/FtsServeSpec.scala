@@ -102,19 +102,24 @@ class FtsServeSpec extends AnyFunSuite {
   }
 
   test("staleness guard: rebuild at the same path serves the NEW index") {
-    val dir = Files.createTempDirectory("fts_serve_stale_").toString
-    Fts.buildIndex(Seq((1L, "alpha beta"), (2L, "alpha gamma"))
-      .toDF("doc_id", "text"), "doc_id", "text", dir)
-    Fts.serveUnpersist(dir)
-    assert(Fts.serveLocal(spark, dir, Seq("alpha"), 10).map(_._1).toSet ==
-      Set(1L, 2L))
-    // rebuild in place over different docs, NO explicit unpersist: the
-    // epoch guard alone must drop the resident state
-    Fts.buildIndex(Seq((7L, "alpha delta"), (8L, "epsilon"))
-      .toDF("doc_id", "text"), "doc_id", "text", dir)
-    val served = Fts.serveLocal(spark, dir, Seq("alpha"), 10)
-    assert(served.map(_._1) == Seq(7L),
-      s"stale serve state answered for the dropped index: $served")
+    // pin the epoch-recheck throttle off: the guard semantics under test
+    // must not depend on the rebuild outlasting the TTL window (r16)
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir = Files.createTempDirectory("fts_serve_stale_").toString
+      Fts.buildIndex(Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+      Fts.serveUnpersist(dir)
+      assert(Fts.serveLocal(spark, dir, Seq("alpha"), 10).map(_._1).toSet ==
+        Set(1L, 2L))
+      // rebuild in place over different docs, NO explicit unpersist: the
+      // epoch guard alone must drop the resident state
+      Fts.buildIndex(Seq((7L, "alpha delta"), (8L, "epsilon"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+      val served = Fts.serveLocal(spark, dir, Seq("alpha"), 10)
+      assert(served.map(_._1) == Seq(7L),
+        s"stale serve state answered for the dropped index: $served")
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
   }
 
   test("budgets: doc-count refusal, term-LRU shrink eviction, warm refusal") {

@@ -76,26 +76,31 @@ class HnswSpec extends AnyFunSuite {
   }
 
   test("serveLocal staleness guard: rebuild at the same path serves the NEW graph (r15)") {
-    val dir = Files.createTempDirectory("hnsw_stale_").toString
-    HnswIndex.build(embeddings.filter($"vec_id" < 250).select($"vec_id", $"embedding"),
-      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64)
-    HnswIndex.serveUnpersist(dir)
-    val q = queryVec(3L)
-    val servedOld = Knn.serveLocal(spark, dir, q, 5, nprobes = 4)
-    assert(servedOld.forall(_._1 < 250))
-    // rebuild in place over a disjoint id range with NO explicit
-    // serveUnpersist: the on-disk epoch check must purge the dead
-    // incarnation's resident graphs and model
-    HnswIndex.build(
-      embeddings.filter($"vec_id" >= 250 && $"vec_id" < 500)
-        .select($"vec_id", $"embedding"),
-      "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64)
-    val servedNew = Knn.serveLocal(spark, dir, q, 5, nprobes = 4)
-    assert(servedNew.forall(e => e._1 >= 250 && e._1 < 500),
-      s"stale serve cache answered for the dropped graph: $servedNew")
-    val batched = HnswIndex.search(spark, dir, q, 5, nprobes = 4)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(servedNew == batched)
+    // pin the epoch-recheck throttle off: the guard semantics under test
+    // must not depend on the rebuild outlasting the TTL window (r16)
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir = Files.createTempDirectory("hnsw_stale_").toString
+      HnswIndex.build(embeddings.filter($"vec_id" < 250).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64)
+      HnswIndex.serveUnpersist(dir)
+      val q = queryVec(3L)
+      val servedOld = Knn.serveLocal(spark, dir, q, 5, nprobes = 4)
+      assert(servedOld.forall(_._1 < 250))
+      // rebuild in place over a disjoint id range with NO explicit
+      // serveUnpersist: the on-disk epoch check must purge the dead
+      // incarnation's resident graphs and model
+      HnswIndex.build(
+        embeddings.filter($"vec_id" >= 250 && $"vec_id" < 500)
+          .select($"vec_id", $"embedding"),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, efConstruction = 64)
+      val servedNew = Knn.serveLocal(spark, dir, q, 5, nprobes = 4)
+      assert(servedNew.forall(e => e._1 >= 250 && e._1 < 500),
+        s"stale serve cache answered for the dropped graph: $servedNew")
+      val batched = HnswIndex.search(spark, dir, q, 5, nprobes = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(servedNew == batched)
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
   }
 
   test("partition-size guard fails fast with 'raise nlist', not an OOM") {

@@ -53,40 +53,55 @@ class IvfSpec extends AnyFunSuite {
         "warm serveLocal must not launch a Spark job")
       assert(served == batched, s"$metric qid=$qid: $served != $batched")
     }
-    // packed f16 storage refuses with a clear error
+    // packed f16 storage serves too (r16): resident vectors are the
+    // decoded f16 values and the query rounds through f16 like f16Lit,
+    // so ids AND distances match the batched f16 kernels bit-for-bit
     import graft.functions.F16Functions._
     val f16dir = Files.createTempDirectory("ivf_serve_f16_").toString
     IvfIndex.build(embeddings.select($"vec_id", f16Pack($"embedding").as("emb")),
       "vec_id", "emb", f16dir, nlist = 4)
-    val e = intercept[IllegalArgumentException] {
-      IvfIndex.serveLocal(spark, f16dir, "vec_id", "emb", queryVec(0L), 5, 2)
+    IvfIndex.serveUnpersist(f16dir)
+    for (metric <- Seq("l2", "cosine", "dot"); qid <- Seq(0L, 123L)) {
+      val q = queryVec(qid)
+      val batchedF16 = IvfIndex.search(spark, f16dir, "vec_id", "emb", q, 5,
+          nprobes = 2, metric = metric)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val servedF16 = IvfIndex.serveLocal(spark, f16dir, "vec_id", "emb", q, 5,
+        nprobes = 2, metric = metric)
+      assert(servedF16 == batchedF16,
+        s"f16 $metric qid=$qid: $servedF16 != $batchedF16")
     }
-    assert(e.getMessage.contains("float vector storage"), e.getMessage)
   }
 
   test("serveLocal staleness guard: retrain at the same path serves the NEW index (r15)") {
-    val dir = Files.createTempDirectory("ivf_stale_").toString
-    IvfIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
-      dir, nlist = 4)
-    IvfIndex.serveUnpersist(dir)
-    val q = queryVec(0L)
-    val servedOld = IvfIndex.serveLocal(spark, dir, "vec_id", "embedding",
-      q, 5, nprobes = 4)
-    assert(servedOld.forall(_._1 < 300))
-    // retrain IN PLACE over a disjoint id range; no explicit serveUnpersist —
-    // the epoch guard alone must drop the resident partitions, or serveLocal
-    // keeps answering from the dead incarnation
-    IvfIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
-      "vec_id", "embedding", dir, nlist = 4)
-    val servedNew = IvfIndex.serveLocal(spark, dir, "vec_id", "embedding",
-      q, 5, nprobes = 4)
-    assert(servedNew.forall(id => id._1 >= 300 && id._1 < 600),
-      s"stale serve cache answered for the dropped index: $servedNew")
-    val batched = IvfIndex.search(spark, dir, "vec_id", "embedding", q, 5,
-        nprobes = 4)
-      .select(col("vec_id"), col(Knn.DistanceCol))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(servedNew == batched)
+    // pin the epoch-recheck throttle off: the guard semantics under test
+    // must not depend on the rebuild outlasting the TTL window (r16)
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir = Files.createTempDirectory("ivf_stale_").toString
+      IvfIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
+        dir, nlist = 4)
+      IvfIndex.serveUnpersist(dir)
+      val q = queryVec(0L)
+      val servedOld = IvfIndex.serveLocal(spark, dir, "vec_id", "embedding",
+        q, 5, nprobes = 4)
+      assert(servedOld.forall(_._1 < 300))
+      // retrain IN PLACE over a disjoint id range; no explicit serveUnpersist —
+      // the epoch guard alone must drop the resident partitions, or serveLocal
+      // keeps answering from the dead incarnation
+      IvfIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
+        "vec_id", "embedding", dir, nlist = 4)
+      val servedNew = IvfIndex.serveLocal(spark, dir, "vec_id", "embedding",
+        q, 5, nprobes = 4)
+      assert(servedNew.forall(id => id._1 >= 300 && id._1 < 600),
+        s"stale serve cache answered for the dropped index: $servedNew")
+      val batched = IvfIndex.search(spark, dir, "vec_id", "embedding", q, 5,
+          nprobes = 4)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(servedNew == batched)
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
   }
 
   test("serve budget shrink evicts down to the new capacity immediately (r15, ADVICE r14)") {

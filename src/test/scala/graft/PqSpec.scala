@@ -262,27 +262,32 @@ class PqSpec extends AnyFunSuite {
   }
 
   test("serveLocal staleness: rebuild at the same path serves the NEW index (r16)") {
-    val dir = Files.createTempDirectory("pq_stale_").toString
-    PqIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
-      dir, nlist = 4, m = 8, k = 16)
-    PqIndex.serveUnpersist(dir)
-    val q = queryVec(0L)
-    val servedOld = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
-      nprobes = 4)
-    assert(servedOld.forall(_._1 < 300))
-    // rebuild IN PLACE over a disjoint id range; the epoch guard alone must
-    // retire the resident codes, vectors, and codebook state
-    PqIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
-      "vec_id", "embedding", dir, nlist = 4, m = 8, k = 16)
-    val servedNew = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
-      nprobes = 4)
-    assert(servedNew.forall(p => p._1 >= 300 && p._1 < 600),
-      s"stale serve cache answered for the dropped index: $servedNew")
-    val batched = PqIndex.search(spark, dir, "vec_id", "embedding", q, 5,
+    // pin the epoch-recheck throttle off: the guard semantics under test
+    // must not depend on the rebuild outlasting the TTL window (r16)
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir = Files.createTempDirectory("pq_stale_").toString
+      PqIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
+        dir, nlist = 4, m = 8, k = 16)
+      PqIndex.serveUnpersist(dir)
+      val q = queryVec(0L)
+      val servedOld = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
         nprobes = 4)
-      .select(col("vec_id"), col(Knn.DistanceCol))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(servedNew == batched)
+      assert(servedOld.forall(_._1 < 300))
+      // rebuild IN PLACE over a disjoint id range; the epoch guard alone must
+      // retire the resident codes, vectors, and codebook state
+      PqIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
+        "vec_id", "embedding", dir, nlist = 4, m = 8, k = 16)
+      val servedNew = PqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
+        nprobes = 4)
+      assert(servedNew.forall(p => p._1 >= 300 && p._1 < 600),
+        s"stale serve cache answered for the dropped index: $servedNew")
+      val batched = PqIndex.search(spark, dir, "vec_id", "embedding", q, 5,
+          nprobes = 4)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(servedNew == batched)
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
   }
 
   test("serve budget: warm refuses over-budget, shrink evicts immediately (r16)") {
