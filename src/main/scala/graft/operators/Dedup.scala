@@ -651,12 +651,15 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, minSim: Double,
                             maxBlock: Int = DefaultMaxBlock): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
     // the guard rides the join input as a filter over assert_true, so it
-    // cannot be pruned away and adds no job: the window count shuffles on
-    // blk, the key the join shuffles on anyway
-    val guarded = df.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+    // cannot be pruned away and adds no extra job. Block sizes come from
+    // a groupBy (map-side partial agg — one block-count row per block,
+    // NOT a window sort over the corpus: the first formulation's window
+    // cost quadrupled the gate) joined back on blk, the key the pair
+    // join shuffles on anyway.
+    val counts = base.groupBy(col("blk")).agg(count(lit(1)).as("__bn"))
+    val guarded = base.join(counts, Seq("blk"))
       .filter(assert_true(col("__bn") <= maxBlock, concat(
         lit("embeddingNearDupPairs: block "), col("blk").cast("string"),
         lit(" holds "), col("__bn").cast("string"),
