@@ -766,6 +766,11 @@ private[format] object GraftProcedures {
           graft.operators.PqIndex.currentServeCapacity.toLong,
           graft.operators.PqIndex.serveHits.get(),
           graft.operators.PqIndex.serveMisses.get()),
+        // IVF_SQ driver-local serving (r16): same shape as pq_serve
+        Seq[Any]("sq_serve", graft.operators.SqIndex.serveCacheSize.toLong,
+          graft.operators.SqIndex.currentServeCapacity.toLong,
+          graft.operators.SqIndex.serveHits.get(),
+          graft.operators.SqIndex.serveMisses.get()),
         // FTS driver-local serving (r15): entries are resident per-token
         // postings lists
         Seq[Any]("fts_serve", graft.operators.Fts.serveCacheSize.toLong,

@@ -1782,6 +1782,34 @@ object Fts {
       terms.flatMap(FtsTokenizer.tokens(_, st.cfg)), k)
   }
 
+  /** Driver-local [[multiMatch]] (r16): per-field scores from each field
+    * index's resident state — each field analyzes the terms with ITS OWN
+    * tokenizer config, exactly like the batched path — boosted, then
+    * max-combined per doc; same (score desc, doc_id) top-k. Per-doc sums
+    * fold in [[canonicalScoreSum]]'s order on both sides, so the combined
+    * scores are bit-identical to [[multiMatch]]. */
+  def serveMultiMatch(spark: SparkSession, fieldIndexPaths: Seq[(String, Double)],
+                      terms: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val best = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    fieldIndexPaths.foreach { case (idxPath, boost) =>
+      ensureServeFresh(spark, idxPath)
+      val st = serveStateOf(spark, idxPath)
+      serveScore(spark, idxPath, st,
+        terms.flatMap(FtsTokenizer.tokens(_, st.cfg)), Int.MaxValue)
+        .foreach { case (doc, s) =>
+          val f = s * boost
+          val prev = best.get(doc)
+          if (prev == null || f > prev.doubleValue) best.put(doc, f)
+        }
+    }
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val it = best.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); out += ((e.getKey.longValue, e.getValue.doubleValue))
+    }
+    out.sortBy { case (doc, s) => (-s, doc) }.take(k).toSeq
+  }
+
   /** Driver-local [[booleanQuery]]: scores must+should, requires every
     * must TOKEN, excludes any mustNot token — same semantics, same top-k. */
   def serveBoolean(spark: SparkSession, indexPath: String, must: Seq[String],

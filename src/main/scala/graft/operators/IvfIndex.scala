@@ -446,7 +446,8 @@ object IvfIndex {
     * (distance, id) tie-break. No Spark job once the partitions are warm. */
   def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
                  vecCol: String, query: Array[Float], k: Int, nprobes: Int,
-                 metric: String = "l2"): Seq[(Long, Double)] = {
+                 metric: String = "l2",
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Double)] = {
     ensureServeFresh(spark, indexPath)
     val model = loadModel(spark, indexPath)
     // centroid ranking always uses the raw float query (the batched path
@@ -458,10 +459,16 @@ object IvfIndex {
     // (the flag is set by the first servePartition load)
     lazy val q16 = graft.functions.Float16.unpack(
       graft.functions.Float16.pack(query))
+    // prefilter (r16): dropped BEFORE the top-k cut, the batched
+    // `prefilter` contract — the result is the true top-k of the
+    // allowed set, never a short post-filtered list
+    val keep = allowed.getOrElse((_: Long) => true)
     probes.iterator.flatMap { pid =>
       val rows = servePartition(spark, indexPath, idCol, vecCol, pid)
       val qq = if (serveIsF16(indexPath)) q16 else query
-      rows.iterator.map { case (id, v) => (id, serveDist(metric, qq, v)) }
+      rows.iterator.collect {
+        case (id, v) if keep(id) => (id, serveDist(metric, qq, v))
+      }
     }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
   }
 

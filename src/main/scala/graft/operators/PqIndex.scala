@@ -416,17 +416,11 @@ object PqIndex {
   // ------------------------------------------------------------------
 
   val ServeCodesBudgetKey = "spark.graft.cache.pq.serve.partitions"
-  @volatile private var serveCodesCapacity = 256
-  def currentServeCapacity: Int = serveCodesCapacity
-  val serveHits = new java.util.concurrent.atomic.AtomicLong(0)
-  val serveMisses = new java.util.concurrent.atomic.AtomicLong(0)
-  def serveCacheSize: Int = serveCodes.synchronized(serveCodes.size())
-  private val serveCodes =
-    new java.util.LinkedHashMap[(String, Int), Array[(Long, Array[Byte])]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Array[(Long, Array[Byte])]]): Boolean =
-        size() > serveCodesCapacity
-    }
+  private val serveCodes = new ServeCodesCache(ServeCodesBudgetKey, 256)
+  def currentServeCapacity: Int = serveCodes.currentCapacity
+  def serveHits: java.util.concurrent.atomic.AtomicLong = serveCodes.hits
+  def serveMisses: java.util.concurrent.atomic.AtomicLong = serveCodes.misses
+  def serveCacheSize: Int = serveCodes.size
   private case class ServeState(ivf: IvfIndex.Model, pq: PqModel,
                                 metric: String, variant: String, numBits: Int)
   private val serveStates =
@@ -438,37 +432,22 @@ object PqIndex {
     * The refine vectors live in [[IvfIndex]]'s shared serve LRU — dropped
     * through its own unpersist so both caches retire together. */
   def serveUnpersist(indexPath: String): Unit = {
-    serveCodes.synchronized {
-      serveStates.remove(indexPath)
-      serveEpochs.remove(indexPath)
-      ServeEpoch.invalidate(indexPath)
-      val it = serveCodes.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
-    }
+    serveStates.remove(indexPath)
+    serveEpochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
+    serveCodes.purge(indexPath)
     IvfIndex.serveUnpersist(indexPath)
   }
 
   private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
     val ep = ServeEpoch.of(spark, indexPath)
     val prev = serveEpochs.put(indexPath, ep)
-    if (prev != null && prev != ep) serveCodes.synchronized {
+    if (prev != null && prev != ep) {
       serveStates.remove(indexPath)
-      val it = serveCodes.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
+      serveCodes.purge(indexPath)
     }
     // keep the shared refine-vector LRU on the same epoch
     IvfIndex.ensureServeFresh(spark, indexPath)
-  }
-
-  private def refreshServeCapacity(spark: SparkSession): Int = {
-    val cap = math.max(1,
-      scala.util.Try(spark.conf.get(ServeCodesBudgetKey, "256").toInt).getOrElse(256))
-    if (cap < serveCodesCapacity) serveCodes.synchronized {
-      serveCodesCapacity = cap
-      val it = serveCodes.entrySet().iterator() // access-order: LRU first
-      while (serveCodes.size() > cap && it.hasNext) { it.next(); it.remove() }
-    } else serveCodesCapacity = cap
-    cap
   }
 
   private def serveState(spark: SparkSession, indexPath: String): ServeState =
@@ -480,22 +459,13 @@ object PqIndex {
     })
 
   private def serveCodesPartition(spark: SparkSession, indexPath: String,
-                                  idCol: String, pid: Int): Array[(Long, Array[Byte])] = {
-    refreshServeCapacity(spark)
-    // cold read OUTSIDE the lock (see IvfIndex.servePartition): a racing
-    // duplicate load is benign, a blocked warm query is not
-    serveCodes.synchronized {
-      val hit = serveCodes.get((indexPath, pid))
-      if (hit != null) { serveHits.incrementAndGet(); return hit }
+                                  idCol: String, pid: Int): Array[(Long, Array[Byte])] =
+    serveCodes.getOrLoad(spark, indexPath, pid) {
+      spark.read.parquet(s"$indexPath/vectors")
+        .filter(col(IvfIndex.PidCol) === pid)
+        .select(col(idCol).cast("long"), col(CodeCol)).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     }
-    serveMisses.incrementAndGet()
-    val rows = spark.read.parquet(s"$indexPath/vectors")
-      .filter(col(IvfIndex.PidCol) === pid)
-      .select(col(idCol).cast("long"), col(CodeCol)).collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-    serveCodes.synchronized { serveCodes.put((indexPath, pid), rows) }
-    rows
-  }
 
   /** Preload the serve caches (codes + refine vectors; all partitions by
     * default); returns resident code-row count. */
@@ -504,7 +474,7 @@ object PqIndex {
     ensureServeFresh(spark, indexPath)
     val st = serveState(spark, indexPath)
     val targets = if (pids.nonEmpty) pids else 0 until st.ivf.nlist
-    val cap = refreshServeCapacity(spark)
+    val cap = serveCodes.refresh(spark)
     require(targets.size <= cap,
       s"serveWarm(${targets.size} partitions) exceeds the code-cache budget " +
         s"$cap — raise $ServeCodesBudgetKey or warm a pid subset")
@@ -522,11 +492,15 @@ object PqIndex {
     * (distance, id) tie-break. No Spark job once the partitions are warm. */
   def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
                  vecCol: String, query: Array[Float], k: Int, nprobes: Int,
-                 refineFactor: Int = 10): Seq[(Long, Double)] = {
+                 refineFactor: Int = 10,
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Double)] = {
     ensureServeFresh(spark, indexPath)
     val st = serveState(spark, indexPath)
     val q = if (st.metric == "cosine") IvfIndex.normalize(query) else query
     val probes = st.ivf.rank(q).take(math.min(nprobes, st.ivf.nlist))
+    // prefilter (r16): applied BEFORE the ADC ranking, like the batched
+    // path — filtered-out rows never occupy candidate slots
+    val keep = allowed.getOrElse((_: Long) => true)
     // pass 1: ADC over resident codes — residual variant builds one table
     // per probed pid over q − centroid(pid), exactly like the batched plan
     val cands = probes.iterator.flatMap { pid =>
@@ -536,7 +510,8 @@ object PqIndex {
           st.pq.adcTable(Array.tabulate(q.length)(i => q(i) - cent(i)))
         } else st.pq.adcTable(q)
       serveCodesPartition(spark, indexPath, idCol, pid).iterator
-        .map { case (id, codes) => (id, adc(table, codes, st.numBits), pid) }
+        .collect { case (id, codes) if keep(id) =>
+          (id, adc(table, codes, st.numBits), pid) }
     }.toSeq.sortBy { case (id, d, _) => (d, id) }.take(k * refineFactor)
     // pass 2: exact refine from the shared float-vector serve LRU
     val byPid = cands.groupBy(_._3)

@@ -216,6 +216,117 @@ object SqIndex {
   /** ANN search: SQ asymmetric candidate pass + exact refine pass, both
     * restricted to the probed partitions and column-pruned; `prefilter` is
     * applied before ranking (reference prefiltered ANN). */
+  // ------------------------------------------------------------------
+  // Driver-local single-query serving (r16) — the IVF_SQ twin of
+  // [[PqIndex.serveLocal]], completing the quantized interactive matrix:
+  // probed partitions' d-byte SQ codes live in a [[ServeCodesCache]]
+  // (4× smaller than floats), rank by the same asymmetric l2² the
+  // codegen'd [[SqAdc]] computes (the [[adc]] scalar twin), and the top
+  // k·refineFactor candidates exact-refine against [[IvfIndex]]'s shared
+  // float LRU. Ids AND distances equal [[search]] at equal refineFactor;
+  // zero Spark jobs once warm; same epoch-staleness + budget contract.
+  // ------------------------------------------------------------------
+
+  val ServeCodesBudgetKey = "spark.graft.cache.sq.serve.partitions"
+  private val serveCodes = new ServeCodesCache(ServeCodesBudgetKey, 256)
+  def currentServeCapacity: Int = serveCodes.currentCapacity
+  def serveHits: java.util.concurrent.atomic.AtomicLong = serveCodes.hits
+  def serveMisses: java.util.concurrent.atomic.AtomicLong = serveCodes.misses
+  def serveCacheSize: Int = serveCodes.size
+  private case class ServeState(ivf: IvfIndex.Model, sq: SqModel,
+                                metric: String) {
+    val steps: Array[Float] = sq.steps
+  }
+  private val serveStates =
+    new java.util.concurrent.ConcurrentHashMap[String, ServeState]()
+  private val serveEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop an index's driver-resident serve state (after rebuild/optimize);
+    * refine vectors retire through [[IvfIndex.serveUnpersist]]. */
+  def serveUnpersist(indexPath: String): Unit = {
+    serveStates.remove(indexPath)
+    serveEpochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
+    serveCodes.purge(indexPath)
+    IvfIndex.serveUnpersist(indexPath)
+  }
+
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = ServeEpoch.of(spark, indexPath)
+    val prev = serveEpochs.put(indexPath, ep)
+    if (prev != null && prev != ep) {
+      serveStates.remove(indexPath)
+      serveCodes.purge(indexPath)
+    }
+    IvfIndex.ensureServeFresh(spark, indexPath)
+  }
+
+  private def serveState(spark: SparkSession, indexPath: String): ServeState =
+    serveStates.computeIfAbsent(indexPath, { _ =>
+      ServeState(IvfIndex.loadModel(spark, indexPath), loadSq(spark, indexPath),
+        IvfIndex.readVectorMeta(spark, indexPath))
+    })
+
+  private def serveCodesPartition(spark: SparkSession, indexPath: String,
+                                  idCol: String, pid: Int): Array[(Long, Array[Byte])] =
+    serveCodes.getOrLoad(spark, indexPath, pid) {
+      spark.read.parquet(s"$indexPath/vectors")
+        .filter(col(IvfIndex.PidCol) === pid)
+        .select(col(idCol).cast("long"), col(CodeCol)).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+
+  /** Preload the serve caches (codes + refine vectors); returns resident
+    * code-row count. */
+  def serveWarm(spark: SparkSession, indexPath: String, idCol: String,
+                vecCol: String, pids: Seq[Int] = Nil): Long = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveState(spark, indexPath)
+    val targets = if (pids.nonEmpty) pids else 0 until st.ivf.nlist
+    val cap = serveCodes.refresh(spark)
+    require(targets.size <= cap,
+      s"serveWarm(${targets.size} partitions) exceeds the code-cache budget " +
+        s"$cap — raise $ServeCodesBudgetKey or warm a pid subset")
+    val n = targets.map(p =>
+      serveCodesPartition(spark, indexPath, idCol, p).length.toLong).sum
+    IvfIndex.serveWarm(spark, indexPath, idCol, vecCol, targets)
+    n
+  }
+
+  /** Answer one query driver-locally: centroid ranking + asymmetric SQ
+    * ranking over resident codes + exact refine of the global top
+    * k·refineFactor. Ids AND distances are bit-identical to [[search]] at
+    * equal refineFactor; no Spark job once warm. */
+  def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
+                 vecCol: String, query: Array[Float], k: Int, nprobes: Int,
+                 refineFactor: Int = 10,
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Double)] = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveState(spark, indexPath)
+    require(query.length == st.sq.d,
+      s"sq serve: query dimension ${query.length} != index dimension ${st.sq.d}")
+    val q = if (st.metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = st.ivf.rank(q).take(math.min(nprobes, st.ivf.nlist))
+    // prefilter (r16): applied BEFORE the asymmetric ranking, like the
+    // batched path — filtered-out rows never occupy candidate slots
+    val keep = allowed.getOrElse((_: Long) => true)
+    val cands = probes.iterator.flatMap { pid =>
+      serveCodesPartition(spark, indexPath, idCol, pid).iterator
+        .collect { case (id, codes) if keep(id) =>
+          (id, adc(q, codes, st.sq.lo, st.steps), pid) }
+    }.toSeq.sortBy { case (id, d, _) => (d, id) }.take(k * refineFactor)
+    val byPid = cands.groupBy(_._3)
+    byPid.iterator.flatMap { case (pid, cs) =>
+      val vecs = IvfIndex.servePartition(spark, indexPath, idCol, vecCol, pid)
+      val lookup = new java.util.HashMap[Long, Array[Float]](vecs.length * 2)
+      vecs.foreach { case (id, v) => lookup.put(id, v) }
+      cs.iterator.flatMap { case (id, _, _) =>
+        Option(lookup.get(id)).map(v => (id, IvfIndex.serveDist(st.metric, q, v)))
+      }
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
   def search(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
              query: Array[Float], kNeighbors: Int, nprobes: Int,
              refineFactor: Int = 10,

@@ -101,6 +101,34 @@ class FtsServeSpec extends AnyFunSuite {
     assert(boostServed == boostBatched, s"$boostServed != $boostBatched")
   }
 
+  test("serveMultiMatch matches the batched multiMatch (ids AND scores) (r16)") {
+    // two field indexes over the same corpus: full text (boost 1) and a
+    // derived title field = first 3 tokens (boost 2), max-combined —
+    // the q_fts_multimatch shape at spec scale
+    val docs = Tables.documents(spark, sf)
+    val fullDir = Files.createTempDirectory("fts_mm_full_").toString
+    Fts.buildIndex(docs, "doc_id", "text", fullDir)
+    val titleDir = Files.createTempDirectory("fts_mm_title_").toString
+    Fts.buildIndex(
+      docs.select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 3)).as("title")),
+      "doc_id", "title", titleDir)
+    Fts.serveUnpersist(fullDir); Fts.serveUnpersist(titleDir)
+    val fields = Seq((titleDir, 2.0), (fullDir, 1.0))
+    val terms = Seq("spark", "vector")
+    val batched = Fts.multiMatch(spark, fields, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = Fts.serveMultiMatch(spark, fields, terms, 20)
+    assert(served == batched, s"$served != $batched")
+    assert(batched.nonEmpty, "fixture must match something")
+    // warm: zero jobs
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    Fts.serveMultiMatch(spark, fields, terms, 20)
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "warm serveMultiMatch must not launch a Spark job")
+  }
+
   test("staleness guard: rebuild at the same path serves the NEW index") {
     // pin the epoch-recheck throttle off: the guard semantics under test
     // must not depend on the rebuild outlasting the TTL window (r16)

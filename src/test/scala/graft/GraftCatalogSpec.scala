@@ -1457,7 +1457,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       // the r14 driver-local serving caches report too (entries = resident
       // partitions), with live hit/miss counters
       assert(rows.contains("hnsw_serve") && rows.contains("ivf_serve") &&
-        rows.contains("fts_serve") && rows.contains("pq_serve"), rows.keySet)
+        rows.contains("fts_serve") && rows.contains("pq_serve") &&
+        rows.contains("sq_serve"), rows.keySet)
       val sh0 = HnswIndex.serveHits.get(); val sm0 = HnswIndex.serveMisses.get()
       graft.operators.Knn.serveLocal(s, dirs.head, q, 3, nprobes = 1) // cold
       graft.operators.Knn.serveLocal(s, dirs.head, q, 3, nprobes = 1) // hit

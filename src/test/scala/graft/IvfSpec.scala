@@ -450,4 +450,20 @@ class IvfSpec extends AnyFunSuite {
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(rootMsg(ex).contains("dims"), s"unexpected failure: ${rootMsg(ex)}")
   }
+
+  test("serveLocal prefilter: true top-k of the allowed set, parity with batched (r16)") {
+    val idx = buildIdx(8)
+    IvfIndex.serveUnpersist(idx)
+    IvfIndex.serveWarm(spark, idx, "vec_id", "embedding")
+    val q = queryVec(0L)
+    val batched = IvfIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+        nprobes = 3, prefilter = Some(col("vec_id") % 2 === 0))
+      .select(col("vec_id"), col(Knn.DistanceCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = IvfIndex.serveLocal(spark, idx, "vec_id", "embedding", q, 10,
+      nprobes = 3, allowed = Some(id => id % 2 == 0))
+    assert(served == batched, s"$served != $batched")
+    assert(served.size == 10 && served.forall(_._1 % 2 == 0),
+      "the prefilter result must be the TRUE top-k of the allowed set")
+  }
 }

@@ -309,4 +309,19 @@ class PqSpec extends AnyFunSuite {
         s"shrunk budget left ${PqIndex.serveCacheSize} resident")
     } finally spark.conf.unset(PqIndex.ServeCodesBudgetKey)
   }
+
+  test("serveLocal prefilter: applied before ADC ranking, parity with batched (r16)") {
+    val idx = buildIdx()
+    PqIndex.serveUnpersist(idx)
+    PqIndex.serveWarm(spark, idx, "vec_id", "embedding")
+    val q = queryVec(0L)
+    val batched = PqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+        nprobes = 3, refineFactor = 6, prefilter = Some(col("vec_id") % 2 === 0))
+      .select(col("vec_id"), col(Knn.DistanceCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = PqIndex.serveLocal(spark, idx, "vec_id", "embedding", q, 10,
+      nprobes = 3, refineFactor = 6, allowed = Some(id => id % 2 == 0))
+    assert(served == batched, s"$served != $batched")
+    assert(served.size == 10 && served.forall(_._1 % 2 == 0))
+  }
 }

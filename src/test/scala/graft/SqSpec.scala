@@ -136,4 +136,85 @@ class SqSpec extends AnyFunSuite {
     assert(got == flat)
     assert(got.filter(_ < 400).forall(_ % 7 != 0)) // deleted indexed rows stay dead
   }
+
+  test("serveLocal: SQ serving matches search() ids AND distances, no jobs warm (r16)") {
+    val idx = buildIdx()
+    SqIndex.serveUnpersist(idx)
+    val resident = SqIndex.serveWarm(spark, idx, "vec_id", "embedding")
+    assert(resident == embeddings.count(), s"all code rows resident, got $resident")
+    for (qid <- Seq(0L, 7L, 123L); rf <- Seq(4, 10)) {
+      val q = queryVec(qid)
+      val batched = SqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+          nprobes = 3, refineFactor = rf)
+        .select(col("vec_id"), col(Knn.DistanceCol))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val served = SqIndex.serveLocal(spark, idx, "vec_id", "embedding", q,
+        10, nprobes = 3, refineFactor = rf)
+      assert(tracker.getJobIdsForGroup(null).length == before,
+        "warm serveLocal must not launch a Spark job")
+      assert(served == batched, s"qid=$qid rf=$rf: $served != $batched")
+    }
+    // cosine metric through a cosine-built index
+    val cosDir = Files.createTempDirectory("sq_serve_cos_").toString
+    SqIndex.build(embeddings, "vec_id", "embedding", cosDir, nlist = 8,
+      metric = "cosine")
+    SqIndex.serveUnpersist(cosDir)
+    val q = queryVec(42L)
+    val cb = SqIndex.search(spark, cosDir, "vec_id", "embedding", q, 10,
+        nprobes = 4, refineFactor = 6)
+      .select(col("vec_id"), col(Knn.DistanceCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(SqIndex.serveLocal(spark, cosDir, "vec_id", "embedding", q, 10,
+      nprobes = 4, refineFactor = 6) == cb)
+  }
+
+  test("serveLocal staleness + budget: epoch retires rebuilds, warm refuses over-budget (r16)") {
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir = Files.createTempDirectory("sq_stale_").toString
+      SqIndex.build(embeddings.filter($"vec_id" < 300), "vec_id", "embedding",
+        dir, nlist = 4)
+      SqIndex.serveUnpersist(dir)
+      val q = queryVec(0L)
+      assert(SqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
+        nprobes = 4).forall(_._1 < 300))
+      SqIndex.build(embeddings.filter($"vec_id" >= 300 && $"vec_id" < 600),
+        "vec_id", "embedding", dir, nlist = 4)
+      val servedNew = SqIndex.serveLocal(spark, dir, "vec_id", "embedding", q, 5,
+        nprobes = 4)
+      assert(servedNew.forall(p => p._1 >= 300 && p._1 < 600),
+        s"stale serve cache answered for the dropped index: $servedNew")
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
+    val idx = buildIdx()
+    SqIndex.serveUnpersist(idx)
+    spark.conf.set(SqIndex.ServeCodesBudgetKey, "4")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SqIndex.serveWarm(spark, idx, "vec_id", "embedding") // nlist=8 > 4
+      }
+      assert(e.getMessage.contains(SqIndex.ServeCodesBudgetKey), e.getMessage)
+      spark.conf.set(SqIndex.ServeCodesBudgetKey, "3")
+      SqIndex.serveLocal(spark, idx, "vec_id", "embedding", queryVec(0L), 5,
+        nprobes = 2)
+      assert(SqIndex.serveCacheSize <= 3,
+        s"shrunk budget left ${SqIndex.serveCacheSize} resident")
+    } finally spark.conf.unset(SqIndex.ServeCodesBudgetKey)
+  }
+
+  test("serveLocal prefilter: applied before ranking, parity with batched (r16)") {
+    val idx = buildIdx()
+    SqIndex.serveUnpersist(idx)
+    SqIndex.serveWarm(spark, idx, "vec_id", "embedding")
+    val q = queryVec(0L)
+    val batched = SqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+        nprobes = 3, refineFactor = 6, prefilter = Some(col("vec_id") % 2 === 0))
+      .select(col("vec_id"), col(Knn.DistanceCol))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = SqIndex.serveLocal(spark, idx, "vec_id", "embedding", q, 10,
+      nprobes = 3, refineFactor = 6, allowed = Some(id => id % 2 == 0))
+    assert(served == batched, s"$served != $batched")
+    assert(served.size == 10 && served.forall(_._1 % 2 == 0))
+  }
 }
