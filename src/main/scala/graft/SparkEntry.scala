@@ -16,7 +16,8 @@ object SparkEntry {
       (qp.Vector.queries, qp.Vector.oracleSql),
       (qp.Text.queries, qp.Text.oracleSql),
       (qp.Format.queries, qp.Format.oracleSql),
-      (qp.FtsQueries.queries, qp.FtsQueries.oracleSql)
+      (qp.FtsQueries.queries, qp.FtsQueries.oracleSql),
+      (qp.Curation.queries, qp.Curation.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

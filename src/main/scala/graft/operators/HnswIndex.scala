@@ -687,10 +687,11 @@ object HnswIndex {
   // steady state launches no Spark job at all), and the layer-0 beam is
   // the same [[searchGraph]] the distributed path runs.
   //
-  // Scope (documented, not silent): flat node storage only (exact l2²
-  // beam — quantized graphs would need a refine pass over table vectors,
-  // which is the batched path's job), and INDEXED data only with no
-  // DV/coverage dead-marking — the `fastSearch = true` contract. Parity
+  // Scope (documented, not silent): every node storage — flat (exact l2²
+  // beam), SQ and PQ (r16: ADC beam + exact refine against resident float
+  // lookups, closing the last batched-only serve cell) — but INDEXED data
+  // only with no DV/coverage dead-marking — the `fastSearch = true`
+  // contract. Parity
   // with `searchCombined(fastSearch = true)` on a clean table is
   // RecallProbe-measured; a mutated table should be served batched (or
   // re-warmed after optimize).
@@ -706,15 +707,31 @@ object HnswIndex {
   val serveHits = new java.util.concurrent.atomic.AtomicLong(0)
   val serveMisses = new java.util.concurrent.atomic.AtomicLong(0)
   def serveCacheSize: Int = serveGraphs.synchronized(serveGraphs.size())
-  private type ServeGraph = mutable.Map[Long, (Array[Float], Int, Array[Array[Long]], Boolean)]
+  // Node payload is Array[Float] under flat storage or Array[Byte] (SQ /
+  // PQ codes) under quantized storage — [[searchGraph]] is generic in it.
+  // The entry's second slot is the per-partition float lookup a quantized
+  // graph's refine pass reads (null under flat storage, where the payload
+  // IS the float vector); loading it with the codes costs the SAME one
+  // pruned read, and keeps the "zero Spark jobs warm" contract the other
+  // serve paths honor — the PQ/SQ serve twins make the identical
+  // memory-for-latency trade through [[IvfIndex.servePartition]].
+  private type ServeGraph = mutable.Map[Long, (AnyRef, Int, Array[Array[Long]], Boolean)]
+  private type ServeEntry = (Seq[ServeGraph], java.util.HashMap[Long, Array[Float]])
   private val serveGraphs =
-    new java.util.LinkedHashMap[(String, Int), Seq[ServeGraph]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int), ServeEntry](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Seq[ServeGraph]]): Boolean =
+          e: java.util.Map.Entry[(String, Int), ServeEntry]): Boolean =
         size() > serveCapacity
     }
+  /** Per-index serve state: IVF model + metric + node storage kind, plus
+    * the quantized codec (SQ bounds or PQ codebook/bits/variant) when the
+    * graph carries codes. */
+  private final case class ServeState(
+      model: IvfIndex.Model, metric: String, storage: String,
+      sq: SqIndex.SqModel = null, pq: PqIndex.PqModel = null,
+      pqBits: Int = 8, pqVariant: String = "raw")
   private val serveModels =
-    new java.util.concurrent.ConcurrentHashMap[String, (IvfIndex.Model, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, ServeState]()
 
   /** Drop an index's driver-resident serve state (after optimize/rebuild,
     * or to release driver memory). */
@@ -753,12 +770,20 @@ object HnswIndex {
     }
   }
 
-  private def serveModel(spark: SparkSession, indexPath: String): (IvfIndex.Model, String) =
+  private def serveModel(spark: SparkSession, indexPath: String): ServeState =
     serveModels.computeIfAbsent(indexPath, { _ =>
-      require(IvfIndex.readVectorStorage(spark, indexPath) == "flat",
-        s"serveLocal needs flat node storage at $indexPath — quantized " +
-          "graphs refine against table vectors and belong to the batched path")
-      (IvfIndex.loadModel(spark, indexPath), IvfIndex.readVectorMeta(spark, indexPath))
+      val base = ServeState(IvfIndex.loadModel(spark, indexPath),
+        IvfIndex.readVectorMeta(spark, indexPath),
+        IvfIndex.readVectorStorage(spark, indexPath))
+      base.storage match {
+        case "flat" => base
+        case "sq" => base.copy(sq = SqIndex.loadSq(spark, indexPath))
+        case "pq" => base.copy(pq = PqIndex.loadPq(spark, indexPath),
+          pqBits = IvfIndex.readPqBits(spark, indexPath),
+          pqVariant = IvfIndex.readPqVariant(spark, indexPath))
+        case other => throw new IllegalArgumentException(
+          s"serveLocal: unknown node storage '$other' at $indexPath")
+      }
     })
 
   private def refreshServeCapacity(spark: SparkSession): Int = {
@@ -776,7 +801,7 @@ object HnswIndex {
   }
 
   private def servePartition(spark: SparkSession, indexPath: String,
-                             pid: Int): Seq[ServeGraph] = {
+                             pid: Int, storage: String): ServeEntry = {
     refreshServeCapacity(spark)
     // fast path under the lock; the COLD read runs OUTSIDE it — a
     // multi-hundred-ms Spark collect must not block concurrent warm
@@ -787,23 +812,35 @@ object HnswIndex {
       if (hit != null) { serveHits.incrementAndGet(); return hit }
     }
     serveMisses.incrementAndGet()
+    val quant = storage != "flat"
+    val refine =
+      if (quant) new java.util.HashMap[Long, Array[Float]]() else null
     // the cold path's ONE ranged read: pid is a pushed-down parquet
-    // predicate, so only the partition's row groups are touched
+    // predicate, so only the partition's row groups are touched; a
+    // quantized graph reads codes (the beam payload) AND vec (the refine
+    // lookup) in the same pass
     val dirs = "graph" +: deltaDirs(spark, indexPath)
     val loaded = dirs.map { d =>
+      val cols = Seq(col("id"),
+        (if (quant) col("codes") else col("vec")).as("__payload"),
+        col("level"), col("nbrs")) ++ (if (quant) Seq(col("vec")) else Nil)
       val rows = spark.read.parquet(s"$indexPath/$d")
         .filter(col(PidCol) === pid)
-        .select(col("id"), col("vec"), col("level"), col("nbrs"))
+        .select(cols: _*)
         .collect()
       val g: ServeGraph = mutable.Map.empty
       rows.foreach { r =>
-        g(r.getLong(0)) = (r.getSeq[Float](1).toArray, r.getInt(2),
+        val payload: AnyRef =
+          if (quant) r.getAs[Array[Byte]](1) else r.getSeq[Float](1).toArray
+        g(r.getLong(0)) = (payload, r.getInt(2),
           r.getSeq[scala.collection.Seq[Long]](3).map(_.toArray).toArray, false)
+        if (quant) refine.put(r.getLong(0), r.getSeq[Float](4).toArray)
       }
       g
     }.filter(_.nonEmpty)
-    serveGraphs.synchronized { serveGraphs.put((indexPath, pid), loaded) }
-    loaded
+    val entry: ServeEntry = (loaded, refine)
+    serveGraphs.synchronized { serveGraphs.put((indexPath, pid), entry) }
+    entry
   }
 
   /** Preload the serve cache for an index — every partition (default) or a
@@ -813,8 +850,8 @@ object HnswIndex {
   def serveWarm(spark: SparkSession, indexPath: String,
                 pids: Seq[Int] = Nil): Long = {
     ensureServeFresh(spark, indexPath)
-    val (model, _) = serveModel(spark, indexPath)
-    val targets = if (pids.nonEmpty) pids else 0 until model.nlist
+    val st = serveModel(spark, indexPath)
+    val targets = if (pids.nonEmpty) pids else 0 until st.model.nlist
     // warming more partitions than the LRU can hold would evict most of
     // what was just loaded and report an inflated resident count while
     // every later query pays cold reads anyway — fail fast instead
@@ -822,27 +859,88 @@ object HnswIndex {
     require(targets.size <= cap,
       s"serveWarm(${targets.size} partitions) exceeds the serve budget " +
         s"$cap — raise $ServeCacheBudgetKey or warm a pid subset")
-    targets.map(p => servePartition(spark, indexPath, p).map(_.size.toLong).sum).sum
+    targets.map(p =>
+      servePartition(spark, indexPath, p, st.storage)._1.map(_.size.toLong).sum).sum
   }
 
   /** Answer one query driver-locally: centroid ranking, per-probed-pid
     * greedy+beam over resident graphs, global top-k merge — no Spark job
     * once the probed partitions are resident. Returns (id, distance) with
-    * the same distance semantics as [[search]] (cosine = 1−cos, else l2). */
+    * the same distance semantics as [[search]] (cosine = 1−cos, else l2).
+    *
+    * Quantized node storage (r16 — the last batched-only serve cell): the
+    * beam ranks on the SAME driver-side ADC arithmetic as the codegen'd
+    * batched pass (per-probed-pid residual tables under residual PQ), the
+    * global (adc, id) cut keeps k·refineFactor candidates, and the exact
+    * refine reads the resident per-partition float lookups — ids AND
+    * distances equal [[search]] at equal refineFactor.
+    *
+    * `allowed` (r16): id-predicate prefilter with the batched dead-mark
+    * semantics — excluded nodes still ROUTE (the graph stays navigable)
+    * but never reach the result heap, exactly like [[searchCombined]]'s
+    * broadcast mask. */
   def serveLocal(spark: SparkSession, indexPath: String, query: Array[Float],
-                 k: Int, nprobes: Int, ef: Int = 64): Seq[(Long, Double)] = {
+                 k: Int, nprobes: Int, ef: Int = 64,
+                 refineFactor: Int = 10,
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Double)] = {
     ensureServeFresh(spark, indexPath)
-    val (model, metric) = serveModel(spark, indexPath)
-    val query2 = if (metric == "cosine") IvfIndex.normalize(query) else query
-    val probes = model.rank(query2).take(math.min(nprobes, model.nlist))
+    val st = serveModel(spark, indexPath)
+    val query2 = if (st.metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = st.model.rank(query2).take(math.min(nprobes, st.model.nlist))
     val efq = math.max(ef, k)
-    probes.iterator.flatMap { pid =>
-      servePartition(spark, indexPath, pid).iterator.flatMap { g =>
-        searchGraph[Array[Float]](g, v => l2sq(query2, v), k, efq)
-      }
-    }.map { case (id, d) =>
-      (id, if (metric == "cosine") d / 2.0 else math.sqrt(d))
-    }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+    val extraDead: Long => Boolean = allowed match {
+      case Some(keep) => id => !keep(id)
+      case None       => _ => false
+    }
+    if (st.storage == "flat") {
+      probes.iterator.flatMap { pid =>
+        servePartition(spark, indexPath, pid, st.storage)._1.iterator.flatMap { g =>
+          searchGraph[AnyRef](g,
+            v => l2sq(query2, v.asInstanceOf[Array[Float]]), k, efq, extraDead)
+        }
+      }.map { case (id, d) =>
+        (id, if (st.metric == "cosine") d / 2.0 else math.sqrt(d))
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+    } else {
+      // ADC distance closure per PARTITION — the batched [[search]]'s
+      // codeDistFor, driver-side
+      val codeDistFor: Int => Array[Byte] => Double =
+        if (st.storage == "sq") {
+          val lo = st.sq.lo; val step = st.sq.steps
+          _ => c => SqIndex.adc(query2, c, lo, step)
+        } else if (st.pqVariant == "residual") {
+          val tables = probes.map { p =>
+            val cent = st.model.centroids(p)
+            p -> st.pq.adcTable(
+              Array.tabulate(query2.length)(i => query2(i) - cent(i)))
+          }.toMap
+          pid => { val t = tables(pid); c => PqIndex.adc(t, c, st.pqBits) }
+        } else {
+          val table = st.pq.adcTable(query2)
+          _ => c => PqIndex.adc(table, c, st.pqBits)
+        }
+      // pass 1: ADC beam per resident (pid, gen) sub-graph with the
+      // batched pool sizing (ef must cover the refine pool), then the
+      // global (adc, id) cut at k·refineFactor
+      val pool = math.max(k * refineFactor, efq)
+      val entries =
+        probes.map(pid => pid -> servePartition(spark, indexPath, pid, st.storage))
+      val cands = entries.iterator.flatMap { case (pid, (graphs, _)) =>
+        val dist = codeDistFor(pid)
+        graphs.iterator.flatMap { g =>
+          searchGraph[AnyRef](g,
+            c => dist(c.asInstanceOf[Array[Byte]]), pool, pool, extraDead)
+        }
+      }.toSeq.sortBy { case (id, d) => (d, id) }
+        .take(k * refineFactor).map(_._1).distinct
+      // pass 2: exact refine against the resident float lookups — the
+      // batched flatSearch kernels via [[IvfIndex.serveDist]]
+      val lookups = entries.map(_._2._2)
+      cands.iterator.flatMap { id =>
+        lookups.iterator.flatMap(m => Option(m.get(id))).take(1)
+          .map(v => (id, IvfIndex.serveDist(st.metric, query2, v)))
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+    }
   }
 
   private def partitionedGraph(spark: SparkSession, indexPath: String): DataFrame =
@@ -1131,7 +1229,8 @@ object HnswIndex {
     * PQ codes under quantized storage (`dist` = asymmetric ADC). */
   private def searchGraph[A](
       g: mutable.Map[Long, (A, Int, Array[Array[Long]], Boolean)],
-      dist: A => Double, k: Int, ef: Int): Seq[(Long, Double)] = {
+      dist: A => Double, k: Int, ef: Int,
+      extraDead: Long => Boolean = _ => false): Seq[(Long, Double)] = {
     if (g.isEmpty) return Nil
     // entry = max level, ties → min id (matches build's entry maintenance)
     var (epId, (epVec, epLvl, _, _)) = g.maxBy { case (id, (_, lvl, _, _)) => (lvl, -id) }
@@ -1159,7 +1258,7 @@ object HnswIndex {
     val cand = mutable.PriorityQueue.empty[(Double, Long)](ord.reverse)
     val best = mutable.PriorityQueue.empty[(Double, Long)](ord)
     cand.enqueue((epDist, epId))
-    if (!g(epId)._4) best.enqueue((epDist, epId))
+    if (!g(epId)._4 && !extraDead(epId)) best.enqueue((epDist, epId))
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
       if (best.size >= ef && dc > best.head._1) cand.clear()
@@ -1169,7 +1268,7 @@ object HnswIndex {
             val d = dist(nv)
             if (best.size < ef || d < best.head._1) {
               cand.enqueue((d, nid))
-              if (!dead) {
+              if (!dead && !extraDead(nid)) {
                 best.enqueue((d, nid))
                 while (best.size > ef) best.dequeue()
               }

@@ -27,8 +27,10 @@ object Knn {
     * [[HnswIndex.searchCombined]]. */
   def serveLocal(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                  query: Array[Float], k: Int, nprobes: Int,
-                 ef: Int = 64): Seq[(Long, Double)] =
-    HnswIndex.serveLocal(spark, indexPath, query, k, nprobes, ef)
+                 ef: Int = 64, refineFactor: Int = 10,
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Double)] =
+    HnswIndex.serveLocal(spark, indexPath, query, k, nprobes, ef,
+      refineFactor, allowed)
   val DistanceCol = "_distance"
 
   def distanceExpr(metric: String, vec: Column, query: Column): Column = metric match {

@@ -50,14 +50,6 @@ class HnswSpec extends AnyFunSuite {
         "warm serveLocal must not launch a Spark job")
       assert(served == batched, s"qid=$qid: $served != $batched")
     }
-    // quantized storage is the batched path's job: clear refusal
-    val sqDir = Files.createTempDirectory("hnsw_sq_serve_").toString
-    HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
-      "vec_id", "embedding", sqDir, nlist = 4, m = 16, storage = "sq")
-    val e = intercept[IllegalArgumentException] {
-      Knn.serveLocal(spark, sqDir, queryVec(3L), 10, nprobes = 4)
-    }
-    assert(e.getMessage.contains("flat node storage"), e.getMessage)
     // serveUnpersist releases the resident graphs; next query re-warms
     HnswIndex.serveUnpersist(idx)
     val again = Knn.serveLocal(spark, idx, queryVec(3L), 5, nprobes = 4)
@@ -73,6 +65,58 @@ class HnswSpec extends AnyFunSuite {
       // a subset within budget is fine
       assert(HnswIndex.serveWarm(spark, idx, pids = Seq(0, 1)) >= 0L)
     } finally spark.conf.unset(HnswIndex.ServeCacheBudgetKey)
+  }
+
+  test("serveLocal over quantized node storage: ADC beam + exact refine match the batched search, no jobs warm (r16)") {
+    // the last batched-only serve cell: SQ and PQ graphs serve driver-
+    // locally with the batched two-pass arithmetic — ids AND distances
+    // equal search() at equal refineFactor
+    val qs = Seq(7L, 123L, 402L)
+    for ((storage, metric) <- Seq(("sq", "l2"), ("sq", "cosine"),
+                                  ("pq", "l2"), ("pq", "cosine"))) {
+      val dir = Files.createTempDirectory(s"hnsw_${storage}_serve_").toString
+      HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, storage = storage,
+        metric = metric, pqM = 8)
+      val resident = HnswIndex.serveWarm(spark, dir)
+      assert(resident == 500L, s"$storage/$metric: $resident resident")
+      qs.foreach { qid =>
+        val q = queryVec(qid)
+        val batched = HnswIndex.search(spark, dir, q, 10, nprobes = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val tracker = spark.sparkContext.statusTracker
+        val before = tracker.getJobIdsForGroup(null).length
+        val served = Knn.serveLocal(spark, dir, q, 10, nprobes = 4)
+        assert(tracker.getJobIdsForGroup(null).length == before,
+          s"$storage/$metric: warm quantized serveLocal launched a Spark job")
+        assert(served == batched, s"$storage/$metric qid=$qid: $served != $batched")
+      }
+      HnswIndex.serveUnpersist(dir)
+    }
+  }
+
+  test("serveLocal prefilter: excluded ids route but never emit — batched dead-mark parity (r16)") {
+    // batched twin: the searchCombined broadcast mask is a dead-mark on
+    // the graph; search(markDead) applies the identical mechanism, so a
+    // serve-side `allowed` predicate must reproduce it exactly
+    val pred: Long => Boolean = id => id % 3 != 0
+    val markDead: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      g => g.withColumn("__dead", col("id") % 3 === 0)
+    for (storage <- Seq("flat", "sq")) {
+      val dir = Files.createTempDirectory(s"hnsw_pf_${storage}_").toString
+      HnswIndex.build(embeddings.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", dir, nlist = 4, m = 16, storage = storage)
+      HnswIndex.serveWarm(spark, dir)
+      val q = queryVec(42L)
+      val batched = HnswIndex.search(spark, dir, q, 10, nprobes = 4,
+          markDead = Some(markDead))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val served = Knn.serveLocal(spark, dir, q, 10, nprobes = 4,
+        allowed = Some(pred))
+      assert(served == batched, s"$storage: $served != $batched")
+      assert(served.forall(e => pred(e._1)))
+      HnswIndex.serveUnpersist(dir)
+    }
   }
 
   test("serveLocal staleness guard: rebuild at the same path serves the NEW graph (r15)") {
