@@ -68,7 +68,22 @@ object GraftFunctions {
     "minhash_signature" -> arity("minhash_signature", 2)(es =>
       MinHashSignature(es(0), litInt(es(1), "minhash_signature", "k"))),
     "simhash64" -> arity("simhash64", 1)(es => SimHash64(es(0))),
-    "fingerprint64" -> arity("fingerprint64", 1)(es => Fingerprint64(es(0))))
+    "fingerprint64" -> arity("fingerprint64", 1)(es => Fingerprint64(es(0))),
+    // URL curation (r16): canonicalization / host / registered domain as
+    // SQL-callable compositions of built-in string expressions — the
+    // web-pipeline stages reachable from pure SQL like every other kernel
+    "url_normalize" -> arity("url_normalize", 1)(es =>
+      urlExpr(es(0), graft.operators.UrlCuration.normalizeUrl)),
+    "url_host" -> arity("url_host", 1)(es =>
+      urlExpr(es(0), graft.operators.UrlCuration.hostOf)),
+    "url_registered_domain" -> arity("url_registered_domain", 1)(es =>
+      urlExpr(es(0), c => graft.operators.UrlCuration.registeredDomain(c))))
+
+  private def urlExpr(e: Expression,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.resolvableExpression(f(ColumnBridge.column(e)))
+  }
 
   /** Called from GraftExtensions.apply. */
   def inject(e: SparkSessionExtensions): Unit =

@@ -158,6 +158,45 @@ object RecallProbe {
         f""""mean_query_ms":$msS%.2f,"batched_mean_query_ms":$msB%.1f}""")
     }
 
+    // ---- quantized-HNSW serving leg (r16 — the last batched-only serve
+    // cell): SQ node storage under the same ×64 corpus; the driver-side
+    // beam ranks on ADC over resident codes and exact-refines against the
+    // resident float lookups. Parity is ids AND distances vs the batched
+    // two-pass beam at equal refineFactor. ----
+    locally {
+      import graft.operators.HnswIndex
+      val sqDir = s"$idxDir/_hnsw_sq_serve"
+      val sp = new org.apache.hadoop.fs.Path(sqDir)
+      if (fs.exists(sp)) fs.delete(sp, true)
+      HnswIndex.build(df, "vec_id", "embedding", sqDir, nlist = 64, m = 16,
+        storage = "sq")
+      val nprobes = 4
+      HnswIndex.warm(spark, sqDir)
+      val tB = System.nanoTime()
+      val batched = queries.map { case (qid, q) =>
+        qid -> HnswIndex.search(spark, sqDir, q, 10, nprobes)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }.toMap
+      val msB = (System.nanoTime() - tB) / 1e6 / queries.length
+      val resident = HnswIndex.serveWarm(spark, sqDir)
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val tS = System.nanoTime()
+      val served = queries.map { case (qid, q) =>
+        qid -> Knn.serveLocal(spark, sqDir, q, 10, nprobes)
+      }.toMap
+      val msS = (System.nanoTime() - tS) / 1e6 / queries.length
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      require(jobsAfter == jobsBefore,
+        s"quantized serveLocal launched ${jobsAfter - jobsBefore} Spark jobs on a warm cache")
+      val parity = queries.count { case (qid, _) => served(qid) == batched(qid) }
+      val hitsS = queries.map { case (qid, _) =>
+        truth(qid).intersect(served(qid).map(_._1).toSet).size }.sum
+      println(f"""{"op":"hnsw_sq_serve_local","nlist":64,"nprobes":$nprobes,""" +
+        f""""resident_nodes":$resident,"parity_pct":${parity * 100.0 / queries.length}%.1f,""" +
+        f""""recall_at_10":${hitsS / (10.0 * queries.length)}%.3f,""" +
+        f""""mean_query_ms":$msS%.2f,"batched_mean_query_ms":$msB%.1f}""")
+    }
+
     // ---- FTS driver-local serving leg (r15, VERDICT r14 #4): same regime
     // comparison for text — batched matchQuery pays Spark jobs per query,
     // Fts.serveLocal answers from the resident dictionary + postings LRU.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Fts, IvfIndex, TextAnalysis => TA}
+import graft.operators.{Dedup, Fts, IvfIndex, TextAnalysis => TA, UrlCuration}
 
 /** Scaling-curve harness: replicate the sf0.1 inputs ×1/×8/×64 (docs,
   * embeddings) and ×1/×4/×16 (lineitem/orders), run the heaviest operator
@@ -344,6 +344,42 @@ object ScaleProbe {
         val out = Dedup.simhashPairsFromSketches(sh, "doc_id", 3, maxBucket = 64).count()
         require(out == pairs, s"dense-bucket verified pairs $out != $pairs")
         out
+      }
+    }
+
+    // ---- URL curation (r16): blocklist filtering is a pure codegen'd
+    // suffix-probe scan (α must be ~1, no shuffle), and the per-domain cap
+    // must stay near-linear even when ONE domain holds half the corpus —
+    // the exact skew a plain per-domain row_number() would serialize
+    // through one task. Survivor counts are require'd against the
+    // closed-form expectation, not just timed. ----
+    for (f <- docFactors) {
+      val p = docsPlain(f)
+      time("url_blocklist", f) {
+        val blocked =
+          (0 until 1000).map(i => s"blocked$i.example").toSet + "site-7.com"
+        val docs = spark.read.parquet(p).withColumn("url",
+          concat(lit("https://cdn.d"), pmod(col("doc_id"), lit(100)),
+            lit(".site-"), pmod(col("doc_id"), lit(13)), lit(".com/x/"),
+            col("doc_id")))
+        val kept = UrlCuration.blocklistFilter(docs, "url", blocked).count()
+        val total = spark.read.parquet(p).count()
+        val want = total - spark.read.parquet(p)
+          .filter(pmod(col("doc_id"), lit(13)) === 7).count()
+        require(kept == want, s"url_blocklist kept $kept != $want")
+        kept
+      }
+      time("domain_cap", f) {
+        val docs = spark.read.parquet(p).withColumn("domain",
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("hot.com"))
+            .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(101)),
+              lit(".com"))))
+        val kept = UrlCuration.domainCap(docs, "domain", "doc_id", 50,
+          saltBuckets = 32).count()
+        val want = docs.groupBy(col("domain")).count()
+          .select(sum(least(col("count"), lit(50L)))).head().getLong(0)
+        require(kept == want, s"domain_cap kept $kept != $want")
+        kept
       }
     }
 

@@ -13,6 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert a composed Column into a STANDARD catalyst expression tree
+    * (UnresolvedFunction et al.) the analyzer can resolve.
+    * [[expression]] wraps the node lazily (ColumnNodeExpression) — fine
+    * inside a Dataset transformation, but an injected SQL FunctionBuilder
+    * must return a tree the analyzer descends into. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Clone a session (shared SparkContext + cache, copied conf) —
     * `SparkSession.cloneSession` is private[sql]. Used to scope per-write
     * SQL-conf overrides without mutating the caller's session. */

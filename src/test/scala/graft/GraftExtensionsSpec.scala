@@ -155,4 +155,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("expects 2 argument")),
       e2.getMessage)
   }
+
+  test("injected URL kernels: normalize / host / registered domain from SQL (r16)") {
+    val row = extSpark.sql(
+      """SELECT
+        |  url_normalize('HTTPS://WWW.Example.COM:443/Path/?utm_source=x&keep=1#f') AS n,
+        |  url_host('https://user@Sub.Example.COM:8443/x') AS h,
+        |  url_registered_domain('cdn.news.co.uk') AS d""".stripMargin).head()
+    assert(row.getString(0) == "https://example.com/Path/?keep=1", row.toString)
+    assert(row.getString(1) == "sub.example.com", row.toString)
+    assert(row.getString(2) == "news.co.uk", row.toString)
+  }
 }
