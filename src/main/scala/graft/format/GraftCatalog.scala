@@ -771,6 +771,16 @@ private[format] object GraftProcedures {
           graft.operators.SqIndex.currentServeCapacity.toLong,
           graft.operators.SqIndex.serveHits.get(),
           graft.operators.SqIndex.serveMisses.get()),
+        // IVF_RQ driver-local serving (r16): resident (codes, rnorm) rows
+        Seq[Any]("rq_serve", graft.operators.RqIndex.serveCacheSize.toLong,
+          graft.operators.RqIndex.currentServeCapacity.toLong,
+          graft.operators.RqIndex.serveHits.get(),
+          graft.operators.RqIndex.serveMisses.get()),
+        // hamming binary IVF driver-local serving (r16): resident packed bits
+        Seq[Any]("hamming_serve", graft.operators.BinaryIvfIndex.serveCacheSize.toLong,
+          graft.operators.BinaryIvfIndex.currentServeCapacity.toLong,
+          graft.operators.BinaryIvfIndex.serveHits.get(),
+          graft.operators.BinaryIvfIndex.serveMisses.get()),
         // FTS driver-local serving (r15): entries are resident per-token
         // postings lists
         Seq[Any]("fts_serve", graft.operators.Fts.serveCacheSize.toLong,

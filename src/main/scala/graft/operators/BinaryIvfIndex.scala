@@ -191,6 +191,89 @@ object BinaryIvfIndex {
         tieBreakers = Seq(col(idCol)), prefilter = prefilter)))(
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         prefilter = prefilter, candidateTransform = transform))
+
+  // ------------------------------------------------------------------
+  // Driver-local single-query serving (r16 — completing the serve matrix):
+  // the hamming twin of [[IvfIndex.serveLocal]]. Resident state is the
+  // probed partitions' (id, packed bits) — d/8 bytes per vector, the
+  // SMALLEST resident set of any family — and ranking is the exact
+  // popcount(xor) the codegen'd kernel computes; no refine pass exists to
+  // serve (the batched path has none either). Ids AND distances equal
+  // [[search]]. Same epoch/budget contract as the serve twins.
+  // ------------------------------------------------------------------
+
+  val ServeCodesBudgetKey = "spark.graft.cache.hamming.serve.partitions"
+  private val serveCodes = new ServeCodesCache(ServeCodesBudgetKey, 256)
+  def currentServeCapacity: Int = serveCodes.currentCapacity
+  def serveHits: java.util.concurrent.atomic.AtomicLong = serveCodes.hits
+  def serveMisses: java.util.concurrent.atomic.AtomicLong = serveCodes.misses
+  def serveCacheSize: Int = serveCodes.size
+  private val serveModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  private val serveEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop an index's driver-resident serve state (after rebuild/optimize). */
+  def serveUnpersist(indexPath: String): Unit = {
+    serveModels.remove(indexPath)
+    serveEpochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
+    serveCodes.purge(indexPath)
+  }
+
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = ServeEpoch.of(spark, indexPath)
+    val prev = serveEpochs.put(indexPath, ep)
+    if (prev != null && prev != ep) {
+      serveModels.remove(indexPath)
+      serveCodes.purge(indexPath)
+    }
+  }
+
+  private def serveModel(spark: SparkSession, indexPath: String): Model =
+    serveModels.computeIfAbsent(indexPath, _ => loadModel(spark, indexPath))
+
+  private def serveCodesPartition(spark: SparkSession, indexPath: String,
+                                  idCol: String, vecCol: String,
+                                  pid: Int): Array[(Long, Array[Byte], Float)] =
+    serveCodes.getOrLoad(spark, indexPath, pid) {
+      spark.read.parquet(s"$indexPath/vectors")
+        .filter(col(PidCol) === pid)
+        .select(col(idCol).cast("long"), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), 0f))
+    }
+
+  /** Preload the serve cache; returns resident row count. */
+  def serveWarm(spark: SparkSession, indexPath: String, idCol: String,
+                vecCol: String, pids: Seq[Int] = Nil): Long = {
+    ensureServeFresh(spark, indexPath)
+    val model = serveModel(spark, indexPath)
+    val targets = if (pids.nonEmpty) pids else 0 until model.nlist
+    val cap = serveCodes.refresh(spark)
+    require(targets.size <= cap,
+      s"serveWarm(${targets.size} partitions) exceeds the code-cache budget " +
+        s"$cap — raise $ServeCodesBudgetKey or warm a pid subset")
+    targets.map(p =>
+      serveCodesPartition(spark, indexPath, idCol, vecCol, p).length.toLong).sum
+  }
+
+  /** Answer one query driver-locally: hamming centroid ranking + exact
+    * popcount(xor) over the probed partitions' resident packed bits.
+    * Returns (id, hamming distance) — ids AND distances equal [[search]];
+    * no Spark job once warm. `allowed` is the id-predicate prefilter
+    * applied before ranking, like the serve twins. */
+  def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
+                 vecCol: String, query: Array[Byte], k: Int, nprobes: Int,
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Long)] = {
+    ensureServeFresh(spark, indexPath)
+    val model = serveModel(spark, indexPath)
+    val probes = model.rank(query).take(math.min(nprobes, model.nlist))
+    val keep = allowed.getOrElse((_: Long) => true)
+    probes.iterator.flatMap { pid =>
+      serveCodesPartition(spark, indexPath, idCol, vecCol, pid).iterator
+        .collect { case (id, bits, _) if keep(id) => (id, hamming(bits, query)) }
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+  }
 }
 
 /** Hamming-argmin centroid assignment over packed binary vectors (the

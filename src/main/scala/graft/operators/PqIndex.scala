@@ -459,12 +459,12 @@ object PqIndex {
     })
 
   private def serveCodesPartition(spark: SparkSession, indexPath: String,
-                                  idCol: String, pid: Int): Array[(Long, Array[Byte])] =
+                                  idCol: String, pid: Int): Array[(Long, Array[Byte], Float)] =
     serveCodes.getOrLoad(spark, indexPath, pid) {
       spark.read.parquet(s"$indexPath/vectors")
         .filter(col(IvfIndex.PidCol) === pid)
         .select(col(idCol).cast("long"), col(CodeCol)).collect()
-        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), 0f))
     }
 
   /** Preload the serve caches (codes + refine vectors; all partitions by
@@ -510,7 +510,7 @@ object PqIndex {
           st.pq.adcTable(Array.tabulate(q.length)(i => q(i) - cent(i)))
         } else st.pq.adcTable(q)
       serveCodesPartition(spark, indexPath, idCol, pid).iterator
-        .collect { case (id, codes) if keep(id) =>
+        .collect { case (id, codes, _) if keep(id) =>
           (id, adc(table, codes, st.numBits), pid) }
     }.toSeq.sortBy { case (id, d, _) => (d, id) }.take(k * refineFactor)
     // pass 2: exact refine from the shared float-vector serve LRU

@@ -205,6 +205,132 @@ object RqIndex {
       transform => search(spark, indexPath, idCol, vecCol, query, k, nprobes,
         refineFactor, prefilter, candidateTransform = transform,
         distanceRange = distanceRange))
+
+  // ------------------------------------------------------------------
+  // Driver-local single-query serving (r16 — completing the serve matrix
+  // across ALL quantized families): the IVF_RQ twin of
+  // [[PqIndex.serveLocal]]. Resident state is (id, codes, rnorm) per
+  // probed partition — d/8 + 4 bytes per vector — ranked by the SAME
+  // binary-asymmetric arithmetic as the codegen'd [[RqAdc]] (per-probed-
+  // pid q−centroid tables), then exact refine from [[IvfIndex]]'s shared
+  // float LRU. Ids AND distances equal [[search]] at equal refineFactor.
+  // Same epoch-staleness and budget-refusal contract as the serve twins.
+  // ------------------------------------------------------------------
+
+  val ServeCodesBudgetKey = "spark.graft.cache.rq.serve.partitions"
+  private val serveCodes = new ServeCodesCache(ServeCodesBudgetKey, 256)
+  def currentServeCapacity: Int = serveCodes.currentCapacity
+  def serveHits: java.util.concurrent.atomic.AtomicLong = serveCodes.hits
+  def serveMisses: java.util.concurrent.atomic.AtomicLong = serveCodes.misses
+  def serveCacheSize: Int = serveCodes.size
+  private case class ServeState(ivf: IvfIndex.Model, metric: String)
+  private val serveStates =
+    new java.util.concurrent.ConcurrentHashMap[String, ServeState]()
+  private val serveEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop an index's driver-resident serve state (after rebuild/optimize).
+    * Refine vectors live in [[IvfIndex]]'s shared LRU — retired together. */
+  def serveUnpersist(indexPath: String): Unit = {
+    serveStates.remove(indexPath)
+    serveEpochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
+    serveCodes.purge(indexPath)
+    IvfIndex.serveUnpersist(indexPath)
+  }
+
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
+    val ep = ServeEpoch.of(spark, indexPath)
+    val prev = serveEpochs.put(indexPath, ep)
+    if (prev != null && prev != ep) {
+      serveStates.remove(indexPath)
+      serveCodes.purge(indexPath)
+    }
+    IvfIndex.ensureServeFresh(spark, indexPath)
+  }
+
+  private def serveState(spark: SparkSession, indexPath: String): ServeState =
+    serveStates.computeIfAbsent(indexPath, { _ =>
+      ServeState(IvfIndex.loadModel(spark, indexPath),
+        IvfIndex.readVectorMeta(spark, indexPath))
+    })
+
+  private def serveCodesPartition(spark: SparkSession, indexPath: String,
+                                  idCol: String, pid: Int): Array[(Long, Array[Byte], Float)] =
+    serveCodes.getOrLoad(spark, indexPath, pid) {
+      spark.read.parquet(s"$indexPath/vectors")
+        .filter(col(IvfIndex.PidCol) === pid)
+        .select(col(idCol).cast("long"), col(CodeCol), col(NormCol)).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getFloat(2)))
+    }
+
+  /** Preload the serve caches (codes+norms + refine vectors); returns
+    * resident code-row count. */
+  def serveWarm(spark: SparkSession, indexPath: String, idCol: String,
+                vecCol: String, pids: Seq[Int] = Nil): Long = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveState(spark, indexPath)
+    val targets = if (pids.nonEmpty) pids else 0 until st.ivf.nlist
+    val cap = serveCodes.refresh(spark)
+    require(targets.size <= cap,
+      s"serveWarm(${targets.size} partitions) exceeds the code-cache budget " +
+        s"$cap — raise $ServeCodesBudgetKey or warm a pid subset")
+    val n = targets.map(p =>
+      serveCodesPartition(spark, indexPath, idCol, p).length.toLong).sum
+    IvfIndex.serveWarm(spark, indexPath, idCol, vecCol, targets)
+    n
+  }
+
+  /** Answer one query driver-locally: centroid ranking + binary-asymmetric
+    * ranking over resident (codes, rnorm) + exact refine of the global top
+    * k·refineFactor. Ids AND distances are bit-identical to [[search]] at
+    * equal refineFactor; no Spark job once warm. */
+  def serveLocal(spark: SparkSession, indexPath: String, idCol: String,
+                 vecCol: String, query: Array[Float], k: Int, nprobes: Int,
+                 refineFactor: Int = 10,
+                 allowed: Option[Long => Boolean] = None): Seq[(Long, Double)] = {
+    ensureServeFresh(spark, indexPath)
+    val st = serveState(spark, indexPath)
+    require(query.length == st.ivf.centroids.headOption.map(_.length).getOrElse(query.length),
+      s"rq serve: query dimension ${query.length} != index dimension " +
+        s"${st.ivf.centroids.head.length}")
+    val q = if (st.metric == "cosine") IvfIndex.normalize(query) else query
+    val probes = st.ivf.rank(q).take(math.min(nprobes, st.ivf.nlist))
+    // the batched [[RqAdc]]'s per-partition precomputation, driver-side
+    val qc = st.ivf.centroids.map(c => Array.tabulate(c.length)(i => q(i) - c(i)))
+    val qcSum = qc.map(_.foldLeft(0.0)(_ + _))
+    val qcNorm2 = qc.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    val invSqrtD = 1.0 / math.sqrt(q.length.toDouble)
+    def rqd(pid: Int, codes: Array[Byte], rnorm: Float): Double = {
+      val qcp = qc(pid)
+      var t = 0.0
+      var i = 0
+      val d = qcp.length
+      while (i < d) {
+        if (((codes(i >> 3) >> (i & 7)) & 1) != 0) t += qcp(i)
+        i += 1
+      }
+      val rn = rnorm.toDouble
+      qcNorm2(pid) + rn * rn - 2.0 * rn * ((2.0 * t - qcSum(pid)) * invSqrtD)
+    }
+    val keep = allowed.getOrElse((_: Long) => true)
+    val cands = probes.iterator.flatMap { pid =>
+      serveCodesPartition(spark, indexPath, idCol, pid).iterator
+        .collect { case (id, codes, rnorm) if keep(id) =>
+          (id, rqd(pid, codes, rnorm), pid) }
+    }.toSeq.sortBy { case (id, d, _) => (d, id) }.take(k * refineFactor)
+    // exact refine from the shared float-vector serve LRU (stored vectors
+    // are normalized under cosine, like the batched pass 2)
+    val byPid = cands.groupBy(_._3)
+    byPid.iterator.flatMap { case (pid, cs) =>
+      val vecs = IvfIndex.servePartition(spark, indexPath, idCol, vecCol, pid)
+      val lookup = new java.util.HashMap[Long, Array[Float]](vecs.length * 2)
+      vecs.foreach { case (id, v) => lookup.put(id, v) }
+      cs.iterator.flatMap { case (id, _, _) =>
+        Option(lookup.get(id)).map(v => (id, IvfIndex.serveDist(st.metric, q, v)))
+      }
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(k)
+  }
 }
 
 /** (vector, pid) → struct(sign-bit codes packed 8/byte, residual norm).

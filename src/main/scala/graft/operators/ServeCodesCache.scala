@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * LRU of (indexPath, pid) → (id, codes) arrays with the serve-cache
   * contract the float twins established — conf-driven budget, immediate
   * shrink eviction (ADVICE r14), hit/miss counters for cache_stats, and
-  * per-index purge for the epoch staleness guard. Codes are m (PQ) or d
-  * (SQ) bytes per vector — the 4–32× ratio that makes a quantized index
-  * the serve-scale resident set. */
+  * per-index purge for the epoch staleness guard. Codes are m (PQ), d
+  * (SQ) or d/8 (RQ/binary) bytes per vector — the 4–32× ratio that makes
+  * a quantized index the serve-scale resident set. The Float slot carries
+  * RQ's residual norm (0 for the other families). */
 private[operators] final class ServeCodesCache(val budgetKey: String,
                                                defaultCapacity: Int) {
   @volatile private var capacity = defaultCapacity
@@ -17,9 +18,9 @@ private[operators] final class ServeCodesCache(val budgetKey: String,
   val hits = new java.util.concurrent.atomic.AtomicLong(0)
   val misses = new java.util.concurrent.atomic.AtomicLong(0)
   private val rows =
-    new java.util.LinkedHashMap[(String, Int), Array[(Long, Array[Byte])]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int), Array[(Long, Array[Byte], Float)]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Array[(Long, Array[Byte])]]): Boolean =
+          e: java.util.Map.Entry[(String, Int), Array[(Long, Array[Byte], Float)]]): Boolean =
         size() > capacity
     }
 
@@ -48,7 +49,7 @@ private[operators] final class ServeCodesCache(val budgetKey: String,
     * The cold load runs OUTSIDE the lock (a racing duplicate load is
     * benign, a blocked warm query is not). */
   def getOrLoad(spark: SparkSession, indexPath: String, pid: Int)
-               (load: => Array[(Long, Array[Byte])]): Array[(Long, Array[Byte])] = {
+               (load: => Array[(Long, Array[Byte], Float)]): Array[(Long, Array[Byte], Float)] = {
     refresh(spark)
     rows.synchronized {
       val hit = rows.get((indexPath, pid))

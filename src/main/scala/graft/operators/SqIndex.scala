@@ -269,12 +269,12 @@ object SqIndex {
     })
 
   private def serveCodesPartition(spark: SparkSession, indexPath: String,
-                                  idCol: String, pid: Int): Array[(Long, Array[Byte])] =
+                                  idCol: String, pid: Int): Array[(Long, Array[Byte], Float)] =
     serveCodes.getOrLoad(spark, indexPath, pid) {
       spark.read.parquet(s"$indexPath/vectors")
         .filter(col(IvfIndex.PidCol) === pid)
         .select(col(idCol).cast("long"), col(CodeCol)).collect()
-        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), 0f))
     }
 
   /** Preload the serve caches (codes + refine vectors); returns resident
@@ -313,7 +313,7 @@ object SqIndex {
     val keep = allowed.getOrElse((_: Long) => true)
     val cands = probes.iterator.flatMap { pid =>
       serveCodesPartition(spark, indexPath, idCol, pid).iterator
-        .collect { case (id, codes) if keep(id) =>
+        .collect { case (id, codes, _) if keep(id) =>
           (id, adc(q, codes, st.sq.lo, st.steps), pid) }
     }.toSeq.sortBy { case (id, d, _) => (d, id) }.take(k * refineFactor)
     val byPid = cands.groupBy(_._3)

@@ -120,4 +120,50 @@ class BinaryIvfSpec extends AnyFunSuite {
       k = 5, nprobes = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(!r2.exists(_._1 == 7L) && r2.contains((9999L, 0L)), r2.toString)
   }
+
+  test("serveLocal: driver-local hamming serving matches the batched search, no jobs warm (r16)") {
+    val dir = Files.createTempDirectory("graft_bivf_serve_").toString
+    val vecs = vectors(500).cache()
+    BinaryIvfIndex.build(vecs, "id", "bvec", dir, nlist = 8)
+    BinaryIvfIndex.serveUnpersist(dir)
+    val resident = BinaryIvfIndex.serveWarm(spark, dir, "id", "bvec")
+    assert(resident == 500L, s"$resident resident")
+    Seq(0L, 42L, 311L).foreach { qid =>
+      val q = vecs.filter(col("id") === qid).head().getAs[Array[Byte]](1)
+      val batched = BinaryIvfIndex.search(spark, dir, "id", "bvec", q,
+          k = 10, nprobes = 8)
+        .select(col("id"), col(Knn.DistanceCol)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val served = BinaryIvfIndex.serveLocal(spark, dir, "id", "bvec", q,
+        10, nprobes = 8)
+      assert(tracker.getJobIdsForGroup(null).length == before,
+        "warm hamming serveLocal launched a Spark job")
+      assert(served == batched, s"qid=$qid: $served != $batched")
+    }
+    // id-predicate prefilter parity vs the batched Column prefilter
+    val q = vecs.filter(col("id") === 5L).head().getAs[Array[Byte]](1)
+    val batchedPf = BinaryIvfIndex.search(spark, dir, "id", "bvec", q,
+        k = 10, nprobes = 8, prefilter = Some(col("id") % 3 === 1))
+      .select(col("id"), col(Knn.DistanceCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val servedPf = BinaryIvfIndex.serveLocal(spark, dir, "id", "bvec", q,
+      10, nprobes = 8, allowed = Some(id => id % 3 == 1))
+    assert(servedPf == batchedPf, s"$servedPf != $batchedPf")
+    // staleness: in-place rebuild over a disjoint id range serves the NEW
+    // index (deep-epoch guard, ttl pinned off)
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir2 = Files.createTempDirectory("graft_bivf_stale_").toString
+      BinaryIvfIndex.build(vecs.filter(col("id") < 250), "id", "bvec", dir2, nlist = 4)
+      BinaryIvfIndex.serveUnpersist(dir2)
+      assert(BinaryIvfIndex.serveLocal(spark, dir2, "id", "bvec", q, 5, nprobes = 4)
+        .forall(_._1 < 250))
+      BinaryIvfIndex.build(vecs.filter(col("id") >= 250), "id", "bvec", dir2, nlist = 4)
+      val fresh = BinaryIvfIndex.serveLocal(spark, dir2, "id", "bvec", q, 5, nprobes = 4)
+      assert(fresh.forall(_._1 >= 250), s"stale hamming serve: $fresh")
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
+    BinaryIvfIndex.serveUnpersist(dir)
+  }
 }

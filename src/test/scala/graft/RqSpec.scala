@@ -134,4 +134,67 @@ class RqSpec extends AnyFunSuite {
     assert(got == flat)
     assert(got.filter(_ < 400).forall(_ % 7 != 0))
   }
+
+  test("serveLocal: driver-local RQ serving matches the batched two-pass search, no jobs warm (r16)") {
+    for (metric <- Seq("l2", "cosine")) {
+      val idx = Files.createTempDirectory(s"rq_serve_${metric}_").toString
+      RqIndex.build(embeddings, "vec_id", "embedding", idx, nlist = 8, metric = metric)
+      RqIndex.serveUnpersist(idx)
+      val resident = RqIndex.serveWarm(spark, idx, "vec_id", "embedding")
+      assert(resident == 500L, s"$metric: $resident resident")
+      Seq(1L, 77L, 300L).foreach { qid =>
+        val q = queryVec(qid)
+        val batched = RqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+            nprobes = 8, refineFactor = 10)
+          .select(col("vec_id"), col(Knn.DistanceCol)).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val tracker = spark.sparkContext.statusTracker
+        val before = tracker.getJobIdsForGroup(null).length
+        val served = RqIndex.serveLocal(spark, idx, "vec_id", "embedding", q,
+          10, nprobes = 8, refineFactor = 10)
+        assert(tracker.getJobIdsForGroup(null).length == before,
+          s"$metric: warm RQ serveLocal launched a Spark job")
+        assert(served == batched, s"$metric qid=$qid: $served != $batched")
+      }
+      // id-predicate prefilter parity vs the batched Column prefilter
+      val q = queryVec(5L)
+      val batchedPf = RqIndex.search(spark, idx, "vec_id", "embedding", q, 10,
+          nprobes = 8, refineFactor = 10,
+          prefilter = Some(col("vec_id") % 2 === 0))
+        .select(col("vec_id"), col(Knn.DistanceCol)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val servedPf = RqIndex.serveLocal(spark, idx, "vec_id", "embedding", q,
+        10, nprobes = 8, refineFactor = 10, allowed = Some(id => id % 2 == 0))
+      assert(servedPf == batchedPf, s"$metric: $servedPf != $batchedPf")
+      RqIndex.serveUnpersist(idx)
+    }
+  }
+
+  test("serveLocal staleness + budget: rebuild at the same path serves the NEW index; over-budget warm refuses (r16)") {
+    spark.conf.set("spark.graft.serve.epoch.ttl.ms", "0")
+    try {
+      val dir = Files.createTempDirectory("rq_stale_").toString
+      RqIndex.build(embeddings.filter($"vec_id" < 250), "vec_id", "embedding",
+        dir, nlist = 4)
+      RqIndex.serveUnpersist(dir)
+      val q = queryVec(3L)
+      val servedOld = RqIndex.serveLocal(spark, dir, "vec_id", "embedding", q,
+        5, nprobes = 4)
+      assert(servedOld.forall(_._1 < 250))
+      RqIndex.build(embeddings.filter($"vec_id" >= 250), "vec_id", "embedding",
+        dir, nlist = 4)
+      val servedNew = RqIndex.serveLocal(spark, dir, "vec_id", "embedding", q,
+        5, nprobes = 4)
+      assert(servedNew.forall(_._1 >= 250),
+        s"stale serve cache answered for the dropped index: $servedNew")
+      spark.conf.set(RqIndex.ServeCodesBudgetKey, "2")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          RqIndex.serveWarm(spark, dir, "vec_id", "embedding") // nlist 4 > 2
+        }
+        assert(e.getMessage.contains("code-cache budget"), e.getMessage)
+      } finally spark.conf.unset(RqIndex.ServeCodesBudgetKey)
+      RqIndex.serveUnpersist(dir)
+    } finally spark.conf.unset("spark.graft.serve.epoch.ttl.ms")
+  }
 }
