@@ -210,25 +210,20 @@ object BinaryIvfIndex {
   def serveCacheSize: Int = serveCodes.size
   private val serveModels =
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
-  private val serveEpochs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val serveFresh = new ServeFreshness(p => {
+    serveModels.remove(p)
+    serveCodes.purge(p)
+  })
 
   /** Drop an index's driver-resident serve state (after rebuild/optimize). */
   def serveUnpersist(indexPath: String): Unit = {
     serveModels.remove(indexPath)
-    serveEpochs.remove(indexPath)
-    ServeEpoch.invalidate(indexPath)
+    serveFresh.forget(indexPath)
     serveCodes.purge(indexPath)
   }
 
-  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = ServeEpoch.of(spark, indexPath)
-    val prev = serveEpochs.put(indexPath, ep)
-    if (prev != null && prev != ep) {
-      serveModels.remove(indexPath)
-      serveCodes.purge(indexPath)
-    }
-  }
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit =
+    serveFresh.ensure(spark, indexPath)
 
   private def serveModel(spark: SparkSession, indexPath: String): Model =
     serveModels.computeIfAbsent(indexPath, _ => loadModel(spark, indexPath))

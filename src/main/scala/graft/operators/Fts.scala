@@ -1610,37 +1610,30 @@ object Fts {
           e: java.util.Map.Entry[(String, String), Array[(Long, Double)]]): Boolean =
         size() > serveTermCapacity
     }
-  private val serveEpochs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def serveCacheSize: Int = servePostings.synchronized(servePostings.size())
 
-  /** Drop an index's driver-resident serve state. */
-  def serveUnpersist(indexPath: String): Unit = servePostings.synchronized {
+  private def purgeServe(indexPath: String): Unit = servePostings.synchronized {
     serveStates.remove(indexPath)
-    serveEpochs.remove(indexPath)
-    ServeEpoch.invalidate(indexPath)
     val it = servePostings.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
     val pit = servePosPostings.keySet().iterator()
     while (pit.hasNext) if (pit.next()._1 == indexPath) pit.remove()
   }
 
+  /** Drop an index's driver-resident serve state. */
+  def serveUnpersist(indexPath: String): Unit = {
+    serveFresh.forget(indexPath)
+    purgeServe(indexPath)
+  }
+
   // r16 (ADVICE r15 #4): bounded deep listing ([[ServeEpoch]]) — a rebuild
   // that only rewrites files nested under postings/docstats/termstats moves
   // the token even on object stores, where the r15 one-level root listing
-  // (virtual directory entries: len 0, mtime 0) could stay unchanged.
-  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = ServeEpoch.of(spark, indexPath)
-    val prev = serveEpochs.put(indexPath, ep)
-    if (prev != null && prev != ep) servePostings.synchronized {
-      serveStates.remove(indexPath)
-      val it = servePostings.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
-      val pit = servePosPostings.keySet().iterator()
-      while (pit.hasNext) if (pit.next()._1 == indexPath) pit.remove()
-    }
-  }
+  // (virtual directory entries: len 0, mtime 0) could stay unchanged. The
+  // guard itself is the shared [[ServeFreshness]].
+  private val serveFresh = new ServeFreshness(purgeServe)
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit =
+    serveFresh.ensure(spark, indexPath)
 
   private def refreshServeTermCapacity(spark: SparkSession): Int = {
     val cap = math.max(1, scala.util.Try(

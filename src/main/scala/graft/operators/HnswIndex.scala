@@ -737,8 +737,7 @@ object HnswIndex {
     * or to release driver memory). */
   def serveUnpersist(indexPath: String): Unit = serveGraphs.synchronized {
     serveModels.remove(indexPath)
-    serveEpochs.remove(indexPath)
-    ServeEpoch.invalidate(indexPath)
+    serveFresh.forget(indexPath)
     val it = serveGraphs.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
   }
@@ -755,20 +754,16 @@ object HnswIndex {
   // lengths is indistinguishable; real rebuilds rewrite part files over
   // many ms. Cost: one fs listing per query, the same order as the
   // centroid-cache fingerprint the batched path already pays.
-  private val serveEpochs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   // r16 (ADVICE r15 #4): bounded deep listing ([[ServeEpoch]]) so nested
-  // file rewrites move the token on object stores too.
-  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = ServeEpoch.of(spark, indexPath)
-    val prev = serveEpochs.put(indexPath, ep)
-    if (prev != null && prev != ep) serveGraphs.synchronized {
-      serveModels.remove(indexPath)
-      val it = serveGraphs.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
-    }
-  }
+  // file rewrites move the token on object stores too; the guard itself
+  // is the shared [[ServeFreshness]].
+  private val serveFresh = new ServeFreshness(p => serveGraphs.synchronized {
+    serveModels.remove(p)
+    val it = serveGraphs.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == p) it.remove()
+  })
+  private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit =
+    serveFresh.ensure(spark, indexPath)
 
   private def serveModel(spark: SparkSession, indexPath: String): ServeState =
     serveModels.computeIfAbsent(indexPath, { _ =>

@@ -319,9 +319,8 @@ object IvfIndex {
 
   /** Drop an index's driver-resident serve rows (after rebuild/optimize). */
   def serveUnpersist(indexPath: String): Unit = serveRows.synchronized {
-    serveEpochs.remove(indexPath)
+    serveFresh.forget(indexPath)
     serveStorageF16.remove(indexPath)
-    ServeEpoch.invalidate(indexPath)
     val it = serveRows.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
   }
@@ -333,20 +332,16 @@ object IvfIndex {
   // vectors/, retrain rewrites centroids/) purges the index's rows on
   // mismatch. The model itself is already fingerprint-guarded inside
   // loadModel.
-  private val serveEpochs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   // r16 (ADVICE r15 #4): the epoch is [[ServeEpoch]]'s bounded deep listing,
   // not a one-level root listing — object-store rebuilds that only rewrite
-  // files nested under vectors/__ivf_pid=N/ still move the token.
-  private[operators] def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = ServeEpoch.of(spark, indexPath)
-    val prev = serveEpochs.put(indexPath, ep)
-    if (prev != null && prev != ep) serveRows.synchronized {
-      val it = serveRows.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == indexPath) it.remove()
-    }
-  }
+  // files nested under vectors/__ivf_pid=N/ still move the token. The
+  // guard itself is the shared [[ServeFreshness]].
+  private val serveFresh = new ServeFreshness(p => serveRows.synchronized {
+    val it = serveRows.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == p) it.remove()
+  })
+  private[operators] def ensureServeFresh(spark: SparkSession, indexPath: String): Unit =
+    serveFresh.ensure(spark, indexPath)
 
   private def refreshServeCapacity(spark: SparkSession): Int = {
     val cap = math.max(1,

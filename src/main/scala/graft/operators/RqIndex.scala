@@ -226,26 +226,22 @@ object RqIndex {
   private case class ServeState(ivf: IvfIndex.Model, metric: String)
   private val serveStates =
     new java.util.concurrent.ConcurrentHashMap[String, ServeState]()
-  private val serveEpochs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val serveFresh = new ServeFreshness(p => {
+    serveStates.remove(p)
+    serveCodes.purge(p)
+  })
 
   /** Drop an index's driver-resident serve state (after rebuild/optimize).
     * Refine vectors live in [[IvfIndex]]'s shared LRU — retired together. */
   def serveUnpersist(indexPath: String): Unit = {
     serveStates.remove(indexPath)
-    serveEpochs.remove(indexPath)
-    ServeEpoch.invalidate(indexPath)
+    serveFresh.forget(indexPath)
     serveCodes.purge(indexPath)
     IvfIndex.serveUnpersist(indexPath)
   }
 
   private def ensureServeFresh(spark: SparkSession, indexPath: String): Unit = {
-    val ep = ServeEpoch.of(spark, indexPath)
-    val prev = serveEpochs.put(indexPath, ep)
-    if (prev != null && prev != ep) {
-      serveStates.remove(indexPath)
-      serveCodes.purge(indexPath)
-    }
+    serveFresh.ensure(spark, indexPath)
     IvfIndex.ensureServeFresh(spark, indexPath)
   }
 

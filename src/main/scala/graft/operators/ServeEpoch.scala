@@ -83,3 +83,29 @@ private[operators] object ServeEpoch {
     if (overflow == 0) body else s"$body;…+$overflow"
   }
 }
+
+/** Shared epoch-staleness guard for a family's driver-local serve caches —
+  * the one piece of serve plumbing every family (IVF/HNSW/PQ/SQ/RQ/
+  * hamming/FTS) previously re-implemented: an epoch map keyed by index
+  * path, compared against [[ServeEpoch.of]] on every serve entry point,
+  * purging the family's resident state (the `purge` hook) on mismatch.
+  * `forget` drops the remembered epoch AND the [[ServeEpoch]] memo so the
+  * next query relists immediately (the serveUnpersist contract). */
+private[operators] final class ServeFreshness(purge: String => Unit) {
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Purge the family's resident state for `indexPath` if its on-disk
+    * epoch moved since the last check. */
+  def ensure(spark: SparkSession, indexPath: String): Unit = {
+    val ep = ServeEpoch.of(spark, indexPath)
+    val prev = epochs.put(indexPath, ep)
+    if (prev != null && prev != ep) purge(indexPath)
+  }
+
+  /** Forget an index entirely (serveUnpersist): next check relists. */
+  def forget(indexPath: String): Unit = {
+    epochs.remove(indexPath)
+    ServeEpoch.invalidate(indexPath)
+  }
+}

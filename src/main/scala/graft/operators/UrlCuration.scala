@@ -111,15 +111,17 @@ object UrlCuration {
     * pays O(labels) hash probes — no join, no shuffle, the corpus scan
     * stays one codegen stage. Sized for driver-resident blocklists (UT1's
     * adult list ≈ 4M entries ≈ 10² MB); beyond that use
-    * [[blocklistFilterJoin]]. */
+    * [[blocklistFilterJoin]]. A NULL url is KEPT (it has no host to
+    * block) — the same answer the join variant gives, spec-pinned. */
   def blocklistFilter(df: DataFrame, urlCol: String,
                       blocked: Set[String]): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val set = new java.util.HashSet[String](blocked.size * 2)
     blocked.foreach(d => set.add(d.toLowerCase))
     val hit = ColumnBridge.column(
-      HostBlocked(ColumnBridge.expression(hostOf(col(urlCol))), set))
-    df.filter(!hit)
+      HostBlocked(ColumnBridge.expression(hostOf(col(urlCol))),
+        new HostBlocked.BlockSet(set)))
+    df.filter(!coalesce(hit, lit(false)))
   }
 
   /** Join variant for blocklists too large to ship to executors: the
@@ -154,29 +156,46 @@ object UrlCuration {
     * range splits into `saltBuckets` ORDER-PRESERVING slices, row_number
     * runs per (domain, slice) — bounded by c/saltBuckets rows — and slice
     * offsets come from a prefix sum over the per-slice COUNT table
-    * (|domains|·saltBuckets rows, never the corpus), broadcast back.
-    * Global rank = offset + local rank, exactly. */
+    * (|domains|·saltBuckets rows, never the corpus), joined back — the
+    * join is left to AQE like packShards' offset join: at 10⁷⁺ distinct
+    * domains a forced broadcast would collect the whole offset table to
+    * the driver, while a small table broadcasts on its own.
+    * Global rank = offset + local rank, exactly.
+    *
+    * NULL domains form their own capped group (the same grouping a plain
+    * `row_number() OVER (PARTITION BY domain)` gives — both engines sort
+    * NULL into one partition), carried through the join on an internal
+    * non-null key so the inner equi-join cannot drop them.
+    *
+    * Cost note: the input is scanned twice (rank + count pass). The count
+    * pass prunes to (domainCol, idCol); if domainCol is a DERIVED
+    * expression (regexps over the url) rather than a stored column,
+    * persist the projection first to pay the derivation once. */
   def domainCap(df: DataFrame, domainCol: String, idCol: String, cap: Int,
                 saltBuckets: Int = 32): DataFrame = {
     require(cap > 0, s"domainCap needs a positive cap, got $cap")
     require(saltBuckets >= 1 && saltBuckets <= 10000,
       s"saltBuckets must be in [1, 10000], got $saltBuckets")
     val bkt = hashBucket(idCol)
-    val w = df.withColumn("__bkt", bkt)
+    // non-null grouping key: NULL domains are one group, like row_number
+    val domKey = coalesce(col(domainCol).cast("string"),
+      lit(" __graft_null_domain__"))
+    val w = df.withColumn("__dom", domKey)
+      .withColumn("__bkt", bkt)
       .withColumn("__salt", (col("__bkt") * lit(saltBuckets) / lit(10000L)).cast("int"))
-    val local = Window.partitionBy(col(domainCol), col("__salt"))
+    val local = Window.partitionBy(col("__dom"), col("__salt"))
       .orderBy(col("__bkt"), col(idCol))
     val ranked = w.withColumn("__lr", row_number().over(local))
-    val counts = w.groupBy(col(domainCol), col("__salt"))
+    val counts = w.groupBy(col("__dom"), col("__salt"))
       .agg(count(lit(1)).as("__c"))
-    val pre = Window.partitionBy(col(domainCol)).orderBy(col("__salt"))
+    val pre = Window.partitionBy(col("__dom")).orderBy(col("__salt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(pre), lit(0L)))
-      .select(col(domainCol), col("__salt"), col("__off"))
-    ranked.join(broadcast(offsets), Seq(domainCol, "__salt"))
+      .select(col("__dom"), col("__salt"), col("__off"))
+    ranked.join(offsets, Seq("__dom", "__salt"))
       .filter(col("__off") + col("__lr") <= cap)
-      .drop("__bkt", "__salt", "__lr", "__off")
+      .drop("__dom", "__bkt", "__salt", "__lr", "__off")
   }
 }
 
@@ -184,8 +203,11 @@ object UrlCuration {
   * Codegen'd suffix-chain probe: walk the host right-to-left one label at
   * a time and test each suffix against the shipped HashSet — O(labels)
   * probes per row, no per-row allocation beyond the suffix substrings.
-  * The set rides the stage's task binary (one broadcast per executor). */
-case class HostBlocked(child: Expression, blocked: java.util.HashSet[String])
+  * The set rides the stage's task binary (one broadcast per executor).
+  * The set sits behind [[HostBlocked.BlockSet]]'s IDENTITY equality:
+  * a case-class field of the raw HashSet would make every Catalyst
+  * canonicalization / semantic-equality pass traverse all ~4M entries. */
+case class HostBlocked(child: Expression, blocked: HostBlocked.BlockSet)
     extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BooleanType
@@ -198,11 +220,11 @@ case class HostBlocked(child: Expression, blocked: java.util.HashSet[String])
 
   override def nullSafeEval(input: Any): Any = {
     val host = input.toString
-    HostBlocked.matches(host, blocked)
+    HostBlocked.matches(host, blocked.set)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("blockedSet", blocked, "java.util.HashSet")
+    val setRef = ctx.addReferenceObj("blockedSet", blocked.set, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, h =>
       s"${ev.value} = graft.operators.HostBlocked.matches($h.toString(), $setRef);")
   }
@@ -211,6 +233,20 @@ case class HostBlocked(child: Expression, blocked: java.util.HashSet[String])
 }
 
 object HostBlocked {
+  /** Identity-equality wrapper for the blocklist: Catalyst hashes and
+    * compares expression trees during analysis/optimization, and a raw
+    * HashSet field would make each pass O(|blocklist|). Two HostBlocked
+    * expressions are semantically equal only when they share the SAME
+    * set instance — conservative (no cross-query subexpression dedup),
+    * never wrong. Serializable: ships inside the task binary as before. */
+  final class BlockSet(val set: java.util.HashSet[String]) extends Serializable {
+    override def hashCode(): Int = System.identityHashCode(this)
+    override def equals(o: Any): Boolean = o match {
+      case b: BlockSet => this eq b
+      case _ => false
+    }
+  }
+
   /** Shared by eval and codegen: probe every dot-suffix of `host`. */
   def matches(host: String, blocked: java.util.HashSet[String]): Boolean = {
     if (blocked.isEmpty || host.isEmpty) return false

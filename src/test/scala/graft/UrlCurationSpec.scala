@@ -64,6 +64,16 @@ class UrlCurationSpec extends AnyFunSuite {
     assert(keptJoin == kept, "join variant must agree with the probe variant")
     // empty blocklist keeps everything
     assert(UC.blocklistFilter(docs, "url", Set.empty).count() == 6)
+    // a NULL url has no host to block: BOTH variants keep the row
+    val withNull = docs.unionByName(
+      Seq((7L, Option.empty[String])).toDF("id", "url"))
+    val keptNull = UC.blocklistFilter(withNull, "url", blocked)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(keptNull == Seq(3L, 5L, 7L), keptNull.toString)
+    val keptNullJoin = UC.blocklistFilterJoin(withNull, "url", "id",
+        blocked.toSeq.toDF("domain"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(keptNullJoin == keptNull, "variants must agree on NULL urls")
   }
 
   test("domainCap: hierarchical rank equals the naive per-domain row_number, any salt") {
@@ -91,5 +101,12 @@ class UrlCurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       UC.domainCap(docs, "domain", "id", 0)
     }
+    // NULL domains are one capped group (row_number semantics), never
+    // silently dropped by the offset join
+    val withNulls = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "d0" else null)).toDF("id", "domain")
+    val gotNull = UC.domainCap(withNulls, "domain", "id", 10)
+    assert(gotNull.filter(col("domain").isNull).count() == 10)
+    assert(gotNull.filter(col("domain") === "d0").count() == 10)
   }
 }
