@@ -81,20 +81,23 @@ object Dedup {
                            numPerms: Int, bandRows: Int, maxBucket: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint (NOT persist): several subtrees below read this and
-    // the signature computation is the expensive part, but a bare persist
-    // leaks storage for the session lifetime on a lazily returned result —
-    // the eager checkpoint materializes once and its blocks are reclaimed
-    // automatically when the plan is dropped.
+    // ONE pass, ONE checkpoint for signatures + group structure (r16, guide
+    // §2.4): the group-min window already leaves every row carrying both its
+    // signature and its representative, so the r15 shape's separate members
+    // checkpoint and the sig⋈reps join-back to recover rep signatures were
+    // pure overhead — members and repSigs are now projections/filters of the
+    // same checkpointed result. localCheckpoint (NOT persist): several
+    // subtrees below read this and the signature computation is the
+    // expensive part, but a bare persist leaks storage for the session
+    // lifetime on a lazily returned result — the eager checkpoint
+    // materializes once and its blocks are reclaimed automatically when the
+    // plan is dropped.
     val sig = df.select(col(idCol), minhashSignature(col(shingleCol), numPerms).as("sig"))
       .withColumn("__sk", xxhash64(col("sig")))
-      .localCheckpoint()
-    val members = sig.select(col("__sk"), col(idCol))
       .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(col("__sk"))))
-      .select(col(idCol), col("__rep"))
       .localCheckpoint()
-    val repSigs = sig.join(
-      members.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol))
+    val members = sig.select(col(idCol), col("__rep"))
+    val repSigs = sig.filter(col(idCol) === col("__rep"))
     val repBanded = bandSignatures(repSigs, idCol, numPerms, bandRows)
       .withColumn("__bs", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))

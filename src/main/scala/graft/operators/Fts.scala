@@ -526,9 +526,25 @@ case class StemWord(child: org.apache.spark.sql.catalyst.expressions.Expression,
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"stem_word requires string, got ${child.dataType.catalogString}")
-  override def nullSafeEval(input: Any): Any =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      graft.functions.SnowballStemmer.stem(input.toString, language))
+  /** Per-task stem memo (r16): corpora are Zipf-distributed, so almost every
+    * stem call repeats a recent token — caching (String → owned UTF8String)
+    * turns the per-token Snowball pass into a hash probe. Bounded (the
+    * distinct-token universe of a task is small, but a pathological corpus
+    * must not pin unbounded driver/executor heap); @transient so the map is
+    * rebuilt empty on each executor — determinism is untouched because
+    * stemming is a pure function of (token, language). */
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.unsafe.types.UTF8String](1 << 12)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var r = memo.get(s)
+    if (r == null) {
+      r = org.apache.spark.unsafe.types.UTF8String.fromString(
+        graft.functions.SnowballStemmer.stem(s, language))
+      if (memo.size < (1 << 16)) memo.put(s, r)
+    }
+    r
+  }
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): StemWord = copy(child = c)
 }
@@ -703,69 +719,105 @@ object Fts {
       "postings_rows_total" -> all.getDouble(1).toLong)
   }
 
+  /** Session conf: target bytes of INPUT text per postings output file when
+    * `buildIndex` sizes the layout itself (`numPostingFiles <= 0`). Postings
+    * volume tracks corpus text volume, so input size is the honest proxy
+    * available without an extra pass. */
+  val PostingsBytesPerFileKey = "spark.graft.fts.postings.bytesPerFile"
+
+  /** Scale-adaptive postings file count (guide §2.2/§6: partition counts
+    * derived from data volume, not constants tuned to one box): input bytes
+    * from the plan's statistics — parquet footers, no job — divided by
+    * [[PostingsBytesPerFileKey]] (default 256 MiB), clamped to [2, 10000]. */
+  private def autoPostingFiles(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val per = df.sparkSession.conf.getOption(PostingsBytesPerFileKey)
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val n = (bytes / BigInt(math.max(1L, per))).toLong + 1
+    math.max(2, math.min(10000L, n).toInt)
+  }
+
   /** Distributed inverted-index build (reference `inverted/builder.rs`).
     *
-    * One tokenization pass: the tokenized corpus is cached, postings are
-    * cached pre-write so termstats derives from the in-memory aggregate
-    * instead of re-reading parquet, and postings are hash-partitioned by
-    * token and token-sorted within files — every posting of a term lives in
-    * ONE file, and sorted row groups give stats-based skipping inside it
-    * (the batch analogue of the reference's token-sorted posting lists;
-    * hash+sort beats range partitioning here because it needs no sampling
-    * pass over the corpus). `numPostingFiles` scales with corpus size.
-    * docstats is per-doc — normal partitioning, joined on doc_id; only the
-    * single-row meta coalesces.
+    * One tokenization pass and ONE exchange (r16, guide §2.4): the exploded
+    * tokens are hash-partitioned by `token` once, up front — that single
+    * partitioning simultaneously satisfies the `(token, doc_id)` postings
+    * aggregation, the `(token)` df aggregation, the `(token, block)`
+    * WAND-block aggregation, and the one-file-per-term output layout, so
+    * postings/termstats/blockstats all derive from the same shuffle with no
+    * further Exchange (the r15 shape paid a groupBy exchange, a repartition
+    * exchange per output, and a postings⋈docstats join; `dl` now rides the
+    * exploded rows, 8 bytes each, so the blockstats join is gone outright).
+    * Postings files are token-sorted within files — every posting of a term
+    * lives in ONE file, and sorted row groups give stats-based skipping
+    * inside it. `numPostingFiles <= 0` (the default) sizes the layout from
+    * the input's plan statistics ([[autoPostingFiles]]). docstats is
+    * per-doc — normal partitioning; only the single-row meta coalesces.
     */
   def buildIndex(df: DataFrame, idCol: String, textCol: String, indexPath: String,
-                 numPostingFiles: Int = 8, config: FtsConfig = FtsConfig()): Index = {
+                 numPostingFiles: Int = -1, config: FtsConfig = FtsConfig()): Index = {
     val p = paths(indexPath)
     invalidateMeta(indexPath)
     // a name-referenced dictionary resolves through the dict home HERE,
     // once; the stored config below carries the resolved entries
     val cfg = DictLoader.resolveConfig(df.sparkSession, config)
     writeConfig(df.sparkSession, indexPath, cfg)
+    val nFiles = if (numPostingFiles > 0) numPostingFiles else autoPostingFiles(df)
+    val nStatsFiles = math.max(1, nFiles / 4)
     val tokenized = df.select(col(idCol).as("doc_id"), tokenizeWith(col(textCol), cfg).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
       .persist()
     try {
-      val toks = tokenized.select(col("doc_id"),
+      val toks = tokenized.select(col("doc_id"), col("dl"),
         posexplode(col("tk")).as(Seq("pos", "token")))
-      val postings = (if (cfg.storePositions)
-          toks.groupBy(col("token"), col("doc_id"))
-            .agg(count(lit(1)).cast("double").as("tf"),
-              sort_array(collect_list(col("pos"))).as("positions"))
-        else
-          toks.groupBy(col("token"), col("doc_id"))
-            .agg(count(lit(1)).cast("double").as("tf")))
+      val aggs =
+        if (cfg.storePositions)
+          Seq(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"),
+            min(col("dl")).as("dl"))
+        else Seq(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+      // the ONE exchange: hashpartitioning(token, W) satisfies every
+      // grouping below (token is a subset of each grouping key set). W is
+      // the exchange's PARALLELISM, decoupled from the file count — at
+      // corpus scale W == nFiles, but a small build must still aggregate
+      // at cluster width (a 2-way exchange measured 2.5x slower here);
+      // writes coalesce down to the target file counts (narrow, keeps
+      // every token in one file).
+      val w = math.max(nFiles,
+        df.sparkSession.sparkContext.defaultParallelism)
+      val postings = toks.repartition(w, col("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
         .persist()
       try {
+        // materialize the cache at the exchange's full width FIRST — the
+        // writes below coalesce, and a coalesced first action would pull
+        // the aggregation itself into the coalesced task count
+        postings.count()
         // sort by (token, doc_id): token runs keep the one-file-per-term
         // pushdown, and doc_id order WITHIN a run gives row-group min/max
         // stats that WAND's surviving-block range predicate can skip on
-        postings.repartition(numPostingFiles, col("token"))
+        postings.drop("dl")
+          .coalesce(nFiles)
           .sortWithinPartitions(col("token"), col("doc_id"))
           .write.mode(SaveMode.Overwrite).parquet(p.postings)
         postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-          .repartition(math.max(1, numPostingFiles / 4), col("token"))
+          .coalesce(nStatsFiles)
           .sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Overwrite).parquet(p.termstats)
         // block-max stats for WAND pruning (reference inverted/wand.rs):
         // per (token, doc-id block) the tf/dl extremes that bound any
         // BM25 contribution inside the block, for ANY future avgdl
-        val dl = tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
-        postings.join(dl, "doc_id")
-          .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+        postings.groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
           .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-          .repartition(math.max(1, numPostingFiles / 4), col("token"))
+          .coalesce(nStatsFiles)
           .sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
       } finally postings.unpersist()
-      val docstats = tokenized.select(col("doc_id"),
-        size(col("tk")).cast("double").as("dl")).persist()
-      try {
-        docstats.write.mode(SaveMode.Overwrite).parquet(p.docstats)
-        docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
-      } finally docstats.unpersist()
+      val docstats = tokenized.select(col("doc_id"), col("dl"))
+      docstats.write.mode(SaveMode.Overwrite).parquet(p.docstats)
+      docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
     } finally tokenized.unpersist()
     // adopt the freshly built segments as the merged base (sidecars were
     // dropped by the Overwrite) so later optimizes track only true deltas
@@ -842,23 +894,33 @@ object Fts {
     val p = paths(indexPath)
     invalidateMeta(indexPath)
     writeConfig(spark, indexPath, cfgs.head)
-    val postings = spark.read.parquet(parts.map(x => s"$x/postings"): _*).persist()
+    // ONE postings exchange (r16, guide §2.4): hash-partition the merged
+    // postings by token up front — the write layout AND the termstats df
+    // aggregation both reuse it. Global blockstats merge directly from the
+    // parts' blockstats: parts cover doc-disjoint slices, so the union's
+    // per-(token, block) extremes are the extremes of the part extremes —
+    // the r15 postings⋈docstats join (two corpus-sized exchanges) is gone.
+    val postings = spark.read.parquet(parts.map(x => s"$x/postings"): _*)
+      .repartition(math.max(8, spark.sparkContext.defaultParallelism),
+        col("token")).persist()
     val nDocs = try {
-      postings.repartition(8, col("token"))
+      postings.count() // materialize at full width before coalesced writes
+      postings.coalesce(8)
         .sortWithinPartitions(col("token"), col("doc_id"))
         .write.mode(SaveMode.Overwrite).parquet(p.postings)
       postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-        .repartition(2, col("token")).sortWithinPartitions(col("token"))
+        .coalesce(2).sortWithinPartitions(col("token"))
         .write.mode(SaveMode.Overwrite).parquet(p.termstats)
       spark.read.parquet(parts.map(x => s"$x/docstats"): _*)
         .write.mode(SaveMode.Overwrite).parquet(p.docstats)
       val ds = spark.read.parquet(p.docstats)
       ds.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
-      postings.join(ds.select(col("doc_id"), col("dl")), "doc_id")
-        .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
-        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-        .repartition(2, col("token")).sortWithinPartitions(col("token"))
+      spark.read.parquet(parts.map(x => s"$x/blockstats"): _*)
+        .repartition(2, col("token"))
+        .groupBy(col("token"), col("block"))
+        .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+        .sortWithinPartitions(col("token"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
       ds.count()
     } finally postings.unpersist()
@@ -953,33 +1015,42 @@ object Fts {
     val cfg = loadConfig(newDocs.sparkSession, indexPath)
     val tokenized = newDocs.select(col(idCol).as("doc_id"),
         tokenizeWith(col(textCol), cfg).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
       .persist()
     try {
-      val toks = tokenized.select(col("doc_id"),
+      val toks = tokenized.select(col("doc_id"), col("dl"),
         posexplode(col("tk")).as(Seq("pos", "token")))
-      val deltaPost = (if (cfg.storePositions)
-          toks.groupBy(col("token"), col("doc_id"))
-            .agg(count(lit(1)).cast("double").as("tf"),
-              sort_array(collect_list(col("pos"))).as("positions"))
-        else
-          toks.groupBy(col("token"), col("doc_id"))
-            .agg(count(lit(1)).cast("double").as("tf")))
+      val aggs =
+        if (cfg.storePositions)
+          Seq(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"),
+            min(col("dl")).as("dl"))
+        else Seq(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+      // ONE exchange, shared by the postings layout and the block stats
+      // (same shape as [[buildIndex]]: exchange at cluster width for the
+      // aggregation, coalesce for the layout; dl rides along so no join
+      // back). Delta segments are FEW files (2-way) and token-sorted, so
+      // the term pushdown prunes inside deltas exactly as it does in the
+      // base.
+      val w = math.max(2,
+        newDocs.sparkSession.sparkContext.defaultParallelism)
+      val deltaPost = toks.repartition(w, col("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
         .persist()
       try {
-        // delta segments are FEW files (repartition before append — never
-        // one file per shuffle partition) and token-sorted, so the term
-        // pushdown prunes inside deltas exactly as it does in the base
-        deltaPost.repartition(2, col("token"))
+        deltaPost.count() // materialize at full width before coalesced writes
+        deltaPost.drop("dl")
+          .coalesce(2)
           .sortWithinPartitions(col("token"), col("doc_id"))
           .write.mode(SaveMode.Append).parquet(p.postings)
-        val deltaDl = tokenized.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
-        deltaDl.coalesce(1).write.mode(SaveMode.Append).parquet(p.docstats)
+        tokenized.select(col("doc_id"), col("dl"))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(p.docstats)
         // delta block-max stats append; duplicate (token, block) entries
         // merge at query time (max/min are idempotent under re-aggregation)
-        deltaPost.join(deltaDl, "doc_id")
-          .groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+        deltaPost.groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
           .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-          .repartition(1, col("token")).sortWithinPartitions(col("token"))
+          .coalesce(1).sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Append).parquet(s"$indexPath/blockstats")
       } finally deltaPost.unpersist()
     } finally tokenized.unpersist()

@@ -154,18 +154,13 @@ object Format {
     "q_merge_indexed" -> { (s, d) =>
       val t = freshDir(s, "merge_indexed")
       val c = Tables.customer(s, d)
-      val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
-      // ~8 key bands at ANY scale factor: the gate measures the MERGE's
-      // pruning, so the setup must not degenerate into O(sf) sequential
-      // band commits (75 of them at sf0.1 before this was scaled)
-      val band = math.max(200L, (maxKey + 8) / 8)
-      var lo = 0L
-      while (lo <= maxKey) {
-        GraftTable.write(
-          c.filter(col("c_custkey") >= lo && col("c_custkey") < lo + band).coalesce(1),
-          t, if (lo == 0L) "overwrite" else "append")
-        lo += band
-      }
+      // ~8 key-band fragments at ANY scale factor in ONE commit (r16):
+      // range-partitioning the write gives each fragment a contiguous
+      // c_custkey band — the layout the index-assisted merge prunes on —
+      // without the r15 shape's 8 sequential filter+write commits (and
+      // their max-key driver probe); the gate still measures the MERGE's
+      // pruning, asserted below.
+      GraftTable.write(c.repartitionByRange(8, col("c_custkey")), t, "overwrite")
       graft.index.ScalarIndex.buildBtree(s, t, "c_custkey", s"$t/_indices")
       val updates = c.filter(col("c_custkey").between(101, 120))
         .withColumn("c_acctbal", col("c_acctbal") * 3)
