@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Spread a narrow scan across the cluster before per-row-heavy kernels
+    * (r16, guide §2.5 "input skew — one huge unsplittable file …
+    * repartition immediately after the read"): when the plan's scan
+    * parallelism is below the cluster's — a single small input file is the
+    * degenerate case — redistribute deterministically by `key` so the
+    * shingle/signature/sketch passes use every core. At real corpus sizes
+    * the scan already has >= cluster-width splits and the branch adds NO
+    * shuffle. Row-local results are partitioning-invariant, so callers'
+    * outputs are unchanged; do NOT use under order-sensitive float
+    * aggregations. */
+  def spreadForCompute(df: DataFrame, key: Column): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism, key)
+  }
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -15,8 +15,17 @@ import graft.functions.TextHashFunctions._
 object Text {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Documents spread to cluster width before the per-row-heavy kernels
+    * downstream (shingles/signatures/sketches/window hashes): the sf-scale
+    * corpus is ONE parquet split, which would otherwise serialize those
+    * passes onto a single core ([[TA.spreadForCompute]]; no-op at real
+    * input sizes). All consumers are row-local or exact-integer aggregates,
+    * so results are partitioning-invariant. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    TA.spreadForCompute(Tables.documents(s, d), col("doc_id"))
+
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docsSpread(s, d)
       .withColumn("sh", TA.shingleSet(col("text"), 3))
 
   /** Deterministic pseudo-lines for [[Dedup.lineDedup]]: non-overlapping
@@ -24,7 +33,7 @@ object Text {
     * partial windows are dropped on both sides. */
   private def docsWithLines(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
-    Tables.documents(s, d).withColumn("lines",
+    docsSpread(s, d).withColumn("lines",
       when(size(toks) >= 3,
         transform(sequence(lit(0), (size(toks) / lit(3)).cast("int") - 1),
           i => concat_ws(" ", slice(toks, i * lit(3) + lit(1), lit(3)))))
@@ -215,7 +224,7 @@ object Text {
     // fraction + top-bigram fraction per document — the standard
     // quality-filter signals for repetitious machine-generated text.
     "q_text_repetition" -> { (s, d) =>
-      TA.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      TA.repetitionStats(docsSpread(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
@@ -224,7 +233,7 @@ object Text {
     // (n = 5..10), per doc — a per-row sorted-array fold on the Spark
     // side, a group-by replay in DuckDB; both clamp at 1.0.
     "q_gopher_ngrams" -> { (s, d) =>
-      TA.gopherNgramStats(Tables.documents(s, d), "doc_id", "text")
+      TA.gopherNgramStats(docsSpread(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
@@ -234,7 +243,7 @@ object Text {
     // (50 / 2) so the synthetic word-salad corpus exercises the WHOLE
     // rule chain, not just the first two gates.
     "q_quality_filter" -> { (s, d) =>
-      TA.gopherQualityFilter(Tables.documents(s, d), "doc_id", "text",
+      TA.gopherQualityFilter(docsSpread(s, d), "doc_id", "text",
         minTokens = 12, minStopWords = 1)
         .orderBy(col("doc_id"))
     },
@@ -245,7 +254,7 @@ object Text {
     // distinct-gram hit counts — DuckDB reproduces them from the same
     // whitespace tokenization.
     "q_decontaminate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = docsSpread(s, d)
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .select(col("text").as("btext"))
       Dedup.contaminationFlags(docs, "doc_id", "text", bench, "btext",
@@ -285,14 +294,14 @@ object Text {
     // window strings themselves — identical spans unless a 64-bit
     // collision lands inside this corpus).
     "q_substring_dedup" -> { (s, d) =>
-      Dedup.exactSubstringSpans(Tables.documents(s, d), "doc_id", "text", 8)
+      Dedup.exactSubstringSpans(docsSpread(s, d), "doc_id", "text", 8)
         .orderBy(col("doc_id"), col("span_start"))
     },
 
     // the scrub half (the paper's removal policy): every doc's text with
     // the flagged tokens removed, fully-duplicated docs → null
     "q_substring_scrub" -> { (s, d) =>
-      Dedup.exactSubstringScrub(Tables.documents(s, d), "doc_id", "text", 8)
+      Dedup.exactSubstringScrub(docsSpread(s, d), "doc_id", "text", 8)
         .orderBy(col("doc_id"))
     },
 
