@@ -74,16 +74,38 @@ object BpeTokenizer {
   def train(corpus: Seq[String], numMerges: Int): Seq[(String, String)] = {
     var docs = corpus.map(t => tokens(t, Nil).toArray).toArray
     val merges = Seq.newBuilder[(String, String)]
+    // Each round's pair count and merge pass are per-doc independent, so
+    // they run in parallel chunks (r16 — the rounds were a single-threaded
+    // driver loop dominating the trained-BPE gate). Determinism is
+    // untouched: per-chunk counts are exact Long sums merged into one map
+    // (addition is associative — the lloydStep device) and the argmin
+    // tie-break is evaluated over the merged map exactly as before.
+    val nChunks = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), docs.length / 64))
+    def chunkRange(ci: Int): (Int, Int) = {
+      val size = (docs.length + nChunks - 1) / nChunks
+      (ci * size, math.min(docs.length, ci * size + size))
+    }
     var k = 0
     var done = false
     while (k < numMerges && !done) {
-      val counts = new java.util.HashMap[(String, String), Long]()
-      docs.foreach { d =>
-        var i = 0
-        while (i + 1 < d.length) {
-          counts.merge((d(i), d(i + 1)), 1L, java.lang.Long.sum _)
-          i += 1
+      val chunkCounts = Array.fill(nChunks)(new java.util.HashMap[(String, String), Long]())
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val m = chunkCounts(ci)
+        val (from, until) = chunkRange(ci)
+        var di = from
+        while (di < until) {
+          val d = docs(di)
+          var i = 0
+          while (i + 1 < d.length) {
+            m.merge((d(i), d(i + 1)), 1L, java.lang.Long.sum _)
+            i += 1
+          }
+          di += 1
         }
+      }
+      val counts = chunkCounts.reduceLeft { (a, b) =>
+        b.forEach((p, c) => { a.merge(p, c, java.lang.Long.sum _); () }); a
       }
       if (counts.isEmpty) done = true
       else {
@@ -92,7 +114,17 @@ object BpeTokenizer {
         if (n < 2) done = true // nothing repeats — further merges are noise
         else {
           merges += best
-          docs = docs.map(d => mergePass(ArrayBuffer.from(d), best._1, best._2).toArray)
+          val next = new Array[Array[String]](docs.length)
+          val src = docs
+          java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+            val (from, until) = chunkRange(ci)
+            var di = from
+            while (di < until) {
+              next(di) = mergePass(ArrayBuffer.from(src(di)), best._1, best._2).toArray
+              di += 1
+            }
+          }
+          docs = next
           k += 1
         }
       }

@@ -103,7 +103,10 @@ object Text {
     // determinism, and the fixed-vocab gate (q_bpe_token_stats) hash-
     // checks the application machinery.
     "q_bpe_trained" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // spread: the merge APPLICATION is per-row-heavy and the agg below is
+      // count + sum(int→long) — exact, partitioning-invariant (the avg-based
+      // token-stats gates stay unspread: double sums are order-sensitive)
+      val docs = docsSpread(s, d)
       val merges = graft.functions.BpeTokenizer.trainOnSample(
         docs, "text", numMerges = 64)
       docs.withColumn("n_bpe",
