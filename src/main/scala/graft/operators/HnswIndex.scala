@@ -71,6 +71,11 @@ object HnswIndex {
   private case class Node(id: Long, vec: Array[Float], level: Int,
                           nbrs: Array[mutable.ArrayBuffer[Long]])
 
+  /** Probe face for [[buildGraph]] (tools.BuildTime CPU isolation). */
+  private[graft] def buildGraphProbe(vecs: Seq[(Long, Array[Float])], m: Int,
+                                     efConstruction: Int): Int =
+    buildGraph(vecs, m, efConstruction).size
+
   /** In-memory HNSW insert-all (efConstruction beam, closest-M selection). */
   private def buildGraph(vecs: Seq[(Long, Array[Float])], m: Int,
                          efConstruction: Int): Seq[Node] = {

@@ -345,9 +345,19 @@ object Format {
         i -> rs.map(r => r(2).toString -> r(3).asInstanceOf[Long]).toMap }
       perScan.values.foreach { m =>
         require(m("fragments_total") == 8L, s"q_analyze_join: $m")
-        require(m("fragments_pruned") > 0L,
-          s"q_analyze_join: both join sides must prune: $m")
       }
+      // pruning expectation scaled to the data (r16 inherited-state fix):
+      // the orders predicate (keys 1000-2000) excludes part of the key
+      // space at every sf, but `c_custkey <= 500` only does when the
+      // customer table extends well past it — at sf0.001 every key is
+      // <= 150, so scanning all fragments IS the correct analyzer answer
+      // and requiring customer-side pruning made the gate sf-dependent.
+      val pruned = perScan.values.map(_("fragments_pruned")).toSeq
+      require(pruned.exists(_ > 0L),
+        s"q_analyze_join: the orders side must prune: $rows")
+      val cMax = Tables.customer(s, d).agg(max(col("c_custkey"))).head().getLong(0)
+      if (cMax >= 1000L) pruned.foreach(c => require(c > 0L,
+        s"q_analyze_join: both join sides must prune: $rows"))
       require(q("rows_returned") > 0L, s"q_analyze_join: empty join: $rows")
       s.sql(sql).agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))

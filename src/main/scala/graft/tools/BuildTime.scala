@@ -57,6 +57,18 @@ object BuildTime {
             docs.filter("doc_id % 2 = 0"), "doc_id", "text", dir)
           graft.operators.Fts.optimizeIndex(
             docs.filter("doc_id % 2 = 1"), "doc_id", "text", dir)
+        case "hnsw" =>
+          graft.operators.HnswIndex.build(
+            graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+            freshDir(), nlist = 8)
+        case "hnsw_graph_cpu" =>
+          // driver-local graph build over the same vectors: isolates the
+          // in-memory insert loop from the Spark plumbing around it
+          val vecs = graft.Tables.embeddings(spark, sfDir)
+            .select("vec_id", "embedding").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          val per = vecs.grouped(math.max(1, vecs.length / 8)).toSeq
+          per.foreach(g => graft.operators.HnswIndex.buildGraphProbe(g, 16, 64))
       }
     }
     for (n <- names; r <- 1 to reps) {
