@@ -263,7 +263,10 @@ object Dedup {
     // PUSHES DOWN (row-group pruning on an id-clustered corpus — the same
     // `MergeInlineKeyLimit` trick the indexed merge uses); only an unusual
     // collision storm falls back to the semi join.
-    val candAIds = cands.select(col("a_id")).distinct().localCheckpoint()
+    // no checkpoint: `cands` above is already checkpointed, so the distinct
+    // is one cheap pass over it — an eager materialization here was a whole
+    // extra job on the common (inlined) path (r16)
+    val candAIds = cands.select(col("a_id")).distinct()
     val inlined = candAIds.limit(InlineKeyLimit + 1).collect().map(_.get(0))
     val oldPruned =
       if (inlined.length <= InlineKeyLimit)
