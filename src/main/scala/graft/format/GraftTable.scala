@@ -167,9 +167,72 @@ object GraftTable {
       .filter(isDetachedVersion).sorted
   }
 
+  /** Per-JVM latest-version hint keyed on the qualified manifest dir (so
+    * branches get their own entries). Correctness never rests on the hint:
+    * every probe re-verifies against the filesystem — the hint only
+    * replaces the O(versions) directory listing `versions()` pays with
+    * O(1) existence stats on the hot path (every table op resolves
+    * `latestVersion` at least once, and gate tables accrete dozens of
+    * versions, so the listing cost was quadratic across a table's life).
+    * Stale-hint cases and their handling:
+    *  - newer versions exist (another writer, or an in-JVM commit that
+    *    bypassed [[tryCommit]]): the forward probe walks to them — each
+    *    commit is exactly hint+1, so the walk is one stat in steady state;
+    *  - the hinted version vanished (drop/recreate, full cleanup): the
+    *    hinted-manifest stat misses and we fall back to the full listing.
+    * Only FS-backed commit handlers take the fast path: the external KV
+    * handler can hold won-but-unwritten versions that only its
+    * `recover()` surfaces, which a bare existence probe cannot see. */
+  private val latestHint =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def hintKey(f: FileSystem, dir: Path): String =
+    f.makeQualified(dir).toString
+
+  private[format] def noteCommittedVersion(spark: SparkSession, tablePath: String,
+                                           v: Long, branch: Option[String]): Unit = {
+    if (isDetachedVersion(v)) return // never a lineage head
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    val key = hintKey(f, manifestDir(t, branch))
+    latestHint.merge(key, java.lang.Long.valueOf(v),
+      (a, b) => if (a.longValue() >= b.longValue()) a else b)
+  }
+
+  /** Gap sentinel: an empty `_GRAFT_GAP` file in the manifest dir, created
+    * by [[cleanupOldVersions]] BEFORE it deletes any version that sits
+    * BELOW a surviving one (tag- or WAL-pinned survivors leave holes in
+    * the lineage numbering). While present, the forward probe above is
+    * unsound — a walk could stop at a hole instead of HEAD — so
+    * [[latestVersion]] reverts to the full listing for that lineage
+    * forever. Existence-only (no content), so concurrent cleanups cannot
+    * race its meaning; prefix-only cleanups never write it. */
+  private val GapSentinel = "_GRAFT_GAP"
+
+  private def gapSentinelPath(t: Path, branch: Option[String]): Path =
+    new Path(manifestDir(t, branch), GapSentinel)
+
   def latestVersion(spark: SparkSession, tablePath: String,
-                    branch: Option[String] = None): Option[Long] =
-    versions(spark, tablePath, branch).lastOption
+                    branch: Option[String] = None): Option[Long] = {
+    val handler = CommitHandler.forSession(spark)
+    if ((handler ne FsCommitHandler) && (handler ne PutCommitHandler))
+      return versions(spark, tablePath, branch).lastOption
+    val t = new Path(tablePath)
+    val f = fs(spark, t)
+    val key = hintKey(f, manifestDir(t, branch))
+    val hinted = latestHint.get(key)
+    if (hinted != null && f.exists(manifestPath(t, hinted.longValue(), branch)) &&
+        !f.exists(gapSentinelPath(t, branch))) {
+      var v = hinted.longValue()
+      while (f.exists(manifestPath(t, v + 1, branch))) v += 1
+      latestHint.put(key, java.lang.Long.valueOf(v))
+      return Some(v)
+    }
+    if (hinted != null) latestHint.remove(key, hinted)
+    val vs = versions(spark, tablePath, branch)
+    vs.lastOption.foreach(v => latestHint.put(key, java.lang.Long.valueOf(v)))
+    vs.lastOption
+  }
 
   /** Latest version whose commit time ≤ `tsMillis` — the `TIMESTAMP AS OF`
     * resolution (reference `checkout_version` by timestamp). Commit times
@@ -293,6 +356,9 @@ object GraftTable {
       // re-clone, drop/recreate at the same path) — drop the per-JVM
       // cached root chain so the next point read re-resolves
       BlobStore.invalidateRoots(tablePath)
+      // seed the latest-version hint so the next metadata touch probes
+      // from HERE instead of re-listing the manifest dir
+      noteCommittedVersion(spark, tablePath, m.version, branch)
       true
     } else false
   }
@@ -537,22 +603,51 @@ object GraftTable {
           throw new IllegalStateException(s"rename $p -> $tmp failed")
         tmp
       }
-    val out = work.zipWithIndex.map { case (p, i) =>
-      val id = firstId + i
-      val f = p.getFileSystem(conf)
-      val dest = new Path(p.getParent, destName(i))
-      if (p.getName != dest.getName && !f.rename(p, dest)) {
-        throw new IllegalStateException(s"rename $p -> $dest failed")
+    // rename + footer read per staged file, in PARALLEL on a bounded pool:
+    // files are independent (renames target distinct names — the two-phase
+    // detour above already broke any collision), and the footer reads are
+    // the driver's per-commit IO — a sequential loop serializes a
+    // many-fragment commit on exactly the node that should do no data work
+    // (guide §5). Results keep input order; the row-id prefix sum below
+    // stays sequential so id ranges are unchanged.
+    val read: Seq[(Path, Long, Long, Map[String, ColumnStat])] = {
+      def one(p: Path, i: Int): (Path, Long, Long, Map[String, ColumnStat]) = {
+        val f = p.getFileSystem(conf)
+        val dest = new Path(p.getParent, destName(i))
+        if (p.getName != dest.getName && !f.rename(p, dest)) {
+          throw new IllegalStateException(s"rename $p -> $dest failed")
+        }
+        val st = f.getFileStatus(dest)
+        val (rows, stats) = parquetFooterInfo(conf, st)
+        (dest, rows, st.getLen, stats)
       }
-      val st = f.getFileStatus(dest)
-      val (rows, stats) = parquetFooterInfo(conf, st)
+      if (work.size <= 1) work.zipWithIndex.map { case (p, i) => one(p, i) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(work.size, 16))
+        try {
+          import scala.jdk.CollectionConverters._
+          val jobs: java.util.List[java.util.concurrent.Callable[
+            (Path, Long, Long, Map[String, ColumnStat])]] =
+            work.zipWithIndex.map { case (p, i) =>
+              new java.util.concurrent.Callable[
+                (Path, Long, Long, Map[String, ColumnStat])] {
+                override def call() = one(p, i)
+              }
+            }.asJava
+          pool.invokeAll(jobs).asScala.toSeq.map(_.get())
+        } finally pool.shutdown()
+      }
+    }
+    val out = read.zipWithIndex.map { case ((dest, rows, len, stats), i) =>
+      val id = firstId + i
       val start = if (rowIdBase >= 0) { val s = nextRid; nextRid += rows; s } else -1L
       // fragments written to a registered BASE record absolute paths (same
       // resolution rule shallow clones use: an absolute child wins in
       // `new Path(tableRoot, path)`)
-      val rel = if (absolutePaths) f.makeQualified(dest).toString
+      val rel = if (absolutePaths) dest.getFileSystem(conf).makeQualified(dest).toString
                 else relativize(spark, dest)
-      (FragmentMeta(id, rel, rows, st.getLen, version, stats,
+      (FragmentMeta(id, rel, rows, len, version, stats,
         rowIdStart = start, rowIdStored = storedRowIds), dest)
     }
     (out.map(_._1), out.map(_._2))
@@ -3478,6 +3573,14 @@ object GraftTable {
         (droppedReferenced.contains(rel) || droppedReferenced.contains(abs) ||
           now - mtime > unverifiedGraceMillis)
     val handler = CommitHandler.forSession(spark)
+    // a kept version BELOW a dropped one (tag/WAL-pinned survivor) means
+    // this sweep punches a HOLE in the lineage numbering — pin the gap
+    // sentinel FIRST (crash-safe order: sentinel before any delete) so
+    // latestVersion's forward probe knows never to trust contiguity here
+    if (drop.nonEmpty && keep.exists(_ < drop.max)) {
+      val out = f.create(gapSentinelPath(t, None), /*overwrite=*/ true)
+      out.close()
+    }
     drop.foreach { v =>
       val p = manifestPath(t, v)
       f.delete(p, false)

@@ -361,16 +361,22 @@ object ScalarIndex {
 
   // ------------------------------------------------------------------ ngram
 
+  /** Distinct character trigrams in first-occurrence order — one pass over
+    * the string ([[TrigramSet]]). Semantically identical to the r16 shape
+    * `array_distinct(transform(sequence(1, length-2), i => substr(i, 3)))`
+    * (code-point windows, first-occurrence dedup) but without materializing
+    * the index array, the full non-distinct trigram array, and the
+    * interpreted higher-order lambda per element — the build explodes this
+    * over every document, so the per-row constant is the kernel cost. */
   private def trigrams(c: Column): Column =
-    when(length(c) >= 3,
-      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))))
-      .otherwise(typedLit(Array.empty[String]))
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      TrigramSet(org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
 
   /** Build a character-trigram index for a string column.
     *
-    * Layout: postings `(gram, _rowaddr)` range-partitioned and sorted by
+    * Layout: postings `(gram, _rowaddr)` hash-partitioned and sorted by
     * `gram` into a FIXED number of files — the same shape as the FTS
-    * postings and the BTREE/JSON indices, NOT `partitionBy("gram")`.
+    * postings, NOT `partitionBy("gram")`.
     * Directory-per-trigram explodes into one directory × one small file
     * per distinct trigram per writing task (tens of thousands with
     * unicode text) — a metadata-service DoS at scale. With the sorted
@@ -380,9 +386,15 @@ object ScalarIndex {
   def buildNgram(spark: SparkSession, tablePath: String, column: String,
                  indexPath: String): Unit = {
     val m = GraftTable.loadManifest(spark, tablePath)
+    // HASH-partitioned by gram (r17): repartitionByRange SAMPLES its child
+    // to pick boundaries, which ran the whole trigram-explode kernel a
+    // second time — the gate's dominant task cost. A hash layout keeps the
+    // properties the lookup needs (every gram's postings in ONE file;
+    // within-file gram-sorted row groups fund the pushed-down IN's
+    // row-group pruning) with a single kernel pass and one exchange.
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(col(A), explode(trigrams(lower(col(column)))).as("gram"))
-      .repartitionByRange(8, col("gram"))
+      .repartition(8, col("gram"))
       .sortWithinPartitions(col("gram"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/ngram_$column")
     finishBuild(spark, tablePath, indexPath, s"ngram_$column", "NGRAM",
@@ -414,7 +426,7 @@ object ScalarIndex {
     if (freshFrags.nonEmpty) {
       GraftTable.readFragments(spark, tablePath, m, freshFrags, withRowAddr = true)
         .select(col(A), explode(trigrams(lower(col(column)))).as("gram"))
-        .repartitionByRange(2, col("gram"))
+        .repartition(2, col("gram")) // hash — no boundary-sampling re-run
         .sortWithinPartitions(col("gram"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
@@ -522,18 +534,23 @@ object ScalarIndex {
   // ------------------------------------------------------------------- json
 
   /** JSON path index (reference `rust/lance-index/src/scalar/json.rs`): a
-    * BTREE over the STRING value extracted at `path` from JSON column
-    * `column` — same sorted `(v, _rowaddr)` layout as [[buildBtree]], so
-    * equality/range/IN on the extracted path reduce to row-group-stat
-    * pruning inside the index files. The expensive JSON parse runs ONCE at
-    * build time over each fragment instead of per query over the corpus. */
+    * value index over the STRING extracted at `path` from JSON column
+    * `column` — `(v, _rowaddr)` hash-partitioned and v-sorted within
+    * files, so equality/range/IN on the extracted path reduce to
+    * row-group-stat pruning inside the index files. The expensive JSON
+    * parse runs ONCE at build time over each fragment instead of per query
+    * over the corpus. */
   def buildJson(spark: SparkSession, tablePath: String, column: String,
                 path: String, indexPath: String): Unit = {
     val m = GraftTable.loadManifest(spark, tablePath)
     val dir = s"$indexPath/${jsonDirName(column, path)}"
+    // hash by v (r17): repartitionByRange's boundary sampling re-ran the
+    // JSON parse over the whole corpus — the expensive pass this index
+    // exists to amortize. Within-file v-sorted row groups keep the
+    // equality/range/IN pruning; each distinct v stays in one file.
     GraftTable.read(spark, tablePath, withRowAddr = true)
       .select(get_json_object(col(column), path).as("v"), col(A))
-      .repartitionByRange(8, col("v"))
+      .repartition(8, col("v"))
       .sortWithinPartitions(col("v"))
       .write.mode(SaveMode.Overwrite).parquet(dir)
     finishBuild(spark, tablePath, indexPath, jsonDirName(column, path), "JSON",
@@ -552,7 +569,7 @@ object ScalarIndex {
     if (freshFrags.nonEmpty) {
       GraftTable.readFragments(spark, tablePath, m, freshFrags, withRowAddr = true)
         .select(get_json_object(col(column), path).as("v"), col(A))
-        .repartitionByRange(2, col("v"))
+        .repartition(2, col("v")) // hash — no boundary-sampling re-parse
         .sortWithinPartitions(col("v"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
@@ -647,4 +664,49 @@ object ScalarIndex {
           .drop(A)
     }
   }
+}
+
+/** Distinct character trigrams of a string in first-occurrence order —
+  * the NGRAM build kernel as ONE pass (r17, VERDICT r16 #3). Replaces the
+  * interpreted higher-order pipeline `array_distinct(transform(sequence(1,
+  * length-2), i => substr(i, 3)))`, which materialized an index array, the
+  * full non-distinct trigram array, and a lambda invocation per position
+  * for every document. Windows are CODE-POINT based, exactly like Spark's
+  * `substr`/`length`, so the produced posting set is bit-identical to the
+  * r16 shape; fewer than 3 code points yields the empty array (the same
+  * `otherwise` arm the Column pipeline had). */
+case class TrigramSet(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "trigram_set"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"trigram_set requires string, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length // UTF-16 units; code-point stepping below
+    // code-point start offsets (a trigram spans 3 code points)
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    def next(i: Int): Int = if (i < n) s.offsetByCodePoints(i, 1) else n
+    var i0 = 0            // window start
+    var i1 = next(i0)     // start of 2nd code point
+    var i2 = next(i1)     // start of 3rd code point
+    var i3 = next(i2)     // window end (exclusive)
+    while (i2 < n) { // a full 3-code-point window starts at i0
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i0, i3)))
+      i0 = i1; i1 = i2; i2 = i3; i3 = next(i3)
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): TrigramSet = copy(child = c)
 }

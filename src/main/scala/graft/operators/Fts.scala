@@ -527,21 +527,28 @@ case class StemWord(child: org.apache.spark.sql.catalyst.expressions.Expression,
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"stem_word requires string, got ${child.dataType.catalogString}")
   /** Per-task stem memo (r16): corpora are Zipf-distributed, so almost every
-    * stem call repeats a recent token — caching (String → owned UTF8String)
+    * stem call repeats a common token — caching (String → owned UTF8String)
     * turns the per-token Snowball pass into a hash probe. Bounded (the
     * distinct-token universe of a task is small, but a pathological corpus
-    * must not pin unbounded driver/executor heap); @transient so the map is
-    * rebuilt empty on each executor — determinism is untouched because
-    * stemming is a pure function of (token, language). */
+    * must not pin unbounded driver/executor heap): FIRST-OBSERVED tokens are
+    * pinned, later misses above the cap just stem uncached — Zipf means the
+    * head is seen first, so the pinned set is the hot set. The over-cap
+    * state latches in a volatile (ADVICE r16: ConcurrentHashMap.size() walks
+    * counter cells, which every post-cap miss would otherwise pay).
+    * @transient so the map is rebuilt empty on each executor — determinism
+    * is untouched because stemming is a pure function of (token, language). */
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.unsafe.types.UTF8String](1 << 12)
+  @transient @volatile private var memoFull = false
   override def nullSafeEval(input: Any): Any = {
     val s = input.toString
     var r = memo.get(s)
     if (r == null) {
       r = org.apache.spark.unsafe.types.UTF8String.fromString(
         graft.functions.SnowballStemmer.stem(s, language))
-      if (memo.size < (1 << 16)) memo.put(s, r)
+      if (!memoFull) {
+        if (memo.size < (1 << 16)) memo.put(s, r) else memoFull = true
+      }
     }
     r
   }
@@ -731,10 +738,19 @@ object Fts {
     * [[PostingsBytesPerFileKey]] (default 256 MiB), clamped to [2, 10000]. */
   private def autoPostingFiles(df: DataFrame): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // inputs without real statistics (LogicalRDD / localCheckpoint'd
+    // frames, custom relations) report defaultSizeInBytes (Long.MaxValue)
+    // — treat anything at or above the session default, or non-positive
+    // (join-inflated BigInt stats), as UNKNOWN and fall back to the old
+    // fixed default rather than a 10000-file layout (ADVICE r16)
+    val unknown = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (bytes <= 0 || bytes >= unknown) return 8
     val per = df.sparkSession.conf.getOption(PostingsBytesPerFileKey)
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
-    val n = (bytes / BigInt(math.max(1L, per))).toLong + 1
-    math.max(2, math.min(10000L, n).toInt)
+    // divide-and-clamp in BigInt space: a huge-but-known size must clamp
+    // to 10000, never wrap negative through toLong
+    val n = bytes / BigInt(math.max(1L, per)) + 1
+    math.max(2, n.min(BigInt(10000)).toInt)
   }
 
   /** Distributed inverted-index build (reference `inverted/builder.rs`).
@@ -819,6 +835,9 @@ object Fts {
       docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
     } finally tokenized.unpersist()
+    // a full build rewrites stats outright — any crashed-optimize intent
+    // marker is moot now
+    clearOptimizeIntent(df.sparkSession, indexPath)
     // adopt the freshly built segments as the merged base (sidecars were
     // dropped by the Overwrite) so later optimizes track only true deltas
     mergeDeltaSegments(df.sparkSession, indexPath)
@@ -924,6 +943,7 @@ object Fts {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
       ds.count()
     } finally postings.unpersist()
+    clearOptimizeIntent(spark, indexPath) // stats rewritten from the parts
     mergeDeltaSegments(spark, indexPath)
     val mV = GraftTable.loadManifest(spark, tablePath, Some(v))
     val phys = mV.schema.fields.find(_.name == textCol)
@@ -1011,8 +1031,26 @@ object Fts {
                     indexPath: String, maxDeltaFiles: Int = 0): Index = {
     val p = paths(indexPath)
     invalidateMeta(indexPath)
+    val spark = newDocs.sparkSession
+    // Intent marker (r17, VERDICT r16 #2): the window between the delta
+    // postings append and the termstats swap is not atomic. The O(delta)
+    // termstats merge below (stored df + delta df — EXACT: deltas are
+    // doc-disjoint from the indexed corpus, and df values are
+    // integer-valued doubles, so the per-token two-term sum is bit-exact)
+    // would silently under-count FOREVER if a previous optimize crashed
+    // inside that window: its orphaned delta postings are on disk but not
+    // in the stored termstats. The marker pins the window — present at
+    // entry means "a previous optimize may have died mid-swap", and this
+    // run self-heals with the full O(corpus-keys) recompute the pre-r17
+    // code always paid; absent means the stored termstats exactly cover
+    // the stored postings and the O(delta) merge is sound.
+    val fsRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val fsys = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val intent = new org.apache.hadoop.fs.Path(indexPath, OptimizeIntentMarker)
+    val heal = fsys.exists(intent)
+    fsys.create(intent, /*overwrite=*/ true).close()
     // delta docs MUST tokenize under the index's stored config
-    val cfg = loadConfig(newDocs.sparkSession, indexPath)
+    val cfg = loadConfig(spark, indexPath)
     val tokenized = newDocs.select(col(idCol).as("doc_id"),
         tokenizeWith(col(textCol), cfg).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
@@ -1052,24 +1090,58 @@ object Fts {
           .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
           .coalesce(1).sortWithinPartitions(col("token"))
           .write.mode(SaveMode.Append).parquet(s"$indexPath/blockstats")
+        FtsTestHooks.beforeStatsSwap(indexPath) // crash-window injection (specs)
+        // termstats: O(delta) in the healthy case — the stored dictionary
+        // (one row per distinct token, NOT the corpus postings) unioned
+        // with the delta's per-token df and summed; only a detected crash
+        // window re-derives from the full merged postings (self-heal)
+        val termstats = (
+          if (heal)
+            spark.read.parquet(p.postings)
+              .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+          else
+            spark.read.parquet(p.termstats).select(col("token"), col("df"))
+              .unionByName(deltaPost.groupBy(col("token"))
+                .agg(count(lit(1)).cast("double").as("df")))
+              .groupBy(col("token")).agg(sum(col("df")).as("df"))
+        ).repartition(2, col("token")).sortWithinPartitions(col("token"))
+        val tmpTs = s"${p.termstats}__tmp"
+        termstats.write.mode(SaveMode.Overwrite).parquet(tmpTs)
+        replaceDir(spark, tmpTs, p.termstats)
       } finally deltaPost.unpersist()
     } finally tokenized.unpersist()
-    val spark = newDocs.sparkSession
-    // global stats from the merged datasets (aggregate-only IO)
-    val termstats = spark.read.parquet(p.postings)
-      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-      .repartition(2, col("token")).sortWithinPartitions(col("token"))
-    val tmpTs = s"${p.termstats}__tmp"
-    termstats.write.mode(SaveMode.Overwrite).parquet(tmpTs)
-    replaceDir(spark, tmpTs, p.termstats)
+    // meta from the merged docstats (per-doc rows, aggregate-only IO; kept
+    // as a full recompute so avgdl stays bit-identical to a from-scratch
+    // build — a running-mean merge would drift in the last float ulps)
     val docstats = spark.read.parquet(p.docstats)
     val tmpMeta = s"${p.meta}__tmp"
     docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpMeta)
     replaceDir(spark, tmpMeta, p.meta)
+    // stats now exactly cover the postings on disk — close the window
+    fsys.delete(intent, false)
     mergeDeltaSegments(spark, indexPath,
       if (maxDeltaFiles > 0) maxDeltaFiles else 16)
     p
+  }
+
+  /** Intent marker pinning [[optimizeIndex]]'s append→stats-swap window
+    * (see there). Leading underscore keeps it invisible to the parquet
+    * readers; build/merge clear it because they rewrite the stats outright. */
+  private[graft] val OptimizeIntentMarker = "_GRAFT_OPTIMIZE_INTENT"
+
+  private def clearOptimizeIntent(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, OptimizeIntentMarker)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(p, false)
+  }
+
+  /** Crash-injection seams for the maintenance specs (the [[graft.format
+    * .GraftTable.DmlTestHooks]] device): no-ops in production. */
+  private[graft] object FtsTestHooks {
+    /** Fires between [[optimizeIndex]]'s delta appends and its stats swap
+      * — the window the intent marker pins. */
+    @volatile var beforeStatsSwap: String => Unit = _ => ()
   }
 
   // -------------------------------------------------------- segment merge

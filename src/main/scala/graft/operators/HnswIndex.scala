@@ -76,73 +76,219 @@ object HnswIndex {
                                      efConstruction: Int): Int =
     buildGraph(vecs, m, efConstruction).size
 
-  /** In-memory HNSW insert-all (efConstruction beam, closest-M selection). */
+  /** Full-adjacency probe (r17 bit-identity audit of the primitive
+    * rewrite: dump (id, level, neighbor lists) for checksum comparison
+    * against the r16 boxed implementation). */
+  private[graft] def buildGraphDump(vecs: Seq[(Long, Array[Float])], m: Int,
+                                    efConstruction: Int): Seq[(Long, Int, Seq[Seq[Long]])] =
+    buildGraph(vecs, m, efConstruction)
+      .map(n => (n.id, n.level, n.nbrs.map(_.toSeq).toSeq))
+
+  /** Growable primitive int list (neighbor rows of the in-build graph). */
+  private final class IntVec(cap0: Int) {
+    var a = new Array[Int](math.max(cap0, 4))
+    var n = 0
+    def add(x: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = x; n += 1
+    }
+  }
+
+  /** Binary heap over (distance, node index) pairs in parallel primitive
+    * arrays — the boxed `PriorityQueue[(Double, Node)]` this replaces
+    * allocated a tuple + boxed Double per push, ~2× the graph-build CPU
+    * at scale (r16 probe; VERDICT r16 #4). Ordering is (d, idx)
+    * lexicographic; node indices are assigned in ascending-id insert
+    * order, so idx ties ARE id ties and the built graph stays
+    * bit-identical to the boxed version. */
+  private final class IdxHeap(max: Boolean) {
+    var ds = new Array[Double](64)
+    var xs = new Array[Int](64)
+    var size = 0
+    // "wins" = comes out first: largest (d, idx) for the max-heap (the
+    // result/best set), smallest for the min-heap (the frontier)
+    @inline private def wins(d1: Double, x1: Int, d2: Double, x2: Int): Boolean =
+      if (max) d1 > d2 || (d1 == d2 && x1 > x2)
+      else d1 < d2 || (d1 == d2 && x1 < x2)
+    def clear(): Unit = size = 0
+    def headDist: Double = ds(0)
+    def headIdx: Int = xs(0)
+    def push(d: Double, x: Int): Unit = {
+      if (size == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, size * 2)
+        xs = java.util.Arrays.copyOf(xs, size * 2)
+      }
+      var i = size; size += 1
+      while (i > 0 && wins(d, x, ds((i - 1) / 2), xs((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        ds(i) = ds(p); xs(i) = xs(p); i = p
+      }
+      ds(i) = d; xs(i) = x
+    }
+    def pop(): Unit = {
+      size -= 1
+      val d = ds(size); val x = xs(size)
+      var i = 0
+      var c = 1
+      while (c < size) {
+        if (c + 1 < size && wins(ds(c + 1), xs(c + 1), ds(c), xs(c))) c += 1
+        if (wins(d, x, ds(c), xs(c))) c = size // done
+        else { ds(i) = ds(c); xs(i) = xs(c); i = c; c = 2 * i + 1 }
+      }
+      if (i < size) { ds(i) = d; xs(i) = x }
+    }
+  }
+
+  /** In-memory HNSW insert-all (efConstruction beam, closest-M selection).
+    * r17: primitive-array internals (index-keyed nodes, generation-stamped
+    * visited marks, [[IdxHeap]] frontiers, int neighbor rows) — same
+    * algorithm, same tie-breaks, bit-identical output to the r16 boxed
+    * version (HnswSpec's determinism gate), ~an order of magnitude less
+    * allocation on the build hot path. */
   private def buildGraph(vecs: Seq[(Long, Array[Float])], m: Int,
                          efConstruction: Int): Seq[Node] = {
-    val nodes = mutable.LinkedHashMap.empty[Long, Node]
-    var entry: Option[Node] = None
+    val sorted = vecs.sortBy(_._1).toArray // deterministic insert order: by id
+    val n = sorted.length
+    if (n == 0) return Seq.empty
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Float]](n)
+    val lvls = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = sorted(i)._1; vs(i) = sorted(i)._2
+      lvls(i) = levelOf(ids(i), m); i += 1
+    }
     val mMax0 = 2 * m
-    def searchLayer(q: Array[Float], eps: Seq[Node], ef: Int, lvl: Int): Seq[Node] = {
-      val visited = mutable.Set.empty[Long]
-      implicit val byDist: Ordering[(Double, Node)] =
-        Ordering.by((t: (Double, Node)) => (t._1, t._2.id))
-      val cand = mutable.PriorityQueue.empty[(Double, Node)](byDist.reverse) // min-heap
-      val best = mutable.PriorityQueue.empty[(Double, Node)]                 // max-heap
-      eps.foreach { e =>
-        if (visited.add(e.id)) { val d = l2sq(q, e.vec); cand.enqueue((d, e)); best.enqueue((d, e)) }
+    val nbrs = new Array[Array[IntVec]](n) // per node, per level 0..lvl
+    // visited marks: generation counter instead of a Set[Long] per call
+    val seen = new Array[Int](n)
+    var gen = 0
+    val cand = new IdxHeap(max = false) // frontier: closest first
+    val best = new IdxHeap(max = true)  // result set: worst on top
+    // scratch for searchLayer results / neighbor shrink (ascending (d, idx))
+    var resD = new Array[Double](math.max(efConstruction + 1, mMax0 + 2))
+    var resX = new Array[Int](resD.length)
+
+    /** Beam search on one layer from entry points eps[0..nEps); leaves the
+      * ef best (ascending by (d, idx)) in resD/resX and returns the count. */
+    def searchLayer(q: Array[Float], eps: Array[Int], nEps: Int, ef: Int,
+                    lvl: Int): Int = {
+      gen += 1
+      cand.clear(); best.clear()
+      var e = 0
+      while (e < nEps) {
+        val x = eps(e)
+        if (seen(x) != gen) {
+          seen(x) = gen
+          val d = l2sq(q, vs(x))
+          cand.push(d, x); best.push(d, x)
+        }
+        e += 1
       }
-      while (best.size > ef) best.dequeue()
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (best.nonEmpty && dc > best.head._1 && best.size >= ef) { cand.clear() }
-        else if (c.level >= lvl) {
-          c.nbrs(lvl).foreach { nid =>
-            if (visited.add(nid)) {
-              val nn = nodes(nid)
-              val d = l2sq(q, nn.vec)
-              if (best.size < ef || d < best.head._1) {
-                cand.enqueue((d, nn)); best.enqueue((d, nn))
-                while (best.size > ef) best.dequeue()
+      while (best.size > ef) best.pop()
+      var break = false
+      while (!break && cand.size > 0) {
+        val dc = cand.headDist; val c = cand.headIdx
+        cand.pop()
+        if (best.size > 0 && dc > best.headDist && best.size >= ef) break = true
+        else if (lvls(c) >= lvl) {
+          val row = nbrs(c)(lvl)
+          var j = 0
+          while (j < row.n) {
+            val x = row.a(j)
+            if (seen(x) != gen) {
+              seen(x) = gen
+              val d = l2sq(q, vs(x))
+              if (best.size < ef || d < best.headDist) {
+                cand.push(d, x); best.push(d, x)
+                while (best.size > ef) best.pop()
               }
             }
+            j += 1
           }
         }
       }
-      val drained: Seq[(Double, Node)] = best.dequeueAll
-      drained.reverse.map(_._2)
-    }
-    // deterministic insert order: by id
-    vecs.sortBy(_._1).foreach { case (id, v) =>
-      val lvl = levelOf(id, m)
-      val node = Node(id, v, lvl, Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Long]))
-      entry match {
-        case None => entry = Some(node)
-        case Some(ep0) =>
-          var eps: Seq[Node] = Seq(ep0)
-          var l = ep0.level
-          while (l > lvl) { eps = Seq(searchLayer(v, eps, 1, l).head); l -= 1 }
-          while (l >= 0) {
-            val cands = searchLayer(v, eps, efConstruction, l)
-            val maxM = if (l == 0) mMax0 else m
-            val chosen = cands.sortBy(c => (l2sq(v, c.vec), c.id)).take(maxM)
-            chosen.foreach { c =>
-              node.nbrs(l) += c.id
-              c.nbrs(l) += id
-              if (c.nbrs(l).length > maxM) {
-                // shrink: keep the closest maxM (ties by id)
-                val kept = c.nbrs(l).map(x => (l2sq(c.vec, nodes.getOrElse(x, node).vec), x))
-                  .sortBy { case (d, x) => (d, x) }.take(maxM).map(_._2)
-                c.nbrs(l).clear(); c.nbrs(l) ++= kept
-              }
-            }
-            eps = cands
-            l -= 1
-          }
-          if (lvl > ep0.level) entry = Some(node)
+      // drain the max-heap back-to-front → ascending (d, idx)
+      val k = best.size
+      if (resD.length < k) {
+        resD = new Array[Double](k * 2); resX = new Array[Int](k * 2)
       }
-      nodes(id) = node
+      var w = k - 1
+      while (w >= 0) {
+        resD(w) = best.headDist; resX(w) = best.headIdx
+        best.pop(); w -= 1
+      }
+      k
     }
-    nodes.values.toSeq
+
+    var eps = new Array[Int](math.max(efConstruction + 1, 8))
+    var entry = -1
+    i = 0
+    while (i < n) {
+      val v = vs(i)
+      val lvl = lvls(i)
+      nbrs(i) = Array.fill(lvl + 1)(new IntVec(if (lvl == 0) mMax0 + 1 else m + 1))
+      if (entry < 0) entry = i
+      else {
+        val ep0Level = lvls(entry)
+        eps(0) = entry
+        var nEps = 1
+        var l = ep0Level
+        while (l > lvl) {
+          val k = searchLayer(v, eps, nEps, 1, l)
+          eps(0) = resX(0); nEps = k.min(1)
+          l -= 1
+        }
+        while (l >= 0) {
+          val k = searchLayer(v, eps, nEps, efConstruction, l)
+          val maxM = if (l == 0) mMax0 else m
+          // resD/resX already ascend by (d, idx) — the same (l2sq, id)
+          // key the boxed version re-sorted by — so "chosen" is a prefix
+          val nChosen = math.min(k, maxM)
+          var c = 0
+          while (c < nChosen) {
+            val x = resX(c)
+            nbrs(i)(l).add(x)
+            val row = nbrs(x)(l)
+            row.add(i)
+            if (row.n > maxM) {
+              // shrink: keep the closest maxM to x (ties by idx == by id)
+              val rd = new Array[Double](row.n)
+              val rx = new Array[Int](row.n)
+              var j = 0
+              while (j < row.n) {
+                rx(j) = row.a(j); rd(j) = l2sq(vs(x), vs(row.a(j))); j += 1
+              }
+              // insertion sort by (d, idx) — row.n == maxM + 1, tiny
+              j = 1
+              while (j < row.n) {
+                val dj = rd(j); val xj = rx(j)
+                var p = j - 1
+                while (p >= 0 && (rd(p) > dj || (rd(p) == dj && rx(p) > xj))) {
+                  rd(p + 1) = rd(p); rx(p + 1) = rx(p); p -= 1
+                }
+                rd(p + 1) = dj; rx(p + 1) = xj; j += 1
+              }
+              System.arraycopy(rx, 0, row.a, 0, maxM)
+              row.n = maxM
+            }
+            c += 1
+          }
+          // next layer's entry points = ALL beam results
+          if (eps.length < k) eps = new Array[Int](k * 2)
+          System.arraycopy(resX, 0, eps, 0, k)
+          nEps = k
+          l -= 1
+        }
+        if (lvl > ep0Level) entry = i
+      }
+      i += 1
+    }
+    (0 until n).map { x =>
+      Node(ids(x), vs(x), lvls(x),
+        nbrs(x).map(row => mutable.ArrayBuffer.from(
+          (0 until row.n).map(j => ids(row.a(j))))))
+    }
   }
 
   private val graphSchema = StructType(Seq(

@@ -21,6 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** One-time media service-provider warmup (r17, VERDICT r16 #5): the
+    * FIRST `ImageIO`/`AudioSystem` call on a JVM walks the service-provider
+    * registry under class-level locks, and 32 concurrent first-decode tasks
+    * serialize on that walk — the r16 spread attempt measured task time
+    * exploding 0.7 → 95 s from exactly this. A `lazy val` on the object
+    * initializes the registries ONCE per executor JVM (lazy-val monitor =
+    * one walker, everyone else blocks microseconds, not a registry scan),
+    * making decode timings stable and input spreading safe. Touched at the
+    * top of every decode partition-iterator. */
+  @transient private lazy val providersReady: Boolean = {
+    javax.imageio.spi.IIORegistry.getDefaultInstance()
+    ImageIO.getReaderFormatNames()
+    javax.sound.sampled.AudioSystem.getAudioFileTypes()
+    true
+  }
+
+  /** Force the provider registries to initialize on this JVM (see
+    * [[providersReady]]); callable from any task closure. */
+  def warmProviders(): Unit = { val _ = providersReady }
+
   case class MediaRow(id: Long, content: Array[Byte])
   case class DecodedImage(id: Long, width: Int, height: Int, channels: Int,
                           features: Array[Float])
@@ -35,6 +55,7 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      warmProviders()
       rows.flatMap { r =>
         decodeOne(r.content).map { img =>
           DecodedImage(r.id, img.getWidth, img.getHeight,
@@ -117,6 +138,7 @@ object Multimodal {
                         maxFrames: Int = Int.MaxValue): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      warmProviders()
       rows.flatMap { r =>
         mjpegFrames(r.content).take(maxFrames).zipWithIndex.flatMap {
           case (jpeg, i) =>
@@ -239,6 +261,7 @@ object Multimodal {
   def decodeAudio(media: Dataset[MediaRow], bins: Int = 8): Dataset[DecodedAudio] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      warmProviders()
       rows.flatMap { r =>
         audioFeatures(r.content, bins).map { case (sr, ch, n, rms, env) =>
           DecodedAudio(r.id, sr, ch, n, rms, env)
@@ -324,6 +347,7 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      warmProviders()
       rows.flatMap { r =>
         decodeOne(r.content).map { img =>
           ResizedImage(r.id, targetW, targetH, 3, bilinearRgb(img, targetW, targetH))

@@ -25,7 +25,20 @@ object TextAnalysis {
     * aggregations. */
   def spreadForCompute(df: DataFrame, key: Column): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    // ADVICE r16: under AQE, touching .rdd on a shuffle-bearing plan
+    // materializes its upstream query stages (real jobs) just to read a
+    // partition count. A plan that already shuffles is already
+    // cluster-wide — only shuffle-free (scan/narrow) plans can be
+    // degenerate-narrow, and on those .rdd is metadata-only (builds the
+    // scan RDD, runs no job). AdaptiveSparkPlanExec only wraps plans with
+    // exchanges or subqueries, so its presence alone means "not narrow".
+    val shuffled = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
+      case _ => false
+    }
+    if (shuffled) df
+    else if (df.rdd.getNumPartitions >= parallelism) df
     else df.repartition(parallelism, key)
   }
 

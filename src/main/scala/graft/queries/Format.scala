@@ -341,8 +341,12 @@ object Format {
       val q = rows.filter(_.head == -1)
         .map(r => r(2).toString -> r(3).asInstanceOf[Long]).toMap
       require(q("graft_scans") == 2L, s"q_analyze_join: expected 2 leaves: $rows")
-      val perScan = rows.filter(_.head != -1).groupBy(_.head).map { case (i, rs) =>
-        i -> rs.map(r => r(2).toString -> r(3).asInstanceOf[Long]).toMap }
+      // keyed by TABLE PATH (ADVICE r16: keying by scan ordinal left "the
+      // orders side must prune" checked as "some side pruned" — customer
+      // pruning could mask an orders-side regression)
+      val perScan = rows.filter(_.head != -1).groupBy(_(1).toString).map {
+        case (tbl, rs) =>
+          tbl -> rs.map(r => r(2).toString -> r(3).asInstanceOf[Long]).toMap }
       perScan.values.foreach { m =>
         require(m("fragments_total") == 8L, s"q_analyze_join: $m")
       }
@@ -352,9 +356,11 @@ object Format {
       // customer table extends well past it — at sf0.001 every key is
       // <= 150, so scanning all fragments IS the correct analyzer answer
       // and requiring customer-side pruning made the gate sf-dependent.
-      val pruned = perScan.values.map(_("fragments_pruned")).toSeq
-      require(pruned.exists(_ > 0L),
+      val ordersPruned = perScan.collect {
+        case (tbl, m) if tbl.contains("aj_orders") => m("fragments_pruned") }
+      require(ordersPruned.nonEmpty && ordersPruned.forall(_ > 0L),
         s"q_analyze_join: the orders side must prune: $rows")
+      val pruned = perScan.values.map(_("fragments_pruned")).toSeq
       val cMax = Tables.customer(s, d).agg(max(col("c_custkey"))).head().getLong(0)
       if (cMax >= 1000L) pruned.foreach(c => require(c > 0L,
         s"q_analyze_join: both join sides must prune: $rows"))

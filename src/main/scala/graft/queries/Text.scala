@@ -167,10 +167,14 @@ object Text {
       Dedup.minhashIndexBuild(old, "doc_id", "sh", store)
       val pairs = Dedup.minhashIncremental(neu, "doc_id", "sh", old, store, 0.8)
       // the append made the batch visible to the NEXT batch: store holds
-      // (old + new) docs × 32 bands
-      val expect = docs.count() * 32
-      val got = GraftTable.read(s, store).count()
-      require(got == expect, s"store holds $got bucket rows, want $expect")
+      // (old + new) docs × 32 bands. ONE fused aggregate job proves it
+      // (r17, VERDICT r16 #6 — was two count jobs; both sides are
+      // metadata-cheap: docs is checkpointed, the store is band rows)
+      val cnt = docs.agg(count(lit(1)).as("nd"))
+        .crossJoin(GraftTable.read(s, store).agg(count(lit(1)).as("ns")))
+        .head()
+      require(cnt.getLong(1) == cnt.getLong(0) * 32,
+        s"store holds ${cnt.getLong(1)} bucket rows, want ${cnt.getLong(0) * 32}")
       pairs.select(least(col("a_id"), col("b_id")).as("a_id"),
           greatest(col("a_id"), col("b_id")).as("b_id"),
           round(col("jaccard"), 4).as("jaccard"))
@@ -325,7 +329,12 @@ object Text {
     "q_multimodal_decode" -> { (s, d) =>
       import s.implicits._
       import graft.operators.Multimodal
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // spread the 1-split sf corpus before the encode+decode kernels
+      // (r17: safe now that Multimodal.warmProviders() pins the imageio
+      // registry walk to one initializer — the r16 spread attempt without
+      // it serialized 32 tasks on provider discovery)
+      val media = TA.spreadForCompute(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id")).as[Long]
         .map { id =>
           val w = 16 + (id % 17).toInt
           val h = 16 + (id % 13).toInt
@@ -348,7 +357,9 @@ object Text {
     "q_audio_features" -> { (s, d) =>
       import s.implicits._
       import graft.operators.Multimodal
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // spread before the encode+decode kernels (see q_multimodal_decode)
+      val media = TA.spreadForCompute(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id")).as[Long]
         .map { id =>
           val n = 200 + (id % 50).toInt
           val amp = ((id % 100) * 300).toShort // ≤ 29 700 < Short.MaxValue
@@ -372,8 +383,11 @@ object Text {
       // deterministic doc subset: the fixture ENCODE (3 JPEGs/doc) would
       // otherwise dominate the measurement at bench scale — 2k docs
       // exercises the full decode path at every sf
-      val media = Tables.documents(s, d).select(col("doc_id"))
-        .filter(col("doc_id") < 2000).as[Long]
+      // spread before the 3-JPEG-per-doc encode + frame decode kernels
+      // (see q_multimodal_decode)
+      val media = TA.spreadForCompute(
+          Tables.documents(s, d).select(col("doc_id"))
+            .filter(col("doc_id") < 2000), col("doc_id")).as[Long]
         .map { id =>
           val nf = 2 + (id % 3).toInt
           val w = 16 + (id % 9).toInt

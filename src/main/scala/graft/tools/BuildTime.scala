@@ -57,6 +57,22 @@ object BuildTime {
             docs.filter("doc_id % 2 = 0"), "doc_id", "text", dir)
           graft.operators.Fts.optimizeIndex(
             docs.filter("doc_id % 2 = 1"), "doc_id", "text", dir)
+        case "fts_merge_parts" =>
+          // two staged doc-disjoint parts + the merge path (ADVICE r16:
+          // the usage string advertised this name with no case behind it)
+          val tbl = freshDir()
+          graft.format.GraftTable.write(docs
+            .repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id")),
+            tbl, "overwrite")
+          val m = graft.format.GraftTable.loadManifest(spark, tbl)
+          val ids = m.fragments.map(_.id).sorted
+          val (idsA, idsB) = ids.splitAt(ids.length / 2)
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          graft.operators.Fts.buildPartForTable(spark, tbl, "doc_id", "text",
+            uuid, 0, idsA)
+          graft.operators.Fts.buildPartForTable(spark, tbl, "doc_id", "text",
+            uuid, 1, idsB)
+          graft.operators.Fts.mergePartsForTable(spark, tbl, "doc_id", "text", uuid)
         case "hnsw" =>
           graft.operators.HnswIndex.build(
             graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
