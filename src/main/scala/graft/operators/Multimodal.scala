@@ -33,6 +33,12 @@ object Multimodal {
   @transient private lazy val providersReady: Boolean = {
     javax.imageio.spi.IIORegistry.getDefaultInstance()
     ImageIO.getReaderFormatNames()
+    // memory-cached image streams: the default FILE cache creates (and
+    // deletes) a temp file per ImageIO read/write call — at 32 concurrent
+    // decode tasks that filesystem churn is contention, not caching. The
+    // payloads here are row-sized by design, so the memory cache is
+    // strictly better.
+    ImageIO.setUseCache(false)
     javax.sound.sampled.AudioSystem.getAudioFileTypes()
     true
   }
@@ -40,6 +46,71 @@ object Multimodal {
   /** Force the provider registries to initialize on this JVM (see
     * [[providersReady]]); callable from any task closure. */
   def warmProviders(): Unit = { val _ = providersReady }
+
+  /** Cached javax.sound SPI providers (r17): EVERY `AudioSystem` entry
+    * point funnels through a synchronized static that re-runs a
+    * ServiceLoader scan per call — at 32 concurrent tasks the scan lock IS
+    * the workload (measured: q_audio_features summed task time 0.6 s
+    * single-task → 76 s spread, pure lock wait). The provider instances
+    * are stateless; cache them once per JVM and drive them directly with
+    * AudioSystem's own first-provider-wins semantics. */
+  @transient private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+    // probe MIDI-wrapping readers LAST: SoftMidiAudioFileReader's accept
+    // probe itself calls MidiSystem.getMidiFileReaders — the synchronized
+    // global provider re-scan this cache exists to avoid (AudioLockProbe:
+    // 1681 blocked samples on that exact frame). WAV/AIFF/AU magic bytes
+    // are disjoint from MIDI's, so for any payload a real audio reader
+    // accepts the winning reader is unchanged.
+    val (midi, sampled) = all.partition(_.getClass.getName.contains("Midi"))
+    sampled ++ midi
+  }
+  @transient private lazy val audioConverters: Seq[javax.sound.sampled.spi.FormatConversionProvider] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+      .asScala.toSeq
+  }
+  @transient private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
+  }
+
+  /** `AudioSystem.getAudioInputStream(InputStream)` minus the global lock:
+    * first reader that accepts wins; a refusing reader leaves the stream
+    * position untouched (the SPI contract AudioSystem itself relies on). */
+  private def readAudioStream(in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  /** `AudioSystem.getAudioInputStream(AudioFormat, AudioInputStream)`
+    * minus the global lock. */
+  private def convertAudioStream(target: javax.sound.sampled.AudioFormat,
+                                 src: javax.sound.sampled.AudioInputStream)
+      : javax.sound.sampled.AudioInputStream =
+    audioConverters.find(_.isConversionSupported(target, src.getFormat)) match {
+      case Some(p) => p.getAudioInputStream(target, src)
+      case None => throw new IllegalArgumentException(
+        s"Unsupported conversion: $target from ${src.getFormat}")
+    }
+
+  /** `AudioSystem.write` minus the global lock. */
+  private def writeAudioStream(ais: javax.sound.sampled.AudioInputStream,
+                               fileType: javax.sound.sampled.AudioFileFormat.Type,
+                               out: java.io.OutputStream): Int =
+    audioWriters.find(_.isFileTypeSupported(fileType, ais)) match {
+      case Some(w) => w.write(ais, fileType, out)
+      case None => throw new IllegalArgumentException(
+        s"file type $fileType not supported")
+    }
 
   case class MediaRow(id: Long, content: Array[Byte])
   case class DecodedImage(id: Long, width: Int, height: Int, channels: Int,
@@ -270,14 +341,17 @@ object Multimodal {
     }
   }
 
+  /** Probe face for [[audioFeatures]] (tools.AudioLockProbe). */
+  private[graft] def audioFeaturesProbe(bytes: Array[Byte], bins: Int)
+      : Option[(Int, Int, Long, Float, Array[Float])] = audioFeatures(bytes, bins)
+
   /** Decode one payload to (sampleRate, channels, nSamples, rms, envelope);
     * None if the bytes are not supported audio. */
   private[operators] def audioFeatures(bytes: Array[Byte], bins: Int)
       : Option[(Int, Int, Long, Float, Array[Float])] =
     if (bytes == null || bytes.length == 0) None
     else try {
-      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
+      val src = readAudioStream(new ByteArrayInputStream(bytes))
       try {
         val f0 = src.getFormat
         val target = new javax.sound.sampled.AudioFormat(
@@ -285,7 +359,7 @@ object Multimodal {
           f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
           f0.getSampleRate, false)
         val in = if (f0.matches(target)) src
-        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        else convertAudioStream(target, src)
         val data = in.readAllBytes()
         val ch = target.getChannels
         val n = data.length / (2 * ch)
@@ -325,8 +399,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(data), fmt, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeAudioStream(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
