@@ -810,30 +810,35 @@ object Fts {
         // writes below coalesce, and a coalesced first action would pull
         // the aggregation itself into the coalesced task count
         postings.count()
-        // sort by (token, doc_id): token runs keep the one-file-per-term
-        // pushdown, and doc_id order WITHIN a run gives row-group min/max
-        // stats that WAND's surviving-block range predicate can skip on
-        postings.drop("dl")
-          .coalesce(nFiles)
-          .sortWithinPartitions(col("token"), col("doc_id"))
-          .write.mode(SaveMode.Overwrite).parquet(p.postings)
-        postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-          .coalesce(nStatsFiles)
-          .sortWithinPartitions(col("token"))
-          .write.mode(SaveMode.Overwrite).parquet(p.termstats)
-        // block-max stats for WAND pruning (reference inverted/wand.rs):
-        // per (token, doc-id block) the tf/dl extremes that bound any
-        // BM25 contribution inside the block, for ANY future avgdl
-        postings.groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
-          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-          .coalesce(nStatsFiles)
-          .sortWithinPartitions(col("token"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
+        val docstats = tokenized.select(col("doc_id"), col("dl"))
+        // five independent outputs, five separate directories, every one
+        // reading an already-materialized cache — ONE concurrent wave
+        // instead of five sequential job latencies (guide §2.6)
+        inParallel(Seq(
+          // sort by (token, doc_id): token runs keep the one-file-per-term
+          // pushdown, and doc_id order WITHIN a run gives row-group
+          // min/max stats that WAND's surviving-block range predicate can
+          // skip on
+          () => postings.drop("dl")
+            .coalesce(nFiles)
+            .sortWithinPartitions(col("token"), col("doc_id"))
+            .write.mode(SaveMode.Overwrite).parquet(p.postings),
+          () => postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+            .coalesce(nStatsFiles)
+            .sortWithinPartitions(col("token"))
+            .write.mode(SaveMode.Overwrite).parquet(p.termstats),
+          // block-max stats for WAND pruning (reference inverted/wand.rs):
+          // per (token, doc-id block) the tf/dl extremes that bound any
+          // BM25 contribution inside the block, for ANY future avgdl
+          () => postings.groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+            .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+            .coalesce(nStatsFiles)
+            .sortWithinPartitions(col("token"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats"),
+          () => docstats.write.mode(SaveMode.Overwrite).parquet(p.docstats),
+          () => docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)))
       } finally postings.unpersist()
-      val docstats = tokenized.select(col("doc_id"), col("dl"))
-      docstats.write.mode(SaveMode.Overwrite).parquet(p.docstats)
-      docstats.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
     } finally tokenized.unpersist()
     // a full build rewrites stats outright — any crashed-optimize intent
     // marker is moot now
@@ -924,23 +929,26 @@ object Fts {
         col("token")).persist()
     val nDocs = try {
       postings.count() // materialize at full width before coalesced writes
-      postings.coalesce(8)
-        .sortWithinPartitions(col("token"), col("doc_id"))
-        .write.mode(SaveMode.Overwrite).parquet(p.postings)
-      postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-        .coalesce(2).sortWithinPartitions(col("token"))
-        .write.mode(SaveMode.Overwrite).parquet(p.termstats)
-      spark.read.parquet(parts.map(x => s"$x/docstats"): _*)
-        .write.mode(SaveMode.Overwrite).parquet(p.docstats)
+      // wave 1: four independent outputs, four directories (guide §2.6)
+      inParallel(Seq(
+        () => postings.coalesce(8)
+          .sortWithinPartitions(col("token"), col("doc_id"))
+          .write.mode(SaveMode.Overwrite).parquet(p.postings),
+        () => postings.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+          .coalesce(2).sortWithinPartitions(col("token"))
+          .write.mode(SaveMode.Overwrite).parquet(p.termstats),
+        () => spark.read.parquet(parts.map(x => s"$x/docstats"): _*)
+          .write.mode(SaveMode.Overwrite).parquet(p.docstats),
+        () => spark.read.parquet(parts.map(x => s"$x/blockstats"): _*)
+          .repartition(2, col("token"))
+          .groupBy(col("token"), col("block"))
+          .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+          .sortWithinPartitions(col("token"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")))
+      // wave 2: meta reads the docstats files wave 1 just wrote
       val ds = spark.read.parquet(p.docstats)
       ds.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(p.meta)
-      spark.read.parquet(parts.map(x => s"$x/blockstats"): _*)
-        .repartition(2, col("token"))
-        .groupBy(col("token"), col("block"))
-        .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
-        .sortWithinPartitions(col("token"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/blockstats")
       ds.count()
     } finally postings.unpersist()
     clearOptimizeIntent(spark, indexPath) // stats rewritten from the parts
@@ -1078,18 +1086,23 @@ object Fts {
         .persist()
       try {
         deltaPost.count() // materialize at full width before coalesced writes
-        deltaPost.drop("dl")
-          .coalesce(2)
-          .sortWithinPartitions(col("token"), col("doc_id"))
-          .write.mode(SaveMode.Append).parquet(p.postings)
-        tokenized.select(col("doc_id"), col("dl"))
-          .coalesce(1).write.mode(SaveMode.Append).parquet(p.docstats)
-        // delta block-max stats append; duplicate (token, block) entries
-        // merge at query time (max/min are idempotent under re-aggregation)
-        deltaPost.groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
-          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-          .coalesce(1).sortWithinPartitions(col("token"))
-          .write.mode(SaveMode.Append).parquet(s"$indexPath/blockstats")
+        // three independent delta appends to three directories, all off
+        // the materialized caches — one concurrent wave (guide §2.6);
+        // ordering vs the stats swap below is irrelevant to crash
+        // correctness because the intent marker wraps the whole window
+        inParallel(Seq(
+          () => deltaPost.drop("dl")
+            .coalesce(2)
+            .sortWithinPartitions(col("token"), col("doc_id"))
+            .write.mode(SaveMode.Append).parquet(p.postings),
+          () => tokenized.select(col("doc_id"), col("dl"))
+            .coalesce(1).write.mode(SaveMode.Append).parquet(p.docstats),
+          // delta block-max stats append; duplicate (token, block) entries
+          // merge at query time (max/min are idempotent under re-aggregation)
+          () => deltaPost.groupBy(col("token"), wandBlock(col("doc_id")).as("block"))
+            .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+            .coalesce(1).sortWithinPartitions(col("token"))
+            .write.mode(SaveMode.Append).parquet(s"$indexPath/blockstats")))
         FtsTestHooks.beforeStatsSwap(indexPath) // crash-window injection (specs)
         // termstats: O(delta) in the healthy case — the stored dictionary
         // (one row per distinct token, NOT the corpus postings) unioned
@@ -1134,6 +1147,26 @@ object Fts {
     val p = new org.apache.hadoop.fs.Path(indexPath, OptimizeIntentMarker)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.delete(p, false)
+  }
+
+  /** Run independent Spark actions CONCURRENTLY from driver threads
+    * (guide §2.6 "overlap independent jobs"): the index outputs below are
+    * separate datasets written to separate directories, each reading an
+    * already-materialized cache — running them sequentially serializes
+    * their per-job scheduling latency and leaves the cluster idle in each
+    * job's task tail. FIFO scheduling backfills the tail with the next
+    * write's tasks. Rethrows the first failure. */
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      import scala.jdk.CollectionConverters._
+      val jobs: java.util.List[java.util.concurrent.Callable[Unit]] =
+        tasks.map(t => new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = t()
+        }).asJava
+      pool.invokeAll(jobs).asScala.foreach(_.get()) // propagate failures
+    } finally pool.shutdown()
   }
 
   /** Crash-injection seams for the maintenance specs (the [[graft.format
